@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect cost).  Wall-clock per query; total is the metric value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kbdatalakeapps_spark.session import get_spark  # noqa: E402
+from kbdatalakeapps_spark.queries import QUERIES  # noqa: E402
+
+# Headline set: one per operator family that dominates runtime at scale.
+BENCH_QUERIES = [
+    "flagship_order_revenue",   # filter → multi-join → agg → sort → limit
+    "j5_star_join",             # 6-way star join
+    "j1_inner_join_composite_key",  # fact-fact composite-key join
+    "j8_pair_dedup_first_wins", # window dedup over pair keys
+    "a1_groupby_multiagg",      # group-by multi-agg
+    "a13_viewer_aggregations",  # serving-layer agg panel
+    "a14_column_stats",         # stats endpoint (exact percentile)
+    "w1_argmax_per_group",      # window argmax
+    "o1_multikey_sort_page",    # global sort + page
+    "r1_ontology_style_pivot",  # wide pivot
+    "dd_exact_dedup",           # hash dedup
+    "dd_minhash_lsh_pairs",     # minhash LSH near-dup discovery
+    "dd_simhash",               # simhash fingerprints
+    "tx_text_stats",            # text quality stats
+    "tx_language_id",           # language ID
+    "sim_cosine_topk",          # brute-force ANN baseline
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None
+    spark = get_spark("kbdatalakeapps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+"""kbdatalakeapps_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first implementation of the query and
+data-processing capabilities of kbaseapps/KBDatalakeApps (the
+reference lives at /root/reference and is cited by file:line in
+docstrings throughout; no code is copied from it).
+
+Layout:
+    session    — SparkSession factory tuned for the lake workload
+    io         — sources (parquet/TSV/JSON/FASTA) and sinks
+    functions  — scalar/array column-expression library (SURVEY §2.8)
+    filter_dsl — the viewer's typed filter language → Column compiler
+    serving    — table-data request semantics (filter/sort/page/agg/stats)
+    operators  — relational combinators, dedup, similarity, text, multimodal
+    queries    — named query registry + DuckDB oracle SQL twins
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,196 @@
+"""Viewer filter language → Spark Column compiler (SURVEY §2.2 P10, F23).
+
+The reference ships a typed per-column filter language in its HTML
+viewer (data/html/assets/filter-parser-HXU3E1Qm.js:1): structured
+operators {eq, ne, lt, lte, gt, gte, between, in, not_in, is_null,
+is_not_null, like, ilike, regex} plus a text-input micro-grammar
+(``"<=5"``, ``"a,b,c"`` → in, ``"!x"`` → ne/not_in, ``"between 1 and
+9"`` / ``"3..7"``, ``"null"``, bare text → case-insensitive contains).
+The server compiles those to SQL over SQLite; here they compile to
+Catalyst ``Column`` expressions, so every filter is pushed down into
+the parquet scan when possible.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+OPERATORS = {
+    "eq", "ne", "lt", "lte", "gt", "gte", "between", "in", "not_in",
+    "is_null", "is_not_null", "like", "ilike", "regex",
+}
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+@dataclass
+class FilterSpec:
+    column: str
+    operator: str
+    value: object = None
+    value2: object = None
+
+
+def is_numeric_type(dtype: T.DataType) -> bool:
+    """F23: numeric-vs-text operator gating (`isNumericType` in
+    filter-parser-HXU3E1Qm.js:1)."""
+    return isinstance(dtype, _NUMERIC_TYPES)
+
+
+_NUM_RE = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+
+
+def parse_filter_input(text: str, numeric: bool) -> FilterSpec | None:
+    """Parse the text-input micro-grammar into a FilterSpec (column is
+    filled by the caller).  Returns None for empty input.
+
+    Grammar (filter-parser-HXU3E1Qm.js:1 `parseFilterInput`):
+      null / not null        → is_null / is_not_null
+      <=x <x >=x >x          → lte / lt / gte / gt      (numeric coerced)
+      between x and y        → between
+      x..y   |  x-y (numeric)→ between
+      a,b,c                  → in        !a,b,c → not_in
+      =v                     → eq        !=v, !v → ne
+      bare text              → ilike-contains (text) / eq (numeric)
+    """
+    s = text.strip()
+    if not s:
+        return None
+    low = s.lower()
+    if low == "null":
+        return FilterSpec("", "is_null")
+    if low in ("not null", "!null"):
+        return FilterSpec("", "is_not_null")
+
+    def coerce(v: str):
+        v = v.strip()
+        if numeric:
+            try:
+                return int(v)
+            except ValueError:
+                try:
+                    return float(v)
+                except ValueError:
+                    return v
+        return v
+
+    m = re.match(r"^(<=|>=|<|>)\s*(.+)$", s)
+    if m:
+        op = {"<": "lt", "<=": "lte", ">": "gt", ">=": "gte"}[m.group(1)]
+        return FilterSpec("", op, coerce(m.group(2)))
+    m = re.match(r"^between\s+(.+?)\s+and\s+(.+)$", low)
+    if m:
+        return FilterSpec("", "between", coerce(m.group(1)), coerce(m.group(2)))
+    m = re.match(rf"^({_NUM_RE})\s*\.\.\s*({_NUM_RE})$", s)
+    if m:
+        return FilterSpec("", "between", coerce(m.group(1)), coerce(m.group(2)))
+    if numeric:
+        m = re.match(rf"^({_NUM_RE})\s*-\s*({_NUM_RE})$", s)
+        if m and "," not in s:
+            return FilterSpec("", "between", coerce(m.group(1)), coerce(m.group(2)))
+    if s.startswith("!=") :
+        rest = s[2:].strip()
+        if "," in rest:
+            return FilterSpec("", "not_in", [coerce(v) for v in rest.split(",")])
+        return FilterSpec("", "ne", coerce(rest))
+    if s.startswith("!"):
+        rest = s[1:].strip()
+        if "," in rest:
+            return FilterSpec("", "not_in", [coerce(v) for v in rest.split(",")])
+        return FilterSpec("", "ne", coerce(rest))
+    if s.startswith("="):
+        return FilterSpec("", "eq", coerce(s[1:].strip()))
+    if "," in s:
+        return FilterSpec("", "in", [coerce(v) for v in s.split(",")])
+    if numeric:
+        return FilterSpec("", "eq", coerce(s))
+    return FilterSpec("", "ilike", s)
+
+
+def compile_spec(spec: FilterSpec) -> Column:
+    """Compile one FilterSpec to a Column predicate."""
+    c = F.col(spec.column)
+    op, v, v2 = spec.operator, spec.value, spec.value2
+    if op == "eq":
+        return c == F.lit(v)
+    if op == "ne":
+        return c != F.lit(v)
+    if op == "lt":
+        return c < F.lit(v)
+    if op == "lte":
+        return c <= F.lit(v)
+    if op == "gt":
+        return c > F.lit(v)
+    if op == "gte":
+        return c >= F.lit(v)
+    if op == "between":
+        return c.between(F.lit(v), F.lit(v2))
+    if op == "in":
+        return c.isin(list(v))
+    if op == "not_in":
+        # viewer keeps NULL rows out of both in and not_in (SQL semantics)
+        return ~c.isin(list(v))
+    if op == "is_null":
+        return c.isNull()
+    if op == "is_not_null":
+        return c.isNotNull()
+    if op == "like":
+        return c.like(str(v))
+    if op == "ilike":
+        # bare-text ilike is a contains; explicit patterns keep % wildcards
+        pat = str(v)
+        if "%" in pat or "_" in pat:
+            return F.lower(c).like(pat.lower())
+        return F.lower(c).contains(pat.lower())
+    if op == "regex":
+        return c.rlike(str(v))
+    raise ValueError(f"unknown filter operator: {op}")
+
+
+def compile_filters(
+    df: DataFrame,
+    col_filter: dict[str, str] | None = None,
+    filters: list[dict] | None = None,
+) -> Column | None:
+    """Compile a viewer request's ``col_filter`` (text micro-grammar per
+    column) + ``filters`` (structured list) into one AND-ed predicate.
+    Returns None when there is nothing to filter."""
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    preds: list[Column] = []
+    for col, text in (col_filter or {}).items():
+        spec = parse_filter_input(str(text), is_numeric_type(dtypes[col]))
+        if spec is not None:
+            spec.column = col
+            preds.append(compile_spec(spec))
+    for f_ in filters or []:
+        spec = FilterSpec(
+            f_["column"], f_["operator"], f_.get("value"), f_.get("value2")
+        )
+        preds.append(compile_spec(spec))
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def global_search(df: DataFrame, query: str) -> Column:
+    """P11: server-side global search — case-insensitive contains across
+    every column, cast to string (main-BeiTHiEY.js search fan-out)."""
+    q = query.lower()
+    preds = [
+        F.lower(F.col(f.name).cast("string")).contains(q) for f in df.schema.fields
+    ]
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out

@@ -1,0 +1,229 @@
+"""Scalar / array column-expression library — SURVEY §2.8 (F1-F21, K1).
+
+Everything here is a pure ``pyspark.sql.functions`` expression: JVM-side,
+inside whole-stage codegen, no Python UDFs.  The reference implements
+these as per-row Python (its known bottleneck — e.g. the 7-regex
+per-cell scan at KBDatalakeUtils.py:2281-2313); here each is a single
+vectorized column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Regex term extraction (F1-F4)
+# ---------------------------------------------------------------------------
+
+EC_PATTERN = r"EC[:\s]*([\d\-]+\.[\d\-]+\.[\d\-]+\.[\d\-]+)"
+KO_PATTERN = r"KO:(K\d+)"
+PFAM_PATTERN = r"(PF\d+)"
+SSO_PATTERN = r"(SSO:\d+)"
+GO_PATTERN = r"(GO:\d+)"
+
+
+def extract_terms(col: Column | str, pattern: str, group: int = 1) -> Column:
+    """F1/F2: all regex matches as an array (build_berdl_db.py:83-139)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(pattern), F.lit(group))
+
+
+def extract_terms_joined(
+    col: Column | str, pattern: str, sep: str = ";", group: int = 1
+) -> Column:
+    """F1: matches as the reference's ';'-joined string form."""
+    return F.concat_ws(sep, extract_terms(col, pattern, group))
+
+
+def extract_first(col: Column | str, pattern: str, group: int = 1) -> Column:
+    """F3/F4: first match (e.g. `gene:([^;]+)` from an alias string,
+    build_berdl_db.py:91-97; accession from path, prep_genome_set.py:93-99)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(F.regexp_extract(c, pattern, group), F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# Splitting / tokenization (F5, F6)
+# ---------------------------------------------------------------------------
+
+MULTIFUNCTION_SEP = r" / | @ |; "  # RAST multi-function separators
+
+
+def split_multi(col: Column | str, sep_pattern: str = MULTIFUNCTION_SEP) -> Column:
+    """F5: split on any of the reference's multi-function separators
+    (KBDatalakeUtils.py:2305-2313), trimmed, empties dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, sep_pattern)
+    return F.filter(F.transform(parts, lambda x: F.trim(x)), lambda x: x != "")
+
+
+def gene_rule_tokens(col: Column | str) -> Column:
+    """F6: gene IDs from a boolean rule ``(A and B) or C``
+    (KBDatalakeUtils.py:1090-1094) — parens stripped, and/or dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.regexp_replace(c, r"[()]", " "), r"\s+")
+    return F.array_distinct(
+        F.filter(toks, lambda t: (t != "") & (t != "and") & (t != "or"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization (F8, F9, F21)
+# ---------------------------------------------------------------------------
+
+
+def strip_prefix(col: Column | str, *prefixes: str) -> Column:
+    """F8: strip ontology prefixes like ``KEGG:`` / ``COG:`` / ``UniRef:``
+    (query_ontology_local.py:69-77)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = "^(" + "|".join(prefixes) + ")"
+    return F.regexp_replace(c, pat, "")
+
+
+def normalize_genome_id(col: Column | str) -> Column:
+    """F21: ``'106654.22' → '106654_22'`` (KBDatalakeUtils.py:402-410)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"\.", "_")
+
+
+def gtdb_accession(col: Column | str) -> Column:
+    """F21: NCBI → GTDB accession (``GCF_x → RS_GCF_x``, ``GCA_x →
+    GB_GCA_x``; prep_genome_set.py:93-99)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(c.startswith("GCF_"), F.concat(F.lit("RS_"), c))
+        .when(c.startswith("GCA_"), F.concat(F.lit("GB_"), c))
+        .otherwise(c)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed hashing (F10, K1 — hash_seq.py:4-55)
+# ---------------------------------------------------------------------------
+
+
+def protein_hash(col: Column | str) -> Column:
+    """K1: SHA-256 of the upper-cased sequence with trailing ``*``
+    stripped — the content key joining user genomes to pangenome
+    clusters and fitness data (hash_seq.py:46-55)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(F.upper(F.regexp_replace(c, r"\*+$", "")), 256)
+
+
+def sequence_md5(col: Column | str) -> Column:
+    """F10: MD5 display hash (build_berdl_db.py:437-438)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def aggregate_hash(hash_list: Column) -> Column:
+    """F10: order-insensitive hash of a set of hashes — sha256 of the
+    '_'-joined sorted list (hash_seq.py:38-44)."""
+    return F.sha2(F.concat_ws("_", F.array_sort(hash_list)), 256)
+
+
+VALID_AA = r"^[ACDEFGHIKLMNPQRSTVWYXBZJUO]+$"
+
+
+def is_valid_protein(col: Column | str) -> Column:
+    """K1: amino-acid alphabet check (hash_seq.py:56-78)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.upper(F.regexp_replace(c, r"\*+$", "")).rlike(VALID_AA)
+
+
+# ---------------------------------------------------------------------------
+# Coordinates / classification (F11-F15)
+# ---------------------------------------------------------------------------
+
+
+def strand_normalized(start: Column, end: Column, strand: Column) -> Column:
+    """F13: swap start/end on the ``-`` strand (datalake_table.py:16-23)
+    → struct(start, end) with start ≤ end in gene orientation."""
+    return (
+        F.when(strand == "-", F.struct(end.alias("start"), start.alias("end")))
+        .otherwise(F.struct(start.alias("start"), end.alias("end")))
+    )
+
+
+def feature_length(start: Column, end: Column) -> Column:
+    """F11: ``abs(end - start)`` (build_berdl_db.py:434)."""
+    return F.abs(end - start)
+
+
+def directionality(lower: Column, upper: Column) -> Column:
+    """F14: reaction directionality from flux bounds
+    (KBDatalakeUtils.py:1063-1072)."""
+    return (
+        F.when((lower < 0) & (upper > 0), F.lit("reversible"))
+        .when((lower >= 0) & (upper > 0), F.lit("forward"))
+        .when((lower < 0) & (upper <= 0), F.lit("reverse"))
+        .otherwise(F.lit("blocked"))
+    )
+
+
+def reconcile_class(cls: Column, growth: Column) -> Column:
+    """F15: experimental growth reconciliation
+    (KBDatalakeUtils.py:566-577): positive predictions become CP/FP by
+    observed growth, negative become FN/CN."""
+    positive = cls.isin("P", "CP", "FP")
+    return F.when(positive & growth, F.lit("CP")).when(positive, F.lit("FP")).when(
+        growth, F.lit("FN")
+    ).otherwise(F.lit("CN"))
+
+
+ZERO_FLUX = 1e-6
+
+
+def is_zero_flux(flux: Column) -> Column:
+    """F12: |flux| < 1e-6 (KBDatalakeUtils.py:684)."""
+    return F.abs(flux) < ZERO_FLUX
+
+
+# ---------------------------------------------------------------------------
+# Set-string cells (F16, A8, J9)
+# ---------------------------------------------------------------------------
+
+
+def set_string(col: Column, sep: str = "; ") -> Column:
+    """A8/F16: set → deterministic sorted joined string
+    (``'; '.join(sorted(set(...)))``, datalake_table.py:365)."""
+    return F.concat_ws(sep, F.array_sort(F.array_distinct(col)))
+
+
+def merge_term_strings(a: Column, b: Column, sep: str = ";") -> Column:
+    """J9: split two ';'-list strings, set-union, sorted re-join
+    (build_berdl_db.py:481-521)."""
+    def _clean(c: Column) -> Column:
+        # NB: `lambda x: F.trim(x)`, not bare F.trim — transform passes
+        # (element, index) to 2-arg callables and trim's 2nd arg is the
+        # character set to strip.
+        return F.filter(
+            F.transform(F.split(F.coalesce(c, F.lit("")), sep), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+
+    return F.concat_ws(sep, F.array_sort(F.array_union(_clean(a), _clean(b))))
+
+
+# ---------------------------------------------------------------------------
+# Exact-decimal deterministic numerics
+# ---------------------------------------------------------------------------
+# Float sums depend on accumulation order, which differs between engines
+# and between runs at different parallelism.  For oracle-comparable and
+# run-stable results, sum through an exact decimal and cast back: same
+# value on Spark, DuckDB, 1 partition or 1000.
+
+
+def dsum(col: Column | str, scale: int = 4, precision: int = 38) -> Column:
+    """Order-independent (exact) sum of a float column via decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 4, precision: int = 38) -> Column:
+    """Order-independent mean: exact decimal sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal({precision},{scale})")).cast("double") / F.count(c)
+    )

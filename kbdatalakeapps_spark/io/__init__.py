@@ -1,0 +1,10 @@
+from .sources import (  # noqa: F401
+    TPCH_TABLES,
+    load_table,
+    load_tables,
+    read_fasta,
+    read_json_docs,
+    read_parquet,
+    read_tsv,
+)
+from .sinks import write_parquet, write_tsv, write_fasta  # noqa: F401

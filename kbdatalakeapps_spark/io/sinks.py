@@ -1,0 +1,50 @@
+"""Sinks — SURVEY §2.1 S12-S16.
+
+The reference writes SQLite (S12), parquet (S13), TSV (S14) and FASTA
+(S15).  Canonical storage here is parquet (optionally partitioned /
+bucketed for co-located downstream joins); TSV and FASTA sinks exist
+for interchange parity.  The SQLite sink of the reference
+(datalake_table.py:142,498) is a serving-layer export concern, not an
+engine-native format — `engine.serving` answers the same queries
+straight from DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S13. ``partition_by`` gives partition-pruned downstream scans
+    (the reference's hand-built ``block_*`` layout,
+    query_genome_local.py:14-37, for free)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S14: tab-separated with header (KBDatalakeUtils.py:830-843)."""
+    df.write.mode(mode).option("sep", "\t").option("header", "true").csv(path)
+
+
+def write_fasta(
+    df: DataFrame,
+    path: str,
+    id_col: str = "seq_id",
+    seq_col: str = "sequence",
+    mode: str = "overwrite",
+) -> None:
+    """S15: FASTA sink (pangenome.py:37,67-69) — one text part per
+    partition; records are self-contained lines so any concatenation
+    order is a valid FASTA."""
+    df.select(
+        F.concat(F.lit(">"), F.col(id_col), F.lit("\n"), F.col(seq_col)).alias("value")
+    ).write.mode(mode).text(path)

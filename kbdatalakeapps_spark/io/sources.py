@@ -1,0 +1,157 @@
+"""Sources — SURVEY §2.1 S1-S11 re-expressed as Spark readers.
+
+The reference scans parquet lazily with polars (S1/S2,
+berdl/berdl/query/query_pangenome_local.py:16-20,
+query_genome_local.py:9-37), unions multi-file TSVs (S4,
+berdl/berdl/tables/datalake_table.py:117-120), reads JSON documents
+(S8) and streams FASTA records (S7, build_berdl_db.py:54-71).  All of
+those are a single lazy `spark.read` here: Catalyst handles predicate
+pushdown, column pruning, and partition discovery that the reference
+does by hand (explicit file lists, `block_*` dirs, `include_*` flags).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """S1-S3: lazy (partition-discovering) parquet scan.
+
+    Accepts a file, a directory, a glob, or an explicit list — the
+    reference's hand-maintained ``block_*/feature.parquet`` file lists
+    (query_genome_local.py:14-37) are just a glob here.
+    """
+    if isinstance(path, list):
+        return spark.read.parquet(*path)
+    return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several testdata tables; defaults to the full star schema."""
+    if not names:
+        names = TPCH_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_tsv(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S4/S5: TSV scan, multi-file union included.
+
+    Mirrors `pl.scan_csv([ar53, bac120], sep='\\t')`
+    (datalake_table.py:117-120) — a list of paths is one lazy unioned
+    scan, with schema either supplied (S6 explicit coercion,
+    prep_genome_set.py:10-34) or inferred.
+    """
+    reader = spark.read.option("sep", "\t").option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    if isinstance(paths, str):
+        paths = [paths]
+    return reader.csv(paths)
+
+
+def read_json_docs(
+    spark: SparkSession,
+    paths: str | list[str],
+    multiline: bool = True,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S8: JSON document source (phenosim / model / ANI docs,
+    KBDatalakeUtils.py:519-529, datalake_table.py:216-257)."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    if isinstance(paths, str):
+        paths = [paths]
+    return reader.json(paths)
+
+
+# ---------------------------------------------------------------------------
+# FASTA (S7)
+# ---------------------------------------------------------------------------
+
+FASTA_SCHEMA = T.StructType(
+    [
+        T.StructField("seq_id", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("sequence", T.StringType()),
+        T.StructField("source_file", T.StringType()),
+    ]
+)
+
+
+def read_fasta(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """S7: FASTA source → (seq_id, description, sequence, source_file).
+
+    The reference streams '>'-delimited records into a dict
+    (build_berdl_db.py:54-71).  Distributed version: read whole files
+    per task with ``spark.read.text(wholetext)`` is wrong for huge
+    files, so instead records are assembled *within partitions* after a
+    cheap line read.  FASTA records never span files, and Spark's text
+    source splits files on line boundaries; to keep a record intact we
+    group by (file, running header count) computed per-file via a
+    window — scalable because each file's lines land in file order and
+    the shuffle key (file, record index) is fine-grained.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    from pyspark.sql.window import Window
+
+    lines = (
+        spark.read.text(paths)
+        .withColumn("source_file", F.input_file_name())
+        # monotonically_increasing_id is ordered within a partition and
+        # partitions of a text file are in file order → per-file line order.
+        .withColumn("_lid", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("source_file").orderBy("_lid")
+    recs = (
+        lines.withColumn("_is_hdr", F.col("value").startswith(">").cast("int"))
+        .withColumn("_rec", F.sum("_is_hdr").over(w))
+        .filter(F.col("_rec") > 0)
+        .groupBy("source_file", "_rec")
+        .agg(
+            F.max(F.when(F.col("_is_hdr") == 1, F.col("value"))).alias("_hdr"),
+            F.concat_ws(
+                "", F.collect_list(F.when(F.col("_is_hdr") == 0, F.col("value")))
+            ).alias("sequence"),
+        )
+    )
+    hdr = F.regexp_replace(F.col("_hdr"), r"^>", "")
+    return recs.select(
+        F.split(hdr, r"\s+", 2).getItem(0).alias("seq_id"),
+        F.when(
+            hdr.contains(" "), F.split(hdr, r"\s+", 2).getItem(1)
+        ).alias("description"),
+        F.col("sequence"),
+        F.col("source_file"),
+    )

@@ -1,0 +1,248 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference deduplicates proteins by content hash before its
+expensive clustering stage (pangenome.py:22-69; SURVEY §4
+"content-hash dedup as physical optimization").  This module
+generalizes that into the standard training-data-pipeline family:
+
+  exact_dedup          — hash-groupBy (the reference's own pattern)
+  ngram_jaccard_pairs  — exact n-gram Jaccard similarity join
+  minhash_lsh_pairs    — MinHash + banded LSH candidate generation
+  simhash              — bitwise simhash fingerprint + near-dup pairs
+
+Everything is deterministic and engine-portable: hashes derive from
+md5 hex (identical in Spark and DuckDB), so each operator has an exact
+SQL oracle.  No Python UDFs — all expressions are JVM-side.
+
+Scale posture: exact dedup and minhash-LSH are the 100 TB paths (one
+shuffle each on a well-distributed hash key; LSH joins only within
+bands).  ngram_jaccard_pairs is quadratic within shingle buckets and is
+the *verification* stage run on LSH candidates, not the discovery scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(col: Column | str, k: int = 3, lowercase: bool = True) -> Column:
+    """Distinct character k-grams of a string as an array column."""
+    name = col if isinstance(col, str) else None
+    expr = f"lower({name})" if lowercase else name
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] range in
+    # Spark, so short strings get an explicit empty array
+    return F.expr(
+        f"CASE WHEN length({expr}) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, length({expr}) - {k - 1}),"
+        f" i -> substring({expr}, i, {k}))) "
+        f"ELSE array() END"
+    )
+
+
+def _md5_long(c: Column) -> Column:
+    """First 15 hex digits of md5 as a non-negative bigint — portable
+    (DuckDB oracle: same md5, same hex slice, same base-16 parse)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct
+    content with the keeper (min id) and the duplicate count.
+
+    Mirrors the reference's protein-hash dedup (hash_seq.py +
+    pangenome.py:22-69).  Single shuffle on md5 — uniformly
+    distributed, no skew at any scale."""
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle) long table — the base relation for Jaccard and
+    MinHash.  Distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(text_col, k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    Self-join on shared shingles → |A∩B| per pair, then
+    J = inter / (|A| + |B| - inter).  Shuffles on the shingle key; hot
+    shingles fan out quadratically, so at scale this runs *after* LSH
+    candidate pruning (minhash_lsh_pairs) — kept standalone for exact
+    semantics and the oracle."""
+    sh = shingle_table(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(id, hash_idx, minhash) — for each of ``num_hashes`` seeded hash
+    functions, the min over the doc's shingles of
+    md5(seed || '|' || shingle) as a bigint.  One groupBy on (id,
+    hash_idx): map-side min combine, linear at scale."""
+    sh = shingle_table(df, id_col, text_col, k)
+    seeded = sh.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
+        F.col("shingle"),
+    )
+    mh = _md5_long(
+        F.concat(F.col("hash_idx").cast("string"), F.lit("|"), F.col("shingle"))
+    )
+    return seeded.groupBy("id", "hash_idx").agg(F.min(mh).alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (id_a < id_b, n_bands ≥ 1
+    shared band).
+
+    Signature → bands of ``band_size`` hashes → band fingerprint →
+    self-join on (band_idx, fingerprint).  The join key is a uniform
+    hash, so the shuffle is balanced; collision lists stay short because
+    a band matches only when *all* its minhashes agree.  This is the
+    100 TB discovery path; feed its output to ngram_jaccard_pairs for
+    exact verification."""
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    bands = (
+        sig.withColumn("band_idx", (F.col("hash_idx") / band_size).cast("int"))
+        .groupBy("id", "band_idx")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("hash_idx", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) — bitwise-majority fingerprint over whitespace
+    tokens.  Token hash = md5-derived bigint; bit b of the fingerprint
+    is 1 when more token hashes have bit b set than not.
+
+    Pure expressions: explode tokens × bits is a narrow map + one
+    groupBy(id) sum — linear.  Near-dup = small hamming distance
+    (bit_count(xor))."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    h = _md5_long(F.col("token"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = (
+        toks.withColumn("h", h)
+        .select("id", "h", bit)
+        # +1 when the bit is set, -1 when clear (shift amount is a
+        # column, so F.expr — the Python wrapper only takes int)
+        .withColumn("vote", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
+    )
+    return (
+        contrib.groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn(
+            "bitval",
+            (F.col("v") > 0).cast("long") * F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs.  Blocking on the top ``prefix_bits`` of
+    the fingerprint bounds the self-join (at scale: multiple rotated
+    prefix blocks guarantee recall; one block here keeps the operator
+    deterministic and cheap)."""
+    s = simhash(df, id_col, text_col, bits)
+    s = s.withColumn("block", F.shiftright(F.col("simhash"), bits - prefix_bits))
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,169 @@
+"""Multimodal (binary) column plumbing.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs.  The Spark-side machinery — schema, partition-friendly batch
+iteration, Arrow-batched UDF signatures — is real and tested; the
+actual codec work is stubbed (decode libraries are not in this
+container) behind deterministic fakes clearly marked below.  Swapping a
+fake for a real decoder changes one inner function, not the plan.
+
+Scale posture: media bytes ride in parquet binary columns; decode /
+feature-extract run as ``mapInPandas`` so each task streams Arrow
+batches (bounded memory regardless of blob count), and transform
+results stay columnar.  Partition by content size bucket when blobs are
+skewed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_content_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Cheap JVM-side metadata: byte length + sha2 content key (the
+    reference's content-addressing pattern, hash_seq.py, applied to
+    blobs) — enables exact media dedup without touching Python."""
+    c = F.col(content_col)
+    return df.withColumns(
+        {"content_bytes": F.length(c), "content_sha256": F.sha2(c, 256)}
+    )
+
+
+# --- STUB: deterministic fake decoder -------------------------------------
+# Real implementation would use PIL/ffmpeg here; neither ships in this
+# container.  The fake derives a stable pseudo-feature vector from the
+# content hash so plumbing (schema, batching, joins downstream) is fully
+# testable and deterministic.
+def _fake_decode_features(content: bytes, dim: int) -> list[float]:
+    if content is None:
+        return [0.0] * dim
+    digest = hashlib.sha256(content).digest()
+    return [digest[i % len(digest)] / 255.0 for i in range(dim)]
+
+
+def extract_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    dim: int = 16,
+) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas``: Arrow batches in,
+    (id, feature vector) out.  The decode kernel is the stub above;
+    the distributed shape is production-real."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [
+                        _fake_decode_features(c, dim) for c in pdf[content_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    width: int = 64,
+    height: int = 64,
+) -> DataFrame:
+    """Image resize stage.  STUB: raises — no image codec in this
+    container.  The signature and batch shape are the real contract."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decode/resize requires PIL/opencv — not available; "
+            "plug the codec into this mapInPandas kernel"
+        )
+        yield  # pragma: no cover
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.  The
+    frame *timestamps* are computed from metadata JVM-side (real); the
+    frame *bytes* use the deterministic fake (no ffmpeg here)."""
+    frames = df.select(
+        F.col(id_col),
+        F.col(content_col),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame_sha256", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            # STUB decode: stable per-(content, ts) frame identity
+            hashes = [
+                hashlib.sha256(
+                    (c or b"") + str(ts).encode()
+                ).hexdigest()
+                for c, ts in zip(pdf[content_col], pdf["frame_ts_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "frame_sha256": hashes,
+                }
+            )
+
+    return frames.mapInPandas(batches, out_schema)

@@ -1,0 +1,171 @@
+"""Relational combinators — SURVEY §2.3-2.7 / §2.9 patterns that recur
+across the reference's builders, expressed once as reusable DataFrame
+transforms.
+
+Scale notes are inline: each combinator states its shuffle behavior and
+the 100 TB strategy (broadcast, map-side combine, skew handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def argmax_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str | Column,
+    tiebreak: list[str | Column] | None = None,
+) -> DataFrame:
+    """W1: best row per group (clade argmax, prep_genome_set.py:161-169).
+
+    row_number over a window: one shuffle on the group key with map-side
+    nothing — at scale prefer ``max_by`` when only one column is needed;
+    this keeps the whole row.  Ties are broken deterministically by
+    ``tiebreak`` (required for oracle-stable output).
+    """
+    order = [F.col(order_col).desc() if isinstance(order_col, str) else order_col.desc()]
+    order += [F.col(t).asc() if isinstance(t, str) else t for t in (tiebreak or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def first_wins_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    priority: list[Column],
+) -> DataFrame:
+    """W2/A5/J8: first-wins dedup by key with an explicit priority order
+    (ANI pair table, datalake_table.py:216-257 — insertion order there,
+    an explicit ORDER BY here so the result is deterministic under any
+    partitioning)."""
+    w = Window.partitionBy(*key_cols).orderBy(*priority)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def unordered_pair_key(a: Column, b: Column) -> list[Column]:
+    """J8: canonical (least, greatest) key for symmetric pair tables
+    (genome ANI pairs)."""
+    return [F.least(a, b).alias("pair_lo"), F.greatest(a, b).alias("pair_hi")]
+
+
+def ontology_pivot(
+    df: DataFrame,
+    key_cols: list[str],
+    ontology_col: str = "ontology",
+    term_col: str = "term",
+    ontologies: list[str] | None = None,
+    prefix: str = "ontology_",
+    sep: str = "; ",
+) -> DataFrame:
+    """R1: the reference's dynamic-width ontology pivot
+    (datalake_table.py:302-367): long (key, ontology, term) rows → one
+    ``ontology_<name>`` column per ontology, values as sorted '; '-joined
+    sets.
+
+    Scale: an unbounded pivot forces a full distinct scan of the pivot
+    column first.  Pass ``ontologies`` explicitly (the reference knows
+    its tool list) to skip that job; the long/canonical form stays the
+    storage format, this is an export-time reshape.
+    """
+    gb = df.groupBy(*key_cols).pivot(ontology_col, values=ontologies)
+    out = gb.agg(F.concat_ws(sep, F.array_sort(F.collect_set(F.col(term_col)))))
+    renames = [c for c in out.columns if c not in key_cols]
+    for c in renames:
+        out = out.withColumnRenamed(c, f"{prefix}{c}")
+    return out
+
+
+def predicate_pivot(
+    df: DataFrame,
+    subject_col: str,
+    predicate_col: str,
+    value_col: str,
+    predicates: dict[str, str],
+) -> DataFrame:
+    """R2: triple-store label/definition pivot
+    (KBDatalakeUtils.py:2391-2404): filter predicate ∈ keys, one column
+    per predicate with ``first(value)``.  ``predicates`` maps predicate
+    IRI → output column name (e.g. {'rdfs:label': 'label'})."""
+    out = (
+        df.filter(F.col(predicate_col).isin(list(predicates)))
+        .groupBy(subject_col)
+        .pivot(predicate_col, values=list(predicates))
+        .agg(F.first(value_col, ignorenulls=True))
+    )
+    for pred, name in predicates.items():
+        out = out.withColumnRenamed(pred, name)
+    return out
+
+
+def confusion_matrix(
+    df: DataFrame,
+    group_cols: list[str],
+    class_col: str = "class",
+    classes: tuple[str, ...] = ("CP", "CN", "FP", "FN"),
+    accuracy_scale: int = 4,
+) -> DataFrame:
+    """A6: per-group conditional-count matrix + accuracy
+    (KBDatalakeUtils.py:579-623).  One shuffle, full map-side combine
+    (sum of 0/1) — scales linearly."""
+    aggs = [
+        F.sum(F.when(F.col(class_col) == c, 1).otherwise(0)).alias(c.lower())
+        for c in classes
+    ]
+    out = df.groupBy(*group_cols).agg(*aggs, F.count(F.lit(1)).alias("total"))
+    correct = F.col(classes[0].lower()) + F.col(classes[1].lower())
+    return out.withColumn(
+        "accuracy", F.round(correct / F.col("total"), accuracy_scale)
+    )
+
+
+def priority_reduce(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    priority_map: dict[str, int],
+    out_col: str = "most_constrained",
+) -> DataFrame:
+    """A9: pick the highest-priority value per group
+    (`most_constrained_class`, KBDatalakeUtils.py:1113-1134) —
+    ``max(struct(priority, value))`` so it map-side combines."""
+    prio = F.lit(None).cast("int")
+    expr = None
+    for k, v in priority_map.items():
+        expr = F.when(F.col(value_col) == k, v) if expr is None else expr.when(
+            F.col(value_col) == k, v
+        )
+    prio = expr.otherwise(0)
+    return df.groupBy(*group_cols).agg(
+        F.max(F.struct(prio.alias("p"), F.col(value_col).alias("v")))["v"].alias(out_col)
+    )
+
+
+def dedup_compute_fanout(
+    df: DataFrame,
+    key: str | Column,
+    compute,
+) -> DataFrame:
+    """The reference's best physical idea generalized (§4
+    "content-hash dedup as physical optimization", pangenome.py:22-69):
+    run an expensive per-key computation once per *distinct* key, then
+    fan results back to all rows.
+
+    ``compute`` maps a DataFrame of distinct ``_key`` rows to a
+    DataFrame with ``_key`` plus result columns; results re-join on
+    ``_key`` (broadcast when small).
+    """
+    keyed = df.withColumn("_key", F.col(key) if isinstance(key, str) else key)
+    uniq = keyed.select("_key").distinct()
+    results = compute(uniq)
+    return keyed.join(results, "_key", "left").drop("_key")

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's only similarity operation is genome ANI, delegated to
+an external tool and re-ingested as a pair table (tools/skani.py:5-31,
+SURVEY §2.3).  A native engine needs the relational equivalent:
+approximate-nearest-neighbor over embeddings.
+
+  cosine_topk          — brute-force exact top-k (baseline / oracle)
+  cosine_topk_exploded — shuffle-join formulation (engine-portable math)
+  lsh_bucketed_topk    — sign-LSH bucketed ANN (the scale path)
+
+Determinism: dot products accumulate through exact decimals
+(double-cast multiply → decimal sum), so results are identical across
+partitionings and engines — float sums would depend on reduction order.
+
+Scale posture: top-k against a small query set broadcasts the queries
+(no shuffle of the corpus).  The LSH variant buckets both sides on
+projection sign bits so candidate generation is a co-partitioned join;
+recall/probe tradeoff via ``n_planes``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Exact-decimal accumulator for float dot products: products are exact
+# doubles (float32×float32 fits), decimal(38,15) holds them exactly
+# enough to be engine/order-independent.
+_ACC = "decimal(38,15)"
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_ACC))
+    # (acc + x) re-cast: Spark widens decimal sums to a different
+    # precision/scale, but the fold requires the accumulator type back.
+    return F.aggregate(
+        prods, F.lit(0).cast(_ACC), lambda acc, x: (acc + x).cast(_ACC)
+    ).cast("double")
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x.cast("double") * x.cast("double")).cast(_ACC)),
+            F.lit(0).cast(_ACC),
+            lambda acc, x: (acc + x).cast(_ACC),
+        ).cast("double")
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query.
+
+    Broadcast the (small) query set, one narrow pass over the corpus
+    computing ``zip_with`` dot products JVM-side, then a per-query
+    window for top-k.  No corpus shuffle except the final k-row-per-
+    query window — the 100 TB plan is exactly this shape.
+    Ties break on corpus id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+) -> DataFrame:
+    """Sign-LSH bucketed ANN: bucket = sign bits of ``n_planes`` fixed
+    coordinate projections (deterministic planes: dimensions
+    0..n_planes-1); candidates = same-bucket rows; exact cosine + top-k
+    within the candidate set.
+
+    At scale both sides partition by bucket → co-located join, each
+    bucket ~corpus/2^n_planes rows.  Approximate: recall < 1 vs
+    cosine_topk (judged acceptable per ANN semantics); raise recall
+    with multi-probe (flip one bit) — not needed for parity.
+    """
+    def bucket(vec: Column) -> Column:
+        bits = [
+            (F.element_at(vec, i + 1) > 0).cast("int") * (2**i)
+            for i in range(n_planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def pairwise_cosine_exploded(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Shuffle-join cosine formulation: posexplode both sides, join on
+    position, decimal-sum the products.  Strictly worse than the
+    broadcast zip_with path for small query sets (it shuffles
+    |corpus|×dim rows) — exists as the all-pairs building block when
+    *both* sides are large and pre-bucketed."""
+    l = left.select(
+        F.col(id_col).alias("id_a"), F.posexplode(vec_col).alias("pos", "va")
+    )
+    r = right.select(
+        F.col(id_col).alias("id_b"), F.posexplode(vec_col).alias("pos", "vb")
+    )
+    prod = (F.col("va").cast("double") * F.col("vb").cast("double")).cast(_ACC)
+    return (
+        l.join(r, "pos")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(prod).cast("double").alias("dot"))
+    )

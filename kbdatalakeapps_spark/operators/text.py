@@ -1,0 +1,132 @@
+"""Text-analysis operators over document tables.
+
+The reference's text processing is regex term harvesting over
+annotation strings (SURVEY §2.8 F1-F5); a training-data pipeline needs
+the standard corpus-quality family on top.  All pure JVM-side column
+expressions (no UDFs), each with an exact SQL oracle.
+
+  token_count / token_stats — whitespace + punctuation-aware counting
+  quality_score             — length/punct/digit/stopword heuristics
+  language_id               — stopword-profile n-gram heuristic
+  fingerprint               — normalized content fingerprint (md5)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal stopword profiles for the language-ID heuristic.  Real
+# pipelines ship hundreds per language; these are deterministic and
+# documented so the oracle can mirror them exactly.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, lowercased, empties dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def subword_token_estimate(col: Column | str, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token estimate: word-piece count from a regex split on
+    word/number/punct boundaries, floored by chars/4 — the standard
+    cheap LLM-token estimator."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.size(
+        F.filter(
+            F.split(c, r"[^A-Za-z0-9]+|(?<=[a-z])(?=[A-Z])"), lambda t: t != ""
+        )
+    )
+    return F.greatest(
+        pieces, F.ceil(F.length(c) / F.lit(chars_per_token)).cast("int")
+    )
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: n_chars, n_tokens, avg token length,
+    punctuation ratio, digit ratio, uppercase ratio.
+
+    Character-class counts via length-difference after
+    ``regexp_replace`` — portable to ANSI SQL, no regexp_count needed.
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", ""))
+    digit = n - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    upper = n - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    nt = token_count(c)
+    return df.withColumns(
+        {
+            "n_chars": n,
+            "n_tokens": nt,
+            "avg_token_len": F.round(
+                _ratio(F.length(F.regexp_replace(c, r"\s+", "")), nt), 6
+            ),
+            "punct_ratio": F.round(_ratio(punct, n), 6),
+            "digit_ratio": F.round(_ratio(digit, n), 6),
+            "upper_ratio": F.round(_ratio(upper, n), 6),
+        }
+    )
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: penalize too-short docs, high
+    punctuation/digit density, and stopword-free (non-linguistic) text.
+    Deterministic weighted sum — thresholds documented inline so the
+    oracle mirrors them."""
+    stats = text_stats(df, text_col)
+    en_hits = stopword_hits(text_col, "en")
+    length_ok = (F.col("n_tokens") >= 10).cast("double")
+    punct_ok = (F.col("punct_ratio") <= 0.2).cast("double")
+    digit_ok = (F.col("digit_ratio") <= 0.3).cast("double")
+    stop_ok = (en_hits > 0).cast("double")
+    return stats.withColumn(
+        "quality_score",
+        F.round(0.4 * length_ok + 0.2 * punct_ok + 0.2 * digit_ok + 0.2 * stop_ok, 6),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score each language by stopword
+    hit count; argmax with deterministic tie-break on language code;
+    'und' (undetermined) when no profile hits."""
+    scores = {lang: stopword_hits(text_col, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # iterate in reverse-sorted order so earlier langs win ties via the
+    # last when() taking precedence in evaluation order
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.withColumn("predicted_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: md5 of lowercased text with all
+    non-alphanumerics stripped — catches whitespace/punctuation-level
+    duplicates that exact_dedup misses."""
+    return df.withColumn(
+        "fingerprint",
+        F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")),
+    )

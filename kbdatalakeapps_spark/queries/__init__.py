@@ -1,0 +1,10 @@
+"""Named query registry: every SURVEY §2 operator family gets a Spark
+query (callable (spark, sf_dir) → DataFrame) and, where SQL-expressible,
+a DuckDB oracle SQL twin over the same parquet views.
+
+Import side effects register the queries.
+"""
+
+from .registry import QUERIES, ORACLES, query  # noqa: F401
+from . import core  # noqa: F401,E402
+from . import pipeline  # noqa: F401,E402

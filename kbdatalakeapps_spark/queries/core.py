@@ -1,0 +1,1124 @@
+"""Core relational query/oracle pairs — SURVEY §2.1-2.9 operator
+inventory exercised on the driver's TPC-H-ish tables (TESTDATA.md).
+
+Each query names the §2 operator(s) it covers and cites the reference
+site whose semantics it reproduces.  Numeric determinism: float sums
+and means go through exact decimals (see functions.dsum) so Spark and
+the DuckDB oracle agree bit-for-bit regardless of accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import functions as kfn
+from ..filter_dsl import compile_filters, global_search
+from ..io.sources import load_table
+from ..operators import relational as rel
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (Phase 0, SURVEY §7): the viewer-request shape — typed filter
+# → join → group-agg → sort → limit, isomorphic to the reference's
+# "features of genome G … grouped to cluster-level counts, sorted,
+# paged" compiled request (main-BeiTHiEY.js ~150870).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_order_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           o.o_orderpriority AS priority,
+           COUNT(*)::BIGINT AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus <> 'F' AND l.l_quantity > 5
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, nation, priority
+    LIMIT 20
+    """,
+)
+def flagship_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → 4-way join (dims broadcast) → group-agg → sort → limit."""
+    l, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    return (
+        l.filter(F.col("l_quantity") > 5)
+        .join(o.filter(F.col("o_orderstatus") != "F"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            kfn.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+            kfn.dsum("l_quantity", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation", "priority")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S1 + §2.2 P9: lazy parquet scan with projection/filter pushdown
+# (query_pangenome_local.py:16-20; include_*_sequence pruning flags)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def s1_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P1/P2: projection + rename + literal + conditional column — the
+# genome-table build (datalake_table.py:121-137: alias projection,
+# when(is_in members).then('clade_member').otherwise('clade'))
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_projection_conditional",
+    oracle="""
+    SELECT c_custkey AS genome,
+           c_name AS label,
+           CASE WHEN c_mktsegment IN ('FURNITURE', 'MACHINERY') THEN 'clade_member'
+                ELSE 'clade' END AS kind,
+           'gtdb' AS source,
+           ROUND(c_acctbal, 1) AS balance
+    FROM customer
+    """,
+)
+def p1_projection_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("genome"),
+        F.col("c_name").alias("label"),
+        F.when(
+            F.col("c_mktsegment").isin("FURNITURE", "MACHINERY"), F.lit("clade_member")
+        )
+        .otherwise(F.lit("clade"))
+        .alias("kind"),
+        F.lit("gtdb").alias("source"),
+        F.round(F.col("c_acctbal"), 1).alias("balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P3-P8: the filter family (equality, IN-set, disjunction, LIKE,
+# negation, null predicates) in one predicate stack
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p3_filter_family",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND (o_totalprice < 5000 OR o_totalprice > 400000)
+      AND NOT (o_orderpriority = '2-HIGH' AND o_totalprice > 450000)
+      AND o_custkey IS NOT NULL
+    """,
+)
+def p3_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & ((F.col("o_totalprice") < 5000) | (F.col("o_totalprice") > 400000))
+        & ~((F.col("o_orderpriority") == "2-HIGH") & (F.col("o_totalprice") > 450000))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "p6_like_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%widget%' AND lower(p_type) LIKE '%eco%'
+    """,
+)
+def p6_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (query_pangenome_berdl.py:73-90 LIKE workaround) + F9 ilike."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%widget%") & F.lower(F.col("p_type")).like("%eco%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "p5_disjunctive_pair_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+    FROM lineitem
+    WHERE l_partkey = 7 OR l_suppkey = 7
+    """,
+)
+def p5_disjunctive_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: the ANI-matrix row filter `genome1 == m OR genome2 == m`
+    (query_pangenome_local.py:52-56)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter((F.col("l_partkey") == 7) | (F.col("l_suppkey") == 7)).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_inner_join_composite_key",
+    oracle="""
+    WITH order_part AS (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*)::BIGINT AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS part_qty
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, op.n_lines, op.part_qty
+    FROM lineitem l
+    JOIN order_part op
+      ON l.l_orderkey = op.l_orderkey AND l.l_partkey = op.l_partkey
+    WHERE op.n_lines > 1
+    """,
+)
+def j1_inner_join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner hash join on a composite key (KBDatalakeUtils.py:713-715
+    merge on ['fitness_genome_id','set_id'])."""
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.groupBy("l_orderkey", "l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"), kfn.dsum("l_quantity", 2).alias("part_qty")
+    )
+    return (
+        l.join(op, ["l_orderkey", "l_partkey"])
+        .filter(F.col("n_lines") > 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber", "n_lines", "part_qty")
+    )
+
+
+@query(
+    "j2_left_broadcast_enrich",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           c.c_name AS customer_name,
+           COALESCE(c.c_mktsegment, 'unknown') AS segment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j2_left_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast left-join enrichment (the dict-map annotation joins,
+    build_berdl_db.py:468-530) + F18 null-coalescing defaults."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("c_name").alias("customer_name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment"),
+    )
+
+
+@query(
+    "j5_star_join",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*)::BIGINT AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def j5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: the 6-way CDM star reassembly (query_genome_local.py:46-105)
+    as fact ⋈ five dims; Catalyst broadcasts every dim."""
+    l, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (
+        l.join(o.filter(F.col("o_orderstatus") == "O"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            kfn.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "j6_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: left-anti set difference (missing reactions,
+    build_berdl_db.py:752-767)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "j7_semi_join",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+    )
+    """,
+)
+def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: left-semi key-set restriction (the is_in(filter_genome_ids)
+    family, datalake_table.py:570-720)."""
+    s, l = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    return s.join(
+        l.filter(F.col("l_quantity") > 49), s.s_suppkey == l.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "j8_pair_dedup_first_wins",
+    oracle="""
+    SELECT pair_lo, pair_hi, l_quantity AS qty
+    FROM (
+        SELECT LEAST(l_partkey, l_suppkey) AS pair_lo,
+               GREATEST(l_partkey, l_suppkey) AS pair_hi,
+               l_quantity,
+               ROW_NUMBER() OVER (
+                   PARTITION BY LEAST(l_partkey, l_suppkey), GREATEST(l_partkey, l_suppkey)
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def j8_pair_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/W2: symmetric pair table with first-wins dedup by explicit
+    priority (the ANI pair assembly, datalake_table.py:216-257)."""
+    l = _t(spark, sf_dir, "lineitem")
+    paired = l.select(
+        F.least(F.col("l_partkey"), F.col("l_suppkey")).alias("pair_lo"),
+        F.greatest(F.col("l_partkey"), F.col("l_suppkey")).alias("pair_hi"),
+        F.col("l_quantity"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    deduped = rel.first_wins_dedup(
+        paired,
+        ["pair_lo", "pair_hi"],
+        [F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+    )
+    return deduped.select("pair_lo", "pair_hi", F.col("l_quantity").alias("qty"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_groupby_multiagg",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+           COUNT(value)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a1_groupby_multiagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the fitness-stat groupby agg ['max','min','mean','count']
+    (KBDatalakeUtils.py:717-721)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        kfn.davg("value", 2).alias("avg_value"),
+        F.count("value").alias("n"),
+    )
+
+
+@query(
+    "a2_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: clusters-per-genome nunique (build_berdl_db.py:553-556)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@query(
+    "a6_confusion_matrix",
+    oracle="""
+    WITH classed AS (
+        SELECT user_id,
+               CASE WHEN value >= 100 AND event_type IN ('purchase', 'signup') THEN 'CP'
+                    WHEN value < 100 AND event_type NOT IN ('purchase', 'signup') THEN 'CN'
+                    WHEN value >= 100 THEN 'FP'
+                    ELSE 'FN' END AS class
+        FROM events
+    )
+    SELECT user_id,
+           SUM(CASE WHEN class = 'CP' THEN 1 ELSE 0 END)::BIGINT AS cp,
+           SUM(CASE WHEN class = 'CN' THEN 1 ELSE 0 END)::BIGINT AS cn,
+           SUM(CASE WHEN class = 'FP' THEN 1 ELSE 0 END)::BIGINT AS fp,
+           SUM(CASE WHEN class = 'FN' THEN 1 ELSE 0 END)::BIGINT AS fn,
+           COUNT(*)::BIGINT AS total,
+           ROUND((SUM(CASE WHEN class = 'CP' THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN class = 'CN' THEN 1 ELSE 0 END))
+                / CAST(COUNT(*) AS DOUBLE), 4) AS accuracy
+    FROM classed GROUP BY user_id
+    """,
+)
+def a6_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the phenotype confusion-matrix tally + 4dp accuracy
+    (KBDatalakeUtils.py:579-623), via operators.relational.confusion_matrix."""
+    e = _t(spark, sf_dir, "events")
+    positive_pred = F.col("value") >= 100
+    positive_obs = F.col("event_type").isin("purchase", "signup")
+    classed = e.select(
+        "user_id",
+        F.when(positive_pred & positive_obs, "CP")
+        .when(~positive_pred & ~positive_obs, "CN")
+        .when(positive_pred, "FP")
+        .otherwise("FN")
+        .alias("class"),
+    )
+    out = rel.confusion_matrix(classed, ["user_id"])
+    return out.withColumn(
+        "accuracy",
+        F.round((F.col("cp") + F.col("cn")) / F.col("total").cast("double"), 4),
+    )
+
+
+@query(
+    "a8_sorted_set_string",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(DISTINCT l_returnflag, ';' ORDER BY l_returnflag) AS flags,
+           COUNT(DISTINCT l_returnflag)::BIGINT AS n_flags
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a8_sorted_set_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: `';'.join(sorted(set(...)))` per group
+    (KBDatalakeUtils.py:1142) via functions.set_string."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        kfn.set_string(F.collect_set("l_returnflag"), ";").alias("flags"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@query(
+    "a9_priority_reduce",
+    oracle="""
+    SELECT user_id, most_constrained
+    FROM (
+        SELECT user_id, event_type AS most_constrained,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CASE event_type WHEN 'error' THEN 3
+                                            WHEN 'purchase' THEN 2
+                                            WHEN 'signup' THEN 1
+                                            ELSE 0 END DESC,
+                            event_type DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a9_priority_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: most_constrained_class priority reduce
+    (KBDatalakeUtils.py:1113-1134) as max(struct(priority, value)) —
+    map-side combinable, unlike the oracle's window formulation."""
+    e = _t(spark, sf_dir, "events")
+    return rel.priority_reduce(
+        e, ["user_id"], "event_type", {"error": 3, "purchase": 2, "signup": 1}
+    )
+
+
+@query(
+    "a10_conditional_avg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN value > 100 THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN value > 100 THEN 1 END) AS avg_high_value,
+           COUNT(CASE WHEN value > 100 THEN 1 END)::BIGINT AS n_high
+    FROM events GROUP BY 1
+    """,
+)
+def a10_conditional_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: mean over a filtered subset (avg_positive_growth_gaps,
+    KBDatalakeUtils.py:619-620)."""
+    e = _t(spark, sf_dir, "events")
+    high = F.when(F.col("value") > 100, F.col("value"))
+    return e.groupBy("event_type").agg(
+        (F.sum(high.cast("decimal(38,2)")).cast("double") / F.count(high)).alias(
+            "avg_high_value"
+        ),
+        F.count(high).alias("n_high"),
+    )
+
+
+@query(
+    "a11_ratio_agg",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS purchase_fraction,
+           COUNT(*)::BIGINT AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def a11_ratio_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: essentiality_fraction ratio aggregate
+    (KBDatalakeUtils.py:707-711)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("purchase_fraction"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "a16_set_overlap_score",
+    oracle="""
+    SELECT user_id,
+           ROUND(COUNT(DISTINCT event_type) / 5.0, 6) AS coverage_score
+    FROM events GROUP BY 1
+    """,
+)
+def a16_set_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: KEGG-module-completeness-style set overlap fraction
+    (kegg_module.py:69-78)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.round(F.countDistinct("event_type") / F.lit(5.0), 6).alias("coverage_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / §2.6 sort-limit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_argmax_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def w1_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: best-clade-per-genome argmax (prep_genome_set.py:161-169)."""
+    o = _t(spark, sf_dir, "orders")
+    best = rel.argmax_per_group(o, ["o_custkey"], "o_totalprice", ["o_orderkey"])
+    return best.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("best_order"),
+        F.col("o_totalprice").alias("best_price"),
+    )
+
+
+@query(
+    "o1_multikey_sort_page",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    ORDER BY l_shipdate DESC, l_orderkey, l_linenumber
+    LIMIT 100 OFFSET 50
+    """,
+)
+def o1_multikey_sort_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O4: multi-key sort + LIMIT/OFFSET pagination (the viewer's
+    page requests and the REST pagination loop,
+    query_pangenome_berdl.py:99-125).  Sort keys form a total order so
+    pages are deterministic."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.orderBy(F.col("l_shipdate").desc(), "l_orderkey", "l_linenumber")
+        .offset(50)
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    )
+
+
+@query(
+    "w3_sort_nulls_last",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS status, o_totalprice
+    FROM orders
+    ORDER BY NULLIF(o_orderstatus, 'F') ASC NULLS LAST, o_orderkey
+    LIMIT 200
+    """,
+)
+def w3_sort_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: nulls-last re-sort semantics (sortWithNullsLast,
+    main-BeiTHiEY.js ~160728) server-side via asc_nulls_last; P8 nullif."""
+    o = _t(spark, sf_dir, "orders")
+    status = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return (
+        o.select("o_orderkey", status.alias("status"), "o_totalprice")
+        .orderBy(F.col("status").asc_nulls_last(), "o_orderkey")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_tagged",
+    oracle="""
+    SELECT event_id, event_type, 'commerce' AS bucket FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    UNION ALL
+    SELECT event_id, event_type, 'telemetry' AS bucket FROM events
+    WHERE event_type IN ('error', 'click')
+    """,
+)
+def u1_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: concat-with-source-tag (pd.concat across genomes,
+    KBDatalakeUtils.py:1370; member-then-user append, datalake_table.py:142)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "event_type", F.lit("commerce").alias("bucket")
+    )
+    b = e.filter(F.col("event_type").isin("error", "click")).select(
+        "event_id", "event_type", F.lit("telemetry").alias("bucket")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "u3_except_intersect",
+    oracle="""
+    WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         done_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT o_custkey, 'open_only' AS membership FROM open_c
+    WHERE o_custkey NOT IN (SELECT o_custkey FROM done_c)
+    UNION ALL
+    SELECT o_custkey, 'both' AS membership FROM open_c
+    WHERE o_custkey IN (SELECT o_custkey FROM done_c)
+    """,
+)
+def u3_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/U4: except + intersect of key sets (allowed/excluded genome
+    id bookkeeping, datalake_table.py:563-567)."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    done_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    only = open_c.exceptAll(open_c.intersect(done_c)).select(
+        "o_custkey", F.lit("open_only").alias("membership")
+    )
+    both = open_c.intersect(done_c).select(
+        "o_custkey", F.lit("both").alias("membership")
+    )
+    return only.unionByName(both)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_regex_extract_terms",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(
+             regexp_extract_all(note, 'EC[:\\s]*([\\d\\-]+\\.[\\d\\-]+\\.[\\d\\-]+\\.[\\d\\-]+)', 1),
+             ';') AS ec_terms,
+           CASE WHEN regexp_extract(note, 'gene:([^;]+)', 1) = ''
+                THEN NULL ELSE regexp_extract(note, 'gene:([^;]+)', 1) END AS gene,
+           CAST(regexp_extract(priority_txt, '(\\d+)', 1) AS INT) AS priority_num
+    FROM (
+        SELECT p_partkey,
+               'fn EC ' || p_size || '.1.' || (p_partkey % 9) || '.2; gene:g' || p_partkey
+                 || CASE WHEN p_partkey % 3 = 0
+                         THEN '; alt EC 1.2.' || p_size || '.9' ELSE '' END AS note,
+               (p_partkey % 5 + 1) || '-LEVEL' AS priority_txt
+        FROM part
+    )
+    """,
+)
+def f1_regex_extract_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4: regex term harvesting (EC extraction build_berdl_db.py:83-88,
+    gene-from-aliases :91-97, numeric capture) on synthesized annotation
+    strings — the reference's per-cell regex scan as one vectorized pass."""
+    p = _t(spark, sf_dir, "part")
+    note = F.concat(
+        F.lit("fn EC "),
+        F.col("p_size").cast("string"),
+        F.lit(".1."),
+        (F.col("p_partkey") % 9).cast("string"),
+        F.lit(".2; gene:g"),
+        F.col("p_partkey").cast("string"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit("; alt EC 1.2."), F.col("p_size").cast("string"), F.lit(".9")),
+        ).otherwise(F.lit("")),
+    )
+    prio = F.concat((F.col("p_partkey") % 5 + 1).cast("string"), F.lit("-LEVEL"))
+    base = p.select("p_partkey", note.alias("note"), prio.alias("priority_txt"))
+    return base.select(
+        "p_partkey",
+        kfn.extract_terms_joined("note", kfn.EC_PATTERN).alias("ec_terms"),
+        kfn.extract_first("note", r"gene:([^;]+)").alias("gene"),
+        F.regexp_extract("priority_txt", r"(\d+)", 1).cast("int").alias("priority_num"),
+    )
+
+
+@query(
+    "f5_split_explode",
+    oracle="""
+    SELECT word, COUNT(*)::BIGINT AS n_parts,
+           string_agg(DISTINCT p_brand, '; ' ORDER BY p_brand) AS brands
+    FROM (
+        SELECT p_brand, unnest(string_split(p_name, ' ')) AS word FROM part
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def f5_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: multi-separator split + explode (RAST multi-function split,
+    KBDatalakeUtils.py:2305-2313) + A8 set-string render."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_brand", F.explode(F.split(F.col("p_name"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            kfn.set_string(F.collect_set("p_brand")).alias("brands"),
+        )
+    )
+
+
+@query(
+    "f10_content_hashes",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(upper(regexp_replace(c_name || '*', '\\*+$', ''))) AS content_key
+    FROM customer
+    """,
+)
+def f10_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/K1: md5 display hash + the protein content key (strip
+    trailing '*', uppercase, sha256 — hash_seq.py:46-55)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        kfn.sequence_md5("c_name").alias("name_md5"),
+        kfn.protein_hash(F.concat(F.col("c_name"), F.lit("*"))).alias("content_key"),
+    )
+
+
+@query(
+    "f13_conditional_swap",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'R' THEN l_tax ELSE l_discount END AS span_start,
+           CASE WHEN l_returnflag = 'R' THEN l_discount ELSE l_tax END AS span_end,
+           ROUND(ABS(l_tax - l_discount), 4) AS span_len
+    FROM lineitem
+    """,
+)
+def f13_conditional_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: strand-aware start/end swap (datalake_table.py:16-23) + F11
+    abs-length arithmetic."""
+    l = _t(spark, sf_dir, "lineitem")
+    span = kfn.strand_normalized(
+        F.col("l_discount"), F.col("l_tax"), F.when(F.col("l_returnflag") == "R", "-").otherwise("+")
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        span["start"].alias("span_start"),
+        span["end"].alias("span_end"),
+        F.round(kfn.feature_length(F.col("l_discount"), F.col("l_tax")), 4).alias(
+            "span_len"
+        ),
+    )
+
+
+@query(
+    "f14_when_chain_classes",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value - 100 < 0 AND value - 20 > 0 THEN 'reversible'
+                WHEN value - 100 >= 0 AND value - 20 > 0 THEN 'forward'
+                WHEN value - 100 < 0 AND value - 20 <= 0 THEN 'reverse'
+                ELSE 'blocked' END AS directionality,
+           CASE WHEN ABS(value - 60) < 1e-6 THEN TRUE ELSE FALSE END AS is_zero_flux
+    FROM events
+    """,
+)
+def f14_when_chain_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: directionality-from-bounds when-chain
+    (KBDatalakeUtils.py:1063-1072) + F12 zero-flux threshold."""
+    e = _t(spark, sf_dir, "events")
+    lower, upper = F.col("value") - 100, F.col("value") - 20
+    return e.select(
+        "event_id",
+        kfn.directionality(lower, upper).alias("directionality"),
+        kfn.is_zero_flux(F.col("value") - 60).alias("is_zero_flux"),
+    )
+
+
+@query(
+    "f21_id_normalization",
+    oracle="""
+    SELECT s_suppkey,
+           replace('10665' || s_suppkey || '.22', '.', '_') AS norm_id,
+           CASE WHEN acc LIKE 'GCF_%' THEN 'RS_' || acc
+                WHEN acc LIKE 'GCA_%' THEN 'GB_' || acc
+                ELSE acc END AS gtdb_acc
+    FROM (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 2 = 0 THEN 'GCF_00000' || s_suppkey || '.1'
+                    ELSE 'GCA_00000' || s_suppkey || '.1' END AS acc
+        FROM supplier
+    )
+    """,
+)
+def f21_id_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21: genome-id dot→underscore (KBDatalakeUtils.py:402-410) and
+    NCBI→GTDB accession prefixing (prep_genome_set.py:93-99)."""
+    s = _t(spark, sf_dir, "supplier")
+    acc = F.when(
+        F.col("s_suppkey") % 2 == 0,
+        F.concat(F.lit("GCF_00000"), F.col("s_suppkey").cast("string"), F.lit(".1")),
+    ).otherwise(
+        F.concat(F.lit("GCA_00000"), F.col("s_suppkey").cast("string"), F.lit(".1"))
+    )
+    base = s.select("s_suppkey", acc.alias("acc"))
+    return base.select(
+        "s_suppkey",
+        kfn.normalize_genome_id(
+            F.concat(F.lit("10665"), F.col("s_suppkey").cast("string"), F.lit(".22"))
+        ).alias("norm_id"),
+        kfn.gtdb_accession("acc").alias("gtdb_acc"),
+    )
+
+
+@query(
+    "j9_merge_term_strings",
+    oracle="""
+    SELECT o_orderkey,
+           array_to_string(
+             list_sort(list_distinct(
+               list_concat(string_split(s1, ';'), string_split(s2, ';')))),
+             ';') AS merged
+    FROM (
+        SELECT o_orderkey,
+               o_orderstatus || ';' || o_orderpriority AS s1,
+               o_orderpriority || ';ZZZ' AS s2
+        FROM orders
+    )
+    """,
+)
+def j9_merge_term_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: split two ';'-lists, set-union, sorted re-join
+    (build_berdl_db.py:481-521) via functions.merge_term_strings."""
+    o = _t(spark, sf_dir, "orders")
+    s1 = F.concat_ws(";", F.col("o_orderstatus"), F.col("o_orderpriority"))
+    s2 = F.concat_ws(";", F.col("o_orderpriority"), F.lit("ZZZ"))
+    return o.select(
+        "o_orderkey", kfn.merge_term_strings(s1, s2, ";").alias("merged")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 pivots
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "r1_ontology_style_pivot",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS evt_click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS evt_error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS evt_purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS evt_signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS evt_view
+    FROM events GROUP BY user_id
+    """,
+)
+def r1_ontology_style_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: long→wide pivot with a known column set
+    (datalake_table.py:302-367; explicit values skip the distinct-scan
+    job — the §7 'cap pivot width' rule)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", values=EVENT_TYPES)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+    )
+    for t in EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"evt_{t}")
+    # pivot leaves NULL for absent cells; the reference writes 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(f"evt_{t}"), F.lit(0)).alias(f"evt_{t}") for t in EVENT_TYPES]
+    )
+
+
+@query(
+    "r2_predicate_pivot",
+    oracle="""
+    SELECT subject,
+           MAX(CASE WHEN predicate = 'rdfs:label' THEN value END) AS label,
+           MAX(CASE WHEN predicate = 'IAO:0000115' THEN value END) AS definition
+    FROM (
+        SELECT 'term:' || p_partkey AS subject, 'rdfs:label' AS predicate, p_name AS value
+        FROM part
+        UNION ALL
+        SELECT 'term:' || p_partkey, 'IAO:0000115', p_type FROM part WHERE p_partkey % 2 = 0
+        UNION ALL
+        SELECT 'term:' || p_partkey, 'oio:hasDbXref', p_brand FROM part
+    )
+    GROUP BY subject
+    """,
+)
+def r2_predicate_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/J10: triple-store label/definition pivot
+    (KBDatalakeUtils.py:2391-2404) via operators.relational.predicate_pivot.
+    Triples synthesized from `part`; the xref predicate is filtered out
+    by the pivot's predicate restriction."""
+    p = _t(spark, sf_dir, "part")
+    subj = F.concat(F.lit("term:"), F.col("p_partkey").cast("string")).alias("subject")
+    triples = (
+        p.select(subj, F.lit("rdfs:label").alias("predicate"), F.col("p_name").alias("value"))
+        .unionByName(
+            p.filter(F.col("p_partkey") % 2 == 0).select(
+                subj, F.lit("IAO:0000115").alias("predicate"), F.col("p_type").alias("value")
+            )
+        )
+        .unionByName(
+            p.select(subj, F.lit("oio:hasDbXref").alias("predicate"), F.col("p_brand").alias("value"))
+        )
+    )
+    return rel.predicate_pivot(
+        triples,
+        "subject",
+        "predicate",
+        "value",
+        {"rdfs:label": "label", "IAO:0000115": "definition"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P10/P11 + §3.3: filter DSL and serving semantics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p10_filter_dsl",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+    FROM orders
+    WHERE o_totalprice BETWEEN 10000 AND 50000
+      AND o_orderpriority <> '1-URGENT'
+      AND lower(o_orderstatus) LIKE '%o%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def p10_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/F23: the viewer micro-grammar compiled to Column predicates
+    (filter-parser-HXU3E1Qm.js:1): 'between x and y', '!v', bare-text
+    ilike-contains, 'not null'."""
+    o = _t(spark, sf_dir, "orders")
+    pred = compile_filters(
+        o,
+        col_filter={
+            "o_totalprice": "between 10000 and 50000",
+            "o_orderpriority": "!1-URGENT",
+            "o_orderstatus": "o",
+            "o_custkey": "not null",
+        },
+    )
+    return o.filter(pred).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    )
+
+
+@query(
+    "p11_global_search",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE lower(CAST(n_nationkey AS VARCHAR)) LIKE '%1%'
+       OR lower(n_name) LIKE '%1%'
+       OR lower(CAST(n_regionkey AS VARCHAR)) LIKE '%1%'
+    """,
+)
+def p11_global_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: global search across all columns, stringified +
+    case-insensitive (main-BeiTHiEY.js search fan-out)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.filter(global_search(n, "1"))
+
+
+@query(
+    "a13_viewer_aggregations",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(l_extendedprice)::BIGINT AS count_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+             / COUNT(l_extendedprice) AS avg_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(DISTINCT l_extendedprice)::BIGINT AS distinct_price,
+           ROUND(SQRT((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)), 6) AS stddev_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def a13_viewer_aggregations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: the viewer aggregation panel set {count,sum,avg,min,max,
+    stddev,distinct_count} × group_by (main-BeiTHiEY.js ~35600).
+    stddev is computed from exact decimal sums (sum, sum of squares) so
+    the value is order- and engine-independent — Welford-style running
+    stddev is not reproducible across engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    dsum = F.sum(c.cast("decimal(38,2)")).cast("double")
+    dsumsq = F.sum((c * c).cast("decimal(38,4)")).cast("double")
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(c).alias("count_price"),
+        dsum.alias("sum_price"),
+        (dsum / F.count(c)).alias("avg_price"),
+        F.min(c).alias("min_price"),
+        F.max(c).alias("max_price"),
+        F.countDistinct(c).alias("distinct_price"),
+        F.round(F.sqrt((dsumsq - dsum * dsum / n) / (n - F.lit(1))), 6).alias(
+            "stddev_price"
+        ),
+    )
+
+
+@query(
+    "a14_column_stats",
+    oracle="""
+    SELECT COUNT(*)::BIGINT AS total_count,
+           SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_count,
+           COUNT(DISTINCT l_extendedprice)::BIGINT AS distinct_count,
+           MIN(l_extendedprice) AS min_value,
+           MAX(l_extendedprice) AS max_value,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(l_extendedprice) AS mean_value,
+           ROUND(median(l_extendedprice), 6) AS median_value
+    FROM lineitem
+    """,
+)
+def a14_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: the per-column stats endpoint (main-BeiTHiEY.js ~114133):
+    null_count, distinct_count, min, max, mean, median (exact
+    percentile — approx variant is the serving.column_stats
+    exact=False path)."""
+    l = _t(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    return l.agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.sum(c.isNull().cast("long")).alias("null_count"),
+        F.countDistinct(c).alias("distinct_count"),
+        F.min(c).alias("min_value"),
+        F.max(c).alias("max_value"),
+        (F.sum(c.cast("decimal(38,2)")).cast("double") / F.count(c)).alias("mean_value"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_value"),
+    )
+
+
+@query(
+    "a15_filtered_total_count",
+    oracle="""
+    SELECT COUNT(*)::BIGINT AS total_count
+    FROM events WHERE event_type = 'purchase' AND value > 50
+    """,
+)
+def a15_filtered_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/O5: total_count on the filtered plan (viewer response field,
+    main-BeiTHiEY.js ~151571)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .agg(F.count(F.lit(1)).alias("total_count"))
+    )

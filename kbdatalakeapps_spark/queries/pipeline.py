@@ -1,0 +1,402 @@
+"""Training-data-pipeline query/oracle pairs: dedup, similarity search,
+text analysis — the scale extensions mandated by BASELINE.json's north
+star, run on the driver's `documents` and `embeddings` tables.
+
+All operators are deterministic (md5-derived hashing, exact-decimal
+float accumulation) so each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*)::BIGINT AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash-groupBy dedup — the reference's protein content-hash
+    pattern (hash_seq.py, pangenome.py:22-69) on documents."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# DuckDB 1.0 generate_series can't take lateral column bounds; unnest a
+# range list instead (range upper bound is exclusive → length-1).
+_SHINGLE_SQL = """
+        SELECT DISTINCT id, substr(txt, i, 3) AS shingle
+        FROM (
+            SELECT doc_id AS id, lower(text) AS txt,
+                   unnest(range(1, GREATEST(length(text) - 1, 1))) AS i
+            FROM documents
+        )
+"""
+
+
+@query(
+    "dd_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT id, COUNT(*)::BIGINT AS n FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.id
+    JOIN sizes sb ON inter.id_b = sb.id
+    WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.82
+    """,
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.82).  The
+    verification stage of the LSH pipeline, standalone for the oracle."""
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.82
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_MINHASH_SQL = f"""
+        SELECT id, hash_idx,
+               MIN(('0x' || substr(md5(hash_idx || '|' || shingle), 1, 15))::BIGINT) AS minhash
+        FROM ({_SHINGLE_SQL}) sh, generate_series(0, 7) h(hash_idx)
+        GROUP BY id, hash_idx
+"""
+
+
+@query(
+    "dd_minhash_signatures",
+    oracle=f"""
+    SELECT id AS doc_id,
+           CAST(SUM(CASE WHEN hash_idx = 0 THEN minhash END) AS BIGINT) AS mh0,
+           CAST(SUM(CASE WHEN hash_idx = 3 THEN minhash END) AS BIGINT) AS mh3,
+           CAST(SUM(CASE WHEN hash_idx = 7 THEN minhash END) AS BIGINT) AS mh7
+    FROM ({_MINHASH_SQL})
+    GROUP BY id
+    """,
+)
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 seeded md5 hash functions over 3-gram
+    shingles); three signature slots exported for the oracle check."""
+    sig = dd.minhash_signatures(_t(spark, sf_dir, "documents"), k=3, num_hashes=8)
+    return (
+        sig.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.sum(F.when(F.col("hash_idx") == 0, F.col("minhash"))).alias("mh0"),
+            F.sum(F.when(F.col("hash_idx") == 3, F.col("minhash"))).alias("mh3"),
+            F.sum(F.when(F.col("hash_idx") == 7, F.col("minhash"))).alias("mh7"),
+        )
+    )
+
+
+@query(
+    "dd_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT id, hash_idx // 2 AS band_idx,
+               md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS band_hash
+        FROM sig GROUP BY id, hash_idx // 2
+    )
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS n_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    GROUP BY 1, 2
+    """,
+)
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (8 hashes, bands of 2) —
+    the 100 TB near-dup discovery path."""
+    return dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=3, num_hashes=8, band_size=2
+    )
+
+
+@query(
+    "dd_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        FROM toks WHERE token <> ''
+    ),
+    votes AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed, generate_series(0, 31) b(bit)
+        GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (bitwise token-hash
+    majority)."""
+    s = dd.simhash(_t(spark, sf_dir, "documents"), bits=32)
+    return s.select(F.col("id").alias("doc_id"), "simhash")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text)::INT AS n_chars,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))::INT AS n_tokens,
+           ROUND(CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) > 0
+                 THEN length(regexp_replace(text, '\\s+', '', 'g'))
+                      / CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS DOUBLE)
+                 ELSE 0 END, 6) AS avg_token_len,
+           ROUND(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) ELSE 0 END, 6) AS punct_ratio,
+           ROUND(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) ELSE 0 END, 6) AS digit_ratio,
+           ROUND(CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) ELSE 0 END, 6) AS upper_ratio
+    FROM documents
+    """,
+)
+def tx_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: chars, tokens, avg token length, punct/digit/
+    upper ratios — all length-diff regexp expressions (no UDFs)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.text_stats(d).select(
+        "doc_id", "n_chars", "n_tokens", "avg_token_len",
+        "punct_ratio", "digit_ratio", "upper_ratio",
+    )
+
+
+@query(
+    "tx_language_id",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id,
+            SUM(CASE WHEN token IN ('the','and','of','to','in','is','a') THEN 1 ELSE 0 END) AS s_en,
+            SUM(CASE WHEN token IN ('el','la','de','que','y','en','un') THEN 1 ELSE 0 END) AS s_es,
+            SUM(CASE WHEN token IN ('der','die','und','das','ist','ein','nicht') THEN 1 ELSE 0 END) AS s_de,
+            SUM(CASE WHEN token IN ('le','la','et','les','des','un','est') THEN 1 ELSE 0 END) AS s_fr
+        FROM toks WHERE token <> '' GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 OR s_en IS NULL THEN 'und'
+                WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+                WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM documents d LEFT JOIN scores USING (doc_id)
+    """,
+)
+def tx_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (argmax with tie-break by language
+    code: de < en < es < fr)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.language_id(d).select("doc_id", "lang", "predicted_lang")
+
+
+@query(
+    "tx_quality_score",
+    oracle="""
+    WITH stats AS (
+        SELECT doc_id,
+            len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_tokens,
+            CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) ELSE 0 END AS punct_ratio,
+            CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) ELSE 0 END AS digit_ratio,
+            len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 t -> t IN ('the','and','of','to','in','is','a'))) AS en_hits
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.4 * (n_tokens >= 10)::INT + 0.2 * (punct_ratio <= 0.2)::INT
+               + 0.2 * (digit_ratio <= 0.3)::INT + 0.2 * (en_hits > 0)::INT, 6) AS quality_score
+    FROM stats
+    """,
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score in [0,1]."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.quality_score(d).select("doc_id", "quality_score")
+
+
+@query(
+    "tx_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (whitespace/punct-insensitive
+    dedup key)."""
+    return tx.fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
+    "tx_token_estimate",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))::INT AS n_tokens,
+           GREATEST(
+             len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), t -> t <> '')),
+             CAST(CEIL(length(text) / 4.0) AS BIGINT))::INT AS est_subword_tokens
+    FROM documents
+    """,
+)
+def tx_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate
+    (max(word pieces, chars/4))."""
+    d = _t(spark, sf_dir, "documents")
+    pieces = F.size(
+        F.filter(F.split(F.col("text"), r"[^A-Za-z0-9]+"), lambda t: t != "")
+    )
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        F.greatest(
+            pieces, F.ceil(F.length("text") / F.lit(4.0)).cast("int")
+        ).cast("int").alias("est_subword_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = """
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               CAST(SUM(CAST(CAST(qv.v AS DOUBLE) * CAST(cv.v AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE) AS dot
+        FROM embeddings q,
+             LATERAL (SELECT unnest(q.embedding) AS v, generate_subscripts(q.embedding, 1) AS pos) qv,
+             embeddings c,
+             LATERAL (SELECT unnest(c.embedding) AS v, generate_subscripts(c.embedding, 1) AS pos) cv
+        WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id AND qv.pos = cv.pos
+        GROUP BY 1, 2
+"""
+
+_NORM_SQL = """
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(CAST(u.v AS DOUBLE) * CAST(u.v AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE)) AS nrm
+        FROM embeddings e,
+             LATERAL (SELECT unnest(e.embedding) AS v) u
+        GROUP BY vec_id
+"""
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH dots AS ({_DOT_SQL}), norms AS ({_NORM_SQL}),
+    scored AS (
+        SELECT query_id, corpus_id,
+               ROUND(dot / (nq.nrm * nc.nrm), 9) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, corpus_id
+               ) AS rank
+        FROM dots
+        JOIN norms nq ON dots.query_id = nq.vec_id
+        JOIN norms nc ON dots.corpus_id = nc.vec_id
+    )
+    SELECT query_id, corpus_id, cosine, rank::INT AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for queries vec_id < 3: broadcast
+    queries, zip_with dot products JVM-side, exact-decimal accumulation,
+    per-query window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 9).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
+    "sim_lsh_bucket_counts",
+    oracle="""
+    SELECT ((embedding[1] > 0)::INT + 2 * (embedding[2] > 0)::INT
+          + 4 * (embedding[3] > 0)::INT + 8 * (embedding[4] > 0)::INT) AS bucket,
+           COUNT(*)::BIGINT AS n_vectors,
+           MIN(vec_id) AS min_vec_id
+    FROM embeddings GROUP BY 1
+    """,
+)
+def sim_lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket assignment histogram (the partitioning key of the
+    bucketed ANN path) — verifies the bucketing function itself."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    bucket = (
+        (F.element_at(vec, 1) > 0).cast("int")
+        + (F.element_at(vec, 2) > 0).cast("int") * 2
+        + (F.element_at(vec, 3) > 0).cast("int") * 4
+        + (F.element_at(vec, 4) > 0).cast("int") * 8
+    )
+    return (
+        emb.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@query(
+    "sim_embedding_norms",
+    oracle=f"""
+    SELECT vec_id, ROUND(nrm, 9) AS norm
+    FROM ({_NORM_SQL})
+    """,
+)
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2 norms via exact-decimal accumulation — the shared
+    building block of every cosine path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.with_norm(emb)
+    return out.select("vec_id", F.round("norm", 9).alias("norm"))

@@ -1,0 +1,25 @@
+"""Query/oracle registry used by __spark_entry__.py and the tests."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) → DataFrame query; ``oracle`` is the
+    ANSI-SQL twin DuckDB runs on the same parquet views.  Column names
+    (and, as far as practical, types) must match exactly — the driver's
+    compare sorts columns by name and hashes values."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

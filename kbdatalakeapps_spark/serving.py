@@ -1,0 +1,137 @@
+"""Interactive serving layer — SURVEY §3.3 (viewer ↔ TableScanner REST).
+
+The reference's HTML viewer POSTs ``{table_name, limit, offset,
+sort_column, sort_order, col_filter, filters, aggregations, group_by,
+search_value}`` to a TableScanner service that compiles it to SQL over
+SQLite (main-BeiTHiEY.js ~150870).  Here a request compiles to ONE
+Catalyst plan over any DataFrame: filter → (group-agg | sort+page), and
+the filters/projections push down into the scan.
+
+At 100 TB the same code serves from partitioned parquet: total_count is
+a separate count job on the filtered plan (cheap — column-pruned scan),
+and stats switch to approx variants via ``exact=False``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .filter_dsl import compile_filters, global_search, is_numeric_type
+
+AGG_FUNCTIONS = {
+    # viewer aggregation panel (main-BeiTHiEY.js ~35600): A13
+    "count": lambda c: F.count(c),
+    "sum": lambda c: F.sum(c),
+    "avg": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "stddev": lambda c: F.stddev_samp(c),
+    "variance": lambda c: F.var_samp(c),
+    "distinct_count": lambda c: F.countDistinct(c),
+}
+
+
+@dataclass
+class TableDataRequest:
+    """One viewer request (field names mirror the reference's payload)."""
+
+    limit: int = 50
+    offset: int = 0
+    sort_column: str | None = None
+    sort_order: str = "ASC"
+    col_filter: dict[str, str] = field(default_factory=dict)
+    filters: list[dict] = field(default_factory=list)
+    aggregations: list[dict] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    search_value: str | None = None
+
+
+def _filtered(df: DataFrame, req: TableDataRequest) -> DataFrame:
+    pred = compile_filters(df, req.col_filter, req.filters)
+    if pred is not None:
+        df = df.filter(pred)
+    if req.search_value:
+        df = df.filter(global_search(df, req.search_value))
+    return df
+
+
+def table_data_plan(df: DataFrame, req: TableDataRequest) -> DataFrame:
+    """Compile a request to the page DataFrame (rows mode) or the
+    aggregation DataFrame (aggregations mode).  Lazy — caller executes."""
+    out = _filtered(df, req)
+    if req.aggregations:
+        aggs = [
+            AGG_FUNCTIONS[a["function"]](F.col(a["column"])).alias(
+                f"{a['function']}_{a['column']}"
+            )
+            for a in req.aggregations
+        ]
+        if req.group_by:
+            out = out.groupBy(*req.group_by).agg(*aggs)
+        else:
+            out = out.agg(*aggs)
+    if req.sort_column:
+        c = F.col(req.sort_column)
+        # O3 + W3: the viewer re-sorts pages nulls-last client-side
+        # (sortWithNullsLast, main-BeiTHiEY.js ~160728); server-side
+        # nulls-last ordering makes that a no-op.
+        order = c.asc_nulls_last() if req.sort_order.upper() == "ASC" else c.desc_nulls_last()
+        out = out.orderBy(order)
+    if not req.aggregations or req.sort_column:
+        out = out.offset(req.offset).limit(req.limit) if req.offset else out.limit(req.limit)
+    return out
+
+
+def table_data(df: DataFrame, req: TableDataRequest) -> dict:
+    """Execute a request → the reference's response shape
+    {headers, data, total_count} (main-BeiTHiEY.js ~151571)."""
+    plan = table_data_plan(df, req)
+    rows = plan.collect()
+    total = _filtered(df, req).count()  # A15: count on the filtered plan
+    return {
+        "headers": plan.columns,
+        "data": [list(r) for r in rows],
+        "total_count": total,
+    }
+
+
+def column_stats(df: DataFrame, column: str, exact: bool = True) -> dict:
+    """A14: per-column stats endpoint (`/tables/{t}/stats`,
+    main-BeiTHiEY.js ~114133): null_count, distinct_count, min, max,
+    mean, median, stddev (+ total row count).
+
+    ``exact=False`` swaps in approx_count_distinct / percentile_approx
+    for the 100 TB serving path.
+    """
+    c = F.col(column)
+    dtype = dict((f.name, f.dataType) for f in df.schema.fields)[column]
+    numeric = is_numeric_type(dtype)
+    distinct = F.countDistinct(c) if exact else F.approx_count_distinct(c)
+    aggs = [
+        F.count(F.lit(1)).alias("total_count"),
+        F.sum(c.isNull().cast("long")).alias("null_count"),
+        distinct.alias("distinct_count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+    ]
+    if numeric:
+        med = (
+            F.expr(f"percentile(`{column}`, 0.5)")
+            if exact
+            else F.expr(f"percentile_approx(`{column}`, 0.5)")
+        )
+        aggs += [
+            F.avg(c).alias("mean"),
+            med.alias("median"),
+            F.stddev_samp(c).alias("stddev"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return row.asDict()
+
+
+def exists(df: DataFrame, req: TableDataRequest) -> bool:
+    """O5: LIMIT-1 existence probe used by search-across-tables."""
+    return not _filtered(df, req).limit(1).isEmpty()

@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+The reference pipeline hand-manages parallelism (thread pools of 4,
+process pools of 10, mmseqs 30 threads — see BASELINE.md); here a single
+SparkSession owns scheduling. Defaults are tuned for the driver's local
+test rig (local[32], 128 GiB) but every setting scales to a real
+cluster: AQE re-plans shuffles at runtime, broadcast threshold keeps
+dimension joins map-side, and shuffle partitions are sized for the test
+scale factors (override via env/config at 100 TB: ~2-4× total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Let the optimizer re-plan joins/shuffles with runtime statistics:
+    # converts sort-merge joins to broadcast when a side turns out small,
+    # coalesces tiny shuffle partitions, splits skewed ones.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/supplier, ontology lookup tables,
+    # GTDB metadata) stay well under this — they broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for every pandas interchange (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: the reference's SQLite/polars semantics are permissive
+    # (silent nulls on bad casts), and the DuckDB oracle comparison is
+    # value-based, not error-based.
+    "spark.sql.ansi.enabled": "false",
+    # Stable timestamp behavior vs the parquet fixtures.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # The driver's events table stores TIMESTAMP(NANOS), which Spark's
+    # TimestampType (µs) cannot represent; read as epoch-nanos long and
+    # derive µs timestamps explicitly where queries need them.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "kbdatalakeapps-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the same entry point runs unchanged under a real cluster manager
+    (where ``master`` comes from spark-submit and this arg stays None —
+    an existing session is reused as-is).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

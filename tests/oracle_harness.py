@@ -1,0 +1,83 @@
+"""Local mirror of the driver's DuckDB-oracle comparison: run the Spark
+query and the oracle SQL on the same parquet views, sort columns by
+name, sort rows, compare values.  Stricter than a hash match — exact
+equality (with a tiny documented float tolerance knob, default 0)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float) and v.is_integer():
+        return v
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _normalize(rows, columns):
+    """→ sorted list of tuples with columns sorted by name."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [
+        columns[i] for i in order
+    ]
+
+
+def compare(spark_df, con, sql, float_tol: float = 0.0):
+    """Return (ok, message). Compares row counts, column-name sets and
+    sorted values."""
+    srows = [tuple(r) for r in spark_df.collect()]
+    scols = spark_df.columns
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    if sorted(scols) != sorted(dcols):
+        return False, f"column mismatch: spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"row count mismatch: spark={len(srows)} duck={len(drows)}"
+    s_sorted, cols = _normalize(srows, scols)
+    d_sorted, _ = _normalize(drows, dcols)
+    for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
+        if a == b:
+            continue
+        for j, (x, y) in enumerate(zip(a, b)):
+            if x == y:
+                continue
+            if (
+                float_tol
+                and isinstance(x, float)
+                and isinstance(y, float)
+                and math.isclose(x, y, rel_tol=float_tol, abs_tol=float_tol)
+            ):
+                continue
+            return False, (
+                f"value mismatch at sorted row {i}, col {cols[j]}: "
+                f"spark={x!r} duck={y!r}"
+            )
+    return True, f"ok ({len(srows)} rows)"

@@ -1,0 +1,41 @@
+"""The main correctness gate, run locally: every registered query with
+an oracle must match DuckDB exactly at the test scale factor — the same
+contract the driver enforces at sf0.01 (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kbdatalakeapps_spark.queries import ORACLES, QUERIES
+
+from .oracle_harness import compare, duck_con
+from .conftest import SF_DIR
+
+_con = None
+
+
+def _get_con():
+    global _con
+    if _con is None:
+        _con = duck_con(SF_DIR)
+    return _con
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    ok, msg = compare(df, _get_con(), ORACLES[name])
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
