@@ -26,16 +26,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def char_shingles(col: Column | str, k: int = 3, lowercase: bool = True) -> Column:
-    """Distinct character k-grams of a string as an array column."""
-    name = col if isinstance(col, str) else None
-    expr = f"lower({name})" if lowercase else name
-    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] range in
-    # Spark, so short strings get an explicit empty array
+def char_shingles(col: str, k: int = 3) -> Column:
+    """Distinct character k-grams of a (pre-normalized) string column.
+
+    ``col`` must be a plain column NAME: inlining an expression like
+    ``lower(text)`` here would re-evaluate it once per element inside
+    the transform lambda — O(len²) per document.  Callers project the
+    normalized string first (see shingle_table).
+
+    Guard: sequence(1, 0) would generate a DESCENDING [1, 0] range in
+    Spark, so short strings get an explicit empty array."""
     return F.expr(
-        f"CASE WHEN length({expr}) >= {k} THEN "
-        f"array_distinct(transform(sequence(1, length({expr}) - {k - 1}),"
-        f" i -> substring({expr}, i, {k}))) "
+        f"CASE WHEN length({col}) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, length({col}) - {k - 1}),"
+        f" i -> substring({col}, i, {k}))) "
         f"ELSE array() END"
     )
 
@@ -66,13 +70,26 @@ def exact_dedup(
 
 
 def shingle_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id, shingle) long table — the base relation for Jaccard and
-    MinHash.  Distinct per doc."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(char_shingles(text_col, k)).alias("shingle"),
+    MinHash.  Distinct per doc.
+
+    The lowered text is projected *before* shingling (one lower() per
+    doc, not per k-gram) and the input is repartitioned by id before
+    the explode: a handful of parquet files would otherwise pin the
+    whole fan-out (|docs| × len) to a handful of tasks."""
+    base = df.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_txt"))
+    if num_partitions is None:
+        sc = df.sparkSession.sparkContext
+        num_partitions = sc.defaultParallelism
+    base = base.repartition(num_partitions, "id")
+    return base.select(
+        "id", F.explode(char_shingles("_txt", k)).alias("shingle")
     )
 
 
@@ -110,6 +127,17 @@ def ngram_jaccard_pairs(
     )
 
 
+# Fixed xor-mixing constants: int(md5(f"minhash-seed-{i}")[:15], 16).
+# One md5 per shingle + an xor per hash function gives num_hashes
+# independent orderings (xor with a constant is non-monotonic) at ~1/8
+# the hashing cost of per-seed md5.
+MINHASH_SEEDS = (
+    967569483647896035, 904411219327458337, 289787230341578153,
+    980201375400543888, 695744728121619109, 318209407377650124,
+    348853082055302447, 956385697976845751,
+)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -117,20 +145,27 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """(id, hash_idx, minhash) — for each of ``num_hashes`` seeded hash
-    functions, the min over the doc's shingles of
-    md5(seed || '|' || shingle) as a bigint.  One groupBy on (id,
-    hash_idx): map-side min combine, linear at scale."""
+    """(id, hash_idx, minhash) — for hash function i, the min over the
+    doc's shingles of md5_long(shingle) XOR seed_i.
+
+    One md5 per distinct (doc, shingle), then ``num_hashes`` min
+    aggregates computed in a single groupBy(id) pass (full map-side
+    combine, no per-seed row explosion); the long format is unpivoted
+    from the wide result for API compatibility."""
+    if num_hashes > len(MINHASH_SEEDS):
+        raise ValueError(f"num_hashes > {len(MINHASH_SEEDS)} not supported")
     sh = shingle_table(df, id_col, text_col, k)
-    seeded = sh.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_idx"),
-        F.col("shingle"),
+    base = _md5_long(F.col("shingle"))
+    wide = sh.groupBy("id").agg(
+        *[
+            F.min(base.bitwiseXOR(F.lit(MINHASH_SEEDS[i]))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
-    mh = _md5_long(
-        F.concat(F.col("hash_idx").cast("string"), F.lit("|"), F.col("shingle"))
+    stack = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
+    return wide.select(
+        "id", F.expr(f"stack({num_hashes}, {stack}) AS (hash_idx, minhash)")
     )
-    return seeded.groupBy("id", "hash_idx").agg(F.min(mh).alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -194,31 +229,33 @@ def simhash(
     Pure expressions: explode tokens × bits is a narrow map + one
     groupBy(id) sum — linear.  Near-dup = small hamming distance
     (bit_count(xor))."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("token"),
-    )
-    h = _md5_long(F.col("token"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    contrib = (
-        toks.withColumn("h", h)
-        .select("id", "h", bit)
-        # +1 when the bit is set, -1 when clear (shift amount is a
-        # column, so F.expr — the Python wrapper only takes int)
-        .withColumn("vote", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
-    )
-    return (
-        contrib.groupBy("id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn(
-            "bitval",
-            (F.col("v") > 0).cast("long") * F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+    sc = df.sparkSession.sparkContext
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(sc.defaultParallelism, "id")
+        .select(
+            "id",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("_txt")), r"\s+"), lambda t: t != "")
+            ).alias("token"),
         )
-        .groupBy("id")
-        .agg(F.sum("bitval").alias("simhash"))
     )
+    hashed = toks.select("id", _md5_long(F.col("token")).alias("h"))
+    # one groupBy(id) with `bits` set-bit counters + a token count —
+    # full map-side combine, no per-bit row explosion; bit b is set in
+    # the fingerprint when set-count > half the tokens (majority vote)
+    wide = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1)")).alias(f"s{b}")
+            for b in range(bits)
+        ],
+    )
+    fingerprint = None
+    for b in range(bits):
+        term = (F.col(f"s{b}") * 2 > F.col("n")).cast("long") * F.lit(1 << b)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return wide.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_pairs(

@@ -81,11 +81,16 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+_SEED_VALUES = ", ".join(
+    f"({i}, {s}::BIGINT)" for i, s in enumerate(dd.MINHASH_SEEDS)
+)
+
 _MINHASH_SQL = f"""
-        SELECT id, hash_idx,
-               MIN(('0x' || substr(md5(hash_idx || '|' || shingle), 1, 15))::BIGINT) AS minhash
-        FROM ({_SHINGLE_SQL}) sh, generate_series(0, 7) h(hash_idx)
-        GROUP BY id, hash_idx
+        SELECT id, s.hash_idx,
+               MIN(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT, s.seed)) AS minhash
+        FROM ({_SHINGLE_SQL}) sh,
+             (VALUES {_SEED_VALUES}) s(hash_idx, seed)
+        GROUP BY id, s.hash_idx
 """
 
 

@@ -118,18 +118,19 @@ def column_stats(df: DataFrame, column: str, exact: bool = True) -> dict:
         F.max(c).alias("max"),
     ]
     if numeric:
+        aggs += [F.avg(c).alias("mean"), F.stddev_samp(c).alias("stddev")]
+    row = df.agg(*aggs).collect()[0]
+    out = row.asDict()
+    if numeric:
+        # exact percentile buffers whole partitions; run it as its own
+        # job rather than multiplying the countDistinct EXPAND through it
         med = (
             F.expr(f"percentile(`{column}`, 0.5)")
             if exact
             else F.expr(f"percentile_approx(`{column}`, 0.5)")
         )
-        aggs += [
-            F.avg(c).alias("mean"),
-            med.alias("median"),
-            F.stddev_samp(c).alias("stddev"),
-        ]
-    row = df.agg(*aggs).collect()[0]
-    return row.asDict()
+        out["median"] = df.agg(med.alias("m")).collect()[0]["m"]
+    return out
 
 
 def exists(df: DataFrame, req: TableDataRequest) -> bool:

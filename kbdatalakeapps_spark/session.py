@@ -57,6 +57,13 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
+    # local mode: the driver JVM is the executor; the 1g default heap
+    # OOMs real workloads and an over-sized heap (48g) doubled bench
+    # time via GC churn — 12g measured best on this 128 GiB rig.  Must
+    # be set before the JVM starts; no-op on a running session.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    )
     if master is None:
         master = f"local[{cpus}]"
     builder = builder.master(master)
