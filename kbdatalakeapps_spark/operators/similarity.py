@@ -149,6 +149,56 @@ def lsh_bucketed_topk(
     )
 
 
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Deterministic sign-LSH bucket id: bit i set when dimension i is
+    positive.  Long-typed so up to 63 planes compose."""
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        out = out + (F.element_at(vec, i + 1) > 0).cast("long") * F.lit(1 << i)
+    return out
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_sign_bits: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: candidate
+    pairs share a sign-bit bucket (self-join co-partitioned on the
+    bucket key — no all-pairs product), then an exact cosine filter.
+
+    Generalizes the reference's externally-computed ANI similarity
+    pair table (tools/skani.py:5-31 → datalake_table.py:216-257) into
+    a native operator.  Near-dups have cosine ≈ 1, so their sign
+    patterns agree on most planes; per-bucket population ~n/2^bits
+    keeps the quadratic term local.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket(F.col(vec_col), n_sign_bits).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        "bucket", F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        "bucket", F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def pairwise_cosine_exploded(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,759 @@
+"""Extended operator coverage — the SURVEY §2 entries not exercised by
+queries/core.py: multi-hop content-hash join chains (J4), lookup-table
+enrichment (J10), gene-rule tokenization (F6), dictionary substring
+replacement (F7), prefix normalization (F8), threshold bands (F12),
+class reconciliation (F15), map encoding (F17), parallel-array zip
+(F19), JSON flattening (F20), melt/map-explode reshapes (R3/R4),
+group-max / file-counts aggregates (A7/A12), pagination + existence
+probes (O4/O5), embedding near-dup (north-star dedup), multimodal
+binary stats, and a tumbling-window rollup (streaming batch twin).
+
+Same contract as core.py: deterministic results, exact-decimal float
+accumulation, column names aliased identically in Spark and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import functions as kfn
+from ..io.sources import load_table
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J4: multi-hop content-addressed join chain — user protein →
+# sha hash → mmseqs member→rep map → rep→cluster map → cluster attrs
+# (build_berdl_db.py:536-587).  Here: document → md5 content hash →
+# hash→keeper map → keeper→cluster map → per-cluster size attrs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j4_multihop_hash_chain",
+    oracle="""
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    reps AS (SELECT h, MIN(doc_id) AS rep_id FROM hashed GROUP BY h),
+    clus AS (SELECT rep_id, rep_id % 50 AS cluster_id FROM reps),
+    attrs AS (
+        SELECT c.cluster_id, COUNT(*)::BIGINT AS cluster_size
+        FROM hashed d JOIN reps r USING (h) JOIN clus c USING (rep_id)
+        GROUP BY c.cluster_id
+    )
+    SELECT d.doc_id, r.rep_id, c.cluster_id, a.cluster_size,
+           (a.cluster_size >= 10) AS is_core
+    FROM hashed d
+    JOIN reps r USING (h)
+    JOIN clus c USING (rep_id)
+    JOIN attrs a USING (cluster_id)
+    """,
+)
+def j4_multihop_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three chained equi-joins on derived keys.  The intermediate maps
+    (reps, clusters, attrs) are tiny relative to the fact side —
+    broadcast keeps every hop map-side, exactly the reference's
+    load-small-table-into-dict pattern done distributed."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
+    reps = d.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    clus = reps.select("rep_id", (F.col("rep_id") % 50).alias("cluster_id"))
+    attrs = (
+        d.join(F.broadcast(reps), "h")
+        .join(F.broadcast(clus), "rep_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        d.join(F.broadcast(reps), "h")
+        .join(F.broadcast(clus), "rep_id")
+        .join(F.broadcast(attrs), "cluster_id")
+        .select(
+            "doc_id",
+            "rep_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("cluster_size") >= 10).alias("is_core"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J10: lookup-table enrichment — term ids → statements.parquet
+# label/definition (filter subject ∈ terms AND predicate ∈ {rdfs:label,
+# IAO:0000115}, pivot by predicate; KBDatalakeUtils.py:2379-2421).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j10_lookup_enrichment",
+    oracle="""
+    WITH triples AS (
+        SELECT p_partkey AS subject, 'rdfs:label' AS predicate, p_name AS value FROM part
+        UNION ALL SELECT p_partkey, 'IAO:0000115', p_type FROM part
+        UNION ALL SELECT p_partkey, 'oio:hasDbXref', p_brand FROM part
+    ),
+    terms AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 48)
+    SELECT subject,
+           MAX(CASE WHEN predicate = 'rdfs:label' THEN value END) AS label,
+           MAX(CASE WHEN predicate = 'IAO:0000115' THEN value END) AS definition
+    FROM triples JOIN terms ON subject = l_partkey
+    WHERE predicate IN ('rdfs:label', 'IAO:0000115')
+    GROUP BY subject
+    """,
+)
+def j10_lookup_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction first (small term set pushed against the
+    triple store), then a fixed-width predicate pivot.  Pivot values
+    are declared, so no discovery pass over the data."""
+    p = _t(spark, sf_dir, "part")
+    triples = p.select(
+        F.col("p_partkey").alias("subject"),
+        F.expr(
+            "stack(3, 'rdfs:label', p_name, 'IAO:0000115', p_type,"
+            " 'oio:hasDbXref', p_brand) AS (predicate, value)"
+        ),
+    )
+    terms = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 48)
+        .select(F.col("l_partkey").alias("subject"))
+        .distinct()
+    )
+    return (
+        triples.filter(F.col("predicate").isin("rdfs:label", "IAO:0000115"))
+        .join(F.broadcast(terms), "subject", "left_semi")
+        .groupBy("subject")
+        .pivot("predicate", ["rdfs:label", "IAO:0000115"])
+        .agg(F.max("value"))
+        .withColumnsRenamed({"rdfs:label": "label", "IAO:0000115": "definition"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F6: gene-rule tokenization — gene IDs out of a boolean rule
+# '(A and B) or C' (KBDatalakeUtils.py:1090-1094).  Synthesized token
+# names are pairwise distinct so array_distinct (first-occurrence order
+# in Spark) is the identity and positions agree with the oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f6_gene_rule_tokens",
+    oracle="""
+    WITH rules AS (
+        SELECT p_partkey,
+               '(g' || p_partkey || 'x and g' || p_partkey || 'y) or g'
+                    || (p_partkey % 100) AS rule
+        FROM part
+    ),
+    lists AS (
+        SELECT p_partkey,
+               list_filter(string_split_regex(regexp_replace(rule, '[()]', ' ', 'g'), '\\s+'),
+                           x -> x NOT IN ('and', 'or', '')) AS l
+        FROM rules
+    )
+    SELECT p_partkey, unnest(l) AS token, generate_subscripts(l, 1) AS pos
+    FROM lists
+    """,
+)
+def f6_gene_rule_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    rule = F.concat(
+        F.lit("(g"), F.col("p_partkey"), F.lit("x and g"), F.col("p_partkey"),
+        F.lit("y) or g"), (F.col("p_partkey") % 100),
+    )
+    return (
+        p.select("p_partkey", F.posexplode(kfn.gene_rule_tokens(rule)))
+        .select("p_partkey", "col", "pos")
+        .select(
+            "p_partkey",
+            F.col("col").alias("token"),
+            (F.col("pos") + 1).alias("pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F7: dictionary-driven substring replacement — metabolite ids →
+# names inside an equation string (KBDatalakeUtils.py:1056-1060).  The
+# reference loops str.replace per row; distributed form: tokenize,
+# broadcast-join the lookup per token, reassemble in token order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f7_dict_replacement",
+    oracle="""
+    WITH eqs AS (
+        SELECT o_orderkey,
+               'cpd' || (o_custkey % 100) || ' + cpd' || (o_orderkey % 97)
+                     || ' => cpd' || (o_orderkey % 89) AS equation
+        FROM orders WHERE o_orderkey < 2000
+    ),
+    toks AS (
+        SELECT o_orderkey,
+               unnest(string_split(equation, ' ')) AS tok,
+               generate_subscripts(string_split(equation, ' '), 1) AS pos
+        FROM eqs
+    ),
+    lut AS (SELECT 'cpd' || p_partkey AS k, p_name AS v FROM part WHERE p_partkey < 100)
+    SELECT o_orderkey,
+           string_agg(COALESCE(v, tok), ' ' ORDER BY pos) AS equation_names
+    FROM toks LEFT JOIN lut ON tok = k
+    GROUP BY o_orderkey
+    """,
+)
+def f7_dict_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    eq = F.concat(
+        F.lit("cpd"), F.col("o_custkey") % 100,
+        F.lit(" + cpd"), F.col("o_orderkey") % 97,
+        F.lit(" => cpd"), F.col("o_orderkey") % 89,
+    )
+    toks = o.select(
+        "o_orderkey", F.posexplode(F.split(eq, " ")).alias("pos", "tok")
+    )
+    lut = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 100)
+        .select(F.concat(F.lit("cpd"), F.col("p_partkey")).alias("tok"),
+                F.col("p_name").alias("v"))
+    )
+    # array_sort on struct(pos, …) restores token order without a window
+    return (
+        toks.join(F.broadcast(lut), "tok", "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.coalesce("v", "tok").alias("t")))
+                    ),
+                    lambda s: s.t,
+                ),
+                " ",
+            ).alias("equation_names")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F8: prefix strip / normalize (clean_bakta_value,
+# query_ontology_local.py:69-77) — strip KEGG:/COG:/UniRef: prefixes,
+# normalize ec: → EC:.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f8_prefix_strip",
+    oracle="""
+    WITH vals AS (
+        SELECT p_partkey,
+               CASE p_partkey % 4
+                    WHEN 0 THEN 'KEGG:K' || p_partkey
+                    WHEN 1 THEN 'COG:COG' || p_partkey
+                    WHEN 2 THEN 'UniRef:UniRef90_' || p_partkey
+                    ELSE 'ec:' || p_partkey || '.1.1.1' END AS raw
+        FROM part
+    )
+    SELECT p_partkey, raw,
+           regexp_replace(regexp_replace(raw, '^(KEGG:|COG:|UniRef:)', ''),
+                          '^ec:', 'EC:') AS clean
+    FROM vals
+    """,
+)
+def f8_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    raw = (
+        F.when(pk % 4 == 0, F.concat(F.lit("KEGG:K"), pk))
+        .when(pk % 4 == 1, F.concat(F.lit("COG:COG"), pk))
+        .when(pk % 4 == 2, F.concat(F.lit("UniRef:UniRef90_"), pk))
+        .otherwise(F.concat(F.lit("ec:"), pk, F.lit(".1.1.1")))
+    )
+    return p.select(
+        "p_partkey",
+        raw.alias("raw"),
+        F.regexp_replace(
+            kfn.strip_prefix(raw, "KEGG:", "COG:", "UniRef:"), "^ec:", "EC:"
+        ).alias("clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F12: threshold bands — FVA-style class from (min, max) flux
+# bounds with the 1e-6 zero-flux epsilon (KBDatalakeUtils.py:684,
+# 1749-1767).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f12_threshold_bands",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, value - 250 AS vmin, value - 100 AS vmax
+        FROM events
+    )
+    SELECT event_id, ROUND(vmin, 6) AS vmin, ROUND(vmax, 6) AS vmax,
+           CASE WHEN ABS(vmin) < 1e-6 AND ABS(vmax) < 1e-6 THEN 'blocked'
+                WHEN vmin > 1e-6 THEN 'essential_forward'
+                WHEN vmax < -1e-6 THEN 'essential_reverse'
+                WHEN vmax > 1e-6 AND vmin >= -1e-6 THEN 'forward_only'
+                WHEN vmin < -1e-6 AND vmax <= 1e-6 THEN 'reverse_only'
+                ELSE 'variable' END AS fva_class
+    FROM b
+    """,
+)
+def f12_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    vmin, vmax = F.col("value") - 250, F.col("value") - 100
+    eps = kfn.ZERO_FLUX
+    cls = (
+        F.when((F.abs(vmin) < eps) & (F.abs(vmax) < eps), "blocked")
+        .when(vmin > eps, "essential_forward")
+        .when(vmax < -eps, "essential_reverse")
+        .when((vmax > eps) & (vmin >= -eps), "forward_only")
+        .when((vmin < -eps) & (vmax <= eps), "reverse_only")
+        .otherwise("variable")
+    )
+    return e.select(
+        "event_id",
+        F.round(vmin, 6).alias("vmin"),
+        F.round(vmax, 6).alias("vmax"),
+        cls.alias("fva_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F15: growth reconciliation when-chain
+# (KBDatalakeUtils.py:566-577).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f15_reconcile_class",
+    oracle="""
+    WITH p AS (
+        SELECT o_orderkey,
+               CASE o_orderstatus WHEN 'F' THEN 'CP' WHEN 'O' THEN 'CN'
+                    ELSE 'FP' END AS cls,
+               o_totalprice > 150000 AS growth
+        FROM orders
+    )
+    SELECT o_orderkey, cls, growth,
+           CASE WHEN cls IN ('P', 'CP', 'FP') AND growth THEN 'CP'
+                WHEN cls IN ('P', 'CP', 'FP') THEN 'FP'
+                WHEN growth THEN 'FN'
+                ELSE 'CN' END AS reconciled
+    FROM p
+    """,
+)
+def f15_reconcile_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cls = (
+        F.when(F.col("o_orderstatus") == "F", "CP")
+        .when(F.col("o_orderstatus") == "O", "CN")
+        .otherwise("FP")
+    )
+    growth = F.col("o_totalprice") > 150000
+    return o.select(
+        "o_orderkey",
+        cls.alias("cls"),
+        growth.alias("growth"),
+        kfn.reconcile_class(cls, growth).alias("reconciled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F17: map encoding — ambiguous-cluster vote map rendered as
+# 'k:v; …' sorted by key (pangenome.py:292-299) + forall over entries.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f17_map_encoding",
+    oracle="""
+    WITH votes AS (
+        SELECT source, lang, COUNT(*)::BIGINT AS n
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           string_agg(lang || ':' || n, '; ' ORDER BY lang) AS vote_map,
+           COUNT(*)::INT AS n_langs,
+           bool_and(n < 100) AS all_minor
+    FROM votes GROUP BY source
+    """,
+)
+def f17_map_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    votes = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    return votes.groupBy("source").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.concat_ws(":", "lang", "n"))), "; "
+        ).alias("vote_map"),
+        F.count(F.lit(1)).cast("int").alias("n_langs"),
+        F.expr("bool_and(n < 100)").alias("all_minor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F19: parallel-array zip — phenosim details arrays indexed
+# together into per-compound records (KBDatalakeUtils.py:531-545).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f19_arrays_zip",
+    oracle="""
+    WITH lists AS (
+        SELECT p_partkey,
+               string_split(p_name, ' ') AS words,
+               string_split(upper(p_name), ' ') AS upper_words
+        FROM part
+    )
+    SELECT p_partkey,
+           generate_subscripts(words, 1) AS pos,
+           unnest(words) AS word,
+           unnest(upper_words) AS upper_word
+    FROM lists
+    """,
+)
+def f19_arrays_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode(arrays_zip(...)) — index-safe parallel iteration of
+    same-length arrays, never positional zip in Python."""
+    p = _t(spark, sf_dir, "part")
+    zipped = F.arrays_zip(
+        F.split("p_name", " ").alias("word"),
+        F.split(F.upper("p_name"), " ").alias("upper_word"),
+    )
+    return (
+        p.select("p_partkey", F.posexplode(zipped).alias("pos", "z"))
+        .select(
+            "p_partkey",
+            (F.col("pos") + 1).alias("pos"),
+            F.col("z.word").alias("word"),
+            F.col("z.upper_word").alias("upper_word"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F20: JSON flattening — nested doc → columns (phenosim/model
+# docs, KBDatalakeUtils.py:886-910).  Spark parses with from_json; the
+# oracle reads the same field with a regex so the comparison does not
+# depend on DuckDB's JSON extension.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f20_json_flatten",
+    oracle="""
+    WITH parsed AS (
+        SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k, value
+        FROM events
+    )
+    SELECT k % 10 AS k_bucket, COUNT(*)::BIGINT AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM parsed GROUP BY 1
+    """,
+)
+def f20_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        e.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), kfn.dsum("value").alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 R3: wide→long melt (annotation doc → (feature, ontology, value)
+# rows, annotation/annotation.py:49-62).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r3_melt",
+    oracle="""
+    SELECT p_partkey, 'name' AS attribute, p_name AS value FROM part
+    UNION ALL SELECT p_partkey, 'brand', p_brand FROM part
+    UNION ALL SELECT p_partkey, 'type', p_type FROM part
+    """,
+)
+def r3_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(3, 'name', p_name, 'brand', p_brand, 'type', p_type)"
+            " AS (attribute, value)"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 R4: dict-of-dicts → rows — a map column exploded back to rows
+# (gene_pheno_map → gene_phenotypes, KBDatalakeUtils.py:757-801).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r4_map_explode",
+    oracle="""
+    SELECT event_type, user_id % 10 AS user_bucket, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def r4_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build MapType(bucket → count) per event_type (the canonical
+    scalable form of the reference's encoded-map cells), then explode
+    back to relational rows."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    as_map = counts.groupBy("event_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("user_bucket", "n"))).alias("m")
+    )
+    return as_map.select(
+        "event_type", F.explode("m").alias("user_bucket", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A7 + A12: group max-abs (per-gene max |flux|,
+# KBDatalakeUtils.py:1143-1146) and per-source file counts
+# (build_berdl_db.py:35-51).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a7_group_max_abs",
+    oracle="""
+    SELECT user_id, ROUND(MAX(ABS(value - 200)), 6) AS max_abs_flux
+    FROM events GROUP BY user_id
+    """,
+)
+def a7_group_max_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.round(F.max(F.abs(F.col("value") - 200)), 6).alias("max_abs_flux")
+    )
+
+
+@query(
+    "a12_source_counts",
+    oracle="""
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def a12_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 O4 + O5: LIMIT/OFFSET pagination (REST page loops,
+# query_pangenome_berdl.py:99-125; viewer paging) and the LIMIT-1
+# existence probe (search fan-out, main-BeiTHiEY.js ~108805).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o4_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100
+    """,
+)
+def o4_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 6 of a deterministic (unique-key) ordering.  At scale the
+    serving layer keeps pages cheap because Spark pushes
+    limit+offset into a TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(20)
+    )
+
+
+@query(
+    "o5_existence_probe",
+    oracle="""
+    SELECT 'orders' AS table_name,
+           EXISTS(SELECT 1 FROM orders WHERE o_orderstatus = 'F') AS found
+    UNION ALL
+    SELECT 'part', EXISTS(SELECT 1 FROM part WHERE p_brand = 'Brand#999')
+    UNION ALL
+    SELECT 'documents', EXISTS(SELECT 1 FROM documents WHERE lang = 'de')
+    """,
+)
+def o5_existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-across-tables fan-out: each probe is limit(1) so the scan
+    short-circuits on first match."""
+
+    def probe(df: DataFrame, name: str, cond) -> DataFrame:
+        return (
+            df.filter(cond)
+            .limit(1)
+            .agg((F.count(F.lit(1)) > 0).alias("found"))
+            .select(F.lit(name).alias("table_name"), "found")
+        )
+
+    return (
+        probe(_t(spark, sf_dir, "orders"), "orders", F.col("o_orderstatus") == "F")
+        .unionByName(
+            probe(_t(spark, sf_dir, "part"), "part", F.col("p_brand") == "Brand#999")
+        )
+        .unionByName(
+            probe(_t(spark, sf_dir, "documents"), "documents", F.col("lang") == "de")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star dedup: embedding-cosine near-duplicates, LSH-blocked.
+# Sign-bit bucket on the first 8 dimensions → candidate pairs within a
+# bucket → exact cosine filter.  The bucket join replaces the O(n²)
+# all-pairs product with per-bucket products, the scale path for
+# embedding dedup at 100 TB.
+# ---------------------------------------------------------------------------
+
+_EMB_NORM_SQL = """
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(CAST(u.v AS DOUBLE) * CAST(u.v AS DOUBLE)
+                    AS DECIMAL(38,15))) AS DOUBLE)) AS nrm
+        FROM embeddings, LATERAL (SELECT unnest(embedding) AS v) u
+        GROUP BY vec_id
+"""
+
+_EMB_BUCKET_SQL = """
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN CAST(u.v AS DOUBLE) > 0
+                    THEN (1::BIGINT << (u.pos - 1)) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS pos) u
+        WHERE u.pos <= 8
+        GROUP BY vec_id
+"""
+
+
+@query(
+    "dd_embedding_neardup",
+    oracle=f"""
+    WITH norms AS ({_EMB_NORM_SQL}),
+    buckets AS ({_EMB_BUCKET_SQL}),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT p.id_a, p.id_b,
+               CAST(SUM(CAST(CAST(av.v AS DOUBLE) * CAST(bv.v AS DOUBLE)
+                    AS DECIMAL(38,15))) AS DOUBLE) AS dot
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.id_a
+        JOIN embeddings eb ON eb.vec_id = p.id_b,
+             LATERAL (SELECT unnest(ea.embedding) AS v,
+                             generate_subscripts(ea.embedding, 1) AS pos) av,
+             LATERAL (SELECT unnest(eb.embedding) AS v,
+                             generate_subscripts(eb.embedding, 1) AS pos) bv
+        WHERE av.pos = bv.pos
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT d.id_a, d.id_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.8
+    """,
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(emb, n_sign_bits=8, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary content columns — JVM-side stats (exact dedup
+# keys) and the Arrow-batched feature-extraction stub.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_content_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS content_bytes,
+           md5(text) AS content_md5,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def mm_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary columns stay opaque; dedup/metadata keys are computed
+    JVM-side (no Python round-trip for the 99% path)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    withstats = mm.attach_content_stats(d)
+    return withstats.select(
+        "doc_id",
+        F.col("content_bytes").cast("long").alias("content_bytes"),
+        F.md5("content").alias("content_md5"),
+        F.col("content_sha256"),
+    )
+
+
+@query("mm_extract_features")  # rows-only: mapInPandas stub, not SQL-expressible
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature kernel (deterministic fake codec —
+    see operators/multimodal.py).  Driver check is rows-only."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    feats = mm.extract_features(d, dim=8)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch twin: tumbling-window rollup over the events table.
+# The same aggregation runs incrementally in
+# streaming/incremental.py::windowed_counts; this batch form is its
+# oracle-checked twin (events.ts arrives as epoch-nanos long —
+# session.py nanosAsLong).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_tumbling_counts",
+    oracle="""
+    SELECT epoch_ns(ts) // 3600000000000 * 3600 AS window_start_s,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import tumbling_counts
+
+    return tumbling_counts(_t(spark, sf_dir, "events"))

@@ -1,0 +1,15 @@
+"""Structured Streaming extensions.
+
+The reference is batch-only (SURVEY §2.10) — pipeline stages hand off
+files on disk.  The Spark-native generalization is incremental
+ingestion: the same declarative aggregations run over a file-arrival
+stream with watermarked event time, so a 100 TB lake can be kept
+current without re-reading history.
+"""
+
+from .incremental import (  # noqa: F401
+    EVENTS_STREAM_SCHEMA,
+    run_available_now,
+    stream_events,
+    tumbling_counts,
+)

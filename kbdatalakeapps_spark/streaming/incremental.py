@@ -1,0 +1,101 @@
+"""Incremental (Structured Streaming) twins of the batch rollups.
+
+Design: one aggregation function serves batch and stream — the logical
+plan is identical; only the source (``read`` vs ``readStream``) and the
+sink differ.  Batch twins are oracle-checked (queries/extended.py::
+st_tumbling_counts); the stream path is exercised in
+tests/test_streaming.py with an availableNow trigger.
+
+Event time: the driver's events.parquet stores TIMESTAMP(NANOS), which
+Spark reads as epoch-nanos LONG (session.py nanosAsLong).  ``ts div
+1000`` (integer division — exact, no double rounding at 1e18 nanos)
+derives microsecond timestamps for windowing.
+
+Scale posture: a tumbling-window count with watermark is incremental
+state of O(windows × event_types) per executor — bounded regardless of
+stream length; late events beyond the watermark are dropped exactly as
+Structured Streaming defines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import dsum
+
+# events.parquet schema as the stream source sees it (ts: nanos long,
+# matching the batch read under nanosAsLong).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-arrival stream over a directory of events parquet files —
+    the incremental version of the reference's files-on-disk handoff
+    (KBDatalakeAppsImpl.py:290-470 stage boundaries)."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Epoch-nanos long → TimestampType event time (µs truncation via
+    exact integer division)."""
+    return df.withColumn("event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts + exact-decimal value sums per event
+    type.  Works identically on a batch or streaming DataFrame; pass
+    ``watermark`` on streams to bound state and admit late data up to
+    that delay."""
+    evt = with_event_time(df)
+    if watermark is not None:
+        evt = evt.withWatermark("event_time", watermark)
+    return (
+        evt.groupBy(
+            F.window("event_time", window_duration).alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, table_name: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently in the source into an in-memory
+    table and stop — the batch-equivalent execution of a streaming
+    plan (used by tests; a production sink would be a Delta/parquet
+    append with the same trigger)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

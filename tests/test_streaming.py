@@ -1,0 +1,60 @@
+"""Structured Streaming path: the incremental tumbling-window rollup
+must produce exactly the batch twin's result when the stream drains the
+same files (availableNow trigger), including across multiple arriving
+files (incremental state, not a re-read)."""
+
+from __future__ import annotations
+
+import shutil
+
+from kbdatalakeapps_spark.io.sources import load_table
+from kbdatalakeapps_spark.streaming import (
+    run_available_now,
+    stream_events,
+    tumbling_counts,
+)
+
+from .conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+
+    batch = tumbling_counts(load_table(spark, SF_DIR, "events"))
+    stream = tumbling_counts(
+        stream_events(spark, str(src)), watermark="2 hours"
+    )
+    run_available_now(stream, "st_counts_t1", str(tmp_path / "ckpt"))
+
+    got = _rows(spark.table("st_counts_t1"))
+    want = _rows(batch)
+    assert got == want
+
+
+def test_stream_incremental_files(spark, tmp_path):
+    """Two files arriving across micro-batches aggregate cumulatively:
+    maxFilesPerTrigger=1 forces two batches through the stateful agg."""
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "b.parquet")
+
+    stream = tumbling_counts(
+        stream_events(spark, str(src), max_files_per_trigger=1),
+        watermark="2 hours",
+    )
+    run_available_now(stream, "st_counts_t2", str(tmp_path / "ckpt"))
+
+    batch_once = tumbling_counts(load_table(spark, SF_DIR, "events"))
+    want = sorted(
+        (ws, et, n * 2, sv * 2)
+        for ws, et, n, sv in (tuple(r) for r in batch_once.collect())
+    )
+    got = _rows(spark.table("st_counts_t2"))
+    assert got == want
