@@ -138,6 +138,34 @@ MINHASH_SEEDS = (
 )
 
 
+def minhash_signatures_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) — for hash function i, the min over the doc's
+    distinct shingles of md5_long(shingle) XOR seed_i.
+
+    One md5 per distinct (doc, shingle) row, then ``num_hashes`` min
+    aggregates in a single groupBy(id) pass — full map-side combine,
+    so the shuffle carries one row per doc.  (A no-shuffle per-row
+    array formulation — transform + array_min per seed — measured 8x
+    slower: per-element array allocation/boxing dominates; the
+    exploded agg stays in tight whole-stage-codegen buffers.)"""
+    if num_hashes > len(MINHASH_SEEDS):
+        raise ValueError(f"num_hashes > {len(MINHASH_SEEDS)} not supported")
+    sh = shingle_table(df, id_col, text_col, k)
+    base = _md5_long(F.col("shingle"))
+    return sh.groupBy("id").agg(
+        *[
+            F.min(base.bitwiseXOR(F.lit(MINHASH_SEEDS[i]))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -145,23 +173,9 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """(id, hash_idx, minhash) — for hash function i, the min over the
-    doc's shingles of md5_long(shingle) XOR seed_i.
-
-    One md5 per distinct (doc, shingle), then ``num_hashes`` min
-    aggregates computed in a single groupBy(id) pass (full map-side
-    combine, no per-seed row explosion); the long format is unpivoted
-    from the wide result for API compatibility."""
-    if num_hashes > len(MINHASH_SEEDS):
-        raise ValueError(f"num_hashes > {len(MINHASH_SEEDS)} not supported")
-    sh = shingle_table(df, id_col, text_col, k)
-    base = _md5_long(F.col("shingle"))
-    wide = sh.groupBy("id").agg(
-        *[
-            F.min(base.bitwiseXOR(F.lit(MINHASH_SEEDS[i]))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    """(id, hash_idx, minhash) — long-format unpivot of
+    minhash_signatures_wide."""
+    wide = minhash_signatures_wide(df, id_col, text_col, k, num_hashes)
     stack = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
     return wide.select(
         "id", F.expr(f"stack({num_hashes}, {stack}) AS (hash_idx, minhash)")
@@ -184,24 +198,30 @@ def minhash_lsh_pairs(
     hash, so the shuffle is balanced; collision lists stay short because
     a band matches only when *all* its minhashes agree.  This is the
     100 TB discovery path; feed its output to ngram_jaccard_pairs for
-    exact verification."""
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    bands = (
-        sig.withColumn("band_idx", (F.col("hash_idx") / band_size).cast("int"))
-        .groupBy("id", "band_idx")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("hash_idx", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_hash")
+    exact verification.
+
+    Band fingerprints come straight off the wide signature row (one
+    stack, no re-aggregation) — the only shuffles are the band
+    self-join and the final pair count."""
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must divide into equal bands")
+    wide = minhash_signatures_wide(df, id_col, text_col, k, num_hashes)
+    n_bands = num_hashes // band_size
+    fps = {
+        f"_bh{b}": F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{i}").cast("string")
+                    for i in range(b * band_size, (b + 1) * band_size)
+                ],
+            )
         )
+        for b in range(n_bands)
+    }
+    stack_args = ", ".join(f"{b}, _bh{b}" for b in range(n_bands))
+    bands = wide.withColumns(fps).select(
+        "id", F.expr(f"stack({n_bands}, {stack_args}) AS (band_idx, band_hash)")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
