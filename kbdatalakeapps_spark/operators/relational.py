@@ -53,6 +53,27 @@ def first_wins_dedup(
     )
 
 
+def first_wins_dedup_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """first_wins_dedup for all-ascending column priorities as ONE hash
+    aggregation: min(struct(order_cols…, remaining_cols…)) per key —
+    map-side combine, no per-group sort, no row_number.  The struct
+    comparison is lexicographic, so when the priority tuple ties, the
+    remaining columns break the tie deterministically (document that in
+    the caller's oracle).  Preferred at scale; use first_wins_dedup for
+    mixed asc/desc or expression priorities."""
+    others = [c for c in df.columns if c not in key_cols and c not in order_cols]
+    picked = df.groupBy(*key_cols).agg(
+        F.min(F.struct(*order_cols, *others)).alias("_s")
+    )
+    return picked.select(
+        *key_cols, *[F.col(f"_s.{c}").alias(c) for c in order_cols + others]
+    )
+
+
 def unordered_pair_key(a: Column, b: Column) -> list[Column]:
     """J8: canonical (least, greatest) key for symmetric pair tables
     (genome ANI pairs)."""

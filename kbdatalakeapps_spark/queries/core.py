@@ -334,7 +334,7 @@ def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_quantity,
                ROW_NUMBER() OVER (
                    PARTITION BY LEAST(l_partkey, l_suppkey), GREATEST(l_partkey, l_suppkey)
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                ) AS rn
         FROM lineitem
     ) WHERE rn = 1
@@ -342,20 +342,24 @@ def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j8_pair_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8/W2: symmetric pair table with first-wins dedup by explicit
-    priority (the ANI pair assembly, datalake_table.py:216-257)."""
+    priority (the ANI pair assembly, datalake_table.py:216-257).
+
+    Agg formulation (min-struct per pair key) — no per-group sort;
+    l_quantity rides last in the struct, so full priority ties resolve
+    to the min qty (mirrored by the oracle's trailing ORDER BY key)."""
     l = _t(spark, sf_dir, "lineitem")
     paired = l.select(
         F.least(F.col("l_partkey"), F.col("l_suppkey")).alias("pair_lo"),
         F.greatest(F.col("l_partkey"), F.col("l_suppkey")).alias("pair_hi"),
-        F.col("l_quantity"),
         "l_shipdate",
         "l_orderkey",
         "l_linenumber",
+        F.col("l_quantity"),
     )
-    deduped = rel.first_wins_dedup(
+    deduped = rel.first_wins_dedup_agg(
         paired,
         ["pair_lo", "pair_hi"],
-        [F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
     )
     return deduped.select("pair_lo", "pair_hi", F.col("l_quantity").alias("qty"))
 
@@ -1063,16 +1067,25 @@ def a13_viewer_aggregations(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsum = F.sum(c.cast("decimal(38,2)")).cast("double")
     dsumsq = F.sum((c * c).cast("decimal(38,4)")).cast("double")
     n = F.count(F.lit(1))
-    return l.groupBy("l_returnflag", "l_linestatus").agg(
+    keys = ["l_returnflag", "l_linestatus"]
+    # countDistinct mixed into a multi-agg EXPANDs every input row ×2
+    # (one copy per distinct set); running it as its own aggregation
+    # and broadcast-joining on the tiny group set measured ~35% faster
+    # and scales with |groups|, not |rows|
+    basic = l.groupBy(*keys).agg(
         F.count(c).alias("count_price"),
         dsum.alias("sum_price"),
         (dsum / F.count(c)).alias("avg_price"),
         F.min(c).alias("min_price"),
         F.max(c).alias("max_price"),
-        F.countDistinct(c).alias("distinct_price"),
         F.round(F.sqrt((dsumsq - dsum * dsum / n) / (n - F.lit(1))), 6).alias(
             "stddev_price"
         ),
+    )
+    dist = l.groupBy(*keys).agg(F.countDistinct(c).alias("distinct_price"))
+    return basic.join(F.broadcast(dist), keys).select(
+        *keys, "count_price", "sum_price", "avg_price",
+        "min_price", "max_price", "distinct_price", "stddev_price",
     )
 
 
@@ -1107,8 +1120,13 @@ def a14_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(c).alias("max_value"),
         (F.sum(c.cast("decimal(38,2)")).cast("double") / F.count(c)).alias("mean_value"),
     )
-    med = l.agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_value")
+    # exact median via distributed sort + offset (serving.exact_median_df)
+    # — percentile()'s single-task buffer merge took ~2.5 s at sf0.1 and
+    # does not scale past it
+    from ..serving import exact_median_df
+
+    med = exact_median_df(l, "l_extendedprice").select(
+        F.round("median_value", 6).alias("median_value")
     )
     return basic.crossJoin(med)
 

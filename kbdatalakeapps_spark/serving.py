@@ -98,6 +98,27 @@ def table_data(df: DataFrame, req: TableDataRequest) -> dict:
     }
 
 
+def exact_median_df(df: DataFrame, column: str) -> DataFrame:
+    """Exact median as a lazy 1-row DataFrame (column ``median_value``)
+    via distributed sort + offset — the scale path for exact medians.
+
+    ``percentile(col, 0.5)`` merges every partition's value buffer in
+    ONE final task (2.5 s for 600 K doubles locally; a non-starter at
+    1 B rows).  A global range-partitioned sort + offset/limit of the
+    two middle elements does the same work fully distributed.  Matches
+    percentile/DuckDB-median interpolation: mean of the two middle
+    values for even n.  Costs one eager count() to place the offset.
+    """
+    vals = df.select(F.col(column).alias("v")).filter(F.col("v").isNotNull())
+    n = vals.count()
+    if n == 0:
+        return df.sparkSession.range(1).select(
+            F.lit(None).cast("double").alias("median_value")
+        )
+    mid = vals.orderBy("v").offset((n - 1) // 2).limit(2 if n % 2 == 0 else 1)
+    return mid.agg(F.avg("v").alias("median_value"))
+
+
 def column_stats(df: DataFrame, column: str, exact: bool = True) -> dict:
     """A14: per-column stats endpoint (`/tables/{t}/stats`,
     main-BeiTHiEY.js ~114133): null_count, distinct_count, min, max,
@@ -122,14 +143,12 @@ def column_stats(df: DataFrame, column: str, exact: bool = True) -> dict:
     row = df.agg(*aggs).collect()[0]
     out = row.asDict()
     if numeric:
-        # exact percentile buffers whole partitions; run it as its own
-        # job rather than multiplying the countDistinct EXPAND through it
-        med = (
-            F.expr(f"percentile(`{column}`, 0.5)")
-            if exact
-            else F.expr(f"percentile_approx(`{column}`, 0.5)")
-        )
-        out["median"] = df.agg(med.alias("m")).collect()[0]["m"]
+        if exact:
+            out["median"] = exact_median_df(df, column).collect()[0][0]
+        else:
+            out["median"] = df.agg(
+                F.expr(f"percentile_approx(`{column}`, 0.5)").alias("m")
+            ).collect()[0]["m"]
     return out
 
 

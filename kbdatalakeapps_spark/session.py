@@ -39,6 +39,11 @@ _DEFAULTS = {
     # TimestampType (µs) cannot represent; read as epoch-nanos long and
     # derive µs timestamps explicitly where queries need them.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NB on scan parallelism: the driver's testdata files are single-
+    # row-group parquet, so splits below row-group size only add empty
+    # tasks (measured: lowering maxPartitionBytes to 4 MB made the
+    # suite ~15% slower).  Default 128 MB stands; at cluster scale data
+    # arrives as many files/row-groups and splits naturally.
 }
 
 
