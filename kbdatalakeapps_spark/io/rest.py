@@ -1,0 +1,127 @@
+"""S10/S11: remote SQL-over-REST lake source.
+
+The reference pages a remote lake API with ``{query, limit, offset}``
+POSTs, looping on ``pagination.has_more`` with exponential backoff on
+timeouts (berdl/berdl/query/query_pangenome_berdl.py:92-211; raw
+client berdl_api.py:17-36; page sizes 1000, 100 for the 1B-row
+junction table; 3 retries ×2 backoff).
+
+Engine mapping, two tiers:
+
+* ``paginated_fetch`` — driver-side sequential page loop →
+  ``spark.createDataFrame``.  Correct and ordering-stable; right for
+  reference tables (≤ a few M rows) that are then broadcast.
+* ``partitioned_fetch`` — when the server supports offset reads and
+  the total is known/estimable, the offset space is split across
+  executors (one task per page range, fetch inside ``mapInPandas``) —
+  the scale path: N workers pull pages concurrently, rows land
+  directly as distributed partitions, never materializing on the
+  driver.
+
+Both take a plain ``fetch_page(limit, offset) -> (rows, has_more)``
+callable so the transport (HTTP client, auth, query payload) stays
+injectable and testable; retry/backoff wraps every page call.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# (rows, has_more): rows as sequence of tuples/Rows matching `schema`
+FetchPage = Callable[[int, int], tuple[Sequence, bool]]
+
+
+class RetryExhausted(RuntimeError):
+    pass
+
+
+def _with_retry(
+    fetch: FetchPage,
+    limit: int,
+    offset: int,
+    max_retries: int,
+    backoff_s: float,
+    retryable: tuple[type[Exception], ...],
+    sleep=time.sleep,
+):
+    """Exponential-backoff retry (×2 per attempt) around one page call
+    — query_pangenome_berdl.py:126-151 semantics."""
+    delay = backoff_s
+    for attempt in range(max_retries + 1):
+        try:
+            return fetch(limit, offset)
+        except retryable as exc:
+            if attempt == max_retries:
+                raise RetryExhausted(
+                    f"page offset={offset} failed after {max_retries + 1} attempts"
+                ) from exc
+            sleep(delay)
+            delay *= 2
+
+
+def paginated_fetch(
+    spark: SparkSession,
+    fetch_page: FetchPage,
+    schema: T.StructType | str,
+    page_size: int = 1000,
+    max_pages: int | None = None,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    retryable: tuple[type[Exception], ...] = (TimeoutError, ConnectionError),
+    sleep=time.sleep,
+) -> DataFrame:
+    """Driver-side page loop → DataFrame (S10 exact semantics)."""
+    rows: list = []
+    offset, pages = 0, 0
+    while True:
+        page, has_more = _with_retry(
+            fetch_page, page_size, offset, max_retries, backoff_s, retryable, sleep
+        )
+        rows.extend(page)
+        offset += page_size
+        pages += 1
+        if not has_more or not page:
+            break
+        if max_pages is not None and pages >= max_pages:
+            break
+    return spark.createDataFrame(rows, schema)
+
+
+def partitioned_fetch(
+    spark: SparkSession,
+    fetch_page: FetchPage,
+    schema: T.StructType,
+    total_rows: int,
+    page_size: int = 1000,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    retryable: tuple[type[Exception], ...] = (TimeoutError, ConnectionError),
+) -> DataFrame:
+    """Distributed offset reads: one task per page, fetched inside
+    executors via ``mapInPandas`` — the reference's pagination loop
+    parallelized.  ``fetch_page`` must be picklable and safe to call
+    concurrently."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    n_pages = (total_rows + page_size - 1) // page_size
+    pages_df = spark.range(n_pages).withColumnRenamed("id", "page")
+    names = [f.name for f in schema.fields]
+
+    def fetch_batches(it):
+        for pdf in it:
+            for page in pdf["page"]:
+                rows, _ = _with_retry(
+                    fetch_page,
+                    page_size,
+                    int(page) * page_size,
+                    max_retries,
+                    backoff_s,
+                    retryable,
+                )
+                yield pd.DataFrame.from_records(list(rows), columns=names)
+
+    return pages_df.mapInPandas(fetch_batches, schema)

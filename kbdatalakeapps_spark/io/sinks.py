@@ -35,6 +35,40 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("sep", "\t").option("header", "true").csv(path)
 
 
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """S16: the reference's ``ALTER TABLE ADD COLUMN`` + per-row
+    ``UPDATE … WHERE`` merge (KBDatalakeUtils.py:928-977,1220-1280) as
+    one declarative plan: full outer join on the keys, update columns
+    win where present, new columns from ``updates`` appear null-filled
+    for unmatched base rows.  Write the result back with
+    ``write_parquet`` (overwrite) — or MERGE INTO on a Delta/Iceberg
+    catalog, same semantics.
+
+    Scales as a plain equi-join (broadcast when updates are small);
+    never a per-row driver loop."""
+    upd_cols = [c for c in updates.columns if c not in keys]
+    shared = [c for c in upd_cols if c in base.columns]
+    added = [c for c in upd_cols if c not in base.columns]
+    u = updates
+    for c in upd_cols:
+        u = u.withColumnRenamed(c, f"_u_{c}")
+    joined = base.join(u, keys, "full_outer")
+    out_cols = [F.col(k) for k in keys]
+    for c in base.columns:
+        if c in keys:
+            continue
+        if c in shared:
+            out_cols.append(F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    out_cols += [F.col(f"_u_{c}").alias(c) for c in added]
+    return joined.select(*out_cols)
+
+
 def write_fasta(
     df: DataFrame,
     path: str,

@@ -13,3 +13,4 @@ from .incremental import (  # noqa: F401
     stream_events,
     tumbling_counts,
 )
+from .stateful import running_totals  # noqa: F401

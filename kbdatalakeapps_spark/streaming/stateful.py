@@ -1,0 +1,63 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Where a windowed aggregate can't express the semantics — running
+per-key accumulators that must survive across micro-batches, session
+assembly with data-driven boundaries — Structured Streaming's
+arbitrary-state API is the engine's escape hatch.  State lives in the
+state store per key (bounded by key cardinality, checkpointed,
+recoverable); each micro-batch sees only its new rows.
+
+These generalize the reference's accumulate-across-files patterns
+(e.g. the running per-genome tallies built by re-reading grown TSVs,
+build_berdl_db.py:35-51) into incremental form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "n_events": [n], "sum_value": [total]}
+    )
+
+
+def running_totals(stream: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Per-key running (count, sum) that persists across micro-batches
+    — each batch emits the updated cumulative row for keys that saw
+    data.  Output mode: update."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update_totals,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,131 @@
+"""Sources/sinks (SURVEY §2.1): FASTA roundtrip, TSV roundtrip, REST
+pagination with retry/backoff (driver-side and distributed), and the
+upsert merge sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kbdatalakeapps_spark.io.rest import (
+    RetryExhausted,
+    paginated_fetch,
+    partitioned_fetch,
+)
+from kbdatalakeapps_spark.io.sinks import merge_upsert, write_fasta, write_tsv
+from kbdatalakeapps_spark.io.sources import read_fasta, read_tsv
+
+
+def test_fasta_roundtrip(spark, tmp_path):
+    rows = [
+        ("p1", "MKVLA"),
+        ("p2", "GATTACA"),
+        ("p3", "MSTOPX"),
+    ]
+    df = spark.createDataFrame(rows, "seq_id string, sequence string")
+    out = str(tmp_path / "prot.fasta")
+    write_fasta(df, out)
+    back = read_fasta(spark, out)
+    got = sorted((r.seq_id, r.sequence) for r in back.collect())
+    assert got == sorted(rows)
+    assert back.filter(F.col("description").isNotNull()).count() == 0
+
+
+def test_fasta_multiline_and_description(spark, tmp_path):
+    fa = tmp_path / "multi.fa"
+    fa.write_text(">s1 first protein\nMKV\nLA\n>s2\nGG\n")
+    back = read_fasta(spark, str(fa))
+    got = {r.seq_id: (r.description, r.sequence) for r in back.collect()}
+    assert got == {"s1": ("first protein", "MKVLA"), "s2": (None, "GG")}
+
+
+def test_tsv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a\tb escaped?", 2.5), (2, "plain", -1.0)],
+        "id int, name string, score double",
+    )
+    out = str(tmp_path / "t.tsv")
+    write_tsv(df, out)
+    back = read_tsv(spark, out, schema="id int, name string, score double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+_DATA = [(i, f"row{i}") for i in range(250)]
+
+
+def _pages(fail_offsets=(), failures_per_offset=1):
+    """Fake REST endpoint over _DATA; injects TimeoutError at given
+    offsets, failing `failures_per_offset` times before succeeding."""
+    remaining = dict.fromkeys(fail_offsets, failures_per_offset)
+
+    def fetch(limit, offset):
+        if remaining.get(offset, 0) > 0:
+            remaining[offset] -= 1
+            raise TimeoutError(f"simulated timeout at {offset}")
+        page = _DATA[offset : offset + limit]
+        return page, offset + limit < len(_DATA)
+
+    return fetch
+
+
+def test_paginated_fetch_pages_and_retries(spark):
+    df = paginated_fetch(
+        spark,
+        _pages(fail_offsets=(100,)),
+        _SCHEMA,
+        page_size=100,
+        backoff_s=0.001,
+        sleep=lambda s: None,
+    )
+    assert sorted(map(tuple, df.collect())) == _DATA
+
+
+def test_paginated_fetch_retry_exhausted(spark):
+    with pytest.raises(RetryExhausted):
+        paginated_fetch(
+            spark,
+            _pages(fail_offsets=(0,), failures_per_offset=10),
+            _SCHEMA,
+            page_size=100,
+            max_retries=2,
+            backoff_s=0.001,
+            sleep=lambda s: None,
+        )
+
+
+def test_partitioned_fetch_distributed(spark):
+    df = partitioned_fetch(
+        spark,
+        _pages(),
+        _SCHEMA,
+        total_rows=len(_DATA),
+        page_size=64,
+    )
+    assert sorted(map(tuple, df.collect())) == _DATA
+    # one input partition per page range
+    assert df.rdd.getNumPartitions() >= 1
+
+
+def test_merge_upsert(spark):
+    base = spark.createDataFrame(
+        [Row(k=1, a="x", b=10), Row(k=2, a="y", b=20)]
+    )
+    updates = spark.createDataFrame(
+        [Row(k=2, b=99, c="new"), Row(k=3, b=30, c="row")]
+    )
+    out = merge_upsert(base, updates, ["k"])
+    got = {r.k: (r.a, r.b, r.c) for r in out.collect()}
+    assert got == {
+        1: ("x", 10, None),      # untouched base row, new col null
+        2: ("y", 99, "new"),     # updated col wins, base col kept
+        3: (None, 30, "row"),    # inserted row
+    }

@@ -10,6 +10,7 @@ import shutil
 from kbdatalakeapps_spark.io.sources import load_table
 from kbdatalakeapps_spark.streaming import (
     run_available_now,
+    running_totals,
     stream_events,
     tumbling_counts,
 )
@@ -57,4 +58,40 @@ def test_stream_incremental_files(spark, tmp_path):
         for ws, et, n, sv in (tuple(r) for r in batch_once.collect())
     )
     got = _rows(spark.table("st_counts_t2"))
+    assert got == want
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key state must accumulate across
+    micro-batches — after draining two identical files one-at-a-time,
+    the latest update row per key shows 2× the single-file totals."""
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "b.parquet")
+
+    stream = running_totals(stream_events(spark, str(src), max_files_per_trigger=1))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("st_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    want = {r.event_type: r["count"] * 2 for r in batch}
+    # memory sink in update mode appends one row per key per batch;
+    # the max n_events per key is the final cumulative state
+    rows = spark.table("st_totals").collect()
+    got: dict[str, int] = {}
+    for r in rows:
+        got[r.event_type] = max(got.get(r.event_type, 0), r.n_events)
     assert got == want
