@@ -1,0 +1,10 @@
+"""ETL table builders — the reference's product schema (SURVEY §1.4,
+§7 Phase 3) assembled from the operator library."""
+
+from .tables import (  # noqa: F401
+    annotations_long,
+    build_ani_table,
+    build_feature_table,
+    build_genome_table,
+    build_ontology_terms,
+)

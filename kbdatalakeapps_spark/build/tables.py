@@ -1,0 +1,246 @@
+"""Builders for the reference's per-clade product tables.
+
+Reference pipeline: berdl/berdl/tables/datalake_table.py builds a
+per-clade SQLite database (genome, ani, user_feature,
+pangenome_feature, ontology tables…).  Here each builder is a pure
+DataFrame → DataFrame function over FIXTURES.md-shaped inputs; sinks
+are the caller's choice (io.sinks).  Canonical storage for the
+dynamic-ontology feature tables is the LONG form (feature, ontology,
+term) — the wide '; '-joined pivot is an export-time reshape
+(SURVEY §7 "what's hard" #1).
+
+Every stage is a stock Catalyst plan: broadcast joins for the small
+maps, one pivot job with a declared column set, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import functions as kfn
+from ..operators import relational as rel
+
+# ---------------------------------------------------------------------------
+# genome table — datalake_table.py:84-171
+# ---------------------------------------------------------------------------
+
+
+def build_genome_table(
+    gtdb_meta: DataFrame,
+    member_ids: DataFrame,
+    user_genomes: DataFrame | None = None,
+) -> DataFrame:
+    """P1/P2/P4/U2: project GTDB metadata rows for the clade's GTDB ids
+    (restricted by semi-join, not a collected id list), label each row
+    clade_member / clade by membership, and append user genome rows
+    with kind='user' (datalake_table.py:121-171).
+
+    ``gtdb_meta``: accession, gtdb_taxonomy, ncbi_taxonomy, ncbi_taxid,
+    checkm_completeness, checkm_contamination, genome_size (the
+    multi-file GTDB TSV union, S4).  ``member_ids``: single ``genome``
+    column.  ``user_genomes``: already in output shape minus ``kind``.
+    """
+    members = F.broadcast(
+        member_ids.select(F.col("genome").alias("accession")).distinct()
+        .withColumn("_is_member", F.lit(True))
+    )
+    out = (
+        gtdb_meta.join(members, "accession", "left")
+        .select(
+            F.col("accession").alias("genome"),
+            "gtdb_taxonomy",
+            "ncbi_taxonomy",
+            "ncbi_taxid",
+            "checkm_completeness",
+            "checkm_contamination",
+            F.col("genome_size").alias("size"),
+            F.when(F.col("_is_member"), F.lit("clade_member"))
+            .otherwise(F.lit("clade"))
+            .alias("kind"),
+        )
+    )
+    if user_genomes is not None:
+        out = out.unionByName(
+            user_genomes.withColumn("kind", F.lit("user")), allowMissingColumns=True
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ani pair table — datalake_table.py:216-257
+# ---------------------------------------------------------------------------
+
+
+def build_ani_table(sources: list[DataFrame]) -> DataFrame:
+    """J8/W2: assemble the symmetric ANI pair table from prioritized
+    sources (clade > fitness > phenotype > members in the reference —
+    insertion order there, an explicit source rank here so the result
+    is deterministic under any partitioning).
+
+    Each source: genome1, genome2, ani, af1, af2.  Pair key is
+    unordered (least/greatest); first source wins per pair."""
+    tagged = None
+    for rank, src in enumerate(sources):
+        t = src.select(
+            *rel.unordered_pair_key(F.col("genome1"), F.col("genome2")),
+            F.lit(rank).alias("_rank"),
+            "genome1", "genome2", "ani", "af1", "af2",
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    deduped = rel.first_wins_dedup_agg(
+        tagged, ["pair_lo", "pair_hi"], ["_rank"]
+    )
+    return deduped.select("genome1", "genome2", "ani", "af1", "af2")
+
+
+# ---------------------------------------------------------------------------
+# feature tables — datalake_table.py:369-496 (user), :302-367 (members)
+# ---------------------------------------------------------------------------
+
+
+def annotations_long(annotation_frames: dict[str, DataFrame]) -> DataFrame:
+    """R3: per-tool annotation TSVs → canonical long (feature_id,
+    ontology, term) rows (annotation collector,
+    datalake_table.py:173-214).  Input frames have ``feature_id`` plus
+    one column per ontology with '; '-joined values (FIXTURES.md §2);
+    the column SETS may differ per frame — the union of observed
+    ontologies drives downstream pivot width."""
+    out = None
+    for _tool, df in sorted(annotation_frames.items()):
+        onts = [c for c in df.columns if c != "feature_id"]
+        stacked = df.select(
+            "feature_id",
+            F.expr(
+                "stack({n}, {args}) AS (ontology, raw)".format(
+                    n=len(onts),
+                    args=", ".join(f"'{c}', `{c}`" for c in onts),
+                )
+            ),
+        )
+        long = stacked.filter(F.col("raw").isNotNull()).select(
+            "feature_id",
+            "ontology",
+            F.explode(kfn.split_multi(F.col("raw"), "; ")).alias("term"),
+        )
+        out = long if out is None else out.unionByName(long)
+    return out
+
+
+def build_feature_table(
+    genome_tsv: DataFrame,
+    annotation_frames: dict[str, DataFrame],
+    mmseqs_pairs: DataFrame | None = None,
+    cluster_attrs: DataFrame | None = None,
+    ontologies: list[str] | None = None,
+    include_sequences: bool = True,
+) -> DataFrame:
+    """The user_feature table (datalake_table.py:369-496): genome TSV
+    rows enriched with derived columns, the dynamic ontology pivot, and
+    the content-hash cluster chain.
+
+    Derivations (all pure column expressions):
+      - strand-normalized start/end (F13, datalake_table.py:430-437)
+      - length = abs(end - start) (F11)
+      - gene name from aliases regex (F3, build_berdl_db.py:91-97)
+      - EC terms harvested from RAST function text (F1, :83-88)
+      - protein_sequence_hash = sha256(upper, '*'-stripped) (K1)
+    Cluster chain (J4): protein hash → mmseqs member→rep →
+    cluster attrs (pangenome_cluster, is_core) — both maps broadcast.
+    ``ontologies`` declares the pivot width; None discovers it from
+    the data (extra distinct job — fine at clade scale, avoid at lake
+    scale)."""
+    g = genome_tsv
+    norm = kfn.strand_normalized(F.col("start"), F.col("end"), F.col("strand"))
+    feats = g.select(
+        "genome",
+        F.col("gene_id").alias("feature_id"),
+        "contig",
+        norm.getField("start").alias("start"),
+        norm.getField("end").alias("end"),
+        "strand",
+        "type",
+        "aliases",
+        F.regexp_extract(F.col("aliases"), r"gene:([^;]+)", 1).alias("gene_name"),
+        kfn.feature_length(F.col("start"), F.col("end")).alias("length"),
+        kfn.extract_terms_joined(F.col("functions"), kfn.EC_PATTERN, sep="; ").alias(
+            "ontology_EC_from_functions"
+        ),
+        *(
+            [
+                "dna_sequence",
+                F.col("protein_translation").alias("protein_sequence"),
+            ]
+            if include_sequences
+            else []
+        ),
+        kfn.protein_hash(F.col("protein_translation")).alias(
+            "protein_sequence_hash"
+        ),
+    )
+
+    long = annotations_long(annotation_frames)
+    wide = rel.ontology_pivot(
+        long, ["feature_id"], ontologies=ontologies
+    )
+    out = feats.join(wide, "feature_id", "left")
+
+    if mmseqs_pairs is not None and cluster_attrs is not None:
+        # member hash → rep hash → (cluster, is_core); maps are small
+        # next to the feature table — broadcast both hops
+        rep_map = F.broadcast(
+            mmseqs_pairs.select(
+                F.col("member_hash").alias("protein_sequence_hash"),
+                F.col("rep_hash"),
+            ).dropDuplicates(["protein_sequence_hash"])
+        )
+        attrs = F.broadcast(
+            cluster_attrs.select(
+                F.col("mmseqs_rep_hash").alias("rep_hash"),
+                F.col("cluster_id").alias("pangenome_cluster"),
+                F.col("is_core").alias("pangenome_is_core"),
+            ).dropDuplicates(["rep_hash"])
+        )
+        out = (
+            out.join(rep_map, "protein_sequence_hash", "left")
+            .join(attrs, "rep_hash", "left")
+            .drop("rep_hash")
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ontology terms — KBDatalakeUtils.py:2196-2200, 2379-2421, 2693-2720
+# ---------------------------------------------------------------------------
+
+
+def build_ontology_terms(
+    statements: DataFrame,
+    terms: DataFrame,
+) -> DataFrame:
+    """J10/R2: harvested term identifiers enriched with label and
+    definition from the statements triple store (subject, predicate,
+    value), restricted by semi-join before the pivot.
+
+    ``terms``: (ontology_prefix, identifier) distinct rows."""
+    t = terms.dropDuplicates(["identifier"])
+    enriched = rel.predicate_pivot(
+        statements.join(
+            F.broadcast(t.select(F.col("identifier").alias("subject"))),
+            "subject",
+            "left_semi",
+        ),
+        "subject",
+        "predicate",
+        "value",
+        {"rdfs:label": "label", "IAO:0000115": "definition"},
+    )
+    return (
+        t.join(
+            enriched.withColumnRenamed("subject", "identifier"),
+            "identifier",
+            "left",
+        )
+        .select("ontology_prefix", "identifier", "label", "definition")
+        .orderBy("ontology_prefix", "identifier")
+    )

@@ -100,11 +100,19 @@ def ontology_pivot(
     storage format, this is an export-time reshape.
     """
     gb = df.groupBy(*key_cols).pivot(ontology_col, values=ontologies)
+    # the pivot agg must stay a bare aggregate expression (wrapping it
+    # in scalar functions corrupts the per-column routing); the
+    # empty-set '' → NULL normalization (reference's pandas NaN →
+    # SQLite NULL) is a post-projection
     out = gb.agg(F.concat_ws(sep, F.array_sort(F.collect_set(F.col(term_col)))))
-    renames = [c for c in out.columns if c not in key_cols]
-    for c in renames:
-        out = out.withColumnRenamed(c, f"{prefix}{c}")
-    return out
+    pivoted = [c for c in out.columns if c not in key_cols]
+    return out.select(
+        *key_cols,
+        *[
+            F.nullif(F.col(f"`{c}`"), F.lit("")).alias(f"{prefix}{c}")
+            for c in pivoted
+        ],
+    )
 
 
 def predicate_pivot(

@@ -1,0 +1,173 @@
+"""ETL builders (SURVEY §7 Phase 3) over FIXTURES.md-shaped synthetic
+inputs: genome-table projection/labeling, prioritized ANI pair dedup,
+the dynamic-width ontology pivot with varying per-tool column sets, the
+content-hash cluster chain, and ontology-term enrichment."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.build import (
+    annotations_long,
+    build_ani_table,
+    build_feature_table,
+    build_genome_table,
+    build_ontology_terms,
+)
+
+
+def sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def test_build_genome_table(spark):
+    gtdb = spark.createDataFrame(
+        [
+            ("RS_GCF_1", "d__B;s__X", "x", 11, 99.1, 0.5, 4_000_000),
+            ("RS_GCF_2", "d__B;s__Y", "y", 22, 98.0, 1.0, 3_500_000),
+        ],
+        "accession string, gtdb_taxonomy string, ncbi_taxonomy string,"
+        " ncbi_taxid long, checkm_completeness double,"
+        " checkm_contamination double, genome_size long",
+    )
+    members = spark.createDataFrame([("RS_GCF_2",)], "genome string")
+    users = spark.createDataFrame(
+        [("user_g1", None, None, None, None, None, 2_000_000)],
+        gtdb.schema,
+    ).withColumnRenamed("accession", "genome").withColumnRenamed(
+        "genome_size", "size"
+    )
+    out = build_genome_table(gtdb, members, users)
+    kinds = {r.genome: r.kind for r in out.collect()}
+    assert kinds == {
+        "RS_GCF_1": "clade",
+        "RS_GCF_2": "clade_member",
+        "user_g1": "user",
+    }
+
+
+def test_build_ani_table_priority(spark):
+    mk = lambda rows: spark.createDataFrame(
+        rows, "genome1 string, genome2 string, ani double, af1 double, af2 double"
+    )
+    clade = mk([("a", "b", 99.0, 0.9, 0.9)])
+    members = mk([("b", "a", 11.0, 0.1, 0.1), ("a", "c", 88.0, 0.8, 0.7)])
+    out = build_ani_table([clade, members])
+    got = {(r.genome1, r.genome2): r.ani for r in out.collect()}
+    # (a,b) appears in both (as b,a in the lower-priority source):
+    # the clade row wins; (a,c) only in members
+    assert got == {("a", "b"): 99.0, ("a", "c"): 88.0}
+
+
+def _genome_tsv(spark):
+    return spark.createDataFrame(
+        [
+            # minus strand: start > end on input, normalized by builder
+            ("g1", "f1", "c1", 300, 100, "-", "CDS",
+             "protein_id:WP1;gene:rpmH", "ATG", "mkvla*",
+             "Alcohol dehydrogenase (EC 1.1.1.1) / Acetaldehyde dismutase (EC 1.2.1.10)"),
+            ("g1", "f2", "c1", 400, 600, "+", "CDS",
+             "protein_id:WP2", "CCG", "GATTACA", "hypothetical protein"),
+        ],
+        "genome string, gene_id string, contig string, start int, end int,"
+        " strand string, type string, aliases string, dna_sequence string,"
+        " protein_translation string, functions string",
+    )
+
+
+def test_annotations_long_varying_columns(spark):
+    rast = spark.createDataFrame(
+        [("f1", "Alcohol dehydrogenase; Dismutase")], "feature_id string, RAST string"
+    )
+    bakta = spark.createDataFrame(
+        [("f1", "K00001", "COG0001; COG0002"), ("f2", "K02914", None)],
+        "feature_id string, KEGG string, COG string",
+    )
+    long = annotations_long({"rast": rast, "bakta": bakta})
+    got = sorted((r.feature_id, r.ontology, r.term) for r in long.collect())
+    assert ("f1", "COG", "COG0001") in got
+    assert ("f1", "COG", "COG0002") in got
+    assert ("f1", "RAST", "Alcohol dehydrogenase") in got
+    assert ("f2", "KEGG", "K02914") in got
+    # union of ontologies across frames with different column sets
+    assert {r.ontology for r in long.collect()} == {"RAST", "KEGG", "COG"}
+
+
+def test_build_feature_table(spark):
+    g = _genome_tsv(spark)
+    ann = {
+        "kofam": spark.createDataFrame(
+            [("f1", "K00001; K00002")], "feature_id string, KEGG string"
+        ),
+        "psortb": spark.createDataFrame(
+            [("f2", "Cytoplasmic")],
+            "feature_id string, primary_localization_psortb string",
+        ),
+    }
+    h1 = sha("MKVLA")  # upper-cased, trailing '*' stripped
+    mmseqs = spark.createDataFrame(
+        [("REP1", h1)], "rep_hash string, member_hash string"
+    )
+    clusters = spark.createDataFrame(
+        [("REP1", "cl_7", 1)], "mmseqs_rep_hash string, cluster_id string, is_core int"
+    )
+    out = build_feature_table(g, ann, mmseqs, clusters).collect()
+    rows = {r.feature_id: r for r in out}
+
+    f1, f2 = rows["f1"], rows["f2"]
+    # F13 strand swap + F11 length
+    assert (f1.start, f1.end, f1.length) == (100, 300, 200)
+    assert (f2.start, f2.end) == (400, 600)
+    # F3 gene alias
+    assert f1.gene_name == "rpmH" and f2.gene_name == ""
+    # F1 EC harvest from function text
+    assert f1.ontology_EC_from_functions == "1.1.1.1; 1.2.1.10"
+    # K1 content hash + J4 chain
+    assert f1.protein_sequence_hash == h1
+    assert (f1.pangenome_cluster, f1.pangenome_is_core) == ("cl_7", 1)
+    assert f2.pangenome_cluster is None
+    # R1 dynamic pivot: sorted '; '-joined sets, per-tool columns united
+    assert f1.ontology_KEGG == "K00001; K00002"
+    assert f2.ontology_primary_localization_psortb == "Cytoplasmic"
+    assert f1.ontology_primary_localization_psortb is None
+
+
+def test_build_feature_table_declared_ontologies_and_pruning(spark):
+    g = _genome_tsv(spark)
+    ann = {
+        "kofam": spark.createDataFrame(
+            [("f1", "K00001")], "feature_id string, KEGG string"
+        )
+    }
+    out = build_feature_table(
+        g, ann, ontologies=["KEGG", "COG"], include_sequences=False
+    )
+    assert "dna_sequence" not in out.columns
+    assert "protein_sequence" not in out.columns
+    # declared pivot width appears even when a column has no data
+    assert "ontology_COG" in out.columns
+    assert out.filter(F.col("ontology_KEGG") == "K00001").count() == 1
+
+
+def test_build_ontology_terms(spark):
+    statements = spark.createDataFrame(
+        [
+            ("K00001", "rdfs:label", "alcohol dehydrogenase"),
+            ("K00001", "IAO:0000115", "An enzyme that…"),
+            ("K00001", "oio:hasDbXref", "RN:R07326"),  # filtered out
+            ("GO:1", "rdfs:label", "thing"),
+        ],
+        "subject string, predicate string, value string",
+    )
+    terms = spark.createDataFrame(
+        [("KEGG", "K00001"), ("KEGG", "K99999")],
+        "ontology_prefix string, identifier string",
+    )
+    out = {r.identifier: (r.label, r.definition) for r in
+           build_ontology_terms(statements, terms).collect()}
+    assert out == {
+        "K00001": ("alcohol dehydrogenase", "An enzyme that…"),
+        "K99999": (None, None),  # unknown term kept, null-enriched
+    }
