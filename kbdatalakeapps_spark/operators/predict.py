@@ -1,0 +1,92 @@
+"""Batch model scoring — SURVEY §2.11 K3/K4.
+
+The reference invokes pickled classifiers row-batch-wise on feature
+matrices built from annotation columns (KNN genome classifier,
+lib/KBDatalakeApps/utils.py:147-162; CatBoost phenotype prediction,
+berdl/berdl/prediction/phenotype.py:20-63).  The engine-side contract
+is a model-agnostic Arrow-batched scoring stage:
+
+* features assembled as columns (one-hot membership / counts are plain
+  expressions — no Python in the feature path);
+* the model is broadcast once per executor, applied per Arrow batch
+  with ``mapInPandas`` — never per row.
+
+The model libraries (sklearn/catboost) are not in this container, so
+``predictor`` is any picklable callable ``pd.DataFrame -> Sequence``;
+tests use a deterministic closed-form scorer.  A real pickled model
+plugs in unchanged (``lambda pdf: model.predict(pdf.values)``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Predictor = Callable[[pd.DataFrame], Sequence]
+
+
+def one_hot_features(
+    df: DataFrame,
+    id_col: str,
+    term_col: str,
+    vocabulary: list[str],
+    prefix: str = "f_",
+) -> DataFrame:
+    """K4 feature assembly: long (id, term) rows → fixed-width 0/1
+    matrix over a declared vocabulary (phenotype.py builds the same
+    from SSO/KO columns).  One groupBy with max(term==v) per column —
+    map-side combined, width = |vocabulary|."""
+    aggs = [
+        F.max((F.col(term_col) == v).cast("int")).alias(f"{prefix}{v}")
+        for v in vocabulary
+    ]
+    return df.groupBy(id_col).agg(*aggs)
+
+
+def batch_predict(
+    df: DataFrame,
+    predictor: Predictor,
+    feature_cols: list[str],
+    id_col: str,
+    output_type: T.DataType | str = "string",
+    output_col: str = "prediction",
+) -> DataFrame:
+    """Score every row with an Arrow-batched ``mapInPandas`` stage.
+
+    ``predictor`` receives the feature columns of one Arrow batch as a
+    pandas DataFrame and returns one prediction per row; Spark streams
+    batches so executor memory is bounded regardless of table size."""
+    spark_type = (
+        output_type
+        if isinstance(output_type, T.DataType)
+        else getattr(T, "_parse_datatype_string")(output_type)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField(output_col, spark_type),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            preds = predictor(pdf[feature_cols])
+            yield pd.DataFrame({id_col: pdf[id_col], output_col: list(preds)})
+
+    return df.select(id_col, *feature_cols).mapInPandas(score, out_schema)
+
+
+def classify_with_threshold(
+    score: Column, bands: list[tuple[float, str]], default: str
+) -> Column:
+    """K3-style post-prediction banding as a pure when-chain (the
+    reference maps classifier output → {A,C,N,P} → PSORTb flags)."""
+    expr = None
+    for threshold, label in bands:
+        cond = score >= threshold
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise(default) if expr is not None else F.lit(default)

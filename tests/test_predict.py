@@ -1,0 +1,46 @@
+"""Batch scoring stage (K3/K4): one-hot feature assembly + Arrow-batched
+model application with a deterministic stand-in predictor."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.operators.predict import (
+    batch_predict,
+    classify_with_threshold,
+    one_hot_features,
+)
+
+
+def test_one_hot_features(spark):
+    long = spark.createDataFrame(
+        [("g1", "K1"), ("g1", "K3"), ("g2", "K2"), ("g2", "K9")],
+        "genome string, term string",
+    )
+    out = {r.genome: (r.f_K1, r.f_K2, r.f_K3) for r in
+           one_hot_features(long, "genome", "term", ["K1", "K2", "K3"]).collect()}
+    assert out == {"g1": (1, 0, 1), "g2": (0, 1, 0)}  # K9 outside vocab dropped
+
+
+def test_batch_predict(spark):
+    feats = spark.createDataFrame(
+        [("g1", 1, 0), ("g2", 0, 1), ("g3", 1, 1)],
+        "genome string, f_a int, f_b int",
+    )
+
+    def fake_model(pdf):
+        # deterministic stand-in for model.predict(pdf.values)
+        return ["P" if a and b else ("A" if a else "N") for a, b in
+                zip(pdf["f_a"], pdf["f_b"])]
+
+    out = {r.genome: r.prediction for r in
+           batch_predict(feats, fake_model, ["f_a", "f_b"], "genome").collect()}
+    assert out == {"g1": "A", "g2": "N", "g3": "P"}
+
+
+def test_classify_with_threshold(spark):
+    df = spark.createDataFrame([(0.95,), (0.6,), (0.1,)], "score double")
+    cls = classify_with_threshold(
+        F.col("score"), [(0.9, "high"), (0.5, "mid")], "low"
+    )
+    assert [r[0] for r in df.select(cls).collect()] == ["high", "mid", "low"]

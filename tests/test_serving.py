@@ -1,0 +1,136 @@
+"""Serving layer + filter DSL (SURVEY §2.2 P10/P11, §2.4 A13-A15,
+§2.5 W3, §3.3): the viewer request surface end-to-end on DataFrames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from kbdatalakeapps_spark.filter_dsl import parse_filter_input
+from kbdatalakeapps_spark.serving import (
+    TableDataRequest,
+    column_stats,
+    exists,
+    table_data,
+    table_data_plan,
+)
+
+
+# ---------------------------------------------------------------------------
+# micro-grammar unit matrix (filter-parser-HXU3E1Qm.js parseFilterInput)
+# ---------------------------------------------------------------------------
+
+GRAMMAR_CASES = [
+    # text, numeric, (operator, value, value2)
+    ("null", False, ("is_null", None, None)),
+    ("not null", False, ("is_not_null", None, None)),
+    ("<=5", True, ("lte", 5, None)),
+    (">2.5", True, ("gt", 2.5, None)),
+    ("between 1 and 9", True, ("between", 1, 9)),
+    ("3..7", True, ("between", 3, 7)),
+    ("3-7", True, ("between", 3, 7)),
+    ("a,b,c", False, ("in", ["a", "b", "c"], None)),
+    ("!a,b", False, ("not_in", ["a", "b"], None)),
+    ("!=4", True, ("ne", 4, None)),
+    ("!x", False, ("ne", "x", None)),
+    ("=abc", False, ("eq", "abc", None)),
+    ("42", True, ("eq", 42, None)),
+    ("hello", False, ("ilike", "hello", None)),
+]
+
+
+@pytest.mark.parametrize("text,numeric,expect", GRAMMAR_CASES)
+def test_parse_filter_input(text, numeric, expect):
+    spec = parse_filter_input(text, numeric)
+    assert (spec.operator, spec.value, spec.value2) == expect
+
+
+def test_parse_empty_is_none():
+    assert parse_filter_input("   ", False) is None
+
+
+# ---------------------------------------------------------------------------
+# request flows
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def viewer_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, name="alpha", score=10.0, grp="a"),
+            Row(id=2, name="Beta", score=None, grp="a"),
+            Row(id=3, name="gamma", score=30.0, grp="b"),
+            Row(id=4, name="delta", score=20.0, grp="b"),
+            Row(id=5, name="Epsilon", score=5.0, grp="a"),
+        ]
+    )
+
+
+def test_filter_sort_page_total(viewer_df):
+    req = TableDataRequest(
+        limit=2,
+        offset=1,
+        sort_column="score",
+        sort_order="DESC",
+        col_filter={"score": ">=5"},
+    )
+    out = table_data(viewer_df, req)
+    assert out["total_count"] == 4          # A15: count on filtered plan
+    assert [r[0] for r in out["data"]] == [4, 1]  # page 2 of score desc
+
+
+def test_nulls_last_sort(viewer_df):
+    # W3: the viewer re-sorts nulls last regardless of direction
+    req = TableDataRequest(limit=10, sort_column="score", sort_order="ASC")
+    rows = table_data_plan(viewer_df, req).collect()
+    assert rows[-1].score is None
+
+
+def test_text_contains_and_structured_filters(viewer_df):
+    req = TableDataRequest(
+        col_filter={"name": "eta"},  # bare text → ilike contains (Beta, gamma... 'eta'∈Beta? 'beta' contains 'eta' → yes)
+        filters=[{"column": "id", "operator": "lte", "value": 3}],
+    )
+    got = sorted(r.name for r in table_data_plan(viewer_df, req).collect())
+    assert got == ["Beta"]
+
+
+def test_global_search(viewer_df):
+    req = TableDataRequest(search_value="LT")  # matches 'delta' (case-insensitive)
+    got = [r.name for r in table_data_plan(viewer_df, req).collect()]
+    assert got == ["delta"]
+
+
+def test_aggregation_panel(viewer_df):
+    req = TableDataRequest(
+        group_by=["grp"],
+        aggregations=[
+            {"column": "score", "function": "avg"},
+            {"column": "id", "function": "distinct_count"},
+        ],
+    )
+    out = {r["grp"]: (r["avg_score"], r["distinct_count_id"]) for r in
+           table_data_plan(viewer_df, req).collect()}
+    assert out["a"] == (7.5, 3)
+    assert out["b"] == (25.0, 2)
+
+
+def test_column_stats_exact_and_approx(viewer_df):
+    exact = column_stats(viewer_df, "score", exact=True)
+    assert exact["total_count"] == 5
+    assert exact["null_count"] == 1
+    assert exact["distinct_count"] == 4
+    assert exact["min"] == 5.0 and exact["max"] == 30.0
+    assert exact["median"] == 15.0  # even n: mean of two middle (10, 20)
+    approx = column_stats(viewer_df, "score", exact=False)
+    assert approx["total_count"] == 5
+    assert approx["median"] in (10.0, 20.0)  # percentile_approx picks a sample
+
+    text_stats = column_stats(viewer_df, "name")
+    assert "median" not in text_stats  # F23 numeric gating
+
+
+def test_exists_probe(viewer_df):
+    assert exists(viewer_df, TableDataRequest(search_value="gamma"))
+    assert not exists(viewer_df, TableDataRequest(search_value="zzz"))
