@@ -1,0 +1,110 @@
+"""Lake query API — SURVEY §3.2/§7 Phase 4.
+
+The reference exposes query classes over the pangenome lake
+(QueryPangenomeLocal: clade members, gene clusters, ANI rows —
+berdl/berdl/query/query_pangenome_local.py:16-56), the normalized CDM
+genome store (QueryGenomeLocal 6-way reassembly,
+query_genome_local.py:46-105) and ontology statements
+(query_ontology_local.py).  Each method there is scan → filter →
+select → collect; here each returns a lazy DataFrame and Catalyst owns
+pushdown, so composing further operators never re-reads.
+
+Scale notes per method inline; the governing pattern: restrict by
+broadcast semi-join on an id frame (never a collected id list — the
+reference's ``is_in(python_set)`` stops scaling at ~100K ids), and
+keep heavy tables partitioned by their join key so the semi-join
+prunes partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PangenomeLake:
+    """Typed views over a pangenome lake directory laid out as
+    ``{root}/{table}`` parquet collections (gene_cluster, genome_ani,
+    gene_genecluster_junction, gtdb_species_clade, …) — the local
+    mirror of the reference's 100+ GB parquet corpus
+    (query_pangenome_parquet.py:4-21: tables to 1B rows)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def table(self, name: str) -> DataFrame:
+        """S1/S2: lazy partition-discovering scan."""
+        return self.spark.read.parquet(os.path.join(self.root, name))
+
+    def clade_members(self, clade_id: str) -> DataFrame:
+        """P3 equality filter on the (small) clade table
+        (query_pangenome_local.py:28-29)."""
+        return self.table("gtdb_species_clade").filter(
+            F.col("gtdb_species_clade_id") == clade_id
+        )
+
+    def gene_clusters(self, clade_id: str) -> DataFrame:
+        """P3 over the 132M-row cluster table — the filter pushes to
+        parquet; partition the collection by clade for pruning."""
+        return self.table("gene_cluster").filter(
+            F.col("gtdb_species_clade_id") == clade_id
+        )
+
+    def ani_rows(self, genome_id: str) -> DataFrame:
+        """P5 disjunctive pair filter (query_pangenome_local.py:52-56)
+        over the 421M-row ANI table; both disjuncts push down."""
+        return self.table("genome_ani").filter(
+            (F.col("genome1_id") == genome_id) | (F.col("genome2_id") == genome_id)
+        )
+
+    def junction_for_clusters(self, cluster_ids: DataFrame) -> DataFrame:
+        """J7 semi-join restriction of the 1B-row junction table by a
+        cluster-id frame — replaces the reference's per-cluster
+        paginated REST loop (query_pangenome_berdl.py:259-268) with one
+        co-partitioned semi-join."""
+        return self.table("gene_genecluster_junction").join(
+            F.broadcast(cluster_ids), "gene_cluster_id", "left_semi"
+        )
+
+
+def reassemble_cdm_features(
+    feature: DataFrame,
+    contig_x_feature: DataFrame,
+    feature_x_protein: DataFrame,
+    protein: DataFrame,
+    names: DataFrame,
+    genome_ids: DataFrame | None = None,
+) -> DataFrame:
+    """J5: the 6-way star reassembly of the normalized CDM store
+    (query_genome_local.py:46-105) — features ⋈ contig junction ⋈
+    protein junction ⋈ protein ⋈ entity-name lookups.
+
+    Junction/lookup tables broadcast when small; with all sides large,
+    bucket every table by the shared surrogate id so the joins are
+    co-located.  Restriction by ``genome_ids`` (left-semi) happens
+    FIRST so Catalyst prunes the star before any wide join."""
+    f = feature
+    if genome_ids is not None:
+        f = f.join(F.broadcast(genome_ids), "genome_id", "left_semi")
+    feat_names = names.select(
+        F.col("entity_id").alias("feature_entity_id"),
+        F.col("name").alias("feature_name"),
+    )
+    contig_names = names.select(
+        F.col("entity_id").alias("contig_id"), F.col("name").alias("contig_name")
+    )
+    return (
+        f.join(contig_x_feature, "feature_id", "left")
+        .join(feature_x_protein, "feature_id", "left")
+        .join(protein, "protein_id", "left")
+        .join(
+            F.broadcast(feat_names),
+            f["feature_id"] == feat_names["feature_entity_id"],
+            "left",
+        )
+        .join(F.broadcast(contig_names), "contig_id", "left")
+        .drop("feature_entity_id")
+    )

@@ -1,0 +1,62 @@
+"""Lake facade (SURVEY §3.2): clade/cluster/ANI views over a parquet
+lake directory and the 6-way CDM star reassembly."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from kbdatalakeapps_spark.lake import PangenomeLake, reassemble_cdm_features
+
+
+def _write(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+
+
+def test_pangenome_lake_views(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    _write(spark, f"{root}/gtdb_species_clade",
+           [("cl1", "RS_GCF_1"), ("cl1", "RS_GCF_2"), ("cl2", "RS_GCF_3")],
+           "gtdb_species_clade_id string, genome_id string")
+    _write(spark, f"{root}/gene_cluster",
+           [("cl1", "gc1"), ("cl2", "gc2"), ("cl1", "gc3")],
+           "gtdb_species_clade_id string, gene_cluster_id string")
+    _write(spark, f"{root}/genome_ani",
+           [("RS_GCF_1", "RS_GCF_2", 99.0), ("RS_GCF_2", "RS_GCF_3", 80.0),
+            ("RS_GCF_3", "RS_GCF_4", 70.0)],
+           "genome1_id string, genome2_id string, ani double")
+    _write(spark, f"{root}/gene_genecluster_junction",
+           [("gc1", "f1"), ("gc2", "f2"), ("gc3", "f3")],
+           "gene_cluster_id string, feature_id string")
+
+    lake = PangenomeLake(spark, root)
+    assert lake.clade_members("cl1").count() == 2
+    assert {r.gene_cluster_id for r in lake.gene_clusters("cl1").collect()} == {
+        "gc1", "gc3"
+    }
+    # disjunctive filter catches the genome on either side
+    assert lake.ani_rows("RS_GCF_2").count() == 2
+    cluster_ids = lake.gene_clusters("cl1").select("gene_cluster_id")
+    got = {r.feature_id for r in
+           lake.junction_for_clusters(cluster_ids).collect()}
+    assert got == {"f1", "f3"}
+
+
+def test_reassemble_cdm_features(spark):
+    feature = spark.createDataFrame(
+        [Row(feature_id="f1", genome_id="g1"), Row(feature_id="f2", genome_id="g2")]
+    )
+    cxf = spark.createDataFrame([Row(feature_id="f1", contig_id="c1"),
+                                 Row(feature_id="f2", contig_id="c2")])
+    fxp = spark.createDataFrame([Row(feature_id="f1", protein_id="p1")])
+    protein = spark.createDataFrame([Row(protein_id="p1", hash="H1", sequence="MKV")])
+    names = spark.createDataFrame(
+        [Row(entity_id="f1", name="thrA"), Row(entity_id="c1", name="chr1"),
+         Row(entity_id="c2", name="chr2")]
+    )
+    only_g1 = spark.createDataFrame([Row(genome_id="g1")])
+    out = reassemble_cdm_features(feature, cxf, fxp, protein, names, only_g1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.feature_id, r.contig_name, r.feature_name, r.sequence) == (
+        "f1", "chr1", "thrA", "MKV"
+    )
