@@ -34,9 +34,13 @@ BENCH_QUERIES = [
     "dd_exact_dedup",           # hash dedup
     "dd_minhash_lsh_pairs",     # minhash LSH near-dup discovery
     "dd_simhash",               # simhash fingerprints
+    "dd_embedding_neardup",     # sign-LSH embedding near-dup pairs
     "tx_text_stats",            # text quality stats
     "tx_language_id",           # language ID
     "sim_cosine_topk",          # brute-force ANN baseline
+    "j4_multihop_hash_chain",   # content-hash join chain
+    "f20_json_flatten",         # JSON parse + agg
+    "st_tumbling_counts",       # tumbling-window rollup (streaming twin)
 ]
 
 

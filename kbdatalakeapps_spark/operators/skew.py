@@ -1,0 +1,74 @@
+"""Skew mitigation — SURVEY §7 Phase 5.
+
+The pangenome lake's hot keys are real: the 1B-row
+gene_genecluster_junction concentrates on large clusters
+(query_pangenome_berdl.py:40 "may timeout"), and near-dup corpora
+concentrate on viral/boilerplate buckets.  AQE's skew-join splitting
+(on in session.py) handles sort-merge joins; these utilities cover the
+two cases AQE does not: skewed *aggregations*, and broadcast-ineligible
+joins where one side's hot keys need replication.
+
+  salted_aggregate — two-phase agg: (key, salt) partial → key final.
+  salted_join      — explode the small side over the salt domain of
+                     the hot keys only; cold keys join unsalted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Callable[[], list[Column]],
+    final_aggs: Callable[[], list[Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed grouping keys: phase 1 groups
+    by (keys…, random salt) so a hot key spreads over ``n_salts``
+    reducers; phase 2 merges the partials per key.
+
+    ``partial_aggs`` / ``final_aggs`` build the two agg lists (e.g.
+    partial ``sum(x) as s`` → final ``sum(s) as s``): algebraic
+    aggregates only (sum/count/min/max) — the same decomposition Spark
+    itself uses map-side.  Prefer plain groupBy unless a key is hot
+    enough to dominate a straggler task: the extra shuffle costs ~2×
+    on uniform data."""
+    salted = df.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs())
+    return partial.groupBy(*keys).agg(*final_aggs())
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Inner equi-join where ``large`` has a handful of hot ``key``
+    values (``hot_keys``: one column named ``key``) too big for one
+    task and ``small`` is too large to broadcast outright.
+
+    Hot rows of ``large`` get a random salt; hot rows of ``small`` are
+    replicated across all salts (explode over the salt domain) — so a
+    hot key's pairs spread over ``n_salts`` tasks.  Cold keys pass
+    through with a constant salt (no replication).  Equivalent rows,
+    balanced tasks."""
+    hot = F.broadcast(hot_keys.select(F.col(key)).withColumn("_hot", F.lit(True)))
+    l = large.join(hot, key, "left").withColumn(
+        "_salt",
+        F.when(F.col("_hot"), (F.rand(seed=11) * n_salts).cast("int")).otherwise(0),
+    ).drop("_hot")
+    s = small.join(hot, key, "left").withColumn(
+        "_salts",
+        F.when(
+            F.col("_hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))
+        ).otherwise(F.array(F.lit(0))),
+    ).drop("_hot")
+    s = s.withColumn("_salt", F.explode("_salts")).drop("_salts")
+    return l.join(s, [key, "_salt"]).drop("_salt")

@@ -1,0 +1,52 @@
+"""Skew utilities: salted aggregation and hot-key-replicated join must
+produce exactly the unsalted results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.operators.skew import salted_aggregate, salted_join
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    plain = {
+        (r.k): (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.s, r.n)
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            lambda: [F.sum("v").alias("_s"), F.count("*").alias("_n")],
+            lambda: [F.sum("_s").alias("s"), F.sum("_n").alias("n")],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    # key "hot" dominates the large side
+    large = spark.range(5_000).select(
+        F.when(F.col("id") % 10 < 8, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id") % 7)
+        ).alias("key"),
+        F.col("id").alias("lv"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("k1", 3), ("k2", 4)], "key string, sv int"
+    )
+    hot = spark.createDataFrame([("hot",)], "key string")
+    plain = sorted(
+        (r.key, r.lv, r.sv) for r in large.join(small, "key").collect()
+    )
+    got = sorted(
+        (r.key, r.lv, r.sv)
+        for r in salted_join(large, small, "key", hot, n_salts=4).collect()
+    )
+    assert got == plain
