@@ -129,3 +129,49 @@ def test_merge_upsert(spark):
         2: ("y", 99, "new"),     # updated col wins, base col kept
         3: (None, 30, "row"),    # inserted row
     }
+
+
+def test_sqlite_roundtrip(spark, tmp_path):
+    from kbdatalakeapps_spark.io.sqlite import read_sqlite, write_sqlite
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5, True), (2, "beta", None, False)],
+        "id long, name string, score double, flag boolean",
+    )
+    db = str(tmp_path / "db.sqlite")
+    n = write_sqlite(df, db, "genome")
+    assert n == 2
+    back = read_sqlite(spark, db, "genome")
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "bigint", "string", "double", "boolean",
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_sqlite_append_mode(spark, tmp_path):
+    from kbdatalakeapps_spark.io.sqlite import read_sqlite, write_sqlite
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    db = str(tmp_path / "db.sqlite")
+    write_sqlite(df, db, "t")
+    write_sqlite(df, db, "t", mode="append")
+    assert read_sqlite(spark, db, "t").count() == 2
+
+
+def test_multimodal_sample_frames(spark):
+    from kbdatalakeapps_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"0123456789"), ("video/mp4", None, None, 2500)),
+            (2, bytearray(b"xy"), ("video/mp4", None, None, 800)),
+        ],
+        "media_id long, content binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    out = sample_frames(media, every_ms=1000).collect()
+    got = {(r.media_id, r.frame_ts_ms) for r in out}
+    # 2500 ms @ 1 Hz → ts 0,1000,2000; 800 ms → ts 0 only
+    assert got == {(1, 0), (1, 1000), (1, 2000), (2, 0)}
+    # deterministic fake decode: stable per (content, ts) identity
+    assert all(len(r.frame_sha256) == 64 for r in out)
