@@ -199,6 +199,135 @@ def embedding_neardup_pairs(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column, pure
+    DataFrame ops: init = the k vectors with smallest ids (stable),
+    each iteration = assign-to-nearest (broadcast centroids, zip_with
+    distance) + mean-per-cluster (posexplode → groupBy(cluster, pos)).
+
+    Iterative driver loop with a fixed iteration budget — each round is
+    one narrow pass + one shuffle of |vectors|×dim (pos, value) rows;
+    centroids stay tiny and broadcast.  Returns (centroid_id, centroid:
+    array<double>)."""
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    # stable centroid ids 0..k-1 by insertion order of the sorted take
+    init_rows = [r.centroid for r in init.collect()]
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(init_rows)],
+        "centroid_id int, centroid array<double>",
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    for _ in range(iterations):
+        assigned = _assign_nearest(vecs, centroids)
+        exploded = assigned.select(
+            "centroid_id", F.posexplode("vec").alias("pos", "v")
+        )
+        centroids = (
+            exploded.groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def _assign_nearest(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, vec, centroid_id) with centroid_id = argmin squared L2 —
+    broadcast centroids, min-of-struct argmin (no window)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("vec"), F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "id", "vec", F.struct(d2.alias("d"), F.col("centroid_id")).alias("s")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.min("s").alias("best"), F.first("vec").alias("vec"))
+        .select("id", "vec", F.col("best.centroid_id").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed by
+    nearest centroid (the index); each query probes its ``nprobe``
+    nearest lists and scores only those candidates exactly.
+
+    The scale shape: the index assignment is one narrow pass; search
+    cost is |queries| × (corpus/k) × nprobe instead of |queries| ×
+    corpus.  Recall grows with nprobe (probe all k lists = exact)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    inv = _assign_nearest(c, centroids).select(
+        F.col("id").alias("corpus_id"),
+        F.col("vec").alias("cvec"),
+        "centroid_id",
+    )
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("vec"), F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("id").orderBy(F.col("d"), F.col("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("id", "vec", "centroid_id", d2.alias("d"))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "centroid_id")
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def pairwise_cosine_exploded(
     left: DataFrame,
     right: DataFrame,

@@ -688,6 +688,18 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(emb, n_sign_bits=8, threshold=0.8)
 
 
+@query("sim_ivf_topk")  # rows-only: iterative k-means index, not SQL-expressible
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means inverted lists, nprobe=2 probe
+    search, exact cosine inside probed lists.  Driver check is
+    rows-only (the k-means iteration has no single-statement SQL twin);
+    recall vs brute force is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, k=8, iterations=2)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return sim.ivf_topk(emb, qs, cents, k=5, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: binary content columns — JVM-side stats (exact dedup
 # keys) and the Arrow-batched feature-extraction stub.
