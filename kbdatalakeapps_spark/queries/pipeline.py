@@ -171,6 +171,49 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.col("id").alias("doc_id"), "simhash")
 
 
+_SIMHASH_CTE = """
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        FROM toks WHERE token <> ''
+    ),
+    votes AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed, generate_series(0, 31) b(bit)
+        GROUP BY doc_id, bit
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dd_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    blocked AS (SELECT doc_id, simhash, simhash >> 24 AS block FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: 8-bit prefix block bounds the
+    self-join; hamming distance ≤ 6 within blocks."""
+    return dd.simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, prefix_bits=8, max_hamming=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

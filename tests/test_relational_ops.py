@@ -1,0 +1,44 @@
+"""Direct operator tests for relational combinators not fully pinned
+by the oracle queries: dedup→compute→fanout and the agg-form dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.operators.relational import (
+    dedup_compute_fanout,
+    first_wins_dedup,
+    first_wins_dedup_agg,
+)
+
+
+def test_dedup_compute_fanout_runs_once_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5)], "k string, v int"
+    )
+    calls = []
+
+    def expensive(uniq):
+        # record how many distinct keys reach the compute stage
+        keys = sorted(r._key for r in uniq.collect())
+        calls.append(keys)
+        return uniq.withColumn("computed", F.upper(F.col("_key")))
+
+    out = dedup_compute_fanout(df, "k", expensive)
+    got = sorted((r.k, r.v, r.computed) for r in out.collect())
+    assert got == [
+        ("a", 1, "A"), ("a", 2, "A"), ("b", 3, "B"), ("b", 4, "B"), ("c", 5, "C"),
+    ]
+    assert calls == [["a", "b", "c"]]  # once, over distinct keys only
+
+
+def test_first_wins_dedup_window_and_agg_agree(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "late"), ("k1", 1, "early"), ("k2", 5, "only")],
+        "k string, prio int, payload string",
+    )
+    w = first_wins_dedup(df, ["k"], [F.col("prio").asc()])
+    a = first_wins_dedup_agg(df, ["k"], ["prio"])
+    got_w = sorted(map(tuple, w.collect()))
+    got_a = sorted(map(tuple, a.select(*w.columns).collect()))
+    assert got_w == got_a == [("k1", 1, "early"), ("k2", 5, "only")]
