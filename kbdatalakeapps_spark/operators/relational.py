@@ -58,9 +58,12 @@ def first_wins_dedup_agg(
     key_cols: list[str],
     order_cols: list[str],
 ) -> DataFrame:
-    """first_wins_dedup for all-ascending column priorities as ONE hash
-    aggregation: min(struct(order_cols…, remaining_cols…)) per key —
-    map-side combine, no per-group sort, no row_number.  The struct
+    """first_wins_dedup for all-ascending column priorities as ONE
+    aggregation: min(struct(order_cols…, remaining_cols…)) per key.
+    Struct buffers make this a SortAggregate (local sort by group key),
+    but the partial/final split still map-side combines — the shuffle
+    carries at most one row per key per map partition, vs the window
+    form shuffling EVERY row to sort within groups.  The struct
     comparison is lexicographic, so when the priority tuple ties, the
     remaining columns break the tie deterministically (document that in
     the caller's oracle).  Preferred at scale; use first_wins_dedup for

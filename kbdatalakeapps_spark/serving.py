@@ -155,3 +155,50 @@ def column_stats(df: DataFrame, column: str, exact: bool = True) -> dict:
 def exists(df: DataFrame, req: TableDataRequest) -> bool:
     """O5: LIMIT-1 existence probe used by search-across-tables."""
     return not _filtered(df, req).limit(1).isEmpty()
+
+
+class ServingCache:
+    """Result cache for the serving layer — the reference caches viewer
+    responses for 300 s client-side and the server reports ``cached`` +
+    ``execution_time_ms`` per query (main-BeiTHiEY.js cacheTTL=3e5,
+    response fields ~151571).  TTL + LRU bound staleness and memory;
+    only the paged/aggregated RESULT (≤ page rows) is stored, never a
+    DataFrame."""
+
+    def __init__(self, ttl_s: float = 300.0, max_entries: int = 256, clock=None):
+        import time as _time
+
+        self.ttl_s = ttl_s
+        self.max_entries = max_entries
+        self._clock = clock or _time.monotonic
+        self._store: dict = {}  # key -> (expires_at, response)
+
+    @staticmethod
+    def request_key(table: str, req: TableDataRequest) -> tuple:
+        return (
+            table, req.limit, req.offset, req.sort_column, req.sort_order,
+            tuple(sorted(req.col_filter.items())),
+            tuple(tuple(sorted(f.items())) for f in req.filters),
+            tuple(tuple(sorted(a.items())) for a in req.aggregations),
+            tuple(req.group_by), req.search_value,
+        )
+
+    def table_data(self, df: DataFrame, table: str, req: TableDataRequest) -> dict:
+        """``table_data`` with caching; response gains ``cached`` and
+        ``execution_time_ms`` (reference response shape)."""
+        import time as _time
+
+        key = self.request_key(table, req)
+        now = self._clock()
+        hit = self._store.get(key)
+        if hit is not None and hit[0] > now:
+            self._store[key] = self._store.pop(key)  # LRU touch
+            return {**hit[1], "cached": True}
+        t0 = _time.perf_counter()
+        resp = table_data(df, req)
+        resp["execution_time_ms"] = round((_time.perf_counter() - t0) * 1000, 1)
+        self._store.pop(key, None)
+        self._store[key] = (now + self.ttl_s, resp)
+        while len(self._store) > self.max_entries:
+            self._store.pop(next(iter(self._store)))
+        return {**resp, "cached": False}

@@ -1,0 +1,63 @@
+"""Physical-plan invariants (SURVEY §4): the optimizations the engine
+relies on at 100 TB must be visible in the plans, not just intended —
+filter/projection pushdown into parquet scans, broadcast dimension
+joins, agg-form dedup without Window/Sort, countDistinct without
+Expand over the fact rows."""
+
+from __future__ import annotations
+
+from kbdatalakeapps_spark.queries import QUERIES
+
+from .conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_scan_pushdown_and_pruning(spark):
+    p = plan_of(spark, "s1_scan_project_filter")
+    assert "PushedFilters: [" in p and "l_quantity" in p.split("PushedFilters")[1].split("]")[0]
+    # column pruning: the read schema carries only the projected columns
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read and "l_extendedprice" not in read
+
+
+def test_flagship_broadcasts_dimensions(spark):
+    p = plan_of(spark, "flagship_order_revenue")
+    assert p.count("BroadcastHashJoin") >= 2  # customer, nation (orders may AQE)
+    assert "TakeOrderedAndProject" in p      # sort+limit fused, no global sort
+
+
+def test_j8_dedup_is_aggregation_not_window(spark):
+    # min-of-struct is a SortAggregate (struct buffer), but the partial
+    # phase means the exchange moves ≤1 row per key per map partition —
+    # the window form would shuffle every input row
+    p = plan_of(spark, "j8_pair_dedup_first_wins")
+    assert "Window" not in p
+    assert "SortAggregate" in p or "HashAggregate" in p
+    # partial + final pair around a single exchange: count tree nodes
+    # only (the detail section repeats names inconsistently under AQE)
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_a13_has_no_expand(spark):
+    p = plan_of(spark, "a13_viewer_aggregations")
+    assert "Expand" not in p
+
+
+def test_semi_join_restriction_is_broadcast(spark):
+    p = plan_of(spark, "j10_lookup_enrichment")
+    assert "LeftSemi" in p and "Broadcast" in p
+
+
+def test_minhash_lsh_single_signature_aggregation(spark):
+    # the wide-signature formulation: one groupBy(id) per join side, no
+    # per-seed row explosion (no Expand), bands from projection
+    p = plan_of(spark, "dd_minhash_lsh_pairs")
+    assert "Expand" not in p

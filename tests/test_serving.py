@@ -134,3 +134,26 @@ def test_column_stats_exact_and_approx(viewer_df):
 def test_exists_probe(viewer_df):
     assert exists(viewer_df, TableDataRequest(search_value="gamma"))
     assert not exists(viewer_df, TableDataRequest(search_value="zzz"))
+
+
+def test_serving_cache(viewer_df):
+    from kbdatalakeapps_spark.serving import ServingCache
+
+    t = [0.0]
+    cache = ServingCache(ttl_s=10.0, max_entries=2, clock=lambda: t[0])
+    req = TableDataRequest(limit=3, sort_column="id")
+
+    first = cache.table_data(viewer_df, "v", req)
+    assert first["cached"] is False and "execution_time_ms" in first
+    second = cache.table_data(viewer_df, "v", req)
+    assert second["cached"] is True
+    assert second["data"] == first["data"]
+
+    t[0] = 11.0  # past TTL → recompute
+    third = cache.table_data(viewer_df, "v", req)
+    assert third["cached"] is False
+
+    # LRU bound: filling beyond max_entries evicts the oldest
+    cache.table_data(viewer_df, "v", TableDataRequest(limit=1))
+    cache.table_data(viewer_df, "v", TableDataRequest(limit=2))
+    assert len(cache._store) <= 2
