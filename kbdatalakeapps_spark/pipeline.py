@@ -1,0 +1,98 @@
+"""Per-clade pipeline orchestration — SURVEY §3.1 as one Spark driver
+program.
+
+The reference's app call (KBDatalakeAppsImpl.build_genome_datalake_tables,
+KBDatalakeAppsImpl.py:200-708) chains four shell-script pipelines,
+thread/process pools and an annotation RPC fan-out, handing every stage
+the previous stage's FILES (JSON/TSV/parquet/sqlite).  Here the stages
+are DataFrame→DataFrame functions and the IR is the lazy plan; external
+kernels (skani/mmseqs/RAST — K6-K8) enter as *inputs*: whatever tool
+produces them, their outputs are plain tables, and everything after is
+declarative.
+
+    ani hits      ─┐
+    gtdb metadata ─┤
+    genome TSVs   ─┼─►  assign_clades (W1 argmax)
+    annotations   ─┤    build_genome_table / build_ani_table
+    cluster maps  ─┘    build_feature_table (R1 pivot, J4 chain)
+                        build_ontology_terms (J10)
+                        export: parquet canonical + sqlite viewer DB
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .build import (
+    build_ani_table,
+    build_feature_table,
+    build_genome_table,
+    build_ontology_terms,
+)
+from .io.sqlite import write_sqlite
+from .operators.relational import argmax_per_group
+
+
+def assign_clades(ani_hits: DataFrame) -> DataFrame:
+    """W1: best clade per user genome — argmax ANI over skani search
+    hits (prep_genome_set.py:161-169).  ``ani_hits``: (genome,
+    clade_id, ani).  Ties break on clade_id for determinism."""
+    return argmax_per_group(
+        ani_hits, ["genome"], F.col("ani"), tiebreak=[F.col("clade_id").asc()]
+    ).select("genome", "clade_id", "ani")
+
+
+def run_clade_pipeline(
+    gtdb_meta: DataFrame,
+    member_ids: DataFrame,
+    user_genomes: DataFrame | None,
+    ani_sources: list[DataFrame],
+    genome_tsv: DataFrame,
+    annotation_frames: dict[str, DataFrame],
+    mmseqs_pairs: DataFrame | None = None,
+    cluster_attrs: DataFrame | None = None,
+    statements: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Assemble every product table for one clade (lazy — nothing
+    executes until the caller writes/collects).  Mirrors
+    DatalakeTableBuilder.build (datalake_table.py:52-81)."""
+    tables: dict[str, DataFrame] = {
+        "genome": build_genome_table(gtdb_meta, member_ids, user_genomes),
+        "ani": build_ani_table(ani_sources),
+        "user_feature": build_feature_table(
+            genome_tsv, annotation_frames, mmseqs_pairs, cluster_attrs
+        ),
+    }
+    if statements is not None:
+        # harvest term ids from the annotation long table: (prefix, id)
+        from .build import annotations_long
+
+        terms = (
+            annotations_long(annotation_frames)
+            .select(
+                F.col("ontology").alias("ontology_prefix"),
+                F.col("term").alias("identifier"),
+            )
+            .distinct()
+        )
+        tables["ontology_terms"] = build_ontology_terms(statements, terms)
+    return tables
+
+
+def export_database(
+    tables: dict[str, DataFrame], out_dir: str, sqlite_name: str = "db.sqlite"
+) -> dict[str, int]:
+    """Write the product: parquet canonical per table + one SQLite file
+    for the shipped viewer (datalake_table.py to_sql parity).  Returns
+    per-table row counts — the builder's printed `table: N rows`
+    summary (build_berdl_db.py:1142-1148)."""
+    os.makedirs(out_dir, exist_ok=True)
+    counts: dict[str, int] = {}
+    db_path = os.path.join(out_dir, sqlite_name)
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+        counts[name] = write_sqlite(df, db_path, name)
+    return counts

@@ -1,0 +1,101 @@
+"""End-to-end per-clade pipeline (SURVEY §3.1): fixtures in → clade
+assignment → all product tables → parquet + SQLite export, with the
+builder's row-count summary checked."""
+
+from __future__ import annotations
+
+import hashlib
+import sqlite3
+
+from kbdatalakeapps_spark.pipeline import (
+    assign_clades,
+    export_database,
+    run_clade_pipeline,
+)
+
+
+def sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def test_assign_clades_argmax(spark):
+    hits = spark.createDataFrame(
+        [("g1", "cladeA", 97.0), ("g1", "cladeB", 99.0),
+         ("g2", "cladeA", 88.0), ("g2", "cladeC", 88.0)],  # tie → cladeA
+        "genome string, clade_id string, ani double",
+    )
+    got = {r.genome: (r.clade_id, r.ani) for r in assign_clades(hits).collect()}
+    assert got == {"g1": ("cladeB", 99.0), "g2": ("cladeA", 88.0)}
+
+
+def test_full_clade_pipeline(spark, tmp_path):
+    gtdb = spark.createDataFrame(
+        [("RS_GCF_1", "d__B;s__X", "x", 11, 99.0, 0.5, 4_000_000),
+         ("RS_GCF_2", "d__B;s__Y", "y", 22, 98.0, 1.0, 3_500_000)],
+        "accession string, gtdb_taxonomy string, ncbi_taxonomy string,"
+        " ncbi_taxid long, checkm_completeness double,"
+        " checkm_contamination double, genome_size long",
+    )
+    members = spark.createDataFrame([("RS_GCF_1",)], "genome string")
+    ani = spark.createDataFrame(
+        [("user_g1", "RS_GCF_1", 99.5, 0.9, 0.9)],
+        "genome1 string, genome2 string, ani double, af1 double, af2 double",
+    )
+    genome_tsv = spark.createDataFrame(
+        [("user_g1", "f1", "c1", 100, 400, "+", "CDS",
+          "gene:thrA", "ATG", "MKVLA", "Homoserine kinase (EC 2.7.1.39)")],
+        "genome string, gene_id string, contig string, start int, end int,"
+        " strand string, type string, aliases string, dna_sequence string,"
+        " protein_translation string, functions string",
+    )
+    ann = {
+        "kofam": spark.createDataFrame(
+            [("f1", "K00003")], "feature_id string, KEGG string"
+        )
+    }
+    mmseqs = spark.createDataFrame(
+        [("R1", sha("MKVLA"))], "rep_hash string, member_hash string"
+    )
+    clusters = spark.createDataFrame(
+        [("R1", "cl_1", 1)], "mmseqs_rep_hash string, cluster_id string, is_core int"
+    )
+    statements = spark.createDataFrame(
+        [("K00003", "rdfs:label", "homoserine kinase")],
+        "subject string, predicate string, value string",
+    )
+
+    tables = run_clade_pipeline(
+        gtdb_meta=gtdb,
+        member_ids=members,
+        user_genomes=None,
+        ani_sources=[ani],
+        genome_tsv=genome_tsv,
+        annotation_frames=ann,
+        mmseqs_pairs=mmseqs,
+        cluster_attrs=clusters,
+        statements=statements,
+    )
+    out = str(tmp_path / "clade_out")
+    counts = export_database(tables, out)
+    assert counts == {
+        "genome": 2, "ani": 1, "user_feature": 1, "ontology_terms": 1,
+    }
+
+    # the SQLite product is viewer-readable: tables + enriched values
+    con = sqlite3.connect(f"{out}/db.sqlite")
+    names = {r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'"
+    )}
+    assert names == set(counts)
+    feat = con.execute(
+        "SELECT pangenome_cluster, pangenome_is_core, ontology_KEGG"
+        " FROM user_feature"
+    ).fetchone()
+    assert feat == ("cl_1", 1, "K00003")
+    label = con.execute("SELECT label FROM ontology_terms").fetchone()[0]
+    assert label == "homoserine kinase"
+    con.close()
+
+    # parquet canonical exists per table
+    back = spark.read.parquet(f"{out}/genome.parquet")
+    assert back.count() == 2
