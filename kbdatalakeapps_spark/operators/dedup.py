@@ -223,6 +223,11 @@ def minhash_lsh_pairs(
     bands = wide.withColumns(fps).select(
         "id", F.expr(f"stack({n_bands}, {stack_args}) AS (band_idx, band_hash)")
     )
+    # materialize the (tiny: n_docs × n_bands rows) band table once —
+    # a plain self-join duplicates the whole shingle+hash+aggregate
+    # pipeline into both sides (ReuseExchange does not canonicalize
+    # through the stack/generate), doubling the dominant cost
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -292,6 +297,10 @@ def simhash_pairs(
     deterministic and cheap)."""
     s = simhash(df, id_col, text_col, bits)
     s = s.withColumn("block", F.shiftright(F.col("simhash"), bits - prefix_bits))
+    # materialize the (n_docs)-row fingerprint table once; the
+    # self-join would recompute the token explode + 32-bit vote
+    # aggregation on both sides otherwise
+    s = s.localCheckpoint(eager=False)
     a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

@@ -181,6 +181,9 @@ def embedding_neardup_pairs(
         sign_bucket(F.col(vec_col), n_sign_bits).alias("bucket"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
+    # materialize once: a self-join would otherwise evaluate the norm
+    # and bucket expressions twice (no plan-level reuse through aliases)
+    base = base.localCheckpoint(eager=False)
     a = base.select(
         F.col("id").alias("id_a"), F.col("vec").alias("va"),
         "bucket", F.col("nrm").alias("na"),
