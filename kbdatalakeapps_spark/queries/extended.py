@@ -769,3 +769,40 @@ def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import tumbling_counts
 
     return tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "st_session_windows",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us, value,
+               CASE WHEN us - LAG(us) OVER w >= 1800000000
+                         OR LAG(us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sessions AS (
+        SELECT user_id, us, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(us) // 1000000 AS session_start_s,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, sess
+    """,
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — F.session_window, the
+    stream-capable sessionization operator; the oracle is the classic
+    gaps-and-islands formulation.  Boundary semantics: a gap of
+    exactly 30 min starts a new session (strict half-open window
+    overlap), hence >= in the oracle's break condition."""
+    from ..streaming.incremental import session_counts
+
+    return session_counts(_t(spark, sf_dir, "events"), gap="30 minutes")

@@ -83,6 +83,35 @@ def tumbling_counts(
     )
 
 
+def session_counts(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-window rollup per key: events merge into one session
+    while each starts strictly within ``gap`` of the previous
+    (Spark session_window semantics: a gap exactly equal to ``gap``
+    starts a NEW session — the oracle must use ``>=``).  Works on
+    batch and streaming DataFrames; on streams the state store holds
+    open sessions and the watermark closes them."""
+    evt = with_event_time(df)
+    if watermark is not None:
+        evt = evt.withWatermark("event_time", watermark)
+    return (
+        evt.groupBy(
+            F.session_window("event_time", gap).alias("win"), key_col
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            key_col,
+            F.unix_timestamp(F.col("win.start")).alias("session_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, checkpoint_dir: str
 ) -> None:

@@ -14,6 +14,7 @@ from kbdatalakeapps_spark.streaming import (
     stream_events,
     tumbling_counts,
 )
+from kbdatalakeapps_spark.streaming.incremental import session_counts
 
 from .conftest import SF_DIR
 
@@ -59,6 +60,27 @@ def test_stream_incremental_files(spark, tmp_path):
     )
     got = _rows(spark.table("st_counts_t2"))
     assert got == want
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+
+    batch = session_counts(load_table(spark, SF_DIR, "events"))
+    stream = session_counts(
+        stream_events(spark, str(src)), watermark="2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("st_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _rows(spark.table("st_sessions")) == _rows(batch)
 
 
 def test_stateful_running_totals(spark, tmp_path):
