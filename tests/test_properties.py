@@ -1,0 +1,56 @@
+"""Property-based tests (hypothesis) for the pure helpers whose input
+space is adversarial: the filter micro-grammar (arbitrary user text
+must never raise) and the set-string cell algebra (idempotence,
+order-independence).  The reference has no property tests (SURVEY §5);
+the engine's scalar layer is where they pay off."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.filter_dsl import OPERATORS, parse_filter_input
+
+
+@given(st.text(max_size=60), st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_parse_filter_input_total(text, numeric):
+    """Any input parses to None or a valid FilterSpec — never raises."""
+    spec = parse_filter_input(text, numeric)
+    if spec is not None:
+        assert spec.operator in OPERATORS
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1, max_size=8,
+        ),
+        max_size=8,
+    ),
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1, max_size=8,
+        ),
+        max_size=8,
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_merge_term_strings_properties(terms_a, terms_b):
+    """J9 merge: commutative, deduplicating, sorted — evaluated through
+    the real Spark expression."""
+    # build one shared session lazily (hypothesis calls many times)
+    from kbdatalakeapps_spark.functions import merge_term_strings
+    from kbdatalakeapps_spark.session import get_spark
+
+    spark = get_spark("props", shuffle_partitions=2)
+    a, b = ";".join(terms_a), ";".join(terms_b)
+    df = spark.createDataFrame([(a, b)], "a string, b string")
+    ab = df.select(merge_term_strings(F.col("a"), F.col("b")).alias("m")).first().m
+    ba = df.select(merge_term_strings(F.col("b"), F.col("a")).alias("m")).first().m
+    assert ab == ba  # commutative
+    expect = ";".join(sorted(set(terms_a) | set(terms_b)))
+    assert ab == expect  # dedup + sort semantics
