@@ -1,0 +1,46 @@
+"""Physical layout — SURVEY §4 partition pruning / co-located joins.
+
+The reference hand-maintains ``block_*`` directory layouts and file
+lists (query_genome_local.py:14-37).  The engine equivalents:
+
+* ``write_partitioned`` — hive-style partition directories; filters on
+  the partition column prune at file-listing time.
+* ``write_bucketed``   — pre-shuffled bucket files registered in the
+  catalog; two tables bucketed the same way join WITHOUT an exchange
+  (the recurring fact-fact joins of the lake: features ⋈ junction ⋈
+  clusters on cluster/genome ids).  At 100 TB this turns every
+  repeated join on the bucket key from a full shuffle into a local
+  merge — the single biggest standing cost removed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Register ``table`` bucketed (and optionally sorted) by key.
+    Readers via ``spark.table(table)`` get the bucket distribution for
+    free; joins/aggregations on the bucket columns skip their
+    exchange.  ``path`` makes it an external table (data outlives the
+    catalog)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)

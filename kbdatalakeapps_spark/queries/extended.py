@@ -753,6 +753,59 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(emb, n_sign_bits=8, threshold=0.8)
 
 
+@query(
+    "k2_rast_seed_mapping",
+    oracle="""
+    WITH funcs AS (
+        SELECT p_partkey,
+               p_name || ' / ' || p_type || ' @ ' || p_brand AS functions
+        FROM part
+    ),
+    split AS (
+        SELECT p_partkey, trim(f) AS func
+        FROM funcs, unnest(string_split_regex(functions, ' / | @ |; ')) t(f)
+        WHERE trim(f) <> ''
+    ),
+    lut AS (
+        SELECT DISTINCT p_name AS func,
+               'seed.role:' || (p_partkey % 500) AS role_id
+        FROM part
+    ),
+    mapped AS (
+        SELECT s.p_partkey, l.role_id
+        FROM split s JOIN lut l USING (func)
+    )
+    SELECT p_partkey,
+           string_agg(DISTINCT role_id, ';' ORDER BY role_id) AS seed_roles
+    FROM mapped GROUP BY p_partkey
+    """,
+)
+def k2_rast_seed_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 (RASTSeedMapper, KBDatalakeUtils.py:2742-2897): multi-function
+    split (F5) → broadcast dictionary join → sorted set-string
+    re-aggregation (A8).  The reference walks every cell with Python
+    regexes; here it is explode + one broadcast hash join."""
+    p = _t(spark, sf_dir, "part")
+    funcs = p.select(
+        "p_partkey",
+        F.concat_ws(" / ", "p_name", F.concat_ws(" @ ", "p_type", "p_brand")).alias(
+            "functions"
+        ),
+    )
+    split = funcs.select(
+        "p_partkey", F.explode(kfn.split_multi("functions")).alias("func")
+    )
+    lut = p.select(
+        F.col("p_name").alias("func"),
+        F.concat(F.lit("seed.role:"), F.col("p_partkey") % 500).alias("role_id"),
+    ).distinct()
+    return (
+        split.join(F.broadcast(lut), "func")
+        .groupBy("p_partkey")
+        .agg(kfn.set_string(F.collect_list("role_id"), ";").alias("seed_roles"))
+    )
+
+
 @query("sim_ivf_topk")  # rows-only: iterative k-means index, not SQL-expressible
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means inverted lists, nprobe=2 probe

@@ -1,0 +1,64 @@
+"""Bucketed layout (SURVEY §4): two tables bucketed on the join key
+must join with NO exchange — the co-located fact-fact join that makes
+repeated lake joins affordable at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.io.layout import write_bucketed
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    left = spark.range(10_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.range(5_000).select(
+        (F.col("id") % 997).alias("k"), (F.col("id") * 2).alias("rv")
+    )
+    write_bucketed(left, "t_bkt_left", ["k"], n_buckets=8,
+                   sort_cols=["k"], path=str(tmp_path / "l"))
+    write_bucketed(right, "t_bkt_right", ["k"], n_buckets=8,
+                   sort_cols=["k"], path=str(tmp_path / "r"))
+    try:
+        joined = spark.table("t_bkt_left").join(spark.table("t_bkt_right"), "k")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree  # bucket distribution reused
+        # and the result is correct
+        n = joined.count()
+        plain = left.join(right, "k").count()
+        assert n == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, tmp_path, no_broadcast):
+    df = spark.range(10_000).select(
+        (F.col("id") % 499).alias("k"), F.col("id").alias("v")
+    )
+    write_bucketed(df, "t_bkt_agg", ["k"], n_buckets=8, path=str(tmp_path / "a"))
+    try:
+        agg = spark.table("t_bkt_agg").groupBy("k").agg(F.sum("v").alias("s"))
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        tree = agg._jdf.queryExecution().explainString(mode).split("\n\n")[0]
+        assert "Exchange" not in tree
+        assert agg.count() == 499
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_agg")
