@@ -1,0 +1,100 @@
+"""Connected components / keeper assignment — the closing stage of
+near-duplicate dedup.
+
+Candidate-pair generators (minhash LSH, simhash blocks, embedding
+buckets) emit edges; dedup needs each document's canonical
+representative: the minimum id of its connected component (the
+reference's first-wins/keeper convention, e.g. exact dedup keeps
+MIN(doc_id) per hash — generalized to transitive near-dup groups).
+
+Algorithm: iterative min-label propagation.  Each round every node
+takes the min label among itself and its neighbors; converges in
+O(component diameter) rounds.  Near-dup components are dense and
+shallow (diameter ≲ 3-4), so a handful of rounds suffices; each round
+is one groupBy-shuffle and the label table is localCheckpoint-ed so
+lineage stays flat.  This is the standard Spark CC shape (cf. GraphX /
+GraphFrames connectedComponents); no graph library needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """(id, component) — component = min node id reachable via edges.
+    Deterministic; isolated endpoints never listed in ``edges`` must be
+    handled by the caller (left-join the full id set).
+
+    Raises if not converged within ``max_iterations`` (diameter larger
+    than expected — raise the bound)."""
+    # undirected: symmetrize once
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    adj = sym.distinct().localCheckpoint(eager=False)
+
+    labels = (
+        adj.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        # candidate label per node: min over neighbors' labels and own
+        nbr_min = (
+            adj.join(labels, adj.v == labels.id)
+            .groupBy(adj.u.alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        updated = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
+def keeper_assignment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(id, keeper, is_keeper): every document mapped to its dedup
+    group's minimum id; documents with no near-dup edge keep
+    themselves.  Compose after any *_pairs operator to materialize the
+    dedup decision."""
+    comp = connected_components(pairs, src, dst)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("keeper"),
+        )
+        .withColumn("is_keeper", F.col("id") == F.col("keeper"))
+    )

@@ -806,6 +806,20 @@ def k2_rast_seed_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dd_keeper_assignment")  # rows-only: iterative label propagation
+def dd_keeper_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup decision: minhash-LSH candidate pairs → connected
+    components (min-label propagation) → per-doc canonical keeper.
+    Iterative fixpoint loop — no single-statement SQL twin; verified
+    against union-find in tests/test_graph.py."""
+    from ..operators import dedup as dd
+    from ..operators.graph import keeper_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    return keeper_assignment(docs, pairs)
+
+
 @query("sim_ivf_topk")  # rows-only: iterative k-means index, not SQL-expressible
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means inverted lists, nprobe=2 probe

@@ -1,0 +1,68 @@
+"""Connected components + keeper assignment, checked against a plain
+Python union-find on the same edges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.operators.dedup import minhash_lsh_pairs
+from kbdatalakeapps_spark.io.sources import load_table
+from kbdatalakeapps_spark.operators.graph import (
+    connected_components,
+    keeper_assignment,
+)
+
+from .conftest import SF_DIR
+
+
+def union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id labels
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    want = union_find(edges)
+    # normalize union-find parents to min-of-component
+    comps: dict = {}
+    for node, root in want.items():
+        comps.setdefault(root, []).append(node)
+    expect = {n: min(ns) for root, ns in comps.items() for n in ns}
+    assert got == expect
+    assert got[4] == 1 and got[11] == 10 and got[21] == 20
+
+
+def test_keeper_assignment_on_minhash_pairs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    keepers = keeper_assignment(docs, pairs)
+    rows = keepers.collect()
+    assert len(rows) == docs.count()              # every doc assigned
+    by_id = {r.id: r for r in rows}
+    for r in rows:
+        assert r.keeper <= r.id                   # canonical min-id
+        assert by_id[r.keeper].is_keeper          # keeper keeps itself
+    # python union-find agreement on the actual pair edges
+    edges = [(p.id_a, p.id_b) for p in pairs.collect()]
+    want = union_find(edges)
+    comps: dict = {}
+    for node, root in want.items():
+        comps.setdefault(root, []).append(node)
+    expect = {n: min(ns) for root, ns in comps.items() for n in ns}
+    for n, k in expect.items():
+        assert by_id[n].keeper == k
