@@ -83,6 +83,65 @@ def test_session_windows_stream_matches_batch(spark, tmp_path):
     assert _rows(spark.table("st_sessions")) == _rows(batch)
 
 
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch broadcast-enriches against
+    a static dimension (the annotation-lookup pattern, incremental)."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive"), ("error", "fault")],
+        "event_type string, category string",
+    )
+    enriched = stream_events(spark, str(src)).join(F.broadcast(dim), "event_type")
+    counts = enriched.groupBy("category").count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("st_enriched")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .join(dim, "event_type")
+        .groupBy("category")
+        .count()
+    )
+    assert _rows(spark.table("st_enriched")) == _rows(batch)
+
+
+def test_foreach_batch_parquet_export(spark, tmp_path):
+    """foreachBatch: the arbitrary-sink escape hatch — write each
+    micro-batch to parquet (the incremental version of the pipeline's
+    per-stage file products)."""
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    out = str(tmp_path / "export")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream_events(spark, str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == load_table(
+        spark, SF_DIR, "events"
+    ).count()
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState: per-key state must accumulate across
     micro-batches — after draining two identical files one-at-a-time,
