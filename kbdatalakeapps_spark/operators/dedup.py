@@ -107,7 +107,10 @@ def ngram_jaccard_pairs(
     shingles fan out quadratically, so at scale this runs *after* LSH
     candidate pruning (minhash_lsh_pairs) — kept standalone for exact
     semantics and the oracle."""
-    sh = shingle_table(df, id_col, text_col, k)
+    # materialize once: referenced three times (both join sides + the
+    # size aggregate) and each reference would otherwise re-shingle
+    # and re-explode the corpus
+    sh = shingle_table(df, id_col, text_col, k).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
