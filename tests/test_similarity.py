@@ -37,3 +37,16 @@ def test_ivf_topk_recall_vs_exact(spark):
     p = {(r.query_id, r.corpus_id) for r in probed.collect()}
     recall = len(p & e) / len(e)
     assert recall >= 0.4  # nprobe=2/8 on random-ish vectors
+
+
+def test_vectorized_cosine_matches_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(emb, queries, k=5)
+    fast = sim.cosine_topk_vectorized(emb, queries, k=5)
+    e = {(r.query_id, r.rank): (r.corpus_id, round(r.cosine, 6)) for r in exact.collect()}
+    f = {(r.query_id, r.rank): (r.corpus_id, round(r.cosine, 6)) for r in fast.collect()}
+    assert set(e) == set(f)
+    for key in e:
+        assert e[key][0] == f[key][0]                  # same neighbor
+        assert abs(e[key][1] - f[key][1]) < 1e-6       # same score
