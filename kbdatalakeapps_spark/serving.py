@@ -157,6 +157,25 @@ def exists(df: DataFrame, req: TableDataRequest) -> bool:
     return not _filtered(df, req).limit(1).isEmpty()
 
 
+def distinct_values(
+    df: DataFrame, column: str, limit: int = 100, exact: bool = True
+) -> list:
+    """Filter-dropdown support: the distinct values of a column,
+    sorted, capped at ``limit``.  At lake scale pass ``exact=False``
+    to sample first — a full distinct of a high-cardinality column is
+    a filter UI bug, not a query."""
+    base = df if exact else df.sample(fraction=0.01, seed=7)
+    rows = (
+        base.select(column)
+        .filter(F.col(column).isNotNull())
+        .distinct()
+        .orderBy(column)
+        .limit(limit)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
 class ServingCache:
     """Result cache for the serving layer — the reference caches viewer
     responses for 300 s client-side and the server reports ``cached`` +

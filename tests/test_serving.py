@@ -157,3 +157,10 @@ def test_serving_cache(viewer_df):
     cache.table_data(viewer_df, "v", TableDataRequest(limit=1))
     cache.table_data(viewer_df, "v", TableDataRequest(limit=2))
     assert len(cache._store) <= 2
+
+
+def test_distinct_values(viewer_df):
+    from kbdatalakeapps_spark.serving import distinct_values
+
+    assert distinct_values(viewer_df, "grp") == ["a", "b"]
+    assert distinct_values(viewer_df, "score", limit=2) == [5.0, 10.0]
