@@ -80,6 +80,30 @@ def batch_predict(
     return df.select(id_col, *feature_cols).mapInPandas(score, out_schema)
 
 
+def task_stage(
+    df: DataFrame,
+    key_col: str,
+    task_fn: Callable[[object, pd.DataFrame], pd.DataFrame],
+    output_schema: T.StructType | str,
+) -> DataFrame:
+    """K6-K8: the task-parallel black-box stage — one external
+    computation per key group (the reference's per-genome FBA
+    ProcessPool, bin/model_pipeline.py:131-160; mmseqs/skani
+    subprocesses) as ``applyInPandas``.
+
+    ``task_fn(key, group_pdf) -> result_pdf`` runs once per key with
+    that key's full rows; Spark schedules groups across executors (the
+    reference's max_workers=10 pool generalized to the cluster).  Wrap
+    subprocess calls inside ``task_fn``; results re-enter as ordinary
+    DataFrames.  Combine with ``relational.dedup_compute_fanout`` to
+    run once per distinct content key."""
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        return task_fn(pdf[key_col].iloc[0], pdf)
+
+    return df.groupBy(key_col).applyInPandas(apply, output_schema)
+
+
 def classify_with_threshold(
     score: Column, bands: list[tuple[float, str]], default: str
 ) -> Column:

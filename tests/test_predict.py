@@ -44,3 +44,26 @@ def test_classify_with_threshold(spark):
         F.col("score"), [(0.9, "high"), (0.5, "mid")], "low"
     )
     assert [r[0] for r in df.select(cls).collect()] == ["high", "mid", "low"]
+
+
+def test_task_stage_per_key_groups(spark):
+    from kbdatalakeapps_spark.operators.predict import task_stage
+    import pandas as pd
+
+    feats = spark.createDataFrame(
+        [("g1", 2), ("g1", 3), ("g2", 5)], "genome string, flux int"
+    )
+
+    def fake_fba(key, pdf):
+        # stand-in for a per-genome subprocess: sees the full group
+        return pd.DataFrame(
+            {"genome": [key], "n_reactions": [len(pdf)],
+             "total_flux": [int(pdf["flux"].sum())]}
+        )
+
+    out = task_stage(
+        feats, "genome", fake_fba,
+        "genome string, n_reactions long, total_flux long",
+    )
+    got = {r.genome: (r.n_reactions, r.total_flux) for r in out.collect()}
+    assert got == {"g1": (2, 5), "g2": (1, 5)}
