@@ -1,0 +1,165 @@
+"""Native Spark DataSource for the SQL-over-REST lake — SURVEY §4's
+one genuinely custom piece ("a DataSourceV2 … with filter pushdown if
+we serve the remote-REST lake source natively").
+
+``spark.read.format("rest_lake")`` scans a remote paginated endpoint
+(query_pangenome_berdl.py semantics) as a first-class source:
+
+* **filter pushdown** — Catalyst hands the reader its predicates;
+  supported ones compile to a WHERE clause shipped to the endpoint
+  (the reference composes WHERE at source, :222-226), unsupported ones
+  stay Spark-side.  No full-table transfer for a filtered read.
+* **partitioned offset reads** — the offset space splits into one
+  input partition per page; executors fetch pages concurrently
+  (the reference's sequential 1000-row loop, parallelized).
+
+The transport is injectable: option ``endpoint`` names an importable
+``module:function`` with signature ``fn(options, where, limit,
+offset) -> list[tuple]``.  Production points it at an HTTP client;
+tests (and local benchmarking) use ``parquet_rest_endpoint`` below,
+which serves pages from a parquet file through DuckDB — the same
+contract a remote server implements.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+def _compile_filter(f: Filter) -> str | None:
+    """Translate a Catalyst filter to endpoint SQL; None = can't push
+    (stays Spark-side)."""
+    col = lambda: f.attribute[-1]  # noqa: E731 — single-level columns
+    if isinstance(f, EqualTo):
+        return f"{col()} = {_sql_literal(f.value)}"
+    if isinstance(f, GreaterThan):
+        return f"{col()} > {_sql_literal(f.value)}"
+    if isinstance(f, GreaterThanOrEqual):
+        return f"{col()} >= {_sql_literal(f.value)}"
+    if isinstance(f, LessThan):
+        return f"{col()} < {_sql_literal(f.value)}"
+    if isinstance(f, LessThanOrEqual):
+        return f"{col()} <= {_sql_literal(f.value)}"
+    if isinstance(f, In):
+        vals = ", ".join(_sql_literal(v) for v in f.values)
+        return f"{col()} IN ({vals})"
+    if isinstance(f, IsNull):
+        return f"{col()} IS NULL"
+    if isinstance(f, IsNotNull):
+        return f"{col()} IS NOT NULL"
+    return None
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, offset: int, limit: int):
+        self.offset = offset
+        self.limit = limit
+
+
+class RestLakeReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.options = dict(options)
+        self.page_size = int(self.options.get("page_size", 1000))
+        self.total_rows = int(self.options["total_rows"])
+        self.where: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        pushed, clauses = [], []
+        for f in filters:
+            sql = _compile_filter(f)
+            if sql is None:
+                yield f  # unsupported → Spark evaluates it
+            else:
+                pushed.append(f)
+                clauses.append(sql)
+        if clauses:
+            self.where = " AND ".join(clauses)
+
+    def partitions(self) -> list[InputPartition]:
+        n_pages = max(1, (self.total_rows + self.page_size - 1) // self.page_size)
+        return [
+            _PagePartition(i * self.page_size, self.page_size)
+            for i in range(n_pages)
+        ]
+
+    def read(self, partition: _PagePartition):
+        mod, fn = self.options["endpoint"].split(":")
+        endpoint = getattr(importlib.import_module(mod), fn)
+        yield from endpoint(
+            self.options, self.where, partition.limit, partition.offset
+        )
+
+
+class RestLakeDataSource(DataSource):
+    """Register once per session:
+    ``spark.dataSource.register(RestLakeDataSource)`` then
+    ``spark.read.format("rest_lake").schema(ddl).options(...).load()``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_lake"
+
+    def schema(self):
+        return self.options["ddl"]
+
+    def reader(self, schema: StructType) -> RestLakeReader:
+        return RestLakeReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Reference endpoint implementation: pages a parquet file via DuckDB —
+# exactly the contract a remote HTTP endpoint fulfills ({query, limit,
+# offset} with server-side WHERE and a stable ORDER BY).
+# ---------------------------------------------------------------------------
+
+
+def parquet_rest_endpoint(
+    options: dict, where: str | None, limit: int, offset: int
+) -> list[tuple]:
+    import duckdb
+
+    path = options["path"]
+    order_col = options["order_col"]
+    trace_dir = options.get("trace_dir")
+    if trace_dir:  # test observability: record what the server saw
+        import os
+        import uuid
+
+        with open(
+            os.path.join(trace_dir, f"req-{uuid.uuid4().hex}.txt"), "w"
+        ) as fh:
+            fh.write(f"where={where!r} limit={limit} offset={offset}")
+    sql = f"SELECT * FROM read_parquet('{path}')"
+    if where:
+        sql += f" WHERE {where}"
+    sql += f" ORDER BY {order_col} LIMIT {limit} OFFSET {offset}"
+    return duckdb.sql(sql).fetchall()

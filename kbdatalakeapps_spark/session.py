@@ -39,6 +39,9 @@ _DEFAULTS = {
     # TimestampType (µs) cannot represent; read as epoch-nanos long and
     # derive µs timestamps explicitly where queries need them.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python DataSource filter pushdown (io/restsource.py): predicates
+    # reach the remote lake endpoint instead of filtering post-transfer.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # NB on scan parallelism: the driver's testdata files are single-
     # row-group parquet, so splits below row-group size only add empty
     # tasks (measured: lowering maxPartitionBytes to 4 MB made the

@@ -1,0 +1,81 @@
+"""Native REST lake DataSource: filter pushdown must reach the
+endpoint (observed via request traces), pagination must partition the
+offset space, and results must match a direct read."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.io.restsource import RestLakeDataSource
+
+from .conftest import SF_DIR
+
+DDL = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate string, o_orderpriority string"
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(RestLakeDataSource)
+    return spark
+
+
+def _read(spark, trace_dir=None, page_size=500):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    total = orders.count()
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in orders.schema)
+    reader = (
+        spark.read.format("rest_lake")
+        .option("ddl", ddl)
+        .option("path", f"{SF_DIR}/orders.parquet")
+        .option("order_col", "o_orderkey")
+        .option("page_size", page_size)
+        .option("total_rows", total)
+        .option(
+            "endpoint",
+            "kbdatalakeapps_spark.io.restsource:parquet_rest_endpoint",
+        )
+    )
+    if trace_dir:
+        reader = reader.option("trace_dir", trace_dir)
+    return reader.load(), orders
+
+
+def test_full_scan_matches_direct_read(registered):
+    df, orders = _read(registered)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, orders.collect()))
+    # pagination: one partition per page
+    assert df.rdd.getNumPartitions() == (orders.count() + 499) // 500
+
+
+def test_filter_pushdown_reaches_endpoint(registered, tmp_path):
+    trace = str(tmp_path)
+    df, orders = _read(registered, trace_dir=trace)
+    got = df.filter(
+        (F.col("o_totalprice") > 200000) & (F.col("o_orderstatus") == "F")
+    )
+    want = orders.filter(
+        (F.col("o_totalprice") > 200000) & (F.col("o_orderstatus") == "F")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    traces = " ".join(
+        open(p).read() for p in glob.glob(f"{trace}/req-*.txt")
+    )
+    assert "o_totalprice > 200000" in traces
+    assert "o_orderstatus = 'F'" in traces
+
+
+def test_unsupported_filter_stays_spark_side(registered, tmp_path):
+    trace = str(tmp_path)
+    df, orders = _read(registered, trace_dir=trace)
+    # endswith compiles to StringEndsWith — not in our pushable set
+    got = df.filter(F.col("o_orderpriority").endswith("URGENT"))
+    want = orders.filter(F.col("o_orderpriority").endswith("URGENT"))
+    assert got.count() == want.count() > 0
+    traces = " ".join(open(p).read() for p in glob.glob(f"{trace}/req-*.txt"))
+    assert "URGENT" not in traces  # endpoint never saw it; Spark filtered
