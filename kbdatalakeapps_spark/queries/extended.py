@@ -863,18 +863,31 @@ def mm_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_extract_features")  # rows-only: mapInPandas stub, not SQL-expressible
+@query(
+    "mm_extract_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8 AS dim,
+           ROUND(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 5) AS f0
+    FROM documents
+    """,
+)
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature kernel (deterministic fake codec —
-    see operators/multimodal.py).  Driver check is rows-only."""
+    """Arrow-batched decode/feature kernel.  The fake codec derives
+    features from the content's sha256 digest (byte i / 255), so even
+    the mapInPandas path has an exact SQL twin — the oracle checks the
+    Python batch plumbing end-to-end, not just row counts."""
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
     )
     feats = mm.extract_features(d, dim=8)
+    # float32 storage → widen to double BEFORE rounding (round() of a
+    # float returns float, whose value re-widens with representation
+    # noise and misses the oracle's exact double)
     return feats.select(
         "media_id",
         F.size("features").alias("dim"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 1).cast("double"), 5).alias("f0"),
     )
 
 
