@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -118,10 +119,45 @@ class RestLakeReader(DataSourceReader):
         )
 
 
+class RestLakeStreamReader(SimpleDataSourceStreamReader):
+    """Incremental ingestion over the same endpoint: the stream offset
+    IS the pagination offset.  Each micro-batch reads whatever rows
+    appeared past the last committed offset (the reference's
+    'rerun-the-pagination-loop' refresh, as a checkpointed stream).
+
+    The endpoint must return rows in a stable order (the REST lake
+    pages with ORDER BY); ``poll_limit`` bounds rows per batch."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.poll_limit = int(self.options.get("poll_limit", 10_000))
+
+    def initialOffset(self) -> dict:
+        return {"offset": int(self.options.get("start_offset", 0))}
+
+    def _fetch(self, limit: int, offset: int):
+        mod, fn = self.options["endpoint"].split(":")
+        endpoint = getattr(importlib.import_module(mod), fn)
+        return endpoint(self.options, self.options.get("where"), limit, offset)
+
+    def read(self, start: dict):
+        rows = self._fetch(self.poll_limit, start["offset"])
+        end = {"offset": start["offset"] + len(rows)}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        n = end["offset"] - start["offset"]
+        if n <= 0:
+            return iter([])
+        return iter(self._fetch(n, start["offset"]))
+
+
 class RestLakeDataSource(DataSource):
     """Register once per session:
     ``spark.dataSource.register(RestLakeDataSource)`` then
-    ``spark.read.format("rest_lake").schema(ddl).options(...).load()``.
+    ``spark.read.format("rest_lake").schema(ddl).options(...).load()``
+    (batch) or ``spark.readStream.format("rest_lake")…`` (incremental
+    offset-polling stream).
     """
 
     @classmethod
@@ -133,6 +169,9 @@ class RestLakeDataSource(DataSource):
 
     def reader(self, schema: StructType) -> RestLakeReader:
         return RestLakeReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> RestLakeStreamReader:
+        return RestLakeStreamReader(self.options)
 
 
 # ---------------------------------------------------------------------------

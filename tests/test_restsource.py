@@ -79,3 +79,47 @@ def test_unsupported_filter_stays_spark_side(registered, tmp_path):
     assert got.count() == want.count() > 0
     traces = " ".join(open(p).read() for p in glob.glob(f"{trace}/req-*.txt"))
     assert "URGENT" not in traces  # endpoint never saw it; Spark filtered
+
+
+def test_streaming_rest_source(registered, tmp_path):
+    """readStream over the REST source: the stream offset is the
+    pagination offset; availableNow drains everything currently
+    available and the checkpoint records progress."""
+    orders = registered.read.parquet(f"{SF_DIR}/orders.parquet")
+    total = orders.count()
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in orders.schema)
+    stream = (
+        registered.readStream.format("rest_lake")
+        .option("ddl", ddl)
+        .option("path", f"{SF_DIR}/orders.parquet")
+        .option("order_col", "o_orderkey")
+        .option("total_rows", total)
+        .option("poll_limit", 400)
+        .option(
+            "endpoint",
+            "kbdatalakeapps_spark.io.restsource:parquet_rest_endpoint",
+        )
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    # poll_limit=400 over 1500 rows → progress spans ≥4 micro-batches
+    import time
+
+    deadline = time.time() + 60
+    try:
+        while time.time() < deadline:
+            if registered.table("rest_stream").count() >= total:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = registered.table("rest_stream")
+    assert got.count() == total
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, orders.collect()))
