@@ -10,6 +10,7 @@ current without re-reading history.
 from .incremental import (  # noqa: F401
     EVENTS_STREAM_SCHEMA,
     run_available_now,
+    session_counts,
     stream_events,
     tumbling_counts,
 )

@@ -175,3 +175,16 @@ def test_multimodal_sample_frames(spark):
     assert got == {(1, 0), (1, 1000), (1, 2000), (2, 0)}
     # deterministic fake decode: stable per (content, ts) identity
     assert all(len(r.frame_sha256) == 64 for r in out)
+
+
+def test_partitioned_fetch_page_size_invariance(spark):
+    """Distributed offset reads must return identical rows under any
+    page size (the reference tunes page size per table — 1000 vs 100
+    for the junction; correctness can't depend on it)."""
+    results = []
+    for page_size in (37, 100, 250):
+        df = partitioned_fetch(
+            spark, _pages(), _SCHEMA, total_rows=len(_DATA), page_size=page_size
+        )
+        results.append(sorted(map(tuple, df.collect())))
+    assert results[0] == results[1] == results[2] == _DATA
