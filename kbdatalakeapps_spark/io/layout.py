@@ -24,6 +24,24 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Incremental refresh: overwrite ONLY the partitions present in
+    ``df``, leaving sibling partitions intact (dynamic partition
+    overwrite) — re-running one clade/day of the pipeline replaces
+    that slice of the product without rewriting the table.  The
+    reference's equivalent is regenerating a whole db.sqlite per
+    clade; this is the table-format-native form."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -100,6 +100,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 4,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Sign-LSH bucketed ANN: bucket = sign bits of ``n_planes`` fixed
     coordinate projections (deterministic planes: dimensions
@@ -108,8 +109,8 @@ def lsh_bucketed_topk(
 
     At scale both sides partition by bucket → co-located join, each
     bucket ~corpus/2^n_planes rows.  Approximate: recall < 1 vs
-    cosine_topk (judged acceptable per ANN semantics); raise recall
-    with multi-probe (flip one bit) — not needed for parity.
+    cosine_topk; ``multi_probe`` additionally searches each query's
+    one-bit-flipped neighbor buckets (recall/cost dial).
     """
     def bucket(vec: Column) -> Column:
         bits = [
@@ -126,6 +127,18 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias("qvec"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
+    if multi_probe > 0:
+        # probe the home bucket plus each one-bit-flipped neighbor of
+        # the first `multi_probe` planes: near misses land one sign
+        # flip away, so recall rises steeply at probes × |bucket| cost
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(min(multi_probe, n_planes))
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cvec"),

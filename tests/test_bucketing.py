@@ -62,3 +62,23 @@ def test_bucketed_aggregation_has_no_exchange(spark, tmp_path, no_broadcast):
         assert agg.count() == 499
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_agg")
+
+
+def test_overwrite_partitions_is_selective(spark, tmp_path):
+    from kbdatalakeapps_spark.io.layout import overwrite_partitions, write_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("cladeA", 1, "old"), ("cladeA", 2, "old"), ("cladeB", 3, "old")],
+        "clade string, id int, v string",
+    )
+    write_partitioned(base, path, ["clade"])
+
+    refresh = spark.createDataFrame(
+        [("cladeA", 9, "new")], "clade string, id int, v string"
+    )
+    overwrite_partitions(refresh, path, ["clade"])
+
+    got = {(r.clade, r.id, r.v) for r in spark.read.parquet(path).collect()}
+    # cladeA fully replaced, cladeB untouched
+    assert got == {("cladeA", 9, "new"), ("cladeB", 3, "old")}

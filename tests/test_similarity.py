@@ -50,3 +50,21 @@ def test_vectorized_cosine_matches_exact(spark):
     for key in e:
         assert e[key][0] == f[key][0]                  # same neighbor
         assert abs(e[key][1] - f[key][1]) < 1e-6       # same score
+
+
+def test_multi_probe_lsh_improves_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.corpus_id)
+             for r in sim.cosine_topk(emb, queries, k=5).collect()}
+
+    def recall(multi_probe):
+        got = {(r.query_id, r.corpus_id)
+               for r in sim.lsh_bucketed_topk(
+                   emb, queries, k=5, n_planes=4, multi_probe=multi_probe
+               ).collect()}
+        return len(got & exact) / len(exact)
+
+    r0, r2, r4 = recall(0), recall(2), recall(4)
+    assert r0 <= r2 <= r4        # probing only adds candidates
+    assert r4 > r0               # and it actually helps on this data
