@@ -205,7 +205,13 @@ def minhash_lsh_pairs(
 
     Band fingerprints come straight off the wide signature row (one
     stack, no re-aggregation) — the only shuffles are the band
-    self-join and the final pair count."""
+    self-join and the final pair count.
+
+    Skew note: a boilerplate-heavy corpus can put thousands of docs in
+    one band bucket, and that bucket's quadratic expansion lands in a
+    single join task.  AQE splits the stream side; if a profile shows
+    one hot fingerprint dominating, route it through
+    operators.skew.salted_join with the hot band_hash values."""
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must divide into equal bands")
     wide = minhash_signatures_wide(df, id_col, text_col, k, num_hashes)

@@ -157,6 +157,49 @@ def exists(df: DataFrame, req: TableDataRequest) -> bool:
     return not _filtered(df, req).limit(1).isEmpty()
 
 
+def table_stats(df: DataFrame, exact: bool = False) -> dict[str, dict]:
+    """Stats for EVERY column in ONE scan — the stats-dialog warmup
+    path.  Per-column ``column_stats`` calls cost one job each; this
+    computes all columns' total/null/distinct/min/max (+ mean/stddev
+    for numerics) in a single aggregation.  ``exact=False`` (default)
+    uses approx_count_distinct — at lake scale an exact distinct per
+    column is a query of its own (use column_stats for the one column
+    the user drills into)."""
+    aggs: list = [F.count(F.lit(1)).alias("__total")]
+    numeric_cols = []
+    for f in df.schema.fields:
+        c, n = F.col(f.name), f.name
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"{n}__nulls"))
+        aggs.append(
+            (F.countDistinct(c) if exact else F.approx_count_distinct(c)).alias(
+                f"{n}__distinct"
+            )
+        )
+        aggs.append(F.min(c).alias(f"{n}__min"))
+        aggs.append(F.max(c).alias(f"{n}__max"))
+        if is_numeric_type(f.dataType):
+            numeric_cols.append(n)
+            aggs.append(F.avg(c).alias(f"{n}__mean"))
+            aggs.append(F.stddev_samp(c).alias(f"{n}__stddev"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    total = row.pop("__total")
+    out: dict[str, dict] = {}
+    for f in df.schema.fields:
+        n = f.name
+        stats = {
+            "total_count": total,
+            "null_count": row[f"{n}__nulls"],
+            "distinct_count": row[f"{n}__distinct"],
+            "min": row[f"{n}__min"],
+            "max": row[f"{n}__max"],
+        }
+        if n in numeric_cols:
+            stats["mean"] = row[f"{n}__mean"]
+            stats["stddev"] = row[f"{n}__stddev"]
+        out[n] = stats
+    return out
+
+
 def distinct_values(
     df: DataFrame, column: str, limit: int = 100, exact: bool = True
 ) -> list:

@@ -164,3 +164,19 @@ def test_distinct_values(viewer_df):
 
     assert distinct_values(viewer_df, "grp") == ["a", "b"]
     assert distinct_values(viewer_df, "score", limit=2) == [5.0, 10.0]
+
+
+def test_table_stats_single_pass(viewer_df):
+    from kbdatalakeapps_spark.serving import table_stats
+
+    out = table_stats(viewer_df, exact=True)
+    assert set(out) == {"id", "name", "score", "grp"}
+    assert out["score"]["null_count"] == 1
+    assert out["score"]["distinct_count"] == 4
+    assert out["score"]["min"] == 5.0 and out["score"]["max"] == 30.0
+    assert "mean" in out["score"] and "stddev" in out["score"]
+    assert "mean" not in out["name"]          # numeric gating
+    assert out["grp"]["total_count"] == 5
+
+    approx = table_stats(viewer_df)           # approx distinct path
+    assert approx["id"]["distinct_count"] >= 4
