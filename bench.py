@@ -63,8 +63,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = QUERIES[name](spark, sf_dir)
+        # time construction AND execution: some builders run eager
+        # helper jobs (a14's median offset count) that belong in the
+        # measurement
         t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
