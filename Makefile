@@ -1,0 +1,30 @@
+# Developer entry points. The driver contract itself is
+# __spark_entry__.py (entry/queries/oracle_sql) + bench.py.
+
+.PHONY: test bench verify smoke
+
+test:
+	python -m pytest tests/ -q
+
+# sf0.1 headline suite → one JSON line (BENCH contract)
+bench:
+	python bench.py
+
+# fast bench pass on the smallest scale factor
+smoke:
+	SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python bench.py
+
+# the t1+t2 gate the driver runs: entry smoke + every oracled query
+# compared against DuckDB at sf0.01
+verify:
+	python -c "\
+	import sys; sys.path.insert(0, '.'); sys.path.insert(0, 'tests'); \
+	import __spark_entry__ as e; \
+	from kbdatalakeapps_spark.session import get_spark; \
+	from oracle_harness import duck_con, compare; \
+	spark = get_spark('verify'); spark.sparkContext.setLogLevel('ERROR'); \
+	print('entry rows:', e.entry(spark).count()); \
+	qs, os_ = e.queries(), e.oracle_sql(); \
+	con = duck_con('/root/testdata/sf0.01'); \
+	fails = [n for n in sorted(os_) if not compare(qs[n](spark, '/root/testdata/sf0.01'), con, os_[n])[0]]; \
+	print('t2:', len(os_) - len(fails), 'match /', len(os_), 'FAILS:', fails)"
