@@ -5,11 +5,16 @@ replacement (F7), prefix normalization (F8), threshold bands (F12),
 class reconciliation (F15), map encoding (F17), parallel-array zip
 (F19), JSON flattening (F20), melt/map-explode reshapes (R3/R4),
 group-max / file-counts aggregates (A7/A12), pagination + existence
-probes (O4/O5), embedding near-dup (north-star dedup), multimodal
-binary stats, and a tumbling-window rollup (streaming batch twin).
+probes (O4/O5), ranking windows + ROLLUP engine extensions (W4/A17),
+the K2 RAST-mapping composite, embedding near-dup + IVF ANN +
+connected-components keeper assignment (north-star dedup/similarity),
+multimodal binary stats/features, and the streaming batch twins
+(tumbling + session windows).
 
 Same contract as core.py: deterministic results, exact-decimal float
 accumulation, column names aliased identically in Spark and oracle.
+Rows-only entries (no oracle) are exactly the genuinely iterative
+ones: sim_ivf_topk, dd_keeper_assignment.
 """
 
 from __future__ import annotations
