@@ -11,8 +11,13 @@ Layout:
     functions  — scalar/array column-expression library (SURVEY §2.8)
     filter_dsl — the viewer's typed filter language → Column compiler
     serving    — table-data request semantics (filter/sort/page/agg/stats)
-    operators  — relational combinators, dedup, similarity, text, multimodal
+    operators  — relational combinators, dedup/similarity/graph, text,
+                 multimodal, model scoring, skew mitigation
+    build      — the reference's product-table builders
+    lake       — pangenome-lake views + CDM star reassembly
+    pipeline   — per-clade orchestration end to end
+    streaming  — incremental twins (windows, sessions, stateful ops)
     queries    — named query registry + DuckDB oracle SQL twins
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -7,4 +7,16 @@ from .sources import (  # noqa: F401
     read_parquet,
     read_tsv,
 )
-from .sinks import write_parquet, write_tsv, write_fasta  # noqa: F401
+from .sinks import (  # noqa: F401
+    merge_upsert,
+    write_fasta,
+    write_parquet,
+    write_tsv,
+)
+from .layout import (  # noqa: F401
+    overwrite_partitions,
+    write_bucketed,
+    write_partitioned,
+)
+from .rest import paginated_fetch, partitioned_fetch  # noqa: F401
+from .sqlite import read_sqlite, write_sqlite  # noqa: F401

@@ -1,1 +1,10 @@
-from . import relational, dedup, similarity, text, multimodal  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    graph,
+    multimodal,
+    predict,
+    relational,
+    similarity,
+    skew,
+    text,
+)
