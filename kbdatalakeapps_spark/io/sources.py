@@ -45,7 +45,15 @@ def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
+    """Load one driver testdata table (TESTDATA.md) as a DataFrame.
+
+    ``events.parquet`` carries INT64 TIMESTAMP(NANOS) columns, which a
+    vanilla Spark 4 session refuses to read.  ``nanosAsLong`` is a
+    runtime SQL conf, so set it here rather than at session build time —
+    queries must work on ANY caller-supplied session (the driver
+    harness builds its own), not just ``session.get_spark()``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,76 @@
+"""Simulate the driver's correctness harness locally.
+
+Builds a VANILLA SparkSession (no repo confs — exactly what the driver
+does), runs every registered query at sf0.01, runs its DuckDB oracle,
+and compares with tests/oracle_harness.compare.  Round-1 lesson: tests
+passing under ``session.get_spark()`` is NOT the gate; the driver's
+plain session is.
+
+Usage: python tools/driver_sim.py [--sf-dir DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_harness import compare, duck_con
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duck_con(args.sf_dir)
+
+    names = args.names or sorted(queries)
+    results: dict[str, dict] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            df = queries[name](spark, args.sf_dir)
+            if name in oracles:
+                ok, msg = compare(df, con, oracles[name])
+                status = "pass" if ok else "FAIL"
+            else:
+                n = df.count()
+                ok, msg = n >= 0, f"rows-only ({n} rows)"
+                status = "rows-only"
+        except Exception:
+            ok, msg, status = False, traceback.format_exc(limit=3), "ERR"
+        dt = time.time() - t0
+        results[name] = {"status": status, "msg": msg.strip(), "sec": round(dt, 2)}
+        print(f"{status:9s} {name:35s} {dt:6.2f}s  {msg.splitlines()[-1][:110]}")
+
+    counts: dict[str, int] = {}
+    for r in results.values():
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+    print(json.dumps({"summary": counts}))
+    bad = [n for n, r in results.items() if r["status"] in ("FAIL", "ERR")]
+    if bad:
+        print("BAD:", " ".join(bad))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
