@@ -2,9 +2,21 @@
 §7 Phase 3) assembled from the operator library."""
 
 from .tables import (  # noqa: F401
+    ONTOLOGY_CATALOG,
+    RELATIONSHIP_PREDICATES,
     annotations_long,
+    backfill_seed_reaction_terms,
     build_ani_table,
     build_feature_table,
+    build_gene_phenotype,
+    build_gene_reaction,
+    build_genome_phenotype,
+    build_genome_reaction,
     build_genome_table,
+    build_media_composition,
+    build_model_performance,
+    build_ontology_definitions,
+    build_ontology_relationships,
     build_ontology_terms,
+    membership_report,
 )

@@ -244,3 +244,357 @@ def build_ontology_terms(
         .select("ontology_prefix", "identifier", "label", "definition")
         .orderBy("ontology_prefix", "identifier")
     )
+
+
+# ---------------------------------------------------------------------------
+# ontology definitions + relationships — KBDatalakeUtils.py:2463-2720
+# (completes the reference's three-table ontology export)
+# ---------------------------------------------------------------------------
+
+#: the reference's static prefix → description catalog
+#: (KBDatalakeUtils.py:2672-2681)
+ONTOLOGY_CATALOG: dict[str, str] = {
+    "GO": "Gene Ontology - standardized vocabulary for gene and protein functions",
+    "EC": "Enzyme Commission numbers - classification of enzymes by reaction type",
+    "SO": "Sequence Ontology - vocabulary for sequence features",
+    "PFAM": "Protein Families database - protein domain families",
+    "KEGG": "KEGG Orthologs - ortholog groups linking genes across species",
+    "COG": "Clusters of Orthologous Groups - protein functional categories",
+    "seed.role": "SEED Role Ontology - functional roles from RAST annotation",
+    "seed.reaction": "SEED Reaction Ontology - biochemical reactions from ModelSEED",
+}
+
+#: raw predicate → cleaned relationship label (KBDatalakeUtils.py:2477-2492)
+RELATIONSHIP_PREDICATES: dict[str, str] = {
+    "rdfs:subClassOf": "is_a",
+    "<https://modelseed.org/ontology/enables_reaction>": "enables_reaction",
+}
+
+
+def build_ontology_definitions(
+    terms: DataFrame, catalog: dict[str, str] | None = None
+) -> DataFrame:
+    """Definitions for the ontology prefixes actually present in the
+    terms table (KBDatalakeUtils.py:2683-2688 "only include definitions
+    for prefixes we actually have terms for").
+
+    The catalog is a constant-sized lookup → a broadcast semi-join
+    against the distinct prefixes, never a collected set."""
+    cat = catalog if catalog is not None else ONTOLOGY_CATALOG
+    spark = terms.sparkSession
+    cat_df = spark.createDataFrame(
+        list(cat.items()), "ontology_prefix string, definition string"
+    )
+    present = terms.select("ontology_prefix").distinct()
+    return (
+        F.broadcast(cat_df)
+        .join(present, "ontology_prefix", "left_semi")
+        .orderBy("ontology_prefix")
+    )
+
+
+def build_ontology_relationships(
+    statements: DataFrame, terms: DataFrame
+) -> DataFrame:
+    """Term relationships from the statements triple store
+    (KBDatalakeUtils.py:2463-2519): keep rdfs:subClassOf ("is_a") and
+    enables_reaction rows whose subject is a harvested term; skip
+    self-referential edges, blank-node objects, and the EC:/SO: parent
+    hierarchies (the reference's "not useful per team decision").
+
+    The reference iterates pandas rows; here it is one predicate-filter
+    + semi-join + distinct, so the statements table can be lake-scale."""
+    pred_map = None
+    for raw, clean in RELATIONSHIP_PREDICATES.items():
+        c = F.when(F.col("predicate") == raw, F.lit(clean))
+        pred_map = c if pred_map is None else pred_map.when(
+            F.col("predicate") == raw, F.lit(clean)
+        )
+    rels = (
+        statements.join(
+            F.broadcast(
+                terms.select(F.col("identifier").alias("subject")).distinct()
+            ),
+            "subject",
+            "left_semi",
+        )
+        .filter(F.col("predicate").isin(list(RELATIONSHIP_PREDICATES)))
+        .filter(F.col("subject") != F.col("object"))
+        .filter(~F.col("object").startswith("_:"))
+        .filter(
+            ~(
+                (F.col("predicate") == "rdfs:subClassOf")
+                & (
+                    F.col("subject").startswith("EC:")
+                    | F.col("subject").startswith("SO:")
+                )
+            )
+        )
+        .select("subject", pred_map.alias("predicate"), "object")
+        .distinct()
+    )
+    return rels
+
+
+def backfill_seed_reaction_terms(
+    statements: DataFrame, relationships: DataFrame
+) -> DataFrame:
+    """seed.reaction terms referenced as enables_reaction objects but
+    never harvested directly get label/definition rows appended to
+    ontology_terms (KBDatalakeUtils.py:2521-2552).  Returns rows in
+    build_ontology_terms' output shape, ready to unionByName."""
+    rxn_ids = (
+        relationships.filter(F.col("predicate") == "enables_reaction")
+        .filter(F.col("object").startswith("seed.reaction:"))
+        .select(F.col("object").alias("identifier"))
+        .distinct()
+    )
+    enriched = rel.predicate_pivot(
+        statements.join(
+            F.broadcast(rxn_ids.select(F.col("identifier").alias("subject"))),
+            "subject",
+            "left_semi",
+        ),
+        "subject",
+        "predicate",
+        "value",
+        {"rdfs:label": "label", "IAO:0000115": "definition"},
+    )
+    return (
+        rxn_ids.join(
+            enriched.withColumnRenamed("subject", "identifier"),
+            "identifier",
+            "left",
+        )
+        .select(
+            F.lit("seed.reaction").alias("ontology_prefix"),
+            "identifier",
+            # the reference backfills '' (not NULL) when no statement row
+            F.coalesce("label", F.lit("")).alias("label"),
+            F.coalesce("definition", F.lit("")).alias("definition"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# phenotype / reaction / model product tables — datalake_table.py:532-739
+# Each reference builder is TSV load → genome_id ∈ member-set filter →
+# SQLite append with a typed DDL.  Here: semi-join restriction (P4,
+# never a collected id list), typed projection to the DDL schema, and a
+# deterministic PK dedup (the reference relies on the SQLite PRIMARY
+# KEY to reject duplicates; at lake scale we keep the lexicographically
+# first row per key instead of erroring).
+# ---------------------------------------------------------------------------
+
+
+def _members_frame(member_ids: DataFrame, id_col: str = "genome_id") -> DataFrame:
+    col = member_ids.columns[0]
+    return member_ids.select(F.col(col).alias(id_col)).distinct()
+
+
+def membership_report(
+    df: DataFrame, member_ids: DataFrame, id_col: str = "genome_id"
+) -> DataFrame:
+    """The reference's printed `excluded/allowed` accounting
+    (datalake_table.py:560-570) as a one-row DataFrame instead of
+    driver-side set arithmetic — (n_allowed, n_excluded) of distinct
+    input genome ids vs the member set."""
+    ids = df.select(id_col).distinct()
+    members = F.broadcast(_members_frame(member_ids, id_col))
+    flagged = ids.join(
+        members.withColumn("_m", F.lit(True)), id_col, "left"
+    )
+    return flagged.agg(
+        F.count(F.when(F.col("_m"), 1)).alias("n_allowed"),
+        F.count(F.when(F.col("_m").isNull(), 1)).alias("n_excluded"),
+    )
+
+
+def _restrict_project_dedup(
+    df: DataFrame,
+    member_ids: DataFrame | None,
+    schema: list[tuple[str, str]],
+    pk: list[str],
+    id_col: str = "genome_id",
+) -> DataFrame:
+    """Shared shape of the six loaders: optional member restriction,
+    cast-projection to the declared (column, type) DDL, first-wins PK
+    dedup ordered by the non-key columns for determinism."""
+    out = df
+    if member_ids is not None:
+        out = out.join(
+            F.broadcast(_members_frame(member_ids, id_col)), id_col, "left_semi"
+        )
+    out = out.select(
+        *[F.col(name).cast(typ).alias(name) for name, typ in schema]
+    )
+    non_pk = [name for name, _ in schema if name not in pk]
+    if non_pk:
+        out = rel.first_wins_dedup_agg(out, pk, non_pk)
+        # restore declared column order (dedup emits keys first)
+        out = out.select(*[name for name, _ in schema])
+    else:
+        out = out.distinct()
+    return out
+
+
+GENOME_PHENOTYPE_SCHEMA: list[tuple[str, str]] = [
+    ("genome_id", "string"),
+    ("phenotype_id", "string"),
+    ("phenotype_name", "string"),
+    ("class", "string"),
+    ("simulated_objective", "double"),
+    ("observed_objective", "double"),
+    ("gap_count", "int"),
+    ("gapfilled_reactions", "string"),
+    ("reaction_count", "int"),
+    ("transports_added", "string"),
+    ("closest_experimental_data", "string"),
+    ("source", "string"),
+]
+
+
+def build_genome_phenotype(
+    phenotypes: DataFrame, member_ids: DataFrame | None = None
+) -> DataFrame:
+    """genome_phenotype (datalake_table.py:532-577): per-genome
+    phenotype simulation outcomes (class P/N/…, simulated vs observed
+    objective, gapfill accounting).  PK (genome_id, phenotype_id)."""
+    return _restrict_project_dedup(
+        phenotypes, member_ids, GENOME_PHENOTYPE_SCHEMA,
+        ["genome_id", "phenotype_id"],
+    )
+
+
+GENE_PHENOTYPE_SCHEMA: list[tuple[str, str]] = [
+    ("genome_id", "string"),
+    ("gene_id", "string"),
+    ("phenotype_id", "string"),
+    ("phenotype_name", "string"),
+    ("association_sources", "string"),
+    ("model_pred_reactions", "string"),
+    ("model_pred_max_flux", "double"),
+    ("fitness_match", "string"),
+    ("fitness_max", "double"),
+    ("fitness_min", "double"),
+    ("fitness_avg", "double"),
+    ("fitness_count", "int"),
+    ("essentiality_fraction", "double"),
+]
+
+
+def build_gene_phenotype(
+    gene_phenotypes: DataFrame, member_ids: DataFrame | None = None
+) -> DataFrame:
+    """gene_phenotype (datalake_table.py:579-611): gene↔phenotype
+    associations with model-prediction and fitness evidence.
+    PK (genome_id, gene_id, phenotype_id)."""
+    return _restrict_project_dedup(
+        gene_phenotypes, member_ids, GENE_PHENOTYPE_SCHEMA,
+        ["genome_id", "gene_id", "phenotype_id"],
+    )
+
+
+GENE_REACTION_SCHEMA: list[tuple[str, str]] = [
+    ("genome_id", "string"),
+    ("gene_id", "string"),
+    ("reaction", "string"),
+    ("rich_media_flux", "double"),
+    ("rich_media_class", "string"),
+    ("minimal_media_flux", "double"),
+    ("minimal_media_class", "string"),
+]
+
+
+def build_gene_reaction(
+    gene_reactions: DataFrame, member_ids: DataFrame | None = None
+) -> DataFrame:
+    """genome_gene_reaction_essentially_test (datalake_table.py:613-650):
+    per-gene reaction essentiality under rich/minimal media.
+    PK (genome_id, gene_id)."""
+    return _restrict_project_dedup(
+        gene_reactions, member_ids, GENE_REACTION_SCHEMA,
+        ["genome_id", "gene_id"],
+    )
+
+
+GENOME_REACTION_SCHEMA: list[tuple[str, str]] = [
+    ("genome_id", "string"),
+    ("reaction_id", "string"),
+    ("genes", "string"),
+    ("equation_names", "string"),
+    ("equation_ids", "string"),
+    ("directionality", "string"),
+    ("upper_bound", "double"),
+    ("lower_bound", "double"),
+    ("gapfilling_status", "string"),
+    ("rich_media_flux", "double"),
+    ("rich_media_class", "string"),
+    ("minimal_media_flux", "double"),
+    ("minimal_media_class", "string"),
+]
+
+
+def build_genome_reaction(
+    genome_reactions: DataFrame, member_ids: DataFrame | None = None
+) -> DataFrame:
+    """genome_reaction (datalake_table.py:652-689): model reaction rows
+    (equation, bounds, directionality, flux classes).
+    PK (genome_id, reaction_id)."""
+    return _restrict_project_dedup(
+        genome_reactions, member_ids, GENOME_REACTION_SCHEMA,
+        ["genome_id", "reaction_id"],
+    )
+
+
+MODEL_PERFORMANCE_SCHEMA: list[tuple[str, str]] = [
+    ("genome_id", "string"),
+    ("taxonomy", "string"),
+    ("false_positives", "int"),
+    ("false_negatives", "int"),
+    ("true_positives", "int"),
+    ("true_negatives", "int"),
+    ("accuracy", "double"),
+    ("positive_growth", "int"),
+    ("negative_growth", "int"),
+    ("avg_positive_growth_gaps", "double"),
+    ("avg_negative_growth_gaps", "double"),
+    ("closest_user_genomes", "string"),
+    ("source", "string"),
+]
+
+
+def build_model_performance(
+    performance: DataFrame, member_ids: DataFrame | None = None
+) -> DataFrame:
+    """model_performance (datalake_table.py:691-728): per-genome
+    confusion-matrix summary of phenotype simulation (A6 upstream).
+    PK (genome_id).  A missing accuracy is derivable —
+    (TP+TN)/(TP+TN+FP+FN) — so backfill it when the column is null and
+    the counts are present (nullif guards the 0-denominator case)."""
+    out = _restrict_project_dedup(
+        performance, member_ids, MODEL_PERFORMANCE_SCHEMA, ["genome_id"]
+    )
+    tp, tn = F.col("true_positives"), F.col("true_negatives")
+    fp, fn = F.col("false_positives"), F.col("false_negatives")
+    derived = (tp + tn) / F.nullif(tp + tn + fp + fn, F.lit(0))
+    return out.withColumn(
+        "accuracy", F.coalesce(F.col("accuracy"), F.round(derived, 6))
+    )
+
+
+MEDIA_COMPOSITION_SCHEMA: list[tuple[str, str]] = [
+    ("media_id", "string"),
+    ("compound_id", "string"),
+    ("max_uptake", "double"),
+    ("compound_name", "string"),
+]
+
+
+def build_media_composition(media: DataFrame) -> DataFrame:
+    """media_composition (datalake_table.py:730-756): media → compound
+    uptake bounds.  No member restriction (media are global).
+    PK (media_id, compound_id)."""
+    return _restrict_project_dedup(
+        media, None, MEDIA_COMPOSITION_SCHEMA, ["media_id", "compound_id"]
+    )

@@ -166,11 +166,21 @@ def compile_filters(
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     preds: list[Column] = []
     for col, text in (col_filter or {}).items():
+        if col not in dtypes:
+            raise ValueError(
+                f"col_filter references unknown column {col!r}; "
+                f"available: {sorted(dtypes)}"
+            )
         spec = parse_filter_input(str(text), is_numeric_type(dtypes[col]))
         if spec is not None:
             spec.column = col
             preds.append(compile_spec(spec))
     for f_ in filters or []:
+        if f_["column"] not in dtypes:
+            raise ValueError(
+                f"filter references unknown column {f_['column']!r}; "
+                f"available: {sorted(dtypes)}"
+            )
         spec = FilterSpec(
             f_["column"], f_["operator"], f_.get("value"), f_.get("value2")
         )

@@ -26,6 +26,8 @@ from __future__ import annotations
 import importlib
 from typing import Iterator
 
+from .rest import _with_retry
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -78,6 +80,33 @@ def _compile_filter(f: Filter) -> str | None:
     return None
 
 
+def _call_endpoint(options: dict, where: str | None, limit: int, offset: int):
+    """Resolve the injectable endpoint and call it under the same
+    3-retry ×2-backoff policy as io.rest (query_pangenome_berdl.py:
+    126-151).  Per-PAGE retry matters here: without it one transient
+    failure burns a whole Spark task retry, which re-fetches the entire
+    partition.  ``retry_on`` extends the retryable set via options
+    (comma-separated exception names resolved from builtins)."""
+    mod, fn = options["endpoint"].split(":")
+    endpoint = getattr(importlib.import_module(mod), fn)
+    retryable: tuple[type[Exception], ...] = (TimeoutError, ConnectionError)
+    extra = options.get("retry_on")
+    if extra:
+        import builtins
+
+        retryable = retryable + tuple(
+            getattr(builtins, name.strip()) for name in extra.split(",")
+        )
+    return _with_retry(
+        lambda lim, off: endpoint(options, where, lim, off),
+        limit,
+        offset,
+        max_retries=int(options.get("max_retries", 3)),
+        backoff_s=float(options.get("backoff_s", 0.5)),
+        retryable=retryable,
+    )
+
+
 class _PagePartition(InputPartition):
     def __init__(self, offset: int, limit: int):
         self.offset = offset
@@ -112,9 +141,7 @@ class RestLakeReader(DataSourceReader):
         ]
 
     def read(self, partition: _PagePartition):
-        mod, fn = self.options["endpoint"].split(":")
-        endpoint = getattr(importlib.import_module(mod), fn)
-        yield from endpoint(
+        yield from _call_endpoint(
             self.options, self.where, partition.limit, partition.offset
         )
 
@@ -136,9 +163,9 @@ class RestLakeStreamReader(SimpleDataSourceStreamReader):
         return {"offset": int(self.options.get("start_offset", 0))}
 
     def _fetch(self, limit: int, offset: int):
-        mod, fn = self.options["endpoint"].split(":")
-        endpoint = getattr(importlib.import_module(mod), fn)
-        return endpoint(self.options, self.options.get("where"), limit, offset)
+        return _call_endpoint(
+            self.options, self.options.get("where"), limit, offset
+        )
 
     def read(self, start: dict):
         rows = self._fetch(self.poll_limit, start["offset"])

@@ -6,7 +6,10 @@ SQLite is inherently a single-file, driver-local format, so these are
 boundary adapters, not scale paths:
 
 * ``read_sqlite``   — driver-side page reads → ``spark.createDataFrame``
-  (no sqlite JDBC driver ships here; pages bound driver memory).
+  (no sqlite JDBC driver ships here).  The table is a single local
+  file, so it must fit on the driver; ``page_size`` bounds the
+  *per-batch* cursor fetch + row conversion, and each page becomes its
+  own DataFrame partition.
 * ``write_sqlite``  — stream ``toLocalIterator`` batches into one
   SQLite file with explicit DDL — the export that feeds the shipped
   viewer.  Engine-canonical storage stays parquet (io.sinks).
@@ -52,11 +55,12 @@ def read_sqlite(
     """S9: scan one SQLite table into a DataFrame (the reference's
     ``pd.read_sql_query('SELECT * FROM [t]')``,
     KBDatalakeUtils.py:2267).  Schema is taken from ``PRAGMA
-    table_info`` affinity when not supplied."""
+    table_info`` affinity when not supplied.  Rows come off the cursor
+    ``page_size`` at a time; each page is converted (bool coercion)
+    as it arrives and becomes one partition of the result, so a large
+    table never doubles through an extra all-rows intermediate."""
     con = sqlite3.connect(path)
     try:
-        cur = con.execute(f'SELECT * FROM "{table}"')
-        rows = cur.fetchall()
         if schema is None:
             info = con.execute(f'PRAGMA table_info("{table}")').fetchall()
             fields = []
@@ -74,21 +78,33 @@ def read_sqlite(
                     dt = T.StringType()
                 fields.append(T.StructField(name, dt))
             schema = T.StructType(fields)
-        if isinstance(schema, T.StructType) and any(
-            isinstance(f.dataType, T.BooleanType) for f in schema.fields
-        ):
-            bool_idx = [
+        bool_idx = (
+            [
                 i for i, f in enumerate(schema.fields)
                 if isinstance(f.dataType, T.BooleanType)
             ]
-            rows = [
-                tuple(
-                    (bool(v) if v is not None and i in bool_idx else v)
-                    for i, v in enumerate(r)
-                )
-                for r in rows
-            ]
-        return spark.createDataFrame(rows, schema)
+            if isinstance(schema, T.StructType)
+            else []
+        )
+        cur = con.execute(f'SELECT * FROM "{table}"')
+        out: DataFrame | None = None
+        while True:
+            page = cur.fetchmany(page_size)
+            if not page:
+                break
+            if bool_idx:
+                page = [
+                    tuple(
+                        (bool(v) if v is not None and i in bool_idx else v)
+                        for i, v in enumerate(r)
+                    )
+                    for r in page
+                ]
+            part = spark.createDataFrame(page, schema)
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return spark.createDataFrame([], schema)
+        return out
     finally:
         con.close()
 

@@ -27,9 +27,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .build import (
+    backfill_seed_reaction_terms,
     build_ani_table,
     build_feature_table,
+    build_gene_phenotype,
+    build_gene_reaction,
+    build_genome_phenotype,
+    build_genome_reaction,
     build_genome_table,
+    build_media_composition,
+    build_model_performance,
+    build_ontology_definitions,
+    build_ontology_relationships,
     build_ontology_terms,
 )
 from .io.sqlite import write_sqlite
@@ -55,10 +64,20 @@ def run_clade_pipeline(
     mmseqs_pairs: DataFrame | None = None,
     cluster_attrs: DataFrame | None = None,
     statements: DataFrame | None = None,
+    genome_phenotypes: DataFrame | None = None,
+    gene_phenotypes: DataFrame | None = None,
+    gene_reactions: DataFrame | None = None,
+    genome_reactions: DataFrame | None = None,
+    model_performance: DataFrame | None = None,
+    media_compositions: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Assemble every product table for one clade (lazy — nothing
     executes until the caller writes/collects).  Mirrors
-    DatalakeTableBuilder.build (datalake_table.py:52-81)."""
+    DatalakeTableBuilder.build (datalake_table.py:52-81); the
+    phenotype/reaction/model inputs are the reference's optional
+    `phenotypes/` and `models/` TSVs (datalake_table.py:532-756) and
+    each is skipped when absent, exactly like the reference's
+    `path.exists()` guards."""
     tables: dict[str, DataFrame] = {
         "genome": build_genome_table(gtdb_meta, member_ids, user_genomes),
         "ani": build_ani_table(ani_sources),
@@ -78,7 +97,37 @@ def run_clade_pipeline(
             )
             .distinct()
         )
-        tables["ontology_terms"] = build_ontology_terms(statements, terms)
+        rels = build_ontology_relationships(statements, terms)
+        term_table = build_ontology_terms(statements, terms).unionByName(
+            backfill_seed_reaction_terms(statements, rels)
+        )
+        tables["ontology_terms"] = term_table
+        tables["ontology_relationships"] = rels
+        tables["ontology_definitions"] = build_ontology_definitions(terms)
+    # member restriction for the phenotype/model family uses the clade
+    # member list, same id set the reference's filter_genome_ids carries
+    if genome_phenotypes is not None:
+        tables["genome_phenotype"] = build_genome_phenotype(
+            genome_phenotypes, member_ids
+        )
+    if gene_phenotypes is not None:
+        tables["gene_phenotype"] = build_gene_phenotype(
+            gene_phenotypes, member_ids
+        )
+    if gene_reactions is not None:
+        tables["genome_gene_reaction_essentially_test"] = build_gene_reaction(
+            gene_reactions, member_ids
+        )
+    if genome_reactions is not None:
+        tables["genome_reaction"] = build_genome_reaction(
+            genome_reactions, member_ids
+        )
+    if model_performance is not None:
+        tables["model_performance"] = build_model_performance(
+            model_performance, member_ids
+        )
+    if media_compositions is not None:
+        tables["media_composition"] = build_media_composition(media_compositions)
     return tables
 
 

@@ -9,3 +9,4 @@ from .registry import QUERIES, ORACLES, query  # noqa: F401
 from . import core  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import extended  # noqa: F401,E402
+from . import builders  # noqa: F401,E402

@@ -1,0 +1,383 @@
+"""Driver-oracled queries for the product-table builders
+(build/tables.py): each query shapes the TPC-H-ish testdata tables into
+the builder's FIXTURES.md input shape, runs the REAL builder function,
+and carries a DuckDB oracle that mirrors the full composition — member
+restriction (P4 semi-join), DDL cast-projection, deterministic
+first-wins PK dedup (W2 as min-struct agg), and derived-column
+backfill.  This is the driver-verifiable twin of the pipeline stages
+that normally consume phenotype/model TSVs
+(reference datalake_table.py:532-756, KBDatalakeUtils.py:2463-2720).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..build.tables import (
+    ONTOLOGY_CATALOG,
+    build_genome_phenotype,
+    build_media_composition,
+    build_model_performance,
+    build_ontology_definitions,
+    build_ontology_relationships,
+)
+from ..io.sources import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# b1: genome_phenotype — restrict + cast + PK dedup (datalake_table.py:532-577)
+# ---------------------------------------------------------------------------
+
+_B1_PHENO_SQL = """
+        SELECT 'g' || (o_custkey % 20) AS genome_id,
+               'cpd' || (o_orderkey % 40) AS phenotype_id,
+               o_orderpriority AS phenotype_name,
+               o_orderstatus AS class,
+               CAST(o_totalprice AS DOUBLE) AS simulated_objective,
+               CAST(o_totalprice AS DOUBLE) * 0.5 AS observed_objective,
+               CAST(o_orderkey % 5 AS INT) AS gap_count,
+               o_orderpriority || ';' || o_orderstatus AS gapfilled_reactions,
+               CAST(o_orderkey % 7 AS INT) AS reaction_count,
+               '' AS transports_added,
+               '' AS closest_experimental_data,
+               'pangenome' AS source
+        FROM orders
+"""
+
+
+@query(
+    "b1_genome_phenotype_build",
+    oracle=f"""
+    WITH pheno AS ({_B1_PHENO_SQL}),
+    members AS (
+        SELECT DISTINCT 'g' || (c_custkey % 20) AS genome_id
+        FROM customer WHERE c_custkey % 20 < 12
+    ),
+    restricted AS (
+        SELECT * FROM pheno WHERE genome_id IN (SELECT genome_id FROM members)
+    ),
+    dedup AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY genome_id, phenotype_id
+            ORDER BY phenotype_name, class, simulated_objective,
+                     observed_objective, gap_count, gapfilled_reactions,
+                     reaction_count, transports_added,
+                     closest_experimental_data, source
+        ) AS rn FROM restricted
+    )
+    SELECT genome_id, phenotype_id, phenotype_name, class,
+           simulated_objective, observed_objective, gap_count,
+           gapfilled_reactions, reaction_count, transports_added,
+           closest_experimental_data, source
+    FROM dedup WHERE rn = 1
+    """,
+)
+def b1_genome_phenotype_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """genome_phenotype builder end-to-end: orders shaped into the
+    phenotypes TSV schema, customer-derived member list, broadcast
+    semi-join restriction, typed projection, min-struct PK dedup."""
+    o = _t(spark, sf_dir, "orders")
+    pheno = o.select(
+        F.concat(F.lit("g"), (F.col("o_custkey") % 20).cast("string")).alias(
+            "genome_id"
+        ),
+        F.concat(F.lit("cpd"), (F.col("o_orderkey") % 40).cast("string")).alias(
+            "phenotype_id"
+        ),
+        F.col("o_orderpriority").alias("phenotype_name"),
+        F.col("o_orderstatus").alias("class"),
+        F.col("o_totalprice").cast("double").alias("simulated_objective"),
+        (F.col("o_totalprice").cast("double") * 0.5).alias("observed_objective"),
+        (F.col("o_orderkey") % 5).cast("int").alias("gap_count"),
+        F.concat_ws(";", "o_orderpriority", "o_orderstatus").alias(
+            "gapfilled_reactions"
+        ),
+        (F.col("o_orderkey") % 7).cast("int").alias("reaction_count"),
+        F.lit("").alias("transports_added"),
+        F.lit("").alias("closest_experimental_data"),
+        F.lit("pangenome").alias("source"),
+    )
+    members = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 20 < 12)
+        .select(
+            F.concat(F.lit("g"), (F.col("c_custkey") % 20).cast("string")).alias(
+                "genome"
+            )
+        )
+    )
+    return build_genome_phenotype(pheno, members)
+
+
+# ---------------------------------------------------------------------------
+# b2: model_performance — A6 confusion counts upstream + accuracy
+# derivation (datalake_table.py:691-728; KBDatalakeUtils.py:579-623)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b2_model_performance_build",
+    oracle="""
+    WITH classed AS (
+        SELECT user_id,
+               CASE WHEN value >= 100 AND event_type IN ('purchase','signup')
+                    THEN 'CP'
+                    WHEN value < 100 AND event_type NOT IN ('purchase','signup')
+                    THEN 'CN'
+                    WHEN value >= 100 THEN 'FP' ELSE 'FN' END AS class
+        FROM events
+    ),
+    counts AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN class = 'FP' THEN 1 ELSE 0 END) AS INT) AS fp,
+               CAST(SUM(CASE WHEN class = 'FN' THEN 1 ELSE 0 END) AS INT) AS fn,
+               CAST(SUM(CASE WHEN class = 'CP' THEN 1 ELSE 0 END) AS INT) AS tp,
+               CAST(SUM(CASE WHEN class = 'CN' THEN 1 ELSE 0 END) AS INT) AS tn
+        FROM classed GROUP BY user_id
+    ),
+    members AS (SELECT DISTINCT user_id FROM events WHERE user_id % 4 <> 0)
+    SELECT 'g' || user_id AS genome_id,
+           'd__Bacteria' AS taxonomy,
+           fp AS false_positives, fn AS false_negatives,
+           tp AS true_positives, tn AS true_negatives,
+           ROUND((tp + tn) / CAST(NULLIF(tp + tn + fp + fn, 0) AS DOUBLE), 6)
+               AS accuracy,
+           tp + fn AS positive_growth, tn + fp AS negative_growth,
+           CAST(NULL AS DOUBLE) AS avg_positive_growth_gaps,
+           CAST(NULL AS DOUBLE) AS avg_negative_growth_gaps,
+           '' AS closest_user_genomes,
+           'pangenome' AS source
+    FROM counts WHERE user_id IN (SELECT user_id FROM members)
+    """,
+)
+def b2_model_performance_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """model_performance builder end-to-end: events classified into the
+    phenotype confusion matrix per user (A6), shaped into the
+    model_performance TSV schema with accuracy left NULL, then the
+    builder restricts to members and derives accuracy =
+    (TP+TN)/(TP+TN+FP+FN)."""
+    e = _t(spark, sf_dir, "events")
+    positive_pred = F.col("value") >= 100
+    positive_obs = F.col("event_type").isin("purchase", "signup")
+    classed = e.select(
+        "user_id",
+        F.when(positive_pred & positive_obs, "CP")
+        .when(~positive_pred & ~positive_obs, "CN")
+        .when(positive_pred, "FP")
+        .otherwise("FN")
+        .alias("class"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col("class") == c, 1).otherwise(0)).cast("int")
+    counts = classed.groupBy("user_id").agg(
+        cnt("FP").alias("fp"), cnt("FN").alias("fn"),
+        cnt("CP").alias("tp"), cnt("CN").alias("tn"),
+    )
+    perf = counts.select(
+        F.concat(F.lit("g"), F.col("user_id").cast("string")).alias("genome_id"),
+        F.lit("d__Bacteria").alias("taxonomy"),
+        F.col("fp").alias("false_positives"),
+        F.col("fn").alias("false_negatives"),
+        F.col("tp").alias("true_positives"),
+        F.col("tn").alias("true_negatives"),
+        F.lit(None).cast("double").alias("accuracy"),
+        (F.col("tp") + F.col("fn")).alias("positive_growth"),
+        (F.col("tn") + F.col("fp")).alias("negative_growth"),
+        F.lit(None).cast("double").alias("avg_positive_growth_gaps"),
+        F.lit(None).cast("double").alias("avg_negative_growth_gaps"),
+        F.lit("").alias("closest_user_genomes"),
+        F.lit("pangenome").alias("source"),
+    )
+    members = (
+        e.filter(F.col("user_id") % 4 != 0)
+        .select(
+            F.concat(F.lit("g"), F.col("user_id").cast("string")).alias("genome")
+        )
+        .distinct()
+    )
+    return build_model_performance(perf, members)
+
+
+# ---------------------------------------------------------------------------
+# b3/b4: ontology relationships + definitions (KBDatalakeUtils.py:2463-2720)
+# ---------------------------------------------------------------------------
+
+_B3_STMT_SQL = """
+        SELECT CASE WHEN p_partkey % 5 = 0 THEN 'EC:' || p_partkey
+                    WHEN p_partkey % 5 = 1 THEN 'SO:' || p_partkey
+                    ELSE 'GO:' || p_partkey END AS subject,
+               CASE WHEN p_partkey % 3 = 0 THEN 'rdfs:subClassOf'
+                    WHEN p_partkey % 3 = 1
+                    THEN '<https://modelseed.org/ontology/enables_reaction>'
+                    ELSE 'oio:hasDbXref' END AS predicate,
+               CASE WHEN p_partkey % 7 = 0 THEN
+                        CASE WHEN p_partkey % 5 = 0 THEN 'EC:' || p_partkey
+                             WHEN p_partkey % 5 = 1 THEN 'SO:' || p_partkey
+                             ELSE 'GO:' || p_partkey END
+                    WHEN p_partkey % 11 = 0 THEN '_:b' || p_partkey
+                    WHEN p_partkey % 3 = 1
+                    THEN 'seed.reaction:rxn' || (p_partkey % 100)
+                    ELSE 'GO:' || (p_partkey + 1) END AS object,
+               CAST(NULL AS VARCHAR) AS value
+        FROM part
+"""
+
+_B3_TERMS_SQL = """
+        SELECT CASE WHEN p_partkey % 5 = 0 THEN 'EC'
+                    WHEN p_partkey % 5 = 1 THEN 'SO'
+                    ELSE 'GO' END AS ontology_prefix,
+               CASE WHEN p_partkey % 5 = 0 THEN 'EC:' || p_partkey
+                    WHEN p_partkey % 5 = 1 THEN 'SO:' || p_partkey
+                    ELSE 'GO:' || p_partkey END AS identifier
+        FROM part WHERE p_partkey % 2 = 0
+"""
+
+
+def _b3_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    subject = (
+        F.when(pk % 5 == 0, F.concat(F.lit("EC:"), pk.cast("string")))
+        .when(pk % 5 == 1, F.concat(F.lit("SO:"), pk.cast("string")))
+        .otherwise(F.concat(F.lit("GO:"), pk.cast("string")))
+    )
+    predicate = (
+        F.when(pk % 3 == 0, F.lit("rdfs:subClassOf"))
+        .when(
+            pk % 3 == 1,
+            F.lit("<https://modelseed.org/ontology/enables_reaction>"),
+        )
+        .otherwise(F.lit("oio:hasDbXref"))
+    )
+    obj = (
+        F.when(pk % 7 == 0, subject)  # self-referential → skipped
+        .when(pk % 11 == 0, F.concat(F.lit("_:b"), pk.cast("string")))  # blank
+        .when(
+            pk % 3 == 1,
+            F.concat(F.lit("seed.reaction:rxn"), (pk % 100).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("GO:"), (pk + 1).cast("string")))
+    )
+    return p.select(
+        subject.alias("subject"),
+        predicate.alias("predicate"),
+        obj.alias("object"),
+        F.lit(None).cast("string").alias("value"),
+    )
+
+
+def _b3_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0)
+    pk = F.col("p_partkey")
+    prefix = (
+        F.when(pk % 5 == 0, F.lit("EC"))
+        .when(pk % 5 == 1, F.lit("SO"))
+        .otherwise(F.lit("GO"))
+    )
+    ident = (
+        F.when(pk % 5 == 0, F.concat(F.lit("EC:"), pk.cast("string")))
+        .when(pk % 5 == 1, F.concat(F.lit("SO:"), pk.cast("string")))
+        .otherwise(F.concat(F.lit("GO:"), pk.cast("string")))
+    )
+    return p.select(prefix.alias("ontology_prefix"), ident.alias("identifier"))
+
+
+@query(
+    "b3_ontology_relationships_build",
+    oracle=f"""
+    WITH statements AS ({_B3_STMT_SQL}),
+    terms AS ({_B3_TERMS_SQL})
+    SELECT DISTINCT s.subject,
+           CASE s.predicate
+                WHEN 'rdfs:subClassOf' THEN 'is_a'
+                ELSE 'enables_reaction' END AS predicate,
+           s.object
+    FROM statements s
+    WHERE s.subject IN (SELECT identifier FROM terms)
+      AND s.predicate IN ('rdfs:subClassOf',
+                          '<https://modelseed.org/ontology/enables_reaction>')
+      AND s.subject <> s.object
+      AND NOT starts_with(s.object, '_:')
+      AND NOT (s.predicate = 'rdfs:subClassOf'
+               AND (starts_with(s.subject, 'EC:')
+                    OR starts_with(s.subject, 'SO:')))
+    """,
+)
+def b3_ontology_relationships_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ontology_relationships builder end-to-end: part-derived triples
+    with self-referential edges, blank-node objects, EC:/SO: parents
+    and irrelevant predicates mixed in — all filtered exactly as the
+    reference's row loop does, but as one declarative pass."""
+    return build_ontology_relationships(
+        _b3_statements(spark, sf_dir), _b3_terms(spark, sf_dir)
+    )
+
+
+_B4_CATALOG_VALUES = ", ".join(
+    "('{}', '{}')".format(k, v.replace("'", "''"))
+    for k, v in ONTOLOGY_CATALOG.items()
+)
+
+
+@query(
+    "b4_ontology_definitions_build",
+    oracle=f"""
+    WITH cat(ontology_prefix, definition) AS (VALUES {_B4_CATALOG_VALUES}),
+    terms AS ({_B3_TERMS_SQL})
+    SELECT c.ontology_prefix, c.definition FROM cat c
+    WHERE c.ontology_prefix IN (SELECT ontology_prefix FROM terms)
+    """,
+)
+def b4_ontology_definitions_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ontology_definitions builder: the static catalog restricted to
+    prefixes with harvested terms (EC/SO/GO present; KEGG/PFAM/… not)."""
+    return build_ontology_definitions(_b3_terms(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# b5: media_composition — global (unrestricted) PK dedup
+# (datalake_table.py:730-756)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b5_media_composition_build",
+    oracle="""
+    WITH media AS (
+        SELECT 'media_' || (l_suppkey % 20) AS media_id,
+               'cpd' || (l_partkey % 100) AS compound_id,
+               CAST(l_quantity AS DOUBLE) AS max_uptake,
+               l_returnflag || l_linestatus AS compound_name
+        FROM lineitem
+    ),
+    dedup AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY media_id, compound_id
+            ORDER BY max_uptake, compound_name
+        ) AS rn FROM media
+    )
+    SELECT media_id, compound_id, max_uptake, compound_name
+    FROM dedup WHERE rn = 1
+    """,
+)
+def b5_media_composition_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_composition builder: lineitem shaped into media rows with
+    heavy PK duplication; the min-struct dedup keeps the deterministic
+    first row per (media_id, compound_id)."""
+    l = _t(spark, sf_dir, "lineitem")
+    media = l.select(
+        F.concat(F.lit("media_"), (F.col("l_suppkey") % 20).cast("string")).alias(
+            "media_id"
+        ),
+        F.concat(F.lit("cpd"), (F.col("l_partkey") % 100).cast("string")).alias(
+            "compound_id"
+        ),
+        F.col("l_quantity").cast("double").alias("max_uptake"),
+        F.concat("l_returnflag", "l_linestatus").alias("compound_name"),
+    )
+    return build_media_composition(media)

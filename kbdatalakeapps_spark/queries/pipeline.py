@@ -359,12 +359,11 @@ def tx_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOT_SQL = """
         SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-               CAST(SUM(CAST(CAST(qv.v AS DOUBLE) * CAST(cv.v AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE) AS dot
+               CAST(SUM(CAST(CAST(qv.v AS DOUBLE) * CAST(c.embedding[qv.pos] AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE) AS dot
         FROM embeddings q,
              LATERAL (SELECT unnest(q.embedding) AS v, generate_subscripts(q.embedding, 1) AS pos) qv,
-             embeddings c,
-             LATERAL (SELECT unnest(c.embedding) AS v, generate_subscripts(c.embedding, 1) AS pos) cv
-        WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id AND qv.pos = cv.pos
+             embeddings c
+        WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
         GROUP BY 1, 2
 """
 

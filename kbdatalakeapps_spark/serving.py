@@ -237,11 +237,17 @@ class ServingCache:
 
     @staticmethod
     def request_key(table: str, req: TableDataRequest) -> tuple:
+        # structured in/not_in filters carry LIST values — serialize
+        # every filter/aggregation dict to canonical JSON so the key is
+        # always hashable regardless of value shapes
+        import json as _json
+
+        dump = lambda d: _json.dumps(d, sort_keys=True, default=str)
         return (
             table, req.limit, req.offset, req.sort_column, req.sort_order,
             tuple(sorted(req.col_filter.items())),
-            tuple(tuple(sorted(f.items())) for f in req.filters),
-            tuple(tuple(sorted(a.items())) for a in req.aggregations),
+            tuple(dump(f) for f in req.filters),
+            tuple(dump(a) for a in req.aggregations),
             tuple(req.group_by), req.search_value,
         )
 

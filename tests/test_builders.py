@@ -11,10 +11,20 @@ from pyspark.sql import functions as F
 
 from kbdatalakeapps_spark.build import (
     annotations_long,
+    backfill_seed_reaction_terms,
     build_ani_table,
     build_feature_table,
+    build_gene_phenotype,
+    build_gene_reaction,
+    build_genome_phenotype,
+    build_genome_reaction,
     build_genome_table,
+    build_media_composition,
+    build_model_performance,
+    build_ontology_definitions,
+    build_ontology_relationships,
     build_ontology_terms,
+    membership_report,
 )
 
 
@@ -171,3 +181,192 @@ def test_build_ontology_terms(spark):
         "K00001": ("alcohol dehydrogenase", "An enzyme that…"),
         "K99999": (None, None),  # unknown term kept, null-enriched
     }
+
+
+# ---------------------------------------------------------------------------
+# ontology definitions / relationships / seed.reaction backfill
+# ---------------------------------------------------------------------------
+
+
+def _statements(spark):
+    return spark.createDataFrame(
+        [
+            # is_a edges (GO kept; EC/SO parent hierarchy dropped)
+            ("GO:1", "rdfs:subClassOf", "GO:0", None),
+            ("EC:1.1.1.1", "rdfs:subClassOf", "EC:1.1.1", None),
+            ("SO:5", "rdfs:subClassOf", "SO:4", None),
+            # blank node + self-referential: skipped
+            ("GO:1", "rdfs:subClassOf", "_:b0", None),
+            ("GO:1", "rdfs:subClassOf", "GO:1", None),
+            # enables_reaction edge from a seed.role term
+            ("seed.role:R1",
+             "<https://modelseed.org/ontology/enables_reaction>",
+             "seed.reaction:rxn00001", None),
+            # statement rows for the backfilled reaction term
+            ("seed.reaction:rxn00001", "rdfs:label", None, "pyruvate kinase"),
+            # irrelevant predicate
+            ("GO:1", "oio:hasDbXref", "X:1", None),
+        ],
+        "subject string, predicate string, object string, value string",
+    )
+
+
+def _terms(spark):
+    return spark.createDataFrame(
+        [("GO", "GO:1"), ("EC", "EC:1.1.1.1"), ("SO", "SO:5"),
+         ("seed.role", "seed.role:R1")],
+        "ontology_prefix string, identifier string",
+    )
+
+
+def test_build_ontology_relationships(spark):
+    rels = build_ontology_relationships(_statements(spark), _terms(spark))
+    got = sorted((r.subject, r.predicate, r.object) for r in rels.collect())
+    assert got == [
+        ("GO:1", "is_a", "GO:0"),
+        ("seed.role:R1", "enables_reaction", "seed.reaction:rxn00001"),
+    ]
+
+
+def test_build_ontology_definitions_present_prefixes_only(spark):
+    defs = build_ontology_definitions(_terms(spark))
+    prefixes = {r.ontology_prefix for r in defs.collect()}
+    # only prefixes with harvested terms; KEGG/PFAM/COG absent here
+    assert prefixes == {"GO", "EC", "SO", "seed.role"}
+
+
+def test_backfill_seed_reaction_terms(spark):
+    st = _statements(spark)
+    rels = build_ontology_relationships(st, _terms(spark))
+    extra = backfill_seed_reaction_terms(st, rels).collect()
+    assert len(extra) == 1
+    row = extra[0]
+    assert row.ontology_prefix == "seed.reaction"
+    assert row.identifier == "seed.reaction:rxn00001"
+    assert row.label == "pyruvate kinase"
+    assert row.definition == ""  # reference backfills '' not NULL
+
+
+# ---------------------------------------------------------------------------
+# phenotype / reaction / model product tables
+# ---------------------------------------------------------------------------
+
+
+def _members(spark):
+    return spark.createDataFrame([("g1",), ("g2",)], "genome string")
+
+
+def test_build_genome_phenotype_restricts_and_types(spark):
+    pheno = spark.createDataFrame(
+        [
+            ("g1", "cpd00020", "pyruvate", "P", "0.5", "1.0", "2",
+             "rxn1;rxn2", "10", "", "exp1", "pangenome"),
+            ("g9", "cpd00020", "pyruvate", "N", "0", "0", "0",
+             "", "0", "", "", "pangenome"),  # not a member → dropped
+        ],
+        "genome_id string, phenotype_id string, phenotype_name string,"
+        " class string, simulated_objective string, observed_objective string,"
+        " gap_count string, gapfilled_reactions string, reaction_count string,"
+        " transports_added string, closest_experimental_data string,"
+        " source string",
+    )
+    out = build_genome_phenotype(pheno, _members(spark))
+    rows = out.collect()
+    assert [r.genome_id for r in rows] == ["g1"]
+    r = rows[0]
+    # string TSV columns coerced to the DDL types
+    assert r.simulated_objective == 0.5 and isinstance(r.gap_count, int)
+    assert out.columns[:2] == ["genome_id", "phenotype_id"]
+
+
+def test_build_genome_phenotype_pk_dedup_deterministic(spark):
+    dup = spark.createDataFrame(
+        [("g1", "p1", "b"), ("g1", "p1", "a")],
+        "genome_id string, phenotype_id string, phenotype_name string",
+    ).select(
+        "genome_id", "phenotype_id", "phenotype_name",
+        *[F.lit(None).cast("string").alias(c) for c in
+          ["class", "gapfilled_reactions", "transports_added",
+           "closest_experimental_data", "source"]],
+        *[F.lit(None).cast("double").alias(c) for c in
+          ["simulated_objective", "observed_objective"]],
+        *[F.lit(None).cast("int").alias(c) for c in
+          ["gap_count", "reaction_count"]],
+    )
+    out = build_genome_phenotype(dup, None).collect()
+    assert len(out) == 1 and out[0].phenotype_name == "a"
+
+
+def test_build_gene_phenotype(spark):
+    gp = spark.createDataFrame(
+        [("g2", "b0001", "cpd00020", "pyr", "model_prediction",
+          "rxn1", 1.5, "no_fitness_ortholog", 0.2, -0.1, 0.05, 3, 0.9)],
+        "genome_id string, gene_id string, phenotype_id string,"
+        " phenotype_name string, association_sources string,"
+        " model_pred_reactions string, model_pred_max_flux double,"
+        " fitness_match string, fitness_max double, fitness_min double,"
+        " fitness_avg double, fitness_count int, essentiality_fraction double",
+    )
+    out = build_gene_phenotype(gp, _members(spark)).collect()
+    assert len(out) == 1 and out[0].fitness_count == 3
+
+
+def test_build_gene_and_genome_reaction(spark):
+    gr = spark.createDataFrame(
+        [("g1", "b0001", "rxn1;rxn2", 0.8, "variable", 0.0, "blocked")],
+        "genome_id string, gene_id string, reaction string,"
+        " rich_media_flux double, rich_media_class string,"
+        " minimal_media_flux double, minimal_media_class string",
+    )
+    assert build_gene_reaction(gr, _members(spark)).count() == 1
+
+    rxn = spark.createDataFrame(
+        [("g1", "rxn00001_c0", "b0001", "A + B -> C", "cpd1 + cpd2 -> cpd3",
+          "=", 1000.0, -1000.0, "core_gapfill", 0.5, "variable", 0.0,
+          "blocked")],
+        "genome_id string, reaction_id string, genes string,"
+        " equation_names string, equation_ids string, directionality string,"
+        " upper_bound double, lower_bound double, gapfilling_status string,"
+        " rich_media_flux double, rich_media_class string,"
+        " minimal_media_flux double, minimal_media_class string",
+    )
+    out = build_genome_reaction(rxn, _members(spark)).collect()
+    assert out[0].lower_bound == -1000.0
+
+
+def test_build_model_performance_derives_accuracy(spark):
+    perf = spark.createDataFrame(
+        [
+            ("g1", "d__B", 1, 1, 8, 10, None, 9, 11, 0.5, 0.2, "u1", "pangenome"),
+            ("g2", "d__B", 0, 0, 5, 5, 0.93, 5, 5, 0.0, 0.0, "", "user"),
+        ],
+        "genome_id string, taxonomy string, false_positives int,"
+        " false_negatives int, true_positives int, true_negatives int,"
+        " accuracy double, positive_growth int, negative_growth int,"
+        " avg_positive_growth_gaps double, avg_negative_growth_gaps double,"
+        " closest_user_genomes string, source string",
+    )
+    out = {r.genome_id: r.accuracy
+           for r in build_model_performance(perf, _members(spark)).collect()}
+    assert out["g1"] == 0.9  # derived (8+10)/20
+    assert out["g2"] == 0.93  # provided value kept
+
+
+def test_build_media_composition_no_restriction(spark):
+    media = spark.createDataFrame(
+        [("glucose_minimal", "cpd00027", 5.0, "D-Glucose"),
+         ("glucose_minimal", "cpd00027", 5.0, "D-Glucose")],  # PK dup
+        "media_id string, compound_id string, max_uptake double,"
+        " compound_name string",
+    )
+    out = build_media_composition(media).collect()
+    assert len(out) == 1 and out[0].compound_name == "D-Glucose"
+
+
+def test_membership_report(spark):
+    pheno = spark.createDataFrame(
+        [("g1", "p"), ("g9", "p"), ("g8", "p")],
+        "genome_id string, phenotype_id string",
+    )
+    r = membership_report(pheno, _members(spark)).collect()[0]
+    assert (r.n_allowed, r.n_excluded) == (1, 2)

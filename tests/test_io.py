@@ -188,3 +188,26 @@ def test_partitioned_fetch_page_size_invariance(spark):
         )
         results.append(sorted(map(tuple, df.collect())))
     assert results[0] == results[1] == results[2] == _DATA
+
+
+def test_sqlite_paged_read(spark, tmp_path):
+    # page_size must actually page the cursor (round-1 advice: the old
+    # fetchall() materialized everything in one driver list)
+    from kbdatalakeapps_spark.io.sqlite import read_sqlite, write_sqlite
+
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS v")
+    db = str(tmp_path / "db.sqlite")
+    write_sqlite(df, db, "t")
+    back = read_sqlite(spark, db, "t", page_size=3)
+    assert sorted(r.id for r in back.collect()) == list(range(10))
+    # 10 rows / page_size 3 → 4 page unions in the plan
+    assert "Union" in back._jdf.queryExecution().logical().toString()
+
+
+def test_sqlite_read_empty_table(spark, tmp_path):
+    from kbdatalakeapps_spark.io.sqlite import read_sqlite, write_sqlite
+
+    df = spark.createDataFrame([], "id long, v string")
+    db = str(tmp_path / "db.sqlite")
+    write_sqlite(df, db, "t")
+    assert read_sqlite(spark, db, "t", page_size=3).count() == 0

@@ -60,8 +60,29 @@ def test_full_clade_pipeline(spark, tmp_path):
         [("R1", "cl_1", 1)], "mmseqs_rep_hash string, cluster_id string, is_core int"
     )
     statements = spark.createDataFrame(
-        [("K00003", "rdfs:label", "homoserine kinase")],
-        "subject string, predicate string, value string",
+        [
+            ("K00003", "rdfs:label", None, "homoserine kinase"),
+            # is_a edge kept in ontology_relationships
+            ("K00003", "rdfs:subClassOf", "K09999", None),
+            # blank-node edge skipped
+            ("K00003", "rdfs:subClassOf", "_:b0", None),
+        ],
+        "subject string, predicate string, object string, value string",
+    )
+    genome_phenotypes = spark.createDataFrame(
+        [("RS_GCF_1", "cpd00020", "pyruvate", "P", 0.5, 1.0, 1, "rxn1", 3,
+          "", "", "pangenome"),
+         ("OTHER", "cpd00020", "x", "N", 0.0, 0.0, 0, "", 0, "", "", "p")],
+        "genome_id string, phenotype_id string, phenotype_name string,"
+        " class string, simulated_objective double, observed_objective double,"
+        " gap_count int, gapfilled_reactions string, reaction_count int,"
+        " transports_added string, closest_experimental_data string,"
+        " source string",
+    )
+    media = spark.createDataFrame(
+        [("glucose_minimal", "cpd00027", 5.0, "D-Glucose")],
+        "media_id string, compound_id string, max_uptake double,"
+        " compound_name string",
     )
 
     tables = run_clade_pipeline(
@@ -74,11 +95,15 @@ def test_full_clade_pipeline(spark, tmp_path):
         mmseqs_pairs=mmseqs,
         cluster_attrs=clusters,
         statements=statements,
+        genome_phenotypes=genome_phenotypes,
+        media_compositions=media,
     )
     out = str(tmp_path / "clade_out")
     counts = export_database(tables, out)
     assert counts == {
         "genome": 2, "ani": 1, "user_feature": 1, "ontology_terms": 1,
+        "ontology_relationships": 1, "ontology_definitions": 1,
+        "genome_phenotype": 1, "media_composition": 1,
     }
 
     # the SQLite product is viewer-readable: tables + enriched values

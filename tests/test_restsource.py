@@ -9,7 +9,10 @@ import glob
 import pytest
 from pyspark.sql import functions as F
 
-from kbdatalakeapps_spark.io.restsource import RestLakeDataSource
+from kbdatalakeapps_spark.io.restsource import (
+    RestLakeDataSource,
+    parquet_rest_endpoint,
+)
 
 from .conftest import SF_DIR
 
@@ -123,3 +126,38 @@ def test_streaming_rest_source(registered, tmp_path):
     got = registered.table("rest_stream")
     assert got.count() == total
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, orders.collect()))
+
+
+def flaky_endpoint(options, where, limit, offset):
+    """Endpoint that times out on the FIRST call for each offset —
+    per-page retry (io.rest._with_retry) must absorb it without
+    burning a whole Spark task retry."""
+    import os
+
+    marker = os.path.join(options["fail_dir"], f"fail-{offset}")
+    if not os.path.exists(marker):
+        open(marker, "w").close()
+        raise TimeoutError("transient page failure")
+    return parquet_rest_endpoint(options, where, limit, offset)
+
+
+def test_per_page_retry_absorbs_transient_failures(registered, tmp_path):
+    orders = registered.read.parquet(f"{SF_DIR}/orders.parquet")
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in orders.schema
+    )
+    df = (
+        registered.read.format("rest_lake")
+        .option("ddl", ddl)
+        .option("path", f"{SF_DIR}/orders.parquet")
+        .option("order_col", "o_orderkey")
+        .option("page_size", 500)
+        .option("total_rows", orders.count())
+        .option("fail_dir", str(tmp_path))
+        .option("backoff_s", "0.01")
+        .option("endpoint", "tests.test_restsource:flaky_endpoint")
+        .load()
+    )
+    assert df.count() == orders.count()
+    # every page failed exactly once before succeeding
+    assert len(glob.glob(str(tmp_path / "fail-*"))) > 0

@@ -180,3 +180,32 @@ def test_table_stats_single_pass(viewer_df):
 
     approx = table_stats(viewer_df)           # approx distinct path
     assert approx["id"]["distinct_count"] >= 4
+
+
+def test_serving_cache_in_filter_hashable(viewer_df):
+    # in/not_in filters carry LIST values; the cache key must stay
+    # hashable (round-1 advice: TypeError: unhashable type 'list')
+    from kbdatalakeapps_spark.serving import ServingCache
+
+    cache = ServingCache(ttl_s=10.0)
+    req = TableDataRequest(
+        filters=[{"column": "grp", "operator": "in", "value": ["a", "b"]}],
+        sort_column="id",
+    )
+    first = cache.table_data(viewer_df, "v", req)
+    assert first["cached"] is False
+    second = cache.table_data(viewer_df, "v", req)
+    assert second["cached"] is True and second["data"] == first["data"]
+
+
+def test_compile_filters_unknown_column_is_descriptive(viewer_df):
+    import pytest as _pytest
+
+    from kbdatalakeapps_spark.filter_dsl import compile_filters
+
+    with _pytest.raises(ValueError, match="unknown column 'nope'"):
+        compile_filters(viewer_df, col_filter={"nope": ">=5"})
+    with _pytest.raises(ValueError, match="unknown column 'gone'"):
+        compile_filters(
+            viewer_df, filters=[{"column": "gone", "operator": "eq", "value": 1}]
+        )
