@@ -19,4 +19,13 @@ from .layout import (  # noqa: F401
     write_partitioned,
 )
 from .rest import paginated_fetch, partitioned_fetch  # noqa: F401
+from .refdata import (  # noqa: F401
+    COG_CATEGORIES,
+    enrich_terms_cog,
+    enrich_terms_kegg,
+    load_cog_definitions,
+    load_kegg_ko_ec_mapping,
+    load_kegg_ko_list,
+    term_ec_column,
+)
 from .sqlite import read_sqlite, write_sqlite  # noqa: F401

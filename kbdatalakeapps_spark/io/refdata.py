@@ -1,0 +1,287 @@
+"""S11: bulk reference-data loaders (KEGG KO list, COG definitions,
+KO→EC mapping) and the enrichment joins that consume them.
+
+The reference fetches two public bulk files — ``rest.kegg.jp/list/ko``
+(~26K rows) and NCBI's ``cog-20.def.tab`` (~5K rows) — parses them
+into driver dicts, and enriches harvested ontology terms row-by-row
+(berdl/berdl/ontology_enrichment.py:162-345; EC-column backfill
+KBDatalakeUtils.py:2556-2620).  Here the transport stays an injectable
+``fetch_text`` callable (production wraps an HTTP client under
+io.rest's retry policy; tests feed fixture text), the parse is a Spark
+projection over parallelized lines, and every enrichment is a
+broadcast join — the lookup sides are bounded (≤ tens of thousands of
+rows) while the terms side may be lake-scale.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: COG single-letter functional categories — public NCBI COG metadata
+#: the reference hardcodes too (ontology_enrichment.py:282-310).
+COG_CATEGORIES: dict[str, str] = {
+    "J": "Translation, ribosomal structure and biogenesis",
+    "A": "RNA processing and modification",
+    "K": "Transcription",
+    "L": "Replication, recombination and repair",
+    "B": "Chromatin structure and dynamics",
+    "D": "Cell cycle control, cell division, chromosome partitioning",
+    "Y": "Nuclear structure",
+    "V": "Defense mechanisms",
+    "T": "Signal transduction mechanisms",
+    "M": "Cell wall/membrane/envelope biogenesis",
+    "N": "Cell motility",
+    "Z": "Cytoskeleton",
+    "W": "Extracellular structures",
+    "U": "Intracellular trafficking, secretion, and vesicular transport",
+    "O": "Posttranslational modification, protein turnover, chaperones",
+    "X": "Mobilome: prophages, transposons",
+    "C": "Energy production and conversion",
+    "G": "Carbohydrate transport and metabolism",
+    "E": "Amino acid transport and metabolism",
+    "F": "Nucleotide transport and metabolism",
+    "H": "Coenzyme transport and metabolism",
+    "I": "Lipid transport and metabolism",
+    "P": "Inorganic ion transport and metabolism",
+    "Q": "Secondary metabolites biosynthesis, transport and catabolism",
+    "R": "General function prediction only",
+    "S": "Function unknown",
+}
+
+
+def _lines_df(spark: SparkSession, text: str) -> DataFrame:
+    rows = [(ln,) for ln in text.strip().split("\n") if ln.strip()]
+    return spark.createDataFrame(rows, "line string")
+
+
+def fetch_text_with_retry(
+    url: str,
+    timeout_s: float = 120.0,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    sleep=time.sleep,
+) -> str:
+    """Default transport: GET ``url`` under the reference's 3-retry
+    ×2-backoff policy (ontology_enrichment.py:176-199 uses a single
+    requests.get; retry added per the io.rest contract).  Import-guarded
+    — this container has no network/requests, so callers inject a
+    fixture ``fetch_text`` instead."""
+    import urllib.request
+
+    delay = backoff_s
+    for attempt in range(max_retries + 1):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+                return resp.read().decode("utf-8")
+        except Exception:
+            if attempt == max_retries:
+                raise
+            sleep(delay)
+            delay *= 2
+
+
+def load_kegg_ko_list(
+    spark: SparkSession, fetch_text: Callable[[], str]
+) -> DataFrame:
+    """KEGG ``/list/ko`` bulk payload → (ko_id, definition, label).
+
+    Line format ``ko:K00001\\t<definition>``; label = definition with
+    the trailing ``[EC:…]`` clause stripped
+    (ontology_enrichment.py:175-199, 211-225)."""
+    lines = _lines_df(spark, fetch_text())
+    parts = F.split(F.col("line"), "\t", 2)
+    df = lines.select(
+        F.regexp_replace(parts.getItem(0), r"^ko:", "").alias("ko_id"),
+        parts.getItem(1).alias("definition"),
+    ).filter(F.col("definition").isNotNull())
+    return df.withColumn(
+        "label",
+        F.trim(F.regexp_replace(F.col("definition"), r"\s*\[EC:[^\]]+\]", "")),
+    )
+
+
+def load_cog_definitions(
+    spark: SparkSession, fetch_text: Callable[[], str]
+) -> DataFrame:
+    """NCBI ``cog-20.def.tab`` → (cog_id, category, name, gene,
+    pathway); rows with <3 columns dropped
+    (ontology_enrichment.py:228-270)."""
+    lines = _lines_df(spark, fetch_text())
+    p = F.split(F.col("line"), "\t")
+    return (
+        lines.filter(F.size(p) >= 3)
+        .select(
+            p.getItem(0).alias("cog_id"),
+            p.getItem(1).alias("category"),
+            p.getItem(2).alias("name"),
+            F.coalesce(p.getItem(3), F.lit("")).alias("gene"),
+            F.coalesce(p.getItem(4), F.lit("")).alias("pathway"),
+        )
+    )
+
+
+def load_kegg_ko_ec_mapping(
+    spark: SparkSession, fetch_text: Callable[[], str]
+) -> DataFrame:
+    """KEGG ``/link/ko/enzyme`` payload (``ec:1.1.1.1\\tko:K00001``) →
+    (ko_id 'KEGG:K#####', ec 'EC:…') long rows
+    (KBDatalakeUtils.py:2560-2575)."""
+    lines = _lines_df(spark, fetch_text())
+    parts = F.split(F.col("line"), "\t", 2)
+    return (
+        lines.filter(F.size(F.split(F.col("line"), "\t")) >= 2)
+        .select(
+            F.regexp_replace(parts.getItem(1), r"^ko:", "KEGG:").alias("ko_id"),
+            F.regexp_replace(parts.getItem(0), r"^ec:", "EC:").alias("ec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# enrichment joins — the consumers of the loaded lookup frames
+# ---------------------------------------------------------------------------
+
+
+def enrich_terms_kegg(terms: DataFrame, ko_defs: DataFrame) -> DataFrame:
+    """Fill empty label/definition on KEGG terms from the bulk KO list
+    (ontology_enrichment.py:201-225).  Terms carry identifiers as
+    harvested (``K00001`` or ``KEGG:K00001``); the join key strips the
+    prefix.  Non-KEGG rows pass through untouched."""
+    k = F.broadcast(
+        ko_defs.select(
+            F.col("ko_id").alias("_k"),
+            F.col("label").alias("_kl"),
+            F.col("definition").alias("_kd"),
+        )
+    )
+    is_kegg = F.col("ontology_prefix") == "KEGG"
+    out = terms.withColumn(
+        "_k",
+        F.when(is_kegg, F.regexp_replace(F.col("identifier"), r"^KEGG:", "")),
+    ).join(k, "_k", "left")
+    blank = lambda c: F.col(c).isNull() | (F.col(c) == "")
+    return out.select(
+        *[c for c in terms.columns if c not in ("label", "definition")],
+        F.when(is_kegg & blank("label"), F.coalesce("_kl", F.lit("")))
+        .otherwise(F.col("label"))
+        .alias("label"),
+        F.when(is_kegg & blank("definition"), F.coalesce("_kd", F.lit("")))
+        .otherwise(F.col("definition"))
+        .alias("definition"),
+    )
+
+
+def enrich_terms_cog(terms: DataFrame, cog_defs: DataFrame) -> DataFrame:
+    """Fill empty label/definition on COG terms: single-letter ids get
+    the hardcoded category description, COG#### ids get name +
+    'Category/Gene/Pathway' composed definition
+    (ontology_enrichment.py:276-345)."""
+    spark = terms.sparkSession
+    cats = F.broadcast(
+        spark.createDataFrame(
+            list(COG_CATEGORIES.items()), "_cat string, _cat_label string"
+        )
+    )
+    composed = F.concat_ws(
+        ". ",
+        F.when(F.col("category") != "", F.concat(F.lit("Category: "), "category")),
+        F.when(F.col("gene") != "", F.concat(F.lit("Gene: "), "gene")),
+        F.when(F.col("pathway") != "", F.concat(F.lit("Pathway: "), "pathway")),
+    )
+    defs = F.broadcast(
+        cog_defs.select(
+            F.col("cog_id").alias("_c"),
+            F.col("name").alias("_cl"),
+            composed.alias("_cd"),
+        )
+    )
+    is_cog = F.col("ontology_prefix") == "COG"
+    raw = F.regexp_replace(F.col("identifier"), r"^COG:", "")
+    is_cat = is_cog & raw.rlike(r"^[A-Z]$")
+    out = (
+        terms.withColumn("_c", F.when(is_cog & ~is_cat, raw))
+        .withColumn("_cat", F.when(is_cat, raw))
+        .join(defs, "_c", "left")
+        .join(cats, "_cat", "left")
+    )
+    blank = lambda c: F.col(c).isNull() | (F.col(c) == "")
+    label = (
+        F.when(is_cat & blank("label"), F.coalesce("_cat_label", F.lit("")))
+        .when(is_cog & blank("label"), F.coalesce("_cl", F.lit("")))
+        .otherwise(F.col("label"))
+    )
+    definition = (
+        F.when(
+            is_cat & blank("definition"),
+            F.concat(F.lit("COG functional category "), F.col("_cat")),
+        )
+        .when(is_cog & blank("definition"), F.coalesce("_cd", F.lit("")))
+        .otherwise(F.col("definition"))
+    )
+    return out.select(
+        *[c for c in terms.columns if c not in ("label", "definition")],
+        label.alias("label"),
+        definition.alias("definition"),
+    )
+
+
+def term_ec_column(
+    terms: DataFrame,
+    ko_ec: DataFrame | None = None,
+    statements: DataFrame | None = None,
+) -> DataFrame:
+    """Add the ``ec`` column to ontology terms ('; '-joined sorted EC
+    ids, KBDatalakeUtils.py:2556-2658): EC terms copy their own id,
+    KEGG terms join the KO→EC mapping, GO terms harvest ``EC:…`` xrefs
+    from ``oio:hasDbXref`` statements.  Lookup sides are broadcast;
+    the wide terms table is never shuffled."""
+    key = F.when(
+        F.col("ontology_prefix") == "KEGG",
+        F.concat(
+            F.lit("KEGG:"), F.regexp_replace(F.col("identifier"), r"^KEGG:", "")
+        ),
+    ).when(F.col("ontology_prefix") == "GO", F.col("identifier"))
+    pieces = []
+    if ko_ec is not None:
+        pieces.append(ko_ec.select(F.col("ko_id").alias("_key"), "ec"))
+    if statements is not None:
+        go_ec = (
+            statements.filter(
+                F.col("subject").startswith("GO:")
+                & (F.col("predicate") == "oio:hasDbXref")
+            )
+            .select(
+                F.col("subject").alias("_key"),
+                F.explode(
+                    F.expr(
+                        "regexp_extract_all("
+                        "concat_ws(' ', object, value), 'EC:[\\\\d\\\\.\\\\-]+', 0)"
+                    )
+                ).alias("ec"),
+            )
+        )
+        pieces.append(go_ec)
+    if not pieces:
+        lookup = None
+    else:
+        lookup = pieces[0]
+        for p in pieces[1:]:
+            lookup = lookup.unionByName(p)
+        lookup = F.broadcast(
+            lookup.groupBy("_key").agg(
+                F.array_join(F.array_sort(F.collect_set("ec")), "; ").alias("_ecs")
+            )
+        )
+    out = terms.withColumn("_key", key)
+    if lookup is not None:
+        out = out.join(lookup, "_key", "left")
+    else:
+        out = out.withColumn("_ecs", F.lit(None).cast("string"))
+    ec = F.when(
+        F.col("ontology_prefix") == "EC", F.col("identifier")
+    ).otherwise(F.col("_ecs"))
+    return out.select(*terms.columns, ec.alias("ec"))

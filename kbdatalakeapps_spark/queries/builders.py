@@ -381,3 +381,68 @@ def b5_media_composition_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("l_returnflag", "l_linestatus").alias("compound_name"),
     )
     return build_media_composition(media)
+
+
+# ---------------------------------------------------------------------------
+# s11: KEGG bulk-list load + enrichment join (io/refdata.py;
+# reference ontology_enrichment.py:162-225)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s11_kegg_enrichment",
+    oracle="""
+    WITH ko AS (
+        SELECT 'K' || lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS ko_id,
+               trim(p_name) AS label,
+               trim(p_name) || ' [EC:1.2.3.' || (p_partkey % 9) || ']'
+                   AS definition
+        FROM part WHERE p_partkey < 500
+    ),
+    terms AS (
+        SELECT 'KEGG' AS ontology_prefix,
+               'K' || lpad(CAST(p_partkey % 700 AS VARCHAR), 5, '0')
+                   AS identifier,
+               '' AS label, '' AS definition
+        FROM part WHERE p_partkey % 3 = 0
+    )
+    SELECT t.ontology_prefix, t.identifier,
+           COALESCE(k.label, '') AS label,
+           COALESCE(k.definition, '') AS definition
+    FROM terms t LEFT JOIN ko k ON t.identifier = k.ko_id
+    """,
+)
+def s11_kegg_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 end-to-end: a KEGG ``/list/ko``-format payload (synthesized
+    from part, the bounded driver-side fetch the reference does) parsed
+    by load_kegg_ko_list, then the broadcast enrichment join filling
+    empty labels/definitions on harvested KEGG terms."""
+    from ..io.refdata import enrich_terms_kegg, load_kegg_ko_list
+
+    p = _t(spark, sf_dir, "part")
+    payload_rows = (
+        p.filter(F.col("p_partkey") < 500)
+        .select(
+            F.concat(
+                F.lit("ko:K"),
+                F.lpad(F.col("p_partkey").cast("string"), 5, "0"),
+                F.lit("\t"),
+                F.trim("p_name"),
+                F.lit(" [EC:1.2.3."),
+                (F.col("p_partkey") % 9).cast("string"),
+                F.lit("]"),
+            ).alias("line")
+        )
+        .collect()
+    )
+    payload = "\n".join(r.line for r in payload_rows)
+    ko_defs = load_kegg_ko_list(spark, lambda: payload)
+    terms = p.filter(F.col("p_partkey") % 3 == 0).select(
+        F.lit("KEGG").alias("ontology_prefix"),
+        F.concat(
+            F.lit("K"), F.lpad((F.col("p_partkey") % 700).cast("string"), 5, "0")
+        ).alias("identifier"),
+        F.lit("").alias("label"),
+        F.lit("").alias("definition"),
+    )
+    return enrich_terms_kegg(terms, ko_defs)

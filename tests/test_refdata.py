@@ -1,0 +1,124 @@
+"""S11 bulk reference loaders (KEGG KO list, COG definitions, KO→EC
+mapping) + the enrichment joins, fed fixture payloads in the exact
+public wire formats the reference parses."""
+
+from __future__ import annotations
+
+from kbdatalakeapps_spark.io.refdata import (
+    enrich_terms_cog,
+    enrich_terms_kegg,
+    load_cog_definitions,
+    load_kegg_ko_ec_mapping,
+    load_kegg_ko_list,
+    term_ec_column,
+)
+
+KO_LIST = (
+    "ko:K00001\tE1.1.1.1, adh; alcohol dehydrogenase [EC:1.1.1.1]\n"
+    "ko:K00002\tAKR1A1, adh; alcohol dehydrogenase (NADP+) [EC:1.1.1.2]\n"
+    "ko:K99999\tno ec clause here\n"
+)
+
+COG_DEF = (
+    "COG0001\tH\tGlutamate-1-semialdehyde aminotransferase\themL\t"
+    "Heme biosynthesis\n"
+    "COG0002\tE\tN-acetyl-gamma-glutamylphosphate reductase\targC\t\n"
+    "short\tx\n"  # <3 cols → dropped
+)
+
+KO_EC = (
+    "ec:1.1.1.1\tko:K00001\n"
+    "ec:1.1.1.71\tko:K00001\n"
+    "ec:1.1.1.2\tko:K00002\n"
+)
+
+
+def test_load_kegg_ko_list(spark):
+    df = load_kegg_ko_list(spark, lambda: KO_LIST)
+    got = {r.ko_id: (r.label, r.definition) for r in df.collect()}
+    assert got["K00001"] == (
+        "E1.1.1.1, adh; alcohol dehydrogenase",
+        "E1.1.1.1, adh; alcohol dehydrogenase [EC:1.1.1.1]",
+    )
+    assert got["K99999"] == ("no ec clause here", "no ec clause here")
+
+
+def test_load_cog_definitions(spark):
+    df = load_cog_definitions(spark, lambda: COG_DEF)
+    rows = {r.cog_id: r for r in df.collect()}
+    assert set(rows) == {"COG0001", "COG0002"}  # short row dropped
+    assert rows["COG0001"].category == "H"
+    assert rows["COG0001"].pathway == "Heme biosynthesis"
+    assert rows["COG0002"].pathway == ""
+
+
+def test_load_kegg_ko_ec_mapping(spark):
+    df = load_kegg_ko_ec_mapping(spark, lambda: KO_EC)
+    got = sorted((r.ko_id, r.ec) for r in df.collect())
+    assert got == [
+        ("KEGG:K00001", "EC:1.1.1.1"),
+        ("KEGG:K00001", "EC:1.1.1.71"),
+        ("KEGG:K00002", "EC:1.1.1.2"),
+    ]
+
+
+def _terms(spark):
+    return spark.createDataFrame(
+        [
+            ("KEGG", "K00001", "", ""),
+            ("KEGG", "K77777", "", ""),          # unknown KO → stays ''
+            ("COG", "COG:COG0001", "", ""),
+            ("COG", "COG:J", "", ""),            # single-letter category
+            ("GO", "GO:0008150", "biological_process", "kept"),
+            ("EC", "EC:1.1.1.1", "label", "def"),
+        ],
+        "ontology_prefix string, identifier string, label string,"
+        " definition string",
+    )
+
+
+def test_enrich_terms_kegg(spark):
+    ko = load_kegg_ko_list(spark, lambda: KO_LIST)
+    out = {r.identifier: (r.label, r.definition)
+           for r in enrich_terms_kegg(_terms(spark), ko).collect()}
+    assert out["K00001"] == (
+        "E1.1.1.1, adh; alcohol dehydrogenase",
+        "E1.1.1.1, adh; alcohol dehydrogenase [EC:1.1.1.1]",
+    )
+    assert out["K77777"] == ("", "")
+    # non-KEGG rows untouched
+    assert out["GO:0008150"] == ("biological_process", "kept")
+
+
+def test_enrich_terms_cog(spark):
+    cog = load_cog_definitions(spark, lambda: COG_DEF)
+    out = {r.identifier: (r.label, r.definition)
+           for r in enrich_terms_cog(_terms(spark), cog).collect()}
+    assert out["COG:COG0001"] == (
+        "Glutamate-1-semialdehyde aminotransferase",
+        "Category: H. Gene: hemL. Pathway: Heme biosynthesis",
+    )
+    assert out["COG:J"] == (
+        "Translation, ribosomal structure and biogenesis",
+        "COG functional category J",
+    )
+    assert out["K00001"] == ("", "")  # non-COG untouched
+
+
+def test_term_ec_column(spark):
+    ko_ec = load_kegg_ko_ec_mapping(spark, lambda: KO_EC)
+    statements = spark.createDataFrame(
+        [
+            ("GO:0008150", "oio:hasDbXref", "EC:2.7.1.39", None),
+            ("GO:0008150", "oio:hasDbXref", None, "see EC:1.1.1.1 too"),
+            ("GO:0008150", "rdfs:label", "EC:9.9.9.9", None),  # wrong pred
+        ],
+        "subject string, predicate string, object string, value string",
+    )
+    out = {r.identifier: r.ec
+           for r in term_ec_column(_terms(spark), ko_ec, statements).collect()}
+    assert out["EC:1.1.1.1"] == "EC:1.1.1.1"          # EC copies itself
+    assert out["K00001"] == "EC:1.1.1.1; EC:1.1.1.71"  # sorted join
+    assert out["GO:0008150"] == "EC:1.1.1.1; EC:2.7.1.39"
+    assert out["K77777"] is None
+    assert out["COG:J"] is None
