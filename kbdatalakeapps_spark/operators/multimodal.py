@@ -2,10 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs.  The Spark-side machinery — schema, partition-friendly batch
-iteration, Arrow-batched UDF signatures — is real and tested; the
-actual codec work is stubbed (decode libraries are not in this
-container) behind deterministic fakes clearly marked below.  Swapping a
-fake for a real decoder changes one inner function, not the plan.
+iteration, Arrow-batched UDF signatures — is real and tested.  Raw
+(uncompressed) bitmaps resize for real via numpy resampling; only the
+compressed-format decode work is stubbed (codec libraries are not in
+this container) behind deterministic fakes clearly marked below.
+Swapping a fake for a real decoder changes one inner function, not the
+plan.
 
 Scale posture: media bytes ride in parquet binary columns; decode /
 feature-extract run as ``mapInPandas`` so each task streams Arrow
@@ -95,6 +97,27 @@ def extract_features(
     return df.select(id_col, content_col).mapInPandas(batches, out_schema)
 
 
+def _resize_raw_bitmap(
+    content: bytes | None, w: int | None, h: int | None, out_w: int, out_h: int
+) -> bytes | None:
+    """Nearest-neighbor resample of a RAW interleaved bitmap
+    (height×width×channels uint8, channels inferred from the byte
+    count).  Pure numpy index selection — vectorized, no codec.
+    Returns None for missing/malformed inputs (nulls propagate)."""
+    import numpy as np
+
+    if content is None or not w or not h:
+        return None
+    arr = np.frombuffer(content, dtype=np.uint8)
+    if arr.size % (w * h) != 0:
+        return None
+    ch = arr.size // (w * h)
+    img = arr.reshape(h, w, ch)
+    ys = np.clip(((np.arange(out_h) + 0.5) * h / out_h).astype(int), 0, h - 1)
+    xs = np.clip(((np.arange(out_w) + 0.5) * w / out_w).astype(int), 0, w - 1)
+    return img[ys][:, xs].tobytes()
+
+
 def resize_images(
     df: DataFrame,
     content_col: str = "content",
@@ -102,23 +125,59 @@ def resize_images(
     width: int = 64,
     height: int = 64,
 ) -> DataFrame:
-    """Image resize stage.  STUB: raises — no image codec in this
-    container.  The signature and batch shape are the real contract."""
+    """Image resize stage over ``mapInPandas`` Arrow batches.
+
+    RAW bitmaps (``meta.mime`` starting ``image/raw``) resize for real
+    — numpy nearest-neighbor resampling using ``meta.width/height``.
+    Compressed mimes (jpeg/png/…) raise NotImplementedError: the
+    decode codec (PIL/opencv) is not in this container; plugging one in
+    changes only the per-row decode call, not the plan or batch shape."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("resized", T.BinaryType()),
+            T.StructField("resized_width", T.IntegerType()),
+            T.StructField("resized_height", T.IntegerType()),
         ]
+    )
+    sel = df.select(
+        id_col,
+        content_col,
+        F.col("meta.mime").alias("_mime"),
+        F.col("meta.width").alias("_w"),
+        F.col("meta.height").alias("_h"),
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode/resize requires PIL/opencv — not available; "
-            "plug the codec into this mapInPandas kernel"
-        )
-        yield  # pragma: no cover
+        for pdf in it:
+            resized = []
+            for c, mime, w, h in zip(
+                pdf[content_col], pdf["_mime"], pdf["_w"], pdf["_h"]
+            ):
+                if mime is not None and not str(mime).startswith("image/raw"):
+                    raise NotImplementedError(
+                        f"decode for {mime!r} requires PIL/opencv — not "
+                        "available; plug the codec into this kernel"
+                    )
+                resized.append(
+                    _resize_raw_bitmap(
+                        c,
+                        None if pd.isna(w) else int(w),
+                        None if pd.isna(h) else int(h),
+                        width,
+                        height,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": resized,
+                    "resized_width": width,
+                    "resized_height": height,
+                }
+            )
 
-    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+    return sel.mapInPandas(batches, out_schema)
 
 
 def sample_frames(

@@ -283,34 +283,120 @@ def cosine_topk_vectorized(
     )
 
 
+def _kmeanspp_init(
+    df: DataFrame, k: int, vec_col: str, id_col: str
+) -> list[list[float]]:
+    """k-means|| (scalable k-means++, Bahmani et al. VLDB'12) with a
+    STABLE hash as the randomness source, so init is deterministic
+    under any partitioning.
+
+    Rounds of distributed oversampling: keep x with probability
+    ∝ d²(x, chosen) using u(x) = md5-derived uniform in [0,1); the
+    ≤ ~2k·rounds survivors come to the driver, where exact k-means++
+    (greedy farthest-point, deterministic) picks the final k.  Each
+    round is one broadcast-compare pass over the corpus — no shuffle."""
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # u(x): first 15 hex digits of md5(id) → uniform [0,1)
+    u = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**15))
+    # first centroid: smallest hash (uniform over the corpus, id-bias free)
+    first = (
+        vecs.withColumn("_u", u).orderBy("_u", "id").limit(1).collect()[0].vec
+    )
+    chosen: list[list[float]] = [[float(x) for x in first]]
+    spark = df.sparkSession
+    oversample = 2.0 * k
+    for _ in range(3):
+        cents = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(chosen)],
+            "centroid_id int, centroid array<double>",
+        )
+        d2min = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.col("vec"), c,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        all_cents = F.broadcast(
+            cents.agg(F.collect_list("centroid").alias("cents"))
+        )
+        scored = vecs.crossJoin(all_cents).withColumn("_d2", d2min)
+        total = scored.agg(F.sum("_d2")).collect()[0][0] or 0.0
+        if total <= 0:
+            break
+        survivors = (
+            scored.withColumn("_u", u)
+            .filter(F.col("_u") < F.col("_d2") * oversample / F.lit(total))
+            .select("vec")
+            .collect()
+        )
+        chosen.extend([float(x) for x in r.vec] for r in survivors)
+        if len(chosen) >= 4 * k:
+            break
+    # driver-side exact k-means++ over the small candidate pool:
+    # greedy farthest-point is deterministic and k-means++-quality
+    pool = chosen
+    picked = [pool[0]]
+    while len(picked) < k and len(picked) < len(pool):
+        best_i, best_d = None, -1.0
+        for i, cand in enumerate(pool):
+            d = min(
+                sum((a - b) * (a - b) for a, b in zip(cand, p)) for p in picked
+            )
+            if d > best_d:
+                best_i, best_d = i, d
+        picked.append(pool[best_i])
+    # degenerate corpora (fewer distinct points than k): pad from corpus
+    if len(picked) < k:
+        extra = vecs.orderBy("id").limit(k).collect()
+        for r in extra:
+            if len(picked) >= k:
+                break
+            picked.append([float(x) for x in r.vec])
+    return picked[:k]
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 16,
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: str = "kmeanspp",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column, pure
-    DataFrame ops: init = the k vectors with smallest ids (stable),
-    each iteration = assign-to-nearest (broadcast centroids, zip_with
-    distance) + mean-per-cluster (posexplode → groupBy(cluster, pos)).
+    DataFrame ops: each iteration = assign-to-nearest (broadcast
+    centroids, zip_with distance) + mean-per-cluster (posexplode →
+    groupBy(cluster, pos)).
 
-    Iterative driver loop with a fixed iteration budget — each round is
-    one narrow pass + one shuffle of |vectors|×dim (pos, value) rows;
-    centroids stay tiny and broadcast.  Returns (centroid_id, centroid:
-    array<double>)."""
-    init = (
-        df.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(vec_col).alias("centroid"),
-        )
-    )
-    # stable centroid ids 0..k-1 by insertion order of the sorted take
-    init_rows = [r.centroid for r in init.collect()]
+    ``init='kmeanspp'`` (default) seeds via k-means|| with stable-hash
+    randomness — better-balanced inverted lists for IVF than the
+    ``'smallest_id'`` fallback (k lowest ids, which correlates with
+    insertion order).  Iterative driver loop with a fixed iteration
+    budget — each round is one narrow pass + one shuffle of
+    |vectors|×dim (pos, value) rows; centroids stay tiny and
+    broadcast.  Returns (centroid_id, centroid: array<double>)."""
+    if init == "kmeanspp":
+        init_rows = _kmeanspp_init(df, k, vec_col, id_col)
+    else:
+        init_rows = [
+            [float(x) for x in r.centroid]
+            for r in df.orderBy(id_col)
+            .limit(k)
+            .select(F.col(vec_col).alias("centroid"))
+            .collect()
+        ]
     spark = df.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(init_rows)],
+        [(i, v) for i, v in enumerate(init_rows)],
         "centroid_id int, centroid array<double>",
     )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))

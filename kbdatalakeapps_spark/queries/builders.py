@@ -446,3 +446,47 @@ def s11_kegg_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("definition"),
     )
     return enrich_terms_kegg(terms, ko_defs)
+
+
+# ---------------------------------------------------------------------------
+# mm_resize: raw-bitmap resize kernel (operators/multimodal.py) —
+# 4×4 single-channel bitmap from md5(text), nearest-neighbor to 2×2
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_resize_images",
+    oracle="""
+    SELECT doc_id AS media_id,
+           upper(substr(md5(text), 11, 2) || substr(md5(text), 15, 2)
+              || substr(md5(text), 27, 2) || substr(md5(text), 31, 2))
+               AS resized_hex,
+           2 AS resized_width, 2 AS resized_height
+    FROM documents
+    """,
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images end-to-end with a REAL (numpy nearest-neighbor)
+    kernel: each document's md5 digest is a 16-byte raw 4×4 gray
+    bitmap; 4×4→2×2 sampling picks source pixels (1,1),(1,3),(3,1),
+    (3,3) = byte offsets 5,7,13,15 — which the oracle reads straight
+    out of the hex digest (chars 11-12, 15-16, 27-28, 31-32)."""
+    from ..operators.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5("text")).alias("content"),
+        F.struct(
+            F.lit("image/raw-gray8").alias("mime"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = resize_images(d, width=2, height=2)
+    return out.select(
+        "media_id",
+        F.hex("resized").alias("resized_hex"),
+        "resized_width",
+        "resized_height",
+    )

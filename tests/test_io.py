@@ -211,3 +211,48 @@ def test_sqlite_read_empty_table(spark, tmp_path):
     db = str(tmp_path / "db.sqlite")
     write_sqlite(df, db, "t")
     assert read_sqlite(spark, db, "t", page_size=3).count() == 0
+
+
+def test_resize_raw_bitmap_kernel():
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.multimodal import _resize_raw_bitmap
+
+    # 4x4 RGB image with pixel value = 10*row + col in channel 0
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    for r in range(4):
+        for c in range(4):
+            img[r, c, 0] = 10 * r + c
+    out = _resize_raw_bitmap(img.tobytes(), 4, 4, 2, 2)
+    got = np.frombuffer(out, dtype=np.uint8).reshape(2, 2, 3)
+    # centers of 2x2 blocks → source pixels (1,1),(1,3),(3,1),(3,3)
+    assert got[:, :, 0].tolist() == [[11, 13], [31, 33]]
+    # malformed byte count → None
+    assert _resize_raw_bitmap(b"123", 4, 4, 2, 2) is None
+    assert _resize_raw_bitmap(None, 4, 4, 2, 2) is None
+
+
+def test_resize_images_raw_and_compressed(spark):
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.multimodal import resize_images
+
+    raw = np.arange(4 * 4 * 3, dtype=np.uint8).tobytes()
+    media = spark.createDataFrame(
+        [(1, bytearray(raw), ("image/raw-rgb8", 4, 4, None))],
+        "media_id long, content binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    rows = resize_images(media, width=2, height=2).collect()
+    assert len(rows) == 1
+    assert len(rows[0].resized) == 2 * 2 * 3
+    assert (rows[0].resized_width, rows[0].resized_height) == (2, 2)
+
+    jpeg = spark.createDataFrame(
+        [(2, bytearray(b"\xff\xd8fake"), ("image/jpeg", 4, 4, None))],
+        media.schema,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="image/jpeg"):
+        resize_images(jpeg, width=2, height=2).collect()

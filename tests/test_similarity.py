@@ -68,3 +68,22 @@ def test_multi_probe_lsh_improves_recall(spark):
     r0, r2, r4 = recall(0), recall(2), recall(4)
     assert r0 <= r2 <= r4        # probing only adds candidates
     assert r4 > r0               # and it actually helps on this data
+
+
+def test_kmeanspp_init_balance_vs_smallest_id(spark):
+    # k-means|| init should spread centroids: the largest inverted list
+    # must not swallow the corpus, and init must beat (or match) the
+    # smallest-id seeding's within-cluster balance
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+
+    def max_list_frac(init):
+        cents = sim.kmeans_centroids(emb, k=8, iterations=2, init=init)
+        assigned = sim._assign_nearest(
+            emb.selectExpr("vec_id AS id", "embedding AS vec"), cents
+        )
+        sizes = assigned.groupBy("centroid_id").count().collect()
+        return max(r["count"] for r in sizes) / n
+
+    assert max_list_frac("kmeanspp") <= max_list_frac("smallest_id") + 0.05
+    assert max_list_frac("kmeanspp") < 0.9
