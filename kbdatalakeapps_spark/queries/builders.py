@@ -490,3 +490,251 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resized_width",
         "resized_height",
     )
+
+
+# ---------------------------------------------------------------------------
+# b6/b7/b8: the remaining product builders (gene_phenotype,
+# gene_reaction, genome_reaction) — same restrict/cast/dedup path as
+# b1, each with its own PK shape (datalake_table.py:579-689)
+# ---------------------------------------------------------------------------
+
+_B6_MEMBERS_SQL = """
+        SELECT DISTINCT 'g' || (s_suppkey % 30) AS genome_id
+        FROM supplier WHERE s_suppkey % 30 < 20
+"""
+
+
+@query(
+    "b6_gene_phenotype_build",
+    oracle=f"""
+    WITH gp AS (
+        SELECT 'g' || (l_suppkey % 30) AS genome_id,
+               'b' || (l_partkey % 500) AS gene_id,
+               'cpd' || (l_orderkey % 40) AS phenotype_id,
+               l_returnflag AS phenotype_name,
+               'model_prediction' AS association_sources,
+               l_linestatus AS model_pred_reactions,
+               CAST(l_extendedprice AS DOUBLE) AS model_pred_max_flux,
+               '' AS fitness_match,
+               CAST(l_quantity AS DOUBLE) AS fitness_max,
+               CAST(l_discount AS DOUBLE) AS fitness_min,
+               CAST(l_tax AS DOUBLE) AS fitness_avg,
+               CAST(l_linenumber AS INT) AS fitness_count,
+               CAST(l_discount AS DOUBLE) AS essentiality_fraction
+        FROM lineitem
+    ),
+    members AS ({_B6_MEMBERS_SQL}),
+    restricted AS (
+        SELECT * FROM gp WHERE genome_id IN (SELECT genome_id FROM members)
+    ),
+    dedup AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY genome_id, gene_id, phenotype_id
+            ORDER BY phenotype_name, association_sources,
+                     model_pred_reactions, model_pred_max_flux,
+                     fitness_match, fitness_max, fitness_min, fitness_avg,
+                     fitness_count, essentiality_fraction
+        ) AS rn FROM restricted
+    )
+    SELECT genome_id, gene_id, phenotype_id, phenotype_name,
+           association_sources, model_pred_reactions, model_pred_max_flux,
+           fitness_match, fitness_max, fitness_min, fitness_avg,
+           fitness_count, essentiality_fraction
+    FROM dedup WHERE rn = 1
+    """,
+)
+def b6_gene_phenotype_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gene_phenotype builder: lineitem shaped into the gene↔phenotype
+    TSV schema (3-column PK), supplier-derived member restriction."""
+    from ..build.tables import build_gene_phenotype
+
+    l = _t(spark, sf_dir, "lineitem")
+    gp = l.select(
+        F.concat(F.lit("g"), (F.col("l_suppkey") % 30).cast("string")).alias(
+            "genome_id"
+        ),
+        F.concat(F.lit("b"), (F.col("l_partkey") % 500).cast("string")).alias(
+            "gene_id"
+        ),
+        F.concat(F.lit("cpd"), (F.col("l_orderkey") % 40).cast("string")).alias(
+            "phenotype_id"
+        ),
+        F.col("l_returnflag").alias("phenotype_name"),
+        F.lit("model_prediction").alias("association_sources"),
+        F.col("l_linestatus").alias("model_pred_reactions"),
+        F.col("l_extendedprice").cast("double").alias("model_pred_max_flux"),
+        F.lit("").alias("fitness_match"),
+        F.col("l_quantity").cast("double").alias("fitness_max"),
+        F.col("l_discount").cast("double").alias("fitness_min"),
+        F.col("l_tax").cast("double").alias("fitness_avg"),
+        F.col("l_linenumber").cast("int").alias("fitness_count"),
+        F.col("l_discount").cast("double").alias("essentiality_fraction"),
+    )
+    members = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 30 < 20)
+        .select(
+            F.concat(F.lit("g"), (F.col("s_suppkey") % 30).cast("string")).alias(
+                "genome"
+            )
+        )
+    )
+    return build_gene_phenotype(gp, members)
+
+
+@query(
+    "b7_gene_reaction_build",
+    oracle=f"""
+    WITH gr AS (
+        SELECT 'g' || (l_suppkey % 30) AS genome_id,
+               'b' || (l_partkey % 500) AS gene_id,
+               'rxn' || (l_orderkey % 100) AS reaction,
+               CAST(l_extendedprice AS DOUBLE) AS rich_media_flux,
+               CASE WHEN l_quantity > 25 THEN 'essential'
+                    WHEN l_quantity > 10 THEN 'variable'
+                    ELSE 'blocked' END AS rich_media_class,
+               CAST(l_discount AS DOUBLE) AS minimal_media_flux,
+               l_linestatus AS minimal_media_class
+        FROM lineitem
+    ),
+    members AS ({_B6_MEMBERS_SQL}),
+    restricted AS (
+        SELECT * FROM gr WHERE genome_id IN (SELECT genome_id FROM members)
+    ),
+    dedup AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY genome_id, gene_id
+            ORDER BY reaction, rich_media_flux, rich_media_class,
+                     minimal_media_flux, minimal_media_class
+        ) AS rn FROM restricted
+    )
+    SELECT genome_id, gene_id, reaction, rich_media_flux,
+           rich_media_class, minimal_media_flux, minimal_media_class
+    FROM dedup WHERE rn = 1
+    """,
+)
+def b7_gene_reaction_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gene_reaction (essentiality-test) builder: heavy PK duplication
+    — many lineitems per (genome, gene) — exercises the min-struct
+    first-wins dedup on a 2-column PK with F12-style threshold bands
+    upstream."""
+    from ..build.tables import build_gene_reaction
+
+    l = _t(spark, sf_dir, "lineitem")
+    gr = l.select(
+        F.concat(F.lit("g"), (F.col("l_suppkey") % 30).cast("string")).alias(
+            "genome_id"
+        ),
+        F.concat(F.lit("b"), (F.col("l_partkey") % 500).cast("string")).alias(
+            "gene_id"
+        ),
+        F.concat(F.lit("rxn"), (F.col("l_orderkey") % 100).cast("string")).alias(
+            "reaction"
+        ),
+        F.col("l_extendedprice").cast("double").alias("rich_media_flux"),
+        F.when(F.col("l_quantity") > 25, "essential")
+        .when(F.col("l_quantity") > 10, "variable")
+        .otherwise("blocked")
+        .alias("rich_media_class"),
+        F.col("l_discount").cast("double").alias("minimal_media_flux"),
+        F.col("l_linestatus").alias("minimal_media_class"),
+    )
+    members = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 30 < 20)
+        .select(
+            F.concat(F.lit("g"), (F.col("s_suppkey") % 30).cast("string")).alias(
+                "genome"
+            )
+        )
+    )
+    return build_gene_reaction(gr, members)
+
+
+@query(
+    "b8_genome_reaction_build",
+    oracle="""
+    WITH rxn AS (
+        SELECT 'g' || (o_custkey % 20) AS genome_id,
+               'rxn' || (o_orderkey % 200) || '_c0' AS reaction_id,
+               'b' || (o_orderkey % 500) AS genes,
+               o_orderpriority AS equation_names,
+               o_orderstatus AS equation_ids,
+               CASE WHEN o_orderkey % 3 = 0 THEN '='
+                    WHEN o_orderkey % 3 = 1 THEN '>' ELSE '<' END
+                   AS directionality,
+               1000.0 AS upper_bound,
+               -1000.0 AS lower_bound,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'core_gapfill' ELSE '' END
+                   AS gapfilling_status,
+               CAST(o_totalprice AS DOUBLE) AS rich_media_flux,
+               'variable' AS rich_media_class,
+               0.0 AS minimal_media_flux,
+               'blocked' AS minimal_media_class
+        FROM orders
+    ),
+    members AS (
+        SELECT DISTINCT 'g' || (c_custkey % 20) AS genome_id
+        FROM customer WHERE c_custkey % 20 < 12
+    ),
+    restricted AS (
+        SELECT * FROM rxn WHERE genome_id IN (SELECT genome_id FROM members)
+    ),
+    dedup AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY genome_id, reaction_id
+            ORDER BY genes, equation_names, equation_ids, directionality,
+                     upper_bound, lower_bound, gapfilling_status,
+                     rich_media_flux, rich_media_class, minimal_media_flux,
+                     minimal_media_class
+        ) AS rn FROM restricted
+    )
+    SELECT genome_id, reaction_id, genes, equation_names, equation_ids,
+           directionality, upper_bound, lower_bound, gapfilling_status,
+           rich_media_flux, rich_media_class, minimal_media_flux,
+           minimal_media_class
+    FROM dedup WHERE rn = 1
+    """,
+)
+def b8_genome_reaction_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """genome_reaction builder: orders shaped into model reaction rows
+    (suffixed ids, F12 directionality classes, gapfilling status)."""
+    from ..build.tables import build_genome_reaction
+
+    o = _t(spark, sf_dir, "orders")
+    rxn = o.select(
+        F.concat(F.lit("g"), (F.col("o_custkey") % 20).cast("string")).alias(
+            "genome_id"
+        ),
+        F.concat(
+            F.lit("rxn"), (F.col("o_orderkey") % 200).cast("string"), F.lit("_c0")
+        ).alias("reaction_id"),
+        F.concat(F.lit("b"), (F.col("o_orderkey") % 500).cast("string")).alias(
+            "genes"
+        ),
+        F.col("o_orderpriority").alias("equation_names"),
+        F.col("o_orderstatus").alias("equation_ids"),
+        F.when(F.col("o_orderkey") % 3 == 0, "=")
+        .when(F.col("o_orderkey") % 3 == 1, ">")
+        .otherwise("<")
+        .alias("directionality"),
+        F.lit(1000.0).alias("upper_bound"),
+        F.lit(-1000.0).alias("lower_bound"),
+        F.when(F.col("o_orderkey") % 5 == 0, "core_gapfill")
+        .otherwise("")
+        .alias("gapfilling_status"),
+        F.col("o_totalprice").cast("double").alias("rich_media_flux"),
+        F.lit("variable").alias("rich_media_class"),
+        F.lit(0.0).alias("minimal_media_flux"),
+        F.lit("blocked").alias("minimal_media_class"),
+    )
+    members = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 20 < 12)
+        .select(
+            F.concat(F.lit("g"), (F.col("c_custkey") % 20).cast("string")).alias(
+                "genome"
+            )
+        )
+    )
+    return build_genome_reaction(rxn, members)
