@@ -149,3 +149,54 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fingerprint",
         F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")),
     )
+
+
+# PII redaction patterns — ordered; each portable between Java regex
+# (Spark) and RE2 (DuckDB) so the oracle can mirror the scrub exactly.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-corpus PII redaction: emails, IPv4s and phone-shaped
+    numbers replaced with typed placeholders, plus a per-category match
+    count (the audit signal).  Pure chained ``regexp_replace`` /
+    ``regexp_count`` column expressions — no UDF, fully pushdown- and
+    codegen-friendly, and order-deterministic (patterns apply in
+    declaration order, so an email never double-counts as a phone)."""
+    scrubbed = F.col(text_col)
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(scrubbed, F.lit(pat)).cast("int")
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.withColumns({**counts, "scrubbed": scrubbed})
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signal: fraction of word n-grams that
+    are duplicates, ``1 - distinct/total`` (0 for docs shorter than
+    ``n`` tokens).  Boilerplate and degenerate generations score high.
+    Array expressions only: tokens → sliding n-grams via
+    transform(sequence) → distinct/total sizes."""
+    toks = tokens(F.col(text_col))
+    total = F.size(toks) - F.lit(n - 1)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    ratio = F.when(
+        total > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(ngrams)).cast("double") / total.cast("double"),
+    ).otherwise(0.0)
+    return df.withColumns(
+        {
+            "n_ngrams": F.greatest(total, F.lit(0)).cast("int"),
+            "repetition_ratio": F.round(ratio, 6),
+        }
+    )

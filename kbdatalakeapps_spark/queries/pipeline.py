@@ -447,3 +447,88 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = sim.with_norm(emb)
     return out.select("vec_id", F.round("norm", 9).alias("norm"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + repetition ratio (operators/text.py additions)
+# ---------------------------------------------------------------------------
+
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IP_PAT = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PHONE_PAT = "\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+
+@query(
+    "tx_pii_scrub",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id || '@ex.com ip 10.0.0.'
+                    || (doc_id % 250) || ' tel 555-867-5309' AS t
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{_EMAIL_PAT}'))::INT AS n_email,
+               regexp_replace(t, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS t1
+        FROM s0
+    ),
+    s2 AS (
+        SELECT doc_id, n_email,
+               len(regexp_extract_all(t1, '{_IP_PAT}'))::INT AS n_ipv4,
+               regexp_replace(t1, '{_IP_PAT}', '<IP>', 'g') AS t2
+        FROM s1
+    )
+    SELECT doc_id, n_email, n_ipv4,
+           len(regexp_extract_all(t2, '{_PHONE_PAT}'))::INT AS n_phone,
+           regexp_replace(t2, '{_PHONE_PAT}', '<PHONE>', 'g') AS scrubbed
+    FROM s2
+    """,
+)
+def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents salted with deterministic synthetic
+    PII (email + private IP + phone per row, so every category is
+    exercised).  Counts apply to the progressively-scrubbed text in
+    pattern order — the oracle mirrors the chain stage by stage."""
+    d = _t(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.com ip 10.0.0."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel 555-867-5309"),
+        ).alias("text"),
+    )
+    out = tx.pii_scrub(salted)
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed")
+
+
+@query(
+    "tx_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    n AS (SELECT doc_id, tk, len(tk) - 1 AS total FROM toks)
+    SELECT doc_id,
+           GREATEST(total, 0)::INT AS n_ngrams,
+           CASE WHEN total > 0 THEN ROUND(
+               1.0 - len(list_distinct(
+                   list_transform(range(1, (total + 1)::INT),
+                                  i -> array_to_string(tk[i:i+1], ' '))
+               )) / CAST(total AS DOUBLE), 6)
+           ELSE 0.0 END AS repetition_ratio
+    FROM n
+    """,
+)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram repetition fraction (Gopher-style quality signal):
+    1 - distinct/total sliding bigrams, 0 for sub-bigram docs."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.repetition_ratio(d, n=2).select(
+        "doc_id", "n_ngrams", "repetition_ratio"
+    )
