@@ -321,3 +321,120 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for candidate pairs — the
+    verification stage the LSH path stages in front of
+    (ngram_jaccard_pairs is the all-pairs oracle form; this is the
+    production form).
+
+    Shingle tables are restricted by semi-join to the ids that appear
+    in ``pairs``, so the cost is O(candidates × shingles-per-doc), not
+    O(corpus²): exactly the staged-after-pruning posture 100 TB
+    requires.  Returns (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    involved = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = shingle_table(
+        df.join(
+            involved.withColumnRenamed("id", id_col), id_col, "left_semi"
+        ),
+        id_col,
+        text_col,
+        k,
+    ).localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("_sh"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("_sh"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.coalesce(jac, F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The complete dedup decision, end to end: exact content-hash
+    dedup → minhash-LSH candidate discovery on the exact survivors →
+    exact-Jaccard verification of candidates only → connected
+    components → per-group keeper.  Returns (doc_id, keeper,
+    is_keeper, stage): ``stage`` says where each non-keeper was
+    eliminated ('exact' or 'near').  Filtering ``is_keeper`` yields the
+    deduplicated corpus.
+
+    Every stage is the bounded form: one uniform-hash shuffle (exact),
+    banded join (LSH), candidates-only verification, O(diameter)
+    label propagation."""
+    from .graph import keeper_assignment
+
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_h")
+    )
+    exact_keeper = hashed.groupBy("_h").agg(F.min("id").alias("_keep"))
+    exact_map = hashed.join(exact_keeper, "_h").select("id", "_keep")
+    survivors = df.join(
+        exact_map.filter(F.col("id") == F.col("_keep")).select(
+            F.col("id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    candidates = minhash_lsh_pairs(
+        survivors, id_col, text_col, k, num_hashes, band_size
+    )
+    verified = jaccard_verify_pairs(
+        survivors, candidates, id_col, text_col, k, jaccard_threshold
+    )
+    near = keeper_assignment(survivors, verified, id_col)
+    near_map = near.select("id", F.col("keeper").alias("_near_keep"))
+    out = (
+        exact_map.join(near_map, F.col("_keep") == F.col("_near_keep"), "left")
+    )
+    # exact-eliminated docs resolve through their exact keeper's near
+    # keeper; build final keeper per original doc
+    final = (
+        exact_map.withColumnRenamed("id", "doc")
+        .join(near_map.withColumnRenamed("id", "_keep"), "_keep", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("_near_keep", "_keep").alias("keeper"),
+            F.when(F.col("doc") != F.col("_keep"), F.lit("exact"))
+            .when(F.coalesce("_near_keep", "_keep") != F.col("doc"), F.lit("near"))
+            .otherwise(F.lit("keeper"))
+            .alias("stage"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("keeper"))
+    )
+    return final

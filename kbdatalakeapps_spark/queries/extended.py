@@ -956,3 +956,16 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import session_counts
 
     return session_counts(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@query("dd_dedup_corpus")  # rows-only: contains iterative CC stage
+def dd_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete dedup pipeline in one composite: exact content-hash
+    dedup → LSH candidates on survivors → candidates-only exact-Jaccard
+    verification → connected components → keeper per doc, with a
+    ``stage`` column recording where each duplicate was eliminated.
+    Rows-only (CC fixpoint loop); invariants asserted in
+    tests/test_graph.py::test_dedup_corpus_invariants."""
+    from ..operators import dedup as dd
+
+    return dd.dedup_corpus(_t(spark, sf_dir, "documents"))

@@ -66,3 +66,34 @@ def test_keeper_assignment_on_minhash_pairs(spark):
     expect = {n: min(ns) for root, ns in comps.items() for n in ns}
     for n, k in expect.items():
         assert by_id[n].keeper == k
+
+
+def test_dedup_corpus_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators import dedup as dd
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # salt in exact duplicates: copy 5 docs with new ids
+    dups = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(dups)
+    out = dd.dedup_corpus(corpus)
+
+    assert out.count() == corpus.count()  # every doc gets a verdict
+    rows = out.collect()
+    keepers = {r.doc_id for r in rows if r.is_keeper}
+    # every keeper pointer lands on a keeper; keepers point at themselves
+    assert all(r.keeper in keepers for r in rows)
+    assert all(r.keeper == r.doc_id for r in rows if r.is_keeper)
+    # the salted exact copies are eliminated at the exact stage with the
+    # original (lower id) as keeper
+    exact = {r.doc_id: r for r in rows if r.stage == "exact"}
+    for i in range(5):
+        assert exact[100000 + i].keeper == i
+    # near-dup eliminations have a verified Jaccard path to their group
+    assert any(r.stage == "near" for r in rows)
