@@ -54,3 +54,64 @@ def test_merge_term_strings_properties(terms_a, terms_b):
     assert ab == ba  # commutative
     expect = ";".join(sorted(set(terms_a) | set(terms_b)))
     assert ab == expect  # dedup + sort semantics
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=20, deadline=None)
+def test_pii_scrub_idempotent(text):
+    """Scrubbing is idempotent: placeholders never re-match a PII
+    pattern, so scrub(scrub(x)) == scrub(x) for arbitrary text."""
+    from kbdatalakeapps_spark.operators.text import pii_scrub
+    from kbdatalakeapps_spark.session import get_spark
+
+    spark = get_spark("props", shuffle_partitions=2)
+    df = spark.createDataFrame([(text,)], "text string")
+    once = pii_scrub(df).select("scrubbed")
+    twice = pii_scrub(once.withColumnRenamed("scrubbed", "text")).select(
+        "scrubbed"
+    )
+    assert once.first().scrubbed == twice.first().scrubbed
+
+
+@given(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_repetition_ratio_bounds(words):
+    """Ratio ∈ [0,1]; all-same-word docs of ≥3 tokens score > 0; docs
+    shorter than the n-gram width score exactly 0."""
+    from kbdatalakeapps_spark.operators.text import repetition_ratio
+    from kbdatalakeapps_spark.session import get_spark
+
+    spark = get_spark("props", shuffle_partitions=2)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    r = repetition_ratio(df, n=2).first()
+    assert 0.0 <= r.repetition_ratio <= 1.0
+    if len(words) < 2:
+        assert r.repetition_ratio == 0.0 and r.n_ngrams == 0
+    if len(words) >= 3 and len(set(words)) == 1:
+        assert r.repetition_ratio > 0.0
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from([1, 3]),
+)
+@settings(max_examples=50, deadline=None)
+def test_resize_raw_bitmap_shape(w, h, out_w, out_h, ch):
+    """Output byte count is always out_w × out_h × channels, for any
+    source/target geometry."""
+    from kbdatalakeapps_spark.operators.multimodal import _resize_raw_bitmap
+
+    content = bytes(range(256))[: w * h * ch]
+    if len(content) != w * h * ch:
+        content = (content * (w * h * ch))[: w * h * ch]
+    out = _resize_raw_bitmap(content, w, h, out_w, out_h)
+    assert out is not None and len(out) == out_w * out_h * ch
