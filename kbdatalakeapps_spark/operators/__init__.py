@@ -6,5 +6,6 @@ from . import (  # noqa: F401
     relational,
     similarity,
     skew,
+    temporal,
     text,
 )

@@ -1,0 +1,149 @@
+"""Temporal / interval join operators Spark lacks natively.
+
+  as_of_join          — each left row enriched with the latest right row
+                        at or before its timestamp, per key
+  range_join_bucketed — point-in-interval join without a cartesian
+                        theta-join: intervals replicate into fixed-width
+                        buckets, points join their bucket, then the
+                        exact range predicate filters
+
+Both are pure DataFrame compositions (no UDFs).  The as-of form is the
+union+window formulation: one shuffle on (key), state bounded by the
+window frame — the same shape Flink's event-time join and DuckDB's
+ASOF JOIN (the oracle) compute.
+
+Scale posture: as_of_join shuffles each side once on the key and sorts
+within partitions (sort-based window, spillable).  range_join_bucketed
+turns the O(|points|×|intervals|) BroadcastNestedLoopJoin Spark would
+otherwise pick into an equi-join on bucket id: cost is
+|points| + Σ(interval width / bucket_size) replicas — choose
+bucket_size near the median interval width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str | None = None,
+    right_prefix: str = "r_",
+    tolerance: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row whose
+    ``on`` value is ≤ the left's (per ``by`` key), like
+    ``pd.merge_asof`` / DuckDB ``ASOF JOIN`` — but distributed: union
+    both sides tagged, one window over (by, on, tag) carrying the last
+    non-null right payload forward, keep left rows.
+
+    Right payload columns surface as ``{right_prefix}{col}``.
+    ``tolerance`` (same units as ``on``) drops matches older than
+    ``on - tolerance``.  Ties on ``on`` resolve to the right row
+    (right sorts before left at equal timestamps — ASOF ``>=``
+    semantics); among equal-ts right rows the LAST by payload order
+    wins, so feed deduplicated right sides for full determinism."""
+    by = [by] if isinstance(by, str) else (by or [])
+    payload = [c for c in right.columns if c != on and c not in by]
+    l_tag = left.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+        F.lit(None).cast(right.schema[on].dataType).alias("_rt"),
+    )
+    r_tag = right.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        F.col(on).alias("_rt"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in payload
+        ],
+        F.last("_rt", ignorenulls=True).over(w).alias("_c_t"),
+    )
+    out = carried.filter(F.col("_side") == 1)
+    in_tol: Column = F.lit(True)
+    if tolerance is not None:
+        in_tol = F.col("_c_t") >= (F.col("_t") - F.lit(tolerance))
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[
+            F.when(in_tol, F.col(f"_c_{c}")).alias(f"{right_prefix}{c}")
+            for c in payload
+        ],
+        F.when(in_tol, F.col("_c_t")).alias(f"{right_prefix}{on}"),
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_size: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval equi-join: intervals replicate into every
+    ``bucket_size``-wide bucket they overlap (sequence+explode), points
+    map to one bucket, the join runs on the bucket id, and the exact
+    ``lo ≤ p ≤ hi`` predicate filters the bucket collisions.
+
+    Spark's native plan for this predicate is a broadcast nested-loop
+    (quadratic); this form is the standard interval-bucketing rewrite —
+    linear in points plus interval replicas.  Inner and left_outer
+    (points without any interval keep nulls) supported."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be inner or left_outer")
+    # floor, not cast-truncate: truncation rounds toward zero and
+    # misbuckets negative coordinates
+    p_b = points.withColumn(
+        "_bucket", F.floor(F.col(point_col) / bucket_size).cast("long")
+    )
+    i_b = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_size).cast("long"),
+                F.floor(F.col(hi_col) / bucket_size).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    joined = p_b.join(i_b, "_bucket", "inner").filter(cond).drop("_bucket")
+    if how == "inner":
+        return joined
+    # left_outer: transient row id → anti-join points with ≥1 hit.
+    # (monotonically_increasing_id is an internal marker only; it never
+    # reaches the output.)
+    p_id = p_b.withColumn("_pid", F.monotonically_increasing_id())
+    hits = (
+        p_id.join(i_b, "_bucket", "inner")
+        .filter(cond)
+        .select("_pid")
+        .distinct()
+    )
+    unmatched = p_id.join(hits, "_pid", "left_anti").drop("_bucket", "_pid")
+    for c in intervals.columns:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(intervals.schema[c].dataType)
+        )
+    return joined.unionByName(unmatched)

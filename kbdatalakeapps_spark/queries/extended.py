@@ -969,3 +969,86 @@ def dd_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
 
     return dd.dedup_corpus(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): as-of join + bucketed range
+# join — operators Spark lacks natively, oracled against DuckDB's
+# native ASOF JOIN / theta join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w5_asof_join",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r0 AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               MIN(event_id) AS event_id,
+               arg_min(value, event_id) AS value
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts_us, l.value,
+           r.event_id AS r_event_id, r.value AS r_value,
+           r.ts_us AS r_ts_us
+    FROM l ASOF LEFT JOIN r0 r
+      ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+)
+def w5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase event enriched with the user's most
+    recent error event at or before it — the union+window formulation
+    (one shuffle per key, bounded window state), checked against
+    DuckDB's native ASOF JOIN.  The right side is deduplicated per
+    (user, ts) so the match is fully deterministic."""
+    from ..operators.temporal import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("ts_us"), "value"
+    )
+    right = (
+        e.filter(F.col("event_type") == "error")
+        .select("user_id", us.alias("ts_us"), "event_id", "value")
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.min("event_id").alias("event_id"),
+            F.min_by("value", "event_id").alias("value"),
+        )
+    )
+    return as_of_join(left, right, on="ts_us", by="user_id")
+
+
+@query(
+    "r5_range_join",
+    oracle="""
+    SELECT e.event_id, e.value, p.interval_id, p.lo, p.hi
+    FROM (SELECT event_id, value FROM events) e
+    JOIN (
+        SELECT p_partkey AS interval_id,
+               (p_partkey % 50) * 10.0 AS lo,
+               (p_partkey % 50) * 10.0 + (p_size % 10) * 5 + 5 AS hi
+        FROM part
+    ) p ON e.value >= p.lo AND e.value <= p.hi
+    """,
+)
+def r5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via interval bucketing: the equi-join on
+    bucket id replaces the BroadcastNestedLoopJoin Spark would pick for
+    the raw theta predicate.  Oracle is the plain theta join."""
+    from ..operators.temporal import range_join_bucketed
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("interval_id"),
+        ((F.col("p_partkey") % 50) * 10.0).alias("lo"),
+        ((F.col("p_partkey") % 50) * 10.0 + (F.col("p_size") % 10) * 5 + 5).alias(
+            "hi"
+        ),
+    )
+    return range_join_bucketed(e, p, "value", "lo", "hi", bucket_size=50)

@@ -1,0 +1,87 @@
+"""as-of join and bucketed range join: exact semantics on hand-built
+cases (ties, tolerance, empty matches, negative coordinates) and the
+plan property that motivates the bucketing rewrite (equi-join, not
+BroadcastNestedLoopJoin)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.operators.temporal import (
+    as_of_join,
+    range_join_bucketed,
+)
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("a", 30, 3.0), ("b", 15, 9.0)],
+        "sym string, t long, px double",
+    )
+
+
+def _trades(spark):
+    return spark.createDataFrame(
+        [("a", 5, 100), ("a", 20, 200), ("a", 25, 300), ("b", 14, 400),
+         ("c", 50, 500)],
+        "sym string, t long, qty long",
+    )
+
+
+def test_asof_basic_ties_and_missing(spark):
+    out = {
+        (r.sym, r.t): (r.q_px, r.q_t)
+        for r in as_of_join(
+            _trades(spark), _quotes(spark), on="t", by="sym", right_prefix="q_"
+        ).collect()
+    }
+    assert out[("a", 5)] == (None, None)      # nothing at or before 5
+    assert out[("a", 20)] == (2.0, 20)        # tie → >= match
+    assert out[("a", 25)] == (2.0, 20)        # latest prior
+    assert out[("b", 14)] == (None, None)     # b's quote is later
+    assert out[("c", 50)] == (None, None)     # unseen key
+
+
+def test_asof_tolerance(spark):
+    out = {
+        (r.sym, r.t): r.q_px
+        for r in as_of_join(
+            _trades(spark), _quotes(spark), on="t", by="sym",
+            right_prefix="q_", tolerance=3,
+        ).collect()
+    }
+    assert out[("a", 20)] == 2.0   # exact-ts match within tolerance
+    assert out[("a", 25)] is None  # match at 20 is 5 > 3 old
+
+
+def test_range_join_inner_and_left_outer(spark):
+    points = spark.createDataFrame(
+        [(1, -75.0), (2, 5.0), (3, 999.0)], "pid long, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(10, -100.0, -50.0), (11, 0.0, 10.0), (12, 4.0, 6.0)],
+        "iid long, lo double, hi double",
+    )
+    inner = range_join_bucketed(points, intervals, "x", "lo", "hi", 50)
+    got = sorted((r.pid, r.iid) for r in inner.collect())
+    # negative coordinate must land via floor-bucketing
+    assert got == [(1, 10), (2, 11), (2, 12)]
+
+    outer = range_join_bucketed(
+        points, intervals, "x", "lo", "hi", 50, how="left_outer"
+    )
+    rows = {r.pid: r.iid for r in outer.collect() if r.iid is None}
+    assert set(rows) == {3}  # unmatched point kept with null interval
+    assert outer.count() == 4
+
+
+def test_range_join_plan_is_equijoin(spark):
+    points = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    intervals = spark.createDataFrame(
+        [(0.0, 10.0), (20.0, 30.0)], "lo double, hi double"
+    )
+    plan = range_join_bucketed(
+        points, intervals, "x", "lo", "hi", 10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # hash/sort-merge equi-join on _bucket
