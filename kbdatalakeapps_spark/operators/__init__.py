@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     multimodal,
     predict,
     relational,
+    sampling,
     similarity,
     skew,
     temporal,

@@ -1,0 +1,91 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+`df.sample()` / `randomSplit()` depend on partition layout and RNG
+seeds per task — re-running on repartitioned data yields different
+membership.  Training pipelines need *content-addressed* assignment:
+a document lands in the same split on every run, every engine, any
+partitioning.  Both operators here derive a uniform in [0,1) from
+md5 of the row key, so DuckDB computes the identical assignment (the
+oracle) and incremental reruns are stable by construction.
+
+  hash_split        — train/val/test (or any fraction vector) assignment
+  stratified_sample — per-stratum fraction filter
+
+Scale: both are pure column expressions (a narrow map, no shuffle,
+fully pushdown-compatible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _unit_hash(key: Column, salt: str) -> Column:
+    """md5-derived uniform in [0,1): first 15 hex digits / 16^15 —
+    deterministic, engine-agnostic, salt-able for independent draws."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(float(16**15))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with probability equal to its
+    fraction, keyed on content: same key → same split, forever.
+
+    ``fractions`` maps split name → fraction; they must sum to ≤ 1
+    (any remainder falls into the LAST declared split, so
+    {'train': .8, 'val': .1, 'test': .1} is exact).  Declaration order
+    defines the cumulative intervals, so the mapping is reproducible
+    from the spec alone."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    u = _unit_hash(F.col(key_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        c = F.when(u < F.lit(acc), F.lit(name))
+        expr = c if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~fraction of each stratum, content-keyed: rows whose unit
+    hash falls under their stratum's fraction survive.  Strata missing
+    from ``fractions`` use ``default_fraction``.  The per-stratum
+    threshold is a broadcast-free CASE expression (fractions are a
+    static spec, not data)."""
+    u = _unit_hash(F.col(key_col), salt)
+    thresh: Column | None = None
+    for stratum, frac in fractions.items():
+        c = F.when(F.col(strata_col) == stratum, F.lit(frac))
+        thresh = c if thresh is None else thresh.when(
+            F.col(strata_col) == stratum, F.lit(frac)
+        )
+    thresh = (
+        F.lit(default_fraction)
+        if thresh is None
+        else thresh.otherwise(F.lit(default_fraction))
+    )
+    return df.filter(u < thresh)

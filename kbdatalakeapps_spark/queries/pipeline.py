@@ -532,3 +532,64 @@ def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repetition_ratio(d, n=2).select(
         "doc_id", "n_ngrams", "repetition_ratio"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_UNIT_HASH_SQL = (
+    "(('0x' || substr(md5(doc_id::VARCHAR || '{salt}'), 1, 15))::BIGINT"
+    " / CAST(1152921504606846976 AS DOUBLE))"
+)
+
+
+@query(
+    "sp_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_UNIT_HASH_SQL.format(salt='v1')} < 0.8 THEN 'train'
+                WHEN {_UNIT_HASH_SQL.format(salt='v1')} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sp_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/val/test split (80/10/10): same doc_id →
+    same split under any partitioning, engine, or rerun.  16^15 =
+    1152921504606846976 in the oracle's divisor."""
+    from ..operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+    )
+
+
+@query(
+    "sp_stratified_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_UNIT_HASH_SQL.format(salt='s1')} AS u
+        FROM (SELECT doc_id, 'l' || (doc_id % 4) AS lang FROM documents)
+    )
+    SELECT doc_id, lang FROM scored
+    WHERE u < CASE lang WHEN 'l0' THEN 0.9 WHEN 'l1' THEN 0.25
+              ELSE 0.05 END
+    """,
+)
+def sp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum downsampling (the language-rebalancing pattern):
+    keep 90% of l0, 25% of l1, 5% default — content-keyed so the
+    sample is reproducible."""
+    from ..operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("l"), (F.col("doc_id") % 4).cast("string")).alias("lang"),
+    )
+    return stratified_sample(
+        d, "doc_id", "lang", {"l0": 0.9, "l1": 0.25},
+        default_fraction=0.05, salt="s1",
+    )

@@ -115,3 +115,40 @@ def test_resize_raw_bitmap_shape(w, h, out_w, out_h, ch):
         content = (content * (w * h * ch))[: w * h * ch]
     out = _resize_raw_bitmap(content, w, h, out_w, out_h)
     assert out is not None and len(out) == out_w * out_h * ch
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Same keys land in the same split regardless of partitioning;
+    fractions are approximately honored."""
+    from kbdatalakeapps_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.k: r.split for r in hash_split(df, "k", fr).collect()}
+    b = {r.k: r.split
+         for r in hash_split(df.repartition(7), "k", fr).collect()}
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    assert abs(c["test"] / 2000 - 0.1) < 0.03
+    # a different salt reshuffles membership
+    s2 = {r.k: r.split
+          for r in hash_split(df, "k", fr, salt="other").collect()}
+    assert s2 != a
+
+
+def test_stratified_sample_rates(spark):
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.sampling import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    out = stratified_sample(df, "k", "g", {"0": 0.5}, default_fraction=0.1)
+    counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    assert abs(counts["0"] / 2000 - 0.5) < 0.06
+    assert abs(counts.get("1", 0) / 2000 - 0.1) < 0.04
