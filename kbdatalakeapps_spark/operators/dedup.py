@@ -419,9 +419,6 @@ def dedup_corpus(
     )
     near = keeper_assignment(survivors, verified, id_col)
     near_map = near.select("id", F.col("keeper").alias("_near_keep"))
-    out = (
-        exact_map.join(near_map, F.col("_keep") == F.col("_near_keep"), "left")
-    )
     # exact-eliminated docs resolve through their exact keeper's near
     # keeper; build final keeper per original doc
     final = (
@@ -438,3 +435,67 @@ def dedup_corpus(
         .withColumn("is_keeper", F.col(id_col) == F.col("keeper"))
     )
     return final
+
+
+def word_shingles(tok_col: str, n: int = 3) -> Column:
+    """Distinct word n-grams from a token-ARRAY column.
+
+    Like char_shingles, ``tok_col`` must be a plain column NAME holding
+    the pre-split token array — inlining the tokenizer here would
+    re-evaluate it per element inside the transform lambda."""
+    return F.expr(
+        f"CASE WHEN size({tok_col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({tok_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({tok_col}, i, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the
+    fraction of its distinct word n-grams that appear ANYWHERE in the
+    benchmark set — the standard eval-leakage screen run before
+    training (n-gram overlap, PaLM/GPT-3 style).
+
+    Returns (id, n_ngrams, n_hits, contamination, flagged) for every
+    corpus row, including sub-n-gram docs (contamination 0).
+
+    Scale posture: benchmark suites are small (thousands of docs), so
+    their distinct-shingle set is broadcast — the corpus is scanned
+    once, never shuffled against itself.  The only shuffle is the
+    per-doc count aggregation on the uniform id key.  If the benchmark
+    ever outgrows broadcast, drop the hint and the same plan becomes a
+    shuffle hash join on the shingle key."""
+
+    def shingled(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+        return df.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
+            "id", F.explode_outer(word_shingles("_toks", n)).alias("shingle")
+        )
+
+    bench = shingled(benchmark).filter(F.col("shingle").isNotNull())
+    bench = bench.select("shingle").distinct().withColumn("_hit", F.lit(1))
+    rate = F.col("n_hits") / F.col("n_ngrams").cast("double")
+    return (
+        shingled(corpus)
+        .join(F.broadcast(bench), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count("shingle").alias("n_ngrams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .withColumn(
+            "contamination",
+            F.when(F.col("n_ngrams") > 0, F.round(rate, 6)).otherwise(0.0),
+        )
+        .withColumn("flagged", F.col("contamination") >= threshold)
+    )

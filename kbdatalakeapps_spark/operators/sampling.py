@@ -10,14 +10,19 @@ oracle) and incremental reruns are stable by construction.
 
   hash_split        — train/val/test (or any fraction vector) assignment
   stratified_sample — per-stratum fraction filter
+  mixture_sample    — domain-reweighting downsample to target shares
+  pack_sequences    — concat-and-chunk packing into token-budget blocks
 
-Scale: both are pure column expressions (a narrow map, no shuffle,
-fully pushdown-compatible).
+Scale: hash_split / stratified_sample are pure column expressions (a
+narrow map, no shuffle, fully pushdown-compatible).  mixture_sample
+adds one tiny domain-count aggregate (broadcast back).  pack_sequences
+is a distributed prefix sum — range shuffle + per-partition window —
+never the single-task global window a naive cumsum would plan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,3 +94,105 @@ def stratified_sample(
         else thresh.otherwise(F.lit(default_fraction))
     )
     return df.filter(u < thresh)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    targets: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample to a target domain mixture (the pretraining
+    data-mixing pattern: "40% web, 30% code, ...").
+
+    Given target shares per domain, finds the largest total corpus T
+    achievable WITHOUT upsampling any domain — T = min over domains of
+    count(d)/share(d) — then keeps each domain at rate
+    share(d)·T/count(d), content-keyed so the sample is reproducible.
+    Domains absent from ``targets`` are dropped.
+
+    Plan shape: one column-pruned pass for domain counts (tiny result),
+    the capacity minimum as a 1-row broadcast cross join, rates joined
+    back broadcast on the domain key — the fact table itself never
+    shuffles.  All arithmetic is double-precision in a fixed order so
+    the DuckDB oracle computes bit-identical rates."""
+    shares = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    counts = (
+        df.groupBy(F.col(domain_col).alias("_domain"))
+        .agg(F.count("*").cast("double").alias("_n"))
+        .withColumn("_share", shares[F.col("_domain")])
+        .filter(F.col("_share").isNotNull())
+    )
+    capacity = counts.agg(F.min(F.col("_n") / F.col("_share")).alias("_cap"))
+    rates = counts.crossJoin(F.broadcast(capacity)).select(
+        "_domain",
+        (F.col("_share") * F.col("_cap") / F.col("_n")).alias("_rate"),
+    )
+    u = _unit_hash(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == F.col("_domain"))
+        .filter(u < F.col("_rate"))
+        .drop("_domain", "_rate")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: rows ordered by ``key_col``
+    are laid end-to-end and cut into fixed ``budget``-token training
+    blocks.  Emits each row's global ``offset`` (tokens before it),
+    its starting block ``pack_id`` = offset div budget, and whether it
+    ``spans`` a block boundary.  Weights must be integers — the prefix
+    sum is exact.
+
+    A naive ``Window.orderBy(key)`` cumsum plans a SINGLE-partition
+    window — the classic scale-killer.  This is the two-phase
+    distributed prefix sum instead:
+
+      1. range-repartition on key, pin the partition id,
+      2. per-partition cumsum (window keyed on that id — full
+         parallelism, each partition sorts locally),
+      3. per-partition totals (one row each) get their prefix offsets
+         via a window over the tiny totals frame, broadcast back.
+
+    The result is identical under any partition count, so the oracle
+    is a plain SQL running sum."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    w = F.col(weight_col).cast("bigint")
+    ranged = df.repartitionByRange(n, F.col(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_local_cum",
+        F.sum(w).over(Window.partitionBy("_pid").orderBy(key_col)),
+    )
+    totals = local.groupBy("_pid").agg(F.sum(w).alias("_ptotal"))
+    prior = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ptotal").over(prior), F.lit(0)).alias("_poffset"),
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    offset = F.col("_poffset") + F.col("_local_cum") - w
+    pack = F.floor(offset / F.lit(budget))
+    return (
+        out.withColumns(
+            {
+                "offset": offset,
+                "pack_id": pack,
+                "spans": F.floor((offset + w - 1) / F.lit(budget)) > pack,
+            }
+        )
+        .drop("_pid", "_local_cum", "_poffset")
+    )

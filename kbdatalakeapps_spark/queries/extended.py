@@ -1052,3 +1052,31 @@ def r5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return range_join_bucketed(e, p, "value", "lo", "hi", bucket_size=50)
+
+
+@query(
+    "a18_histogram",
+    oracle="""
+    WITH b AS (SELECT unnest(range(0, 25))::INT AS bucket),
+    c AS (
+        SELECT FLOOR((o_totalprice - 0.0) / 20000.0)::INT AS bucket,
+               COUNT(*)::BIGINT AS n
+        FROM orders
+        WHERE o_totalprice >= 0.0 AND o_totalprice < 500000.0
+        GROUP BY 1
+    )
+    SELECT b.bucket,
+           0.0 + b.bucket * 20000.0 AS lo_edge,
+           0.0 + (b.bucket + 1) * 20000.0 AS hi_edge,
+           COALESCE(c.n, 0)::BIGINT AS n
+    FROM b LEFT JOIN c USING (bucket)
+    """,
+)
+def a18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram for the viewer's column-distribution panel
+    (same serving surface as A13/A14 stats): 25 buckets over
+    o_totalprice, empty buckets included via the static bucket frame."""
+    from ..serving import column_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return column_histogram(o, "o_totalprice", 0.0, 500000.0, 25)

@@ -593,3 +593,126 @@ def sp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "lang", {"l0": 0.9, "l1": 0.25},
         default_fraction=0.05, salt="s1",
     )
+
+
+@query(
+    "sp_mixture_sample",
+    oracle=f"""
+    WITH tgt AS (
+        SELECT domain, CAST(share AS DOUBLE) AS share
+        FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) v(domain, share)
+    ),
+    c AS (
+        SELECT source AS domain, COUNT(*)::DOUBLE AS n
+        FROM documents GROUP BY 1
+    ),
+    cap AS (SELECT MIN(n / share) AS t FROM c JOIN tgt USING (domain)),
+    r AS (
+        SELECT domain, share * (SELECT t FROM cap) / n AS rate
+        FROM c JOIN tgt USING (domain)
+    )
+    SELECT doc_id, source
+    FROM documents d JOIN r ON d.source = r.domain
+    WHERE {_UNIT_HASH_SQL.format(salt='m1')} < rate
+    """,
+)
+def sp_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: rebalance sources to 50/30/20 shares
+    without upsampling — the largest feasible corpus keeps every listed
+    domain at share·T/count, content-keyed.  Unlisted sources drop."""
+    from ..operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(
+        d, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        salt="m1",
+    )
+
+
+@query(
+    "sp_pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> ''))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS off
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           off::BIGINT AS offset,
+           (off // 512)::BIGINT AS pack_id,
+           ((off + n_tokens - 1) // 512) > (off // 512) AS spans
+    FROM c
+    """,
+)
+def sp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of documents into 512-token training
+    blocks, doc_id order.  The Spark side is the two-phase distributed
+    prefix sum (range shuffle + per-partition window); the oracle is
+    the plain global running sum it must equal."""
+    from ..operators.sampling import pack_sequences
+    from ..operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=512).select(
+        "doc_id", "n_tokens", "offset", "pack_id", "spans"
+    )
+
+
+@query(
+    "dd_contamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(
+                   list_transform(range(1, GREATEST(len(tk) - 2, 0) + 1),
+                                  i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    agg AS (
+        SELECT d.doc_id AS id, COUNT(*)::BIGINT AS n_ngrams,
+               COUNT(b.shingle)::BIGINT AS n_hits
+        FROM (SELECT doc_id, shingle FROM sh WHERE source <> 'src0') d
+        LEFT JOIN bench b USING (shingle)
+        GROUP BY 1
+    )
+    SELECT t.doc_id AS id,
+           COALESCE(a.n_ngrams, 0)::BIGINT AS n_ngrams,
+           COALESCE(a.n_hits, 0)::BIGINT AS n_hits,
+           CASE WHEN COALESCE(a.n_ngrams, 0) > 0
+                THEN ROUND(a.n_hits / CAST(a.n_ngrams AS DOUBLE), 6)
+                ELSE 0.0 END AS contamination,
+           (CASE WHEN COALESCE(a.n_ngrams, 0) > 0
+                 THEN ROUND(a.n_hits / CAST(a.n_ngrams AS DOUBLE), 6)
+                 ELSE 0.0 END) >= 0.1 AS flagged
+    FROM (SELECT doc_id FROM toks WHERE source <> 'src0') t
+    LEFT JOIN agg a ON t.doc_id = a.id
+    """,
+)
+def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: word-trigram overlap of every
+    non-src0 document against the src0 "benchmark" set (broadcast
+    shingle membership, corpus scanned once)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.contamination_check(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=3,
+        threshold=0.1,
+    )

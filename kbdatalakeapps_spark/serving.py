@@ -152,6 +152,40 @@ def column_stats(df: DataFrame, column: str, exact: bool = True) -> dict:
     return out
 
 
+def column_histogram(
+    df: DataFrame, column: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Equi-width histogram over [lo, hi) as a lazy DataFrame:
+    (bucket, lo_edge, hi_edge, n) for EVERY bucket, empties included —
+    the stats-dialog distribution panel the viewer's column stats
+    endpoint feeds (same surface as column_stats / A14).
+
+    One column-pruned scan, a ≤``nbins``-key aggregation (map-side
+    combined, so the shuffle carries at most nbins rows per task), and
+    a broadcast left join against the static bucket frame to surface
+    empty buckets.  Values outside [lo, hi) are excluded."""
+    width = (hi - lo) / nbins
+    c = F.col(column).cast("double")
+    counts = (
+        df.filter((c >= lo) & (c < hi))
+        .select(F.floor((c - F.lit(lo)) / F.lit(width)).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    buckets = df.sparkSession.range(nbins).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    return (
+        buckets.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi_edge"),
+            F.coalesce("_n", F.lit(0)).alias("n"),
+        )
+    )
+
+
 def exists(df: DataFrame, req: TableDataRequest) -> bool:
     """O5: LIMIT-1 existence probe used by search-across-tables."""
     return not _filtered(df, req).limit(1).isEmpty()

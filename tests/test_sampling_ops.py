@@ -1,0 +1,106 @@
+"""Tests for the round-2 training-pipeline additions: sequence
+packing (distributed prefix sum), domain-mixture resampling,
+benchmark contamination, and the serving histogram."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.operators.dedup import contamination_check
+from kbdatalakeapps_spark.operators.sampling import (
+    mixture_sample,
+    pack_sequences,
+)
+from kbdatalakeapps_spark.serving import column_histogram
+
+
+def test_pack_sequences_matches_naive_cumsum(spark):
+    """The two-phase prefix sum equals the naive global running sum,
+    under any partition count."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 13 + 1).alias("w")
+    )
+    rows = df.orderBy("k").collect()
+    cum = 0
+    expected = {}
+    for r in rows:
+        expected[r.k] = cum
+        cum += r.w
+    for parts in (1, 4, 32):
+        out = pack_sequences(df, "k", "w", budget=64, num_partitions=parts)
+        got = {r.k: r.offset for r in out.collect()}
+        assert got == expected, f"offsets diverge at {parts} partitions"
+
+
+def test_pack_sequences_pack_ids_and_spans(spark):
+    """pack_id = offset div budget; spans flags rows crossing a block
+    boundary; blocks are filled in key order without gaps."""
+    df = spark.createDataFrame(
+        [(1, 30), (2, 30), (3, 30), (4, 10), (5, 100)], ["k", "w"]
+    )
+    out = {r.k: r for r in pack_sequences(df, "k", "w", budget=50).collect()}
+    # offsets: 0, 30, 60, 90, 100
+    assert [out[k].offset for k in (1, 2, 3, 4, 5)] == [0, 30, 60, 90, 100]
+    assert [out[k].pack_id for k in (1, 2, 3, 4, 5)] == [0, 0, 1, 1, 2]
+    # row 2 covers 30..59 → crosses the 50 boundary; row 4 (90..99) fits
+    assert out[2].spans and not out[4].spans
+    assert out[5].spans  # 100..199 crosses 150
+
+
+def test_mixture_sample_shares_and_no_upsampling(spark):
+    """Kept counts hit the target mixture; the binding domain (the one
+    with the smallest count/share) is kept whole; unlisted domains are
+    dropped; membership is partitioning-invariant."""
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), (F.col("id") % 3).cast("string")).alias("dom"),
+    )
+    # 1000 per domain; shares 60/20/20 → capacity = min(1000/.6, ...) = 1666.6
+    out = mixture_sample(df, "k", "dom", {"d0": 0.6, "d1": 0.2}, salt="t")
+    counts = {r.dom: r["count"] for r in out.groupBy("dom").count().collect()}
+    assert "d2" not in counts  # unlisted → dropped
+    assert counts["d0"] == 1000  # binding domain kept whole (rate 1.0)
+    assert abs(counts["d1"] / 1000 - 1 / 3) < 0.05  # 0.2·1666.6/1000
+    a = sorted(r.k for r in out.collect())
+    b = sorted(r.k for r in
+               mixture_sample(df.repartition(7), "k", "dom",
+                              {"d0": 0.6, "d1": 0.2}, salt="t").collect())
+    assert a == b
+
+
+def test_contamination_check_fixture(spark):
+    """Hand-checkable trigram overlap: full, partial, zero, and
+    sub-trigram docs."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # all 3 trigrams hit
+            (2, "the quick brown dog barks loud"),  # 1 of 4 hits
+            (3, "entirely different words here"),   # 0 of 2
+            (4, "too short"),                        # no trigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.id: r for r in
+           contamination_check(corpus, bench, threshold=0.5).collect()}
+    assert out[1].n_ngrams == 3 and out[1].n_hits == 3 and out[1].flagged
+    assert out[2].n_ngrams == 4 and out[2].n_hits == 1 and not out[2].flagged
+    assert out[3].n_hits == 0 and out[3].contamination == 0.0
+    assert out[4].n_ngrams == 0 and out[4].contamination == 0.0
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_column_histogram_edges_and_empty_buckets(spark):
+    """Bucket edges, empty-bucket rows, and out-of-range exclusion."""
+    df = spark.createDataFrame(
+        [(0.0,), (5.0,), (9.9,), (10.0,), (35.0,), (40.0,), (-1.0,)], ["x"]
+    )
+    out = {r.bucket: r for r in column_histogram(df, "x", 0.0, 40.0, 4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0].n == 3          # 0.0, 5.0, 9.9
+    assert out[1].n == 1          # 10.0
+    assert out[2].n == 0          # empty bucket still present
+    assert out[3].n == 1          # 35.0; 40.0 and -1.0 excluded
+    assert out[1].lo_edge == 10.0 and out[1].hi_edge == 20.0
