@@ -958,6 +958,36 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_counts(_t(spark, sf_dir, "events"), gap="30 minutes")
 
 
+@query(
+    "st_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS left_id,
+           b.event_id AS right_id,
+           (epoch_ns(b.ts) // 1000000000 - epoch_ns(a.ts) // 1000000000)::BIGINT
+               AS delay_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: purchases within
+    one hour after a click by the same user (the attribution pattern).
+    The same operator runs on two watermarked streams in
+    tests/test_streaming.py."""
+    from ..streaming.incremental import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    return interval_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        key_col="user_id",
+        within="1 hour",
+    )
+
+
 @query("dd_dedup_corpus")  # rows-only: contains iterative CC stage
 def dd_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete dedup pipeline in one composite: exact content-hash

@@ -9,6 +9,7 @@ current without re-reading history.
 
 from .incremental import (  # noqa: F401
     EVENTS_STREAM_SCHEMA,
+    interval_join,
     run_available_now,
     session_counts,
     stream_events,

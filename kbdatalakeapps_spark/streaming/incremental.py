@@ -112,17 +112,70 @@ def session_counts(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    within: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream (or batch) interval join — the attribution
+    pattern: every right event landing within ``within`` AFTER a left
+    event of the same key (click → purchase within the hour).
+
+    Works identically on batch and streaming inputs.  On two streams,
+    pass ``watermark``: both sides get watermarked and the time-range
+    predicate lets Spark prune join state — without it a stream-stream
+    inner join would buffer both streams forever.  The equi-key
+    condition keeps the physical join a hash/sort-merge on the key
+    shuffle; the range predicate is evaluated post-match, never a
+    nested loop."""
+    l = with_event_time(left).select(
+        F.col(key_col).alias("_k"),
+        F.col("event_id").alias("left_id"),
+        F.col("event_time").alias("left_time"),
+    )
+    r = with_event_time(right).select(
+        F.col(key_col).alias("_k2"),
+        F.col("event_id").alias("right_id"),
+        F.col("event_time").alias("right_time"),
+    )
+    if watermark is not None:
+        l = l.withWatermark("left_time", watermark)
+        r = r.withWatermark("right_time", watermark)
+    cond = (
+        (F.col("_k") == F.col("_k2"))
+        & (F.col("right_time") >= F.col("left_time"))
+        & (
+            F.col("right_time")
+            <= F.col("left_time") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond).select(
+        F.col("_k").alias(key_col),
+        "left_id",
+        "right_id",
+        (
+            F.unix_timestamp("right_time") - F.unix_timestamp("left_time")
+        ).alias("delay_s"),
+    )
+
+
 def run_available_now(
-    stream_df: DataFrame, table_name: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain everything currently in the source into an in-memory
     table and stop — the batch-equivalent execution of a streaming
     plan (used by tests; a production sink would be a Delta/parquet
-    append with the same trigger)."""
+    append with the same trigger).  Aggregations use the default
+    ``complete`` mode; stream-stream joins require ``append``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

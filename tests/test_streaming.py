@@ -176,3 +176,36 @@ def test_stateful_running_totals(spark, tmp_path):
     for r in rows:
         got[r.event_type] = max(got.get(r.event_type, 0), r.n_events)
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Two watermarked streams (clicks, purchases) interval-joined give
+    exactly the batch twin's attribution pairs.  Append mode — the
+    watermark + time-range predicate is what lets Spark emit and prune
+    join state."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.streaming import interval_join, stream_events
+
+    events = load_table(spark, SF_DIR, "events")
+    left_dir, right_dir = tmp_path / "clicks", tmp_path / "purchases"
+    events.filter(F.col("event_type") == "click").write.parquet(str(left_dir))
+    events.filter(F.col("event_type") == "purchase").write.parquet(
+        str(right_dir)
+    )
+
+    batch = interval_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        within="1 hour",
+    )
+    stream = interval_join(
+        stream_events(spark, str(left_dir)),
+        stream_events(spark, str(right_dir)),
+        within="1 hour",
+        watermark="2 hours",
+    )
+    run_available_now(
+        stream, "st_ssjoin_t1", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    assert _rows(spark.table("st_ssjoin_t1")) == _rows(batch)
