@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "j4_multihop_hash_chain",   # content-hash join chain
     "f20_json_flatten",         # JSON parse + agg
     "st_tumbling_counts",       # tumbling-window rollup (streaming twin)
+    # round-2 additions (appended so earlier keys stay comparable)
+    "sp_pack_sequences",        # distributed prefix-sum packing
+    "dd_contamination",         # benchmark n-gram decontamination
+    "st_interval_join",         # interval join (stream-stream twin)
 ]
 
 

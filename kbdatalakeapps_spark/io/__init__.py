@@ -4,12 +4,14 @@ from .sources import (  # noqa: F401
     load_tables,
     read_fasta,
     read_json_docs,
+    read_orc,
     read_parquet,
     read_tsv,
 )
 from .sinks import (  # noqa: F401
     merge_upsert,
     write_fasta,
+    write_orc,
     write_parquet,
     write_tsv,
 )

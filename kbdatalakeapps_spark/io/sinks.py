@@ -30,6 +30,19 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink with the same partitioning contract as write_parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S14: tab-separated with header (KBDatalakeUtils.py:830-843)."""
     df.write.mode(mode).option("sep", "\t").option("header", "true").csv(path)

@@ -44,6 +44,14 @@ def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """ORC scan — same lazy/glob semantics as read_parquet.  ORC is the
+    second columnar lake format Spark supports natively (predicate
+    pushdown, column pruning, vectorized read all apply)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    return spark.read.orc(*paths)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) as a DataFrame.
 

@@ -437,6 +437,48 @@ def dedup_corpus(
     return final
 
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingestion dedup: classify each arriving document as
+    ``new``, ``dup_corpus`` (content already in the lake) or
+    ``dup_batch`` (duplicate within the batch; keeper = min id).
+
+    The streaming-lake counterpart of exact_dedup: instead of
+    re-deduplicating 100 TB on every delivery, only the new batch is
+    hashed and probed against the corpus's distinct-hash set.  The
+    corpus side reduces to ONE narrow md5 column before the join, and
+    the join key is a uniform hash — no skew; with a typically-small
+    arriving batch AQE turns both joins into broadcasts of the batch
+    side's hash frames."""
+    new_h = new_batch.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    corpus_h = (
+        corpus.select(F.md5(F.col(text_col)).alias("content_hash"))
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    keeper = new_h.groupBy("content_hash").agg(
+        F.min("id").alias("batch_keeper")
+    )
+    return (
+        new_h.join(corpus_h, "content_hash", "left")
+        .join(keeper, "content_hash")
+        .select(
+            "id",
+            "content_hash",
+            F.when(F.col("_known") == 1, F.lit("dup_corpus"))
+            .when(F.col("id") != F.col("batch_keeper"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 def word_shingles(tok_col: str, n: int = 3) -> Column:
     """Distinct word n-grams from a token-ARRAY column.
 

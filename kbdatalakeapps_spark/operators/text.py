@@ -107,6 +107,38 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_punct: float = 0.2,
+    max_digit: float = 0.3,
+    max_repetition: float = 0.3,
+) -> DataFrame:
+    """C4/Gopher-style composite keep/drop stage: every quality signal
+    evaluated in one pass, with the failed-rule names recorded in
+    ``drop_reasons`` (comma-joined, declaration order) so filtering
+    decisions are auditable — the form corpus-curation reports need.
+    ``keep`` is true iff no rule fired.
+
+    Pure column expressions layered on text_stats / repetition_ratio /
+    stopword_hits — one scan, no shuffle, codegen end-to-end."""
+    scored = repetition_ratio(text_stats(df, text_col), text_col)
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("punct", F.col("punct_ratio") > max_punct),
+        ("digit", F.col("digit_ratio") > max_digit),
+        ("repetitive", F.col("repetition_ratio") > max_repetition),
+        ("no_stopwords", stopword_hits(text_col, "en") == 0),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return scored.withColumns(
+        {"drop_reasons": reasons, "keep": reasons == F.lit("")}
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: score each language by stopword
     hit count; argmax with deterministic tie-break on language code;

@@ -716,3 +716,90 @@ def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=0.1,
     )
+
+
+@query(
+    "dd_incremental_dedup",
+    oracle="""
+    WITH batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id, text || ' v2' FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' v2' FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+    ),
+    nh AS (SELECT doc_id AS id, md5(text) AS content_hash FROM batch),
+    ch AS (SELECT DISTINCT md5(text) AS content_hash FROM documents),
+    k AS (SELECT content_hash, MIN(id) AS batch_keeper FROM nh GROUP BY 1)
+    SELECT nh.id, nh.content_hash,
+           CASE WHEN ch.content_hash IS NOT NULL THEN 'dup_corpus'
+                WHEN nh.id <> k.batch_keeper THEN 'dup_batch'
+                ELSE 'new' END AS status
+    FROM nh LEFT JOIN ch USING (content_hash) JOIN k USING (content_hash)
+    """,
+)
+def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a synthetic arriving batch (docs
+    re-delivered verbatim → dup_corpus; edited docs → new; the edited
+    set re-delivered under shifted ids → dup_batch) probed against the
+    full corpus's distinct-hash set."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    a = d.filter(did % 6 == 0).select("doc_id", "text")
+    b = d.filter((did % 3 == 0) & (did % 2 == 1)).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    c = b.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    batch = a.unionByName(b).unionByName(c)
+    return dd.incremental_dedup(batch, d)
+
+
+@query(
+    "tx_quality_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+            len(tk) AS n_tokens,
+            CASE WHEN length(text) > 0
+                 THEN ROUND((length(text) - length(regexp_replace(text,
+                      '[.,;:!?''"()\\[\\]{}-]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE), 6) ELSE 0 END AS punct_ratio,
+            CASE WHEN length(text) > 0
+                 THEN ROUND((length(text) - length(regexp_replace(text,
+                      '[0-9]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE), 6) ELSE 0 END AS digit_ratio,
+            len(list_filter(tk,
+                 t -> t IN ('the','and','of','to','in','is','a'))) AS en_hits,
+            CASE WHEN len(tk) - 1 > 0
+                 THEN ROUND(1.0 - len(list_distinct(
+                      list_transform(range(1, len(tk)::INT),
+                                     i -> array_to_string(tk[i:i+1], ' '))))
+                      / CAST(len(tk) - 1 AS DOUBLE), 6)
+                 ELSE 0.0 END AS repetition_ratio
+        FROM toks
+    ),
+    r AS (
+        SELECT doc_id, concat_ws(',',
+            CASE WHEN n_tokens < 10 THEN 'too_short' END,
+            CASE WHEN punct_ratio > 0.2 THEN 'punct' END,
+            CASE WHEN digit_ratio > 0.3 THEN 'digit' END,
+            CASE WHEN repetition_ratio > 0.3 THEN 'repetitive' END,
+            CASE WHEN en_hits = 0 THEN 'no_stopwords' END) AS drop_reasons
+        FROM stats
+    )
+    SELECT doc_id, drop_reasons, drop_reasons = '' AS keep FROM r
+    """,
+)
+def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-curation filter: all quality rules in one
+    pass with auditable drop reasons."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.quality_filter(d).select("doc_id", "drop_reasons", "keep")

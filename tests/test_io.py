@@ -15,7 +15,9 @@ from kbdatalakeapps_spark.io.rest import (
     partitioned_fetch,
 )
 from kbdatalakeapps_spark.io.sinks import merge_upsert, write_fasta, write_tsv
-from kbdatalakeapps_spark.io.sources import read_fasta, read_tsv
+from kbdatalakeapps_spark.io.sources import load_table, read_fasta, read_tsv
+
+from .conftest import SF_DIR
 
 
 def test_fasta_roundtrip(spark, tmp_path):
@@ -256,3 +258,23 @@ def test_resize_images_raw_and_compressed(spark):
 
     with _pytest.raises(Exception, match="image/jpeg"):
         resize_images(jpeg, width=2, height=2).collect()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink → source roundtrip preserves rows and schema, and a
+    partitioned write prunes like parquet."""
+    from kbdatalakeapps_spark.io import read_orc, write_orc
+
+    df = load_table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(df, path, partition_by=["n_regionkey"])
+    back = read_orc(spark, path)
+    assert back.count() == df.count()
+    assert {f.name for f in back.schema.fields} == {
+        f.name for f in df.schema.fields
+    }
+    plan = (
+        back.filter(back.n_regionkey == 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan or "n_regionkey" in plan

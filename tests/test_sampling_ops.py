@@ -104,3 +104,42 @@ def test_column_histogram_edges_and_empty_buckets(spark):
     assert out[2].n == 0          # empty bucket still present
     assert out[3].n == 1          # 35.0; 40.0 and -1.0 excluded
     assert out[1].lo_edge == 10.0 and out[1].hi_edge == 20.0
+
+
+def test_incremental_dedup_statuses(spark):
+    """All three classifications: already-in-corpus, duplicate-within-
+    batch (keeper = min id), genuinely new."""
+    from kbdatalakeapps_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        ["doc_id", "text"],
+    )
+    out = {r.id: r.status for r in incremental_dedup(batch, corpus).collect()}
+    assert out == {
+        10: "dup_corpus",
+        11: "new",        # keeper of the gamma pair
+        12: "dup_batch",
+        13: "new",
+    }
+
+
+def test_quality_filter_reasons(spark):
+    """Each rule fires independently and reasons join in declaration
+    order; a clean doc keeps."""
+    from kbdatalakeapps_spark.operators.text import quality_filter
+
+    docs = [
+        (1, "the cat and the dog walked to the house in the morning sun"),
+        (2, "no stopword text"),  # short AND stopword-free
+        (3, "the " + "9" * 40 + " and of to in is a word word word word"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert out[1].keep and out[1].drop_reasons == ""
+    assert not out[2].keep
+    assert out[2].drop_reasons == "too_short,no_stopwords"
+    assert "digit" in out[3].drop_reasons and not out[3].keep
