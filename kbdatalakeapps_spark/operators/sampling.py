@@ -145,6 +145,7 @@ def pack_sequences(
     weight_col: str,
     budget: int,
     num_partitions: int | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: rows ordered by ``key_col``
     are laid end-to-end and cut into fixed ``budget``-token training
@@ -164,12 +165,22 @@ def pack_sequences(
          via a window over the tiny totals frame, broadcast back.
 
     The result is identical under any partition count, so the oracle
-    is a plain SQL running sum."""
+    is a plain SQL running sum.
+
+    The cumsum branch and the totals branch both hang off the ranged
+    frame, so the narrow (key, weight) input is scanned and
+    range-shuffled twice.  ``checkpoint=True`` materializes the ranged
+    frame once instead (lazy localCheckpoint) — measured 5× SLOWER at
+    sf0.1 (materialization dominates two narrow shuffles), so it is
+    off by default; turn it on only when the input lineage is itself
+    expensive (a join/UDF pipeline feeding the packer)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     w = F.col(weight_col).cast("bigint")
     ranged = df.repartitionByRange(n, F.col(key_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
+    if checkpoint:
+        ranged = ranged.localCheckpoint(eager=False)
     local = ranged.withColumn(
         "_local_cum",
         F.sum(w).over(Window.partitionBy("_pid").orderBy(key_col)),
