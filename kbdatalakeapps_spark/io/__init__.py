@@ -16,6 +16,7 @@ from .sinks import (  # noqa: F401
     write_tsv,
 )
 from .layout import (  # noqa: F401
+    compact_parquet,
     overwrite_partitions,
     write_bucketed,
     write_partitioned,

@@ -62,3 +62,36 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction — the lake-maintenance job every
+    long-lived table needs: incremental appends (streaming
+    foreachBatch, per-clade pipeline runs) accumulate thousands of
+    KB-sized files whose per-file open/footer cost eventually dwarfs
+    the data.  Rewrites ``src`` into ``dst`` as ceil(bytes/target)
+    files of ~``target_file_bytes`` each and returns the file count.
+
+    Sizing reads the source's actual on-disk bytes (file listing only,
+    no data scan).  The rewrite is one coalesce-free ``repartition``
+    so output files are uniformly sized even when input files are
+    skewed; write to a NEW path and swap atomically at the catalog /
+    symlink level — Spark cannot overwrite a path it is reading."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return n_files

@@ -32,16 +32,26 @@ TPCH_TABLES = (
 )
 
 
-def read_parquet(spark: SparkSession, path: str | list[str]) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str | list[str], merge_schema: bool = False
+) -> DataFrame:
     """S1-S3: lazy (partition-discovering) parquet scan.
 
     Accepts a file, a directory, a glob, or an explicit list — the
     reference's hand-maintained ``block_*/feature.parquet`` file lists
     (query_genome_local.py:14-37) are just a glob here.
+
+    ``merge_schema=True`` unions the schemas of all footers (columns
+    added over a table's lifetime appear as nulls in older files) —
+    the schema-evolution read.  Off by default: merging scans every
+    footer at planning time, which is a real cost on 100k-file tables.
     """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if isinstance(path, list):
-        return spark.read.parquet(*path)
-    return spark.read.parquet(path)
+        return reader.parquet(*path)
+    return reader.parquet(path)
 
 
 def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:

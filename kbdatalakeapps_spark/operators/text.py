@@ -107,6 +107,46 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Sliding-window chunking for embedding / context-window
+    pipelines: chunk k covers characters [1 + k·stride, … + chunk_chars)
+    with stride = chunk_chars − overlap; every document yields at least
+    one chunk.  n_chunks = max(1, ceil((len − overlap) / stride)) —
+    integer arithmetic only, so the SQL oracle computes the identical
+    chunk set.
+
+    One narrow projection + explode (a generate, no shuffle); chunk
+    rows inherit the parent's partitioning, which is what the
+    downstream embedding stage wants."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    c = F.col(text_col)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(f"(length({text_col}) - {overlap} + {stride - 1}) div {stride}"),
+    )
+    k = F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+    return (
+        df.select(F.col(id_col), c.alias("_text"), k.alias("chunk_id"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.substring(
+                F.col("_text"),
+                (F.col("chunk_id") * stride + 1).cast("int"),
+                chunk_chars,
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

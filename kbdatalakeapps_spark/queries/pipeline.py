@@ -803,3 +803,24 @@ def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass with auditable drop reasons."""
     d = _t(spark, sf_dir, "documents")
     return tx.quality_filter(d).select("doc_id", "drop_reasons", "keep")
+
+
+@query(
+    "tx_chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           k AS chunk_id,
+           substr(text, (k * 150 + 1)::INT, 200) AS chunk_text
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, GREATEST(1,
+                   (length(text) - 50 + 149) // 150))) AS k
+        FROM documents
+    )
+    """,
+)
+def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (200 chars, 50 overlap → stride 150)
+    for the embedding stage; every doc yields ≥1 chunk."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.chunk_documents(d, chunk_chars=200, overlap=50)

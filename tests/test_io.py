@@ -278,3 +278,37 @@ def test_orc_roundtrip(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan or "n_regionkey" in plan
+
+
+def test_merge_schema_read(spark, tmp_path):
+    """Schema-evolution read: files written before a column existed
+    surface it as null under merge_schema=True."""
+    from kbdatalakeapps_spark.io.sources import read_parquet
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "x"]).write.parquet(p + "/f1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "x", "score"]).write.parquet(
+        p + "/f2"
+    )
+    merged = read_parquet(spark, [p + "/f1", p + "/f2"], merge_schema=True)
+    assert set(merged.columns) == {"id", "x", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Many small files compact to the computed count with rows
+    preserved."""
+    from kbdatalakeapps_spark.io.layout import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    spark.range(10000).repartition(50).write.parquet(src)
+    import os
+
+    n_small = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_small == 50
+    n = compact_parquet(spark, src, dst, target_file_bytes=10**9)
+    assert n == 1
+    out = spark.read.parquet(dst)
+    assert out.count() == 10000
+    assert sum(f.endswith(".parquet") for f in os.listdir(dst)) == 1

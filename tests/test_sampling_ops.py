@@ -143,3 +143,20 @@ def test_quality_filter_reasons(spark):
     assert not out[2].keep
     assert out[2].drop_reasons == "too_short,no_stopwords"
     assert "digit" in out[3].drop_reasons and not out[3].keep
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: stride = chunk − overlap, short docs yield one
+    chunk, long docs overlap by exactly `overlap` chars."""
+    from kbdatalakeapps_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_chars=6, overlap=2).collect()
+    got = {(r.doc_id, r.chunk_id): r.chunk_text for r in out}
+    # doc 1 (len 10, stride 4): ceil((10-2)/4) = 2 chunks
+    assert got[(1, 0)] == "abcdef" and got[(1, 1)] == "efghij"
+    # doc 2 shorter than one chunk: single (truncated) chunk
+    assert got[(2, 0)] == "abc"
+    assert len(got) == 3
