@@ -36,6 +36,33 @@ def argmax_per_group(
     )
 
 
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str | Column,
+    k: int,
+    tiebreak: list[str | Column] | None = None,
+) -> DataFrame:
+    """Generalized W1: the k best rows per group, with ``rank_in_group``
+    (1-based) attached — the per-domain "keep the k highest-quality
+    docs" curation pattern.
+
+    Same single shuffle on the group key as argmax_per_group.  The
+    row_number window sorts each group once; Spark applies the rank
+    filter while scanning the sorted run, so per-group cost is
+    O(group) not O(group·k).  Ties break by ``tiebreak`` so results
+    are deterministic under any partitioning."""
+    order = [
+        F.col(order_col).desc() if isinstance(order_col, str) else order_col.desc()
+    ]
+    order += [F.col(t).asc() if isinstance(t, str) else t for t in (tiebreak or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
 def first_wins_dedup(
     df: DataFrame,
     key_cols: list[str],

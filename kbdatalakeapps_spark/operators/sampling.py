@@ -96,6 +96,34 @@ def stratified_sample(
     return df.filter(u < thresh)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res), content-keyed: each row scores u^(1/w) with u the unit
+    hash of its key, and the global top-k scores are the sample —
+    inclusion probability rises with weight, membership is
+    reproducible from the spec alone.  The corpus-curation pattern
+    "sample 1M docs, biased toward high quality-weight".
+
+    Scale: orderBy+limit compiles to TakeOrdered — each partition
+    keeps a local k-heap and only k rows per partition reach the
+    driver-side merge; the corpus is never globally sorted."""
+    score = F.pow(
+        _unit_hash(F.col(key_col), salt),
+        F.lit(1.0) / F.col(weight_col).cast("double"),
+    )
+    return (
+        df.withColumn("sample_score", score)
+        .orderBy(F.col("sample_score").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,

@@ -521,3 +521,35 @@ def pairwise_cosine_exploded(
         .groupBy("id_a", "id_b")
         .agg(F.sum(prod).cast("double").alias("dot"))
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean vector per group — chunk-embeddings → document
+    embedding, or per-label class centroids.
+
+    Exactness: per-dimension sums accumulate in DECIMAL(38,9), which is
+    order-free (no float non-associativity under partition races), then
+    ONE double division — so the result is bit-stable under any
+    partitioning and the SQL oracle reproduces it exactly.
+
+    Plan: posexplode (narrow) → groupBy (group, pos) with map-side
+    combine (shuffle carries ≤ |groups|·dim partially-summed rows per
+    task) → per-group reassembly via order-restoring array_sort.  No
+    per-group memory proportional to group size anywhere."""
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "_v")
+    )
+    per_dim = exploded.groupBy(group_col, "pos").agg(
+        (
+            F.sum(F.col("_v").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_m")
+    )
+    return per_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_m"))),
+            lambda s: s["_m"],
+        ).alias("mean_vec")
+    )

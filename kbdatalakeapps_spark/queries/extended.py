@@ -1110,3 +1110,54 @@ def a18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return column_histogram(o, "o_totalprice", 0.0, 500000.0, 25)
+
+
+@query(
+    "w6_top_k_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank_in_group
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey)::INT
+                   AS rank_in_group
+        FROM orders
+    ) WHERE rank_in_group <= 3
+    """,
+)
+def w6_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized argmax: top 3 orders by price per customer with the
+    in-group rank attached (the per-domain keep-k curation pattern)."""
+    from ..operators.relational import top_k_per_group
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        o, ["o_custkey"], "o_totalprice", k=3, tiebreak=["o_orderkey"]
+    )
+
+
+@query(
+    "sim_mean_pool",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS val
+        FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+               / COUNT(*) AS mean_val
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def sim_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids), emitted long-form
+    so the oracle also validates the order-restoring reassembly."""
+    e = _t(spark, sf_dir, "embeddings")
+    pooled = sim.mean_pool_embeddings(e, "label")
+    return pooled.select(
+        "label", F.posexplode("mean_vec").alias("pos", "mean_val")
+    )

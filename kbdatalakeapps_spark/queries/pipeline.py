@@ -824,3 +824,27 @@ def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the embedding stage; every doc yields ≥1 chunk."""
     d = _t(spark, sf_dir, "documents")
     return tx.chunk_documents(d, chunk_chars=200, overlap=50)
+
+
+@query(
+    "sp_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM (
+        SELECT doc_id, n_chars,
+               POWER({_UNIT_HASH_SQL.format(salt='ws1')},
+                     1.0 / CAST(n_chars AS DOUBLE)) AS s
+        FROM documents
+    )
+    ORDER BY s DESC, doc_id LIMIT 100
+    """,
+)
+def sp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Res weighted sample of 100 docs, weight = n_chars (longer
+    docs proportionally likelier), content-keyed and reproducible."""
+    from ..operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", k=100, salt="ws1").select(
+        "doc_id", "n_chars"
+    )

@@ -160,3 +160,35 @@ def test_chunk_documents_windows(spark):
     # doc 2 shorter than one chunk: single (truncated) chunk
     assert got[(2, 0)] == "abc"
     assert len(got) == 3
+
+
+def test_top_k_per_group(spark):
+    from kbdatalakeapps_spark.operators.relational import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 30.0),
+         ("b", 5, 1.0)],
+        ["g", "id", "score"],
+    )
+    out = top_k_per_group(df, ["g"], "score", k=2, tiebreak=["id"]).collect()
+    got = {(r.g, r.rank_in_group): r.id for r in out}
+    # ties (30.0 twice) break on ascending id
+    assert got == {("a", 1): 2, ("a", 2): 4, ("b", 1): 5}
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Higher weights are sampled more often; same spec → same sample
+    under any partitioning."""
+    from kbdatalakeapps_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 50.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_sample(df, "k", "w", k=200, salt="t")
+    rows = out.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r.k % 2 == 0)
+    assert heavy > 150  # 50× weight dominates the sample
+    again = weighted_sample(df.repartition(7), "k", "w", k=200, salt="t")
+    assert sorted(r.k for r in rows) == sorted(r.k for r in again.collect())

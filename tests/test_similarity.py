@@ -87,3 +87,25 @@ def test_kmeanspp_init_balance_vs_smallest_id(spark):
 
     assert max_list_frac("kmeanspp") <= max_list_frac("smallest_id") + 0.05
     assert max_list_frac("kmeanspp") < 0.9
+
+
+def test_mean_pool_embeddings_bit_stable(spark):
+    """Decimal accumulation makes the pooled vector bit-identical
+    under any partitioning; values equal the plain mean."""
+    from kbdatalakeapps_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (0, [3.0, 2.0, 1.0]),
+        (1, [0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    a = {r.label: r.mean_vec
+         for r in mean_pool_embeddings(df, "label").collect()}
+    b = {r.label: r.mean_vec
+         for r in mean_pool_embeddings(df.repartition(5), "label").collect()}
+    assert a == b
+    assert a[0] == [2.0, 2.0, 2.0]
+    assert a[1] == [0.5, 0.5, 0.5]
