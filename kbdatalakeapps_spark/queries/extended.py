@@ -1161,3 +1161,23 @@ def sim_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pooled.select(
         "label", F.posexplode("mean_vec").alias("pos", "mean_val")
     )
+
+
+@query(
+    "o6_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey > 4000
+    ORDER BY o_orderkey LIMIT 20
+    """,
+)
+def o6_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination: the page after key 4000.  Constant cost per
+    page at any depth (pushed-down range filter + TakeOrdered),
+    unlike O4's offset scan."""
+    from ..serving import keyset_page
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return keyset_page(o, "o_orderkey", page_size=20, after=4000)

@@ -186,6 +186,28 @@ def column_histogram(
     )
 
 
+def keyset_page(
+    df: DataFrame,
+    key_col: str,
+    page_size: int,
+    after: object | None = None,
+) -> DataFrame:
+    """Cursor (keyset) pagination: the page AFTER cursor value
+    ``after`` in ``key_col`` order (None = first page).  The caller
+    feeds the last row's key back as the next cursor.
+
+    The 100 TB pagination: OFFSET-based paging (O4) re-sorts and skips
+    ``offset`` rows every call — page 10,000 of a billion-row table
+    costs 10,000 pages of work.  A keyset filter is a pushed-down
+    range predicate (min/max pruning skips whole files), and the
+    LIMIT is a TakeOrdered — every page costs the same.  Requires a
+    unique key column, which the viewer's tables have."""
+    page = df
+    if after is not None:
+        page = page.filter(F.col(key_col) > F.lit(after))
+    return page.orderBy(key_col).limit(page_size)
+
+
 def exists(df: DataFrame, req: TableDataRequest) -> bool:
     """O5: LIMIT-1 existence probe used by search-across-tables."""
     return not _filtered(df, req).limit(1).isEmpty()

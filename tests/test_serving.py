@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from kbdatalakeapps_spark.filter_dsl import parse_filter_input
 from kbdatalakeapps_spark.serving import (
@@ -209,3 +210,24 @@ def test_compile_filters_unknown_column_is_descriptive(viewer_df):
         compile_filters(
             viewer_df, filters=[{"column": "gone", "operator": "eq", "value": 1}]
         )
+
+
+def test_keyset_page_walk(spark):
+    """Walking pages by cursor visits every row exactly once, in
+    order, and the filter is pushed into the scan."""
+    from kbdatalakeapps_spark.serving import keyset_page
+
+    df = spark.range(95).select(F.col("id").alias("k"))
+    seen, cursor = [], None
+    while True:
+        rows = keyset_page(df, "k", page_size=20, after=cursor).collect()
+        if not rows:
+            break
+        seen.extend(r.k for r in rows)
+        cursor = rows[-1].k
+    assert seen == list(range(95))
+    plan = (
+        keyset_page(df, "k", 20, after=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
