@@ -72,3 +72,35 @@ def salted_join(
     ).drop("_hot")
     s = s.withColumn("_salt", F.explode("_salts")).drop("_salts")
     return l.join(s, [key, "_salt"]).drop("_salt")
+
+
+def diagnose_skew(
+    df: DataFrame,
+    keys: Sequence[str],
+    hot_factor: float = 10.0,
+    top_n: int = 20,
+) -> DataFrame:
+    """The measurement step before reaching for salting: per-key row
+    counts for keys whose count exceeds ``hot_factor`` × the mean,
+    with each key's share of the table — exactly the evidence needed
+    to size ``salted_join``'s hot-key list or decide AQE suffices.
+
+    Two tiny aggregations: the per-key count (map-side combined) and a
+    1-row global stats frame broadcast back; returns at most
+    ``top_n`` rows ordered hottest-first."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.avg("n_rows").alias("_mean"), F.sum("n_rows").alias("_total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(F.col("n_rows") >= F.col("_mean") * hot_factor)
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_mean"), 2).alias("x_mean"),
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), *keys)
+        .limit(top_n)
+    )

@@ -152,3 +152,34 @@ def test_stratified_sample_rates(spark):
     counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
     assert abs(counts["0"] / 2000 - 0.5) < 0.06
     assert abs(counts.get("1", 0) / 2000 - 0.1) < 0.04
+
+
+@given(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Nd", "Zs")),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_chunk_documents_reconstructs(text):
+    """For any text: chunk 0 starts at char 1, consecutive chunks
+    overlap by exactly `overlap` chars (while text remains), and
+    trimming the overlap reassembles a prefix-consistent document."""
+    from kbdatalakeapps_spark.operators.text import chunk_documents
+    from kbdatalakeapps_spark.session import get_spark
+
+    spark = get_spark("props", shuffle_partitions=2)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_chars=50, overlap=10).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    stride = 40
+    assert rows[0].chunk_text == text[:50]
+    rebuilt = rows[0].chunk_text
+    for r in rows[1:]:
+        start = r.chunk_id * stride
+        assert r.chunk_text == text[start : start + 50]
+        rebuilt += r.chunk_text[10:] if len(r.chunk_text) > 10 else ""
+    assert text.startswith(rebuilt[: len(text)])

@@ -50,3 +50,18 @@ def test_salted_join_matches_plain(spark):
         for r in salted_join(large, small, "key", hot, n_salts=4).collect()
     )
     assert got == plain
+
+
+def test_diagnose_skew_finds_hot_keys(spark):
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.skew import diagnose_skew
+
+    # 1000 rows on key 0, one row each on keys 1..100
+    df = spark.range(1100).select(
+        F.when(F.col("id") < 1000, 0).otherwise(F.col("id") - 999).alias("k")
+    )
+    hot = diagnose_skew(df, ["k"], hot_factor=10.0).collect()
+    assert len(hot) == 1 and hot[0].k == 0
+    assert hot[0].n_rows == 1000
+    assert abs(hot[0].share - 1000 / 1100) < 1e-6
