@@ -13,6 +13,7 @@ from .sinks import (  # noqa: F401
     write_fasta,
     write_orc,
     write_parquet,
+    write_parquet_audited,
     write_tsv,
 )
 from .layout import (  # noqa: F401

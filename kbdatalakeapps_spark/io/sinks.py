@@ -95,3 +95,29 @@ def write_fasta(
     df.select(
         F.concat(F.lit(">"), F.col(id_col), F.lit("\n"), F.col(seq_col)).alias("value")
     ).write.mode(mode).text(path)
+
+
+def write_parquet_audited(
+    df: DataFrame,
+    path: str,
+    null_check_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Parquet write with audit metrics piggybacked on the SAME job
+    via the Observation API: rows written and per-column null counts
+    come back with the write, WITHOUT a second scan — the pipeline
+    bookkeeping the reference does with separate COUNT queries per
+    product table (row-count summaries), for free at any scale.
+
+    Returns {"rows": n, "nulls_<col>": n, ...}."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    for c in null_check_cols or []:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
+    obs = Observation()
+    df.observe(obs, *metrics).write.mode(mode).parquet(path)
+    return obs.get

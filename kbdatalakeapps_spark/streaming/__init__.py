@@ -12,6 +12,7 @@ from .incremental import (  # noqa: F401
     interval_join,
     run_available_now,
     session_counts,
+    stream_dedup,
     stream_events,
     tumbling_counts,
 )

@@ -112,6 +112,28 @@ def session_counts(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    re-deliveries that arrive within the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the incremental counterpart
+    of exact_dedup for at-least-once sources (REST polling, file
+    redelivery).
+
+    State is bounded: a key's entry is evicted once the watermark
+    passes it, unlike plain dropDuplicates on a stream which retains
+    every key forever.  Exactly the semantics an ingestion pipeline
+    wants: duplicates cluster in time (retries, replays), so a
+    time-bounded dedup window catches them with O(recent keys) state."""
+    return with_event_time(stream, ts_col).withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(key_cols)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -312,3 +312,17 @@ def test_compact_parquet(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 10000
     assert sum(f.endswith(".parquet") for f in os.listdir(dst)) == 1
+
+
+def test_write_parquet_audited(spark, tmp_path):
+    """Metrics come back from the write job itself: row count and
+    null tallies match the data actually written."""
+    from kbdatalakeapps_spark.io.sinks import write_parquet_audited
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], ["id", "x"]
+    )
+    out = str(tmp_path / "audited")
+    m = write_parquet_audited(df, out, null_check_cols=["x"])
+    assert m == {"rows": 3, "nulls_x": 2}
+    assert spark.read.parquet(out).count() == 3

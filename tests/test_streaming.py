@@ -209,3 +209,30 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         stream, "st_ssjoin_t1", str(tmp_path / "ckpt"), output_mode="append"
     )
     assert _rows(spark.table("st_ssjoin_t1")) == _rows(batch)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered events (same file arriving twice) dedup to one
+    copy per event_id; state is watermark-bounded."""
+    from kbdatalakeapps_spark.streaming.incremental import stream_dedup
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "b.parquet")
+
+    deduped = stream_dedup(
+        stream_events(spark, str(src), max_files_per_trigger=1),
+        ["event_id"],
+        watermark="2 hours",
+    )
+    run_available_now(
+        deduped.select("event_id"),
+        "st_dedup_t1",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    n_unique = load_table(spark, SF_DIR, "events").count()
+    got = spark.table("st_dedup_t1")
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
