@@ -19,6 +19,8 @@ from .sinks import (  # noqa: F401
 from .layout import (  # noqa: F401
     compact_parquet,
     overwrite_partitions,
+    read_version,
+    versioned_write,
     write_bucketed,
     write_partitioned,
 )

@@ -95,3 +95,65 @@ def compact_parquet(
         "overwrite"
     ).parquet(dst)
     return n_files
+
+
+def versioned_write(
+    df: DataFrame, table_dir: str, mode: str = "append"
+) -> int:
+    """Manifest-versioned table write — snapshot isolation without a
+    table-format dependency: each commit writes its data files under
+    ``data/v<N>/`` and then a manifest ``_manifests/v<N>.json`` naming
+    EVERY file visible at that version (previous files + new ones for
+    ``append``; only the new ones for ``overwrite``).  Readers pin a
+    manifest, so a concurrent writer can never give them a torn view —
+    the manifest write is the atomic commit point, exactly the idea
+    Delta/Iceberg scale up.  Returns the new version number.
+
+    ``compact_parquet`` output can be committed as an ``overwrite``
+    version, giving compaction-with-history."""
+    import json
+    import os
+
+    mdir = os.path.join(table_dir, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    new_v = (versions[-1] + 1) if versions else 1
+    data_dir = os.path.join(table_dir, "data", f"v{new_v}")
+    df.write.mode("errorifexists").parquet(data_dir)
+    new_files = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    prior: list[str] = []
+    if mode == "append" and versions:
+        with open(os.path.join(mdir, f"v{versions[-1]}.json")) as fh:
+            prior = json.load(fh)["files"]
+    manifest = {"version": new_v, "files": sorted(prior + new_files)}
+    tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(mdir, f"v{new_v}.json"))  # atomic commit
+    return new_v
+
+
+def read_version(spark, table_dir: str, version: int | None = None) -> DataFrame:
+    """Read a manifest-versioned table at ``version`` (default: latest).
+    The manifest's explicit file list IS the snapshot — files committed
+    by later versions are invisible, files removed by a later overwrite
+    remain readable at older versions (time travel)."""
+    import json
+    import os
+
+    mdir = os.path.join(table_dir, "_manifests")
+    if version is None:
+        version = max(
+            int(f[1:-5]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+    with open(os.path.join(mdir, f"v{version}.json")) as fh:
+        files = json.load(fh)["files"]
+    return spark.read.parquet(*files)

@@ -326,3 +326,21 @@ def test_write_parquet_audited(spark, tmp_path):
     m = write_parquet_audited(df, out, null_check_cols=["x"])
     assert m == {"rows": 3, "nulls_x": 2}
     assert spark.read.parquet(out).count() == 3
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """Appends accumulate, overwrite starts fresh, and every historic
+    version stays readable by pinning its manifest."""
+    from kbdatalakeapps_spark.io.layout import read_version, versioned_write
+
+    t = str(tmp_path / "vtable")
+    assert versioned_write(spark.range(0, 10), t) == 1
+    assert versioned_write(spark.range(10, 15), t) == 2  # append
+    assert versioned_write(spark.range(100, 103), t, mode="overwrite") == 3
+
+    assert read_version(spark, t, 1).count() == 10
+    assert read_version(spark, t, 2).count() == 15
+    assert sorted(r.id for r in read_version(spark, t, 3).collect()) == [
+        100, 101, 102,
+    ]
+    assert read_version(spark, t).count() == 3  # latest = v3
