@@ -1181,3 +1181,35 @@ def o6_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     return keyset_page(o, "o_orderkey", page_size=20, after=4000)
+
+
+@query(
+    "a19_skew_diagnosis",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0
+                    ELSE l_orderkey END AS k
+        FROM lineitem
+    ),
+    c AS (SELECT k, COUNT(*)::BIGINT AS n_rows FROM keyed GROUP BY 1),
+    s AS (SELECT AVG(n_rows) AS m, SUM(n_rows)::DOUBLE AS t FROM c)
+    SELECT k, n_rows,
+           ROUND(n_rows / m, 2) AS x_mean,
+           ROUND(n_rows / t, 6) AS share
+    FROM c, s
+    WHERE n_rows >= m * 10.0
+    ORDER BY n_rows DESC, k LIMIT 20
+    """,
+)
+def a19_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key report on a synthesized skewed key (10% of lineitem
+    collapses onto key 0): the measurement that sizes salted_join's
+    hot list or clears AQE to handle it."""
+    from ..operators.skew import diagnose_skew
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k")
+    )
+    return diagnose_skew(l, ["k"], hot_factor=10.0, top_n=20)
