@@ -21,6 +21,8 @@ from .layout import (  # noqa: F401
     overwrite_partitions,
     read_version,
     versioned_write,
+    zorder_value,
+    zorder_write,
     write_bucketed,
     write_partitioned,
 )

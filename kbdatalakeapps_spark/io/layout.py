@@ -157,3 +157,48 @@ def read_version(spark, table_dir: str, version: int | None = None) -> DataFrame
     with open(os.path.join(mdir, f"v{version}.json")) as fh:
         files = json.load(fh)["files"]
     return spark.read.parquet(*files)
+
+
+def zorder_value(cols: list[str], bits: int = 16):
+    """Z-curve (Morton) key: interleave the low ``bits`` bits of each
+    (non-negative integer) column so rows close in EVERY dimension get
+    close key values.  Pure bit-arithmetic column expression, built as
+    an OR-chain at plan-construction time — no UDF."""
+    from pyspark.sql import functions as F
+
+    terms = []
+    n = len(cols)
+    for d, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(
+                f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * n + d})"
+            )
+    return F.expr(" | ".join(terms))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional data skipping: range-partition and sort by the
+    Z-curve key so each output file covers a small hyper-rectangle of
+    the key space.  Parquet min/max stats on EVERY z-ordered column
+    then prune files for filters on ANY of them — the standing layout
+    trick (Delta OPTIMIZE ZORDER) for tables queried along several
+    dimensions, where hive-partitioning by one column can't help the
+    others.  The z column itself is dropped from the files."""
+    from pyspark.sql import functions as F
+
+    z = zorder_value(zorder_cols, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

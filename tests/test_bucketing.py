@@ -107,3 +107,57 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     assert "clade" in part_filters
     # physical proof: only the cladeA directory's rows are read
     assert scan.count() == 50
+
+
+def test_zorder_value_interleaves():
+    from kbdatalakeapps_spark.io.layout import zorder_value
+    from kbdatalakeapps_spark.session import get_spark
+
+    spark = get_spark("zorder-t", shuffle_partitions=2)
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], ["x", "y"]
+    )
+    out = {(r.x, r.y): r.z
+           for r in df.withColumn("z", zorder_value(["x", "y"], bits=4)).collect()}
+    # bit i of x lands at position 2i, bit i of y at 2i+1
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1
+    assert out[(0, 1)] == 2
+    assert out[(1, 1)] == 3
+    # x=3 (0b11) -> bits 0,2 ; y=5 (0b101) -> bits 1,9? y bits 0 and 2 -> pos 1 and 5
+    assert out[(3, 5)] == (1 | 4) | (2 | 32)
+
+
+def test_zorder_write_improves_file_locality(spark, tmp_path):
+    """Each z-ordered file covers a tight range in BOTH dimensions:
+    for any equality filter on either column, most files are
+    skippable by min/max — quantified as files whose [min,max] span
+    of the OTHER dimension stays narrow."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.layout import zorder_write
+
+    n = 64
+    grid = (
+        spark.range(n * n)
+        .select((F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y"))
+    )
+    zpath = str(tmp_path / "zordered")
+    zorder_write(grid, zpath, ["x", "y"], n_files=16, bits=8)
+    spans = []
+    for f in os.listdir(zpath):
+        if f.endswith(".parquet"):
+            part = spark.read.parquet(os.path.join(zpath, f))
+            row = part.agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            ).collect()[0]
+            spans.append((row.sx, row.sy))
+    assert len(spans) >= 8
+    # a linear (row-major) layout gives every file the full x span
+    # (63); z-order keeps BOTH spans near sqrt(cells-per-file)
+    avg_sx = sum(s[0] for s in spans) / len(spans)
+    avg_sy = sum(s[1] for s in spans) / len(spans)
+    assert avg_sx < 32 and avg_sy < 32
