@@ -36,6 +36,48 @@ def argmax_per_group(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed 1-based global row numbering in ``order_cols`` order
+    — the scalable form of ``ROW_NUMBER() OVER (ORDER BY …)``, which
+    Spark plans as a SINGLE-partition window (the classic scale-killer
+    on large tables).  Also the deterministic-corpus-shuffle primitive:
+    order by a salted md5 of the key and the numbering IS a
+    reproducible training-order shuffle.
+
+    Two-phase, same shape as sampling.pack_sequences with weight 1:
+    range-partition on the order key, per-partition row_number (full
+    parallelism), then add per-partition count offsets computed on the
+    tiny one-row-per-partition totals frame and broadcast back.
+
+    ``order_cols`` must be a unique ordering (ties could straddle a
+    range boundary nondeterministically)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(prior), F.lit(0)).alias("_poffset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_poffset") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_poffset")
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: list[str],

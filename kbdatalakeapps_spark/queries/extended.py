@@ -1213,3 +1213,21 @@ def a19_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k")
     )
     return diagnose_skew(l, ["k"], hot_factor=10.0, top_n=20)
+
+
+@query(
+    "w7_global_row_number",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_num
+    FROM orders
+    """,
+)
+def w7_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering without the single-partition window a
+    plain ROW_NUMBER() OVER (ORDER BY …) plans — the two-phase
+    range-partitioned form."""
+    from ..operators.relational import global_row_number
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return global_row_number(o, ["o_orderkey"])

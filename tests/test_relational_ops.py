@@ -42,3 +42,21 @@ def test_first_wins_dedup_window_and_agg_agree(spark):
     got_w = sorted(map(tuple, w.collect()))
     got_a = sorted(map(tuple, a.select(*w.columns).collect()))
     assert got_w == got_a == [("k1", 1, "early"), ("k2", 5, "only")]
+
+
+def test_global_row_number_matches_window(spark):
+    """Two-phase numbering equals the naive global window under any
+    partition count."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.relational import global_row_number
+
+    df = spark.range(500).select((F.col("id") * 37 % 1000).alias("k")).distinct()
+    naive = {
+        r.k: i + 1
+        for i, r in enumerate(df.orderBy("k").collect())
+    }
+    for parts in (1, 3, 16):
+        got = {r.k: r.row_num
+               for r in global_row_number(df, ["k"], num_partitions=parts).collect()}
+        assert got == naive, f"diverged at {parts} partitions"
