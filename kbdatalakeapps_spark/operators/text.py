@@ -107,6 +107,34 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocabulary_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary statistics per token: total occurrences,
+    document frequency, and smoothed IDF ln((N+1)/(df+1)) — the
+    tokenizer-training / TF-IDF / stopword-discovery statistic.
+
+    One explode + one aggregation on the token key (uniformly
+    distributed, map-side combined); N arrives as a 1-row broadcast
+    cross join, never a driver round-trip.  ln on IEEE doubles is
+    bit-identical across engines, so the IDF column oracles exactly."""
+    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+    exploded = toks.select("_id", F.explode("_t").alias("token"))
+    per_token = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("_id").alias("doc_freq"),
+    )
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("_n"))
+    return per_token.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "n_occurrences",
+        "doc_freq",
+        F.round(
+            F.log((F.col("_n") + 1) / (F.col("doc_freq") + 1)), 6
+        ).alias("idf"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -848,3 +848,35 @@ def sp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "doc_id", "n_chars", k=100, salt="ws1").select(
         "doc_id", "n_chars"
     )
+
+
+@query(
+    "tx_vocab_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    per_token AS (
+        SELECT token, COUNT(*)::BIGINT AS n_occurrences,
+               COUNT(DISTINCT doc_id)::BIGINT AS doc_freq
+        FROM toks GROUP BY token
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents)
+    SELECT token, n_occurrences, doc_freq,
+           ROUND(ln((nd + 1) / (doc_freq + 1)), 6) AS idf
+    FROM per_token, n
+    ORDER BY n_occurrences DESC, token LIMIT 200
+    """,
+)
+def tx_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 vocabulary with occurrence counts, document frequency
+    and smoothed IDF — tokenizer-training / stopword-discovery stats."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        tx.vocabulary_stats(d)
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(200)
+    )

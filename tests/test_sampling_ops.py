@@ -192,3 +192,19 @@ def test_weighted_sample_bias_and_determinism(spark):
     assert heavy > 150  # 50× weight dominates the sample
     again = weighted_sample(df.repartition(7), "k", "w", k=200, salt="t")
     assert sorted(r.k for r in rows) == sorted(r.k for r in again.collect())
+
+
+def test_vocabulary_stats(spark):
+    import math
+
+    from kbdatalakeapps_spark.operators.text import vocabulary_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "c c c")], ["doc_id", "text"]
+    )
+    out = {r.token: r for r in vocabulary_stats(df).collect()}
+    assert out["a"].n_occurrences == 3 and out["a"].doc_freq == 2
+    assert out["b"].n_occurrences == 1 and out["b"].doc_freq == 1
+    assert out["c"].n_occurrences == 4 and out["c"].doc_freq == 2
+    assert out["a"].idf == round(math.log(4 / 3), 6)
+    assert out["b"].idf == round(math.log(4 / 2), 6)
