@@ -135,6 +135,58 @@ def vocabulary_stats(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 ranked keyword search over the corpus — the serving-side
+    relevance query the substring search (P11) can't provide.
+
+    score(d) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with the smoothed idf from vocabulary_stats.
+
+    Determinism: each per-term partial score is a double computed in a
+    fixed expression order, but the per-document Σ accumulates in
+    DECIMAL(38,12) so shuffle arrival order can't wiggle the last
+    bits — the oracle matches exactly.  Plan: one corpus explode
+    filtered to the query terms (the scan's predicate), tiny idf /
+    avgdl frames broadcast, one aggregation keyed on doc id."""
+    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+    lens = toks.select("_id", F.size("_t").cast("bigint").alias("_dl"))
+    avgdl = lens.agg(F.avg("_dl").alias("_avgdl"))
+    idf = (
+        vocabulary_stats(df, id_col, text_col)
+        .filter(F.col("token").isin(*query_terms))
+        .select("token", "idf")
+    )
+    tf = (
+        toks.select("_id", F.explode("_t").alias("token"))
+        .filter(F.col("token").isin(*query_terms))
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    num = F.col("_tf") * F.lit(k1 + 1.0)
+    den = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    partial = (F.col("idf") * num / den).cast("decimal(38,12)")
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .join(lens, "_id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("_s", partial)
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.round(F.sum("_s").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(top_n)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

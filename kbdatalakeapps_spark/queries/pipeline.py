@@ -880,3 +880,48 @@ def tx_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "token")
         .limit(200)
     )
+
+
+@query(
+    "tx_bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM toks),
+    avgd AS (SELECT AVG(dl) AS avgdl FROM lens),
+    ex AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+    pt AS (
+        SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df
+        FROM ex GROUP BY 1
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    idf AS (
+        SELECT token, ROUND(ln((n + 1) / (df + 1)), 6) AS idf
+        FROM pt, nd WHERE token IN ('hash', 'join', 'scan')
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+        FROM ex WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT doc_id,
+               CAST(idf * (tf * CAST(2.2 AS DOUBLE))
+                    / (tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                    AS DECIMAL(38,12)) AS s
+        FROM tf JOIN idf USING (token) JOIN lens USING (doc_id), avgd
+    )
+    SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+    FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def tx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {hash, join, scan} — ranked keyword
+    search with decimal-accumulated scores so ordering is exact."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.bm25_search(d, ["hash", "join", "scan"], top_n=20)

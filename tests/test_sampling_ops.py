@@ -208,3 +208,22 @@ def test_vocabulary_stats(spark):
     assert out["c"].n_occurrences == 4 and out["c"].doc_freq == 2
     assert out["a"].idf == round(math.log(4 / 3), 6)
     assert out["b"].idf == round(math.log(4 / 2), 6)
+
+
+def test_bm25_search_ranks_relevance(spark):
+    """A doc saturated with the query terms outranks one with a single
+    mention; docs without any term don't appear."""
+    from kbdatalakeapps_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash"),
+            (2, "one hash mention in a much longer document " + "x " * 30),
+            (3, "nothing relevant here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_search(df, ["hash", "join"], top_n=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert ids[0] == 1 and 2 in ids and 3 not in ids
+    assert rows[0].bm25 > rows[1].bm25 > 0
