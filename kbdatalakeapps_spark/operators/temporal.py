@@ -147,3 +147,38 @@ def range_join_bucketed(
             c, F.lit(None).cast(intervals.schema[c].dataType)
         )
     return joined.unionByName(unmatched)
+
+
+def trailing_range_agg(
+    df: DataFrame,
+    order_col: str,
+    range_preceding: int,
+    aggs: dict[str, Column],
+    by: list[str] | str | None = None,
+) -> DataFrame:
+    """Event-time trailing window: every row gets aggregates over the
+    rows (per ``by`` key) whose ``order_col`` lies in
+    ``[row.order_col - range_preceding, row.order_col]`` — the batch
+    twin of a sliding event-time window in Structured Streaming, and
+    the reference's "stats over the last N minutes" viewer panel shape.
+
+    Implemented as a RANGE window frame: one shuffle on ``by``, a
+    spillable in-partition sort on ``order_col``, and a frame pointer
+    that advances monotonically — no self-join, no per-row re-scan.
+    At 100 TB the cost is the one hash exchange; frame state is bounded
+    by rows inside ``range_preceding``, independent of partition size.
+
+    ``aggs`` maps output column name → window-less aggregate Column
+    (e.g. ``F.count(F.lit(1))``); the frame is applied here so callers
+    can't accidentally attach a different one per column.
+    """
+    by = [by] if isinstance(by, str) else (by or [])
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rangeBetween(-range_preceding, Window.currentRow)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out

@@ -1231,3 +1231,196 @@ def w7_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
     return global_row_number(o, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# W8: event-time trailing window — per-user stats over the preceding
+# 5 minutes at every event.  The sliding-window sibling of the
+# tumbling/session rollups (st_*): the reference's viewer shows
+# "activity in the last N minutes" panels; here that is one RANGE
+# window frame, not a self-join (events.ts is epoch-nanos long under
+# nanosAsLong, so the frame bound is 300e9 nanos).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w8_trailing_window",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_window,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS avg_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 300 SECONDS PRECEDING AND CURRENT ROW)
+    """,
+)
+def w8_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-minute window per user via operators.temporal
+    .trailing_range_agg: one shuffle on user_id, monotone frame
+    pointer, decimal-exact running sum (matches the oracle's DuckDB
+    RANGE INTERVAL frame bit-for-bit)."""
+    from ..operators.temporal import trailing_range_agg
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = trailing_range_agg(
+        e,
+        order_col="ts",
+        range_preceding=300 * 10**9,  # 5 min in nanos
+        by="user_id",
+        aggs={
+            "n_window": F.count(F.lit(1)),
+            "_sum": F.sum(F.col("value").cast("decimal(38,2)")),
+        },
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_window",
+        (F.col("_sum").cast("double") / F.col("n_window")).alias("avg_window"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A20: exact grouped percentiles.  The serving layer already has the
+# distributed single-column exact median (serving.exact_median_df);
+# this is the grouped multi-quantile form — Spark's exact
+# percentile() agg, which sorts within the agg buffer per group.
+# Quantities are integer-valued doubles and the probe fractions are
+# exact binary (.25/.5/.75), so linear interpolation is exact in both
+# engines — no rounding needed for the hash match.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a20_group_percentiles",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*)::BIGINT AS n,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def a20_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles per (returnflag, linestatus) group.
+
+    Scale note: exact percentile buffers each group's values in the
+    agg state — fine for bounded-cardinality panel groups (the viewer
+    use), NOT for high-cardinality keys; the approximate twin
+    (percentile_approx, t-digest-style mergeable sketch) is the
+    100 TB default and is exercised in tests/test_serving.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25D, 0.50D, 0.75D))")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), pct.alias("_q"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            F.element_at("_q", 1).alias("q25"),
+            F.element_at("_q", 2).alias("q50"),
+            F.element_at("_q", 3).alias("q75"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A21: correlation / covariance as exact-decimal moment sums.  Built-in
+# corr()/covar_samp() stream Welford-style updates whose float result
+# depends on partitioning order — useless for a hash-compared oracle
+# and subtly nondeterministic across retries at scale.  Accumulating
+# the five moment sums as decimals instead is exactly associative
+# (any partitioning, any merge order → identical bits), with ONE
+# float evaluation at the end — the same pattern the flagship uses
+# for revenue.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a21_corr_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*)::BIGINT AS n,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           ROUND((nd * sxy - sx * sy)
+                 / SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS corr_qty_price,
+           ROUND((nd * sxy - sx * sy) / (nd * (nd - 1)), 4) AS covar_qty_price
+    FROM s
+    """,
+)
+def a21_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/covar per returnflag from decimal moment sums — one
+    map-side-combinable shuffle, no second pass, order-independent."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty.cast("decimal(38,2)")).alias("_sx"),
+        F.sum(price.cast("decimal(38,2)")).alias("_sy"),
+        F.sum((qty * qty).cast("decimal(38,4)")).alias("_sxx"),
+        F.sum((price * price).cast("decimal(38,4)")).alias("_syy"),
+        F.sum((qty * price).cast("decimal(38,4)")).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((nd * sxy - sx * sy) / (nd * (nd - 1)), 4).alias("covar_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: one row per sampled video frame.  Frame
+# timestamps come from metadata JVM-side (sequence+explode — the row
+# multiplication never touches Python); only the per-frame decode is
+# the deterministic stub kernel, and since the stub derives the frame
+# id from sha256(content || ts) the whole mapInPandas path has an
+# exact SQL twin.  documents stands in as the media table: content =
+# utf-8 bytes, duration_ms = min(n_chars, 5000).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_sample_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           f AS frame_ts_ms,
+           sha256(text || CAST(f AS VARCHAR)) AS frame_sha256
+    FROM documents,
+         UNNEST(generate_series(0, GREATEST(LEAST(n_chars, 5000) - 1, 0), 1000)) AS t(f)
+    """,
+)
+def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over mapInPandas Arrow batches — the explode
+    multiplies rows BEFORE the Python stage, so each batch row is one
+    (content, ts) pair and decode memory stays bounded per frame, not
+    per video."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("video/raw").alias("mime"),
+            F.least(F.col("n_chars"), F.lit(5000)).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return mm.sample_frames(d, every_ms=1000)
