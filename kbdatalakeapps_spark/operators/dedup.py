@@ -541,3 +541,48 @@ def contamination_check(
         )
         .withColumn("flagged", F.col("contamination") >= threshold)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_cols: list[str],
+    id_col: str = "doc_id",
+    window: int = 3,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic SNM record-linkage
+    method): globally sort on a blocking key, then pair each record
+    with its next ``window`` neighbors — O(n·window) candidates, an
+    alternative to LSH when similar records sort near each other
+    (e.g. normalized titles, (lang, length) keys).
+
+    No single-partition window anywhere: the global order comes from
+    relational.global_row_number (range partition + broadcast offsets),
+    then each row EXPLODES the ``window`` neighbor row-numbers it
+    probes and one uniform equi-join on row number materializes the
+    pairs — boundary pairs between range partitions fall out naturally,
+    which a per-partition window would silently drop.
+
+    ``sort_cols + [id_col]`` must be a unique ordering (id_col breaks
+    ties).  ``keep_cols`` surface on both sides as ``a_*`` / ``b_*``.
+    """
+    from .relational import global_row_number
+
+    base = global_row_number(
+        df.select(id_col, *dict.fromkeys([*sort_cols, *keep_cols])),
+        [*sort_cols, id_col],
+        out_col="_rn",
+    )
+    left = base.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in keep_cols],
+        F.explode(
+            F.sequence(F.col("_rn") + 1, F.col("_rn") + window)
+        ).alias("_rn_b"),
+    )
+    right = base.select(
+        F.col("_rn").alias("_rn_b"),
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in keep_cols],
+    )
+    return left.join(right, "_rn_b").drop("_rn_b")

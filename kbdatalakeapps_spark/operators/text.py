@@ -352,3 +352,46 @@ def repetition_ratio(
             "repetition_ratio": F.round(ratio, 6),
         }
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Corpus word n-gram frequency table: (ngram, n_occurrences,
+    n_docs) — the raw material for LM-style n-gram statistics,
+    contamination screens and tokenizer merges.
+
+    All-JVM: tokenize once per document, build the n-gram array with
+    transform/slice (no Python), explode, and count in one map-side-
+    combinable shuffle on the ngram key.  n_docs counts each document
+    once per distinct ngram (distinct applied per-row before the
+    explode, so no countDistinct Expand downstream)."""
+    from .dedup import word_shingles as _distinct_shingles
+
+    toks = df.select(
+        tokens(text_col).alias("_toks"),
+    )
+    # occurrences: every n-gram instance; docs: per-row distinct grams
+    all_grams = F.expr(
+        "CASE WHEN size(_toks) >= {n} THEN "
+        "transform(sequence(1, size(_toks) - {m}),"
+        " i -> concat_ws(' ', slice(_toks, i, {n}))) "
+        "ELSE array() END".format(n=n, m=n - 1)
+    )
+    exploded = toks.select(
+        F.explode(all_grams).alias("ngram"),
+        F.lit(None).alias("_marker"),
+    ).select("ngram", F.lit(1).alias("_occ"), F.lit(0).alias("_doc"))
+    per_doc = toks.select(
+        F.explode(_distinct_shingles("_toks", n)).alias("ngram")
+    ).select("ngram", F.lit(0).alias("_occ"), F.lit(1).alias("_doc"))
+    return (
+        exploded.unionByName(per_doc)
+        .groupBy("ngram")
+        .agg(
+            F.sum("_occ").alias("n_occurrences"),
+            F.sum("_doc").alias("n_docs"),
+        )
+    )

@@ -1424,3 +1424,163 @@ def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return mm.sample_frames(d, every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup blocking — the O(n·window) candidate
+# generator for keys where similar records sort adjacently; LSH's
+# complement (dd_minhash_lsh_pairs) when a meaningful sort key exists.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd_sorted_neighborhood",
+    oracle="""
+    WITH nb AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           (a.lang = b.lang) AS same_lang,
+           ABS(a.n_chars - b.n_chars)::BIGINT AS len_delta
+    FROM nb a JOIN nb b ON b.rn > a.rn AND b.rn <= a.rn + 3
+    """,
+)
+def dd_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNM candidates over the (lang, n_chars) blocking key, window 3.
+    The oracle's single-partition ROW_NUMBER() is exactly what the
+    operator avoids: distributed global numbering + an exploded
+    neighbor-probe equi-join, which also catches pairs straddling
+    range-partition boundaries."""
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(
+        d, ["lang", "n_chars"], id_col="doc_id", window=3,
+        keep_cols=("lang", "n_chars"),
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.col("a_lang") == F.col("b_lang")).alias("same_lang"),
+        F.abs(F.col("a_n_chars") - F.col("b_n_chars")).cast("long").alias("len_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics — LM-style bigram table (occurrences +
+# document frequency), one shuffle, no countDistinct Expand.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_ngram_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS ngram
+        FROM toks WHERE len(tk) >= 2
+    )
+    SELECT ngram,
+           COUNT(*)::BIGINT AS n_occurrences,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM grams GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram LIMIT 100
+    """,
+)
+def tx_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams by occurrence.  n_docs comes from a
+    per-document array_distinct BEFORE the explode (each doc emits a
+    gram once), so the document frequency needs no countDistinct over
+    the exploded stream."""
+    from ..operators.text import ngram_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        ngram_counts(d, n=2)
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A22: whole-table column profile (nulls + distincts per column) — the
+# viewer's table-summary panel as a lake-writable DataFrame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a22_table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, COUNT(*)::BIGINT AS n_rows,
+           (COUNT(*) - COUNT(o_orderkey))::BIGINT AS n_nulls,
+           COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def a22_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/distinct profile of every orders column in ONE pass —
+    melt + group-by-column-name instead of k countDistincts (whose
+    Expand pushes k×n rows through a single aggregation)."""
+    from ..serving import table_profile_df
+
+    o = _t(spark, sf_dir, "orders")
+    return table_profile_df(o)
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch twin: SLIDING windows (600s window / 300s slide) —
+# the overlapping sibling of st_tumbling_counts; runs unchanged as a
+# watermarked streaming aggregation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_sliding_counts",
+    oracle="""
+    WITH e AS (
+        SELECT epoch_ns(ts) // 1000000000 AS s, event_type, value FROM events
+    ),
+    w AS (
+        SELECT unnest([s // 300 * 300, s // 300 * 300 - 300]) AS ws,
+               event_type, value
+        FROM e
+    )
+    SELECT ws AS window_start_s, event_type,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts/sums per event type.  Each event covers
+    exactly window/slide = 2 windows; the oracle materializes both
+    covering starts per event, which is precisely Spark's expansion
+    before the aggregation."""
+    from ..streaming.incremental import sliding_counts
+
+    return sliding_counts(
+        _t(spark, sf_dir, "events"), "600 seconds", "300 seconds"
+    )

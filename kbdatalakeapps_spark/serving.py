@@ -326,3 +326,37 @@ class ServingCache:
         while len(self._store) > self.max_entries:
             self._store.pop(next(iter(self._store)))
         return {**resp, "cached": False}
+
+
+def table_profile_df(df: DataFrame) -> DataFrame:
+    """Per-column data profile as a DataFrame: (column_name, n_rows,
+    n_nulls, n_distinct) for every column — the viewer's table-summary
+    panel (table_stats) in distributed form, suitable for writing to
+    the lake next to the table it profiles.
+
+    k countDistinct()s in one agg would plan an Expand (k× the input
+    rows through ONE aggregation); melting instead — explode each row
+    into (column, stringified value) pairs — shuffles the same k×n rows
+    but partitions them BY COLUMN NAME across the cluster, so each
+    column's distinct-set builds independently and in parallel.  String
+    casts are injective per column (bigint/varchar/double/timestamp),
+    so distinct counts match the typed originals."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("v"),
+            )
+            for c in df.columns
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("s"))
+        .select("s.column_name", "s.v")
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.countDistinct("v").alias("n_distinct"),
+        )
+    )

@@ -203,3 +203,33 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def sliding_counts(
+    df: DataFrame,
+    window_duration: str = "600 seconds",
+    slide: str = "300 seconds",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window counts + exact-decimal sums per event type —
+    tumbling_counts' overlapping sibling.  Each event lands in
+    window/slide windows (Spark emits one row per covering window
+    before the aggregation, so state per key stays
+    O(open windows × event types), and the watermark closes windows on
+    streams exactly as for tumbling)."""
+    evt = with_event_time(df)
+    if watermark is not None:
+        evt = evt.withWatermark("event_time", watermark)
+    return (
+        evt.groupBy(
+            F.window("event_time", window_duration, slide).alias("win"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -60,3 +60,41 @@ def test_global_row_number_matches_window(spark):
         got = {r.k: r.row_num
                for r in global_row_number(df, ["k"], num_partitions=parts).collect()}
         assert got == naive, f"diverged at {parts} partitions"
+
+
+def test_sorted_neighborhood_pairs_cross_boundary(spark):
+    """Every rank-adjacent pair within the window must appear, even
+    when the global sort is split across many range partitions."""
+    from kbdatalakeapps_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, f"k{i:03d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, key string").repartition(8)
+    got = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, ["key"], id_col="id", window=2
+        ).collect()
+    }
+    want = {(i, j) for i in range(40) for j in (i + 1, i + 2) if j < 40}
+    assert got == want
+
+
+def test_trailing_range_agg_matches_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.temporal import trailing_range_agg
+
+    rows = [("a", t, float(t)) for t in (0, 5, 9, 10, 30)] + [("b", 7, 1.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {
+        (r.k, r.t): (r.n, r.s)
+        for r in trailing_range_agg(
+            df, "t", 10, {"n": F.count(F.lit(1)), "s": F.sum("v")}, by="k"
+        ).collect()
+    }
+    # window [t-10, t] inclusive both ends
+    assert out[("a", 0)] == (1, 0.0)
+    assert out[("a", 9)] == (3, 14.0)
+    assert out[("a", 10)] == (4, 24.0)  # 0 included: 10-10 = 0
+    assert out[("a", 30)] == (1, 30.0)
+    assert out[("b", 7)] == (1, 1.0)

@@ -231,3 +231,18 @@ def test_keyset_page_walk(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_table_profile_df(spark):
+    from kbdatalakeapps_spark.serving import table_profile_df
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", 5.0), (3, None, 5.0), (4, "y", 6.0)],
+        "id long, s string, v double",
+    )
+    prof = {r.column_name: r for r in table_profile_df(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 4
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2

@@ -236,3 +236,21 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.table("st_dedup_t1")
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_sliding_counts_covers_each_event_twice(spark):
+    """600s/300s sliding: every event lands in exactly two windows, so
+    total n_events across windows is 2× the input rows."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.streaming.incremental import sliding_counts
+
+    rows = [(i, i * 100 * 10**9, "t", 1.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, event_type string, value double"
+    )
+    out = sliding_counts(df, "600 seconds", "300 seconds")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 20
+    starts = {r.window_start_s for r in out.collect()}
+    assert all(s % 300 == 0 for s in starts)
