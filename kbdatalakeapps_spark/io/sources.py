@@ -62,17 +62,53 @@ def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.orc(*paths)
 
 
+def _event_time_to_nanos(df: DataFrame) -> DataFrame:
+    """Canonicalize event-time columns to epoch-nanos LONG.
+
+    The engine's internal event-time convention is epoch-nanos long:
+    it is exact (no double rounding at 1e18), integer frame bounds work
+    (`range_preceding=300e9`), and it matches DuckDB's ``epoch_ns()``
+    on the oracle side.  The testdata's on-disk unit has varied between
+    driver rounds (INT64 TIMESTAMP(NANOS) vs timestamp[us]), so the
+    unit is normalized HERE rather than assumed downstream.  The
+    TIMESTAMP_NTZ branch uses ``timestampdiff`` from the epoch — a
+    wall-clock (UTC-interpreted) difference with no session-timezone
+    dependence, matching DuckDB's naive-timestamp ``epoch_ns``.
+    """
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                f.name,
+                (
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {f.name})"
+                    )
+                    * F.lit(1000)
+                ).cast("long"),
+            )
+        elif isinstance(f.dataType, T.TimestampType):
+            df = df.withColumn(f.name, F.unix_micros(F.col(f.name)) * F.lit(1000))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) as a DataFrame.
 
-    ``events.parquet`` carries INT64 TIMESTAMP(NANOS) columns, which a
-    vanilla Spark 4 session refuses to read.  ``nanosAsLong`` is a
-    runtime SQL conf, so set it here rather than at session build time —
-    queries must work on ANY caller-supplied session (the driver
-    harness builds its own), not just ``session.get_spark()``.
+    Older ``events.parquet`` fixtures carry INT64 TIMESTAMP(NANOS)
+    columns, which a vanilla Spark 4 session refuses to read.
+    ``nanosAsLong`` is a runtime SQL conf, so set it here rather than
+    at session build time — queries must work on ANY caller-supplied
+    session (the driver harness builds its own), not just
+    ``session.get_spark()``.  Newer fixtures carry timestamp[us];
+    either way the events table presents ``ts`` as epoch-nanos long
+    (see :func:`_event_time_to_nanos`).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _event_time_to_nanos(df)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -6,10 +6,11 @@ sink differ.  Batch twins are oracle-checked (queries/extended.py::
 st_tumbling_counts); the stream path is exercised in
 tests/test_streaming.py with an availableNow trigger.
 
-Event time: the driver's events.parquet stores TIMESTAMP(NANOS), which
-Spark reads as epoch-nanos LONG (session.py nanosAsLong).  ``ts div
-1000`` (integer division — exact, no double rounding at 1e18 nanos)
-derives microsecond timestamps for windowing.
+Event time: the engine's canonical event-time representation is
+epoch-nanos LONG (io/sources._event_time_to_nanos) regardless of the
+on-disk unit — older fixtures store TIMESTAMP(NANOS), newer ones
+timestamp[us].  ``ts div 1000`` (integer division — exact, no double
+rounding at 1e18 nanos) derives microsecond timestamps for windowing.
 
 Scale posture: a tumbling-window count with watermark is incremental
 state of O(windows × event_types) per executor — bounded regardless of
@@ -25,8 +26,9 @@ from pyspark.sql import types as T
 
 from ..functions import dsum
 
-# events.parquet schema as the stream source sees it (ts: nanos long,
-# matching the batch read under nanosAsLong).
+# Canonical events schema as downstream operators see it (ts: nanos
+# long).  Used as the readStream schema fallback when the source
+# directory is still empty at stream-definition time.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -44,11 +46,25 @@ def stream_events(
 ) -> DataFrame:
     """File-arrival stream over a directory of events parquet files —
     the incremental version of the reference's files-on-disk handoff
-    (KBDatalakeAppsImpl.py:290-470 stage boundaries)."""
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    (KBDatalakeAppsImpl.py:290-470 stage boundaries).
+
+    Structured Streaming needs an explicit schema; the on-disk unit of
+    ``ts`` varies (nanos vs micros), so the schema is inferred from the
+    footers already present (a planning-time-only batch read) and the
+    stream is canonicalized to nanos-long like the batch path.  An
+    empty source directory falls back to the canonical schema.
+    """
+    from ..io.sources import _event_time_to_nanos
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        schema = EVENTS_STREAM_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(path)
+    return _event_time_to_nanos(reader.parquet(path))
 
 
 def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
