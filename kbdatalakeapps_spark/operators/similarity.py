@@ -523,6 +523,77 @@ def pairwise_cosine_exploded(
     )
 
 
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-blocked semantic near-duplicate pairs (SemDeDup, Abbas
+    et al. 2023, arXiv:2303.09540): assign every vector to its nearest
+    centroid, then compute exact cosine only WITHIN clusters.
+
+    Returns ``(centroid_id, id_a, id_b, cosine)`` with ``id_a < id_b``
+    and cosine ≥ threshold.
+
+    Scale shape: Σ n_c² per-cluster work instead of N² — the centroid
+    count is the blocking dial, exactly like LSH bands for text
+    (dedup.py).  The assignment is localCheckpointed so the self-join
+    doesn't recompute the broadcast-argmin subplan twice, and a hot
+    (oversized) cluster is the documented skew route: raise k, or
+    sub-block the offending cluster with sign_bucket.
+    """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    assigned = _assign_nearest(v, centroids).localCheckpoint(eager=False)
+    a = assigned.select(
+        "centroid_id", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = assigned.select(
+        "centroid_id", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("centroid_id", "id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 16,
+    iterations: int = 3,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup: drop every row whose embedding is ≥ threshold cosine
+    to an EARLIER-id row in the same k-means cluster (greedy keep-first
+    in id order, expressed as a parallel dominated-by-earlier anti-join
+    — no sequential scan, same keeper rule as exact_dedup's min-id).
+
+    Returns the kept rows of ``df`` unchanged.  Pass precomputed
+    ``centroids`` to reuse an IVF index; otherwise a deterministic
+    k-means|| clustering is built (kmeans_centroids).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col
+        )
+    dropped = (
+        semantic_dup_pairs(df, centroids, threshold, vec_col, id_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
 def mean_pool_embeddings(
     df: DataFrame, group_col: str, vec_col: str = "embedding"
 ) -> DataFrame:

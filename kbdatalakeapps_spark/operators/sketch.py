@@ -1,0 +1,178 @@
+"""Cardinality sketches — KMV and HLL-style registers, exactly
+reproducible.
+
+The reference computes distinct counts exactly (polars ``n_unique`` in
+the viewer stats panel, serving A13/A14).  At 100 TB an exact
+count-distinct shuffles every distinct value; a sketch shuffles O(k) or
+O(2^p) state per partition instead and merges associatively.  Spark's
+``approx_count_distinct`` is such a sketch, but its HLL++ state is
+engine-internal — not portable, not oracle-checkable.  These operators
+build the sketch from the repo's deterministic md5-derived hashes
+(operators/dedup.py idiom), so the *same* sketch state is computable in
+ANSI SQL: the approximation is exact-reproducible and the DuckDB
+oracle hash-matches it, which is the property the rest of this repo's
+correctness gate is built on.
+
+Scale posture:
+- ``hll_registers``: groupBy(bucket).max(rho) — partial max map-side,
+  then a shuffle of at most partitions × 2^p tiny rows.  State is
+  FIXED-SIZE regardless of input cardinality; registers from disjoint
+  corpora merge with another max (``hll_merge``) — the sketch is the
+  mergeable aggregation state a 1000-executor rollup needs.
+- ``kmv_sketch``: map-side hash-dedup (partial aggregate of
+  ``distinct``) then TakeOrdered(k) — the only full-width shuffle
+  carries cross-partition-distinct hashes, and the ordered limit never
+  materializes a global sort.
+
+Estimates divide exactly-representable doubles ((k-1)·2^60 has a short
+mantissa; bigint→double casts round identically under IEEE-754 in the
+JVM and DuckDB), so even the floating-point estimate column is
+bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_long
+
+# _md5_long yields the first 15 md5 hex digits as a bigint: 60 uniform
+# bits, non-negative.  All bit arithmetic below is against this width.
+HASH_BITS = 60
+HASH_SPACE = 2**HASH_BITS
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002).
+
+    Returns one row ``(n_hashes, kth_min, estimate)``: the k smallest
+    distinct 60-bit hashes of ``col`` summarize its cardinality as
+    ``(k-1) · 2^60 / kth_min``.  When fewer than k distinct values
+    exist the count is exact and returned as the estimate.
+
+    Mirrors the viewer's ``n_unique`` stat (SURVEY A14,
+    /root/reference/data/html viewer stats panel) as a bounded-state
+    approximation.
+    """
+    h = _md5_long(F.col(col).cast("string")).alias("h")
+    kth = (
+        df.select(h)
+        .distinct()
+        .orderBy("h")  # with the limit below: TakeOrdered, not a sort
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).alias("n_hashes"),
+            F.max("h").alias("kth_min"),
+        )
+    )
+    scale = F.lit(float(k - 1)).cast("double") * F.lit(float(HASH_SPACE))
+    return kth.select(
+        "n_hashes",
+        "kth_min",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes"))
+        .otherwise(F.floor(scale / F.col("kth_min").cast("double")))
+        .cast("bigint")
+        .alias("estimate"),
+    )
+
+
+def kmv_sketch_grouped(
+    df: DataFrame, group_cols: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch: ``group_cols + (n_hashes, kth_min,
+    estimate)``.
+
+    The k smallest distinct hashes per group come from a rank window
+    over the group-deduplicated hashes — the shuffle key is the group,
+    so hot groups are the skew route (operators/skew.py) exactly as for
+    any grouped aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    h = _md5_long(F.col(col).cast("string")).alias("h")
+    distinct = df.select(*group_cols, h).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    topk = distinct.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    scale = F.lit(float(k - 1)).cast("double") * F.lit(float(HASH_SPACE))
+    return (
+        topk.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("kth_min"))
+        .select(
+            *group_cols,
+            "n_hashes",
+            "kth_min",
+            F.when(F.col("n_hashes") < k, F.col("n_hashes"))
+            .otherwise(F.floor(scale / F.col("kth_min").cast("double")))
+            .cast("bigint")
+            .alias("estimate"),
+        )
+    )
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table: ``(bucket, max_rho)`` over 2^p
+    buckets (Flajolet et al. 2007).
+
+    bucket = top p bits of the 60-bit hash; rho = 1 + leading zeros of
+    the remaining ``60-p`` bits.  rho is derived from the bit-length of
+    the remainder via base-2 string conversion — integer-exact, no
+    float log2 (whose power-of-two edge cases differ across libm
+    implementations).  Only buckets observed in the data appear;
+    :func:`hll_estimate` accounts for the empty ones.
+    """
+    rem_bits = HASH_BITS - p
+    h = _md5_long(F.col(col).cast("string"))
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    bits_len = F.length(F.conv(rem.cast("string"), 10, 2))
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits) - bits_len + 1
+    )
+    return (
+        df.select(
+            F.shiftright(h, rem_bits).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge register tables from disjoint corpora: union + max.
+
+    This is why the sketch scales: per-corpus (or per-partition, or
+    per-day) registers combine without touching the raw data again.
+    """
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> float:
+    """Driver-side cardinality estimate from a register table (≤2^p
+    rows — a scalar boundary, not a distributed op).
+
+    Standard HLL bias handling: alpha_m harmonic mean, linear counting
+    below 2.5m when empty buckets remain.
+    """
+    import math
+
+    m = 1 << p
+    rows = registers.collect()
+    sum_2neg = sum(2.0 ** -r["max_rho"] for r in rows) + (m - len(rows)) * 1.0
+    n_empty = m - len(rows)
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / sum_2neg
+    if est <= 2.5 * m and n_empty > 0:
+        est = m * math.log(m / n_empty)
+    return est

@@ -10,3 +10,4 @@ from . import core  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import extended  # noqa: F401,E402
 from . import builders  # noqa: F401,E402
+from . import sketches  # noqa: F401,E402

@@ -825,6 +825,19 @@ def dd_keeper_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keeper_assignment(docs, pairs)
 
 
+@query("dd_semantic_dedup")  # rows-only: iterative k-means, not SQL-expressible
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup of the embeddings table: k-means
+    clusters → within-cluster cosine ≥ threshold → drop later-id dups
+    (similarity.py::semantic_dedup).  Rows-only at the driver (the
+    clustering is iterative); the pruning step's invariants — kept ⊆
+    corpus, every dropped row dominated by an earlier same-cluster row,
+    idempotence — are asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = sim.semantic_dedup(emb, k=8, iterations=2, threshold=0.9)
+    return kept.select("vec_id", "label").orderBy("vec_id")
+
+
 @query("sim_ivf_topk")  # rows-only: iterative k-means index, not SQL-expressible
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means inverted lists, nprobe=2 probe

@@ -1,0 +1,102 @@
+"""Cardinality-sketch query/oracle pairs (operators/sketch.py).
+
+The sketches are built from deterministic md5-derived hashes, so the
+DuckDB oracle reproduces the sketch STATE exactly — the approximation
+itself is under the hash-match correctness gate, not just smoke-tested.
+The estimates' float arithmetic divides exactly-representable doubles,
+so even those columns are bit-stable across engines (see
+operators/sketch.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io.sources import load_table
+from ..operators import sketch as sk
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "sk_kmv_distinct",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+        FROM lineitem
+    ),
+    k AS (SELECT h FROM h ORDER BY h LIMIT 256)
+    SELECT COUNT(*)::BIGINT AS n_hashes,
+           MAX(h) AS kth_min,
+           CASE WHEN COUNT(*) < 256 THEN COUNT(*)::BIGINT
+                ELSE FLOOR(255::DOUBLE * 1152921504606846976::DOUBLE
+                           / MAX(h)::DOUBLE)::BIGINT
+           END AS estimate
+    FROM k
+    """,
+)
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of lineitem order keys: the k smallest
+    distinct hashes summarize cardinality in O(k) state — the
+    bounded-memory form of the viewer's ``n_unique`` stat (A14)."""
+    return sk.kmv_sketch(_t(spark, sf_dir, "lineitem"), "l_orderkey", k=256)
+
+
+@query(
+    "sk_kmv_grouped",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM d
+    )
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_hashes,
+           MAX(h) AS kth_min,
+           CASE WHEN COUNT(*) < 64 THEN COUNT(*)::BIGINT
+                ELSE FLOOR(63::DOUBLE * 1152921504606846976::DOUBLE
+                           / MAX(h)::DOUBLE)::BIGINT
+           END AS estimate
+    FROM r WHERE rk <= 64
+    GROUP BY event_type
+    """,
+)
+def sk_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV: distinct users per event type with O(k) state per
+    group instead of a full count-distinct Expand (A2's scale form)."""
+    return sk.kmv_sketch_grouped(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", k=64
+    )
+
+
+@query(
+    "sk_hll_registers",
+    oracle="""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+        FROM lineitem
+    ),
+    x AS (
+        SELECT h >> 52 AS bucket,
+               h & ((1::BIGINT << 52) - 1) AS rem
+        FROM h
+    )
+    SELECT bucket,
+           MAX(CASE WHEN rem = 0 THEN 53
+                    ELSE 52 - length(to_base(rem, 2)) + 1 END)::INT AS max_rho
+    FROM x GROUP BY bucket
+    """,
+)
+def sk_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register table (p=8, 256 buckets) over lineitem order keys.
+    Fixed-size mergeable aggregation state — the oracle checks the
+    sketch itself bucket-for-bucket, not a smoke count."""
+    return sk.hll_registers(_t(spark, sf_dir, "lineitem"), "l_orderkey", p=8)

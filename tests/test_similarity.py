@@ -109,3 +109,53 @@ def test_mean_pool_embeddings_bit_stable(spark):
     assert a == b
     assert a[0] == [2.0, 2.0, 2.0]
     assert a[1] == [0.5, 0.5, 0.5]
+
+
+def _toy_corpus(spark):
+    # Two tight groups along different axes + one isolated vector.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.01, 0.999, 0.0, 0.0]),   # near-dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),      # isolated
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_semantic_dedup_drops_later_near_dups(spark):
+    df = _toy_corpus(spark)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    kept = sim.semantic_dedup(df, threshold=0.99, centroids=cents)
+    assert sorted(r.vec_id for r in kept.collect()) == [1, 3, 5]
+
+
+def test_semantic_dedup_threshold_above_one_keeps_all(spark):
+    df = _toy_corpus(spark)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "centroid_id int, centroid array<double>"
+    )
+    kept = sim.semantic_dedup(df, threshold=1.01, centroids=cents)
+    assert kept.count() == df.count()
+
+
+def test_semantic_dedup_invariants_and_idempotence(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    kept = sim.semantic_dedup(emb, k=4, iterations=2, threshold=0.9)
+    # kept ⊆ corpus
+    assert kept.join(emb, "vec_id", "left_anti").count() == 0
+    # every dropped row has an earlier-id near-dup in the same cluster
+    cents = sim.kmeans_centroids(emb, k=4, iterations=2)
+    pairs = sim.semantic_dup_pairs(emb, cents, threshold=0.9)
+    dropped = emb.join(kept, "vec_id", "left_anti")
+    uncovered = dropped.join(
+        pairs.select(F.col("id_b").alias("vec_id")), "vec_id", "left_semi"
+    )
+    assert uncovered.count() == dropped.count()
+    # pruning the kept set again (same centroids) removes nothing more
+    again = sim.semantic_dedup(kept, threshold=0.9, centroids=cents)
+    assert again.count() == kept.count()

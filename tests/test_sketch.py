@@ -1,0 +1,83 @@
+"""Cardinality sketches: accuracy bounds, exactness below k, and the
+merge property that makes them scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.io.sources import load_table
+from kbdatalakeapps_spark.operators.sketch import (
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+    kmv_sketch,
+    kmv_sketch_grouped,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return load_table(spark, SF_DIR, "lineitem").cache()
+
+
+def test_kmv_within_theoretical_error(spark, lineitem):
+    exact = lineitem.select("l_orderkey").distinct().count()
+    row = kmv_sketch(lineitem, "l_orderkey", k=256).collect()[0]
+    # Relative standard error is ~1/sqrt(k); allow 4 sigma.
+    assert abs(row["estimate"] - exact) / exact < 4 / (256**0.5)
+
+
+def test_kmv_exact_below_k(spark, lineitem):
+    # Fewer distinct values than k → the sketch degrades to an exact count.
+    exact = lineitem.select("l_returnflag").distinct().count()
+    row = kmv_sketch(lineitem, "l_returnflag", k=256).collect()[0]
+    assert row["n_hashes"] == exact
+    assert row["estimate"] == exact
+
+
+def test_kmv_grouped_matches_exact_small_groups(spark, lineitem):
+    # Suppliers per return flag is far below k → every group exact.
+    est = {
+        r["l_returnflag"]: r["estimate"]
+        for r in kmv_sketch_grouped(
+            lineitem, ["l_returnflag"], "l_suppkey", k=4096
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    assert est == exact
+
+
+def test_hll_estimate_accuracy(spark, lineitem):
+    exact = lineitem.select("l_orderkey").distinct().count()
+    regs = hll_registers(lineitem, "l_orderkey", p=8)
+    est = hll_estimate(regs, p=8)
+    # RSE ~ 1.04/sqrt(m) = 6.5% at m=256; allow 3 sigma.
+    assert abs(est - exact) / exact < 0.20
+
+
+def test_hll_merge_equals_whole(spark, lineitem):
+    a = lineitem.filter("l_orderkey % 2 = 0")
+    b = lineitem.filter("l_orderkey % 2 = 1")
+    merged = hll_merge(
+        hll_registers(a, "l_orderkey", p=8), hll_registers(b, "l_orderkey", p=8)
+    )
+    whole = hll_registers(lineitem, "l_orderkey", p=8)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_insensitive_to_duplication(spark, lineitem):
+    # Registers are a max — feeding the data twice changes nothing.
+    doubled = lineitem.unionByName(lineitem)
+    once = hll_registers(lineitem, "l_orderkey", p=6)
+    twice = hll_registers(doubled, "l_orderkey", p=6)
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
