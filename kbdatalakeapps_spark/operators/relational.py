@@ -270,3 +270,40 @@ def dedup_compute_fanout(
     uniq = keyed.select("_key").distinct()
     results = compute(uniq)
     return keyed.join(results, "_key", "left").drop("_key")
+
+
+def rrf_fuse(
+    arms: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists (Cormack et
+    al., SIGIR 2009): score(d) = Σ_arms 1/(k + rank_arm(d)), the
+    standard way to combine lexical (BM25) and semantic (cosine)
+    search without score calibration.
+
+    Fixed-point: each contribution is ``scale div (k + rank)`` summed
+    as BIGINT — integer-exact under any shuffle arrival order and
+    reproducible in ANSI SQL, where a float Σ of reciprocals would be
+    order-sensitive in the last bits.  At scale=1e12 the quantization
+    can only tie documents whose true RRF scores agree to 12 digits.
+
+    Returns (id_col, rrf_score, n_arms) — n_arms counts the lists the
+    document appeared in (a useful diagnostic: fused-rank-1 items
+    found by only one arm are calibration red flags).
+    """
+    parts = [
+        arm.select(
+            F.col(id_col),
+            F.expr(f"{scale} div ({k} + {rank_col})").alias("_c"),
+        )
+        for arm in arms
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(id_col).agg(
+        F.sum("_c").alias("rrf_score"), F.count(F.lit(1)).alias("n_arms")
+    )

@@ -112,16 +112,15 @@ def kmv_sketch_grouped(
     )
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
-    """HyperLogLog register table: ``(bucket, max_rho)`` over 2^p
-    buckets (Flajolet et al. 2007).
+def hll_bucket_rho(col: str, p: int = 8):
+    """The (bucket, rho) column pair shared by the batch and streaming
+    register builders.
 
     bucket = top p bits of the 60-bit hash; rho = 1 + leading zeros of
     the remaining ``60-p`` bits.  rho is derived from the bit-length of
     the remainder via base-2 string conversion — integer-exact, no
     float log2 (whose power-of-two edge cases differ across libm
-    implementations).  Only buckets observed in the data appear;
-    :func:`hll_estimate` accounts for the empty ones.
+    implementations).
     """
     rem_bits = HASH_BITS - p
     h = _md5_long(F.col(col).cast("string"))
@@ -130,10 +129,23 @@ def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
         F.lit(rem_bits) - bits_len + 1
     )
+    return F.shiftright(h, rem_bits).alias("bucket"), rho.alias("rho")
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table: ``(bucket, max_rho)`` over 2^p
+    buckets (Flajolet et al. 2007).
+
+    Only buckets observed in the data appear; :func:`hll_estimate`
+    accounts for the empty ones.  The same groupBy(bucket).max plan
+    runs incrementally on a stream
+    (streaming/incremental.py::stream_hll_registers) — max is a
+    monotone fold, so streaming update-mode state is exactly the
+    register table.
+    """
+    bucket, rho = hll_bucket_rho(col, p)
     return (
-        df.select(
-            F.shiftright(h, rem_bits).alias("bucket"), rho.alias("rho")
-        )
+        df.select(bucket, rho)
         .groupBy("bucket")
         .agg(F.max("rho").cast("int").alias("max_rho"))
     )

@@ -694,6 +694,43 @@ def a17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a20_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+           COUNT(*)::BIGINT AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — every grouping-set combination (detail, both one-column
+    subtotals, grand total) in one pass; a17_rollup's lattice sibling.
+    grouping_id disambiguates real NULL keys from subtotal rows, the
+    standard OLAP marker (identical bitmask semantics in DuckDB's
+    GROUPING).  One Expand + one shuffle — Catalyst's native strategy,
+    not a union of four aggregates scanning the fact table four times."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            kfn.dsum("l_quantity", 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star dedup: embedding-cosine near-duplicates, LSH-blocked.
 # Sign-bit bucket on the first 8 dimensions → candidate pairs within a

@@ -925,3 +925,109 @@ def tx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     search with decimal-accumulated scores so ordering is exact."""
     d = _t(spark, sf_dir, "documents")
     return tx.bm25_search(d, ["hash", "join", "scan"], top_n=20)
+
+
+@query(
+    "tx_hybrid_rrf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM toks),
+    avgd AS (SELECT AVG(dl) AS avgdl FROM lens),
+    ex AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+    pt AS (
+        SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df
+        FROM ex GROUP BY 1
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    idf AS (
+        SELECT token, ROUND(ln((n + 1) / (df + 1)), 6) AS idf
+        FROM pt, nd WHERE token IN ('hash', 'join', 'scan')
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+        FROM ex WHERE token IN ('hash', 'join', 'scan') GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT doc_id,
+               CAST(idf * (tf * CAST(2.2 AS DOUBLE))
+                    / (tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                    AS DECIMAL(38,12)) AS s
+        FROM tf JOIN idf USING (token) JOIN lens USING (doc_id), avgd
+    ),
+    bm AS (
+        SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bm
+    ),
+    dots AS (
+        SELECT c.vec_id AS corpus_id,
+               CAST(SUM(CAST(CAST(qv.v AS DOUBLE) * CAST(c.embedding[qv.pos] AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE) AS dot
+        FROM embeddings q,
+             LATERAL (SELECT unnest(q.embedding) AS v, generate_subscripts(q.embedding, 1) AS pos) qv,
+             embeddings c
+        WHERE q.vec_id = 0 AND c.vec_id <> 0
+        GROUP BY 1
+    ),
+    norms AS (
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(CAST(u.v AS DOUBLE) * CAST(u.v AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE)) AS nrm
+        FROM embeddings e,
+             LATERAL (SELECT unnest(e.embedding) AS v) u
+        GROUP BY vec_id
+    ),
+    semr AS (
+        SELECT corpus_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, corpus_id
+               ) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = 0
+        JOIN norms nc ON dots.corpus_id = nc.vec_id
+        QUALIFY rank <= 20
+    ),
+    u AS (
+        SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lex
+        UNION ALL
+        SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM semr
+    )
+    SELECT doc_id, SUM(c)::BIGINT AS rrf_score, COUNT(*)::BIGINT AS n_arms
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def tx_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical arm) fused with exact
+    cosine top-20 against the vec_id=0 embedding (semantic arm) by
+    fixed-point reciprocal-rank fusion (relational.py::rrf_fuse).
+    Documents and embeddings share the id space, the usual layout when
+    the embedding table is derived from the corpus."""
+    from pyspark.sql.window import Window
+
+    from ..operators import relational as rel
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = (
+        tx.bm25_search(d, ["hash", "join", "scan"], top_n=20)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+        )
+        .select("doc_id", "rank")
+    )
+    sem = sim.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("corpus_id").alias("doc_id"), "rank"
+    )
+    fused = rel.rrf_fuse([lex, sem], id_col="doc_id", rank_col="rank")
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)

@@ -249,3 +249,24 @@ def sliding_counts(
             "sum_value",
         )
     )
+
+
+def stream_hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """Streaming HLL register table — approximate count-distinct over
+    an unbounded stream with FIXED state (2^p integer registers).
+
+    Exact streaming distinct is impossible without unbounded state;
+    the HLL register max is a monotone fold, so the identical
+    groupBy(bucket).max plan from the batch path
+    (operators/sketch.py::hll_registers) runs in update/complete mode
+    and the streaming state IS the sketch.  Feed the sink's registers
+    to sketch.hll_estimate for the running cardinality.
+    """
+    from ..operators.sketch import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(col, p)
+    return (
+        df.select(bucket, rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )

@@ -254,3 +254,27 @@ def test_sliding_counts_covers_each_event_twice(spark):
     assert total == 20
     starts = {r.window_start_s for r in out.collect()}
     assert all(s % 300 == 0 for s in starts)
+
+
+def test_stream_hll_registers_match_batch(spark, tmp_path):
+    from kbdatalakeapps_spark.operators.sketch import hll_registers
+    from kbdatalakeapps_spark.streaming.incremental import stream_hll_registers
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    batch = hll_registers(
+        load_table(spark, SF_DIR, "events"), "user_id", p=6
+    )
+    stream = stream_hll_registers(stream_events(spark, str(src)), "user_id", p=6)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hll_regs")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
