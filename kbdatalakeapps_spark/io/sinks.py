@@ -48,6 +48,20 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("sep", "\t").option("header", "true").csv(path)
 
 
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None
+) -> None:
+    """JSON-lines sink — the interchange format LLM data pipelines
+    exchange corpora in (one JSON document per line, splittable when
+    compressed with a block codec).  Spark's json writer IS jsonl; this
+    wrapper fixes the contract and defaults.  The S8 json source reads
+    it back (multiline=False)."""
+    w = df.write.mode(mode)
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def merge_upsert(
     base: DataFrame,
     updates: DataFrame,

@@ -1439,6 +1439,56 @@ def a21_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a22_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM events GROUP BY 1
+    ),
+    st AS (
+        SELECT event_type, sx / nd AS mean_v,
+               SQRT((ss - sx * sx / nd) / (nd - 1)) AS sd_v
+        FROM s
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - st.mean_v) / st.sd_v, 6) AS z
+    FROM events e JOIN st USING (event_type)
+    WHERE ABS((e.value - st.mean_v) / st.sd_v) > 3
+    """,
+)
+def a22_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (monitoring/data-quality
+    pass): group moments accumulate as exact decimals (one map-side
+    combinable shuffle, same pattern as a21_corr_stats), the tiny
+    per-group stats broadcast back onto the fact scan, and |z| > 3
+    rows surface.  No second full aggregation pass, no window over the
+    whole fact table, order-independent bits."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_nd"),
+        F.sum(v.cast("decimal(38,6)")).alias("_sx"),
+        F.sum((v * v).cast("decimal(38,6)")).alias("_ss"),
+    )
+    nd = F.col("_nd")
+    sx, ss = F.col("_sx").cast("double"), F.col("_ss").cast("double")
+    stats = s.select(
+        "event_type",
+        (sx / nd).alias("_mean"),
+        F.sqrt((ss - sx * sx / nd) / (nd - F.lit(1.0))).alias("_sd"),
+    )
+    z = (v - F.col("_mean")) / F.col("_sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal frame sampling: one row per sampled video frame.  Frame
 # timestamps come from metadata JVM-side (sequence+explode — the row

@@ -344,3 +344,15 @@ def test_versioned_table_time_travel(spark, tmp_path):
         100, 101, 102,
     ]
     assert read_version(spark, t).count() == 3  # latest = v3
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from kbdatalakeapps_spark.io.sinks import write_jsonl
+    from kbdatalakeapps_spark.io.sources import load_table, read_json_docs
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_json_docs(spark, out, multiline=False).select(*docs.columns)
+    assert back.count() == 50
+    assert back.exceptAll(docs).count() == 0
