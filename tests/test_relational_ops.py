@@ -98,3 +98,18 @@ def test_trailing_range_agg_matches_bruteforce(spark):
     assert out[("a", 10)] == (4, 24.0)  # 0 included: 10-10 = 0
     assert out[("a", 30)] == (1, 30.0)
     assert out[("b", 7)] == (1, 1.0)
+
+
+def test_rrf_fuse_fixed_point(spark):
+    from kbdatalakeapps_spark.operators.relational import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id int, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], "doc_id int, rank int")
+    got = {r.doc_id: (r.rrf_score, r.n_arms) for r in rrf_fuse([a, b]).collect()}
+    s = 10**12
+    assert got[1] == (s // 61, 1)
+    assert got[2] == (s // 62 + s // 61, 2)
+    assert got[3] == (s // 63 + s // 62, 2)
+    assert got[4] == (s // 63, 1)
+    # the doc found by both arms outranks both single-arm docs
+    assert got[2][0] > got[1][0] and got[2][0] > got[4][0]

@@ -278,3 +278,34 @@ def test_stream_hll_registers_match_batch(spark, tmp_path):
     got = spark.sql("SELECT * FROM hll_regs")
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_checkpoint_recovery(spark, tmp_path):
+    # A restarted stream resumes from its checkpoint: already-committed
+    # source files are not reprocessed, new files are picked up exactly
+    # once — the recovery contract a long-running ingestion relies on.
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    n = load_table(spark, SF_DIR, "events").count()
+
+    def run_once():
+        q = (
+            stream_events(spark, str(src))
+            .select("event_id", "ts", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == n
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "b.parquet")
+    run_once()
+    # a.parquet not reprocessed, b.parquet ingested once: 2n, not 3n
+    assert spark.read.parquet(out).count() == 2 * n
