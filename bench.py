@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "sp_pack_sequences",        # distributed prefix-sum packing
     "dd_contamination",         # benchmark n-gram decontamination
     "st_interval_join",         # interval join (stream-stream twin)
+    "sk_hll_registers",         # fixed-state cardinality sketch
 ]
 
 

@@ -81,3 +81,16 @@ def test_hll_insensitive_to_duplication(spark, lineitem):
     twice = hll_registers(doubled, "l_orderkey", p=6)
     assert once.exceptAll(twice).count() == 0
     assert twice.exceptAll(once).count() == 0
+
+
+def test_xxhash64_production_path_accuracy(spark, lineitem):
+    # The JVM-native hash path keeps the same statistical guarantees;
+    # it is just not SQL-oracle-checkable.
+    exact = lineitem.select("l_orderkey").distinct().count()
+    row = kmv_sketch(lineitem, "l_orderkey", k=256, hash_fn="xxhash64").collect()[0]
+    assert abs(row["estimate"] - exact) / exact < 4 / (256**0.5)
+    regs = hll_registers(lineitem, "l_orderkey", p=8, hash_fn="xxhash64")
+    est = hll_estimate(regs, p=8)
+    assert abs(est - exact) / exact < 0.20
+    # registers stay in the 60-bit bucket space
+    assert regs.agg(F.min("bucket"), F.max("bucket")).collect()[0][1] < 256
