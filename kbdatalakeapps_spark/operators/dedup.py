@@ -192,6 +192,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs (id_a < id_b, n_bands ≥ 1
     shared band).
@@ -211,10 +212,18 @@ def minhash_lsh_pairs(
     one band bucket, and that bucket's quadratic expansion lands in a
     single join task.  AQE splits the stream side; if a profile shows
     one hot fingerprint dominating, route it through
-    operators.skew.salted_join with the hot band_hash values."""
+    operators.skew.salted_join with the hot band_hash values.
+
+    ``signatures`` takes a precomputed minhash_signatures_wide frame so
+    several band configurations can share one signature pass
+    (lsh_tuning_report)."""
     if num_hashes % band_size != 0:
         raise ValueError("num_hashes must divide into equal bands")
-    wide = minhash_signatures_wide(df, id_col, text_col, k, num_hashes)
+    wide = (
+        signatures
+        if signatures is not None
+        else minhash_signatures_wide(df, id_col, text_col, k, num_hashes)
+    )
     n_bands = num_hashes // band_size
     fps = {
         f"_bh{b}": F.md5(
@@ -586,3 +595,71 @@ def sorted_neighborhood_pairs(
         *[F.col(c).alias(f"b_{c}") for c in keep_cols],
     )
     return left.join(right, "_rn_b").drop("_rn_b")
+
+
+def lsh_tuning_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_sizes: tuple[int, ...] = (1, 2, 4),
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Band-configuration tuning report: candidate pairs per band_size
+    vs exact-Jaccard ground truth at ``threshold``, with precision and
+    recall in parts-per-million FIXED POINT (integer ``div`` — exact
+    under any partitioning, SQL-reproducible).
+
+    This is how the LSH dial gets set before a full-corpus run: small
+    bands (many hashes per band) are precise but miss near-dups; large
+    bands recall everything and flood the verifier.  At 100 TB the
+    report runs on a content-keyed sample (operators/sampling.py::
+    hash_split) because the ground truth is quadratic on shared
+    shingles — the whole point is to pick the config without paying
+    the full-corpus candidate explosion for every option.
+
+    One signature pass is shared by all configurations
+    (minhash_signatures_wide, localCheckpointed), and the ground-truth
+    pair set is checkpointed once and probed by every config.  A
+    config producing zero candidates yields no row (nothing to
+    measure); every ``band_size`` must divide ``num_hashes``.
+    """
+    truth = (
+        ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    sigs = minhash_signatures_wide(
+        df, id_col, text_col, k, num_hashes
+    ).localCheckpoint(eager=False)
+    cands = None
+    for b in band_sizes:
+        c = (
+            minhash_lsh_pairs(
+                df, id_col, text_col, k, num_hashes, band_size=b, signatures=sigs
+            )
+            .select("id_a", "id_b")
+            .withColumn("band_size", F.lit(b))
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    flagged = cands.join(
+        truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    per = flagged.groupBy("band_size").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.coalesce(F.col("_t"), F.lit(0))).alias("tp"),
+    )
+    tot = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "band_size",
+            "n_candidates",
+            "tp",
+            (F.col("n_truth") - F.col("tp")).alias("fn"),
+            F.expr("(1000000 * tp) div n_candidates").alias("precision_ppm"),
+            F.expr("(1000000 * tp) div n_truth").alias("recall_ppm"),
+        )
+        .orderBy("band_size")
+    )

@@ -142,6 +142,77 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_cand_sql(b: int) -> str:
+    return f"""
+    bands{b} AS (
+        SELECT id, hash_idx // {b} AS band_idx,
+               md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx)) AS band_hash
+        FROM sig GROUP BY id, hash_idx // {b}
+    ),
+    cand{b} AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands{b} a
+        JOIN bands{b} b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+    )"""
+
+
+_TUNING_UNION = "\n        UNION ALL\n".join(
+    f"        SELECT {b} AS band_size, id_a, id_b FROM cand{b}" for b in (1, 2, 4)
+)
+
+
+@query(
+    "dd_lsh_tuning",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT id, COUNT(*)::BIGINT AS n FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON inter.id_a = sa.id
+        JOIN sizes sb ON inter.id_b = sb.id
+        WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.82
+    ),
+    {",".join(_band_cand_sql(b) for b in (1, 2, 4))},
+    u AS (
+{_TUNING_UNION}
+    ),
+    t2 AS (SELECT COUNT(*)::BIGINT AS n_truth FROM truth),
+    per AS (
+        SELECT band_size,
+               COUNT(*)::BIGINT AS n_candidates,
+               SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS tp
+        FROM u LEFT JOIN truth t USING (id_a, id_b)
+        GROUP BY band_size
+    )
+    SELECT band_size, n_candidates, tp,
+           (n_truth - tp)::BIGINT AS fn,
+           (1000000 * tp) // n_candidates AS precision_ppm,
+           (1000000 * tp) // n_truth AS recall_ppm
+    FROM per, t2 ORDER BY band_size
+    """,
+)
+def dd_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-configuration tuning report (dedup.py::
+    lsh_tuning_report): precision/recall per band_size vs exact 0.82
+    Jaccard ground truth, in integer ppm fixed point.  One shared
+    signature pass; run on a content-keyed sample at scale."""
+    return dd.lsh_tuning_report(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=8,
+        band_sizes=(1, 2, 4),
+        threshold=0.82,
+    )
+
+
 @query(
     "dd_simhash",
     oracle="""

@@ -97,3 +97,26 @@ def test_dedup_corpus_invariants(spark):
         assert exact[100000 + i].keeper == i
     # near-dup eliminations have a verified Jaccard path to their group
     assert any(r.stage == "near" for r in rows)
+
+
+def test_lsh_tuning_report_monotone_recall(spark):
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.dedup import lsh_tuning_report
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = {
+        r.band_size: r
+        for r in lsh_tuning_report(
+            docs, band_sizes=(1, 2, 4), threshold=0.82
+        ).collect()
+    }
+    # larger bands (fewer hashes per band... rows-per-band UP) = stricter:
+    # band_size=1 ORs 8 single-hash bands (loosest), band_size=4 needs a
+    # full 4-hash band match (strictest) — candidates monotonically shrink
+    assert rows[1].n_candidates >= rows[2].n_candidates >= rows[4].n_candidates
+    # recall can only fall as candidates shrink
+    assert rows[1].recall_ppm >= rows[2].recall_ppm >= rows[4].recall_ppm
+    for r in rows.values():
+        assert 0 <= r.precision_ppm <= 1_000_000
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.tp + r.fn == rows[1].tp + rows[1].fn  # same ground truth

@@ -61,3 +61,37 @@ def test_minhash_lsh_single_signature_aggregation(spark):
     # per-seed row explosion (no Expand), bands from projection
     p = plan_of(spark, "dd_minhash_lsh_pairs")
     assert "Expand" not in p
+
+
+def test_hll_registers_partial_aggregation(spark):
+    # The register build must partial-aggregate map-side: exactly one
+    # exchange, carrying at most partitions x 2^p pre-maxed rows.
+    p = plan_of(spark, "sk_hll_registers")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "HashAggregate" in p
+    assert "Window" not in p
+
+
+def test_kmv_is_take_ordered_not_global_sort(spark):
+    # The k-smallest step must be TakeOrdered (per-partition top-k +
+    # merge), never a full Sort of the distinct-hash set.
+    p = plan_of(spark, "sk_kmv_distinct")
+    assert "TakeOrderedAndProject" in p
+    tree = p.split("\n\n")[0]
+    assert "Sort " not in tree.replace("SortAggregate", "")
+
+
+def test_zscore_stats_broadcast_back(spark):
+    # The tiny per-group stats frame joins the fact scan broadcast —
+    # flagging outliers never shuffles the fact table.
+    p = plan_of(spark, "a22_zscore_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_rrf_fusion_no_window_over_union(spark):
+    # Fusion is a plain hash aggregation over the unioned contribution
+    # rows; the only windows allowed are inside the tiny top-20 arms.
+    p = plan_of(spark, "tx_hybrid_rrf")
+    assert "HashAggregate" in p
