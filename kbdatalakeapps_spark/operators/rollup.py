@@ -1,0 +1,128 @@
+"""Incremental rollup maintenance — mergeable per-group aggregate
+state.
+
+The reference rebuilds its product tables from scratch each app run
+(KBDatalakeAppsImpl.py stage pipeline).  At 100 TB a daily re-scan is
+the bottleneck, so the engine keeps rollups in MERGEABLE state: every
+metric is an associative fold (count → sum, sum → exact decimal sum,
+min/max → min/max, count-distinct → HLL register map), which makes
+
+    rollup(corpus ∪ delta) == merge(rollup(corpus), rollup(delta))
+
+an identity (asserted in tests/test_rollup.py).  Updating a stored
+rollup touches only the delta and the (small) rollup itself — never
+the historical raw data.  This is the same algebra Structured
+Streaming uses for its state stores, applied to batch table
+maintenance; pair with io/layout.py::versioned_write for atomic
+publishes of each refreshed rollup.
+
+Exactness: sums accumulate in DECIMAL(38,6) (order-free — merge order
+can't wiggle bits); the distinct sketch is the md5-derived HLL of
+operators/sketch.py carried as a map<bucket, max_rho> column, merged
+with map_zip_with(GREATEST).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sketch import hll_bucket_rho
+
+_DEC = "decimal(38,6)"
+
+
+def rollup_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] = (),
+    minmax_cols: list[str] = (),
+    distinct_cols: list[str] = (),
+    p: int = 6,
+) -> DataFrame:
+    """Build the mergeable rollup state for ``df``.
+
+    Output columns: group_cols, ``n_rows``, ``sum_<c>`` (decimal),
+    ``min_<c>``/``max_<c>``, and ``hll_<c>`` (map<int,int> register
+    sketch, 2^p entries max) per distinct-tracked column.
+
+    Plan: the scalar metrics are one partial-aggregated shuffle; each
+    distinct sketch needs its own (group, bucket) pre-aggregation
+    before the registers collect into a map — still fixed-size state
+    per group, never a distinct-values shuffle.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in sum_cols:
+        aggs.append(F.sum(F.col(c).cast(_DEC)).alias(f"sum_{c}"))
+    for c in minmax_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    out = df.groupBy(*group_cols).agg(*aggs)
+    for c in distinct_cols:
+        bucket, rho = hll_bucket_rho(c, p)
+        regs = (
+            df.select(*group_cols, bucket, rho)
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").cast("int").alias("max_rho"))
+            .groupBy(*group_cols)
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("bucket", "max_rho")))
+                ).alias(f"hll_{c}")
+            )
+        )
+        out = out.join(regs, list(group_cols))
+    return out
+
+
+def rollup_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] = (),
+    minmax_cols: list[str] = (),
+    distinct_cols: list[str] = (),
+) -> DataFrame:
+    """Merge two rollup states (same spec): the incremental refresh is
+    ``rollup_merge(stored, rollup_aggregate(delta, …), …)``.
+
+    Groups present in only one side pass through unchanged
+    (full-outer union semantics via unionByName + re-aggregation);
+    register maps merge entry-wise with GREATEST.
+    """
+    u = a.unionByName(b)
+    out = u.groupBy(*group_cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        *[
+            F.sum(F.col(f"sum_{c}")).cast(_DEC).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+        *[
+            x
+            for c in minmax_cols
+            for x in (
+                F.min(f"min_{c}").alias(f"min_{c}"),
+                F.max(f"max_{c}").alias(f"max_{c}"),
+            )
+        ],
+    )
+    for c in distinct_cols:
+        # registers re-max through an explode stage — associative, and
+        # the merge stays a plain (group, bucket) aggregation rather
+        # than a per-group chain of map_zip_with calls
+        regs = (
+            u.select(
+                *group_cols,
+                F.explode(F.col(f"hll_{c}")).alias("bucket", "max_rho"),
+            )
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .groupBy(*group_cols)
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("bucket", "max_rho")))
+                ).alias(f"hll_{c}")
+            )
+        )
+        out = out.join(regs, list(group_cols))
+    return out

@@ -1440,6 +1440,44 @@ def a21_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a23_rollup_state",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*)::BIGINT AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_l_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_l_extendedprice,
+           MIN(l_shipdate) AS min_l_shipdate,
+           MAX(l_shipdate) AS max_l_shipdate
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def a23_rollup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable rollup state (operators/rollup.py): every metric an
+    associative fold, so a stored rollup refreshes from a delta alone —
+    rollup(all) == merge(rollup(old), rollup(delta)), asserted in
+    tests/test_rollup.py.  This query oracle-checks the scalar state;
+    the HLL distinct-sketch member is oracled via sk_hll_registers."""
+    from ..operators.rollup import rollup_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    r = rollup_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        sum_cols=["l_quantity", "l_extendedprice"],
+        minmax_cols=["l_shipdate"],
+    )
+    return r.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.col("sum_l_quantity").cast("double").alias("sum_l_quantity"),
+        F.col("sum_l_extendedprice").cast("double").alias("sum_l_extendedprice"),
+        "min_l_shipdate",
+        "max_l_shipdate",
+    )
+
+
+@query(
     "a22_zscore_outliers",
     oracle="""
     WITH s AS (

@@ -1,0 +1,75 @@
+"""Incremental rollup maintenance: the merge identity
+rollup(all) == merge(rollup(part1), rollup(part2)) — the property that
+lets a stored rollup refresh from a delta without rescanning history."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.io.sources import load_table
+from kbdatalakeapps_spark.operators.rollup import rollup_aggregate, rollup_merge
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SPEC = dict(
+    group_cols=["l_returnflag", "l_linestatus"],
+    sum_cols=["l_quantity", "l_extendedprice"],
+    minmax_cols=["l_shipdate"],
+    distinct_cols=["l_orderkey"],
+)
+
+
+def _frames_equal(a, b):
+    # map columns don't support set operations — compare as sorted entries
+    def norm(df):
+        for f in df.schema.fields:
+            if f.dataType.typeName() == "map":
+                df = df.withColumn(
+                    f.name, F.array_sort(F.map_entries(F.col(f.name)))
+                )
+        return df
+
+    a, b = norm(a), norm(b)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_merge_identity(spark):
+    li = load_table(spark, SF_DIR, "lineitem").cache()
+    old = li.filter("l_orderkey % 3 != 0")
+    delta = li.filter("l_orderkey % 3 = 0")
+    full = rollup_aggregate(li, **SPEC)
+    merged = rollup_merge(
+        rollup_aggregate(old, **SPEC), rollup_aggregate(delta, **SPEC), **SPEC
+    )
+    _frames_equal(full, merged)
+
+
+def test_merge_keeps_one_sided_groups(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    a = li.filter("l_returnflag = 'R'")
+    b = li.filter("l_returnflag = 'N'")
+    merged = rollup_merge(
+        rollup_aggregate(a, **SPEC), rollup_aggregate(b, **SPEC), **SPEC
+    )
+    full = rollup_aggregate(li.filter("l_returnflag IN ('R','N')"), **SPEC)
+    _frames_equal(full, merged)
+
+
+def test_distinct_sketch_tracks_exact(spark):
+    from kbdatalakeapps_spark.operators.sketch import hll_estimate
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    roll = rollup_aggregate(li, ["l_returnflag"], distinct_cols=["l_orderkey"], p=8)
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for row in roll.collect():
+        regs = spark.createDataFrame(
+            list(row["hll_l_orderkey"].items()), "bucket int, max_rho int"
+        )
+        est = hll_estimate(regs, p=8)
+        assert abs(est - exact[row["l_returnflag"]]) / exact[row["l_returnflag"]] < 0.20
