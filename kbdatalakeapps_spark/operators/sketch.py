@@ -211,3 +211,65 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> float:
     if est <= 2.5 * m and n_empty > 0:
         est = m * math.log(m / n_empty)
     return est
+
+
+def kmv_set_stats(
+    a: DataFrame,
+    col_a: str,
+    b: DataFrame,
+    col_b: str,
+    k: int = 256,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Set statistics of two key columns from their KMV sketches —
+    union cardinality, Jaccard, and intersection estimates, the
+    pre-flight numbers a join planner wants (distinct-key overlap ×
+    multiplicities ≈ join output size; a near-zero overlap flags a
+    mistyped join key before a 100 TB shuffle runs).
+
+    Standard KMV set algebra (Beyer et al., SIGMOD 2007): the k
+    smallest hashes of A ∪ B are exactly the k smallest of
+    (sketch_A ∪ sketch_B), so the merged sketch needs only the two
+    k-row sketches — never the raw tables again.  Jaccard is estimated
+    by the fraction of merged-sketch members present in BOTH input
+    sketches; intersection = Jaccard × union.
+
+    Returns one row: ``(n_merged, kth_min, overlap, union_est,
+    jaccard_ppm, inter_est)`` — all integers (ppm fixed point), exact
+    under any partitioning, SQL-reproducible.
+    """
+    def sk(df, col, flag):
+        return (
+            df.select(_hash60(F.col(col).cast("string"), hash_fn).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .withColumn(flag, F.lit(1))
+        )
+
+    merged = (
+        sk(a, col_a, "in_a")
+        .join(sk(b, col_b, "in_b"), "h", "full_outer")
+        .orderBy("h")
+        .limit(k)
+    )
+    scale = F.lit(float(k - 1)).cast("double") * F.lit(float(HASH_SPACE))
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max("h").alias("kth_min"),
+        F.sum(
+            F.coalesce(F.col("in_a"), F.lit(0)) * F.coalesce(F.col("in_b"), F.lit(0))
+        ).alias("overlap"),
+    )
+    union_est = (
+        F.when(F.col("n_merged") < k, F.col("n_merged"))
+        .otherwise(F.floor(scale / F.col("kth_min").cast("double")))
+        .cast("bigint")
+    )
+    return stats.select(
+        "n_merged",
+        "kth_min",
+        "overlap",
+        union_est.alias("union_est"),
+        F.expr("(1000000 * overlap) div n_merged").alias("jaccard_ppm"),
+    ).withColumn("inter_est", F.expr("(overlap * union_est) div n_merged"))

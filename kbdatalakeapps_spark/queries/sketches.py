@@ -100,3 +100,56 @@ def sk_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixed-size mergeable aggregation state — the oracle checks the
     sketch itself bucket-for-bucket, not a smoke count."""
     return sk.hll_registers(_t(spark, sf_dir, "lineitem"), "l_orderkey", p=8)
+
+
+@query(
+    "sk_kmv_join_stats",
+    oracle="""
+    WITH sa AS (
+        SELECT h, 1 AS in_a FROM (
+            SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+            FROM orders
+        ) ORDER BY h LIMIT 256
+    ),
+    sb AS (
+        SELECT h, 1 AS in_b FROM (
+            SELECT DISTINCT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT AS h
+            FROM customer
+        ) ORDER BY h LIMIT 256
+    ),
+    m AS (
+        SELECT COALESCE(sa.h, sb.h) AS h, in_a, in_b
+        FROM sa FULL OUTER JOIN sb ON sa.h = sb.h
+        ORDER BY h LIMIT 256
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n_merged, MAX(h) AS kth_min,
+               SUM(COALESCE(in_a, 0) * COALESCE(in_b, 0))::BIGINT AS overlap
+        FROM m
+    ),
+    u AS (
+        SELECT n_merged, kth_min, overlap,
+               CASE WHEN n_merged < 256 THEN n_merged
+                    ELSE FLOOR(255::DOUBLE * 1152921504606846976::DOUBLE
+                               / kth_min::DOUBLE)::BIGINT
+               END AS union_est
+        FROM s
+    )
+    SELECT n_merged, kth_min, overlap, union_est,
+           (1000000 * overlap) // n_merged AS jaccard_ppm,
+           (overlap * union_est) // n_merged AS inter_est
+    FROM u
+    """,
+)
+def sk_kmv_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing: KMV set statistics of orders.o_custkey
+    vs customer.c_custkey — distinct-key union/Jaccard/intersection
+    estimates from two k-row sketches, never re-reading the tables
+    (operators/sketch.py::kmv_set_stats)."""
+    return sk.kmv_set_stats(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        k=256,
+    )

@@ -94,3 +94,29 @@ def test_xxhash64_production_path_accuracy(spark, lineitem):
     assert abs(est - exact) / exact < 0.20
     # registers stay in the 60-bit bucket space
     assert regs.agg(F.min("bucket"), F.max("bucket")).collect()[0][1] < 256
+
+
+def test_kmv_set_stats_accuracy(spark, lineitem):
+    from kbdatalakeapps_spark.operators.sketch import kmv_set_stats
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    row = kmv_set_stats(orders, "o_custkey", cust, "c_custkey", k=512).collect()[0]
+    a = {r[0] for r in orders.select("o_custkey").distinct().collect()}
+    b = {r[0] for r in cust.select("c_custkey").distinct().collect()}
+    true_j = len(a & b) / len(a | b)
+    true_u = len(a | b)
+    assert abs(row["jaccard_ppm"] / 1e6 - true_j) < 0.15
+    assert abs(row["union_est"] - true_u) / true_u < 4 / (512**0.5)
+    assert abs(row["inter_est"] - len(a & b)) / max(len(a & b), 1) < 0.25
+
+
+def test_kmv_set_stats_disjoint(spark):
+    from kbdatalakeapps_spark.operators.sketch import kmv_set_stats
+
+    a = spark.range(0, 1000).selectExpr("id AS k")
+    b = spark.range(5000, 6000).selectExpr("id AS k")
+    row = kmv_set_stats(a, "k", b, "k", k=256).collect()[0]
+    assert row["overlap"] == 0
+    assert row["jaccard_ppm"] == 0
+    assert row["inter_est"] == 0
