@@ -1722,3 +1722,117 @@ def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(
         _t(spark, sf_dir, "events"), "600 seconds", "300 seconds"
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-funnel and cohort-retention analytics: the two standard product
+# questions over an events stream, expressed as ordinary joins/aggs so
+# Catalyst plans them (no per-user Python, no sessionization UDF).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_ns(e.ts) > v.t_view
+          AND epoch_ns(e.ts) <= v.t_view + 3600000000000
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_buy
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_ns(e.ts) > c.t_click
+          AND epoch_ns(e.ts) <= c.t_click + 3600000000000
+        GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
+           (SELECT COUNT(*) FROM c)::BIGINT AS n_click,
+           (SELECT COUNT(*) FROM p)::BIGINT AS n_purchase
+    """,
+)
+def st_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel, each step within 1 h of the
+    previous step's FIRST occurrence.  Three per-user min-aggregations
+    chained by broadcast-eligible joins on user_id — per-step state is
+    one row per surviving user, so the funnel narrows the data as it
+    proceeds (never widens), the shape that survives a 100 TB events
+    table."""
+    e = _t(spark, sf_dir, "events")
+    hour_ns = 3600 * 10**9
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + hour_ns)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + hour_ns)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@query(
+    "st_retention_cohorts",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        FROM events
+    ),
+    first_day AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, day FROM d)
+    SELECT f.cohort_day,
+           (a.day - f.cohort_day)::BIGINT AS day_offset,
+           COUNT(DISTINCT a.user_id)::BIGINT AS n_users
+    FROM active a JOIN first_day f ON a.user_id = f.user_id
+    WHERE a.day - f.cohort_day <= 7
+    GROUP BY 1, 2
+    """,
+)
+def st_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each subsequent active day (offsets 0..7).  The
+    distinct-(user, day) projection collapses the fact table before
+    the cohort join, and the cohort frame is one row per user — the
+    join is broadcast-eligible at any event volume where the USER
+    count fits a broadcast, which is the usual asymmetry."""
+    e = _t(spark, sf_dir, "events")
+    day_ns = 86400 * 10**9
+    d = e.select("user_id", F.expr(f"ts div {day_ns}").alias("day"))
+    first = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = d.distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn("day_offset", (F.col("day") - F.col("cohort_day")).cast("bigint"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
