@@ -235,3 +235,21 @@ def pack_sequences(
         )
         .drop("_pid", "_local_cum", "_poffset")
     )
+
+
+def universe_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Join-consistent ("universe") sampling: keep every row whose KEY
+    hashes below ``fraction`` — the same key survives in every table
+    sampled with the same (fraction, salt), so FK joins between
+    independently-sampled tables retain their full join structure on
+    the sampled key universe.
+
+    This is the sampling scheme that makes sampled join estimates
+    unbiased (row-level Bernoulli sampling of two tables keeps only
+    fraction² of matching pairs; universe sampling keeps fraction¹).
+    Rows, not a count, are kept — sampled aggregates scale up by
+    1/fraction on the key dimension.
+    """
+    return df.filter(_unit_hash(F.col(key_col), salt) < F.lit(fraction))

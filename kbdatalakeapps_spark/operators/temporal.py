@@ -182,3 +182,37 @@ def trailing_range_agg(
     for name, agg in aggs.items():
         out = out.withColumn(name, agg.over(w))
     return out
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: int = 30 * 60 * 10**9,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign a per-key session index to every EVENT (session_counts
+    aggregates per session; this keeps row granularity for downstream
+    per-event features).
+
+    A session breaks when the gap to the previous event is ≥ ``gap``
+    (nanos) — matching Spark's session_window semantics where an exact
+    gap starts a new session.  One window pass per key: lag + running
+    sum of break flags; ``tiebreak_col`` makes the intra-key order
+    total so the assignment is deterministic under ties.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(ts_col).over(w)
+    brk = (
+        F.when(prev.isNull(), F.lit(1))
+        .when(F.col(ts_col) - prev >= gap, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return df.withColumn("_brk", brk).withColumn(
+        "session_idx",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_brk")

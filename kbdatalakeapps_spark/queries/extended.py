@@ -1836,3 +1836,80 @@ def st_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "st_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS t FROM events
+    ),
+    l AS (
+        SELECT event_id, user_id, t,
+               LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        FROM e
+    ),
+    b AS (
+        SELECT event_id, user_id, t,
+               CASE WHEN prev IS NULL OR t - prev >= 1800000000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM l
+    )
+    SELECT event_id, user_id,
+           SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING
+           )::BIGINT AS session_idx
+    FROM b
+    """,
+)
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (operators/temporal.py::sessionize,
+    30-min gap): the row-granularity sibling of st_session_windows —
+    one window pass per user, event_id tiebreak for a total order."""
+    from ..operators.temporal import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", 30 * 60 * 10**9).select(
+        "event_id", "user_id", F.col("session_idx").cast("bigint").alias("session_idx")
+    )
+
+
+@query(
+    "sp_universe_sample",
+    oracle="""
+    WITH o AS (
+        SELECT * FROM orders
+        WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT::DOUBLE
+              / 1152921504606846976 < 0.1
+    ),
+    l AS (
+        SELECT * FROM lineitem
+        WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT::DOUBLE
+              / 1152921504606846976 < 0.1
+    )
+    SELECT o.o_orderstatus,
+           COUNT(DISTINCT o.o_orderkey)::BIGINT AS n_orders,
+           COUNT(l.l_orderkey)::BIGINT AS n_items
+    FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def sp_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-consistent universe sampling (sampling.py::universe_sample):
+    orders and lineitem sampled INDEPENDENTLY at 10% on the same key
+    hash still join with full per-key structure — a Bernoulli row
+    sample would retain only 1% of matching pairs.  The oracle proves
+    the two sampled sides line up exactly."""
+    from ..operators.sampling import universe_sample
+
+    o = universe_sample(_t(spark, sf_dir, "orders"), "o_orderkey", 0.1)
+    l = universe_sample(_t(spark, sf_dir, "lineitem"), "l_orderkey", 0.1)
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("l_orderkey").alias("n_items"),
+        )
+    )

@@ -85,3 +85,26 @@ def test_range_join_plan_is_equijoin(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # hash/sort-merge equi-join on _bucket
+
+
+def test_sessionize_matches_session_window_counts(spark):
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.temporal import sessionize
+    from kbdatalakeapps_spark.streaming.incremental import session_counts
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    per_event = sessionize(e, "user_id", "ts", 30 * 60 * 10**9)
+    n_sessions = {
+        r.user_id: r.n
+        for r in per_event.groupBy("user_id")
+        .agg(F.max("session_idx").alias("n"))
+        .collect()
+    }
+    agg_sessions = {
+        r[0]: r[1]
+        for r in session_counts(e, gap="30 minutes")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    }
+    assert n_sessions == agg_sessions
