@@ -273,3 +273,95 @@ def kmv_set_stats(
         union_est.alias("union_est"),
         F.expr("(1000000 * overlap) div n_merged").alias("jaccard_ppm"),
     ).withColumn("inter_est", F.expr("(overlap * union_est) div n_merged"))
+
+
+# Fixed per-row salts for the count-min hash functions (same trick as
+# dedup.MINHASH_SEEDS: one md5 per (value, row) keeps the rows
+# independent while staying SQL-reproducible).
+CMS_DEPTH = 4
+
+
+def cms_sketch(
+    df: DataFrame, col: str, width: int = 1024, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Count-min sketch state (Cormode & Muthukrishnan 2005):
+    ``(row_idx, bucket, cnt)`` — depth independent hash rows of
+    ``width`` counters.  Frequency estimates read the MIN across rows
+    (cms_estimate), making overestimates bounded by collisions only.
+
+    The frequency complement of the cardinality sketches above, and
+    mergeable the same way: counters SUM (cms_merge), so per-partition
+    / per-day sketches roll up without revisiting raw data.  State is
+    ≤ depth × width rows regardless of input size; the build is one
+    narrow explode (depth rows per input row) into a partial-aggregated
+    groupBy — the shuffle carries pre-summed counters.
+    """
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_idx"),
+                    (
+                        _md5_long(
+                            F.concat(
+                                F.col(col).cast("string"), F.lit(f"|cms{i}")
+                            )
+                        )
+                        % width
+                    ).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(rows)
+        .select("rb.row_idx", "rb.bucket")
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min states from disjoint inputs: union + sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 1024,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Estimated frequency per key: min over the depth rows of the
+    key's counters (missing counter → 0).  The sketch is tiny
+    (≤ depth × width rows) and broadcasts; the probe never shuffles
+    the key frame."""
+    probes = keys.select(F.col(key_col)).distinct().select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        (
+                            _md5_long(
+                                F.concat(
+                                    F.col(key_col).cast("string"),
+                                    F.lit(f"|cms{i}"),
+                                )
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "rb.row_idx", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
