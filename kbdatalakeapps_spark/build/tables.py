@@ -598,3 +598,133 @@ def build_media_composition(media: DataFrame) -> DataFrame:
     return _restrict_project_dedup(
         media, None, MEDIA_COMPOSITION_SCHEMA, ["media_id", "compound_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# missing_functions — build_berdl_db.py:680-798
+# ---------------------------------------------------------------------------
+
+MISSING_FUNCTIONS_FLAGS = [
+    "RichGapfill",
+    "MinimalGapfill",
+    "PhenotypeGapfill",
+    "ModuleGapfill",
+    "Pangenome",
+]
+
+
+def build_missing_functions(
+    genome_reactions: DataFrame,
+    user_genome_id: str,
+    model_gapfills: DataFrame | None = None,
+    phenotypes: DataFrame | None = None,
+) -> DataFrame:
+    """missing_functions (build_berdl_db.py:680-798): the flag-union of
+    every gapfill evidence source for the user genome, one row per
+    reaction with 0/1 indicator columns.
+
+    Sources (each optional, mirroring the reference's ``if
+    os.path.exists`` guards):
+      1. ``genome_reactions`` rows for the user genome whose
+         ``gapfilling_status`` != 'none' — status containing 'rich' →
+         RichGapfill, 'minimal' or 'core' → MinimalGapfill
+         (build_berdl_db.py:690-710).
+      2. ``model_gapfills``: long (category, reaction_id) rows from the
+         model JSON ``gapfilled_reactions`` dict — category containing
+         'rich'/'minimal' sets the matching flag (:713-731).
+      3. ``phenotypes`` rows for the user genome: the ';'-joined
+         ``gapfilled_reactions`` column split/trimmed → PhenotypeGapfill
+         (:733-749).
+      4. Pangenome: reactions present in member models
+         (genome_id != user) but absent from the user model →
+         Pangenome (:752-766) — a left-anti join (J6), never a
+         collected id set.
+
+    ``RAST_function`` backfills from genome_reactions'
+    ``equation_names`` (:771-778).  The reference keeps the
+    first-in-file-order name per reaction (pandas drop_duplicates);
+    partition order isn't reproducible at lake scale, so the MIN name
+    per reaction is kept instead — deterministic under any
+    partitioning.  ``ModuleGapfill`` is declared but never set by the
+    reference (:700); it stays 0 here too.
+
+    Plan shape: each source is a narrow projection; the flag union is
+    one groupBy(Reaction).max per flag (map-side combinable); the name
+    backfill is a broadcast join against the per-reaction name table.
+    """
+    low = F.lower(F.col("gapfilling_status"))
+    zero, one = F.lit(0), F.lit(1)
+
+    def shaped(reaction, rich=None, minimal=None, pheno=None, pangen=None):
+        return [
+            reaction.alias("Reaction"),
+            (rich if rich is not None else zero).alias("RichGapfill"),
+            (minimal if minimal is not None else zero).alias("MinimalGapfill"),
+            (pheno if pheno is not None else zero).alias("PhenotypeGapfill"),
+            zero.alias("ModuleGapfill"),
+            (pangen if pangen is not None else zero).alias("Pangenome"),
+        ]
+
+    user_rxn = genome_reactions.filter(F.col("genome_id") == user_genome_id)
+    sources = [
+        user_rxn.filter(F.col("gapfilling_status") != "none").select(
+            *shaped(
+                F.col("reaction_id"),
+                rich=F.when(low.contains("rich"), one).otherwise(zero),
+                minimal=F.when(
+                    low.contains("minimal") | low.contains("core"), one
+                ).otherwise(zero),
+            )
+        )
+    ]
+    if model_gapfills is not None:
+        cat = F.lower(F.col("category"))
+        sources.append(
+            model_gapfills.select(
+                *shaped(
+                    F.col("reaction_id"),
+                    rich=F.when(cat.contains("rich"), one).otherwise(zero),
+                    minimal=F.when(cat.contains("minimal"), one).otherwise(zero),
+                )
+            )
+        )
+    if phenotypes is not None:
+        split_rxns = (
+            phenotypes.filter(F.col("genome_id") == user_genome_id)
+            .filter(
+                F.col("gapfilled_reactions").isNotNull()
+                & (F.col("gapfilled_reactions") != "")
+            )
+            .select(
+                F.explode(F.split("gapfilled_reactions", ";")).alias("_raw")
+            )
+            .select(F.trim("_raw").alias("reaction_id"))
+            .filter(F.col("reaction_id") != "")
+        )
+        sources.append(
+            split_rxns.select(*shaped(F.col("reaction_id"), pheno=one))
+        )
+    # Pangenome: member-model reactions the user model lacks (J6).
+    pan_missing = (
+        genome_reactions.filter(F.col("genome_id") != user_genome_id)
+        .select("reaction_id")
+        .distinct()
+        .join(user_rxn.select("reaction_id").distinct(), "reaction_id", "left_anti")
+    )
+    sources.append(pan_missing.select(*shaped(F.col("reaction_id"), pangen=one)))
+
+    unioned = sources[0]
+    for s in sources[1:]:
+        unioned = unioned.unionByName(s)
+    flags = unioned.groupBy("Reaction").agg(
+        *[F.max(c).alias(c) for c in MISSING_FUNCTIONS_FLAGS]
+    )
+
+    names = F.broadcast(
+        genome_reactions.groupBy(F.col("reaction_id").alias("Reaction")).agg(
+            F.min("equation_names").alias("RAST_function")
+        )
+    )
+    return flags.join(names, "Reaction", "left").select(
+        "Reaction", "RAST_function", *MISSING_FUNCTIONS_FLAGS
+    )

@@ -31,6 +31,22 @@ from .sketch import hll_bucket_rho
 
 _DEC = "decimal(38,6)"
 
+def _empty_regs():
+    # Built lazily: Column construction needs an active SparkContext.
+    return F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<int>")
+    )
+
+
+def _join_regs(out: DataFrame, regs: DataFrame, group_cols, name: str):
+    """Left-join a register frame onto the scalar rollup: a group whose
+    tracked column is all-NULL (or whose merged maps are all empty) has
+    no register rows but must stay in the rollup with an empty sketch —
+    an inner join would silently drop it."""
+    return out.join(regs, list(group_cols), "left").withColumn(
+        name, F.coalesce(F.col(name), _empty_regs())
+    )
+
 
 def rollup_aggregate(
     df: DataFrame,
@@ -60,8 +76,11 @@ def rollup_aggregate(
     out = df.groupBy(*group_cols).agg(*aggs)
     for c in distinct_cols:
         bucket, rho = hll_bucket_rho(c, p)
+        # NULLs are excluded from the sketch (count-distinct ignores
+        # NULLs; an unfiltered NULL bucket breaks map_from_entries).
         regs = (
-            df.select(*group_cols, bucket, rho)
+            df.filter(F.col(c).isNotNull())
+            .select(*group_cols, bucket, rho)
             .groupBy(*group_cols, "bucket")
             .agg(F.max("rho").cast("int").alias("max_rho"))
             .groupBy(*group_cols)
@@ -71,7 +90,7 @@ def rollup_aggregate(
                 ).alias(f"hll_{c}")
             )
         )
-        out = out.join(regs, list(group_cols))
+        out = _join_regs(out, regs, group_cols, f"hll_{c}")
     return out
 
 
@@ -124,5 +143,5 @@ def rollup_merge(
                 ).alias(f"hll_{c}")
             )
         )
-        out = out.join(regs, list(group_cols))
+        out = _join_regs(out, regs, group_cols, f"hll_{c}")
     return out

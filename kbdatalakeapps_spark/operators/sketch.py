@@ -70,11 +70,14 @@ def kmv_sketch(
 
     Mirrors the viewer's ``n_unique`` stat (SURVEY A14,
     /root/reference/data/html viewer stats panel) as a bounded-state
-    approximation.
+    approximation.  NULLs are ignored, matching count-distinct
+    semantics (md5(NULL) is NULL and would otherwise pollute the
+    sketch).
     """
     h = _hash60(F.col(col).cast("string"), hash_fn).alias("h")
     kth = (
-        df.select(h)
+        df.filter(F.col(col).isNotNull())
+        .select(h)
         .distinct()
         .orderBy("h")  # with the limit below: TakeOrdered, not a sort
         .limit(k)
@@ -112,7 +115,9 @@ def kmv_sketch_grouped(
     from pyspark.sql.window import Window
 
     h = _hash60(F.col(col).cast("string"), hash_fn).alias("h")
-    distinct = df.select(*group_cols, h).distinct()
+    distinct = (
+        df.filter(F.col(col).isNotNull()).select(*group_cols, h).distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("h")
     topk = distinct.withColumn("_rk", F.row_number().over(w)).filter(
         F.col("_rk") <= k
@@ -142,6 +147,12 @@ def hll_bucket_rho(col: str, p: int = 8, hash_fn: str = "md5"):
     the remainder via base-2 string conversion — integer-exact, no
     float log2 (whose power-of-two edge cases differ across libm
     implementations).
+
+    Callers MUST filter ``col IS NOT NULL`` first: md5(NULL) is NULL,
+    so an unfiltered NULL row yields a (bucket=NULL, rho=NULL) pair
+    that breaks register maps and estimates downstream.  The consumers
+    in this repo (:func:`hll_registers`, rollup_aggregate,
+    stream_hll_registers) all do.
     """
     rem_bits = HASH_BITS - p
     h = _hash60(F.col(col).cast("string"), hash_fn)
@@ -168,7 +179,8 @@ def hll_registers(
     """
     bucket, rho = hll_bucket_rho(col, p, hash_fn)
     return (
-        df.select(bucket, rho)
+        df.filter(F.col(col).isNotNull())
+        .select(bucket, rho)
         .groupBy("bucket")
         .agg(F.max("rho").cast("int").alias("max_rho"))
     )
@@ -240,7 +252,8 @@ def kmv_set_stats(
     """
     def sk(df, col, flag):
         return (
-            df.select(_hash60(F.col(col).cast("string"), hash_fn).alias("h"))
+            df.filter(F.col(col).isNotNull())
+            .select(_hash60(F.col(col).cast("string"), hash_fn).alias("h"))
             .distinct()
             .orderBy("h")
             .limit(k)
@@ -315,7 +328,8 @@ def cms_sketch(
         )
     ).alias("rb")
     return (
-        df.select(rows)
+        df.filter(F.col(col).isNotNull())
+        .select(rows)
         .select("rb.row_idx", "rb.bucket")
         .groupBy("row_idx", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -338,7 +352,9 @@ def cms_estimate(
     key's counters (missing counter → 0).  The sketch is tiny
     (≤ depth × width rows) and broadcasts; the probe never shuffles
     the key frame."""
-    probes = keys.select(F.col(key_col)).distinct().select(
+    probes = keys.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col)
+    ).distinct().select(
         key_col,
         F.explode(
             F.array(

@@ -738,3 +738,134 @@ def b8_genome_reaction_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return build_genome_reaction(rxn, members)
+
+
+# ---------------------------------------------------------------------------
+# b9: missing_functions — flag-union of four gapfill evidence sources
+# (build_berdl_db.py:680-798)
+# ---------------------------------------------------------------------------
+
+_B9_GR_SQL = """
+        SELECT 'g' || (o_custkey % 20) AS genome_id,
+               'rxn' || (o_orderkey % 200) AS reaction_id,
+               o_orderpriority AS equation_names,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'rich_gapfill'
+                    WHEN o_orderkey % 7 = 1 THEN 'minimal_gapfill'
+                    WHEN o_orderkey % 7 = 2 THEN 'core_gapfill'
+                    ELSE 'none' END AS gapfilling_status
+        FROM orders
+"""
+
+
+@query(
+    "b9_missing_functions_build",
+    oracle=f"""
+    WITH gr AS ({_B9_GR_SQL}),
+    model AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN 'rich media gapfilling'
+                    ELSE 'minimal media gapfilling' END AS category,
+               'rxn' || (p_partkey % 300) AS reaction_id
+        FROM part WHERE p_partkey < 100
+    ),
+    pheno AS (
+        SELECT 'g' || (o_custkey % 20) AS genome_id,
+               'rxn' || (o_orderkey % 50) || '; rxn' || (o_orderkey % 60)
+                   AS gapfilled_reactions
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    src AS (
+        SELECT reaction_id AS Reaction,
+               CASE WHEN contains(lower(gapfilling_status), 'rich')
+                    THEN 1 ELSE 0 END AS RichGapfill,
+               CASE WHEN contains(lower(gapfilling_status), 'minimal')
+                         OR contains(lower(gapfilling_status), 'core')
+                    THEN 1 ELSE 0 END AS MinimalGapfill,
+               0 AS PhenotypeGapfill, 0 AS ModuleGapfill, 0 AS Pangenome
+        FROM gr WHERE genome_id = 'g3' AND gapfilling_status <> 'none'
+        UNION ALL
+        SELECT reaction_id,
+               CASE WHEN contains(lower(category), 'rich') THEN 1 ELSE 0 END,
+               CASE WHEN contains(lower(category), 'minimal') THEN 1 ELSE 0 END,
+               0, 0, 0
+        FROM model
+        UNION ALL
+        SELECT trim(r), 0, 0, 1, 0, 0
+        FROM pheno, unnest(string_split(gapfilled_reactions, ';')) AS t(r)
+        WHERE genome_id = 'g3' AND trim(r) <> ''
+        UNION ALL
+        SELECT reaction_id, 0, 0, 0, 0, 1
+        FROM (
+            SELECT DISTINCT reaction_id FROM gr WHERE genome_id <> 'g3'
+            EXCEPT
+            SELECT DISTINCT reaction_id FROM gr WHERE genome_id = 'g3'
+        )
+    ),
+    flags AS (
+        SELECT Reaction,
+               MAX(RichGapfill) AS RichGapfill,
+               MAX(MinimalGapfill) AS MinimalGapfill,
+               MAX(PhenotypeGapfill) AS PhenotypeGapfill,
+               MAX(ModuleGapfill) AS ModuleGapfill,
+               MAX(Pangenome) AS Pangenome
+        FROM src GROUP BY Reaction
+    ),
+    names AS (
+        SELECT reaction_id AS Reaction,
+               MIN(equation_names) AS RAST_function
+        FROM gr GROUP BY reaction_id
+    )
+    SELECT f.Reaction, n.RAST_function, f.RichGapfill, f.MinimalGapfill,
+           f.PhenotypeGapfill, f.ModuleGapfill, f.Pangenome
+    FROM flags f LEFT JOIN names n USING (Reaction)
+    """,
+)
+def b9_missing_functions_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """missing_functions builder end-to-end (build_berdl_db.py:680-798):
+    orders shaped into genome_reactions with mixed gapfilling statuses,
+    part shaped into model-JSON gapfill categories (some reactions
+    outside the models → NULL RAST_function), a ';'-joined phenotype
+    gapfill column needing split+trim, and the pangenome-minus-user
+    anti-join — flag-unioned by the real builder."""
+    from ..build.tables import build_missing_functions
+
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    gr = o.select(
+        F.concat(F.lit("g"), (F.col("o_custkey") % 20).cast("string")).alias(
+            "genome_id"
+        ),
+        F.concat(F.lit("rxn"), (ok % 200).cast("string")).alias("reaction_id"),
+        F.col("o_orderpriority").alias("equation_names"),
+        F.when(ok % 7 == 0, "rich_gapfill")
+        .when(ok % 7 == 1, "minimal_gapfill")
+        .when(ok % 7 == 2, "core_gapfill")
+        .otherwise("none")
+        .alias("gapfilling_status"),
+    )
+    pk = F.col("p_partkey")
+    model = (
+        _t(spark, sf_dir, "part")
+        .filter(pk < 100)
+        .select(
+            F.when(pk % 2 == 0, "rich media gapfilling")
+            .otherwise("minimal media gapfilling")
+            .alias("category"),
+            F.concat(F.lit("rxn"), (pk % 300).cast("string")).alias(
+                "reaction_id"
+            ),
+        )
+    )
+    pheno = o.filter(ok % 11 == 0).select(
+        F.concat(F.lit("g"), (F.col("o_custkey") % 20).cast("string")).alias(
+            "genome_id"
+        ),
+        F.concat(
+            F.lit("rxn"),
+            (ok % 50).cast("string"),
+            F.lit("; rxn"),
+            (ok % 60).cast("string"),
+        ).alias("gapfilled_reactions"),
+    )
+    return build_missing_functions(
+        gr, "g3", model_gapfills=model, phenotypes=pheno
+    )

@@ -266,7 +266,8 @@ def stream_hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
 
     bucket, rho = hll_bucket_rho(col, p)
     return (
-        df.select(bucket, rho)
+        df.filter(F.col(col).isNotNull())
+        .select(bucket, rho)
         .groupBy("bucket")
         .agg(F.max("rho").cast("int").alias("max_rho"))
     )

@@ -35,7 +35,9 @@ def _frames_equal(a, b):
 
 
 def test_merge_identity(spark):
-    li = load_table(spark, SF_DIR, "lineitem").cache()
+    # No cache: sf0.001 is tiny, and a leaked InMemoryRelation on the
+    # shared session breaks test_plans' parquet-scan assertions.
+    li = load_table(spark, SF_DIR, "lineitem")
     old = li.filter("l_orderkey % 3 != 0")
     delta = li.filter("l_orderkey % 3 = 0")
     full = rollup_aggregate(li, **SPEC)

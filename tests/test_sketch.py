@@ -20,7 +20,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def lineitem(spark):
-    return load_table(spark, SF_DIR, "lineitem").cache()
+    # Unpersist in teardown: a leaked InMemoryRelation on the
+    # session-scoped SparkSession breaks later plan-shape assertions
+    # (test_plans sees InMemoryTableScan instead of a parquet scan).
+    df = load_table(spark, SF_DIR, "lineitem").cache()
+    yield df
+    df.unpersist()
 
 
 def test_kmv_within_theoretical_error(spark, lineitem):
@@ -120,3 +125,50 @@ def test_kmv_set_stats_disjoint(spark):
     assert row["overlap"] == 0
     assert row["jaccard_ppm"] == 0
     assert row["inter_est"] == 0
+
+
+def test_null_inputs_ignored(spark):
+    """NULLs must not enter any sketch (ADVICE r2): count-distinct
+    semantics ignore NULLs, and md5(NULL)=NULL otherwise corrupts
+    state (NULL kth_min, NULL register bucket, inflated counts)."""
+    from kbdatalakeapps_spark.operators.rollup import rollup_aggregate
+    from kbdatalakeapps_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+        kmv_set_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), (None, 1), (None, 2)], ["v", "g"]
+    )
+    # KMV: 2 distinct non-null values, exact below k.
+    row = kmv_sketch(df, "v", k=16).collect()[0]
+    assert row["n_hashes"] == 2 and row["estimate"] == 2
+
+    grouped = {
+        r["g"]: r["estimate"]
+        for r in kmv_sketch_grouped(df, ["g"], "v", k=16).collect()
+    }
+    assert grouped == {1: 2}  # group 2 has only NULLs -> no row
+
+    # HLL: no NULL bucket rows, estimate computes.
+    regs = hll_registers(df, "v", p=4)
+    assert regs.filter("bucket IS NULL").count() == 0
+    assert hll_estimate(regs, p=4) > 0
+
+    # Rollup with a distinct-tracked NULL column must not crash
+    # (map_from_entries rejects NULL keys).
+    roll = rollup_aggregate(df, ["g"], distinct_cols=["v"], p=4).collect()
+    by_g = {r["g"]: r for r in roll}
+    assert by_g[1]["n_rows"] == 3 and len(by_g[1]["hll_v"]) == 2
+    assert by_g[2]["hll_v"] == {}  # all-NULL group -> empty register map
+
+    # KMV set algebra ignores NULLs on both sides.
+    srow = kmv_set_stats(df, "v", df, "v", k=16).collect()[0]
+    assert srow["n_merged"] == 2 and srow["overlap"] == 2
+
+    # Count-min: NULL rows contribute no counters and no probe rows.
+    sk = cms_sketch(df, "v", width=64)
+    assert sk.agg(F.sum("cnt")).collect()[0][0] == 2 * 4  # 2 values x depth
+    est = cms_estimate(sk, df, "v", width=64)
+    assert est.filter("v IS NULL").count() == 0
