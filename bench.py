@@ -48,6 +48,15 @@ BENCH_QUERIES = [
     "sk_hll_registers",         # fixed-state cardinality sketch
 ]
 
+# Historically the 5 most expensive — measured twice, median reported.
+REPEAT_QUERIES = {
+    "flagship_order_revenue",
+    "j5_star_join",
+    "a13_viewer_aggregations",
+    "a14_column_stats",
+    "dd_minhash_lsh_pairs",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,11 +95,18 @@ def main() -> None:
     for name in BENCH_QUERIES:
         # time construction AND execution: some builders run eager
         # helper jobs (a14's median offset count) that belong in the
-        # measurement
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # measurement.  The top-5 most expensive queries run twice and
+        # report the n=2 median (mean of the pair) so round-over-round
+        # deltas are attributable against the ±40% ambient host
+        # variance documented in NOTES.md.
+        runs = 2 if name in REPEAT_QUERIES else 1
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sum(samples) / len(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

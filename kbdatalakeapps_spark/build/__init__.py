@@ -14,6 +14,7 @@ from .tables import (  # noqa: F401
     build_genome_reaction,
     build_genome_table,
     build_media_composition,
+    build_missing_functions,
     build_model_performance,
     build_ontology_definitions,
     build_ontology_relationships,

@@ -193,6 +193,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     signatures: DataFrame | None = None,
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs (id_a < id_b, n_bands ≥ 1
     shared band).
@@ -210,9 +211,14 @@ def minhash_lsh_pairs(
 
     Skew note: a boilerplate-heavy corpus can put thousands of docs in
     one band bucket, and that bucket's quadratic expansion lands in a
-    single join task.  AQE splits the stream side; if a profile shows
-    one hot fingerprint dominating, route it through
-    operators.skew.salted_join with the hot band_hash values.
+    single join task.  AQE splits the stream side; ``max_bucket_docs``
+    is the fail-loudly guard: when set, a band-bucket histogram
+    (skew.diagnose_skew's counting step) runs before the self-join and
+    a bucket above the cap raises with the hot fingerprints listed —
+    a 10-minute pre-flight error instead of a 10-hour straggler task.
+    Route flagged corpora through :func:`minhash_lsh_pairs_salted`,
+    which spreads each hot bucket over n_salts tasks via
+    skew.salted_join and returns identical pairs.
 
     ``signatures`` takes a precomputed minhash_signatures_wide frame so
     several band configurations can share one signature pass
@@ -246,6 +252,8 @@ def minhash_lsh_pairs(
     # pipeline into both sides (ReuseExchange does not canonicalize
     # through the stack/generate), doubling the dominant cost
     bands = bands.localCheckpoint(eager=False)
+    if max_bucket_docs is not None:
+        _assert_no_hot_band_buckets(bands, max_bucket_docs)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -255,6 +263,105 @@ def minhash_lsh_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def _assert_no_hot_band_buckets(bands: DataFrame, max_bucket_docs: int) -> None:
+    """Band-bucket histogram guard: one count-aggregate over the small
+    band table; a bucket of n docs expands to n(n-1)/2 candidate pairs
+    inside ONE join task, so fail loudly before the self-join runs."""
+    hot = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_docs)
+        .orderBy(F.col("n_docs").desc())
+        .limit(5)
+        .collect()
+    )
+    if hot:
+        worst = ", ".join(
+            f"(band {r['band_idx']}, {r['n_docs']} docs ≈ "
+            f"{r['n_docs'] * (r['n_docs'] - 1) // 2} pairs)"
+            for r in hot
+        )
+        raise ValueError(
+            f"minhash_lsh_pairs: band bucket(s) over max_bucket_docs="
+            f"{max_bucket_docs}: {worst}. A boilerplate-heavy corpus is "
+            "concentrating in few fingerprints; use "
+            "minhash_lsh_pairs_salted() to spread each hot bucket over "
+            "n_salts tasks (identical output), or raise band_size to "
+            "sharpen the fingerprints."
+        )
+
+
+def minhash_lsh_pairs_salted(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    signatures: DataFrame | None = None,
+    hot_bucket_docs: int = 10_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """minhash_lsh_pairs with skew.salted_join wiring for hot band
+    buckets: buckets above ``hot_bucket_docs`` docs are diagnosed
+    (skew.diagnose_skew's counting step), the pair self-join runs on a
+    composite (band_idx:band_hash) key with hot keys salted across
+    ``n_salts`` tasks, and the result is row-identical to the unsalted
+    operator (asserted in tests/test_skew.py) — the escape hatch the
+    ``max_bucket_docs`` guard points at."""
+    from .skew import salted_join
+
+    if num_hashes % band_size != 0:
+        raise ValueError("num_hashes must divide into equal bands")
+    wide = (
+        signatures
+        if signatures is not None
+        else minhash_signatures_wide(df, id_col, text_col, k, num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    fps = {
+        f"_bh{b}": F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{i}").cast("string")
+                    for i in range(b * band_size, (b + 1) * band_size)
+                ],
+            )
+        )
+        for b in range(n_bands)
+    }
+    stack_args = ", ".join(f"{b}, _bh{b}" for b in range(n_bands))
+    bands = (
+        wide.withColumns(fps)
+        .select(
+            "id",
+            F.expr(f"stack({n_bands}, {stack_args}) AS (band_idx, band_hash)"),
+        )
+        .select(
+            "id",
+            F.concat_ws(":", F.col("band_idx").cast("string"), "band_hash").alias(
+                "bucket_key"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hot_keys = (
+        bands.groupBy("bucket_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > hot_bucket_docs)
+        .select("bucket_key")
+    )
+    a = bands.select(F.col("id").alias("id_a"), "bucket_key")
+    b = bands.select(F.col("id").alias("id_b"), "bucket_key")
+    return (
+        salted_join(a, b, "bucket_key", hot_keys, n_salts=n_salts)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 

@@ -97,13 +97,24 @@ def extract_features(
     return df.select(id_col, content_col).mapInPandas(batches, out_schema)
 
 
+def _resize_array(img, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of an (h, w, ch) uint8 array — pure
+    numpy index selection, vectorized, no codec."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = np.clip(((np.arange(out_h) + 0.5) * h / out_h).astype(int), 0, h - 1)
+    xs = np.clip(((np.arange(out_w) + 0.5) * w / out_w).astype(int), 0, w - 1)
+    return img[ys][:, xs].tobytes()
+
+
 def _resize_raw_bitmap(
     content: bytes | None, w: int | None, h: int | None, out_w: int, out_h: int
 ) -> bytes | None:
     """Nearest-neighbor resample of a RAW interleaved bitmap
     (height×width×channels uint8, channels inferred from the byte
-    count).  Pure numpy index selection — vectorized, no codec.
-    Returns None for missing/malformed inputs (nulls propagate)."""
+    count).  Returns None for missing/malformed inputs (nulls
+    propagate)."""
     import numpy as np
 
     if content is None or not w or not h:
@@ -112,10 +123,88 @@ def _resize_raw_bitmap(
     if arr.size % (w * h) != 0:
         return None
     ch = arr.size // (w * h)
-    img = arr.reshape(h, w, ch)
-    ys = np.clip(((np.arange(out_h) + 0.5) * h / out_h).astype(int), 0, h - 1)
-    xs = np.clip(((np.arange(out_w) + 0.5) * w / out_w).astype(int), 0, w - 1)
-    return img[ys][:, xs].tobytes()
+    return _resize_array(arr.reshape(h, w, ch), out_w, out_h)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray / RGB / RGBA
+
+
+def _decode_png(content: bytes):
+    """Minimal pure-python PNG decode (stdlib zlib + struct): 8-bit
+    gray/RGB/RGBA, no interlace — enough for REAL compressed-format
+    coverage of the resize kernel at fixture scale.  All five scanline
+    filters (None/Sub/Up/Average/Paeth) unfilter per the PNG spec;
+    the Sub/Average/Paeth paths are per-pixel Python (fixture-scale
+    only — a production deployment swaps in PIL/opencv here).
+
+    Returns ``(ndarray h×w×ch, width, height)`` or None for a
+    non-PNG/malformed payload.  Raises NotImplementedError for valid
+    PNGs outside the supported subset, mirroring the codec stub
+    contract."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content is None or content[:8] != _PNG_SIG:
+        return None
+    pos, w, h, ctype, idat = 8, None, None, None, b""
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # chunk header + payload + CRC
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={ctype} "
+                    f"interlace={interlace} outside the pure-python "
+                    "subset (8-bit gray/RGB/RGBA, no interlace)"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        return None
+    raw = zlib.decompress(idat)
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).copy()
+        pos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up — uint8 wraparound IS the spec's mod-256 add
+            row += prev
+        elif f == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] += row[i - ch]
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - ch]) if i >= ch else 0
+                row[i] += (left + int(prev[i])) // 2
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                row[i] += a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, ch), w, h
 
 
 def resize_images(
@@ -129,9 +218,12 @@ def resize_images(
 
     RAW bitmaps (``meta.mime`` starting ``image/raw``) resize for real
     — numpy nearest-neighbor resampling using ``meta.width/height``.
-    Compressed mimes (jpeg/png/…) raise NotImplementedError: the
-    decode codec (PIL/opencv) is not in this container; plugging one in
-    changes only the per-row decode call, not the plan or batch shape."""
+    ``image/png`` decodes for real too via the pure-python
+    :func:`_decode_png` (8-bit gray/RGB/RGBA, stdlib zlib).  Other
+    compressed mimes (jpeg/webm/…) raise NotImplementedError: those
+    codecs (PIL/opencv/ffmpeg) are not in this container; plugging one
+    in changes only the per-row decode call, not the plan or batch
+    shape."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -154,7 +246,16 @@ def resize_images(
             for c, mime, w, h in zip(
                 pdf[content_col], pdf["_mime"], pdf["_w"], pdf["_h"]
             ):
-                if mime is not None and not str(mime).startswith("image/raw"):
+                mime_s = None if mime is None else str(mime)
+                if mime_s == "image/png":
+                    decoded = _decode_png(c)
+                    resized.append(
+                        None
+                        if decoded is None
+                        else _resize_array(decoded[0], width, height)
+                    )
+                    continue
+                if mime_s is not None and not mime_s.startswith("image/raw"):
                     raise NotImplementedError(
                         f"decode for {mime!r} requires PIL/opencv — not "
                         "available; plug the codec into this kernel"

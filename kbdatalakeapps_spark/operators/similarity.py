@@ -61,6 +61,7 @@ def cosine_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query.
 
@@ -69,13 +70,19 @@ def cosine_topk(
     window for top-k.  No corpus shuffle except the final k-row-per-
     query window — the 100 TB plan is exactly this shape.
     Ties break on corpus id for determinism.
+
+    ``broadcast_queries=False`` drops the broadcast hint for a query
+    set too large to ship to every executor: Catalyst plans a
+    partitioned cartesian instead — slower, but it never concentrates
+    either side in one place.  (At that scale an ANN index —
+    lsh_bucketed_topk / ivf_topk — is the real answer.)
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec"))
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q) if broadcast_queries else q)
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn(
             "cosine",
@@ -222,6 +229,7 @@ def cosine_topk_vectorized(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Arrow/NumPy fast path for brute-force cosine top-k: the query
     matrix is collected (small side) and closed over; each corpus
@@ -233,9 +241,20 @@ def cosine_topk_vectorized(
     ``cosine_topk`` (the oracle baseline) by ≤1e-9 relative — use this
     in production, that one for verification.  Measured 32× faster
     (50 queries × 5000×64 corpus: 12.5 s → 0.39 s) — per-element
-    lambda evaluation vs one BLAS matmul per Arrow batch."""
+    lambda evaluation vs one BLAS matmul per Arrow batch.
+
+    The driver-side collect is guarded: a query frame larger than
+    ``max_query_rows`` (pre-flight count — one cheap job) falls back
+    to the non-broadcast join formulation instead of OOMing the
+    driver.  100k × 64-dim float64 ≈ 50 MB closed over per task —
+    about the ceiling worth shipping."""
     import numpy as np
     import pandas as pd
+
+    if queries.count() > max_query_rows:
+        return cosine_topk(
+            corpus, queries, k, vec_col, id_col, broadcast_queries=False
+        )
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)

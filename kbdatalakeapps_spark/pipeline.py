@@ -36,6 +36,7 @@ from .build import (
     build_genome_reaction,
     build_genome_table,
     build_media_composition,
+    build_missing_functions,
     build_model_performance,
     build_ontology_definitions,
     build_ontology_relationships,
@@ -70,6 +71,10 @@ def run_clade_pipeline(
     genome_reactions: DataFrame | None = None,
     model_performance: DataFrame | None = None,
     media_compositions: DataFrame | None = None,
+    pangenome_tsv: DataFrame | None = None,
+    pangenome_annotation_frames: dict[str, DataFrame] | None = None,
+    user_genome_id: str | None = None,
+    model_gapfills: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Assemble every product table for one clade (lazy — nothing
     executes until the caller writes/collects).  Mirrors
@@ -85,6 +90,18 @@ def run_clade_pipeline(
             genome_tsv, annotation_frames, mmseqs_pairs, cluster_attrs
         ),
     }
+    if pangenome_tsv is not None:
+        # member genomes' feature table (datalake_table.py:302-367,
+        # :507-525) — same builder, sequences pruned (P9): member rows
+        # are bulk and the viewer reads sequences only for the user
+        # genome
+        tables["pangenome_feature"] = build_feature_table(
+            pangenome_tsv,
+            pangenome_annotation_frames or annotation_frames,
+            mmseqs_pairs,
+            cluster_attrs,
+            include_sequences=False,
+        )
     if statements is not None:
         # harvest term ids from the annotation long table: (prefix, id)
         from .build import annotations_long
@@ -128,6 +145,15 @@ def run_clade_pipeline(
         )
     if media_compositions is not None:
         tables["media_composition"] = build_media_composition(media_compositions)
+    if genome_reactions is not None and user_genome_id is not None:
+        # flag-union over the RAW (unrestricted) reaction rows — the
+        # pangenome source needs the non-member genomes too
+        tables["missing_functions"] = build_missing_functions(
+            genome_reactions,
+            user_genome_id,
+            model_gapfills=model_gapfills,
+            phenotypes=genome_phenotypes,
+        )
     return tables
 
 

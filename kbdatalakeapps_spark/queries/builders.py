@@ -541,11 +541,14 @@ _B6_MEMBERS_SQL = """
            fitness_match, fitness_max, fitness_min, fitness_avg,
            fitness_count, essentiality_fraction
     FROM dedup WHERE rn = 1
+    ORDER BY genome_id, gene_id, phenotype_id LIMIT 5000
     """,
 )
 def b6_gene_phenotype_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gene_phenotype builder: lineitem shaped into the gene↔phenotype
-    TSV schema (3-column PK), supplier-derived member restriction."""
+    TSV schema (3-column PK), supplier-derived member restriction.
+    Registry form bounded on the PK so the driver compare stays O(5k)
+    at any sf (the dedup still processes every row)."""
     from ..build.tables import build_gene_phenotype
 
     l = _t(spark, sf_dir, "lineitem")
@@ -579,7 +582,11 @@ def b6_gene_phenotype_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return build_gene_phenotype(gp, members)
+    return (
+        build_gene_phenotype(gp, members)
+        .orderBy("genome_id", "gene_id", "phenotype_id")
+        .limit(5000)
+    )
 
 
 @query(

@@ -233,17 +233,25 @@ def j1_inner_join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.c_name AS customer_name,
            COALESCE(c.c_mktsegment, 'unknown') AS segment
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey LIMIT 5000
     """,
 )
 def j2_left_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: broadcast left-join enrichment (the dict-map annotation joins,
-    build_berdl_db.py:468-530) + F18 null-coalescing defaults."""
+    build_berdl_db.py:468-530) + F18 null-coalescing defaults.
+    Registry form is bounded (unique-key order + limit → TakeOrdered)
+    so the driver compare stays O(5k) at any sf."""
     o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.col("c_name").alias("customer_name"),
-        F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment"),
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("c_name").alias("customer_name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment"),
+        )
+        .orderBy("o_orderkey")
+        .limit(5000)
     )
 
 
@@ -338,6 +346,7 @@ def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rn
         FROM lineitem
     ) WHERE rn = 1
+    ORDER BY pair_lo, pair_hi LIMIT 5000
     """,
 )
 def j8_pair_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +355,9 @@ def j8_pair_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Agg formulation (min-struct per pair key) — no per-group sort;
     l_quantity rides last in the struct, so full priority ties resolve
-    to the min qty (mirrored by the oracle's trailing ORDER BY key)."""
+    to the min qty (mirrored by the oracle's trailing ORDER BY key).
+    Registry form bounded on the unique pair key (pair count grows
+    superlinearly with sf; the dedup itself still runs over all rows)."""
     l = _t(spark, sf_dir, "lineitem")
     paired = l.select(
         F.least(F.col("l_partkey"), F.col("l_suppkey")).alias("pair_lo"),
@@ -361,7 +372,11 @@ def j8_pair_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["pair_lo", "pair_hi"],
         ["l_shipdate", "l_orderkey", "l_linenumber"],
     )
-    return deduped.select("pair_lo", "pair_hi", F.col("l_quantity").alias("qty"))
+    return (
+        deduped.select("pair_lo", "pair_hi", F.col("l_quantity").alias("qty"))
+        .orderBy("pair_lo", "pair_hi")
+        .limit(5000)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -456,15 +471,22 @@ def a6_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_agg(DISTINCT l_returnflag, ';' ORDER BY l_returnflag) AS flags,
            COUNT(DISTINCT l_returnflag)::BIGINT AS n_flags
     FROM lineitem GROUP BY 1
+    ORDER BY l_orderkey LIMIT 5000
     """,
 )
 def a8_sorted_set_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: `';'.join(sorted(set(...)))` per group
-    (KBDatalakeUtils.py:1142) via functions.set_string."""
+    (KBDatalakeUtils.py:1142) via functions.set_string.  Registry form
+    bounded on the unique group key."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_orderkey").agg(
-        kfn.set_string(F.collect_set("l_returnflag"), ";").alias("flags"),
-        F.countDistinct("l_returnflag").alias("n_flags"),
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            kfn.set_string(F.collect_set("l_returnflag"), ";").alias("flags"),
+            F.countDistinct("l_returnflag").alias("n_flags"),
+        )
+        .orderBy("l_orderkey")
+        .limit(5000)
     )
 
 
@@ -797,23 +819,29 @@ def f10_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN l_returnflag = 'R' THEN l_discount ELSE l_tax END AS span_end,
            ROUND(ABS(l_tax - l_discount), 4) AS span_len
     FROM lineitem
+    ORDER BY l_orderkey, l_linenumber LIMIT 5000
     """,
 )
 def f13_conditional_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: strand-aware start/end swap (datalake_table.py:16-23) + F11
-    abs-length arithmetic."""
+    abs-length arithmetic.  Registry form bounded on the unique
+    (orderkey, linenumber) key."""
     l = _t(spark, sf_dir, "lineitem")
     span = kfn.strand_normalized(
         F.col("l_discount"), F.col("l_tax"), F.when(F.col("l_returnflag") == "R", "-").otherwise("+")
     )
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        span["start"].alias("span_start"),
-        span["end"].alias("span_end"),
-        F.round(kfn.feature_length(F.col("l_discount"), F.col("l_tax")), 4).alias(
-            "span_len"
-        ),
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            span["start"].alias("span_start"),
+            span["end"].alias("span_end"),
+            F.round(
+                kfn.feature_length(F.col("l_discount"), F.col("l_tax")), 4
+            ).alias("span_len"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(5000)
     )
 
 
@@ -891,16 +919,20 @@ def f21_id_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderpriority || ';ZZZ' AS s2
         FROM orders
     )
+    ORDER BY o_orderkey LIMIT 5000
     """,
 )
 def j9_merge_term_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: split two ';'-lists, set-union, sorted re-join
-    (build_berdl_db.py:481-521) via functions.merge_term_strings."""
+    (build_berdl_db.py:481-521) via functions.merge_term_strings.
+    Registry form bounded on the unique order key."""
     o = _t(spark, sf_dir, "orders")
     s1 = F.concat_ws(";", F.col("o_orderstatus"), F.col("o_orderpriority"))
     s2 = F.concat_ws(";", F.col("o_orderpriority"), F.lit("ZZZ"))
-    return o.select(
-        "o_orderkey", kfn.merge_term_strings(s1, s2, ";").alias("merged")
+    return (
+        o.select("o_orderkey", kfn.merge_term_strings(s1, s2, ";").alias("merged"))
+        .orderBy("o_orderkey")
+        .limit(5000)
     )
 
 

@@ -357,6 +357,7 @@ def f12_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN growth THEN 'FN'
                 ELSE 'CN' END AS reconciled
     FROM p
+    ORDER BY o_orderkey LIMIT 5000
     """,
 )
 def f15_reconcile_class(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,11 +368,15 @@ def f15_reconcile_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("FP")
     )
     growth = F.col("o_totalprice") > 150000
-    return o.select(
-        "o_orderkey",
-        cls.alias("cls"),
-        growth.alias("growth"),
-        kfn.reconcile_class(cls, growth).alias("reconciled"),
+    return (
+        o.select(
+            "o_orderkey",
+            cls.alias("cls"),
+            growth.alias("growth"),
+            kfn.reconcile_class(cls, growth).alias("reconciled"),
+        )
+        .orderBy("o_orderkey")
+        .limit(5000)
     )
 
 
@@ -1115,12 +1120,15 @@ def w5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                (p_partkey % 50) * 10.0 + (p_size % 10) * 5 + 5 AS hi
         FROM part
     ) p ON e.value >= p.lo AND e.value <= p.hi
+    ORDER BY e.event_id, p.interval_id LIMIT 5000
     """,
 )
 def r5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via interval bucketing: the equi-join on
     bucket id replaces the BroadcastNestedLoopJoin Spark would pick for
-    the raw theta predicate.  Oracle is the plain theta join."""
+    the raw theta predicate.  Oracle is the plain theta join.  Match
+    output grows ~quadratically with sf (881k rows at sf0.01), so the
+    registry form is bounded on the unique (event, interval) key."""
     from ..operators.temporal import range_join_bucketed
 
     e = _t(spark, sf_dir, "events").select("event_id", "value")
@@ -1131,7 +1139,8 @@ def r5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi"
         ),
     )
-    return range_join_bucketed(e, p, "value", "lo", "hi", bucket_size=50)
+    out = range_join_bucketed(e, p, "value", "lo", "hi", bucket_size=50)
+    return out.orderBy("event_id", "interval_id").limit(5000)
 
 
 @query(
@@ -1271,16 +1280,18 @@ def a19_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_num
     FROM orders
+    ORDER BY row_num LIMIT 5000
     """,
 )
 def w7_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global row numbering without the single-partition window a
     plain ROW_NUMBER() OVER (ORDER BY …) plans — the two-phase
-    range-partitioned form."""
+    range-partitioned form.  Numbering runs over ALL rows; only the
+    returned page is bounded."""
     from ..operators.relational import global_row_number
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    return global_row_number(o, ["o_orderkey"])
+    return global_row_number(o, ["o_orderkey"]).orderBy("row_num").limit(5000)
 
 
 # ---------------------------------------------------------------------------
@@ -1710,17 +1721,21 @@ def a22_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)::BIGINT AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
     FROM w GROUP BY 1, 2
+    ORDER BY window_start_s, event_type LIMIT 5000
     """,
 )
 def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window counts/sums per event type.  Each event covers
     exactly window/slide = 2 windows; the oracle materializes both
     covering starts per event, which is precisely Spark's expansion
-    before the aggregation."""
+    before the aggregation.  Registry form bounded on the unique
+    (window, type) key — window count grows with the time span."""
     from ..streaming.incremental import sliding_counts
 
-    return sliding_counts(
-        _t(spark, sf_dir, "events"), "600 seconds", "300 seconds"
+    return (
+        sliding_counts(_t(spark, sf_dir, "events"), "600 seconds", "300 seconds")
+        .orderBy("window_start_s", "event_type")
+        .limit(5000)
     )
 
 
@@ -1912,4 +1927,125 @@ def sp_universe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_orders"),
             F.count("l_orderkey").alias("n_items"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k3: concrete feature-vector predictor parity (K3/K4) — the reference's
+# one-hot SSO/KO layout (berdl/berdl/prediction/phenotype.py:20-63) and
+# RAST-vector classifier shape (lib/KBDatalakeApps/utils.py:147-162),
+# scored end-to-end through one_hot_features + batch_predict with a
+# deterministic fixed-weight linear model standing in for the pickled
+# KNN/CatBoost (neither library ships in this container; the Arrow
+# batch contract is identical).
+# ---------------------------------------------------------------------------
+
+#: model.feature_names_ equivalent: declared vocabulary, 40 SSO + 30 KO.
+K3_VOCABULARY: list[str] = [f"SSO:{j}" for j in range(40)] + [
+    f"KO:{j}" for j in range(30)
+]
+
+#: fixed dyadic weights (exact in IEEE-754, so numpy's batch dot product
+#: and the SQL SUM agree bit-for-bit regardless of summation order).
+K3_WEIGHTS: dict[str, float] = {
+    **{f"SSO:{j}": (j + 1) * 0.125 for j in range(40)},
+    **{f"KO:{j}": (j + 1) * 0.25 for j in range(30)},
+}
+
+#: ACNP banding of the score (the reference maps classifier output to
+#: aerobe/.../{A,C,N,P} classes before writing genome rows).
+K3_BANDS: list[tuple[float, str]] = [(6.0, "P"), (4.0, "A"), (2.0, "C")]
+
+_K3_W_VALUES = ", ".join(
+    f"('{t}', {w!r})" for t, w in K3_WEIGHTS.items()
+)
+
+_K3_LONG_SQL = """
+        SELECT DISTINCT 'g' || (l_suppkey % 97) AS genome_id,
+               'SSO:' || ((l_partkey * 7 + l_suppkey * 13) % 200) AS term
+        FROM lineitem WHERE l_orderkey % 37 = 0
+        UNION
+        SELECT DISTINCT 'g' || (l_suppkey % 97),
+               'SSO:' || ((l_partkey * 11 + l_orderkey) % 200)
+        FROM lineitem WHERE l_orderkey % 37 = 0
+        UNION
+        SELECT DISTINCT 'g' || (l_suppkey % 97),
+               'KO:' || ((l_partkey * 3 + l_suppkey) % 150)
+        FROM lineitem WHERE l_orderkey % 37 = 0
+"""
+
+
+@query(
+    "k3_feature_vector_predict",
+    oracle=f"""
+    WITH long AS ({_K3_LONG_SQL}),
+    w(term, wgt) AS (VALUES {_K3_W_VALUES}),
+    scores AS (
+        SELECT genome_id, SUM(wgt) AS score
+        FROM long JOIN w USING (term) GROUP BY genome_id
+    ),
+    genomes AS (SELECT DISTINCT genome_id FROM long)
+    SELECT g.genome_id,
+           COALESCE(s.score, 0.0) AS score,
+           CASE WHEN COALESCE(s.score, 0.0) >= 6.0 THEN 'P'
+                WHEN COALESCE(s.score, 0.0) >= 4.0 THEN 'A'
+                WHEN COALESCE(s.score, 0.0) >= 2.0 THEN 'C'
+                ELSE 'N' END AS predicted_class
+    FROM genomes g LEFT JOIN scores s USING (genome_id)
+    """,
+)
+def k3_feature_vector_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K4 end-to-end: '; '-joined annotation strings split per the
+    RAST-vector flow (utils.py:147-162), SSO ∪ KO term union and
+    feature_names_ intersection per the CatBoost one-hot flow
+    (phenotype.py:20-63 — terms outside K3_VOCABULARY drop out because
+    one_hot_features only materializes declared columns), then a
+    fixed-weight linear scorer applied via the Arrow-batched
+    batch_predict stage and ACNP banding as a JVM when-chain.
+    The oracle replays the dot product as SUM over a weight VALUES
+    table — dyadic weights make both engines bit-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.predict import (
+        batch_predict,
+        classify_with_threshold,
+        one_hot_features,
+    )
+
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 37 == 0)
+    gid = F.concat(F.lit("g"), (F.col("l_suppkey") % 97).cast("string"))
+    sso_str = F.concat(
+        F.lit("SSO:"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 200).cast("string"),
+        F.lit("; SSO:"),
+        ((F.col("l_partkey") * 11 + F.col("l_orderkey")) % 200).cast("string"),
+    )
+    ko = F.concat(
+        F.lit("KO:"),
+        ((F.col("l_partkey") * 3 + F.col("l_suppkey")) % 150).cast("string"),
+    )
+    long = (
+        l.select(
+            gid.alias("genome_id"),
+            F.explode(kfn.split_multi(sso_str, "; ")).alias("term"),
+        )
+        .unionByName(l.select(gid.alias("genome_id"), ko.alias("term")))
+    )
+    feats = one_hot_features(long, "genome_id", "term", K3_VOCABULARY)
+    feature_cols = [f"f_{v}" for v in K3_VOCABULARY]
+    weights = np.array([K3_WEIGHTS[v] for v in K3_VOCABULARY])
+
+    def linear_scorer(pdf: pd.DataFrame):
+        return pdf.values.astype("float64") @ weights
+
+    scored = batch_predict(
+        feats, linear_scorer, feature_cols, "genome_id", "double", "score"
+    )
+    return scored.select(
+        "genome_id",
+        "score",
+        classify_with_threshold(F.col("score"), K3_BANDS, "N").alias(
+            "predicted_class"
+        ),
     )

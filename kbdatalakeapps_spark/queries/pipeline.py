@@ -132,13 +132,21 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bands a
     JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
     GROUP BY 1, 2
+    ORDER BY id_a, id_b LIMIT 5000
     """,
 )
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidate pairs (8 hashes, bands of 2) —
-    the 100 TB near-dup discovery path."""
-    return dd.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), k=3, num_hashes=8, band_size=2
+    the 100 TB near-dup discovery path.  Candidate-pair output grows
+    ~quadratically with duplicate density (73k rows at sf0.01), so the
+    registry form is bounded on the unique (id_a, id_b) key; the full
+    banded self-join still runs."""
+    return (
+        dd.minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), k=3, num_hashes=8, band_size=2
+        )
+        .orderBy("id_a", "id_b")
+        .limit(5000)
     )
 
 

@@ -370,3 +370,63 @@ def test_membership_report(spark):
     )
     r = membership_report(pheno, _members(spark)).collect()[0]
     assert (r.n_allowed, r.n_excluded) == (1, 2)
+
+
+def test_build_missing_functions(spark):
+    """Flag-union semantics of build_berdl_db.py:680-798: each evidence
+    source sets its flag; a reaction seen by several sources ORs them;
+    pangenome rows are member-minus-user; RAST_function backfills from
+    equation_names and stays NULL for unmodeled reactions."""
+    from kbdatalakeapps_spark.build.tables import build_missing_functions
+
+    gr = spark.createDataFrame(
+        [
+            # user genome: rxn1 rich-gapfilled, rxn2 not gapfilled
+            ("user", "rxn1", "Rich Gapfill", "alpha synthase"),
+            ("user", "rxn2", "none", "beta hydrolase"),
+            # member genomes: rxn2 (user has it), rxn3/rxn4 (user lacks)
+            ("m1", "rxn2", "none", "beta hydrolase"),
+            ("m1", "rxn3", "core_gapfill", "gamma kinase"),
+            ("m2", "rxn4", "none", "delta ligase"),
+        ],
+        "genome_id string, reaction_id string, gapfilling_status string,"
+        " equation_names string",
+    )
+    model = spark.createDataFrame(
+        [("minimal media gapfilling", "rxn1"), ("rich media gapfilling", "rxn9")],
+        "category string, reaction_id string",
+    )
+    pheno = spark.createDataFrame(
+        [
+            ("user", "rxn5; rxn1 ;"),  # needs split + trim + empty drop
+            ("m1", "rxn6"),  # not the user genome -> ignored
+            ("user", None),
+        ],
+        "genome_id string, gapfilled_reactions string",
+    )
+    out = build_missing_functions(
+        gr, "user", model_gapfills=model, phenotypes=pheno
+    )
+    rows = {r["Reaction"]: r for r in out.collect()}
+    # rxn1: rich (status) + minimal (model) + phenotype
+    assert (
+        rows["rxn1"]["RichGapfill"],
+        rows["rxn1"]["MinimalGapfill"],
+        rows["rxn1"]["PhenotypeGapfill"],
+        rows["rxn1"]["Pangenome"],
+    ) == (1, 1, 1, 0)
+    assert rows["rxn1"]["RAST_function"] == "alpha synthase"
+    # rxn2 is in the user model and never gapfilled -> absent entirely
+    assert "rxn2" not in rows
+    # rxn3/rxn4: pangenome-only (member-minus-user anti-join)
+    for rxn, name in (("rxn3", "gamma kinase"), ("rxn4", "delta ligase")):
+        r = rows[rxn]
+        assert r["Pangenome"] == 1 and r["RichGapfill"] == 0
+        assert r["RAST_function"] == name
+    # rxn9 from the model JSON has no genome_reactions row -> NULL name
+    assert rows["rxn9"]["RichGapfill"] == 1
+    assert rows["rxn9"]["RAST_function"] is None
+    # rxn5 phenotype-only; ModuleGapfill never set anywhere
+    assert rows["rxn5"]["PhenotypeGapfill"] == 1
+    assert all(r["ModuleGapfill"] == 0 for r in rows.values())
+    assert set(rows) == {"rxn1", "rxn3", "rxn4", "rxn5", "rxn9"}

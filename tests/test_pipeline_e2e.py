@@ -124,3 +124,178 @@ def test_full_clade_pipeline(spark, tmp_path):
     # parquet canonical exists per table
     back = spark.read.parquet(f"{out}/genome.parquet")
     assert back.count() == 2
+
+
+def test_full_manifest_all_product_tables(spark, tmp_path):
+    """The COMPLETE product manifest (VERDICT r2 #6): every table the
+    reference ships — datalake_table.py's ten DDL tables, the ontology
+    triple (KBDatalakeUtils.py:2693-2720), and build_berdl_db.py's
+    missing_functions — emitted from one run_clade_pipeline call to
+    SQLite + parquet with the reference's `table: N rows` summary
+    (build_berdl_db.py:1142-1148)."""
+    gtdb = spark.createDataFrame(
+        [("RS_GCF_1", "d__B;s__X", "x", 11, 99.0, 0.5, 4_000_000),
+         ("RS_GCF_2", "d__B;s__Y", "y", 22, 98.0, 1.0, 3_500_000)],
+        "accession string, gtdb_taxonomy string, ncbi_taxonomy string,"
+        " ncbi_taxid long, checkm_completeness double,"
+        " checkm_contamination double, genome_size long",
+    )
+    members = spark.createDataFrame([("RS_GCF_1",)], "genome string")
+    ani = spark.createDataFrame(
+        [("user_g1", "RS_GCF_1", 99.5, 0.9, 0.9)],
+        "genome1 string, genome2 string, ani double, af1 double, af2 double",
+    )
+    tsv_schema = (
+        "genome string, gene_id string, contig string, start int, end int,"
+        " strand string, type string, aliases string, dna_sequence string,"
+        " protein_translation string, functions string"
+    )
+    genome_tsv = spark.createDataFrame(
+        [("user_g1", "f1", "c1", 100, 400, "+", "CDS",
+          "gene:thrA", "ATG", "MKVLA", "Homoserine kinase (EC 2.7.1.39)")],
+        tsv_schema,
+    )
+    pangenome_tsv = spark.createDataFrame(
+        [("RS_GCF_1", "pf1", "c9", 10, 40, "-", "CDS",
+          "gene:thrB", "ATG", "MWWA", "kinase")],
+        tsv_schema,
+    )
+    ann = {
+        "kofam": spark.createDataFrame(
+            [("f1", "K00003"), ("pf1", "K00003")],
+            "feature_id string, KEGG string",
+        )
+    }
+    statements = spark.createDataFrame(
+        [("K00003", "rdfs:label", None, "homoserine kinase"),
+         ("K00003", "rdfs:subClassOf", "K09999", None)],
+        "subject string, predicate string, object string, value string",
+    )
+    pheno_schema = (
+        "genome_id string, phenotype_id string, phenotype_name string,"
+        " class string, simulated_objective double, observed_objective double,"
+        " gap_count int, gapfilled_reactions string, reaction_count int,"
+        " transports_added string, closest_experimental_data string,"
+        " source string"
+    )
+    genome_phenotypes = spark.createDataFrame(
+        [("RS_GCF_1", "cpd00020", "pyruvate", "P", 0.5, 1.0, 1,
+          "rxn101;rxn102", 3, "", "", "pangenome")],
+        pheno_schema,
+    )
+    gene_phenotypes = spark.createDataFrame(
+        [("RS_GCF_1", "f1", "cpd00020", "pyruvate", "model_prediction",
+          "rxn1", 1.5, "", 2.0, 0.1, 1.0, 3, 0.5)],
+        "genome_id string, gene_id string, phenotype_id string,"
+        " phenotype_name string, association_sources string,"
+        " model_pred_reactions string, model_pred_max_flux double,"
+        " fitness_match string, fitness_max double, fitness_min double,"
+        " fitness_avg double, fitness_count int,"
+        " essentiality_fraction double",
+    )
+    gene_reactions = spark.createDataFrame(
+        [("RS_GCF_1", "f1", "rxn1", 10.0, "essential", 0.0, "blocked")],
+        "genome_id string, gene_id string, reaction string,"
+        " rich_media_flux double, rich_media_class string,"
+        " minimal_media_flux double, minimal_media_class string",
+    )
+    genome_reactions = spark.createDataFrame(
+        # RS_GCF_1 is the "user" genome here; RS_GCF_2 contributes the
+        # pangenome-missing reaction rxn900
+        [("RS_GCF_1", "rxn1", "f1", "Alpha synthase", "cpd1 -> cpd2", ">",
+          1000.0, 0.0, "rich_gapfill", 5.0, "variable", 0.0, "blocked"),
+         ("RS_GCF_2", "rxn900", "pf1", "Beta reaction", "cpd3 -> cpd4", "=",
+          1000.0, -1000.0, "none", 1.0, "variable", 0.0, "blocked")],
+        "genome_id string, reaction_id string, genes string,"
+        " equation_names string, equation_ids string, directionality string,"
+        " upper_bound double, lower_bound double, gapfilling_status string,"
+        " rich_media_flux double, rich_media_class string,"
+        " minimal_media_flux double, minimal_media_class string",
+    )
+    model_performance = spark.createDataFrame(
+        [("RS_GCF_1", "d__B", 1, 2, 3, 4, None, 5, 5, None, None, "", "p")],
+        "genome_id string, taxonomy string, false_positives int,"
+        " false_negatives int, true_positives int, true_negatives int,"
+        " accuracy double, positive_growth int, negative_growth int,"
+        " avg_positive_growth_gaps double, avg_negative_growth_gaps double,"
+        " closest_user_genomes string, source string",
+    )
+    media = spark.createDataFrame(
+        [("glucose_minimal", "cpd00027", 5.0, "D-Glucose")],
+        "media_id string, compound_id string, max_uptake double,"
+        " compound_name string",
+    )
+    model_gapfills = spark.createDataFrame(
+        [("minimal media gapfilling", "rxn500")],
+        "category string, reaction_id string",
+    )
+
+    tables = run_clade_pipeline(
+        gtdb_meta=gtdb,
+        member_ids=members,
+        user_genomes=None,
+        ani_sources=[ani],
+        genome_tsv=genome_tsv,
+        annotation_frames=ann,
+        mmseqs_pairs=None,
+        cluster_attrs=None,
+        statements=statements,
+        genome_phenotypes=genome_phenotypes,
+        gene_phenotypes=gene_phenotypes,
+        gene_reactions=gene_reactions,
+        genome_reactions=genome_reactions,
+        model_performance=model_performance,
+        media_compositions=media,
+        pangenome_tsv=pangenome_tsv,
+        user_genome_id="RS_GCF_1",
+        model_gapfills=model_gapfills,
+    )
+    out = str(tmp_path / "full_out")
+    counts = export_database(tables, out)
+    # the reference's full shipped-table set: 10 DDL tables +
+    # ontology triple + missing_functions
+    assert counts == {
+        "genome": 2,
+        "ani": 1,
+        "user_feature": 1,
+        "pangenome_feature": 1,
+        "ontology_terms": 1,
+        "ontology_relationships": 1,
+        "ontology_definitions": 1,
+        "genome_phenotype": 1,
+        "gene_phenotype": 1,
+        "genome_gene_reaction_essentially_test": 1,
+        # RS_GCF_2's row is dropped by the member restriction; the raw
+        # frame still feeds missing_functions' pangenome source below
+        "genome_reaction": 1,
+        "model_performance": 1,
+        "media_composition": 1,
+        # rxn1 (rich status) + rxn101/rxn102 (phenotype splits) +
+        # rxn500 (model JSON) + rxn900 (pangenome anti-join)
+        "missing_functions": 5,
+    }
+
+    con = sqlite3.connect(f"{out}/db.sqlite")
+    names = {r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'"
+    )}
+    assert names == set(counts)
+    # pangenome_feature is sequence-pruned (P9)
+    pf_cols = {r[1] for r in con.execute("PRAGMA table_info(pangenome_feature)")}
+    assert "dna_sequence" not in pf_cols and "protein_sequence" not in pf_cols
+    # missing_functions flag-union spot checks
+    mf = {
+        r[0]: r[1:]
+        for r in con.execute(
+            "SELECT Reaction, RichGapfill, MinimalGapfill, PhenotypeGapfill,"
+            " Pangenome, RAST_function FROM missing_functions"
+        )
+    }
+    assert mf["rxn1"] == (1, 0, 0, 0, "Alpha synthase")
+    assert mf["rxn900"] == (0, 0, 0, 1, "Beta reaction")
+    assert mf["rxn500"] == (0, 1, 0, 0, None)
+    assert mf["rxn101"][2] == 1 and mf["rxn102"][2] == 1
+    # model_performance derives the NULL accuracy: (3+4)/(1+2+3+4)
+    acc = con.execute("SELECT accuracy FROM model_performance").fetchone()[0]
+    assert acc == 0.7
+    con.close()

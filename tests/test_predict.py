@@ -67,3 +67,55 @@ def test_task_stage_per_key_groups(spark):
     )
     got = {r.genome: (r.n_reactions, r.total_flux) for r in out.collect()}
     assert got == {"g1": (2, 5), "g2": (1, 5)}
+
+
+def test_k3_one_hot_layout_and_class_parity(spark):
+    """Concrete K3/K4 parity fixture (reference phenotype.py:20-63 and
+    utils.py:147-162): the one-hot matrix over a declared
+    feature_names_ vocabulary, a fixed-weight linear scorer through
+    batch_predict, and ACNP banding — all hand-checked."""
+    import numpy as np
+    import pandas as pd
+
+    from kbdatalakeapps_spark.operators.predict import (
+        batch_predict,
+        classify_with_threshold,
+        one_hot_features,
+    )
+
+    vocab = ["SSO:1", "SSO:2", "KO:9"]
+    weights = {"SSO:1": 1.0, "SSO:2": 2.5, "KO:9": 4.0}
+    long = spark.createDataFrame(
+        [
+            ("gA", "SSO:1"), ("gA", "SSO:2"), ("gA", "SSO:2"),  # dup term
+            ("gA", "SSO:999"),  # outside feature_names_ -> dropped
+            ("gB", "KO:9"),
+            ("gC", "SSO:777"),  # no vocab terms at all -> zero vector
+        ],
+        "genome_id string, term string",
+    )
+    feats = one_hot_features(long, "genome_id", "term", vocab)
+    # exact one-hot layout: column order follows the vocabulary
+    assert feats.columns == ["genome_id", "f_SSO:1", "f_SSO:2", "f_KO:9"]
+    mat = {r["genome_id"]: (r["f_SSO:1"], r["f_SSO:2"], r["f_KO:9"])
+           for r in feats.collect()}
+    assert mat == {"gA": (1, 1, 0), "gB": (0, 0, 1), "gC": (0, 0, 0)}
+
+    w = np.array([weights[v] for v in vocab])
+    scored = batch_predict(
+        feats,
+        lambda pdf: pdf.values.astype("float64") @ w,
+        [f"f_{v}" for v in vocab],
+        "genome_id",
+        "double",
+        "score",
+    )
+    out = scored.select(
+        "genome_id",
+        "score",
+        classify_with_threshold(
+            F.col("score"), [(4.0, "P"), (3.0, "A"), (1.0, "C")], "N"
+        ).alias("cls"),
+    )
+    got = {r["genome_id"]: (r["score"], r["cls"]) for r in out.collect()}
+    assert got == {"gA": (3.5, "A"), "gB": (4.0, "P"), "gC": (0.0, "N")}
