@@ -253,3 +253,63 @@ def universe_sample(
     1/fraction on the key dimension.
     """
     return df.filter(_unit_hash(F.col(key_col), salt) < F.lit(fraction))
+
+
+def hash_sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    quantiles: list[float],
+    sample_mod: int = 16,
+    salt: str = "q",
+) -> DataFrame:
+    """Deterministic sampled quantiles — the bounded-cost scale path
+    for the viewer's exact median/percentile stats (A14,
+    serving.column_stats).  Exact distributed quantiles need a global
+    sort of every row; Spark's ``percentile`` merges all group buffers
+    in ONE task and ``percentile_approx`` state isn't
+    engine-portable.  Here: keep the 1-in-``sample_mod`` rows whose
+    md5(key‖salt) lands on residue 0 (content-keyed — the same sample
+    at any partitioning, any engine, any day), then take EXACT
+    quantiles of the sample via the two-phase global row number — no
+    single-task sort, no opaque sketch state, and the whole result is
+    SQL-oracle-checkable.
+
+    Sampling error scales as ~1/sqrt(n/sample_mod) quantile rank
+    deviation; pick sample_mod so the sample still holds ~1M rows at
+    the target scale.  ``quantiles`` should be exactly-representable
+    doubles (0.25, 0.5, …) so floor((n-1)·q) computes identically
+    across engines.  Returns (quantile, value) rows; ties order by
+    ``key_col`` for determinism.
+    """
+    from .relational import global_row_number
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    sample = df.filter(h % sample_mod == 0).select(value_col, key_col)
+    numbered = global_row_number(sample, [value_col, key_col], out_col="_rn")
+    totals = numbered.agg(F.max("_rn").alias("_n"))
+    targets = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("quantile"),
+                        (F.floor((F.col("_n") - 1) * F.lit(float(q))) + 1).alias(
+                            "_rn"
+                        ),
+                    )
+                    for q in quantiles
+                ]
+            )
+        ).alias("t")
+    ).select("t.quantile", "t._rn")
+    return (
+        numbered.join(F.broadcast(targets), "_rn")
+        .select("quantile", F.col(value_col).alias("value"))
+    )

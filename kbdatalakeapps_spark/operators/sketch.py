@@ -381,3 +381,94 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — membership complement of the sketches above.  32-bit
+# words (not 64) so the set-bit masks stay positive in BIGINT on every
+# engine (1<<63 sign behavior differs); state is m_bits/32 rows.
+# ---------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_probes(key: Column, m_bits: int, n_hashes: int):
+    """(word_idx, mask) pairs for a key's ``n_hashes`` bloom bits —
+    md5-derived (portable), salt '|bf{i}' per hash function."""
+    out = []
+    for i in range(n_hashes):
+        j = _md5_long(F.concat(key.cast("string"), F.lit(f"|bf{i}"))) % m_bits
+        # shiftleft needs a literal shift count; 2^b is exact in double
+        # for b ≤ 31 (why the word size is 32, not 64)
+        mask = F.pow(F.lit(2.0), (j % BLOOM_WORD_BITS).cast("double")).cast(
+            "bigint"
+        )
+        out.append(
+            F.struct(
+                F.floor(j / BLOOM_WORD_BITS).cast("int").alias("word_idx"),
+                mask.alias("mask"),
+            )
+        )
+    return out
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 16384, n_hashes: int = 3
+) -> DataFrame:
+    """Bloom filter state over a key column: ``(word_idx, word)`` —
+    ≤ m_bits/32 rows regardless of input size.
+
+    The 100 TB use: build on the SMALL side of a join, broadcast, and
+    pre-filter the big side before the shuffle
+    (:func:`bloom_might_contain` or a semi-join on surviving keys) —
+    rows whose key cannot match never enter the exchange.  Spark's own
+    runtime row-group bloom pruning needs on-disk filters; this one is
+    engine-portable state built in one partial-aggregated pass
+    (explode n_hashes rows/key → groupBy(word).bit_or, map-side
+    combined), mergeable across corpora with another bit_or.  NULL
+    keys are excluded (no membership semantics)."""
+    probes = F.explode(
+        F.array(*_bloom_probes(F.col(key_col), m_bits, n_hashes))
+    ).alias("p")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(probes)
+        .select("p.word_idx", "p.mask")
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    keys: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 16384,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """(key, maybe_present) per distinct probe key: true iff ALL
+    n_hashes bits are set — never a false negative, false positives at
+    the standard (1 - e^{-kn/m})^k rate.
+
+    The bloom state broadcasts (≤ m_bits/32 rows); the probe frame
+    never shuffles except its own distinct."""
+    probes = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(
+                F.array(*_bloom_probes(F.col(key_col), m_bits, n_hashes))
+            ).alias("p"),
+        )
+        .select(key_col, "p.word_idx", "p.mask")
+    )
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) != 0
+    ).cast("int")
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(key_col)
+        .agg((F.min(hit) == 1).alias("maybe_present"))
+    )

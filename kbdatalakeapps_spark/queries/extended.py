@@ -853,12 +853,57 @@ def k2_rast_seed_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dd_keeper_assignment")  # rows-only: iterative label propagation
+def _keeper_oracle_sql() -> str:
+    # the LSH pair derivation is shared verbatim with
+    # dd_minhash_lsh_pairs' oracle; the component labels come from a
+    # RECURSIVE transitive-closure CTE (min reachable id per node) —
+    # the same fixpoint the Spark label propagation converges to, so
+    # the iterative operator gets a full hash-verified twin instead of
+    # a rows-only check
+    from .pipeline import _MINHASH_SQL
+
+    return f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT id, hash_idx // 2 AS band_idx,
+               md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx))
+                   AS band_hash
+        FROM sig GROUP BY id, hash_idx // 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.id < b.id
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id AS id,
+           COALESCE(c.component, d.doc_id) AS keeper,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_keeper
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
+
+@query("dd_keeper_assignment", oracle=_keeper_oracle_sql())
 def dd_keeper_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup decision: minhash-LSH candidate pairs → connected
-    components (min-label propagation) → per-doc canonical keeper.
-    Iterative fixpoint loop — no single-statement SQL twin; verified
-    against union-find in tests/test_graph.py."""
+    components (min-label propagation, operators/graph.py) → per-doc
+    canonical keeper.  The Spark side is the iterative O(diameter)
+    fixpoint; the oracle replays it as a DuckDB recursive
+    transitive-closure CTE — O(V·|component|) state, fine at fixture
+    scale, unthinkable at lake scale, which is exactly why the
+    distributed form exists.  Also cross-checked against union-find in
+    tests/test_graph.py."""
     from ..operators import dedup as dd
     from ..operators.graph import keeper_assignment
 
@@ -2048,4 +2093,43 @@ def k3_feature_vector_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify_with_threshold(F.col("score"), K3_BANDS, "N").alias(
             "predicted_class"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sp_quantile_sample: the A14 percentile scale path — content-keyed
+# 1-in-16 sample, exact quantiles of the sample via the two-phase
+# global row number (operators/sampling.py::hash_sampled_quantiles).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sp_quantile_sample",
+    oracle="""
+    WITH s AS (
+        SELECT value, event_id,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM events
+        WHERE ('0x' || substr(md5(event_id::VARCHAR || 'q'), 1, 15))::BIGINT
+              % 16 = 0
+    )
+    SELECT q.quantile::DOUBLE AS quantile, s.value
+    FROM (VALUES (0.25), (0.5), (0.75)) q(quantile)
+    JOIN s ON s.rn = FLOOR((s.n - 1) * q.quantile::DOUBLE) + 1
+    """,
+)
+def sp_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled quartiles of events.value: deterministic md5 row sample
+    (same rows at any partitioning/engine), exact rank pick inside the
+    sample — bounded cost at 100 TB where serving.exact_median_df's
+    full-data sort+offset would dominate."""
+    from ..operators.sampling import hash_sampled_quantiles
+
+    return hash_sampled_quantiles(
+        _t(spark, sf_dir, "events"),
+        "value",
+        "event_id",
+        [0.25, 0.5, 0.75],
+        sample_mod=16,
     )

@@ -153,3 +153,106 @@ def sk_kmv_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         k=256,
     )
+
+
+@query(
+    "sk_cms_heavy_hitters",
+    oracle="""
+    WITH r AS (
+        SELECT i.row_idx,
+               ('0x' || substr(md5(user_id::VARCHAR || '|cms' || i.row_idx),
+                               1, 15))::BIGINT % 1024 AS bucket
+        FROM events, (VALUES (0),(1),(2),(3)) i(row_idx)
+    ),
+    cnt AS (
+        SELECT row_idx, bucket, COUNT(*)::BIGINT AS cnt
+        FROM r GROUP BY 1, 2
+    ),
+    pb AS (
+        SELECT p.user_id, i.row_idx,
+               ('0x' || substr(md5(p.user_id::VARCHAR || '|cms' || i.row_idx),
+                               1, 15))::BIGINT % 1024 AS bucket
+        FROM (SELECT DISTINCT user_id FROM events) p,
+             (VALUES (0),(1),(2),(3)) i(row_idx)
+    )
+    SELECT user_id, MIN(COALESCE(c.cnt, 0)) AS est_count
+    FROM pb LEFT JOIN cnt c USING (row_idx, bucket)
+    GROUP BY user_id
+    ORDER BY est_count DESC, user_id LIMIT 50
+    """,
+)
+def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters from a count-min sketch: per-user event frequency
+    estimated from depth×width bounded counters (the frequency
+    complement of the KMV/HLL cardinality sketches), top-50 by
+    estimate.  The md5-derived counters make the sketch STATE
+    SQL-reproducible, so over/under-estimates from hash collisions are
+    themselves under the hash gate.  At lake scale the sketch
+    broadcasts (≤ depth×width rows) and the probe never shuffles."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    sketch = sk.cms_sketch(e, "user_id", width=1024)
+    est = sk.cms_estimate(sketch, e, "user_id", width=1024)
+    return est.orderBy(F.desc("est_count"), "user_id").limit(50)
+
+
+@query(
+    "sk_bloom_prefilter",
+    oracle="""
+    WITH probes3 AS (SELECT unnest([0, 1, 2]) AS i),
+    bloom AS (
+        SELECT word_idx, bit_or(mask) AS word
+        FROM (
+            SELECT (('0x' || substr(md5(c_custkey::VARCHAR || '|bf' || i),
+                                    1, 15))::BIGINT % 16384) // 32 AS word_idx,
+                   1::BIGINT << ((('0x' || substr(md5(c_custkey::VARCHAR
+                                   || '|bf' || i), 1, 15))::BIGINT % 16384)
+                                 % 32)::INT AS mask
+            FROM customer, probes3
+        ) GROUP BY word_idx
+    ),
+    keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        UNION
+        SELECT DISTINCT o_custkey + 500000 FROM orders
+    ),
+    pb AS (
+        SELECT k,
+               (('0x' || substr(md5(k::VARCHAR || '|bf' || i), 1, 15))::BIGINT
+                % 16384) // 32 AS word_idx,
+               1::BIGINT << ((('0x' || substr(md5(k::VARCHAR || '|bf' || i),
+                               1, 15))::BIGINT % 16384) % 32)::INT AS mask
+        FROM keys, probes3
+    )
+    SELECT k AS o_custkey,
+           MIN(CASE WHEN (COALESCE(b.word, 0) & pb.mask) <> 0
+                    THEN 1 ELSE 0 END) = 1 AS maybe_present
+    FROM pb LEFT JOIN bloom b USING (word_idx)
+    GROUP BY k
+    ORDER BY o_custkey LIMIT 5000
+    """,
+)
+def sk_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-join filter: customer keys folded into m=16384-bit /
+    3-hash portable bloom state (≤512 words, broadcast), probed by real
+    order custkeys plus an equal set of shifted (absent) keys.  The
+    100 TB use: drop big-side rows whose join key cannot match BEFORE
+    the shuffle.  No false negatives by construction — the oracle
+    hash-matches the exact bit state, so the false-positive pattern
+    itself is deterministic.  Registry form bounded on the unique key."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketch import bloom_build, bloom_might_contain
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bloom = bloom_build(cust, "c_custkey", m_bits=16384, n_hashes=3)
+    keys = orders.select(F.col("o_custkey")).unionByName(
+        orders.select((F.col("o_custkey") + 500000).alias("o_custkey"))
+    )
+    return (
+        bloom_might_contain(keys, bloom, "o_custkey", m_bits=16384, n_hashes=3)
+        .orderBy("o_custkey")
+        .limit(5000)
+    )

