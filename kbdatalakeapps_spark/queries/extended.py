@@ -1088,13 +1088,102 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dd_dedup_corpus")  # rows-only: contains iterative CC stage
+def _dedup_corpus_oracle_sql() -> str:
+    # every stage of the composite replayed in SQL: exact keeper map,
+    # survivor shingles, minhash signatures + bands (shared seed table
+    # with dd_minhash*'s oracles), candidates-only Jaccard verify, and
+    # the recursive transitive-closure component labels (same pattern
+    # as dd_keeper_assignment's oracle)
+    from .pipeline import _SEED_VALUES
+
+    return f"""
+    WITH RECURSIVE
+    hashed AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
+    exact_keep AS (SELECT h, MIN(id) AS keep FROM hashed GROUP BY h),
+    exact_map AS (
+        SELECT hashed.id, exact_keep.keep FROM hashed
+        JOIN exact_keep USING (h)
+    ),
+    survivors AS (
+        SELECT d.doc_id AS id, lower(d.text) AS txt
+        FROM documents d JOIN exact_map m
+          ON d.doc_id = m.id AND m.id = m.keep
+    ),
+    sh AS (
+        SELECT DISTINCT id, substr(txt, i, 3) AS shingle
+        FROM (
+            SELECT id, txt,
+                   unnest(range(1, GREATEST(length(txt) - 1, 1))) AS i
+            FROM survivors
+        )
+    ),
+    sig AS (
+        SELECT id, s.hash_idx,
+               MIN(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT, s.seed))
+                   AS minhash
+        FROM sh, (VALUES {_SEED_VALUES}) s(hash_idx, seed)
+        GROUP BY id, s.hash_idx
+    ),
+    bands AS (
+        SELECT id, hash_idx // 2 AS band_idx,
+               md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx))
+                   AS band_hash
+        FROM sig GROUP BY id, hash_idx // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*)::BIGINT AS n FROM sh GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*)::BIGINT AS inter
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND a.shingle = b.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+        SELECT i.id_a, i.id_b FROM inter i
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        WHERE i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ),
+    reach(id, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    near_map AS (
+        SELECT s.id, COALESCE(c.component, s.id) AS near_keep
+        FROM survivors s LEFT JOIN comp c ON c.id = s.id
+    )
+    SELECT m.id AS doc_id,
+           COALESCE(n.near_keep, m.keep) AS keeper,
+           CASE WHEN m.id <> m.keep THEN 'exact'
+                WHEN COALESCE(n.near_keep, m.keep) <> m.id THEN 'near'
+                ELSE 'keeper' END AS stage,
+           m.id = COALESCE(n.near_keep, m.keep) AS is_keeper
+    FROM exact_map m LEFT JOIN near_map n ON n.id = m.keep
+    """
+
+
+@query("dd_dedup_corpus", oracle=_dedup_corpus_oracle_sql())
 def dd_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete dedup pipeline in one composite: exact content-hash
     dedup → LSH candidates on survivors → candidates-only exact-Jaccard
     verification → connected components → keeper per doc, with a
     ``stage`` column recording where each duplicate was eliminated.
-    Rows-only (CC fixpoint loop); invariants asserted in
+    Fully hash-verified: the oracle replays all five stages, with the
+    CC fixpoint as a recursive transitive-closure CTE.  Invariants
+    additionally asserted in
     tests/test_graph.py::test_dedup_corpus_invariants."""
     from ..operators import dedup as dd
 

@@ -360,3 +360,46 @@ def table_profile_df(df: DataFrame) -> DataFrame:
             F.countDistinct("v").alias("n_distinct"),
         )
     )
+
+
+def column_stats_sketched(
+    df: DataFrame,
+    column: str,
+    key_col: str,
+    k: int = 256,
+    sample_mod: int = 16,
+) -> dict:
+    """A14 with PORTABLE bounded state — the third point on the
+    exact/approx dial of :func:`column_stats`.  ``exact=False`` uses
+    Spark-internal sketches (approx_count_distinct's HLL++ state,
+    percentile_approx's buffers): fast, but opaque and
+    engine-specific.  This variant uses the repo's deterministic
+    sketches instead — distinct via the KMV k-minimum-values sketch
+    and median via the content-keyed hash-sampled exact-rank pick —
+    so the SAME numbers are reproducible in DuckDB/ANSI-SQL and
+    stable under repartitioning, which makes the approximate serving
+    path itself regression-testable (the property the whole oracle
+    gate is built on).
+
+    ``key_col`` keys the median sample (a unique row id); min/max and
+    counts stay exact (they're cheap single-pass aggregates at any
+    scale)."""
+    from .operators.sampling import hash_sampled_quantiles
+    from .operators.sketch import kmv_sketch
+
+    c = F.col(column)
+    base = df.agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.sum(c.isNull().cast("long")).alias("null_count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+    ).collect()[0]
+    out = base.asDict()
+    out["distinct_count"] = kmv_sketch(df, column, k=k).collect()[0][
+        "estimate"
+    ]
+    med = hash_sampled_quantiles(
+        df, column, key_col, [0.5], sample_mod=sample_mod
+    ).collect()
+    out["median"] = med[0]["value"] if med else None
+    return out

@@ -271,3 +271,18 @@ def stream_hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").cast("int").alias("max_rho"))
     )
+
+
+def stream_cms_sketch(df: DataFrame, col: str, width: int = 1024) -> DataFrame:
+    """Streaming count-min sketch — approximate per-key frequencies
+    over an unbounded stream with FIXED state (depth × width counters).
+
+    Counter increments are a SUM fold, so the identical
+    explode+groupBy plan from the batch path
+    (operators/sketch.py::cms_sketch) runs in update/complete mode and
+    the streaming state IS the sketch; probe the sink's counters with
+    sketch.cms_estimate for running heavy-hitter queries.  The
+    frequency complement of :func:`stream_hll_registers`."""
+    from ..operators.sketch import cms_sketch
+
+    return cms_sketch(df, col, width=width)

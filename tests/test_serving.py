@@ -246,3 +246,26 @@ def test_table_profile_df(spark):
     assert prof["id"].n_distinct == 4
     assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
     assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+
+
+def test_column_stats_sketched(spark):
+    """The portable-sketch stats path: exact scalars match the exact
+    endpoint; KMV distinct is within theory error; the sampled median
+    is the exact rank pick of the deterministic sample — identical
+    under repartitioning."""
+    from kbdatalakeapps_spark.serving import column_stats, column_stats_sketched
+
+    df = spark.range(0, 4000).selectExpr(
+        "id AS k", "CAST((id * 13) % 997 AS DOUBLE) AS v"
+    )
+    exact = column_stats(df, "v", exact=True)
+    sk = column_stats_sketched(df, "v", "k", k=256, sample_mod=8)
+    assert sk["total_count"] == exact["total_count"]
+    assert sk["null_count"] == exact["null_count"]
+    assert sk["min"] == exact["min"] and sk["max"] == exact["max"]
+    assert abs(sk["distinct_count"] - exact["distinct_count"]) < exact[
+        "distinct_count"
+    ] * 4 / (256 ** 0.5)
+    assert abs(sk["median"] - exact["median"]) < 997 * 0.1
+    sk2 = column_stats_sketched(df.repartition(13), "v", "k", k=256, sample_mod=8)
+    assert sk2 == sk

@@ -309,3 +309,25 @@ def test_stream_checkpoint_recovery(spark, tmp_path):
     run_once()
     # a.parquet not reprocessed, b.parquet ingested once: 2n, not 3n
     assert spark.read.parquet(out).count() == 2 * n
+
+
+def test_stream_cms_sketch_match_batch(spark, tmp_path):
+    from kbdatalakeapps_spark.operators.sketch import cms_sketch
+    from kbdatalakeapps_spark.streaming.incremental import stream_cms_sketch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    batch = cms_sketch(load_table(spark, SF_DIR, "events"), "user_id", width=256)
+    stream = stream_cms_sketch(stream_events(spark, str(src)), "user_id", width=256)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cms_counters")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cms_counters")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
