@@ -395,3 +395,52 @@ def ngram_counts(
             F.sum("_doc").alias("n_docs"),
         )
     )
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide duplicate-LINE statistics per document — the
+    line-level complement of the document-level dedup family
+    (Gopher/MassiveText drop documents dominated by boilerplate lines
+    that repeat across the corpus: nav bars, cookie banners, license
+    headers).
+
+    Returns ``(id, n_lines, n_dup_lines, dup_line_ratio)`` where a
+    line is "dup" when its exact text occurs in MORE THAN ONE document
+    corpus-wide.  Lines shorter than ``min_line_chars`` are ignored
+    (ubiquitous short lines — '', '*', '---' — would dominate).
+
+    Plan: explode lines once; the corpus-wide line→doc-frequency
+    aggregate is map-side combinable on the uniform line-hash key; the
+    per-doc rollup joins doc-frequency back on that same key.  Both
+    shuffles are hash-distributed — no skew beyond genuinely viral
+    lines, which is precisely the signal."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .filter(F.length("line") >= min_line_chars)
+        .select("id", F.md5("line").alias("lh"))
+    )
+    # distinct docs per line (not occurrences): a line repeated inside
+    # ONE doc is repetition_ratio's business, not cross-doc boilerplate
+    docfreq = lines.distinct().groupBy("lh").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        lines.join(docfreq, "lh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup_lines"),
+        )
+        .withColumn(
+            "dup_line_ratio",
+            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6),
+        )
+    )

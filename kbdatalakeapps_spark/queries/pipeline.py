@@ -1110,3 +1110,93 @@ def tx_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = rel.rrf_fuse([lex, sem], id_col="doc_id", rank_col="rank")
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
+@query(
+    "tx_line_dedup",
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id AS id, md5(l) AS lh
+        FROM documents, unnest(string_split(text, chr(10))) t(l)
+        WHERE length(l) >= 10
+    ),
+    docfreq AS (
+        SELECT lh, COUNT(*)::BIGINT AS df
+        FROM (SELECT DISTINCT id, lh FROM lines) GROUP BY lh
+    )
+    SELECT id, COUNT(*)::BIGINT AS n_lines,
+           SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_lines,
+           ROUND(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_line_ratio
+    FROM lines JOIN docfreq USING (lh)
+    GROUP BY id
+    """,
+)
+def tx_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-line statistics (boilerplate signal):
+    per-doc count and share of lines whose exact text appears in more
+    than one document corpus-wide (operators/text.py::line_dedup_stats)."""
+    return tx.line_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dq_referential_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           COUNT(*)::BIGINT,
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           COUNT(*)::BIGINT,
+           SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           COUNT(*)::BIGINT,
+           SUM(CASE WHEN c2.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+    FROM events e LEFT JOIN customer c2 ON e.user_id = c2.c_custkey
+    """,
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the pre-flight data-quality scan a
+    lake ingestion runs before joins are trusted: per declared FK edge,
+    total rows and orphan rows (left join miss).  Each edge is one
+    broadcast/shuffle left join with a map-side-combined count — at
+    100 TB the dimension sides broadcast and the audit costs one scan
+    per fact table.  (The reference relies on SQLite FK DDL to reject
+    orphans row-by-row at insert; a lake audits declaratively.)"""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    e = _t(spark, sf_dir, "events")
+
+    def edge(fact, dim, fk, pk, label):
+        return (
+            fact.join(F.broadcast(dim), fact[fk] == dim[pk], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(dim[pk].isNull().cast("long")).alias("n_orphans"),
+            )
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return (
+        edge(o, c, "o_custkey", "c_custkey", "orders.o_custkey->customer")
+        .unionByName(
+            edge(l, o, "l_orderkey", "o_orderkey", "lineitem.l_orderkey->orders")
+        )
+        .unionByName(
+            edge(l, p, "l_partkey", "p_partkey", "lineitem.l_partkey->part")
+        )
+        .unionByName(
+            edge(e, c, "user_id", "c_custkey", "events.user_id->customer")
+        )
+    )

@@ -113,3 +113,30 @@ def test_rrf_fuse_fixed_point(spark):
     assert got[4] == (s // 63, 1)
     # the doc found by both arms outranks both single-arm docs
     assert got[2][0] > got[1][0] and got[2][0] > got[4][0]
+
+
+def test_line_dedup_stats(spark):
+    """Cross-doc duplicate-line detection: a line counts as dup only
+    when it appears in >1 DOCUMENT; within-doc repeats and short lines
+    don't count."""
+    from kbdatalakeapps_spark.operators.text import line_dedup_stats
+
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique first body line here\nshort"),
+            (2, f"{boiler}\nanother unique body line text"),
+            # within-doc repeat of a line no other doc has
+            (3, "only in doc three, repeated\nonly in doc three, repeated"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_lines"], r["n_dup_lines"], r["dup_line_ratio"])
+        for r in line_dedup_stats(docs, min_line_chars=10).collect()
+    }
+    # doc1: 'short' filtered (<10 chars) -> 2 lines, 1 dup (boiler)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    # doc3's repeated line exists only in doc3 -> not cross-doc dup
+    assert got[3] == (2, 0, 0.0)
