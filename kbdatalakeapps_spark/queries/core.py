@@ -855,17 +855,23 @@ def f13_conditional_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'blocked' END AS directionality,
            CASE WHEN ABS(value - 60) < 1e-6 THEN TRUE ELSE FALSE END AS is_zero_flux
     FROM events
+    ORDER BY event_id LIMIT 5000
     """,
 )
 def f14_when_chain_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14: directionality-from-bounds when-chain
-    (KBDatalakeUtils.py:1063-1072) + F12 zero-flux threshold."""
+    (KBDatalakeUtils.py:1063-1072) + F12 zero-flux threshold.
+    Registry form bounded on the unique event id."""
     e = _t(spark, sf_dir, "events")
     lower, upper = F.col("value") - 100, F.col("value") - 20
-    return e.select(
-        "event_id",
-        kfn.directionality(lower, upper).alias("directionality"),
-        kfn.is_zero_flux(F.col("value") - 60).alias("is_zero_flux"),
+    return (
+        e.select(
+            "event_id",
+            kfn.directionality(lower, upper).alias("directionality"),
+            kfn.is_zero_flux(F.col("value") - 60).alias("is_zero_flux"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
     )
 
 

@@ -313,6 +313,7 @@ def f8_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN vmin < -1e-6 AND vmax <= 1e-6 THEN 'reverse_only'
                 ELSE 'variable' END AS fva_class
     FROM b
+    ORDER BY event_id LIMIT 5000
     """,
 )
 def f12_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,11 +328,15 @@ def f12_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((vmin < -eps) & (vmax <= eps), "reverse_only")
         .otherwise("variable")
     )
-    return e.select(
-        "event_id",
-        F.round(vmin, 6).alias("vmin"),
-        F.round(vmax, 6).alias("vmax"),
-        cls.alias("fva_class"),
+    return (
+        e.select(
+            "event_id",
+            F.round(vmin, 6).alias("vmin"),
+            F.round(vmax, 6).alias("vmax"),
+            cls.alias("fva_class"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
     )
 
 
@@ -1045,6 +1050,7 @@ def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)::BIGINT AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
     FROM sessions GROUP BY user_id, sess
+    ORDER BY user_id, session_start_s LIMIT 5000
     """,
 )
 def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,10 +1058,16 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-capable sessionization operator; the oracle is the classic
     gaps-and-islands formulation.  Boundary semantics: a gap of
     exactly 30 min starts a new session (strict half-open window
-    overlap), hence >= in the oracle's break condition."""
+    overlap), hence >= in the oracle's break condition.  Registry form
+    bounded on the unique (user, session-start) key — session count
+    grows with the event span."""
     from ..streaming.incremental import session_counts
 
-    return session_counts(_t(spark, sf_dir, "events"), gap="30 minutes")
+    return (
+        session_counts(_t(spark, sf_dir, "events"), gap="30 minutes")
+        .orderBy("user_id", "session_start_s")
+        .limit(5000)
+    )
 
 
 @query(
@@ -1448,13 +1460,15 @@ def w7_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 300 SECONDS PRECEDING AND CURRENT ROW)
+    ORDER BY event_id LIMIT 5000
     """,
 )
 def w8_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 5-minute window per user via operators.temporal
     .trailing_range_agg: one shuffle on user_id, monotone frame
     pointer, decimal-exact running sum (matches the oracle's DuckDB
-    RANGE INTERVAL frame bit-for-bit)."""
+    RANGE INTERVAL frame bit-for-bit).  Registry form bounded on the
+    unique event id (output is one row per event)."""
     from ..operators.temporal import trailing_range_agg
 
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
@@ -1468,11 +1482,17 @@ def w8_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_sum": F.sum(F.col("value").cast("decimal(38,2)")),
         },
     )
-    return out.select(
-        "event_id",
-        "user_id",
-        "n_window",
-        (F.col("_sum").cast("double") / F.col("n_window")).alias("avg_window"),
+    return (
+        out.select(
+            "event_id",
+            "user_id",
+            "n_window",
+            (F.col("_sum").cast("double") / F.col("n_window")).alias(
+                "avg_window"
+            ),
+        )
+        .orderBy("event_id")
+        .limit(5000)
     )
 
 
@@ -2010,17 +2030,26 @@ def st_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS UNBOUNDED PRECEDING
            )::BIGINT AS session_idx
     FROM b
+    ORDER BY event_id LIMIT 5000
     """,
 )
 def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event session assignment (operators/temporal.py::sessionize,
     30-min gap): the row-granularity sibling of st_session_windows —
-    one window pass per user, event_id tiebreak for a total order."""
+    one window pass per user, event_id tiebreak for a total order.
+    Registry form bounded on the unique event id."""
     from ..operators.temporal import sessionize
 
     e = _t(spark, sf_dir, "events")
-    return sessionize(e, "user_id", "ts", 30 * 60 * 10**9).select(
-        "event_id", "user_id", F.col("session_idx").cast("bigint").alias("session_idx")
+    return (
+        sessionize(e, "user_id", "ts", 30 * 60 * 10**9)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("session_idx").cast("bigint").alias("session_idx"),
+        )
+        .orderBy("event_id")
+        .limit(5000)
     )
 
 
