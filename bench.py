@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "dd_contamination",         # benchmark n-gram decontamination
     "st_interval_join",         # interval join (stream-stream twin)
     "sk_hll_registers",         # fixed-state cardinality sketch
+    # round-3 additions (appended so earlier keys stay comparable)
+    "b9_missing_functions_build",  # flag-union product builder
+    "k3_feature_vector_predict",   # one-hot + Arrow-batched scoring
+    "sk_bloom_prefilter",          # bloom build + probe
+    "tx_line_dedup",               # cross-doc duplicate-line stats
 ]
 
 # Historically the 5 most expensive — measured twice, median reported.
