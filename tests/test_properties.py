@@ -183,3 +183,71 @@ def test_chunk_documents_reconstructs(text):
         assert r.chunk_text == text[start : start + 50]
         rebuilt += r.chunk_text[10:] if len(r.chunk_text) > 10 else ""
     assert text.startswith(rebuilt[: len(text)])
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+             max_size=60, unique=True),
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+             max_size=30, unique=True),
+)
+@settings(max_examples=15, deadline=None)
+def test_bloom_membership_properties(inserted, probes):
+    """Bloom invariant under arbitrary key sets: every inserted key
+    probes true (no false negatives), regardless of collisions."""
+    from kbdatalakeapps_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from kbdatalakeapps_spark.session import get_spark
+
+    spark = get_spark("props", shuffle_partitions=2)
+    ins = spark.createDataFrame([(k,) for k in inserted], "k long")
+    bloom = bloom_build(ins, "k", m_bits=2048, n_hashes=3)
+    probe_keys = sorted(set(inserted) | set(probes))
+    pr = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    got = {
+        r["k"]: r["maybe_present"]
+        for r in bloom_might_contain(pr, bloom, "k", m_bits=2048, n_hashes=3).collect()
+    }
+    assert all(got[k] for k in inserted)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=20,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_hash_sampled_quantiles_is_exact_on_sample(rows):
+    """The quantile pick equals the independently computed exact rank
+    of the deterministic md5 sample, for arbitrary value distributions
+    (ties included via the key tiebreak)."""
+    import hashlib
+
+    from kbdatalakeapps_spark.operators.sampling import hash_sampled_quantiles
+    from kbdatalakeapps_spark.session import get_spark
+
+    spark = get_spark("props", shuffle_partitions=2)
+    df = spark.createDataFrame(rows, "k long, v double")
+    sample = sorted(
+        (v, k)
+        for k, v in rows
+        if int(hashlib.md5(f"{k}q".encode()).hexdigest()[:15], 16) % 2 == 0
+    )
+    got = {
+        r["quantile"]: r["value"]
+        for r in hash_sampled_quantiles(
+            df, "v", "k", [0.5], sample_mod=2
+        ).collect()
+    }
+    if not sample:
+        assert got == {}
+    else:
+        assert got[0.5] == sample[(len(sample) - 1) // 2][0]
