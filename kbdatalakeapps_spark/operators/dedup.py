@@ -326,6 +326,7 @@ def minhash_lsh_pairs_salted(
     signatures: DataFrame | None = None,
     hot_bucket_docs: int = 10_000,
     n_salts: int = 16,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """minhash_lsh_pairs with skew.salted_join wiring for hot band
     buckets: buckets above ``hot_bucket_docs`` docs are diagnosed
@@ -341,7 +342,7 @@ def minhash_lsh_pairs_salted(
     wide = (
         signatures
         if signatures is not None
-        else minhash_signatures_wide(df, id_col, text_col, k, num_hashes)
+        else minhash_signatures_wide(df, id_col, text_col, k, num_hashes, hash_fn)
     )
     n_bands = num_hashes // band_size
     fps = {

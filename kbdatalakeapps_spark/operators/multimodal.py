@@ -185,13 +185,13 @@ def _decode_png(content: bytes):
             pass
         elif f == 2:  # Up — uint8 wraparound IS the spec's mod-256 add
             row += prev
-        elif f == 1:  # Sub
-            for i in range(ch, stride):
-                row[i] += row[i - ch]
+        elif f == 1:  # Sub — explicit mod-256 so semantics don't depend
+            for i in range(ch, stride):  # on numpy scalar-promotion rules
+                row[i] = (int(row[i]) + int(row[i - ch])) & 0xFF
         elif f == 3:  # Average
             for i in range(stride):
                 left = int(row[i - ch]) if i >= ch else 0
-                row[i] += (left + int(prev[i])) // 2
+                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
                 a = int(row[i - ch]) if i >= ch else 0
@@ -199,7 +199,8 @@ def _decode_png(content: bytes):
                 c = int(prev[i - ch]) if i >= ch else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                row[i] += a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
         else:
             raise NotImplementedError(f"PNG filter type {f}")
         out[y] = row

@@ -291,7 +291,15 @@ def hash_sampled_quantiles(
         16,
         10,
     ).cast("long")
-    sample = df.filter(h % sample_mod == 0).select(value_col, key_col)
+    # NULL values are excluded BEFORE sampling: the exact path
+    # (serving.exact_median_df) ignores NULLs, and Spark's window sort
+    # puts NULLS FIRST where DuckDB's puts them LAST — keeping them
+    # would shift the sampled ranks differently per engine.
+    sample = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(h % sample_mod == 0)
+        .select(value_col, key_col)
+    )
     numbered = global_row_number(sample, [value_col, key_col], out_col="_rn")
     totals = numbered.agg(F.max("_rn").alias("_n"))
     targets = totals.select(

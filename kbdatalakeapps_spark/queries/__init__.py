@@ -23,65 +23,74 @@ from . import sketches  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
+#: Round-4 rotation: the 41 queries that have NEVER carried a hard
+#: driver signal (VERDICT r3 list), plus 8 previously-green sentinels
+#: (ADVICE r3: keep regression signal on already-verified queries —
+#: one per major family, biased toward the highest-risk plans).
+#: 50/50 green here ⇒ all 141 registered queries have cumulative
+#: driver-oracle proof.
 DRIVER_WINDOW: list[str] = [
     "flagship_order_revenue",
-    # product-table builders (reference datalake_table.py / build_berdl_db.py)
-    "b1_genome_phenotype_build",
-    "b2_model_performance_build",
-    "b3_ontology_relationships_build",
-    "b4_ontology_definitions_build",
-    "b5_media_composition_build",
-    "b6_gene_phenotype_build",
+    # viewer stats extensions (reference stats dialog)
+    "a18_histogram",
+    "a19_skew_diagnosis",
+    "a20_cube",
+    "a20_group_percentiles",
+    "a21_corr_stats",
+    "a22_table_profile",
+    "a22_zscore_outliers",
+    "a23_rollup_state",
+    # dedup tail
+    "dd_contamination",
+    "dd_dedup_corpus",
+    "dd_embedding_neardup",
+    "dd_incremental_dedup",
+    "dd_keeper_assignment",
+    "dd_semantic_dedup",
+    "dd_sorted_neighborhood",
+    # data-quality audit
+    "dq_referential_audit",
+    # multimodal
+    "mm_content_stats",
+    "mm_extract_features",
+    "mm_resize_images",
+    "mm_sample_frames",
+    # reshape / range join
+    "r3_melt",
+    "r4_map_explode",
+    "r5_range_join",
+    # REST bulk-list enrichment
+    "s11_kegg_enrichment",
+    # similarity / ANN
+    "sim_cosine_topk",
+    "sim_embedding_norms",
+    "sim_ivf_topk",
+    "sim_lsh_bucket_counts",
+    "sim_mean_pool",
+    # sketch tail
+    "sk_bloom_prefilter",
+    "sk_cms_heavy_hitters",
+    # sampled quantiles (A14 scale path)
+    "sp_quantile_sample",
+    # text-analysis tail
+    "tx_bm25_search",
+    "tx_chunk_documents",
+    "tx_hybrid_rrf",
+    "tx_line_dedup",
+    "tx_ngram_counts",
+    "tx_pii_scrub",
+    "tx_quality_filter",
+    "tx_repetition",
+    "tx_vocab_stats",
+    # sentinels: previously driver-green, re-checked for regressions
+    "dd_minhash_lsh_pairs",
+    "r1_ontology_style_pivot",
+    "a14_column_stats",
+    "j5_star_join",
+    "j8_pair_dedup_first_wins",
+    "p10_filter_dsl",
     "b7_gene_reaction_build",
-    "b8_genome_reaction_build",
-    "b9_missing_functions_build",
-    # concrete predictor parity (K3/K4)
-    "k3_feature_vector_predict",
-    "k2_rast_seed_mapping",
-    # sketches
-    "sk_kmv_distinct",
-    "sk_kmv_grouped",
     "sk_hll_registers",
-    "sk_kmv_join_stats",
-    # sampling
-    "sp_hash_split",
-    "sp_stratified_sample",
-    "sp_mixture_sample",
-    "sp_pack_sequences",
-    "sp_weighted_sample",
-    "sp_universe_sample",
-    # temporal / streaming batch twins
-    "st_tumbling_counts",
-    "st_session_windows",
-    "st_interval_join",
-    "st_sliding_counts",
-    "st_funnel",
-    "st_retention_cohorts",
-    "st_sessionize",
-    # windows / sorts / paging
-    "w4_ranking_suite",
-    "w5_asof_join",
-    "w6_top_k_per_group",
-    "w7_global_row_number",
-    "w8_trailing_window",
-    "o4_limit_offset",
-    "o5_existence_probe",
-    "o6_keyset_page",
-    # scalar-function tail
-    "f6_gene_rule_tokens",
-    "f7_dict_replacement",
-    "f8_prefix_strip",
-    "f12_threshold_bands",
-    "f15_reconcile_class",
-    "f17_map_encoding",
-    "f19_arrays_zip",
-    "f20_json_flatten",
-    # joins / aggregations never in a window
-    "j4_multihop_hash_chain",
-    "j10_lookup_enrichment",
-    "a7_group_max_abs",
-    "a12_source_counts",
-    "a17_rollup",
 ]
 
 

@@ -2229,7 +2229,8 @@ def k3_feature_vector_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
                COUNT(*) OVER () AS n
         FROM events
-        WHERE ('0x' || substr(md5(event_id::VARCHAR || 'q'), 1, 15))::BIGINT
+        WHERE value IS NOT NULL
+          AND ('0x' || substr(md5(event_id::VARCHAR || 'q'), 1, 15))::BIGINT
               % 16 = 0
     )
     SELECT q.quantile::DOUBLE AS quantile, s.value

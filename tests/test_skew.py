@@ -95,6 +95,16 @@ def test_lsh_hot_band_guard_and_salted_parity(spark):
     # the hot cluster alone contributes 40*39/2 pairs
     assert plain.count() >= 40 * 39 // 2
 
+    # ADVICE r3: the guard's error message directs xxhash64 callers to
+    # the salted operator claiming identical output — that only holds
+    # if hash_fn forwards to the signature build.
+    plain_xx = minhash_lsh_pairs(docs, max_bucket_docs=100, hash_fn="xxhash64")
+    salted_xx = minhash_lsh_pairs_salted(
+        docs, hot_bucket_docs=10, n_salts=4, hash_fn="xxhash64"
+    )
+    assert plain_xx.exceptAll(salted_xx).count() == 0
+    assert salted_xx.exceptAll(plain_xx).count() == 0
+
 
 def test_cosine_topk_vectorized_fallback(spark):
     """Oversized query frame must NOT be collected: the guard falls
