@@ -82,15 +82,19 @@ DRIVER_WINDOW: list[str] = [
     "tx_quality_filter",
     "tx_repetition",
     "tx_vocab_stats",
+    # given-centroids halves of the two rows-only queries (full hash
+    # oracles — the iterative k-means stays rows-only by nature)
+    "dd_semantic_dedup_assign",
+    "sim_ivf_assign_topk",
     # sentinels: previously driver-green, re-checked for regressions
+    # (one per major plan family; builders/sketches were fully green
+    # in r3 so they cede their slots to the two assign queries)
     "dd_minhash_lsh_pairs",
     "r1_ontology_style_pivot",
     "a14_column_stats",
     "j5_star_join",
     "j8_pair_dedup_first_wins",
     "p10_filter_dsl",
-    "b7_gene_reaction_build",
-    "sk_hll_registers",
 ]
 
 

@@ -935,11 +935,175 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means inverted lists, nprobe=2 probe
     search, exact cosine inside probed lists.  Driver check is
     rows-only (the k-means iteration has no single-statement SQL twin);
-    recall vs brute force is asserted in tests/test_similarity.py."""
+    recall vs brute force is asserted in tests/test_similarity.py.
+    The relational portion (given-centroids assignment + probe + top-k)
+    carries a full hash oracle as sim_ivf_assign_topk."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.kmeans_centroids(emb, k=8, iterations=2)
     qs = emb.filter(F.col("vec_id") < 3)
     return sim.ivf_topk(emb, qs, cents, k=5, nprobe=2)
+
+
+def _fixed_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic given-centroids fixture: the first 8 corpus
+    vectors, relabelled (centroid_id, centroid).  Splits the iterative
+    (rows-only) clustering from the relational assignment so the
+    assignment/dedup/top-k halves of SemDeDup and IVF get full hash
+    oracles (VERDICT r3 #3) — DuckDB reproduces the same centroids
+    from the same parquet."""
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+
+
+# Shared oracle fragment: squared-L2 distance of every embedding to
+# each of the 8 fixed centroids, decimal-summed (order-free), and the
+# O(dim) subscript-indexing form (a double-unnest LATERAL is O(dim²)
+# per pair — NOTES.md).
+_ASSIGN_D2_SQL = """
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid
+        FROM embeddings WHERE vec_id < 8
+    ),
+    d2 AS (
+        SELECT e.vec_id, c.centroid_id,
+               SUM(CAST(
+                   (CAST(e.embedding[u.pos] AS DOUBLE) - CAST(c.centroid[u.pos] AS DOUBLE))
+                 * (CAST(e.embedding[u.pos] AS DOUBLE) - CAST(c.centroid[u.pos] AS DOUBLE))
+                   AS DECIMAL(38,15))) AS d
+        FROM embeddings e,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos) u,
+             cents c
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT vec_id,
+               SQRT(CAST(SUM(CAST(CAST(e.embedding[u.pos] AS DOUBLE)
+                                * CAST(e.embedding[u.pos] AS DOUBLE)
+                                  AS DECIMAL(38,15))) AS DOUBLE)) AS nrm
+        FROM embeddings e,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos) u
+        GROUP BY 1
+    )
+"""
+
+
+@query(
+    "dd_semantic_dedup_assign",
+    oracle=f"""
+    WITH {_ASSIGN_D2_SQL},
+    assigned AS (
+        SELECT vec_id, centroid_id
+        FROM (SELECT vec_id, centroid_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY vec_id ORDER BY d, centroid_id
+                     ) AS rn
+              FROM d2)
+        WHERE rn = 1
+    ),
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(SUM(CAST(CAST(ea.embedding[u.pos] AS DOUBLE)
+                           * CAST(eb.embedding[u.pos] AS DOUBLE)
+                             AS DECIMAL(38,15))) AS DOUBLE) AS dot
+        FROM assigned a
+        JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id,
+        LATERAL (SELECT generate_subscripts(ea.embedding, 1) AS pos) u
+        GROUP BY 1, 2
+    ),
+    dropped AS (
+        SELECT DISTINCT d.id_b AS vec_id
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.id_a
+        JOIN norms nb ON nb.vec_id = d.id_b
+        WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= 0.9
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY e.vec_id
+    """,
+)
+def dd_semantic_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's relational half under a full hash oracle: GIVEN fixed
+    centroids (the first 8 corpus vectors), assign every embedding to
+    its nearest centroid, compute within-cluster exact cosine, and drop
+    rows dominated by an earlier-id near-duplicate — the same
+    semantic_dedup code path dd_semantic_dedup exercises, minus the
+    iterative (rows-only) k-means.  Analogous to the reference's
+    nearest-template assignment (berdl/prediction/phenotype.py:20-63)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = sim.semantic_dedup(
+        emb, threshold=0.9, centroids=_fixed_centroids(emb)
+    )
+    return kept.select("vec_id", "label").orderBy("vec_id")
+
+
+@query(
+    "sim_ivf_assign_topk",
+    oracle=f"""
+    WITH {_ASSIGN_D2_SQL},
+    inv AS (
+        SELECT vec_id AS corpus_id, centroid_id
+        FROM (SELECT vec_id, centroid_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY vec_id ORDER BY d, centroid_id
+                     ) AS rn
+              FROM d2)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, centroid_id
+        FROM (SELECT vec_id, centroid_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY vec_id ORDER BY d, centroid_id
+                     ) AS rn
+              FROM d2 WHERE vec_id < 3)
+        WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.query_id, i.corpus_id
+        FROM probes p JOIN inv i USING (centroid_id)
+        WHERE i.corpus_id <> p.query_id
+    ),
+    dots AS (
+        SELECT c.query_id, c.corpus_id,
+               CAST(SUM(CAST(CAST(q.embedding[u.pos] AS DOUBLE)
+                           * CAST(e.embedding[u.pos] AS DOUBLE)
+                             AS DECIMAL(38,15))) AS DOUBLE) AS dot
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings e ON e.vec_id = c.corpus_id,
+        LATERAL (SELECT generate_subscripts(q.embedding, 1) AS pos) u
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, corpus_id,
+               ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, corpus_id
+               ) AS rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = dots.query_id
+        JOIN norms nc ON nc.vec_id = dots.corpus_id
+    )
+    SELECT query_id, corpus_id, cosine, rank::INT AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sim_ivf_assign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF's relational half under a full hash oracle: GIVEN fixed
+    centroids, inverted-list the corpus by nearest centroid, probe each
+    query's 2 nearest lists, exact cosine + top-5 within candidates —
+    the same ivf_topk code path sim_ivf_topk exercises, minus the
+    iterative (rows-only) index build."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    return sim.ivf_topk(emb, qs, _fixed_centroids(emb), k=5, nprobe=2)
 
 
 # ---------------------------------------------------------------------------
