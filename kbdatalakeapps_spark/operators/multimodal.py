@@ -208,6 +208,273 @@ def _decode_png(content: bytes):
     return out.reshape(h, w, ch), w, h
 
 
+# --- Baseline JPEG (ITU T.81) pure-python decode ---------------------------
+# Same contract as _decode_png: real decode for the dominant compressed
+# format, per-pixel Python is fixture-scale only, a production deploy
+# swaps PIL/libjpeg-turbo into the same kernel slot.
+
+#: natural-order index for each zigzag position (generated, not typed)
+def _zigzag_order() -> list[int]:
+    zz = []
+    for s in range(15):
+        rows = list(range(max(0, s - 7), min(s, 7) + 1))
+        for r in rows if s % 2 == 1 else reversed(rows):
+            zz.append(r * 8 + (s - r))
+    return zz
+
+
+_JPEG_ZZ = _zigzag_order()
+_DCT_M = None  # lazy orthonormal 8×8 DCT basis
+
+
+def _dct_matrix():
+    global _DCT_M
+    if _DCT_M is None:
+        import math
+
+        import numpy as np
+
+        m = np.zeros((8, 8))
+        for k in range(8):
+            scale = math.sqrt((1 if k == 0 else 2) / 8)
+            for n in range(8):
+                m[k, n] = scale * math.cos((2 * n + 1) * k * math.pi / 16)
+        _DCT_M = m
+    return _DCT_M
+
+
+def _huff_canonical(counts: list[int], symbols: list[int]) -> dict:
+    """(length, code) → symbol, canonical assignment per T.81 C.2."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment: un-stuffs
+    0xFF00, raises EOFError at any other marker, and can realign past
+    an RSTn restart marker."""
+
+    def __init__(self, data: bytes, start: int):
+        self.d, self.i, self.b, self.n = data, start, 0, 0
+
+    def _next_byte(self) -> int:
+        if self.i >= len(self.d):
+            raise EOFError
+        byte = self.d[self.i]
+        self.i += 1
+        if byte == 0xFF:
+            nxt = self.d[self.i] if self.i < len(self.d) else 0xD9
+            if nxt != 0x00:
+                self.i -= 1
+                raise EOFError  # a real marker ends the segment
+            self.i += 1
+        return byte
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.b = self._next_byte()
+            self.n = 8
+        self.n -= 1
+        return (self.b >> self.n) & 1
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def decode_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume the next RSTn marker."""
+        self.n = 0
+        while self.i + 1 < len(self.d):
+            if self.d[self.i] == 0xFF and 0xD0 <= self.d[self.i + 1] <= 0xD7:
+                self.i += 2
+                return
+            self.i += 1
+        raise EOFError
+
+
+def _decode_jpeg(content: bytes):
+    """Minimal pure-python baseline JPEG decode (huffman + IDCT):
+    8-bit sequential DCT (SOF0), grayscale or YCbCr with any integer
+    subsampling (4:4:4, 4:2:2, 4:2:0), restart markers honored.
+
+    Returns ``(ndarray h×w×ch, width, height)`` (ch 1 or 3, RGB), or
+    None for a non-JPEG/malformed payload.  Raises NotImplementedError
+    for valid JPEGs outside baseline (progressive SOF2, 12-bit,
+    arithmetic coding), mirroring the codec stub contract."""
+    if content is None or content[:2] != b"\xff\xd8":
+        return None
+    try:
+        return _decode_jpeg_inner(bytes(content))
+    except NotImplementedError:
+        raise
+    except Exception:
+        return None  # truncated/corrupt entropy data → null downstream
+
+
+def _decode_jpeg_inner(d: bytes):
+    import numpy as np
+
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            return None
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        seglen = int.from_bytes(d[pos : pos + 2], "big")
+        seg = d[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                prec, tid = seg[o] >> 4, seg[o] & 15
+                o += 1
+                if prec:  # 16-bit table
+                    qt[tid] = [
+                        int.from_bytes(seg[o + 2 * i : o + 2 * i + 2], "big")
+                        for i in range(64)
+                    ]
+                    o += 128
+                else:
+                    qt[tid] = list(seg[o : o + 64])
+                    o += 64
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                cls, tid = seg[o] >> 4, seg[o] & 15
+                counts = list(seg[o + 1 : o + 17])
+                nsym = sum(counts)
+                symbols = list(seg[o + 17 : o + 17 + nsym])
+                huff[(cls, tid)] = _huff_canonical(counts, symbols)
+                o += 17 + nsym
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise NotImplementedError("JPEG precision != 8")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline (SOF0) supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                return None
+            nsc = seg[0]
+            scan_tabs = {}
+            for i in range(nsc):
+                cid, tt = seg[1 + 2 * i : 3 + 2 * i]
+                scan_tabs[cid] = (tt >> 4, tt & 15)
+            return _jpeg_decode_scan(
+                d, pos + seglen, frame, qt, huff, scan_tabs,
+                restart_interval, np,
+            )
+        pos += seglen
+    return None
+
+
+def _jpeg_decode_scan(d, start, frame, qt, huff, scan_tabs, ri, np):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    m = _dct_matrix()
+    planes = {
+        cid: np.zeros((mcuy * 8 * cv, mcux * 8 * ch_))
+        for cid, ch_, cv, _ in comps
+    }
+    rd = _JpegBits(d, start)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcus_done = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcus_done and mcus_done % ri == 0:
+                rd.restart()
+                pred = {cid: 0 for cid in pred}
+            for cid, ch_, cv, tq in comps:
+                dc_tab = huff[(0, scan_tabs[cid][0])]
+                ac_tab = huff[(1, scan_tabs[cid][1])]
+                q = qt[tq]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        coef = np.zeros(64)
+                        s = rd.decode_huff(dc_tab)
+                        pred[cid] += rd.receive_extend(s)
+                        coef[0] = pred[cid] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = rd.decode_huff(ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef[_JPEG_ZZ[k]] = rd.receive_extend(s) * q[k]
+                            k += 1
+                        pix = m.T @ coef.reshape(8, 8) @ m + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch_ + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcus_done += 1
+    # upsample each component to full resolution and crop
+    full = []
+    for cid, ch_, cv, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch_, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(full[0], 0, 255).astype(np.uint8)
+        return out.reshape(h, w, 1), w, h
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(rgb, 0, 255).astype(np.uint8), w, h
+
+
 def resize_images(
     df: DataFrame,
     content_col: str = "content",
@@ -219,12 +486,12 @@ def resize_images(
 
     RAW bitmaps (``meta.mime`` starting ``image/raw``) resize for real
     — numpy nearest-neighbor resampling using ``meta.width/height``.
-    ``image/png`` decodes for real too via the pure-python
-    :func:`_decode_png` (8-bit gray/RGB/RGBA, stdlib zlib).  Other
-    compressed mimes (jpeg/webm/…) raise NotImplementedError: those
-    codecs (PIL/opencv/ffmpeg) are not in this container; plugging one
-    in changes only the per-row decode call, not the plan or batch
-    shape."""
+    ``image/png`` (:func:`_decode_png` — 8-bit gray/RGB/RGBA, stdlib
+    zlib) and ``image/jpeg`` (:func:`_decode_jpeg` — baseline huffman +
+    IDCT, any integer subsampling) decode for real too, pure python.
+    Video mimes raise NotImplementedError: no ffmpeg in this container;
+    plugging a codec in changes only the per-row decode call, not the
+    plan or batch shape."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -248,8 +515,9 @@ def resize_images(
                 pdf[content_col], pdf["_mime"], pdf["_w"], pdf["_h"]
             ):
                 mime_s = None if mime is None else str(mime)
-                if mime_s == "image/png":
-                    decoded = _decode_png(c)
+                if mime_s in ("image/png", "image/jpeg"):
+                    decode = _decode_png if mime_s == "image/png" else _decode_jpeg
+                    decoded = decode(c)
                     resized.append(
                         None
                         if decoded is None

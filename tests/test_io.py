@@ -250,14 +250,15 @@ def test_resize_images_raw_and_compressed(spark):
     assert len(rows[0].resized) == 2 * 2 * 3
     assert (rows[0].resized_width, rows[0].resized_height) == (2, 2)
 
-    jpeg = spark.createDataFrame(
-        [(2, bytearray(b"\xff\xd8fake"), ("image/jpeg", 4, 4, None))],
+    # video decode stays stubbed: no ffmpeg in this container
+    video = spark.createDataFrame(
+        [(2, bytearray(b"\x1a\x45\xdf\xa3webm"), ("video/webm", 4, 4, None))],
         media.schema,
     )
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="image/jpeg"):
-        resize_images(jpeg, width=2, height=2).collect()
+    with _pytest.raises(Exception, match="video/webm"):
+        resize_images(video, width=2, height=2).collect()
 
 
 def test_orc_roundtrip(spark, tmp_path):
@@ -452,3 +453,250 @@ def test_resize_images_png(spark):
     expect = img[[1, 3]][:, [1, 3]].tobytes()
     assert bytes(row["resized"]) == expect
     assert (row["resized_width"], row["resized_height"]) == (2, 2)
+
+
+def _encode_jpeg(img, subsample=1, q=2):
+    """Minimal baseline JPEG encoder for fixtures: 8-bit grayscale or
+    YCbCr, flat quant tables (value ``q`` — mild, so roundtrip error
+    stays near DCT rounding), flat-length canonical Huffman tables
+    (any valid table works; the decoder must rebuild from DHT),
+    4:4:4 (subsample=1) or 4:2:0 (subsample=2)."""
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.multimodal import (
+        _JPEG_ZZ,
+        _dct_matrix,
+    )
+
+    h, w, ch = img.shape
+    m = _dct_matrix()
+    qtab = [q] * 64
+
+    # ---- huffman: all DC codes length 4, all AC codes length 8 ----
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+
+    def flat(syms, ln):
+        counts = [0] * 16
+        counts[ln - 1] = len(syms)
+        return counts, {sym: (i, ln) for i, sym in enumerate(syms)}
+
+    dc_counts, dc_enc = flat(dc_syms, 4)
+    ac_counts, ac_enc = flat(ac_syms, 8)
+
+    out_bits = bytearray()
+    acc = [0, 0]  # bit accumulator, count
+
+    def put(val, length):
+        for i in range(length - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((val >> i) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                b = acc[0] & 0xFF
+                out_bits.append(b)
+                if b == 0xFF:
+                    out_bits.append(0x00)
+                acc[0] = acc[1] = 0
+
+    def size_of(v):
+        s, v = 0, abs(v)
+        while v:
+            s += 1
+            v >>= 1
+        return s
+
+    def put_block(coefq, pred):
+        diff = int(coefq[0]) - pred
+        s = size_of(diff)
+        code, ln = dc_enc[s]
+        put(code, ln)
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        acs = [int(coefq[_JPEG_ZZ[k]]) for k in range(1, 64)]
+        last = max((i for i, v in enumerate(acs) if v), default=-1)
+        run = 0
+        for v in acs[: last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_enc[0xF0]
+                put(code, ln)
+                run -= 16
+            s = size_of(v)
+            code, ln = ac_enc[(run << 4) | s]
+            put(code, ln)
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 62:
+            code, ln = ac_enc[0x00]
+            put(code, ln)
+        return int(coefq[0])
+
+    # ---- colorspace + planes ----
+    f = img.astype(np.float64)
+    if ch == 1:
+        planes = [f[:, :, 0]]
+        samps = [(1, 1)]
+    else:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == 2:
+            ph = -(-h // 2) * 2
+            pw = -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        th, tw = mcuy * 8 * sv, mcux * 8 * sh
+        padded.append(
+            np.pad(
+                p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+            )
+        )
+
+    preds = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = m @ block @ m.T
+                        coefq = np.rint(
+                            coef.reshape(-1) / np.array(qtab, dtype=float)
+                        ).astype(int)
+                        preds[ci] = put_block(coefq, preds[ci])
+    while acc[1]:
+        put(1, 1)
+
+    # ---- headers ----
+    def seg(marker, payload):
+        return (
+            b"\xff"
+            + bytes([marker])
+            + (len(payload) + 2).to_bytes(2, "big")
+            + payload
+        )
+
+    zz_q = bytes(qtab)  # flat table: zigzag reorder is the identity
+    dqt = seg(0xDB, bytes([0]) + zz_q + bytes([1]) + zz_q)
+    ncomp = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [ncomp]
+    )
+    sos_body = bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = samps[ci]
+        tq = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, (sh << 4) | sv, tq])
+        sos_body += bytes([ci + 1, (tq << 4) | tq])
+    dht = b""
+    for cls, tid, counts, syms in (
+        (0, 0, dc_counts, dc_syms),
+        (1, 0, ac_counts, ac_syms),
+        (0, 1, dc_counts, dc_syms),
+        (1, 1, ac_counts, ac_syms),
+    ):
+        dht += bytes([(cls << 4) | tid]) + bytes(counts) + bytes(syms)
+    return (
+        b"\xff\xd8"
+        + dqt
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos_body + bytes([0, 63, 0]))
+        + bytes(out_bits)
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_decode_roundtrip(spark):
+    """Pure-python baseline JPEG decode: gray and RGB, 4:4:4 and
+    4:2:0, non-multiple-of-8 dims.  Lossy format: assert the decoded
+    pixels track the originals within quantization error."""
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(11)
+    # smooth gradient + mild noise: typical photographic content
+    yy, xx = np.mgrid[0:21, 0:26]
+    base = (4 * yy + 3 * xx) % 200 + 20
+    for ch in (1, 3):
+        img = np.stack(
+            [(base + 10 * c) % 240 for c in range(ch)], axis=-1
+        ).astype(np.uint8)
+        img = np.clip(
+            img.astype(int) + rng.integers(-2, 3, img.shape), 0, 255
+        ).astype(np.uint8)
+        for sub in (1,) if ch == 1 else (1, 2):
+            decoded, w, h = _decode_jpeg(_encode_jpeg(img, subsample=sub))
+            assert (w, h) == (26, 21)
+            assert decoded.shape == img.shape
+            err = np.abs(decoded.astype(int) - img.astype(int))
+            # 4:4:4 ≈ quantization error only; 4:2:0 adds chroma
+            # averaging error on the noisy component
+            assert err.mean() < (4 if sub == 1 else 10), (ch, sub, err.mean())
+            assert err.max() < (32 if sub == 1 else 96), (ch, sub, err.max())
+    # malformed payloads -> None (null downstream), like _decode_png
+    assert _decode_jpeg(b"not a jpeg") is None
+    assert _decode_jpeg(b"\xff\xd8truncated garbage") is None
+    # valid-but-unsupported (progressive SOF2) -> NotImplementedError
+    import pytest
+
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + (2 + 9).to_bytes(2, "big")
+        + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        _decode_jpeg(sof2)
+
+
+def test_resize_images_jpeg(spark):
+    """resize_images handles image/jpeg end-to-end: encoded bytes in a
+    binary column, baseline-decoded + resized inside the Arrow batch
+    kernel."""
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.multimodal import resize_images
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack(
+        [(8 * yy + 4 * xx) % 256 for _ in range(3)], axis=-1
+    ).astype(np.uint8)
+    jpeg = _encode_jpeg(img, subsample=2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(jpeg), ("image/jpeg", 16, 16, None)),
+            (2, bytearray(b"\xff\xd8broken"), ("image/jpeg", 4, 4, None)),
+        ],
+        "media_id long, content binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    rows = {r["media_id"]: r for r in resize_images(media, width=4, height=4).collect()}
+    assert len(rows[1]["resized"]) == 4 * 4 * 3
+    got = np.frombuffer(bytes(rows[1]["resized"]), dtype=np.uint8).reshape(4, 4, 3)
+    # nearest-neighbor 16->4 picks source pixels at rows/cols 2,6,10,14
+    expect = img[[2, 6, 10, 14]][:, [2, 6, 10, 14]]
+    assert np.abs(got.astype(int) - expect.astype(int)).mean() < 12
+    # malformed jpeg propagates as null, not an exception
+    assert rows[2]["resized"] is None
