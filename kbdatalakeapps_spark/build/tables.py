@@ -209,6 +209,83 @@ def build_feature_table(
     return out
 
 
+#: Reference DDL shapes for the two shipped feature tables — column
+#: names IN ORDER with their Spark types (datalake_table.py:475-496 for
+#: user_feature, :507-525 for pangenome_feature).  Deliberate
+#: deviations, both additive/subtractive only: pangenome_feature prunes
+#: protein_sequence (P9 — the viewer reads sequences only for the user
+#: genome), and derived extras (gene_name, ontology_EC_from_functions)
+#: append AFTER the DDL prefix.
+USER_FEATURE_DDL: list[tuple[str, str]] = [
+    ("genome", "string"),
+    ("contig", "string"),
+    ("feature_id", "string"),
+    ("aliases", "string"),
+    ("length", "int"),
+    ("start", "int"),
+    ("end", "int"),
+    ("strand", "string"),
+    ("type", "string"),
+    ("dna_sequence", "string"),
+    ("protein_sequence", "string"),
+    ("protein_sequence_hash", "string"),
+    ("pangenome_cluster", "string"),
+    ("pangenome_is_core", "int"),
+]
+
+PANGENOME_FEATURE_DDL: list[tuple[str, str]] = [
+    ("genome", "string"),
+    ("contig", "string"),
+    ("feature_id", "string"),
+    ("start", "int"),
+    ("end", "int"),
+    ("strand", "string"),
+    ("type", "string"),
+    ("protein_sequence_hash", "string"),
+    ("cluster", "string"),
+    ("is_core", "int"),
+]
+
+#: repo column → reference DDL column for the pangenome shape (the
+#: reference names the cluster chain bare `cluster`/`is_core` there)
+_PANGENOME_RENAMES = {
+    "pangenome_cluster": "cluster",
+    "pangenome_is_core": "is_core",
+}
+
+
+def project_feature_ddl(df: DataFrame, shape: str) -> DataFrame:
+    """Project a build_feature_table result onto the reference DDL
+    column order for export (golden-manifest parity): DDL columns
+    first, in order, absent ones backfilled as typed NULLs; dynamic
+    ``ontology_*`` pivot columns next (sorted — the reference's set
+    iteration order is nondeterministic); remaining derived extras
+    last."""
+    ddl = (
+        USER_FEATURE_DDL if shape == "user_feature" else PANGENOME_FEATURE_DDL
+    )
+    renames = {} if shape == "user_feature" else _PANGENOME_RENAMES
+    have = {renames.get(c, c): c for c in df.columns}
+    cols = [
+        F.col(have[name]).cast(typ).alias(name)
+        if name in have
+        else F.lit(None).cast(typ).alias(name)
+        for name, typ in ddl
+    ]
+    used = {have[n] for n, _ in ddl if n in have}
+    rest = [c for c in df.columns if c not in used]
+    onts = sorted(c for c in rest if c.startswith("ontology_"))
+    # member rows are bulk: the pangenome shape ships ONLY its DDL
+    # columns + ontology pivots, exactly like the reference; derived
+    # extras (gene_name, …) ride on user_feature alone
+    extras = (
+        [c for c in rest if not c.startswith("ontology_")]
+        if shape == "user_feature"
+        else []
+    )
+    return df.select(*cols, *onts, *extras)
+
+
 # ---------------------------------------------------------------------------
 # ontology terms — KBDatalakeUtils.py:2196-2200, 2379-2421, 2693-2720
 # ---------------------------------------------------------------------------

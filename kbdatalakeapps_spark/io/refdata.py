@@ -234,11 +234,15 @@ def term_ec_column(
     ko_ec: DataFrame | None = None,
     statements: DataFrame | None = None,
 ) -> DataFrame:
-    """Add the ``ec`` column to ontology terms ('; '-joined sorted EC
-    ids, KBDatalakeUtils.py:2556-2658): EC terms copy their own id,
-    KEGG terms join the KO→EC mapping, GO terms harvest ``EC:…`` xrefs
-    from ``oio:hasDbXref`` statements.  Lookup sides are broadcast;
-    the wide terms table is never shuffled."""
+    """Add the ``ec`` column to ontology terms ('|'-joined EC ids, ''
+    when none — KBDatalakeUtils.py:2556-2658): EC terms copy their own
+    id, KEGG terms join the KO→EC mapping, GO terms harvest ``EC:…``
+    xrefs from ``oio:hasDbXref`` statements, seed.role terms extract
+    ``(EC x.y.z)`` / ``(TC …)`` clauses from their own label.  The
+    reference's per-term list order is file/set-iteration order
+    (nondeterministic); here values are sorted so the column is stable
+    under any partitioning.  Lookup sides are broadcast; the wide
+    terms table is never shuffled."""
     key = F.when(
         F.col("ontology_prefix") == "KEGG",
         F.concat(
@@ -273,7 +277,7 @@ def term_ec_column(
             lookup = lookup.unionByName(p)
         lookup = F.broadcast(
             lookup.groupBy("_key").agg(
-                F.array_join(F.array_sort(F.collect_set("ec")), "; ").alias("_ecs")
+                F.array_join(F.array_sort(F.collect_set("ec")), "|").alias("_ecs")
             )
         )
     out = terms.withColumn("_key", key)
@@ -281,7 +285,34 @@ def term_ec_column(
         out = out.join(lookup, "_key", "left")
     else:
         out = out.withColumn("_ecs", F.lit(None).cast("string"))
-    ec = F.when(
-        F.col("ontology_prefix") == "EC", F.col("identifier")
-    ).otherwise(F.col("_ecs"))
-    return out.select(*terms.columns, ec.alias("ec"))
+    # seed.role: EC/TC clauses harvested from the term's own label
+    # (row-local regexp, KBDatalakeUtils.py:2609-2648) — no lookup join
+    if "label" in terms.columns:
+        seed_vals = F.concat(
+            F.transform(
+                F.expr(
+                    r"regexp_extract_all(label, '\\(EC\\s*([\\d\\.-]+)\\)', 1)"
+                ),
+                lambda x: F.concat(F.lit("EC:"), x),
+            ),
+            F.transform(
+                F.expr(
+                    r"regexp_extract_all(label, '\\(TC\\s*([\\d\\.\\w]+)\\)', 1)"
+                ),
+                lambda x: F.concat(F.lit("TC:"), x),
+            ),
+        )
+        seed_ec = F.when(
+            F.col("ontology_prefix") == "seed.role",
+            F.array_join(F.array_sort(seed_vals), "|"),
+        )
+    else:
+        seed_ec = F.lit(None).cast("string")
+    ec = (
+        F.when(F.col("ontology_prefix") == "EC", F.col("identifier"))
+        .when(F.col("ontology_prefix") == "seed.role", seed_ec)
+        .otherwise(F.col("_ecs"))
+    )
+    return out.select(
+        *terms.columns, F.coalesce(ec, F.lit("")).alias("ec")
+    )

@@ -75,6 +75,7 @@ def run_clade_pipeline(
     pangenome_annotation_frames: dict[str, DataFrame] | None = None,
     user_genome_id: str | None = None,
     model_gapfills: DataFrame | None = None,
+    ko_ec: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Assemble every product table for one clade (lazy — nothing
     executes until the caller writes/collects).  Mirrors
@@ -83,11 +84,19 @@ def run_clade_pipeline(
     `phenotypes/` and `models/` TSVs (datalake_table.py:532-756) and
     each is skipped when absent, exactly like the reference's
     `path.exists()` guards."""
+    from .build.tables import project_feature_ddl
+
     tables: dict[str, DataFrame] = {
         "genome": build_genome_table(gtdb_meta, member_ids, user_genomes),
         "ani": build_ani_table(ani_sources),
-        "user_feature": build_feature_table(
-            genome_tsv, annotation_frames, mmseqs_pairs, cluster_attrs
+        # export projection pins the reference DDL column order
+        # (datalake_table.py:475-496); tests/test_pipeline_e2e.py pins
+        # it against the golden shapes
+        "user_feature": project_feature_ddl(
+            build_feature_table(
+                genome_tsv, annotation_frames, mmseqs_pairs, cluster_attrs
+            ),
+            "user_feature",
         ),
     }
     if pangenome_tsv is not None:
@@ -95,12 +104,15 @@ def run_clade_pipeline(
         # :507-525) — same builder, sequences pruned (P9): member rows
         # are bulk and the viewer reads sequences only for the user
         # genome
-        tables["pangenome_feature"] = build_feature_table(
-            pangenome_tsv,
-            pangenome_annotation_frames or annotation_frames,
-            mmseqs_pairs,
-            cluster_attrs,
-            include_sequences=False,
+        tables["pangenome_feature"] = project_feature_ddl(
+            build_feature_table(
+                pangenome_tsv,
+                pangenome_annotation_frames or annotation_frames,
+                mmseqs_pairs,
+                cluster_attrs,
+                include_sequences=False,
+            ),
+            "pangenome_feature",
         )
     if statements is not None:
         # harvest term ids from the annotation long table: (prefix, id)
@@ -118,7 +130,14 @@ def run_clade_pipeline(
         term_table = build_ontology_terms(statements, terms).unionByName(
             backfill_seed_reaction_terms(statements, rels)
         )
-        tables["ontology_terms"] = term_table
+        # the shipped ontology_terms carries the derived `ec` column
+        # (KBDatalakeUtils.py:2556-2658 "STEP 6"); ko_ec is the KEGG
+        # KO→EC reference mapping (S11 loader) when available
+        from .io.refdata import term_ec_column
+
+        tables["ontology_terms"] = term_ec_column(
+            term_table, ko_ec=ko_ec, statements=statements
+        )
         tables["ontology_relationships"] = rels
         tables["ontology_definitions"] = build_ontology_definitions(terms)
     # member restriction for the phenotype/model family uses the clade

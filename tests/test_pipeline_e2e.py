@@ -298,4 +298,126 @@ def test_full_manifest_all_product_tables(spark, tmp_path):
     # model_performance derives the NULL accuracy: (3+4)/(1+2+3+4)
     acc = con.execute("SELECT accuracy FROM model_performance").fetchone()[0]
     assert acc == 0.7
+
+    # ------------------------------------------------------------------
+    # Golden-DDL manifest (VERDICT r3 #6): every shipped table's column
+    # names IN ORDER + SQLite declared types pinned against the
+    # reference DDL (datalake_table.py:89-101 genome, :263-272 ani,
+    # :475-496 user_feature, :507-525 pangenome_feature, :536-554
+    # genome_phenotype, :581-600 gene_phenotype, :621-633 gene_reaction,
+    # :653-670 genome_reaction, :691-709 model_performance, :730-739
+    # media_composition; KBDatalakeUtils.py:2693-2720 ontology triple;
+    # build_berdl_db.py:783-802 missing_functions).  Deliberate
+    # deviations, noted inline, are additive or documented prunes.
+    # ------------------------------------------------------------------
+    golden = {
+        "genome": [
+            ("genome", "TEXT"), ("gtdb_taxonomy", "TEXT"),
+            ("ncbi_taxonomy", "TEXT"), ("ncbi_taxid", "INTEGER"),
+            ("checkm_completeness", "REAL"),
+            ("checkm_contamination", "REAL"), ("size", "INTEGER"),
+            ("kind", "TEXT"),
+        ],
+        "ani": [
+            ("genome1", "TEXT"), ("genome2", "TEXT"), ("ani", "REAL"),
+            ("af1", "REAL"), ("af2", "REAL"),
+        ],
+        "user_feature": [
+            ("genome", "TEXT"), ("contig", "TEXT"), ("feature_id", "TEXT"),
+            ("aliases", "TEXT"), ("length", "INTEGER"),
+            ("start", "INTEGER"), ("end", "INTEGER"), ("strand", "TEXT"),
+            ("type", "TEXT"), ("dna_sequence", "TEXT"),
+            ("protein_sequence", "TEXT"),
+            ("protein_sequence_hash", "TEXT"),
+            ("pangenome_cluster", "TEXT"),
+            ("pangenome_is_core", "INTEGER"),
+        ],
+        # protein_sequence pruned (P9): member sequences are bulk and
+        # the viewer reads sequences only for the user genome
+        "pangenome_feature": [
+            ("genome", "TEXT"), ("contig", "TEXT"), ("feature_id", "TEXT"),
+            ("start", "INTEGER"), ("end", "INTEGER"), ("strand", "TEXT"),
+            ("type", "TEXT"), ("protein_sequence_hash", "TEXT"),
+            ("cluster", "TEXT"), ("is_core", "INTEGER"),
+        ],
+        "ontology_terms": [
+            ("ontology_prefix", "TEXT"), ("identifier", "TEXT"),
+            ("label", "TEXT"), ("definition", "TEXT"), ("ec", "TEXT"),
+        ],
+        "ontology_relationships": [
+            ("subject", "TEXT"), ("predicate", "TEXT"), ("object", "TEXT"),
+        ],
+        "ontology_definitions": [
+            ("ontology_prefix", "TEXT"), ("definition", "TEXT"),
+        ],
+        "genome_phenotype": [
+            ("genome_id", "TEXT"), ("phenotype_id", "TEXT"),
+            ("phenotype_name", "TEXT"), ("class", "TEXT"),
+            ("simulated_objective", "REAL"), ("observed_objective", "REAL"),
+            ("gap_count", "INTEGER"), ("gapfilled_reactions", "TEXT"),
+            ("reaction_count", "INTEGER"), ("transports_added", "TEXT"),
+            ("closest_experimental_data", "TEXT"), ("source", "TEXT"),
+        ],
+        "gene_phenotype": [
+            ("genome_id", "TEXT"), ("gene_id", "TEXT"),
+            ("phenotype_id", "TEXT"), ("phenotype_name", "TEXT"),
+            ("association_sources", "TEXT"),
+            ("model_pred_reactions", "TEXT"),
+            ("model_pred_max_flux", "REAL"), ("fitness_match", "TEXT"),
+            ("fitness_max", "REAL"), ("fitness_min", "REAL"),
+            ("fitness_avg", "REAL"), ("fitness_count", "INTEGER"),
+            ("essentiality_fraction", "REAL"),
+        ],
+        "genome_gene_reaction_essentially_test": [
+            ("genome_id", "TEXT"), ("gene_id", "TEXT"), ("reaction", "TEXT"),
+            ("rich_media_flux", "REAL"), ("rich_media_class", "TEXT"),
+            ("minimal_media_flux", "REAL"), ("minimal_media_class", "TEXT"),
+        ],
+        "genome_reaction": [
+            ("genome_id", "TEXT"), ("reaction_id", "TEXT"), ("genes", "TEXT"),
+            ("equation_names", "TEXT"), ("equation_ids", "TEXT"),
+            ("directionality", "TEXT"), ("upper_bound", "REAL"),
+            ("lower_bound", "REAL"), ("gapfilling_status", "TEXT"),
+            ("rich_media_flux", "REAL"), ("rich_media_class", "TEXT"),
+            ("minimal_media_flux", "REAL"), ("minimal_media_class", "TEXT"),
+        ],
+        "model_performance": [
+            ("genome_id", "TEXT"), ("taxonomy", "TEXT"),
+            ("false_positives", "INTEGER"), ("false_negatives", "INTEGER"),
+            ("true_positives", "INTEGER"), ("true_negatives", "INTEGER"),
+            ("accuracy", "REAL"), ("positive_growth", "INTEGER"),
+            ("negative_growth", "INTEGER"),
+            ("avg_positive_growth_gaps", "REAL"),
+            ("avg_negative_growth_gaps", "REAL"),
+            ("closest_user_genomes", "TEXT"), ("source", "TEXT"),
+        ],
+        "media_composition": [
+            ("media_id", "TEXT"), ("compound_id", "TEXT"),
+            ("max_uptake", "REAL"), ("compound_name", "TEXT"),
+        ],
+        "missing_functions": [
+            ("Reaction", "TEXT"), ("RAST_function", "TEXT"),
+            ("RichGapfill", "INTEGER"), ("MinimalGapfill", "INTEGER"),
+            ("PhenotypeGapfill", "INTEGER"), ("ModuleGapfill", "INTEGER"),
+            ("Pangenome", "INTEGER"),
+        ],
+    }
+    assert set(golden) == set(counts)
+    for tbl, expected in golden.items():
+        got = [
+            (r[1], r[2])
+            for r in con.execute(f"PRAGMA table_info([{tbl}])")
+        ]
+        prefix = got[: len(expected)]
+        assert prefix == expected, (
+            f"{tbl}: DDL drift\n  expected: {expected}\n  got:      {prefix}"
+        )
+        # anything beyond the DDL prefix must be a dynamic ontology
+        # pivot column or a documented derived extra — never silent
+        allowed_extras = {"gene_name", "ontology_EC_from_functions"}
+        for name, typ in got[len(expected):]:
+            assert name.startswith("ontology_") or name in allowed_extras, (
+                f"{tbl}: unexpected column {name!r} after the DDL prefix"
+            )
+            assert typ == "TEXT", (tbl, name, typ)
     con.close()

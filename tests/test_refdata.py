@@ -115,10 +115,20 @@ def test_term_ec_column(spark):
         ],
         "subject string, predicate string, object string, value string",
     )
+    terms = _terms(spark).union(
+        spark.createDataFrame(
+            [("seed.role", "seed.role:1",
+              "Homoserine kinase (EC 2.7.1.39) (TC 3.A.1)", "")],
+            _terms(spark).schema,
+        )
+    )
     out = {r.identifier: r.ec
-           for r in term_ec_column(_terms(spark), ko_ec, statements).collect()}
+           for r in term_ec_column(terms, ko_ec, statements).collect()}
     assert out["EC:1.1.1.1"] == "EC:1.1.1.1"          # EC copies itself
-    assert out["K00001"] == "EC:1.1.1.1; EC:1.1.1.71"  # sorted join
-    assert out["GO:0008150"] == "EC:1.1.1.1; EC:2.7.1.39"
-    assert out["K77777"] is None
-    assert out["COG:J"] is None
+    assert out["K00001"] == "EC:1.1.1.1|EC:1.1.1.71"  # sorted pipe join
+    assert out["GO:0008150"] == "EC:1.1.1.1|EC:2.7.1.39"
+    # seed.role harvests EC/TC clauses from its own label
+    assert out["seed.role:1"] == "EC:2.7.1.39|TC:3.A.1"
+    # no EC known → '' (the reference writes '', never NULL)
+    assert out["K77777"] == ""
+    assert out["COG:J"] == ""
