@@ -12,6 +12,13 @@ we serve the remote-REST lake source natively").
 * **partitioned offset reads** — the offset space splits into one
   input partition per page; executors fetch pages concurrently
   (the reference's sequential 1000-row loop, parallelized).
+* **column projection via the ``columns`` option** — the Python
+  DataSource API has no ``pushColumns`` as of Spark 4.1, so Catalyst
+  cannot hand the reader its projection; instead callers pass
+  ``.option("columns", "a,b")`` and the source narrows its schema AND
+  ships the SELECT list to the endpoint (the reference composes the
+  SELECT list server-side, query_pangenome_berdl.py:222-226).  Swap to
+  real pushdown when the API grows it.
 
 The transport is injectable: option ``endpoint`` names an importable
 ``module:function`` with signature ``fn(options, where, limit,
@@ -78,6 +85,36 @@ def _compile_filter(f: Filter) -> str | None:
     if isinstance(f, IsNotNull):
         return f"{col()} IS NOT NULL"
     return None
+
+
+def _split_ddl_fields(ddl: str) -> list[str]:
+    """Split a DDL string into per-field chunks, honoring nested
+    ``struct<a int, b int>``-style types (commas inside <> don't
+    split)."""
+    parts, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _columns_option(options: dict) -> list[str] | None:
+    """Parse the ``columns`` reader option (comma-separated, order
+    preserved) — the caller-driven projection the endpoint composes
+    into its SELECT list."""
+    raw = options.get("columns")
+    if not raw:
+        return None
+    return [c.strip() for c in str(raw).split(",") if c.strip()]
 
 
 def _call_endpoint(options: dict, where: str | None, limit: int, offset: int):
@@ -192,7 +229,22 @@ class RestLakeDataSource(DataSource):
         return "rest_lake"
 
     def schema(self):
-        return self.options["ddl"]
+        ddl = self.options["ddl"]
+        cols = _columns_option(self.options)
+        if cols is None:
+            return ddl
+        # pure-string DDL narrowing: DataSource.schema() runs in the
+        # Python data source worker, where no SparkSession exists for
+        # StructType.fromDDL
+        fields = _split_ddl_fields(ddl)
+        by_name = {f.split(None, 1)[0].strip("`"): f for f in fields}
+        unknown = [c for c in cols if c not in by_name]
+        if unknown:
+            raise ValueError(
+                f"rest_lake columns option names unknown columns {unknown}; "
+                f"declared: {sorted(by_name)}"
+            )
+        return ", ".join(by_name[c] for c in cols)
 
     def reader(self, schema: StructType) -> RestLakeReader:
         return RestLakeReader(schema, self.options)
@@ -215,6 +267,8 @@ def parquet_rest_endpoint(
 
     path = options["path"]
     order_col = options["order_col"]
+    cols = _columns_option(options)
+    select = ", ".join(cols) if cols else "*"
     trace_dir = options.get("trace_dir")
     if trace_dir:  # test observability: record what the server saw
         import os
@@ -223,8 +277,11 @@ def parquet_rest_endpoint(
         with open(
             os.path.join(trace_dir, f"req-{uuid.uuid4().hex}.txt"), "w"
         ) as fh:
-            fh.write(f"where={where!r} limit={limit} offset={offset}")
-    sql = f"SELECT * FROM read_parquet('{path}')"
+            fh.write(
+                f"select={select!r} where={where!r} "
+                f"limit={limit} offset={offset}"
+            )
+    sql = f"SELECT {select} FROM read_parquet('{path}')"
     if where:
         sql += f" WHERE {where}"
     sql += f" ORDER BY {order_col} LIMIT {limit} OFFSET {offset}"
