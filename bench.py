@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "k3_feature_vector_predict",   # one-hot + Arrow-batched scoring
     "sk_bloom_prefilter",          # bloom build + probe
     "tx_line_dedup",               # cross-doc duplicate-line stats
+    # round-4 additions (appended so earlier keys stay comparable)
+    "dd_dedup_corpus",             # end-to-end dedup pipeline (5 stages)
+    "sim_ivf_topk",                # IVF ANN: index BUILD (k-means) + query
+    "sim_ivf_assign_topk",         # IVF ANN: query-only, fixed centroids
+    "mm_resize_images",            # binary-image decode+resize kernel
 ]
 
 # Historically the 5 most expensive — measured twice, median reported.

@@ -1,0 +1,195 @@
+"""Product quantization (PQ) for embedding compression + ANN search.
+
+The canonical 100 TB vector-search memory plan (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+d-dim vector into ``m`` subvectors, k-means each subspace to ``k``
+codes, store vectors as ``m`` small code ids (``m`` bytes at k≤256 —
+a 768-dim float32 vector compresses 3072→8 bytes at m=8), and answer
+queries with asymmetric distance computation (ADC): per query build an
+``m × k`` table of exact subspace distances, then a document's distance
+is just ``m`` table lookups summed — no float vector is ever touched at
+scan time.
+
+Spark shape — everything relational, no Python in the scan path:
+
+* **train** — one scale-safe k-means (:func:`similarity.kmeans_centroids`:
+  hash-sampled init, Arrow partial-sum means) per subspace over
+  ``F.slice`` views; codebook is m×k tiny rows, always broadcast.
+* **encode** — posexplode the m slices (rows grow m×, but each carries
+  d/m values: total bytes flat), broadcast-join the codebook, min-struct
+  argmin (map-side combinable, no window), collect codes per id.
+* **ADC top-k** — the per-query distance table is |Q|·m·k rows built
+  the same way, broadcast onto the exploded code table; one
+  (query, doc) sum + per-query top-k window on ≤|Q|·k rows after the
+  candidate aggregation.
+
+Cross-engine determinism: every distance accumulates per-dimension
+products as DECIMAL(38,15) before the final double cast (the repo-wide
+idiom — float Σ is shuffle-order-sensitive in the last bits), so the
+full encode/ADC pipeline carries an exact DuckDB oracle
+(``sim_pq_assign_topk``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import kmeans_centroids
+
+
+def _sub_d2_dec(a: Column, b: Column) -> Column:
+    """Squared L2 between two (sub)vectors with per-term DECIMAL(38,15)
+    accumulation — order-invariant and EXACT, so argmin ordering and
+    downstream sums are bit-identical to the DuckDB twin (a final
+    double cast could merge distinct decimals and flip tie-breaks)."""
+    terms = F.zip_with(
+        a, b,
+        lambda x, y: ((x.cast("double") - y.cast("double"))
+                      * (x.cast("double") - y.cast("double"))
+                      ).cast("decimal(38,15)"),
+    )
+    return F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(38,15)"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _slices(vec: Column, m: int, sub: int) -> Column:
+    """array of m subvectors (each ``sub`` dims) of ``vec``."""
+    return F.array(*[F.slice(vec, j * sub + 1, sub) for j in range(m)])
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train per-subspace codebooks: one distributed k-means over each
+    ``F.slice`` view of the corpus (m sequential driver-side launches;
+    each run is the scale-safe sampled-init/partial-sum Lloyd's).
+    Returns ``(subspace int, code int, centroid array<double>)`` —
+    m·k rows, small enough to broadcast everywhere downstream."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    out = None
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        cb = kmeans_centroids(
+            sliced, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col
+        ).select(
+            F.lit(j).alias("subspace"),
+            F.col("centroid_id").alias("code"),
+            "centroid",
+        )
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to ``codes: array<int>`` (length m, subspace
+    order) — the compressed representation that replaces the float
+    vector at scan time.
+
+    Plan: posexplode slices → broadcast codebook join → min-struct
+    argmin per (id, subspace) → sort-collect codes.  Ties break on the
+    lowest code id (struct comparison), matching the oracle's
+    ``ORDER BY d, code``."""
+    dim = df.select(F.size(vec_col).alias("d")).limit(1).collect()[0].d
+    sub = dim // m
+    sliced = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_slices(F.col(vec_col), m, sub)).alias("subspace", "sv"),
+    )
+    scored = sliced.join(F.broadcast(codebook), "subspace").select(
+        "id",
+        "subspace",
+        F.struct(
+            _sub_d2_dec(F.col("sv"), F.col("centroid")).alias("d"),
+            F.col("code"),
+        ).alias("s"),
+    )
+    best = scored.groupBy("id", "subspace").agg(F.min("s").alias("best"))
+    return (
+        best.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("subspace", F.col("best.code").alias("code")))
+                ),
+                lambda s: s.code,
+            ).alias("codes")
+        )
+        .select(F.col("id").alias(id_col), "codes")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: score every encoded document against
+    every query using only code lookups into the per-query distance
+    table (|Q|·m·k rows, broadcast).  The corpus side touches the
+    m-int code arrays, never float vectors — the property that makes
+    a 100 TB corpus scannable from RAM-resident codes.
+
+    Returns ``(query_id, doc_id, adc_d2, rank)`` with ``adc_d2``
+    rounded to 6 places (repo idiom: exact decimal accumulation
+    underneath, rounded at the output boundary)."""
+    dim = queries.select(F.size(vec_col).alias("d")).limit(1).collect()[0].d
+    sub = dim // m
+    qslices = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_slices(F.col(vec_col), m, sub)).alias("subspace", "qv"),
+    )
+    # per-query subspace distance table: |Q| * m * k rows
+    dtable = qslices.join(F.broadcast(codebook), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        _sub_d2_dec(F.col("qv"), F.col("centroid")).alias("pd"),
+    )
+    doc_codes = encoded.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    scored = (
+        doc_codes.join(F.broadcast(dtable), ["subspace", "code"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("pd").alias("adc_dec"))  # exact decimal: rank on this
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dec").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("adc_dec").cast("double"), 6).alias("adc_d2"),
+            "rank",
+        )
+    )

@@ -769,11 +769,19 @@ _EMB_BUCKET_SQL = """
 """
 
 
+_EMB_PLANTED_SQL = """
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 50 = 0
+"""
+
 @query(
     "dd_embedding_neardup",
     oracle=f"""
-    WITH norms AS ({_EMB_NORM_SQL}),
-    buckets AS ({_EMB_BUCKET_SQL}),
+    WITH emb_all AS ({_EMB_PLANTED_SQL}),
+    norms AS ({_EMB_NORM_SQL.replace("FROM embeddings", "FROM emb_all")}),
+    buckets AS ({_EMB_BUCKET_SQL.replace("FROM embeddings", "FROM emb_all")}),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -783,8 +791,8 @@ _EMB_BUCKET_SQL = """
                CAST(SUM(CAST(CAST(av.v AS DOUBLE) * CAST(bv.v AS DOUBLE)
                     AS DECIMAL(38,15))) AS DOUBLE) AS dot
         FROM pairs p
-        JOIN embeddings ea ON ea.vec_id = p.id_a
-        JOIN embeddings eb ON eb.vec_id = p.id_b,
+        JOIN emb_all ea ON ea.vec_id = p.id_a
+        JOIN emb_all eb ON eb.vec_id = p.id_b,
              LATERAL (SELECT unnest(ea.embedding) AS v,
                              generate_subscripts(ea.embedding, 1) AS pos) av,
              LATERAL (SELECT unnest(eb.embedding) AS v,
@@ -801,8 +809,17 @@ _EMB_BUCKET_SQL = """
     """,
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return sim.embedding_neardup_pairs(emb, n_sign_bits=8, threshold=0.8)
+    """The raw corpus is random vectors (no natural near-dups), so the
+    query plants exact duplicates — every 50th vector re-keyed to
+    vec_id+1e6 — and the operator must recover exactly those pairs;
+    a 0-row result can no longer pass vacuously."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.union(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return sim.embedding_neardup_pairs(planted, n_sign_bits=8, threshold=0.8)
 
 
 @query(
