@@ -24,9 +24,10 @@ Spark shape — everything relational, no Python in the scan path:
   candidate aggregation.
 
 Cross-engine determinism: every distance accumulates per-dimension
-products as DECIMAL(38,15) before the final double cast (the repo-wide
-idiom — float Σ is shuffle-order-sensitive in the last bits), so the
-full encode/ADC pipeline carries an exact DuckDB oracle
+terms in int64 fixed point (``floor(term · 1e15)`` — the repo's RRF
+idiom; float Σ is shuffle-order-sensitive in the last bits and
+Spark's decimal fold loses scale to addition promotion), so the full
+encode/ADC pipeline carries an exact DuckDB oracle
 (``sim_pq_assign_topk``).
 """
 
@@ -39,22 +40,23 @@ from pyspark.sql.window import Window
 from .similarity import kmeans_centroids
 
 
-def _sub_d2_dec(a: Column, b: Column) -> Column:
-    """Squared L2 between two (sub)vectors with per-term DECIMAL(38,15)
-    accumulation — order-invariant and EXACT, so argmin ordering and
-    downstream sums are bit-identical to the DuckDB twin (a final
-    double cast could merge distinct decimals and flip tie-breaks)."""
+def _sub_d2_fp(a: Column, b: Column) -> Column:
+    """Squared L2 between two (sub)vectors in int64 FIXED POINT: each
+    per-dimension term quantized as ``floor(term · 1e15)`` then folded
+    exactly — order-invariant and bit-identical to the DuckDB twin
+    (the repo's RRF-fusion idiom; a decimal fold is blocked by Spark's
+    addition promotion 38,15+38,15→38,14, and a float Σ is shuffle-
+    order-sensitive).  Headroom: terms for unit-ish embeddings are
+    ≤ ~4e15 each, so even 10⁶-dim sums stay far below 2⁶³."""
     terms = F.zip_with(
         a, b,
-        lambda x, y: ((x.cast("double") - y.cast("double"))
-                      * (x.cast("double") - y.cast("double"))
-                      ).cast("decimal(38,15)"),
+        lambda x, y: F.floor(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * F.lit(1e15)
+        ).cast("long"),
     )
-    return F.aggregate(
-        terms,
-        F.lit(0).cast("decimal(38,15)"),
-        lambda acc, t: acc + t,
-    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
 
 
 def _slices(vec: Column, m: int, sub: int) -> Column:
@@ -121,7 +123,7 @@ def pq_encode(
         "id",
         "subspace",
         F.struct(
-            _sub_d2_dec(F.col("sv"), F.col("centroid")).alias("d"),
+            _sub_d2_fp(F.col("sv"), F.col("centroid")).alias("d"),
             F.col("code"),
         ).alias("s"),
     )
@@ -169,7 +171,7 @@ def pq_adc_topk(
         "query_id",
         "subspace",
         "code",
-        _sub_d2_dec(F.col("qv"), F.col("centroid")).alias("pd"),
+        _sub_d2_fp(F.col("qv"), F.col("centroid")).alias("pd"),
     )
     doc_codes = encoded.select(
         F.col(id_col).alias("doc_id"),
@@ -178,10 +180,10 @@ def pq_adc_topk(
     scored = (
         doc_codes.join(F.broadcast(dtable), ["subspace", "code"])
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("pd").alias("adc_dec"))  # exact decimal: rank on this
+        .agg(F.sum("pd").alias("adc_fp"))  # exact int64 fixed point: rank on this
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dec").asc(), F.col("doc_id").asc()
+        F.col("adc_fp").asc(), F.col("doc_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -189,7 +191,52 @@ def pq_adc_topk(
         .select(
             "query_id",
             "doc_id",
-            F.round(F.col("adc_dec").cast("double"), 6).alias("adc_d2"),
+            F.round(F.col("adc_fp").cast("double") / F.lit(1e15), 6).alias("adc_d2"),
             "rank",
         )
+    )
+
+
+def pq_adc_rerank_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    corpus: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval (the production IVFADC shape): the cheap
+    ADC scan nominates ``rerank`` candidates per query from codes
+    alone, then ONLY those |Q|·rerank rows fetch their float vectors
+    for an exact L2 re-rank to top-``k``.  On distance-concentrated
+    (e.g. uniform-random) data plain ADC recall plateaus at the
+    quantization floor; re-ranking a 5× pool restores most of it
+    while still never scanning float vectors corpus-wide."""
+    cands = pq_adc_topk(queries, encoded, codebook, k=rerank, m=m).select(
+        "query_id", "doc_id"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_cv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_qv"), F.col("_cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("doc_id").asc())
+    return (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "doc_id")
+        .select("query_id", "doc_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.round("d2", 6).alias("d2"), "rank")
     )

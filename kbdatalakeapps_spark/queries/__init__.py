@@ -20,6 +20,7 @@ from . import pipeline  # noqa: F401,E402
 from . import extended  # noqa: F401,E402
 from . import builders  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
+from . import training  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.

@@ -1,0 +1,169 @@
+"""Round-4 training-pipeline extensions: real-codec audio features
+(operators/audio.py — RIFF/WAVE PCM parsed for real, no codec stub)
+and product-quantization ANN (operators/pq.py — the IVF+PQ memory
+plan for 100 TB vector search).
+
+Both carry FULL hash oracles: the WAV blobs are synthesized JVM-side
+from column expressions (so DuckDB can recompute every feature from
+the same sample formula), and the PQ query fixes the codebook to
+slices of the first 8 corpus vectors (same given-parameters split as
+sim_ivf_assign_topk / dd_semantic_dedup_assign — the iterative
+codebook TRAINING stays covered by pytest recall/invariant tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators import audio as au
+from ..operators import pq
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_features: synthesize a REAL 16-sample 16-bit PCM WAV per
+# document (sample i = (doc_id*31 + i*97) mod 2^16, two's complement),
+# decode it with the real RIFF parser, and emit deterministic clip
+# features.  The oracle regenerates the samples from the same formula
+# and recomputes every feature in SQL — including the IEEE-exact RMS
+# (int64 Σv² → one double division by 16 → sqrt).
+# ---------------------------------------------------------------------------
+
+_N_SAMP = 16
+_RATE = 8000
+
+
+@query(
+    "mm_audio_features",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id, t.i,
+               ((d.doc_id * 31 + t.i * 97) % 65536) AS u
+        FROM documents d, (SELECT unnest(range({_N_SAMP})) AS i) t
+    ),
+    v AS (
+        SELECT doc_id, i,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS val
+        FROM s
+    ),
+    lagd AS (
+        SELECT doc_id, val,
+               LAG(val) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM v
+    )
+    SELECT doc_id AS media_id,
+           {_N_SAMP}::BIGINT AS n_samples,
+           {_RATE} AS sample_rate,
+           {_N_SAMP * 1000 // _RATE}::BIGINT AS duration_ms,
+           SQRT(CAST(SUM(val * val) AS DOUBLE) / {_N_SAMP}) AS rms,
+           CAST(MAX(ABS(val)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND ((val < 0) <> (prev < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagd GROUP BY doc_id
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode end-to-end: JVM-side expressions build the RIFF
+    container byte-for-byte (header + LE int16 payload via hex/unhex),
+    the Arrow-batched kernel parses it back and measures the clip."""
+    header = au.wav_header_hex(_N_SAMP, _RATE, channels=1, bits=16)
+    u = lambda i: (F.col("doc_id") * 31 + i * 97) % 65536  # noqa: E731
+    payload = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_N_SAMP - 1)),
+            lambda i: F.concat(
+                F.lpad(F.hex(u(i).bitwiseAND(F.lit(255))), 2, "0"),
+                F.lpad(F.hex(F.shiftright(u(i), 8)), 2, "0"),
+            ),
+        ),
+        "",
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(header), payload)).alias("content"),
+    )
+    return au.audio_features(d)
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_assign_topk: PQ encode + ADC search with a FIXED codebook —
+# subspace j's codes are the j-th 16-dim slices of the first 8 corpus
+# vectors (m=4 subspaces × k=8 codes over the 64-dim embeddings).
+# Every stage (argmin encode, per-query distance table, ADC sum,
+# top-5) is relational and int64-fixed-point-exact, so the whole
+# pipeline hash-matches DuckDB.  Queries = vec_id < 3 (self-matches kept: a doc's
+# ADC distance to itself is its quantization error — near the top but
+# nonzero, a useful sanity signal).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_SUB = 16  # 64-dim embeddings / 4 subspaces
+
+
+@query(
+    "sim_pq_assign_topk",
+    oracle=f"""
+    WITH enc_d AS (
+        SELECT e.vec_id AS doc_id,
+               CAST((u.pos - 1) // {_PQ_SUB} AS INT) AS subspace,
+               CAST(c.vec_id AS INT) AS code,
+               SUM(CAST(FLOOR(
+                   (CAST(e.embedding[u.pos] AS DOUBLE) - CAST(c.embedding[u.pos] AS DOUBLE))
+                 * (CAST(e.embedding[u.pos] AS DOUBLE) - CAST(c.embedding[u.pos] AS DOUBLE))
+                 * 1e15) AS BIGINT)) AS d
+        FROM embeddings e, embeddings c,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos) u
+        WHERE c.vec_id < 8
+        GROUP BY 1, 2, 3
+    ),
+    enc AS (
+        SELECT doc_id, subspace, code FROM (
+            SELECT doc_id, subspace, code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, subspace ORDER BY d, code
+                   ) AS rn
+            FROM enc_d
+        ) WHERE rn = 1
+    ),
+    pd AS (
+        SELECT doc_id AS query_id, subspace, code, d AS pd
+        FROM enc_d WHERE doc_id < 3
+    ),
+    adc AS (
+        SELECT p.query_id, e.doc_id, SUM(p.pd) AS dd
+        FROM enc e JOIN pd p ON p.subspace = e.subspace AND p.code = e.code
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROUND(CAST(dd AS DOUBLE) / 1e15, 6) AS adc_d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY dd, doc_id
+               ) AS rank
+        FROM adc
+    )
+    SELECT query_id, doc_id, adc_d2, rank::INT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_pq_assign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("code"),
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("embedding"), j * _PQ_SUB + 1, _PQ_SUB)
+                for j in range(_PQ_M)
+            ])
+        ).alias("subspace", "centroid"),
+    )
+    encoded = pq.pq_encode(emb, codebook, m=_PQ_M)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return pq.pq_adc_topk(queries, encoded, codebook, k=5, m=_PQ_M)
