@@ -87,15 +87,18 @@ DRIVER_WINDOW: list[str] = [
     # oracles — the iterative k-means stays rows-only by nature)
     "dd_semantic_dedup_assign",
     "sim_ivf_assign_topk",
+    # round-4 additions (never driver-checked): real WAV decode
+    # features + PQ encode/ADC under a fixed codebook
+    "mm_audio_features",
+    "sim_pq_assign_topk",
     # sentinels: previously driver-green, re-checked for regressions
-    # (one per major plan family; builders/sketches were fully green
-    # in r3 so they cede their slots to the two assign queries)
+    # (one per major plan family, biased toward the highest-risk
+    # plans; j5/p10 ceded their slots to the round-4 queries — both
+    # stay covered by bench + the serving matrix tests every run)
     "dd_minhash_lsh_pairs",
     "r1_ontology_style_pivot",
     "a14_column_stats",
-    "j5_star_join",
     "j8_pair_dedup_first_wins",
-    "p10_filter_dsl",
 ]
 
 
