@@ -1283,12 +1283,16 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_corpus_oracle_sql() -> str:
     # every stage of the composite replayed in SQL: exact keeper map,
-    # survivor shingles, minhash signatures + bands (shared seed table
-    # with dd_minhash*'s oracles), candidates-only Jaccard verify, and
-    # the recursive transitive-closure component labels (same pattern
-    # as dd_keeper_assignment's oracle)
-    from .pipeline import _SEED_VALUES
+    # survivor shingles, minhash signatures + bands (24 seeds, 4 bands
+    # of 6 — threshold-tuned, unlike the 8-seed table the dd_minhash*
+    # oracles share), candidates-only Jaccard verify, and the recursive
+    # transitive-closure component labels (same pattern as
+    # dd_keeper_assignment's oracle)
+    from ..operators import dedup as _dd
 
+    seed_values = ", ".join(
+        f"({i}, {s}::BIGINT)" for i, s in enumerate(_dd.MINHASH_SEEDS[:24])
+    )
     return f"""
     WITH RECURSIVE
     hashed AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
@@ -1314,14 +1318,14 @@ def _dedup_corpus_oracle_sql() -> str:
         SELECT id, s.hash_idx,
                MIN(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT, s.seed))
                    AS minhash
-        FROM sh, (VALUES {_SEED_VALUES}) s(hash_idx, seed)
+        FROM sh, (VALUES {seed_values}) s(hash_idx, seed)
         GROUP BY id, s.hash_idx
     ),
     bands AS (
-        SELECT id, hash_idx // 2 AS band_idx,
+        SELECT id, hash_idx // 6 AS band_idx,
                md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx))
                    AS band_hash
-        FROM sig GROUP BY id, hash_idx // 2
+        FROM sig GROUP BY id, hash_idx // 6
     ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -160,3 +160,25 @@ def test_kmeans_mean_step_no_generate(spark):
     tree = p.split("\n\n")[0]
     assert "Generate" not in tree
     assert "MapInPandas" in tree and "FlatMapGroupsInPandas" in tree
+
+
+def test_pq_assign_topk_broadcasts_codebook(spark):
+    # every codebook/dtable touch must be a broadcast join — the codes
+    # table is the only corpus-sized side, and no cartesian product may
+    # appear anywhere (the |Q|·m·k distance table is built via a
+    # broadcast hash join on subspace, not a cross join)
+    p = plan_of(spark, "sim_pq_assign_topk")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # rank window partitions by query_id — never a global (unpartitioned)
+    # window over the corpus-sized candidate set
+    tree = p.split("\n\n")[0]
+    assert "Window" in tree
+
+
+def test_audio_features_is_arrow_batched(spark):
+    # the decode kernel must ride mapInPandas (Arrow batches), never a
+    # row-at-a-time Python UDF
+    p = plan_of(spark, "mm_audio_features")
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()
+    assert "BatchEvalPython" not in p  # the slow per-row path
