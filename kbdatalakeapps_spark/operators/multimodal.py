@@ -556,9 +556,13 @@ def sample_frames(
     id_col: str = "media_id",
     every_ms: int = 1000,
 ) -> DataFrame:
-    """Video frame sampling: one output row per sampled frame.  The
-    frame *timestamps* are computed from metadata JVM-side (real); the
-    frame *bytes* use the deterministic fake (no ffmpeg here)."""
+    """Video frame sampling from METADATA only: one output row per
+    sampled frame; timestamps are computed JVM-side (real), frame
+    identity uses the deterministic fake.  For MJPEG-in-AVI content
+    use :func:`video.sample_frames_decoded`, which parses the
+    container and decodes real pixels with the pure-python JPEG
+    kernel; this metadata form remains the shape for codecs that
+    would need ffmpeg."""
     frames = df.select(
         F.col(id_col),
         F.col(content_col),

@@ -1,0 +1,189 @@
+"""Video (binary) column kernels: real MJPEG-in-AVI frame extraction.
+
+Closes the last stubbed media path: :func:`multimodal.sample_frames`
+computes real timestamps but fakes frame identity because no ffmpeg
+ships in this container.  Motion-JPEG inside an AVI container needs
+no codec library at all — AVI is a RIFF chunk walk (same container
+family as WAV) and every ``00dc`` chunk is a standalone baseline JPEG
+the pure-python :func:`multimodal._decode_jpeg` already handles — so
+this module decodes actual pixels.  Inter-frame codecs (H.264/VP9)
+still raise loudly; swapping a real codec in changes only
+``_frame_iter``, never the distributed plan.
+
+Scale posture: identical to the other media kernels — one Arrow batch
+stream per task via ``mapInPandas``, one output row per sampled
+frame, all selection logic (which timestamps) computed before any
+pixel work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .multimodal import _decode_jpeg, _resize_array
+
+
+def _walk_riff(d: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, body_start, body_end) for each
+    chunk in [pos, end); RIFF chunks are word-aligned."""
+    while pos + 8 <= end:
+        cid = d[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", d, pos + 4)
+        body = pos + 8
+        if cid in (b"RIFF", b"LIST"):
+            yield cid, d[body : body + 4], body + 4, body + size
+        else:
+            yield cid, None, body, body + size
+        pos = body + size + (size & 1)
+
+
+def _decode_avi_mjpeg(content: bytes):
+    """Parse an AVI container and return
+    ``(frames: list[bytes], us_per_frame: int, width, height)`` where
+    each frame is the raw JPEG payload of a ``..dc`` chunk, in stream
+    order.  Real parser: walks RIFF lists, reads ``avih`` for frame
+    timing, collects compressed-video chunks from ``movi``.  Returns
+    None for None/empty; raises ValueError on a malformed container
+    and NotImplementedError when the video stream is not MJPEG."""
+    if content is None or len(content) == 0:
+        return None
+    d = bytes(content)
+    if len(d) < 12 or d[0:4] != b"RIFF" or d[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    us_per_frame = None
+    width = height = None
+    handler = None
+    frames: list[bytes] = []
+
+    def walk_list(start: int, end: int) -> None:
+        nonlocal us_per_frame, width, height, handler
+        for cid, ltype, bstart, bend in _walk_riff(d, start, end):
+            if cid == b"LIST":
+                walk_list(bstart, bend)
+            elif cid == b"avih":
+                us_per_frame = struct.unpack_from("<I", d, bstart)[0]
+                width = struct.unpack_from("<I", d, bstart + 32)[0]
+                height = struct.unpack_from("<I", d, bstart + 36)[0]
+            elif cid == b"strh":
+                if d[bstart : bstart + 4] == b"vids":
+                    handler = d[bstart + 4 : bstart + 8]
+            elif cid[2:4] == b"dc":  # compressed video frame (e.g. 00dc)
+                frames.append(d[bstart:bend])
+
+    walk_list(12, len(d))
+    if us_per_frame is None:
+        raise ValueError("AVI missing avih main header")
+    if handler is not None and handler.upper() not in (b"MJPG", b"JPEG"):
+        raise NotImplementedError(
+            f"AVI video handler {handler!r} needs a codec library; only "
+            "MJPEG decodes in-container"
+        )
+    return frames, int(us_per_frame), width, height
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_width", T.IntegerType()),
+        T.StructField("frame_height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames_decoded(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    every_ms: int = 1000,
+    thumb_size: int = 8,
+) -> DataFrame:
+    """Real video frame sampling for MJPEG AVIs: pick the frame at each
+    ``every_ms`` boundary, decode its JPEG payload to pixels, emit the
+    frame geometry, a ``thumb_size``² grayscale thumbnail (the
+    embedding-ready artifact), and the sha256 of the DECODED pixel
+    buffer (codec-independent identity — two different JPEG encodings
+    of the same pixels collide, which is what near-dup wants).
+
+    One output row per sampled frame; rows with NULL/empty content are
+    dropped (mirror of audio_features' NULL rule is not useful here —
+    a frameless video has no row to emit)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {n.name: [] for n in VIDEO_FRAME_SCHEMA.fields}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                decoded = _decode_avi_mjpeg(c)
+                if decoded is None:
+                    continue
+                frames, uspf, _, _ = decoded
+                if not frames or uspf == 0:
+                    continue
+                step = max(1, round(every_ms * 1000 / uspf))
+                for idx in range(0, len(frames), step):
+                    img = _decode_jpeg(frames[idx])
+                    if img is None:
+                        continue
+                    arr, w, h = img
+                    gray = (
+                        arr if arr.shape[2] == 1
+                        else arr.mean(axis=2, dtype=np.float64)
+                        .round().astype(np.uint8)[..., None]
+                    )
+                    out["media_id"].append(mid)
+                    out["frame_ts_ms"].append(idx * uspf // 1000)
+                    out["frame_width"].append(w)
+                    out["frame_height"].append(h)
+                    out["thumb"].append(
+                        _resize_array(gray, thumb_size, thumb_size)
+                    )
+                    out["frame_sha256"].append(
+                        hashlib.sha256(arr.tobytes()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
+def mjpeg_avi_bytes(
+    jpeg_frames: list[bytes], fps: int = 10, width: int = 16, height: int = 16
+) -> bytes:
+    """Assemble a minimal valid MJPEG AVI from pre-encoded JPEG frames
+    — the writer half used by tests and fixture synthesis (kept in the
+    operator module so container layout and parser stay in one
+    place)."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    uspf = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", uspf, 0, 0, 0x10, len(jpeg_frames), 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(jpeg_frames), 0, 0xFFFFFFFF, 0, 0
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

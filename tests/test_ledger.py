@@ -1,0 +1,65 @@
+"""Driver-verification ledger invariant (ADVICE r3: the rotation
+window must be derived from recorded signal, not a hand-maintained
+list drifting from reality).
+
+``tools/verification_ledger.json`` records, per registered query,
+every round whose CORRECTNESS_r{N}.json showed it green (and whether
+the check was a full value-hash or rows-only).  The invariant: every
+registered query either already carries recorded driver signal or sits
+in THIS round's DRIVER_WINDOW — so a query can never be added without
+being scheduled for the hard check, and removing one from the window
+before it was ever verified fails the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kbdatalakeapps_spark.queries import DRIVER_WINDOW, ORACLES, QUERIES
+
+_LEDGER = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "verification_ledger.json",
+)
+
+
+def _ledger() -> dict:
+    with open(_LEDGER) as f:
+        return json.load(f)
+
+
+def test_every_query_verified_or_windowed():
+    led = _ledger()
+    uncovered = [
+        n for n in QUERIES if n not in led and n not in DRIVER_WINDOW
+    ]
+    assert not uncovered, (
+        "registered queries with no recorded driver signal AND no slot "
+        f"in this round's window: {uncovered} — rotate them in or "
+        "record their CORRECTNESS result in the ledger"
+    )
+
+
+def test_ledger_names_are_registered():
+    stale = [n for n in _ledger() if n not in QUERIES]
+    assert not stale, f"ledger entries for unregistered queries: {stale}"
+
+
+def test_rows_only_checks_match_oracle_registry():
+    # a query the driver could only rows-check in its latest round must
+    # be exactly one that registers no oracle (the two iterative ones)
+    led = _ledger()
+    for name, entries in led.items():
+        latest = max(entries, key=lambda e: e["round"])
+        if latest["check"] == "rows":
+            assert name not in ORACLES, (
+                f"{name} has an oracle but its latest driver check was "
+                "rows-only — the oracle was added later; rotate it into "
+                "the window for a hash check"
+            )
+
+
+def test_window_is_current_registry_prefix():
+    assert list(QUERIES)[: len(DRIVER_WINDOW)] == DRIVER_WINDOW

@@ -1,0 +1,32 @@
+"""Regenerate tools/verification_ledger.json from CORRECTNESS_r*.json.
+
+Run at the start of each round, after the driver drops the previous
+round's CORRECTNESS file; then rotate DRIVER_WINDOW so
+tests/test_ledger.py's invariant (every registered query verified or
+windowed) holds for the new round.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ledger: dict[str, list[dict]] = {}
+    for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        for name, res in json.load(open(f)).items():
+            if res.get("rows_match") and res.get("err") is None:
+                kind = "hash" if res.get("hash_match") else "rows"
+                ledger.setdefault(name, []).append({"round": rnd, "check": kind})
+    out = os.path.join(ROOT, "tools", "verification_ledger.json")
+    json.dump(ledger, open(out, "w"), indent=1, sort_keys=True)
+    print(f"{len(ledger)} queries with recorded driver signal → {out}")
+
+
+if __name__ == "__main__":
+    main()
