@@ -58,13 +58,17 @@ BENCH_QUERIES = [
     "mm_resize_images",            # binary-image decode+resize kernel
 ]
 
-# Historically the 5 most expensive — measured twice, median reported.
+# The most expensive queries — measured twice, median reported.
 REPEAT_QUERIES = {
     "flagship_order_revenue",
     "j5_star_join",
     "a13_viewer_aggregations",
     "a14_column_stats",
     "dd_minhash_lsh_pairs",
+    # round-4 heavies: multi-job pipelines whose totals wobble more
+    # than single-query plans
+    "dd_dedup_corpus",
+    "sim_ivf_topk",
 }
 
 

@@ -251,3 +251,42 @@ def test_hash_sampled_quantiles_is_exact_on_sample(rows):
         assert got == {}
     else:
         assert got[0.5] == sample[(len(sample) - 1) // 2][0]
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (operators/audio.py): the decoder is a real parser over an
+# adversarial byte format — property-test the roundtrip and totality.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_16bit_roundtrip_any_samples(vals, rate):
+    """Every int16 sample sequence survives encode→decode exactly, at
+    any standard rate — the oracle contract depends on bit-exact
+    sample recovery."""
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import _decode_wav, wav_header_hex
+
+    payload = np.array(vals, dtype="<i2").tobytes()
+    hdr = bytes.fromhex(wav_header_hex(len(vals), rate, channels=1, bits=16))
+    out, got_rate = _decode_wav(hdr + payload)
+    assert got_rate == rate
+    assert out[:, 0].tolist() == vals
+
+
+@given(st.binary(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_wav_decode_total_on_garbage(blob):
+    """Arbitrary bytes either decode, return None (empty), or raise
+    the two documented exception types — never anything else."""
+    from kbdatalakeapps_spark.operators.audio import _decode_wav
+
+    try:
+        _decode_wav(blob)
+    except (ValueError, NotImplementedError):
+        pass
