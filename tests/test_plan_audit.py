@@ -1,0 +1,107 @@
+"""Whole-registry physical-plan audit (automates the NOTES r3 manual
+scan): every registered query's plan is generated (not executed) and
+scanned for the three scale-killers —
+
+* ``CartesianProduct`` — an unconditioned fact×fact product;
+* ``BroadcastNestedLoopJoin`` — allowed only on the documented
+  1-row-side sites (scalar caps / totals joined onto a frame);
+* a data-sized unpartitioned Window (single-partition sort of the
+  corpus) — detected as WindowExec whose child is not one of the
+  bounded frames documented in NOTES (offset tables ≤ #partitions
+  rows, top-N re-ranks).
+
+The allowlists are explicit so a NEW offender fails the suite with
+its name, and a fixed query must be removed from the list."""
+
+from __future__ import annotations
+
+import pytest
+
+from kbdatalakeapps_spark.queries import QUERIES
+
+from .conftest import SF_DIR
+
+# queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# one side is a literal/aggregated SINGLE ROW (a scalar cap or global
+# total) joined onto every row — constant cost, not a pair blowup.
+_BNLJ_OK = {
+    "sp_mixture_sample",      # per-source cap row
+    "st_funnel",              # stage-total scalar
+    "a19_skew_diagnosis",     # global mean row
+    "tx_bm25_search",         # corpus avgdl/N scalar
+    "tx_hybrid_rrf",          # same BM25 scalars inside the fused arm
+    "tx_vocab_stats",         # corpus token-total scalar
+    "a14_column_stats",       # median offset scalar
+    # bounded-small (not 1-row) broadcast sides: the product is
+    # |corpus| × k with k fixed by the operator contract
+    "sim_cosine_topk",        # brute-force baseline: bounded query set × corpus
+    "sim_ivf_topk",           # query × k-centroid table (k=8)
+    "sim_ivf_assign_topk",    # same, fixed centroids
+    "dd_lsh_tuning",          # signature pass × band-config grid
+}
+
+# queries allowed an unpartitioned Window: the windowed frame is
+# bounded by construction (see NOTES) — per-partition offset tables
+# (≤ #shuffle-partitions rows) or an already-capped top-N.
+_GLOBAL_WINDOW_OK = {
+    "w7_global_row_number",   # two-phase prefix offsets (bounded)
+    "o4_limit_offset",        # page slice via bounded ranking
+    "o6_keyset_page",         # same
+    "sp_pack_sequences",      # prefix-sum offset table
+    "sp_quantile_sample",     # rank over the 1-in-N hash sample
+    "sp_weighted_sample",     # rank over the k-capped reservoir
+    "tx_bm25_search",         # top-20 re-rank
+    "tx_hybrid_rrf",          # top-10 fusion
+    "w4_ranking_suite",       # documented global-rank demo page
+    "o1_multikey_sort_page",  # global sort+page (TakeOrdered form)
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        out[name] = df._jdf.queryExecution().explainString(mode)
+    return out
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian products in: {bad}"
+
+
+def test_nested_loop_joins_only_on_scalar_sides(plans):
+    bad = [
+        n for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in _BNLJ_OK
+    ]
+    assert not bad, (
+        f"new BroadcastNestedLoopJoin in: {bad} — if the non-equi side "
+        "is a single row, add it to _BNLJ_OK with a comment; otherwise "
+        "rewrite the join"
+    )
+    stale = [n for n in _BNLJ_OK if "BroadcastNestedLoopJoin" not in plans.get(n, "")]
+    assert not stale, f"_BNLJ_OK entries no longer needed: {stale}"
+
+
+def test_global_windows_only_on_bounded_frames(plans):
+    def has_global_window(p: str) -> bool:
+        tree = p.split("\n\n")[0]
+        if "Window" not in tree:
+            return False
+        # formatted detail: a global window prints an empty partition
+        # spec in its arguments
+        return "partitionBy=[]" in p or ", [], " in p.split("Window")[1][:400]
+
+    bad = [
+        n for n, p in plans.items()
+        if has_global_window(p) and n not in _GLOBAL_WINDOW_OK
+    ]
+    assert not bad, (
+        f"unpartitioned Window over a possibly data-sized frame in: "
+        f"{bad} — bound the frame or use the two-phase prefix-sum form"
+    )
