@@ -88,17 +88,18 @@ DRIVER_WINDOW: list[str] = [
     "dd_semantic_dedup_assign",
     "sim_ivf_assign_topk",
     # round-4 additions (never driver-checked): real WAV decode
-    # features + PQ encode/ADC under a fixed codebook
+    # features, PQ encode/ADC under a fixed codebook, and the real
+    # MJPEG-AVI frame-sampling path
     "mm_audio_features",
     "sim_pq_assign_topk",
+    "mm_video_frames",
     # sentinels: previously driver-green, re-checked for regressions
     # (one per major plan family, biased toward the highest-risk
-    # plans; j5/p10 ceded their slots to the round-4 queries — both
+    # plans; j5/j8/p10 ceded their slots to the round-4 queries — all
     # stay covered by bench + the serving matrix tests every run)
     "dd_minhash_lsh_pairs",
     "r1_ontology_style_pivot",
     "a14_column_stats",
-    "j8_pair_dedup_first_wins",
 ]
 
 

@@ -167,3 +167,57 @@ def sim_pq_assign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = pq.pq_encode(emb, codebook, m=_PQ_M)
     queries = emb.filter(F.col("vec_id") < 3)
     return pq.pq_adc_topk(queries, encoded, codebook, k=5, m=_PQ_M)
+
+
+# ---------------------------------------------------------------------------
+# mm_video_frames: the real MJPEG-AVI path under a FULL hash oracle.
+# Each document gets one of four constant AVIs (2-5 frames at 2 fps,
+# frames alternating two fixed 8×8 grayscale JPEG templates, both
+# encoded once with the repo's pure-python baseline encoder and
+# embedded as hex).  sample_frames_decoded must parse every container,
+# decode every frame, and emit (ts, geometry, decoded-pixel sha256) —
+# all relationally predictable, so ANY parse/decode failure changes
+# row counts or hashes.  Pixel-level decode fidelity itself is pinned
+# by tests/test_video.py + test_io's JPEG roundtrips.
+# ---------------------------------------------------------------------------
+
+_JPEG_A = "FFD8FFDB008400020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020102020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202FFC0000B080008000801011100FFC401A2000000000C000000000000000000000000000102030405060708090A0B1000000000000000A2000000000000000000F00102030405060708090A1112131415161718191A2122232425262728292A3132333435363738393A4142434445464748494A5152535455565758595A6162636465666768696A7172737475767778797A8182838485868788898A9192939495969798999AA1A2A3A4A5A6A7A8A9AAB1B2B3B4B5B6B7B8B9BAC1C2C3C4C5C6C7C8C9CAD1D2D3D4D5D6D7D8D9DAE1E2E3E4E5E6E7E8E9EAF1F2F3F4F5F6F7F8F9FA010000000C000000000000000000000000000102030405060708090A0B1100000000000000A2000000000000000000F00102030405060708090A1112131415161718191A2122232425262728292A3132333435363738393A4142434445464748494A5152535455565758595A6162636465666768696A7172737475767778797A8182838485868788898A9192939495969798999AA1A2A3A4A5A6A7A8A9AAB1B2B3B4B5B6B7B8B9BAC1C2C3C4C5C6C7C8C9CAD1D2D3D4D5D6D7D8D9DAE1E2E3E4E5E6E7E8E9EAF1F2F3F4F5F6F7F8F9FAFFDA0008010100003F0043064048883AA0E303041601E907D81601DF073C1D8065879884C1E307A41A00CE077C1820CE0FD05C05606702907F035C1AC09C15019E0A81F60D005B0540510550F80580461F00B80B40AE0AA0883704E09811818077FFD9"
+_JPEG_B = "FFD8FFDB008400020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020102020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202FFC0000B080008000801011100FFC401A2000000000C000000000000000000000000000102030405060708090A0B1000000000000000A2000000000000000000F00102030405060708090A1112131415161718191A2122232425262728292A3132333435363738393A4142434445464748494A5152535455565758595A6162636465666768696A7172737475767778797A8182838485868788898A9192939495969798999AA1A2A3A4A5A6A7A8A9AAB1B2B3B4B5B6B7B8B9BAC1C2C3C4C5C6C7C8C9CAD1D2D3D4D5D6D7D8D9DAE1E2E3E4E5E6E7E8E9EAF1F2F3F4F5F6F7F8F9FA010000000C000000000000000000000000000102030405060708090A0B1100000000000000A2000000000000000000F00102030405060708090A1112131415161718191A2122232425262728292A3132333435363738393A4142434445464748494A5152535455565758595A6162636465666768696A7172737475767778797A8182838485868788898A9192939495969798999AA1A2A3A4A5A6A7A8A9AAB1B2B3B4B5B6B7B8B9BAC1C2C3C4C5C6C7C8C9CAD1D2D3D4D5D6D7D8D9DAE1E2E3E4E5E6E7E8E9EAF1F2F3F4F5F6F7F8F9FAFFDA0008010100003F005784D983D60F50464088E0C7085A0E48143EC1E707E41E00400C006606E08C1A20B00A60A21F60940A1FA0DB06B88241441A80D0055077C1DF0678180B60DD078C1A40AE0CF05B104830419C0D10698250420702005404818FFFD9"
+_SHA_A = "62e734ddcab527108398951b414e8fa8df80227a4ad4b28bd61a57e9d03efdfa"
+_SHA_B = "9ed7601b29887aba66e227903dddf89dd2fb0f4a5165ba8b0ff815f661423a81"
+
+
+@query(
+    "mm_video_frames",
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           t.i * 500 AS frame_ts_ms,
+           8 AS frame_width,
+           8 AS frame_height,
+           CASE WHEN t.i % 2 = 0 THEN '{_SHA_A}' ELSE '{_SHA_B}' END
+               AS frame_sha256
+    FROM documents d, (SELECT unnest(range(5)) AS i) t
+    WHERE d.doc_id < 200 AND t.i < 2 + d.doc_id % 4
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.video import mjpeg_avi_bytes, sample_frames_decoded
+
+    templ = [bytes.fromhex(_JPEG_A), bytes.fromhex(_JPEG_B)]
+    avis = [
+        mjpeg_avi_bytes(
+            [templ[i % 2] for i in range(n)], fps=2, width=8, height=8
+        )
+        for n in range(2, 6)
+    ]
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(a) for a in avis]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("content"),
+    )
+    out = sample_frames_decoded(d, every_ms=500)
+    return out.select(
+        "media_id", "frame_ts_ms", "frame_width", "frame_height", "frame_sha256"
+    )
