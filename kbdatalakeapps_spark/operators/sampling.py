@@ -321,3 +321,48 @@ def hash_sampled_quantiles(
         numbered.join(F.broadcast(targets), "_rn")
         .select("quantile", F.col(value_col).alias("value"))
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    num_shards: int,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + worker sharding: every
+    row gets a ``shard`` (which data-loader worker reads it) and a
+    ``shard_pos`` (its position within that worker's stream), both
+    functions of ONLY (content key, epoch) — so any run, any
+    partitioning, any cluster size reproduces the same epoch order,
+    and different epochs decorrelate (the hash mixes the epoch in).
+
+    Plan shape: one hash projection + one window ranked inside the
+    shard — the shuffle moves each row once to its shard partition,
+    exactly the layout a per-worker sequential reader wants; no global
+    sort.  Contrast ``ORDER BY rand()``: not reproducible, and a
+    single global sort at 100 TB.
+
+    ``hash_fn='xxhash64'`` (default) is the production path;
+    ``'md5'`` is the engine-portable form the DuckDB oracle replays
+    (repo-wide dual-hash idiom: same plan, same properties, cheaper
+    JVM-native hash where no cross-engine replay is needed)."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col(id_col).cast("string"), F.lit(epoch))
+    else:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{epoch}"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+    w = Window.partitionBy("shard").orderBy("_eh", id_col)
+    return (
+        df.withColumn("_eh", h)
+        .withColumn(
+            "shard", F.pmod(F.col("_eh"), F.lit(num_shards)).cast("int")
+        )
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("_eh")
+    )

@@ -24,12 +24,14 @@ from . import training  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
-#: Round-4 rotation: the 41 queries that have NEVER carried a hard
-#: driver signal (VERDICT r3 list), plus 8 previously-green sentinels
-#: (ADVICE r3: keep regression signal on already-verified queries —
-#: one per major family, biased toward the highest-risk plans).
-#: 50/50 green here ⇒ all 141 registered queries have cumulative
-#: driver-oracle proof.
+#: Round-4 rotation: all 46 queries that have NEVER carried a hard
+#: driver signal (VERDICT r3's 41 + the two given-centroids assign
+#: splits + round-4's audio/PQ/video queries), plus 3 previously-green
+#: sentinels (ADVICE r3: keep regression signal on already-verified
+#: queries).  50/50 green here ⇒ every registered query except
+#: PENDING_NEXT_WINDOW has cumulative driver-oracle proof
+#: (tools/verification_ledger.json tracks it; tests/test_ledger.py
+#: enforces it).
 DRIVER_WINDOW: list[str] = [
     "flagship_order_revenue",
     # viewer stats extensions (reference stats dialog)
@@ -115,3 +117,11 @@ def _reorder() -> None:
 
 _reorder()
 assert len(DRIVER_WINDOW) == 50
+
+#: Queries registered AFTER this round's window froze: they carry repo
+#: oracle parity (tests/test_oracle_parity.py) now and MUST be rotated
+#: into round-5's DRIVER_WINDOW — tests/test_ledger.py enforces that
+#: every registered query is ledger-verified, windowed, or listed here.
+PENDING_NEXT_WINDOW: list[str] = [
+    "sp_epoch_shuffle",
+]

@@ -221,3 +221,34 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "frame_ts_ms", "frame_width", "frame_height", "frame_sha256"
     )
+
+
+# ---------------------------------------------------------------------------
+# sp_epoch_shuffle: reproducible training-epoch shuffle + worker
+# sharding (epoch 3, 4 shards) on the md5 oracle path; production runs
+# the same plan on xxhash64.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sp_epoch_shuffle",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 15))::BIGINT
+                   AS eh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(eh % 4 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY eh % 4 ORDER BY eh, doc_id
+           ) AS INT) AS shard_pos
+    FROM h
+    """,
+)
+def sp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, epoch=3, num_shards=4, hash_fn="md5")

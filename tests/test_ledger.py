@@ -16,7 +16,12 @@ from __future__ import annotations
 import json
 import os
 
-from kbdatalakeapps_spark.queries import DRIVER_WINDOW, ORACLES, QUERIES
+from kbdatalakeapps_spark.queries import (
+    DRIVER_WINDOW,
+    ORACLES,
+    PENDING_NEXT_WINDOW,
+    QUERIES,
+)
 
 _LEDGER = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -33,12 +38,15 @@ def _ledger() -> dict:
 def test_every_query_verified_or_windowed():
     led = _ledger()
     uncovered = [
-        n for n in QUERIES if n not in led and n not in DRIVER_WINDOW
+        n for n in QUERIES
+        if n not in led and n not in DRIVER_WINDOW
+        and n not in PENDING_NEXT_WINDOW
     ]
     assert not uncovered, (
         "registered queries with no recorded driver signal AND no slot "
-        f"in this round's window: {uncovered} — rotate them in or "
-        "record their CORRECTNESS result in the ledger"
+        f"in this round's window: {uncovered} — rotate them in, list "
+        "them in PENDING_NEXT_WINDOW, or record their CORRECTNESS "
+        "result in the ledger"
     )
 
 
@@ -63,3 +71,14 @@ def test_rows_only_checks_match_oracle_registry():
 
 def test_window_is_current_registry_prefix():
     assert list(QUERIES)[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
+
+
+def test_pending_queries_are_not_already_covered():
+    led = _ledger()
+    stale = [
+        n for n in PENDING_NEXT_WINDOW
+        if n in led or n in DRIVER_WINDOW or n not in QUERIES
+    ]
+    assert not stale, (
+        f"PENDING_NEXT_WINDOW entries already covered or unknown: {stale}"
+    )

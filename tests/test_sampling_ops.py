@@ -261,3 +261,34 @@ def test_hash_sampled_quantiles(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_epoch_shuffle_invariance_and_decorrelation(spark):
+    from kbdatalakeapps_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(400).select(F.col("id").alias("doc_id"))
+
+    def order(d, epoch):
+        return {
+            r.doc_id: (r.shard, r.shard_pos)
+            for r in epoch_shuffle(d, epoch=epoch, num_shards=4).collect()
+        }
+
+    one = order(df.coalesce(1), 7)
+    many = order(df.repartition(13), 7)
+    assert one == many  # partitioning-invariant epoch order
+
+    other = order(df, 8)
+    moved = sum(1 for k in one if one[k] != other[k])
+    assert moved > 300  # different epoch ⇒ a genuinely different order
+
+    # shards are contiguous rank sequences (a loader can stream each)
+    by_shard = {}
+    for shard, pos in one.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # and roughly balanced (hash sharding; 400 rows over 4 shards)
+    sizes = sorted(len(p) for p in by_shard.values())
+    assert sizes[0] > 50
