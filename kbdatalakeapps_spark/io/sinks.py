@@ -135,3 +135,61 @@ def write_parquet_audited(
     obs = Observation()
     df.observe(obs, *metrics).write.mode(mode).parquet(path)
     return obs.get
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    batch_ts: int,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """History-preserving dimension merge (SCD type 2) — the temporal
+    extension of :func:`merge_upsert`: instead of overwriting, a
+    changed key's current row is CLOSED (``valid_to = batch_ts``,
+    ``is_current = false``) and a new open row starts at ``batch_ts``;
+    unseen keys insert an open row; unchanged keys and closed history
+    pass through untouched.  Applying the same snapshot twice is a
+    no-op (idempotent), so a replayed batch cannot fork history.
+
+    Plan shape: history passes through without joining; only the
+    current slice joins the snapshot (full outer on the keys, hash
+    shuffle — broadcast when the batch is small), and the three output
+    legs (kept/closed/opened) are one union of projections over that
+    single join.  No window, no per-key sort: change detection is a
+    null-safe attr comparison (``<=>`` so NULL→value and value→NULL
+    both count as changes)."""
+    hist = dim.filter(~F.col(current_col))
+    cur = dim.filter(F.col(current_col))
+    u = updates.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(f"_u_{a}") for a in attrs],
+        F.lit(True).alias("_in_batch"),
+    )
+    j = cur.join(u, keys, "full_outer")
+    # all attrs null-safe-equal → unchanged; <=> never returns NULL
+    changed = ~F.expr(" AND ".join(f"{a} <=> _u_{a}" for a in attrs))
+    in_cur = F.col(from_col).isNotNull()
+    in_batch = F.col("_in_batch").isNotNull() & F.col("_in_batch")
+    meta = [from_col, to_col, current_col]
+    kept = j.filter(in_cur & (~in_batch | ~changed)).select(
+        *keys, *attrs, *meta
+    )
+    closed = j.filter(in_cur & in_batch & changed).select(
+        *keys, *attrs,
+        F.col(from_col),
+        F.lit(batch_ts).alias(to_col),
+        F.lit(False).alias(current_col),
+    )
+    opened = j.filter(in_batch & (~in_cur | changed)).select(
+        *keys,
+        *[F.col(f"_u_{a}").alias(a) for a in attrs],
+        F.lit(batch_ts).alias(from_col),
+        F.lit(None).cast("long").alias(to_col),
+        F.lit(True).alias(current_col),
+    )
+    return hist.select(*keys, *attrs, *meta).unionByName(kept) \
+        .unionByName(closed).unionByName(opened)

@@ -124,4 +124,5 @@ assert len(DRIVER_WINDOW) == 50
 #: every registered query is ledger-verified, windowed, or listed here.
 PENDING_NEXT_WINDOW: list[str] = [
     "sp_epoch_shuffle",
+    "s17_scd2_merge",
 ]

@@ -252,3 +252,81 @@ def sp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle(d, epoch=3, num_shards=4, hash_fn="md5")
+
+
+# ---------------------------------------------------------------------------
+# s17_scd2_merge: history-preserving dimension merge (SCD type 2), the
+# temporal extension of S16 merge_upsert.  Dim = customers as an open
+# SCD2 table (valid_from 0); batch at ts=100 changes every 3rd key's
+# address and introduces new keys (custkey+1000000 for every 7th).
+# Oracle replays the three legs (kept / closed / opened) relationally.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s17_scd2_merge",
+    oracle="""
+    WITH cur AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               0::BIGINT AS valid_from, NULL::BIGINT AS valid_to,
+               TRUE AS is_current
+        FROM customer
+    ),
+    batch AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN 'NEW:' || c_name
+                    ELSE c_name END AS c_name,
+               c_acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, 'FRESH:' || c_name, c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    changed AS (
+        SELECT c.c_custkey
+        FROM cur c JOIN batch b USING (c_custkey)
+        WHERE NOT (c.c_name IS NOT DISTINCT FROM b.c_name
+                   AND c.c_acctbal IS NOT DISTINCT FROM b.c_acctbal)
+    )
+    SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to, is_current
+    FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, valid_from,
+           100::BIGINT AS valid_to, FALSE AS is_current
+    FROM cur WHERE c_custkey IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT b.c_custkey, b.c_name, b.c_acctbal,
+           100::BIGINT AS valid_from, NULL::BIGINT AS valid_to,
+           TRUE AS is_current
+    FROM batch b
+    WHERE b.c_custkey IN (SELECT c_custkey FROM changed)
+       OR b.c_custkey NOT IN (SELECT c_custkey FROM cur)
+    """,
+)
+def s17_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.sinks import scd2_merge
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.concat(F.lit("NEW:"), "c_name")
+        ).otherwise(F.col("c_name")).alias("c_name"),
+        "c_acctbal",
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 7 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("FRESH:"), "c_name").alias("c_name"),
+            "c_acctbal",
+        )
+    )
+    return scd2_merge(
+        dim, batch, keys=["c_custkey"], attrs=["c_name", "c_acctbal"],
+        batch_ts=100,
+    )

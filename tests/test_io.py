@@ -700,3 +700,38 @@ def test_resize_images_jpeg(spark):
     assert np.abs(got.astype(int) - expect.astype(int)).mean() < 12
     # malformed jpeg propagates as null, not an exception
     assert rows[2]["resized"] is None
+
+
+def test_scd2_merge_semantics_and_idempotence(spark):
+    from kbdatalakeapps_spark.io.sinks import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            # k=1: has history (closed row) + open row that will change
+            (1, "a0", 0, 50, False),
+            (1, "a1", 50, None, True),
+            # k=2: open row, unchanged in batch
+            (2, "b0", 0, None, True),
+            # k=3: open row, key absent from batch
+            (3, "c0", 0, None, True),
+        ],
+        "k long, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    batch = spark.createDataFrame(
+        [(1, "a2"), (2, "b0"), (4, "d0")], "k long, attr string"
+    )
+    out = scd2_merge(dim, batch, keys=["k"], attrs=["attr"], batch_ts=100)
+    rows = {(r.k, r.attr): r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[(1, "a0")].valid_to == 50 and not rows[(1, "a0")].is_current
+    assert rows[(1, "a1")].valid_to == 100 and not rows[(1, "a1")].is_current
+    assert rows[(1, "a2")].valid_from == 100 and rows[(1, "a2")].is_current
+    assert rows[(2, "b0")].valid_from == 0 and rows[(2, "b0")].is_current
+    assert rows[(3, "c0")].is_current  # untouched: key absent from batch
+    assert rows[(4, "d0")].valid_from == 100 and rows[(4, "d0")].is_current
+    # idempotence: replaying the same batch changes nothing
+    again = scd2_merge(out, batch, keys=["k"], attrs=["attr"], batch_ts=200)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+    # each key has exactly one open row
+    opens = out.filter(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)
