@@ -600,3 +600,89 @@ def sample_frames(
             )
 
     return frames.mapInPandas(batches, out_schema)
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("img_width", T.IntegerType()),
+        T.StructField("img_height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_std", T.DoubleType()),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL image feature extraction (vs the sha-fake plumbing path of
+    :func:`extract_features`): decode the bitmap — raw gray/PNG/JPEG,
+    the same codec set as :func:`resize_images` — and emit geometry +
+    pixel statistics over all channels.
+
+    Determinism contract (lets ``mm_image_features`` carry a full hash
+    oracle): mean = double(Σpx)/n and std = sqrt((Σpx² − (Σpx)²/n)/n)
+    with both sums in exact int64 — the only float ops are two
+    divisions, one subtraction, one sqrt, identically rounded in
+    numpy/JVM/DuckDB.  NULL/undecodable content yields NULL features.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in IMAGE_FEATURE_SCHEMA.fields}
+            for mid, c, mime, w, h in zip(
+                pdf[id_col], pdf[content_col], pdf["_mime"], pdf["_w"], pdf["_h"]
+            ):
+                mime_s = None if mime is None else str(mime)
+                decoded = None
+                if c is not None:
+                    if mime_s == "image/png":
+                        d = _decode_png(c)
+                        decoded = None if d is None else d[0]
+                    elif mime_s == "image/jpeg":
+                        d = _decode_jpeg(c)
+                        decoded = None if d is None else d[0]
+                    elif mime_s is None or mime_s.startswith("image/raw"):
+                        if not pd.isna(w) and not pd.isna(h):
+                            arr = np.frombuffer(bytes(c), dtype=np.uint8)
+                            ch = len(arr) // (int(w) * int(h))
+                            if ch >= 1 and len(arr) == int(w) * int(h) * ch:
+                                decoded = arr.reshape(int(h), int(w), ch)
+                    else:
+                        raise NotImplementedError(
+                            f"decode for {mime_s!r} needs a codec library"
+                        )
+                out[id_col].append(mid)
+                if decoded is None:
+                    for f in IMAGE_FEATURE_SCHEMA.fields[1:]:
+                        out[f.name].append(None)
+                    continue
+                px = decoded.astype(np.int64)
+                n = px.size
+                s = int(px.sum())
+                ss = int((px * px).sum())
+                mean = s / n
+                out["img_width"].append(decoded.shape[1])
+                out["img_height"].append(decoded.shape[0])
+                out["channels"].append(decoded.shape[2])
+                out["px_min"].append(int(px.min()))
+                out["px_max"].append(int(px.max()))
+                out["px_mean"].append(mean)
+                out["px_std"].append(float(np.sqrt((ss - s * s / n) / n)))
+            yield pd.DataFrame(out)
+
+    sel = df.select(
+        id_col,
+        content_col,
+        F.col("meta.mime").alias("_mime"),
+        F.col("meta.width").alias("_w"),
+        F.col("meta.height").alias("_h"),
+    )
+    return sel.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)

@@ -125,4 +125,5 @@ assert len(DRIVER_WINDOW) == 50
 PENDING_NEXT_WINDOW: list[str] = [
     "sp_epoch_shuffle",
     "s17_scd2_merge",
+    "mm_image_features",
 ]

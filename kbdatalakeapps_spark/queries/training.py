@@ -330,3 +330,48 @@ def s17_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, batch, keys=["c_custkey"], attrs=["c_name", "c_acctbal"],
         batch_ts=100,
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_image_features: REAL pixel-statistics extraction (vs the sha-fake
+# plumbing check in mm_extract_features).  Same raw 4×4 gray bitmap
+# fixture as mm_resize_images (the md5 digest of the text), so the
+# oracle recomputes geometry + min/max/mean/std straight from the hex
+# digest bytes — exact, including the floats (int64 Σ and Σ² with two
+# IEEE divisions and a sqrt).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_image_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(text), 2 * t.i - 1, 2))::BIGINT AS px
+        FROM documents, (SELECT unnest(range(1, 17)) AS i) t(i)
+    )
+    SELECT doc_id AS media_id,
+           4 AS img_width, 4 AS img_height, 1 AS channels,
+           CAST(MIN(px) AS INT) AS px_min,
+           CAST(MAX(px) AS INT) AS px_max,
+           CAST(SUM(px) AS DOUBLE) / 16 AS px_mean,
+           SQRT((CAST(SUM(px * px) AS DOUBLE)
+                 - CAST(SUM(px) AS DOUBLE) * CAST(SUM(px) AS DOUBLE) / 16)
+                / 16) AS px_std
+    FROM b GROUP BY doc_id
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5("text")).alias("content"),
+        F.struct(
+            F.lit("image/raw-gray8").alias("mime"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return image_features(d)

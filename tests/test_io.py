@@ -735,3 +735,36 @@ def test_scd2_merge_semantics_and_idempotence(spark):
     # each key has exactly one open row
     opens = out.filter(F.col("is_current")).groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in opens)
+
+
+def test_image_features_real_decode_paths(spark):
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.multimodal import image_features
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    png = _encode_png(img, [0, 1, 2, 4])
+    gray = np.full((2, 3, 1), 7, dtype=np.uint8)
+    rows = [
+        (1, bytearray(png), ("image/png", 4, 4, None)),
+        (2, bytearray(gray.tobytes()), ("image/raw-gray8", 3, 2, None)),
+        (3, None, ("image/png", None, None, None)),
+        (4, b"not a png", ("image/png", None, None, None)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, content binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    out = {r.media_id: r for r in image_features(media).collect()}
+    px = img.astype(np.int64)
+    assert (out[1].img_width, out[1].img_height, out[1].channels) == (4, 4, 3)
+    assert out[1].px_min == int(px.min()) and out[1].px_max == int(px.max())
+    s, ss, n = int(px.sum()), int((px * px).sum()), px.size
+    assert out[1].px_mean == s / n
+    assert out[1].px_std == float(np.sqrt((ss - s * s / n) / n))
+    # constant raw gray: std exactly 0, mean exactly the constant
+    assert (out[2].px_mean, out[2].px_std) == (7.0, 0.0)
+    assert (out[2].img_width, out[2].img_height) == (3, 2)
+    # NULL and undecodable content → NULL features, row preserved
+    assert out[3].px_mean is None and out[4].px_mean is None
