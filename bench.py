@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "sim_ivf_topk",                # IVF ANN: index BUILD (k-means) + query
     "sim_ivf_assign_topk",         # IVF ANN: query-only, fixed centroids
     "mm_resize_images",            # binary-image decode+resize kernel
+    "sim_pq_assign_topk",          # PQ encode + ADC top-k
+    "mm_audio_features",           # real WAV decode + clip stats
+    "mm_video_frames",             # real MJPEG-AVI parse + frame decode
+    "sp_epoch_shuffle",            # reproducible epoch shuffle + sharding
+    "s17_scd2_merge",              # history-preserving dimension merge
 ]
 
 # The most expensive queries — measured twice, median reported.

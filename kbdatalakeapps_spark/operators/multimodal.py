@@ -2,12 +2,16 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs.  The Spark-side machinery — schema, partition-friendly batch
-iteration, Arrow-batched UDF signatures — is real and tested.  Raw
-(uncompressed) bitmaps resize for real via numpy resampling; only the
-compressed-format decode work is stubbed (codec libraries are not in
-this container) behind deterministic fakes clearly marked below.
-Swapping a fake for a real decoder changes one inner function, not the
-plan.
+iteration, Arrow-batched UDF signatures — is real and tested, and so
+are the codecs this container can honestly support: raw bitmaps
+(numpy), PNG (stdlib zlib), baseline JPEG (pure-python huffman+IDCT),
+WAV PCM (:mod:`.audio`), and MJPEG-in-AVI video (:mod:`.video`).
+What remains deliberately fake or loud: ``extract_features``' sha
+pseudo-features (kept as the opaque-bytes plumbing check — use
+:func:`image_features` for real pixels), ``sample_frames``' frame
+identity for non-MJPEG video, and NotImplementedError for codecs that
+genuinely need PIL/ffmpeg.  Swapping a codec changes one inner
+function, not the plan.
 
 Scale posture: media bytes ride in parquet binary columns; decode /
 feature-extract run as ``mapInPandas`` so each task streams Arrow
