@@ -331,3 +331,57 @@ def test_stream_cms_sketch_match_batch(spark, tmp_path):
     got = spark.sql("SELECT * FROM cms_counters")
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_scd2_dimension_maintenance(spark, tmp_path):
+    """Streaming SCD2: each arriving micro-batch of dimension
+    snapshots folds into the history table via foreachBatch +
+    scd2_merge — the standard streaming-dimension-maintenance shape
+    (merge is idempotent, so a replayed batch cannot fork history).
+    Two batches arrive; the final table must show the full lineage of
+    the twice-changed key."""
+    from kbdatalakeapps_spark.io.sinks import scd2_merge
+
+    src = tmp_path / "src"
+    src.mkdir()
+    dim_path = str(tmp_path / "dim")
+    # seed dimension: k=1 open at ts 0
+    spark.createDataFrame(
+        [(1, "v0", 0, None, True)],
+        "k long, attr string, valid_from long, valid_to long, is_current boolean",
+    ).write.parquet(dim_path)
+
+    batches = [(1, "v1", 100), (1, "v2", 200)]
+
+    def fold(batch_df, _bid):
+        ts = batch_df.selectExpr("max(ts)").collect()[0][0]
+        dim = spark.read.parquet(dim_path)
+        merged = scd2_merge(
+            dim, batch_df.select("k", "attr"),
+            keys=["k"], attrs=["attr"], batch_ts=int(ts),
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(dim_path)
+
+    for i, (k, attr, ts) in enumerate(batches):
+        spark.createDataFrame(
+            [(k, attr, ts)], "k long, attr string, ts long"
+        ).write.parquet(str(src / f"b{i}"))
+        (
+            spark.readStream.schema("k long, attr string, ts long")
+            .parquet(str(src / f"b{i}"))
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    final = {
+        (r.attr): (r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(dim_path).collect()
+    }
+    assert final == {
+        "v0": (0, 100, False),
+        "v1": (100, 200, False),
+        "v2": (200, None, True),
+    }
