@@ -104,7 +104,6 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PQ_M = 4
-_PQ_SUB = 16  # 64-dim embeddings / 4 subspaces
 
 
 @query(
@@ -112,7 +111,8 @@ _PQ_SUB = 16  # 64-dim embeddings / 4 subspaces
     oracle=f"""
     WITH enc_d AS (
         SELECT e.vec_id AS doc_id,
-               CAST((u.pos - 1) // {_PQ_SUB} AS INT) AS subspace,
+               CAST((u.pos - 1) // (len(e.embedding) // {_PQ_M}) AS INT)
+                   AS subspace,
                CAST(c.vec_id AS INT) AS code,
                SUM(CAST(FLOOR(
                    (CAST(e.embedding[u.pos] AS DOUBLE) - CAST(c.embedding[u.pos] AS DOUBLE))
@@ -155,11 +155,16 @@ _PQ_SUB = 16  # 64-dim embeddings / 4 subspaces
 )
 def sim_pq_assign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
+    # subspace width from the data, not a constant — the driver
+    # regenerates testdata between rounds (NOTES r2: events.ts changed
+    # type), so dim is read at plan time and the oracle mirrors it
+    # with len(embedding)
+    sub = emb.select(F.size("embedding").alias("d")).limit(1).collect()[0].d // _PQ_M
     codebook = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").cast("int").alias("code"),
         F.posexplode(
             F.array(*[
-                F.slice(F.col("embedding"), j * _PQ_SUB + 1, _PQ_SUB)
+                F.slice(F.col("embedding"), j * sub + 1, sub)
                 for j in range(_PQ_M)
             ])
         ).alias("subspace", "centroid"),
