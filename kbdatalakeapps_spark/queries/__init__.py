@@ -126,4 +126,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "sp_epoch_shuffle",
     "s17_scd2_merge",
     "mm_image_features",
+    "tx_bpe_char_tokens",
 ]

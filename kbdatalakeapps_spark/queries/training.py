@@ -380,3 +380,31 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return image_features(d)
+
+
+# ---------------------------------------------------------------------------
+# tx_bpe_char_tokens: the BPE ENCODE path (split → per-word symbol
+# walk → Arrow batch shape → counts) under a hash oracle, run with
+# zero merges so the token count is relationally predictable
+# (chars-in-words + one </w> per word).  Trained-merge behavior
+# (rank order, compression, losslessness, determinism) is pinned by
+# tests/test_bpe.py — merge application itself is not SQL-expressible.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_bpe_char_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(
+               length(regexp_replace(lower(text), '\\s', '', 'g'))
+               + len(string_split_regex(trim(lower(text)), '\\s+'))
+               AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def tx_bpe_char_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_encode(d, merges=[]).select("doc_id", "n_tokens")

@@ -1,0 +1,68 @@
+"""BPE tokenizer (operators/bpe.py): merge training on the word
+histogram, greedy rank-ordered encoding, losslessness, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.io.sources import load_table
+from kbdatalakeapps_spark.operators.bpe import (
+    END,
+    _encode_word,
+    bpe_encode,
+    bpe_train,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_train_learns_dominant_pair_first(spark):
+    # "aa" is by far the most frequent adjacent pair
+    df = _corpus(spark, ["aaaa aaaa aab", "aaaa aab b"])
+    merges = bpe_train(df, num_merges=3)
+    assert merges[0] == ("a", "a")
+
+
+def test_train_is_partitioning_invariant(spark):
+    rows = [f"tok{i % 7} tok{i % 3} shared word" for i in range(50)]
+    one = bpe_train(_corpus(spark, rows).coalesce(1), num_merges=20)
+    many = bpe_train(_corpus(spark, rows).repartition(11), num_merges=20)
+    assert one == many
+
+
+def test_encode_zero_merges_is_characters(spark):
+    df = _corpus(spark, ["ab c"])
+    row = bpe_encode(df, []).collect()[0]
+    assert row.tokens == ["a", "b", END, "c", END]
+    assert row.n_tokens == 5
+
+
+def test_encode_lossless_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    merges = bpe_train(docs, num_merges=40)
+    enc = bpe_encode(docs, merges)
+    joined = docs.join(enc, "doc_id").select("doc_id", "text", "tokens")
+    for r in joined.collect():
+        rebuilt = "".join(r.tokens).replace(END, " ").split()
+        assert rebuilt == str(r.text).lower().split()
+
+
+def test_merges_compress_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    chars = bpe_encode(docs, []).agg(F.sum("n_tokens")).collect()[0][0]
+    merges = bpe_train(docs, num_merges=60)
+    merged = bpe_encode(docs, merges).agg(F.sum("n_tokens")).collect()[0][0]
+    assert merged < chars * 0.6  # real merges, substantial compression
+
+
+def test_encode_word_respects_rank_order():
+    # rank order matters: with ('a','b') before ('b','c'), "abc" must
+    # merge ab first and never form bc
+    ranks = {("a", "b"): 0, ("b", "c"): 1, ("ab", "c"): 2}
+    assert _encode_word("abc", ranks) == ["abc", END]
+    ranks2 = {("b", "c"): 0, ("a", "b"): 1}
+    assert _encode_word("abc", ranks2) == ["a", "bc", END]
