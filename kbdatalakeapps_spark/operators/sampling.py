@@ -366,3 +366,34 @@ def epoch_shuffle(
         .withColumn("shard_pos", F.row_number().over(w))
         .drop("_eh")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-domain cap (Common-Crawl-style domain balancing): keep at
+    most ``cap`` rows per ``group_col`` value, selected by
+    content-keyed hash rank — a uniform random-without-replacement
+    choice that any rerun, engine, or partitioning reproduces.  Groups
+    under the cap pass through whole.
+
+    One hash shuffle on the group key; rank is a window inside the
+    group (bounded by the group's rows — the skew caveat is the same
+    as any per-domain operator: a mega-domain's rank sort is one
+    task's work, acceptable because only ranks ≤ cap survive)."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16, 10,
+    ).cast("double") / F.lit(float(16**15))
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

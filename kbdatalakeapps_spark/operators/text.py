@@ -13,6 +13,7 @@ expressions (no UDFs), each with an exact SQL oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -444,3 +445,35 @@ def line_dedup_stats(
             F.round(F.col("n_dup_lines") / F.col("n_lines"), 6),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Corpus text normalization (the ftfy-lite pass every pretraining
+    pipeline runs before dedup/tokenization): Unicode NFKC (REAL —
+    stdlib unicodedata in an Arrow-batched pandas UDF: ligatures,
+    full-width forms, compatibility digits all fold), then JVM-side
+    control-character strip and whitespace-run collapse.
+
+    Order matters and is part of the contract: NFKC first (it can
+    *produce* spaces, e.g. NBSP compatibility forms), then the native
+    regexp cleanup — so the relational tail is SQL-replayable and, on
+    ASCII-only corpora where NFKC is the identity, the whole operator
+    carries an exact oracle (tx_normalize_text)."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfkc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFKC", x)
+        )
+
+    cleaned = F.regexp_replace(
+        nfkc(F.col(text_col)),
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "",
+    )
+    collapsed = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+    return df.withColumn(out_col, collapsed)

@@ -127,4 +127,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "s17_scd2_merge",
     "mm_image_features",
     "tx_bpe_char_tokens",
+    "sp_domain_cap",
+    "tx_normalize_text",
 ]

@@ -408,3 +408,67 @@ def tx_bpe_char_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_encode(d, merges=[]).select("doc_id", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# sp_domain_cap: per-source cap (domain balancing) — at most 15 docs
+# per source, chosen by the md5 unit hash so the kept set is a
+# reproducible uniform sample of each domain.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sp_domain_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 15))::BIGINT
+                            / CAST(1152921504606846976 AS DOUBLE),
+                            doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 15
+    """,
+)
+def sp_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import domain_cap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return domain_cap(d, group_col="source", cap=15)
+
+
+# ---------------------------------------------------------------------------
+# tx_normalize_text: the normalization pass over the (ASCII) test
+# corpus — NFKC is the identity there, so the control-strip +
+# whitespace-collapse tail oracles exactly; the NFKC folding itself
+# (ligatures, full-width, compatibility digits) is pinned by
+# tests/test_text_ops.py on non-ASCII fixtures.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(text,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+               '\\s+', ' ', 'g')) AS norm_text,
+           trim(regexp_replace(
+               regexp_replace(text,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+               '\\s+', ' ', 'g')) <> text AS changed
+    FROM documents
+    """,
+)
+def tx_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = normalize_text(d)
+    return out.select(
+        "doc_id", "norm_text",
+        (F.col("norm_text") != F.col("text")).alias("changed"),
+    )

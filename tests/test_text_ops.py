@@ -1,0 +1,19 @@
+
+
+def test_normalize_text_real_nfkc_and_cleanup(spark):
+    from kbdatalakeapps_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "ﬁne ｆｕｌｌｗｉｄｔｈ ①"),          # ligature, full-width, circled digit
+        (2, "a\x00b\x1fc\td\n\ne"),              # controls stripped, whitespace collapsed
+        (3, "  already   clean  "),
+        (4, None),
+        (5, "café vs café"),          # NFC é and combining é both → NFKC é
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+    assert out[1] == "fine fullwidth 1"
+    assert out[2] == "abc d e"
+    assert out[3] == "already clean"
+    assert out[4] is None
+    assert out[5] == "café vs café" and "́" not in out[5]
