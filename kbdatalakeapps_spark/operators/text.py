@@ -14,7 +14,7 @@ expressions (no UDFs), each with an exact SQL oracle.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal stopword profiles for the language-ID heuristic.  Real
@@ -477,3 +477,69 @@ def normalize_text(
     )
     collapsed = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
     return df.withColumn(out_col, collapsed)
+
+
+def bigram_model(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus bigram counts — the model half of CCNet-style perplexity
+    filtering: (prev, word, c) over lowercased whitespace tokens, with
+    a sentence-start token '<s>' so first words are conditioned too
+    (documents are independent: no cross-doc bigrams).  Pure integer
+    aggregation (exactly SQL-replayable); one explode + one per-doc
+    lag window + one map-side-combinable groupBy."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn(
+        "prev", F.coalesce(F.lag("word").over(w), F.lit("<s>"))
+    )
+    return pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c"))
+
+
+def perplexity_score(
+    df: DataFrame,
+    model: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed bigram model:
+    P(w|prev) = (c(prev,w)+1)/(c(prev)+V), ppl = exp(−Σ ln p / n).
+    The quality-filter signal: fluent text scores low, gibberish and
+    boilerplate high.
+
+    All native expressions — explode, lag window per doc, one
+    broadcast-or-hash join against the model, one aggregate.  The
+    model side carries precomputed context totals so scoring never
+    re-aggregates the corpus."""
+    ctx = model.groupBy("prev").agg(F.sum("c").alias("c_ctx"))
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn(
+        "prev", F.coalesce(F.lag("word").over(w), F.lit("<s>"))
+    )
+    scored = (
+        pairs.join(model, ["prev", "word"], "left")
+        .join(ctx, "prev", "left")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c_ctx"), F.lit(0)) + vocab_size).cast("double")
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.exp(-F.sum("logp") / F.count(F.lit(1))).alias("perplexity"),
+    )

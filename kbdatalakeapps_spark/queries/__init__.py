@@ -129,4 +129,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "tx_bpe_char_tokens",
     "sp_domain_cap",
     "tx_normalize_text",
+    "tx_bigram_counts",
 ]

@@ -472,3 +472,47 @@ def tx_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "norm_text",
         (F.col("norm_text") != F.col("text")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx_bigram_counts: the model half of perplexity filtering — exact
+# integer bigram counts with per-doc <s> starts, top-100 page.  The
+# float scoring half (perplexity_score) is pytest-verified against a
+# python reference: ln() is not bit-portable across engines, so it
+# has no hash oracle by design.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_bigram_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t.i AS pos, w.wlist[t.i] AS word
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS wlist
+            FROM documents
+        ) w, LATERAL (SELECT unnest(generate_series(1, len(w.wlist))) AS i) t
+        WHERE w.wlist[t.i] <> ''
+    ),
+    pairs AS (
+        SELECT COALESCE(
+                   LAG(word) OVER (PARTITION BY doc_id ORDER BY pos), '<s>'
+               ) AS prev,
+               word
+        FROM toks
+    )
+    SELECT prev, word, COUNT(*)::BIGINT AS c
+    FROM pairs GROUP BY prev, word
+    ORDER BY c DESC, prev, word LIMIT 100
+    """,
+)
+def tx_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_model
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        bigram_model(d)
+        .orderBy(F.col("c").desc(), "prev", "word")
+        .limit(100)
+    )

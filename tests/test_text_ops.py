@@ -1,3 +1,13 @@
+"""Text kernels added in round 4: NFKC normalization and the bigram
+perplexity filter (the float half has no SQL oracle — ln() is not
+bit-portable across engines — so it is pinned here against a python
+reference instead)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
 
 
 def test_normalize_text_real_nfkc_and_cleanup(spark):
@@ -17,3 +27,49 @@ def test_normalize_text_real_nfkc_and_cleanup(spark):
     assert out[3] == "already clean"
     assert out[4] is None
     assert out[5] == "café vs café" and "́" not in out[5]
+
+
+def test_bigram_perplexity_matches_python_reference(spark):
+    import math
+
+    from kbdatalakeapps_spark.operators.text import bigram_model, perplexity_score
+
+    corpus = ["the cat sat", "the cat ran", "the dog sat"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    model = bigram_model(df)
+    # python reference model
+    counts: dict[tuple[str, str], int] = {}
+    for t in corpus:
+        prev = "<s>"
+        for w in t.split():
+            counts[(prev, w)] = counts.get((prev, w), 0) + 1
+            prev = w
+    got = {(r.prev, r.word): r.c for r in model.collect()}
+    assert got == counts
+    V = 64
+    ctx: dict[str, int] = {}
+    for (p, _w), c in counts.items():
+        ctx[p] = ctx.get(p, 0) + c
+    out = {r.doc_id: r for r in perplexity_score(df, model, V).collect()}
+    for i, t in enumerate(corpus):
+        lp, prev = 0.0, "<s>"
+        for w in t.split():
+            lp += math.log((counts.get((prev, w), 0) + 1) / (ctx.get(prev, 0) + V))
+            prev = w
+        n = len(t.split())
+        assert out[i].n_tokens == n
+        assert out[i].perplexity == pytest.approx(math.exp(-lp / n), rel=1e-12)
+
+
+def test_perplexity_separates_fluent_from_gibberish(spark):
+    from kbdatalakeapps_spark.operators.text import bigram_model, perplexity_score
+
+    fluent = ["the cat sat on the mat"] * 20
+    rows = [(i, t) for i, t in enumerate(fluent)]
+    rows.append((99, "zxq qvw jjk pqr"))  # out-of-model gibberish
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = bigram_model(df.filter(F.col("doc_id") < 99))
+    out = {r.doc_id: r.perplexity for r in perplexity_score(df, model, 1000).collect()}
+    assert out[99] > 3 * out[0]  # gibberish scores much higher
