@@ -543,3 +543,39 @@ def perplexity_score(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
         F.exp(-F.sum("logp") / F.count(F.lit(1))).alias("perplexity"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility: compressed_bytes /
+    raw_bytes.  Highly templated or repetitive text compresses far
+    below fluent prose, making the ratio a cheap corpus-quality /
+    boilerplate signal complementary to repetition_ratio (which only
+    sees exact n-gram repeats).
+
+    Arrow-batched pandas UDF (zlib is stdlib, level fixed for
+    determinism on a given zlib build); no SQL oracle by design —
+    DEFLATE output is library-defined, so correctness is pinned by
+    kernel tests (monotonicity: repeated text ≪ varied text; bounds)."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def ratio(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            raw = str(x).encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    return df.select(
+        F.col(id_col),
+        ratio(F.col(text_col)).alias("compression_ratio"),
+    )

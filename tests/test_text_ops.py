@@ -73,3 +73,28 @@ def test_perplexity_separates_fluent_from_gibberish(spark):
     model = bigram_model(df.filter(F.col("doc_id") < 99))
     out = {r.doc_id: r.perplexity for r in perplexity_score(df, model, 1000).collect()}
     assert out[99] > 3 * out[0]  # gibberish scores much higher
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    import random
+
+    from kbdatalakeapps_spark.operators.text import compression_ratio
+
+    rng = random.Random(7)
+    varied = " ".join(
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(8))
+        for _ in range(200)
+    )
+    rows = [
+        (1, "spam " * 400),   # pure repetition → tiny ratio
+        (2, varied),          # high-entropy words → high ratio
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert out[1] < 0.05
+    assert out[2] > 0.5
+    assert out[1] < out[2] / 5
+    assert out[3] is None and out[4] is None
+    assert 0 < out[1] and out[2] <= 1.2  # sane bounds
