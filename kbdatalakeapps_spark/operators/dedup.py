@@ -820,3 +820,95 @@ def lsh_tuning_report(
         )
         .orderBy("band_size")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup discovery by shingle CONTAINMENT
+    |A∩B| / |A| ≥ threshold — the case symmetric Jaccard (and the
+    banded-LSH S-curve tuned to it) structurally misses: a short
+    document wholly contained in a much longer one has tiny Jaccard
+    but containment ≈ 1.
+
+    Blocking is EXACT prefix filtering (Chaudhuri et al., ICDE'06): a
+    pair with containment ≥ t shares ≥ ⌈t·|A|⌉ of A's shingles, so B
+    must contain at least one of ANY ⌊(1−t)·|A|⌋+1 shingles of A.
+    Each doc therefore probes its ⌊(1−t)·n⌋+1 globally-RAREST
+    shingles (rarest-first minimizes candidate fan-out while keeping
+    the guarantee — recall is 1.0 by construction, not a heuristic).
+    ``max_shingle_df`` bounds the fan-out of any single probe key.
+    The recall guarantee holds for every doc whose full prefix is
+    under the cap — i.e. whose ⌊(1−t)n⌋+1 RAREST shingles each occur
+    in ≤ max_shingle_df docs.  A doc violating that is boilerplate
+    (even its rarest content is corpus-hot); its capped probes are
+    dropped, trading its guarantee for bounded fan-out — route such
+    corpora through the symmetric LSH family instead.
+
+    Plan: one shingle pass, one tiny df-count aggregate joined back,
+    per-doc rare-prefix via sort-collect (bounded: the prefix length,
+    not the doc), candidate equi-join on probe shingles, exact |A∩B|
+    by a two-key equi-join of the shingle sets.  Returns (id_a, id_b,
+    containment) where id_a is the CONTAINED side; both directions
+    are examined (every doc probes as a potential A)."""
+    sh = shingle_table(df, id_col, text_col, k).localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ranked = (
+        sh.join(sdf, "shingle")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sdf", "shingle"))).alias(
+                "_byrarity"
+            )
+        )
+        .join(sizes, "id")
+        .select(
+            "id",
+            # probes = ⌊(1−t)·n⌋ + 1.  The +1e-6 is one-sided float
+            # armor: (1−0.9)·30 evaluates to 2.9999…96 in IEEE and
+            # would floor to 2, silently halving recall at the exact
+            # boundary; overshooting the probe count by one is always
+            # safe (more probes ⇒ strictly more candidates).
+            F.explode(
+                F.expr(
+                    f"slice(_byrarity, 1, "
+                    f"floor({1.0 - threshold} * n + 1e-6) + 1)"
+                )
+            ).alias("r"),
+        )
+        .filter(F.col("r.sdf") <= max_shingle_df)
+        .select("id", F.col("r.shingle").alias("shingle"))
+    )
+    cand = (
+        ranked.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    # |A∩B| per candidate pair: expand A's shingles, then equi-join the
+    # B shingle set on BOTH (id_b, shingle) — never a per-pair cross of
+    # the two shingle lists
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .withColumn("containment", F.col("inter") / F.col("na"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )

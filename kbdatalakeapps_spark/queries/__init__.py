@@ -130,4 +130,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "sp_domain_cap",
     "tx_normalize_text",
     "tx_bigram_counts",
+    "dd_containment",
 ]

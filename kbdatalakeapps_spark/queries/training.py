@@ -516,3 +516,78 @@ def tx_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "prev", "word")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# dd_containment: asymmetric (prefix-filtered) containment dedup —
+# the short-doc-inside-long-doc case symmetric Jaccard misses.  Docs
+# 0-99 plus planted shorts (first 60 chars of every 5th doc, re-keyed
+# +1e6): every planted short MUST surface as contained.  The oracle
+# replays all five stages including the float-armored probe count
+# floor((1-t)*n + 1e-6)+1 (see containment_pairs' docstring).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd_containment",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, lower(text) AS txt FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 1000000, lower(substr(text, 1, 60))
+        FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS id, substr(txt, i, 3) AS shingle
+        FROM (
+            SELECT doc_id, txt,
+                   unnest(range(1, GREATEST(length(txt) - 1, 1))) AS i
+            FROM docs
+        )
+    ),
+    sizes AS (SELECT id, COUNT(*)::BIGINT AS n FROM sh GROUP BY id),
+    sdf AS (SELECT shingle, COUNT(*)::BIGINT AS sdf FROM sh GROUP BY shingle),
+    ranked AS (
+        SELECT s.id, s.shingle, d.sdf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.id ORDER BY d.sdf, s.shingle
+               ) AS rk
+        FROM sh s JOIN sdf d USING (shingle)
+    ),
+    probes AS (
+        SELECT r.id, r.shingle
+        FROM ranked r JOIN sizes z ON z.id = r.id
+        WHERE r.rk <= FLOOR({1.0 - 0.9} * z.n + 1e-6) + 1
+          AND r.sdf <= 500
+    ),
+    cand AS (
+        SELECT DISTINCT p.id AS id_a, s.id AS id_b
+        FROM probes p JOIN sh s USING (shingle)
+        WHERE p.id <> s.id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*)::BIGINT AS inter
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.inter / CAST(z.n AS DOUBLE), 6) AS containment
+    FROM inter i JOIN sizes z ON z.id = i.id_a
+    WHERE i.inter / CAST(z.n AS DOUBLE) >= 0.9
+    """,
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    planted = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring("text", 1, 60).alias("text"),
+    )
+    return containment_pairs(
+        d.union(planted), threshold=0.9, max_shingle_df=500
+    )

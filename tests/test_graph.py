@@ -120,3 +120,70 @@ def test_lsh_tuning_report_monotone_recall(spark):
         assert 0 <= r.precision_ppm <= 1_000_000
         assert 0 <= r.recall_ppm <= 1_000_000
         assert r.tp + r.fn == rows[1].tp + rows[1].fn  # same ground truth
+
+
+def test_containment_pairs_finds_asymmetric_dups(spark):
+    """A short doc embedded verbatim in a long doc has tiny Jaccard but
+    containment ≈ 1 — containment_pairs must find it (prefix-filter
+    recall guarantee) and direction/threshold must be respected."""
+    import random
+
+    from kbdatalakeapps_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(3)
+
+    def words(n):
+        return " ".join(
+            "".join(rng.choice("abcdefghij") for _ in range(6)) for _ in range(n)
+        )
+
+    short = words(10)
+    long_doc = words(60) + " " + short + " " + words(60)
+    rows = [(1, short), (2, long_doc), (3, words(40)), (4, words(40))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.99  # contained side = id_a
+    assert (2, 1) not in got                       # long doc not contained
+    assert all(a == 1 for a, _ in got)             # no spurious pairs
+    # and symmetric Jaccard indeed misses it at any near-dup threshold
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
+
+
+def test_containment_recall_matches_bruteforce(spark):
+    """Prefix filtering must reproduce EXACTLY the brute-force
+    containment pairs (recall 1.0 when no probe is df-capped)."""
+    from kbdatalakeapps_spark.operators.dedup import (
+        containment_pairs,
+        shingle_table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(12):
+        rows.append((i, base[: 20 + 3 * i]))  # nested prefixes: many containments
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(df, threshold=0.9, max_shingle_df=10**6).collect()
+    }
+    sh = shingle_table(df, "doc_id", "text", 3).localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    brute = (
+        sh.select(F.col("id").alias("id_a"), "shingle")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .filter(F.col("inter") / F.col("na") >= 0.9)
+    )
+    expect = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got == expect and len(expect) > 5
