@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "mm_video_frames",             # real MJPEG-AVI parse + frame decode
     "sp_epoch_shuffle",            # reproducible epoch shuffle + sharding
     "s17_scd2_merge",              # history-preserving dimension merge
+    "pl_corpus_curation",          # end-to-end curation composite
 ]
 
 # The most expensive queries — measured twice, median reported.

@@ -131,4 +131,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "tx_normalize_text",
     "tx_bigram_counts",
     "dd_containment",
+    "pl_corpus_curation",
 ]

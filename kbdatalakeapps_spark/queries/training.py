@@ -591,3 +591,116 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         d.union(planted), threshold=0.9, max_shingle_df=500
     )
+
+
+# ---------------------------------------------------------------------------
+# pl_corpus_curation: the end-to-end curation story under ONE hash
+# oracle — normalize → quality filter (C4/Gopher rules) → exact dedup
+# → per-domain cap → train/val/test split → per-(split, source) doc
+# and token accounting.  Each stage reuses an independently-oracled
+# operator; the composite proves they compose (column contracts,
+# filter order, determinism) — the near-dup stage is deliberately
+# absent here because dd_dedup_corpus already proves it end-to-end.
+# ---------------------------------------------------------------------------
+
+_CUR_UNIT = (
+    "(('0x' || substr(md5(doc_id::VARCHAR || '{salt}'), 1, 15))::BIGINT"
+    " / CAST(1152921504606846976 AS DOUBLE))"
+)
+
+
+@query(
+    "pl_corpus_curation",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(
+                   regexp_replace(text,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                   '\\s+', ' ', 'g')) AS txt
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source, txt,
+               list_filter(string_split_regex(lower(txt), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM norm
+    ),
+    stats AS (
+        SELECT doc_id,
+            len(tk) AS n_tokens,
+            CASE WHEN length(txt) > 0
+                 THEN ROUND((length(txt) - length(regexp_replace(txt,
+                      '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+                      / CAST(length(txt) AS DOUBLE), 6) ELSE 0 END AS punct_ratio,
+            CASE WHEN length(txt) > 0
+                 THEN ROUND((length(txt) - length(regexp_replace(txt,
+                      '[0-9]', '', 'g')))
+                      / CAST(length(txt) AS DOUBLE), 6) ELSE 0 END AS digit_ratio,
+            len(list_filter(tk,
+                 t -> t IN ('the','and','of','to','in','is','a'))) AS en_hits,
+            CASE WHEN len(tk) - 1 > 0
+                 THEN ROUND(1.0 - len(list_distinct(
+                      list_transform(range(1, len(tk)::INT),
+                                     i -> array_to_string(tk[i:i+1], ' '))))
+                      / CAST(len(tk) - 1 AS DOUBLE), 6)
+                 ELSE 0.0 END AS repetition_ratio
+        FROM toks
+    ),
+    kept AS (
+        SELECT t.doc_id, t.source, t.txt, len(t.tk) AS ntok
+        FROM toks t JOIN stats s USING (doc_id)
+        WHERE s.n_tokens >= 10 AND s.punct_ratio <= 0.2
+          AND s.digit_ratio <= 0.3 AND s.repetition_ratio <= 0.3
+          AND s.en_hits > 0
+    ),
+    uniq AS (
+        SELECT doc_id, source, ntok FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(txt)) AS keep_id
+            FROM kept
+        ) WHERE doc_id = keep_id
+    ),
+    capped AS (
+        SELECT doc_id, source, ntok FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY {_CUR_UNIT.format(salt='cap1')}, doc_id
+            ) AS rk FROM uniq
+        ) WHERE rk <= 20
+    ),
+    sp AS (
+        SELECT source, ntok,
+               CASE WHEN {_CUR_UNIT.format(salt='v1')} < 0.8 THEN 'train'
+                    WHEN {_CUR_UNIT.format(salt='v1')} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM capped
+    )
+    SELECT split, source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(ntok)::BIGINT AS n_tokens
+    FROM sp GROUP BY split, source
+    """,
+)
+def pl_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import domain_cap, hash_split
+    from ..operators.text import normalize_text, quality_filter, token_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n = normalize_text(d)
+    q = quality_filter(n, text_col="norm_text")
+    kept = q.filter("keep").select("doc_id", "source", "norm_text")
+    h = kept.withColumn("_h", F.md5("norm_text"))
+    keeper = h.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+    uniq = (
+        h.join(keeper, "_h")
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id", "source", "norm_text")
+    )
+    capped = domain_cap(uniq, group_col="source", cap=20, salt="cap1")
+    split = hash_split(
+        capped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+    )
+    return split.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("norm_text")).cast("long").alias("n_tokens"),
+    )
