@@ -768,3 +768,56 @@ def test_image_features_real_decode_paths(spark):
     assert (out[2].img_width, out[2].img_height) == (3, 2)
     # NULL and undecodable content → NULL features, row preserved
     assert out[3].px_mean is None and out[4].px_mean is None
+
+
+def test_write_webdataset_shards(spark, tmp_path):
+    import json
+    import tarfile
+
+    from kbdatalakeapps_spark.io.sinks import write_webdataset
+
+    rows = [(i, bytes([i % 256] * (10 + i)), f"src{i % 3}") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary, source string")
+    out = str(tmp_path / "wds")
+    n = write_webdataset(
+        df.repartition(7), out, meta_cols=["source"], shard_rows=10
+    )
+    assert n == 3  # 25 rows / 10 per shard
+    seen = {}
+    for s in range(3):
+        with tarfile.open(f"{out}/shard-{s:06d}.tar") as t:
+            names = t.getnames()
+            keys = sorted({int(x.split(".")[0]) for x in names})
+            # shard s holds the s-th key-ordered slice of 10
+            assert keys == list(range(s * 10, min(25, (s + 1) * 10)))
+            for k in keys:
+                body = t.extractfile(f"{k}.bin").read()
+                meta = json.loads(t.extractfile(f"{k}.json").read())
+                seen[k] = (body, meta["source"])
+    assert len(seen) == 25
+    for i, content, src in rows:
+        assert seen[i] == (content, src)
+
+
+def test_write_webdataset_layout_is_partitioning_invariant(spark, tmp_path):
+    import hashlib
+
+    from kbdatalakeapps_spark.io.sinks import write_webdataset
+
+    rows = [(i, f"payload-{i}".encode(), "s") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary, source string")
+
+    def digest(d):
+        out = str(tmp_path / f"wds_{d}")
+        write_webdataset(
+            df.repartition(d), out, meta_cols=["source"], shard_rows=7
+        )
+        h = hashlib.sha256()
+        import os
+
+        for f in sorted(os.listdir(out)):
+            h.update(f.encode())
+            h.update(open(os.path.join(out, f), "rb").read())
+        return h.hexdigest()
+
+    assert digest(1) == digest(13)  # byte-identical shards (mtime=0)
