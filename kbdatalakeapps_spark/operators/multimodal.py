@@ -690,3 +690,135 @@ def image_features(
         F.col("meta.height").alias("_h"),
     )
     return sel.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual image hashes over DECODED pixels (raw/PNG/JPEG, the
+    same codec set as the other kernels): aHash (bit i set when gray
+    pixel i > image mean, row-major) and dHash (bit set when a pixel
+    outbrightens its right neighbor on a (size+1)-wide resample).
+    Near-duplicate images — re-encoded, resized, slightly edited —
+    collide within a few bits, which exact byte hashing can never see.
+
+    Determinism: grayscale is the rounded channel mean, the aHash mean
+    is an exact int sum / n, comparisons are strict — so on raw
+    fixtures the aHash is SQL-replayable bit-for-bit
+    (``mm_image_phash``).  NULL/undecodable content → NULL hashes."""
+    import numpy as np
+
+    def decode(c, mime_s, w, h):
+        if c is None:
+            return None
+        if mime_s == "image/png":
+            d = _decode_png(c)
+            return None if d is None else d[0]
+        if mime_s == "image/jpeg":
+            d = _decode_jpeg(c)
+            return None if d is None else d[0]
+        if mime_s is None or mime_s.startswith("image/raw"):
+            if pd.isna(w) or pd.isna(h):
+                return None
+            arr = np.frombuffer(bytes(c), dtype=np.uint8)
+            ch = len(arr) // (int(w) * int(h))
+            if ch < 1 or len(arr) != int(w) * int(h) * ch:
+                return None
+            return arr.reshape(int(h), int(w), ch)
+        raise NotImplementedError(f"decode for {mime_s!r} needs a codec library")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "ahash": [], "dhash": []}
+            for mid, c, mime, w, h in zip(
+                pdf[id_col], pdf[content_col], pdf["_mime"], pdf["_w"], pdf["_h"]
+            ):
+                out["media_id"].append(mid)
+                img = decode(c, None if mime is None else str(mime), w, h)
+                if img is None:
+                    out["ahash"].append(None)
+                    out["dhash"].append(None)
+                    continue
+                gray = (
+                    img[..., 0] if img.shape[2] == 1
+                    else img.mean(axis=2, dtype=np.float64).round().astype(np.uint8)
+                )
+                g = gray[..., None]
+                a = np.frombuffer(
+                    _resize_array(g, hash_size, hash_size), dtype=np.uint8
+                ).astype(np.int64)
+                mean = int(a.sum()) / a.size
+                ah = 0
+                for i, v in enumerate(a):
+                    if v > mean:
+                        ah |= 1 << i
+                dgrid = np.frombuffer(
+                    _resize_array(g, hash_size + 1, hash_size), dtype=np.uint8
+                ).reshape(hash_size, hash_size + 1).astype(np.int64)
+                dh = 0
+                for y in range(hash_size):
+                    for x in range(hash_size):
+                        if dgrid[y, x] > dgrid[y, x + 1]:
+                            dh |= 1 << (y * hash_size + x)
+                # store as two's-complement int64 (bit 63 set would
+                # otherwise overflow the Arrow long as unsigned)
+                wrap = lambda v: v - (1 << 64) if v >= 1 << 63 else v  # noqa: E731
+                out["ahash"].append(wrap(ah))
+                out["dhash"].append(wrap(dh))
+            yield pd.DataFrame(out)
+
+    sel = df.select(
+        F.col(id_col).alias("media_id"),
+        content_col,
+        F.col("meta.mime").alias("_mime"),
+        F.col("meta.width").alias("_w"),
+        F.col("meta.height").alias("_h"),
+    )
+    return sel.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    hash_col: str = "ahash",
+    id_col: str = "media_id",
+    bits: int = 64,
+    max_hamming: int = 2,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes: block on the
+    top ``prefix_bits`` (same bounded self-join shape as
+    dedup.simhash_pairs), exact hamming ≤ ``max_hamming`` inside
+    blocks.  Feed from :func:`perceptual_hash`."""
+    s = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("ph")
+    ).filter(F.col("ph").isNotNull())
+    s = s.withColumn(
+        "block", F.shiftrightunsigned(F.col("ph"), bits - prefix_bits)
+    ).localCheckpoint(eager=False)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -132,4 +132,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "tx_bigram_counts",
     "dd_containment",
     "pl_corpus_curation",
+    "mm_image_neardup",
 ]

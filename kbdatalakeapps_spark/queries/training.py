@@ -704,3 +704,72 @@ def pl_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("norm_text")).cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_image_neardup: perceptual-hash image dedup end-to-end — 4×4 raw
+# bitmaps (md5 digests), planted exact copies (every 25th doc, re-key
+# +1e6), REAL decode→aHash kernel, prefix-blocked hamming pairs.  The
+# oracle replays hash bits, blocking, and hamming exactly; planted
+# copies must surface at hamming 0.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_image_neardup",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS media_id, md5(text) AS hx FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text)
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    px AS (
+        SELECT media_id, t.i,
+               ('0x' || substr(hx, 2 * t.i + 1, 2))::BIGINT AS v
+        FROM base, (SELECT unnest(range(16)) AS i) t
+    ),
+    m AS (SELECT media_id, SUM(v) / 16.0 AS mean FROM px GROUP BY media_id),
+    ah AS (
+        SELECT p.media_id,
+               CAST(SUM(CASE WHEN p.v > m.mean
+                             THEN (1::BIGINT << p.i) ELSE 0 END) AS BIGINT)
+                   AS ph
+        FROM px p JOIN m USING (media_id) GROUP BY p.media_id
+    ),
+    blocked AS (SELECT media_id, ph, ph >> 12 AS block FROM ah)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 1
+    """,
+)
+def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_neardup_pairs, perceptual_hash
+
+    d = _t(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.lit("image/raw-gray8").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5("text")).alias("content"),
+        meta.alias("meta"),
+    ).union(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("media_id"),
+            F.unhex(F.md5("text")).alias("content"),
+            meta.alias("meta"),
+        )
+    )
+    hashes = perceptual_hash(media, hash_size=4)
+    pairs = image_neardup_pairs(
+        hashes, bits=16, max_hamming=1, prefix_bits=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

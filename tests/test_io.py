@@ -821,3 +821,48 @@ def test_write_webdataset_layout_is_partitioning_invariant(spark, tmp_path):
         return h.hexdigest()
 
     assert digest(1) == digest(13)  # byte-identical shards (mtime=0)
+
+
+def test_perceptual_hash_survives_reencoding(spark):
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.multimodal import (
+        image_neardup_pairs,
+        perceptual_hash,
+    )
+
+    # a gradient image with clear structure, delivered as raw, PNG and
+    # JPEG — byte hashes all differ; perceptual hashes must collide
+    rng = np.random.default_rng(5)
+    img = (
+        np.linspace(0, 255, 16 * 16).reshape(16, 16)
+        + rng.integers(0, 12, (16, 16))
+    ).clip(0, 255).astype(np.uint8)[..., None]
+    other = (255 - img)  # structurally different image
+    rows = [
+        (1, bytearray(img.tobytes()), ("image/raw-gray8", 16, 16, None)),
+        (2, bytearray(_encode_png(img)), ("image/png", None, None, None)),
+        (3, bytearray(_encode_jpeg(img)), ("image/jpeg", None, None, None)),
+        (4, bytearray(other.tobytes()), ("image/raw-gray8", 16, 16, None)),
+        (5, None, ("image/png", None, None, None)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, content binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    hashes = perceptual_hash(media, hash_size=8)
+    hs = {r.media_id: (r.ahash, r.dhash) for r in hashes.collect()}
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((a ^ b) & mask).count("1")
+
+    assert hs[1][0] == hs[2][0]  # PNG decode is lossless → same ahash
+    assert ham(hs[1][0], hs[3][0]) <= 6  # JPEG ≈ near
+    assert ham(hs[1][0], hs[4][0]) >= 20  # inverse is far
+    assert hs[5] == (None, None)
+    pairs = image_neardup_pairs(hashes, max_hamming=6, prefix_bits=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any({a, b} == {1, 4} for a, b in got)
