@@ -5,13 +5,14 @@ a DuckDB oracle SQL twin over the same parquet views.
 Import side effects register the queries; the registry is then
 reordered so the driver's verification window (the FIRST 50 keys in
 insertion order) rotates across rounds until every declared query has
-received the hard driver signal.  Round-2 verified the 50 relational
-core queries (CORRECTNESS_r02: 50/50 green); round-3's window covers
-the product builders, sketches, sampling, temporal, window/sort pages,
-scalar-function tail, and the new b9/k3 — everything the driver has
-never checked.  Queries already green in a prior round move to the
-back (they remain registered and oracled; the repo's own
-tests/test_oracle_parity.py keeps checking all of them every run).
+received the hard driver signal.  The cumulative record lives in
+tools/verification_ledger.json (regenerate with
+tools/update_ledger.py); tests/test_ledger.py enforces that every
+registered query is ledger-verified, in this round's window, or
+explicitly queued in PENDING_NEXT_WINDOW.  Queries already green in a
+prior round move to the back — they stay registered and oracled, and
+the repo's own tests/test_oracle_parity.py keeps checking all of them
+every run.
 """
 
 from .registry import QUERIES, ORACLES, query  # noqa: F401
