@@ -145,3 +145,78 @@ def rollup_merge(
         )
         out = _join_regs(out, regs, group_cols, f"hll_{c}")
     return out
+
+
+_QK = 256  # reservoir size per group: quantile error ~1/sqrt(2k) ≈ 4%
+
+
+def _bottom_k(col, k: int):
+    """k smallest elements of a collected struct array — the mergeable
+    uniform-sample state (bottom-k by stable hash IS a KMV-style
+    sample: bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)))."""
+    return F.slice(F.array_sort(col), 1, k)
+
+
+def rollup_quantile_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    k: int = _QK,
+) -> DataFrame:
+    """Mergeable per-group quantile state ``qs_<value_col>``: the k
+    rows with the smallest md5(key) carried as (hash, value) structs —
+    a content-keyed uniform sample whose membership any engine,
+    partitioning, or merge order reproduces.  Completes the rollup
+    state family (count/sum/minmax/HLL) with quantiles.
+
+    Two-stage bottom-k: per (group, input-partition) first, then per
+    group — the second stage's buffers see ≤ k structs per partition,
+    never the group's raw rows.  NULL values are excluded (quantiles
+    ignore NULLs, matching serving.exact_median_df)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.spark_partition_id().alias("_pid"),
+            F.struct(h.alias("h"), F.col(value_col).cast("double").alias("v")).alias("_s"),
+        )
+    )
+    partial = base.groupBy(*group_cols, "_pid").agg(
+        _bottom_k(F.collect_list("_s"), k).alias("_bk")
+    )
+    return partial.groupBy(*group_cols).agg(
+        _bottom_k(F.flatten(F.collect_list("_bk")), k).alias(f"qs_{value_col}")
+    )
+
+
+def rollup_quantile_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = _QK,
+) -> DataFrame:
+    """Merge two quantile states: union, flatten, re-take bottom-k —
+    associative and commutative, so incremental refresh is exact
+    state-merge just like the other rollup metrics."""
+    u = a.unionByName(b)
+    return u.groupBy(*group_cols).agg(
+        _bottom_k(
+            F.flatten(F.collect_list(f"qs_{value_col}")), k
+        ).alias(f"qs_{value_col}")
+    )
+
+
+def quantile_from_state(state_col: str, q: float):
+    """Nearest-rank quantile estimate from a ``qs_*`` state column:
+    sort the sampled values, pick index ⌊q·(n−1)⌋.  Deterministic —
+    the sample is content-keyed, the pick is exact."""
+    vals = F.array_sort(
+        F.transform(F.col(state_col), lambda s: s.v)
+    )
+    idx = F.floor(F.lit(q) * (F.size(vals) - 1)).cast("int") + 1
+    return F.element_at(vals, F.greatest(idx, F.lit(1)))

@@ -75,3 +75,50 @@ def test_distinct_sketch_tracks_exact(spark):
         )
         est = hll_estimate(regs, p=8)
         assert abs(est - exact[row["l_returnflag"]]) / exact[row["l_returnflag"]] < 0.20
+
+
+def test_quantile_state_merge_identity_and_estimates(spark):
+    from kbdatalakeapps_spark.operators.rollup import (
+        quantile_from_state,
+        rollup_quantile_merge,
+        rollup_quantile_state,
+    )
+
+    rows = [(i, "g%d" % (i % 2), float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    a, b = df.filter("k < 1200"), df.filter("k >= 1200")
+    whole = rollup_quantile_state(df, ["g"], "v", "k")
+    merged = rollup_quantile_merge(
+        rollup_quantile_state(a, ["g"], "v", "k"),
+        rollup_quantile_state(b, ["g"], "v", "k"),
+        ["g"], "v",
+    )
+    ws = {r.g: r.qs_v for r in whole.collect()}
+    ms = {r.g: r.qs_v for r in merged.collect()}
+    assert ws == ms  # merge identity, state-exact
+    # estimates land near the true quantiles (k=256 → ~±5%)
+    est = {
+        r.g: r.med
+        for r in whole.select(
+            "g", quantile_from_state("qs_v", 0.5).alias("med")
+        ).collect()
+    }
+    for g in ("g0", "g1"):
+        assert abs(est[g] - 1000.0) < 150
+    # partitioning-invariant state
+    rep = {
+        r.g: r.qs_v
+        for r in rollup_quantile_state(df.repartition(17), ["g"], "v", "k").collect()
+    }
+    assert rep == ws
+
+
+def test_quantile_state_ignores_nulls(spark):
+    from kbdatalakeapps_spark.operators.rollup import rollup_quantile_state
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", None), (3, "g", 7.0)],
+        "k long, g string, v double",
+    )
+    st = rollup_quantile_state(df, ["g"], "v", "k").collect()[0].qs_v
+    assert sorted(s.v for s in st) == [5.0, 7.0]
