@@ -134,4 +134,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "dd_containment",
     "pl_corpus_curation",
     "mm_image_neardup",
+    "a24_rollup_quantiles",
 ]

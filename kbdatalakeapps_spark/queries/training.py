@@ -773,3 +773,50 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# a24_rollup_quantiles: the mergeable quantile state under a hash
+# oracle — bottom-256-by-md5(key) reservoir per group (orders by
+# priority), nearest-rank p50/p90 from the sampled values.  The same
+# state merges exactly across deltas (tests/test_rollup.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a24_rollup_quantiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS grp,
+               CAST(o_totalprice AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT,
+                            CAST(o_totalprice AS DOUBLE)
+               ) AS rk
+        FROM orders
+    ),
+    sampled AS (SELECT grp, v FROM ranked WHERE rk <= 256),
+    arr AS (
+        SELECT grp, list(v ORDER BY v) AS vals, COUNT(*)::INT AS n_sample
+        FROM sampled GROUP BY grp
+    )
+    SELECT grp, n_sample,
+           vals[(FLOOR(0.5 * (n_sample - 1))::INT + 1)] AS p50,
+           vals[(FLOOR(0.9 * (n_sample - 1))::INT + 1)] AS p90
+    FROM arr
+    """,
+)
+def a24_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import quantile_from_state, rollup_quantile_state
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice", "o_orderkey"
+    )
+    st = rollup_quantile_state(o, ["grp"], "o_totalprice", "o_orderkey")
+    return st.select(
+        "grp",
+        F.size("qs_o_totalprice").alias("n_sample"),
+        quantile_from_state("qs_o_totalprice", 0.5).alias("p50"),
+        quantile_from_state("qs_o_totalprice", 0.9).alias("p90"),
+    )
