@@ -686,9 +686,19 @@ def pl_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import normalize_text, quality_filter, token_count
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    n = normalize_text(d)
+    # materialize the NFKC output: quality_filter references norm_text
+    # in ~8 expressions, and a pandas-UDF column re-evaluates per
+    # reference through collapsed projections
+    n = normalize_text(d).select("doc_id", "source", "norm_text")
+    n = n.localCheckpoint(eager=False)
     q = quality_filter(n, text_col="norm_text")
     kept = q.filter("keep").select("doc_id", "source", "norm_text")
+    # materialize the filtered frame once: the exact-dedup join reads
+    # it on BOTH sides and every downstream stage re-references the
+    # NFKC pandas-UDF column — uncheckpointed, the full normalize +
+    # quality lineage re-executes per consumer (measured 11.5 s →
+    # ~4 s for the whole composite at sf0.1)
+    kept = kept.localCheckpoint(eager=False)
     h = kept.withColumn("_h", F.md5("norm_text"))
     keeper = h.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
     uniq = (
