@@ -240,3 +240,117 @@ def pq_adc_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", F.round("d2", 6).alias("d2"), "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC — the canonical billion-scale ANN layout (Jégou §V):
+    coarse IVF lists bound WHERE to look, PQ codes bound WHAT is read.
+    Each query probes its ``nprobe`` nearest coarse centroids, and
+    only the encoded docs assigned to those lists are scored — by ADC
+    table lookups over their m-byte codes, never their float vectors.
+
+    Inputs compose the two existing index halves: ``assignments``
+    (doc → centroid_id, from :func:`similarity._assign_nearest` /
+    ``ivf_topk``'s inverted lists) and ``encoded`` + ``codebook``
+    (from :func:`pq_encode` / :func:`pq_train`).  Cost per query:
+    nprobe/k_coarse of the corpus × m lookups, vs the full-scan ADC
+    of :func:`pq_adc_topk`.
+
+    Returns (query_id, doc_id, adc_d2, rank) — same contract/fixed-
+    point exactness as pq_adc_topk, so a fixed-parameter instance is
+    fully SQL-replayable (``sim_ivfpq_topk``)."""
+    from pyspark.sql.window import Window as W
+
+    dim = queries.select(F.size(vec_col).alias("d")).limit(1).collect()[0].d
+    sub = dim // m
+    d2c = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("centroid"),
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")) * F.lit(1e15)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    pw = W.partitionBy("query_id").orderBy(F.col("_cd"), F.col("centroid_id"))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select("query_id", vec_col, "centroid_id", d2c.alias("_cd"))
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    qslices = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_slices(F.col(vec_col), m, sub)).alias("subspace", "qv"),
+    )
+    dtable = qslices.join(F.broadcast(codebook), "subspace").select(
+        "query_id", "subspace", "code",
+        _sub_d2_fp(F.col("qv"), F.col("centroid")).alias("pd"),
+    )
+    cand = (
+        encoded.join(
+            assignments.select(F.col(id_col), "centroid_id"), id_col
+        )
+        .join(F.broadcast(probes), "centroid_id")
+        .select(F.col(id_col).alias("doc_id"), "query_id", "codes")
+    )
+    scored = (
+        cand.select(
+            "query_id", "doc_id",
+            F.posexplode("codes").alias("subspace", "code"),
+        )
+        .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("pd").alias("adc_fp"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_fp").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id",
+            F.round(F.col("adc_fp").cast("double") / F.lit(1e15), 6).alias("adc_d2"),
+            "rank",
+        )
+    )
+
+
+def assign_nearest_fp(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid_id) by fixed-point squared-L2 argmin — the
+    SQL-replayable twin of similarity._assign_nearest (whose double
+    fold can't be mirrored bit-exactly by a SQL SUM).  Use when the
+    inverted lists themselves must hash-match an oracle."""
+    scored = vecs.select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        F.struct(
+            _sub_d2_fp(F.col("_v"), F.col("centroid")).alias("d"),
+            F.col("centroid_id"),
+        ).alias("s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min("s").alias("b"))
+        .select(id_col, F.col("b.centroid_id").alias("centroid_id"))
+    )

@@ -135,4 +135,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "pl_corpus_curation",
     "mm_image_neardup",
     "a24_rollup_quantiles",
+    "sim_ivfpq_topk",
 ]

@@ -830,3 +830,119 @@ def a24_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_from_state("qs_o_totalprice", 0.5).alias("p50"),
         quantile_from_state("qs_o_totalprice", 0.9).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_topk: the full IVFADC layout under one hash oracle —
+# coarse lists (centroids = first 8 corpus vectors, fixed-point
+# argmin) bound WHERE to look, PQ codes (codebook = slices of the
+# same 8) bound WHAT is read; queries probe 2 lists, ADC top-5 within
+# candidates.  Composes the sim_ivf_assign_topk and sim_pq_assign_topk
+# halves into the billion-scale production shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH cd AS (
+        SELECT e.vec_id, CAST(c.vec_id AS INT) AS centroid_id,
+               SUM(CAST(FLOOR(
+                   (CAST(e.embedding[u.pos] AS DOUBLE) - CAST(c.embedding[u.pos] AS DOUBLE))
+                 * (CAST(e.embedding[u.pos] AS DOUBLE) - CAST(c.embedding[u.pos] AS DOUBLE))
+                 * 1e15) AS BIGINT)) AS d
+        FROM embeddings e, embeddings c,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos) u
+        WHERE c.vec_id < 8
+        GROUP BY 1, 2
+    ),
+    inv AS (
+        SELECT vec_id AS doc_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d, centroid_id
+                   ) AS rn
+            FROM cd
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d, centroid_id
+                   ) AS rn
+            FROM cd WHERE vec_id < 3
+        ) WHERE rn <= 2
+    ),
+    enc_d AS (
+        SELECT e.vec_id AS doc_id,
+               CAST((u.pos - 1) // (len(e.embedding) // 4) AS INT) AS subspace,
+               CAST(c.vec_id AS INT) AS code,
+               SUM(CAST(FLOOR(
+                   (CAST(e.embedding[u.pos] AS DOUBLE) - CAST(c.embedding[u.pos] AS DOUBLE))
+                 * (CAST(e.embedding[u.pos] AS DOUBLE) - CAST(c.embedding[u.pos] AS DOUBLE))
+                 * 1e15) AS BIGINT)) AS d
+        FROM embeddings e, embeddings c,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos) u
+        WHERE c.vec_id < 8
+        GROUP BY 1, 2, 3
+    ),
+    enc AS (
+        SELECT doc_id, subspace, code FROM (
+            SELECT doc_id, subspace, code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, subspace ORDER BY d, code
+                   ) AS rn
+            FROM enc_d
+        ) WHERE rn = 1
+    ),
+    pd AS (
+        SELECT doc_id AS query_id, subspace, code, d AS pd
+        FROM enc_d WHERE doc_id < 3
+    ),
+    cand AS (
+        SELECT p.query_id, i.doc_id
+        FROM probes p JOIN inv i USING (centroid_id)
+    ),
+    adc AS (
+        SELECT c.query_id, c.doc_id, SUM(p.pd) AS dd
+        FROM cand c
+        JOIN enc e ON e.doc_id = c.doc_id
+        JOIN pd p ON p.query_id = c.query_id
+                 AND p.subspace = e.subspace AND p.code = e.code
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROUND(CAST(dd AS DOUBLE) / 1e15, 6) AS adc_d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY dd, doc_id
+               ) AS rank
+        FROM adc
+    )
+    SELECT query_id, doc_id, adc_d2, rank::INT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = emb.select(F.size("embedding").alias("d")).limit(1).collect()[0].d // _PQ_M
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    codebook = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("code"),
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("embedding"), j * sub + 1, sub)
+                for j in range(_PQ_M)
+            ])
+        ).alias("subspace", "centroid"),
+    )
+    assignments = pq.assign_nearest_fp(emb, cents)
+    encoded = pq.pq_encode(emb, codebook, m=_PQ_M)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return pq.ivfpq_topk(
+        queries, encoded, assignments, cents, codebook, k=5, nprobe=2, m=_PQ_M
+    )

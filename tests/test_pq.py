@@ -121,3 +121,37 @@ def test_encode_partitioning_invariant(spark):
     one = {r.vec_id: r.codes for r in pq_encode(df.coalesce(1), cb, m=2).collect()}
     many = {r.vec_id: r.codes for r in pq_encode(df.repartition(7), cb, m=2).collect()}
     assert one == many
+
+
+def test_ivfpq_full_probe_equals_full_adc(spark, sf_dir):
+    """IVFADC with nprobe = #lists must return exactly pq_adc_topk's
+    answer (the candidate restriction becomes a no-op); with fewer
+    probes it returns a subset-ranked approximation whose self-match
+    still wins (quantization distance to self is minimal)."""
+    from kbdatalakeapps_spark.operators.pq import (
+        assign_nearest_fp,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("code"),
+        F.posexplode(
+            F.array(*[F.slice("embedding", j * 16 + 1, 16) for j in range(4)])
+        ).alias("subspace", "centroid"),
+    )
+    assignments = assign_nearest_fp(emb, cents)
+    enc = pq_encode(emb, cb, m=4)
+    qs = emb.filter(F.col("vec_id") < 3)
+    full = pq_adc_topk(qs, enc, cb, k=5, m=4)
+    allprobe = ivfpq_topk(qs, enc, assignments, cents, cb, k=5, nprobe=8, m=4)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, allprobe.collect()))
+    two = ivfpq_topk(qs, enc, assignments, cents, cb, k=5, nprobe=2, m=4)
+    selfs = two.filter(F.col("query_id") == F.col("doc_id")).collect()
+    assert len(selfs) == 3 and all(r.rank == 1 for r in selfs)
