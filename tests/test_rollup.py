@@ -122,3 +122,51 @@ def test_quantile_state_ignores_nulls(spark):
     )
     st = rollup_quantile_state(df, ["g"], "v", "k").collect()[0].qs_v
     assert sorted(s.v for s in st) == [5.0, 7.0]
+
+
+def test_stream_quantile_rollup_maintenance(spark, tmp_path):
+    """Streaming rollup maintenance: each arriving micro-batch's
+    quantile state merges into the stored state via foreachBatch —
+    and because bottom-k merge is exact, the maintained state equals
+    the from-scratch state over all data seen so far."""
+    from kbdatalakeapps_spark.operators.rollup import (
+        rollup_quantile_merge,
+        rollup_quantile_state,
+    )
+
+    state_path = str(tmp_path / "qstate")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def fold(batch_df, _bid):
+        delta = rollup_quantile_state(batch_df, ["g"], "v", "k")
+        import os
+
+        if os.path.exists(state_path):
+            stored = spark.read.parquet(state_path)
+            merged = rollup_quantile_merge(stored, delta, ["g"], "v")
+        else:
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    all_rows = []
+    for bi in range(3):
+        rows = [(bi * 1000 + i, "g%d" % (i % 2), float(bi * 1000 + i)) for i in range(400)]
+        all_rows += rows
+        spark.createDataFrame(rows, "k long, g string, v double").write.parquet(
+            str(src / f"b{bi}")
+        )
+        (
+            spark.readStream.schema("k long, g string, v double")
+            .parquet(str(src / f"b{bi}"))
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(tmp_path / f"ck{bi}"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    stored = {r.g: r.qs_v for r in spark.read.parquet(state_path).collect()}
+    whole_df = spark.createDataFrame(all_rows, "k long, g string, v double")
+    whole = {r.g: r.qs_v for r in rollup_quantile_state(whole_df, ["g"], "v", "k").collect()}
+    assert stored == whole
