@@ -1333,10 +1333,19 @@ def _dedup_corpus_oracle_sql() -> str:
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.id < b.id
     ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS m
+        FROM cand c
+        JOIN sig sa ON sa.id = c.id_a
+        JOIN sig sb ON sb.id = c.id_b AND sb.hash_idx = sa.hash_idx
+        GROUP BY c.id_a, c.id_b
+    ),
+    cand2 AS (SELECT id_a, id_b FROM est WHERE m >= 16),
     sizes AS (SELECT id, COUNT(*)::BIGINT AS n FROM sh GROUP BY id),
     inter AS (
         SELECT c.id_a, c.id_b, COUNT(*)::BIGINT AS inter
-        FROM cand c
+        FROM cand2 c
         JOIN sh a ON a.id = c.id_a
         JOIN sh b ON b.id = c.id_b AND a.shingle = b.shingle
         GROUP BY c.id_a, c.id_b
