@@ -37,6 +37,7 @@ _BNLJ_OK = {
     "sim_cosine_topk",        # brute-force baseline: bounded query set × corpus
     "sim_ivf_topk",           # query × k-centroid table (k=8)
     "sim_ivf_assign_topk",    # same, fixed centroids
+    "sim_ivfpq_topk",         # probe stage: query × k-centroid table
     "dd_lsh_tuning",          # signature pass × band-config grid
 }
 
