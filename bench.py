@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "sp_epoch_shuffle",            # reproducible epoch shuffle + sharding
     "s17_scd2_merge",              # history-preserving dimension merge
     "pl_corpus_curation",          # end-to-end curation composite
+    "sim_ivfpq_topk",              # IVFADC: coarse lists + PQ codes
 ]
 
 # The most expensive queries — measured twice, median reported.

@@ -136,4 +136,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "mm_image_neardup",
     "a24_rollup_quantiles",
     "sim_ivfpq_topk",
+    "ly_zorder_keys",
 ]

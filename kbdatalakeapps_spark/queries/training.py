@@ -946,3 +946,38 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_topk(
         queries, encoded, assignments, cents, codebook, k=5, nprobe=2, m=_PQ_M
     )
+
+
+# ---------------------------------------------------------------------------
+# ly_zorder_keys: the multi-dimensional layout key (io/layout.py's
+# Morton interleave, the data-skipping order zorder_write sorts by)
+# under a hash oracle — both engines build the identical shift/mask
+# OR-chain over (o_custkey, o_orderkey mod 1024) at 10 bits.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle_terms(cols: list[str], bits: int) -> str:
+    n = len(cols)
+    return " | ".join(
+        f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * n + d})"
+        for d, c in enumerate(cols)
+        for i in range(bits)
+    )
+
+
+@query(
+    "ly_zorder_keys",
+    oracle=f"""
+    SELECT o_orderkey,
+           {_zorder_oracle_terms(['o_custkey', 'o_orderkey % 1024'], 10)} AS z
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def ly_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.layout import zorder_value
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        zorder_value(["o_custkey", "o_orderkey % 1024"], bits=10).alias("z"),
+    )
