@@ -158,3 +158,83 @@ def wav_header_hex(n_samples: int, sample_rate: int = 8000, channels: int = 1, b
     )
     hdr += b"data" + struct.pack("<I", data_size)
     return hdr.hex().upper()
+
+
+SPECTRAL_FEATURE_FIELDS = [
+    ("n_samples", T.LongType()),
+    ("sample_rate", T.IntegerType()),
+    ("spectral_centroid_hz", T.DoubleType()),
+    ("spectral_bandwidth_hz", T.DoubleType()),
+    ("spectral_rolloff_hz", T.DoubleType()),
+    ("silence_ratio", T.DoubleType()),
+]
+
+
+def spectral_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    rolloff: float = 0.85,
+    silence_db: float = -40.0,
+    frame: int = 256,
+) -> DataFrame:
+    """Real spectral analysis of WAV clips (numpy rFFT — no DSP
+    library needed): spectral centroid (magnitude-weighted mean
+    frequency), bandwidth (magnitude-weighted std around it), rolloff
+    (frequency below which ``rolloff`` of the energy sits), and the
+    fraction of ``frame``-sample windows whose RMS is under
+    ``silence_db`` relative to the clip peak — the features audio
+    curation filters on (tones vs speech vs silence padding).
+
+    Deterministic for a fixed numpy build (FFT butterflies are fixed
+    order); not SQL-expressible by nature, so correctness is pinned by
+    kernel tests on synthesized tones (a pure 1 kHz sine MUST put its
+    centroid and rolloff at ≈1 kHz) rather than an oracle.  NULL or
+    undecodable content → NULL features."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + [T.StructField(n, t) for n, t in SPECTRAL_FEATURE_FIELDS]
+    )
+
+    def one(c):
+        decoded = _decode_wav(c)
+        if decoded is None:
+            return [None] * len(SPECTRAL_FEATURE_FIELDS)
+        samples, rate = decoded
+        x = samples[:, 0].astype(np.float64)
+        n = len(x)
+        if n == 0:
+            return [0, rate, None, None, None, None]
+        mag = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        tot = float(mag.sum())
+        if tot <= 0:
+            cen = bw = roll = 0.0
+        else:
+            cen = float((freqs * mag).sum() / tot)
+            bw = float(np.sqrt(((freqs - cen) ** 2 * mag).sum() / tot))
+            cum = np.cumsum(mag)
+            roll = float(freqs[int(np.searchsorted(cum, rolloff * cum[-1]))])
+        peak = float(np.max(np.abs(x))) or 1.0
+        nf = max(1, n // frame)
+        quiet = 0
+        for f in range(nf):
+            w = x[f * frame : (f + 1) * frame]
+            rms = float(np.sqrt((w * w).mean())) if len(w) else 0.0
+            level = 20 * np.log10(rms / peak) if rms > 0 else -200.0
+            if level < silence_db:
+                quiet += 1
+        return [n, rate, cen, bw, roll, quiet / nf]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {n: [] for n, _ in SPECTRAL_FEATURE_FIELDS}
+            for c in pdf[content_col]:
+                vals = one(c)
+                for (name, _), v in zip(SPECTRAL_FEATURE_FIELDS, vals):
+                    rows[name].append(v)
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)

@@ -112,3 +112,29 @@ def test_audio_features_rms_is_exact_int_path(spark):
     row = audio_features(df).collect()[0]
     expected = float(np.sqrt(int(np.sum(vals * vals)) / 4))
     assert row.rms == expected
+
+
+def test_spectral_features_locate_a_pure_tone(spark):
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import spectral_features
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    tone = (10000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int64)
+    half_silent = np.concatenate([tone[: rate // 2], np.zeros(rate // 2, dtype=np.int64)])
+    rows = [
+        (1, _wav_bytes(tone, rate)),
+        (2, _wav_bytes(half_silent, rate)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in spectral_features(df).collect()}
+    # a pure 1 kHz sine: centroid and rolloff at ≈1 kHz, tight bandwidth
+    assert abs(out[1].spectral_centroid_hz - 1000) < 20
+    assert abs(out[1].spectral_rolloff_hz - 1000) < 20
+    assert out[1].spectral_bandwidth_hz < 100
+    assert out[1].silence_ratio == 0.0
+    # half the clip is digital silence
+    assert 0.4 < out[2].silence_ratio < 0.6
+    assert out[3].spectral_centroid_hz is None
