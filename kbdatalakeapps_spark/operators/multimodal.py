@@ -797,22 +797,45 @@ def image_neardup_pairs(
     max_hamming: int = 2,
     prefix_bits: int = 12,
 ) -> DataFrame:
-    """Near-duplicate image pairs from perceptual hashes: block on the
-    top ``prefix_bits`` (same bounded self-join shape as
-    dedup.simhash_pairs), exact hamming ≤ ``max_hamming`` inside
-    blocks.  Feed from :func:`perceptual_hash`."""
+    """Near-duplicate image pairs from perceptual hashes with
+    PIGEONHOLE-COMPLETE blocking: the hash splits into
+    ``⌈bits/prefix_bits⌉`` disjoint segments and candidates share ANY
+    segment — a pair within hamming d must agree on at least one
+    segment whenever d < n_segments (its d differing bits can't touch
+    every segment), so recall is a guarantee, not a heuristic, for
+    ``max_hamming ≤ n_segments − 1``.  The multi-block join is a
+    UNION-shaped equi-join — segments explode to (segment_idx, value)
+    rows and self-join on that pair — never an OR-condition join
+    (which Spark plans as a nested-loop product).  Exact hamming then
+    filters inside candidates.  Feed from :func:`perceptual_hash`."""
+    n_seg = -(-bits // prefix_bits)
+    if max_hamming >= n_seg:
+        raise ValueError(
+            f"max_hamming {max_hamming} ≥ {n_seg} segments: the "
+            "pigeonhole guarantee needs more/narrower segments"
+        )
     s = hashes.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("ph")
     ).filter(F.col("ph").isNotNull())
-    s = s.withColumn(
-        "block", F.shiftrightunsigned(F.col("ph"), bits - prefix_bits)
+    mask = (1 << prefix_bits) - 1
+    segs = s.select(
+        "id",
+        "ph",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("ph"), r * prefix_bits)
+                .bitwiseAND(F.lit(mask))
+                for r in range(n_seg)
+            ])
+        ).alias("seg_idx", "seg"),
     ).localCheckpoint(eager=False)
-    a, b = s.alias("a"), s.alias("b")
+    a, b = segs.alias("a"), segs.alias("b")
     ham = F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph")))
     return (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block"))
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg") == F.col("b.seg"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
@@ -820,5 +843,6 @@ def image_neardup_pairs(
             F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
+        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

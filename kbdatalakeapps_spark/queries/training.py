@@ -719,9 +719,11 @@ def pl_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # mm_image_neardup: perceptual-hash image dedup end-to-end — 4×4 raw
 # bitmaps (md5 digests), planted exact copies (every 25th doc, re-key
-# +1e6), REAL decode→aHash kernel, prefix-blocked hamming pairs.  The
-# oracle replays hash bits, blocking, and hamming exactly; planted
-# copies must surface at hamming 0.
+# +1e6), REAL decode→aHash kernel, pigeonhole-complete segment
+# blocking (4 segments of 4 bits: hamming ≤ 1 recall is GUARANTEED,
+# any such pair agrees on ≥3 segments).  The oracle replays hash
+# bits, segment blocking, and hamming exactly; planted copies must
+# surface at hamming 0.
 # ---------------------------------------------------------------------------
 
 
@@ -747,11 +749,16 @@ def pl_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS ph
         FROM px p JOIN m USING (media_id) GROUP BY p.media_id
     ),
-    blocked AS (SELECT media_id, ph, ph >> 12 AS block FROM ah)
-    SELECT a.media_id AS id_a, b.media_id AS id_b,
+    segs AS (
+        SELECT media_id, ph, t.r AS seg_idx,
+               (ph >> (t.r * 4)) & 15 AS seg
+        FROM ah, (SELECT unnest(range(4)) AS r) t
+    )
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
            CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
-    FROM blocked a JOIN blocked b
-      ON a.block = b.block AND a.media_id < b.media_id
+    FROM segs a JOIN segs b
+      ON a.seg_idx = b.seg_idx AND a.seg = b.seg
+     AND a.media_id < b.media_id
     WHERE bit_count(xor(a.ph, b.ph)) <= 1
     """,
 )
