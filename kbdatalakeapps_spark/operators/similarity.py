@@ -727,3 +727,168 @@ def mean_pool_embeddings(
             lambda s: s["_m"],
         ).alias("mean_vec")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    seed_tag: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: out_dim
+    components, each Σᵢ sign(i,j)·⌊xᵢ·scale⌋ — dimensionality
+    reduction before ANN / clustering when 768-dim embeddings are too
+    wide to shuffle.
+
+    The projection matrix is never materialized on the driver: signs
+    are a pure hash of (seed_tag, i, j) (md5 parity — the portable
+    idiom), generated as a spark.range(in_dim·out_dim) frame and
+    broadcast into the posexplode join.  Components are exact int64
+    fixed point (inputs quantized to ⌊x·scale⌋ first), so the output
+    is partition-order invariant and SQL-replayable — the float
+    version would depend on reduction order.
+
+    Scale posture: one narrow posexplode (rows×dim), one broadcast
+    hash join onto the tiny sign matrix (in_dim·out_dim rows), one
+    map-side-combinable groupBy(id, j).  Shuffle carries rows×out_dim
+    partial sums — a dim/out_dim reduction of the input width.
+    Output: (id, comp_j, comp_fp) exploded long format.
+    """
+    spark = df.sparkSession
+    signs = spark.range(in_dim * out_dim).select(
+        (F.col("id") % in_dim).cast("int").alias("pos"),
+        F.expr(f"CAST(id div {in_dim} AS INT)").alias("comp_j"),
+        (
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(seed_tag),
+                                (F.col("id") % in_dim).cast("string"),
+                                F.expr(f"CAST(id div {in_dim} AS STRING)"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign")
+        ),
+    )
+    quant = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "_x"),
+    ).select(
+        id_col,
+        "pos",
+        F.floor(F.col("_x").cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("_xf"),
+    )
+    return (
+        quant.join(F.broadcast(signs), "pos")
+        .groupBy(id_col, "comp_j")
+        .agg(F.sum(F.col("sign") * F.col("_xf")).alias("comp_fp"))
+    )
+
+
+_COV_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("sxy", T.LongType()),
+    ]
+)
+
+
+def covariance_fixed_point(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Distributed covariance/Gram matrix of an embedding column —
+    the reduction step of out-of-core PCA (whitening, dimensionality
+    analysis of a 100 TB embedding corpus).
+
+    Inputs quantize to int64 fixed point (⌊x·scale⌋); each Arrow
+    batch contributes a partial Gram Xᵀ·X via one int64 numpy matmul
+    (exact — products ≤ scale², sums far below 2⁶³), and partials
+    merge in a map-side-combinable groupBy.  The co-moment
+    n·Σxy − Σx·Σy is formed purely in integers, so the result is
+    bit-identical across engines and partitionings; consumers divide
+    by n·(n−1)·scale² in floats for the covariance proper.
+
+    Scale posture: the shuffle carries only dim²/2 rows PER PARTITION
+    (the partial Grams), never rows×dim² — that is the difference
+    between this and the posexplode self-join a naive SQL translation
+    does (the oracle uses that form: fine for DuckDB at fixture scale,
+    quadratic blowup at lake scale).  Driver state: none; output is
+    the dim(dim+1)/2 upper triangle.
+    Output: (i, j, n, cov_num) with cov_num = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ.
+    """
+    import numpy as np
+    import pandas as pd
+
+    fscale = float(scale)
+
+    def _partial_gram(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xf = np.floor(x * fscale).astype(np.int64)
+            acc += xf.T @ xf
+            seen = True
+        if not seen:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {"i": iu.astype(np.int32), "j": ju.astype(np.int32), "sxy": acc[iu, ju]}
+        )
+
+    gram = (
+        df.select(vec_col)
+        .mapInPandas(_partial_gram, schema=_COV_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").alias("sxy"))
+    )
+    moments = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "_x"))
+        .select(
+            "pos",
+            F.floor(F.col("_x").cast("double") * F.lit(fscale))
+            .cast("long")
+            .alias("_xf"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("_xf").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    mi = moments.select(
+        F.col("pos").alias("i"), F.col("s").alias("si"), F.col("n").alias("n")
+    )
+    mj = moments.select(F.col("pos").alias("j"), F.col("s").alias("sj"))
+    return (
+        gram.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            (F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")).alias("cov_num"),
+        )
+    )

@@ -22,6 +22,7 @@ from . import extended  # noqa: F401,E402
 from . import builders  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
 from . import training  # noqa: F401,E402
+from . import graphs  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
@@ -137,4 +138,9 @@ PENDING_NEXT_WINDOW: list[str] = [
     "a24_rollup_quantiles",
     "sim_ivfpq_topk",
     "ly_zorder_keys",
+    "gr_degree_distribution",
+    "gr_triangle_count",
+    "gr_pagerank",
+    "sim_random_projection",
+    "sim_pca_covariance",
 ]

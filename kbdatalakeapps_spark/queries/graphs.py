@@ -1,0 +1,265 @@
+"""Graph-analytics query family over the part co-purchase graph.
+
+The corpus graphs a lake-scale pipeline actually builds (near-dup pair
+graphs from LSH, citation/link graphs from crawled documents) need the
+generic graph operators beyond connected components: degree
+diagnostics, triangle counting (community density / spam-farm
+signals), and PageRank (document quality weighting — the classic
+pretraining-corpus prior).  The test graph derives deterministically
+from lineitem: parts co-occurring in an order are connected — the
+same co-occurrence construction the reference's pangenome cluster
+tables use for gene co-membership (build_berdl_db.py's cluster pair
+tables, SURVEY §2.3 J8).
+
+All three queries are exact and fully hash-oracled:
+
+* ``gr_degree_distribution`` / ``gr_triangle_count`` are pure
+  relational compositions (degree-ordered orientation bounds the
+  wedge join — the Suri-Vassilvitskii trick);
+* ``gr_pagerank`` runs the ITERATIVE operator in int64 fixed point
+  (operators/graph.py::pagerank_fixed_point) so a fixed iteration
+  count unrolls into plain SQL CTEs — an iterative distributed
+  algorithm with a bit-exact cross-engine oracle, same idiom as the
+  RRF/PQ fixed-point paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators import graph as gr
+from ..operators import similarity as sim
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed symmetric edge list: (src part, dst part) co-occurring
+    in at least one order.  Per-order item counts are small and
+    bounded (TPC-H ≤7 lines), so the per-order pair expansion is
+    O(items²/order) — constant — and the join is a co-partitioned
+    self-join on l_orderkey, never a cartesian."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    la = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    lb = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        la.join(lb, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+_UND_SQL = """
+    und AS (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                        GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+        SELECT id, COUNT(*) AS degree FROM (
+            SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+        ) GROUP BY id
+    )
+"""
+
+
+@query(
+    "gr_degree_distribution",
+    oracle=f"""
+    WITH {_UND_SQL}
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def gr_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph — the skew
+    diagnostic run before any pair-graph join (operators/graph.py::
+    degree_distribution)."""
+    return gr.degree_distribution(_copurchase_edges(spark, sf_dir))
+
+
+@query(
+    "gr_triangle_count",
+    oracle=f"""
+    WITH {_UND_SQL},
+    o AS (
+        SELECT LEAST(du.degree * 10000000000 + und.u,
+                     dv.degree * 10000000000 + und.v) AS ku,
+               GREATEST(du.degree * 10000000000 + und.u,
+                        dv.degree * 10000000000 + und.v) AS kv
+        FROM und JOIN deg du ON du.id = und.u
+                 JOIN deg dv ON dv.id = und.v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM o a JOIN o b ON a.ku = b.ku AND a.kv < b.kv
+                 JOIN o c ON c.ku = a.kv AND c.kv = b.kv
+    ),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    ne AS (SELECT COUNT(*) AS n_edges FROM und)
+    SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+           CAST(ne.n_edges AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles
+    FROM nn, ne, tri
+    """,
+)
+def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count via degree-ordered orientation — each
+    triangle enumerated once, hub fan-out bounded by oriented
+    out-degree ≤ √E (operators/graph.py::triangle_count)."""
+    return gr.triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+_PR_SCALE = 10**12
+_PR_NUM, _PR_DEN = 85, 100
+_PR_ITERS = 3
+
+
+def _pagerank_sql() -> str:
+    """Unroll pagerank_fixed_point's integer update rule into CTEs —
+    bit-identical to the Spark iteration because every step is int64
+    `div` truncation on positive operands (== DuckDB `//` floor)."""
+    teleport = _PR_SCALE * (_PR_DEN - _PR_NUM)
+    parts = [
+        f"e AS ({_EDGES_SQL})",
+        # edges are symmetric, so the src set IS the node set
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f"pr0 AS (SELECT id, CAST({_PR_SCALE} // nn.n AS BIGINT) AS rank_fp"
+        "  FROM nodes, nn)",
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""pr{t} AS (
+        SELECT nd.id,
+               CAST({teleport} // ({_PR_DEN} * nn.n)
+                    + COALESCE(SUM((p.rank_fp * {_PR_NUM})
+                                   // ({_PR_DEN} * od.outdeg)), 0)
+                    AS BIGINT) AS rank_fp
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN e ON e.dst = nd.id
+        LEFT JOIN pr{t - 1} p ON p.id = e.src
+        LEFT JOIN od ON od.src = e.src
+        GROUP BY nd.id, nn.n
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT id, rank_fp,
+           CAST(rank_fp AS DOUBLE) / CAST({_PR_SCALE} AS DOUBLE) AS rank_value
+    FROM pr{_PR_ITERS} ORDER BY id
+    """
+    )
+
+
+@query("gr_pagerank", oracle=_pagerank_sql())
+def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, d=0.85) on the co-purchase
+    graph.  The Spark side is the iterative per-round
+    join+aggregate fixpoint (one rank row per node, lineage
+    checkpointed per round); the oracle replays the SAME integer
+    arithmetic as 3 unrolled CTEs, so the ranks hash-match exactly —
+    no float tolerance anywhere."""
+    pr = gr.pagerank_fixed_point(
+        _copurchase_edges(spark, sf_dir),
+        iterations=_PR_ITERS,
+        damping_num=_PR_NUM,
+        damping_den=_PR_DEN,
+        scale=_PR_SCALE,
+    )
+    return pr.select(
+        "id", "rank_fp", F.col("rank").alias("rank_value")
+    ).orderBy("id")
+
+
+_EMB_DIM = 64
+_RP_OUT = 8
+_RP_SCALE = 10**6
+
+
+@query(
+    "sim_random_projection",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, CAST(u.pos - 1 AS INT) AS pos,
+               CAST(FLOOR(CAST(e.embedding[u.pos] AS DOUBLE)
+                          * {float(_RP_SCALE)}) AS BIGINT) AS xf
+        FROM embeddings e,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos) u
+    ),
+    m AS (
+        SELECT CAST(gs.k % {_EMB_DIM} AS INT) AS pos,
+               CAST(gs.k // {_EMB_DIM} AS INT) AS comp_j,
+               CASE WHEN ('0x' || substr(md5('rp:' || (gs.k % {_EMB_DIM})
+                                          || ':' || (gs.k // {_EMB_DIM})),
+                          1, 15))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM (SELECT UNNEST(generate_series(0, {_EMB_DIM * _RP_OUT - 1})) AS k) gs
+    )
+    SELECT x.vec_id, m.comp_j,
+           CAST(SUM(m.sign * x.xf) AS BIGINT) AS comp_fp
+    FROM x JOIN m ON m.pos = x.pos
+    GROUP BY x.vec_id, m.comp_j
+    ORDER BY x.vec_id, m.comp_j
+    """,
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign random projection 64→8 dims in exact int64 fixed point
+    (operators/similarity.py::random_projection): hash-generated sign
+    matrix (never driver-materialized), broadcast join, map-side
+    combinable component sums."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rp = sim.random_projection(
+        emb, in_dim=_EMB_DIM, out_dim=_RP_OUT, scale=_RP_SCALE
+    )
+    return rp.orderBy("vec_id", "comp_j")
+
+
+@query(
+    "sim_pca_covariance",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, CAST(u.pos - 1 AS INT) AS i,
+               CAST(FLOOR(CAST(e.embedding[u.pos] AS DOUBLE)
+                          * {float(_RP_SCALE)}) AS BIGINT) AS xf
+        FROM embeddings e,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos) u
+    ),
+    mom AS (SELECT i, SUM(xf) AS s, COUNT(*) AS n FROM x GROUP BY i),
+    gram AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.xf * b.xf) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT g.i, g.j, CAST(mi.n AS BIGINT) AS n,
+           CAST(mi.n * g.sxy - mi.s * mj.s AS BIGINT) AS cov_num
+    FROM gram g JOIN mom mi ON mi.i = g.i JOIN mom mj ON mj.i = g.j
+    ORDER BY g.i, g.j
+    """,
+)
+def sim_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance co-moment matrix of the embedding
+    corpus (PCA's reduction step) — Arrow-batch partial Grams in
+    int64, shuffle carries dim²/2 rows per partition, not rows×dim²
+    (operators/similarity.py::covariance_fixed_point).  The oracle is
+    the naive posexplode self-join form — fine at fixture scale,
+    exactly the blowup the operator avoids at lake scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = sim.covariance_fixed_point(emb, dim=_EMB_DIM, scale=_RP_SCALE)
+    return cov.select("i", "j", "n", "cov_num").orderBy("i", "j")

@@ -187,3 +187,96 @@ def test_containment_recall_matches_bruteforce(spark):
     )
     expect = {(r.id_a, r.id_b) for r in brute.collect()}
     assert got == expect and len(expect) > 5
+
+
+def test_degree_distribution_small(spark):
+    from kbdatalakeapps_spark.operators.graph import degree_distribution
+
+    # triangle 1-2-3 plus pendant 4 on 1; duplicate/reversed edges collapse
+    edges = [(1, 2), (2, 1), (2, 3), (1, 3), (1, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.degree: r.n_nodes for r in degree_distribution(df).collect()}
+    # degrees: 1→3, 2→2, 3→2, 4→1
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_triangle_count_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from kbdatalakeapps_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in (
+                tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)
+            )
+        }
+    )
+    adj = set(edges)
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row.n_triangles == brute
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len({x for e in edges for x in e})
+
+
+def _python_pagerank_fp(edges, iterations, num=85, den=100, scale=10**12):
+    """Reference implementation of the integer update rule."""
+    nodes = sorted({x for e in edges for x in e})
+    out: dict = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    pr = {v: scale // n for v in nodes}
+    base = (scale * (den - num)) // (den * n)
+    for _ in range(iterations):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            nxt[d] += (pr[s] * num) // (den * out[s])
+        pr = nxt
+    return pr
+
+
+def test_pagerank_fixed_point_vs_python(spark):
+    import random
+
+    from kbdatalakeapps_spark.operators.graph import pagerank_fixed_point
+
+    rng = random.Random(11)
+    edges = sorted(
+        {(rng.randrange(25), rng.randrange(25)) for _ in range(150)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank_fp for r in pagerank_fixed_point(df, iterations=3).collect()}
+    want = _python_pagerank_fp(edges, 3)
+    assert got == want
+    # ranks are a probability-ish mass: positive, bounded by scale
+    assert all(0 < v < 10**12 for v in got.values())
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Integer arithmetic ⇒ bit-identical under repartitioning."""
+    import random
+
+    from kbdatalakeapps_spark.operators.graph import pagerank_fixed_point
+
+    rng = random.Random(3)
+    edges = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(300)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.id: r.rank_fp for r in pagerank_fixed_point(df, iterations=2).collect()}
+    b = {
+        r.id: r.rank_fp
+        for r in pagerank_fixed_point(df.repartition(13), iterations=2).collect()
+    }
+    assert a == b

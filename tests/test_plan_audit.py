@@ -39,6 +39,8 @@ _BNLJ_OK = {
     "sim_ivf_assign_topk",    # same, fixed centroids
     "sim_ivfpq_topk",         # probe stage: query × k-centroid table
     "dd_lsh_tuning",          # signature pass × band-config grid
+    "gr_pagerank",            # 1-row node-count scalar broadcast
+    "gr_triangle_count",      # 1-row node/edge/triangle count scalars
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is

@@ -159,3 +159,62 @@ def test_semantic_dedup_invariants_and_idempotence(spark):
     # pruning the kept set again (same centroids) removes nothing more
     again = sim.semantic_dedup(kept, threshold=0.9, centroids=cents)
     assert again.count() == kept.count()
+
+
+def test_random_projection_matches_numpy(spark):
+    """Fixed-point JL projection == numpy sign-matrix product (the
+    signs re-derived from the same md5 parity)."""
+    import hashlib
+
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(5)
+    dim, out_dim, n = 16, 4, 20
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.vec_id, r.comp_j): r.comp_fp
+        for r in random_projection(df, in_dim=dim, out_dim=out_dim).collect()
+    }
+
+    def sign(i, j):
+        h = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) % 2 == 0 else -1
+
+    xf = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    for v in range(n):
+        for j in range(out_dim):
+            want = sum(sign(i, j) * int(xf[v, i]) for i in range(dim))
+            assert got[(v, j)] == want
+
+
+def test_covariance_fixed_point_matches_numpy(spark):
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.similarity import covariance_fixed_point
+
+    rng = np.random.default_rng(9)
+    dim, n = 8, 50
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.i, r.j): (r.n, r.cov_num)
+        for r in covariance_fixed_point(df.repartition(7), dim=dim).collect()
+    }
+    xf = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    g = xf.T @ xf
+    s = xf.sum(axis=0)
+    assert len(got) == dim * (dim + 1) // 2
+    for i in range(dim):
+        for j in range(i, dim):
+            assert got[(i, j)] == (n, int(n * g[i, j] - s[i] * s[j]))
+    # float covariance recovered within quantization error
+    cov_np = np.cov(vecs.astype(np.float64).T, bias=False)
+    for i in range(dim):
+        for j in range(i, dim):
+            approx = got[(i, j)][1] / (n * (n - 1) * 1e6 * 1e6)
+            assert abs(approx - cov_np[i, j]) < 1e-4
