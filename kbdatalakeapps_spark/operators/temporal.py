@@ -216,3 +216,87 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     ).drop("_brk")
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: int,
+    tiebreak_col: str,
+    method: str = "ffill",
+) -> DataFrame:
+    """Hypertable-style resample: regularize an irregular event series
+    onto a fixed ``bucket``-width grid (``ts_col`` units, e.g. nanos)
+    and fill the empty buckets — ``ffill`` carries the last observation
+    forward, ``linear`` interpolates between the neighboring
+    observations (flat beyond the ends).  The missing Spark operator
+    for time-series feature tables; TimescaleDB's time_bucket_gapfill /
+    InfluxDB fill() semantics.
+
+    Per bucket the OBSERVED value is the last event in the bucket
+    (max (ts, tiebreak) — total order, so deterministic under ties).
+    The grid spans the GLOBAL min..max bucket (one 1-row scalar agg
+    broadcast onto the distinct-keys frame; the allow-listed 1-row
+    BNLJ shape) so every key covers the same range — what a feature
+    matrix needs.
+
+    Scale posture: one groupBy (key, bucket) with map-side combine for
+    observations; the grid explodes |keys| × n_buckets rows NARROWLY
+    (sequence per key row, no join); the fill is per-key partitioned
+    windows ordered by bucket — state bounded by n_buckets per key,
+    spillable sort, never a global window.  Float determinism: the
+    interpolation is a single fixed expression tree of IEEE ops on
+    exactly-reproducible operands, so results are engine/partition
+    invariant (the WAV-RMS idiom).
+
+    Output: (key_col, bucket_idx, value_col) — bucket_idx = ts div
+    bucket; NULL value only where ``linear``/``ffill`` has no
+    observation on either side.
+    """
+    if method not in ("ffill", "linear"):
+        raise ValueError(f"unknown fill method {method!r}")
+    b = F.expr(f"{ts_col} div {bucket}").alias("_b")
+    obs = (
+        df.select(F.col(key_col), b, F.struct(ts_col, tiebreak_col, value_col).alias("_o"))
+        .groupBy(key_col, "_b")
+        .agg(F.max("_o")[value_col].alias("_v"))
+    )
+    rng = df.agg(
+        F.min(F.expr(f"{ts_col} div {bucket}")).alias("_b0"),
+        F.max(F.expr(f"{ts_col} div {bucket}")).alias("_b1"),
+    )
+    grid = (
+        df.select(key_col)
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("_b"),
+        )
+    )
+    g = grid.join(obs, [key_col, "_b"], "left")
+    w = Window.partitionBy(key_col).orderBy("_b")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last("_v", ignorenulls=True).over(w_prev)
+    if method == "ffill":
+        filled = prev_v
+    else:
+        obs_b = F.when(F.col("_v").isNotNull(), F.col("_b"))
+        prev_b = F.last(obs_b, ignorenulls=True).over(w_prev)
+        next_v = F.first("_v", ignorenulls=True).over(w_next)
+        next_b = F.first(obs_b, ignorenulls=True).over(w_next)
+        frac = (F.col("_b") - prev_b).cast("double") / (next_b - prev_b).cast("double")
+        filled = (
+            F.when(F.col("_v").isNotNull(), F.col("_v"))
+            .when(prev_v.isNull(), next_v)
+            .when(next_v.isNull(), prev_v)
+            .otherwise(prev_v + (next_v - prev_v) * frac)
+        )
+    return g.select(
+        key_col,
+        F.col("_b").alias("bucket_idx"),
+        filled.alias(value_col),
+    )

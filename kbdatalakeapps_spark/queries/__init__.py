@@ -23,6 +23,7 @@ from . import builders  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
 from . import training  # noqa: F401,E402
 from . import graphs  # noqa: F401,E402
+from . import timeseries  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
@@ -143,4 +144,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "gr_pagerank",
     "sim_random_projection",
     "sim_pca_covariance",
+    "ts_gapfill_ffill",
+    "ts_gapfill_interp",
 ]

@@ -1,0 +1,117 @@
+"""Time-series regularization queries — resample + gap-fill
+(operators/temporal.py::resample_gapfill), the hypertable
+time_bucket_gapfill analogue a feature-engineering pipeline needs to
+turn irregular event streams into fixed-grid feature matrices.
+
+Both variants are exact and hash-oracled: the observed per-bucket
+value is a total-order argmax (deterministic under ties), the grid is
+integer bucket indices, and the linear interpolation is one fixed
+IEEE expression tree over exactly-reproducible operands — the same
+float-determinism contract as the WAV-RMS features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io.sources import load_table
+from ..operators.temporal import resample_gapfill
+from .registry import query
+
+_DAY_NS = 86_400 * 10**9
+_MAX_USER = 40
+
+_TS_OBS_SQL = f"""
+    ev AS (
+        SELECT user_id, epoch_ns(ts) AS tns, event_id, value
+        FROM events WHERE user_id < {_MAX_USER}
+    ),
+    obs AS (
+        SELECT user_id, b, value AS v FROM (
+            SELECT user_id, tns // {_DAY_NS} AS b, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, tns // {_DAY_NS}
+                       ORDER BY tns DESC, event_id DESC) AS rn
+            FROM ev
+        ) WHERE rn = 1
+    ),
+    rng AS (
+        SELECT MIN(tns // {_DAY_NS}) AS b0, MAX(tns // {_DAY_NS}) AS b1
+        FROM ev
+    ),
+    grid AS (
+        SELECT u.user_id, t.b
+        FROM (SELECT DISTINCT user_id FROM ev) u, rng,
+             UNNEST(generate_series(rng.b0, rng.b1)) AS t(b)
+    ),
+    g AS (
+        SELECT grid.user_id, grid.b, o.v
+        FROM grid LEFT JOIN obs o
+          ON o.user_id = grid.user_id AND o.b = grid.b
+    )
+"""
+
+
+def _events_lt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "events").filter(F.col("user_id") < _MAX_USER)
+
+
+@query(
+    "ts_gapfill_ffill",
+    oracle=f"""
+    WITH {_TS_OBS_SQL}
+    SELECT user_id, b AS bucket_idx,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM g ORDER BY user_id, bucket_idx
+    """,
+)
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample of per-user event values with forward fill:
+    empty days carry the last observation (NULL before the first)."""
+    ev = _events_lt(spark, sf_dir)
+    out = resample_gapfill(
+        ev, "user_id", "ts", "value", _DAY_NS, "event_id", method="ffill"
+    )
+    return out.orderBy("user_id", "bucket_idx")
+
+
+@query(
+    "ts_gapfill_interp",
+    oracle=f"""
+    WITH {_TS_OBS_SQL},
+    calc AS (
+        SELECT user_id, b, v,
+               LAST_VALUE(v IGNORE NULLS) OVER wprev AS pv,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER wprev AS pb,
+               FIRST_VALUE(v IGNORE NULLS) OVER wnext AS nv,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER wnext AS nb
+        FROM g
+        WINDOW wprev AS (PARTITION BY user_id ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wnext AS (PARTITION BY user_id ORDER BY b
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, b AS bucket_idx,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                     * (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+           END AS value
+    FROM calc ORDER BY user_id, bucket_idx
+    """,
+)
+def ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with linear interpolation between neighboring
+    observations (flat extrapolation beyond the series ends)."""
+    ev = _events_lt(spark, sf_dir)
+    out = resample_gapfill(
+        ev, "user_id", "ts", "value", _DAY_NS, "event_id", method="linear"
+    )
+    return out.orderBy("user_id", "bucket_idx")

@@ -39,8 +39,9 @@ _BNLJ_OK = {
     "sim_ivf_assign_topk",    # same, fixed centroids
     "sim_ivfpq_topk",         # probe stage: query × k-centroid table
     "dd_lsh_tuning",          # signature pass × band-config grid
-    "gr_pagerank",            # 1-row node-count scalar broadcast
     "gr_triangle_count",      # 1-row node/edge/triangle count scalars
+    "ts_gapfill_ffill",       # 1-row global bucket-range scalar
+    "ts_gapfill_interp",      # same
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is

@@ -108,3 +108,48 @@ def test_sessionize_matches_session_window_counts(spark):
         .collect()
     }
     assert n_sessions == agg_sessions
+
+
+def test_resample_gapfill_ffill_and_interp(spark):
+    from kbdatalakeapps_spark.operators.temporal import resample_gapfill
+
+    # key A: obs at buckets 0 (v=10) and 3 (v=40); key B: only bucket 2
+    rows = [
+        ("A", 5, 1, 10.0),
+        ("A", 35, 2, 40.0),
+        ("B", 25, 3, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, event_id long, value double")
+    ff = {
+        (r.k, r.bucket_idx): r.value
+        for r in resample_gapfill(df, "k", "ts", "value", 10, "event_id").collect()
+    }
+    # global grid 0..3 for both keys
+    assert ff == {
+        ("A", 0): 10.0, ("A", 1): 10.0, ("A", 2): 10.0, ("A", 3): 40.0,
+        ("B", 0): None, ("B", 1): None, ("B", 2): 7.0, ("B", 3): 7.0,
+    }
+    li = {
+        (r.k, r.bucket_idx): r.value
+        for r in resample_gapfill(
+            df, "k", "ts", "value", 10, "event_id", method="linear"
+        ).collect()
+    }
+    assert li[("A", 1)] == 20.0 and li[("A", 2)] == 30.0  # linear between 10 and 40
+    assert li[("B", 0)] == 7.0 and li[("B", 1)] == 7.0  # flat extrapolation
+    assert li[("A", 0)] == 10.0 and li[("A", 3)] == 40.0
+
+
+def test_resample_gapfill_tie_determinism(spark):
+    """Two events in the same bucket with the same ts: the larger
+    tiebreak id wins, regardless of partitioning."""
+    from kbdatalakeapps_spark.operators.temporal import resample_gapfill
+
+    rows = [("A", 5, 1, 1.0), ("A", 5, 2, 2.0), ("A", 7, 0, 3.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, event_id long, value double")
+    for d in (df, df.repartition(5)):
+        got = {
+            r.bucket_idx: r.value
+            for r in resample_gapfill(d, "k", "ts", "value", 10, "event_id").collect()
+        }
+        assert got == {0: 3.0}  # ts=7 is latest; among ts=5 ties id=2 wins
