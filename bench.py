@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "s17_scd2_merge",              # history-preserving dimension merge
     "pl_corpus_curation",          # end-to-end curation composite
     "sim_ivfpq_topk",              # IVFADC: coarse lists + PQ codes
+    # round-4 late additions (appended so earlier keys stay comparable)
+    "gr_pagerank",                 # iterative fixed-point PageRank (3 rounds)
+    "gr_triangle_count",           # degree-oriented wedge join
+    "sim_pca_covariance",          # Arrow partial-Gram covariance
+    "ts_gapfill_interp",           # resample + linear-interp gap fill
 ]
 
 # The most expensive queries — measured twice, median reported.
@@ -76,6 +81,8 @@ REPEAT_QUERIES = {
     # than single-query plans
     "dd_dedup_corpus",
     "sim_ivf_topk",
+    "gr_pagerank",
+    "gr_triangle_count",
 }
 
 

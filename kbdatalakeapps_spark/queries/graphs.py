@@ -45,12 +45,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(items²/order) — constant — and the join is a co-partitioned
     self-join on l_orderkey, never a cartesian."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    la = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    lb = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    # one groupBy shuffle + narrow in-row pair expansion beats the
+    # two-scan self-join here because the per-order item sets are
+    # bounded tiny (≤7) — the opposite trade from the LSH band case
+    # (NOTES r2), where bucket sizes are unbounded
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     return (
-        la.join(lb, "ok")
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
     )
 
@@ -182,6 +185,8 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping_num=_PR_NUM,
         damping_den=_PR_DEN,
         scale=_PR_SCALE,
+        # the node set is the part catalog — bounded, broadcastable
+        broadcast_ranks=True,
     )
     return pr.select(
         "id", "rank_fp", F.col("rank").alias("rank_value")
