@@ -943,3 +943,154 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+    min_len: int = 8,
+) -> DataFrame:
+    """Edit-distance self-join: all pairs with Levenshtein distance
+    ≤ ``k`` — typo-level entity dedup (normalized names, titles,
+    URLs), the string analogue of the hamming near-dup operators.
+
+    Candidate generation is the PassJoin segment scheme (Li et al.,
+    VLDB'12), which is sound AND complete — recall is a theorem, not
+    a tuning outcome: partition each string s into k+1 contiguous
+    segments; if edit(s,t) ≤ k then (pigeonhole over the ≤ k edits)
+    some segment of s survives verbatim in t, displaced by at most k
+    positions.  So the probe side enumerates, for every target length
+    Ls ∈ [L−k, L+k] and segment index i, the substrings of t in the
+    ±k window around that segment's home position — a BOUNDED
+    (2k+1)²·(k+1) rows per string — and candidates fall out of one
+    equi-join on (Ls, segment_idx, content).  Never an all-pairs or
+    LIKE/theta join.  Exact ``levenshtein() ≤ k`` verifies survivors.
+
+    Segment convention (must match the SQL oracle): base = L div m
+    with the m − (L mod m) SHORT segments first; 1-based start
+    p_i = 1 + i·base + max(0, i − (m − L mod m)).
+
+    Strings shorter than max(``min_len``, k+1) are excluded (each
+    segment must be non-empty for the guarantee).
+
+    Scale posture: probe expansion is narrow (explode per row), the
+    candidate join is a hash equi-join on content keys, verification
+    touches only distinct candidate pairs, and the two text lookups
+    are co-partitioned hash joins on id.  Skew: a segment shared by
+    many strings (boilerplate prefixes) fans out — the same hot-key
+    posture as the LSH band join; salt or pre-filter high-df segments
+    if a corpus needs it.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ k.
+    """
+    m = k + 1
+    lo = max(min_len, m)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("s"),
+            F.length(text_col).alias("L"),
+        )
+        .filter(F.col("L") >= lo)
+        .localCheckpoint(eager=False)
+    )
+
+    def _li(i: int, lcol: str) -> str:
+        return (
+            f"({lcol} div {m} + CASE WHEN {i} >= {m} - {lcol} % {m}"
+            " THEN 1 ELSE 0 END)"
+        )
+
+    def _pi(i: int, lcol: str) -> str:
+        return (
+            f"(1 + {i} * ({lcol} div {m})"
+            f" + GREATEST(0, {i} - ({m} - {lcol} % {m})))"
+        )
+
+    seg_structs = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.expr(f"CAST({_pi(i, 'L')} AS INT)").alias("p"),
+            F.expr(f"CAST({_li(i, 'L')} AS INT)").alias("l"),
+        )
+        for i in range(m)
+    ]
+    seg_side = base.select(
+        "id",
+        F.col("L").alias("Ls"),
+        F.explode(F.array(*seg_structs)).alias("g"),
+        "s",
+    ).select(
+        F.col("id").alias("id_a"),
+        "Ls",
+        F.col("g.i").alias("i"),
+        F.expr("substring(s, g.p, g.l)").alias("sub"),
+    )
+
+    probe = (
+        base.select(
+            "id",
+            "s",
+            F.col("L").alias("Lt"),
+            F.explode(F.sequence(F.col("L") - k, F.col("L") + k)).alias("Ls"),
+        )
+        .filter(F.col("Ls") >= lo)
+        .select(
+            "id",
+            "s",
+            "Lt",
+            "Ls",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("i"),
+        )
+        .withColumn(
+            "li",
+            F.expr(
+                f"CAST(Ls div {m} + CASE WHEN i >= {m} - Ls % {m}"
+                " THEN 1 ELSE 0 END AS INT)"
+            ),
+        )
+        .withColumn(
+            "pi",
+            F.expr(
+                f"CAST(1 + i * (Ls div {m})"
+                f" + GREATEST(0, i - ({m} - Ls % {m})) AS INT)"
+            ),
+        )
+        .withColumn("jlo", F.expr(f"GREATEST(1, pi - {k})"))
+        .withColumn("jhi", F.expr(f"LEAST(Lt - li + 1, pi + {k})"))
+        .filter(F.col("jlo") <= F.col("jhi"))
+        .select(
+            F.col("id").alias("id_b"),
+            "Ls",
+            "i",
+            "li",
+            "s",
+            F.explode(F.sequence(F.col("jlo"), F.col("jhi"))).alias("j"),
+        )
+        .select(
+            "id_b",
+            "Ls",
+            "i",
+            F.expr("substring(s, j, li)").alias("sub"),
+        )
+    )
+    cand = (
+        seg_side.join(probe, ["Ls", "i", "sub"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = base.select(F.col("id").alias("id_a"), F.col("s").alias("_sa"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("s").alias("_sb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", F.levenshtein("_sa", "_sb").cast("int"))
+        .filter(F.col("dist") <= k)
+        .select("id_a", "id_b", "dist")
+    )

@@ -146,4 +146,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "sim_pca_covariance",
     "ts_gapfill_ffill",
     "ts_gapfill_interp",
+    "dd_editdist_pairs",
 ]

@@ -988,3 +988,89 @@ def ly_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         zorder_value(["o_custkey", "o_orderkey % 1024"], bits=10).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd_editdist_pairs: Levenshtein ≤ k self-join via PassJoin segment
+# blocking (operators/dedup.py::edit_distance_pairs) — candidate
+# completeness is a theorem (pigeonhole over the k+1 segments), so the
+# oracle replays candidate generation AND verification exactly.  Part
+# names plus planted single-char deletions (every 20th part, re-keyed
+# +1e6): every planted variant MUST surface at dist=1.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd_editdist_pairs",
+    oracle="""
+    WITH src AS (
+        SELECT p_partkey AS id, p_name AS s FROM part
+        UNION ALL
+        SELECT p_partkey + 1000000, substr(p_name, 1, 2) || substr(p_name, 4)
+        FROM part WHERE p_partkey % 20 = 0
+    ),
+    base AS (SELECT id, s, LENGTH(s) AS L FROM src WHERE LENGTH(s) >= 8),
+    seg AS (
+        SELECT id AS id_a, L AS Ls, t.i,
+               substr(s,
+                      CAST(1 + t.i*(L//2) + GREATEST(0, t.i - (2 - L%2)) AS INT),
+                      CAST(L//2 + CASE WHEN t.i >= 2 - L%2 THEN 1 ELSE 0 END AS INT)
+               ) AS sub
+        FROM base, UNNEST(generate_series(0, 1)) t(i)
+    ),
+    pw AS (
+        SELECT b.id, b.s, b.L AS Lt, ls.Ls, t.i,
+               CAST(ls.Ls//2 + CASE WHEN t.i >= 2 - ls.Ls%2 THEN 1 ELSE 0 END
+                    AS INT) AS li,
+               CAST(1 + t.i*(ls.Ls//2) + GREATEST(0, t.i - (2 - ls.Ls%2))
+                    AS INT) AS pi
+        FROM base b,
+             UNNEST(generate_series(b.L - 1, b.L + 1)) ls(Ls),
+             UNNEST(generate_series(0, 1)) t(i)
+        WHERE ls.Ls >= 8
+    ),
+    pw2 AS (
+        SELECT id, s, Ls, i, li,
+               GREATEST(1, pi - 1) AS jlo, LEAST(Lt - li + 1, pi + 1) AS jhi
+        FROM pw
+    ),
+    probe AS (
+        SELECT w.id AS id_b, w.Ls, w.i,
+               substr(w.s, CAST(jj.j AS INT), w.li) AS sub
+        FROM pw2 w, UNNEST(generate_series(w.jlo, w.jhi)) jj(j)
+        WHERE w.jlo <= w.jhi
+    ),
+    cand AS (
+        SELECT DISTINCT LEAST(sg.id_a, p.id_b) AS id_a,
+                        GREATEST(sg.id_a, p.id_b) AS id_b
+        FROM seg sg JOIN probe p
+          ON p.Ls = sg.Ls AND p.i = sg.i AND p.sub = sg.sub
+         AND p.id_b <> sg.id_a
+    )
+    SELECT c.id_a, c.id_b, CAST(levenshtein(x.s, y.s) AS INT) AS dist
+    FROM cand c JOIN base x ON x.id = c.id_a JOIN base y ON y.id = c.id_b
+    WHERE levenshtein(x.s, y.s) <= 1
+    ORDER BY c.id_a, c.id_b
+    LIMIT 5000
+    """,
+)
+def dd_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import edit_distance_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    orig = p.select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    mut = p.filter(F.col("p_partkey") % 20 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("doc_id"),
+        F.expr("concat(substring(p_name, 1, 2), substring(p_name, 4))").alias(
+            "text"
+        ),
+    )
+    pairs = edit_distance_pairs(
+        orig.unionByName(mut), k=1, min_len=8
+    )
+    # part names are a tiny combinatorial vocabulary, so natural
+    # dist≤1 pairs are dense (~38k at sf0.01) — cap the driver compare
+    # with the unique-key total order (NOTES r3 rule: ≤10k rows)
+    return pairs.orderBy("id_a", "id_b").limit(5000)

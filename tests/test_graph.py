@@ -280,3 +280,62 @@ def test_pagerank_partitioning_invariant(spark):
         for r in pagerank_fixed_point(df.repartition(13), iterations=2).collect()
     }
     assert a == b
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    """PassJoin candidates must reproduce EXACTLY the brute-force
+    Levenshtein ≤ k pairs (completeness is a theorem)."""
+    import itertools
+
+    from kbdatalakeapps_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    words = [
+        "chartreuse lemon",
+        "chartreuse lemons",     # insert
+        "chartreuze lemon",      # substitute
+        "hartreuse lemon",       # delete
+        "navy midnight blue",
+        "navy midnite blue",     # 2 edits away
+        "completely different",
+        "navy midnight blues",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(df, k=k, min_len=4).collect()
+        }
+        want = {
+            (a, b, lev(words[a], words[b]))
+            for a, b in itertools.combinations(range(len(words)), 2)
+            if lev(words[a], words[b]) <= k
+        }
+        assert got == want, f"k={k}: {got ^ want}"
+        assert len(want) > 0
+
+
+def test_edit_distance_pairs_partition_invariant(spark):
+    from kbdatalakeapps_spark.operators.dedup import edit_distance_pairs
+
+    words = [f"prefix word number {i:03d} suffix" for i in range(40)]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r.id_a, r.id_b, r.dist) for r in edit_distance_pairs(df, k=2).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df.repartition(11), k=2).collect()
+    )
+    assert a == b and len(a) > 100  # the ...00x family is dense in edits
