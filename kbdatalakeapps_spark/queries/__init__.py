@@ -24,6 +24,7 @@ from . import sketches  # noqa: F401,E402
 from . import training  # noqa: F401,E402
 from . import graphs  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
+from . import basket  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
@@ -147,4 +148,7 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ts_gapfill_ffill",
     "ts_gapfill_interp",
     "dd_editdist_pairs",
+    "st_event_transitions",
+    "mb_assoc_rules",
+    "a25_mad_outliers",
 ]

@@ -1,0 +1,99 @@
+"""Market-basket association mining over order line items — frequent
+co-occurring pairs and directed association rules with
+support/confidence/lift.  The frequent-pair counting is the same
+bounded per-basket pair expansion the co-purchase graph uses (baskets
+are ≤7 items, so the blowup is constant per order); metrics are single
+double divisions of engine-identical integer counts, so the whole
+result hash-matches the SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from .registry import query
+
+_MIN_SUP = 2
+
+
+@query(
+    "mb_assoc_rules",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+    item AS (SELECT l_partkey, COUNT(*) AS na FROM li GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS nab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_MIN_SUP}
+    ),
+    dir AS (
+        SELECT x AS antecedent, y AS consequent, nab FROM pairs
+        UNION ALL
+        SELECT y, x, nab FROM pairs
+    )
+    SELECT d.antecedent, d.consequent, CAST(d.nab AS BIGINT) AS n_ab,
+           CAST(d.nab AS DOUBLE) / CAST(nn.n AS DOUBLE) AS support,
+           CAST(d.nab AS DOUBLE) / CAST(ia.na AS DOUBLE) AS confidence,
+           CAST(d.nab * nn.n AS DOUBLE) / CAST(ia.na * ic.na AS DOUBLE) AS lift
+    FROM dir d
+    JOIN item ia ON ia.l_partkey = d.antecedent
+    JOIN item ic ON ic.l_partkey = d.consequent
+    CROSS JOIN nn
+    ORDER BY antecedent, consequent
+    """,
+)
+def mb_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules A→B over order baskets (support ≥ 2 orders):
+    support, confidence = P(B|A), lift = P(A∧B)/(P(A)P(B)).  One
+    groupBy for baskets, bounded in-row pair expansion, map-side
+    combinable counts; the basket total arrives as a 1-row broadcast."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nn = li.agg(F.countDistinct("l_orderkey").alias("_N"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("na"))
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pairs = (
+        sets.select(F.explode("ps").alias("x"), "ps")
+        .select("x", F.explode("ps").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= _MIN_SUP)
+    )
+    directed = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "nab"
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "nab"
+        )
+    )
+    ia = item.select(F.col("l_partkey").alias("antecedent"), F.col("na").alias("_na"))
+    ic = item.select(F.col("l_partkey").alias("consequent"), F.col("na").alias("_nc"))
+    return (
+        directed.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("nab").alias("n_ab"),
+            (F.col("nab").cast("double") / F.col("_N").cast("double")).alias(
+                "support"
+            ),
+            (F.col("nab").cast("double") / F.col("_na").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("nab") * F.col("_N")).cast("double")
+                / (F.col("_na") * F.col("_nc")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

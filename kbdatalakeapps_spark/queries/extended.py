@@ -2446,3 +2446,41 @@ def sp_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [0.25, 0.5, 0.75],
         sample_mod=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# A25 engine extension: MAD robust outliers (serving.mad_outliers_df)
+# — the 50%-breakdown complement to a22_zscore_outliers for
+# heavy-tailed lake columns, built on the distributed exact-median
+# path (sort+offset, never the single-task percentile buffer).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a25_mad_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (SELECT median(value) AS m FROM v),
+    dev AS (SELECT event_id, value, ABS(value - med.m) AS ad FROM v, med),
+    mad AS (SELECT median(ad) AS d FROM dev)
+    SELECT v.event_id, v.value,
+           ROUND((v.value - med.m) / (1.4826 * mad.d), 6) AS robust_z
+    FROM v, med, mad
+    WHERE ABS((v.value - med.m) / (1.4826 * mad.d)) > 3.5
+    ORDER BY v.event_id
+    LIMIT 2000
+    """,
+)
+def a25_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows whose |value − median| exceeds 3.5 robust (MAD) sigmas —
+    the events value column is heavy-tailed (max ≈ 10× median), so
+    the mean/σ z-score under-flags exactly the rows this catches."""
+    from ..serving import mad_outliers_df
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = mad_outliers_df(e, "value", threshold=3.5)
+    return out.select(
+        "event_id", "value", F.round("robust_z", 6).alias("robust_z")
+    ).orderBy("event_id").limit(2000)

@@ -115,3 +115,58 @@ def ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "value", _DAY_NS, "event_id", method="linear"
     )
     return out.orderBy("user_id", "bucket_idx")
+
+
+@query(
+    "st_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS prev_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ) AS next_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS tn FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+           CAST(t.n AS DOUBLE) / CAST(tot.tn AS DOUBLE) AS prob
+    FROM t JOIN tot USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def st_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event
+    sequences — the sequence-analytics primitive behind funnel
+    mining and next-event prediction features.  One partitioned
+    window (lead per user, state bounded per key) + two map-side
+    combinable aggs; the probability is a single double division of
+    engine-identical integer counts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("prev_type"), "next_type")
+    )
+    t = pairs.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("tn"))
+    return (
+        t.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("tn").cast("double")).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -403,3 +403,45 @@ def column_stats_sketched(
     ).collect()
     out["median"] = med[0]["value"] if med else None
     return out
+
+
+def mad_outliers_df(
+    df: DataFrame,
+    column: str,
+    threshold: float = 3.5,
+    scale_const: float = 1.4826,
+) -> DataFrame:
+    """Robust outlier flags via the median absolute deviation: rows
+    where |x − median| / (scale_const·MAD) exceeds ``threshold``
+    (the classic 3.5 cut; 1.4826 makes MAD consistent with σ under
+    normality).  The mean/σ z-score (a22_zscore_outliers) breaks when
+    the outliers themselves inflate σ — MAD is the 50 %-breakdown
+    alternative a heavy-tailed lake column needs.
+
+    Both medians run through exact_median_df (distributed sort +
+    offset — never the single-task percentile buffer merge), each
+    arriving as a 1-row broadcast; the robust score is one fixed
+    float expression over engine-identical operands, so results
+    hash-match the SQL twin.  Cost: two eager counts (the offset
+    placements) + two ranged sorts.
+
+    Output: input rows (filtered to non-null ``column``) + robust_z,
+    outliers only.
+    """
+    vals = df.filter(F.col(column).isNotNull())
+    med = exact_median_df(vals, column).select(
+        F.col("median_value").alias("_med")
+    )
+    dev = vals.crossJoin(F.broadcast(med)).withColumn(
+        "_absdev", F.abs(F.col(column) - F.col("_med"))
+    )
+    mad = exact_median_df(dev, "_absdev").select(
+        F.col("median_value").alias("_mad")
+    )
+    scored = dev.crossJoin(F.broadcast(mad)).withColumn(
+        "robust_z",
+        (F.col(column) - F.col("_med")) / (F.lit(scale_const) * F.col("_mad")),
+    )
+    return scored.filter(F.abs("robust_z") > threshold).drop(
+        "_med", "_mad", "_absdev"
+    )

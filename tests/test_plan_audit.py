@@ -42,6 +42,8 @@ _BNLJ_OK = {
     "gr_triangle_count",      # 1-row node/edge/triangle count scalars
     "ts_gapfill_ffill",       # 1-row global bucket-range scalar
     "ts_gapfill_interp",      # same
+    "mb_assoc_rules",         # 1-row basket-total scalar
+    "a25_mad_outliers",       # two 1-row median scalars
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is

@@ -269,3 +269,32 @@ def test_column_stats_sketched(spark):
     assert abs(sk["median"] - exact["median"]) < 997 * 0.1
     sk2 = column_stats_sketched(df.repartition(13), "v", "k", k=256, sample_mod=8)
     assert sk2 == sk
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    """MAD flags planted extremes even when they'd inflate σ enough
+    to hide themselves from a mean/σ z-score."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.serving import mad_outliers_df
+
+    base = [(i, 100.0 + (i % 7)) for i in range(100)]        # tight cluster
+    spikes = [(1000 + i, 100000.0 * (i + 1)) for i in range(10)]  # 10% contamination
+    df = spark.createDataFrame(base + spikes, "id long, v double")
+    got = {r.id for r in mad_outliers_df(df, "v", threshold=3.5).collect()}
+    assert got == {1000 + i for i in range(10)}
+    # classic z-score with 10% contamination misses most spikes
+    stats = df.agg(F.avg("v").alias("m"), F.stddev_pop("v").alias("s")).first()
+    z_flagged = {
+        r.id
+        for r in df.filter(
+            F.abs((F.col("v") - stats.m) / stats.s) > 3.5
+        ).collect()
+    }
+    assert len(z_flagged) < 10
+    # partitioning-invariant
+    got2 = {
+        r.id
+        for r in mad_outliers_df(df.repartition(13), "v", threshold=3.5).collect()
+    }
+    assert got2 == got
