@@ -397,3 +397,43 @@ def domain_cap(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_bins: int = 8,
+    sample_mod: int = 16,
+    salt: str = "q",
+) -> DataFrame:
+    """Equi-depth (quantile) bin assignment — the feature-binning /
+    histogram-equalization primitive: every non-null row gets
+    ``bin_idx`` ∈ [0, n_bins) with ≈equal population per bin.
+
+    Cut points are the i/n_bins sampled quantiles from
+    hash_sampled_quantiles (content-keyed 1-in-``sample_mod`` sample +
+    exact two-phase rank — deterministic across engines and
+    partitionings, bounded cost at lake scale).  The cut array arrives
+    as a 1-row broadcast; assignment is `size(filter(cuts, c <= v))` —
+    a few comparisons per row, no join, no shuffle beyond the sampled
+    quantile pass itself.  Values equal to a cut go to the upper bin
+    (#cuts ≤ v), identically in the SQL twin.
+
+    Use a power-of-two ``n_bins`` so the i/n_bins targets are exactly
+    representable doubles (the floor((n−1)·q) rank computes identically
+    across engines — hash_sampled_quantiles' contract).
+    """
+    if n_bins & (n_bins - 1):
+        raise ValueError("n_bins must be a power of two (exact quantile targets)")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = hash_sampled_quantiles(df, value_col, key_col, qs, sample_mod, salt)
+    carr = cuts.agg(F.array_sort(F.collect_list("value")).alias("_cuts"))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(carr))
+        .withColumn(
+            "bin_idx", F.expr(f"size(filter(_cuts, c -> c <= {value_col}))")
+        )
+        .drop("_cuts")
+    )

@@ -151,4 +151,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "st_event_transitions",
     "mb_assoc_rules",
     "a25_mad_outliers",
+    "sp_equidepth_bins",
 ]

@@ -2484,3 +2484,59 @@ def a25_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "value", F.round("robust_z", 6).alias("robust_z")
     ).orderBy("event_id").limit(2000)
+
+
+# ---------------------------------------------------------------------------
+# sp_equidepth_bins: quantile feature binning on the sampled-quantile
+# scale path (operators/sampling.py::equidepth_bins) — equal-population
+# bins without a global sort of the data.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sp_equidepth_bins",
+    oracle="""
+    WITH s AS (
+        SELECT value, event_id,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM events
+        WHERE value IS NOT NULL
+          AND ('0x' || substr(md5(event_id::VARCHAR || 'q'), 1, 15))::BIGINT
+              % 16 = 0
+    ),
+    cuts AS (
+        SELECT s.value AS cut
+        FROM (VALUES (0.125), (0.25), (0.375), (0.5),
+                     (0.625), (0.75), (0.875)) q(quantile)
+        JOIN s ON s.rn = FLOOR((s.n - 1) * q.quantile::DOUBLE) + 1
+    ),
+    carr AS (SELECT LIST(cut ORDER BY cut) AS cl FROM cuts),
+    binned AS (
+        SELECT e.value,
+               CAST(LEN(LIST_FILTER(carr.cl, c -> c <= e.value)) AS INT)
+                   AS bin_idx
+        FROM events e, carr WHERE e.value IS NOT NULL
+    )
+    SELECT bin_idx, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+    FROM binned GROUP BY bin_idx ORDER BY bin_idx
+    """,
+)
+def sp_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 equal-population bins of events.value: per-bin count and
+    value range.  Bin populations are ≈n/8 up to sampling error of the
+    1-in-16 cut estimation — the assignment itself is exact given the
+    cuts, so the whole result hash-matches the SQL twin."""
+    from ..operators.sampling import equidepth_bins
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    b = equidepth_bins(e, "value", "event_id", n_bins=8, sample_mod=16)
+    return (
+        b.groupBy("bin_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .orderBy("bin_idx")
+    )

@@ -16,4 +16,4 @@ from .incremental import (  # noqa: F401
     stream_events,
     tumbling_counts,
 )
-from .stateful import running_totals  # noqa: F401
+from .stateful import running_totals, transition_increments  # noqa: F401

@@ -61,3 +61,62 @@ def running_totals(stream: DataFrame, key_col: str = "event_type") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("prev_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+    ]
+)
+
+_TSTATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def _update_transitions(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (last_type,) = state.get if state.exists else (None,)
+    out_prev, out_next = [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for et in pdf["event_type"]:
+            if last_type is not None:
+                out_prev.append(last_type)
+                out_next.append(et)
+            last_type = et
+    state.update((last_type,))
+    if out_prev:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_prev),
+                "prev_type": out_prev,
+                "next_type": out_next,
+            }
+        )
+
+
+def transition_increments(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming twin of st_event_transitions' pair extraction: per-key
+    state carries the LAST event type across micro-batches, so
+    transitions spanning a batch boundary are not lost — the thing a
+    stateless per-batch lead() window cannot do.  Emits one append-mode
+    row per observed transition; aggregate downstream (foreachBatch or
+    a collected table) into the transition matrix.
+
+    Rows are ordered (ts, event_id) within each batch; cross-batch
+    correctness assumes event-time-ordered ingestion (the usual
+    log-shipping contract).  State per key is ONE string — bounded by
+    key cardinality, checkpointed, recoverable."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType=_TSTATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

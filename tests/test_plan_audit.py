@@ -44,6 +44,7 @@ _BNLJ_OK = {
     "ts_gapfill_interp",      # same
     "mb_assoc_rules",         # 1-row basket-total scalar
     "a25_mad_outliers",       # two 1-row median scalars
+    "sp_equidepth_bins",      # 1-row cut-array broadcast
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is
@@ -55,6 +56,7 @@ _GLOBAL_WINDOW_OK = {
     "o6_keyset_page",         # same
     "sp_pack_sequences",      # prefix-sum offset table
     "sp_quantile_sample",     # rank over the 1-in-N hash sample
+    "sp_equidepth_bins",      # same sampled-rank pass for the cuts
     "sp_weighted_sample",     # rank over the k-capped reservoir
     "tx_bm25_search",         # top-20 re-rank
     "tx_hybrid_rrf",          # top-10 fusion

@@ -385,3 +385,53 @@ def test_stream_scd2_dimension_maintenance(spark, tmp_path):
         "v1": (100, 200, False),
         "v2": (200, None, True),
     }
+
+
+def test_stateful_transition_increments_cross_batch(spark, tmp_path):
+    """Transitions spanning a micro-batch boundary must be counted:
+    events split into two time-halves arrive as two batches; the
+    aggregated stream output must equal the batch lead()-window
+    transition matrix exactly (including the cross-boundary pairs a
+    stateless per-batch window would drop)."""
+    import duckdb
+
+    from kbdatalakeapps_spark.streaming import transition_increments
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW ev AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    cut = con.execute("SELECT median(ts) FROM ev").fetchone()[0]
+    src = tmp_path / "events_in"
+    src.mkdir()
+    con.execute(
+        f"COPY (SELECT * FROM ev WHERE ts <= TIMESTAMP '{cut}') TO "
+        f"'{src}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM ev WHERE ts > TIMESTAMP '{cut}') TO "
+        f"'{src}/b.parquet' (FORMAT PARQUET)"
+    )
+
+    stream = transition_increments(
+        stream_events(spark, str(src), max_files_per_trigger=1)
+    )
+    run_available_now(
+        stream, "st_transitions_inc", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = sorted(
+        ((r.prev_type, r.next_type), r.n)
+        for r in spark.table("st_transitions_inc")
+        .groupBy("prev_type", "next_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    )
+
+    from kbdatalakeapps_spark.queries import QUERIES
+
+    want = sorted(
+        ((r.prev_type, r.next_type), r.n)
+        for r in QUERIES["st_event_transitions"](spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) == 25
