@@ -139,6 +139,58 @@ def degree_distribution(
     )
 
 
+def _node_degrees(und: DataFrame) -> DataFrame:
+    """(id, degree) over a canonical undirected edge set."""
+    return (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def _oriented_triangles(und: DataFrame, okey_base: int) -> DataFrame:
+    """Each triangle exactly once as its three orientation keys
+    (ka < kb < kc, key = degree·okey_base + id) — the shared core of
+    triangle_count and local_clustering.
+
+    shuffle_hash hints: the wedge table is O(Σ d_out²) rows — hash
+    joins stream it, where sort-merge would SORT it (measured
+    6.5 s → 2.6 s on 41M wedges at sf0.1); build sides are the edge
+    list, bounded."""
+    deg = _node_degrees(und)
+    keyed = (
+        und.join(deg.withColumnRenamed("id", "u"), "u")
+        .withColumnRenamed("degree", "du")
+        .join(
+            deg.select(F.col("id").alias("v"), F.col("degree").alias("dv")),
+            "v",
+        )
+        .select(
+            (F.col("du") * F.lit(okey_base) + F.col("u")).alias("ku_raw"),
+            (F.col("dv") * F.lit(okey_base) + F.col("v")).alias("kv_raw"),
+        )
+    )
+    oriented = keyed.select(
+        F.least("ku_raw", "kv_raw").alias("ku"),
+        F.greatest("ku_raw", "kv_raw").alias("kv"),
+    ).localCheckpoint(eager=False)
+    a, b, c = (
+        oriented.alias("a").hint("shuffle_hash"),
+        oriented.alias("b").hint("shuffle_hash"),
+        oriented.alias("c").hint("shuffle_hash"),
+    )
+    wedges = a.join(
+        b, on=[F.col("a.ku") == F.col("b.ku"), F.col("a.kv") < F.col("b.kv")]
+    )
+    return wedges.join(
+        c,
+        on=[F.col("c.ku") == F.col("a.kv"), F.col("c.kv") == F.col("b.kv")],
+    ).select(
+        F.col("a.ku").alias("ka"), F.col("a.kv").alias("kb"), F.col("b.kv").alias("kc")
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
@@ -163,41 +215,7 @@ def triangle_count(
     larger.  Returns one row: (n_nodes, n_edges, n_triangles).
     """
     und = _undirected(edges, src, dst).localCheckpoint(eager=False)
-    deg = (
-        und.select(F.col("u").alias("id"))
-        .unionAll(und.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    keyed = (
-        und.join(deg.withColumnRenamed("id", "u"), "u")
-        .withColumnRenamed("degree", "du")
-        .join(
-            deg.select(F.col("id").alias("v"), F.col("degree").alias("dv")),
-            "v",
-        )
-        .select(
-            (F.col("du") * F.lit(okey_base) + F.col("u")).alias("ku_raw"),
-            (F.col("dv") * F.lit(okey_base) + F.col("v")).alias("kv_raw"),
-        )
-    )
-    oriented = keyed.select(
-        F.least("ku_raw", "kv_raw").alias("ku"),
-        F.greatest("ku_raw", "kv_raw").alias("kv"),
-    ).localCheckpoint(eager=False)
-    # shuffle_hash: the wedge table is O(Σ d_out²) rows — hash joins
-    # stream it, where sort-merge would SORT it (measured 6.5 s → 2.6 s
-    # on 41M wedges at sf0.1); build sides are the edge list, bounded
-    a, b, c = (
-        oriented.alias("a").hint("shuffle_hash"),
-        oriented.alias("b").hint("shuffle_hash"),
-        oriented.alias("c").hint("shuffle_hash"),
-    )
-    wedges = a.join(b, on=[F.col("a.ku") == F.col("b.ku"), F.col("a.kv") < F.col("b.kv")])
-    tri = wedges.join(
-        c,
-        on=[F.col("c.ku") == F.col("a.kv"), F.col("c.kv") == F.col("b.kv")],
-    )
+    tri = _oriented_triangles(und, okey_base)
     counts = und.agg(
         F.count(F.lit(1)).alias("n_edges"),
     ).crossJoin(
@@ -207,6 +225,50 @@ def triangle_count(
     )
     return counts.crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles"))).select(
         "n_nodes", "n_edges", "n_triangles"
+    )
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    okey_base: int = 10_000_000_000,
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient
+    C(v) = 2·T(v) / (d(v)·(d(v)−1)) — the community-density /
+    spam-farm signal per vertex (C≈0: star hub; C≈1: clique member).
+
+    Same oriented-triangle core as triangle_count; each triangle
+    credits its three vertices via one narrow 3-way explode
+    (okey % okey_base recovers the node id), then a map-side-
+    combinable count.  Degree-1 nodes get coefficient 0.0.  The
+    coefficient is one fixed double division of engine-identical
+    integers.  Output: (id, degree, triangles, clustering_coeff).
+    """
+    und = _undirected(edges, src, dst).localCheckpoint(eager=False)
+    tri = _oriented_triangles(und, okey_base)
+    per_node = (
+        tri.select(
+            F.explode(F.array("ka", "kb", "kc")).alias("k")
+        )
+        .select((F.col("k") % F.lit(okey_base)).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = _node_degrees(und)
+    return (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                (2 * F.coalesce("triangles", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            )
+            .alias("clustering_coeff"),
+        )
     )
 
 

@@ -152,4 +152,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "mb_assoc_rules",
     "a25_mad_outliers",
     "sp_equidepth_bins",
+    "gr_clustering_coeff",
 ]

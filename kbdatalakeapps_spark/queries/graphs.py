@@ -268,3 +268,47 @@ def sim_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cov = sim.covariance_fixed_point(emb, dim=_EMB_DIM, scale=_RP_SCALE)
     return cov.select("i", "j", "n", "cov_num").orderBy("i", "j")
+
+
+@query(
+    "gr_clustering_coeff",
+    oracle=f"""
+    WITH {_UND_SQL},
+    o AS (
+        SELECT LEAST(du.degree * 10000000000 + und.u,
+                     dv.degree * 10000000000 + und.v) AS ku,
+               GREATEST(du.degree * 10000000000 + und.u,
+                        dv.degree * 10000000000 + und.v) AS kv
+        FROM und JOIN deg du ON du.id = und.u
+                 JOIN deg dv ON dv.id = und.v
+    ),
+    tri AS (
+        SELECT a.ku AS ka, a.kv AS kb, b.kv AS kc
+        FROM o a JOIN o b ON a.ku = b.ku AND a.kv < b.kv
+                 JOIN o c ON c.ku = a.kv AND c.kv = b.kv
+    ),
+    pn AS (
+        SELECT k % 10000000000 AS id, COUNT(*) AS triangles FROM (
+            SELECT ka AS k FROM tri
+            UNION ALL SELECT kb FROM tri
+            UNION ALL SELECT kc FROM tri
+        ) GROUP BY 1
+    )
+    SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE CAST(2 * COALESCE(pn.triangles, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+           END AS clustering_coeff
+    FROM deg d LEFT JOIN pn ON pn.id = d.id
+    ORDER BY d.id
+    """,
+)
+def gr_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangles + local clustering coefficient on the
+    co-purchase graph (operators/graph.py::local_clustering) — each
+    triangle credits its three vertices through one narrow explode;
+    the coefficient is a single double division of engine-identical
+    integers."""
+    cc = gr.local_clustering(_copurchase_edges(spark, sf_dir))
+    return cc.orderBy("id")

@@ -339,3 +339,34 @@ def test_edit_distance_pairs_partition_invariant(spark):
         for r in edit_distance_pairs(df.repartition(11), k=2).collect()
     )
     assert a == b and len(a) > 100  # the ...00x family is dense in edits
+
+
+def test_local_clustering_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from kbdatalakeapps_spark.operators.graph import local_clustering
+
+    rng = random.Random(13)
+    nodes = list(range(25))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)}
+    )
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {
+        r.id: (r.degree, r.triangles, r.clustering_coeff)
+        for r in local_clustering(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    for v, nbrs in adj.items():
+        t = sum(
+            1 for a, b in itertools.combinations(sorted(nbrs), 2) if b in adj[a]
+        )
+        d = len(nbrs)
+        coeff = 0.0 if d < 2 else 2 * t / (d * (d - 1))
+        assert got[v] == (d, t, coeff), v
+    assert len(got) == len(adj)
