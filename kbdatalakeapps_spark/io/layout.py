@@ -202,3 +202,47 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
+    """Snapshot retention for a manifest-versioned table: drop all but
+    the newest ``keep_last`` manifests, then delete every data file no
+    surviving manifest references — the VACUUM/expire_snapshots half
+    of the table-format lifecycle (versioned_write is the commit
+    half).  Time travel remains exact for every kept version.
+
+    Deletion is manifest-driven (never "delete by age of file"), so a
+    file shared by an old and a kept version — the append case —
+    always survives.  Returns {"kept_versions", "removed_versions",
+    "deleted_files"} for the caller's audit log.
+    """
+    import json
+    import os
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    mdir = os.path.join(table_dir, "_manifests")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    kept, removed = versions[-keep_last:], versions[:-keep_last]
+    live: set[str] = set()
+    for v in kept:
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            live.update(json.load(fh)["files"])
+    dead: set[str] = set()
+    for v in removed:
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            dead.update(json.load(fh)["files"])
+    deleted = sorted(dead - live)
+    for path in deleted:
+        if os.path.exists(path):
+            os.remove(path)
+    for v in removed:
+        os.remove(os.path.join(mdir, f"v{v}.json"))
+    return {
+        "kept_versions": kept,
+        "removed_versions": removed,
+        "deleted_files": deleted,
+    }

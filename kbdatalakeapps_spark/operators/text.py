@@ -579,3 +579,59 @@ def compression_ratio(
         F.col(id_col),
         ratio(F.col(text_col)).alias("compression_ratio"),
     )
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Sparse TF-IDF document vectors — (doc, token, tf, weight,
+    weight_norm) rows, the vectorization step between the raw corpus
+    and cosine/cluster stages when no neural embedder is in the loop
+    (and the exact-feature baseline when there is).
+
+    weight = tf · idf (vocabulary_stats' smoothed idf, 6-dp rounded —
+    the established cross-engine ln contract); weight_norm is
+    L2-normalized per document so a plain dot product of two docs'
+    rows IS their cosine.  The per-doc norm accumulates squares in
+    DECIMAL(38,12) (order-free) before one sqrt+division — floats
+    hash-match the SQL twin.
+
+    Plan: one token explode (narrow), tf agg and vocab agg both
+    map-side combinable on the token key, one hash join tf⋈vocab on
+    token (broadcast-able when the vocabulary is capped), one per-doc
+    norm agg.  ``min_df`` drops hapax noise before the join.
+    """
+    vocab = vocabulary_stats(df, id_col, text_col).filter(
+        F.col("doc_freq") >= min_df
+    )
+    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+    tf = (
+        toks.select("_id", F.explode("_t").alias("token"))
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = tf.join(vocab.select("token", "idf"), "token").withColumn(
+        "weight", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    norms = w.groupBy("_id").agg(
+        F.sqrt(
+            F.sum((F.col("weight") * F.col("weight")).cast("decimal(38,12)")).cast(
+                "double"
+            )
+        ).alias("_nrm")
+    )
+    return (
+        w.join(norms, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "token",
+            "tf",
+            "weight",
+            F.when(F.col("_nrm") == 0.0, F.lit(0.0))
+            .otherwise(F.round(F.col("weight") / F.col("_nrm"), 6))
+            .alias("weight_norm"),
+        )
+    )

@@ -153,4 +153,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "a25_mad_outliers",
     "sp_equidepth_bins",
     "gr_clustering_coeff",
+    "tx_tfidf_vectors",
 ]

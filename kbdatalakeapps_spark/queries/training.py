@@ -1074,3 +1074,62 @@ def dd_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dist≤1 pairs are dense (~38k at sf0.01) — cap the driver compare
     # with the unique-key total order (NOTES r3 rule: ≤10k rows)
     return pairs.orderBy("id_a", "id_b").limit(5000)
+
+
+# ---------------------------------------------------------------------------
+# tx_tfidf_vectors: sparse TF-IDF document vectors with L2-normalized
+# weights (operators/text.py::tfidf_vectors) — the exact-feature
+# vectorization baseline between corpus and cosine/cluster stages.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_tfidf_vectors",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM docs
+    ),
+    ex AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM docs),
+    vocab AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df
+        FROM ex GROUP BY token
+    ),
+    idf AS (
+        SELECT token,
+               ROUND(LN((nd.n + 1) / (vocab.df + 1)), 6) AS idf
+        FROM vocab, nd
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+        FROM ex GROUP BY doc_id, token
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               ROUND(tf.tf * idf.idf, 6) AS weight
+        FROM tf JOIN idf USING (token)
+    ),
+    nrm AS (
+        SELECT doc_id,
+               SQRT(CAST(SUM(CAST(weight * weight AS DECIMAL(38,12)))
+                         AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.token, w.tf, w.weight,
+           CASE WHEN nrm.nrm = 0.0 THEN 0.0
+                ELSE ROUND(w.weight / nrm.nrm, 6) END AS weight_norm
+    FROM w JOIN nrm USING (doc_id)
+    ORDER BY w.doc_id, w.token
+    """,
+)
+def tx_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_vectors
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select(
+        "doc_id", "text"
+    )
+    return tfidf_vectors(d).orderBy("doc_id", "token")

@@ -866,3 +866,35 @@ def test_perceptual_hash_survives_reencoding(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got
     assert not any({a, b} == {1, 4} for a, b in got)
+
+
+def test_expire_versions_retention(spark, tmp_path):
+    """VACUUM semantics: expired manifests go away, data files still
+    referenced by a KEPT version survive (append shares files), and
+    time travel stays exact for every kept version."""
+    import os
+
+    from kbdatalakeapps_spark.io.layout import (
+        expire_versions,
+        read_version,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "vt")
+    versioned_write(spark.range(0, 5).toDF("id"), t)               # v1
+    versioned_write(spark.range(5, 8).toDF("id"), t, mode="append")  # v2 (shares v1 files)
+    versioned_write(spark.range(100, 103).toDF("id"), t, mode="overwrite")  # v3
+    report = expire_versions(t, keep_last=2)
+    assert report["removed_versions"] == [1]
+    assert report["kept_versions"] == [2, 3]
+    # v1's files are all shared with v2 (append) — nothing deleted
+    assert report["deleted_files"] == []
+    assert sorted(r.id for r in read_version(spark, t, 2).collect()) == list(range(8))
+    assert sorted(r.id for r in read_version(spark, t, 3).collect()) == [100, 101, 102]
+    # expire down to just v3: v1/v2-only data files must be deleted
+    report2 = expire_versions(t, keep_last=1)
+    assert report2["removed_versions"] == [2]
+    assert len(report2["deleted_files"]) > 0
+    for f in report2["deleted_files"]:
+        assert not os.path.exists(f)
+    assert sorted(r.id for r in read_version(spark, t).collect()) == [100, 101, 102]

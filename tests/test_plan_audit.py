@@ -45,6 +45,7 @@ _BNLJ_OK = {
     "mb_assoc_rules",         # 1-row basket-total scalar
     "a25_mad_outliers",       # two 1-row median scalars
     "sp_equidepth_bins",      # 1-row cut-array broadcast
+    "tx_tfidf_vectors",       # vocab_stats' 1-row N scalar
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is

@@ -155,3 +155,62 @@ def test_ivfpq_full_probe_equals_full_adc(spark, sf_dir):
     two = ivfpq_topk(qs, enc, assignments, cents, cb, k=5, nprobe=2, m=4)
     selfs = two.filter(F.col("query_id") == F.col("doc_id")).collect()
     assert len(selfs) == 3 and all(r.rank == 1 for r in selfs)
+
+
+def test_persisted_vector_index_matches_inmemory(spark, tmp_path):
+    """write → read → search must return EXACTLY the in-memory IVFPQ
+    results, and the codes scan must prune to the probed
+    centroid_id= partitions (the on-disk inverted-list skip)."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.io.vector_index import (
+        probe_files,
+        search_vector_index,
+        write_vector_index,
+    )
+    from kbdatalakeapps_spark.operators.pq import (
+        assign_nearest_fp,
+        ivfpq_topk,
+        pq_encode,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    m = 4
+    sub = emb.select(F.size("embedding").alias("d")).first().d // m
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    codebook = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("code"),
+        F.posexplode(
+            F.array(*[
+                F.slice(F.col("embedding"), j * sub + 1, sub) for j in range(m)
+            ])
+        ).alias("subspace", "centroid"),
+    )
+    encoded = pq_encode(emb, codebook, m=m)
+    assignments = assign_nearest_fp(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    path = str(tmp_path / "vidx")
+    meta = write_vector_index(path, centroids, codebook, assignments, encoded, m=m)
+    assert meta["k_coarse"] == 4 and meta["n_vectors"] == emb.count()
+
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            queries, encoded, assignments, centroids, codebook, k=5, nprobe=2, m=m
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in search_vector_index(spark, path, queries, k=5, nprobe=2).collect()
+    )
+    assert got == want and len(got) == 15
+
+    probed, total = probe_files(spark, path, [0, 1])
+    assert 0 < probed < total  # partition pruning actually skipped lists
