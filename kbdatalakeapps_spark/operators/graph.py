@@ -365,3 +365,55 @@ def pagerank_fixed_point(
         "rank_fp",
         (F.col("rank_fp").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def bfs_min_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, dist) — fewest hops from any seed node, for every node
+    reachable within ``max_hops`` (edges used as given: symmetrize
+    upstream for undirected semantics).  The k-hop reachability /
+    impact-radius primitive (which docs sit within 2 links of a seed
+    set, which records within 3 joins of a contaminated key).
+
+    Frontier-only expansion: round t joins ONLY the nodes first
+    reached at t-1 against the edge list, so total join work is
+    O(Σ frontier-adjacent edges) — the standard distributed BFS shape,
+    not |reached|×E per round.  State is one (id, dist) row per
+    reached node; each round is one co-partitioned hash join plus a
+    map-side-combinable min-merge, with lineage cut by a lazy
+    localCheckpoint (the connected_components contract).
+
+    Every value is an integer produced by join + MIN, so a fixed
+    ``max_hops`` unrolls to plain SQL CTEs and the result hash-matches
+    across engines (gr_khop_distance's oracle replays it) — the same
+    exactness idiom as pagerank_fixed_point.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
+    dist = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = dist.select("id")
+    for t in range(1, max_hops + 1):
+        cand = (
+            frontier.hint("shuffle_hash")
+            .join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"), F.lit(t).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        frontier = dist.filter(F.col("dist") == t).select("id")
+    return dist

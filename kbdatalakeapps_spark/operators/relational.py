@@ -307,3 +307,163 @@ def rrf_fuse(
     return out.groupBy(id_col).agg(
         F.sum("_c").alias("rrf_score"), F.count(F.lit(1)).alias("n_arms")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """CDC classification between two snapshots of a keyed table:
+    one row per key present in either snapshot, tagged
+    ``insert`` / ``delete`` / ``update`` / ``unchanged`` with the
+    old/new values of every compared column side by side.  The diff
+    primitive behind incremental re-publishes (ship only what changed)
+    and snapshot audits — the batch complement of the SCD2 merge sink
+    (io/sinks.py) and the reference's rebuild-then-replace table flow
+    (build_berdl_db.py's full-table rewrites).
+
+    One full-outer hash join on the key (both sides co-partition; no
+    broadcast assumption — snapshots are both corpus-sized), then pure
+    column expressions: presence markers decide insert/delete,
+    null-safe equality (IS DISTINCT FROM) over ``compare_cols``
+    decides update vs unchanged.  Unchanged rows are dropped by
+    default so the output is |changes|, not |corpus|.
+    """
+    o = old.select(
+        *keys,
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    differ = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differ = d if differ is None else (differ | d)
+    out = j.select(
+        *keys,
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(differ, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    x_decimal: str = "decimal(9,2)",
+    y_decimal: str = "decimal(12,2)",
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS): the
+    trend-per-segment primitive (price sensitivity per supplier,
+    quality drift per source, tokens-vs-bytes slope per domain).
+
+    One groupBy computes n, Σx, Σy, Σxy, Σx² with the sums accumulated
+    in EXACT decimals (order-invariant under any partitioning — the
+    flagship's decimal-revenue contract), then
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+        intercept = (Σy − slope·Σx) / n
+
+    as one fixed double expression tree over those exact operands, so
+    the result is deterministic and hash-matches the SQL twin
+    (a26_group_regression).  Inputs must fit the given decimal types
+    exactly (2-dp business values do); groups with zero x-variance
+    yield NULL slope (0/0), never a crash.
+
+    Scale: a single map-side-combinable aggregation — state is 5
+    numbers per group, the cheapest possible full-corpus pass.
+    """
+    xd = F.col(x_col).cast(x_decimal)
+    yd = F.col(y_col).cast(y_decimal)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(xd * xd).alias("_sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    slope = (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n_d).alias("intercept"),
+    )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    bin_col: Column,
+    group_cols: list[str],
+    bin_name: str = "bin",
+) -> DataFrame:
+    """Binned χ² drift between a baseline window A and a comparison
+    window B, per group: the schema/data-drift monitor a lake runs
+    between ingests (did this source's value distribution move?).
+
+    Output: one row per (group, bin) seen in the BASELINE with
+    observed counts, the expected B count under A's distribution
+    (expected_b = total_b · count_a / total_a) and the χ² contribution
+    ((count_b − expected_b)² / expected_b).  Per-row doubles over
+    engine-identical integer counts — deterministic, hash-oracled
+    (dq_drift_chisq); consumers sum the contribution column for the
+    statistic (an order-sensitive global float sum is deliberately NOT
+    taken here).  Bins absent from the baseline (expected 0, χ²
+    undefined) are excluded; audit them with an anti-join if needed.
+
+    Scale: two map-side-combinable groupBys over the corpus; the
+    per-group totals are |groups| rows, broadcast onto the bin table.
+    """
+    a = df_a.groupBy(*group_cols, bin_col.alias(bin_name)).agg(
+        F.count(F.lit(1)).alias("count_a")
+    )
+    b = df_b.groupBy(*group_cols, bin_col.alias(bin_name)).agg(
+        F.count(F.lit(1)).alias("count_b")
+    )
+    ta = df_a.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_ta"))
+    tb = df_b.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_tb"))
+    j = (
+        a.join(b, [*group_cols, bin_name], "left")
+        .na.fill({"count_b": 0})
+        .join(F.broadcast(ta), group_cols)
+        .join(F.broadcast(tb), group_cols)
+    )
+    expected = (
+        F.col("_tb").cast("double")
+        * F.col("count_a").cast("double")
+        / F.col("_ta").cast("double")
+    )
+    contrib = (F.col("count_b").cast("double") - expected) * (
+        F.col("count_b").cast("double") - expected
+    ) / expected
+    return j.select(
+        *group_cols,
+        bin_name,
+        "count_a",
+        "count_b",
+        expected.alias("expected_b"),
+        contrib.alias("chi2_contrib"),
+    )

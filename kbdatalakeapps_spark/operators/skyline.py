@@ -1,0 +1,102 @@
+"""Pareto-frontier (skyline) operator — the multi-objective selection
+a curation pipeline runs when no single score orders the candidates
+(keep every document not dominated on (quality ↑, toxicity ↓, cost ↓);
+keep every dedup keeper not dominated on (length ↑, perplexity ↓)).
+
+Two-phase exact skyline, the classic distributed shape:
+
+1. **Local prune** (``mapInPandas``, Arrow-batched): each partition
+   drops its locally-dominated rows.  Any globally non-dominated row
+   is also locally non-dominated, so the prune is lossless; the
+   survivor set is the union of per-partition skylines — for
+   real-valued dims this is a tiny fraction of the input (expected
+   O(logᵈ⁻¹ n) per partition for independent dims).
+2. **Global dominance anti-join** on the pruned candidates: broadcast
+   candidates × candidates with the dominance predicate, ``left_anti``.
+   The quadratic step only ever touches the pruned set, never the
+   corpus — the same candidates-only contract as the LSH verify stage.
+
+The local prune processes rows in descending lexicographic order of
+the (sign-normalized) dims: a dominating row always sorts before any
+row it dominates, so one pass against the kept set is exact.  Output
+rows are sliced from the ORIGINAL Arrow batch (floats are used only to
+*compare*), so values pass through bit-unchanged and the result
+hash-matches a NOT EXISTS SQL twin (sky_pareto_parts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _skyline_mask(M):
+    """Boolean keep-mask for an (n, d) float matrix, all dims
+    maximized.  Lex-desc processing order ⇒ no later row can dominate
+    an earlier kept row, so a single pass against the kept set is
+    exact (duplicated points are kept: dominance requires a strict
+    improvement somewhere)."""
+    import numpy as np
+
+    n, d = M.shape
+    # np.lexsort: LAST key is primary — feed dims reversed, then flip
+    order = np.lexsort(tuple(M[:, j] for j in range(d - 1, -1, -1)))[::-1]
+    mask = np.zeros(n, dtype=bool)
+    kept: list = []
+    K = None
+    for i in order:
+        m = M[i]
+        if kept:
+            if K is None or K.shape[0] != len(kept):
+                K = np.asarray(kept)
+            if bool(np.any(np.all(K >= m, axis=1) & np.any(K > m, axis=1))):
+                continue
+        mask[i] = True
+        kept.append(m)
+        K = None
+    return mask
+
+
+def pareto_frontier(
+    df: DataFrame,
+    maximize: Sequence[str] = (),
+    minimize: Sequence[str] = (),
+) -> DataFrame:
+    """Rows of ``df`` not dominated on the given objective columns
+    (``maximize`` ↑, ``minimize`` ↓).  A row is dominated iff some
+    other row is at-least-as-good on every objective and strictly
+    better on at least one; objective columns must be non-null.
+
+    Scale posture: phase 1 is embarrassingly parallel and lossless;
+    phase 2's BroadcastNestedLoopJoin runs on the pruned candidate
+    union only (plan-audit allow-listed).  The candidate frame is
+    localCheckpoint-ed so the Python-UDF prune runs once, not once per
+    join side (NOTES: materialize multiply-referenced UDF stages).
+    """
+    dims = [(c, 1.0) for c in maximize] + [(c, -1.0) for c in minimize]
+    if not dims:
+        raise ValueError("pareto_frontier needs at least one objective column")
+
+    def _local(batches: Iterable) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.column_stack(
+                [pdf[c].astype(float).to_numpy() * s for c, s in dims]
+            )
+            yield pdf[_skyline_mask(M)]
+
+    cand = df.mapInPandas(_local, schema=df.schema).localCheckpoint(eager=False)
+    t, d = cand.alias("t"), cand.alias("d")
+    ge, gt = None, None
+    for c, s in dims:
+        dc, tc = F.col(f"d.{c}"), F.col(f"t.{c}")
+        c_ge = dc >= tc if s > 0 else dc <= tc
+        c_gt = dc > tc if s > 0 else dc < tc
+        ge = c_ge if ge is None else (ge & c_ge)
+        gt = c_gt if gt is None else (gt | c_gt)
+    return t.join(F.broadcast(d), ge & gt, "left_anti")

@@ -25,6 +25,7 @@ from . import training  # noqa: F401,E402
 from . import graphs  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import basket  # noqa: F401,E402
+from . import analytics  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
@@ -154,4 +155,10 @@ PENDING_NEXT_WINDOW: list[str] = [
     "sp_equidepth_bins",
     "gr_clustering_coeff",
     "tx_tfidf_vectors",
+    "gr_khop_distance",
+    "sky_pareto_parts",
+    "s18_snapshot_diff",
+    "a26_group_regression",
+    "dq_drift_chisq",
+    "mb_item_cosine",
 ]

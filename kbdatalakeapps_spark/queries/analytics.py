@@ -1,0 +1,200 @@
+"""Lake-analytics extensions: Pareto-frontier selection, snapshot CDC
+diff, per-group OLS trend, and binned χ² distribution drift — the
+multi-objective curation, incremental-publish, and drift-monitoring
+primitives a 100 TB pipeline runs between ingests.
+
+All four are exact and fully hash-oracled: the skyline's floats only
+*compare* (output rows pass through bit-unchanged), the CDC diff is
+pure join+flag logic, and the OLS/χ² expressions are fixed double
+trees over exact decimal/integer accumulations (the flagship's
+decimal-sum contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.relational import distribution_drift, group_ols, snapshot_diff
+from ..operators.skyline import pareto_frontier
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "sky_pareto_parts",
+    oracle="""
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part d
+        WHERE d.p_size >= t.p_size AND d.p_retailprice <= t.p_retailprice
+          AND (d.p_size > t.p_size OR d.p_retailprice < t.p_retailprice)
+    )
+    ORDER BY p_partkey
+    """,
+)
+def sky_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the part catalog — every part not dominated
+    on (size ↑, retail price ↓) (operators/skyline.py): the
+    multi-objective shortlist no single score can rank.  Two-phase
+    exact skyline (lossless per-partition prune, then dominance
+    anti-join on the pruned candidates only); the oracle is the
+    textbook NOT EXISTS form."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return pareto_frontier(
+        part, maximize=["p_size"], minimize=["p_retailprice"]
+    ).orderBy("p_partkey")
+
+
+@query(
+    "s18_snapshot_diff",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 13 <> 5
+    ),
+    n AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 3
+    ),
+    d AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                         THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               o.o_totalprice AS old_o_totalprice,
+               n.o_totalprice AS new_o_totalprice
+        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM d WHERE change_type <> 'unchanged' ORDER BY o_orderkey
+    """,
+)
+def s18_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two deterministic snapshots of orders
+    (operators/relational.py::snapshot_diff): the old snapshot drops
+    keys ≡5 (mod 13), the new one drops keys ≡3 (mod 11) and bumps the
+    price of keys ≡0 (mod 7) — yielding all three change classes.  One
+    full-outer key join + null-safe compare; output is |changes|
+    rows."""
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 11 != 3).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_totalprice"]
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "a26_group_regression",
+    oracle="""
+    WITH s AS (
+        SELECT l_suppkey,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(9,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+               SUM(CAST(l_quantity AS DECIMAL(9,2))
+                   * CAST(l_quantity AS DECIMAL(9,2))) AS sxx
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    r AS (
+        SELECT l_suppkey, CAST(n AS BIGINT) AS n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s
+    )
+    SELECT l_suppkey, n, slope,
+           (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
+    FROM r ORDER BY l_suppkey
+    """,
+)
+def a26_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier OLS of extended price on quantity
+    (operators/relational.py::group_ols) — the trend-per-segment
+    profile.  Sums accumulate in exact decimals (order-invariant);
+    slope/intercept are one fixed double tree over those exact
+    operands, so the regression hash-matches the SQL twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    return group_ols(
+        li, ["l_suppkey"], x_col="l_quantity", y_col="l_extendedprice"
+    ).orderBy("l_suppkey")
+
+
+_DRIFT_BIN = 50.0
+#: mid-month cut of the events window (2024-01-16 00:00:00 UTC), as
+#: both the naive timestamp DuckDB sees and the epoch-ns bigint
+#: load_table normalizes ts to.
+_DRIFT_SPLIT_TS = "2024-01-16 00:00:00"
+_DRIFT_SPLIT_NS = 1_705_363_200 * 10**9
+
+
+@query(
+    "dq_drift_chisq",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_type, CAST(FLOOR(value / {_DRIFT_BIN}) AS INT) AS bin
+        FROM events WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ),
+    b AS (
+        SELECT event_type, CAST(FLOOR(value / {_DRIFT_BIN}) AS INT) AS bin
+        FROM events WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ),
+    ac AS (SELECT event_type, bin, COUNT(*) AS count_a FROM a GROUP BY 1, 2),
+    bc AS (SELECT event_type, bin, COUNT(*) AS count_b FROM b GROUP BY 1, 2),
+    ta AS (SELECT event_type, COUNT(*) AS tot_a FROM a GROUP BY 1),
+    tb AS (SELECT event_type, COUNT(*) AS tot_b FROM b GROUP BY 1),
+    j AS (
+        SELECT ac.event_type, ac.bin, ac.count_a,
+               COALESCE(bc.count_b, 0) AS count_b,
+               CAST(tb.tot_b AS DOUBLE) * CAST(ac.count_a AS DOUBLE)
+                   / CAST(ta.tot_a AS DOUBLE) AS expected_b
+        FROM ac
+        LEFT JOIN bc ON bc.event_type = ac.event_type AND bc.bin = ac.bin
+        JOIN ta ON ta.event_type = ac.event_type
+        JOIN tb ON tb.event_type = ac.event_type
+    )
+    SELECT event_type, bin, CAST(count_a AS BIGINT) AS count_a,
+           CAST(count_b AS BIGINT) AS count_b, expected_b,
+           (CAST(count_b AS DOUBLE) - expected_b)
+           * (CAST(count_b AS DOUBLE) - expected_b) / expected_b
+               AS chi2_contrib
+    FROM j ORDER BY event_type, bin
+    """,
+)
+def dq_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution drift per event type between the first and
+    second half of the month (operators/relational.py::
+    distribution_drift): equi-width value bins, χ² contribution per
+    (type, bin) under the baseline's distribution.  Per-row doubles
+    over engine-identical counts — the order-sensitive global sum is
+    left to the consumer, so the whole table hash-matches."""
+    ev = _t(spark, sf_dir, "events")
+    df_a = ev.filter(F.col("ts") < F.lit(_DRIFT_SPLIT_NS))
+    df_b = ev.filter(F.col("ts") >= F.lit(_DRIFT_SPLIT_NS))
+    bin_col = F.floor(F.col("value") / F.lit(_DRIFT_BIN)).cast("int")
+    return distribution_drift(
+        df_a, df_b, bin_col, group_cols=["event_type"]
+    ).orderBy("event_type", "bin")

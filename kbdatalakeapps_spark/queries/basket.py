@@ -97,3 +97,63 @@ def mb_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+@query(
+    "mb_item_cosine",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey, COUNT(*) AS na FROM li GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS nab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_MIN_SUP}
+    )
+    SELECT p.x, p.y, CAST(p.nab AS BIGINT) AS n_ab,
+           CAST(p.nab AS DOUBLE)
+               / sqrt(CAST(ix.na * iy.na AS DOUBLE)) AS cosine
+    FROM pairs p
+    JOIN item ix ON ix.l_partkey = p.x
+    JOIN item iy ON iy.l_partkey = p.y
+    ORDER BY x, y
+    """,
+)
+def mb_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity from co-purchase counts —
+    cos(i,j) = n_ij / √(n_i·n_j), the memory-based collaborative-
+    filtering neighborhood (and the association-graph edge weight).
+    Same bounded per-basket pair expansion as mb_assoc_rules; the
+    cosine is one sqrt+division of engine-identical integer counts, so
+    every row hash-matches the SQL twin."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("na"))
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pairs = (
+        sets.select(F.explode("ps").alias("x"), "ps")
+        .select("x", F.explode("ps").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= _MIN_SUP)
+    )
+    ix = item.select(F.col("l_partkey").alias("x"), F.col("na").alias("_nx"))
+    iy = item.select(F.col("l_partkey").alias("y"), F.col("na").alias("_ny"))
+    return (
+        pairs.join(ix, "x")
+        .join(iy, "y")
+        .select(
+            "x",
+            "y",
+            F.col("nab").alias("n_ab"),
+            (
+                F.col("nab").cast("double")
+                / F.sqrt((F.col("_nx") * F.col("_ny")).cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy("x", "y")
+    )

@@ -312,3 +312,65 @@ def gr_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers."""
     cc = gr.local_clustering(_copurchase_edges(spark, sf_dir))
     return cc.orderBy("id")
+
+
+_KHOP_SEED_MOD = 101
+_KHOP_HOPS = 3
+
+
+def _khop_sql() -> str:
+    """Unroll bfs_min_distance's frontier expansion into CTEs — every
+    value is an integer from join+MIN, so the distances are
+    bit-identical across engines for a fixed hop count."""
+    parts = [
+        f"e AS ({_EDGES_SQL})",
+        f"""d0 AS (
+        SELECT DISTINCT src AS id, CAST(0 AS INT) AS dist
+        FROM e WHERE src % {_KHOP_SEED_MOD} = 0
+    )""",
+        "f0 AS (SELECT id FROM d0)",
+    ]
+    for t in range(1, _KHOP_HOPS + 1):
+        parts.append(
+            f"""c{t} AS (
+        SELECT e.dst AS id, CAST({t} AS INT) AS dist
+        FROM f{t - 1} f JOIN e ON e.src = f.id
+    )"""
+        )
+        parts.append(
+            f"""d{t} AS (
+        SELECT id, MIN(dist) AS dist
+        FROM (SELECT * FROM d{t - 1} UNION ALL SELECT * FROM c{t}) u
+        GROUP BY id
+    )"""
+        )
+        parts.append(f"f{t} AS (SELECT id FROM d{t} WHERE dist = {t})")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(dist AS INT) AS dist
+    FROM d{_KHOP_HOPS} ORDER BY id
+    """
+    )
+
+
+@query("gr_khop_distance", oracle=_khop_sql())
+def gr_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS min-distance from a deterministic seed set over the
+    co-purchase graph (operators/graph.py::bfs_min_distance) — the
+    impact-radius query (everything within 3 links of the seeds).
+    Frontier-only expansion each round; the oracle replays the same
+    integer join+MIN recurrence as unrolled CTEs, so distances
+    hash-match exactly."""
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .filter(F.col("id") % _KHOP_SEED_MOD == 0)
+        .distinct()
+    )
+    d = gr.bfs_min_distance(edges, seeds, max_hops=_KHOP_HOPS)
+    return d.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("id")

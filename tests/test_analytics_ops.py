@@ -1,0 +1,218 @@
+"""Unit tests for the analytics-extension operators: BFS k-hop
+distance, Pareto frontier, snapshot CDC diff, per-group OLS, and
+binned χ² drift — invariants beyond the oracle-parity hash gate
+(brute-force equivalence, partitioning invariance, edge cases)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.operators.graph import bfs_min_distance
+from kbdatalakeapps_spark.operators.relational import (
+    distribution_drift,
+    group_ols,
+    snapshot_diff,
+)
+from kbdatalakeapps_spark.operators.skyline import pareto_frontier
+
+
+# ---------------------------------------------------------------- BFS
+def test_bfs_min_distance_path_graph(spark):
+    # 0-1-2-3-4 path (symmetric): seed {0} → dist == node index, capped
+    edges = [(i, i + 1) for i in range(4)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_min_distance(e, seeds, max_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # node 4 beyond max_hops
+
+
+def test_bfs_min_distance_multi_seed_min(spark):
+    # two seeds; every node takes the NEARER one
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(0,), (4,)], ["id"])
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_min_distance(e, seeds, max_hops=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}
+
+
+def test_bfs_partitioning_invariant(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(200)]
+    edges = [(a, b) for a, b in edges if a != b]
+    sym = edges + [(b, a) for a, b in edges]
+    seeds = spark.createDataFrame([(0,), (7,)], ["id"])
+    outs = []
+    for parts in (1, 13):
+        e = spark.createDataFrame(sym, ["src", "dst"]).repartition(parts)
+        outs.append(
+            sorted(
+                (r["id"], r["dist"])
+                for r in bfs_min_distance(e, seeds, max_hops=3).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+# ------------------------------------------------------------ skyline
+def _brute_skyline(rows, sign):
+    out = []
+    for t in rows:
+        dominated = False
+        for d in rows:
+            ge = all(
+                (dv - tv) * s >= 0 for dv, tv, s in zip(d, t, sign)
+            )
+            gt = any((dv - tv) * s > 0 for dv, tv, s in zip(d, t, sign))
+            if ge and gt:
+                dominated = True
+                break
+        if not dominated:
+            out.append(t)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("n,parts", [(100, 1), (300, 7)])
+def test_pareto_matches_bruteforce(spark, n, parts):
+    rng = random.Random(n)
+    rows = [
+        (i, rng.randrange(20), rng.randrange(20), float(rng.randrange(50)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["id", "a", "b", "c"]).repartition(parts)
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in pareto_frontier(
+            df, maximize=["a", "b"], minimize=["c"]
+        ).collect()
+    )
+    want = _brute_skyline(
+        [(a, b, c) for _, a, b, c in rows], sign=(1, 1, -1)
+    )
+    assert got == want
+
+
+def test_pareto_keeps_duplicate_optima(spark):
+    # two identical non-dominated points: both kept (no strict winner)
+    df = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 1.0), (3, 5, 5.0)], ["id", "q", "cost"]
+    )
+    got = sorted(
+        r["id"]
+        for r in pareto_frontier(df, maximize=["q"], minimize=["cost"]).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_pareto_requires_objective():
+    with pytest.raises(ValueError):
+        pareto_frontier(None, maximize=[], minimize=[])
+
+
+# ------------------------------------------------------- snapshot diff
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, "d")], ["k", "v"]
+    )
+    got = {
+        r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        1: ("delete", "a", None),
+        3: ("update", "c", "C"),
+        4: ("insert", None, "d"),
+    }
+    # include_unchanged surfaces key 2
+    all_rows = snapshot_diff(
+        old, new, ["k"], ["v"], include_unchanged=True
+    ).collect()
+    assert {r["k"] for r in all_rows} == {1, 2, 3, 4}
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    # NULL→value and value→NULL are updates; NULL→NULL is unchanged
+    old = spark.createDataFrame([(1, None), (2, "x"), (3, None)], ["k", "v"])
+    new = spark.createDataFrame([(1, "y"), (2, None), (3, None)], ["k", "v"])
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(
+            old, new, ["k"], ["v"], include_unchanged=True
+        ).collect()
+    }
+    assert got == {1: "update", 2: "update", 3: "unchanged"}
+
+
+# --------------------------------------------------------------- OLS
+def test_group_ols_matches_numpy(spark):
+    import numpy as np
+
+    rng = random.Random(11)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(40):
+            x = rng.randrange(1, 50)
+            y = round((3.5 if g == "a" else -2.0) * x + 7 + rng.random(), 2)
+            rows.append((g, float(x), y))
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
+    for g in ("a", "b"):
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[g]["n"] == len(xs)
+        assert got[g]["slope"] == pytest.approx(slope, rel=1e-9)
+        assert got[g]["intercept"] == pytest.approx(intercept, rel=1e-9)
+
+
+def test_group_ols_zero_variance_yields_null(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0, 1.0), ("g", 5.0, 2.0)], ["g", "x", "y"]
+    )
+    row = group_ols(df, ["g"], "x", "y").collect()[0]
+    assert row["slope"] is None  # 0/0 → NULL, never a crash
+
+
+# -------------------------------------------------------------- drift
+def test_distribution_drift_identical_is_zero(spark):
+    rows = [("t", float(i % 5)) for i in range(100)]
+    a = spark.createDataFrame(rows, ["g", "v"])
+    out = distribution_drift(
+        a, a, F.floor(F.col("v")).cast("int"), ["g"]
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["chi2_contrib"] == 0.0
+        assert r["count_a"] == r["count_b"] == 20
+
+
+def test_distribution_drift_missing_bin_counts_zero(spark):
+    a = spark.createDataFrame([("g", 0.0), ("g", 1.0)], ["g", "v"])
+    b = spark.createDataFrame([("g", 0.0), ("g", 0.0)], ["g", "v"])
+    out = {
+        r["bin"]: r
+        for r in distribution_drift(
+            a, b, F.floor(F.col("v")).cast("int"), ["g"]
+        ).collect()
+    }
+    # baseline bin 1 absent in B: count_b = 0, expected 1, contrib 1
+    assert out[1]["count_b"] == 0
+    assert out[1]["expected_b"] == 1.0
+    assert out[1]["chi2_contrib"] == 1.0

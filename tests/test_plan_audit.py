@@ -46,6 +46,10 @@ _BNLJ_OK = {
     "a25_mad_outliers",       # two 1-row median scalars
     "sp_equidepth_bins",      # 1-row cut-array broadcast
     "tx_tfidf_vectors",       # vocab_stats' 1-row N scalar
+    # candidate×candidate only: the dominance anti-join runs on the
+    # union of per-partition skylines (lossless local prune), never
+    # the corpus — the standard 2-phase skyline shape
+    "sky_pareto_parts",
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is
