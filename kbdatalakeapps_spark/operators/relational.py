@@ -467,3 +467,123 @@ def distribution_drift(
         expected.alias("expected_b"),
         contrib.alias("chi2_contrib"),
     )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance per group — the
+    distribution-free companion to the binned χ² monitor (no bin
+    choice; catches shape shifts χ² bins can smear away).
+
+    D = max over observed values v of |F_a(v) − F_b(v)|.  Computed as
+    an exact RATIONAL: the numerator max|cum_a·n_b − cum_b·n_a| and
+    denominator n_a·n_b are integers, so the result hash-matches
+    across engines bit-for-bit (the double ``ks_stat`` is one final
+    division of exact operands).
+
+    Shape: one groupBy to per-(group, value) counts, cumulative sums
+    over a window PARTITIONED BY the group (never a global sort — the
+    frame per group is its distinct-value set), one max-agg.  At scale
+    the distinct-value cardinality per group bounds the window; for
+    high-cardinality continuous columns, quantize upstream.
+    """
+    a = df_a.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    b = df_b.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    merged = (
+        a.join(b, [*group_cols, value_col], "full_outer")
+        .na.fill({"_ca": 0, "_cb": 0})
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.select(
+        *group_cols,
+        F.sum("_ca").over(w).alias("_cum_a"),
+        F.sum("_cb").over(w).alias("_cum_b"),
+    )
+    na = df_a.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_a"))
+    nb = df_b.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        cum.join(F.broadcast(na), group_cols)
+        .join(F.broadcast(nb), group_cols)
+        .groupBy(*group_cols, "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("_cum_a") * F.col("n_b")
+                    - F.col("_cum_b") * F.col("n_a")
+                )
+            ).alias("d_num")
+        )
+        .select(
+            *group_cols,
+            "n_a",
+            "n_b",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def group_welch(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    value_decimal: str = "decimal(12,2)",
+) -> DataFrame:
+    """Per-group Welch t-test between two samples (unequal variances) —
+    the A/B significance readout over segment metrics.
+
+    Each side is one map-side-combinable pass accumulating n, Σx, Σx²
+    in exact decimals; mean, sample variance, the t statistic and the
+    Welch–Satterthwaite degrees of freedom are fixed double expression
+    trees over those exact operands (the group_ols contract), so every
+    row hash-matches the SQL twin.  Groups need n ≥ 2 on both sides
+    (filtered; variance undefined below that).
+    """
+
+    def _mom(df: DataFrame, suffix: str) -> DataFrame:
+        xd = F.col(value_col).cast(value_decimal)
+        return df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias(f"n_{suffix}"),
+            F.sum(xd).alias(f"_s{suffix}"),
+            F.sum(xd * xd).alias(f"_q{suffix}"),
+        )
+
+    j = _mom(df_a, "a").join(_mom(df_b, "b"), group_cols).filter(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    qa, qb = F.col("_qa").cast("double"), F.col("_qb").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (qa - sa * sa / na) / (na - F.lit(1.0))
+    vb = (qb - sb * sb / nb) / (nb - F.lit(1.0))
+    se2_a, se2_b = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(se2_a + se2_b)
+    dof = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (na - F.lit(1.0)) + se2_b * se2_b / (nb - F.lit(1.0))
+    )
+    return j.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        t.alias("t_stat"),
+        dof.alias("welch_df"),
+    )

@@ -300,3 +300,43 @@ def resample_gapfill(
         F.col("_b").alias("bucket_idx"),
         filled.alias(value_col),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_ns: int = 7 * 86_400 * 10**9,
+) -> DataFrame:
+    """Cohort × offset retention matrix — the classic activation
+    analytics readout (of the users first seen in bucket c, what
+    fraction was active again c+k?).  ``ts_col`` is epoch-ns (the
+    load_table contract); buckets are epoch-aligned integer divisions.
+
+    One distinct over (user, bucket), a min-agg for the cohort bucket,
+    one co-partitioned join back on the user key, and a count per
+    (cohort, offset) — all map-side-combinable; the rate is a single
+    division of engine-identical counts.  (user, bucket) is unique
+    after the distinct, so the per-cell count needs no countDistinct.
+    """
+    b = F.expr(f"{ts_col} div {bucket_ns}").alias("_bucket")
+    uw = events.select(F.col(user_col).alias("_u"), b).distinct()
+    cohort = uw.groupBy("_u").agg(F.min("_bucket").alias("cohort_bucket"))
+    active = uw.join(cohort, "_u").select(
+        "cohort_bucket", (F.col("_bucket") - F.col("cohort_bucket")).alias("week_offset")
+    )
+    act = active.groupBy("cohort_bucket", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = cohort.groupBy("cohort_bucket").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return act.join(F.broadcast(sizes), "cohort_bucket").select(
+        "cohort_bucket",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (
+            F.col("n_active").cast("double") / F.col("n_cohort").cast("double")
+        ).alias("retention"),
+    )

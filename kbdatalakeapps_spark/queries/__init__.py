@@ -161,4 +161,8 @@ PENDING_NEXT_WINDOW: list[str] = [
     "a26_group_regression",
     "dq_drift_chisq",
     "mb_item_cosine",
+    "dq_ks_drift",
+    "dq_ab_welch",
+    "ts_cohort_retention",
+    "gr_link_prediction",
 ]

@@ -198,3 +198,124 @@ def dq_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(
         df_a, df_b, bin_col, group_cols=["event_type"]
     ).orderBy("event_type", "bin")
+
+
+@query(
+    "dq_ks_drift",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_type, value FROM events
+        WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ),
+    b AS (
+        SELECT event_type, value FROM events
+        WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ),
+    ac AS (SELECT event_type, value, COUNT(*) AS ca FROM a GROUP BY 1, 2),
+    bc AS (SELECT event_type, value, COUNT(*) AS cb FROM b GROUP BY 1, 2),
+    m AS (
+        SELECT COALESCE(ac.event_type, bc.event_type) AS event_type,
+               COALESCE(ac.value, bc.value) AS value,
+               COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM ac FULL OUTER JOIN bc
+          ON ac.event_type = bc.event_type AND ac.value = bc.value
+    ),
+    c AS (
+        SELECT event_type,
+               SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS cum_a,
+               SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS cum_b
+        FROM m
+    ),
+    na AS (SELECT event_type, COUNT(*) AS n_a FROM a GROUP BY 1),
+    nb AS (SELECT event_type, COUNT(*) AS n_b FROM b GROUP BY 1)
+    SELECT c.event_type, CAST(na.n_a AS BIGINT) AS n_a,
+           CAST(nb.n_b AS BIGINT) AS n_b,
+           CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+               / CAST(na.n_a * nb.n_b AS DOUBLE) AS ks_stat
+    FROM c
+    JOIN na ON na.event_type = c.event_type
+    JOIN nb ON nb.event_type = c.event_type
+    GROUP BY c.event_type, na.n_a, nb.n_b
+    ORDER BY c.event_type
+    """,
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance per event type between the two
+    halves of the month (operators/relational.py::ks_drift) — the
+    bin-free drift monitor.  The statistic is an exact rational
+    (integer numerator max|cum_a·n_b − cum_b·n_a| over n_a·n_b), so an
+    order-statistic quantity hash-matches across engines."""
+    ev = _t(spark, sf_dir, "events")
+    df_a = ev.filter(F.col("ts") < F.lit(_DRIFT_SPLIT_NS))
+    df_b = ev.filter(F.col("ts") >= F.lit(_DRIFT_SPLIT_NS))
+    from ..operators.relational import ks_drift
+
+    return ks_drift(df_a, df_b, "value", ["event_type"]).orderBy("event_type")
+
+
+@query(
+    "dq_ab_welch",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_type, value FROM events
+        WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ),
+    b AS (
+        SELECT event_type, value FROM events
+        WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ),
+    ma AS (
+        SELECT event_type, COUNT(*) AS n_a,
+               SUM(CAST(value AS DECIMAL(12,2))) AS sa,
+               SUM(CAST(value AS DECIMAL(12,2))
+                   * CAST(value AS DECIMAL(12,2))) AS qa
+        FROM a GROUP BY 1
+    ),
+    mb AS (
+        SELECT event_type, COUNT(*) AS n_b,
+               SUM(CAST(value AS DECIMAL(12,2))) AS sb,
+               SUM(CAST(value AS DECIMAL(12,2))
+                   * CAST(value AS DECIMAL(12,2))) AS qb
+        FROM b GROUP BY 1
+    ),
+    e AS (
+        SELECT ma.event_type,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+               CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+               CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
+        FROM ma JOIN mb ON ma.event_type = mb.event_type
+        WHERE n_a >= 2 AND n_b >= 2
+    ),
+    f AS (
+        SELECT event_type, n_a, n_b, nad, nbd,
+               sad / nad AS mean_a, sbd / nbd AS mean_b,
+               ((qad - sad * sad / nad) / (nad - 1.0)) / nad AS se2_a,
+               ((qbd - sbd * sbd / nbd) / (nbd - 1.0)) / nbd AS se2_b
+        FROM e
+    )
+    SELECT event_type, n_a, n_b, mean_a, mean_b,
+           (mean_a - mean_b) / sqrt(se2_a + se2_b) AS t_stat,
+           (se2_a + se2_b) * (se2_a + se2_b)
+           / (se2_a * se2_a / (nad - 1.0)
+              + se2_b * se2_b / (nbd - 1.0)) AS welch_df
+    FROM f ORDER BY event_type
+    """,
+)
+def dq_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t-test per event type between the two month halves
+    (operators/relational.py::group_welch): the A/B significance
+    readout.  Moments accumulate in exact decimals; mean/variance/
+    t/degrees-of-freedom are fixed double trees over those exact
+    operands, so every row hash-matches the SQL twin."""
+    ev = _t(spark, sf_dir, "events")
+    df_a = ev.filter(F.col("ts") < F.lit(_DRIFT_SPLIT_NS))
+    df_b = ev.filter(F.col("ts") >= F.lit(_DRIFT_SPLIT_NS))
+    from ..operators.relational import group_welch
+
+    return group_welch(df_a, df_b, "value", ["event_type"]).orderBy(
+        "event_type"
+    )

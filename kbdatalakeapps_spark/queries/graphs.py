@@ -374,3 +374,88 @@ def gr_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("id"),
         F.col("dist").cast("int").alias("dist"),
     ).orderBy("id")
+
+
+_LP_PROBE_MOD = 503
+_LP_MIN_CN = 6
+
+
+@query(
+    "gr_link_prediction",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+    pr AS (SELECT DISTINCT src AS p FROM e WHERE src % {_LP_PROBE_MOD} = 0),
+    w AS (
+        SELECT a.src AS p, b.dst AS q, COUNT(*) AS cn
+        FROM e a
+        JOIN pr ON pr.p = a.src
+        JOIN e b ON b.src = a.dst
+        WHERE b.dst <> a.src
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT w.p, w.q, w.cn FROM w
+        WHERE cn >= {_LP_MIN_CN}
+          AND NOT EXISTS (
+              SELECT 1 FROM e WHERE e.src = w.p AND e.dst = w.q
+          )
+    )
+    SELECT c.p, c.q, CAST(c.cn AS BIGINT) AS cn,
+           CAST(c.cn AS DOUBLE)
+               / CAST(dp.deg + dq.deg - c.cn AS DOUBLE) AS jaccard
+    FROM c
+    JOIN deg dp ON dp.id = c.p
+    JOIN deg dq ON dq.id = c.q
+    ORDER BY c.p, c.q
+    """,
+)
+def gr_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction for a probe node set: non-adjacent pairs ranked
+    by common-neighbor count and neighborhood Jaccard
+    (cn / (deg_p + deg_q − cn)) — the classic who-should-connect
+    score, and the graph-side near-dup suggestion (nodes sharing many
+    neighbors without a direct edge).  The probe filter bounds the
+    wedge fan-out to the probes' 2-hop neighborhoods; existing edges
+    leave via an equi-key anti-join; the Jaccard is an exact rational
+    in a single division, so every row hash-matches the SQL twin."""
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    probes = (
+        e.select(F.col("src").alias("p"))
+        .filter(F.col("p") % _LP_PROBE_MOD == 0)
+        .distinct()
+    )
+    a1 = (
+        e.select(F.col("src").alias("p"), F.col("dst").alias("z"))
+        .join(F.broadcast(probes), "p")
+    )
+    a2 = e.select(F.col("src").alias("z"), F.col("dst").alias("q"))
+    cn = (
+        a1.join(a2.hint("shuffle_hash"), "z")
+        .filter(F.col("p") != F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= _LP_MIN_CN)
+    )
+    cand = cn.join(
+        e.select(F.col("src").alias("p"), F.col("dst").alias("q")),
+        ["p", "q"],
+        "left_anti",
+    )
+    dp = deg.select(F.col("src").alias("p"), F.col("deg").alias("_dp"))
+    dq = deg.select(F.col("src").alias("q"), F.col("deg").alias("_dq"))
+    return (
+        cand.join(dp, "p")
+        .join(dq, "q")
+        .select(
+            "p",
+            "q",
+            F.col("cn").cast("long").alias("cn"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("_dp") + F.col("_dq") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("p", "q")
+    )

@@ -170,3 +170,44 @@ def st_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+_WEEK_NS = 7 * 86_400 * 10**9
+
+
+@query(
+    "ts_cohort_retention",
+    oracle=f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id AS u, epoch_ns(ts) // {_WEEK_NS} AS b
+        FROM events
+    ),
+    c AS (SELECT u, MIN(b) AS cohort_bucket FROM uw GROUP BY u),
+    act AS (
+        SELECT c.cohort_bucket, uw.b - c.cohort_bucket AS week_offset,
+               COUNT(*) AS n_active
+        FROM uw JOIN c ON uw.u = c.u
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_bucket, COUNT(*) AS n_cohort FROM c GROUP BY 1)
+    SELECT act.cohort_bucket, act.week_offset,
+           CAST(act.n_active AS BIGINT) AS n_active,
+           CAST(sz.n_cohort AS BIGINT) AS n_cohort,
+           CAST(act.n_active AS DOUBLE) / CAST(sz.n_cohort AS DOUBLE)
+               AS retention
+    FROM act JOIN sz ON sz.cohort_bucket = act.cohort_bucket
+    ORDER BY act.cohort_bucket, act.week_offset
+    """,
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events stream
+    (operators/temporal.py::cohort_retention) — of the users first
+    seen in week c, the fraction active again at offset k.  Pure
+    integer bucketing (epoch-aligned ns division) and count ratios, so
+    the matrix hash-matches the SQL twin."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.temporal import cohort_retention
+
+    return cohort_retention(ev, bucket_ns=_WEEK_NS).orderBy(
+        "cohort_bucket", "week_offset"
+    )

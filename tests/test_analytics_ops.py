@@ -216,3 +216,96 @@ def test_distribution_drift_missing_bin_counts_zero(spark):
     assert out[1]["count_b"] == 0
     assert out[1]["expected_b"] == 1.0
     assert out[1]["chi2_contrib"] == 1.0
+
+
+# ----------------------------------------------------------- KS drift
+def test_ks_drift_matches_bruteforce(spark):
+    from kbdatalakeapps_spark.operators.relational import ks_drift
+
+    rng = random.Random(3)
+    a_vals = [float(rng.randrange(10)) for _ in range(80)]
+    b_vals = [float(rng.randrange(10) + (2 if i % 3 == 0 else 0)) for i in range(60)]
+    a = spark.createDataFrame([("g", v) for v in a_vals], ["g", "v"])
+    b = spark.createDataFrame([("g", v) for v in b_vals], ["g", "v"])
+    row = ks_drift(a, b, "v", ["g"]).collect()[0]
+    # brute-force exact KS over all observed points
+    pts = sorted(set(a_vals) | set(b_vals))
+    d = max(
+        abs(
+            sum(1 for x in a_vals if x <= p) * len(b_vals)
+            - sum(1 for x in b_vals if x <= p) * len(a_vals)
+        )
+        for p in pts
+    )
+    assert row["n_a"] == 80 and row["n_b"] == 60
+    assert row["d_num"] == d
+    assert row["ks_stat"] == d / (80 * 60)
+
+
+def test_ks_drift_identical_zero(spark):
+    from kbdatalakeapps_spark.operators.relational import ks_drift
+
+    a = spark.createDataFrame([("g", float(i % 7)) for i in range(70)], ["g", "v"])
+    row = ks_drift(a, a, "v", ["g"]).collect()[0]
+    assert row["d_num"] == 0 and row["ks_stat"] == 0.0
+
+
+# -------------------------------------------------------------- Welch
+def test_group_welch_matches_python(spark):
+    from kbdatalakeapps_spark.operators.relational import group_welch
+
+    rng = random.Random(5)
+    a_vals = [round(10 + rng.random() * 4, 2) for _ in range(50)]
+    b_vals = [round(11 + rng.random() * 6, 2) for _ in range(40)]
+    a = spark.createDataFrame([("g", v) for v in a_vals], ["g", "v"])
+    b = spark.createDataFrame([("g", v) for v in b_vals], ["g", "v"])
+    row = group_welch(a, b, "v", ["g"]).collect()[0]
+
+    def mom(vs):
+        n = len(vs)
+        m = sum(vs) / n
+        var = sum((x - m) ** 2 for x in vs) / (n - 1)
+        return n, m, var
+
+    na, ma, va = mom(a_vals)
+    nb, mb, vb = mom(b_vals)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / se2**0.5
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert row["mean_a"] == pytest.approx(ma, rel=1e-12)
+    assert row["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert row["welch_df"] == pytest.approx(dof, rel=1e-9)
+
+
+def test_group_welch_drops_tiny_groups(spark):
+    from kbdatalakeapps_spark.operators.relational import group_welch
+
+    a = spark.createDataFrame([("g", 1.0)], ["g", "v"])  # n_a = 1
+    b = spark.createDataFrame([("g", 1.0), ("g", 2.0)], ["g", "v"])
+    assert group_welch(a, b, "v", ["g"]).count() == 0
+
+
+# ------------------------------------------------------------- cohort
+def test_cohort_retention_fixture(spark):
+    from kbdatalakeapps_spark.operators.temporal import cohort_retention
+
+    wk = 7 * 86_400 * 10**9
+    # u1 first in wk0, returns wk1 and wk2; u2 first wk0 only;
+    # u3 first wk1, returns wk2
+    rows = [
+        ("u1", 0), ("u1", wk), ("u1", 2 * wk),
+        ("u2", 10),
+        ("u3", wk + 5), ("u3", 2 * wk),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["cohort_bucket"], r["week_offset"]): (r["n_active"], r["n_cohort"])
+        for r in cohort_retention(ev, bucket_ns=wk).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2),
+        (0, 1): (1, 2),
+        (0, 2): (1, 2),
+        (1, 0): (1, 1),
+        (1, 1): (1, 1),
+    }
