@@ -165,4 +165,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "dq_ab_welch",
     "ts_cohort_retention",
     "gr_link_prediction",
+    "ts_event_debounce",
+    "ts_cusum_changepoint",
 ]

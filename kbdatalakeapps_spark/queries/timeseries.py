@@ -211,3 +211,148 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, bucket_ns=_WEEK_NS).orderBy(
         "cohort_bucket", "week_offset"
     )
+
+
+_DEBOUNCE_GAP_NS = 3600 * 10**9  # 1 hour
+
+
+@query(
+    "ts_event_debounce",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns
+        FROM events
+    ),
+    lagged AS (
+        SELECT event_id, user_id, event_type, tns,
+               tns - LAG(tns) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY tns, event_id
+               ) AS gap_ns
+        FROM ev
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(gap_ns AS BIGINT) AS gap_ns
+    FROM lagged
+    WHERE gap_ns IS NOT NULL AND gap_ns <= {_DEBOUNCE_GAP_NS}
+    ORDER BY event_id
+    """,
+)
+def ts_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce pass over the event stream: surface every event closer
+    than one hour to its (user, type) predecessor — the
+    double-fire/retry cleanup run before sessionization or funnel
+    counting.  One per-key lag window (partitioned, never global;
+    event_id breaks timestamp ties deterministically); integer
+    nanosecond gaps, so the result hash-matches the SQL twin."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    from pyspark.sql import functions as F
+
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns"),
+    )
+    return (
+        lagged.filter(
+            F.col("gap_ns").isNotNull()
+            & (F.col("gap_ns") <= F.lit(_DEBOUNCE_GAP_NS))
+        )
+        .orderBy("event_id")
+    )
+
+
+_CUSUM_DAY_NS = 86_400 * 10**9
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_ns(ts) // {_CUSUM_DAY_NS} AS bucket,
+               CAST(value AS DECIMAL(12,2)) AS v
+        FROM events
+    ),
+    day AS (
+        SELECT event_type, bucket, COUNT(*) AS n_events,
+               SUM(v) AS day_sum
+        FROM ev GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, COUNT(*) AS n_total, SUM(v) AS s_total
+        FROM ev GROUP BY 1
+    ),
+    cum AS (
+        SELECT event_type, bucket, n_events,
+               SUM(day_sum) OVER (PARTITION BY event_type ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS cum_x,
+               SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS cum_n
+        FROM day
+    )
+    SELECT c.event_type, c.bucket, CAST(c.n_events AS BIGINT) AS n_events,
+           CAST(CAST(c.cum_x AS DECIMAL(18,2)) * CAST(t.n_total AS DECIMAL(18,0))
+                - CAST(t.s_total AS DECIMAL(18,2)) * CAST(c.cum_n AS DECIMAL(18,0))
+                AS DOUBLE) AS cusum_num,
+           CAST(CAST(c.cum_x AS DECIMAL(18,2)) * CAST(t.n_total AS DECIMAL(18,0))
+                - CAST(t.s_total AS DECIMAL(18,2)) * CAST(c.cum_n AS DECIMAL(18,0))
+                AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS cusum
+    FROM cum c JOIN tot t ON t.event_type = c.event_type
+    ORDER BY c.event_type, c.bucket
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CUSUM curve per event type over daily buckets — the
+    changepoint/level-shift detector (the bucket where |cusum| peaks
+    is the most likely shift point).  The deviation-from-mean
+    cumulative sum is kept RATIONAL: cusum·N = N·Σ_{≤t}x − S·n_{≤t}
+    with every operand an exact decimal/integer, so an inherently
+    sequential statistic hash-matches across engines; the final
+    division by N is one double op.  Windows are partitioned per
+    type over |buckets| rows, never data-sized."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts div {_CUSUM_DAY_NS}").alias("bucket"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    day = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("day_sum")
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_nt"), F.sum("v").alias("_st")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = day.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.sum("day_sum").over(w).alias("_cx"),
+        F.sum("n_events").over(w).alias("_cn"),
+    )
+    num = F.col("_cx").cast("decimal(18,2)") * F.col("_nt").cast(
+        "decimal(18,0)"
+    ) - F.col("_st").cast("decimal(18,2)") * F.col("_cn").cast("decimal(18,0)")
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            "n_events",
+            num.cast("double").alias("cusum_num"),
+            (num.cast("double") / F.col("_nt").cast("double")).alias("cusum"),
+        )
+        .orderBy("event_type", "bucket")
+    )
