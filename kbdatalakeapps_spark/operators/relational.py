@@ -443,10 +443,27 @@ def distribution_drift(
     b = df_b.groupBy(*group_cols, bin_col.alias(bin_name)).agg(
         F.count(F.lit(1)).alias("count_b")
     )
-    ta = df_a.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_ta"))
-    tb = df_b.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_tb"))
+    return distribution_drift_from_counts(a, b, group_cols, bin_name)
+
+
+def distribution_drift_from_counts(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    group_cols: list[str],
+    bin_name: str = "bin",
+) -> DataFrame:
+    """distribution_drift over PRE-AGGREGATED per-(group, bin) count
+    tables (columns ``count_a`` / ``count_b``) — the entry point for
+    incrementally-maintained counts: a streaming binned-count state
+    (streaming/incremental.py::binned_counts) or a rollup-merge of
+    per-ingest partials plugs in here, so the drift monitor reads
+    |bins| rows instead of rescanning the corpus on every check.
+    Totals are re-derived from the counts (sums, not corpus scans).
+    """
+    ta = counts_a.groupBy(*group_cols).agg(F.sum("count_a").alias("_ta"))
+    tb = counts_b.groupBy(*group_cols).agg(F.sum("count_b").alias("_tb"))
     j = (
-        a.join(b, [*group_cols, bin_name], "left")
+        counts_a.join(counts_b, [*group_cols, bin_name], "left")
         .na.fill({"count_b": 0})
         .join(F.broadcast(ta), group_cols)
         .join(F.broadcast(tb), group_cols)

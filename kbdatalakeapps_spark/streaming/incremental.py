@@ -286,3 +286,25 @@ def stream_cms_sketch(df: DataFrame, col: str, width: int = 1024) -> DataFrame:
     from ..operators.sketch import cms_sketch
 
     return cms_sketch(df, col, width=width)
+
+
+def binned_counts(
+    df: DataFrame,
+    bin_col,
+    group_cols: list[str],
+    bin_name: str = "bin",
+    count_name: str = "count_b",
+) -> DataFrame:
+    """Streaming per-(group, bin) histogram — the incrementally
+    maintained comparison side of the drift monitor.  A plain
+    streaming groupBy-count (state is one long per live (group, bin)
+    cell; map-side partials merge into the state store), written in
+    complete mode so the latest counts are always a |bins|-row table.
+    Feed the result into operators.relational.
+    distribution_drift_from_counts against a baseline count table:
+    the drift check then costs |bins| rows, not a corpus rescan —
+    the same maintained-state contract as running_totals /
+    rollup_merge.  Works on batch frames too (same expression)."""
+    return df.groupBy(
+        *group_cols, bin_col.alias(bin_name)
+    ).agg(F.count(F.lit(1)).alias(count_name))

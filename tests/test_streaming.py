@@ -435,3 +435,51 @@ def test_stateful_transition_increments_cross_batch(spark, tmp_path):
         for r in QUERIES["st_event_transitions"](spark, SF_DIR).collect()
     )
     assert got == want and len(got) == 25
+
+
+def test_streaming_drift_counts_match_batch(spark, tmp_path):
+    """Maintained drift: the comparison window's binned counts are
+    kept as streaming state (two files → two micro-batches), and
+    distribution_drift_from_counts over that state equals the batch
+    distribution_drift over the same raw rows."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.relational import (
+        distribution_drift,
+        distribution_drift_from_counts,
+    )
+    from kbdatalakeapps_spark.streaming.incremental import binned_counts
+
+    ev = load_table(spark, SF_DIR, "events")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    base = ev.filter(F.col("ts") < cut)
+    curr = ev.filter(F.col("ts") >= cut)
+
+    # the comparison window arrives as two FLAT files (the file-source
+    # does not recurse into per-write directories) → two micro-batches
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    src = tmp_path / "curr_in"
+    src.mkdir()
+    h = curr.withColumn("_h", F.pmod(F.xxhash64("event_id"), F.lit(2)))
+    for i in (0, 1):
+        pdf = h.filter(F.col("_h") == i).drop("_h").toPandas()
+        papq.write_table(pa.Table.from_pandas(pdf), str(src / f"f{i}.parquet"))
+
+    bin_col = F.floor(F.col("value") / F.lit(50.0)).cast("int")
+    stream = binned_counts(
+        stream_events(spark, str(src), max_files_per_trigger=1),
+        bin_col,
+        ["event_type"],
+    )
+    run_available_now(stream, "st_drift_counts", str(tmp_path / "ckpt"))
+
+    counts_a = binned_counts(base, bin_col, ["event_type"], count_name="count_a")
+    got = _rows(
+        distribution_drift_from_counts(
+            counts_a, spark.table("st_drift_counts"), ["event_type"]
+        )
+    )
+    want = _rows(distribution_drift(base, curr, bin_col, ["event_type"]))
+    assert got == want and len(got) > 0
