@@ -68,6 +68,12 @@ BENCH_QUERIES = [
     "gr_triangle_count",           # degree-oriented wedge join
     "sim_pca_covariance",          # Arrow partial-Gram covariance
     "ts_gapfill_interp",           # resample + linear-interp gap fill
+    # round-4 analytics-family additions (appended; earlier keys stay
+    # comparable) — one representative per new family
+    "dq_ks_drift",                 # exact rational KS drift monitor
+    "ts_cusum_changepoint",        # exact CUSUM level-shift curve
+    "s18_snapshot_diff",           # CDC classify between snapshots
+    "mb_item_cosine",              # item-item co-occurrence cosine
 ]
 
 # The most expensive queries — measured twice, median reported.
