@@ -167,4 +167,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "gr_link_prediction",
     "ts_event_debounce",
     "ts_cusum_changepoint",
+    "s19_sink_roundtrip",
 ]

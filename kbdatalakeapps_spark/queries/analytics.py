@@ -319,3 +319,58 @@ def dq_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_welch(df_a, df_b, "value", ["event_type"]).orderBy(
         "event_type"
     )
+
+
+@query(
+    "s19_sink_roundtrip",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def s19_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink→source round-trip under the hard value-hash gate: the
+    per-nation order rollup is written through the PARTITIONED parquet
+    sink (io/sinks.py::write_parquet, S13), read back, pushed through
+    the SQLite sink+scan pair (io/sqlite.py::write_sqlite/read_sqlite,
+    S12/S9 — the reference's datalake_table.py to_sql + pd.read_sql
+    cycle), and the final read-back is what the driver hashes against
+    the plain SQL oracle — so the sinks' type mapping and value
+    fidelity carry driver-oracle proof, not just pytest assertions.
+    Decimal-exact revenue sum cast to double before the sinks (SQLite
+    affinity has no decimal)."""
+    import os
+    import tempfile
+
+    from ..io.sinks import write_parquet
+    from ..io.sqlite import read_sqlite, write_sqlite
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    agg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="s19_roundtrip_")
+    pq_dir = os.path.join(d, "pq")
+    write_parquet(agg, pq_dir, partition_by=["nation"])
+    back = spark.read.parquet(pq_dir).select(
+        "nation", "n_orders", "total_price"
+    )
+    db = os.path.join(d, "roundtrip.db")
+    write_sqlite(back, db, "nation_rollup")
+    return read_sqlite(spark, db, "nation_rollup").orderBy("nation")
