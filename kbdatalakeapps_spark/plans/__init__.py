@@ -1,0 +1,7 @@
+from .audit import (  # noqa: F401
+    PlanFinding,
+    audit_plan,
+    assert_scale_safe,
+    exchange_count,
+    formatted_plan,
+)

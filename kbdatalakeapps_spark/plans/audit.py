@@ -1,0 +1,121 @@
+"""Physical-plan linter: the scale-killer scan the repo's CI runs over
+every registered query (tests/test_plan_audit.py), exposed as a library
+so users can gate THEIR OWN pipelines the same way before a 100 TB run.
+
+Findings target the three patterns that are fine at test scale and
+fatal at cluster scale:
+
+* ``cartesian``   — ``CartesianProduct``: an unconditioned fact×fact
+  product (cost |A|·|B|).
+* ``nested_loop`` — ``BroadcastNestedLoopJoin``: a non-equi join; safe
+  only when one side is a scalar/bounded frame (a cap row, a global
+  total, a pruned candidate set), lethal when both sides are data.
+* ``global_window`` — a ``Window`` with an empty partition spec: the
+  whole input sorts through ONE task.  Safe only over frames bounded
+  by construction (per-partition offset tables, capped top-N).
+
+Plus an informational ``exchanges`` count (number of shuffle
+boundaries) so a regression that doubles the shuffle count is visible
+even when no hard finding fires.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class PlanFinding:
+    kind: str        # cartesian | nested_loop | global_window
+    detail: str      # first plan line that triggered the finding
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The ``formatted`` explain string (plan tree + node details),
+    generated without executing the query."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _first_line_with(plan: str, needle: str) -> str:
+    for line in plan.splitlines():
+        if needle in line:
+            return line.strip()
+    return needle
+
+
+def _has_global_window(plan: str) -> bool:
+    """Parse the formatted-explain DETAIL sections: a node headed
+    ``(N) Window`` whose ``Arguments:`` line carries an empty
+    partition spec (``[exprs], [], [order]``) sorts the whole input
+    through one task."""
+    if "Window" not in plan:
+        return False
+    in_window_node = False
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("(") and ")" in s[:6]:
+            # exact node name: WindowGroupLimit (the rank-pushdown
+            # optimization) also starts with "Window" but its first
+            # argument list IS the partition spec — not a finding
+            in_window_node = s.split(")", 1)[1].strip() == "Window"
+        elif in_window_node and s.startswith("Arguments:"):
+            # [windowExprs], [partitionSpec], [orderSpec] — Spark's
+            # formatted explain OMITS an empty partition spec, so a
+            # global window prints only TWO top-level lists
+            if s.count("], [") < 2:
+                return True
+    return False
+
+
+def audit_plan(
+    df: DataFrame,
+    allow_nested_loop: bool = False,
+    allow_global_window: bool = False,
+) -> list[PlanFinding]:
+    """Scan ``df``'s physical plan for scale-killers; returns findings
+    (empty list = scale-safe by this linter's rules).  The allow flags
+    acknowledge DOCUMENTED bounded cases — a scalar-cap nested loop, a
+    provably bounded global frame — mirroring the CI allowlists."""
+    plan = formatted_plan(df)
+    findings: list[PlanFinding] = []
+    if "CartesianProduct" in plan:
+        findings.append(
+            PlanFinding("cartesian", _first_line_with(plan, "CartesianProduct"))
+        )
+    if not allow_nested_loop and "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            PlanFinding(
+                "nested_loop",
+                _first_line_with(plan, "BroadcastNestedLoopJoin"),
+            )
+        )
+    if not allow_global_window and _has_global_window(plan):
+        findings.append(PlanFinding("global_window", "Window partitionBy=[]"))
+    return findings
+
+
+def assert_scale_safe(df: DataFrame, **allow) -> None:
+    """Raise ``ValueError`` naming every finding — the one-line gate to
+    drop into a pipeline before submitting it against real data."""
+    findings = audit_plan(df, **allow)
+    if findings:
+        msg = "; ".join(f"{f.kind}: {f.detail}" for f in findings)
+        raise ValueError(f"plan is not scale-safe — {msg}")
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle boundaries (Exchange nodes) in the plan — an
+    informational regression metric: no finding fires, but a change
+    that doubles the shuffles should be noticed."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "Reused" not in line
+    )

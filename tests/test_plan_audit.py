@@ -57,6 +57,8 @@ _BNLJ_OK = {
 # (≤ #shuffle-partitions rows) or an already-capped top-N.
 _GLOBAL_WINDOW_OK = {
     "w7_global_row_number",   # two-phase prefix offsets (bounded)
+    "dd_sorted_neighborhood", # same global_row_number offsets frame
+                              # (caught only by the exact-node detector)
     "o4_limit_offset",        # page slice via bounded ranking
     "o6_keyset_page",         # same
     "sp_pack_sequences",      # prefix-sum offset table
@@ -102,17 +104,14 @@ def test_nested_loop_joins_only_on_scalar_sides(plans):
 
 
 def test_global_windows_only_on_bounded_frames(plans):
-    def has_global_window(p: str) -> bool:
-        tree = p.split("\n\n")[0]
-        if "Window" not in tree:
-            return False
-        # formatted detail: a global window prints an empty partition
-        # spec in its arguments
-        return "partitionBy=[]" in p or ", [], " in p.split("Window")[1][:400]
+    # detector shared with the public linter (plans/audit.py) — parses
+    # each Window node's Arguments line; a global window prints only
+    # two top-level lists (the empty partition spec is omitted)
+    from kbdatalakeapps_spark.plans.audit import _has_global_window
 
     bad = [
         n for n, p in plans.items()
-        if has_global_window(p) and n not in _GLOBAL_WINDOW_OK
+        if _has_global_window(p) and n not in _GLOBAL_WINDOW_OK
     ]
     assert not bad, (
         f"unpartitioned Window over a possibly data-sized frame in: "

@@ -1,0 +1,63 @@
+"""Unit tests for the public plan linter (plans/audit.py) — the
+library form of the CI scale-killer scan: it must flag a cartesian
+product, a data×data nested-loop join, and an unpartitioned window,
+and stay quiet on the shapes the engine considers scale-safe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kbdatalakeapps_spark.plans import (
+    assert_scale_safe,
+    audit_plan,
+    exchange_count,
+)
+
+
+def _kinds(findings):
+    return sorted(f.kind for f in findings)
+
+
+def test_clean_aggregate_has_no_findings(spark):
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert audit_plan(df) == []
+    assert_scale_safe(df)  # does not raise
+    assert exchange_count(df) >= 1  # the groupBy shuffle is visible
+
+
+def test_flags_nested_loop_join(spark):
+    a = spark.range(100).withColumnRenamed("id", "x")
+    b = spark.range(100).withColumnRenamed("id", "y")
+    df = a.join(F.broadcast(b), F.col("x") < F.col("y"))  # non-equi
+    assert "nested_loop" in _kinds(audit_plan(df))
+    # the documented-bounded acknowledgement silences it
+    assert audit_plan(df, allow_nested_loop=True) == []
+    with pytest.raises(ValueError, match="nested_loop"):
+        assert_scale_safe(df)
+
+
+def test_flags_global_window(spark):
+    w = Window.orderBy("id")
+    df = spark.range(1000).withColumn("rn", F.row_number().over(w))
+    assert "global_window" in _kinds(audit_plan(df))
+    assert audit_plan(df, allow_global_window=True) == []
+    # a PARTITIONED window is fine
+    wp = Window.partitionBy((F.col("id") % 7).alias("k")).orderBy("id")
+    ok = spark.range(1000).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.col("id") % 7).orderBy("id"))
+    )
+    assert "global_window" not in _kinds(audit_plan(ok))
+
+
+def test_flags_cartesian(spark):
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    a = spark.range(50).withColumnRenamed("id", "x")
+    b = spark.range(50).withColumnRenamed("id", "y")
+    df = a.crossJoin(b.hint("shuffle_replicate_nl"))
+    assert "cartesian" in _kinds(audit_plan(df))
