@@ -1,0 +1,63 @@
+"""Content-addressed result cache: materialize a DataFrame's result
+keyed by a fingerprint of its OPTIMIZED plan, and serve repeat
+executions from the parquet artifact — the lake-side memoization a
+serving layer puts in front of expensive rollups (the reference
+rebuilds its product tables wholesale and re-serves the SQLite file;
+this is the same reuse contract expressed per-query).
+
+The fingerprint hashes three things together, each covering the
+others' blind spots:
+
+* Catalyst's CANONICALIZED optimized plan (expression IDs normalized,
+  data literals preserved — ``Brand#42`` in a filter stays
+  distinguishing) — so the same logical query maps to the same key
+  across sessions, and queries Catalyst rewrites identically share
+  one artifact;
+* the output schema (canonicalization erases output aliases — without
+  this, two queries differing only in column names would share an
+  artifact written under the FIRST caller's names);
+* the sorted input-file list (canonicalization erases relation paths;
+  hashing the actual files also means a new file landing in a source
+  directory invalidates the key for free).
+
+Invalidation is by key: new source files (paths appear in the plan) or
+a changed query produce a new key; stale artifacts are just unused
+directories under ``cache_root`` (reap by mtime).  A crashed write
+cannot serve a partial result — only artifacts with Spark's
+``_SUCCESS`` marker are trusted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """sha256 hex over (canonicalized optimized plan, output schema,
+    sorted input files) — see the module docstring for why all three
+    are needed."""
+    canon = df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    schema = df.schema.simpleString()
+    files = "\n".join(sorted(df.inputFiles()))
+    payload = "\0".join((canon, schema, files))
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+
+def cached_result(
+    df: DataFrame, cache_root: str, refresh: bool = False
+) -> DataFrame:
+    """Return ``df``'s result, serving from the cache when an artifact
+    for its plan fingerprint exists (skipping execution entirely),
+    otherwise executing once, materializing to parquet and reading the
+    artifact back — so repeat callers always read files, never
+    recompute lineage.  ``refresh=True`` forces re-execution (the
+    overwrite is atomic at the _SUCCESS level)."""
+    key = plan_fingerprint(df)
+    path = os.path.join(cache_root, key)
+    spark = df.sparkSession
+    if refresh or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -1,0 +1,71 @@
+"""Result cache (io/resultcache.py): fingerprint stability and
+serve-from-artifact semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.io.resultcache import cached_result, plan_fingerprint
+from kbdatalakeapps_spark.io.sources import load_table
+
+from .conftest import SF_DIR
+
+
+def _q(spark, brand="Brand#13"):
+    return (
+        load_table(spark, SF_DIR, "part")
+        .filter(F.col("p_brand") == brand)
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def test_fingerprint_stable_and_query_sensitive(spark):
+    assert plan_fingerprint(_q(spark)) == plan_fingerprint(_q(spark))
+    # different literal → different plan → different key
+    assert plan_fingerprint(_q(spark)) != plan_fingerprint(
+        _q(spark, brand="Brand#42")
+    )
+
+
+def test_cached_result_reuses_artifact(spark, tmp_path):
+    root = str(tmp_path / "cache")
+    first = cached_result(_q(spark), root)
+    want = sorted(tuple(r) for r in _q(spark).collect())
+    assert sorted(tuple(r) for r in first.collect()) == want
+
+    key = plan_fingerprint(_q(spark))
+    marker = os.path.join(root, key, "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+
+    second = cached_result(_q(spark), root)
+    assert sorted(tuple(r) for r in second.collect()) == want
+    assert os.path.getmtime(marker) == mtime  # artifact untouched
+
+    cached_result(_q(spark), root, refresh=True)
+    assert os.path.getmtime(marker) >= mtime  # rewritten on refresh
+
+
+def test_cached_result_distrusts_partial_artifact(spark, tmp_path):
+    root = str(tmp_path / "cache")
+    key = plan_fingerprint(_q(spark))
+    os.makedirs(os.path.join(root, key))  # dir without _SUCCESS
+    got = cached_result(_q(spark), root)
+    assert got.count() > 0  # recomputed, not served empty
+
+
+def test_fingerprint_sensitive_to_aliases_and_files(spark):
+    # canonicalization erases aliases — the schema component must
+    # distinguish them
+    a = _q(spark)
+    b = a.withColumnRenamed("n", "count_rows")
+    assert plan_fingerprint(a) != plan_fingerprint(b)
+    # different source table → different input files → different key
+    other = (
+        load_table(spark, SF_DIR, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert plan_fingerprint(a) != plan_fingerprint(other)
