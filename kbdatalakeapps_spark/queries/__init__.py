@@ -168,4 +168,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ts_event_debounce",
     "ts_cusum_changepoint",
     "s19_sink_roundtrip",
+    "a27_weighted_median",
+    "ts_attribution",
 ]

@@ -374,3 +374,71 @@ def s19_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = os.path.join(d, "roundtrip.db")
     write_sqlite(back, db, "nation_rollup")
     return read_sqlite(spark, db, "nation_rollup").orderBy("nation")
+
+
+@query(
+    "a27_weighted_median",
+    oracle="""
+    WITH pv AS (
+        SELECT p.p_brand, l.l_extendedprice AS v,
+               SUM(CAST(l.l_quantity * 100 AS BIGINT)) AS w
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT p_brand, v, w,
+               SUM(w) OVER (PARTITION BY p_brand ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY p_brand) AS tw
+        FROM pv
+    )
+    SELECT p_brand, CAST(MAX(tw) AS BIGINT) AS total_w,
+           MIN(v) FILTER (WHERE 2 * cw >= tw) AS weighted_median
+    FROM cum
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def a27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of extended price per brand, weighted by
+    quantity — the weighted complement of the distributed exact median
+    (serving.exact_median_df) and the sampled quantiles: the median
+    unit SOLD, not the median line item.  Weights are exact integers
+    (quantity×100), the selection rule (min v with 2·cumw ≥ W) is pure
+    integer comparison, and the per-brand cumulative window runs over
+    the brand's distinct VALUES — so an order statistic hash-matches
+    across engines with no float tolerance."""
+    from pyspark.sql.window import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    pv = (
+        li.join(
+            F.broadcast(pt.select("p_partkey", "p_brand")),
+            li["l_partkey"] == pt["p_partkey"],
+        )
+        .groupBy("p_brand", F.col("l_extendedprice").alias("v"))
+        .agg(F.sum((F.col("l_quantity") * 100).cast("bigint")).alias("w"))
+    )
+    wc = (
+        W.partitionBy("p_brand")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("p_brand")
+    cum = pv.select(
+        "p_brand",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.groupBy("p_brand")
+        .agg(
+            F.max("tw").cast("long").alias("total_w"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))).alias(
+                "weighted_median"
+            ),
+        )
+        .orderBy("p_brand")
+    )

@@ -356,3 +356,68 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "ts_attribution",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id
+        FROM events
+    ),
+    touch AS (
+        SELECT user_id, event_type, tns, event_id,
+               FIRST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                                THEN event_type END IGNORE NULLS) OVER w
+                   AS first_touch,
+               LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS last_touch
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(first_touch, '(none)') AS first_touch,
+           COALESCE(last_touch, '(none)') AS last_touch,
+           COUNT(*) AS n_purchases
+    FROM touch
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY first_touch, last_touch
+    """,
+)
+def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution matrix: each
+    purchase credits the first and the most recent preceding
+    click/view in the user's history (exclusive frame — a purchase
+    never credits itself), '(none)' when no touch preceded.  The
+    classic marketing-analytics readout; per-user partitioned windows
+    with IGNORE NULLS carry-forward, engine-identical counts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    touch_expr = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    t = ev.select(
+        "event_type",
+        F.first(touch_expr, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch_expr, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        t.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("first_touch", "last_touch")
+    )
