@@ -170,4 +170,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "s19_sink_roundtrip",
     "a27_weighted_median",
     "ts_attribution",
+    "mb_rfm_segments",
+    "ts_activity_islands",
 ]

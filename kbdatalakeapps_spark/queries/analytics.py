@@ -442,3 +442,96 @@ def a27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+_RFM_ANCHOR = "2002-01-01"
+_RFM_MOD = 8
+
+
+def _rfm_cut_sql(metric: str, salt: str) -> str:
+    """Sampled quartile-cut CTEs for one RFM metric — mirrors
+    operators/sampling.py::hash_sampled_quantiles (md5 content sample,
+    two-phase exact rank) the same way sp_equidepth_bins' oracle does."""
+    return f"""
+    {salt}s AS (
+        SELECT {metric} AS v, ck,
+               ROW_NUMBER() OVER (ORDER BY {metric}, ck) AS rn,
+               COUNT(*) OVER () AS n
+        FROM cust
+        WHERE ('0x' || substr(md5(ck::VARCHAR || '{salt}'), 1, 15))::BIGINT
+              % {_RFM_MOD} = 0
+    ),
+    {salt}cut AS (
+        SELECT LIST(v ORDER BY v) AS cl FROM (
+            SELECT {salt}s.v
+            FROM (VALUES (0.25), (0.5), (0.75)) q(q)
+            JOIN {salt}s ON {salt}s.rn = FLOOR(({salt}s.n - 1) * q.q::DOUBLE) + 1
+        )
+    )"""
+
+
+@query(
+    "mb_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey AS ck,
+               CAST(DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                             DATE '{_RFM_ANCHOR}') AS INT) AS r,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
+        FROM orders GROUP BY 1
+    ),
+    {_rfm_cut_sql("r", "r")},
+    {_rfm_cut_sql("f", "f")},
+    {_rfm_cut_sql("m", "m")},
+    binned AS (
+        SELECT ck,
+               CAST(LEN(LIST_FILTER(rcut.cl, c -> c <= cust.r)) AS INT)
+                   AS r_bin,
+               CAST(LEN(LIST_FILTER(fcut.cl, c -> c <= cust.f)) AS INT)
+                   AS f_bin,
+               CAST(LEN(LIST_FILTER(mcut.cl, c -> c <= cust.m)) AS INT)
+                   AS m_bin
+        FROM cust, rcut, fcut, mcut
+    )
+    SELECT r_bin, f_bin, m_bin, COUNT(*) AS n_customers
+    FROM binned GROUP BY 1, 2, 3
+    ORDER BY r_bin, f_bin, m_bin
+    """,
+)
+def mb_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic lifecycle-marketing readout, built on the engine's
+    SCALE path for data-driven quantiles: each metric is quartile-
+    binned by operators/sampling.py::equidepth_bins (content-keyed
+    sample + two-phase exact rank — no global sort, no NTILE
+    single-task window), then customers roll up into the 4×4×4
+    segment grid.  Decimal-exact monetary totals; every cut and
+    assignment replayed exactly by the SQL twin."""
+    from ..operators.sampling import equidepth_bins
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        orders.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.datediff(
+                F.lit(_RFM_ANCHOR).cast("date"),
+                F.max(F.col("o_orderdate").cast("date")),
+            ).alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = cust
+    for metric, salt, out in (("r", "r", "r_bin"), ("f", "f", "f_bin"), ("m", "m", "m_bin")):
+        t = equidepth_bins(
+            t, metric, "ck", n_bins=4, sample_mod=_RFM_MOD, salt=salt
+        ).withColumnRenamed("bin_idx", out)
+    return (
+        t.groupBy("r_bin", "f_bin", "m_bin")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_bin", "f_bin", "m_bin")
+    )

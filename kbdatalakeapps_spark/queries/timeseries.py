@@ -421,3 +421,55 @@ def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("first_touch", "last_touch")
     )
+
+
+_ISL_MAX_USER = 100
+
+
+@query(
+    "ts_activity_islands",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // {_CUSUM_DAY_NS} AS day
+        FROM events WHERE user_id < {_ISL_MAX_USER}
+    ),
+    g AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+        FROM d
+    )
+    SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM g GROUP BY user_id, grp
+    ORDER BY user_id, start_day
+    """,
+)
+def ts_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous runs of active days per user (the
+    streak/uptime/coverage-range primitive — the same island reduction
+    that turns per-day partition health checks into outage ranges).
+    The classic day − row_number() grouping key; windows partitioned
+    per user over that user's distinct days, counts and bounds all
+    integers — hash-exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < _ISL_MAX_USER)
+        .select("user_id", F.expr(f"ts div {_CUSUM_DAY_NS}").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    return (
+        g.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "start_day")
+    )

@@ -64,6 +64,7 @@ _GLOBAL_WINDOW_OK = {
     "sp_pack_sequences",      # prefix-sum offset table
     "sp_quantile_sample",     # rank over the 1-in-N hash sample
     "sp_equidepth_bins",      # same sampled-rank pass for the cuts
+    "mb_rfm_segments",        # three equidepth sampled-rank passes
     "sp_weighted_sample",     # rank over the k-capped reservoir
     "tx_bm25_search",         # top-20 re-rank
     "tx_hybrid_rrf",          # top-10 fusion
