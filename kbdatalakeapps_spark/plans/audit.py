@@ -66,10 +66,19 @@ def _has_global_window(plan: str) -> bool:
             in_window_node = s.split(")", 1)[1].strip() == "Window"
         elif in_window_node and s.startswith("Arguments:"):
             # [windowExprs], [partitionSpec], [orderSpec] — Spark's
-            # formatted explain OMITS an empty partition spec, so a
-            # global window prints only TWO top-level lists
-            if s.count("], [") < 2:
-                return True
+            # formatted explain OMITS empty specs, so both a GLOBAL
+            # ordered window ([exprs], [order]) and a partitioned
+            # UNORDERED window ([exprs], [partition]) print two lists.
+            # Disambiguate by the trailing list: sort orders carry
+            # ASC/DESC direction markers, partition columns don't.
+            n_lists = s.count("], [") + 1
+            if n_lists >= 3:
+                continue
+            if n_lists == 1:
+                return True  # over() — no partition at all
+            tail = s.rsplit("], [", 1)[1]
+            if " ASC" in tail or " DESC" in tail:
+                return True  # ordered but unpartitioned
     return False
 
 

@@ -172,4 +172,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ts_attribution",
     "mb_rfm_segments",
     "ts_activity_islands",
+    "dq_benford_digits",
+    "ts_event_paths",
 ]

@@ -535,3 +535,73 @@ def mb_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_bin", "f_bin", "m_bin")
     )
+
+
+#: Benford P(d) = log10(1 + 1/d), computed ONCE here and embedded as
+#: identical literals in both engines — no runtime log anywhere (ln is
+#: the one function this repo treats as not bit-portable).
+_BENFORD_VALUES = "(CAST(1 AS INT), CAST(0.3010299956639812 AS DOUBLE)), (CAST(2 AS INT), CAST(0.17609125905568124 AS DOUBLE)), (CAST(3 AS INT), CAST(0.12493873660829992 AS DOUBLE)), (CAST(4 AS INT), CAST(0.09691001300805642 AS DOUBLE)), (CAST(5 AS INT), CAST(0.07918124604762482 AS DOUBLE)), (CAST(6 AS INT), CAST(0.06694678963061322 AS DOUBLE)), (CAST(7 AS INT), CAST(0.05799194697768673 AS DOUBLE)), (CAST(8 AS INT), CAST(0.05115252244738129 AS DOUBLE)), (CAST(9 AS INT), CAST(0.04575749056067514 AS DOUBLE))"
+
+
+@query(
+    "dq_benford_digits",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS observed
+        FROM v GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS total FROM v),
+    b(digit, p) AS (VALUES {_BENFORD_VALUES})
+    SELECT b.digit, COALESCE(d.observed, 0) AS observed,
+           CAST(n.total AS DOUBLE) * b.p AS expected,
+           (CAST(COALESCE(d.observed, 0) AS DOUBLE)
+            - CAST(n.total AS DOUBLE) * b.p)
+           * (CAST(COALESCE(d.observed, 0) AS DOUBLE)
+              - CAST(n.total AS DOUBLE) * b.p)
+           / (CAST(n.total AS DOUBLE) * b.p) AS chi2_contrib
+    FROM b LEFT JOIN d ON d.digit = b.digit CROSS JOIN n
+    ORDER BY b.digit
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    fabricated-data / unit-mixup detector.  The first digit comes from
+    the INTEGER cents string (double→string formatting differs across
+    engines; integer→string does not), the Benford expectations are
+    compile-time literals (no runtime log), and the χ² contribution is
+    one fixed double tree per digit — all nine rows hash-match."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    v = orders.select(
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    d = v.select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    n = v.agg(F.count(F.lit(1)).alias("total"))
+    import math as _math
+
+    b = spark.createDataFrame(
+        [(dd, _math.log10(1 + 1 / dd)) for dd in range(1, 10)],
+        "digit int, p double",
+    )
+    j = (
+        b.join(d, "digit", "left")
+        .na.fill({"observed": 0})
+        .crossJoin(F.broadcast(n))
+    )
+    expected = F.col("total").cast("double") * F.col("p")
+    dev = F.col("observed").cast("double") - expected
+    return j.select(
+        "digit",
+        "observed",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("chi2_contrib"),
+    ).orderBy("digit")
+

@@ -473,3 +473,51 @@ def ts_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("user_id", "start_day")
     )
+
+
+@query(
+    "ts_event_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    t AS (
+        SELECT e1, e2, e3, COUNT(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT e1, e2, e3, CAST(n AS BIGINT) AS n
+    FROM t
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 50
+    """,
+)
+def ts_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 three-step event paths across users — the path-analysis
+    complement to the first-order transition matrix (which flows lead
+    to which outcomes).  One per-user window producing both leads in a
+    single pass, then a map-side-combinable count; fully deterministic
+    ordering (count desc, then path) so the LIMIT is stable."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(50)
+    )

@@ -46,6 +46,9 @@ _BNLJ_OK = {
     "a25_mad_outliers",       # two 1-row median scalars
     "sp_equidepth_bins",      # 1-row cut-array broadcast
     "tx_tfidf_vectors",       # vocab_stats' 1-row N scalar
+    "dq_benford_digits",      # 1-row order-count scalar onto 9 digits
+    "mb_rfm_segments",        # three 1-row equidepth cut-array
+                              # broadcasts (sp_equidepth_bins shape)
     # candidate×candidate only: the dominance anti-join runs on the
     # union of per-partition skylines (lossless local prune), never
     # the corpus — the standard 2-phase skyline shape

@@ -61,3 +61,19 @@ def test_flags_cartesian(spark):
     b = spark.range(50).withColumnRenamed("id", "y")
     df = a.crossJoin(b.hint("shuffle_replicate_nl"))
     assert "cartesian" in _kinds(audit_plan(df))
+
+
+def test_partitioned_unordered_window_not_flagged(spark):
+    # whole-partition frames ([exprs], [partition], no order) print
+    # two lists too — must not be mistaken for a global window
+    df = spark.range(1000).withColumn(
+        "tot", F.sum("id").over(Window.partitionBy(F.col("id") % 7))
+    )
+    assert audit_plan(df) == []
+
+
+def test_fully_global_unordered_window_flagged(spark):
+    df = spark.range(1000).withColumn(
+        "tot", F.sum("id").over(Window.partitionBy())
+    )
+    assert "global_window" in _kinds(audit_plan(df))
