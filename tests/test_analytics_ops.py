@@ -309,3 +309,68 @@ def test_cohort_retention_fixture(spark):
         (1, 0): (1, 1),
         (1, 1): (1, 1),
     }
+
+
+# ---------------------------------------------------- invariants
+def test_snapshot_diff_self_is_empty(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    assert snapshot_diff(df, df, ["k"], ["v"]).count() == 0
+
+
+def test_ks_drift_symmetric_numerator(spark):
+    from kbdatalakeapps_spark.operators.relational import ks_drift
+
+    rng = random.Random(13)
+    a = spark.createDataFrame(
+        [("g", float(rng.randrange(12))) for _ in range(70)], ["g", "v"]
+    )
+    b = spark.createDataFrame(
+        [("g", float(rng.randrange(9))) for _ in range(50)], ["g", "v"]
+    )
+    ab = ks_drift(a, b, "v", ["g"]).collect()[0]
+    ba = ks_drift(b, a, "v", ["g"]).collect()[0]
+    assert ab["d_num"] == ba["d_num"]
+    assert ab["ks_stat"] == ba["ks_stat"]
+
+
+def test_cusum_query_closes_at_zero(spark):
+    """CUSUM telescopes: at the final bucket cum_x == S and cum_n == N,
+    so cusum_num = N·S − S·N = 0 for every group — a structural
+    invariant of the exact-rational formulation."""
+    from kbdatalakeapps_spark.queries import QUERIES
+
+    rows = QUERIES["ts_cusum_changepoint"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    last = {}
+    for r in rows:  # rows ordered by (event_type, bucket)
+        last[r["event_type"]] = r["cusum_num"]
+    assert all(v == 0.0 for v in last.values())
+
+
+def test_weighted_median_within_range_and_mass_rule(spark):
+    from kbdatalakeapps_spark.queries import QUERIES
+
+    rows = QUERIES["a27_weighted_median"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["weighted_median"] is not None
+        assert r["total_w"] > 0
+
+
+def test_group_welch_sign_flips_when_sides_swap(spark):
+    from kbdatalakeapps_spark.operators.relational import group_welch
+
+    a = spark.createDataFrame(
+        [("g", float(10 + i % 3)) for i in range(30)], ["g", "v"]
+    )
+    b = spark.createDataFrame(
+        [("g", float(14 + i % 5)) for i in range(40)], ["g", "v"]
+    )
+    ab = group_welch(a, b, "v", ["g"]).collect()[0]
+    ba = group_welch(b, a, "v", ["g"]).collect()[0]
+    assert ab["t_stat"] == -ba["t_stat"]
+    assert ab["welch_df"] == ba["welch_df"]
