@@ -1,0 +1,89 @@
+"""Pre-flight join statistics: estimate an equi-join's output size and
+skew exposure BEFORE running it — the planning companion to the plan
+linter (audit.py): the linter says whether the plan SHAPE survives
+scale, this says whether the DATA does (a perfectly-shaped hash join
+still dies when one key holds 10⁸ rows on each side).
+
+Estimator: for an equi join on key K,
+
+    |A ⋈ B| ≈ |A| · |B| / max(d_A, d_B)
+
+(the classic System-R containment-of-values rule; exact when the join
+is FK→PK).  Distinct counts come from the repo's KMV sketch, so each
+side costs one bounded-state aggregation pass — no shuffle of the
+data, no sort.  The skew probe additionally reports the hottest key's
+frequency per side (one map-side-combinable groupBy each); their
+product bounds the single hottest key's output — the number that
+decides between a plain join and skew.salted_join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketch import kmv_sketch
+
+
+def _side_stats(df: DataFrame, key: str, k: int, skew_probe: bool) -> dict:
+    rows = df.count()
+    distinct = int(kmv_sketch(df, key, k=k).collect()[0]["estimate"])
+    out = {"rows": rows, "distinct": max(distinct, 1)}
+    if skew_probe:
+        hot = (
+            df.filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.max("n").alias("max_n"),
+                F.max_by(key, "n").cast("string").alias("hot_key"),
+            )
+            .collect()[0]
+        )
+        out["hot_key"] = hot["hot_key"]
+        out["hot_rows"] = hot["max_n"] or 0
+    return out
+
+
+def join_size_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+    k: int = 1024,
+    skew_probe: bool = True,
+) -> dict:
+    """Estimate ``df_a ⋈ df_b`` on ``key_a = key_b`` without running
+    the join.  Returns a flat dict:
+
+    * ``rows_a/rows_b``, ``distinct_a/distinct_b`` (KMV ±~1/√k),
+    * ``est_rows`` — containment estimate of the join output,
+    * ``fanout`` — est_rows / max(rows_a, rows_b): >1 means the join
+      AMPLIFIES its larger input (a red flag for chained joins),
+    * with ``skew_probe``: ``hot_key_a/hot_rows_a`` (and b), plus
+      ``est_hot_output`` = hot_rows_a·hot_rows_b — the hottest
+      SINGLE-TASK row count if both hot keys coincide; compare it to a
+      per-task budget before choosing the plain join.
+    """
+    key_b = key_b or key_a
+    a = _side_stats(df_a, key_a, k, skew_probe)
+    b = _side_stats(df_b, key_b, k, skew_probe)
+    d = max(a["distinct"], b["distinct"])
+    est = (a["rows"] * b["rows"]) // d if d else 0
+    out = {
+        "rows_a": a["rows"],
+        "rows_b": b["rows"],
+        "distinct_a": a["distinct"],
+        "distinct_b": b["distinct"],
+        "est_rows": est,
+        "fanout": est / max(a["rows"], b["rows"], 1),
+    }
+    if skew_probe:
+        out.update(
+            hot_key_a=a["hot_key"],
+            hot_rows_a=a["hot_rows"],
+            hot_key_b=b["hot_key"],
+            hot_rows_b=b["hot_rows"],
+            est_hot_output=a["hot_rows"] * b["hot_rows"],
+        )
+    return out

@@ -77,3 +77,34 @@ def test_fully_global_unordered_window_flagged(spark):
         "tot", F.sum("id").over(Window.partitionBy())
     )
     assert "global_window" in _kinds(audit_plan(df))
+
+
+# ------------------------------------------------- join size estimate
+def test_join_size_estimate_fk_join(spark):
+    from kbdatalakeapps_spark.plans.stats import join_size_estimate
+
+    # FK→PK: 10k facts over 100 dims → estimate must be ≈ fact count
+    dims = spark.range(100).withColumnRenamed("id", "k")
+    facts = spark.range(10_000).select((F.col("id") % 100).alias("k"))
+    est = join_size_estimate(facts, dims, "k")
+    true_rows = facts.join(dims, "k").count()
+    assert true_rows == 10_000
+    assert abs(est["est_rows"] - true_rows) / true_rows < 0.15
+    assert est["fanout"] <= 1.1
+
+
+def test_join_size_estimate_flags_skew(spark):
+    from kbdatalakeapps_spark.plans.stats import join_size_estimate
+
+    # one hot key holds half of each side: est_hot_output must expose
+    # the quadratic single-task blowup (2500×2500) the averages hide
+    a = spark.range(5000).select(
+        F.when(F.col("id") < 2500, 0).otherwise(F.col("id")).alias("k")
+    )
+    est = join_size_estimate(a, a, "k")
+    assert est["hot_key_a"] == "0" and est["hot_rows_a"] == 2500
+    assert est["est_hot_output"] == 2500 * 2500
+    # the containment average estimate is far below the true output —
+    # exactly why the skew probe exists
+    true_rows = a.join(a.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")).count()
+    assert true_rows > 10 * est["est_rows"]
