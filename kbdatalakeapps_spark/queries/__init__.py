@@ -174,4 +174,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ts_activity_islands",
     "dq_benford_digits",
     "ts_event_paths",
+    "dq_uniqueness_audit",
+    "a29_pareto_report",
 ]

@@ -605,3 +605,137 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dev * dev / expected).alias("chi2_contrib"),
     ).orderBy("digit")
 
+
+
+@query(
+    "dq_uniqueness_audit",
+    oracle="""
+    SELECT 'customer.c_custkey unique' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS violations
+    FROM customer
+    UNION ALL
+    SELECT 'orders.o_orderkey unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'part.p_partkey unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'part.p_brand->p_type fd',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE n_types > 1) AS BIGINT)
+    FROM (
+        SELECT p_brand, COUNT(DISTINCT p_type) AS n_types
+        FROM part GROUP BY p_brand
+    )
+    ORDER BY rule
+    """,
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness and functional-dependency audit — the
+    constraint checks a lake runs because parquet enforces none of
+    them: duplicate-key counts for the declared keys, and FD
+    violation counts for a candidate dependency (brand→type does NOT
+    hold — the audit proves it with a count, not an assumption).
+    Each rule is one map-side-combinable aggregation; integer counts
+    hash-match."""
+
+    def _unique(df: DataFrame, table: str, key: str) -> DataFrame:
+        return df.agg(
+            F.lit(f"{table}.{key} unique").alias("rule"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.countDistinct(key)).alias("violations"),
+        )
+
+    cust = _unique(_t(spark, sf_dir, "customer"), "customer", "c_custkey")
+    orders = _unique(_t(spark, sf_dir, "orders"), "orders", "o_orderkey")
+    part_t = _t(spark, sf_dir, "part")
+    part_u = _unique(part_t, "part", "p_partkey")
+    fd = (
+        part_t.groupBy("p_brand")
+        .agg(F.countDistinct("p_type").alias("n_types"))
+        .agg(
+            F.lit("part.p_brand->p_type fd").alias("rule"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("n_types") > 1, 1)).alias("violations"),
+        )
+    )
+    return (
+        cust.unionByName(orders).unionByName(part_u).unionByName(fd)
+        .orderBy("rule")
+    )
+
+
+@query(
+    "a29_pareto_report",
+    oracle="""
+    WITH b AS (
+        SELECT p.p_brand,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    ),
+    t AS (SELECT SUM(rev) AS total FROM b),
+    r AS (
+        SELECT p_brand, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, p_brand
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, p_brand) AS rnk
+        FROM b
+    )
+    SELECT CAST(r.rnk AS INT) AS rnk, r.p_brand,
+           CAST(r.rev AS DOUBLE) AS revenue,
+           CAST(r.rev AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           CAST(r.cum_rev AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share
+    FROM r, t
+    ORDER BY rnk
+    """,
+)
+def a29_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 concentration report: brands ranked by revenue with
+    share and cumulative share — how few segments carry most of the
+    business (the BI complement of the skyline).  Revenue and the
+    cumulative sum stay EXACT decimals (the window runs over the
+    25-row brand aggregate, a bounded frame — allow-listed like the
+    other bounded global windows); shares are single double divisions
+    of exact operands."""
+    from pyspark.sql.window import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    t = b.agg(F.sum("rev").alias("total"))
+    w = W.orderBy(F.desc("rev"), "p_brand")
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = b.select(
+        "p_brand",
+        "rev",
+        F.sum("rev").over(wc).alias("cum_rev"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "p_brand",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("rev").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("cum_rev").cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("rnk")
+    )

@@ -73,6 +73,7 @@ _GLOBAL_WINDOW_OK = {
     "tx_hybrid_rrf",          # top-10 fusion
     "w4_ranking_suite",       # documented global-rank demo page
     "o1_multikey_sort_page",  # global sort+page (TakeOrdered form)
+    "a29_pareto_report",      # window over the 25-row brand aggregate
 }
 
 
