@@ -49,6 +49,7 @@ _BNLJ_OK = {
     "dq_benford_digits",      # 1-row order-count scalar onto 9 digits
     "mb_rfm_segments",        # three 1-row equidepth cut-array
                               # broadcasts (sp_equidepth_bins shape)
+    "a29_pareto_report",      # 1-row revenue-total scalar
     # candidate×candidate only: the dominance anti-join runs on the
     # union of per-partition skylines (lossless local prune), never
     # the corpus — the standard 2-phase skyline shape
