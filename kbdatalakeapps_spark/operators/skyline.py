@@ -44,18 +44,25 @@ def _skyline_mask(M):
     # np.lexsort: LAST key is primary — feed dims reversed, then flip
     order = np.lexsort(tuple(M[:, j] for j in range(d - 1, -1, -1)))[::-1]
     mask = np.zeros(n, dtype=bool)
-    kept: list = []
-    K = None
+    # amortized-growth kept buffer: each candidate does ONE vectorized
+    # dominance check against K[:size] (no per-append array rebuild)
+    cap = 64
+    K = np.empty((cap, d), dtype=M.dtype)
+    size = 0
     for i in order:
         m = M[i]
-        if kept:
-            if K is None or K.shape[0] != len(kept):
-                K = np.asarray(kept)
-            if bool(np.any(np.all(K >= m, axis=1) & np.any(K > m, axis=1))):
+        if size:
+            Ks = K[:size]
+            if bool(np.any(np.all(Ks >= m, axis=1) & np.any(Ks > m, axis=1))):
                 continue
+        if size == cap:
+            cap *= 2
+            grown = np.empty((cap, d), dtype=M.dtype)
+            grown[:size] = K[:size]
+            K = grown
+        K[size] = m
+        size += 1
         mask[i] = True
-        kept.append(m)
-        K = None
     return mask
 
 

@@ -483,3 +483,38 @@ def test_streaming_drift_counts_match_batch(spark, tmp_path):
     )
     want = _rows(distribution_drift(base, curr, bin_col, ["event_type"]))
     assert got == want and len(got) > 0
+
+
+def test_streaming_drift_counts_survive_restart(spark, tmp_path):
+    """binned_counts state recovers from its checkpoint: after a
+    restart with a new source file, the maintained histogram equals a
+    fresh batch count over everything ingested — no double counting of
+    committed files, no loss of prior state."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.streaming.incremental import binned_counts
+
+    src = tmp_path / "src"
+    chk = str(tmp_path / "chk")
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    bin_col = F.floor(F.col("value") / F.lit(100.0)).cast("int")
+
+    def run_once():
+        run_available_now(
+            binned_counts(
+                stream_events(spark, str(src)), bin_col, ["event_type"]
+            ),
+            "st_drift_recover",
+            chk,
+        )
+
+    run_once()
+    ev = load_table(spark, SF_DIR, "events")
+    once = _rows(binned_counts(ev, bin_col, ["event_type"]))
+    assert _rows(spark.table("st_drift_recover")) == once
+
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "b.parquet")
+    run_once()
+    doubled = sorted((g, b, 2 * n) for g, b, n in once)
+    assert _rows(spark.table("st_drift_recover")) == doubled
