@@ -122,9 +122,9 @@ def exchange_count(df: DataFrame) -> int:
     """Number of shuffle boundaries (Exchange nodes) in the plan — an
     informational regression metric: no finding fires, but a change
     that doubles the shuffles should be noticed."""
+    import re
+
     plan = formatted_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "Reused" not in line
-    )
+    # count each node ONCE via its detail header "(N) Exchange" — the
+    # tree section repeats every node and would double the count
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))

@@ -374,3 +374,38 @@ def test_group_welch_sign_flips_when_sides_swap(spark):
     ba = group_welch(b, a, "v", ["g"]).collect()[0]
     assert ab["t_stat"] == -ba["t_stat"]
     assert ab["welch_df"] == ba["welch_df"]
+
+
+# --------------------------------------- skyline kernel property test
+def test_skyline_mask_property_matches_bruteforce():
+    """Pure-python kernel property (no Spark): for arbitrary small
+    integer matrices — heavy ties included — the lex-desc single-pass
+    mask equals O(n²) brute force."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kbdatalakeapps_spark.operators.skyline import _skyline_mask
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 5), st.integers(0, 5), st.integers(0, 5)
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(rows):
+        M = np.asarray(rows, dtype=float)
+        got = _skyline_mask(M)
+        for i in range(len(rows)):
+            dominated = any(
+                all(d >= t for d, t in zip(rows[j], rows[i]))
+                and any(d > t for d, t in zip(rows[j], rows[i]))
+                for j in range(len(rows))
+            )
+            assert got[i] == (not dominated)
+
+    check()

@@ -182,3 +182,32 @@ def test_audio_features_is_arrow_batched(spark):
     p = plan_of(spark, "mm_audio_features")
     assert "MapInPandas" in p or "mapInPandas" in p.lower()
     assert "BatchEvalPython" not in p  # the slow per-row path
+
+
+def test_exchange_counts_bounded(spark):
+    """Shuffle-count regression guard: generous UPPER bounds on the
+    number of Exchange nodes in key plans (plans/audit.py::
+    exchange_count).  A refactor that doubles a query's shuffles
+    should fail here long before it shows up as a bench regression;
+    bounds are deliberately loose so plan-equivalent Spark upgrades
+    don't trip them."""
+    from kbdatalakeapps_spark.plans import exchange_count
+
+    # measured (sf0.001, Spark 4.1): 1 / 1 / 1 / 2 / 8 / 7 / 3 / 4
+    # shuffle exchanges — bounds leave ~50% headroom
+    bounds = {
+        "flagship_order_revenue": 3,
+        "a1_groupby_multiagg": 2,
+        "j8_pair_dedup_first_wins": 3,
+        "a26_group_regression": 3,
+        "dq_ks_drift": 10,
+        "mb_item_cosine": 10,
+        "s18_snapshot_diff": 5,
+        "ts_cusum_changepoint": 6,
+    }
+    over = {}
+    for name, bound in bounds.items():
+        n = exchange_count(QUERIES[name](spark, SF_DIR))
+        if n > bound:
+            over[name] = (n, bound)
+    assert not over, f"exchange-count regressions: {over}"
