@@ -504,8 +504,11 @@ def ks_drift(
 
     Shape: one groupBy to per-(group, value) counts, cumulative sums
     over a window PARTITIONED BY the group (never a global sort — the
-    frame per group is its distinct-value set), one max-agg.  At scale
-    the distinct-value cardinality per group bounds the window; for
+    frame per group is its distinct-value set), one max-agg.  The
+    per-group totals n_a/n_b are re-derived from the (already tiny)
+    merged bin table, not from a second scan of each corpus — the
+    same reuse the drift-from-counts path gets.  At scale the
+    distinct-value cardinality per group bounds the window; for
     high-cardinality continuous columns, quantize upstream.
     """
     a = df_a.groupBy(*group_cols, value_col).agg(
@@ -517,6 +520,7 @@ def ks_drift(
     merged = (
         a.join(b, [*group_cols, value_col], "full_outer")
         .na.fill({"_ca": 0, "_cb": 0})
+        .localCheckpoint(eager=False)
     )
     w = (
         Window.partitionBy(*group_cols)
@@ -528,8 +532,11 @@ def ks_drift(
         F.sum("_ca").over(w).alias("_cum_a"),
         F.sum("_cb").over(w).alias("_cum_b"),
     )
-    na = df_a.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_a"))
-    nb = df_b.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_b"))
+    totals = merged.groupBy(*group_cols).agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
+    )
+    na = totals.select(*group_cols, "n_a")
+    nb = totals.select(*group_cols, "n_b")
     return (
         cum.join(F.broadcast(na), group_cols)
         .join(F.broadcast(nb), group_cols)

@@ -141,11 +141,14 @@ def mb_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nab"))
         .filter(F.col("nab") >= _MIN_SUP)
     )
+    # the per-item count table is catalog-sized (one row per part) —
+    # broadcast both enrichment sides instead of shuffling the pair
+    # table twice
     ix = item.select(F.col("l_partkey").alias("x"), F.col("na").alias("_nx"))
     iy = item.select(F.col("l_partkey").alias("y"), F.col("na").alias("_ny"))
     return (
-        pairs.join(ix, "x")
-        .join(iy, "y")
+        pairs.join(F.broadcast(ix), "x")
+        .join(F.broadcast(iy), "y")
         .select(
             "x",
             "y",

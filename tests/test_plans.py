@@ -193,14 +193,14 @@ def test_exchange_counts_bounded(spark):
     don't trip them."""
     from kbdatalakeapps_spark.plans import exchange_count
 
-    # measured (sf0.001, Spark 4.1): 1 / 1 / 1 / 2 / 8 / 7 / 3 / 4
+    # measured (sf0.001, Spark 4.1): 1 / 1 / 1 / 2 / 4 / 7 / 3 / 4
     # shuffle exchanges — bounds leave ~50% headroom
     bounds = {
         "flagship_order_revenue": 3,
         "a1_groupby_multiagg": 2,
         "j8_pair_dedup_first_wins": 3,
         "a26_group_regression": 3,
-        "dq_ks_drift": 10,
+        "dq_ks_drift": 6,
         "mb_item_cosine": 10,
         "s18_snapshot_diff": 5,
         "ts_cusum_changepoint": 6,
