@@ -1,0 +1,238 @@
+"""Model-evaluation operators — the metrics a training pipeline
+computes over scored datasets at corpus scale, each exact and
+order-invariant so the DuckDB oracle hash-matches:
+
+  auc_exact          — ROC AUC via the Mann-Whitney rank statistic,
+                       tie-corrected (average ranks), computed from
+                       per-score group counts + a two-phase prefix sum
+                       — never a global ORDER BY window over the data
+  calibration_bins   — fixed-width reliability bins (accuracy vs mean
+                       confidence per bin) with per-bin ECE
+                       contributions; one groupBy pass
+  target_encode_oof  — K-fold out-of-fold target encoding (the
+                       leakage-free categorical encoder): per
+                       (category, fold) the mean target over the OTHER
+                       folds, from one grouped pass + tiny-table
+                       algebra
+
+Exactness contracts (the repo's established idioms):
+  * counts and count products go through DECIMAL(38,0) so the math is
+    closed at 10^12-row scale (BIGINT products overflow at ~3·10^9
+    positives × negatives);
+  * double-valued sums (scores, targets) are summed as int64/decimal
+    fixed point ``floor(x·10^15)`` — floor of an IEEE product is
+    engine-portable, float accumulation order is not (the PQ/RRF
+    idiom);
+  * every output double is ONE fixed IEEE expression tree over
+    exactly-reproducible operands (the WAV-RMS contract).
+
+Scale posture: auc_exact shuffles once on score (map-side combinable
+counts), then runs relational.grouped_prefix_sum over the per-score
+group table (≤ #distinct scores rows); no stage materializes O(data)
+on one task.  calibration_bins is a single B-row aggregate.
+target_encode_oof shuffles once on (category, fold); everything after
+operates on the #categories × K table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import grouped_prefix_sum
+
+_FP = 10**15  # fixed-point scale for portable double sums
+
+_DEC = "decimal(38,0)"
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ROC AUC of binary ``label_col`` (0/1) under ``score_col``
+    ranking, ties resolved by average rank (the Mann-Whitney U
+    convention — what sklearn.metrics.roc_auc_score computes).
+
+    Identity: with score groups g ascending, AUC·n_pos·n_neg =
+    Σ_g pos_g · (neg_below_g + neg_g/2).  Doubling clears the half:
+    u2 = Σ_g pos_g · (2·neg_below_g + neg_g), AUC = u2/(2·n_pos·n_neg).
+
+    Plan: groupBy(score) → (pos, neg) counts (one map-side-combinable
+    shuffle), strict-prefix sum of neg over ascending score via the
+    two-phase grouped_prefix_sum (group=∅) — a #distinct-scores-row
+    pipeline, no global window over the raw data.  All products in
+    DECIMAL(38,0).  NULL scores/labels are excluded (no rank).
+
+    Returns one row: n_pos, n_neg (bigint), u2 (decimal), auc (double,
+    one fixed division tree; NULL when a class is empty)."""
+    g = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("_s"))
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("_pos"),
+            F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("_neg"),
+        )
+    )
+    cum = grouped_prefix_sum(
+        g.withColumn("_neg_dec", F.col("_neg").cast(_DEC)),
+        [],
+        ["_s"],
+        "_neg_dec",
+        out_col="_neg_below",
+        include_current=False,
+        num_partitions=num_partitions,
+    )
+    term = cum.select(
+        "_pos",
+        "_neg",
+        (
+            F.col("_pos").cast(_DEC)
+            * (F.lit(2).cast(_DEC) * F.col("_neg_below") + F.col("_neg").cast(_DEC))
+        ).alias("_term"),
+    )
+    out = term.agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum("_neg").alias("n_neg"),
+        F.sum("_term").cast(_DEC).alias("u2"),
+    )
+    denom = (
+        F.lit(2).cast("double")
+        * F.col("n_pos").cast("double")
+        * F.col("n_neg").cast("double")
+    )
+    return out.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("u2").cast("double") / denom,
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram: scores in [0, 1] bucketed into ``n_bins``
+    equal-width bins (scores == 1.0 fold into the last bin), each bin
+    reporting count, accuracy (positive rate), mean confidence, and
+    its |acc − conf| gap.  The per-bin ECE contribution is emitted as
+    exact components (n_bin and the gap) rather than a pre-summed
+    scalar — a global float sum is accumulation-order-sensitive, so
+    consumers compute ECE = Σ n_b·gap_b / N themselves (the χ²-drift
+    convention).
+
+    Single groupBy(bin) pass; confidence sums are int64 fixed point
+    cast to DECIMAL(38,0) so the aggregate is closed at any scale."""
+    b = F.least(
+        F.floor(F.col(score_col) * F.lit(n_bins)).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    g = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+            F.sum(
+                F.floor(F.col(score_col) * F.lit(_FP)).cast(_DEC)
+            ).alias("conf_fp"),
+        )
+    )
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    conf = (
+        F.col("conf_fp").cast("double")
+        / F.lit(float(_FP))
+        / F.col("n").cast("double")
+    )
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        "conf_fp",
+        acc.alias("acc"),
+        conf.alias("conf"),
+        F.abs(acc - conf).alias("gap"),
+    ).orderBy("bin")
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    fold_col: str,
+    k_folds: int,
+    fp_scale: int = 10**6,
+) -> DataFrame:
+    """Leakage-free target encoding table: for every (category, fold)
+    the mean target computed over the category's rows in the OTHER
+    k−1 folds — join it back on (category, fold) to encode without the
+    row's own fold contaminating its statistic (the standard K-fold
+    out-of-fold scheme).  Categories absent from the other folds fall
+    back to the out-of-fold GLOBAL mean (prior).
+
+    One shuffle: groupBy(category, fold) partial (sum, count) with the
+    target as int64 fixed point — ``fp_scale`` sets the resolution;
+    the default 10^6 keeps |target| ≤ ~9·10^12 within the per-term
+    BIGINT floor (unit-range scores can use 10^15).  The out-of-fold algebra runs on the
+    #categories × K table: oof_sum = cat_total − fold_sum, and the
+    priors come from the same tiny frame — no second pass over data.
+    Missing (category, fold) combinations are completed by crossing
+    distinct categories with the 0..K−1 fold range so the encoder is
+    total.  Output doubles are one fixed division tree."""
+    per = (
+        df.filter(F.col(target_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"), F.col(fold_col).alias("fold"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.floor(F.col(target_col) * F.lit(float(fp_scale))).cast(_DEC)
+            ).alias("_s"),
+        )
+    )
+    # complete the grid: every category × every fold
+    folds = per.sparkSession.range(k_folds).select(
+        F.col("id").cast(per.schema["fold"].dataType).alias("fold")
+    )
+    grid = per.select("category").distinct().crossJoin(F.broadcast(folds))
+    full = grid.join(per, ["category", "fold"], "left").select(
+        "category",
+        "fold",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+        F.coalesce(F.col("_s"), F.lit(0).cast(_DEC)).alias("_s"),
+    )
+    tot = full.groupBy("category").agg(
+        F.sum("_n").alias("_cn"), F.sum("_s").cast(_DEC).alias("_cs")
+    )
+    gtot = full.agg(
+        F.sum("_n").alias("_gn"), F.sum("_s").cast(_DEC).alias("_gs")
+    )
+    oof_n = F.col("_cn") - F.col("_n")
+    oof_s = F.col("_cs") - F.col("_s")
+    prior_n = F.col("_gn") - F.col("_n")
+    prior_s = F.col("_gs") - F.col("_s")
+    enc_s = F.when(oof_n > 0, oof_s).otherwise(prior_s)
+    enc_n = F.when(oof_n > 0, oof_n).otherwise(prior_n)
+    return (
+        full.join(F.broadcast(tot), "category")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "category",
+            "fold",
+            oof_n.alias("oof_n"),
+            oof_s.alias("oof_sum_fp"),
+            (
+                enc_s.cast("double")
+                / F.lit(float(fp_scale))
+                / enc_n.cast("double")
+            ).alias("encoding"),
+        )
+        .orderBy("category", "fold")
+    )

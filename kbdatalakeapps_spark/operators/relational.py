@@ -36,6 +36,66 @@ def argmax_per_group(
     )
 
 
+def range_bucket_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    sample_per_bucket: int = 64,
+    out_col: str = "_pid",
+) -> DataFrame:
+    """Attach a deterministic integer range-bucket id (0-based) that
+    respects the total order of ``order_cols`` — every key in bucket i
+    sorts ≤ every key in bucket i+1 — computed FROM ROW CONTENT
+    against boundary literals, never from physical partition placement.
+
+    Why not ``repartitionByRange`` + ``spark_partition_id``: the
+    two-phase prefix operators consume the ranged frame from TWO plan
+    branches (the per-bucket window and the bucket-totals aggregate).
+    Each branch can re-execute the range exchange, and Spark's
+    RangePartitioner samples its boundaries with an RDD-id-seeded RNG
+    — when exchange reuse does not kick in (observed with
+    aggregate-fed inputs), the branches see DIFFERENT partition
+    assignments and the broadcast-joined offsets silently corrupt the
+    result.  Content-derived ids make every consumer agree by
+    construction, however many times the frame is re-evaluated.
+
+    Boundaries come from ONE plan-build-time job: the
+    ``n·sample_per_bucket`` key tuples with the smallest
+    ``xxhash64(keys)`` (a content-keyed, partition-invariant
+    TakeOrdered — bounded driver transfer), sorted, every
+    ``sample_per_bucket``-th taken as a boundary literal.  Cost is the
+    same one-pass sketch ``repartitionByRange`` runs internally, but
+    it runs once and re-evaluations reuse the literals.  Keys must be
+    non-null and primitively comparable (strings compare bytewise in
+    UTF-8, which matches code-point order, so Python-side boundary
+    sorting agrees with Spark's)."""
+    keys = [F.col(c) for c in order_cols]
+    sample = (
+        df.select(
+            F.struct(*[F.col(c).alias(c) for c in order_cols]).alias("_k"),
+            F.xxhash64(*keys).alias("_h"),
+        )
+        .orderBy("_h", "_k")
+        .limit(n * sample_per_bucket)
+        .collect()
+    )
+    tuples = sorted(tuple(r["_k"]) for r in sample)
+    bounds = [
+        tuples[i] for i in range(sample_per_bucket, len(tuples), sample_per_bucket)
+    ][: n - 1]
+    key_struct = F.struct(*keys)
+    pid = F.lit(0)
+    for b in bounds:
+        blit = F.struct(
+            *[
+                F.lit(v).cast(df.schema[c].dataType)
+                for c, v in zip(order_cols, b)
+            ]
+        )
+        pid = pid + (key_struct >= blit).cast("int")
+    return df.withColumn(out_col, pid)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -50,22 +110,21 @@ def global_row_number(
     reproducible training-order shuffle.
 
     Two-phase, same shape as sampling.pack_sequences with weight 1:
-    range-partition on the order key, per-partition row_number (full
-    parallelism), then add per-partition count offsets computed on the
-    tiny one-row-per-partition totals frame and broadcast back.
+    bucket on the order key (range_bucket_ids — content-derived, so
+    every plan branch agrees on the assignment), per-bucket row_number
+    (full parallelism), then add per-bucket count offsets computed on
+    the tiny one-row-per-bucket totals frame and broadcast back.
 
     ``order_cols`` must be a unique ordering (ties could straddle a
-    range boundary nondeterministically)."""
+    bucket boundary nondeterministically)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(n, *cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    local = ranged.withColumn(
+    bucketed = range_bucket_ids(df, order_cols, n)
+    local = bucketed.withColumn(
         "_lrn",
         F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
     )
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    counts = bucketed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
     prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid",
@@ -75,6 +134,70 @@ def global_row_number(
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_poffset") + F.col("_lrn")).cast("bigint"))
         .drop("_pid", "_lrn", "_poffset")
+    )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum_sum",
+    include_current: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable running ``SUM(value)`` per group in ``order_cols``
+    order — the safe form of ``SUM() OVER (PARTITION BY g ORDER BY o
+    ROWS UNBOUNDED PRECEDING)`` when a single group can hold O(data)
+    rows (Spark plans the naive window as ONE sorted task per group,
+    the skewed-group twin of the global-window scale-killer).
+    ``group_cols=[]`` gives the global running sum.
+
+    Two-phase, generalizing global_row_number from counts to sums and
+    from a global order to per-group orders: bucket on (group, order)
+    via range_bucket_ids (content-derived ids, so the window branch
+    and the totals branch agree under re-evaluation) so each group's
+    rows stay contiguous across bucket boundaries, run the per-bucket
+    running sum with full parallelism, then cumulate the per-(bucket,
+    group) totals — a frame of at most #buckets × #groups-per-bucket
+    rows, i.e. #buckets + #groups-ish, never O(data) — and broadcast
+    the offsets back.  ``include_current=False`` yields the strict
+    prefix (sum over rows BEFORE the current one; 0 for each group's
+    first).
+
+    (group_cols, order_cols) must be a total order within each group —
+    ties could straddle a bucket boundary nondeterministically.  The
+    sum dtype follows ``value_col``: cast to decimal/bigint upstream
+    for exactness (the repo's order-invariant-sum contract)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = range_bucket_ids(df, [*group_cols, *order_cols], n)
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    hi = Window.currentRow if include_current else -1
+    local = ranged.withColumn(
+        "_lsum", F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, hi))
+    )
+    totals = ranged.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).alias("_psum")
+    )
+    prior = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        *group_cols,
+        F.sum("_psum").over(prior).alias("_poffset"),
+    )
+    zero = F.lit(0).cast(df.schema[value_col].dataType)
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(
+            out_col,
+            F.coalesce(F.col("_poffset"), zero)
+            + F.coalesce(F.col("_lsum"), zero),
+        )
+        .drop("_pid", "_lsum", "_poffset")
     )
 
 

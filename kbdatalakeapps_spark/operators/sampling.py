@@ -186,27 +186,29 @@ def pack_sequences(
     window — the classic scale-killer.  This is the two-phase
     distributed prefix sum instead:
 
-      1. range-repartition on key, pin the partition id,
-      2. per-partition cumsum (window keyed on that id — full
-         parallelism, each partition sorts locally),
-      3. per-partition totals (one row each) get their prefix offsets
+      1. bucket on key (relational.range_bucket_ids — content-derived
+         ids from boundary literals, so every plan branch agrees on
+         the assignment under re-evaluation),
+      2. per-bucket cumsum (window keyed on the bucket id — full
+         parallelism, each bucket sorts locally),
+      3. per-bucket totals (one row each) get their prefix offsets
          via a window over the tiny totals frame, broadcast back.
 
     The result is identical under any partition count, so the oracle
     is a plain SQL running sum.
 
-    The cumsum branch and the totals branch both hang off the ranged
-    frame, so the narrow (key, weight) input is scanned and
-    range-shuffled twice.  ``checkpoint=True`` materializes the ranged
-    frame once instead (lazy localCheckpoint) — measured 5× SLOWER at
-    sf0.1 (materialization dominates two narrow shuffles), so it is
-    off by default; turn it on only when the input lineage is itself
+    The cumsum branch and the totals branch both hang off the bucketed
+    frame, so the narrow (key, weight) input is scanned and shuffled
+    twice.  ``checkpoint=True`` materializes the bucketed frame once
+    instead (lazy localCheckpoint) — measured 5× SLOWER at sf0.1
+    (materialization dominates two narrow shuffles), so it is off by
+    default; turn it on only when the input lineage is itself
     expensive (a join/UDF pipeline feeding the packer)."""
+    from .relational import range_bucket_ids
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     w = F.col(weight_col).cast("bigint")
-    ranged = df.repartitionByRange(n, F.col(key_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    ranged = range_bucket_ids(df, [key_col], n)
     if checkpoint:
         ranged = ranged.localCheckpoint(eager=False)
     local = ranged.withColumn(

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .relational import grouped_prefix_sum
+
 
 def as_of_join(
     left: DataFrame,
@@ -186,7 +188,7 @@ def trailing_range_agg(
 
 def sessionize(
     df: DataFrame,
-    key_col: str = "user_id",
+    key_col: str | list[str] = "user_id",
     ts_col: str = "ts",
     gap: int = 30 * 60 * 10**9,
     tiebreak_col: str = "event_id",
@@ -203,7 +205,8 @@ def sessionize(
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
     prev = F.lag(ts_col).over(w)
     brk = (
         F.when(prev.isNull(), F.lit(1))
@@ -339,4 +342,65 @@ def cohort_retention(
         (
             F.col("n_active").cast("double") / F.col("n_cohort").cast("double")
         ).alias("retention"),
+    )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    end_col: str,
+    id_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Peak number of simultaneously-active CLOSED intervals
+    [start, end] per group, with the earliest instant the peak is
+    reached — the classic sweep-line / "max concurrent sessions"
+    query, but with the running sum going through the two-phase
+    relational.grouped_prefix_sum so a group holding O(data)
+    intervals never sorts through one task (the naive
+    ``SUM(±1) OVER (PARTITION BY g ORDER BY t)`` does).
+
+    Endpoint events: +1 at ``start``, −1 at ``end + 1`` (closed
+    intervals on an integer axis, e.g. epoch nanos).  At equal
+    timestamps the −1 sorts first, so the sweep is exact for
+    back-to-back intervals; ``id_cols`` complete the total order the
+    two-phase split requires.  Determinism note: within a timestamp
+    the running values dip-then-climb, so the per-group max and its
+    earliest timestamp are invariant to tie permutations.
+
+    Returns one row per group: ``peak_concurrency``, ``peak_t``."""
+    gcols = [F.col(c) for c in group_cols]
+    starts = intervals.select(
+        *gcols,
+        F.col(start_col).alias("_t"),
+        F.lit(1).cast("long").alias("_d"),
+        *[F.col(c).alias(f"_i{i}") for i, c in enumerate(id_cols)],
+    )
+    ends = intervals.select(
+        *gcols,
+        (F.col(end_col) + F.lit(1)).alias("_t"),
+        F.lit(-1).cast("long").alias("_d"),
+        *[F.col(c).alias(f"_i{i}") for i, c in enumerate(id_cols)],
+    )
+    order = ["_t", "_d"] + [f"_i{i}" for i in range(len(id_cols))]
+    run = grouped_prefix_sum(
+        starts.unionByName(ends),
+        group_cols,
+        order,
+        "_d",
+        out_col="_conc",
+        num_partitions=num_partitions,
+    )
+    m = run.groupBy(*group_cols).agg(
+        F.max(
+            F.struct(
+                F.col("_conc").alias("c"), (-F.col("_t")).alias("nt")
+            )
+        ).alias("_m")
+    )
+    return m.select(
+        *group_cols,
+        F.col("_m.c").alias("peak_concurrency"),
+        (-F.col("_m.nt")).alias("peak_t"),
     )

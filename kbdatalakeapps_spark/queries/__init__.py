@@ -26,6 +26,7 @@ from . import graphs  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import basket  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
+from . import mleval  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
@@ -176,4 +177,11 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ts_event_paths",
     "dq_uniqueness_audit",
     "a29_pareto_report",
+    # registered after the round-5 rotation filled up (48 + flagship):
+    # these queue for the round-6 window
+    "ml_auc_rank",
+    "ml_calibration_bins",
+    "ml_target_encode",
+    "ts_max_concurrency",
+    "dq_k_anonymity",
 ]

@@ -739,3 +739,58 @@ def a29_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH qi AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               COUNT(*) AS grp_n
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT grp_n AS group_size,
+           COUNT(*) AS n_groups,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE grp_n < 5) AS BIGINT) AS groups_lt_5,
+           CAST(COALESCE(SUM(grp_n) FILTER (WHERE grp_n < 5), 0) AS BIGINT)
+               AS rows_lt_5
+    FROM qi
+    GROUP BY grp_n
+    ORDER BY grp_n
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer quasi-identifier tuple
+    (market segment, nation, $1000 balance band): the histogram of
+    QI-group sizes, with per-size counts of groups/rows below the
+    k=5 re-identification threshold — the privacy gate a training-data
+    release runs before shipping user-derived tables.  Two grouped
+    passes; the second operates on the QI-group table (≤ |distinct
+    QI| rows), so cost is one data shuffle."""
+    qi = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    lt5 = F.col("grp_n") < 5
+    return (
+        qi.groupBy(F.col("grp_n").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("grp_n").alias("n_rows"),
+            F.sum(F.when(lt5, 1).otherwise(0)).cast("bigint").alias("groups_lt_5"),
+            F.sum(F.when(lt5, F.col("grp_n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_lt_5"),
+        )
+        .orderBy("group_size")
+    )

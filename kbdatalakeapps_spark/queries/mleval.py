@@ -1,0 +1,208 @@
+"""Model-evaluation queries (operators/mleval.py) — the scored-dataset
+metrics a training pipeline runs after batch inference
+(operators/predict.py's K3/K4 path): exact distributed ROC AUC,
+calibration/reliability bins, and leakage-free K-fold target encoding.
+
+Labels/scores are derived deterministically from the events/lineitem
+fixtures (label = purchase events, score = the event value), so every
+query carries a full DuckDB hash oracle: AUC's rank statistic is pure
+integer/decimal algebra, calibration sums confidences in int64 fixed
+point, and the target encoder is closed-form over exact grouped sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.mleval import auc_exact, calibration_bins, target_encode_oof
+from .registry import query
+
+# label/score base: is the event a purchase, scored by the event value
+_SCORED_SQL = """
+    scored AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        FROM events
+        WHERE value IS NOT NULL
+    )
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+
+
+@query(
+    "ml_auc_rank",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    g AS (
+        SELECT score AS s,
+               SUM(label) AS pos,
+               COUNT(*) - SUM(label) AS neg
+        FROM scored GROUP BY score
+    ),
+    c AS (
+        SELECT pos, neg,
+               COALESCE(SUM(neg) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+        FROM g
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(SUM(pos * (2 * neg_below + neg)) AS DECIMAL(38,0)) AS u2,
+           CAST(CAST(SUM(pos * (2 * neg_below + neg)) AS DECIMAL(38,0))
+                AS DOUBLE)
+           / (2.0 * CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE))
+           AS auc
+    FROM c
+    """,
+)
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC (Mann-Whitney rank form) of the
+    purchase label under the event-value score: per-score group counts,
+    two-phase strict-prefix sum of negatives, decimal products — no
+    global ORDER BY window over the data (operators/mleval.py::
+    auc_exact; the oracle IS the naive window form)."""
+    return auc_exact(_scored(spark, sf_dir), "score", "label")
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT value / 500.0 AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+               COUNT(*) AS n,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(FLOOR(score * 1000000000000000.0) AS BIGINT))
+                    AS DECIMAL(38,0)) AS conf_fp
+        FROM scored GROUP BY 1
+    )
+    SELECT bin, n, n_pos, conf_fp,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+           CAST(conf_fp AS DOUBLE) / 1000000000000000.0 / CAST(n AS DOUBLE)
+               AS conf,
+           ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(conf_fp AS DOUBLE) / 1000000000000000.0
+                 / CAST(n AS DOUBLE)) AS gap
+    FROM g ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram over 10 equal-width confidence bins
+    (score = value/500, one IEEE division so both engines bin
+    identically): per-bin count, accuracy, fixed-point mean confidence,
+    and the |acc − conf| gap — the per-bin ECE contributions, left
+    unsummed for order-invariance (operators/mleval.py::
+    calibration_bins)."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("value") / F.lit(500.0)).alias("score"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", n_bins=10)
+
+
+@query(
+    "ml_target_encode",
+    oracle="""
+    WITH base AS (
+        SELECT p.p_brand AS category,
+               (('0x' || substr(md5(l.l_orderkey::VARCHAR || ':' ||
+                                    l.l_linenumber::VARCHAR), 1, 15))::BIGINT
+                % 4) AS fold,
+               l.l_extendedprice AS target
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_extendedprice IS NOT NULL
+    ),
+    per AS (
+        SELECT category, fold, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(target * 1000000.0) AS BIGINT))
+                    AS DECIMAL(38,0)) AS s
+        FROM base GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT c.category, f.fold
+        FROM (SELECT DISTINCT category FROM per) c
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS fold) f
+    ),
+    full_g AS (
+        SELECT grid.category, grid.fold,
+               COALESCE(per.n, 0) AS n,
+               COALESCE(per.s, CAST(0 AS DECIMAL(38,0))) AS s
+        FROM grid LEFT JOIN per USING (category, fold)
+    ),
+    tot AS (
+        SELECT category, SUM(n) AS cn, CAST(SUM(s) AS DECIMAL(38,0)) AS cs
+        FROM full_g GROUP BY category
+    ),
+    gtot AS (
+        SELECT SUM(n) AS gn, CAST(SUM(s) AS DECIMAL(38,0)) AS gs FROM full_g
+    )
+    SELECT f.category, f.fold,
+           CAST(t.cn - f.n AS BIGINT) AS oof_n,
+           CAST(t.cs - f.s AS DECIMAL(38,0)) AS oof_sum_fp,
+           CAST(CASE WHEN t.cn - f.n > 0 THEN t.cs - f.s
+                     ELSE g.gs - f.s END AS DOUBLE)
+           / 1000000.0
+           / CAST(CASE WHEN t.cn - f.n > 0 THEN t.cn - f.n
+                       ELSE g.gn - f.n END AS DOUBLE) AS encoding
+    FROM full_g f JOIN tot t USING (category), gtot g
+    ORDER BY f.category, f.fold
+    """,
+)
+def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold target-encoding table for part brand →
+    mean extended price: fold from the portable md5 unit hash of the
+    lineitem key, sums exact fixed point, every (brand, fold) cell
+    encoding the mean over the OTHER folds (operators/mleval.py::
+    target_encode_oof) — join back on (brand, fold) for leakage-free
+    encoded features."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+    )
+    base = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            fold.alias("fold"),
+            F.col("l_extendedprice").alias("target"),
+        )
+    )
+    return target_encode_oof(base, "brand", "target", "fold", k_folds=4)

@@ -13,6 +13,7 @@ float-determinism contract as the WAV-RMS features.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io.sources import load_table
 from ..operators.temporal import resample_gapfill
@@ -521,3 +522,72 @@ def ts_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(50)
     )
+
+
+_GAP_NS = 30 * 60 * 10**9
+
+
+@query(
+    "ts_max_concurrency",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events
+    ),
+    brk AS (
+        SELECT *,
+               CASE WHEN lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w >= {_GAP_NS}
+                    THEN 1 ELSE 0 END AS b
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(b) OVER (
+            PARTITION BY user_id, event_type ORDER BY t, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        FROM brk
+    ),
+    iv AS (
+        SELECT user_id, event_type, sidx, MIN(t) AS s, MAX(t) AS e
+        FROM sess GROUP BY 1, 2, 3
+    ),
+    ep AS (
+        SELECT event_type, s AS t, 1 AS d, user_id, sidx FROM iv
+        UNION ALL
+        SELECT event_type, e + 1, -1, user_id, sidx FROM iv
+    ),
+    run AS (
+        SELECT event_type, t,
+               SUM(d) OVER (
+                   PARTITION BY event_type ORDER BY t, d, user_id, sidx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM ep
+    ),
+    mx AS (SELECT event_type, MAX(conc) AS peak FROM run GROUP BY 1)
+    SELECT r.event_type,
+           CAST(mx.peak AS BIGINT) AS peak_concurrency,
+           MIN(r.t) AS peak_t
+    FROM run r JOIN mx ON r.event_type = mx.event_type AND r.conc = mx.peak
+    GROUP BY r.event_type, mx.peak
+    ORDER BY r.event_type
+    """,
+)
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per event type, with the earliest
+    instant the peak is reached: 30-min-gap sessions per
+    (user, event_type), then the sweep-line max via
+    operators/temporal.py::max_concurrency — the ±1 running sum goes
+    through the two-phase relational.grouped_prefix_sum, so a single
+    event type holding O(data) sessions never sorts through one task
+    (the oracle IS that naive one-task window form)."""
+    from ..operators.temporal import max_concurrency, sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id", "event_type"], "ts", _GAP_NS, "event_id")
+    iv = s.groupBy("user_id", "event_type", "session_idx").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    out = max_concurrency(
+        iv, ["event_type"], "s", "e", ["user_id", "session_idx"]
+    )
+    return out.orderBy("event_type")

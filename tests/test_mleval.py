@@ -1,0 +1,202 @@
+"""Unit/property tests for operators/mleval.py and the two-phase
+prefix-sum machinery it leans on — including the regression test for
+the aggregate-fed range-bucket nondeterminism that motivated
+relational.range_bucket_ids (boundaries must be content-derived plan
+literals, never physical partition ids)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kbdatalakeapps_spark.operators.mleval import (
+    auc_exact,
+    calibration_bins,
+    target_encode_oof,
+)
+from kbdatalakeapps_spark.operators.relational import (
+    global_row_number,
+    grouped_prefix_sum,
+)
+from kbdatalakeapps_spark.operators.temporal import max_concurrency
+
+
+def _brute_auc(pairs):
+    """Tie-corrected AUC by O(n²) pair counting."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg)
+    return wins / (len(pos) * len(neg))
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # perfect separation
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)],
+        # inverted
+        [(0.9, 0), (0.8, 0), (0.1, 1), (0.2, 1)],
+        # heavy ties across classes
+        [(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1), (0.7, 1), (0.3, 0)],
+        # mixed with duplicate scores inside a class
+        [(0.2, 0), (0.2, 0), (0.4, 1), (0.4, 0), (0.6, 1), (0.6, 1), (0.1, 1)],
+    ],
+)
+def test_auc_exact_matches_pair_counting(spark, pairs):
+    df = spark.createDataFrame(pairs, "score double, label int")
+    row = auc_exact(df, "score", "label").collect()[0]
+    assert row["auc"] == pytest.approx(_brute_auc(pairs), abs=1e-12)
+    assert row["n_pos"] == sum(1 for _, y in pairs if y == 1)
+    assert row["n_neg"] == sum(1 for _, y in pairs if y == 0)
+
+
+def test_auc_exact_single_class_is_null(spark):
+    df = spark.createDataFrame([(0.3, 1), (0.7, 1)], "score double, label int")
+    row = auc_exact(df, "score", "label").collect()[0]
+    assert row["auc"] is None and row["n_neg"] == 0
+
+
+def test_auc_exact_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (round(rng.random(), 2), rng.randint(0, 1)) for _ in range(500)
+    ]  # 2-decimal rounding forces many cross-class ties
+    expected = _brute_auc(pairs)
+    for parts in (1, 7):
+        df = spark.createDataFrame(pairs, "score double, label int").repartition(
+            parts
+        )
+        got = auc_exact(df, "score", "label").collect()[0]["auc"]
+        assert got == pytest.approx(expected, abs=1e-12)
+
+
+def test_calibration_bins_partition_rows_and_edges(spark):
+    rows = [(0.0, 0), (0.05, 1), (0.55, 1), (0.999, 0), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = calibration_bins(df, "score", "label", n_bins=10).collect()
+    assert sum(r["n"] for r in out) == len(rows)
+    # score == 1.0 folds into the LAST bin, not a phantom bin 10
+    assert {r["bin"] for r in out} == {0, 5, 9}
+    last = [r for r in out if r["bin"] == 9][0]
+    assert last["n"] == 2 and last["n_pos"] == 1
+    for r in out:
+        assert 0.0 <= r["acc"] <= 1.0 and 0.0 <= r["conf"] <= 1.0
+        assert r["gap"] == pytest.approx(abs(r["acc"] - r["conf"]), abs=1e-12)
+
+
+def test_target_encode_oof_is_leakage_free(spark):
+    # category 'a' spans folds 0/1; 'b' lives only in fold 0 (fallback)
+    rows = [
+        ("a", 0, 10.0),
+        ("a", 0, 20.0),
+        ("a", 1, 40.0),
+        ("b", 0, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "cat string, fold long, target double")
+    out = {
+        (r["category"], r["fold"]): r
+        for r in target_encode_oof(df, "cat", "target", "fold", k_folds=2).collect()
+    }
+    # a/fold0 sees only a's fold-1 rows; a/fold1 sees a's fold-0 rows
+    assert out[("a", 0)]["encoding"] == pytest.approx(40.0)
+    assert out[("a", 1)]["encoding"] == pytest.approx(15.0)
+    # b/fold0: no other-fold rows for b → prior = global mean excluding
+    # the cell itself = mean(10, 20, 40)
+    assert out[("b", 0)]["oof_n"] == 0
+    assert out[("b", 0)]["encoding"] == pytest.approx(70.0 / 3.0)
+    # b/fold1: b's fold-0 rows are its out-of-fold statistic
+    assert out[("b", 1)]["encoding"] == pytest.approx(100.0)
+    # grid is complete: every category × every fold
+    assert set(out) == {("a", 0), ("a", 1), ("b", 0), ("b", 1)}
+
+
+def test_max_concurrency_matches_brute_sweep(spark):
+    import random
+
+    rng = random.Random(11)
+    iv = []
+    for i in range(200):
+        s = rng.randint(0, 1000)
+        iv.append(("g%d" % (i % 3), s, s + rng.randint(0, 50), i))
+    df = spark.createDataFrame(iv, "g string, s long, e long, iid long")
+    got = {
+        r["g"]: (r["peak_concurrency"], r["peak_t"])
+        for r in max_concurrency(df, ["g"], "s", "e", ["iid"]).collect()
+    }
+    for grp in ("g0", "g1", "g2"):
+        events = []
+        for g, s, e, _ in iv:
+            if g == grp:
+                events += [(s, 1), (e + 1, -1)]
+        events.sort()
+        cur = peak = 0
+        peak_t = None
+        for t, d in events:
+            cur += d
+            if cur > peak:
+                peak, peak_t = cur, t
+        assert got[grp] == (peak, peak_t), grp
+
+
+def test_grouped_prefix_sum_matches_naive_window(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        ("k%d" % (i % 4), i, rng.randint(-5, 5)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, o long, v long").repartition(5)
+    for incl in (True, False):
+        got = grouped_prefix_sum(
+            df, ["g"], ["o"], "v", out_col="c", include_current=incl
+        )
+        hi = Window.currentRow if incl else -1
+        w = (
+            Window.partitionBy("g")
+            .orderBy("o")
+            .rowsBetween(Window.unboundedPreceding, hi)
+        )
+        naive = df.withColumn("c", F.coalesce(F.sum("v").over(w), F.lit(0)))
+        a = sorted(map(tuple, got.select("g", "o", "c").collect()))
+        b = sorted(map(tuple, naive.select("g", "o", "c").collect()))
+        assert a == b
+
+
+def test_global_row_number_deterministic_on_aggregate_input(spark):
+    """Regression: an aggregate-fed global_row_number must return the
+    same (correct) numbering on every evaluation.  Before
+    range_bucket_ids, the window branch and the count branch each
+    re-executed repartitionByRange with independently-sampled
+    boundaries, silently corrupting offsets whenever exchange reuse
+    failed (three successive runs returned three different rank
+    sums)."""
+    base = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("k"), F.lit(1).alias("one")
+    )
+    g = base.groupBy("k").agg(F.count("one").alias("n"))  # 997 rows
+    expected_ranksum = sum(
+        (i + 1) * (5000 // 997 + (1 if i < 5000 % 997 else 0))
+        for i in range(997)
+    )
+    seen = set()
+    for _ in range(3):
+        out = global_row_number(g, ["k"], "rn")
+        got = out.agg(F.sum(F.col("rn") * F.col("n"))).collect()[0][0]
+        seen.add(got)
+    assert seen == {expected_ranksum}
+
+
+def test_auc_exact_u2_is_decimal_closed(spark):
+    """The u2 accumulator must be DECIMAL(38,0): bigint products
+    overflow around 3·10^9 pos×neg.  Check the dtype contract."""
+    df = spark.createDataFrame([(0.5, 1), (0.4, 0)], "score double, label int")
+    out = auc_exact(df, "score", "label")
+    assert dict(out.dtypes)["u2"] == "decimal(38,0)"
+    assert out.collect()[0]["u2"] == Decimal(2)

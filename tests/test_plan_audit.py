@@ -54,6 +54,8 @@ _BNLJ_OK = {
     # union of per-partition skylines (lossless local prune), never
     # the corpus — the standard 2-phase skyline shape
     "sky_pareto_parts",
+    "ml_target_encode",       # 1-row global-prior scalar onto the
+                              # #categories × K encoding grid
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is
@@ -75,6 +77,8 @@ _GLOBAL_WINDOW_OK = {
     "w4_ranking_suite",       # documented global-rank demo page
     "o1_multikey_sort_page",  # global sort+page (TakeOrdered form)
     "a29_pareto_report",      # window over the 25-row brand aggregate
+    "ml_auc_rank",            # grouped_prefix_sum(group=∅) offsets
+                              # window over the ≤ #buckets totals frame
 }
 
 

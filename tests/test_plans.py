@@ -116,15 +116,17 @@ def test_k3_one_hot_single_aggregation(spark):
 
 
 def test_quantile_sample_no_single_partition_window(spark):
-    # global row numbering must be the two-phase range-partitioned
-    # form: no `Window` without partition keys over the sample
+    # global row numbering must be the two-phase bucketed form: the
+    # numbering window partitions on the content-derived _pid (a hash
+    # exchange on _pid), never an empty partition spec over the sample.
+    # (The old form asserted a rangepartitioning exchange; that design
+    # derived _pid from spark_partition_id, which desynced across plan
+    # branches when exchange reuse failed — see range_bucket_ids.)
     p = plan_of(spark, "sp_quantile_sample")
-    tree = p.split("\n\n")[0]
-    # the per-range-partition numbering windows on _pid; a SINGLE
-    # global window would show 'Window' with an empty partition spec —
-    # assert the plan retains the range exchange instead
-    assert "rangepartitioning" in p.lower() or "RangePartitioning" in p
-    assert "TakeOrderedAndProject" not in tree.split("Window")[0] or True
+    assert "hashpartitioning(_pid" in p
+    # the only unpartitioned window is the bounded per-bucket offsets
+    # frame (≤ #buckets rows), which the audit allowlist documents
+    assert "rangepartitioning" not in p.lower()
 
 
 def test_cms_probe_broadcasts_sketch(spark):
