@@ -236,3 +236,59 @@ def target_encode_oof(
         )
         .orderBy("category", "fold")
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    top_thresholds: int = 200,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact precision/recall curve points: one row per distinct score
+    threshold t (predict positive when score ≥ t) with tp/fp/fn counts
+    and the derived precision/recall — capped to the ``top_thresholds``
+    highest thresholds (a TakeOrdered, not a global sort).
+
+    Same machinery as auc_exact: per-score (pos, neg) group counts,
+    then ONE two-phase strict-prefix pass carrying both running sums,
+    then tp(t) = n_pos − pos_below(t), fp(t) = n_neg − neg_below(t),
+    fn(t) = pos_below(t).  The scalar totals row broadcast-joins onto
+    the per-threshold frame (1-row nested-loop, constant cost).
+    Precision's denominator is ≥ 1 by construction — every threshold
+    is a score that occurs."""
+    g = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("_s"))
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("_pos"),
+            F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("_neg"),
+        )
+    )
+    cum = grouped_prefix_sum(
+        g,
+        [],
+        ["_s"],
+        ["_pos", "_neg"],
+        out_col=["_pos_below", "_neg_below"],
+        include_current=False,
+        num_partitions=num_partitions,
+    )
+    totals = g.agg(
+        F.sum("_pos").alias("_np"), F.sum("_neg").alias("_nn")
+    )
+    tp = F.col("_np") - F.col("_pos_below")
+    fp = F.col("_nn") - F.col("_neg_below")
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_s").alias("threshold"),
+            tp.alias("tp"),
+            fp.alias("fp"),
+            F.col("_pos_below").alias("fn"),
+            (tp.cast("double") / (tp + fp).cast("double")).alias("prec"),
+            (tp.cast("double") / F.col("_np").cast("double")).alias("rec"),
+        )
+        .orderBy(F.desc("threshold"))
+        .limit(top_thresholds)
+    )

@@ -141,8 +141,8 @@ def grouped_prefix_sum(
     df: DataFrame,
     group_cols: list[str],
     order_cols: list[str],
-    value_col: str,
-    out_col: str = "cum_sum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum_sum",
     include_current: bool = True,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -167,17 +167,24 @@ def grouped_prefix_sum(
 
     (group_cols, order_cols) must be a total order within each group —
     ties could straddle a bucket boundary nondeterministically.  The
-    sum dtype follows ``value_col``: cast to decimal/bigint upstream
-    for exactness (the repo's order-invariant-sum contract)."""
+    sum dtype follows each ``value_col``: cast to decimal/bigint
+    upstream for exactness (the repo's order-invariant-sum contract).
+    Several value columns (matched by position to ``out_col``) share
+    one bucket/window/offset pass — cheaper than calling twice."""
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col lengths differ")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = range_bucket_ids(df, [*group_cols, *order_cols], n)
     w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
     hi = Window.currentRow if include_current else -1
-    local = ranged.withColumn(
-        "_lsum", F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, hi))
+    frame = w.rowsBetween(Window.unboundedPreceding, hi)
+    local = ranged.withColumns(
+        {f"_lsum_{i}": F.sum(v).over(frame) for i, v in enumerate(vcols)}
     )
     totals = ranged.groupBy("_pid", *group_cols).agg(
-        F.sum(value_col).alias("_psum")
+        *[F.sum(v).alias(f"_psum_{i}") for i, v in enumerate(vcols)]
     )
     prior = (
         Window.partitionBy(*group_cols)
@@ -187,17 +194,23 @@ def grouped_prefix_sum(
     offsets = totals.select(
         "_pid",
         *group_cols,
-        F.sum("_psum").over(prior).alias("_poffset"),
+        *[
+            F.sum(f"_psum_{i}").over(prior).alias(f"_poffset_{i}")
+            for i in range(len(vcols))
+        ],
     )
-    zero = F.lit(0).cast(df.schema[value_col].dataType)
-    return (
-        local.join(F.broadcast(offsets), ["_pid", *group_cols])
-        .withColumn(
-            out_col,
-            F.coalesce(F.col("_poffset"), zero)
-            + F.coalesce(F.col("_lsum"), zero),
+    out = local.join(F.broadcast(offsets), ["_pid", *group_cols])
+    for i, (v, o) in enumerate(zip(vcols, ocols)):
+        zero = F.lit(0).cast(df.schema[v].dataType)
+        out = out.withColumn(
+            o,
+            F.coalesce(F.col(f"_poffset_{i}"), zero)
+            + F.coalesce(F.col(f"_lsum_{i}"), zero),
         )
-        .drop("_pid", "_lsum", "_poffset")
+    return out.drop(
+        "_pid",
+        *[f"_lsum_{i}" for i in range(len(vcols))],
+        *[f"_poffset_{i}" for i in range(len(vcols))],
     )
 
 

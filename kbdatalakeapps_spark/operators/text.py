@@ -635,3 +635,68 @@ def tfidf_vectors(
             .alias("weight_norm"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 50,
+    ngram: int = 1,
+) -> DataFrame:
+    """Search-index export: one row per retained term with its
+    document frequency, total term frequency, and the posting list as
+    a canonical sorted ``doc:tf`` string — what a lake materializes
+    when feeding an external search engine from a curated corpus.
+    ``ngram=2`` indexes adjacent-token phrases instead of unigrams
+    (phrase search; also the useful grain when the unigram vocabulary
+    is tiny and every word is effectively a stopword).
+
+    Terms outside [min_df, max_df] are dropped BEFORE the posting
+    string concatenates: the df ceiling is the scale guard (a stopword
+    posting list is O(corpus) in ONE cell — the same unbounded-cell
+    hazard as an LSH hot bucket; route high-df terms to the bm25/
+    vocab-stats aggregates instead, which never materialize per-doc
+    lists).  Two shuffles: (term, doc) tf counts with map-side
+    combine, then term-level aggregation (the phrase form adds the
+    per-doc adjacency window, bounded by document length); the posting
+    array sorts lexicographically (engine-portable string order)
+    inside the aggregated cell."""
+    if ngram not in (1, 2):
+        raise ValueError("ngram must be 1 or 2")
+    if ngram == 1:
+        toks = df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("token")
+        )
+    else:
+        t = df.select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "_w")
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        toks = (
+            t.withColumn("_nxt", F.lead("_w").over(w))
+            .filter(F.col("_nxt").isNotNull())
+            .select(
+                F.col(id_col),
+                F.concat_ws(" ", F.col("_w"), F.col("_nxt")).alias("token"),
+            )
+        )
+    tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("_tf"))
+    agg = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("_tf").alias("total_tf"),
+        F.array_sort(
+            F.collect_list(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.col("_tf"))
+            )
+        ).alias("_plist"),
+    )
+    return agg.filter(
+        (F.col("doc_freq") >= min_df) & (F.col("doc_freq") <= max_df)
+    ).select(
+        "token",
+        "doc_freq",
+        "total_tf",
+        F.concat_ws(",", F.col("_plist")).alias("postings"),
+    )

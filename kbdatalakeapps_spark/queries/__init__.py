@@ -27,6 +27,7 @@ from . import timeseries  # noqa: F401,E402
 from . import basket  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402
 from . import mleval  # noqa: F401,E402
+from . import linkage  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
@@ -184,4 +185,7 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ml_target_encode",
     "ts_max_concurrency",
     "dq_k_anonymity",
+    "ml_pr_curve",
+    "tx_inverted_index",
+    "er_record_linkage",
 ]

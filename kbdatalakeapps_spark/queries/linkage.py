@@ -1,0 +1,120 @@
+"""Entity-resolution query (operators/linkage.py): match the customer
+registry against a deterministically-derived second "source system"
+(50% hash-sampled, rounded balances, 10% of nation codes mis-keyed —
+the classic dirty-copy shape) via blocked candidate generation and
+Fellegi-Sunter integer field weights.
+
+Everything is derived with the portable md5 hash and exact integer
+scoring, so the full pipeline — perturbation, blocking, scoring,
+tiering — replays in DuckDB for a hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.sources import load_table
+from ..operators.linkage import block_candidates, fellegi_sunter_score
+from .registry import query
+
+
+def _h(key: Column, salt: str) -> Column:
+    """Portable md5 integer hash (the sp_hash_split idiom)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+@query(
+    "er_record_linkage",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey AS a_id,
+               regexp_extract(c_name, '([0-9]+)$', 1)::BIGINT AS a_ent,
+               c_nationkey AS nation,
+               c_acctbal AS a_bal,
+               c_mktsegment AS a_seg
+        FROM customer
+    ),
+    b AS (
+        SELECT c_custkey + 9000000 AS b_id,
+               regexp_extract(c_name, '([0-9]+)$', 1)::BIGINT AS b_ent,
+               CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || 'ern'),
+                                         1, 15))::BIGINT % 10 = 0
+                    THEN (c_nationkey + 1) % 25
+                    ELSE c_nationkey END AS nation,
+               ROUND(c_acctbal) AS b_bal,
+               c_mktsegment AS b_seg
+        FROM customer
+        WHERE ('0x' || substr(md5(c_custkey::VARCHAR || 'erb'),
+                              1, 15))::BIGINT % 2 = 0
+    ),
+    cand AS (SELECT * FROM a JOIN b USING (nation)),
+    scored AS (
+        SELECT a_id, b_id,
+               (CASE WHEN a_ent = b_ent THEN 24 ELSE -8 END
+                + CASE WHEN ABS(a_bal - b_bal) <= 0.5 THEN 6 ELSE -2 END
+                + CASE WHEN a_seg = b_seg THEN 3 ELSE -1 END) AS score
+        FROM cand
+    )
+    SELECT a_id, b_id, score,
+           CASE WHEN score >= 20 THEN 'match'
+                WHEN score >= 8 THEN 'possible'
+                ELSE 'non_match' END AS tier
+    FROM scored
+    WHERE score >= 8
+    ORDER BY a_id, b_id LIMIT 5000
+    """,
+)
+def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage customer ↔ derived system B: block on
+    the (possibly mis-keyed) nation code, score with Fellegi-Sunter
+    integer weights over entity-number / balance-proximity / segment
+    agreement, keep match+possible tiers.  The 10% nation mis-keys are
+    the measured blocking-recall loss — the docstring of
+    operators/linkage.py explains why production blocking composes
+    keys instead of trusting one field."""
+    c = load_table(spark, sf_dir, "customer")
+    ent = F.regexp_extract(F.col("c_name"), r"([0-9]+)$", 1).cast("bigint")
+    a = c.select(
+        F.col("c_custkey").alias("a_id"),
+        ent.alias("a_ent"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").alias("a_bal"),
+        F.col("c_mktsegment").alias("a_seg"),
+    )
+    b = (
+        c.filter(_h(F.col("c_custkey"), "erb") % 2 == 0)
+        .select(
+            (F.col("c_custkey") + 9_000_000).alias("b_id"),
+            ent.alias("b_ent"),
+            F.when(
+                _h(F.col("c_custkey"), "ern") % 10 == 0,
+                (F.col("c_nationkey") + 1) % 25,
+            )
+            .otherwise(F.col("c_nationkey"))
+            .alias("nation"),
+            F.round(F.col("c_acctbal")).alias("b_bal"),
+            F.col("c_mktsegment").alias("b_seg"),
+        )
+    )
+    cand = block_candidates(a, b, ["nation"])
+    scored = fellegi_sunter_score(
+        cand,
+        [
+            ("ent", F.col("a_ent") == F.col("b_ent"), 24, 8),
+            ("bal", F.abs(F.col("a_bal") - F.col("b_bal")) <= 0.5, 6, 2),
+            ("seg", F.col("a_seg") == F.col("b_seg"), 3, 1),
+        ],
+        match_threshold=20,
+        possible_threshold=8,
+    )
+    return (
+        scored.filter(F.col("score") >= 8)
+        .select("a_id", "b_id", "score", "tier")
+        .orderBy("a_id", "b_id")
+        .limit(5000)
+    )

@@ -206,3 +206,47 @@ def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return target_encode_oof(base, "brand", "target", "fold", k_folds=4)
+
+
+@query(
+    "ml_pr_curve",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    g AS (
+        SELECT score AS s,
+               SUM(label) AS pos,
+               COUNT(*) - SUM(label) AS neg
+        FROM scored GROUP BY score
+    ),
+    c AS (
+        SELECT s, pos, neg,
+               COALESCE(SUM(pos) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS pb,
+               COALESCE(SUM(neg) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS nb
+        FROM g
+    ),
+    t AS (SELECT SUM(pos) AS np, SUM(neg) AS nn FROM g)
+    SELECT s AS threshold,
+           CAST(np - pb AS BIGINT) AS tp,
+           CAST(nn - nb AS BIGINT) AS fp,
+           CAST(pb AS BIGINT) AS fn,
+           CAST(np - pb AS DOUBLE)
+               / CAST((np - pb) + (nn - nb) AS DOUBLE) AS prec,
+           CAST(np - pb AS DOUBLE) / CAST(np AS DOUBLE) AS rec
+    FROM c, t ORDER BY s DESC LIMIT 200
+    """,
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision/recall points at the 200 highest score
+    thresholds (operators/mleval.py::pr_curve): per-score counts, one
+    two-phase strict-prefix pass carrying BOTH running sums, exact
+    integer tp/fp/fn with single-division doubles — the oracle is the
+    naive global-window form."""
+    from ..operators.mleval import pr_curve
+
+    return pr_curve(_scored(spark, sf_dir), "score", "label", top_thresholds=200)

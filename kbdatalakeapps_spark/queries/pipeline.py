@@ -1203,3 +1203,52 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             edge(e, c, "user_id", "c_custkey", "events.user_id->customer")
         )
     )
+
+
+@query(
+    "tx_inverted_index",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, tk[t.i] || ' ' || tk[t.i + 1] AS token
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(tk) - 1)) AS i) t
+    ),
+    tf AS (
+        SELECT token, doc_id, COUNT(*)::BIGINT AS tf
+        FROM bg GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT token,
+               COUNT(*)::BIGINT AS doc_freq,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               list_sort(list(doc_id::VARCHAR || ':' || tf::VARCHAR))
+                   AS plist
+        FROM tf GROUP BY token
+    )
+    SELECT token, doc_freq, total_tf,
+           array_to_string(plist, ',') AS postings
+    FROM agg
+    WHERE doc_freq BETWEEN 2 AND 50
+    ORDER BY token LIMIT 5000
+    """,
+)
+def tx_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase (bigram) inverted-index export: term → document
+    frequency, total term frequency, and the canonical sorted
+    ``doc:tf`` posting string, df-capped so no cell is O(corpus)
+    (operators/text.py::inverted_index).  The bigram grain matters on
+    this corpus: the unigram vocabulary is ~31 words with df ≥ 25% of
+    all docs — every unigram is a stopword, exactly the case the
+    max_df guard exists for."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        tx.inverted_index(d, min_df=2, max_df=50, ngram=2)
+        .orderBy("token")
+        .limit(5000)
+    )

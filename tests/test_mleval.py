@@ -200,3 +200,98 @@ def test_auc_exact_u2_is_decimal_closed(spark):
     out = auc_exact(df, "score", "label")
     assert dict(out.dtypes)["u2"] == "decimal(38,0)"
     assert out.collect()[0]["u2"] == Decimal(2)
+
+
+def test_pr_curve_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(5)
+    pairs = [(round(rng.random(), 1), rng.randint(0, 1)) for _ in range(300)]
+    df = spark.createDataFrame(pairs, "score double, label int")
+    from kbdatalakeapps_spark.operators.mleval import pr_curve
+
+    rows = pr_curve(df, "score", "label", top_thresholds=50).collect()
+    n_pos = sum(y for _, y in pairs)
+    for r in rows:
+        t = r["threshold"]
+        tp = sum(1 for s, y in pairs if s >= t and y == 1)
+        fp = sum(1 for s, y in pairs if s >= t and y == 0)
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, n_pos - tp)
+        assert r["prec"] == pytest.approx(tp / (tp + fp), abs=1e-12)
+        assert r["rec"] == pytest.approx(tp / n_pos, abs=1e-12)
+    # thresholds descend and are distinct
+    ts = [r["threshold"] for r in rows]
+    assert ts == sorted(set(ts), reverse=True)
+
+
+def test_inverted_index_postings(spark):
+    from kbdatalakeapps_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, "beta gamma"),
+            (3, "alpha beta beta stop stop"),
+            (4, "stop"),
+            (5, "stop"),
+            (6, "stop"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["token"]: r
+        for r in inverted_index(docs, min_df=2, max_df=3).collect()
+    }
+    # 'stop' has df=4 > max_df → excluded; 'gamma' df=1 < min_df
+    assert set(out) == {"alpha", "beta"}
+    assert out["alpha"]["doc_freq"] == 2
+    assert out["alpha"]["total_tf"] == 3
+    assert out["alpha"]["postings"] == "1:2,3:1"
+    assert out["beta"]["postings"] == "1:1,2:1,3:2"
+
+
+def test_inverted_index_bigrams(spark):
+    from kbdatalakeapps_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["token"]: r["postings"]
+        for r in inverted_index(docs, min_df=1, max_df=10, ngram=2).collect()
+    }
+    assert out == {"a b": "1:1,2:1", "b c": "1:1,3:1"}
+
+
+def test_fellegi_sunter_tiers(spark):
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.linkage import fellegi_sunter_score
+
+    cand = spark.createDataFrame(
+        [
+            (1, 1, 1, 1),   # all agree: 10+5+2 = 17 → match
+            (2, 1, 1, 0),   # 10+5-1  = 14 → possible
+            (3, 0, 1, 1),   # -4+5+2 = 3  → non_match
+        ],
+        "pid long, f1 int, f2 int, f3 int",
+    )
+    out = {
+        r["pid"]: (r["score"], r["tier"])
+        for r in fellegi_sunter_score(
+            cand,
+            [
+                ("f1", F.col("f1") == 1, 10, 4),
+                ("f2", F.col("f2") == 1, 5, 2),
+                ("f3", F.col("f3") == 1, 2, 1),
+            ],
+            match_threshold=16,
+            possible_threshold=10,
+        ).collect()
+    }
+    assert out == {
+        1: (17, "match"),
+        2: (14, "possible"),
+        3: (3, "non_match"),
+    }

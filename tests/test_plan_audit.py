@@ -56,6 +56,8 @@ _BNLJ_OK = {
     "sky_pareto_parts",
     "ml_target_encode",       # 1-row global-prior scalar onto the
                               # #categories × K encoding grid
+    "ml_pr_curve",            # 1-row totals scalar onto the
+                              # per-threshold frame
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is
@@ -79,6 +81,7 @@ _GLOBAL_WINDOW_OK = {
     "a29_pareto_report",      # window over the 25-row brand aggregate
     "ml_auc_rank",            # grouped_prefix_sum(group=∅) offsets
                               # window over the ≤ #buckets totals frame
+    "ml_pr_curve",            # same offsets frame
 }
 
 
