@@ -18,6 +18,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kbdatalakeapps_spark.session import get_spark  # noqa: E402
 from kbdatalakeapps_spark.queries import QUERIES  # noqa: E402
+from kbdatalakeapps_spark.queries.extended import sim_ivf_topk_build  # noqa: E402
+
+# Bench-only callables that keep a key's workload round-over-round
+# comparable after its registry entry changed semantics: the
+# `sim_ivf_topk` key has always measured index BUILD (k-means) +
+# query, so it keeps doing that via the unregistered free-clustering
+# form even though the registered query is now the fixed-centroid
+# oracled variant (round 5, VERDICT r4 #2).
+_BENCH_OVERRIDES = {
+    "sim_ivf_topk": sim_ivf_topk_build,
+}
 
 # Headline set: one per operator family that dominates runtime at scale.
 BENCH_QUERIES = [
@@ -89,10 +100,35 @@ REPEAT_QUERIES = {
     "sim_ivf_topk",
     "gr_pagerank",
     "gr_triangle_count",
+    # VERDICT r4 perf section: these four drifted 1.3-1.5× in the r4
+    # driver bench vs the builder's flat solo run — n=2 medians settle
+    # ambient-load vs real regression round-over-round
+    "f20_json_flatten",
+    "sp_pack_sequences",
+    "tx_language_id",
+    "dd_embedding_neardup",
 }
 
 
+def _quarantine_stderr() -> None:
+    """Re-point fd 2 at a log file BEFORE the JVM launches, so Spark's
+    stderr chatter (DAGScheduler races, GC notes) can never interleave
+    with the single JSON result line a caller parses from this process
+    (BENCH_r04's `tail` caught exactly that — VERDICT r4 #4).  The JVM
+    inherits the redirected fd at fork, so this covers Java-side logs
+    too, not just Python's sys.stderr."""
+    log_path = os.environ.get("SPARK_GRAFT_BENCH_LOG", "/tmp/bench_spark_stderr.log")
+    try:
+        fd = os.open(log_path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+        os.dup2(fd, 2)
+        os.close(fd)
+        sys.stderr = os.fdopen(2, "w", buffering=1)
+    except OSError:
+        pass  # unwritable log path: keep stderr rather than crash the bench
+
+
 def main() -> None:
+    _quarantine_stderr()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -135,9 +171,10 @@ def main() -> None:
         # variance documented in NOTES.md.
         runs = 2 if name in REPEAT_QUERIES else 1
         samples = []
+        fn = _BENCH_OVERRIDES.get(name, QUERIES.get(name))
         for _ in range(runs):
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sum(samples) / len(samples), 3)

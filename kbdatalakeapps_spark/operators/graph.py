@@ -23,31 +23,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import materializer
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 10,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable via edges.
     Deterministic; isolated endpoints never listed in ``edges`` must be
     handled by the caller (left-join the full id set).
 
+    ``checkpoint_dir``: reliable checkpoint directory for the
+    per-round lineage cuts (preemptible-cluster posture — see
+    operators/checkpointing.py); default is executor-local.
+
     Raises if not converged within ``max_iterations`` (diameter larger
     than expected — raise the bound)."""
+    mat = materializer(checkpoint_dir)
     # undirected: symmetrize once
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    adj = sym.distinct().localCheckpoint(eager=False)
+    adj = mat(sym.distinct())
 
-    labels = (
+    labels = mat(
         adj.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         # candidate label per node: min over neighbors' labels and own
@@ -56,13 +63,12 @@ def connected_components(
             .groupBy(adj.u.alias("id"))
             .agg(F.min("lbl").alias("nlbl"))
         )
-        updated = (
+        updated = mat(
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=False)
         )
         changed = (
             updated.alias("n")
@@ -85,12 +91,13 @@ def keeper_assignment(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, keeper, is_keeper): every document mapped to its dedup
     group's minimum id; documents with no near-dup edge keep
     themselves.  Compose after any *_pairs operator to materialize the
     dedup decision."""
-    comp = connected_components(pairs, src, dst)
+    comp = connected_components(pairs, src, dst, checkpoint_dir=checkpoint_dir)
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")
@@ -281,6 +288,7 @@ def pagerank_fixed_point(
     src: str = "src",
     dst: str = "dst",
     broadcast_ranks: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list in int64 fixed point —
     every arithmetic step is integer (`div` truncation), so the
@@ -307,14 +315,12 @@ def pagerank_fixed_point(
     (BroadcastNestedLoopJoin of a scalar — the allow-listed shape), so
     the whole plan stays lazy: no driver count.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=False
-    )
-    nodes = (
+    mat = materializer(checkpoint_dir)
+    e = mat(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    nodes = mat(
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -322,7 +328,7 @@ def pagerank_fixed_point(
     # ONCE (one co-partitioned join, checkpointed) so each round does a
     # single join + agg instead of two joins — measured ~1/3 off the
     # per-iteration cost at sf0.1
-    e_w = e.join(outdeg, "src").localCheckpoint(eager=False)
+    e_w = mat(e.join(outdeg, "src"))
     teleport_num = scale * (damping_den - damping_num)
     pr = nodes.crossJoin(F.broadcast(n_row)).select(
         "id",
@@ -348,7 +354,7 @@ def pagerank_fixed_point(
             .groupBy("id")
             .agg(F.sum("_c").alias("_in"))
         )
-        pr = (
+        pr = mat(
             pr.join(contrib, "id", "left")
             .select(
                 "id",
@@ -358,7 +364,6 @@ def pagerank_fixed_point(
                     + F.coalesce(F.col("_in"), F.lit(0))
                 ).alias("rank_fp"),
             )
-            .localCheckpoint(eager=False)
         )
     return pr.select(
         "id",
@@ -374,6 +379,7 @@ def bfs_min_distance(
     src: str = "src",
     dst: str = "dst",
     id_col: str = "id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, dist) — fewest hops from any seed node, for every node
     reachable within ``max_hops`` (edges used as given: symmetrize
@@ -394,9 +400,8 @@ def bfs_min_distance(
     across engines (gr_khop_distance's oracle replays it) — the same
     exactness idiom as pagerank_fixed_point.
     """
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    mat = materializer(checkpoint_dir)
+    e = mat(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     dist = (
         seeds.select(F.col(id_col).alias("id"))
         .distinct()
@@ -409,11 +414,10 @@ def bfs_min_distance(
             .join(e, frontier["id"] == e["src"])
             .select(F.col("dst").alias("id"), F.lit(t).alias("dist"))
         )
-        dist = (
+        dist = mat(
             dist.unionByName(cand)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
         )
         frontier = dist.filter(F.col("dist") == t).select("id")
     return dist

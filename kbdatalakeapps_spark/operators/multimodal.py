@@ -389,8 +389,20 @@ def _decode_jpeg_inner(d: bytes):
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
+            # name the encoding so curation pipelines can ROUTE on the
+            # message (progressive is the common real-world miss)
+            kinds = {
+                0xC1: "extended sequential", 0xC2: "progressive",
+                0xC3: "lossless", 0xC5: "differential sequential",
+                0xC6: "differential progressive", 0xC7: "differential lossless",
+                0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
+                0xCB: "arithmetic lossless", 0xCD: "differential arithmetic sequential",
+                0xCE: "differential arithmetic progressive",
+                0xCF: "differential arithmetic lossless",
+            }
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline (SOF0) supported"
+                f"JPEG SOF{marker - 0xC0} ({kinds[marker]}): only "
+                "baseline (SOF0) supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .checkpointing import materializer
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
@@ -632,6 +634,7 @@ def semantic_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster-blocked semantic near-duplicate pairs (SemDeDup, Abbas
     et al. 2023, arXiv:2303.09540): assign every vector to its nearest
@@ -648,7 +651,7 @@ def semantic_dup_pairs(
     sub-block the offending cluster with sign_bucket.
     """
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    assigned = _assign_nearest(v, centroids).localCheckpoint(eager=False)
+    assigned = materializer(checkpoint_dir)(_assign_nearest(v, centroids))
     a = assigned.select(
         "centroid_id", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
     )
@@ -675,6 +678,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup: drop every row whose embedding is ≥ threshold cosine
     to an EARLIER-id row in the same k-means cluster (greedy keep-first
@@ -690,7 +694,8 @@ def semantic_dedup(
             df, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col
         )
     dropped = (
-        semantic_dup_pairs(df, centroids, threshold, vec_col, id_col)
+        semantic_dup_pairs(df, centroids, threshold, vec_col, id_col,
+                           checkpoint_dir=checkpoint_dir)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

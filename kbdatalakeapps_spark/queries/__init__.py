@@ -31,84 +31,76 @@ from . import linkage  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
-#: Round-4 rotation: all 46 queries that have NEVER carried a hard
-#: driver signal (VERDICT r3's 41 + the two given-centroids assign
-#: splits + round-4's audio/PQ/video queries), plus 3 previously-green
-#: sentinels (ADVICE r3: keep regression signal on already-verified
-#: queries).  50/50 green here ⇒ every registered query except
-#: PENDING_NEXT_WINDOW has cumulative driver-oracle proof
-#: (tools/verification_ledger.json tracks it; tests/test_ledger.py
-#: enforces it).
+#: Round-5 rotation (VERDICT r4 "Next round" #1): flagship + 49 of the
+#: 56 never-driver-checked queries — the 48 that were pre-verified
+#: 48/48 on a vanilla session at end of round 4 (NOTES: round-5
+#: pre-verification DONE) plus ml_auc_rank from the late round-4
+#: additions.  The remaining 7 late additions, plus the two queries
+#: being re-pointed at fixed-centroid oracled forms this round
+#: (dd_semantic_dedup / sim_ivf_topk — VERDICT r4 #2), queue in
+#: PENDING_NEXT_WINDOW for round 6.  No sentinel slots this round:
+#: clearing the verification backlog takes priority, and every
+#: previously-green query stays covered by tests/test_oracle_parity.py
+#: plus bench every run.
 DRIVER_WINDOW: list[str] = [
     "flagship_order_revenue",
-    # viewer stats extensions (reference stats dialog)
-    "a18_histogram",
-    "a19_skew_diagnosis",
-    "a20_cube",
-    "a20_group_percentiles",
-    "a21_corr_stats",
-    "a22_table_profile",
-    "a22_zscore_outliers",
-    "a23_rollup_state",
-    # dedup tail
-    "dd_contamination",
-    "dd_dedup_corpus",
-    "dd_embedding_neardup",
-    "dd_incremental_dedup",
-    "dd_keeper_assignment",
-    "dd_semantic_dedup",
-    "dd_sorted_neighborhood",
-    # data-quality audit
-    "dq_referential_audit",
-    # multimodal
-    "mm_content_stats",
-    "mm_extract_features",
-    "mm_resize_images",
-    "mm_sample_frames",
-    # reshape / range join
-    "r3_melt",
-    "r4_map_explode",
-    "r5_range_join",
-    # REST bulk-list enrichment
-    "s11_kegg_enrichment",
-    # similarity / ANN
-    "sim_cosine_topk",
-    "sim_embedding_norms",
-    "sim_ivf_topk",
-    "sim_lsh_bucket_counts",
-    "sim_mean_pool",
-    # sketch tail
-    "sk_bloom_prefilter",
-    "sk_cms_heavy_hitters",
-    # sampled quantiles (A14 scale path)
-    "sp_quantile_sample",
-    # text-analysis tail
-    "tx_bm25_search",
-    "tx_chunk_documents",
-    "tx_hybrid_rrf",
-    "tx_line_dedup",
-    "tx_ngram_counts",
-    "tx_pii_scrub",
-    "tx_quality_filter",
-    "tx_repetition",
-    "tx_vocab_stats",
-    # given-centroids halves of the two rows-only queries (full hash
-    # oracles — the iterative k-means stays rows-only by nature)
-    "dd_semantic_dedup_assign",
-    "sim_ivf_assign_topk",
-    # round-4 additions (never driver-checked): real WAV decode
-    # features, PQ encode/ADC under a fixed codebook, and the real
-    # MJPEG-AVI frame-sampling path
-    "mm_audio_features",
-    "sim_pq_assign_topk",
-    "mm_video_frames",
-    # sentinels: previously driver-green, re-checked for regressions
-    # (one per major plan family, biased toward the highest-risk
-    # plans; j5/j8/p10 ceded their slots to the round-4 queries — all
-    # stay covered by bench + the serving matrix tests every run)
-    "dd_minhash_lsh_pairs",
-    "r1_ontology_style_pivot",
-    "a14_column_stats",
+    # training-pipeline tail (sampling / curation / SCD2)
+    "sp_epoch_shuffle",
+    "s17_scd2_merge",
+    "mm_image_features",
+    "tx_bpe_char_tokens",
+    "sp_domain_cap",
+    "tx_normalize_text",
+    "tx_bigram_counts",
+    "dd_containment",
+    "pl_corpus_curation",
+    "mm_image_neardup",
+    "a24_rollup_quantiles",
+    "sim_ivfpq_topk",
+    "ly_zorder_keys",
+    # graph analytics family
+    "gr_degree_distribution",
+    "gr_triangle_count",
+    "gr_pagerank",
+    "gr_clustering_coeff",
+    "gr_khop_distance",
+    "gr_link_prediction",
+    # embedding ops
+    "sim_random_projection",
+    "sim_pca_covariance",
+    # time-series / hypertable
+    "ts_gapfill_ffill",
+    "ts_gapfill_interp",
+    "ts_cohort_retention",
+    "ts_event_debounce",
+    "ts_cusum_changepoint",
+    "ts_attribution",
+    "ts_activity_islands",
+    "ts_event_paths",
+    # dedup / streaming-twin tails
+    "dd_editdist_pairs",
+    "st_event_transitions",
+    # market-basket / analytics
+    "mb_assoc_rules",
+    "mb_item_cosine",
+    "mb_rfm_segments",
+    "a25_mad_outliers",
+    "a26_group_regression",
+    "a27_weighted_median",
+    "a29_pareto_report",
+    "sp_equidepth_bins",
+    "tx_tfidf_vectors",
+    "sky_pareto_parts",
+    # CDC / sinks / data-quality audits
+    "s18_snapshot_diff",
+    "s19_sink_roundtrip",
+    "dq_drift_chisq",
+    "dq_ks_drift",
+    "dq_ab_welch",
+    "dq_benford_digits",
+    "dq_uniqueness_audit",
+    # first of the late round-4 additions (rest queue for round 6)
+    "ml_auc_rank",
 ]
 
 
@@ -125,62 +117,16 @@ def _reorder() -> None:
 _reorder()
 assert len(DRIVER_WINDOW) == 50
 
-#: Queries registered AFTER this round's window froze: they carry repo
-#: oracle parity (tests/test_oracle_parity.py) now and MUST be rotated
-#: into round-5's DRIVER_WINDOW — tests/test_ledger.py enforces that
-#: every registered query is ledger-verified, windowed, or listed here.
+#: Queries with no recorded driver signal that did not fit this
+#: round's window: they carry repo oracle parity
+#: (tests/test_oracle_parity.py) every run and MUST lead round-6's
+#: DRIVER_WINDOW — tests/test_ledger.py enforces that every registered
+#: query is ledger-verified, windowed, or listed here, and that no
+#: query sits here for more than one round.  dd_semantic_dedup /
+#: sim_ivf_topk re-enter because round 5 re-pointed them at
+#: fixed-centroid fully-oracled forms (VERDICT r4 #2) — their prior
+#: driver record was `err: no_oracle`, i.e. no signal.
 PENDING_NEXT_WINDOW: list[str] = [
-    "sp_epoch_shuffle",
-    "s17_scd2_merge",
-    "mm_image_features",
-    "tx_bpe_char_tokens",
-    "sp_domain_cap",
-    "tx_normalize_text",
-    "tx_bigram_counts",
-    "dd_containment",
-    "pl_corpus_curation",
-    "mm_image_neardup",
-    "a24_rollup_quantiles",
-    "sim_ivfpq_topk",
-    "ly_zorder_keys",
-    "gr_degree_distribution",
-    "gr_triangle_count",
-    "gr_pagerank",
-    "sim_random_projection",
-    "sim_pca_covariance",
-    "ts_gapfill_ffill",
-    "ts_gapfill_interp",
-    "dd_editdist_pairs",
-    "st_event_transitions",
-    "mb_assoc_rules",
-    "a25_mad_outliers",
-    "sp_equidepth_bins",
-    "gr_clustering_coeff",
-    "tx_tfidf_vectors",
-    "gr_khop_distance",
-    "sky_pareto_parts",
-    "s18_snapshot_diff",
-    "a26_group_regression",
-    "dq_drift_chisq",
-    "mb_item_cosine",
-    "dq_ks_drift",
-    "dq_ab_welch",
-    "ts_cohort_retention",
-    "gr_link_prediction",
-    "ts_event_debounce",
-    "ts_cusum_changepoint",
-    "s19_sink_roundtrip",
-    "a27_weighted_median",
-    "ts_attribution",
-    "mb_rfm_segments",
-    "ts_activity_islands",
-    "dq_benford_digits",
-    "ts_event_paths",
-    "dq_uniqueness_audit",
-    "a29_pareto_report",
-    # registered after the round-5 rotation filled up (48 + flagship):
-    # these queue for the round-6 window
-    "ml_auc_rank",
     "ml_calibration_bins",
     "ml_target_encode",
     "ts_max_concurrency",
@@ -188,4 +134,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ml_pr_curve",
     "tx_inverted_index",
     "er_record_linkage",
+    "dd_semantic_dedup",
+    "sim_ivf_topk",
 ]

@@ -370,3 +370,43 @@ def test_local_clustering_vs_bruteforce(spark):
         coeff = 0.0 if d < 2 else 2 * t / (d * (d - 1))
         assert got[v] == (d, t, coeff), v
     assert len(got) == len(adj)
+
+
+def test_reliable_checkpoint_parity(spark, tmp_path):
+    """checkpoint_dir= swaps WHERE the per-round lineage cuts live
+    (executor-local blocks → reliable checkpoint files) without
+    changing results — the preemptible-cluster posture from
+    operators/checkpointing.py (VERDICT r4 #3).  Results must be
+    identical, and the reliable run must actually write checkpoint
+    data under the requested directory."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20), (5, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {r.id: r.component for r in connected_components(df).collect()}
+    ckpt = str(tmp_path / "ckpt")
+    reliable = {
+        r.id: r.component
+        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == local
+    import os
+
+    found = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckpt)
+        for f in files
+    ]
+    assert found, "reliable checkpoint dir is empty — localCheckpoint was used"
+
+    from kbdatalakeapps_spark.operators.graph import pagerank_fixed_point
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    pr_local = {r.id: r.rank_fp for r in pagerank_fixed_point(e, iterations=2).collect()}
+    pr_rel = {
+        r.id: r.rank_fp
+        for r in pagerank_fixed_point(
+            e, iterations=2, checkpoint_dir=str(tmp_path / "ckpt2")
+        ).collect()
+    }
+    assert pr_rel == pr_local

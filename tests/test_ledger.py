@@ -82,3 +82,32 @@ def test_pending_queries_are_not_already_covered():
     assert not stale, (
         f"PENDING_NEXT_WINDOW entries already covered or unknown: {stale}"
     )
+
+
+def test_pending_queries_age_out_within_one_round():
+    """VERDICT r4 #5: a query may not sit in PENDING_NEXT_WINDOW for
+    more than one round — pending debt must drain into the very next
+    window, never accumulate.  tools/pending_history.json records the
+    pending list as of each round (current round = max ledger round +
+    1); the current list must (a) be recorded for this round and (b)
+    share no name with the previous round's recorded list."""
+    hist_path = os.path.join(os.path.dirname(_LEDGER), "pending_history.json")
+    with open(hist_path) as f:
+        hist = json.load(f)
+    led = _ledger()
+    current_round = max(e["round"] for entries in led.values() for e in entries) + 1
+    key = str(current_round)
+    assert key in hist, (
+        f"tools/pending_history.json has no entry for round {current_round} — "
+        "record the current PENDING_NEXT_WINDOW there when rotating"
+    )
+    assert sorted(hist[key]) == sorted(PENDING_NEXT_WINDOW), (
+        "pending_history.json is stale for this round — it must mirror "
+        "queries/__init__.PENDING_NEXT_WINDOW"
+    )
+    prev = set(hist.get(str(current_round - 1), []))
+    overdue = sorted(prev & set(PENDING_NEXT_WINDOW))
+    assert not overdue, (
+        f"queries pending for a second consecutive round: {overdue} — "
+        "they MUST lead this round's DRIVER_WINDOW"
+    )

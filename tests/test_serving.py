@@ -298,3 +298,31 @@ def test_mad_outliers_robust_to_contamination(spark):
         for r in mad_outliers_df(df.repartition(13), "v", threshold=3.5).collect()
     }
     assert got2 == got
+
+
+def test_column_stats_auto_switches_on_estimated_size(spark):
+    """VERDICT r4 #6: the serving tier defaults to the portable
+    sketched stats path once a table's estimated row count crosses the
+    threshold, with exact stats below it (and available by opting in
+    via column_stats directly)."""
+    from kbdatalakeapps_spark.serving import (
+        column_stats_auto,
+        estimated_row_count,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    est = estimated_row_count(df)
+    assert est > 0
+
+    exact = column_stats_auto(df, "v", "k", approx_row_threshold=10**9)
+    assert exact["method"] == "exact"
+    assert exact["total_count"] == 2000 and exact["distinct_count"] == 97
+
+    sk = column_stats_auto(df, "v", "k", approx_row_threshold=est - 1)
+    assert sk["method"] == "sketched"
+    assert sk["total_count"] == 2000
+    assert sk["min"] == 0.0 and sk["max"] == 96.0
+    # KMV estimate in a sane band around the true 97
+    assert 60 <= sk["distinct_count"] <= 140
