@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def char_shingles(col: str, k: int = 3) -> Column:
@@ -1093,4 +1094,72 @@ def edit_distance_pairs(
         .withColumn("dist", F.levenshtein("_sa", "_sb").cast("int"))
         .filter(F.col("dist") <= k)
         .select("id_a", "id_b", "dist")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring span detection (the "dedup training
+    data at the substring level" operator): find every maximal token
+    span of length >= ``k`` whose every ``k``-gram also occurs in at
+    least ``min_docs`` distinct documents, i.e. the spans an
+    exact-substring dedup pass would cut (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — suffix-array dedup;
+    reference corpus-prep scope: lib/src tooling builds per-genome
+    tables but has no cross-document substring pass, so this is the
+    engine-extension form).
+
+    Returns (doc_id, span_start, span_end, span_tokens): 0-based token
+    offsets of each maximal duplicated span, built by gaps-and-islands
+    over the covered k-gram start positions.
+
+    Scale posture: the only corpus-sized shuffles are (1) the k-gram
+    document-frequency aggregation (map-side partial counts on the
+    gram key; a background-hot gram is one skewed reduce key — AQE
+    skew split handles it, and ``min_docs`` keeps the join-back side
+    small relative to the gram table) and (2) the join of gram
+    positions against the hot-gram set on the same key.  The
+    gaps-and-islands window partitions by document, so its frame is
+    bounded by document length — never a global window.  No suffix
+    array is materialized: the k-gram table IS the (fixed-depth)
+    suffix index, at k tokens of context per entry."""
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    toks = docs.select(
+        F.col(id_col).alias("_id"), w.alias("_w")
+    ).filter(F.size("_w") >= k)
+    grams = toks.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(_w) - {k}),"
+                f" i -> concat_ws(' ', slice(_w, i + 1, {k})))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+    covered = grams.join(hot, "gram").select("_id", "pos")
+    win = Window.partitionBy("_id").orderBy("pos")
+    return (
+        covered.withColumn("_grp", F.col("pos") - F.row_number().over(win))
+        .groupBy("_id", "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k - 1).cast("bigint").alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
     )

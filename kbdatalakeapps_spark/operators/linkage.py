@@ -73,3 +73,74 @@ def fellegi_sunter_score(
         .otherwise(F.lit("non_match"))
     )
     return out.withColumn(tier_col, tier)
+
+
+def blocking_metrics(
+    a: DataFrame,
+    b: DataFrame,
+    block_cols: list[str],
+    true_key_a: str,
+    true_key_b: str,
+) -> DataFrame:
+    """Blocking-quality report for a linkage pipeline: how much of the
+    |A|·|B| pair space the blocking keys prune (reduction ratio) and
+    what fraction of TRUE matches survives the pruning (pairs
+    completeness / blocking recall) — the two standard metrics tuned
+    before running the comparator stage at scale (Christen, "Data
+    Matching", ch. 4).  Ground truth is key equality
+    ``true_key_a = true_key_b`` (an entity id both sides carry in
+    evaluation settings).
+
+    Returns ONE row: n_a, n_b, candidate_pairs, total_pairs
+    (DECIMAL(38,0) — n_a·n_b overflows BIGINT at ~3·10^9 a side),
+    reduction_ratio, true_matches, captured_matches,
+    pairs_completeness.  Ratios are single fixed IEEE division trees.
+
+    Scale posture: three equi-joins/aggregates (blocking join counted
+    with a map-side-combinable agg, truth join on the entity key) and
+    a cross of FOUR one-row aggregates — constant-size broadcast
+    nested loops, the documented scalar-cap shape.  Candidate COUNTS
+    are aggregated, never materialized."""
+    truth_pred = F.col(true_key_a) == F.col(true_key_b)
+    na = a.agg(F.count("*").cast("bigint").alias("n_a"))
+    nb = b.agg(F.count("*").cast("bigint").alias("n_b"))
+    cand = a.join(b, block_cols, "inner").agg(
+        F.count("*").cast("bigint").alias("candidate_pairs"),
+        F.sum(F.when(truth_pred, 1).otherwise(0))
+        .cast("bigint")
+        .alias("captured_matches"),
+    )
+    truth = (
+        a.join(b, truth_pred, "inner")
+        .agg(F.count("*").cast("bigint").alias("true_matches"))
+    )
+    one = (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(truth))
+    )
+    total = (
+        F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)")
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        "candidate_pairs",
+        total.alias("total_pairs"),
+        F.round(
+            F.lit(1.0)
+            - F.col("candidate_pairs").cast("double")
+            / total.cast("double"),
+            6,
+        ).alias("reduction_ratio"),
+        "true_matches",
+        "captured_matches",
+        F.when(
+            F.col("true_matches") > 0,
+            F.round(
+                F.col("captured_matches").cast("double")
+                / F.col("true_matches").cast("double"),
+                6,
+            ),
+        ).alias("pairs_completeness"),
+    )

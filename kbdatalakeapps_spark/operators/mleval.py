@@ -292,3 +292,83 @@ def pr_curve(
         .orderBy(F.desc("threshold"))
         .limit(top_thresholds)
     )
+
+
+#: floor(10^12 / log2(rank+1)) for rank 1..10 — the DCG discount table
+#: as exact integer literals, so both engines multiply the same
+#: numbers (log2 itself is not bit-portable across libm builds; a
+#: frozen literal table is).
+NDCG_WEIGHTS_FP: tuple[int, ...] = (
+    1000000000000,
+    630929753571,
+    500000000000,
+    430676558073,
+    386852807234,
+    356207187108,
+    333333333333,
+    315464876785,
+    301029995663,
+    289064826317,
+)
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    tiebreak_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact NDCG@k per group: rank rows inside each group by the
+    model score (``score_col`` DESC, ``tiebreak_col`` ASC — the
+    tiebreak makes the metric deterministic under ties), gain
+    2^rel − 1, discount from the frozen ``NDCG_WEIGHTS_FP`` literal
+    table, so DCG/IDCG are exact BIGINT sums (order-invariant — the
+    float-sum form is shuffle-order-sensitive) and the final ndcg is
+    one fixed IEEE division tree.
+
+    Returns (group_col, dcg_fp, idcg_fp, ndcg): dcg_fp/idcg_fp are the
+    10^12-scaled integer sums, ndcg = dcg_fp/idcg_fp rounded to 6
+    places (NULL when the group has no positive relevance).
+
+    Scale posture: both rankings are windows partitioned by the group
+    key — frames bounded by group size, never global; one shuffle on
+    the group key feeds both sorts and the final aggregate.  ``k`` is
+    a literal, so the discount lookup is an in-row array index."""
+    if k > len(NDCG_WEIGHTS_FP):
+        raise ValueError(f"k > {len(NDCG_WEIGHTS_FP)} needs more weights")
+    wts = F.array(*[F.lit(w) for w in NDCG_WEIGHTS_FP[:k]])
+    from pyspark.sql.window import Window
+
+    gain = (F.expr(f"shiftleft(1, cast({rel_col} as int))") - 1).cast(
+        "bigint"
+    )
+    wpred = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(tiebreak_col)
+    )
+    wideal = Window.partitionBy(group_col).orderBy(
+        F.desc(rel_col), F.asc(tiebreak_col)
+    )
+    d = (
+        df.withColumn("_gain", gain)
+        .withColumn("_rp", F.row_number().over(wpred))
+        .withColumn("_ri", F.row_number().over(wideal))
+    )
+    term = lambda r: F.when(  # noqa: E731
+        F.col(r) <= k, F.col("_gain") * F.element_at(wts, F.col(r))
+    ).otherwise(F.lit(0).cast("bigint"))
+    out = d.groupBy(group_col).agg(
+        F.sum(term("_rp")).alias("dcg_fp"),
+        F.sum(term("_ri")).alias("idcg_fp"),
+    )
+    return out.withColumn(
+        "ndcg",
+        F.when(
+            F.col("idcg_fp") > 0,
+            F.round(
+                F.col("dcg_fp").cast("double") / F.col("idcg_fp").cast("double"),
+                6,
+            ),
+        ),
+    )

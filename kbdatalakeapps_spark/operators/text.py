@@ -700,3 +700,86 @@ def inverted_index(
         "total_tf",
         F.concat_ws(",", F.col("_plist")).alias("postings"),
     )
+
+
+def hashed_domain_similarity(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashed-feature domain-relevance score (the DSIR-style data
+    selection signal): embed every document as a ``n_buckets``-bucket
+    hashed unigram histogram, and score it by cosine against the
+    TARGET domain's aggregate histogram.  A curation pipeline ranks or
+    importance-samples the raw corpus by this score to up-weight
+    target-domain-like documents (Xie et al., "Data Selection for
+    Language Models via Importance Resampling" — the hashed-n-gram
+    feature space; the log-ratio weighting variant needs ln(), which
+    is not bit-portable, so the portable exact signal here is the
+    integer dot/norm decomposition).
+
+    Returns (id_col, dot, doc_norm_sq, cosine): ``dot`` and
+    ``doc_norm_sq`` are exact BIGINT sums over integer counts;
+    ``cosine`` = dot / (sqrt(doc_norm_sq)·sqrt(tgt_norm_sq)) — sqrt
+    and division are correctly-rounded IEEE ops, so the one fixed
+    expression tree hash-matches across engines.
+
+    Scale posture: the target histogram is ``n_buckets`` rows —
+    broadcast; the corpus is scanned once and shuffled only on the
+    document key (the (doc, bucket) and per-doc aggregations share
+    it).  Bucket count is a literal; no vocabulary table is ever
+    collected."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10)
+        .cast("bigint") % n_buckets
+    ).alias("_b")
+
+    def histogram(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+            .select("_id", F.explode("_toks").alias("_tok"))
+            .select("_id", bucket)
+            .groupBy("_id", "_b")
+            .agg(F.count("*").cast("bigint").alias("_c"))
+        )
+
+    tgt = (
+        histogram(target)
+        .groupBy("_b")
+        .agg(F.sum("_c").alias("_t"))
+    )
+    tgt_norm = tgt.agg(
+        F.sum(F.col("_t") * F.col("_t")).cast("bigint").alias("_tn2")
+    )
+    doc_h = histogram(corpus)
+    per_doc = (
+        doc_h.join(F.broadcast(tgt), "_b", "left")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("_c") * F.coalesce(F.col("_t"), F.lit(0)))
+            .cast("bigint")
+            .alias("dot"),
+            F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("doc_norm_sq"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(tgt_norm))
+        .select(
+            F.col("_id").alias(id_col),
+            "dot",
+            "doc_norm_sq",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("doc_norm_sq").cast("double"))
+                    * F.sqrt(F.col("_tn2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -136,4 +136,10 @@ PENDING_NEXT_WINDOW: list[str] = [
     "er_record_linkage",
     "dd_semantic_dedup",
     "sim_ivf_topk",
+    # round-5 session additions (all pre-verified at sf0.001 + sf0.01
+    # on a vanilla session the day they were registered)
+    "dd_duplicate_spans",
+    "ml_ndcg",
+    "tx_domain_similarity",
+    "er_blocking_metrics",
 ]

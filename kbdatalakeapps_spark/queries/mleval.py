@@ -250,3 +250,74 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mleval import pr_curve
 
     return pr_curve(_scored(spark, sf_dir), "score", "label", top_thresholds=200)
+
+
+def _ndcg_weight_case(rank_expr: str) -> str:
+    from ..operators.mleval import NDCG_WEIGHTS_FP
+
+    whens = " ".join(
+        f"WHEN {r} THEN {w}"
+        for r, w in enumerate(NDCG_WEIGHTS_FP, start=1)
+    )
+    return f"(CASE {rank_expr} {whens} ELSE 0 END)"
+
+
+@query(
+    "ml_ndcg",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, value AS score,
+               length(event_type) % 4 AS rel
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT user_id,
+               (1 << rel) - 1 AS gain,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY score DESC, event_id) AS rp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY rel DESC, event_id) AS ri
+        FROM base
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN rp <= 10
+                    THEN gain * {_ndcg_weight_case('rp')} ELSE 0 END)
+                    AS BIGINT) AS dcg_fp,
+               CAST(SUM(CASE WHEN ri <= 10
+                    THEN gain * {_ndcg_weight_case('ri')} ELSE 0 END)
+                    AS BIGINT) AS idcg_fp
+        FROM ranked GROUP BY user_id
+    )
+    SELECT user_id, dcg_fp, idcg_fp,
+           CASE WHEN idcg_fp > 0
+                THEN ROUND(CAST(dcg_fp AS DOUBLE)
+                           / CAST(idcg_fp AS DOUBLE), 6) END AS ndcg
+    FROM agg ORDER BY user_id LIMIT 5000
+    """,
+)
+def ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user NDCG@10 of the event-value ranking against the
+    deterministic relevance grade length(event_type)%4 — the ranking
+    metric a search/recsys eval job runs at corpus scale.  Integer
+    fixed-point DCG via the frozen discount-literal table
+    (operators/mleval.py::ndcg_at_k); windows partition by user, never
+    global."""
+    from ..operators.mleval import ndcg_at_k
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    d = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("score"),
+        (F.length("event_type") % 4).alias("rel"),
+    )
+    return (
+        ndcg_at_k(d, "user_id", "score", "rel", "event_id", k=10)
+        .orderBy("user_id")
+        .limit(5000)
+    )

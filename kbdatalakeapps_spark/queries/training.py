@@ -1133,3 +1133,108 @@ def tx_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return tfidf_vectors(d).orderBy("doc_id", "token")
+
+
+# ---------------------------------------------------------------------------
+# dd_duplicate_spans: exact repeated-substring span detection — the
+# substring-level companion to dd_exact_dedup (whole-doc) and
+# dd_minhash_lsh_pairs (whole-doc near-dup).  The k-gram table is the
+# fixed-depth suffix index; gaps-and-islands merges covered positions
+# into maximal spans.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dd_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS w
+        FROM documents
+    ),
+    sized AS (SELECT doc_id, w FROM toks WHERE len(w) >= 4),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[i + 1 : i + 4], ' ') AS gram
+        FROM sized, UNNEST(range(0, len(w) - 3)) AS t(i)
+    ),
+    hot AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gram)),
+    grp AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS g
+        FROM covered
+    )
+    SELECT doc_id, MIN(pos)::BIGINT AS span_start,
+           (MAX(pos) + 3)::BIGINT AS span_end,
+           (MAX(pos) - MIN(pos) + 4)::BIGINT AS span_tokens
+    FROM grp GROUP BY doc_id, g
+    ORDER BY doc_id, span_start LIMIT 5000
+    """,
+)
+def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated 4-gram spans over the whole documents table
+    (Lee-et-al-style exact-substring dedup cut list); ~700 natural
+    spans on the synthetic corpus, no planting needed."""
+    from ..operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        duplicate_spans(d, k=4, min_docs=2)
+        .orderBy("doc_id", "span_start")
+        .limit(5000)
+    )
+
+
+@query(
+    "tx_domain_similarity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ),
+    bk AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b
+        FROM toks
+    ),
+    doc_h AS (
+        SELECT doc_id, b, COUNT(*)::BIGINT AS c FROM bk GROUP BY doc_id, b
+    ),
+    tgt AS (
+        SELECT b, COUNT(*)::BIGINT AS t FROM bk
+        WHERE source = 'src0' GROUP BY b
+    ),
+    tn AS (SELECT SUM(t * t)::BIGINT AS tn2 FROM tgt),
+    agg AS (
+        SELECT doc_id,
+               SUM(c * COALESCE(t, 0))::BIGINT AS dot,
+               SUM(c * c)::BIGINT AS doc_norm_sq
+        FROM doc_h LEFT JOIN tgt USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, dot, doc_norm_sq,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(doc_norm_sq AS DOUBLE))
+                    * sqrt(CAST(tn2 AS DOUBLE))), 6) AS cosine
+    FROM agg, tn ORDER BY doc_id LIMIT 5000
+    """,
+)
+def tx_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-histogram domain relevance: score every
+    document's 64-bucket hashed unigram histogram by cosine against
+    the src0 target domain's aggregate histogram (operators/text.py::
+    hashed_domain_similarity).  Integer dot/norms, one fixed IEEE
+    sqrt/division tree."""
+    from ..operators.text import hashed_domain_similarity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return (
+        hashed_domain_similarity(d, d.filter(F.col("source") == "src0"))
+        .orderBy("doc_id")
+        .limit(5000)
+    )

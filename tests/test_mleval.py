@@ -295,3 +295,95 @@ def test_fellegi_sunter_tiers(spark):
         2: (14, "possible"),
         3: (3, "non_match"),
     }
+
+
+# ---------------------------------------------------------------------------
+# ndcg_at_k
+# ---------------------------------------------------------------------------
+
+def _brute_ndcg(rows, k=10):
+    """rows: (score, rel, tie) per item of ONE group — python NDCG
+    using the SAME frozen integer discount table as the operator."""
+    from kbdatalakeapps_spark.operators.mleval import NDCG_WEIGHTS_FP
+
+    def dcg(order):
+        return sum(
+            ((1 << rel) - 1) * NDCG_WEIGHTS_FP[r]
+            for r, (_, rel, _) in enumerate(order[:k])
+        )
+
+    pred = sorted(rows, key=lambda t: (-t[0], t[2]))
+    ideal = sorted(rows, key=lambda t: (-t[1], t[2]))
+    return dcg(pred), dcg(ideal)
+
+
+def test_ndcg_matches_bruteforce(spark):
+    from kbdatalakeapps_spark.operators.mleval import ndcg_at_k
+
+    rows = [
+        # (group, item, score, rel)
+        ("g1", 1, 0.9, 2), ("g1", 2, 0.8, 0), ("g1", 3, 0.7, 3),
+        ("g1", 4, 0.6, 1), ("g1", 5, 0.5, 0),
+        # ties on score resolved by item id
+        ("g2", 1, 1.0, 0), ("g2", 2, 1.0, 2), ("g2", 3, 1.0, 1),
+        # more items than k
+        *[("g3", i, float(100 - i), i % 4) for i in range(1, 15)],
+        # all-zero relevance → NULL ndcg
+        ("g4", 1, 0.3, 0), ("g4", 2, 0.2, 0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "item", "score", "rel"])
+    got = {
+        r["g"]: r
+        for r in ndcg_at_k(df, "g", "score", "rel", "item", k=10).collect()
+    }
+    for g in ("g1", "g2", "g3"):
+        sub = [(s, rel, i) for (gg, i, s, rel) in rows if gg == g]
+        dcg, idcg = _brute_ndcg(sub)
+        assert got[g]["dcg_fp"] == dcg
+        assert got[g]["idcg_fp"] == idcg
+        assert got[g]["ndcg"] == round(dcg / idcg, 6)
+    assert got["g4"]["ndcg"] is None
+    # perfect ranking ⇒ ndcg exactly 1.0
+    assert got["g3"]["ndcg"] <= 1.0
+    perfect = [("p", i, float(10 - i), max(0, min(3, 4 - i))) for i in range(1, 8)]
+    pdf = spark.createDataFrame(perfect, ["g", "item", "score", "rel"])
+    row = ndcg_at_k(pdf, "g", "score", "rel", "item").collect()[0]
+    assert row["ndcg"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# blocking_metrics (operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+def test_blocking_metrics_hand_computed(spark):
+    from decimal import Decimal
+
+    from kbdatalakeapps_spark.operators.linkage import blocking_metrics
+
+    # A: 4 entities; B: 3 records, one with a WRONG block key (ent 3)
+    a = spark.createDataFrame(
+        [(1, "k1"), (2, "k1"), (3, "k2"), (4, "k3")], ["a_ent", "blk"]
+    )
+    b = spark.createDataFrame(
+        [(1, "k1"), (3, "k9"), (4, "k3")], ["b_ent", "blk"]
+    )
+    row = blocking_metrics(a, b, ["blk"], "a_ent", "b_ent").collect()[0]
+    assert row["n_a"] == 4 and row["n_b"] == 3
+    # k1: 2×1, k2: 1×0, k3: 1×1, k9: 0×1 → 3 candidate pairs
+    assert row["candidate_pairs"] == 3
+    assert row["total_pairs"] == Decimal(12)
+    assert row["reduction_ratio"] == round(1 - 3 / 12, 6)
+    # true matches: ents 1, 3, 4; captured by blocking: 1 and 4 only
+    assert row["true_matches"] == 3
+    assert row["captured_matches"] == 2
+    assert row["pairs_completeness"] == round(2 / 3, 6)
+
+
+def test_blocking_metrics_empty_truth(spark):
+    from kbdatalakeapps_spark.operators.linkage import blocking_metrics
+
+    a = spark.createDataFrame([(1, "k1")], ["a_ent", "blk"])
+    b = spark.createDataFrame([(9, "k1")], ["b_ent", "blk"])
+    row = blocking_metrics(a, b, ["blk"], "a_ent", "b_ent").collect()[0]
+    assert row["true_matches"] == 0
+    assert row["pairs_completeness"] is None

@@ -58,6 +58,10 @@ _BNLJ_OK = {
                               # #categories × K encoding grid
     "ml_pr_curve",            # 1-row totals scalar onto the
                               # per-threshold frame
+    "tx_domain_similarity",   # 1-row target-norm scalar onto the
+                              # per-doc frame
+    "er_blocking_metrics",    # four 1-row count aggregates crossed
+                              # into the single report row
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is

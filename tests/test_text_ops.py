@@ -98,3 +98,101 @@ def test_compression_ratio_separates_repetitive_text(spark):
     assert out[1] < out[2] / 5
     assert out[3] is None and out[4] is None
     assert 0 < out[1] and out[2] <= 1.2  # sane bounds
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (exact repeated-substring dedup cut list)
+# ---------------------------------------------------------------------------
+
+def _brute_spans(docs, k=3, min_docs=2):
+    """O(n²) reference: covered positions via a dict of k-gram → doc
+    set, then linear island merge."""
+    grams = {}
+    toks = {i: t.split() for i, t in docs}
+    for i, w in toks.items():
+        for p in range(len(w) - k + 1):
+            grams.setdefault(tuple(w[p : p + k]), set()).add(i)
+    spans = []
+    for i, w in toks.items():
+        covered = sorted(
+            p
+            for p in range(len(w) - k + 1)
+            if len(grams[tuple(w[p : p + k])]) >= min_docs
+        )
+        start = None
+        prev = None
+        for p in covered:
+            if start is None:
+                start, prev = p, p
+            elif p == prev + 1:
+                prev = p
+            else:
+                spans.append((i, start, prev + k - 1, prev + k - start))
+                start, prev = p, p
+        if start is not None:
+            spans.append((i, start, prev + k - 1, prev + k - start))
+    return sorted(spans)
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    from kbdatalakeapps_spark.operators.dedup import duplicate_spans
+
+    docs = [
+        (1, "a b c d e f g"),
+        (2, "x y a b c d q"),       # shares "a b c d" with doc 1
+        (3, "m n o p"),             # unique
+        (4, "e f g a b c"),         # shares both ends
+        (5, "a b c d e f g"),       # full duplicate of doc 1
+        (6, "z z z"),               # exactly k tokens, unique
+        (7, "q r"),                 # shorter than k
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, k=3, min_docs=2).collect()
+    )
+    assert got == _brute_spans(docs, k=3, min_docs=2)
+    # the full-duplicate pair must be covered end-to-end
+    full = [s for s in got if s[0] == 5]
+    assert full == [(5, 0, 6, 7)]
+
+
+def test_duplicate_spans_min_docs_threshold(spark):
+    from kbdatalakeapps_spark.operators.dedup import duplicate_spans
+
+    docs = [(i, "common phrase here tail%d" % i) for i in range(4)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # "common phrase here" occurs in all 4 docs: min_docs=5 kills it
+    assert duplicate_spans(df, k=3, min_docs=5).count() == 0
+    assert duplicate_spans(df, k=3, min_docs=4).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# hashed_domain_similarity
+# ---------------------------------------------------------------------------
+
+def test_domain_similarity_orders_by_affinity(spark):
+    from kbdatalakeapps_spark.operators.text import hashed_domain_similarity
+
+    target = spark.createDataFrame(
+        [(100 + i, "spark shuffle join agg") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "spark shuffle join agg"),       # identical distribution
+            (2, "spark shuffle word word"),      # partial overlap
+            (3, "zebra yak xylo wombat"),        # disjoint vocabulary
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in hashed_domain_similarity(corpus, target).collect()
+    }
+    assert rows[1]["cosine"] == 1.0  # same histogram direction
+    assert rows[1]["cosine"] > rows[2]["cosine"] > rows[3]["cosine"]
+    # disjoint vocab can still collide in 64 buckets, but must stay low
+    assert rows[3]["cosine"] < 0.6
+    # integer legs are exact counts
+    assert rows[1]["doc_norm_sq"] == 4  # four distinct words, count 1 each
