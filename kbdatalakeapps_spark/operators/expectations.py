@@ -1,0 +1,160 @@
+"""Declarative data-quality expectation suite — the Deequ/Great-
+Expectations-shaped rule engine a lake runs as a gate before
+publishing a table (reference parity: the dq_* audit queries check
+individual properties; this operator is the engine feature that runs
+a CONFIGURED LIST of such properties in bulk and emits one report).
+
+A check is a plain tuple ``(name, kind, params)``:
+
+  ("orderkey_not_null", "not_null",  {"column": "o_orderkey"})
+  ("status_domain",     "in_set",    {"column": "o_orderstatus",
+                                      "values": ["O", "F", "P"]})
+  ("price_range",       "range",     {"column": "o_totalprice",
+                                      "lo": 0, "hi": 1e7})
+  ("priority_format",   "regex",     {"column": "o_orderpriority",
+                                      "pattern": "^[1-5]-"})
+  ("orderkey_unique",   "unique",    {"columns": ["o_orderkey"]})
+  ("custkey_fk",        "foreign_key", {"column": "o_custkey",
+                                        "ref": customer_df,
+                                        "ref_column": "c_custkey"})
+
+``expectation_report`` returns one row per check:
+(check_name, kind, column, total, violations, passed).
+
+Scale posture: every ROW-predicate check (not_null / in_set / range /
+regex / custom ``where``) compiles into a single conditional-count
+aggregate, so the whole family costs ONE scan of the table with
+map-side partial aggregation — adding a tenth predicate check adds no
+I/O.  ``unique`` needs a shuffle on its key columns (count vs distinct
+count, split into its own pass because a countDistinct inside the
+shared multi-agg would Expand-multiply the scan).  ``foreign_key`` is
+a left-anti count against the reference side, broadcast when small.
+The report itself is #checks rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Check = tuple[str, str, dict]
+
+_ROW_KINDS = {"not_null", "in_set", "range", "regex", "where"}
+
+
+def _violation_pred(kind: str, p: dict) -> Column:
+    c = F.col(p["column"]) if "column" in p else None
+    if kind == "not_null":
+        return c.isNull()
+    if kind == "in_set":
+        return ~c.isin(*p["values"]) | c.isNull()
+    if kind == "range":
+        pred = F.lit(False)
+        if "lo" in p:
+            pred = pred | (c < F.lit(p["lo"]))
+        if "hi" in p:
+            pred = pred | (c > F.lit(p["hi"]))
+        return pred | c.isNull()
+    if kind == "regex":
+        return ~c.rlike(p["pattern"]) | c.isNull()
+    if kind == "where":
+        # custom SQL predicate the row must SATISFY
+        return ~F.expr(p["predicate"])
+    raise ValueError(f"unknown row check kind: {kind}")
+
+
+def expectation_report(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check and return the per-check report frame
+    (check_name, kind, column, total, violations, passed), in the
+    order the checks were declared."""
+    spark = df.sparkSession
+    row_checks = [c for c in checks if c[1] in _ROW_KINDS]
+    other = [c for c in checks if c[1] not in _ROW_KINDS]
+    reports: list[DataFrame] = []
+
+    if row_checks:
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
+        for name, kind, p in row_checks:
+            aggs.append(
+                F.sum(
+                    F.when(_violation_pred(kind, p), 1).otherwise(0)
+                ).cast("bigint").alias(f"_v_{name}")
+            )
+        one = df.agg(*aggs)
+        # unpivot the single row into #checks rows via stack()
+        pairs = ", ".join(
+            f"'{name}', '{kind}', '{p.get('column', '')}', _v_{name}"
+            for name, kind, p in row_checks
+        )
+        reports.append(
+            one.select(
+                F.expr(
+                    f"stack({len(row_checks)}, {pairs}) AS "
+                    "(check_name, kind, column, violations)"
+                ),
+                F.col("_total").alias("total"),
+            ).select("check_name", "kind", "column", "total", "violations")
+        )
+
+    for name, kind, p in other:
+        if kind == "unique":
+            cols = p["columns"]
+            # distinct over a STRUCT of the key columns: a NULL key
+            # field compares as a value, so the violation count is
+            # exactly the number of surplus duplicate tuples (a bare
+            # count_distinct(cols) would drop any-NULL rows and
+            # miscount them as duplicates)
+            key = F.struct(*[F.col(c) for c in cols])
+            rep = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("total"),
+                (
+                    F.count(F.lit(1)) - F.count_distinct(key)
+                ).cast("bigint").alias("violations"),
+            ).select(
+                F.lit(name).alias("check_name"),
+                F.lit(kind).alias("kind"),
+                F.lit(",".join(cols)).alias("column"),
+                "total",
+                "violations",
+            )
+        elif kind == "foreign_key":
+            col, ref, ref_col = p["column"], p["ref"], p["ref_column"]
+            keys = ref.select(F.col(ref_col).alias(col)).distinct()
+            orphans = (
+                df.filter(F.col(col).isNotNull())
+                .join(F.broadcast(keys), col, "left_anti")
+            )
+            rep = (
+                df.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+                .crossJoin(
+                    F.broadcast(
+                        orphans.agg(
+                            F.count(F.lit(1)).cast("bigint").alias("violations")
+                        )
+                    )
+                )
+                .select(
+                    F.lit(name).alias("check_name"),
+                    F.lit(kind).alias("kind"),
+                    F.lit(col).alias("column"),
+                    "total",
+                    "violations",
+                )
+            )
+        else:
+            raise ValueError(f"unknown check kind: {kind}")
+        reports.append(rep)
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    order = {name: i for i, (name, _, _) in enumerate(checks)}
+    mapping = F.create_map(
+        *[x for name, i in order.items() for x in (F.lit(name), F.lit(i))]
+    )
+    return (
+        out.withColumn("passed", F.col("violations") == 0)
+        .withColumn("_ord", mapping[F.col("check_name")])
+        .orderBy("_ord")
+        .drop("_ord")
+    )

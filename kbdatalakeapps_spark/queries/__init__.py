@@ -142,4 +142,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ml_ndcg",
     "tx_domain_similarity",
     "er_blocking_metrics",
+    "dq_expectation_suite",
+    "ly_hilbert_keys",
 ]

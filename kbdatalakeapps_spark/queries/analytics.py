@@ -794,3 +794,104 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+@query(
+    "dq_expectation_suite",
+    oracle="""
+    WITH rowchk AS (
+        SELECT COUNT(*)::BIGINT AS total,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS v_orderkey_not_null,
+               SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                          OR o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS v_status_domain,
+               SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                          OR o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS v_price_range,
+               SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                          OR o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS v_priority_format,
+               SUM(CASE WHEN NOT (o_orderdate >= DATE '1992-01-01')
+                        THEN 1 ELSE 0 END)::BIGINT AS v_date_floor
+        FROM orders
+    ),
+    uniq AS (
+        SELECT COUNT(*)::BIGINT AS total,
+               (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT AS violations
+        FROM orders
+    ),
+    fk AS (
+        SELECT (SELECT COUNT(*) FROM orders)::BIGINT AS total,
+               COUNT(*)::BIGINT AS violations
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT check_name, kind, "column", total, violations, passed FROM (
+        SELECT 'orderkey_not_null' AS check_name, 'not_null' AS kind,
+               'o_orderkey' AS "column", total,
+               v_orderkey_not_null AS violations,
+               v_orderkey_not_null = 0 AS passed, 0 AS ord FROM rowchk
+        UNION ALL
+        SELECT 'status_domain', 'in_set', 'o_orderstatus', total,
+               v_status_domain, v_status_domain = 0, 1 FROM rowchk
+        UNION ALL
+        SELECT 'price_range', 'range', 'o_totalprice', total,
+               v_price_range, v_price_range = 0, 2 FROM rowchk
+        UNION ALL
+        SELECT 'priority_format', 'regex', 'o_orderpriority', total,
+               v_priority_format, v_priority_format = 0, 3 FROM rowchk
+        UNION ALL
+        SELECT 'date_floor', 'where', '', total,
+               v_date_floor, v_date_floor = 0, 4 FROM rowchk
+        UNION ALL
+        SELECT 'orderkey_unique', 'unique', 'o_orderkey', total,
+               violations, violations = 0, 5 FROM uniq
+        UNION ALL
+        SELECT 'custkey_fk', 'foreign_key', 'o_custkey', total,
+               violations, violations = 0, 6 FROM fk
+    ) ORDER BY ord
+    """,
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over orders (operators/
+    expectations.py): five row-predicate checks compiled into ONE
+    conditional-count scan, a uniqueness check, and a broadcast
+    anti-join FK check against customer — the Deequ-style publish gate
+    run as a single report."""
+    from ..operators.expectations import expectation_report
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    checks = [
+        ("orderkey_not_null", "not_null", {"column": "o_orderkey"}),
+        (
+            "status_domain",
+            "in_set",
+            {"column": "o_orderstatus", "values": ["O", "F", "P"]},
+        ),
+        (
+            "price_range",
+            "range",
+            {"column": "o_totalprice", "lo": 0, "hi": 1_000_000},
+        ),
+        (
+            "priority_format",
+            "regex",
+            {"column": "o_orderpriority", "pattern": "^[1-5]-"},
+        ),
+        (
+            "date_floor",
+            "where",
+            {"predicate": "o_orderdate >= DATE '1992-01-01'"},
+        ),
+        ("orderkey_unique", "unique", {"columns": ["o_orderkey"]}),
+        (
+            "custkey_fk",
+            "foreign_key",
+            {"column": "o_custkey", "ref": c, "ref_column": "c_custkey"},
+        ),
+    ]
+    return expectation_report(o, checks)

@@ -1238,3 +1238,60 @@ def tx_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(5000)
     )
+
+
+def _hilbert_oracle(key: str, x: str, y: str, bits: int, src: str) -> str:
+    """Unroll the xy→d Hilbert transform into a CTE chain (one
+    reflect-and-swap per bit level) — the SQL twin of
+    io/layout.hilbert_key, same expression tree per step."""
+    ctes = [
+        f"h{bits} AS (SELECT {key} AS k, CAST({x} AS BIGINT) AS hx,"
+        f" CAST({y} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS h FROM {src})"
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        ctes.append(
+            f"h{i} AS (SELECT k, "
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - hy "
+            "ELSE hy END) ELSE hx END AS hx, "
+            f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - hx "
+            "ELSE hx END) ELSE hy END AS hy, "
+            f"h + {s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0 "
+            "WHEN rx = 0 THEN 1 WHEN ry = 0 THEN 3 ELSE 2 END) AS h "
+            f"FROM (SELECT *, CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END"
+            f" AS rx, CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry"
+            f" FROM h{i + 1}))"
+        )
+    return "WITH " + ", ".join(ctes)
+
+
+@query(
+    "ly_hilbert_keys",
+    oracle=_hilbert_oracle(
+        "o_orderkey",
+        "o_custkey % 256",
+        "o_orderkey % 256",
+        8,
+        "orders WHERE o_orderkey < 5000",
+    )
+    + " SELECT k AS o_orderkey, h FROM h0",
+)
+def ly_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys over (custkey, orderkey) — the
+    better-locality companion to ly_zorder_keys (io/layout.py::
+    hilbert_key): unit-step curve, so a key-range file covers a
+    compact 2-D region and min/max pruning works on both columns."""
+    from ..io.layout import hilbert_key
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 256).alias("_x"),
+            (F.col("o_orderkey") % 256).alias("_y"),
+        )
+    )
+    return hilbert_key(o, "_x", "_y", bits=8, out_col="h").select(
+        "o_orderkey", "h"
+    )

@@ -409,3 +409,70 @@ def test_skyline_mask_property_matches_bruteforce():
             assert got[i] == (not dominated)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# expectation_report (operators/expectations.py)
+# ---------------------------------------------------------------------------
+
+def test_expectation_report_kinds_and_counts(spark):
+    from kbdatalakeapps_spark.operators.expectations import expectation_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 5.0, "ok-1"),
+            (2, "B", -1.0, "ok-2"),
+            (2, "C", 50.0, "bad"),
+            (None, "A", None, "ok-3"),
+        ],
+        ["id", "cat", "x", "tag"],
+    )
+    ref = spark.createDataFrame([(1,), (2,)], ["rid"])
+    checks = [
+        ("id_not_null", "not_null", {"column": "id"}),
+        ("cat_domain", "in_set", {"column": "cat", "values": ["A", "B"]}),
+        ("x_range", "range", {"column": "x", "lo": 0, "hi": 10}),
+        ("tag_format", "regex", {"column": "tag", "pattern": "^ok-"}),
+        ("x_pos_where", "where", {"predicate": "x IS NULL OR x > -5"}),
+        ("id_unique", "unique", {"columns": ["id"]}),
+        ("id_fk", "foreign_key", {"column": "id", "ref": ref,
+                                  "ref_column": "rid"}),
+    ]
+    rows = expectation_report(df, checks).collect()
+    got = {r["check_name"]: r for r in rows}
+    # declaration order preserved
+    assert [r["check_name"] for r in rows] == [c[0] for c in checks]
+    assert all(r["total"] == 4 for r in rows)
+    assert got["id_not_null"]["violations"] == 1
+    assert got["cat_domain"]["violations"] == 1          # 'C'
+    assert got["x_range"]["violations"] == 3             # -1, 50, NULL
+    assert got["tag_format"]["violations"] == 1          # 'bad'
+    assert got["x_pos_where"]["violations"] == 0
+    assert got["x_pos_where"]["passed"] is True
+    # unique: ids 1,2,2,NULL → distinct key tuples {1,2,NULL} = 3
+    # (NULL compares as a value inside the struct) → 1 surplus dup
+    assert got["id_unique"]["violations"] == 1
+    assert got["id_fk"]["violations"] == 0
+    assert got["id_fk"]["passed"] is True
+
+
+def test_expectation_row_checks_single_scan(spark):
+    """All row-predicate checks must compile into ONE aggregate over
+    one scan — the report plan may contain exactly one scan of the
+    input for the row-check family."""
+    from kbdatalakeapps_spark.operators.expectations import expectation_report
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m")
+    )
+    rep = expectation_report(
+        df,
+        [
+            ("a", "not_null", {"column": "id"}),
+            ("b", "range", {"column": "m", "lo": 0, "hi": 6}),
+            ("c", "where", {"predicate": "id >= 0"}),
+        ],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
+    assert rep.filter(~F.col("passed")).count() == 0

@@ -161,3 +161,85 @@ def test_zorder_write_improves_file_locality(spark, tmp_path):
     avg_sx = sum(s[0] for s in spans) / len(spans)
     avg_sy = sum(s[1] for s in spans) / len(spans)
     assert avg_sx < 32 and avg_sy < 32
+
+
+# ---------------------------------------------------------------------------
+# hilbert_key (io/layout.py): curve properties + layout pruning value
+# ---------------------------------------------------------------------------
+
+def test_hilbert_key_is_a_unit_step_bijection(spark):
+    from kbdatalakeapps_spark.io.layout import hilbert_key
+
+    B = 4
+    n = 1 << B
+    grid = spark.range(n * n).selectExpr(
+        f"id % {n} AS x", f"id DIV {n} AS y"
+    )
+    rows = hilbert_key(grid, "x", "y", bits=B).collect()
+    by_d = {r["h"]: (r["x"], r["y"]) for r in rows}
+    assert len(by_d) == n * n                      # bijection
+    for d in range(n * n - 1):                     # unit steps
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_locality_beats_zorder(spark):
+    """The layout claim made concrete: split the key range into 20
+    equal runs (≈ files); the average bounding-box area per run must
+    be smaller under Hilbert than under Morton order.  (At a
+    power-of-4 run count both curves land exactly on quadrant
+    boundaries and tie — the advantage shows on the unaligned splits
+    real file sizing produces.)"""
+    from kbdatalakeapps_spark.io.layout import hilbert_key, zorder_value
+    from pyspark.sql import functions as F
+
+    B = 5
+    n = 1 << B
+    grid = spark.range(n * n).selectExpr(
+        f"id % {n} AS x", f"id DIV {n} AS y"
+    )
+
+    def avg_bbox_area(df, key):
+        runs = df.withColumn("_run", (F.col(key) / (n * n / 20)).cast("int"))
+        agg = runs.groupBy("_run").agg(
+            (
+                (F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1)
+            ).alias("area")
+        )
+        return agg.agg(F.avg("area")).collect()[0][0]
+
+    hil = avg_bbox_area(hilbert_key(grid, "x", "y", bits=B), "h")
+    zor = avg_bbox_area(grid.withColumn("z", zorder_value(["x", "y"], B)), "z")
+    assert hil < zor
+
+
+def test_hilbert_write_files_prune_on_both_dims(spark, tmp_path):
+    import os
+
+    from kbdatalakeapps_spark.io.layout import hilbert_write
+    import pyarrow.parquet as pq
+
+    n = 64
+    df = spark.range(n * n).selectExpr(
+        f"id % {n} AS x", f"id DIV {n} AS y", "id AS payload"
+    )
+    out = str(tmp_path / "hil")
+    hilbert_write(df, out, "x", "y", n_files=16, bits=6)
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) >= 8
+    # every file's x AND y min/max span must be well under the full
+    # range — each file covers a compact region, so a point filter on
+    # either dimension skips most files
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        cols = {name: i for i, name in enumerate(md.schema.names)}
+        xs = md.row_group(0).column(cols["x"]).statistics
+        ys = md.row_group(0).column(cols["y"]).statistics
+        spans.append(
+            (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+        )
+    avg_area = sum(spans) / len(spans)
+    assert avg_area < (n * n) / 2

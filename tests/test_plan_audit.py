@@ -62,6 +62,8 @@ _BNLJ_OK = {
                               # per-doc frame
     "er_blocking_metrics",    # four 1-row count aggregates crossed
                               # into the single report row
+    "dq_expectation_suite",   # 1-row FK-orphan count crossed onto the
+                              # 1-row total in the foreign_key check
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is
