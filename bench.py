@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "ts_cusum_changepoint",        # exact CUSUM level-shift curve
     "s18_snapshot_diff",           # CDC classify between snapshots
     "mb_item_cosine",              # item-item co-occurrence cosine
+    # round-5 additions (appended so earlier keys stay comparable)
+    "dd_duplicate_spans",          # repeated-substring span detection
+    "dq_expectation_suite",        # one-scan declarative quality gate
+    "ml_ndcg",                     # per-user fixed-point NDCG@10
 ]
 
 # The most expensive queries — measured twice, median reported.
