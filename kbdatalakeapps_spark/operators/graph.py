@@ -421,3 +421,87 @@ def bfs_min_distance(
         )
         frontier = dist.filter(F.col("dist") == t).select("id")
     return dist
+
+
+def partition_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a GIVEN node partition — the community-
+    quality score that evaluates any clustering of the graph
+    (connected components, an attribute partition, an external
+    detector's output) without iterating itself:
+
+        Q = Σ_c [ L_c/m − (deg_c / 2m)² ]
+
+    with m undirected edges, L_c internal edges of community c, deg_c
+    the community's degree sum.  Emits ONE ROW PER COMMUNITY
+    (label, n_nodes, internal_edges, degree_sum, q) so the statistic
+    is an exact per-group expression tree over engine-identical
+    integer counts — the global Q is the consumer's sum, the same
+    order-sensitivity contract as the χ² drift report.
+
+    ``edges`` is the directed-symmetric convention of this module
+    (both (u,v) and (v,u) present); ``labels`` maps every node id to
+    its community.  Unlabeled endpoints are dropped (their edges
+    contribute to m but to no community — documented, matching how
+    igraph treats NaN memberships).
+
+    Scale posture: one u<v distinct pass, two node-keyed joins of the
+    edge list against the label map, and two label-keyed aggregations
+    — all equi-joins on uniform keys; m is a 1-row scalar broadcast
+    (the allowlisted shape)."""
+    lab = labels.select(
+        F.col(id_col).alias("_nid"), F.col(label_col).alias("_lab")
+    )
+    und = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    m = und.agg(F.count(F.lit(1)).cast("bigint").alias("_m"))
+    deg = (
+        und.select(F.col("src").alias("_nid"))
+        .unionByName(und.select(F.col("dst").alias("_nid")))
+        .groupBy("_nid")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    per_label = (
+        deg.join(lab, "_nid")
+        .groupBy("_lab")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("_deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    internal = (
+        und.join(lab.withColumnRenamed("_nid", "src"), "src")
+        .withColumnRenamed("_lab", "_lu")
+        .join(lab.withColumnRenamed("_nid", "dst"), "dst")
+        .filter(F.col("_lu") == F.col("_lab"))
+        .groupBy("_lab")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal_edges"))
+    )
+    md = F.col("_m").cast("double")
+    q = (
+        F.col("internal_edges").cast("double") / md
+        - (
+            F.col("degree_sum").cast("double")
+            * F.col("degree_sum").cast("double")
+        )
+        / (F.lit(4.0) * md * md)
+    )
+    return (
+        per_label.join(internal, "_lab", "left")
+        .na.fill({"internal_edges": 0})
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("_lab").alias(label_col),
+            "n_nodes",
+            "internal_edges",
+            "degree_sum",
+            F.round(q, 6).alias("q"),
+        )
+    )

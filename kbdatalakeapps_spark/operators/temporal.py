@@ -404,3 +404,111 @@ def max_concurrency(
         F.col("_m.c").alias("peak_concurrency"),
         (-F.col("_m.nt")).alias("peak_t"),
     )
+
+
+def lttb_downsample(
+    series: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling, bucket-anchor
+    parallel variant — the dashboard/hypertable decimation operator
+    (TimescaleDB toolkit ``lttb()``, Grafana): per key, reduce the
+    series to ≤ ``n_buckets`` visually-representative points plus the
+    exact endpoints, picking per bucket the point forming the largest
+    triangle with its neighbor buckets' anchors.
+
+    Classic LTTB threads the PREVIOUSLY SELECTED point through the
+    scan (inherently sequential); this variant anchors on the
+    neighbor buckets' MEAN instead (Steinarsson §4.32's fixed-anchor
+    simplification), which drops the sequential dependency so every
+    bucket scores in parallel — the accepted scale trade, and the
+    variant's output is deterministic enough to carry a full SQL
+    oracle: bucket means are exact-decimal sums over engine-identical
+    integers/doubles divided once, the triangle area is one fixed IEEE
+    expression tree, and ties break on timestamp.
+
+    Requires ``ts_col`` unique per key (pre-aggregate duplicate
+    timestamps first).  Returns key_cols + (bucket, ts, val) with
+    bucket −1/``n_buckets`` marking the kept endpoints.
+
+    Scale posture: two grouped aggregations and three equi-joins, all
+    keyed by (key, bucket); the argmax window partitions by
+    (key, bucket) — frames bounded by bucket population, never
+    global."""
+    from pyspark.sql.window import Window
+
+    k = [F.col(c) for c in key_cols]
+    rng = series.groupBy(*k).agg(
+        F.min(ts_col).alias("_t0"),
+        F.max(ts_col).alias("_t1"),
+        F.min_by(val_col, ts_col).alias("_v0"),
+        F.max_by(val_col, ts_col).alias("_v1"),
+    )
+    b = series.join(rng, key_cols).withColumn(
+        "_b",
+        F.when(
+            F.col("_t1") > F.col("_t0"),
+            # integer division — a double `/` here loses exactness at
+            # epoch-ns magnitudes before the cast truncates
+            F.expr(
+                f"(({ts_col} - _t0) * {n_buckets}) div (_t1 - _t0 + 1)"
+            ),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    means = b.groupBy(*k, F.col("_b")).agg(
+        (
+            F.sum(F.col(ts_col).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_mx"),
+        (
+            F.sum(F.col(val_col).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_my"),
+    )
+    prev = means.select(
+        *k, (F.col("_b") + 1).alias("_b"),
+        F.col("_mx").alias("_px"), F.col("_my").alias("_py"),
+    )
+    nxt = means.select(
+        *k, (F.col("_b") - 1).alias("_b"),
+        F.col("_mx").alias("_nx"), F.col("_my").alias("_ny"),
+    )
+    anchored = (
+        b.join(prev, [*key_cols, "_b"], "left")
+        .join(nxt, [*key_cols, "_b"], "left")
+        .withColumn("_px", F.coalesce("_px", F.col("_t0").cast("double")))
+        .withColumn("_py", F.coalesce("_py", F.col("_v0").cast("double")))
+        .withColumn("_nx", F.coalesce("_nx", F.col("_t1").cast("double")))
+        .withColumn("_ny", F.coalesce("_ny", F.col("_v1").cast("double")))
+    )
+    x = F.col(ts_col).cast("double")
+    y = F.col(val_col).cast("double")
+    area = F.abs(
+        (F.col("_px") - F.col("_nx")) * (y - F.col("_py"))
+        - (F.col("_px") - x) * (F.col("_ny") - F.col("_py"))
+    )
+    w = Window.partitionBy(*k, F.col("_b")).orderBy(
+        F.desc("_area"), F.asc(ts_col)
+    )
+    picked = (
+        anchored.withColumn("_area", area)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*k, F.col("_b").alias("bucket"), F.col(ts_col), F.col(val_col))
+    )
+    ends = (
+        rng.select(
+            *k, F.lit(-1).cast("bigint").alias("bucket"),
+            F.col("_t0").alias(ts_col), F.col("_v0").alias(val_col),
+        )
+        .unionByName(
+            rng.select(
+                *k, F.lit(n_buckets).cast("bigint").alias("bucket"),
+                F.col("_t1").alias(ts_col), F.col("_v1").alias(val_col),
+            )
+        )
+    )
+    return picked.unionByName(ends)

@@ -144,4 +144,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "er_blocking_metrics",
     "dq_expectation_suite",
     "ly_hilbert_keys",
+    "gr_modularity",
+    "ts_lttb_downsample",
 ]

@@ -459,3 +459,50 @@ def gr_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p", "q")
     )
+
+
+@query(
+    "gr_modularity",
+    oracle=f"""
+    WITH {_UND_SQL},
+    lab AS (SELECT p_partkey AS nid, p_brand AS lab FROM part),
+    m AS (SELECT COUNT(*)::BIGINT AS m FROM und),
+    degl AS (
+        SELECT l.lab, COUNT(*)::BIGINT AS n_nodes,
+               SUM(d.degree)::BIGINT AS degree_sum
+        FROM deg d JOIN lab l ON l.nid = d.id GROUP BY l.lab
+    ),
+    internal AS (
+        SELECT lu.lab, COUNT(*)::BIGINT AS internal_edges
+        FROM und e
+        JOIN lab lu ON lu.nid = e.u
+        JOIN lab lv ON lv.nid = e.v
+        WHERE lu.lab = lv.lab
+        GROUP BY lu.lab
+    )
+    SELECT d.lab AS label, d.n_nodes,
+           COALESCE(i.internal_edges, 0)::BIGINT AS internal_edges,
+           d.degree_sum,
+           ROUND(CAST(COALESCE(i.internal_edges, 0) AS DOUBLE)
+                     / CAST(m.m AS DOUBLE)
+                 - (CAST(d.degree_sum AS DOUBLE)
+                    * CAST(d.degree_sum AS DOUBLE))
+                   / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)),
+                 6) AS q
+    FROM degl d LEFT JOIN internal i ON i.lab = d.lab, m
+    ORDER BY label
+    """,
+)
+def gr_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the part-BRAND partition over the
+    co-purchase graph (operators/graph.py::partition_modularity): one
+    row per brand with exact integer legs and the per-community Q
+    term — evaluates ANY clustering (CC labels, attribute groupings)
+    without iterating."""
+    labels = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("label")
+    )
+    return (
+        gr.partition_modularity(_copurchase_edges(spark, sf_dir), labels)
+        .orderBy("label")
+    )

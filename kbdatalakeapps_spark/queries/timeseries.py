@@ -591,3 +591,92 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv, ["event_type"], "s", "e", ["user_id", "session_idx"]
     )
     return out.orderBy("event_type")
+
+
+_LTTB_N = 20
+
+
+@query(
+    "ts_lttb_downsample",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, epoch_ns(ts) AS t,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id, epoch_ns(ts)
+    ),
+    rng AS (
+        SELECT user_id, MIN(t) AS t0, MAX(t) AS t1,
+               arg_min(v, t) AS v0, arg_max(v, t) AS v1
+        FROM pts GROUP BY user_id
+    ),
+    bkt AS (
+        SELECT p.user_id, p.t, p.v, r.t0, r.t1, r.v0, r.v1,
+               CASE WHEN r.t1 > r.t0
+                    THEN ((p.t - r.t0) * {_LTTB_N}) // (r.t1 - r.t0 + 1)
+                    ELSE 0 END AS b
+        FROM pts p JOIN rng r USING (user_id)
+    ),
+    means AS (
+        SELECT user_id, b,
+               CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mx,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS my
+        FROM bkt GROUP BY user_id, b
+    ),
+    anchored AS (
+        SELECT k.*,
+               COALESCE(p.mx, CAST(k.t0 AS DOUBLE)) AS px,
+               COALESCE(p.my, CAST(k.v0 AS DOUBLE)) AS py,
+               COALESCE(n.mx, CAST(k.t1 AS DOUBLE)) AS nx,
+               COALESCE(n.my, CAST(k.v1 AS DOUBLE)) AS ny
+        FROM bkt k
+        LEFT JOIN means p ON p.user_id = k.user_id AND p.b = k.b - 1
+        LEFT JOIN means n ON n.user_id = k.user_id AND n.b = k.b + 1
+    ),
+    scored AS (
+        SELECT user_id, b, t, v,
+               ABS((px - nx) * (CAST(v AS DOUBLE) - py)
+                   - (px - CAST(t AS DOUBLE)) * (ny - py)) AS area
+        FROM anchored
+    ),
+    picked AS (
+        SELECT user_id, b AS bucket, t, v FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, b
+                ORDER BY area DESC, t) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    ends AS (
+        SELECT user_id, CAST(-1 AS BIGINT) AS bucket, t0 AS t, v0 AS v
+        FROM rng
+        UNION ALL
+        SELECT user_id, CAST({_LTTB_N} AS BIGINT), t1, v1 FROM rng
+    )
+    SELECT user_id, bucket, t AS tns, v AS val
+    FROM (SELECT * FROM picked UNION ALL SELECT * FROM ends)
+    ORDER BY user_id, bucket, tns
+    """,
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB visual downsampling (bucket-anchor parallel variant) of
+    each user's value series to 20 buckets + exact endpoints
+    (operators/temporal.py::lttb_downsample) — duplicate timestamps
+    pre-collapsed by exact-decimal sum so the per-key series is a
+    function of time."""
+    from ..operators.temporal import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    pts = ev.groupBy("user_id", F.col("ts").alias("tns")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("val")
+    )
+    return (
+        lttb_downsample(pts, ["user_id"], "tns", "val", n_buckets=_LTTB_N)
+        .orderBy("user_id", "bucket", "tns")
+    )

@@ -308,3 +308,52 @@ def binned_counts(
     return df.groupBy(
         *group_cols, bin_col.alias(bin_name)
     ).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def stream_expectation_counts(df: DataFrame, checks: list) -> DataFrame:
+    """Streaming data-quality gate — the incremental twin of
+    operators/expectations.expectation_report for the ROW-predicate
+    check kinds (not_null / in_set / range / regex / where): violation
+    and total counts are SUM folds, so the same one-scan
+    conditional-count aggregation runs in update/complete mode and the
+    maintained state is one row of counters (constant, regardless of
+    stream length).  Emits the same report shape
+    (check_name, kind, column, total, violations, passed) so a
+    monitoring sink can alert on ``passed`` flipping false as data
+    arrives.  Aggregating kinds (unique / foreign_key) need unbounded
+    state on a stream — run them on the batch side of the lake.
+    """
+    from ..operators.expectations import _ROW_KINDS, _violation_pred
+
+    bad = [c for c in checks if c[1] not in _ROW_KINDS]
+    if bad:
+        raise ValueError(
+            f"streaming expectations support row kinds only, got: "
+            f"{[c[0] for c in bad]}"
+        )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
+    for name, kind, p in checks:
+        aggs.append(
+            F.sum(F.when(_violation_pred(kind, p), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_v_{name}")
+        )
+    one = df.groupBy().agg(*aggs)
+    pairs = ", ".join(
+        f"'{name}', '{kind}', '{p.get('column', '')}', _v_{name}"
+        for name, kind, p in checks
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(checks)}, {pairs}) AS "
+            "(check_name, kind, column, violations)"
+        ),
+        F.col("_total").alias("total"),
+    ).select(
+        "check_name",
+        "kind",
+        "column",
+        "total",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )

@@ -410,3 +410,71 @@ def test_reliable_checkpoint_parity(spark, tmp_path):
         ).collect()
     }
     assert pr_rel == pr_local
+
+
+# ---------------------------------------------------------------------------
+# partition_modularity
+# ---------------------------------------------------------------------------
+
+def _brute_modularity(und_edges, labels):
+    """Per-community (L_c/m - (deg_c/2m)^2) by direct counting."""
+    m = len(und_edges)
+    deg = {}
+    for u, v in und_edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    out = {}
+    for lab in set(labels.values()):
+        nodes = {n for n, l2 in labels.items() if l2 == lab}
+        lc = sum(1 for u, v in und_edges if u in nodes and v in nodes)
+        dc = sum(deg.get(n, 0) for n in nodes)
+        out[lab] = round(lc / m - (dc / (2 * m)) ** 2, 6)
+    return out
+
+
+def test_partition_modularity_two_cliques(spark):
+    from kbdatalakeapps_spark.operators.graph import partition_modularity
+    from pyspark.sql import functions as F
+
+    # two 4-cliques joined by one bridge edge
+    a = [1, 2, 3, 4]
+    b = [5, 6, 7, 8]
+    und = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    und += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    und.append((4, 5))
+    sym = und + [(v, u) for u, v in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(n, "A") for n in a] + [(n, "B") for n in b], ["id", "label"]
+    )
+    got = {
+        r["label"]: r
+        for r in partition_modularity(edges, labels).collect()
+    }
+    expected = _brute_modularity(und, {n: ("A" if n in a else "B") for n in a + b})
+    for lab in ("A", "B"):
+        assert got[lab]["q"] == expected[lab]
+        assert got[lab]["n_nodes"] == 4
+        assert got[lab]["internal_edges"] == 6
+    # the clique partition scores far better than lumping everything
+    one = spark.createDataFrame([(n, "X") for n in a + b], ["id", "label"])
+    q_one = partition_modularity(edges, one).collect()[0]["q"]
+    assert got["A"]["q"] + got["B"]["q"] > q_one
+    # single-community Q is exactly 0 (all edges internal, deg_c = 2m)
+    assert q_one == 0.0
+
+
+def test_partition_modularity_empty_community_edges(spark):
+    from kbdatalakeapps_spark.operators.graph import partition_modularity
+
+    sym = [(1, 2), (2, 1)]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (99, "C")], ["id", "label"]
+    )
+    got = {r["label"]: r for r in partition_modularity(edges, labels).collect()}
+    # cross-community edge: both have deg but zero internal edges
+    assert got["A"]["internal_edges"] == 0
+    assert got["B"]["internal_edges"] == 0
+    # label with no edges at all doesn't appear (no degree rows)
+    assert "C" not in got

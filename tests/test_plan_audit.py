@@ -64,6 +64,8 @@ _BNLJ_OK = {
                               # into the single report row
     "dq_expectation_suite",   # 1-row FK-orphan count crossed onto the
                               # 1-row total in the foreign_key check
+    "gr_modularity",          # 1-row edge-total scalar onto the
+                              # per-community frame
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is

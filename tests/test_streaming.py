@@ -518,3 +518,63 @@ def test_streaming_drift_counts_survive_restart(spark, tmp_path):
     run_once()
     doubled = sorted((g, b, 2 * n) for g, b, n in once)
     assert _rows(spark.table("st_drift_recover")) == doubled
+
+
+def test_stream_expectation_counts_match_batch(spark, tmp_path):
+    """The streaming DQ gate over two arriving micro-batches must end
+    at exactly the batch report of the union — counters are SUM folds,
+    so complete-mode state equals the one-scan batch aggregate."""
+    from kbdatalakeapps_spark.operators.expectations import expectation_report
+    from kbdatalakeapps_spark.streaming.incremental import (
+        stream_expectation_counts,
+    )
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+
+    checks = [
+        ("value_not_null", "not_null", {"column": "value"}),
+        (
+            "type_domain",
+            "in_set",
+            {
+                "column": "event_type",
+                "values": ["click", "view", "purchase", "signup"],
+            },
+        ),
+        ("value_range", "range", {"column": "value", "lo": 0, "hi": 5}),
+    ]
+    stream = stream_expectation_counts(stream_events(spark, str(src)), checks)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("st_dq")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch = expectation_report(load_table(spark, SF_DIR, "events"), checks)
+    assert _rows(spark.table("st_dq")) == _rows(batch)
+    # 'error' events exist in the fixture: the domain check must fail
+    dom = [r for r in spark.table("st_dq").collect()
+           if r["check_name"] == "type_domain"][0]
+    assert dom["violations"] > 0 and dom["passed"] is False
+
+
+def test_stream_expectation_rejects_aggregating_kinds(spark, tmp_path):
+    import pytest
+
+    from kbdatalakeapps_spark.streaming.incremental import (
+        stream_expectation_counts,
+    )
+
+    src = tmp_path / "ev_in2"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    with pytest.raises(ValueError, match="row kinds only"):
+        stream_expectation_counts(
+            stream_events(spark, str(src)),
+            [("u", "unique", {"columns": ["event_id"]})],
+        )

@@ -153,3 +153,63 @@ def test_resample_gapfill_tie_determinism(spark):
             for r in resample_gapfill(d, "k", "ts", "value", 10, "event_id").collect()
         }
         assert got == {0: 3.0}  # ts=7 is latest; among ts=5 ties id=2 wins
+
+
+# ---------------------------------------------------------------------------
+# lttb_downsample
+# ---------------------------------------------------------------------------
+
+def test_lttb_keeps_endpoints_and_bucket_extremes(spark):
+    from kbdatalakeapps_spark.operators.temporal import lttb_downsample
+    from pyspark.sql import functions as F
+
+    # a flat series with one huge spike per thirds: the spike must be
+    # the picked point of its bucket
+    rows = []
+    for t in range(30):
+        v = 1.0
+        if t == 7:
+            v = 100.0
+        if t == 22:
+            v = -50.0
+        rows.append(("k", t * 10**9, v))
+    df = spark.createDataFrame(rows, "key string, tns long, val double")
+    out = lttb_downsample(df, ["key"], "tns", "val", n_buckets=3).collect()
+    picked = {(r["bucket"], r["tns"] // 10**9, r["val"]) for r in out}
+    ts_selected = {t for _, t, _ in picked}
+    assert 0 in ts_selected and 29 in ts_selected      # endpoints kept
+    assert 7 in ts_selected                            # spike wins bucket 0
+    assert 22 in ts_selected                           # dip wins bucket 2
+    # one row per bucket + 2 endpoints
+    assert len(out) == 3 + 2
+    buckets = sorted(r["bucket"] for r in out)
+    assert buckets == [-1, 0, 1, 2, 3]
+
+
+def test_lttb_single_point_series(spark):
+    from kbdatalakeapps_spark.operators.temporal import lttb_downsample
+
+    df = spark.createDataFrame(
+        [("k", 5 * 10**9, 3.0)], "key string, tns long, val double"
+    )
+    out = lttb_downsample(df, ["key"], "tns", "val", n_buckets=4).collect()
+    # the single point appears as bucket pick and both endpoints
+    assert {r["val"] for r in out} == {3.0}
+    assert {r["bucket"] for r in out} == {-1, 0, 4}
+
+
+def test_lttb_downsamples_to_bounded_size(spark):
+    import random
+
+    from kbdatalakeapps_spark.operators.temporal import lttb_downsample
+
+    rng = random.Random(5)
+    rows = [
+        (f"k{i % 3}", t * 10**9 + i, rng.random())
+        for i, t in enumerate(range(900))
+    ]
+    df = spark.createDataFrame(rows, "key string, tns long, val double")
+    out = lttb_downsample(df, ["key"], "tns", "val", n_buckets=10)
+    per_key = out.groupBy("key").count().collect()
+    for r in per_key:
+        assert r["count"] <= 10 + 2
