@@ -110,7 +110,15 @@ def versioned_write(
     Delta/Iceberg scale up.  Returns the new version number.
 
     ``compact_parquet`` output can be committed as an ``overwrite``
-    version, giving compaction-with-history."""
+    version, giving compaction-with-history.
+
+    The manifest also records per-file column min/max/null-count stats
+    (footer reads only — O(KB) per file, over THIS commit's files;
+    prior files keep the stats their commit recorded), which is what
+    lets ``read_version(predicate=…)`` prune files from the manifest
+    alone, without touching any footer at read time — the
+    Iceberg/Delta manifest-pruning idea, and the part that matters at
+    100k-file scale where even footer reads are a listing storm."""
     import json
     import os
 
@@ -129,10 +137,20 @@ def versioned_write(
         if f.endswith(".parquet")
     ]
     prior: list[str] = []
+    prior_stats: dict = {}
     if mode == "append" and versions:
         with open(os.path.join(mdir, f"v{versions[-1]}.json")) as fh:
-            prior = json.load(fh)["files"]
-    manifest = {"version": new_v, "files": sorted(prior + new_files)}
+            pm = json.load(fh)
+            prior = pm["files"]
+            prior_stats = pm.get("stats", {})
+    stats = dict(prior_stats)
+    for path in new_files:
+        stats[path] = _file_column_stats(path)
+    manifest = {
+        "version": new_v,
+        "files": sorted(prior + new_files),
+        "stats": stats,
+    }
     tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -140,11 +158,73 @@ def versioned_write(
     return new_v
 
 
-def read_version(spark, table_dir: str, version: int | None = None) -> DataFrame:
+def _file_column_stats(path: str) -> dict:
+    """Per-column {col: [min, max, null_count]} from the parquet
+    FOOTER (no data pages read), merged across row groups; columns
+    whose stats are absent or non-JSON-representable are omitted —
+    pruning treats missing stats as "cannot exclude"."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    out: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                continue
+            nulls = st.null_count if st.null_count is not None else 0
+            if name in out:
+                pmn, pmx, pn = out[name]
+                out[name] = [min(pmn, mn), max(pmx, mx), pn + nulls]
+            else:
+                out[name] = [mn, mx, nulls]
+    return out
+
+
+def _stats_may_match(stats: dict, col: str, op: str, value) -> bool:
+    """Can a file with these stats contain a row satisfying
+    ``col op value``?  Missing stats → True (never wrongly prune)."""
+    if col not in stats:
+        return True
+    mn, mx, _nulls = stats[col]
+    if op == "=":
+        return mn <= value <= mx
+    if op == "<":
+        return mn < value
+    if op == "<=":
+        return mn <= value
+    if op == ">":
+        return mx > value
+    if op == ">=":
+        return mx >= value
+    raise ValueError(f"unsupported pruning op: {op}")
+
+
+def read_version(
+    spark,
+    table_dir: str,
+    version: int | None = None,
+    predicate: list[tuple] | None = None,
+) -> DataFrame:
     """Read a manifest-versioned table at ``version`` (default: latest).
     The manifest's explicit file list IS the snapshot — files committed
     by later versions are invisible, files removed by a later overwrite
-    remain readable at older versions (time travel)."""
+    remain readable at older versions (time travel).
+
+    ``predicate`` is an optional conjunction of
+    ``(column, op, value)`` terms (op ∈ {=, <, <=, >, >=}): files
+    whose manifest min/max stats PROVE no row can match are dropped
+    from the read BEFORE Spark ever lists or opens them — one local
+    JSON read replaces 100k footer fetches.  Pruning is conservative
+    (missing stats keep the file) and advisory: apply the same
+    predicate as a real ``filter`` too, for row-level correctness —
+    this prunes at file granularity only."""
     import json
     import os
 
@@ -155,7 +235,21 @@ def read_version(spark, table_dir: str, version: int | None = None) -> DataFrame
             if f.startswith("v") and f.endswith(".json")
         )
     with open(os.path.join(mdir, f"v{version}.json")) as fh:
-        files = json.load(fh)["files"]
+        manifest = json.load(fh)
+    files = manifest["files"]
+    if predicate:
+        stats = manifest.get("stats", {})
+        files = [
+            f
+            for f in files
+            if all(
+                _stats_may_match(stats.get(f, {}), col, op, val)
+                for col, op, val in predicate
+            )
+        ]
+        if not files:  # provably empty: keep the schema, read nothing
+            full = spark.read.parquet(*manifest["files"])
+            return full.filter("1 = 0")
     return spark.read.parquet(*files)
 
 

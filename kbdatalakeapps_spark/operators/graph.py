@@ -428,6 +428,7 @@ def partition_modularity(
     labels: DataFrame,
     id_col: str = "id",
     label_col: str = "label",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Newman modularity of a GIVEN node partition — the community-
     quality score that evaluates any clustering of the graph
@@ -453,10 +454,14 @@ def partition_modularity(
     edge list against the label map, and two label-keyed aggregations
     — all equi-joins on uniform keys; m is a 1-row scalar broadcast
     (the allowlisted shape)."""
+    mat = materializer(checkpoint_dir)
     lab = labels.select(
         F.col(id_col).alias("_nid"), F.col(label_col).alias("_lab")
     )
-    und = (
+    # the u<v edge table feeds THREE branches (m, degrees, internal
+    # edges) — materialize it once or each branch re-derives the whole
+    # upstream edge pipeline (the plan-duplication rule from NOTES r2)
+    und = mat(
         edges.filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()

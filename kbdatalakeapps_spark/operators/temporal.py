@@ -412,6 +412,7 @@ def lttb_downsample(
     ts_col: str,
     val_col: str,
     n_buckets: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling, bucket-anchor
     parallel variant — the dashboard/hypertable decimation operator
@@ -440,12 +441,20 @@ def lttb_downsample(
     global."""
     from pyspark.sql.window import Window
 
+    from .checkpointing import materializer
+
+    mat = materializer(checkpoint_dir)
     k = [F.col(c) for c in key_cols]
-    rng = series.groupBy(*k).agg(
-        F.min(ts_col).alias("_t0"),
-        F.max(ts_col).alias("_t1"),
-        F.min_by(val_col, ts_col).alias("_v0"),
-        F.max_by(val_col, ts_col).alias("_v1"),
+    # rng feeds the bucket assignment AND the endpoint rows; the
+    # bucketed frame feeds the means AND the anchored scoring pass —
+    # materialize both or each consumer re-derives the series subtree
+    rng = mat(
+        series.groupBy(*k).agg(
+            F.min(ts_col).alias("_t0"),
+            F.max(ts_col).alias("_t1"),
+            F.min_by(val_col, ts_col).alias("_v0"),
+            F.max_by(val_col, ts_col).alias("_v1"),
+        )
     )
     b = series.join(rng, key_cols).withColumn(
         "_b",
@@ -458,7 +467,8 @@ def lttb_downsample(
             ),
         ).otherwise(F.lit(0).cast("bigint")),
     )
-    means = b.groupBy(*k, F.col("_b")).agg(
+    b = mat(b)
+    means = mat(b.groupBy(*k, F.col("_b")).agg(
         (
             F.sum(F.col(ts_col).cast("decimal(38,0)")).cast("double")
             / F.count(F.lit(1)).cast("double")
@@ -467,7 +477,7 @@ def lttb_downsample(
             F.sum(F.col(val_col).cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("_my"),
-    )
+    ))
     prev = means.select(
         *k, (F.col("_b") + 1).alias("_b"),
         F.col("_mx").alias("_px"), F.col("_my").alias("_py"),

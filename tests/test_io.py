@@ -951,3 +951,58 @@ def test_webdataset_source_surfaces_unpaired_members(spark, tmp_path):
     assert rows["7"]["meta"] is None
     assert rows["9"]["content"] is None
     assert rows["9"]["meta"] == '{"a": 1}'
+
+
+def test_versioned_manifest_stats_prune_files(spark, tmp_path):
+    """Manifest-level pruning: a range predicate must cut the file
+    list from the manifest's recorded min/max alone — and the result
+    must equal the unpruned read under the same row filter."""
+    import json
+
+    from kbdatalakeapps_spark.io.layout import read_version, versioned_write
+
+    t = str(tmp_path / "vstats")
+    # three commits with DISJOINT id ranges → 3 prunable units
+    versioned_write(spark.range(0, 100).repartition(1), t)
+    versioned_write(spark.range(1000, 1100).repartition(1), t)
+    versioned_write(spark.range(2000, 2100).repartition(1), t)
+
+    with open(f"{t}/_manifests/v3.json") as fh:
+        man = json.load(fh)
+    assert len(man["files"]) == 3
+    assert all(f in man["stats"] for f in man["files"])
+
+    pruned = read_version(spark, t, predicate=[("id", ">=", 1990)])
+    # only the third commit's file survives pruning
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 100
+    full = read_version(spark, t).filter("id >= 1990")
+    assert pruned.filter("id >= 1990").count() == full.count() == 100
+
+    # equality inside a gap: provably empty, schema preserved
+    empty = read_version(spark, t, predicate=[("id", "=", 500)])
+    assert empty.count() == 0
+    assert empty.schema == full.schema
+
+    # conjunction narrows across columns/terms
+    both = read_version(
+        spark, t, predicate=[("id", ">=", 50), ("id", "<", 1050)]
+    )
+    assert len(both.inputFiles()) == 2
+
+
+def test_versioned_manifest_stats_append_keeps_prior(spark, tmp_path):
+    import json
+
+    from kbdatalakeapps_spark.io.layout import versioned_write
+
+    t = str(tmp_path / "vstats2")
+    versioned_write(spark.range(0, 10).repartition(1), t)
+    versioned_write(spark.range(10, 20).repartition(1), t)
+    with open(f"{t}/_manifests/v2.json") as fh:
+        man = json.load(fh)
+    # v2's manifest carries stats for v1's file without re-reading it
+    v1_files = [f for f in man["files"] if "/v1/" in f]
+    assert v1_files and all(f in man["stats"] for f in v1_files)
+    mn, mx, nulls = man["stats"][v1_files[0]]["id"]
+    assert (mn, mx, nulls) == (0, 9, 0)
