@@ -26,8 +26,22 @@ from kbdatalakeapps_spark.queries.extended import sim_ivf_topk_build  # noqa: E4
 # query, so it keeps doing that via the unregistered free-clustering
 # form even though the registered query is now the fixed-centroid
 # oracled variant (round 5, VERDICT r4 #2).
+def _dd_dedup_corpus_xxh(spark, sf_dir):
+    # the PRODUCTION hash path of the headline dedup pipeline —
+    # measured against the md5 oracle form under the same key layout
+    # so the md5-tax (signature pass dominates the oracle form,
+    # NOTES r3/r4) stays visible round over round
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.dedup import dedup_corpus
+
+    return dedup_corpus(
+        load_table(spark, sf_dir, "documents"), hash_fn="xxhash64"
+    )
+
+
 _BENCH_OVERRIDES = {
     "sim_ivf_topk": sim_ivf_topk_build,
+    "dd_dedup_corpus_xxh": _dd_dedup_corpus_xxh,
 }
 
 # Headline set: one per operator family that dominates runtime at scale.
@@ -87,6 +101,7 @@ BENCH_QUERIES = [
     "mb_item_cosine",              # item-item co-occurrence cosine
     # round-5 additions (appended so earlier keys stay comparable)
     "dd_duplicate_spans",          # repeated-substring span detection
+    "dd_dedup_corpus_xxh",         # dedup pipeline, xxhash64 production path
     "dq_expectation_suite",        # one-scan declarative quality gate
     "ml_ndcg",                     # per-user fixed-point NDCG@10
 ]

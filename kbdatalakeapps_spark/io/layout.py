@@ -435,3 +435,53 @@ def hilbert_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def optimize_table(
+    spark,
+    table_dir: str,
+    zorder_cols: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 16,
+) -> int:
+    """Table maintenance in one commit — the OPTIMIZE [ZORDER BY]
+    lifecycle verb over a manifest-versioned table: read the current
+    snapshot, rewrite it as ~``target_file_bytes`` files (optionally
+    clustered along ``zorder_cols`` so min/max stats prune on every
+    listed dimension), and commit the rewrite as a new ``overwrite``
+    version.  Readers pinned to older manifests are untouched
+    (snapshot isolation); run ``expire_versions`` separately to
+    reclaim the superseded files.  Returns the new version number.
+
+    The rewritten files get fresh manifest stats on commit, so
+    ``read_version(predicate=…)`` pruning improves in the same pass
+    that fixes the small-files problem."""
+    import math
+    import os
+
+    cur = read_version(spark, table_dir)
+    total = 0
+    mdir = os.path.join(table_dir, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    import json
+
+    with open(os.path.join(mdir, f"v{latest}.json")) as fh:
+        for f in json.load(fh)["files"]:
+            total += os.path.getsize(f)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    if zorder_cols:
+        z = zorder_value(zorder_cols, bits)
+        from pyspark.sql import functions as F
+
+        cur = (
+            cur.withColumn("_z", z)
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        cur = cur.repartition(n_files)
+    return versioned_write(cur, table_dir, mode="overwrite")

@@ -533,6 +533,7 @@ def dedup_corpus(
     num_hashes: int = 24,
     band_size: int = 6,
     jaccard_threshold: float = 0.8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The complete dedup decision, end to end: exact content-hash
     dedup → minhash-LSH candidate discovery on the exact survivors →
@@ -557,9 +558,16 @@ def dedup_corpus(
     (num_bands)^(-band_size⁻¹) near it."""
     from .graph import keeper_assignment
 
-    hashed = df.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_h")
+    # hash_fn='xxhash64' is the production path (exact stage + minhash
+    # permutations; the banding join and exact-Jaccard verify are
+    # hash-agnostic) — measured ~2x cheaper end-to-end at sf0.1, same
+    # statistical contract, md5 stays the oracle default (NOTES r3)
+    content_h = (
+        F.xxhash64(F.col(text_col)).cast("string")
+        if hash_fn == "xxhash64"
+        else F.md5(F.col(text_col))
     )
+    hashed = df.select(F.col(id_col).alias("id"), content_h.alias("_h"))
     exact_keeper = hashed.groupBy("_h").agg(F.min("id").alias("_keep"))
     exact_map = hashed.join(exact_keeper, "_h").select("id", "_keep")
     survivors = df.join(
@@ -574,7 +582,7 @@ def dedup_corpus(
     # exact stage per consumer
     survivors = survivors.localCheckpoint(eager=False)
     sigs = minhash_signatures_wide(
-        survivors, id_col, text_col, k, num_hashes
+        survivors, id_col, text_col, k, num_hashes, hash_fn
     ).localCheckpoint(eager=False)
     candidates = minhash_lsh_pairs(
         survivors, id_col, text_col, k, num_hashes, band_size, signatures=sigs

@@ -439,3 +439,72 @@ def equidepth_bins(
         )
         .drop("_cuts")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-balanced domain mixture at T = 0.5: target shares
+    ∝ count(d)^0.5 — the standard low-resource up-weighting used for
+    multilingual / multi-domain pretraining mixes (sampling
+    exponent α of the XLM/mT5 recipes), where explicit shares
+    (``mixture_sample``) aren't known in advance.  The exponent is
+    fixed at 0.5 because ``sqrt`` is a correctly-rounded IEEE op —
+    the ONE power that keeps the whole pipeline engine-exact
+    (``pow(x, 0.3)`` is libm-defined and would break the hash
+    contract).
+
+    As in ``mixture_sample``, the realized corpus is the largest one
+    achievable WITHOUT upsampling any domain; each domain keeps a
+    content-keyed hash sample at its derived rate (reproducible under
+    any partitioning, and a superset relation holds under corpus
+    growth per domain).
+
+    Exactness: per-domain sqrt is quantized to ``floor(sqrt(n)·10^9)``
+    BIGINT, so the share DENOMINATOR is an exact integer SUM
+    (order-invariant) — a float Σ of sqrts would be
+    shuffle-order-sensitive in the last bits.  Rates are then one
+    fixed double expression tree.
+
+    Plan shape: one column-pruned domain-count pass, 1-row capacity
+    broadcast, rates broadcast back on the domain key — the fact
+    table never shuffles (the mixture_sample posture)."""
+    sqrt_fp = F.floor(
+        F.sqrt(F.col("_n").cast("double")) * F.lit(10**9)
+    ).cast("bigint")
+    counts = (
+        df.groupBy(F.col(domain_col).alias("_domain"))
+        .agg(F.count("*").cast("bigint").alias("_n"))
+        .withColumn("_sfp", sqrt_fp)
+    )
+    tot = counts.agg(
+        F.sum("_sfp").cast("bigint").alias("_tot_fp")
+    )
+    with_tot = counts.crossJoin(F.broadcast(tot))
+    # capacity: largest total T with rate_d = T·share_d/n_d ≤ 1 ∀d,
+    # share_d = sfp_d/tot_fp  ⇒  T = min_d n_d·tot_fp/sfp_d
+    capacity = with_tot.agg(
+        F.min(
+            F.col("_n").cast("double")
+            * F.col("_tot_fp").cast("double")
+            / F.col("_sfp").cast("double")
+        ).alias("_cap")
+    )
+    rates = with_tot.crossJoin(F.broadcast(capacity)).select(
+        "_domain",
+        (
+            F.col("_cap")
+            * F.col("_sfp").cast("double")
+            / F.col("_tot_fp").cast("double")
+            / F.col("_n").cast("double")
+        ).alias("_rate"),
+    )
+    u = _unit_hash(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == F.col("_domain"))
+        .filter(u < F.col("_rate"))
+        .drop("_domain", "_rate")
+    )

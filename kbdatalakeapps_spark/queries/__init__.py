@@ -146,4 +146,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ly_hilbert_keys",
     "gr_modularity",
     "ts_lttb_downsample",
+    "sp_temperature_mixture",
 ]

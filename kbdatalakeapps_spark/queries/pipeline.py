@@ -1252,3 +1252,70 @@ def tx_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("token")
         .limit(5000)
     )
+
+
+_OKEY_UNIT_SQL = (
+    "(('0x' || substr(md5(o_orderkey::VARCHAR || '{salt}'), 1, 15))::BIGINT"
+    " / CAST(1152921504606846976 AS DOUBLE))"
+)
+
+
+@query(
+    "sp_temperature_mixture",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               'd' || CAST(CAST(FLOOR(SQRT(CAST(o_orderkey % 100 AS DOUBLE)))
+                                AS INT) AS VARCHAR) AS domain
+        FROM orders
+    ),
+    c AS (
+        SELECT domain, COUNT(*)::BIGINT AS n FROM base GROUP BY domain
+    ),
+    s AS (
+        SELECT domain, n,
+               CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000000) AS BIGINT)
+                   AS sfp
+        FROM c
+    ),
+    tot AS (SELECT SUM(sfp)::BIGINT AS tot_fp FROM s),
+    cap AS (
+        SELECT MIN(CAST(n AS DOUBLE) * CAST(tot_fp AS DOUBLE)
+                   / CAST(sfp AS DOUBLE)) AS cap
+        FROM s, tot
+    ),
+    r AS (
+        SELECT domain,
+               cap * CAST(sfp AS DOUBLE) / CAST(tot_fp AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS rate
+        FROM s, tot, cap
+    )
+    SELECT b.o_orderkey, b.domain
+    FROM base b JOIN r USING (domain)
+    WHERE {_OKEY_UNIT_SQL.format(salt='tm1')} < r.rate
+    ORDER BY o_orderkey LIMIT 5000
+    """,
+)
+def sp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=0.5 temperature-balanced mixture over a deterministically
+    skewed domain key (floor(sqrt(orderkey % 100)) gives 2k+1-sized
+    domains): low-count domains keep proportionally more rows without
+    any domain upsampling (operators/sampling.py::temperature_sample).
+    sqrt is the one IEEE-exact exponent, so the whole derivation
+    hash-matches."""
+    from ..operators.sampling import temperature_sample
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("d"),
+            F.floor(F.sqrt((F.col("o_orderkey") % 100).cast("double")))
+            .cast("int")
+            .cast("string"),
+        ).alias("domain"),
+    )
+    return (
+        temperature_sample(o, "o_orderkey", "domain", salt="tm1")
+        .orderBy("o_orderkey")
+        .limit(5000)
+    )

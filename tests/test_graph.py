@@ -478,3 +478,27 @@ def test_partition_modularity_empty_community_edges(spark):
     assert got["B"]["internal_edges"] == 0
     # label with no edges at all doesn't appear (no degree rows)
     assert "C" not in got
+
+
+def test_dedup_corpus_xxhash64_production_path(spark):
+    """The hash_fn='xxhash64' pipeline keeps every structural
+    invariant (fixpoint keepers, stage labels, exact-dup collapse) —
+    the statistical contract is hash-agnostic even though the minhash
+    permutations (and hence borderline near-dup pairs) differ from the
+    md5 oracle form."""
+    from kbdatalakeapps_spark.operators.dedup import dedup_corpus
+
+    docs = [(i, f"unique text number {i} with tail {i * 7}") for i in range(40)]
+    docs += [(100 + i, docs[i][1]) for i in range(10)]        # exact dups
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = dedup_corpus(df, hash_fn="xxhash64")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 50
+    # exact dups collapse onto the min-id keeper
+    for i in range(10):
+        assert rows[100 + i]["keeper"] == i
+        assert rows[100 + i]["stage"] == "exact"
+        assert rows[100 + i]["is_keeper"] is False
+    # keepers are fixpoints
+    for r in rows.values():
+        assert rows[r["keeper"]]["is_keeper"] is True

@@ -1006,3 +1006,42 @@ def test_versioned_manifest_stats_append_keeps_prior(spark, tmp_path):
     assert v1_files and all(f in man["stats"] for f in v1_files)
     mn, mx, nulls = man["stats"][v1_files[0]]["id"]
     assert (mn, mx, nulls) == (0, 9, 0)
+
+
+def test_optimize_table_compacts_and_clusters(spark, tmp_path):
+    import json
+
+    from kbdatalakeapps_spark.io.layout import (
+        expire_versions,
+        optimize_table,
+        read_version,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "opt")
+    # many tiny commits → many small files
+    for i in range(5):
+        versioned_write(
+            spark.range(i * 1000, (i + 1) * 1000)
+            .selectExpr("id", "id % 64 AS x", "id DIV 64 AS y")
+            .repartition(4),
+            t,
+        )
+    before = read_version(spark, t)
+    assert len(before.inputFiles()) == 20
+    rows_before = sorted(r["id"] for r in before.collect())
+
+    v = optimize_table(spark, t, zorder_cols=["x", "y"], bits=8)
+    after = read_version(spark, t)
+    assert len(after.inputFiles()) == 1  # tiny table → one file
+    assert sorted(r["id"] for r in after.collect()) == rows_before
+    # older version still readable (snapshot isolation)...
+    assert read_version(spark, t, version=v - 1).count() == 5000
+    # ...until expired; then only the optimized files remain
+    rep = expire_versions(t, keep_last=1)
+    assert rep["removed_versions"] == list(range(1, v))
+    assert read_version(spark, t).count() == 5000
+    # fresh manifest stats exist for the rewritten files
+    with open(f"{t}/_manifests/v{v}.json") as fh:
+        man = json.load(fh)
+    assert all(f in man["stats"] for f in man["files"])

@@ -292,3 +292,51 @@ def test_epoch_shuffle_invariance_and_decorrelation(spark):
     # and roughly balanced (hash sharding; 400 rows over 4 shards)
     sizes = sorted(len(p) for p in by_shard.values())
     assert sizes[0] > 50
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample (T = 0.5 mixture balancing)
+# ---------------------------------------------------------------------------
+
+def test_temperature_sample_balances_toward_sqrt_shares(spark):
+    import math
+
+    from kbdatalakeapps_spark.operators.sampling import temperature_sample
+    from pyspark.sql import functions as F
+
+    # heavily skewed domains: 4000 / 1000 / 250
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(10_000 + i, "mid") for i in range(1000)]
+        + [(20_000 + i, "small") for i in range(250)]
+    )
+    df = spark.createDataFrame(rows, ["k", "dom"])
+    kept = temperature_sample(df, "k", "dom", salt="t")
+    got = {r["dom"]: r["count"] for r in kept.groupBy("dom").count().collect()}
+    # no upsampling: every domain keeps at most its own rows, and the
+    # binding domain (the one whose rate hits 1.0) keeps ALL of them
+    assert got["big"] <= 4000 and got["mid"] <= 1000 and got["small"] <= 250
+    # T=0.5 squeezes the ratio: raw big/small = 16x, sampled ≈ sqrt
+    ratio = got["big"] / got["small"]
+    assert 2.5 < ratio < 7.0, ratio  # ≈ 4 = sqrt(16), hash noise aside
+    # kept shares track sqrt weights
+    sq = {d: math.sqrt(n) for d, n in (("big", 4000), ("mid", 1000), ("small", 250))}
+    tot = sum(sq.values())
+    total_kept = sum(got.values())
+    for d in sq:
+        assert abs(got[d] / total_kept - sq[d] / tot) < 0.08
+
+
+def test_temperature_sample_is_reproducible_and_partition_invariant(spark):
+    from kbdatalakeapps_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "d%d" % (i % 3)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "dom"])
+    a = {r["k"] for r in temperature_sample(df, "k", "dom", salt="x").collect()}
+    b = {
+        r["k"]
+        for r in temperature_sample(
+            df.repartition(13), "k", "dom", salt="x"
+        ).collect()
+    }
+    assert a == b
