@@ -29,11 +29,14 @@ def _decode_wav(content: bytes):
     ``(samples int64 ndarray shape (n, channels), sample_rate)``.
 
     Real parser, not a stub: walks RIFF chunks, reads the ``fmt ``
-    chunk (PCM only — format tag 1), and decodes the ``data`` chunk
-    as unsigned 8-bit or signed 16/24/32-bit little-endian PCM.
-    Returns None for None/empty content; raises ValueError on a
-    malformed container and NotImplementedError on non-PCM encodings.
-    """
+    chunk, and decodes the ``data`` chunk.  Supported encodings:
+    format tag 1 (unsigned 8-bit / signed 16/24/32-bit LE PCM),
+    tag 6 (G.711 A-law) and tag 7 (G.711 µ-law) — the telephony
+    codecs are pure table expansions to 16-bit PCM, no codec library
+    involved.  Returns None for None/empty content; raises ValueError
+    on a malformed container and NotImplementedError on encodings
+    that genuinely need a codec library (ADPCM, MP3-in-WAV, float
+    extensible)."""
     import numpy as np
 
     if content is None or len(content) == 0:
@@ -58,6 +61,19 @@ def _decode_wav(content: bytes):
     tag, channels, rate, _byte_rate, _block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
+    if tag == 6:  # G.711 A-law → 16-bit PCM (ITU-T expansion)
+        samples = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.int64
+        )
+        return _shape_channels(samples, channels), int(rate)
+    if tag == 7:  # G.711 µ-law → 16-bit PCM
+        samples = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.int64
+        )
+        return _shape_channels(samples, channels), int(rate)
+    if tag == 0x11:  # IMA ADPCM (DVI/IMA) → 16-bit PCM
+        samples = _decode_ima_adpcm(data, channels, _block_align)
+        return _shape_channels(samples, channels), int(rate)
     if tag != 1:
         raise NotImplementedError(
             f"WAVE format tag {tag} (non-PCM) needs a codec library"
@@ -74,13 +90,112 @@ def _decode_wav(content: bytes):
         samples = np.where(u >= 1 << 23, u - (1 << 24), u)
     else:
         raise ValueError(f"unsupported PCM bit depth {bits}")
+    return _shape_channels(samples, channels), int(rate)
+
+
+def _shape_channels(samples, channels: int):
     if channels > 1:
-        samples = samples[: len(samples) // channels * channels].reshape(
+        return samples[: len(samples) // channels * channels].reshape(
             -1, channels
         )
-    else:
-        samples = samples.reshape(-1, 1)
-    return samples, int(rate)
+    return samples.reshape(-1, 1)
+
+
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+    return predictor, index
+
+
+def _decode_ima_adpcm(data: bytes, channels: int, block_align: int):
+    """IMA/DVI ADPCM (WAVE format tag 0x11) → int64 interleaved PCM.
+    WAV block layout: per-channel 4-byte header (int16 predictor =
+    sample 0, uint8 step index, reserved), then 4-byte nibble chunks
+    round-robin per channel, LOW nibble first.  The feedback loop is
+    inherently sequential per block — parallelism comes from Spark
+    partitioning media rows, not from vectorizing inside one clip."""
+    import numpy as np
+
+    if block_align <= 4 * channels:
+        raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+    out: list[int] = []
+    for bstart in range(0, len(data) - (4 * channels) + 1, block_align):
+        block = data[bstart : bstart + block_align]
+        preds = []
+        idxs = []
+        for ch in range(channels):
+            p, i = struct.unpack_from("<hB", block, ch * 4)[0:2]
+            (pi,) = struct.unpack_from("<B", block, ch * 4 + 2)
+            preds.append(p)
+            idxs.append(min(88, pi))
+        chans: list[list[int]] = [[p] for p in preds]
+        body = block[4 * channels :]
+        # 4-byte chunks alternate channels
+        for chunk_i in range(len(body) // 4):
+            ch = chunk_i % channels
+            for byte in body[chunk_i * 4 : chunk_i * 4 + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    preds[ch], idxs[ch] = _ima_step(preds[ch], idxs[ch], nib)
+                    chans[ch].append(preds[ch])
+        n = min(len(c) for c in chans)
+        for s in range(n):
+            for ch in range(channels):
+                out.append(chans[ch][s])
+    return np.array(out, dtype=np.int64)
+
+
+def _build_g711_tables():
+    """ITU-T G.711 expansion tables, 256 codes → int16 PCM each,
+    computed from the standard segment/mantissa layout (the exact
+    values audioop/ffmpeg ship)."""
+    import numpy as np
+
+    ulaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        sign = u & 0x80
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        magnitude = ((mantissa << 3) + 0x84) << exponent
+        magnitude -= 0x84
+        ulaw[code] = -magnitude if sign else magnitude
+    alaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        sign = a & 0x80
+        exponent = (a >> 4) & 0x07
+        mantissa = a & 0x0F
+        if exponent == 0:
+            magnitude = (mantissa << 4) + 8
+        else:
+            magnitude = ((mantissa << 4) + 0x108) << (exponent - 1)
+        # A-law sign bit SET means positive (opposite of µ-law)
+        alaw[code] = magnitude if sign else -magnitude
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _build_g711_tables()
 
 
 AUDIO_FEATURE_FIELDS = [

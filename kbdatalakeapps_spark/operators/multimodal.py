@@ -287,12 +287,16 @@ class _JpegBits:
         self.n -= 1
         return (self.b >> self.n) & 1
 
-    def receive_extend(self, s: int) -> int:
-        if s == 0:
-            return 0
+    def receive(self, s: int) -> int:
         v = 0
         for _ in range(s):
             v = (v << 1) | self.bit()
+        return v
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.receive(s)
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     def decode_huff(self, table: dict) -> int:
@@ -316,13 +320,15 @@ class _JpegBits:
 
 
 def _decode_jpeg(content: bytes):
-    """Minimal pure-python baseline JPEG decode (huffman + IDCT):
-    8-bit sequential DCT (SOF0), grayscale or YCbCr with any integer
-    subsampling (4:4:4, 4:2:2, 4:2:0), restart markers honored.
+    """Minimal pure-python JPEG decode (huffman + IDCT): 8-bit
+    baseline sequential (SOF0) AND progressive (SOF2 — spectral
+    selection + successive approximation, the jdphuff.c scan
+    algorithms), grayscale or YCbCr with any integer subsampling
+    (4:4:4, 4:2:2, 4:2:0), restart markers honored in both modes.
 
     Returns ``(ndarray h×w×ch, width, height)`` (ch 1 or 3, RGB), or
     None for a non-JPEG/malformed payload.  Raises NotImplementedError
-    for valid JPEGs outside baseline (progressive SOF2, 12-bit,
+    for valid JPEGs outside these profiles (12-bit, lossless,
     arithmetic coding), mirroring the codec stub contract."""
     if content is None or content[:2] != b"\xff\xd8":
         return None
@@ -341,6 +347,8 @@ def _decode_jpeg_inner(d: bytes):
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
     frame = None
     restart_interval = 0
+    progressive = False
+    coef_store = None  # progressive: per-component DCT coefficients
     pos = 2
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
@@ -376,7 +384,7 @@ def _decode_jpeg_inner(d: bytes):
                 symbols = list(seg[o + 17 : o + 17 + nsym])
                 huff[(cls, tid)] = _huff_canonical(counts, symbols)
                 o += 17 + nsym
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("JPEG precision != 8")
             h = int.from_bytes(seg[1:3], "big")
@@ -387,12 +395,13 @@ def _decode_jpeg_inner(d: bytes):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             # name the encoding so curation pipelines can ROUTE on the
-            # message (progressive is the common real-world miss)
+            # message
             kinds = {
-                0xC1: "extended sequential", 0xC2: "progressive",
+                0xC1: "extended sequential",
                 0xC3: "lossless", 0xC5: "differential sequential",
                 0xC6: "differential progressive", 0xC7: "differential lossless",
                 0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
@@ -402,7 +411,7 @@ def _decode_jpeg_inner(d: bytes):
             }
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} ({kinds[marker]}): only "
-                "baseline (SOF0) supported"
+                "baseline (SOF0) and progressive (SOF2) supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
@@ -411,14 +420,29 @@ def _decode_jpeg_inner(d: bytes):
                 return None
             nsc = seg[0]
             scan_tabs = {}
+            scan_comps = []
             for i in range(nsc):
                 cid, tt = seg[1 + 2 * i : 3 + 2 * i]
                 scan_tabs[cid] = (tt >> 4, tt & 15)
-            return _jpeg_decode_scan(
-                d, pos + seglen, frame, qt, huff, scan_tabs,
-                restart_interval, np,
+                scan_comps.append(cid)
+            if not progressive:
+                return _jpeg_decode_scan(
+                    d, pos + seglen, frame, qt, huff, scan_tabs,
+                    restart_interval, np,
+                )
+            ss, se = seg[1 + 2 * nsc], seg[2 + 2 * nsc]
+            ahal = seg[3 + 2 * nsc]
+            ah, al = ahal >> 4, ahal & 15
+            if coef_store is None:
+                coef_store = _jpeg_coef_store(frame, np)
+            pos = _jpeg_progressive_scan(
+                d, pos + seglen, frame, huff, scan_tabs, scan_comps,
+                (ss, se, ah, al), restart_interval, coef_store, np,
             )
+            continue  # pos already sits at the next marker
         pos += seglen
+    if progressive and coef_store is not None:
+        return _jpeg_finish_progressive(frame, qt, coef_store, np)
     return None
 
 
@@ -470,7 +494,12 @@ def _jpeg_decode_scan(d, start, frame, qt, huff, scan_tabs, ri, np):
                         x0 = (mx * ch_ + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcus_done += 1
-    # upsample each component to full resolution and crop
+    return _jpeg_assemble(planes, comps, hmax, vmax, w, h, np)
+
+
+def _jpeg_assemble(planes, comps, hmax, vmax, w, h, np):
+    """Upsample component planes to full resolution, crop, and color-
+    convert — shared by the baseline and progressive paths."""
     full = []
     for cid, ch_, cv, _ in comps:
         p = planes[cid]
@@ -489,6 +518,232 @@ def _jpeg_decode_scan(d, start, frame, qt, huff, scan_tabs, ri, np):
         axis=-1,
     )
     return np.clip(rgb, 0, 255).astype(np.uint8), w, h
+
+
+def _jpeg_coef_store(frame, np):
+    """Per-component DCT coefficient arrays, MCU-padded block grid:
+    cid → int32 ndarray (blocks_y, blocks_x, 64) in natural order."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return {
+        cid: np.zeros((mcuy * cv, mcux * ch_, 64), dtype=np.int32)
+        for cid, ch_, cv, _ in comps
+    }
+
+
+def _jpeg_comp_geom(frame, cid):
+    """((blocks_w, blocks_h) unpadded, (h_i, v_i), (mcux, mcuy))."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    ch_, cv = next((c[1], c[2]) for c in comps if c[0] == cid)
+    comp_w = -(-w * ch_ // hmax)
+    comp_h = -(-h * cv // vmax)
+    return (
+        (-(-comp_w // 8), -(-comp_h // 8)),
+        (ch_, cv),
+        (-(-w // (8 * hmax)), -(-h // (8 * vmax))),
+    )
+
+
+def _jpeg_progressive_scan(
+    d, start, frame, huff, scan_tabs, scan_comps, band, ri, store, np
+):
+    """Decode ONE progressive scan (ITU T.81 G.2 / libjpeg jdphuff.c)
+    into the coefficient store and return the byte offset of the
+    marker that terminated the entropy segment."""
+    ss, se, ah, al = band
+    rd = _JpegBits(d, start)
+    w, h, comps = frame
+
+    def finish() -> int:
+        # byte position of the terminating marker (skip stuffed FFs)
+        i = rd.i
+        while i + 1 < len(d):
+            if d[i] == 0xFF and d[i + 1] != 0x00:
+                return i
+            i += 1
+        return len(d)
+
+    try:
+        if ss == 0:
+            _prog_dc_scan(d, rd, frame, huff, scan_tabs, scan_comps,
+                          ah, al, ri, store, np)
+        else:
+            _prog_ac_scan(rd, frame, huff, scan_tabs, scan_comps[0],
+                          ss, se, ah, al, ri, store)
+    except EOFError:
+        pass  # segment ended exactly at a marker mid-padding
+    return finish()
+
+
+def _prog_dc_scan(d, rd, frame, huff, scan_tabs, scan_comps, ah, al, ri,
+                  store, np):
+    w, h, comps = frame
+    scomps = [c for c in comps if c[0] in scan_comps]
+    interleaved = len(scomps) > 1
+    pred = {cid: 0 for cid, *_ in scomps}
+    if interleaved:
+        (_bw, _bh), _hv, (mcux, mcuy) = _jpeg_comp_geom(frame, scomps[0][0])
+        done = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and done and done % ri == 0:
+                    rd.restart()
+                    pred = {cid: 0 for cid in pred}
+                for cid, ch_, cv, _ in scomps:
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            _prog_dc_block(
+                                rd, huff, scan_tabs, cid, ah, al, pred,
+                                store[cid][my * cv + by, mx * ch_ + bx],
+                            )
+                done += 1
+    else:
+        cid = scomps[0][0]
+        (bw, bh), _hv, _m = _jpeg_comp_geom(frame, cid)
+        done = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and done and done % ri == 0:
+                    rd.restart()
+                    pred = {cid: 0}
+                _prog_dc_block(
+                    rd, huff, scan_tabs, cid, ah, al, pred,
+                    store[cid][by, bx],
+                )
+                done += 1
+
+
+def _prog_dc_block(rd, huff, scan_tabs, cid, ah, al, pred, coef):
+    if ah == 0:  # first DC scan: huffman diff, scaled by 2^al
+        s = rd.decode_huff(huff[(0, scan_tabs[cid][0])])
+        pred[cid] += rd.receive_extend(s)
+        coef[0] = pred[cid] << al
+    else:  # refinement: one bit per block
+        if rd.bit():
+            coef[0] |= 1 << al
+
+
+def _prog_ac_scan(rd, frame, huff, scan_tabs, cid, ss, se, ah, al, ri,
+                  store):
+    """AC scans are single-component by spec; block order is the
+    component's own (unpadded) raster."""
+    (bw, bh), _hv, _m = _jpeg_comp_geom(frame, cid)
+    ac_tab = huff[(1, scan_tabs[cid][1])]
+    eobrun = 0
+    done = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and done and done % ri == 0:
+                rd.restart()
+                eobrun = 0
+            coef = store[cid][by, bx]
+            if ah == 0:
+                eobrun = _prog_ac_first(rd, ac_tab, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine(rd, ac_tab, coef, ss, se, al, eobrun)
+            done += 1
+
+
+def _prog_ac_first(rd, ac_tab, coef, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.decode_huff(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits end-of-band blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rd.receive(r)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            coef[_JPEG_ZZ[k]] = rd.receive_extend(s) << al
+            k += 1
+    return 0
+
+
+def _prog_ac_refine(rd, ac_tab, coef, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (jdphuff.c
+    decode_mcu_AC_refine): newly-nonzero coefficients arrive as ±1<<al
+    while every already-nonzero coefficient visited appends one
+    correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.receive(r)
+                    break
+                # r == 15: advance past 16 zero-history coefficients
+            else:
+                # s must be 1: a coefficient newly becoming nonzero
+                val = p1 if rd.bit() else m1
+            while k <= se:
+                z = _JPEG_ZZ[k]
+                if coef[z] != 0:
+                    if rd.bit() and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[_JPEG_ZZ[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _JPEG_ZZ[k]
+            if coef[z] != 0 and rd.bit() and (coef[z] & p1) == 0:
+                coef[z] += p1 if coef[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_finish_progressive(frame, qt, store, np):
+    """Dequantize + IDCT every block of the accumulated coefficient
+    store and assemble the image (same tail as the baseline path)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    m = _dct_matrix()
+    planes = {}
+    for cid, ch_, cv, tq in comps:
+        q = np.array(qt[tq], dtype=np.float64)
+        blocks = store[cid].astype(np.float64)  # (by, bx, 64) natural
+        by_n, bx_n = blocks.shape[0], blocks.shape[1]
+        plane = np.zeros((by_n * 8, bx_n * 8))
+        # dequantize: q is in zigzag order, matching coefficient index
+        # layout k; store holds natural positions, so scatter q too
+        qnat = np.empty(64)
+        for k in range(64):
+            qnat[_JPEG_ZZ[k]] = q[k]
+        deq = blocks * qnat
+        for by in range(by_n):
+            for bx in range(bx_n):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    m.T @ deq[by, bx].reshape(8, 8) @ m + 128.0
+                )
+        planes[cid] = plane
+    return _jpeg_assemble(planes, comps, hmax, vmax, w, h, np)
 
 
 def resize_images(

@@ -138,3 +138,163 @@ def test_spectral_features_locate_a_pure_tone(spark):
     # half the clip is digital silence
     assert 0.4 < out[2].silence_ratio < 0.6
     assert out[3].spectral_centroid_hz is None
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law (WAVE format tags 7 / 6)
+# ---------------------------------------------------------------------------
+
+def _g711_wav(codes: bytes, tag: int, rate: int = 8000) -> bytes:
+    """Hand-assemble a fmt-tag-6/7 WAVE container (the stdlib wave
+    module writes PCM only)."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    data = codes
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_g711_tables_match_itu_reference():
+    """256/256 code parity against an independent implementation:
+    audioop where available (CPython < 3.13), frozen spot values
+    otherwise."""
+    import struct
+
+    from kbdatalakeapps_spark.operators.audio import _ALAW_TABLE, _ULAW_TABLE
+
+    try:
+        import audioop
+
+        for c in range(256):
+            assert _ULAW_TABLE[c] == struct.unpack(
+                "<h", audioop.ulaw2lin(bytes([c]), 2)
+            )[0]
+            assert _ALAW_TABLE[c] == struct.unpack(
+                "<h", audioop.alaw2lin(bytes([c]), 2)
+            )[0]
+    except ImportError:
+        pass
+    # frozen anchors (ITU-T G.711 tables) hold either way
+    assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ALAW_TABLE[0xD5] == 8 and _ALAW_TABLE[0x55] == -8
+    assert _ALAW_TABLE[0xAA] == 32256 and _ALAW_TABLE[0x2A] == -32256
+
+
+def test_decode_ulaw_and_alaw_wav():
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        _decode_wav,
+    )
+
+    codes = bytes(range(0, 256, 7))
+    for tag, table in ((7, _ULAW_TABLE), (6, _ALAW_TABLE)):
+        out, rate = _decode_wav(_g711_wav(codes, tag))
+        assert rate == 8000
+        assert out.shape == (len(codes), 1)
+        assert np.array_equal(out[:, 0], table[np.frombuffer(codes, np.uint8)])
+
+
+def test_mp3_in_wav_still_fails_loudly():
+    import pytest as _pytest
+
+    from kbdatalakeapps_spark.operators.audio import _decode_wav
+
+    # 0x55 = MPEG layer 3 in WAV — genuinely needs a codec library
+    with _pytest.raises(NotImplementedError, match="format tag 85"):
+        _decode_wav(_g711_wav(b"\x00\x01", tag=0x55))
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAVE format tag 0x11)
+# ---------------------------------------------------------------------------
+
+def _ima_wav(blocks: bytes, channels: int, block_align: int,
+             rate: int = 8000) -> bytes:
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, channels, rate, rate, block_align, 4
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+        + (b"\x00" if len(blocks) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_ima_adpcm_core_matches_audioop():
+    """Core step-table loop parity: repack a WAV-order nibble stream
+    (low nibble first) into audioop order (high first) and compare
+    decoded samples with audioop.adpcm2lin seeded at the same
+    (predictor, index) state."""
+    import struct
+
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import _decode_ima_adpcm
+
+    try:
+        import audioop
+    except ImportError:
+        return  # stdlib module removed (3.13+): block test still runs below
+
+    rng = np.random.default_rng(3)
+    nibbles = rng.integers(0, 16, size=64).tolist()
+    pred0, idx0 = 100, 20
+    header = struct.pack("<hBB", pred0, idx0, 0)
+    wav_body = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, 64, 2)
+    )
+    block = header + wav_body
+    mine = _decode_ima_adpcm(block, 1, len(block))
+    ref_packed = bytes(
+        (nibbles[i] << 4) | nibbles[i + 1] for i in range(0, 64, 2)
+    )
+    ref, _state = audioop.adpcm2lin(ref_packed, 2, (pred0, idx0))
+    ref_samples = np.frombuffer(ref, dtype="<i2")
+    assert mine[0] == pred0  # header predictor is sample 0
+    assert np.array_equal(mine[1:], ref_samples.astype(np.int64))
+
+
+def test_ima_adpcm_wav_decode_stereo_blocks():
+    import struct
+
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import (
+        _decode_ima_adpcm,
+        _decode_wav,
+    )
+
+    channels, chunks_per_ch = 2, 2
+    block_align = 4 * channels + 4 * channels * chunks_per_ch
+    rng = np.random.default_rng(7)
+    blocks = b""
+    for _b in range(3):
+        hdr = b"".join(
+            struct.pack("<hBB", int(rng.integers(-500, 500)),
+                        int(rng.integers(0, 40)), 0)
+            for _ in range(channels)
+        )
+        body = bytes(rng.integers(0, 256, size=block_align - 4 * channels).tolist())
+        blocks += hdr + body
+    out, rate = _decode_wav(_ima_wav(blocks, channels, block_align))
+    assert rate == 8000
+    # 1 header sample + 8 nibbles per 4-byte chunk per channel
+    per_block = 1 + 8 * chunks_per_ch
+    assert out.shape == (3 * per_block, channels)
+    flat = _decode_ima_adpcm(blocks, channels, block_align)
+    assert np.array_equal(out.reshape(-1), flat)
+    assert out.dtype == np.int64 and np.abs(out).max() <= 32767

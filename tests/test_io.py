@@ -657,20 +657,21 @@ def test_jpeg_decode_roundtrip(spark):
     # malformed payloads -> None (null downstream), like _decode_png
     assert _decode_jpeg(b"not a jpeg") is None
     assert _decode_jpeg(b"\xff\xd8truncated garbage") is None
-    # valid-but-unsupported (progressive SOF2) -> NotImplementedError
+    # valid-but-unsupported (arithmetic-coded progressive, SOF10) →
+    # NotImplementedError naming the encoding so curation pipelines
+    # can route on it.  (Huffman progressive SOF2 decodes for real
+    # since round 5 — see test_progressive_jpeg_decode_matches_baseline.)
     import pytest
 
-    sof2 = (
+    sof10 = (
         b"\xff\xd8"
-        + b"\xff\xc2"
+        + b"\xff\xca"
         + (2 + 9).to_bytes(2, "big")
         + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
         + bytes([1, 1, 0x11, 0])
     )
-    # the message names the encoding so curation pipelines can route
-    # on it (VERDICT r4 stretch #7)
-    with pytest.raises(NotImplementedError, match=r"SOF2 \(progressive\)"):
-        _decode_jpeg(sof2)
+    with pytest.raises(NotImplementedError, match=r"arithmetic progressive"):
+        _decode_jpeg(sof10)
 
 
 def test_resize_images_jpeg(spark):
@@ -1045,3 +1046,307 @@ def test_optimize_table_compacts_and_clusters(spark, tmp_path):
     with open(f"{t}/_manifests/v{v}.json") as fh:
         man = json.load(fh)
     assert all(f in man["stats"] for f in man["files"])
+
+
+def _encode_jpeg_progressive(img, q=2, al=1):
+    """Progressive (SOF2) JPEG encoder for fixtures, following
+    cjpeg's jcphuff.c scan algorithms: DC first (Al=al) + DC refine,
+    then per-component AC first / AC refine over two spectral bands —
+    exercising EOB runs, ZRL, newly-nonzero insertion, and buffered
+    correction bits.  4:4:4 / grayscale only (so each component's
+    block grid equals the MCU grid; subsampled progressive geometry
+    is exercised by the decoder's unpadded-grid path either way).
+    Encodes the SAME quantized coefficients as _encode_jpeg, so
+    progressive and baseline decodes of one image must be pixel-
+    identical."""
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.multimodal import (
+        _JPEG_ZZ,
+        _dct_matrix,
+    )
+
+    h, w, ch = img.shape
+    m = _dct_matrix()
+    qtab = [q] * 64
+
+    dc_syms = list(range(12))
+    ac_syms = [(r << 4) | s for r in range(16) for s in range(0, 11)]
+
+    def flat(syms, ln):
+        counts = [0] * 16
+        counts[ln - 1] = len(syms)
+        return counts, {sym: (i, ln) for i, sym in enumerate(syms)}
+
+    dc_counts, dc_enc = flat(dc_syms, 4)
+    ac_counts, ac_enc = flat(ac_syms, 9)
+
+    # ---- coefficient blocks per component (zigzag order) ----
+    f = img.astype(np.float64)
+    if ch == 1:
+        planes = [f[:, :, 0]]
+    else:
+        r_, g_, b_ = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+            128 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_,
+            128 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_,
+        ]
+    bw, bh = -(-w // 8), -(-h // 8)
+    comp_blocks = []
+    for p in planes:
+        pp = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = []
+        for by in range(bh):
+            row = []
+            for bx in range(bw):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = m @ blk @ m.T
+                cq = np.rint(coef.reshape(-1) / q).astype(int)
+                row.append([int(cq[_JPEG_ZZ[k]]) for k in range(64)])
+            blocks.append(row)
+        comp_blocks.append(blocks)
+
+    # ---- bit emitter (fresh per scan) ----
+    out = bytearray()
+
+    class Emit:
+        def __init__(self):
+            self.acc = 0
+            self.n = 0
+            self.buf = bytearray()
+
+        def bits(self, val, length):
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((val >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    b = self.acc & 0xFF
+                    self.buf.append(b)
+                    if b == 0xFF:
+                        self.buf.append(0x00)
+                    self.acc = self.n = 0
+
+        def flush(self):
+            while self.n:
+                self.bits(1, 1)
+            return bytes(self.buf)
+
+    def size_of(v):
+        s, v = 0, abs(v)
+        while v:
+            s += 1
+            v >>= 1
+        return s
+
+    def seg(marker, payload):
+        return (
+            b"\xff" + bytes([marker])
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+        )
+
+    def sos(comp_ids, ss, se, ah, al_):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0])  # DC/AC table 0 for everyone
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al_]))
+
+    scans = b""
+
+    # ---- scan 1: DC first, all components interleaved, Al=al ----
+    e = Emit()
+    preds = [0] * ch
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ch):
+                v = comp_blocks[ci][by][bx][0] >> al  # point transform
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = size_of(diff)
+                code, ln = dc_enc[s]
+                e.bits(code, ln)
+                if s:
+                    e.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    scans += sos(list(range(1, ch + 1)), 0, 0, 0, al) + e.flush()
+
+    # ---- DC refinement: one scan per bit level al-1 … 0 ----
+    for lvl in range(al, 0, -1):
+        e = Emit()
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ch):
+                    e.bits((comp_blocks[ci][by][bx][0] >> (lvl - 1)) & 1, 1)
+        scans += sos(list(range(1, ch + 1)), 0, 0, lvl, lvl - 1) + e.flush()
+
+    # ---- AC scans per component over two bands ----
+    def ac_first(ci, ss, se, al_):
+        e = Emit()
+        eobrun = [0]
+
+        def flush_eob():
+            if eobrun[0] == 0:
+                return
+            r = eobrun[0].bit_length() - 1
+            code, ln = ac_enc[r << 4]
+            e.bits(code, ln)
+            if r:
+                e.bits(eobrun[0] - (1 << r), r)
+            eobrun[0] = 0
+
+        for by in range(bh):
+            for bx in range(bw):
+                band = comp_blocks[ci][by][bx]
+                run = 0
+                emitted = False
+                for k in range(ss, se + 1):
+                    v = band[k]
+                    t = (abs(v) >> al_)
+                    if t == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run >= 16:
+                        code, ln = ac_enc[0xF0]
+                        e.bits(code, ln)
+                        run -= 16
+                    s = size_of(t)
+                    tv = t if v > 0 else -t
+                    code, ln = ac_enc[(run << 4) | s]
+                    e.bits(code, ln)
+                    e.bits(tv if tv >= 0 else tv + (1 << s) - 1, s)
+                    run = 0
+                    emitted = True
+                if run > 0 or not emitted:
+                    eobrun[0] += 1
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return e.flush()
+
+    def ac_refine(ci, ss, se, al_):
+        e = Emit()
+        eobrun = [0]
+        pend = []  # correction bits buffered across the EOB run
+
+        def flush_eob():
+            if eobrun[0] == 0 and not pend:
+                return
+            if eobrun[0] > 0:
+                r = eobrun[0].bit_length() - 1
+                code, ln = ac_enc[r << 4]
+                e.bits(code, ln)
+                if r:
+                    e.bits(eobrun[0] - (1 << r), r)
+            for b in pend:
+                e.bits(b, 1)
+            pend.clear()
+            eobrun[0] = 0
+
+        for by in range(bh):
+            for bx in range(bw):
+                band = comp_blocks[ci][by][bx]
+                absv = [abs(band[k]) >> al_ for k in range(ss, se + 1)]
+                eob = 0
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i + 1
+                r = 0
+                br: list[int] = []
+                for i, t in enumerate(absv):
+                    v = band[ss + i]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i < eob:
+                        flush_eob()
+                        code, ln = ac_enc[0xF0]
+                        e.bits(code, ln)
+                        r -= 16
+                        for b in br:
+                            e.bits(b, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_enc[(r << 4) | 1]
+                    e.bits(code, ln)
+                    e.bits(1 if v > 0 else 0, 1)
+                    for b in br:
+                        e.bits(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun[0] += 1
+                    pend.extend(br)
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return e.flush()
+
+    for ci in range(ch):
+        for ss, se in ((1, 5), (6, 63)):
+            scans += sos([ci + 1], ss, se, 0, al) + ac_first(ci, ss, se, al)
+    for lvl in range(al, 0, -1):
+        for ci in range(ch):
+            for ss, se in ((1, 5), (6, 63)):
+                scans += (
+                    sos([ci + 1], ss, se, lvl, lvl - 1)
+                    + ac_refine(ci, ss, se, lvl - 1)
+                )
+
+    # ---- headers ----
+    dqt = seg(0xDB, bytes([0]) + bytes(qtab))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ch])
+    for ci in range(ch):
+        sof += bytes([ci + 1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
+        + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    )
+    return (
+        b"\xff\xd8" + dqt + seg(0xC2, sof) + seg(0xC4, dht)
+        + scans + b"\xff\xd9"
+    )
+
+
+def test_progressive_jpeg_decode_matches_baseline():
+    """The progressive scans encode the SAME quantized coefficients as
+    the baseline form — decode must be pixel-identical, for gray and
+    RGB, across non-multiple-of-8 dims."""
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.default_rng(23)
+    yy, xx = np.mgrid[0:21, 0:26]
+    base = (5 * yy + 2 * xx) % 210 + 20
+    for ch in (1, 3):
+        img = np.stack(
+            [(base + 15 * c) % 235 for c in range(ch)], axis=-1
+        ).astype(np.uint8)
+        img = np.clip(
+            img.astype(int) + rng.integers(-3, 4, img.shape), 0, 255
+        ).astype(np.uint8)
+        dec_b, wb, hb = _decode_jpeg(_encode_jpeg(img))
+        for al in (1, 2):  # one and two successive-approximation levels
+            dec_p, wp, hp = _decode_jpeg(
+                _encode_jpeg_progressive(img, al=al)
+            )
+            assert (wb, hb) == (wp, hp) == (26, 21)
+            assert np.array_equal(dec_b, dec_p), f"ch={ch} al={al}"
+
+
+def test_progressive_jpeg_sparse_blocks_exercise_eob_runs():
+    """A mostly-flat image makes most AC bands all-zero → long EOB
+    runs and ZRL paths on both encode and decode."""
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.multimodal import _decode_jpeg
+
+    img = np.full((24, 40, 1), 130, dtype=np.uint8)
+    img[4, 4, 0] = 250       # one sharp impulse
+    img[20, 33, 0] = 10
+    dec_b, *_ = _decode_jpeg(_encode_jpeg(img))
+    dec_p, *_ = _decode_jpeg(_encode_jpeg_progressive(img))
+    assert np.array_equal(dec_b, dec_p)
