@@ -783,3 +783,80 @@ def hashed_domain_similarity(
             ).alias("cosine"),
         )
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS["en"],
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens; each word scores
+    degree/frequency over the whole corpus (degree = Σ length of the
+    phrases containing it), and a phrase scores the sum of its member
+    words — the standard unsupervised document-tagging pass a corpus
+    pipeline runs next to TF-IDF (which ranks single terms, not
+    phrases).
+
+    Returns (id_col, phrase, n_words, score_fp, score): ``score_fp``
+    is the 10^12 fixed-point integer sum — per-word deg/freq is one
+    IEEE division then floor, so the phrase sum is order-invariant
+    (a float Σ over member words would be shuffle-order-sensitive) —
+    and ``score`` its rounded double form.
+
+    Scale posture: phrase segmentation is a per-document
+    gaps-and-islands window (bounded frames); word statistics are one
+    corpus-wide aggregation on the token key, broadcast back onto the
+    member table; no driver state, no vocabulary collect."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks")).select(
+        "_id", F.posexplode("_toks").alias("_pos", "_tok")
+    )
+    content = base.filter(~F.col("_tok").isin(*stopwords))
+    win = Window.partitionBy("_id").orderBy("_pos")
+    member = content.withColumn(
+        "_grp", F.col("_pos") - F.row_number().over(win)
+    )
+    plen = member.groupBy("_id", "_grp").agg(
+        F.count(F.lit(1)).alias("_plen")
+    )
+    with_len = member.join(plen, ["_id", "_grp"])
+    wstats = with_len.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_freq"),
+        F.sum("_plen").cast("bigint").alias("_deg"),
+    )
+    wscore = wstats.select(
+        "_tok",
+        F.floor(
+            F.lit(10**12)
+            * F.col("_deg").cast("double")
+            / F.col("_freq").cast("double")
+        ).cast("bigint").alias("_wfp"),
+    )
+    return (
+        member.join(wscore, "_tok")
+        .groupBy("_id", "_grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("_wfp").cast("bigint").alias("score_fp"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "phrase",
+            "n_words",
+            "score_fp",
+            F.round(F.col("score_fp").cast("double") / 1e12, 6).alias("score"),
+        )
+    )

@@ -147,4 +147,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "gr_modularity",
     "ts_lttb_downsample",
     "sp_temperature_mixture",
+    "tx_rake_keywords",
 ]

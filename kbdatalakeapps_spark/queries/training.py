@@ -1295,3 +1295,70 @@ def ly_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hilbert_key(o, "_x", "_y", bits=8, out_col="h").select(
         "o_orderkey", "h"
     )
+
+
+@query(
+    "tx_rake_keywords",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t.i - 1 AS pos, w[t.i] AS tok
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    content AS (
+        SELECT doc_id, pos, tok FROM toks
+        WHERE tok NOT IN ('the', 'and', 'of', 'to', 'in', 'is', 'a')
+    ),
+    member AS (
+        SELECT doc_id, pos, tok,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM content
+    ),
+    plen AS (
+        SELECT doc_id, grp, COUNT(*)::BIGINT AS plen
+        FROM member GROUP BY doc_id, grp
+    ),
+    wstats AS (
+        SELECT m.tok, COUNT(*)::BIGINT AS freq,
+               SUM(p.plen)::BIGINT AS deg
+        FROM member m JOIN plen p USING (doc_id, grp)
+        GROUP BY m.tok
+    ),
+    wscore AS (
+        SELECT tok,
+               CAST(FLOOR(1e12 * CAST(deg AS DOUBLE)
+                          / CAST(freq AS DOUBLE)) AS BIGINT) AS wfp
+        FROM wstats
+    ),
+    phrases AS (
+        SELECT m.doc_id, m.grp,
+               string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+               COUNT(*)::BIGINT AS n_words,
+               SUM(w.wfp)::BIGINT AS score_fp
+        FROM member m JOIN wscore w USING (tok)
+        GROUP BY m.doc_id, m.grp
+    )
+    SELECT doc_id, phrase, n_words, score_fp,
+           ROUND(CAST(score_fp AS DOUBLE) / 1e12, 6) AS score
+    FROM phrases
+    ORDER BY score_fp DESC, doc_id, phrase LIMIT 2000
+    """,
+)
+def tx_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE phrase keywords over the documents corpus (operators/
+    text.py::rake_keywords): stopword-bounded candidate phrases scored
+    by corpus-wide word degree/frequency in order-invariant fixed
+    point; top 2000 phrases under a fully deterministic ordering."""
+    from ..operators.text import rake_keywords
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        rake_keywords(d)
+        .orderBy(F.desc("score_fp"), "doc_id", "phrase")
+        .limit(2000)
+    )

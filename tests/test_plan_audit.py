@@ -66,6 +66,8 @@ _BNLJ_OK = {
                               # 1-row total in the foreign_key check
     "gr_modularity",          # 1-row edge-total scalar onto the
                               # per-community frame
+    "sp_temperature_mixture", # two 1-row scalars (sqrt-sum total,
+                              # capacity) crossed onto the domain table
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is

@@ -196,3 +196,59 @@ def test_domain_similarity_orders_by_affinity(spark):
     assert rows[3]["cosine"] < 0.6
     # integer legs are exact counts
     assert rows[1]["doc_norm_sq"] == 4  # four distinct words, count 1 each
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords
+# ---------------------------------------------------------------------------
+
+def test_rake_keywords_matches_reference():
+    """RAKE on the canonical toy corpus: phrase segmentation at
+    stopwords, degree/frequency word scores, phrase = sum of members —
+    all checked against a direct python reimplementation."""
+    from kbdatalakeapps_spark.session import get_spark
+    from kbdatalakeapps_spark.operators.text import rake_keywords
+
+    spark = get_spark("rake-t", shuffle_partitions=4)
+    docs = [
+        (1, "deep learning is the fast path to deep models"),
+        (2, "fast path and deep learning"),
+    ]
+    stop = ("the", "and", "of", "to", "in", "is", "a")
+    # python reference
+    phrases = []
+    for did, text in docs:
+        cur = []
+        for w in text.lower().split():
+            if w in stop:
+                if cur:
+                    phrases.append((did, tuple(cur)))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append((did, tuple(cur)))
+    freq, deg = {}, {}
+    for _d, ph in phrases:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ph)
+    import math
+
+    def fp(w):
+        return math.floor(1e12 * deg[w] / freq[w])
+
+    expected = sorted(
+        (d, " ".join(ph), len(ph), sum(fp(w) for w in ph))
+        for d, ph in phrases
+    )
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["phrase"], r["n_words"], r["score_fp"])
+        for r in rake_keywords(df).collect()
+    )
+    assert got == expected
+    # segmentation sanity: the stopwords never appear inside a phrase
+    assert all(
+        w not in stop for _, p, _, _ in got for w in p.split()
+    )
