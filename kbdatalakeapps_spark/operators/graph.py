@@ -510,3 +510,44 @@ def partition_modularity(
             F.round(q, 6).alias("q"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded-round k-core peeling: iteratively drop nodes whose
+    degree in the surviving subgraph is < ``k`` — the standard
+    dense-community / spam-ring screen.  A FIXED round count keeps the
+    iterative algorithm oracle-able (the pagerank idiom: each round
+    unrolls to one SQL CTE); true convergence needs O(peeling-depth)
+    rounds — re-run with more rounds or check the returned frame's
+    fixpoint flag.
+
+    ``edges`` is the directed-symmetric convention.  Returns
+    (id, degree, in_core) over the nodes that survived the first
+    ``rounds - 1`` peels, with ``degree`` their degree in that
+    surviving subgraph and ``in_core`` whether they meet ``k`` —
+    False rows are exactly what the final peel removes, so an empty
+    False set means the peel has converged to the true k-core.
+
+    Scale posture: each round is one semi-join of the edge list
+    against the surviving node set plus a map-side-combinable degree
+    count; surviving sets are materialized per round (same lineage
+    rule as pagerank/BFS; ``checkpoint_dir=`` for the reliable
+    posture)."""
+    mat = materializer(checkpoint_dir)
+    e = mat(edges.select("src", "dst"))
+    alive = e.select(F.col("src").alias("id")).distinct()
+    deg = None
+    for _ in range(rounds):
+        sub = e.join(
+            alive.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        deg = sub.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree")
+        )
+        alive = mat(deg.filter(F.col("degree") >= k).select("id"))
+    return deg.withColumn("in_core", F.col("degree") >= k)

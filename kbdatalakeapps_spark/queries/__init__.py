@@ -148,4 +148,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ts_lttb_downsample",
     "sp_temperature_mixture",
     "tx_rake_keywords",
+    "gr_kcore",
 ]

@@ -506,3 +506,45 @@ def gr_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         gr.partition_modularity(_copurchase_edges(spark, sf_dir), labels)
         .orderBy("label")
     )
+
+
+_KCORE_K = 80
+
+
+def _kcore_sql() -> str:
+    """Unroll 3 peel rounds as CTEs (the pagerank exactness idiom)."""
+    ctes = [
+        f"sym AS ({_EDGES_SQL})",
+        "a0 AS (SELECT DISTINCT src AS id FROM sym)",
+    ]
+    for r in range(1, 4):
+        ctes.append(
+            f"d{r} AS (SELECT s.src AS id, COUNT(*)::BIGINT AS degree "
+            f"FROM sym s JOIN a{r - 1} x ON x.id = s.src "
+            f"JOIN a{r - 1} y ON y.id = s.dst GROUP BY s.src)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT id FROM d{r} WHERE degree >= {_KCORE_K})"
+        )
+    return "WITH " + ", ".join(ctes)
+
+
+@query(
+    "gr_kcore",
+    oracle=_kcore_sql()
+    + f"""
+    SELECT id, degree, degree >= {_KCORE_K} AS in_core
+    FROM d3 ORDER BY id
+    """,
+)
+def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peel (k=80) of the co-purchase graph
+    (operators/graph.py::kcore_peel): iterative subgraph-degree
+    filtering under a bit-exact unrolled-CTE oracle; in_core=False
+    rows are exactly the nodes the next peel would drop."""
+    from ..operators.graph import kcore_peel
+
+    return (
+        kcore_peel(_copurchase_edges(spark, sf_dir), k=_KCORE_K, rounds=3)
+        .orderBy("id")
+    )

@@ -502,3 +502,55 @@ def test_dedup_corpus_xxhash64_production_path(spark):
     # keepers are fixpoints
     for r in rows.values():
         assert rows[r["keeper"]]["is_keeper"] is True
+
+
+def test_kcore_peel_converges_to_true_core(spark):
+    """On a graph built as (5-clique) + (chain hanging off it), the
+    k=3 core is exactly the clique; the chain peels away over rounds.
+    Checked against a python fixpoint reference."""
+    from kbdatalakeapps_spark.operators.graph import kcore_peel
+
+    clique = [1, 2, 3, 4, 5]
+    und = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    und += [(5, 6), (6, 7), (7, 8)]  # chain
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+
+    # python reference fixpoint
+    import collections
+
+    alive = {n for e in und for n in e}
+    while True:
+        deg = collections.Counter()
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {n for n in alive if deg[n] < 3}
+        if not drop:
+            break
+        alive -= drop
+    assert alive == set(clique)
+
+    out = {r["id"]: r for r in kcore_peel(edges, k=3, rounds=4).collect()}
+    in_core = {i for i, r in out.items() if r["in_core"]}
+    assert in_core == set(clique)
+    # converged: no surviving node below threshold
+    assert all(r["in_core"] for r in out.values())
+    # clique degrees in the final subgraph are exactly 4
+    assert all(out[i]["degree"] == 4 for i in clique)
+
+
+def test_kcore_peel_fixed_rounds_flags_unconverged(spark):
+    """With too few rounds the False rows are exactly the next peel's
+    victims — the documented convergence probe."""
+    from kbdatalakeapps_spark.operators.graph import kcore_peel
+
+    # a long chain: k=2 core is empty but needs len/2 peels
+    und = [(i, i + 1) for i in range(1, 8)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    one = kcore_peel(edges, k=2, rounds=1).collect()
+    assert {r["id"] for r in one if not r["in_core"]} == {1, 8}
+    deep = kcore_peel(edges, k=2, rounds=4).collect()
+    assert all(not r["in_core"] for r in deep)
