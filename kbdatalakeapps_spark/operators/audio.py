@@ -61,6 +61,19 @@ def _decode_wav(content: bytes):
     tag, channels, rate, _byte_rate, _block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
+    if tag == 0xFFFE and len(fmt) >= 40:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first two
+        # bytes of the SubFormat GUID (offset 24) — re-dispatch on it
+        (tag,) = struct.unpack_from("<H", fmt, 24)
+    if tag == 3:  # IEEE float PCM → int64 at the 16-bit full scale
+        if bits == 32:
+            f32 = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            f32 = np.frombuffer(data, dtype="<f8")
+        else:
+            raise ValueError(f"float WAVE with bit depth {bits}")
+        samples = np.rint(np.clip(f32, -1.0, 1.0) * 32767.0).astype(np.int64)
+        return _shape_channels(samples, channels), int(rate)
     if tag == 6:  # G.711 A-law → 16-bit PCM (ITU-T expansion)
         samples = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(
             np.int64

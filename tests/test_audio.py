@@ -70,9 +70,11 @@ def test_decode_rejects_garbage_and_non_pcm():
     assert _decode_wav(b"") is None
     with pytest.raises(ValueError):
         _decode_wav(b"not a riff container at all")
-    # format tag 3 = IEEE float (non-PCM) → loud NotImplementedError
+    # format tag 2 = MS ADPCM (unsupported codec) → loud
+    # NotImplementedError.  (Tag 3 IEEE float decodes for real since
+    # round 5 — see test_decode_float_wav_scales_to_int16_range.)
     hdr = bytearray(bytes.fromhex(wav_header_hex(1, 8000)))
-    hdr[20] = 3
+    hdr[20] = 2
     with pytest.raises(NotImplementedError):
         _decode_wav(bytes(hdr) + b"\x00\x00")
 
@@ -298,3 +300,61 @@ def test_ima_adpcm_wav_decode_stereo_blocks():
     flat = _decode_ima_adpcm(blocks, channels, block_align)
     assert np.array_equal(out.reshape(-1), flat)
     assert out.dtype == np.int64 and np.abs(out).max() <= 32767
+
+
+# ---------------------------------------------------------------------------
+# IEEE float WAV (tag 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+# ---------------------------------------------------------------------------
+
+def _float_wav(vals, bits=32, rate=8000, extensible=False, channels=1):
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(vals, dtype="<f4" if bits == 32 else "<f8").tobytes()
+    if extensible:
+        # 40-byte fmt: standard 16 + cbSize(22) + validBits + mask +
+        # SubFormat GUID with the real tag in its first two bytes
+        guid = struct.pack("<H", 3) + b"\x00\x00" + bytes(12)
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, channels, rate, rate, 1, bits)
+            + struct.pack("<HHI", 22, bits, 0)
+            + guid
+        )
+    else:
+        fmt = struct.pack("<HHIIHH", 3, channels, rate, rate, 1, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_float_wav_scales_to_int16_range():
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import _decode_wav
+
+    vals = [0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0, 1e-5]
+    for bits in (32, 64):
+        out, rate = _decode_wav(_float_wav(vals, bits=bits))
+        assert rate == 8000
+        got = out[:, 0].tolist()
+        # ±2.0 clip to full scale; 0.5 → rint(16383.5) = 16384 (half-even)
+        assert got == [0, 16384, -16384, 32767, -32767, 32767, -32767, 0]
+
+
+def test_decode_extensible_wav_redispatches():
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import _decode_wav
+
+    out, rate = _decode_wav(
+        _float_wav([0.25, -0.25], bits=32, extensible=True)
+    )
+    assert rate == 8000
+    assert out[:, 0].tolist() == [
+        int(np.rint(0.25 * 32767)), -int(np.rint(0.25 * 32767))
+    ]
