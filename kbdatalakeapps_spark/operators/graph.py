@@ -85,6 +85,108 @@ def connected_components(
     )
 
 
+def _large_star(pointers: DataFrame) -> DataFrame:
+    """One large-star round over a canonical parent-pointer edge set
+    (child > parent): every node's strictly-LARGER neighbors re-point
+    to the minimum of its closed neighborhood.  Emitted edges keep the
+    child > parent invariant by construction (parent = a minimum ≤ u,
+    child = a neighbor > u)."""
+    sym = pointers.select(
+        F.col("child").alias("u"), F.col("parent").alias("v")
+    ).unionByName(
+        pointers.select(F.col("parent").alias("u"), F.col("child").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("child"),
+            F.least("u", "mn").alias("parent"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(pointers: DataFrame) -> DataFrame:
+    """One small-star round: every node u and all its strictly-SMALLER
+    neighbors re-point to the minimum of that smaller neighborhood.
+    Pure joins — no collect_set, so a hub's neighborhood is streamed
+    through the shuffle, never boxed into one row."""
+    mins = pointers.groupBy("child").agg(F.min("parent").alias("m"))
+    repointed = (
+        pointers.join(mins, "child")
+        .filter(F.col("parent") != F.col("m"))
+        .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+    )
+    own = mins.select("child", F.col("m").alias("parent"))
+    return repointed.unionByName(own).distinct()
+
+
+def connected_components_alternating(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, component) by ALTERNATING large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — O(log n) rounds regardless of component
+    DIAMETER, vs O(diameter) for ``connected_components``'s min-label
+    propagation.
+
+    Min-label is the right default for near-dup components (dense,
+    diameter ≲ 4); this is the scale path for DEEP graphs — link
+    chains, citation paths, long reshare cascades — where diameter
+    grows with corpus size and a propagation round per hop is
+    unaffordable at 100 TB.  Each round here is two self-contained
+    groupBy+join shuffles on the shrinking pointer set; hot stars
+    stream through the shuffle (no per-node neighbor boxing).
+
+    Output matches ``connected_components`` exactly (asserted in
+    tests/test_graph.py, including a chain where min-label's default
+    round budget cannot finish).  Raises if the pointer set has not
+    reached its star-forest fixpoint within ``max_rounds``."""
+    mat = materializer(checkpoint_dir)
+    pointers = mat(_undirected(edges, src, dst).select(
+        F.col("v").alias("child"), F.col("u").alias("parent")
+    ).distinct())
+    nodes = mat(
+        pointers.select(F.col("child").alias("id"))
+        .unionByName(pointers.select(F.col("parent").alias("id")))
+        .distinct()
+    )
+    for _ in range(max_rounds):
+        updated = mat(_small_star(_large_star(pointers)))
+        # fixpoint = identical pointer set; both sides are distinct
+        # canonical (child, parent), so one symmetric-difference probe
+        # (cheap: the pointer table is ≤ |V| rows after round 1)
+        changed = (
+            updated.unionByName(pointers)
+            .groupBy("child", "parent")
+            .count()
+            .filter(F.col("count") == 1)
+            .limit(1)
+            .count()
+        )
+        pointers = updated
+        if changed == 0:
+            return (
+                nodes.join(
+                    pointers.withColumnRenamed("child", "id"), "id", "left"
+                )
+                .select(
+                    "id",
+                    F.coalesce("parent", F.col("id")).alias("component"),
+                )
+            )
+    raise RuntimeError(
+        f"alternating CC did not reach its star-forest fixpoint in "
+        f"{max_rounds} rounds"
+    )
+
+
 def keeper_assignment(
     docs: DataFrame,
     pairs: DataFrame,
@@ -92,12 +194,21 @@ def keeper_assignment(
     src: str = "id_a",
     dst: str = "id_b",
     checkpoint_dir: str | None = None,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """(id, keeper, is_keeper): every document mapped to its dedup
     group's minimum id; documents with no near-dup edge keep
     themselves.  Compose after any *_pairs operator to materialize the
-    dedup decision."""
-    comp = connected_components(pairs, src, dst, checkpoint_dir=checkpoint_dir)
+    dedup decision.
+
+    ``algorithm``: 'minlabel' (default — O(diameter) rounds, right for
+    shallow near-dup components) or 'alternating' (large-star/
+    small-star, O(log n) rounds — the deep-component scale path)."""
+    cc = {
+        "minlabel": connected_components,
+        "alternating": connected_components_alternating,
+    }[algorithm]
+    comp = cc(pairs, src, dst, checkpoint_dir=checkpoint_dir)
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")

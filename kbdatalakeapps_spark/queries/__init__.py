@@ -149,4 +149,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "sp_temperature_mixture",
     "tx_rake_keywords",
     "gr_kcore",
+    "gr_cc_largestar",
 ]

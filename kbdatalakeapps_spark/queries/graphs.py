@@ -548,3 +548,43 @@ def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         kcore_peel(_copurchase_edges(spark, sf_dir), k=_KCORE_K, rounds=3)
         .orderBy("id")
     )
+
+
+_CC_STRIDE = 13
+
+_CC_LARGESTAR_SQL = f"""
+    WITH RECURSIVE chain AS (
+        SELECT a.p_partkey AS u, b.p_partkey AS v
+        FROM part a JOIN part b ON b.p_partkey = a.p_partkey + {_CC_STRIDE}
+    ),
+    edges AS (SELECT u, v FROM chain UNION SELECT v, u FROM chain),
+    reach(id, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    )
+    SELECT id, MIN(lbl) AS component FROM reach GROUP BY id ORDER BY id
+"""
+
+
+@query("gr_cc_largestar", oracle=_CC_LARGESTAR_SQL)
+def gr_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of a DEEP graph (stride-13 part-key
+    chains, diameter ~ |part|/13) via alternating large-star /
+    small-star contraction (operators/graph.py::
+    connected_components_alternating) — O(log n) rounds where
+    min-label propagation needs a round per hop.  The oracle replays
+    the fixpoint as a DuckDB recursive transitive-closure CTE; the
+    equivalence with min-label (given enough rounds) and the
+    deep-chain win are asserted in tests/test_graph.py.  Reference
+    parity: generalizes the keeper/cluster-representative convention
+    of build_berdl_db.py's cluster tables to deep link graphs."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    nxt = p.select(
+        F.col("p_partkey").alias("id_a"),
+        (F.col("p_partkey") + _CC_STRIDE).alias("id_b"),
+    )
+    edges = nxt.join(
+        p.select(F.col("p_partkey").alias("id_b")), "id_b"
+    ).select("id_a", "id_b")
+    return gr.connected_components_alternating(edges).orderBy("id")

@@ -554,3 +554,64 @@ def test_kcore_peel_fixed_rounds_flags_unconverged(spark):
     assert {r["id"] for r in one if not r["in_core"]} == {1, 8}
     deep = kcore_peel(edges, k=2, rounds=4).collect()
     assert all(not r["in_core"] for r in deep)
+
+
+def test_alternating_cc_matches_union_find_random(spark):
+    """Large-star/small-star output == union-find min labels on a
+    random multi-component graph (self-loops + duplicate/reversed
+    edges included to exercise canonicalization)."""
+    import random
+
+    from kbdatalakeapps_spark.operators.graph import (
+        connected_components_alternating,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges += [(b, a) for a, b in edges[:10]] + [(5, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.id: r.component
+        for r in connected_components_alternating(df).collect()
+    }
+    want = union_find([(a, b) for a, b in edges if a != b])
+    comps: dict = {}
+    for node, root in want.items():
+        comps.setdefault(root, []).append(node)
+    expect = {n: min(ns) for ns in comps.values() for n in ns}
+    # nodes touched only by self-loops have no surviving edge: the
+    # operator (like connected_components) leaves them to the caller
+    expect = {n: c for n, c in expect.items() if n in got}
+    assert got == expect
+
+
+def test_alternating_cc_wins_on_deep_chain(spark):
+    """A 120-hop chain: min-label propagation cannot finish inside 10
+    rounds (one hop per round), the alternating contraction converges
+    in its default budget — the documented deep-component scale
+    contract."""
+    import pytest
+
+    from kbdatalakeapps_spark.operators.graph import (
+        connected_components_alternating,
+    )
+
+    edges = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=10)
+    got = connected_components_alternating(df)
+    rows = got.collect()
+    assert len(rows) == 121
+    assert {r.component for r in rows} == {0}
+
+
+def test_keeper_assignment_alternating_parity(spark):
+    """keeper_assignment(algorithm='alternating') equals the min-label
+    default on the real minhash pair graph."""
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_pairs(docs).localCheckpoint(eager=False)
+    base = keeper_assignment(docs, pairs)
+    alt = keeper_assignment(docs, pairs, algorithm="alternating")
+    assert base.exceptAll(alt).count() == 0
+    assert alt.exceptAll(base).count() == 0
