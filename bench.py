@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "dd_dedup_corpus_xxh",         # dedup pipeline, xxhash64 production path
     "dq_expectation_suite",        # one-scan declarative quality gate
     "ml_ndcg",                     # per-user fixed-point NDCG@10
+    "sim_sq8_topk",                # SQ8 bounds + encode + asymmetric top-k
+    "gr_cc_largestar",             # alternating large/small-star deep CC
 ]
 
 # The most expensive queries — measured twice, median reported.

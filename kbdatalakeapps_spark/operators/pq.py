@@ -354,3 +354,134 @@ def assign_nearest_fp(
         .agg(F.min("s").alias("b"))
         .select(id_col, F.col("b.centroid_id").alias("centroid_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 — scalar (per-dimension) 8-bit quantization
+# ---------------------------------------------------------------------------
+
+def sq8_bounds(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(pos, lo, hi): per-dimension min/max over the corpus — the SQ8
+    codebook.  One posexplode + groupBy: map-side combine collapses
+    each partition to d rows before the shuffle, so the exchange is
+    d × partitions rows regardless of corpus size.  ``pos`` is
+    0-based (Spark convention; oracles mirror with pos-1)."""
+    return (
+        emb.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+    )
+
+
+def _bounds_row(bounds: DataFrame) -> DataFrame:
+    """Collapse (pos, lo, hi) to ONE row of pos-ordered arrays
+    (los, his) — d values, always broadcast."""
+    return bounds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lo", "hi"))).alias("_b")
+    ).select(
+        F.transform("_b", lambda s: s.lo).alias("los"),
+        F.transform("_b", lambda s: s.hi).alias("his"),
+    )
+
+
+def _sq8_code(x: Column, lo: Column, hi: Column) -> Column:
+    """code = clip(floor((x−lo)·255/(hi−lo) + ½), 0, 255) — one fixed
+    IEEE expression tree, bit-identical across engines (the WAV-RMS
+    idiom); constant dimensions (hi = lo) map to code 0."""
+    scaled = F.floor(
+        (x.cast("double") - lo) * F.lit(255.0) / (hi - lo) + F.lit(0.5)
+    )
+    return F.when(hi == lo, F.lit(0)).otherwise(
+        F.least(F.lit(255), F.greatest(F.lit(0), scaled))
+    ).cast("int")
+
+
+def sq8_encode(
+    emb: DataFrame,
+    bounds: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes): each vector as an array of d uint8 codes — 4× the
+    memory cut of float32 with near-exact recall (vs PQ's 32-384×
+    with rerank).  The bounds row is broadcast; encoding is one
+    narrow projection over the corpus scan, no shuffle."""
+    row = _bounds_row(bounds)
+    return emb.crossJoin(F.broadcast(row)).select(
+        F.col(id_col),
+        F.transform(
+            vec_col,
+            lambda x, i: _sq8_code(
+                x,
+                F.element_at("los", i + F.lit(1)),
+                F.element_at("his", i + F.lit(1)),
+            ),
+        ).alias("codes"),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    bounds: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, doc_id, sq_d2, rank): exact-arithmetic asymmetric
+    search over SQ8 codes — each code is de-quantized to
+    lo + code·(hi−lo)/255 and compared to
+    the RAW query vector, per-dimension terms folded in int64 fixed
+    point (the PQ/ADC idiom) so the whole pipeline hash-matches a SQL
+    twin.  Queries broadcast; the corpus code table is scanned once;
+    the per-query top-k is a rank window WindowGroupLimit prunes to k
+    rows per partition before the final shuffle."""
+    row = _bounds_row(bounds)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    )
+    recon = F.transform(
+        "codes",
+        lambda c, i: F.element_at("los", i + F.lit(1))
+        + c.cast("double")
+        * (
+            F.element_at("his", i + F.lit(1))
+            - F.element_at("los", i + F.lit(1))
+        )
+        / F.lit(255.0),
+    )
+    terms = F.zip_with(
+        F.col("_q"),
+        recon,
+        lambda qx, xh: F.floor(
+            (qx.cast("double") - xh) * (qx.cast("double") - xh) * F.lit(1e15)
+        ).cast("long"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(row))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            F.aggregate(
+                terms, F.lit(0).cast("long"), lambda acc, t: acc + t
+            ).alias("dd"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dd", "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("dd").cast("double") / F.lit(1e15), 6).alias("sq_d2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -150,4 +150,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "tx_rake_keywords",
     "gr_kcore",
     "gr_cc_largestar",
+    "sim_sq8_topk",
 ]

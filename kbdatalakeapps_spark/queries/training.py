@@ -1362,3 +1362,75 @@ def tx_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_fp"), "doc_id", "phrase")
         .limit(2000)
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_sq8_topk: scalar 8-bit quantization ANN — the 4×-memory-cut scan
+# path (per-dimension min/max bounds → uint8 codes → asymmetric search
+# against de-quantized reconstructions).  Every stage is one fixed
+# IEEE expression tree or an int64 fixed-point fold, so bounds,
+# encode, and search all hash-match the SQL twin.  Complements PQ
+# (32-384× compression, rerank required) at the other end of the
+# recall/memory trade.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_sq8_topk",
+    oracle="""
+    WITH b AS (
+        SELECT u.pos AS pos,
+               MIN(CAST(e.embedding[u.pos] AS DOUBLE)) AS lo,
+               MAX(CAST(e.embedding[u.pos] AS DOUBLE)) AS hi
+        FROM embeddings e,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos) u
+        GROUP BY 1
+    ),
+    enc AS (
+        SELECT e.vec_id AS doc_id, u.pos AS pos,
+               CASE WHEN b.hi = b.lo THEN 0 ELSE
+                 LEAST(255, GREATEST(0, FLOOR(
+                   (CAST(e.embedding[u.pos] AS DOUBLE) - b.lo) * 255.0
+                   / (b.hi - b.lo) + 0.5)))
+               END AS code
+        FROM embeddings e,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS pos) u
+        JOIN b ON b.pos = u.pos
+    ),
+    dist AS (
+        SELECT q.vec_id AS query_id, enc.doc_id,
+               SUM(CAST(FLOOR(
+                 (CAST(q.embedding[enc.pos] AS DOUBLE)
+                   - (b.lo + CAST(enc.code AS DOUBLE) * (b.hi - b.lo) / 255.0))
+               * (CAST(q.embedding[enc.pos] AS DOUBLE)
+                   - (b.lo + CAST(enc.code AS DOUBLE) * (b.hi - b.lo) / 255.0))
+               * 1e15) AS BIGINT)) AS dd
+        FROM embeddings q
+        JOIN enc ON TRUE
+        JOIN b ON b.pos = enc.pos
+        WHERE q.vec_id < 3
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id,
+               ROUND(CAST(dd AS DOUBLE) / 1e15, 6) AS sq_d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY dd, doc_id
+               ) AS rank
+        FROM dist
+    )
+    SELECT query_id, doc_id, sq_d2, rank::INT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 bounds → encode → asymmetric top-5 (operators/pq.py::
+    sq8_bounds / sq8_encode / sq8_topk); queries = vec_id < 3 (the PQ
+    convention — a doc's distance to itself is its quantization
+    error).  Recall vs exact brute force asserted in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bounds = pq.sq8_bounds(emb).localCheckpoint(eager=False)
+    codes = pq.sq8_encode(emb, bounds)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return pq.sq8_topk(queries, codes, bounds, k=5)

@@ -3,6 +3,8 @@ recall measured against the exact brute-force top-k."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from kbdatalakeapps_spark.io.sources import load_table
@@ -218,3 +220,58 @@ def test_covariance_fixed_point_matches_numpy(spark):
         for j in range(i, dim):
             approx = got[(i, j)][1] / (n * (n - 1) * 1e6 * 1e6)
             assert abs(approx - cov_np[i, j]) < 1e-4
+
+
+def test_sq8_recall_vs_exact_l2(spark):
+    """8-bit scalar quantization is near-lossless on unit-scale data:
+    the SQ8 asymmetric top-5 must recover ≥80% of the exact L2 top-5
+    (numpy brute force) — in practice it is ~identical; PQ's ~0.3
+    plateau on this corpus is the distance-concentration contrast."""
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators import pq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bounds = pq.sq8_bounds(emb).localCheckpoint(eager=False)
+    codes = pq.sq8_encode(emb, bounds)
+    got = pq.sq8_topk(queries, codes, bounds, k=5)
+    a = {(r.query_id, r.doc_id) for r in got.collect()}
+
+    rows = sorted((r.vec_id, np.array(r.embedding, dtype=np.float64))
+                  for r in emb.collect())
+    ids = [i for i, _ in rows]
+    mat = np.stack([v for _, v in rows])
+    e = set()
+    for qi in range(5):
+        d2 = ((mat - mat[ids.index(qi)]) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda j: (d2[j], ids[j]))
+        e |= {(qi, ids[j]) for j in order[:5]}
+    assert len(a & e) / len(e) >= 0.8
+    # codes are genuine uint8 range
+    sample = codes.select(F.explode("codes").alias("c")).agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).collect()[0]
+    assert 0 <= sample.lo and sample.hi <= 255
+
+
+def test_sq8_constant_dimension_is_stable(spark):
+    """A constant dimension (hi == lo) must encode to 0 and
+    reconstruct to exactly lo — no division-by-zero NaNs leaking into
+    distances."""
+    from kbdatalakeapps_spark.operators import pq
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.5, -float(i)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    bounds = pq.sq8_bounds(df)
+    codes = pq.sq8_encode(df, bounds)
+    mid = {r.vec_id: r.codes[1] for r in codes.collect()}
+    assert set(mid.values()) == {0}
+    out = pq.sq8_topk(df.filter(F.col("vec_id") == 0), codes, bounds, k=6)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(math.isfinite(r.sq_d2) for r in rows)
+    best = min(rows, key=lambda r: (r.sq_d2, r.doc_id))
+    assert best.doc_id == 0
