@@ -471,6 +471,82 @@ def simhash_pairs(
     )
 
 
+def _segment_layout(bits: int, n_segments: int) -> list[tuple[int, int]]:
+    """Disjoint (start, width) bit segments covering ``bits`` — the
+    remainder spreads one extra bit over the leading segments so
+    widths differ by at most 1.  Shared by the operator and its SQL
+    twins so both sides block on identical segment values."""
+    base, extra = divmod(bits, n_segments)
+    layout, start = [], 0
+    for k in range(n_segments):
+        width = base + (1 if k < extra else 0)
+        layout.append((start, width))
+        start += width
+    return layout
+
+
+def simhash_pairs_rotated(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_segments: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs with PIGEONHOLE-COMPLETE segment
+    blocking — the scale path ``simhash_pairs``'s docstring promises:
+    the fingerprint splits into ``n_segments`` (default
+    ``max_hamming + 1``) disjoint bit segments, candidates share ANY
+    segment value.  A pair at hamming ≤ max_hamming < n_segments has
+    too few differing bits to touch every segment, so it must agree
+    on one — recall 1.0 is a theorem, not a tuning outcome (the
+    image_neardup_pairs idiom, multimodal.py).
+
+    Shape: exploded (seg_idx, value) equi-join — n_segments rows per
+    doc, never an OR-join nested loop; hot segments stream through
+    the shuffle and AQE can split them."""
+    nseg = n_segments or (max_hamming + 1)
+    if nseg <= max_hamming:
+        raise ValueError(
+            f"n_segments={nseg} must exceed max_hamming={max_hamming} "
+            "for pigeonhole completeness"
+        )
+    s = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
+    segd = s.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), start).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for start, width in _segment_layout(bits, nseg)
+            ])
+        ).alias("seg", "val"),
+    )
+    a, b = segd.alias("a"), segd.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -151,4 +151,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "gr_kcore",
     "gr_cc_largestar",
     "sim_sq8_topk",
+    "dd_simhash_rotated",
 ]

@@ -296,6 +296,44 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_rotated_sql() -> str:
+    from ..operators.dedup import _segment_layout
+
+    seg_rows = ", ".join(
+        f"({k}, {start}, {width})"
+        for k, (start, width) in enumerate(_segment_layout(32, 4))
+    )
+    return f"""
+    WITH {_SIMHASH_CTE},
+    seg(idx, st, w) AS (VALUES {seg_rows}),
+    segd AS (
+        SELECT doc_id, simhash, idx,
+               (simhash >> st) & ((1::BIGINT << w) - 1) AS val
+        FROM sh, seg
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM segd a JOIN segd b
+          ON a.idx = b.idx AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+
+@query("dd_simhash_rotated", oracle=_simhash_rotated_sql())
+def dd_simhash_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-complete SimHash pairs (4 disjoint segments over 32
+    bits, hamming ≤ 3 — recall 1.0 by theorem, vs dd_simhash_pairs's
+    single-prefix heuristic): dedup.py::simhash_pairs_rotated.
+    Exact-equality vs brute-force all-pairs hamming is asserted in
+    tests/test_skew.py."""
+    return dd.simhash_pairs_rotated(
+        _t(spark, sf_dir, "documents"), bits=32, max_hamming=3, n_segments=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from kbdatalakeapps_spark.operators.skew import salted_aggregate, salted_join
 
+from .conftest import SF_DIR
+
 
 def test_salted_aggregate_matches_plain(spark):
     df = spark.range(10_000).select(
@@ -151,3 +153,49 @@ def test_minhash_xxhash64_production_path(spark):
     assert (1, 3) in pairs or (2, 3) in pairs  # near-dup candidate found
     # unrelated docs must not pair with everything
     assert len(pairs) < 13 * 12 / 2
+
+
+def test_simhash_rotated_equals_bruteforce_and_beats_prefix(spark):
+    """Pigeonhole completeness is a theorem: the rotated-segment pairs
+    must EQUAL the all-pairs hamming≤3 ground truth computed in
+    python, and strictly contain whatever the single-prefix heuristic
+    block recovers (when they differ)."""
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+        simhash_pairs_rotated,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fps = {r.id: r.simhash for r in simhash(docs, bits=32).collect()}
+    ids = sorted(fps)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    rot = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs_rotated(
+            docs, bits=32, max_hamming=3, n_segments=4
+        ).collect()
+    }
+    assert rot == truth
+    pre = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            docs, bits=32, prefix_bits=8, max_hamming=3
+        ).collect()
+    }
+    assert pre <= rot
+
+
+def test_simhash_rotated_rejects_incomplete_layout():
+    import pytest
+
+    from kbdatalakeapps_spark.operators.dedup import simhash_pairs_rotated
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs_rotated(None, max_hamming=4, n_segments=4)
