@@ -31,12 +31,13 @@ def _decode_wav(content: bytes):
     Real parser, not a stub: walks RIFF chunks, reads the ``fmt ``
     chunk, and decodes the ``data`` chunk.  Supported encodings:
     format tag 1 (unsigned 8-bit / signed 16/24/32-bit LE PCM),
-    tag 6 (G.711 A-law) and tag 7 (G.711 µ-law) — the telephony
-    codecs are pure table expansions to 16-bit PCM, no codec library
-    involved.  Returns None for None/empty content; raises ValueError
-    on a malformed container and NotImplementedError on encodings
-    that genuinely need a codec library (ADPCM, MP3-in-WAV, float
-    extensible)."""
+    tag 3 (IEEE float 32/64-bit), tag 2 (Microsoft ADPCM), tag 0x11
+    (IMA/DVI ADPCM), tags 6/7 (G.711 A-law/µ-law), and
+    WAVE_FORMAT_EXTENSIBLE re-dispatch — all pure python/numpy, no
+    codec library.  Returns None for None/empty content; raises
+    ValueError on a malformed container and NotImplementedError on
+    encodings that genuinely need a codec library (MP3-in-WAV and
+    other perceptual codecs)."""
     import numpy as np
 
     if content is None or len(content) == 0:
@@ -86,6 +87,9 @@ def _decode_wav(content: bytes):
         return _shape_channels(samples, channels), int(rate)
     if tag == 0x11:  # IMA ADPCM (DVI/IMA) → 16-bit PCM
         samples = _decode_ima_adpcm(data, channels, _block_align)
+        return _shape_channels(samples, channels), int(rate)
+    if tag == 2:  # Microsoft ADPCM → 16-bit PCM
+        samples = _decode_ms_adpcm(data, channels, _block_align)
         return _shape_channels(samples, channels), int(rate)
     if tag != 1:
         raise NotImplementedError(
@@ -171,6 +175,72 @@ def _decode_ima_adpcm(data: bytes, channels: int, block_align: int):
                 for nib in (byte & 0x0F, byte >> 4):
                     preds[ch], idxs[ch] = _ima_step(preds[ch], idxs[ch], nib)
                     chans[ch].append(preds[ch])
+        n = min(len(c) for c in chans)
+        for s in range(n):
+            for ch in range(channels):
+                out.append(chans[ch][s])
+    return np.array(out, dtype=np.int64)
+
+
+# Microsoft ADPCM (WAVE format tag 2) fixed tables — from the
+# published WAVE spec (also in every open decoder: ffmpeg
+# adpcm.c, sox, the MultimediaWiki writeup)
+_MS_ADAPTATION = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+
+
+def _decode_ms_adpcm(data: bytes, channels: int, block_align: int):
+    """Microsoft ADPCM (tag 2) → int64 interleaved PCM.  Block layout
+    (headers interleaved BY FIELD across channels): 1 predictor byte
+    per channel, int16 idelta per channel, int16 sample1 per channel,
+    int16 sample2 per channel; then 4-bit nibbles, HIGH nibble first
+    (the opposite of IMA), alternating channels.  sample2 (older) and
+    sample1 are emitted verbatim as the block's first two frames; each
+    nibble then yields predictor = (s1·c1 + s2·c2) >> 8 + signed_nib ·
+    idelta, clamped, with idelta re-scaled through the adaptation
+    table (floor ≥ 16).  Validated against an independent
+    spec-simulating encoder in tests/test_audio.py (the progressive-
+    JPEG validation idiom — no codec library in the container)."""
+    import numpy as np
+
+    hdr = 7 * channels
+    if block_align <= hdr:
+        raise ValueError(f"MS ADPCM block_align {block_align} too small")
+    out: list[int] = []
+    for bstart in range(0, len(data) - hdr + 1, block_align):
+        block = data[bstart : bstart + block_align]
+        coef1, coef2, ideltas, s1, s2 = [], [], [], [], []
+        for ch in range(channels):
+            pred = block[ch]
+            if pred > 6:
+                raise ValueError(f"MS ADPCM predictor {pred} out of range")
+            coef1.append(_MS_COEF1[pred])
+            coef2.append(_MS_COEF2[pred])
+        for ch in range(channels):
+            ideltas.append(struct.unpack_from("<h", block, channels + 2 * ch)[0])
+        for ch in range(channels):
+            s1.append(struct.unpack_from("<h", block, 3 * channels + 2 * ch)[0])
+        for ch in range(channels):
+            s2.append(struct.unpack_from("<h", block, 5 * channels + 2 * ch)[0])
+        chans: list[list[int]] = [[s2[ch], s1[ch]] for ch in range(channels)]
+        nib_i = 0
+        for byte in block[hdr:]:
+            for nib in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                ch = nib_i % channels
+                nib_i += 1
+                predictor = (s1[ch] * coef1[ch] + s2[ch] * coef2[ch]) >> 8
+                signed = nib - 16 if nib >= 8 else nib
+                predictor += signed * ideltas[ch]
+                predictor = max(-32768, min(32767, predictor))
+                s2[ch], s1[ch] = s1[ch], predictor
+                ideltas[ch] = (_MS_ADAPTATION[nib] * ideltas[ch]) >> 8
+                if ideltas[ch] < 16:
+                    ideltas[ch] = 16
+                chans[ch].append(predictor)
         n = min(len(c) for c in chans)
         for s in range(n):
             for ch in range(channels):

@@ -70,11 +70,11 @@ def test_decode_rejects_garbage_and_non_pcm():
     assert _decode_wav(b"") is None
     with pytest.raises(ValueError):
         _decode_wav(b"not a riff container at all")
-    # format tag 2 = MS ADPCM (unsupported codec) → loud
-    # NotImplementedError.  (Tag 3 IEEE float decodes for real since
-    # round 5 — see test_decode_float_wav_scales_to_int16_range.)
+    # format tag 0x55 = MPEG Layer 3 in WAV (a perceptual codec —
+    # genuinely needs a codec library) → loud NotImplementedError.
+    # (Tags 2 and 3 decode for real since round 5.)
     hdr = bytearray(bytes.fromhex(wav_header_hex(1, 8000)))
-    hdr[20] = 2
+    hdr[20] = 0x55
     with pytest.raises(NotImplementedError):
         _decode_wav(bytes(hdr) + b"\x00\x00")
 
@@ -358,3 +358,132 @@ def test_decode_extensible_wav_redispatches():
     assert out[:, 0].tolist() == [
         int(np.rint(0.25 * 32767)), -int(np.rint(0.25 * 32767))
     ]
+
+
+# ---------------------------------------------------------------------------
+# Microsoft ADPCM (tag 2) — validated against an independent
+# spec-simulating encoder (the progressive-JPEG idiom: the test
+# implements the published decode recurrence itself, so the operator
+# must match bit-for-bit, tables, shifts, clamps and nibble order)
+# ---------------------------------------------------------------------------
+
+_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+          768, 614, 512, 409, 307, 230, 230, 230)
+_C1 = (256, 512, 0, 192, 240, 460, 392)
+_C2 = (0, -256, 0, 64, 0, -208, -232)
+
+
+def _ms_encode_blocks(pcm, block_align, channels=1, predictor=0,
+                      idelta0=64):
+    """Encode int16 samples (list per channel) into MS ADPCM blocks
+    AND simulate the spec decoder to produce the expected output.
+    The nibble choice is a crude quantizer — quality is irrelevant,
+    the simulated decode IS the ground truth."""
+    import struct as st
+
+    frames_per_block = 2 + (block_align - 7 * channels) * 2 // channels
+    n = len(pcm[0])
+    blocks = bytearray()
+    expected = []  # interleaved frames
+    pos = 0
+    while pos + frames_per_block <= n or (pos < n and pos == 0):
+        seg = [ch_s[pos:pos + frames_per_block] for ch_s in pcm]
+        if len(seg[0]) < frames_per_block:
+            break
+        s2 = [s[0] for s in seg]
+        s1 = [s[1] for s in seg]
+        idel = [idelta0] * channels
+        for ch in range(channels):
+            blocks.append(predictor)
+        for v in idel:
+            blocks += st.pack("<h", v)
+        for v in s1:
+            blocks += st.pack("<h", v)
+        for v in s2:
+            blocks += st.pack("<h", v)
+        decoded = [[s2[ch], s1[ch]] for ch in range(channels)]
+        nibbles = []
+        c1, c2 = _C1[predictor], _C2[predictor]
+        for i in range(2, frames_per_block):
+            for ch in range(channels):
+                pred = (s1[ch] * c1 + s2[ch] * c2) >> 8
+                err = seg[ch][i] - pred
+                nib = max(-8, min(7, int(round(err / idel[ch]))))
+                nib &= 0x0F
+                # simulate the decoder exactly
+                signed = nib - 16 if nib >= 8 else nib
+                p = pred + signed * idel[ch]
+                p = max(-32768, min(32767, p))
+                s2[ch], s1[ch] = s1[ch], p
+                idel[ch] = (_ADAPT[nib] * idel[ch]) >> 8
+                if idel[ch] < 16:
+                    idel[ch] = 16
+                decoded[ch].append(p)
+                nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # pad — decoder emits one extra sample
+            ch = (len(nibbles) - 1) % channels
+            pred = (s1[ch] * c1 + s2[ch] * c2) >> 8
+            p = max(-32768, min(32767, pred))
+            decoded[ch].append(p)
+        for j in range(0, len(nibbles), 2):
+            blocks.append((nibbles[j] << 4) | nibbles[j + 1])
+        m = min(len(d) for d in decoded)
+        for f in range(m):
+            for ch in range(channels):
+                expected.append(decoded[ch][f])
+        pos += frames_per_block
+    return bytes(blocks), expected
+
+
+def _ms_wav(blocks, channels, block_align, rate=8000):
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", 2, channels, rate, rate, block_align, 4)
+    fmt += st.pack("<H", 0)  # cbSize (no extra coefficients needed)
+    body = (b"WAVE"
+            + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(blocks)) + blocks
+            + (b"\x00" if len(blocks) & 1 else b""))
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_ms_adpcm_mono_matches_spec_simulation():
+    import math
+
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import _decode_wav
+
+    for predictor in (0, 4, 6):
+        pcm = [[int(12000 * math.sin(i / 5)) for i in range(64)]]
+        blocks, expected = _ms_encode_blocks(
+            pcm, block_align=23, predictor=predictor
+        )
+        out, rate = _decode_wav(_ms_wav(blocks, 1, 23))
+        assert rate == 8000
+        assert out[:, 0].tolist() == expected
+
+
+def test_ms_adpcm_stereo_interleaves_channels():
+    import math
+
+    from kbdatalakeapps_spark.operators.audio import _decode_wav
+
+    left = [int(9000 * math.sin(i / 4)) for i in range(40)]
+    right = [int(7000 * math.cos(i / 6)) for i in range(40)]
+    blocks, expected = _ms_encode_blocks(
+        [left, right], block_align=34, channels=2, predictor=0
+    )
+    out, _ = _decode_wav(_ms_wav(blocks, 2, 34))
+    assert out.reshape(-1).tolist() == expected
+
+
+def test_ms_adpcm_rejects_bad_predictor():
+    import pytest
+
+    from kbdatalakeapps_spark.operators.audio import _decode_ms_adpcm
+
+    bad = bytes([9]) + b"\x00" * 22
+    with pytest.raises(ValueError, match="predictor"):
+        _decode_ms_adpcm(bad, 1, 23)
