@@ -1113,3 +1113,153 @@ def image_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (JPEG APP1) — provenance / rotation / PII signals
+# ---------------------------------------------------------------------------
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("datetime", T.StringType()),
+        T.StructField("datetime_original", T.StringType()),
+        T.StructField("pixel_x", T.LongType()),
+        T.StructField("pixel_y", T.LongType()),
+        T.StructField("has_gps", T.BooleanType()),
+    ]
+)
+
+_EXIF_IFD0_TAGS = {
+    0x010F: "make",
+    0x0110: "model",
+    0x0112: "orientation",
+    0x0132: "datetime",
+}
+_EXIF_SUB_TAGS = {
+    0x9003: "datetime_original",
+    0xA002: "pixel_x",
+    0xA003: "pixel_y",
+}
+
+
+def _tiff_value(d: bytes, entry_off: int, bo: str):
+    """Decode one 12-byte IFD entry's value (ASCII/SHORT/LONG only —
+    the types the extracted tags use); values wider than 4 bytes live
+    at an absolute offset into the TIFF block."""
+    import struct
+
+    typ, cnt = struct.unpack_from(bo + "HI", d, entry_off + 2)
+    size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+    if size is None:
+        return None
+    total = size * cnt
+    if total <= 4:
+        voff = entry_off + 8
+    else:
+        (voff,) = struct.unpack_from(bo + "I", d, entry_off + 8)
+    if voff + total > len(d):
+        return None
+    if typ == 2:  # ASCII, NUL-terminated
+        raw = d[voff : voff + cnt]
+        return raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    vals = struct.unpack_from(bo + fmt * cnt, d, voff)
+    return vals[0] if vals else None
+
+
+def _parse_ifd(d: bytes, off: int, bo: str, wanted: dict, out: dict):
+    """Walk one IFD, filling ``out`` for tags in ``wanted``; returns
+    {tag: raw_value} for the pointer tags (ExifIFD 0x8769, GPS
+    0x8825) so the caller can chase them."""
+    import struct
+
+    pointers = {}
+    if off + 2 > len(d):
+        return pointers
+    (n,) = struct.unpack_from(bo + "H", d, off)
+    for k in range(n):
+        eoff = off + 2 + 12 * k
+        if eoff + 12 > len(d):
+            break
+        (tag,) = struct.unpack_from(bo + "H", d, eoff)
+        if tag in (0x8769, 0x8825):
+            pointers[tag] = _tiff_value(d, eoff, bo)
+        elif tag in wanted:
+            out[wanted[tag]] = _tiff_value(d, eoff, bo)
+    return pointers
+
+
+def _parse_exif(content: bytes) -> dict | None:
+    """Extract the curation-relevant EXIF fields from a JPEG blob, or
+    None when the blob is not a JPEG / carries no EXIF APP1.  Unlike
+    decode (which fails LOUDLY on unsupported codecs), metadata
+    absence is a value, not an error — mixed corpora are the norm, so
+    malformed EXIF degrades to NULL fields rather than killing the
+    scan."""
+    import struct
+
+    if content is None or len(content) < 4 or content[0:2] != b"\xff\xd8":
+        return None
+    d = bytes(content)
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            break
+        marker = d[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:  # start of scan: no APP1 will follow
+            break
+        (seglen,) = struct.unpack_from(">H", d, pos + 2)
+        if marker == 0xE1 and d[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = d[pos + 10 : pos + 2 + seglen]
+            break
+        pos += 2 + seglen
+    if tiff is None or len(tiff) < 8:
+        return None
+    if tiff[0:2] == b"II":
+        bo = "<"
+    elif tiff[0:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    (ifd0,) = struct.unpack_from(bo + "I", tiff, 4)
+    out: dict = {}
+    pointers = _parse_ifd(tiff, ifd0, bo, _EXIF_IFD0_TAGS, out)
+    sub = pointers.get(0x8769)
+    if isinstance(sub, int):
+        _parse_ifd(tiff, sub, bo, _EXIF_SUB_TAGS, out)
+    out["has_gps"] = isinstance(pointers.get(0x8825), int)
+    return out
+
+
+def exif_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-image EXIF extraction (Arrow-batched ``mapInPandas``):
+    camera make/model (provenance clustering), orientation (rotate
+    before feature extraction), capture timestamps (temporal dedup /
+    leakage splits), pixel geometry, and a ``has_gps`` flag — the
+    privacy signal curation pipelines filter or strip on.  Non-JPEG
+    and EXIF-less rows yield all-NULL fields with ``has_gps`` NULL
+    (no EXIF) — the scan never fails on mixed corpora."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in EXIF_SCHEMA.fields if f.name != id_col}
+            for c in pdf[content_col]:
+                meta = _parse_exif(c)
+                for name in rows:
+                    rows[name].append(None if meta is None else meta.get(name))
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    out = df.select(id_col, content_col).mapInPandas(batches, EXIF_SCHEMA)
+    return out

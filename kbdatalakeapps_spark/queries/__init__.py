@@ -152,4 +152,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "gr_cc_largestar",
     "sim_sq8_topk",
     "dd_simhash_rotated",
+    "mm_exif_metadata",
 ]

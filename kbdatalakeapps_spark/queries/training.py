@@ -1434,3 +1434,59 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq.sq8_encode(emb, bounds)
     queries = emb.filter(F.col("vec_id") < 3)
     return pq.sq8_topk(queries, codes, bounds, k=5)
+
+
+# ---------------------------------------------------------------------------
+# mm_exif_metadata: the real EXIF/TIFF parse (APP1 walk, both byte
+# orders, heap-offset ASCII, GPS-IFD privacy flag) under a FULL hash
+# oracle.  Each document carries one of four constant JPEGs generated
+# by the independent spec-following writer in tests/test_exif.py:
+# T0 = little-endian, full tag set + GPS; T1 = big-endian, no GPS;
+# T2 = orientation/geometry only; T3 = a JPEG with no EXIF at all
+# (all-NULL row).  Any parse defect changes values or nullness — the
+# mm_video_frames constant-fixture idiom.
+# ---------------------------------------------------------------------------
+
+_EXIF_T0 = "FFD8FFE100CA45786966000049492A000800000006000F0102000D0000008600000010010200070000009300000012010300010000000600000032010200140000009A0000006987040001000000560000002588040001000000800000000000000003000390020014000000AE00000002A0040001000000C00F000003A0040001000000D00B00000000000000000000000041636D6543616D20436F72700041432D31303000323032333A30353A30312031303A30303A303000323032333A30353A30312030393A35393A353800FFD9"
+_EXIF_T1 = "FFD8FFE1008F4578696600004D4D002A000000080005010F00020000000B0000006801100002000000045057390001120003000000010001000001320002000000140000007387690004000000010000004A000000000002A00200040000000100000780A0030004000000010000043800000000506978656C576F726B7300323032313A31313A31312031313A31313A313100FFD9"
+_EXIF_T2 = "FFD8FFE1004C45786966000049492A0008000000020012010300010000000800000069870400010000002600000000000000020002A00400010000008002000003A0040001000000E001000000000000FFD9"
+_EXIF_T3 = "FFD8FFD9"
+
+
+@query(
+    "mm_exif_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'AcmeCam Corp'
+                           WHEN 1 THEN 'PixelWorks' END AS make,
+           CASE doc_id % 4 WHEN 0 THEN 'AC-100'
+                           WHEN 1 THEN 'PW9' END AS model,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 1
+                                WHEN 2 THEN 8 END AS INT) AS orientation,
+           CASE doc_id % 4 WHEN 0 THEN '2023:05:01 10:00:00'
+                           WHEN 1 THEN '2021:11:11 11:11:11'
+                           END AS "datetime",
+           CASE doc_id % 4 WHEN 0 THEN '2023:05:01 09:59:58'
+                           END AS datetime_original,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 4032 WHEN 1 THEN 1920
+                                WHEN 2 THEN 640 END AS BIGINT) AS pixel_x,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 3024 WHEN 1 THEN 1080
+                                WHEN 2 THEN 480 END AS BIGINT) AS pixel_y,
+           CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE doc_id % 4 = 0 END AS has_gps
+    FROM documents
+    """,
+)
+def mm_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import exif_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_EXIF_T0))
+            .when(F.col("doc_id") % 4 == 1, F.lit(_EXIF_T1))
+            .when(F.col("doc_id") % 4 == 2, F.lit(_EXIF_T2))
+            .otherwise(F.lit(_EXIF_T3))
+        ).alias("content"),
+    )
+    return exif_metadata(d)

@@ -1,0 +1,135 @@
+"""EXIF metadata extraction (operators/multimodal.py::exif_metadata).
+
+The tests carry an INDEPENDENT spec-following TIFF/EXIF writer (both
+byte orders, inline and heap-offset values, optional GPS IFD), so the
+parser is validated against the published layout, not against itself.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from kbdatalakeapps_spark.operators.multimodal import (
+    _parse_exif,
+    exif_metadata,
+)
+
+
+def build_tiff(bo_ch, make=None, model=None, orientation=None, dt=None,
+               dto=None, px=None, py=None, gps=False):
+    bo = "<" if bo_ch == "II" else ">"
+
+    def H(v):
+        return struct.pack(bo + "H", v)
+
+    def I(v):  # noqa: E743 - TIFF LONG
+        return struct.pack(bo + "I", v)
+
+    ifd0_tags = []
+    exif_tags = []
+    if make is not None:
+        ifd0_tags.append((0x010F, 2, make))
+    if model is not None:
+        ifd0_tags.append((0x0110, 2, model))
+    if orientation is not None:
+        ifd0_tags.append((0x0112, 3, orientation))
+    if dt is not None:
+        ifd0_tags.append((0x0132, 2, dt))
+    if dto is not None:
+        exif_tags.append((0x9003, 2, dto))
+    if px is not None:
+        exif_tags.append((0xA002, 4, px))
+    if py is not None:
+        exif_tags.append((0xA003, 4, py))
+
+    n0 = len(ifd0_tags) + 1 + (1 if gps else 0)
+    n1 = len(exif_tags)
+    ifd0_off = 8
+    exif_off = ifd0_off + 2 + 12 * n0 + 4
+    gps_off = exif_off + 2 + 12 * n1 + 4
+    heap_off = gps_off + (2 + 4 if gps else 0)
+    heap = b""
+
+    def entry(tag, typ, val):
+        nonlocal heap
+        if typ == 2:
+            raw = val.encode() + b"\x00"
+            cnt = len(raw)
+            if cnt <= 4:
+                v4 = raw + b"\x00" * (4 - cnt)
+            else:
+                v4 = I(heap_off + len(heap))
+                heap += raw
+            return H(tag) + H(typ) + I(cnt) + v4
+        if typ == 3:
+            return H(tag) + H(typ) + I(1) + H(val) + b"\x00\x00"
+        return H(tag) + H(typ) + I(1) + I(val)
+
+    ifd0_entries = [entry(t, ty, v) for t, ty, v in sorted(ifd0_tags)]
+    ifd0_entries.append(entry(0x8769, 4, exif_off))
+    if gps:
+        ifd0_entries.append(entry(0x8825, 4, gps_off))
+    ifd0_entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
+    ifd0 = H(n0) + b"".join(ifd0_entries) + I(0)
+    sub = H(n1) + b"".join(
+        entry(t, ty, v) for t, ty, v in sorted(exif_tags)
+    ) + I(0)
+    gpsb = (H(0) + I(0)) if gps else b""
+    return bo_ch.encode() + H(42) + I(ifd0_off) + ifd0 + sub + gpsb + heap
+
+
+def exif_jpeg(**kw):
+    app1 = b"Exif\x00\x00" + build_tiff(**kw)
+    return (b"\xff\xd8"
+            + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+            + b"\xff\xd9")
+
+
+def test_parse_both_byte_orders_offsets_and_gps():
+    j = exif_jpeg(bo_ch="II", make="CameraMakerX", model="M1",
+                  orientation=6, dt="2024:01:02 03:04:05",
+                  dto="2024:01:01 00:00:01", px=640, py=480, gps=True)
+    got = _parse_exif(j)
+    assert got == {
+        "make": "CameraMakerX", "model": "M1", "orientation": 6,
+        "datetime": "2024:01:02 03:04:05",
+        "datetime_original": "2024:01:01 00:00:01",
+        "pixel_x": 640, "pixel_y": 480, "has_gps": True,
+    }
+    # big-endian, inline (≤4 byte) ASCII, no GPS
+    got = _parse_exif(exif_jpeg(bo_ch="MM", make="Ab", orientation=1,
+                                px=32, gps=False))
+    assert got["make"] == "Ab" and got["orientation"] == 1
+    assert got["pixel_x"] == 32 and got["has_gps"] is False
+
+
+def test_parse_degrades_to_none_not_errors():
+    assert _parse_exif(None) is None
+    assert _parse_exif(b"PNG not jpeg") is None
+    assert _parse_exif(b"\xff\xd8\xff\xd9") is None  # JPEG, no APP1
+    # truncated TIFF inside a valid APP1 wrapper
+    app1 = b"Exif\x00\x00" + b"II\x2a\x00"
+    broken = (b"\xff\xd8\xff\xe1" + struct.pack(">H", len(app1) + 2)
+              + app1 + b"\xff\xd9")
+    assert _parse_exif(broken) is None
+    # APP1 past other APPn segments is still found
+    j = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"JF"
+         + exif_jpeg(bo_ch="II", orientation=3)[2:])
+    assert _parse_exif(j)["orientation"] == 3
+
+
+def test_exif_metadata_operator(spark):
+    rows = [
+        (0, exif_jpeg(bo_ch="II", make="CamA", orientation=6, px=100,
+                      gps=True)),
+        (1, exif_jpeg(bo_ch="MM", make="CamB", orientation=1, gps=False)),
+        (2, b"not an image"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in exif_metadata(df).collect()}
+    assert out[0].make == "CamA" and out[0].has_gps is True
+    assert out[0].orientation == 6 and out[0].pixel_x == 100
+    assert out[1].make == "CamB" and out[1].has_gps is False
+    assert out[2].make is None and out[2].has_gps is None
+    assert out[3].orientation is None
