@@ -214,6 +214,13 @@ def test_exchange_counts_bounded(spark):
         "ml_ndcg": 2,
         "gr_modularity": 8,
         "ts_lttb_downsample": 6,
+        # round-5 continuation additions, measured 3 / 1 / 0: SQ8's
+        # shuffles are the d-row bounds agg + top-k window; rotated
+        # simhash is ONE segment-join shuffle off the checkpointed
+        # fingerprint table; EXIF parse is a pure scan→mapInPandas
+        "sim_sq8_topk": 5,
+        "dd_simhash_rotated": 3,
+        "mm_exif_metadata": 1,
     }
     over = {}
     for name, bound in bounds.items():
