@@ -138,11 +138,15 @@ def versioned_write(
     ]
     prior: list[str] = []
     prior_stats: dict = {}
+    prior_deletes: list[str] = []
     if mode == "append" and versions:
         with open(os.path.join(mdir, f"v{versions[-1]}.json")) as fh:
             pm = json.load(fh)
             prior = pm["files"]
             prior_stats = pm.get("stats", {})
+            # carried files keep their deletion vectors; the new
+            # files have none.  An overwrite commit resets both.
+            prior_deletes = pm.get("deletes", [])
     stats = dict(prior_stats)
     for path in new_files:
         stats[path] = _file_column_stats(path)
@@ -150,6 +154,7 @@ def versioned_write(
         "version": new_v,
         "files": sorted(prior + new_files),
         "stats": stats,
+        "deletes": prior_deletes,
     }
     tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
     with open(tmp, "w") as fh:
@@ -250,7 +255,123 @@ def read_version(
         if not files:  # provably empty: keep the schema, read nothing
             full = spark.read.parquet(*manifest["files"])
             return full.filter("1 = 0")
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*files)
+    dvs = manifest.get("deletes", [])
+    if dvs:
+        df = _apply_deletion_vectors(spark, df, dvs)
+    return df
+
+
+#: Positions-count threshold under which deletion vectors broadcast.
+#: DVs are usually a small fraction of the table; a broadcast
+#: left-anti join applies them WITHOUT shuffling the table scan — at
+#: 100 TB that is the whole point of positional deletes.  Above the
+#: threshold Spark falls back to a shuffled anti-join (still no data
+#: rewrite).
+DV_BROADCAST_MAX_POSITIONS = 5_000_000
+
+
+def _dv_row_count(dv_dirs: list[str]) -> int:
+    """Total deleted positions, from parquet footers only (local
+    metadata reads — no Spark job)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for d in dv_dirs:
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    return total
+
+
+def _apply_deletion_vectors(spark, df: DataFrame, dv_dirs: list[str]) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dv = spark.read.parquet(*dv_dirs).select("file", "pos")
+    if _dv_row_count(dv_dirs) <= DV_BROADCAST_MAX_POSITIONS:
+        dv = F.broadcast(dv)
+    tagged = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    return (
+        tagged.join(
+            dv,
+            (tagged["_dv_file"] == dv["file"]) & (tagged["_dv_pos"] == dv["pos"]),
+            "left_anti",
+        )
+        .drop("_dv_file", "_dv_pos")
+    )
+
+
+def delete_where(spark, table_dir: str, condition: str):
+    """Row-level DELETE as a metadata-only commit (positional deletion
+    vectors — the Iceberg v2 / Delta DV idea): the matching rows'
+    ``(file, position)`` pairs are written to a small parquet under
+    ``_deletes/v<N>/`` and the new manifest lists it; NO data file is
+    rewritten — deleting 0.1% of a 100 TB table costs one scan plus a
+    DV write proportional to the DELETED rows, not the table.
+
+    ``read_version`` applies DVs with a broadcast left-anti join on
+    ``(_metadata.file_path, _metadata.row_index)`` (no table shuffle
+    below ``DV_BROADCAST_MAX_POSITIONS``).  ``optimize_table`` reads
+    through the same path, so an OPTIMIZE materializes the deletes and
+    commits a DV-free rewrite; ``expire_versions`` reclaims superseded
+    DV files with the data files.  Older manifests never list the new
+    DV, so time travel still sees the deleted rows (snapshot
+    isolation).
+
+    Returns ``{"version", "deleted_rows"}``; a condition matching
+    nothing commits nothing and returns the current version."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    mdir = os.path.join(table_dir, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    with open(os.path.join(mdir, f"v{latest}.json")) as fh:
+        manifest = json.load(fh)
+    # positions are found on the CURRENT snapshot (existing DVs
+    # applied), so re-deleting already-deleted rows is a no-op commit
+    cur = spark.read.parquet(*manifest["files"])
+    dvs = manifest.get("deletes", [])
+    if dvs:
+        cur = _apply_deletion_vectors(spark, cur, dvs)
+    new_v = latest + 1
+    dv_dir = os.path.join(table_dir, "_deletes", f"v{new_v}")
+    hits = (
+        cur.select(
+            "*",
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .filter(condition)
+        .select("file", "pos")
+    )
+    hits.write.mode("errorifexists").parquet(dv_dir)
+    n = _dv_row_count([dv_dir])
+    if n == 0:
+        shutil.rmtree(dv_dir)
+        return {"version": latest, "deleted_rows": 0}
+    manifest = {
+        "version": new_v,
+        "files": manifest["files"],
+        "stats": manifest.get("stats", {}),
+        "deletes": dvs + [dv_dir],
+    }
+    tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(mdir, f"v{new_v}.json"))  # atomic commit
+    return {"version": new_v, "deleted_rows": n}
 
 
 def zorder_value(cols: list[str], bits: int = 16):
@@ -322,23 +443,36 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
     )
     kept, removed = versions[-keep_last:], versions[:-keep_last]
     live: set[str] = set()
+    live_dvs: set[str] = set()
     for v in kept:
         with open(os.path.join(mdir, f"v{v}.json")) as fh:
-            live.update(json.load(fh)["files"])
+            m = json.load(fh)
+            live.update(m["files"])
+            live_dvs.update(m.get("deletes", []))
     dead: set[str] = set()
+    dead_dvs: set[str] = set()
     for v in removed:
         with open(os.path.join(mdir, f"v{v}.json")) as fh:
-            dead.update(json.load(fh)["files"])
+            m = json.load(fh)
+            dead.update(m["files"])
+            dead_dvs.update(m.get("deletes", []))
     deleted = sorted(dead - live)
     for path in deleted:
         if os.path.exists(path):
             os.remove(path)
+    # deletion-vector dirs follow the same manifest-driven rule
+    import shutil
+
+    dv_deleted = sorted(dead_dvs - live_dvs)
+    for d in dv_deleted:
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     for v in removed:
         os.remove(os.path.join(mdir, f"v{v}.json"))
     return {
         "kept_versions": kept,
         "removed_versions": removed,
-        "deleted_files": deleted,
+        "deleted_files": deleted + dv_deleted,
     }
 
 

@@ -1350,3 +1350,67 @@ def test_progressive_jpeg_sparse_blocks_exercise_eob_runs():
     dec_b, *_ = _decode_jpeg(_encode_jpeg(img))
     dec_p, *_ = _decode_jpeg(_encode_jpeg_progressive(img))
     assert np.array_equal(dec_b, dec_p)
+
+
+def test_deletion_vectors_delete_without_rewrite(spark, tmp_path):
+    """delete_where commits positional DVs: data files untouched, rows
+    gone at the new version, time travel intact, deletes cumulative,
+    appends carry prior DVs, OPTIMIZE materializes them, and
+    expire_versions reclaims the DV files."""
+    import json
+    import os
+
+    from kbdatalakeapps_spark.io.layout import (
+        delete_where,
+        expire_versions,
+        optimize_table,
+        read_version,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark.range(0, 100).toDF("id"), t)  # v1
+    files_v1 = sorted(
+        json.load(open(os.path.join(t, "_manifests", "v1.json")))["files"]
+    )
+    mtimes = {f: os.path.getmtime(f) for f in files_v1}
+
+    r = delete_where(spark, t, "id % 10 = 0")
+    assert r == {"version": 2, "deleted_rows": 10}
+    # the data files were NOT rewritten
+    m2 = json.load(open(os.path.join(t, "_manifests", "v2.json")))
+    assert sorted(m2["files"]) == files_v1
+    assert {f: os.path.getmtime(f) for f in files_v1} == mtimes
+    assert len(m2["deletes"]) == 1
+    assert read_version(spark, t).count() == 90
+    assert read_version(spark, t, version=1).count() == 100  # time travel
+    assert read_version(spark, t).filter("id % 10 = 0").count() == 0
+
+    # cumulative second delete; re-deleting deleted rows is a no-op
+    assert delete_where(spark, t, "id % 10 = 0") == {
+        "version": 2, "deleted_rows": 0,
+    }
+    assert delete_where(spark, t, "id < 5")["deleted_rows"] == 4  # 0 gone
+    assert read_version(spark, t).count() == 86
+
+    # append carries prior DVs: old rows stay deleted, new rows visible
+    versioned_write(spark.range(200, 210).toDF("id"), t, mode="append")
+    got = read_version(spark, t)
+    assert got.count() == 96
+    assert got.filter("id % 10 = 0 AND id < 100").count() == 0
+
+    # stats pruning still composes with DVs
+    pruned = read_version(spark, t, predicate=[("id", ">=", 200)])
+    assert pruned.filter("id >= 200").count() == 10
+
+    # OPTIMIZE reads through DVs → rewrite has no deletes
+    v = optimize_table(spark, t)
+    mo = json.load(open(os.path.join(t, f"_manifests/v{v}.json")))
+    assert mo["deletes"] == []
+    assert read_version(spark, t).count() == 96
+
+    # expire reclaims superseded data AND DV dirs
+    out = expire_versions(t, keep_last=1)
+    assert any("_deletes" in p for p in out["deleted_files"])
+    assert not os.path.isdir(os.path.join(t, "_deletes", "v2"))
+    assert read_version(spark, t).count() == 96
