@@ -374,6 +374,83 @@ def delete_where(spark, table_dir: str, condition: str):
     return {"version": new_v, "deleted_rows": n}
 
 
+def update_where(spark, table_dir: str, condition: str, assignments: dict):
+    """Row-level UPDATE as ONE atomic commit: matched rows' positions
+    go to a deletion vector and their re-written forms append as a new
+    data file — the merge-on-read UPDATE (Iceberg v2 positional
+    upsert).  Cost ∝ matched rows, not table size; unmatched files are
+    untouched.  ``assignments`` maps column name → SQL expression
+    string evaluated on the matched row (e.g. ``{"score": "score * 2",
+    "flag": "'stale'"}``).
+
+    A single manifest names the carried files, the new file, AND the
+    new DV, so readers see either the old snapshot or the full update
+    — never the deleted-but-not-reinserted middle (which running
+    ``delete_where`` + ``versioned_write`` separately would expose).
+    Returns ``{"version", "updated_rows"}``; no matches commits
+    nothing."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    mdir = os.path.join(table_dir, "_manifests")
+    latest = max(
+        int(f[1:-5]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    with open(os.path.join(mdir, f"v{latest}.json")) as fh:
+        manifest = json.load(fh)
+    cur = spark.read.parquet(*manifest["files"])
+    dvs = manifest.get("deletes", [])
+    if dvs:
+        cur = _apply_deletion_vectors(spark, cur, dvs)
+    data_cols = cur.columns
+    new_v = latest + 1
+    matched = cur.select(
+        "*",
+        F.col("_metadata.file_path").alias("_uw_file"),
+        F.col("_metadata.row_index").alias("_uw_pos"),
+    ).filter(condition)
+    # materialize matches once: the DV write and the rewrite must see
+    # the SAME row set even if an expression is non-deterministic
+    matched = matched.localCheckpoint(eager=False)
+    dv_dir = os.path.join(table_dir, "_deletes", f"v{new_v}")
+    matched.select(
+        F.col("_uw_file").alias("file"), F.col("_uw_pos").alias("pos")
+    ).write.mode("errorifexists").parquet(dv_dir)
+    n = _dv_row_count([dv_dir])
+    if n == 0:
+        shutil.rmtree(dv_dir)
+        return {"version": latest, "updated_rows": 0}
+    data_dir = os.path.join(table_dir, "data", f"v{new_v}")
+    rewritten = matched.selectExpr(
+        *[f"({assignments[c]}) AS {c}" if c in assignments else c
+          for c in data_cols]
+    )
+    rewritten.write.mode("errorifexists").parquet(data_dir)
+    new_files = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    stats = dict(manifest.get("stats", {}))
+    for path in new_files:
+        stats[path] = _file_column_stats(path)
+    manifest = {
+        "version": new_v,
+        "files": sorted(manifest["files"] + new_files),
+        "stats": stats,
+        "deletes": dvs + [dv_dir],
+    }
+    tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(mdir, f"v{new_v}.json"))  # atomic commit
+    return {"version": new_v, "updated_rows": n}
+
+
 def zorder_value(cols: list[str], bits: int = 16):
     """Z-curve (Morton) key: interleave the low ``bits`` bits of each
     (non-negative integer) column so rows close in EVERY dimension get

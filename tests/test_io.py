@@ -1414,3 +1414,44 @@ def test_deletion_vectors_delete_without_rewrite(spark, tmp_path):
     assert any("_deletes" in p for p in out["deleted_files"])
     assert not os.path.isdir(os.path.join(t, "_deletes", "v2"))
     assert read_version(spark, t).count() == 96
+
+
+def test_update_where_is_one_atomic_commit(spark, tmp_path):
+    import json
+    import os
+
+    from kbdatalakeapps_spark.io.layout import (
+        read_version,
+        update_where,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "utbl")
+    df = spark.range(0, 50).selectExpr("id", "id * 10 AS score")
+    versioned_write(df, t)  # v1
+
+    r = update_where(spark, t, "id % 5 = 0", {"score": "score + 1"})
+    assert r == {"version": 2, "updated_rows": 10}
+    # exactly ONE new manifest (no intermediate delete-only version)
+    assert sorted(os.listdir(os.path.join(t, "_manifests"))) == [
+        "v1.json", "v2.json",
+    ]
+    cur = read_version(spark, t)
+    assert cur.count() == 50  # row count preserved
+    got = {r.id: r.score for r in cur.collect()}
+    assert all(got[i] == i * 10 + 1 for i in range(0, 50, 5))
+    assert all(got[i] == i * 10 for i in range(50) if i % 5)
+    # time travel: v1 unchanged
+    old = {r.id: r.score for r in read_version(spark, t, version=1).collect()}
+    assert old[0] == 0 and old[5] == 50
+    # updating already-rewritten rows works (they live in the new file)
+    assert update_where(spark, t, "id = 0", {"score": "score + 100"})[
+        "updated_rows"
+    ] == 1
+    assert read_version(spark, t).filter("id = 0").collect()[0].score == 101
+    # no matches → no commit
+    assert update_where(spark, t, "id > 999", {"score": "0"}) == {
+        "version": 3, "updated_rows": 0,
+    }
+    m3 = json.load(open(os.path.join(t, "_manifests", "v3.json")))
+    assert len(m3["deletes"]) == 2
