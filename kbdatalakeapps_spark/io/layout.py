@@ -139,6 +139,7 @@ def versioned_write(
     prior: list[str] = []
     prior_stats: dict = {}
     prior_deletes: list[str] = []
+    prior_schema: dict | None = None
     if mode == "append" and versions:
         with open(os.path.join(mdir, f"v{versions[-1]}.json")) as fh:
             pm = json.load(fh)
@@ -147,14 +148,30 @@ def versioned_write(
             # carried files keep their deletion vectors; the new
             # files have none.  An overwrite commit resets both.
             prior_deletes = pm.get("deletes", [])
+            prior_schema = pm.get("schema")
     stats = dict(prior_stats)
     for path in new_files:
         stats[path] = _file_column_stats(path)
+    import time
+
+    # commit schema = union of the carried schema and this write's
+    # (append-mode schema EVOLUTION: a column added by this commit
+    # reads back as NULL from pre-evolution files, a column this
+    # commit omits keeps coming from the files that have it); the
+    # manifest schema is what read_version pins the scan to
+    fields = {f["name"]: f for f in (prior_schema or {}).get("fields", [])}
+    order = list(fields)
+    for f in df.schema.jsonValue()["fields"]:
+        if f["name"] not in fields:
+            order.append(f["name"])
+        fields[f["name"]] = f
     manifest = {
         "version": new_v,
         "files": sorted(prior + new_files),
         "stats": stats,
         "deletes": prior_deletes,
+        "schema": {"type": "struct", "fields": [fields[n] for n in order]},
+        "committed_at": time.time(),
     }
     tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
     with open(tmp, "w") as fh:
@@ -211,11 +228,25 @@ def _stats_may_match(stats: dict, col: str, op: str, value) -> bool:
     raise ValueError(f"unsupported pruning op: {op}")
 
 
+def _pinned_reader(spark, manifest: dict):
+    """Reader pinned to the manifest's committed schema — the schema-
+    evolution contract: files predating an added column yield NULL for
+    it, and column order is frozen across heterogeneous commits.
+    Pre-schema manifests fall back to parquet self-description."""
+    reader = spark.read
+    if manifest.get("schema"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+    return reader
+
+
 def read_version(
     spark,
     table_dir: str,
     version: int | None = None,
     predicate: list[tuple] | None = None,
+    as_of_timestamp: float | None = None,
 ) -> DataFrame:
     """Read a manifest-versioned table at ``version`` (default: latest).
     The manifest's explicit file list IS the snapshot — files committed
@@ -234,11 +265,27 @@ def read_version(
     import os
 
     mdir = os.path.join(table_dir, "_manifests")
+    all_versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_timestamp, not both")
+        # newest commit at-or-before the timestamp (Delta/Iceberg
+        # TIMESTAMP AS OF semantics)
+        candidates = []
+        for v in all_versions:
+            with open(os.path.join(mdir, f"v{v}.json")) as fh:
+                if json.load(fh).get("committed_at", 0) <= as_of_timestamp:
+                    candidates.append(v)
+        if not candidates:
+            raise ValueError(
+                f"no commit at or before timestamp {as_of_timestamp}"
+            )
+        version = candidates[-1]
     if version is None:
-        version = max(
-            int(f[1:-5]) for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        version = all_versions[-1]
     with open(os.path.join(mdir, f"v{version}.json")) as fh:
         manifest = json.load(fh)
     files = manifest["files"]
@@ -252,10 +299,10 @@ def read_version(
                 for col, op, val in predicate
             )
         ]
-        if not files:  # provably empty: keep the schema, read nothing
-            full = spark.read.parquet(*manifest["files"])
-            return full.filter("1 = 0")
-    df = spark.read.parquet(*files)
+    reader = _pinned_reader(spark, manifest)
+    if predicate and not files:  # provably empty: keep schema, read nothing
+        return reader.parquet(*manifest["files"]).filter("1 = 0")
+    df = reader.parquet(*files)
     dvs = manifest.get("deletes", [])
     if dvs:
         df = _apply_deletion_vectors(spark, df, dvs)
@@ -341,7 +388,7 @@ def delete_where(spark, table_dir: str, condition: str):
         manifest = json.load(fh)
     # positions are found on the CURRENT snapshot (existing DVs
     # applied), so re-deleting already-deleted rows is a no-op commit
-    cur = spark.read.parquet(*manifest["files"])
+    cur = _pinned_reader(spark, manifest).parquet(*manifest["files"])
     dvs = manifest.get("deletes", [])
     if dvs:
         cur = _apply_deletion_vectors(spark, cur, dvs)
@@ -361,11 +408,15 @@ def delete_where(spark, table_dir: str, condition: str):
     if n == 0:
         shutil.rmtree(dv_dir)
         return {"version": latest, "deleted_rows": 0}
+    import time
+
     manifest = {
         "version": new_v,
         "files": manifest["files"],
         "stats": manifest.get("stats", {}),
         "deletes": dvs + [dv_dir],
+        "schema": manifest.get("schema"),
+        "committed_at": time.time(),
     }
     tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
     with open(tmp, "w") as fh:
@@ -402,7 +453,7 @@ def update_where(spark, table_dir: str, condition: str, assignments: dict):
     )
     with open(os.path.join(mdir, f"v{latest}.json")) as fh:
         manifest = json.load(fh)
-    cur = spark.read.parquet(*manifest["files"])
+    cur = _pinned_reader(spark, manifest).parquet(*manifest["files"])
     dvs = manifest.get("deletes", [])
     if dvs:
         cur = _apply_deletion_vectors(spark, cur, dvs)
@@ -438,11 +489,15 @@ def update_where(spark, table_dir: str, condition: str, assignments: dict):
     stats = dict(manifest.get("stats", {}))
     for path in new_files:
         stats[path] = _file_column_stats(path)
+    import time
+
     manifest = {
         "version": new_v,
         "files": sorted(manifest["files"] + new_files),
         "stats": stats,
         "deletes": dvs + [dv_dir],
+        "schema": manifest.get("schema"),
+        "committed_at": time.time(),
     }
     tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
     with open(tmp, "w") as fh:

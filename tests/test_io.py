@@ -1455,3 +1455,42 @@ def test_update_where_is_one_atomic_commit(spark, tmp_path):
     }
     m3 = json.load(open(os.path.join(t, "_manifests", "v3.json")))
     assert len(m3["deletes"]) == 2
+
+
+def test_versioned_schema_evolution_and_timestamp_travel(spark, tmp_path):
+    """Appending a commit with an ADDED column evolves the table
+    schema: old files read the new column as NULL, the manifest
+    schema pins column order, and time travel by version OR by
+    timestamp sees each commit's own schema."""
+    import time
+
+    from kbdatalakeapps_spark.io.layout import read_version, versioned_write
+
+    t = str(tmp_path / "etbl")
+    versioned_write(spark.range(0, 4).toDF("id"), t)  # v1
+    t_between = time.time()
+    time.sleep(0.05)
+    versioned_write(
+        spark.range(4, 6).selectExpr("id", "id * 2 AS extra"), t
+    )  # v2: adds `extra`
+    cur = read_version(spark, t)
+    assert cur.columns == ["id", "extra"]
+    rows = {r.id: r.extra for r in cur.collect()}
+    assert rows[0] is None and rows[4] == 8  # backfilled NULLs
+    assert read_version(spark, t, version=1).columns == ["id"]
+    # timestamp travel: between the commits → v1; now → v2
+    assert read_version(
+        spark, t, as_of_timestamp=t_between
+    ).columns == ["id"]
+    assert read_version(spark, t, as_of_timestamp=time.time()).count() == 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="version OR as_of_timestamp"):
+        read_version(spark, t, version=1, as_of_timestamp=t_between)
+    with _pytest.raises(ValueError, match="no commit"):
+        read_version(spark, t, as_of_timestamp=0.0)
+    # a commit OMITTING a column keeps serving it from old files
+    versioned_write(spark.range(6, 7).toDF("id"), t)  # v3: no `extra`
+    cur = read_version(spark, t)
+    assert cur.columns == ["id", "extra"]
+    assert cur.filter("id = 4").collect()[0].extra == 8
