@@ -172,6 +172,7 @@ def versioned_write(
         "deletes": prior_deletes,
         "schema": {"type": "struct", "fields": [fields[n] for n in order]},
         "committed_at": time.time(),
+        "op": mode,
     }
     tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
     with open(tmp, "w") as fh:
@@ -417,6 +418,7 @@ def delete_where(spark, table_dir: str, condition: str):
         "deletes": dvs + [dv_dir],
         "schema": manifest.get("schema"),
         "committed_at": time.time(),
+        "op": "delete",
     }
     tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
     with open(tmp, "w") as fh:
@@ -498,6 +500,7 @@ def update_where(spark, table_dir: str, condition: str, assignments: dict):
         "deletes": dvs + [dv_dir],
         "schema": manifest.get("schema"),
         "committed_at": time.time(),
+        "op": "update",
     }
     tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
     with open(tmp, "w") as fh:
@@ -751,3 +754,100 @@ def optimize_table(
     else:
         cur = cur.repartition(n_files)
     return versioned_write(cur, table_dir, mode="overwrite")
+
+
+def table_changes(
+    spark,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed over a manifest-versioned table (the Delta CDF
+    idea): every row change committed in ``(from_version, to_version]``
+    with ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage} and ``_commit_version`` — what an incremental
+    downstream consumer reads instead of re-diffing two 100 TB
+    snapshots (s18_snapshot_diff is the content-diff fallback when no
+    commit history exists).
+
+    Derived ENTIRELY from manifest deltas — no change log is written on
+    the hot path: files added by a commit are its inserted rows
+    (update_postimage when the commit's verb was UPDATE), deletion
+    vectors added are its deleted rows (update_preimage for UPDATE),
+    files dropped by an overwrite are deletes.  DV-row reads touch
+    only the files the DV references (collected from the small DV
+    itself), never the snapshot."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    mdir = os.path.join(table_dir, "_manifests")
+
+    def _load(v: int) -> dict:
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    if to_version is None:
+        to_version = versions[-1]
+    parts: list[DataFrame] = []
+
+    def _tag(df: DataFrame, ctype: str, v: int) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(ctype).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    prev = _load(from_version)
+    for v in versions:
+        if not (from_version < v <= to_version):
+            continue
+        m = _load(v)
+        op = m.get("op")
+        ins_type = "update_postimage" if op == "update" else "insert"
+        del_type = "update_preimage" if op == "update" else "delete"
+        reader = _pinned_reader(spark, m)
+        added = sorted(set(m["files"]) - set(prev["files"]))
+        if added:
+            parts.append(_tag(reader.parquet(*added), ins_type, v))
+        removed = sorted(set(prev["files"]) - set(m["files"]))
+        if removed:
+            # LOGICAL rows removed: the prior version's deletion
+            # vectors no longer count as live rows
+            gone = _pinned_reader(spark, prev).parquet(*removed)
+            if prev.get("deletes"):
+                gone = _apply_deletion_vectors(spark, gone, prev["deletes"])
+            parts.append(_tag(gone, "delete", v))
+        new_dvs = [d for d in m.get("deletes", [])
+                   if d not in prev.get("deletes", [])]
+        if new_dvs:
+            dv = spark.read.parquet(*new_dvs).select("file", "pos")
+            # the DV is small by construction: its distinct file list
+            # bounds the read to the touched files only
+            touched = [r.file for r in dv.select("file").distinct().collect()]
+            base = _pinned_reader(spark, prev).parquet(*touched).select(
+                "*",
+                F.col("_metadata.file_path").alias("_cd_file"),
+                F.col("_metadata.row_index").alias("_cd_pos"),
+            )
+            hit = base.join(
+                F.broadcast(dv),
+                (base["_cd_file"] == dv["file"]) & (base["_cd_pos"] == dv["pos"]),
+                "left_semi",
+            ).drop("_cd_file", "_cd_pos")
+            parts.append(_tag(hit, del_type, v))
+        prev = m
+    if not parts:
+        empty = _pinned_reader(spark, _load(to_version)).parquet(
+            *_load(to_version)["files"]
+        )
+        return _tag(empty, "insert", to_version).filter("1 = 0")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

@@ -1494,3 +1494,52 @@ def test_versioned_schema_evolution_and_timestamp_travel(spark, tmp_path):
     cur = read_version(spark, t)
     assert cur.columns == ["id", "extra"]
     assert cur.filter("id = 4").collect()[0].extra == 8
+
+
+def test_table_changes_feed(spark, tmp_path):
+    """CDF from manifest deltas: append → insert rows, delete_where →
+    delete rows, update_where → pre/post image pairs, overwrite →
+    file-level delete+insert; version bounds respected."""
+    from kbdatalakeapps_spark.io.layout import (
+        delete_where,
+        table_changes,
+        update_where,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "cdf")
+    versioned_write(spark.range(0, 10).selectExpr("id", "id AS v"), t)  # v1
+    versioned_write(spark.range(10, 12).selectExpr("id", "id AS v"), t)  # v2
+    delete_where(spark, t, "id = 3")  # v3
+    update_where(spark, t, "id = 7", {"v": "v + 100"})  # v4
+
+    ch = table_changes(spark, t, from_version=1).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r._change_type, r._commit_version), set()).add(r.id)
+    assert by[("insert", 2)] == {10, 11}
+    assert by[("delete", 3)] == {3}
+    assert by[("update_preimage", 4)] == {7}
+    assert by[("update_postimage", 4)] == {7}
+    post = [r for r in ch if r._change_type == "update_postimage"][0]
+    assert post.v == 107
+    # bounded range: only v2's commit
+    only2 = table_changes(spark, t, from_version=1, to_version=2).collect()
+    assert {r._commit_version for r in only2} == {2}
+    # empty range keeps schema
+    none = table_changes(spark, t, from_version=4, to_version=4)
+    assert none.count() == 0 and "_change_type" in none.columns
+    # overwrite: removed files surface as deletes, new as inserts
+    versioned_write(
+        spark.range(50, 52).selectExpr("id", "id AS v"), t, mode="overwrite"
+    )  # v5
+    ch5 = table_changes(spark, t, from_version=4)
+    types = {r._change_type for r in ch5.collect()}
+    assert types == {"insert", "delete"}
+    assert ch5.filter("_change_type = 'insert'").count() == 2
+    # LOGICAL rows removed: 12 ids minus deleted id=3 = 11 (the stale
+    # pre-update copy of id=7 is DV-covered, its rewrite is counted)
+    assert ch5.filter("_change_type = 'delete'").count() == 11
+    assert ch5.filter(
+        "_change_type = 'delete' AND id = 7"
+    ).collect()[0].v == 107
