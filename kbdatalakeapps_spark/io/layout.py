@@ -803,7 +803,12 @@ def table_changes(
             F.lit(v).cast("long").alias("_commit_version"),
         )
 
-    prev = _load(from_version)
+    # from_version=0 (or any pre-history version) = the full feed
+    prev = (
+        _load(from_version)
+        if from_version in versions
+        else {"files": [], "deletes": []}
+    )
     for v in versions:
         if not (from_version < v <= to_version):
             continue

@@ -578,3 +578,39 @@ def test_stream_expectation_rejects_aggregating_kinds(spark, tmp_path):
             stream_events(spark, str(src)),
             [("u", "unique", {"columns": ["event_id"]})],
         )
+
+
+def test_foreach_batch_versioned_table_commits(spark, tmp_path):
+    """Streaming ingestion INTO the versioned table: each micro-batch
+    commits atomically via versioned_write, so downstream readers get
+    snapshot isolation + time travel + a change feed over a live
+    stream — the streaming half of the lakehouse verbs."""
+    from kbdatalakeapps_spark.io.layout import (
+        read_version,
+        table_changes,
+        versioned_write,
+    )
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    t = str(tmp_path / "vtbl")
+    committed = []
+
+    def sink(batch_df, batch_id):
+        committed.append(versioned_write(batch_df, t, mode="append"))
+
+    q = (
+        stream_events(spark, str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert read_version(spark, t).count() == n_events
+    assert committed and committed[0] == 1
+    # the stream's commits are visible as a change feed
+    feed = table_changes(spark, t, from_version=0)
+    assert feed.filter("_change_type = 'insert'").count() == n_events
