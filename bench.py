@@ -128,6 +128,8 @@ REPEAT_QUERIES = {
     "sp_pack_sequences",
     "tx_language_id",
     "dd_embedding_neardup",
+    # round-5 continuation heavy: ~12 iterative rounds, overhead-bound
+    "gr_cc_largestar",
 }
 
 

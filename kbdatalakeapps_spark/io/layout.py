@@ -102,7 +102,8 @@ def versioned_write(
 ) -> int:
     """Manifest-versioned table write — snapshot isolation without a
     table-format dependency: each commit writes its data files under
-    ``data/v<N>/`` and then a manifest ``_manifests/v<N>.json`` naming
+    a unique ``data/c-*/`` dir and then a manifest
+    ``_manifests/v<N>.json`` naming
     EVERY file visible at that version (previous files + new ones for
     ``append``; only the new ones for ``overwrite``).  Readers pin a
     manifest, so a concurrent writer can never give them a torn view —
@@ -118,67 +119,108 @@ def versioned_write(
     lets ``read_version(predicate=…)`` prune files from the manifest
     alone, without touching any footer at read time — the
     Iceberg/Delta manifest-pruning idea, and the part that matters at
-    100k-file scale where even footer reads are a listing storm."""
-    import json
+    100k-file scale where even footer reads are a listing storm.
+
+    Concurrency: data files land under a commit-UNIQUE directory, then
+    the version number is claimed by an exclusive manifest create
+    (``_claim_version``); a racing writer loses the claim and this
+    writer retries against the NEW latest (optimistic concurrency) —
+    append merges are always safe to replay, so no commit is ever
+    lost or silently replaced (the round-5 rename-replace race)."""
     import os
+    import time
+    import uuid
 
     mdir = os.path.join(table_dir, "_manifests")
     os.makedirs(mdir, exist_ok=True)
-    versions = sorted(
-        int(f[1:-5]) for f in os.listdir(mdir)
-        if f.startswith("v") and f.endswith(".json")
-    )
-    new_v = (versions[-1] + 1) if versions else 1
-    data_dir = os.path.join(table_dir, "data", f"v{new_v}")
+    data_dir = os.path.join(table_dir, "data", f"c-{uuid.uuid4().hex[:12]}")
     df.write.mode("errorifexists").parquet(data_dir)
     new_files = [
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    prior: list[str] = []
-    prior_stats: dict = {}
-    prior_deletes: list[str] = []
-    prior_schema: dict | None = None
-    if mode == "append" and versions:
-        with open(os.path.join(mdir, f"v{versions[-1]}.json")) as fh:
-            pm = json.load(fh)
-            prior = pm["files"]
-            prior_stats = pm.get("stats", {})
-            # carried files keep their deletion vectors; the new
-            # files have none.  An overwrite commit resets both.
-            prior_deletes = pm.get("deletes", [])
-            prior_schema = pm.get("schema")
-    stats = dict(prior_stats)
-    for path in new_files:
-        stats[path] = _file_column_stats(path)
-    import time
+    new_stats = {path: _file_column_stats(path) for path in new_files}
+    df_fields = df.schema.jsonValue()["fields"]
 
-    # commit schema = union of the carried schema and this write's
-    # (append-mode schema EVOLUTION: a column added by this commit
-    # reads back as NULL from pre-evolution files, a column this
-    # commit omits keeps coming from the files that have it); the
-    # manifest schema is what read_version pins the scan to
-    fields = {f["name"]: f for f in (prior_schema or {}).get("fields", [])}
-    order = list(fields)
-    for f in df.schema.jsonValue()["fields"]:
-        if f["name"] not in fields:
-            order.append(f["name"])
-        fields[f["name"]] = f
-    manifest = {
-        "version": new_v,
-        "files": sorted(prior + new_files),
-        "stats": stats,
-        "deletes": prior_deletes,
-        "schema": {"type": "struct", "fields": [fields[n] for n in order]},
-        "committed_at": time.time(),
-        "op": mode,
-    }
-    tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(mdir, f"v{new_v}.json"))  # atomic commit
-    return new_v
+    def build(prior_manifest: dict | None, new_v: int) -> dict:
+        pm = prior_manifest if (mode == "append" and prior_manifest) else {}
+        prior_schema = pm.get("schema") or {}
+        # commit schema = union of the carried schema and this write's
+        # (append-mode schema EVOLUTION: a column added by this commit
+        # reads back as NULL from pre-evolution files, a column this
+        # commit omits keeps coming from the files that have it); the
+        # manifest schema is what read_version pins the scan to
+        fields = {f["name"]: f for f in prior_schema.get("fields", [])}
+        order = list(fields)
+        for f in df_fields:
+            if f["name"] not in fields:
+                order.append(f["name"])
+            fields[f["name"]] = f
+        return {
+            "version": new_v,
+            "files": sorted(pm.get("files", []) + new_files),
+            "stats": {**pm.get("stats", {}), **new_stats},
+            # carried files keep their deletion vectors; the new files
+            # have none.  An overwrite commit resets both.
+            "deletes": pm.get("deletes", []),
+            "schema": {
+                "type": "struct", "fields": [fields[n] for n in order]
+            },
+            "committed_at": time.time(),
+            "op": mode,
+        }
+
+    return _claim_version(mdir, build)
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A racing commit claimed this version first and the operation
+    cannot be replayed blindly (DELETE/UPDATE positions were computed
+    against a snapshot that is no longer latest) — re-run it."""
+
+
+def _claim_version(mdir, build, retries: int = 20) -> int:
+    """Optimistic-concurrency commit: build the manifest against the
+    current latest, then CLAIM version latest+1 with an exclusive
+    create (an exclusive hard-link of the fully-written tmp file —
+    readers can never observe a half-written manifest and two writers
+    can never both own a version).  A concurrent winner makes the claim fail, and
+    ``build`` re-runs against the new latest — so appends serialize
+    without locks and nothing is ever silently replaced.  ``build``
+    receives (prior_manifest | None, new_version)."""
+    import json
+    import os
+
+    for _ in range(retries):
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        prior = None
+        if versions:
+            with open(os.path.join(mdir, f"v{versions[-1]}.json")) as fh:
+                prior = json.load(fh)
+        new_v = (versions[-1] + 1) if versions else 1
+        manifest = build(prior, new_v)
+        # full content goes to a private tmp first; the CLAIM is an
+        # exclusive hard-link of the finished file, so readers can
+        # never observe a half-written manifest
+        import uuid
+
+        tmp = os.path.join(mdir, f".commit-{uuid.uuid4().hex[:12]}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, os.path.join(mdir, f"v{new_v}.json"))
+            return new_v
+        except FileExistsError:
+            continue  # lost the race — rebuild against the new latest
+        finally:
+            os.unlink(tmp)
+    raise ConcurrentWriteError(
+        f"could not claim a manifest version in {retries} attempts"
+    )
 
 
 def _file_column_stats(path: str) -> dict:
@@ -373,7 +415,10 @@ def delete_where(spark, table_dir: str, condition: str):
     isolation).
 
     Returns ``{"version", "deleted_rows"}``; a condition matching
-    nothing commits nothing and returns the current version."""
+    nothing commits nothing and returns the current version.  A commit
+    that lands AFTER the positions were computed raises
+    ``ConcurrentWriteError`` (the DV would reference a stale snapshot)
+    — re-run the DELETE."""
     import json
     import os
     import shutil
@@ -393,8 +438,10 @@ def delete_where(spark, table_dir: str, condition: str):
     dvs = manifest.get("deletes", [])
     if dvs:
         cur = _apply_deletion_vectors(spark, cur, dvs)
-    new_v = latest + 1
-    dv_dir = os.path.join(table_dir, "_deletes", f"v{new_v}")
+    import time
+    import uuid
+
+    dv_dir = os.path.join(table_dir, "_deletes", f"c-{uuid.uuid4().hex[:12]}")
     hits = (
         cur.select(
             "*",
@@ -409,21 +456,28 @@ def delete_where(spark, table_dir: str, condition: str):
     if n == 0:
         shutil.rmtree(dv_dir)
         return {"version": latest, "deleted_rows": 0}
-    import time
 
-    manifest = {
-        "version": new_v,
-        "files": manifest["files"],
-        "stats": manifest.get("stats", {}),
-        "deletes": dvs + [dv_dir],
-        "schema": manifest.get("schema"),
-        "committed_at": time.time(),
-        "op": "delete",
-    }
-    tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(mdir, f"v{new_v}.json"))  # atomic commit
+    def build(prior: dict | None, new_v: int) -> dict:
+        if (prior or {}).get("version") != latest:
+            raise ConcurrentWriteError(
+                f"table advanced past v{latest} while DELETE positions "
+                "were being computed — re-run"
+            )
+        return {
+            "version": new_v,
+            "files": manifest["files"],
+            "stats": manifest.get("stats", {}),
+            "deletes": dvs + [dv_dir],
+            "schema": manifest.get("schema"),
+            "committed_at": time.time(),
+            "op": "delete",
+        }
+
+    try:
+        new_v = _claim_version(mdir, build)
+    except ConcurrentWriteError:
+        shutil.rmtree(dv_dir)
+        raise
     return {"version": new_v, "deleted_rows": n}
 
 
@@ -441,7 +495,8 @@ def update_where(spark, table_dir: str, condition: str, assignments: dict):
     — never the deleted-but-not-reinserted middle (which running
     ``delete_where`` + ``versioned_write`` separately would expose).
     Returns ``{"version", "updated_rows"}``; no matches commits
-    nothing."""
+    nothing; a racing commit raises ``ConcurrentWriteError`` — re-run
+    the UPDATE."""
     import json
     import os
     import shutil
@@ -460,7 +515,10 @@ def update_where(spark, table_dir: str, condition: str, assignments: dict):
     if dvs:
         cur = _apply_deletion_vectors(spark, cur, dvs)
     data_cols = cur.columns
-    new_v = latest + 1
+    import time
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
     matched = cur.select(
         "*",
         F.col("_metadata.file_path").alias("_uw_file"),
@@ -469,7 +527,7 @@ def update_where(spark, table_dir: str, condition: str, assignments: dict):
     # materialize matches once: the DV write and the rewrite must see
     # the SAME row set even if an expression is non-deterministic
     matched = matched.localCheckpoint(eager=False)
-    dv_dir = os.path.join(table_dir, "_deletes", f"v{new_v}")
+    dv_dir = os.path.join(table_dir, "_deletes", f"c-{tag}")
     matched.select(
         F.col("_uw_file").alias("file"), F.col("_uw_pos").alias("pos")
     ).write.mode("errorifexists").parquet(dv_dir)
@@ -477,7 +535,7 @@ def update_where(spark, table_dir: str, condition: str, assignments: dict):
     if n == 0:
         shutil.rmtree(dv_dir)
         return {"version": latest, "updated_rows": 0}
-    data_dir = os.path.join(table_dir, "data", f"v{new_v}")
+    data_dir = os.path.join(table_dir, "data", f"c-{tag}")
     rewritten = matched.selectExpr(
         *[f"({assignments[c]}) AS {c}" if c in assignments else c
           for c in data_cols]
@@ -491,21 +549,29 @@ def update_where(spark, table_dir: str, condition: str, assignments: dict):
     stats = dict(manifest.get("stats", {}))
     for path in new_files:
         stats[path] = _file_column_stats(path)
-    import time
 
-    manifest = {
-        "version": new_v,
-        "files": sorted(manifest["files"] + new_files),
-        "stats": stats,
-        "deletes": dvs + [dv_dir],
-        "schema": manifest.get("schema"),
-        "committed_at": time.time(),
-        "op": "update",
-    }
-    tmp = os.path.join(mdir, f".v{new_v}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(mdir, f"v{new_v}.json"))  # atomic commit
+    def build(prior: dict | None, new_v: int) -> dict:
+        if (prior or {}).get("version") != latest:
+            raise ConcurrentWriteError(
+                f"table advanced past v{latest} while UPDATE rows were "
+                "being rewritten — re-run"
+            )
+        return {
+            "version": new_v,
+            "files": sorted(manifest["files"] + new_files),
+            "stats": stats,
+            "deletes": dvs + [dv_dir],
+            "schema": manifest.get("schema"),
+            "committed_at": time.time(),
+            "op": "update",
+        }
+
+    try:
+        new_v = _claim_version(mdir, build)
+    except ConcurrentWriteError:
+        shutil.rmtree(dv_dir)
+        shutil.rmtree(data_dir)
+        raise
     return {"version": new_v, "updated_rows": n}
 
 

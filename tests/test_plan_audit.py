@@ -35,6 +35,7 @@ _BNLJ_OK = {
     # bounded-small (not 1-row) broadcast sides: the product is
     # |corpus| × k with k fixed by the operator contract
     "sim_cosine_topk",        # brute-force baseline: bounded query set × corpus
+    "sim_sq8_topk",           # 1-row bounds arrays + bounded query set × codes
     "sim_ivf_topk",           # query × k-centroid table (k=8)
     "sim_ivf_assign_topk",    # same, fixed centroids
     "sim_ivfpq_topk",         # probe stage: query × k-centroid table
