@@ -290,3 +290,68 @@ def test_wav_decode_total_on_garbage(blob):
         _decode_wav(blob)
     except (ValueError, NotImplementedError):
         pass
+
+
+@given(st.integers(8, 128), st.integers(1, 16))
+@settings(max_examples=200, deadline=None)
+def test_segment_layout_partitions_all_bits(bits, nseg):
+    """Segments exactly cover [0, bits), are disjoint and in order,
+    and widths differ by at most one — the preconditions of the
+    pigeonhole-completeness theorem simhash_pairs_rotated relies on."""
+    from kbdatalakeapps_spark.operators.dedup import _segment_layout
+
+    layout = _segment_layout(bits, nseg)
+    assert len(layout) == nseg
+    covered = []
+    for start, width in layout:
+        covered.extend(range(start, start + width))
+    assert covered == list(range(bits))
+    widths = {w for _, w in layout}
+    assert max(widths) - min(widths) <= 1
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=2, max_size=40),
+    st.sampled_from([0, 1, 2, 3, 4, 5, 6]),
+    st.integers(16, 2000),
+)
+@settings(max_examples=150, deadline=None)
+def test_ms_adpcm_decode_matches_spec_simulation(pcm, predictor, idelta):
+    """The MS ADPCM decoder must track an independent spec simulation
+    bit-for-bit for ANY nibble stream — hypothesis drives the
+    encoder's quantizer through clip/adaptation edge cases the fixed
+    sine fixtures miss."""
+    from kbdatalakeapps_spark.operators.audio import _decode_ms_adpcm
+    from .test_audio import _ms_encode_blocks
+
+    nib_bytes = max(1, (len(pcm) - 2 + 1) // 2)
+    block_align = 7 + nib_bytes  # one mono block
+    frames_per_block = 2 + nib_bytes * 2
+    pcm = (pcm + [0] * frames_per_block)[:frames_per_block]
+    blocks, expected = _ms_encode_blocks(
+        [pcm], block_align=block_align, predictor=predictor,
+        idelta0=idelta,
+    )
+    out = _decode_ms_adpcm(blocks, 1, block_align)
+    assert out.tolist() == expected
+
+
+@given(st.lists(st.floats(-2, 2, allow_nan=False), min_size=1,
+                max_size=24))
+@settings(max_examples=200, deadline=None)
+def test_sq8_quantization_error_bound(vals):
+    """Pure-python replay of the SQ8 code/reconstruct expressions:
+    reconstruction error is ≤ half a quantization step per dimension
+    (the bound that makes SQ8 near-lossless for unit-scale data)."""
+    import math
+
+    lo, hi = min(vals), max(vals)
+    for x in vals:
+        if hi == lo:
+            code, xhat = 0, lo
+        else:
+            code = math.floor((x - lo) * 255.0 / (hi - lo) + 0.5)
+            code = max(0, min(255, code))
+            xhat = lo + code * (hi - lo) / 255.0
+        step = (hi - lo) / 255.0
+        assert abs(x - xhat) <= step / 2 + 1e-12
