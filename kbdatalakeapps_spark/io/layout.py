@@ -778,6 +778,7 @@ def optimize_table(
     zorder_cols: list[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     bits: int = 16,
+    curve: str = "zorder",
 ) -> int:
     """Table maintenance in one commit — the OPTIMIZE [ZORDER BY]
     lifecycle verb over a manifest-versioned table: read the current
@@ -790,7 +791,11 @@ def optimize_table(
 
     The rewritten files get fresh manifest stats on commit, so
     ``read_version(predicate=…)`` pruning improves in the same pass
-    that fixes the small-files problem."""
+    that fixes the small-files problem.
+
+    ``curve='hilbert'`` (two cluster columns only) clusters along the
+    Hilbert curve instead of Morton — better bbox locality at
+    non-power-of-4 splits (see ``hilbert_key``)."""
     import math
     import os
 
@@ -808,12 +813,20 @@ def optimize_table(
             total += os.path.getsize(f)
     n_files = max(1, math.ceil(total / target_file_bytes))
     if zorder_cols:
-        z = zorder_value(zorder_cols, bits)
         from pyspark.sql import functions as F
 
+        if curve == "hilbert":
+            if len(zorder_cols) != 2:
+                raise ValueError("curve='hilbert' needs exactly 2 columns")
+            cur = hilbert_key(
+                cur, zorder_cols[0], zorder_cols[1], bits=bits, out_col="_z"
+            )
+        elif curve == "zorder":
+            cur = cur.withColumn("_z", zorder_value(zorder_cols, bits))
+        else:
+            raise ValueError(f"unknown curve {curve!r}")
         cur = (
-            cur.withColumn("_z", z)
-            .repartitionByRange(n_files, F.col("_z"))
+            cur.repartitionByRange(n_files, F.col("_z"))
             .sortWithinPartitions("_z")
             .drop("_z")
         )
@@ -922,3 +935,50 @@ def table_changes(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def vacuum_orphans(
+    table_dir: str, older_than_seconds: float = 24 * 3600
+) -> dict:
+    """Reclaim debris from FAILED commits: data/DV directories that no
+    manifest (any version) references and whose files are older than
+    the grace period — a writer that crashed between writing its files
+    and claiming a version leaves exactly this.  The grace period
+    protects IN-FLIGHT commits (files written, claim moments away):
+    never vacuum with a window shorter than your longest write.
+
+    Complements ``expire_versions`` (which removes files that WERE
+    committed and then superseded); together they are the full VACUUM.
+    Returns {"removed_dirs": [...]}."""
+    import json
+    import os
+    import shutil
+    import time
+
+    mdir = os.path.join(table_dir, "_manifests")
+    referenced: set[str] = set()
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            referenced.update(os.path.dirname(p) for p in m["files"])
+            referenced.update(m.get("deletes", []))
+    cutoff = time.time() - older_than_seconds
+    removed = []
+    for sub in ("data", "_deletes"):
+        root = os.path.join(table_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for d in os.listdir(root):
+            path = os.path.join(root, d)
+            if path in referenced or not os.path.isdir(path):
+                continue
+            newest = max(
+                (os.path.getmtime(os.path.join(path, f))
+                 for f in os.listdir(path)),
+                default=os.path.getmtime(path),
+            )
+            if newest < cutoff:
+                shutil.rmtree(path)
+                removed.append(path)
+    return {"removed_dirs": sorted(removed)}

@@ -1613,3 +1613,42 @@ def test_dml_claim_conflict_raises_and_cleans_up(spark, tmp_path):
     assert ly.read_version(spark, t).count() == 25
     assert ly.delete_where(spark, t, "id < 3")["deleted_rows"] == 3
     assert ly.read_version(spark, t).count() == 22
+
+
+def test_vacuum_orphans_and_hilbert_optimize(spark, tmp_path):
+    import os
+
+    from kbdatalakeapps_spark.io.layout import (
+        optimize_table,
+        read_version,
+        vacuum_orphans,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "votbl")
+    versioned_write(
+        spark.range(0, 64).selectExpr("id % 8 AS x", "id div 8 AS y"), t
+    )
+    # simulate a crashed commit: data files written, no manifest claim
+    orphan = os.path.join(t, "data", "c-deadbeef0000")
+    spark.range(5).write.parquet(orphan)
+    # inside the grace period: protected
+    assert vacuum_orphans(t, older_than_seconds=3600) == {
+        "removed_dirs": []
+    }
+    assert os.path.isdir(orphan)
+    # past the grace period: reclaimed; committed dirs untouched
+    out = vacuum_orphans(t, older_than_seconds=0)
+    assert out["removed_dirs"] == [orphan]
+    assert read_version(spark, t).count() == 64
+    # hilbert-clustered OPTIMIZE commits and stays readable
+    v = optimize_table(
+        spark, t, zorder_cols=["x", "y"], bits=3, curve="hilbert",
+        target_file_bytes=1,
+    )
+    got = read_version(spark, t, version=v)
+    assert got.count() == 64
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly 2"):
+        optimize_table(spark, t, zorder_cols=["x"], curve="hilbert")
