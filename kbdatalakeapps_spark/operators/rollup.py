@@ -220,3 +220,54 @@ def quantile_from_state(state_col: str, q: float):
     )
     idx = F.floor(F.lit(q) * (F.size(vals) - 1)).cast("int") + 1
     return F.element_at(vals, F.greatest(idx, F.lit(1)))
+
+
+def rollup_apply_changes(
+    state: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] = (),
+    minmax_cols: list[str] = (),
+    distinct_cols: list[str] = (),
+) -> DataFrame:
+    """Maintain a rollup from a ``table_changes`` feed instead of
+    rescanning the snapshot: inserted/update_postimage rows merge in
+    as a positive delta, deleted/update_preimage rows RETRACT as a
+    negated one — counts and decimal sums are group-theoretic
+    (subtractable), so the maintained state equals a fresh
+    ``rollup_aggregate`` over the new snapshot exactly (asserted in
+    tests/test_rollup.py).  Groups whose count reaches zero drop out.
+
+    min/max and HLL-distinct state is NOT retractable (no inverse);
+    if the feed contains retractions and those columns are requested,
+    this raises — recompute them from the snapshot (the standard
+    incremental-view-maintenance boundary, not a limitation of the
+    feed)."""
+    pos = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type", "_commit_version")
+    neg = changes.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).drop("_change_type", "_commit_version")
+    has_retractions = neg.limit(1).count() > 0
+    if has_retractions and (list(minmax_cols) or list(distinct_cols)):
+        raise ValueError(
+            "min/max and distinct state cannot be retracted — drop "
+            "those columns or rebuild from the snapshot"
+        )
+    spec = dict(
+        group_cols=group_cols,
+        sum_cols=sum_cols,
+        minmax_cols=minmax_cols,
+        distinct_cols=distinct_cols,
+    )
+    out = rollup_merge(state, rollup_aggregate(pos, **spec), **spec)
+    if has_retractions:
+        retract = rollup_aggregate(neg, **spec).select(
+            *group_cols,
+            (-F.col("n_rows")).alias("n_rows"),
+            *[(-F.col(f"sum_{c}")).cast(_DEC).alias(f"sum_{c}")
+              for c in sum_cols],
+        )
+        out = rollup_merge(out, retract, **spec)
+    return out.filter(F.col("n_rows") > 0)

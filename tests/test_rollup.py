@@ -170,3 +170,67 @@ def test_stream_quantile_rollup_maintenance(spark, tmp_path):
     whole_df = spark.createDataFrame(all_rows, "k long, g string, v double")
     whole = {r.g: r.qs_v for r in rollup_quantile_state(whole_df, ["g"], "v", "k").collect()}
     assert stored == whole
+
+
+def test_rollup_apply_changes_equals_rebuild(spark, tmp_path):
+    """Rollup maintained from the CDF == rollup rebuilt from the new
+    snapshot, through delete + update + append commits; retraction of
+    non-subtractable state raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.layout import (
+        delete_where,
+        table_changes,
+        update_where,
+        versioned_write,
+    )
+    from kbdatalakeapps_spark.operators.rollup import (
+        rollup_aggregate,
+        rollup_apply_changes,
+    )
+
+    t = str(tmp_path / "rtbl")
+    base = spark.range(0, 100).selectExpr(
+        "id % 5 AS grp", "id AS amount"
+    )
+    versioned_write(base, t)  # v1
+    spec = dict(group_cols=["grp"], sum_cols=["amount"])
+    state = rollup_aggregate(base, **spec).localCheckpoint(eager=False)
+
+    delete_where(spark, t, "grp = 2")                       # v2
+    update_where(spark, t, "grp = 3", {"amount": "amount + 7"})  # v3
+    versioned_write(
+        spark.range(100, 120).selectExpr("id % 5 AS grp", "id AS amount"),
+        t,
+    )  # v4
+
+    from kbdatalakeapps_spark.io.layout import read_version
+
+    feed = table_changes(spark, t, from_version=1)
+    maintained = rollup_apply_changes(state, feed, **spec)
+    rebuilt = rollup_aggregate(read_version(spark, t), **spec)
+    m = {r.grp: (r.n_rows, r.sum_amount) for r in maintained.collect()}
+    b = {r.grp: (r.n_rows, r.sum_amount) for r in rebuilt.collect()}
+    assert m == b
+    # with only the delete commit applied, the emptied group drops out
+    thru_v2 = table_changes(spark, t, from_version=1, to_version=2)
+    m2 = {
+        r.grp for r in rollup_apply_changes(state, thru_v2, **spec).collect()
+    }
+    assert m2 == {0, 1, 3, 4}
+
+    with pytest.raises(ValueError, match="cannot be retracted"):
+        rollup_apply_changes(
+            state, feed, group_cols=["grp"], sum_cols=["amount"],
+            minmax_cols=["amount"],
+        )
+    # insert-only feeds may maintain min/max
+    ins_only = feed.filter(F.col("_change_type") == "insert")
+    spec_mm = dict(
+        group_cols=["grp"], sum_cols=["amount"], minmax_cols=["amount"]
+    )
+    state_mm = rollup_aggregate(base, **spec_mm)
+    out = rollup_apply_changes(state_mm, ins_only, **spec_mm)
+    got = {r.grp: r.max_amount for r in out.collect()}
+    assert got[0] == 115  # 115 % 5 == 0, the new max for grp 0
