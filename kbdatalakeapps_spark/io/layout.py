@@ -241,7 +241,13 @@ def _file_column_stats(path: str) -> dict:
                 continue
             name = col.path_in_schema
             mn, mx = st.min, st.max
-            if isinstance(mn, bytes) or isinstance(mx, bytes):
+            # only JSON-native scalar types survive the manifest;
+            # bytes/Decimal/date/etc. are dropped (missing stats just
+            # mean "cannot exclude" at prune time)
+            if not (
+                isinstance(mn, (int, float, str, bool))
+                and isinstance(mx, (int, float, str, bool))
+            ):
                 continue
             nulls = st.null_count if st.null_count is not None else 0
             if name in out:

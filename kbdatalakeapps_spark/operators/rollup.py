@@ -271,3 +271,57 @@ def rollup_apply_changes(
         )
         out = rollup_merge(out, retract, **spec)
     return out.filter(F.col("n_rows") > 0)
+
+
+def sync_rollup_view(
+    spark,
+    source_dir: str,
+    view_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str] = (),
+) -> dict:
+    """Exactly-incremental MATERIALIZED VIEW: bring the rollup table
+    at ``view_dir`` up to date with the versioned source table by
+    applying only the commits since the last sync — never a source
+    rescan.  Composition of the lakehouse pieces: ``table_changes``
+    (the delta), ``rollup_apply_changes`` (exact merge + retraction),
+    ``versioned_write`` (the view's own atomic, time-travelable
+    commit); the synced source version rides in ``_view_state.json``
+    next to the view's manifests.
+
+    count/sum specs only — the retractable subgroup (see
+    rollup_apply_changes).  Idempotent: a sync with no new source
+    commits is a no-op.  Returns {"synced_version", "applied"}."""
+    import json
+    import os
+
+    from ..io.layout import read_version, table_changes, versioned_write
+
+    state_path = os.path.join(view_dir, "_view_state.json")
+    synced = 0
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            synced = json.load(fh)["synced_version"]
+    src_versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(os.path.join(source_dir, "_manifests"))
+        if f.startswith("v") and f.endswith(".json")
+    )
+    latest = src_versions[-1]
+    if latest <= synced:
+        return {"synced_version": synced, "applied": False}
+    spec = dict(group_cols=group_cols, sum_cols=sum_cols)
+    if synced == 0:
+        state = rollup_aggregate(
+            read_version(spark, source_dir, version=latest).limit(0), **spec
+        )
+    else:
+        state = read_version(spark, view_dir)
+    changes = table_changes(spark, source_dir, synced, latest)
+    updated = rollup_apply_changes(state, changes, **spec)
+    versioned_write(updated, view_dir, mode="overwrite")
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"synced_version": latest}, fh)
+    os.replace(tmp, state_path)
+    return {"synced_version": latest, "applied": True}

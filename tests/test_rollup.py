@@ -234,3 +234,57 @@ def test_rollup_apply_changes_equals_rebuild(spark, tmp_path):
     out = rollup_apply_changes(state_mm, ins_only, **spec_mm)
     got = {r.grp: r.max_amount for r in out.collect()}
     assert got[0] == 115  # 115 % 5 == 0, the new max for grp 0
+
+
+def test_sync_rollup_view_incremental_equals_rebuild(spark, tmp_path):
+    """Materialized-view capstone: the view table, maintained purely
+    from commit deltas across two syncs, equals a from-scratch rollup
+    of the source at every point; the view itself is versioned
+    (time-travelable) and the sync is idempotent."""
+    from kbdatalakeapps_spark.io.layout import (
+        delete_where,
+        read_version,
+        update_where,
+        versioned_write,
+    )
+    from kbdatalakeapps_spark.operators.rollup import (
+        rollup_aggregate,
+        sync_rollup_view,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    spec = dict(group_cols=["grp"], sum_cols=["amount"])
+
+    versioned_write(
+        spark.range(0, 60).selectExpr("id % 3 AS grp", "id AS amount"), src
+    )
+    r = sync_rollup_view(spark, src, view, **spec)
+    assert r == {"synced_version": 1, "applied": True}
+
+    def as_dict(df):
+        return {x.grp: (x.n_rows, x.sum_amount) for x in df.collect()}
+
+    assert as_dict(read_version(spark, view)) == as_dict(
+        rollup_aggregate(read_version(spark, src), **spec)
+    )
+    # no new commits → no-op
+    assert sync_rollup_view(spark, src, view, **spec)["applied"] is False
+
+    delete_where(spark, src, "grp = 1")
+    update_where(spark, src, "grp = 2", {"amount": "amount + 1000"})
+    versioned_write(
+        spark.range(60, 90).selectExpr("id % 3 AS grp", "id AS amount"),
+        src,
+    )
+    r = sync_rollup_view(spark, src, view, **spec)
+    assert r["applied"] and r["synced_version"] == 4
+    assert as_dict(read_version(spark, view)) == as_dict(
+        rollup_aggregate(read_version(spark, src), **spec)
+    )
+    # the view's own history: version 1 still shows the first sync
+    assert as_dict(read_version(spark, view, version=1)) == {
+        0: (20, sum(i for i in range(60) if i % 3 == 0)),
+        1: (20, sum(i for i in range(60) if i % 3 == 1)),
+        2: (20, sum(i for i in range(60) if i % 3 == 2)),
+    }
