@@ -44,14 +44,16 @@ def _walk_riff(d: bytes, pos: int, end: int):
         pos = body + size + (size & 1)
 
 
-def _decode_avi_mjpeg(content: bytes):
-    """Parse an AVI container and return
-    ``(frames: list[bytes], us_per_frame: int, width, height)`` where
-    each frame is the raw JPEG payload of a ``..dc`` chunk, in stream
-    order.  Real parser: walks RIFF lists, reads ``avih`` for frame
-    timing, collects compressed-video chunks from ``movi``.  Returns
-    None for None/empty; raises ValueError on a malformed container
-    and NotImplementedError when the video stream is not MJPEG."""
+def _decode_avi(content: bytes):
+    """Parse an AVI container and return ``(frames: list[bytes],
+    us_per_frame: int, width, height, codec: str, bit_count: int)``
+    where each frame is one ``..dc``/``..db`` chunk payload in stream
+    order and ``codec`` ∈ {'mjpeg', 'dib'}.  Real parser: walks RIFF
+    lists, reads ``avih`` for timing/geometry, the vids ``strh`` for
+    the handler, the vids ``strf`` (BITMAPINFOHEADER) for bit depth +
+    compression.  Returns None for None/empty; raises ValueError on a
+    malformed container and NotImplementedError on codecs that
+    genuinely need a library (H.264/VP9/…)."""
     if content is None or len(content) == 0:
         return None
     d = bytes(content)
@@ -60,10 +62,15 @@ def _decode_avi_mjpeg(content: bytes):
     us_per_frame = None
     width = height = None
     handler = None
+    bit_count = 24
+    compression = None
+    strf_height = None
+    in_vids = False
     frames: list[bytes] = []
 
     def walk_list(start: int, end: int) -> None:
-        nonlocal us_per_frame, width, height, handler
+        nonlocal us_per_frame, width, height, handler, bit_count
+        nonlocal compression, in_vids, strf_height
         for cid, ltype, bstart, bend in _walk_riff(d, start, end):
             if cid == b"LIST":
                 walk_list(bstart, bend)
@@ -72,20 +79,90 @@ def _decode_avi_mjpeg(content: bytes):
                 width = struct.unpack_from("<I", d, bstart + 32)[0]
                 height = struct.unpack_from("<I", d, bstart + 36)[0]
             elif cid == b"strh":
-                if d[bstart : bstart + 4] == b"vids":
+                in_vids = d[bstart : bstart + 4] == b"vids"
+                if in_vids:
                     handler = d[bstart + 4 : bstart + 8]
-            elif cid[2:4] == b"dc":  # compressed video frame (e.g. 00dc)
+            elif cid == b"strf" and in_vids:
+                # BITMAPINFOHEADER: biHeight @8 (SIGNED — negative =
+                # top-down), biBitCount @14, biCompression @16
+                strf_height = struct.unpack_from("<i", d, bstart + 8)[0]
+                bit_count = struct.unpack_from("<H", d, bstart + 14)[0]
+                compression = d[bstart + 16 : bstart + 20]
+            elif cid[2:4] in (b"dc", b"db"):  # video frame chunk
                 frames.append(d[bstart:bend])
 
     walk_list(12, len(d))
     if us_per_frame is None:
         raise ValueError("AVI missing avih main header")
-    if handler is not None and handler.upper() not in (b"MJPG", b"JPEG"):
+    hu = (handler or b"").upper()
+    cu = (compression or b"").upper()
+    blank_handler = handler is None or not hu.strip(b"\x00 ")
+    if hu in (b"MJPG", b"JPEG"):
+        codec = "mjpeg"
+    elif hu in (b"DIB ", b"RGB "):
+        codec = "dib"
+    elif blank_handler:
+        # handler absent/blank: strf biCompression decides (the
+        # authoritative field when present); bare fixtures with
+        # neither default to MJPEG (back-compat)
+        if cu == b"MJPG" or compression is None:
+            codec = "mjpeg"
+        elif compression == b"\x00\x00\x00\x00":
+            codec = "dib"
+        else:
+            raise NotImplementedError(
+                f"AVI biCompression {compression!r} needs a codec "
+                "library; MJPEG and uncompressed DIB decode in-container"
+            )
+    else:
         raise NotImplementedError(
-            f"AVI video handler {handler!r} needs a codec library; only "
-            "MJPEG decodes in-container"
+            f"AVI video handler {handler!r} needs a codec library; "
+            "MJPEG and uncompressed DIB decode in-container"
         )
-    return frames, int(us_per_frame), width, height
+    if codec == "dib" and strf_height is not None:
+        height = strf_height  # signed: negative = top-down rows
+    return frames, int(us_per_frame), width, height, codec, bit_count
+
+
+def _decode_avi_mjpeg(content: bytes):
+    """Back-compat wrapper: the MJPEG-only view of :func:`_decode_avi`
+    — ``(frames, us_per_frame, width, height)``, raising on any other
+    codec (uncompressed DIB included: callers of this wrapper expect
+    JPEG payloads)."""
+    decoded = _decode_avi(content)
+    if decoded is None:
+        return None
+    frames, uspf, w, h, codec, _bits = decoded
+    if codec != "mjpeg":
+        raise NotImplementedError(f"AVI stream is {codec}, not MJPEG")
+    return frames, uspf, w, h
+
+
+def _decode_dib_frame(payload: bytes, width: int, height: int, bits: int):
+    """One uncompressed BI_RGB frame → (array (h, w, ch) uint8, w, h).
+    DIB rows are DWORD-aligned and BOTTOM-UP (negative height =
+    top-down); 24-bit rows are BGR (flipped to RGB), 8-bit is gray."""
+    import numpy as np
+
+    if bits not in (8, 24):
+        raise NotImplementedError(f"DIB bit depth {bits}")
+    ch = bits // 8
+    top_down = height < 0
+    hh = abs(height)
+    stride = (width * ch + 3) & ~3
+    if len(payload) < stride * hh:
+        raise ValueError("DIB frame payload shorter than geometry")
+    rows = [
+        np.frombuffer(payload, np.uint8, count=width * ch, offset=r * stride)
+        .reshape(width, ch)
+        for r in range(hh)
+    ]
+    arr = np.stack(rows)
+    if not top_down:
+        arr = arr[::-1]
+    if ch == 3:
+        arr = arr[:, :, ::-1]  # BGR → RGB
+    return np.ascontiguousarray(arr), width, hh
 
 
 VIDEO_FRAME_SCHEMA = T.StructType(
@@ -123,15 +200,18 @@ def sample_frames_decoded(
         for pdf in it:
             out = {n.name: [] for n in VIDEO_FRAME_SCHEMA.fields}
             for mid, c in zip(pdf[id_col], pdf[content_col]):
-                decoded = _decode_avi_mjpeg(c)
+                decoded = _decode_avi(c)
                 if decoded is None:
                     continue
-                frames, uspf, _, _ = decoded
+                frames, uspf, aw, ah, codec, bits = decoded
                 if not frames or uspf == 0:
                     continue
                 step = max(1, round(every_ms * 1000 / uspf))
                 for idx in range(0, len(frames), step):
-                    img = _decode_jpeg(frames[idx])
+                    if codec == "mjpeg":
+                        img = _decode_jpeg(frames[idx])
+                    else:
+                        img = _decode_dib_frame(frames[idx], aw, ah, bits)
                     if img is None:
                         continue
                     arr, w, h = img
@@ -185,5 +265,54 @@ def mjpeg_avi_bytes(
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
     movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def dib_avi_bytes(
+    frames, fps: int = 10, top_down: bool = False
+) -> bytes:
+    """Assemble an uncompressed (BI_RGB) AVI from numpy uint8 arrays
+    of shape (h, w, 3) RGB or (h, w, 1) gray — the writer half for
+    the DIB decode path (tests / fixture synthesis).  Handles DWORD
+    row alignment and bottom-up row order (the DIB default)."""
+    import numpy as np
+
+    h, w, ch = frames[0].shape
+    bits = ch * 8
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    def encode(arr) -> bytes:
+        a = arr[:, :, ::-1] if ch == 3 else arr  # RGB → BGR
+        rows = a if top_down else a[::-1]
+        stride = (w * ch + 3) & ~3
+        pad = b"\x00" * (stride - w * ch)
+        return b"".join(
+            np.ascontiguousarray(r).tobytes() + pad for r in rows
+        )
+
+    uspf = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", uspf, 0, 0, 0x10, len(frames), 0, 1, 0, w,
+        h if not top_down else (h & 0xFFFFFFFF), 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0, 0
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, -h if top_down else h, 1, bits,
+        b"\x00\x00\x00\x00", ((w * ch + 3) & ~3) * h, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", encode(f)) for f in frames))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
