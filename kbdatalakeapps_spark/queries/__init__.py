@@ -153,4 +153,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "sim_sq8_topk",
     "dd_simhash_rotated",
     "mm_exif_metadata",
+    "mm_video_dib_frames",
 ]

@@ -1490,3 +1490,48 @@ def mm_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return exif_metadata(d)
+
+
+# ---------------------------------------------------------------------------
+# mm_video_dib_frames: the uncompressed-DIB AVI path under a FULL
+# hash oracle.  Each document carries a constant DIB container (4×4
+# 8-bit gray, one frame — hex prefix generated once from
+# video.dib_avi_bytes) whose pixel payload is the FIRST 16 HEX CHARS
+# of md5(text) as ASCII bytes, laid out in the container's bottom-up
+# row order.  The decoder must undo the row order exactly, so
+# frame_sha256 == sha256 of those 16 characters — which DuckDB's
+# VARCHAR sha256 can state directly.  (ASCII pixels because DuckDB
+# sha256 hashes strings, not blobs.)
+# ---------------------------------------------------------------------------
+
+_DIB_PRE = "52494646EC000000415649204C495354BC0000006864726C617669683800000040420F00000000000000000010000000010000000000000001000000000000000400000004000000000000000000000000000000000000004C495354700000007374726C737472683400000076696473444942200000000000000000000000000100000001000000000000000100000000000000FFFFFFFF00000000000000007374726628000000280000000400000004000000010008000000000010000000000000000000000000000000000000004C4953541C0000006D6F76693030646210000000"
+
+
+@query(
+    "mm_video_dib_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(0 AS BIGINT) AS frame_ts_ms,
+           CAST(4 AS INT) AS frame_width,
+           CAST(4 AS INT) AS frame_height,
+           sha256(substr(md5(text), 1, 16)) AS frame_sha256
+    FROM documents
+    """,
+)
+def mm_video_dib_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.video import sample_frames_decoded
+
+    h = F.md5("text")
+    # bottom-up rows of 4 ASCII hex chars each (rows 4,3,2,1)
+    payload = F.concat(
+        F.substring(h, 13, 4), F.substring(h, 9, 4),
+        F.substring(h, 5, 4), F.substring(h, 1, 4),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.concat(F.lit(_DIB_PRE), F.hex(payload))).alias("content"),
+    )
+    return sample_frames_decoded(d, every_ms=1000).select(
+        "media_id", "frame_ts_ms", "frame_width", "frame_height",
+        "frame_sha256",
+    )
