@@ -131,6 +131,8 @@ def versioned_write(
     import time
     import uuid
 
+    if mode not in ("append", "overwrite", "optimize"):
+        raise ValueError(f"unknown mode {mode!r}")
     mdir = os.path.join(table_dir, "_manifests")
     os.makedirs(mdir, exist_ok=True)
     data_dir = os.path.join(table_dir, "data", f"c-{uuid.uuid4().hex[:12]}")
@@ -838,7 +840,10 @@ def optimize_table(
         )
     else:
         cur = cur.repartition(n_files)
-    return versioned_write(cur, table_dir, mode="overwrite")
+    # 'optimize' = overwrite file semantics, but the op stamp tells
+    # change-feed consumers the data is LOGICALLY unchanged — a 100 TB
+    # compaction must not emit 2×100 TB of spurious delete+insert rows
+    return versioned_write(cur, table_dir, mode="optimize")
 
 
 def table_changes(
@@ -899,6 +904,10 @@ def table_changes(
             continue
         m = _load(v)
         op = m.get("op")
+        if op == "optimize":
+            # layout-only rewrite: logically a no-op for the feed
+            prev = m
+            continue
         ins_type = "update_postimage" if op == "update" else "insert"
         del_type = "update_preimage" if op == "update" else "delete"
         reader = _pinned_reader(spark, m)

@@ -113,6 +113,9 @@ def change_rows(table_dir: str, from_v: int, to_v: int, names: list[str]):
             continue
         m = _manifest(table_dir, v)
         op = m.get("op")
+        if op == "optimize":  # layout-only rewrite: no logical change
+            prev = m
+            continue
         ins_type = "update_postimage" if op == "update" else "insert"
         del_type = "update_preimage" if op == "update" else "delete"
         for path in sorted(set(m["files"]) - set(prev["files"])):

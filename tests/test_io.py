@@ -1652,3 +1652,28 @@ def test_vacuum_orphans_and_hilbert_optimize(spark, tmp_path):
 
     with pytest.raises(ValueError, match="exactly 2"):
         optimize_table(spark, t, zorder_cols=["x"], curve="hilbert")
+
+
+def test_optimize_is_a_change_feed_noop(spark, tmp_path):
+    """OPTIMIZE rewrites layout, not data: the change feed must skip
+    it entirely — at 100 TB a compaction emitting 2× the table as
+    spurious delete+insert rows would be a scale bug."""
+    from kbdatalakeapps_spark.io.layout import (
+        optimize_table,
+        table_changes,
+        versioned_write,
+    )
+    from kbdatalakeapps_spark.io.tablestream import change_rows
+
+    t = str(tmp_path / "otbl")
+    versioned_write(spark.range(0, 30).toDF("id"), t)          # v1
+    optimize_table(spark, t)                                   # v2
+    versioned_write(spark.range(30, 33).toDF("id"), t)         # v3
+
+    feed = table_changes(spark, t, from_version=1)
+    rows = feed.collect()
+    assert {r._commit_version for r in rows} == {3}
+    assert sorted(r.id for r in rows) == [30, 31, 32]
+    # the pyarrow stream reader agrees
+    got = sorted(change_rows(t, 1, 3, ["id"]))
+    assert got == [(i, "insert", 3) for i in (30, 31, 32)]
