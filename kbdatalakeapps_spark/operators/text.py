@@ -860,3 +860,42 @@ def rake_keywords(
             F.round(F.col("score_fp").cast("double") / 1e12, 6).alias("score"),
         )
     )
+
+
+#: (name, literal-character-class) — LITERAL ranges, not \u escapes:
+#: both Spark and DuckDB regex engines treat the literal form
+#: identically (probed; the escape form parses differently in DuckDB).
+SCRIPT_CLASSES = [
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("cjk", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+    ("hangul", "[가-힣]"),
+    ("devanagari", "[ऀ-ॿ]"),
+]
+
+
+def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode SCRIPT histogram + dominant script — the
+    multilingual-curation signal the stopword language-ID
+    (:func:`language_id`) cannot give for non-Latin text: routing,
+    per-script quality thresholds, and mixed-script spam detection
+    (e.g. Cyrillic lookalikes inside Latin words) all key off it.
+
+    One narrow projection: each script's count is
+    ``length(s) − length(regexp_replace(s, class, ''))`` over literal
+    code-point ranges (engine-portable, no per-char explode);
+    ``dominant_script`` breaks ties by the fixed SCRIPT_CLASSES order.
+    All-integer output, so the whole operator hash-matches SQL."""
+    c = F.col(text_col)
+    counts = {
+        name: (F.length(c) - F.length(F.regexp_replace(c, pat, "")))
+        .cast("long").alias(f"n_{name}")
+        for name, pat in SCRIPT_CLASSES
+    }
+    out = df.select("*", *counts.values())
+    mx = F.greatest(*[F.col(f"n_{n}") for n, _ in SCRIPT_CLASSES])
+    dom = F.when(mx == 0, F.lit("none"))
+    for name, _ in SCRIPT_CLASSES:
+        dom = dom.when(F.col(f"n_{name}") == mx, F.lit(name))
+    return out.withColumn("dominant_script", dom)

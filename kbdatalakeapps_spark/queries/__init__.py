@@ -154,4 +154,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "dd_simhash_rotated",
     "mm_exif_metadata",
     "mm_video_dib_frames",
+    "tx_script_mix",
 ]

@@ -1357,3 +1357,53 @@ def sp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(5000)
     )
+
+
+def _script_mix_sql() -> str:
+    from ..operators.text import SCRIPT_CLASSES
+
+    counts = ", ".join(
+        f"CAST(length(s) - length(regexp_replace(s, '{pat}', '', 'g')) "
+        f"AS BIGINT) AS n_{name}"
+        for name, pat in SCRIPT_CLASSES
+    )
+    mx = "GREATEST(" + ", ".join(f"n_{n}" for n, _ in SCRIPT_CLASSES) + ")"
+    dom = "CASE WHEN " + mx + " = 0 THEN 'none' " + " ".join(
+        f"WHEN n_{name} = {mx} THEN '{name}'" for name, _ in SCRIPT_CLASSES
+    ) + " END"
+    return f"""
+    WITH mixed AS (
+        SELECT doc_id,
+               text || CASE doc_id % 4
+                   WHEN 0 THEN ' Привет мир'
+                   WHEN 1 THEN ' 你好世界'
+                   WHEN 2 THEN ' مرحبا 안녕'
+                   ELSE '' END AS s
+        FROM documents
+    ),
+    counted AS (SELECT doc_id, {counts} FROM mixed)
+    SELECT *, {dom} AS dominant_script FROM counted
+    """
+
+
+@query("tx_script_mix", oracle=_script_mix_sql())
+def tx_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script histogram + dominant script
+    (text.py::script_mix).  The synthetic corpus is all-Latin, so a
+    deterministic multilingual suffix (doc_id % 4: Cyrillic / CJK /
+    Arabic+Hangul / none) is appended in BOTH forms — the counts must
+    recover real non-Latin characters, not vacuously match zero (the
+    dd_embedding_neardup planted-dups lesson)."""
+    from ..operators.text import script_mix
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" Привет мир"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" 你好世界"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" مرحبا 안녕"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_mix(d).drop("text")

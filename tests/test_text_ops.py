@@ -252,3 +252,29 @@ def test_rake_keywords_matches_reference():
     assert all(
         w not in stop for _, p, _, _ in got for w in p.split()
     )
+
+
+def test_script_mix_counts_and_dominance(spark):
+    from kbdatalakeapps_spark.operators.text import script_mix
+
+    rows = [
+        (1, "Hello world"),
+        (2, "Привет мир hi"),
+        (3, "你好世界 ok"),
+        (4, "مرحبا بالعالم"),
+        (5, "안녕하세요"),
+        (6, "नमस्ते"),
+        (7, "12345 !!"),
+        (8, "ab АБ"),  # tie: latin wins by fixed order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in script_mix(df).collect()}
+    assert got[1].n_latin == 10 and got[1].dominant_script == "latin"
+    assert got[2].n_cyrillic == 9 and got[2].dominant_script == "cyrillic"
+    assert got[3].n_cjk == 4 and got[3].dominant_script == "cjk"
+    assert got[4].dominant_script == "arabic"
+    assert got[5].n_hangul == 5 and got[5].dominant_script == "hangul"
+    assert got[6].dominant_script == "devanagari"
+    assert got[7].dominant_script == "none"
+    assert got[8].n_latin == 2 and got[8].n_cyrillic == 2
+    assert got[8].dominant_script == "latin"
