@@ -318,10 +318,19 @@ def sync_rollup_view(
     else:
         state = read_version(spark, view_dir)
     changes = table_changes(spark, source_dir, synced, latest)
+    changes = changes.localCheckpoint(eager=False)
+
+    def _record(applied: bool) -> dict:
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"synced_version": latest}, fh)
+        os.replace(tmp, state_path)
+        return {"synced_version": latest, "applied": applied}
+
+    # layout-only source commits (OPTIMIZE) yield an empty feed: move
+    # the cursor without churning a new view version
+    if changes.limit(1).count() == 0:
+        return _record(False)
     updated = rollup_apply_changes(state, changes, **spec)
     versioned_write(updated, view_dir, mode="overwrite")
-    tmp = state_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"synced_version": latest}, fh)
-    os.replace(tmp, state_path)
-    return {"synced_version": latest, "applied": True}
+    return _record(True)

@@ -288,3 +288,32 @@ def test_sync_rollup_view_incremental_equals_rebuild(spark, tmp_path):
         1: (20, sum(i for i in range(60) if i % 3 == 1)),
         2: (20, sum(i for i in range(60) if i % 3 == 2)),
     }
+
+
+def test_sync_rollup_view_skips_source_optimize(spark, tmp_path):
+    """A source OPTIMIZE advances the sync cursor but must not churn
+    a new view version (the feed is empty by the CDF-noop rule)."""
+    import os
+
+    from kbdatalakeapps_spark.io.layout import (
+        optimize_table,
+        versioned_write,
+    )
+    from kbdatalakeapps_spark.operators.rollup import sync_rollup_view
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    spec = dict(group_cols=["grp"], sum_cols=["amount"])
+    versioned_write(
+        spark.range(0, 30).selectExpr("id % 2 AS grp", "id AS amount"), src
+    )
+    sync_rollup_view(spark, src, view, **spec)
+    optimize_table(spark, src)  # v2: layout only
+    r = sync_rollup_view(spark, src, view, **spec)
+    assert r == {"synced_version": 2, "applied": False}
+    assert sorted(os.listdir(os.path.join(view, "_manifests"))) == ["v1.json"]
+    # and a later real commit still applies
+    versioned_write(
+        spark.range(30, 40).selectExpr("id % 2 AS grp", "id AS amount"), src
+    )
+    assert sync_rollup_view(spark, src, view, **spec)["applied"] is True
