@@ -26,6 +26,7 @@ one projection over the candidate table.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -144,3 +145,66 @@ def blocking_metrics(
             ),
         ).alias("pairs_completeness"),
     )
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Reference Jaro-Winkler pinned to DuckDB's conventions (parity
+    asserted 100+ pairs in tests/test_linkage_ops.py): either string
+    empty → 0.0 (even both-empty), Winkler boost only when
+    jaro > 0.7, prefix capped at 4, p = 0.1."""
+    n1, n2 = len(s1), len(s2)
+    if not n1 or not n2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    match_dist = max(n1, n2) // 2 - 1
+    f1 = [False] * n1
+    f2 = [False] * n2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - match_dist), min(n2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s2[j] == c:
+                f1[i] = f2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / n1 + m / n2 + (m - t) / m) / 3
+    if j > 0.7:
+        pre = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pre += 1
+        j += pre * 0.1 * (1 - j)
+    return j
+
+
+def jaro_winkler(col_a: str, col_b: str, out: str = "jw"):
+    """Arrow-batched Jaro-Winkler column (pandas_udf) — the
+    typo-tolerant name comparator record linkage wants where edit
+    distance over-penalizes transpositions.  Emit through
+    ``F.round(..., 6)`` when a cross-engine oracle consumes it (the
+    kernel matches DuckDB's native jaro_winkler_similarity to ≥6
+    digits — empirically gated per query)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if x is None or y is None else _jaro_winkler_py(x, y)
+            for x, y in zip(a, b)
+        ])
+
+    return _jw(F.col(col_a), F.col(col_b)).alias(out)

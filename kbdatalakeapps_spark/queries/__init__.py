@@ -155,4 +155,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "mm_exif_metadata",
     "mm_video_dib_frames",
     "tx_script_mix",
+    "er_jaro_winkler",
 ]

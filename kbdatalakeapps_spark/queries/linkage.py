@@ -194,3 +194,55 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a, b = _derive_systems(spark, sf_dir)
     return blocking_metrics(a, b, ["nation"], "a_ent", "b_ent")
+
+
+@query(
+    "er_jaro_winkler",
+    oracle="""
+    WITH t AS (
+        SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        FROM t a JOIN t b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    )
+    SELECT id_a, id_b, jw FROM pairs
+    WHERE jw >= 0.93
+    ORDER BY id_a, id_b LIMIT 5000
+    """,
+)
+def er_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant name matching: first-token equi-join blocking
+    (never all-pairs) + Arrow-batched Jaro-Winkler
+    (operators/linkage.py::jaro_winkler), thresholded at 0.93.  The
+    kernel is pinned to DuckDB's conventions and the oracle consumes
+    the native jaro_winkler_similarity — two independent
+    implementations agreeing to 6 digits under the hash gate."""
+    from ..operators.linkage import jaro_winkler
+
+    t = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("id_a"),
+        F.col("b.p_partkey").alias("id_b"),
+        F.col("a.p_name").alias("_na"),
+        F.col("b.p_name").alias("_nb"),
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(jaro_winkler("_na", "_nb"), 6).alias("jw"),
+        )
+        .filter(F.col("jw") >= 0.93)
+        .orderBy("id_a", "id_b")
+        .limit(5000)
+    )

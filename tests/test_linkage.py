@@ -1,0 +1,41 @@
+
+
+def test_jaro_winkler_kernel_matches_duckdb():
+    """The pinned-convention kernel vs DuckDB's native
+    jaro_winkler_similarity: 6-digit agreement across a vocabulary
+    that exercises transpositions, prefixes, containment, and the
+    empty-string convention (either empty → 0.0, even both)."""
+    import itertools
+
+    import duckdb
+
+    from kbdatalakeapps_spark.operators.linkage import _jaro_winkler_py
+
+    words = [
+        "almond antique blue royal", "almond antique burnished",
+        "blue royal navy", "martha", "marhta", "dwayne", "duane",
+        "", "a", "ab", "abc", "abcd", "dcba",
+        "chocolate lace forest", "chocolate lace frost",
+        "forest chocolate", "xxxx", "xxyx",
+    ]
+    con = duckdb.connect()
+    pairs = list(itertools.combinations(words, 2)) + [(w, w) for w in words]
+    for a, b in pairs:
+        d = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert round(d, 6) == round(_jaro_winkler_py(a, b), 6), (a, b)
+
+
+def test_jaro_winkler_column_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.linkage import jaro_winkler
+
+    df = spark.createDataFrame(
+        [("martha", "marhta"), ("x", None), (None, None)],
+        "a string, b string",
+    )
+    got = df.select(F.round(jaro_winkler("a", "b"), 4).alias("jw")).collect()
+    assert got[0].jw == 0.9611
+    assert got[1].jw is None and got[2].jw is None
