@@ -676,3 +676,59 @@ def kcore_peel(
         )
         alive = mat(deg.filter(F.col("degree") >= k).select("id"))
     return deg.withColumn("in_core", F.col("degree") >= k)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    LPA) with a DETERMINISTIC update: each round every node adopts the
+    most frequent label among its neighbours, ties broken by the
+    smallest label — so a FIXED round count unrolls to plain SQL
+    (per-round: a count CTE + a row_number pick) and the community
+    assignment hash-gates exactly, the pagerank/kcore idiom.  The
+    usual async/randomized LPA is partition-order-sensitive and
+    cannot carry a cross-engine oracle.
+
+    ``edges`` is the directed-symmetric convention (both (u,v) and
+    (v,u) present), so "neighbours" is one join on ``src``.  Labels
+    initialise to the node id.  Returns (id, label) after ``rounds``
+    synchronous updates.
+
+    Scale posture: per round one co-partitioned hash join of the edge
+    list against the |nodes|-row label table, one map-side-combinable
+    (node, label) count, and one argmax-by-max(struct) groupBy — no
+    per-node window over the data-sized table, no collect.  Label
+    state is materialized per round (lazy localCheckpoint, or a
+    reliable ``checkpoint_dir=`` for preemptible clusters).
+    """
+    mat = materializer(checkpoint_dir)
+    e = mat(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    labels = mat(
+        e.select(F.col("src").alias("id")).distinct().select(
+            "id", F.col("id").alias("label")
+        )
+    )
+    for _ in range(rounds):
+        nbr = e.join(
+            labels.select(F.col("id").alias("dst"), "label").hint(
+                "shuffle_hash"
+            ),
+            "dst",
+        ).select(F.col("src").alias("id"), "label")
+        cnt = nbr.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # argmax (count desc, label asc) as one max(struct) agg:
+        # (c, -label) orders identically and the groupBy combines
+        # map-side — cheaper than a per-node window (W1 idiom)
+        labels = mat(
+            cnt.groupBy("id")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("id", (-F.col("m.nl")).alias("label"))
+        )
+    return labels

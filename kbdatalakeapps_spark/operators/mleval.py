@@ -372,3 +372,65 @@ def ndcg_at_k(
             ),
         ),
     )
+
+
+def lift_gains(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    lo: float = 0.0,
+    width: float = 25.0,
+) -> DataFrame:
+    """Cumulative gains / lift table over fixed-width score bands —
+    the campaign-targeting companion to the ROC/PR curves: "scoring
+    the top X% of traffic captures Y% of positives at Z× lift".
+
+    Exact and hash-portable: one grouped pass bins the corpus
+    (``floor((score-lo)/width)``), then cumulative sums and the lift
+    ratio run over the ≤|bins| band table — the bounded-frame global
+    window the a29/equidepth family documents, never a window over
+    the data.  Lift and gain are int64 fixed point (×1e6, `div`
+    truncation), the RRF idiom, so shuffle order can't wiggle float
+    last-bits.  Returns one row per non-empty band, highest scores
+    first: (band, lo_edge, n, pos, cum_n, cum_pos, gain_fp, lift_fp).
+    """
+    from pyspark.sql.window import Window
+
+    b = (
+        scored.select(
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width))
+            .cast("bigint")
+            .alias("band"),
+            F.col(label_col).cast("bigint").alias("label"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("total_n"),
+        F.sum("pos").cast("bigint").alias("total_pos"),
+    )
+    return (
+        b.withColumn("cum_n", F.sum("n").over(w).cast("bigint"))
+        .withColumn("cum_pos", F.sum("pos").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            (F.lit(lo) + F.col("band") * F.lit(width)).alias("lo_edge"),
+            "n",
+            "pos",
+            "cum_n",
+            "cum_pos",
+            F.expr("(cum_pos * 1000000) div total_pos").alias("gain_fp"),
+            F.expr(
+                "(cum_pos * total_n * 1000000) div (cum_n * total_pos)"
+            ).alias("lift_fp"),
+        )
+        .orderBy(F.col("band").desc())
+    )

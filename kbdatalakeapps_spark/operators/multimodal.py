@@ -758,8 +758,10 @@ def resize_images(
     RAW bitmaps (``meta.mime`` starting ``image/raw``) resize for real
     — numpy nearest-neighbor resampling using ``meta.width/height``.
     ``image/png`` (:func:`_decode_png` — 8-bit gray/RGB/RGBA, stdlib
-    zlib) and ``image/jpeg`` (:func:`_decode_jpeg` — baseline huffman +
-    IDCT, any integer subsampling) decode for real too, pure python.
+    zlib), ``image/jpeg`` (:func:`_decode_jpeg` — baseline huffman +
+    IDCT, any integer subsampling) and ``image/gif``
+    (:func:`_decode_gif` — LZW, first composited frame) decode for
+    real too, pure python.
     Video mimes raise NotImplementedError: no ffmpeg in this container;
     plugging a codec in changes only the per-row decode call, not the
     plan or batch shape."""
@@ -786,9 +788,19 @@ def resize_images(
                 pdf[content_col], pdf["_mime"], pdf["_w"], pdf["_h"]
             ):
                 mime_s = None if mime is None else str(mime)
-                if mime_s in ("image/png", "image/jpeg"):
-                    decode = _decode_png if mime_s == "image/png" else _decode_jpeg
-                    decoded = decode(c)
+                if mime_s in ("image/png", "image/jpeg", "image/gif"):
+                    if mime_s == "image/png":
+                        decoded = _decode_png(c)
+                    elif mime_s == "image/jpeg":
+                        decoded = _decode_jpeg(c)
+                    else:
+                        g = _decode_gif(c)
+                        # static view: first composited frame
+                        decoded = (
+                            None
+                            if g is None or not g[0]
+                            else (g[0][0][1], g[1], g[2])
+                        )
                     resized.append(
                         None
                         if decoded is None
@@ -1263,3 +1275,274 @@ def exif_metadata(
 
     out = df.select(id_col, content_col).mapInPandas(batches, EXIF_SCHEMA)
     return out
+
+
+# --- GIF (GIF87a/89a, LZW) pure-python decode ------------------------------
+# Same contract as _decode_png/_decode_jpeg: REAL decode of a dominant
+# web image/animation format with stdlib only.  LZW here is the GIF
+# variant: LSB-first bit packing, variable code width 3..12, clear +
+# end-of-information codes, deferred-clear tolerated.  Reference
+# parity: codec kernels are engine extension (the reference ships no
+# decoders); the Spark-side plumbing mirrors resize_images /
+# sample_frames_decoded.
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytearray:
+    """GIF-variant LZW: decode the concatenated image sub-block bytes
+    to the pixel-index stream."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    # dict as list of bytes; codes 0..clear-1 are roots
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            # width grows when the NEXT code could address the next
+            # dict slot; at 4096 the table freezes (deferred clear)
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW encoder (fixture writer + roundtrip tests):
+    emits an initial clear code, grows code width exactly when the
+    decoder does, clears when the table fills."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if nxt < 4096:
+            table[wk] = nxt
+            nxt += 1
+            if nxt > (1 << width) and width < 12:
+                width += 1
+        else:
+            # table full: clear (we never rely on deferred-clear
+            # output, but the decoder tolerates it)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = eoi + 1
+            width = min_code + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_deinterlace(rows, h: int):
+    order = [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+    out = [None] * h
+    for src, y in enumerate(order):
+        out[y] = rows[src]
+    return out
+
+
+def _decode_gif(content: bytes):
+    """Decode a GIF87a/89a byte string → ``(frames, width, height)``
+    where frames is ``[(ts_ms, ndarray h×w×3 uint8), ...]`` — the full
+    composited canvas after each image, stamped with its cumulative
+    start time from the GCE delays.  Returns None for non-GIF bytes;
+    raises NotImplementedError only for disposal method 3 (restore to
+    previous — needs a frame stack no curation consumer asks for).
+    Supports global+local color tables, interlace, transparency, and
+    disposal 0/1 (keep) and 2 (restore to background)."""
+    import struct
+
+    import numpy as np
+
+    if content is None or content[:6] not in _GIF_SIGS:
+        return None
+    w, h, packed, bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:, :] = gct[bg % len(gct)]
+    frames: list = []
+    t_ms = 0
+    delay_ms = 0
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = content[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = content[pos]
+                gce = content[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+                flags = gce[0]
+                disposal = (flags >> 2) & 0x07
+                delay_ms = struct.unpack("<H", gce[1:3])[0] * 10
+                transparent = gce[3] if flags & 0x01 else None
+                pos += 1  # sub-block terminator
+            else:  # comment/app/plain-text: skip sub-blocks
+                while content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(content[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        min_code = content[pos]
+        pos += 1
+        data = bytearray()
+        while content[pos] != 0:
+            ln = content[pos]
+            data += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code)
+        if len(idx) < iw * ih:
+            raise ValueError("LZW stream shorter than image geometry")
+        rows = [
+            np.frombuffer(idx, np.uint8, count=iw, offset=r * iw)
+            for r in range(ih)
+        ]
+        if ipacked & 0x40:
+            rows = _gif_deinterlace(rows, ih)
+        ind = np.stack(rows)
+        rgb = table[np.minimum(ind, len(table) - 1)]
+        region = canvas[top : top + ih, left : left + iw]
+        if transparent is not None:
+            mask = (ind != transparent)[..., None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        frames.append((t_ms, canvas.copy()))
+        t_ms += delay_ms
+        if disposal == 2:
+            bg_rgb = table[bg % len(table)] if gct is not None else 0
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        elif disposal == 3:
+            raise NotImplementedError(
+                "GIF disposal 3 (restore to previous) unsupported"
+            )
+        transparent = None
+        disposal = 0
+        delay_ms = 0
+    return frames, w, h
+
+
+def gif_bytes(
+    index_frames: list,
+    palette: list[tuple[int, int, int]],
+    delays_ms: list[int] | None = None,
+    interlace: bool = False,
+    loop: bool = True,
+) -> bytes:
+    """Fixture/test GIF writer: full-frame images over one global
+    color table, real LZW compression (see _lzw_encode), optional
+    interlace, GCE delays in centiseconds.  ``index_frames`` are 2-D
+    uint8 arrays of palette indices, all the same shape."""
+    import struct
+
+    h, w = index_frames[0].shape
+    bits = max(2, (max(1, len(palette) - 1)).bit_length())
+    n = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    for i in range(n):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    delays = delays_ms or [100] * len(index_frames)
+    for arr, d in zip(index_frames, delays):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", d // 10) + b"\x00\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
+        if interlace:
+            order = [
+                y
+                for start, step in _GIF_INTERLACE_PASSES
+                for y in range(start, h, step)
+            ]
+            data = b"".join(arr[y].tobytes() for y in order)
+        else:
+            data = arr.tobytes()
+        min_code = bits
+        out.append(min_code)
+        comp = _lzw_encode(data, min_code)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

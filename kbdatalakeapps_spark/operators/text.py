@@ -899,3 +899,120 @@ def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, _ in SCRIPT_CLASSES:
         dom = dom.when(F.col(f"n_{name}") == mx, F.lit(name))
     return out.withColumn("dominant_script", dom)
+
+
+def bigram_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus-level bigram collocation mining — the phrase detector a
+    tokenizer-training / vocab-building pipeline runs before merging
+    multiword units ("new york"-style compounds).
+
+    Association score: since corpus totals N_uni/N_bigrams are
+    constants across candidates, ranking by PMI = log(c_xy·N²/(c_x·
+    c_y·N_big)) is ranking by c_xy/(c_x·c_y) — emitted exactly as
+    ``assoc_fp = c_xy·10¹² div (c_x·c_y)`` (int64-safe to corpora of
+    ~10⁹ tokens; the log is monotone so it adds nothing a threshold
+    can't).  Dice = 2·c_xy/(c_x+c_y) rides along in ×1e6 fixed point.
+    Both integer-exact (`div` truncation), the RRF idiom.
+
+    Scale posture: tokens are lowercased alpha runs; the bigram and
+    unigram counts are two map-side-combinable groupBys over one
+    exploded pass each; unigram counts join back onto the ≥min_count
+    bigram table (bounded by the candidate count, not the corpus),
+    and only the final ≤top_n pick sorts.  No corpus-sized window, no
+    collect."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"), lambda t: t != ""
+    )
+    t = df.select(toks.alias("ts")).filter(F.size("ts") >= 2)
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    big = (
+        t.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ts"), i).alias("w1"),
+                        F.element_at(F.col("ts"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("(c_xy * 1000000000000) div (c_x * c_y)").alias("assoc_fp"),
+            F.expr("(2 * c_xy * 1000000) div (c_x + c_y)").alias("dice_fp"),
+        )
+    )
+    return scored.orderBy(
+        F.col("assoc_fp").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_n)
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical URL form for crawl dedup — the URL-level first pass a
+    web-corpus pipeline runs before any content hashing: lowercase
+    scheme and host, strip a leading ``www.``, drop the default port
+    (:443 https / :80 http), drop the fragment, strip trailing path
+    slashes, drop ``utm_*`` tracking params, and sort the surviving
+    query params so param order can't split a group.
+
+    Pure native column expressions (regexp/split/array ops — stays in
+    whole-stage codegen; no UDF), and every step has an exact DuckDB
+    twin, so URL-dedup queries carry full hash oracles.  Path case is
+    preserved (paths are case-sensitive per RFC 3986; host/scheme are
+    not)."""
+    u = F.col(col) if isinstance(col, str) else col
+    no_frag = F.split(u, "#").getItem(0)
+    scheme = F.lower(
+        F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1)), r"^www\.", ""
+    )
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_replace(F.split(pathq, r"\?").getItem(0), r"/+$", "")
+    qstr = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qstr, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )

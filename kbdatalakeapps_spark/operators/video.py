@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .multimodal import _decode_jpeg, _resize_array
+from .multimodal import _decode_gif, _decode_jpeg, _resize_array
 
 
 def _walk_riff(d: bytes, pos: int, end: int):
@@ -202,6 +202,40 @@ def sample_frames_decoded(
             for mid, c in zip(pdf[id_col], pdf[content_col]):
                 decoded = _decode_avi(c)
                 if decoded is None:
+                    gif = _decode_gif(c)
+                    if gif is None:
+                        continue
+                    gframes, gw, gh = gif
+                    if not gframes:
+                        continue
+                    # sample the displayed frame at each every_ms
+                    # boundary (the AVI step rule, GIF's variable
+                    # delays honoured); consecutive duplicates skipped
+                    last_idx = -1
+                    b = 0
+                    while b <= gframes[-1][0]:
+                        fi = max(
+                            i for i, (ts, _) in enumerate(gframes) if ts <= b
+                        )
+                        if fi != last_idx:
+                            last_idx = fi
+                            arr = gframes[fi][1]
+                            gray = (
+                                arr.mean(axis=2, dtype=np.float64)
+                                .round()
+                                .astype(np.uint8)[..., None]
+                            )
+                            out["media_id"].append(mid)
+                            out["frame_ts_ms"].append(gframes[fi][0])
+                            out["frame_width"].append(gw)
+                            out["frame_height"].append(gh)
+                            out["thumb"].append(
+                                _resize_array(gray, thumb_size, thumb_size)
+                            )
+                            out["frame_sha256"].append(
+                                hashlib.sha256(arr.tobytes()).hexdigest()
+                            )
+                        b += every_ms
                     continue
                 frames, uspf, aw, ah, codec, bits = decoded
                 if not frames or uspf == 0:

@@ -156,4 +156,11 @@ PENDING_NEXT_WINDOW: list[str] = [
     "mm_video_dib_frames",
     "tx_script_mix",
     "er_jaro_winkler",
+    # round-5 continuation #3 additions (each verified at sf0.001 AND
+    # sf0.01 on a vanilla session the day it was registered)
+    "gr_label_propagation",
+    "dq_l_diversity",
+    "ml_lift_gains",
+    "tx_collocations",
+    "dd_url_canonical",
 ]

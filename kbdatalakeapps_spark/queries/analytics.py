@@ -895,3 +895,62 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return expectation_report(o, checks)
+
+
+@query(
+    "dq_l_diversity",
+    oracle="""
+    WITH qi AS (
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS grp_n,
+               COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                   AS l_distinct
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT l_distinct,
+           COUNT(*)::BIGINT AS n_groups,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE l_distinct < 3) AS BIGINT)
+               AS groups_lt_3,
+           CAST(COALESCE(SUM(grp_n) FILTER (WHERE l_distinct < 3), 0)
+               AS BIGINT) AS rows_lt_3
+    FROM qi
+    GROUP BY l_distinct
+    ORDER BY l_distinct
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion gate to dq_k_anonymity: a
+    QI group that is large enough (k-anonymous) can still leak if
+    every member shares one sensitive value.  QI = (market segment,
+    nation); sensitive attribute = the $1000 balance band; per-group
+    l = distinct sensitive values, reported as the l histogram with
+    below-threshold (l=3) group/row counts.  Two grouped passes; the
+    second runs on the ≤|distinct QI| group table, so cost is one
+    data shuffle (the dq_k_anonymity shape) — countDistinct sits in
+    its own agg, nothing else multi-aggregates with it (NOTES: Expand
+    trap)."""
+    qi = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("grp_n"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+            ).alias("l_distinct"),
+        )
+    )
+    lt = F.col("l_distinct") < 3
+    return (
+        qi.groupBy("l_distinct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("grp_n").cast("bigint").alias("n_rows"),
+            F.sum(F.when(lt, 1).otherwise(0)).cast("bigint").alias("groups_lt_3"),
+            F.sum(F.when(lt, F.col("grp_n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_lt_3"),
+        )
+        .orderBy("l_distinct")
+    )

@@ -588,3 +588,57 @@ def gr_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select(F.col("p_partkey").alias("id_b")), "id_b"
     ).select("id_a", "id_b")
     return gr.connected_components_alternating(edges).orderBy("id")
+
+
+@query(
+    "gr_label_propagation",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+    c1 AS (
+        SELECT e.src AS id, l.label, COUNT(*) AS c
+        FROM e JOIN l0 l ON l.id = e.dst GROUP BY 1, 2
+    ),
+    l1 AS (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id ORDER BY c DESC, label ASC
+                   ) AS rn
+            FROM c1
+        ) WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT e.src AS id, l.label, COUNT(*) AS c
+        FROM e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2
+    ),
+    l2 AS (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id ORDER BY c DESC, label ASC
+                   ) AS rn
+            FROM c2
+        ) WHERE rn = 1
+    )
+    SELECT label AS community, COUNT(*)::BIGINT AS n_nodes
+    FROM l2 GROUP BY 1 ORDER BY 1
+    """,
+)
+def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities on the
+    co-purchase graph (operators/graph.py::label_propagation), 2
+    unrolled rounds — most-frequent neighbour label, min-label
+    tie-break, so the iterative detection algorithm carries a full
+    hash oracle (the pagerank idiom).  Output is the community-size
+    histogram — the corpus-segmentation summary a curation pipeline
+    reads before per-community sampling.  Reference parity: the
+    community grouping generalizes the cluster-membership tables of
+    build_berdl_db.py; detection itself is engine extension."""
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = gr.label_propagation(edges, rounds=2)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("community")
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.sources import load_table
-from ..operators.mleval import auc_exact, calibration_bins, target_encode_oof
+from ..operators.mleval import auc_exact, calibration_bins, lift_gains, target_encode_oof
 from .registry import query
 
 # label/score base: is the event a purchase, scored by the event value
@@ -321,3 +321,43 @@ def ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(5000)
     )
+
+
+@query(
+    "ml_lift_gains",
+    oracle=f"""
+    WITH {_SCORED_SQL},
+    b AS (
+        SELECT CAST(FLOOR(score / 25.0) AS BIGINT) AS band,
+               COUNT(*)::BIGINT AS n,
+               CAST(SUM(label) AS BIGINT) AS pos
+        FROM scored GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+               CAST(SUM(pos) AS BIGINT) AS total_pos
+        FROM b
+    ),
+    c AS (
+        SELECT band, n, pos,
+               CAST(SUM(n) OVER (ORDER BY band DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_n,
+               CAST(SUM(pos) OVER (ORDER BY band DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_pos
+        FROM b
+    )
+    SELECT band, 0.0 + band * 25.0 AS lo_edge, n, pos, cum_n, cum_pos,
+           (cum_pos * 1000000) // total_pos AS gain_fp,
+           (cum_pos * total_n * 1000000) // (cum_n * total_pos) AS lift_fp
+    FROM c, t ORDER BY band DESC
+    """,
+)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift chart of the purchase scorer over $25
+    score bands (operators/mleval.py::lift_gains): top-band lift and
+    captured-positive fraction in int64 fixed point.  One corpus
+    shuffle (the band groupBy); cumulative legs run over the ≤24-row
+    band table — the bounded-frame window idiom (a29/equidepth)."""
+    return lift_gains(_scored(spark, sf_dir))

@@ -1535,3 +1535,171 @@ def mm_video_dib_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_ts_ms", "frame_width", "frame_height",
         "frame_sha256",
     )
+
+
+# ---------------------------------------------------------------------------
+# tx_collocations: corpus bigram collocation mining (phrase detection
+# for vocab building) — integer-exact association (PMI-monotone) and
+# Dice scores; see operators/text.py::bigram_collocations.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    uni AS (
+        SELECT t.w, COUNT(*)::BIGINT AS c
+        FROM toks, LATERAL (SELECT unnest(ts) AS w) t
+        GROUP BY 1
+    ),
+    big AS (
+        SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*)::BIGINT AS c_xy
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) t
+        WHERE len(ts) >= 2
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+    )
+    SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+           (b.c_xy * 1000000000000) // (u1.c * u2.c) AS assoc_fp,
+           (2 * b.c_xy * 1000000) // (u1.c + u2.c) AS dice_fp
+    FROM big b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    ORDER BY assoc_fp DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+)
+def tx_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations of the document corpus by the
+    exact integer PMI-monotone association score (c_xy·10¹² div
+    c_x·c_y) with Dice alongside — the multiword-phrase detector of a
+    tokenizer/vocab pipeline.  Two exploded grouped passes + a
+    candidate-bounded enrichment join; the sort touches only the
+    min_count survivors."""
+    from ..operators.text import bigram_collocations
+
+    return bigram_collocations(
+        load_table(spark, sf_dir, "documents"), min_count=5, top_n=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd_url_canonical: URL canonicalization dedup — four planted surface
+# variants per canonical target (host case, www., default port, param
+# order, utm_ params, fragment, trailing slash) must collapse to ONE
+# group; see operators/text.py::canonicalize_url.
+# ---------------------------------------------------------------------------
+
+_URL_VARIANTS_SQL = """
+    urls AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://example.com/docs/'
+                      || (doc_id // 4)::VARCHAR || '?id='
+                      || (doc_id // 4)::VARCHAR || '&ref=a'
+                 WHEN 1 THEN 'HTTPS://EXAMPLE.COM/docs/'
+                      || (doc_id // 4)::VARCHAR || '?ref=a&id='
+                      || (doc_id // 4)::VARCHAR || '#frag'
+                 WHEN 2 THEN 'https://www.example.com/docs/'
+                      || (doc_id // 4)::VARCHAR || '?id='
+                      || (doc_id // 4)::VARCHAR || '&utm_source=news&ref=a'
+                 ELSE 'https://example.com:443/docs/'
+                      || (doc_id // 4)::VARCHAR || '/?id='
+                      || (doc_id // 4)::VARCHAR || '&ref=a'
+               END AS url
+        FROM documents
+    )
+"""
+
+
+@query(
+    "dd_url_canonical",
+    oracle=f"""
+    WITH {_URL_VARIANTS_SQL},
+    c AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(string_split(url, '#')[1],
+                     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(string_split(url, '#')[1],
+                     '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        FROM urls
+    ),
+    p AS (
+        SELECT doc_id, scheme,
+               regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                              '^www\\.', '') AS hostport,
+               regexp_replace(rest, '^[^/?]+', '') AS pathq
+        FROM c
+    ),
+    q AS (
+        SELECT doc_id, scheme,
+               CASE WHEN scheme = 'https'
+                    THEN regexp_replace(hostport, ':443$', '')
+                    WHEN scheme = 'http'
+                    THEN regexp_replace(hostport, ':80$', '')
+                    ELSE hostport END AS host,
+               regexp_replace(string_split(pathq, '?')[1], '/+$', '')
+                   AS path,
+               array_to_string(list_sort(list_filter(
+                   string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+                   x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')
+                   AS params
+        FROM p
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host || path
+               || CASE WHEN params <> '' THEN '?' || params ELSE '' END
+                   AS canonical_url
+        FROM q
+    )
+    SELECT canonical_url,
+           COUNT(*)::BIGINT AS n_variants,
+           MIN(doc_id) AS keeper_id
+    FROM canon GROUP BY 1 ORDER BY 1
+    """,
+)
+def dd_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup: four planted surface variants of each
+    canonical URL (uppercase host + fragment / www. + utm_ params /
+    default :443 port + trailing slash / param reorder) must collapse
+    to one canonical group of 4 under text.canonicalize_url — any
+    canonicalization step regressing changes group counts and fails
+    the hash.  One grouped pass after a narrow per-row expression;
+    first-wins keeper = MIN(doc_id), the exact-dedup convention."""
+    from ..operators.text import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 4").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://example.com/docs/"), g, F.lit("?id="), g, F.lit("&ref=a")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("HTTPS://EXAMPLE.COM/docs/"), g, F.lit("?ref=a&id="), g, F.lit("#frag")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://www.example.com/docs/"), g, F.lit("?id="), g, F.lit("&utm_source=news&ref=a")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://example.com:443/docs/"), g, F.lit("/?id="), g, F.lit("&ref=a")),
+        )
+    )
+    return (
+        d.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -615,3 +615,49 @@ def test_keeper_assignment_alternating_parity(spark):
     alt = keeper_assignment(docs, pairs, algorithm="alternating")
     assert base.exceptAll(alt).count() == 0
     assert alt.exceptAll(base).count() == 0
+
+
+def test_label_propagation_known_communities(spark):
+    # two disconnected triangles: 2 synchronous rounds settle each on
+    # its own min label (with a bridge, the synchronous update leaks
+    # labels across it — covered by the python-twin test below)
+    tri_a = [(1, 2), (2, 3), (1, 3)]
+    tri_b = [(10, 11), (11, 12), (10, 12)]
+    und = tri_a + tri_b
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from kbdatalakeapps_spark.operators.graph import label_propagation
+
+    got = {r.id: r.label for r in label_propagation(df, rounds=2).collect()}
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_label_propagation_python_reference(spark):
+    # brute-force python twin of the synchronous update on a random
+    # (deterministic) graph
+    import random
+
+    rng = random.Random(7)
+    und = {(rng.randrange(30), rng.randrange(30)) for _ in range(60)}
+    und = [(a, b) for a, b in und if a != b]
+    edges = und + [(b, a) for a, b in und]
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+    labels = {n: n for n in nbrs}
+    for _ in range(2):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt: dict = {}
+            for m in ns:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            new[n] = min(
+                (lbl for lbl in cnt), key=lambda x: (-cnt[x], x)
+            )
+        labels = new
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from kbdatalakeapps_spark.operators.graph import label_propagation
+
+    got = {r.id: r.label for r in label_propagation(df, rounds=2).collect()}
+    assert got == labels

@@ -278,3 +278,39 @@ def test_script_mix_counts_and_dominance(spark):
     assert got[7].dominant_script == "none"
     assert got[8].n_latin == 2 and got[8].n_cyrillic == 2
     assert got[8].dominant_script == "latin"
+
+
+def test_canonicalize_url_cases(spark):
+    from kbdatalakeapps_spark.operators.text import canonicalize_url
+
+    cases = [
+        # (raw, canonical)
+        ("https://example.com/a?b=1", "https://example.com/a?b=1"),
+        ("HTTPS://WWW.Example.COM:443/a/?b=1#x", "https://example.com/a?b=1"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com/a?z=2&a=1&utm_source=x", "https://example.com/a?a=1&z=2"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com/Case/Path", "https://example.com/Case/Path"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r.c
+        for r in df.select(canonicalize_url("url").alias("c")).collect()
+    ]
+    assert got == [c for _, c in cases]
+
+
+def test_bigram_collocations_counts(spark):
+    from kbdatalakeapps_spark.operators.text import bigram_collocations
+
+    docs = spark.createDataFrame(
+        [("new york new york",), ("in new york",), ("york new",)],
+        "text string",
+    )
+    out = {
+        (r.w1, r.w2): (r.c_xy, r.c_x, r.c_y)
+        for r in bigram_collocations(docs, min_count=2, top_n=10).collect()
+    }
+    # "new york" appears 3×; unigrams: new=4, york=4
+    assert out[("new", "york")] == (3, 4, 4)
