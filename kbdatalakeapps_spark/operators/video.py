@@ -200,9 +200,11 @@ def sample_frames_decoded(
         for pdf in it:
             out = {n.name: [] for n in VIDEO_FRAME_SCHEMA.fields}
             for mid, c in zip(pdf[id_col], pdf[content_col]):
-                decoded = _decode_avi(c)
-                if decoded is None:
-                    gif = _decode_gif(c)
+                # container dispatch by signature: GIF animations ride
+                # the same sampler (AVI raises, not returns, on
+                # non-RIFF bytes, so probe GIF first)
+                if c is not None and bytes(c[:6]) in (b"GIF87a", b"GIF89a"):
+                    gif = _decode_gif(bytes(c))
                     if gif is None:
                         continue
                     gframes, gw, gh = gif
@@ -236,6 +238,9 @@ def sample_frames_decoded(
                                 hashlib.sha256(arr.tobytes()).hexdigest()
                             )
                         b += every_ms
+                    continue
+                decoded = _decode_avi(c)
+                if decoded is None:
                     continue
                 frames, uspf, aw, ah, codec, bits = decoded
                 if not frames or uspf == 0:

@@ -163,4 +163,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ml_lift_gains",
     "tx_collocations",
     "dd_url_canonical",
+    "mm_gif_frames",
 ]

@@ -1703,3 +1703,66 @@ def dd_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_gif_frames: the real GIF/LZW animation path under a FULL hash
+# oracle — the mm_video_frames idiom.  Each document gets one of four
+# constant GIFs (2-5 frames at 500 ms, frames alternating two fixed
+# 8×8 4-color patterns); sample_frames_decoded must parse the
+# container, LZW-decode and composite every frame, and emit
+# (ts, geometry, composited-pixel sha256) — all relationally
+# predictable.  Codec fidelity itself is pinned by tests/test_gif.py
+# (incl. the independent clear-every-symbol encoder cross-check).
+# ---------------------------------------------------------------------------
+
+_GIF_SHA_A = "11bd9757897541b751bff65cfbd9908b76d2abb709e76a4195b0ccac3d121fd9"
+_GIF_SHA_B = "a4767ba944cef1ca1262013ac684ff889231c8ecac92e1f837a3d17647a1311d"
+
+
+def _gif_fixtures() -> list[bytes]:
+    import numpy as np
+
+    from ..operators.multimodal import gif_bytes
+
+    pal = [(0, 0, 0), (255, 64, 16), (32, 192, 255), (240, 240, 96)]
+    pa = np.fromfunction(lambda y, x: (x + y) % 2, (8, 8)).astype(np.uint8)
+    pb = (np.fromfunction(lambda y, x: x // 2 % 2, (8, 8)) + 2).astype(
+        np.uint8
+    )
+    return [
+        gif_bytes(
+            [(pa, pb)[i % 2] for i in range(n)], pal, delays_ms=[500] * n
+        )
+        for n in range(2, 6)
+    ]
+
+
+@query(
+    "mm_gif_frames",
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           t.i * 500 AS frame_ts_ms,
+           8 AS frame_width,
+           8 AS frame_height,
+           CASE WHEN t.i % 2 = 0 THEN '{_GIF_SHA_A}' ELSE '{_GIF_SHA_B}' END
+               AS frame_sha256
+    FROM documents d, (SELECT unnest(range(5)) AS i) t
+    WHERE d.doc_id < 200 AND t.i < 2 + d.doc_id % 4
+    """,
+)
+def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.video import sample_frames_decoded
+
+    gifs = _gif_fixtures()
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(g) for g in gifs]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("content"),
+    )
+    return sample_frames_decoded(d, every_ms=500).select(
+        "media_id", "frame_ts_ms", "frame_width", "frame_height",
+        "frame_sha256",
+    )

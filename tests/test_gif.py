@@ -1,0 +1,170 @@
+"""GIF codec (LZW) + frame-sampling plumbing.
+
+Validation strategy mirrors the progressive-JPEG / MS-ADPCM idiom:
+alongside encoder↔decoder roundtrips (which could mask symmetric
+bugs), an INDEPENDENT clear-every-symbol encoder — correct by
+construction, since every emitted code is a root literal and the
+decoder's dict/width logic never engages — must decode to the same
+pixels, so the real LZW path is cross-validated, including code-width
+growth through the 512/1024/2048 boundaries and the 4096-entry table
+fill."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from kbdatalakeapps_spark.operators.multimodal import (
+    _decode_gif,
+    _lzw_decode,
+    _lzw_encode,
+    gif_bytes,
+)
+
+
+def _lzw_encode_naive(indices: bytes, min_code: int) -> bytes:
+    """Clear code after EVERY literal: the dict never grows, so this
+    encoder's correctness is structural, not algorithmic."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    acc = 0
+    nb = 0
+    out = bytearray()
+
+    def emit(c: int) -> None:
+        nonlocal acc, nb
+        acc |= c << nb
+        nb += width
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    emit(clear)
+    for b in indices:
+        emit(b)
+        emit(clear)
+    emit(eoi)
+    if nb:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+@pytest.mark.parametrize(
+    "size,mc", [(10, 2), (1000, 2), (20000, 2), (5000, 7), (70000, 3)]
+)
+def test_lzw_roundtrip(size, mc):
+    rng = np.random.default_rng(42 + size)
+    data = bytes(rng.integers(0, 1 << mc, size, dtype=np.uint8))
+    assert bytes(_lzw_decode(_lzw_encode(data, mc), mc)) == data
+
+
+@pytest.mark.parametrize("size,mc", [(500, 2), (4000, 4), (9000, 2)])
+def test_lzw_decoder_vs_naive_encoder(size, mc):
+    rng = np.random.default_rng(7 + size)
+    data = bytes(rng.integers(0, 1 << mc, size, dtype=np.uint8))
+    assert bytes(_lzw_decode(_lzw_encode_naive(data, mc), mc)) == data
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_frames_delays(interlace):
+    rng = np.random.default_rng(3)
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = [rng.integers(0, 4, (16, 16), dtype=np.uint8) for _ in range(3)]
+    g = gif_bytes(frames, pal, delays_ms=[100, 200, 300], interlace=interlace)
+    dec, w, h = _decode_gif(g)
+    assert (w, h) == (16, 16)
+    assert [t for t, _ in dec] == [0, 100, 300]
+    p = np.array(pal, dtype=np.uint8)
+    for (_, arr), f in zip(dec, frames):
+        assert np.array_equal(arr, p[f])
+
+
+def test_gif_256_color_width_growth():
+    rng = np.random.default_rng(11)
+    pal = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(256)]
+    f = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    dec, _, _ = _decode_gif(gif_bytes([f], pal))
+    assert np.array_equal(dec[0][1], np.array(pal, dtype=np.uint8)[f])
+
+
+def test_gif_non_gif_returns_none():
+    assert _decode_gif(b"NOTAGIF\x00\x00") is None
+    assert _decode_gif(None) is None
+
+
+def test_gif_transparency_composites_over_previous():
+    # frame 2 paints only where non-transparent; transparent pixels
+    # must show frame 1's canvas
+    import struct
+
+    pal = [(10, 10, 10), (200, 0, 0), (0, 200, 0), (0, 0, 200)]
+    f1 = np.full((4, 4), 1, dtype=np.uint8)
+    f2 = np.zeros((4, 4), dtype=np.uint8)
+    f2[0, 0] = 2  # everything else index 0 = transparent
+    g = bytearray(gif_bytes([f1], pal, delays_ms=[100]))
+    # append a second image with a transparency GCE (transparent idx 0)
+    body = bytearray()
+    body += b"\x21\xf9\x04\x01" + struct.pack("<H", 10) + b"\x00\x00"
+    body += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+    comp = _lzw_encode(f2.tobytes(), 2)
+    body.append(2)  # min code size
+    body.append(len(comp))
+    body += comp
+    body.append(0)
+    g = g[:-1] + body + b"\x3b"
+    dec, _, _ = _decode_gif(bytes(g))
+    assert len(dec) == 2
+    p = np.array(pal, dtype=np.uint8)
+    assert np.array_equal(dec[0][1], p[f1])
+    want = p[f1].copy()
+    want[0, 0] = p[2]
+    assert np.array_equal(dec[1][1], want)
+
+
+def test_gif_resize_dispatch(spark):
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.multimodal import resize_images
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    f = np.fromfunction(lambda y, x: (x + y) % 2, (8, 8)).astype(np.uint8)
+    g = gif_bytes([f], pal)
+    df = spark.createDataFrame([(1, bytearray(g))], "media_id long, content binary")
+    df = df.withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+        ),
+    )
+    row = resize_images(df, width=4, height=4).collect()[0]
+    assert row.resized_width == 4 and row.resized_height == 4
+    got = np.frombuffer(row.resized, np.uint8).reshape(4, 4, 3)
+    # nearest-neighbor of a checkerboard stays two-valued
+    assert set(np.unique(got)) <= {0, 255}
+
+
+def test_gif_sample_frames_decoded(spark):
+    from kbdatalakeapps_spark.operators.video import sample_frames_decoded
+
+    pal = [(0, 0, 0), (255, 64, 16), (32, 192, 255), (240, 240, 96)]
+    pa = np.fromfunction(lambda y, x: (x + y) % 2, (8, 8)).astype(np.uint8)
+    pb = (np.fromfunction(lambda y, x: x // 2 % 2, (8, 8)) + 2).astype(np.uint8)
+    g = gif_bytes([pa, pb, pa], pal, delays_ms=[500, 500, 500])
+    df = spark.createDataFrame([(7, bytearray(g))], "media_id long, content binary")
+    rows = sorted(
+        sample_frames_decoded(df, every_ms=500).collect(),
+        key=lambda r: r.frame_ts_ms,
+    )
+    assert [r.frame_ts_ms for r in rows] == [0, 500, 1000]
+    p = np.array(pal, dtype=np.uint8)
+    sha = [
+        hashlib.sha256(p[x].tobytes()).hexdigest() for x in (pa, pb, pa)
+    ]
+    assert [r.frame_sha256 for r in rows] == sha
+    assert rows[0].frame_width == 8 and rows[0].frame_height == 8
