@@ -321,7 +321,15 @@ def audio_features(
         for pdf in it:
             rows = {n: [] for n, _ in AUDIO_FEATURE_FIELDS}
             for c in pdf[content_col]:
-                decoded = _decode_wav(c)
+                # container dispatch by signature: FLAC streams ride
+                # the same feature kernel (operators/flac.py — exact
+                # integer decode, so the hash contract is identical)
+                if c is not None and bytes(c[:4]) == b"fLaC":
+                    from .flac import _decode_flac
+
+                    decoded = _decode_flac(bytes(c))
+                else:
+                    decoded = _decode_wav(c)
                 if decoded is None:
                     for n, _ in AUDIO_FEATURE_FIELDS:
                         rows[n].append(None)

@@ -1,0 +1,548 @@
+"""Pure-python FLAC decode (RFC 9639) + a fixture encoder.
+
+FLAC is the lossless codec a real media lake actually stores masters
+in, and — unlike the perceptual codecs (MP3/AAC), which genuinely
+need a DSP library — its decode is exact integer arithmetic end to
+end: rice-coded residuals plus fixed/LPC integer predictors.  That
+makes it the one compressed audio format whose decode can sit under
+the engine's bit-exact hash-oracle discipline (the WAV-RMS contract)
+with stdlib+numpy only.
+
+Decoder coverage: CONSTANT / VERBATIM / FIXED order 0-4 / LPC any
+order, rice + rice2 residual methods incl. partition orders and the
+raw-bits escape, wasted bits, all four channel assignments
+(independent, left/side, right/side, mid/side), streaminfo and
+in-frame block size / sample rate codes, multi-frame streams.  The
+STREAMINFO MD5 of the decoded stream is verified when present — an
+end-to-end integrity gate on every decode.
+
+The encoder exists for fixtures/tests: it writes real rice-coded
+frames (constant/verbatim/fixed/LPC-with-given-coefficients, stereo
+decorrelation modes, partition orders, wasted bits) so the decoder is
+exercised on genuine streams; tests/test_flac.py additionally
+cross-checks every predictor path against the verbatim path on the
+same samples (verbatim correctness is structural — no prediction, no
+rice), the progressive-JPEG validation idiom.
+
+Reference parity note: the reference ships no codecs; this is engine
+extension for the multimodal curation surface (SURVEY §2.11 kernel
+family), same contract as operators/audio.py's WAV paths.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+
+class _BitReader:
+    """MSB-first bit reader (FLAC bit order)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.pos = pos  # byte position
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.d):
+                raise ValueError("FLAC bitstream truncated")
+            self.acc = (self.acc << 8) | self.d[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def byte_pos(self) -> int:
+        return self.pos - (self.nbits // 8)
+
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_RATE_CODES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def _read_utf8_number(r: _BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while (b0 << n) & 0x80:
+        n += 1
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        v = (v << 6) | (r.read(8) & 0x3F)
+    return v
+
+
+def _decode_residual(r: _BitReader, blocksize: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual method {method}")
+    pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    po = r.read(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise ValueError("partition order does not divide block size")
+    out: list[int] = []
+    for part in range(nparts):
+        count = (blocksize >> po) - (order if part == 0 else 0)
+        p = r.read(pbits)
+        if p == escape:
+            raw = r.read(5)
+            if raw == 0:
+                out.extend(0 for _ in range(count))
+            else:
+                out.extend(r.signed(raw) for _ in range(count))
+        else:
+            for _ in range(count):
+                u = (r.unary() << p) | r.read(p)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
+    if r.read(1) != 0:
+        raise ValueError("subframe padding bit set")
+    typ = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.unary() + 1
+    eff = bps - wasted
+    if typ == 0:  # CONSTANT
+        v = r.signed(eff)
+        x = [v] * blocksize
+    elif typ == 1:  # VERBATIM
+        x = [r.signed(eff) for _ in range(blocksize)]
+    elif 8 <= typ <= 12:  # FIXED, order = typ - 8
+        order = typ - 8
+        x = [r.signed(eff) for _ in range(order)]
+        res = _decode_residual(r, blocksize, order)
+        coeffs = _FIXED_COEFFS[order]
+        for e in res:
+            pred = sum(c * x[-1 - j] for j, c in enumerate(coeffs))
+            x.append(e + pred)
+    elif typ >= 32:  # LPC, order = (typ & 31) + 1
+        order = (typ & 31) + 1
+        x = [r.signed(eff) for _ in range(order)]
+        precision = r.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid LPC precision code")
+        shift = r.signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coeffs = [r.signed(precision) for _ in range(order)]
+        res = _decode_residual(r, blocksize, order)
+        for e in res:
+            pred = sum(c * x[-1 - j] for j, c in enumerate(coeffs)) >> shift
+            x.append(e + pred)
+    else:
+        raise ValueError(f"reserved subframe type {typ}")
+    if wasted:
+        x = [v << wasted for v in x]
+    return x
+
+
+def _decode_frame(r: _BitReader, info: dict):
+    sync = r.read(14)
+    if sync != 0x3FFE:
+        raise ValueError(f"bad frame sync 0x{sync:04x}")
+    r.read(1)  # reserved
+    r.read(1)  # blocking strategy
+    bs_code = r.read(4)
+    sr_code = r.read(4)
+    ch_asgn = r.read(4)
+    ss_code = r.read(3)
+    r.read(1)  # reserved
+    _read_utf8_number(r)
+    if bs_code == 0:
+        raise ValueError("reserved block size code 0")
+    elif bs_code == 1:
+        blocksize = 192
+    elif bs_code <= 5:
+        blocksize = 576 << (bs_code - 2)
+    elif bs_code == 6:
+        blocksize = r.read(8) + 1
+    elif bs_code == 7:
+        blocksize = r.read(16) + 1
+    else:
+        blocksize = 256 << (bs_code - 8)
+    if sr_code == 12:
+        r.read(8)
+    elif sr_code in (13, 14):
+        r.read(16)
+    elif sr_code == 15:
+        raise ValueError("invalid sample rate code")
+    bps_map = {0: info["bits"], 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+    if ss_code == 3:
+        raise ValueError("reserved sample size code")
+    bps = bps_map[ss_code]
+    r.read(8)  # header CRC-8
+    if ch_asgn <= 7:
+        nch = ch_asgn + 1
+        chans = [_decode_subframe(r, blocksize, bps) for _ in range(nch)]
+    elif ch_asgn == 8:  # left/side
+        left = _decode_subframe(r, blocksize, bps)
+        side = _decode_subframe(r, blocksize, bps + 1)
+        chans = [left, [l - s for l, s in zip(left, side)]]
+    elif ch_asgn == 9:  # right/side
+        side = _decode_subframe(r, blocksize, bps + 1)
+        right = _decode_subframe(r, blocksize, bps)
+        chans = [[rr + s for rr, s in zip(right, side)], right]
+    elif ch_asgn == 10:  # mid/side
+        mid = _decode_subframe(r, blocksize, bps)
+        side = _decode_subframe(r, blocksize, bps + 1)
+        left, right = [], []
+        for m, s in zip(mid, side):
+            m2 = (m << 1) | (s & 1)
+            left.append((m2 + s) >> 1)
+            right.append((m2 - s) >> 1)
+        chans = [left, right]
+    else:
+        raise ValueError(f"reserved channel assignment {ch_asgn}")
+    r.align()
+    r.read(16)  # frame CRC-16
+    return chans, bps
+
+
+def _decode_flac(content: bytes):
+    """Decode a FLAC stream → ``(samples int64 ndarray (n, channels),
+    sample_rate)`` — the `_decode_wav` return contract, so the
+    audio-feature kernels are container-agnostic.  Returns None for
+    None/empty or non-FLAC magic; raises ValueError on malformed
+    streams and on an MD5 mismatch against STREAMINFO (integrity is
+    part of decode, not an afterthought)."""
+    import numpy as np
+
+    if content is None or len(content) == 0:
+        return None
+    d = bytes(content)
+    if d[:4] != b"fLaC":
+        return None
+    pos = 4
+    info = None
+    while True:
+        hdr = d[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + d[pos + 1 : pos + 4])
+        body = d[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if btype == 0:  # STREAMINFO
+            bits_ = int.from_bytes(body[10:18], "big")
+            info = {
+                "rate": (bits_ >> 44) & 0xFFFFF,
+                "channels": ((bits_ >> 41) & 0x7) + 1,
+                "bits": ((bits_ >> 36) & 0x1F) + 1,
+                "total": bits_ & ((1 << 36) - 1),
+                "md5": body[18:34],
+            }
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    r = _BitReader(d, pos)
+    chans_all: list[list[int]] = [[] for _ in range(info["channels"])]
+    while r.byte_pos() < len(d):
+        chans, _bps = _decode_frame(r, info)
+        if len(chans) != info["channels"]:
+            raise ValueError("frame channel count != STREAMINFO")
+        for i, ch in enumerate(chans):
+            chans_all[i].extend(ch)
+    samples = np.array(chans_all, dtype=np.int64).T
+    if samples.size == 0:
+        samples = samples.reshape(0, info["channels"])
+    if info["md5"] != b"\x00" * 16:
+        if _samples_md5(samples, info["bits"]) != info["md5"]:
+            raise ValueError("FLAC MD5 mismatch: corrupt decode or stream")
+    return samples, int(info["rate"])
+
+
+def _samples_md5(samples, bits: int) -> bytes:
+    """MD5 of the interleaved little-endian signed samples, the
+    STREAMINFO convention (RFC 9639 §8.2: bytes-per-sample =
+    ceil(bits/8))."""
+    nbytes = (bits + 7) // 8
+    m = hashlib.md5()
+    flat = samples.reshape(-1)
+    m.update(
+        b"".join(
+            int(v).to_bytes(nbytes, "little", signed=True) for v in flat
+        )
+    )
+    return m.digest()
+
+
+# --- fixture encoder --------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _write_residual(
+    w: _BitWriter, res: list[int], order: int, blocksize: int,
+    partition_order: int = 0, force_escape: bool = False,
+) -> None:
+    w.write(0, 2)  # rice method 0 (4-bit params)
+    w.write(partition_order, 4)
+    nparts = 1 << partition_order
+    idx = 0
+    for part in range(nparts):
+        count = (blocksize >> partition_order) - (order if part == 0 else 0)
+        chunk = res[idx : idx + count]
+        idx += count
+        if force_escape:
+            raw = max((abs(v).bit_length() + 1 for v in chunk), default=1)
+            raw = min(raw, 30)
+            w.write(0xF, 4)
+            w.write(raw, 5)
+            for v in chunk:
+                w.write(v, raw)
+            continue
+        # pick the rice parameter minimizing the encoded size
+        best_p, best_cost = 0, None
+        for p in range(15):
+            c = 0
+            for v in chunk:
+                u = (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
+                u = ((-v - 1) << 1 | 1) if v < 0 else (v << 1)
+                c += (u >> p) + 1 + p
+            if best_cost is None or c < best_cost:
+                best_p, best_cost = p, c
+        w.write(best_p, 4)
+        for v in chunk:
+            u = ((-v - 1) << 1 | 1) if v < 0 else (v << 1)
+            w.unary(u >> best_p)
+            w.write(u & ((1 << best_p) - 1), best_p)
+
+
+def _write_subframe(
+    w: _BitWriter, x: list[int], bps: int, mode: str,
+    lpc_coeffs: list[int] | None = None, lpc_shift: int = 0,
+    wasted: int = 0, partition_order: int = 0, force_escape: bool = False,
+) -> None:
+    x = [int(v) for v in x]  # numpy int64 → python int (bit_length)
+    w.write(0, 1)
+    eff = bps - wasted
+    if wasted:
+        xs = [v >> wasted for v in x]
+        assert all((v << wasted) == o for v, o in zip(xs, x)), \
+            "wasted-bits fixture requires samples divisible by 2^wasted"
+    else:
+        xs = x
+    if mode == "constant":
+        w.write(0, 6)
+        _write_wasted(w, wasted)
+        w.write(xs[0], eff)
+        return
+    if mode == "verbatim":
+        w.write(1, 6)
+        _write_wasted(w, wasted)
+        for v in xs:
+            w.write(v, eff)
+        return
+    if mode.startswith("fixed"):
+        order = int(mode[-1])
+        w.write(8 + order, 6)
+        _write_wasted(w, wasted)
+        for v in xs[:order]:
+            w.write(v, eff)
+        coeffs = _FIXED_COEFFS[order]
+        res = [
+            xs[i] - sum(c * xs[i - 1 - j] for j, c in enumerate(coeffs))
+            for i in range(order, len(xs))
+        ]
+        _write_residual(w, res, order, len(xs), partition_order, force_escape)
+        return
+    if mode == "lpc":
+        assert lpc_coeffs
+        order = len(lpc_coeffs)
+        w.write(32 | (order - 1), 6)
+        _write_wasted(w, wasted)
+        for v in xs[:order]:
+            w.write(v, eff)
+        precision = max(
+            (abs(c).bit_length() + 1 for c in lpc_coeffs), default=2
+        )
+        precision = max(precision, 2)
+        w.write(precision - 1, 4)
+        w.write(lpc_shift, 5)
+        for c in lpc_coeffs:
+            w.write(c, precision)
+        res = [
+            xs[i]
+            - (sum(c * xs[i - 1 - j] for j, c in enumerate(lpc_coeffs))
+               >> lpc_shift)
+            for i in range(order, len(xs))
+        ]
+        _write_residual(w, res, order, len(xs), partition_order, force_escape)
+        return
+    raise ValueError(f"unknown subframe mode {mode}")
+
+
+def _write_wasted(w: _BitWriter, wasted: int) -> None:
+    if wasted:
+        w.write(1, 1)
+        w.unary(wasted - 1)
+    else:
+        w.write(0, 1)
+
+
+def flac_bytes(
+    samples,
+    sample_rate: int = 8000,
+    bits: int = 16,
+    blocksize: int = 4096,
+    mode: str = "fixed1",
+    stereo: str = "independent",
+    lpc_coeffs: list[int] | None = None,
+    lpc_shift: int = 0,
+    wasted: int = 0,
+    partition_order: int = 0,
+    force_escape: bool = False,
+) -> bytes:
+    """Encode ``samples`` (int array (n,) or (n, channels)) into a
+    real FLAC stream.  ``mode`` ∈ constant/verbatim/fixed0..fixed4/
+    lpc (with given ``lpc_coeffs`` + ``lpc_shift``); ``stereo`` ∈
+    independent/left_side/right_side/mid_side (2-channel input only).
+    Fixture writer: correctness matters, compression ratio does not.
+    """
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, nch = arr.shape
+    if stereo != "independent" and nch != 2:
+        raise ValueError("stereo decorrelation needs 2 channels")
+    out = bytearray(b"fLaC")
+    si = bytearray()
+    si += struct.pack(">HH", blocksize, blocksize)
+    si += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    packed = (sample_rate << 44) | ((nch - 1) << 41) | ((bits - 1) << 36) | n
+    si += packed.to_bytes(8, "big")
+    si += _samples_md5(arr, bits)
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    frame_no = 0
+    for start in range(0, n, blocksize):
+        blk = arr[start : start + blocksize]
+        bs = len(blk)
+        w = _BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocksize stream
+        w.write(7, 4)  # block size: 16-bit at end
+        w.write(0, 4)  # sample rate: streaminfo
+        asgn = {
+            "independent": nch - 1,
+            "left_side": 8,
+            "right_side": 9,
+            "mid_side": 10,
+        }[stereo]
+        w.write(asgn, 4)
+        sscode = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits]
+        w.write(sscode, 3)
+        w.write(0, 1)
+        # UTF-8 frame number (fits 7 bits for fixtures ≤ 127 frames)
+        if frame_no < 0x80:
+            w.write(frame_no, 8)
+        else:
+            w.write(0xC0 | (frame_no >> 6), 8)
+            w.write(0x80 | (frame_no & 0x3F), 8)
+        w.write(bs - 1, 16)
+        hdr = bytes(w.out)
+        assert w.nbits == 0
+        w.write(_crc8(hdr), 8)
+        kw = dict(
+            lpc_coeffs=lpc_coeffs, lpc_shift=lpc_shift, wasted=wasted,
+            partition_order=partition_order, force_escape=force_escape,
+        )
+        if asgn <= 7:
+            for c in range(nch):
+                _write_subframe(w, list(blk[:, c]), bits, mode, **kw)
+        else:
+            left = [int(v) for v in blk[:, 0]]
+            right = [int(v) for v in blk[:, 1]]
+            side = [l - r for l, r in zip(left, right)]
+            if asgn == 8:
+                _write_subframe(w, left, bits, mode, **kw)
+                _write_subframe(w, side, bits + 1, mode, **kw)
+            elif asgn == 9:
+                _write_subframe(w, side, bits + 1, mode, **kw)
+                _write_subframe(w, right, bits, mode, **kw)
+            else:
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                _write_subframe(w, mid, bits, mode, **kw)
+                _write_subframe(w, side, bits + 1, mode, **kw)
+        w.align()
+        body = bytes(w.out)
+        w.write(_crc16(body), 16)
+        out += bytes(w.out)
+        frame_no += 1
+    return bytes(out)

@@ -164,4 +164,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "tx_collocations",
     "dd_url_canonical",
     "mm_gif_frames",
+    "mm_flac_features",
 ]

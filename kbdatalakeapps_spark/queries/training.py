@@ -1766,3 +1766,80 @@ def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_ts_ms", "frame_width", "frame_height",
         "frame_sha256",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_flac_features: the REAL FLAC decode path (operators/flac.py —
+# rice-coded residuals + integer predictors, MD5-gated) under the
+# mm_audio_features hash contract.  Each document gets one of four
+# constant FLAC streams carrying samples ((v*7919 + i*97) mod 2^16,
+# two's complement) encoded with a DIFFERENT subframe strategy
+# (verbatim / fixed1 / fixed2 / LPC) — all four must decode to the
+# formula's samples exactly, so every predictor path sits under the
+# driver gate; the oracle regenerates the samples relationally.
+# ---------------------------------------------------------------------------
+
+
+def _flac_fixtures() -> list[bytes]:
+    import numpy as np
+
+    from ..operators.flac import flac_bytes
+
+    out = []
+    for v, kw in enumerate(
+        [
+            dict(mode="verbatim"),
+            dict(mode="fixed1"),
+            dict(mode="fixed2", partition_order=2),
+            dict(mode="lpc", lpc_coeffs=[205, -102], lpc_shift=7),
+        ]
+    ):
+        u = (v * 7919 + np.arange(_N_SAMP) * 97) % 65536
+        samples = np.where(u >= 32768, u - 65536, u).astype(np.int64)
+        out.append(
+            flac_bytes(samples, sample_rate=_RATE, bits=16, **kw)
+        )
+    return out
+
+
+@query(
+    "mm_flac_features",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id, t.i,
+               (((d.doc_id % 4) * 7919 + t.i * 97) % 65536) AS u
+        FROM documents d, (SELECT unnest(range({_N_SAMP})) AS i) t
+        WHERE d.doc_id < 200
+    ),
+    v AS (
+        SELECT doc_id, i,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS val
+        FROM s
+    ),
+    lagd AS (
+        SELECT doc_id, val,
+               LAG(val) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM v
+    )
+    SELECT doc_id AS media_id,
+           {_N_SAMP}::BIGINT AS n_samples,
+           {_RATE} AS sample_rate,
+           {_N_SAMP * 1000 // _RATE}::BIGINT AS duration_ms,
+           SQRT(CAST(SUM(val * val) AS DOUBLE) / {_N_SAMP}) AS rms,
+           CAST(MAX(ABS(val)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND ((val < 0) <> (prev < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagd GROUP BY doc_id
+    """,
+)
+def mm_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flacs = _flac_fixtures()
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(g) for g in flacs]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("content"),
+    )
+    return au.audio_features(d)
