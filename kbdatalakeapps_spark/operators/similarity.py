@@ -897,3 +897,72 @@ def covariance_fixed_point(
             (F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")).alias("cov_num"),
         )
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k per query (recommendation /
+    matrix-factorization retrieval, where magnitude matters and
+    cosine is the WRONG similarity).  Same plan shape as
+    :func:`cosine_topk` — broadcast query set, one narrow corpus pass
+    with an exact-decimal ``zip_with`` dot, per-query bounded top-k
+    window — minus the norm division.  Ties break on corpus id.
+
+    Scale path: MIPS reduces to unit-sphere NN via norm augmentation
+    (:func:`mips_augment`, Bachrach et al. 2014) — augment corpus
+    vectors with sqrt(M² − ‖x‖²) and queries with 0, then ANY of the
+    ANN operators (lsh_bucketed_topk / ivf_topk / sq8) answers MIPS
+    approximately; this exact operator is the verifier/baseline."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q) if broadcast_queries else q)
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "dot", "rank")
+    )
+
+
+def mips_augment(
+    df: DataFrame,
+    max_norm: float,
+    vec_col: str = "embedding",
+    is_query: bool = False,
+) -> DataFrame:
+    """Norm-augmentation MIPS→NN reduction (Bachrach et al., RecSys
+    2014): corpus vectors gain the extra coordinate
+    sqrt(max_norm² − ‖x‖²), queries gain 0 — inner products are
+    preserved while all corpus vectors land on the max_norm sphere,
+    where largest-dot == nearest-cosine, so the existing ANN stack
+    indexes MIPS untouched.  ``max_norm`` must dominate every corpus
+    norm (take the exact max from a one-row agg upstream)."""
+    v = F.col(vec_col)
+    extra = (
+        F.lit(0.0)
+        if is_query
+        else F.sqrt(
+            F.greatest(
+                F.lit(float(max_norm)) * F.lit(float(max_norm))
+                - _norm(v) * _norm(v),
+                F.lit(0.0),
+            )
+        )
+    )
+    return df.withColumn(
+        vec_col, F.concat(v.cast("array<double>"), F.array(extra))
+    )

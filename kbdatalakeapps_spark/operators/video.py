@@ -355,3 +355,51 @@ def dib_avi_bytes(
     movi = lst(b"movi", b"".join(chunk(b"00db", encode(f)) for f in frames))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def scene_cuts(
+    frames: DataFrame,
+    threshold: int = 1000,
+    id_col: str = "media_id",
+    ts_col: str = "frame_ts_ms",
+    thumb_col: str = "thumb",
+    thumb_bytes: int = 64,
+) -> DataFrame:
+    """Scene-change detection over sampled-frame thumbnails (the
+    output of :func:`sample_frames_decoded`): per-media L1 pixel
+    distance between each frame's thumbnail and its predecessor; a
+    frame is a cut when the distance crosses ``threshold``.  The
+    shot-boundary pass a video-curation pipeline runs before
+    per-scene frame selection.
+
+    All native expressions — the thumbnail bytes unpack via
+    hex/substr/conv inside codegen (64 B per frame; no UDF), and the
+    lag window partitions by media over the per-clip sampled frames
+    (bounded: duration/every_ms rows per key, never a global window).
+    Integer L1 keeps the column hash-portable.  First frame of each
+    clip: ``l1_prev`` NULL, ``is_cut`` false."""
+    from pyspark.sql.window import Window
+
+    unpack = F.transform(
+        F.sequence(F.lit(1), F.lit(thumb_bytes)),
+        lambda i: F.conv(
+            F.substring(F.hex(F.col(thumb_col)), (i - 1) * 2 + 1, 2), 16, 10
+        ).cast("long"),
+    )
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    d = frames.withColumn("_b", unpack).withColumn(
+        "_pb", F.lag("_b").over(w)
+    )
+    l1 = F.aggregate(
+        F.zip_with(F.col("_b"), F.col("_pb"), lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        id_col,
+        ts_col,
+        F.when(F.col("_pb").isNotNull(), l1).alias("l1_prev"),
+        F.when(
+            F.col("_pb").isNotNull(), l1 >= F.lit(threshold)
+        ).otherwise(F.lit(False)).alias("is_cut"),
+    )

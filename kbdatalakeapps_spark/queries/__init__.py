@@ -165,4 +165,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "dd_url_canonical",
     "mm_gif_frames",
     "mm_flac_features",
+    "mm_scene_cuts",
+    "sim_mips_topk",
 ]

@@ -1407,3 +1407,35 @@ def tx_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return script_mix(d).drop("text")
+
+
+@query(
+    "sim_mips_topk",
+    oracle=f"""
+    WITH dots AS ({_DOT_SQL}),
+    scored AS (
+        SELECT query_id, corpus_id,
+               ROUND(dot, 9) AS dot,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot DESC, corpus_id
+               ) AS rank
+        FROM dots
+    )
+    SELECT query_id, corpus_id, dot, rank::INT AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-5 for queries vec_id < 3
+    (operators/similarity.py::mips_topk) — the recommendation-model
+    retrieval where magnitude matters; the exact-decimal dot fold
+    keeps the float column hash-portable.  Scale path = norm
+    augmentation onto the ANN stack (mips_augment; equivalence
+    asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.mips_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    return out.select(
+        "query_id", "corpus_id", F.round("dot", 9).alias("dot"),
+        F.col("rank").cast("int").alias("rank"),
+    )

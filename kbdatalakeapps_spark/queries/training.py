@@ -1843,3 +1843,99 @@ def mm_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return au.audio_features(d)
+
+
+# ---------------------------------------------------------------------------
+# mm_scene_cuts: shot-boundary detection composing the REAL decode
+# path with the relational temporal operator — GIF fixtures carry
+# known A/B pattern sequences, sample_frames_decoded produces the
+# thumbnails, operators/video.py::scene_cuts takes the per-media L1
+# lag; the oracle replays the pattern matrix with the pinned
+# inter-template distance (7680 = Σ|grayA − grayB| over the 8×8
+# thumb).  Any decode, thumbnail, unpack, or window regression moves
+# l1_prev/is_cut and fails the hash.
+# ---------------------------------------------------------------------------
+
+_SCENE_PATTERNS = [
+    [0, 1],           # A,B        → cut at frame 1
+    [0, 0, 1],        # A,A,B      → cut at frame 2
+    [0, 1, 1, 0],     # A,B,B,A    → cuts at frames 1 and 3
+    [0, 0, 0, 1, 1],  # A,A,A,B,B  → cut at frame 3
+]
+_L1_AB = 7680
+
+
+def _scene_gifs() -> list[bytes]:
+    import numpy as np
+
+    from ..operators.multimodal import gif_bytes
+
+    pal = [(0, 0, 0), (255, 64, 16), (32, 192, 255), (240, 240, 96)]
+    pa = np.fromfunction(lambda y, x: (x + y) % 2, (8, 8)).astype(np.uint8)
+    pb = (np.fromfunction(lambda y, x: x // 2 % 2, (8, 8)) + 2).astype(
+        np.uint8
+    )
+    return [
+        gif_bytes(
+            [(pa, pb)[p] for p in pat],
+            pal,
+            delays_ms=[500] * len(pat),
+        )
+        for pat in _SCENE_PATTERNS
+    ]
+
+
+def _scene_pattern_sql() -> str:
+    arms = []
+    for v, pat in enumerate(_SCENE_PATTERNS):
+        inner = " ".join(
+            f"WHEN {i} THEN {p}" for i, p in enumerate(pat)
+        )
+        arms.append(f"WHEN {v} THEN CASE t.i {inner} END")
+    lens = " ".join(
+        f"WHEN {v} THEN {len(p)}" for v, p in enumerate(_SCENE_PATTERNS)
+    )
+    return f"""
+    pat AS (
+        SELECT d.doc_id AS media_id, t.i,
+               CASE d.doc_id % 4 {" ".join(arms)} END AS p
+        FROM documents d, (SELECT unnest(range(5)) AS i) t
+        WHERE d.doc_id < 200
+          AND t.i < (CASE d.doc_id % 4 {lens} END)
+    )
+    """
+
+
+@query(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH {_scene_pattern_sql()},
+    lagd AS (
+        SELECT media_id, i, p,
+               LAG(p) OVER (PARTITION BY media_id ORDER BY i) AS pp
+        FROM pat
+    )
+    SELECT media_id,
+           i * 500 AS frame_ts_ms,
+           CASE WHEN pp IS NULL THEN NULL
+                WHEN p = pp THEN 0 ELSE {_L1_AB} END AS l1_prev,
+           COALESCE(CASE WHEN pp IS NULL THEN FALSE
+                         ELSE (CASE WHEN p = pp THEN 0
+                               ELSE {_L1_AB} END) >= 1000 END,
+                    FALSE) AS is_cut
+    FROM lagd
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.video import sample_frames_decoded, scene_cuts
+
+    gifs = _scene_gifs()
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(g) for g in gifs]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("content"),
+    )
+    frames = sample_frames_decoded(d, every_ms=500)
+    return scene_cuts(frames, threshold=1000)

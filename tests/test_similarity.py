@@ -275,3 +275,36 @@ def test_sq8_constant_dimension_is_stable(spark):
     assert all(math.isfinite(r.sq_d2) for r in rows)
     best = min(rows, key=lambda r: (r.sq_d2, r.doc_id))
     assert best.doc_id == 0
+
+
+def test_mips_augment_reduction_matches_exact(spark):
+    """Norm augmentation preserves MIPS order: cosine top-k over the
+    augmented vectors == exact inner-product top-k on the originals."""
+    import math
+    import random
+
+    from kbdatalakeapps_spark.operators.similarity import (
+        cosine_topk,
+        mips_augment,
+        mips_topk,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-2, 2) * (1 + i % 3) for _ in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 3")
+    exact = {
+        (r.query_id, r.rank): r.corpus_id
+        for r in mips_topk(df, queries, k=5).collect()
+    }
+    max_norm = max(math.sqrt(sum(v * v for v in vec)) for _, vec in rows)
+    aug_c = mips_augment(df, max_norm)
+    aug_q = mips_augment(queries, max_norm, is_query=True)
+    via_cosine = {
+        (r.query_id, r.rank): r.corpus_id
+        for r in cosine_topk(aug_c, aug_q, k=5).collect()
+    }
+    assert via_cosine == exact

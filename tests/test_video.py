@@ -148,3 +148,29 @@ def test_mjpeg_wrapper_rejects_dib():
     avi = dib_avi_bytes([np.zeros((2, 2, 3), dtype=np.uint8)])
     with pytest.raises(NotImplementedError, match="not MJPEG"):
         _decode_avi_mjpeg(avi)
+
+
+def test_scene_cuts_planted(spark):
+    from kbdatalakeapps_spark.operators.video import scene_cuts
+
+    # two 4-byte "thumbs": distance 0 between repeats, 40 across
+    a, b = bytes([0, 10, 20, 30]), bytes([10, 20, 30, 40])
+    rows = [
+        (1, 0, bytearray(a)),
+        (1, 500, bytearray(a)),
+        (1, 1000, bytearray(b)),
+        (2, 0, bytearray(b)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_ts_ms long, thumb binary"
+    )
+    got = {
+        (r.media_id, r.frame_ts_ms): (r.l1_prev, r.is_cut)
+        for r in scene_cuts(df, threshold=30, thumb_bytes=4).collect()
+    }
+    assert got == {
+        (1, 0): (None, False),
+        (1, 500): (0, False),
+        (1, 1000): (40, True),
+        (2, 0): (None, False),
+    }
