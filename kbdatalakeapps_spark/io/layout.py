@@ -98,7 +98,12 @@ def compact_parquet(
 
 
 def versioned_write(
-    df: DataFrame, table_dir: str, mode: str = "append"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 16384,
+    bloom_hashes: int = 3,
 ) -> int:
     """Manifest-versioned table write — snapshot isolation without a
     table-format dependency: each commit writes its data files under
@@ -143,6 +148,14 @@ def versioned_write(
         if f.endswith(".parquet")
     ]
     new_stats = {path: _file_column_stats(path) for path in new_files}
+    new_blooms = (
+        _file_bloom_filters(
+            df.sparkSession, new_files, bloom_columns, bloom_bits,
+            bloom_hashes,
+        )
+        if bloom_columns
+        else {}
+    )
     df_fields = df.schema.jsonValue()["fields"]
 
     def build(prior_manifest: dict | None, new_v: int) -> dict:
@@ -163,6 +176,7 @@ def versioned_write(
             "version": new_v,
             "files": sorted(pm.get("files", []) + new_files),
             "stats": {**pm.get("stats", {}), **new_stats},
+            "blooms": {**pm.get("blooms", {}), **new_blooms},
             # carried files keep their deletion vectors; the new files
             # have none.  An overwrite commit resets both.
             "deletes": pm.get("deletes", []),
@@ -279,6 +293,95 @@ def _stats_may_match(stats: dict, col: str, op: str, value) -> bool:
     raise ValueError(f"unsupported pruning op: {op}")
 
 
+def _bloom_value_str(value) -> str | None:
+    """Canonical string form matching Spark's ``cast('string')`` for
+    the bloom-safe types (int/str; bool per Spark's lowercase).  Float
+    equality pruning is a footgun — return None ("cannot exclude")."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, str)):
+        return str(value)
+    return None
+
+
+def _bloom_entry_may_contain(entry: dict | None, value) -> bool:
+    """Probe a manifest per-file bloom: False only when the value is
+    PROVABLY absent (some probe bit unset).  Missing entry/unsupported
+    value type → True (never wrongly prune).  Probes replay
+    operators/sketch._bloom_probes exactly: md5(str(v) + '|bf{i}'),
+    first 15 hex digits as int, mod m; 32-bit words."""
+    if not entry:
+        return True
+    s = _bloom_value_str(value)
+    if s is None:
+        return True
+    import hashlib
+
+    m, k, words = entry["m"], entry["k"], entry["words"]
+    for i in range(k):
+        j = int(hashlib.md5(f"{s}|bf{i}".encode()).hexdigest()[:15], 16) % m
+        if not (int(words.get(str(j // 32), 0)) >> (j % 32)) & 1:
+            return False
+    return True
+
+
+def _file_bloom_filters(
+    spark, files: list[str], cols: list[str], m_bits: int, n_hashes: int
+) -> dict:
+    """Per-(file, column) bloom filters over the just-committed files,
+    built DISTRIBUTED in one Spark job (explode md5 probes →
+    map-side-combined ``bit_or`` per (file, column, word)) — the same
+    portable probe family as operators/sketch.bloom_build, stored
+    sparse in the manifest ({word_idx: word}, ≤ k·distinct words).
+
+    This is the Iceberg/Delta data-skipping idea one level up from
+    min/max: point lookups on NON-sort columns (where every file's
+    min/max range overlaps) prune from the manifest alone.  Cost is
+    one scan of the new files per commit — the files this writer just
+    produced, not the table."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketch import _bloom_probes
+
+    src = spark.read.parquet(*files)
+    cols = [c for c in cols if c in src.columns]
+    if not cols:
+        return {}
+    parts = []
+    for col in cols:
+        parts.append(
+            src.select(
+                F.input_file_name().alias("_f"),
+                F.col(col).cast("string").alias("_v"),
+            )
+            .filter(F.col("_v").isNotNull())
+            .select(
+                "_f",
+                F.lit(col).alias("_c"),
+                F.explode(
+                    F.array(*_bloom_probes(F.col("_v"), m_bits, n_hashes))
+                ).alias("p"),
+            )
+            .select("_f", "_c", "p.word_idx", "p.mask")
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    rows = (
+        u.groupBy("_f", "_c", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        path = r._f.removeprefix("file://") if r._f.startswith("file:") else r._f
+        entry = out.setdefault(path, {}).setdefault(
+            r._c, {"m": m_bits, "k": n_hashes, "words": {}}
+        )
+        entry["words"][str(r.word_idx)] = int(r.word)
+    return out
+
+
 def _pinned_reader(spark, manifest: dict):
     """Reader pinned to the manifest's committed schema — the schema-
     evolution contract: files predating an added column yield NULL for
@@ -342,11 +445,18 @@ def read_version(
     files = manifest["files"]
     if predicate:
         stats = manifest.get("stats", {})
+        blooms = manifest.get("blooms", {})
         files = [
             f
             for f in files
             if all(
                 _stats_may_match(stats.get(f, {}), col, op, val)
+                and (
+                    op != "="
+                    or _bloom_entry_may_contain(
+                        blooms.get(f, {}).get(col), val
+                    )
+                )
                 for col, op, val in predicate
             )
         ]
@@ -475,6 +585,7 @@ def delete_where(spark, table_dir: str, condition: str):
             "version": new_v,
             "files": manifest["files"],
             "stats": manifest.get("stats", {}),
+            "blooms": manifest.get("blooms", {}),
             "deletes": dvs + [dv_dir],
             "schema": manifest.get("schema"),
             "committed_at": time.time(),
@@ -568,6 +679,7 @@ def update_where(spark, table_dir: str, condition: str, assignments: dict):
             "version": new_v,
             "files": sorted(manifest["files"] + new_files),
             "stats": stats,
+            "blooms": manifest.get("blooms", {}),
             "deletes": dvs + [dv_dir],
             "schema": manifest.get("schema"),
             "committed_at": time.time(),

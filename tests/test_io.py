@@ -1677,3 +1677,92 @@ def test_optimize_is_a_change_feed_noop(spark, tmp_path):
     # the pyarrow stream reader agrees
     got = sorted(change_rows(t, 1, 3, ["id"]))
     assert got == [(i, "insert", 3) for i in (30, 31, 32)]
+
+
+def test_versioned_manifest_bloom_point_lookup_prunes(spark, tmp_path):
+    """Bloom data-skipping on a NON-sort column: every file's min/max
+    covers the probe value (ids interleave mod 3), so range stats
+    cannot prune — the per-file blooms must, and never with a false
+    negative."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.layout import read_version, versioned_write
+
+    t = str(tmp_path / "vbloom")
+    # three commits over the SAME id range but disjoint key sets:
+    # key = 'k<i>' with i ≡ commit (mod 3) — min/max of key overlaps
+    # heavily across files, the classic bloom win
+    for c in range(3):
+        df = (
+            spark.range(0, 300)
+            .filter((F.col("id") % 3) == c)
+            .select(
+                "id", F.concat(F.lit("k"), F.col("id")).alias("key")
+            )
+            .repartition(1)
+        )
+        versioned_write(df, t, bloom_columns=["key"])
+
+    with open(f"{t}/_manifests/v3.json") as fh:
+        man = json.load(fh)
+    assert len(man["files"]) == 3
+    assert all(f in man["blooms"] for f in man["files"])
+    assert all("key" in man["blooms"][f] for f in man["files"])
+
+    # point lookup: k77 lives only in commit 77 % 3 = 2's file
+    hit = read_version(spark, t, predicate=[("key", "=", "k77")])
+    assert len(hit.inputFiles()) == 1
+    rows = hit.filter("key = 'k77'").collect()
+    assert len(rows) == 1 and rows[0].id == 77
+
+    # absent key: typically all files pruned (bloom FP rate ~0.1%);
+    # at minimum the read stays correct
+    miss = read_version(spark, t, predicate=[("key", "=", "nope")])
+    assert miss.filter("key = 'nope'").count() == 0
+    assert len(miss.inputFiles()) <= 1  # FPs allowed, misses are not
+
+    # NO false negative anywhere: every present key reads its row
+    for probe in ["k0", "k1", "k2", "k299", "k150"]:
+        got = read_version(spark, t, predicate=[("key", "=", probe)])
+        assert got.filter(F.col("key") == probe).count() == 1, probe
+
+    # range predicates ignore blooms (min/max only) — still correct
+    rng = read_version(spark, t, predicate=[("id", ">=", 0)])
+    assert rng.count() == 300
+
+
+def test_versioned_bloom_survives_delete_update(spark, tmp_path):
+    """delete_where / update_where commits carry the bloom manifest
+    forward; pruned point reads still apply DVs correctly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.layout import (
+        delete_where,
+        read_version,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "vbloomdv")
+    for c in range(2):
+        df = (
+            spark.range(0, 200)
+            .filter((F.col("id") % 2) == c)
+            .select("id", F.concat(F.lit("k"), F.col("id")).alias("key"))
+            .repartition(1)
+        )
+        versioned_write(df, t, bloom_columns=["key"])
+    delete_where(spark, t, "key = 'k11'")
+    with open(f"{t}/_manifests/v3.json") as fh:
+        man = json.load(fh)
+    assert man["blooms"]  # carried through the delete commit
+    gone = read_version(spark, t, predicate=[("key", "=", "k11")])
+    assert gone.filter("key = 'k11'").count() == 0  # DV applied
+    there = read_version(spark, t, predicate=[("key", "=", "k13")])
+    # inputFiles also lists the DV parquet — count only data files
+    data_files = [f for f in there.inputFiles() if "/data/" in f]
+    assert len(data_files) == 1
+    assert there.filter("key = 'k13'").count() == 1
