@@ -106,6 +106,13 @@ BENCH_QUERIES = [
     "ml_ndcg",                     # per-user fixed-point NDCG@10
     "sim_sq8_topk",                # SQ8 bounds + encode + asymmetric top-k
     "gr_cc_largestar",             # alternating large/small-star deep CC
+    # round-5 continuation additions (appended; earlier keys stay
+    # comparable)
+    "gr_label_propagation",        # 2-round synchronous LPA communities
+    "tx_collocations",             # bigram collocation mining (PMI/Dice)
+    "dd_url_canonical",            # URL canonicalization dedup
+    "mm_flac_features",            # real FLAC decode (rice + predictors)
+    "mm_scene_cuts",               # GIF decode + thumbnail L1 shot bounds
 ]
 
 # The most expensive queries — measured twice, median reported.
@@ -128,6 +135,8 @@ REPEAT_QUERIES = {
     "sp_pack_sequences",
     "tx_language_id",
     "dd_embedding_neardup",
+    # round-5 continuation: LPA is iterative (2 joins + 2 argmax aggs)
+    "gr_label_propagation",
     # round-5 continuation heavy: ~12 iterative rounds, overhead-bound
     "gr_cc_largestar",
 }

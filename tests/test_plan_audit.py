@@ -69,6 +69,10 @@ _BNLJ_OK = {
                               # per-community frame
     "sp_temperature_mixture", # two 1-row scalars (sqrt-sum total,
                               # capacity) crossed onto the domain table
+    "sim_mips_topk",          # bounded query set × corpus — the
+                              # sim_cosine_topk shape minus the norm
+    "ml_lift_gains",          # 1-row totals scalar onto the ≤24-row
+                              # score-band table
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is
@@ -93,6 +97,8 @@ _GLOBAL_WINDOW_OK = {
     "ml_auc_rank",            # grouped_prefix_sum(group=∅) offsets
                               # window over the ≤ #buckets totals frame
     "ml_pr_curve",            # same offsets frame
+    "ml_lift_gains",          # cumulative legs over the ≤24-row
+                              # fixed-width band table
 }
 
 

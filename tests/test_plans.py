@@ -221,6 +221,19 @@ def test_exchange_counts_bounded(spark):
         "sim_sq8_topk": 5,
         "dd_simhash_rotated": 3,
         "mm_exif_metadata": 1,
+        # round-5 continuation #3, measured 2 / 3 / 2 / 4 / 4 / 1 / 1:
+        # LPA's per-round join+argmax sit behind the lazy checkpoint;
+        # collocations = bigram agg + unigram agg + candidate join;
+        # lift/l-diversity pay their bounded second-stage aggs;
+        # MIPS is broadcast + one top-k window; scene cuts is the
+        # mapInPandas scan + one bounded per-media window
+        "gr_label_propagation": 4,
+        "tx_collocations": 5,
+        "dd_url_canonical": 3,
+        "ml_lift_gains": 6,
+        "dq_l_diversity": 6,
+        "sim_mips_topk": 2,
+        "mm_scene_cuts": 2,
     }
     over = {}
     for name, bound in bounds.items():
