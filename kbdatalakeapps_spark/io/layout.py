@@ -899,6 +899,7 @@ def optimize_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     bits: int = 16,
     curve: str = "zorder",
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """Table maintenance in one commit — the OPTIMIZE [ZORDER BY]
     lifecycle verb over a manifest-versioned table: read the current
@@ -955,7 +956,12 @@ def optimize_table(
     # 'optimize' = overwrite file semantics, but the op stamp tells
     # change-feed consumers the data is LOGICALLY unchanged — a 100 TB
     # compaction must not emit 2×100 TB of spurious delete+insert rows
-    return versioned_write(cur, table_dir, mode="optimize")
+    # (bloom_columns: an overwrite commit drops prior blooms with the
+    # files they described — rebuild them over the compacted files in
+    # the same pass, the read_version stats-refresh idea)
+    return versioned_write(
+        cur, table_dir, mode="optimize", bloom_columns=bloom_columns
+    )
 
 
 def table_changes(

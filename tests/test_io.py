@@ -1766,3 +1766,32 @@ def test_versioned_bloom_survives_delete_update(spark, tmp_path):
     data_files = [f for f in there.inputFiles() if "/data/" in f]
     assert len(data_files) == 1
     assert there.filter("key = 'k13'").count() == 1
+
+
+def test_optimize_rebuilds_blooms(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.layout import (
+        optimize_table,
+        read_version,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "vbloomopt")
+    for c in range(2):
+        df = (
+            spark.range(0, 100)
+            .filter((F.col("id") % 2) == c)
+            .select("id", F.concat(F.lit("k"), F.col("id")).alias("key"))
+            .repartition(1)
+        )
+        versioned_write(df, t, bloom_columns=["key"])
+    v = optimize_table(spark, t, bloom_columns=["key"])
+    with open(f"{t}/_manifests/v{v}.json") as fh:
+        man = json.load(fh)
+    # compacted file(s) carry fresh blooms; reads stay exact
+    assert man["blooms"] and all("key" in b for b in man["blooms"].values())
+    got = read_version(spark, t, predicate=[("key", "=", "k42")])
+    assert got.filter("key = 'k42'").count() == 1
