@@ -208,3 +208,36 @@ def jaro_winkler(col_a: str, col_b: str, out: str = "jw"):
         ])
 
     return _jw(F.col(col_a), F.col(col_b)).alias(out)
+
+
+_SOUNDEX_MAP = "01230120022455012623010202"
+
+
+def phonetic_key(col: Column | str) -> Column:
+    """Soundex-class phonetic blocking key, built from PORTABLE native
+    expressions (translate + regexp collapse) rather than the JVM's
+    ``soundex()`` builtin, so the exact same spec replays in the
+    DuckDB oracle: uppercase alpha only, first letter + the next 3
+    consonant-class digits after collapsing adjacent repeats and
+    dropping vowels/zeros, zero-padded.
+
+    Deliberate simplification vs archival Soundex: H/W are coded as
+    transparent class 0 (dropped) but do NOT merge the codes around
+    them — the variant most SQL implementations ship.  For blocking
+    that difference only splits the rare NAME-H-NAME collision pair
+    into two blocks (recall loss ≪ the key's own false-negative
+    rate); the comparator stage (jaro_winkler) decides matches.
+
+    NULL/empty-after-cleanup input → NULL key (no membership)."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    first = F.substring(u, 1, 1)
+    collapsed = F.translate(u, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", _SOUNDEX_MAP)
+    # collapse runs per digit WITHOUT a regex backreference — DuckDB
+    # is RE2 (no backrefs), so the oracle twin must replay the same
+    # spec; 6 fixed patterns beat one (\d)\1+ that only Java can run
+    for d in "123456":
+        collapsed = F.regexp_replace(collapsed, f"{d}{{2,}}", d)
+    digits = F.regexp_replace(F.substring(collapsed, 2, 64), "0", "")
+    key = F.concat(first, F.substring(F.rpad(digits, 3, "0"), 1, 3))
+    return F.when(F.length(u) > 0, key)

@@ -167,4 +167,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "mm_flac_features",
     "mm_scene_cuts",
     "sim_mips_topk",
+    "er_phonetic_blocking",
 ]

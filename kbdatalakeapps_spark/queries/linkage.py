@@ -246,3 +246,70 @@ def er_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id_a", "id_b")
         .limit(5000)
     )
+
+
+@query(
+    "er_phonetic_blocking",
+    oracle="""
+    WITH w AS (
+        SELECT p_partkey, string_split(p_name, ' ')[1] AS name,
+               upper(regexp_replace(string_split(p_name, ' ')[1],
+                                    '[^A-Za-z]', '', 'g')) AS u
+        FROM part
+    ),
+    k AS (
+        SELECT p_partkey, name,
+               CASE WHEN len(u) > 0 THEN
+                   substr(u, 1, 1) ||
+                   substr(rpad(regexp_replace(substr(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 '01230120022455012623010202'),
+                       '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+                       '3{2,}', '3', 'g'), '4{2,}', '4', 'g'),
+                       '5{2,}', '5', 'g'), '6{2,}', '6', 'g'),
+                       2, 64), '0', '', 'g'), 3, '0'), 1, 3)
+               END AS pk
+        FROM w
+    )
+    SELECT pk AS phonetic_key,
+           COUNT(*)::BIGINT AS n_names,
+           COUNT(DISTINCT name)::BIGINT AS n_distinct_names,
+           (COUNT(*) * (COUNT(*) - 1)) // 2 AS candidate_pairs,
+           MIN(p_partkey) AS min_partkey
+    FROM k
+    WHERE pk IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def er_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking diagnostic over part-name first words
+    (operators/linkage.py::phonetic_key — the portable Soundex-class
+    key): per-block name counts and the candidate-pair budget
+    n·(n−1)/2 the comparator stage would pay.  The blocking step of
+    the Fellegi-Sunter pipeline when keys are NOISY text rather than
+    exact attributes (er_record_linkage's equi-join blocks).  One
+    grouped pass; countDistinct isolated per the Expand rule."""
+    from ..operators.linkage import phonetic_key
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(0).alias("name"),
+    )
+    k = p.select(
+        "p_partkey", "name", phonetic_key("name").alias("pk")
+    ).filter(F.col("pk").isNotNull())
+    n = F.count(F.lit(1)).cast("bigint")
+    return (
+        k.groupBy(F.col("pk").alias("phonetic_key"))
+        .agg(
+            n.alias("n_names"),
+            F.countDistinct("name").cast("bigint").alias("n_distinct_names"),
+            F.expr("(count(1) * (count(1) - 1)) div 2").alias(
+                "candidate_pairs"
+            ),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+        .orderBy("phonetic_key")
+    )

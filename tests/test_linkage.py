@@ -39,3 +39,23 @@ def test_jaro_winkler_column_nulls(spark):
     got = df.select(F.round(jaro_winkler("a", "b"), 4).alias("jw")).collect()
     assert got[0].jw == 0.9611
     assert got[1].jw is None and got[2].jw is None
+
+
+def test_phonetic_key_classic_vectors(spark):
+    from kbdatalakeapps_spark.operators.linkage import phonetic_key
+
+    # classic soundex vectors (our variant: H/W transparent but
+    # non-merging — Ashcraft diverges from archival A261, documented)
+    cases = [
+        ("Robert", "R163"),
+        ("Rupert", "R163"),
+        ("Tymczak", "T522"),
+        ("Pfister", "P236"),
+        ("Jackson", "J250"),
+        ("Ashcraft", "A226"),
+        ("", None),
+        ("123", None),
+    ]
+    df = spark.createDataFrame([(n,) for n, _ in cases], "n string")
+    got = [r.k for r in df.select(phonetic_key("n").alias("k")).collect()]
+    assert got == [k for _, k in cases]
