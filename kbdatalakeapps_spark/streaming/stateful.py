@@ -120,3 +120,80 @@ def transition_increments(stream: DataFrame, key_col: str = "user_id") -> DataFr
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SCENE_CUTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("l1_prev", T.LongType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ]
+)
+
+_SCENE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_thumb", T.BinaryType()),
+    ]
+)
+
+
+def _make_update_scene(threshold: int):
+    def _update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (last,) = state.get if state.exists else (None,)
+        ts_out, l1_out, cut_out = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("frame_ts_ms")
+            for ts, th in zip(pdf["frame_ts_ms"], pdf["thumb"]):
+                th = bytes(th)
+                if last is None:
+                    l1 = None
+                    cut = False
+                else:
+                    l1 = sum(
+                        abs(a - b) for a, b in zip(th, bytes(last))
+                    )
+                    cut = l1 >= threshold
+                ts_out.append(int(ts))
+                l1_out.append(l1)
+                cut_out.append(cut)
+                last = th
+        state.update((last,))
+        if ts_out:
+            yield pd.DataFrame(
+                {
+                    "media_id": [key[0]] * len(ts_out),
+                    "frame_ts_ms": ts_out,
+                    "l1_prev": l1_out,
+                    "is_cut": cut_out,
+                }
+            )
+
+    return _update
+
+
+def scene_cut_increments(
+    stream: DataFrame, threshold: int = 1000, key_col: str = "media_id"
+) -> DataFrame:
+    """Streaming twin of operators/video.py::scene_cuts: per-media
+    state carries the LAST frame thumbnail across micro-batches, so a
+    shot boundary landing exactly on a batch boundary is still
+    detected — the cross-batch guarantee a stateless per-batch lag()
+    window cannot give (the transition_increments contract, applied
+    to pixels).  Input rows are (media_id, frame_ts_ms, thumb) — the
+    sample_frames_decoded output as a stream (e.g. frames landing
+    from a decode stage via foreachBatch).
+
+    State per key is ONE thumbnail (thumb_size² bytes — bounded by
+    live-media cardinality, checkpointed, recoverable).  Rows are
+    ordered by frame_ts_ms within each batch; cross-batch ordering is
+    the usual log-shipping contract."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _make_update_scene(threshold),
+        outputStructType=SCENE_CUTS_SCHEMA,
+        stateStructType=_SCENE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

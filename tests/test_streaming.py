@@ -614,3 +614,74 @@ def test_foreach_batch_versioned_table_commits(spark, tmp_path):
     # the stream's commits are visible as a change feed
     feed = table_changes(spark, t, from_version=0)
     assert feed.filter("_change_type = 'insert'").count() == n_events
+
+
+def test_stateful_scene_cuts_cross_batch(spark, tmp_path):
+    """A shot boundary landing exactly on a micro-batch boundary must
+    still be detected: decoded frames split into two time-halves
+    arrive as two files/batches; the streamed per-media L1/is_cut
+    rows must equal batch scene_cuts exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.multimodal import gif_bytes
+    from kbdatalakeapps_spark.operators.video import (
+        sample_frames_decoded,
+        scene_cuts,
+    )
+    from kbdatalakeapps_spark.streaming.incremental import run_available_now
+    from kbdatalakeapps_spark.streaming.stateful import scene_cut_increments
+
+    pal = [(0, 0, 0), (255, 64, 16), (32, 192, 255), (240, 240, 96)]
+    pa = np.fromfunction(lambda y, x: (x + y) % 2, (8, 8)).astype(np.uint8)
+    pb = (np.fromfunction(lambda y, x: x // 2 % 2, (8, 8)) + 2).astype(
+        np.uint8
+    )
+    # cut A→B happens at ts 1000 — exactly the batch split point
+    g = gif_bytes([pa, pa, pb, pb], pal, delays_ms=[500] * 4)
+    media = spark.createDataFrame(
+        [(i, bytearray(g)) for i in range(3)],
+        "media_id long, content binary",
+    )
+    frames = sample_frames_decoded(media, every_ms=500).select(
+        "media_id", "frame_ts_ms", "thumb"
+    )
+    src = tmp_path / "frames_in"
+    src.mkdir()
+    frames.filter(F.col("frame_ts_ms") < 1000).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+    frames.filter(F.col("frame_ts_ms") >= 1000).coalesce(1).write.parquet(
+        str(src / "b.parquet")
+    )
+    # the parquet file stream does not recurse into per-write dirs
+    # (NOTES r4) — feed it the flat files
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import glob
+    import shutil as sh
+
+    for i, f in enumerate(
+        sorted(glob.glob(str(src / "*" / "part-*.parquet")))
+    ):
+        sh.copy(f, flat / f"{i}.parquet")
+    stream = spark.readStream.schema(frames.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(flat))
+    run_available_now(
+        scene_cut_increments(stream, threshold=1000),
+        "st_scene_cuts",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = sorted(
+        (r.media_id, r.frame_ts_ms, r.l1_prev, r.is_cut)
+        for r in spark.table("st_scene_cuts").collect()
+    )
+    want = sorted(
+        (r.media_id, r.frame_ts_ms, r.l1_prev, r.is_cut)
+        for r in scene_cuts(frames, threshold=1000).collect()
+    )
+    assert got == want
+    # the boundary-crossing cut is present and flagged
+    assert (0, 1000, 7680, True) in got
