@@ -16,4 +16,8 @@ from .incremental import (  # noqa: F401
     stream_events,
     tumbling_counts,
 )
-from .stateful import running_totals, transition_increments  # noqa: F401
+from .stateful import (  # noqa: F401
+    running_totals,
+    scene_cut_increments,
+    transition_increments,
+)
