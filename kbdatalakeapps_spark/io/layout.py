@@ -247,7 +247,7 @@ def _file_column_stats(path: str) -> dict:
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(path)
-    out: dict = {}
+    out: dict = {"_rows": md.num_rows}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -277,7 +277,7 @@ def _file_column_stats(path: str) -> dict:
 def _stats_may_match(stats: dict, col: str, op: str, value) -> bool:
     """Can a file with these stats contain a row satisfying
     ``col op value``?  Missing stats → True (never wrongly prune)."""
-    if col not in stats:
+    if col not in stats or col == "_rows":
         return True
     mn, mx, _nulls = stats[col]
     if op == "=":
@@ -1115,3 +1115,39 @@ def vacuum_orphans(
                 shutil.rmtree(path)
                 removed.append(path)
     return {"removed_dirs": sorted(removed)}
+
+
+def snapshot_row_count(
+    table_dir: str, version: int | None = None
+) -> int | None:
+    """Metadata-only COUNT(*) of a versioned-table snapshot: Σ per-file
+    row counts recorded at commit time (parquet footer ``num_rows``,
+    stored in the manifest stats under ``_rows``) minus the rows its
+    deletion vectors remove.  No data file — and no footer — is opened
+    at query time; at 100k-file scale this answers the commonest
+    dashboard query from one JSON read, the Iceberg/Delta
+    ``snapshot.summary`` idea.
+
+    Returns None when any file in the snapshot predates row-count
+    recording (a wrong count is worse than a slow one — fall back to
+    a real scan)."""
+    import json
+    import os
+
+    mdir = os.path.join(table_dir, "_manifests")
+    if version is None:
+        version = max(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+    with open(os.path.join(mdir, f"v{version}.json")) as fh:
+        manifest = json.load(fh)
+    stats = manifest.get("stats", {})
+    total = 0
+    for f in manifest["files"]:
+        rows = stats.get(f, {}).get("_rows")
+        if rows is None:
+            return None
+        total += rows
+    return total - _dv_row_count(manifest.get("deletes", []))

@@ -1795,3 +1795,22 @@ def test_optimize_rebuilds_blooms(spark, tmp_path):
     assert man["blooms"] and all("key" in b for b in man["blooms"].values())
     got = read_version(spark, t, predicate=[("key", "=", "k42")])
     assert got.filter("key = 'k42'").count() == 1
+
+
+def test_snapshot_row_count_metadata_only(spark, tmp_path):
+    from kbdatalakeapps_spark.io.layout import (
+        delete_where,
+        read_version,
+        snapshot_row_count,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "vrows")
+    versioned_write(spark.range(0, 120).repartition(2), t)
+    versioned_write(spark.range(200, 250).repartition(1), t)
+    assert snapshot_row_count(t) == 170
+    assert snapshot_row_count(t, version=1) == 120
+    delete_where(spark, t, "id >= 100 AND id < 120")
+    assert snapshot_row_count(t) == 150
+    # the metadata answer equals the real scan
+    assert read_version(spark, t).count() == 150
