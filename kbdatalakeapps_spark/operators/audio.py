@@ -5,8 +5,10 @@ columns; decode + feature extraction run as Arrow-batched
 ``mapInPandas`` so each task streams bounded batches regardless of
 blob size.  RIFF/WAVE PCM decodes FOR REAL (pure python + numpy —
 the container has no soundfile/ffmpeg, but WAV is a trivial chunked
-container); compressed codecs (mp3/ogg/flac) raise
-``NotImplementedError`` so the gap is loud, not silently faked.
+container), as do AIFF and Sun/.au (big-endian PCM + G.711) and
+FLAC (:mod:`.flac` — exact integer decode); perceptual codecs
+(mp3/ogg/aac) raise ``NotImplementedError`` so the gap is loud, not
+silently faked.
 
 The extension-brief analogue of the reference's opaque-blob handling
 (content-addressed sequence blobs, hash_seq.py): treat media as bytes
@@ -324,10 +326,15 @@ def audio_features(
                 # container dispatch by signature: FLAC streams ride
                 # the same feature kernel (operators/flac.py — exact
                 # integer decode, so the hash contract is identical)
-                if c is not None and bytes(c[:4]) == b"fLaC":
+                sig = bytes(c[:4]) if c is not None else b""
+                if sig == b"fLaC":
                     from .flac import _decode_flac
 
                     decoded = _decode_flac(bytes(c))
+                elif sig == b"FORM":
+                    decoded = _decode_aiff(c)
+                elif sig == b".snd":
+                    decoded = _decode_au(c)
                 else:
                     decoded = _decode_wav(c)
                 if decoded is None:
@@ -444,3 +451,119 @@ def spectral_features(
             yield pd.DataFrame({id_col: pdf[id_col], **rows})
 
     return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+
+
+def _parse_extended80(b: bytes) -> int:
+    """80-bit IEEE 754 extended float → int sample rate (AIFF COMM).
+    Exact for every real-world rate (the mantissa is an explicit
+    integer); rounds to nearest for the pathological rest."""
+    import struct
+
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1 if se & 0x8000 else 1
+    exp = (se & 0x7FFF) - 16383 - 63
+    if mant == 0:
+        return 0
+    val = mant * (2.0**exp) if exp < 0 else mant << exp
+    return int(round(sign * val))
+
+
+def _decode_aiff(content: bytes):
+    """AIFF (FORM/AIFF) decode → the `_decode_wav` contract: big-endian
+    signed PCM (8/16/24/32-bit), COMM's 80-bit-extended sample rate
+    parsed exactly.  AIFC compressed variants raise; returns None for
+    non-AIFF bytes."""
+    import numpy as np
+
+    if content is None or len(content) < 12:
+        return None
+    d = bytes(content)
+    if d[0:4] != b"FORM" or d[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    pos = 12
+    channels = rate = bits = None
+    data = None
+    comp = b"NONE"
+    while pos + 8 <= len(d):
+        cid = d[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", d, pos + 4)
+        body = d[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            channels, _nframes, bits = struct.unpack_from(">HIH", body, 0)
+            rate = _parse_extended80(body[8:18])
+            if d[8:12] == b"AIFC" and len(body) >= 22:
+                comp = body[18:22]
+        elif cid == b"SSND":
+            off, _blk = struct.unpack_from(">II", body, 0)
+            data = body[8 + off :]
+        pos += 8 + size + (size & 1)
+    if channels is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if comp not in (b"NONE", b"sowt"):
+        raise NotImplementedError(
+            f"AIFC compression {comp!r} needs a codec library"
+        )
+    little = comp == b"sowt"  # AIFC byte-swapped PCM variant
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.int8).astype(np.int64)
+    elif bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2" if little else ">i2"
+        ).astype(np.int64)
+    elif bits == 32:
+        samples = np.frombuffer(
+            data, dtype="<i4" if little else ">i4"
+        ).astype(np.int64)
+    elif bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3).astype(np.int64)
+        if little:
+            u = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        else:
+            u = raw[:, 2] | (raw[:, 1] << 8) | (raw[:, 0] << 16)
+        samples = np.where(u >= 1 << 23, u - (1 << 24), u)
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    return _shape_channels(samples, channels), int(rate)
+
+
+def _decode_au(content: bytes):
+    """Sun/NeXT .au (.snd) decode → the `_decode_wav` contract:
+    encodings 1 (G.711 µ-law — reuses the WAV expansion table),
+    2/3/4/5 (signed linear PCM 8/16/24/32-bit, big-endian), and 27
+    (G.711 A-law).  Returns None for non-AU bytes."""
+    import numpy as np
+
+    if content is None or len(content) < 24:
+        return None
+    d = bytes(content)
+    if d[0:4] != b".snd":
+        return None
+    off, size, enc, rate, channels = struct.unpack_from(">IIIII", d, 4)
+    end = len(d) if size in (0, 0xFFFFFFFF) else min(len(d), off + size)
+    data = d[off:end]
+    if enc == 1:
+        samples = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.int64
+        )
+    elif enc == 27:
+        samples = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.int64
+        )
+    elif enc == 2:
+        samples = np.frombuffer(data, dtype=np.int8).astype(np.int64)
+    elif enc == 3:
+        samples = np.frombuffer(data, dtype=">i2").astype(np.int64)
+    elif enc == 4:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3).astype(np.int64)
+        u = raw[:, 2] | (raw[:, 1] << 8) | (raw[:, 0] << 16)
+        samples = np.where(u >= 1 << 23, u - (1 << 24), u)
+    elif enc == 5:
+        samples = np.frombuffer(data, dtype=">i4").astype(np.int64)
+    else:
+        raise NotImplementedError(
+            f".au encoding {enc} (floats/ADPCM variants) unsupported"
+        )
+    return _shape_channels(samples, channels), int(rate)

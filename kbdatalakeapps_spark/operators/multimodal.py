@@ -788,11 +788,15 @@ def resize_images(
                 pdf[content_col], pdf["_mime"], pdf["_w"], pdf["_h"]
             ):
                 mime_s = None if mime is None else str(mime)
-                if mime_s in ("image/png", "image/jpeg", "image/gif"):
+                if mime_s in (
+                    "image/png", "image/jpeg", "image/gif", "image/bmp"
+                ):
                     if mime_s == "image/png":
                         decoded = _decode_png(c)
                     elif mime_s == "image/jpeg":
                         decoded = _decode_jpeg(c)
+                    elif mime_s == "image/bmp":
+                        decoded = _decode_bmp(c)
                     else:
                         g = _decode_gif(c)
                         # static view: first composited frame
@@ -1545,4 +1549,58 @@ def gif_bytes(
             out += chunk
         out.append(0)
     out.append(0x3B)
+    return bytes(out)
+
+
+def _decode_bmp(content: bytes):
+    """Decode a BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB) —
+    the same uncompressed-DIB pixel layout the AVI 00db path decodes
+    (operators/video.py::_decode_dib_frame): DWORD-aligned bottom-up
+    BGR rows, negative height = top-down, 8-bit gray or 24-bit color.
+    Returns ``(ndarray h×w×ch, width, height)`` or None for non-BMP
+    bytes; compressed BMP variants (RLE/bitfields) raise."""
+    import struct
+
+    if content is None or content[:2] != b"BM":
+        return None
+    if len(content) < 54:
+        return None
+    (data_off,) = struct.unpack_from("<I", content, 10)
+    (hdr_size,) = struct.unpack_from("<I", content, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP core-header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", content, 18)
+    bits = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} (RLE/bitfields) unsupported"
+        )
+    from .video import _decode_dib_frame
+
+    return _decode_dib_frame(content[data_off:], width, height, bits)
+
+
+def bmp_bytes(arr) -> bytes:
+    """Fixture BMP writer: 24-bit BI_RGB bottom-up (or 8-bit gray
+    passthrough via a grayscale palette-free DIB is NOT valid BMP —
+    8-bit BMPs need a palette, so the writer always emits 24-bit)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=2)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = a[y, :, ::-1].tobytes()  # RGB → BGR
+        rows += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    out = bytearray()
+    out += b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    out += rows
     return bytes(out)

@@ -487,3 +487,98 @@ def test_ms_adpcm_rejects_bad_predictor():
     bad = bytes([9]) + b"\x00" * 22
     with pytest.raises(ValueError, match="predictor"):
         _decode_ms_adpcm(bad, 1, 23)
+
+
+def _ext80(rate: int) -> bytes:
+    import struct
+
+    if rate == 0:
+        return b"\x00" * 10
+    e = rate.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, rate << (63 - e))
+
+
+def _aiff_bytes(s, rate=8000, bits=16, ch=1, form=b"AIFF", comp=b""):
+    import struct
+
+    data = {16: ">i2", 32: ">i4"}[bits]
+    payload = s.astype(data).tobytes()
+    comm = struct.pack(">HIH", ch, len(s) // ch, bits) + _ext80(rate) + comp
+    ssnd = struct.pack(">II", 0, 0) + payload
+    body = b"COMM" + struct.pack(">I", len(comm)) + comm
+    if len(comm) & 1:
+        body += b"\x00"
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    return b"FORM" + struct.pack(">I", 4 + len(body)) + form + body
+
+
+def test_aiff_decode_be_pcm():
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import _decode_aiff
+
+    rng = np.random.default_rng(4)
+    s = rng.integers(-3000, 3000, 300).astype(np.int64)
+    for rate in (8000, 44100, 48000):
+        dec, r = _decode_aiff(_aiff_bytes(s, rate=rate))
+        assert r == rate
+        assert np.array_equal(dec[:, 0], s)
+    # stereo interleave
+    st = rng.integers(-3000, 3000, 400).astype(np.int64)
+    dec, _ = _decode_aiff(_aiff_bytes(st, ch=2))
+    assert dec.shape == (200, 2)
+    assert np.array_equal(dec.reshape(-1), st)
+    from kbdatalakeapps_spark.operators.audio import _decode_aiff as da
+
+    assert da(b"not aiff bytes") is None
+
+
+def test_au_decode_ulaw_and_pcm():
+    import struct
+
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import (
+        _ULAW_TABLE,
+        _decode_au,
+    )
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-3000, 3000, 200).astype(np.int64)
+    au16 = struct.pack(
+        ">4sIIIII", b".snd", 28, len(s) * 2, 3, 8000, 1
+    ) + b"\x00" * 4 + s.astype(">i2").tobytes()
+    dec, rate = _decode_au(au16)
+    assert rate == 8000 and np.array_equal(dec[:, 0], s)
+    # µ-law: every code expands through the shared G.711 table
+    codes = np.arange(256, dtype=np.uint8)
+    auu = struct.pack(
+        ">4sIIIII", b".snd", 28, 256, 1, 8000, 1
+    ) + b"\x00" * 4 + codes.tobytes()
+    dec, _ = _decode_au(auu)
+    assert np.array_equal(dec[:, 0], _ULAW_TABLE[codes])
+    assert _decode_au(b"xxxx") is None
+
+
+def test_audio_features_dispatches_aiff_au(spark):
+    import struct
+
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.audio import audio_features
+
+    rng = np.random.default_rng(6)
+    s = rng.integers(-3000, 3000, 160).astype(np.int64)
+    aiff = _aiff_bytes(s, rate=8000)
+    au = struct.pack(
+        ">4sIIIII", b".snd", 28, len(s) * 2, 3, 8000, 1
+    ) + b"\x00" * 4 + s.astype(">i2").tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(aiff)), (2, bytearray(au))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in audio_features(df).collect()}
+    ssum = int(np.sum(s * s))
+    for mid in (1, 2):
+        assert rows[mid].n_samples == 160
+        assert rows[mid].rms == float(np.sqrt(ssum / 160))

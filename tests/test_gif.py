@@ -168,3 +168,32 @@ def test_gif_sample_frames_decoded(spark):
     ]
     assert [r.frame_sha256 for r in rows] == sha
     assert rows[0].frame_width == 8 and rows[0].frame_height == 8
+
+
+def test_bmp_roundtrip_and_resize_dispatch(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.multimodal import (
+        _decode_bmp,
+        bmp_bytes,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    dec, w, h = _decode_bmp(bmp_bytes(a))
+    assert (w, h) == (5, 7) and np.array_equal(dec, a)
+    assert _decode_bmp(b"XX") is None
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp_bytes(a)))], "media_id long, content binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            F.lit(5).alias("width"),
+            F.lit(7).alias("height"),
+        ),
+    )
+    row = resize_images(df, width=4, height=4).collect()[0]
+    assert row.resized_width == 4 and len(row.resized) == 4 * 4 * 3
