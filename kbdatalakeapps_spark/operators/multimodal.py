@@ -789,7 +789,8 @@ def resize_images(
             ):
                 mime_s = None if mime is None else str(mime)
                 if mime_s in (
-                    "image/png", "image/jpeg", "image/gif", "image/bmp"
+                    "image/png", "image/jpeg", "image/gif", "image/bmp",
+                    "image/tiff",
                 ):
                     if mime_s == "image/png":
                         decoded = _decode_png(c)
@@ -797,6 +798,8 @@ def resize_images(
                         decoded = _decode_jpeg(c)
                     elif mime_s == "image/bmp":
                         decoded = _decode_bmp(c)
+                    elif mime_s == "image/tiff":
+                        decoded = _decode_tiff(c)
                     else:
                         g = _decode_gif(c)
                         # static view: first composited frame
@@ -1603,4 +1606,174 @@ def bmp_bytes(arr) -> bytes:
     out += b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
     out += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
     out += rows
+    return bytes(out)
+
+
+def _tiff_values(d: bytes, entry_off: int, bo: str):
+    """Like :func:`_tiff_value` but returns the FULL value tuple —
+    strip offset/bytecount arrays need every element, not just the
+    first."""
+    import struct
+
+    typ, cnt = struct.unpack_from(bo + "HI", d, entry_off + 2)
+    size = {1: 1, 3: 2, 4: 4}.get(typ)
+    if size is None:
+        return None
+    total = size * cnt
+    voff = (
+        entry_off + 8
+        if total <= 4
+        else struct.unpack_from(bo + "I", d, entry_off + 8)[0]
+    )
+    if voff + total > len(d):
+        return None
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    return struct.unpack_from(bo + fmt * cnt, d, voff)
+
+
+def _decode_tiff(content: bytes):
+    """Decode a standalone baseline TIFF (both byte orders,
+    uncompressed strips, chunky planar config, 8-bit gray or RGB) —
+    the archival/scanner format next to the EXIF machinery that
+    already walks TIFF IFDs.  Returns ``(ndarray h×w×ch, w, h)``,
+    None for non-TIFF bytes; LZW/JPEG-compressed or planar TIFFs
+    raise (codec-boundary contract)."""
+    import struct
+
+    import numpy as np
+
+    if content is None or len(content) < 8:
+        return None
+    d = bytes(content)
+    if d[0:4] == b"II*\x00":
+        bo = "<"
+    elif d[0:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    (ifd0,) = struct.unpack_from(bo + "I", d, 4)
+    if ifd0 + 2 > len(d):
+        raise ValueError("TIFF IFD offset out of range")
+    (n,) = struct.unpack_from(bo + "H", d, ifd0)
+    tags: dict = {}
+    for k in range(n):
+        eoff = ifd0 + 2 + 12 * k
+        if eoff + 12 > len(d):
+            break
+        (tag,) = struct.unpack_from(bo + "H", d, eoff)
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284):
+            tags[tag] = _tiff_values(d, eoff, bo)
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except (KeyError, TypeError):
+        raise ValueError("TIFF missing required baseline tags")
+    compression = tags.get(259, (1,))[0]
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression {compression} needs a codec library"
+        )
+    if tags.get(284, (1,))[0] != 1:
+        raise NotImplementedError("TIFF planar configuration 2 unsupported")
+    spp = tags.get(277, (1,))[0]
+    bps = tags.get(258, (8,) * spp)
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"TIFF bits-per-sample {bps} unsupported")
+    raw = b"".join(d[o : o + c] for o, c in zip(offsets, counts))
+    need = w * h * spp
+    if len(raw) < need:
+        raise ValueError("TIFF strip data shorter than geometry")
+    arr = np.frombuffer(raw, np.uint8, count=need).reshape(h, w, spp)
+    return arr, w, h
+
+
+def tiff_bytes(arr, byte_order: str = "<", rows_per_strip: int = 4) -> bytes:
+    """Fixture TIFF writer: 8-bit gray/RGB, uncompressed multi-strip,
+    either byte order."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[..., None]
+    h, w, spp = a.shape
+    bo = byte_order
+    strips = [
+        a[y : y + rows_per_strip].tobytes()
+        for y in range(0, h, rows_per_strip)
+    ]
+    # layout: header(8) | IFD | value heap | strip data
+    n_tags = 9
+    ifd_off = 8
+    heap_off = ifd_off + 2 + n_tags * 12 + 4
+    heap = bytearray()
+
+    def val_array(fmt: str, vals):
+        nonlocal heap
+        size = struct.calcsize(bo + fmt * len(vals))
+        if size <= 4:
+            return None, struct.pack(bo + fmt * len(vals), *vals).ljust(4, b"\x00")
+        off = heap_off + len(heap)
+        heap += struct.pack(bo + fmt * len(vals), *vals)
+        return off, None
+
+    # strip data goes after the heap — reserve by two passes
+    entries = []
+
+    def entry(tag, typ, fmt, vals):
+        entries.append((tag, typ, fmt, list(vals)))
+
+    entry(256, 4, "I", [w])
+    entry(257, 4, "I", [h])
+    entry(258, 3, "H", [8] * spp)
+    entry(259, 3, "H", [1])
+    entry(262, 3, "H", [2 if spp == 3 else 1])
+    entry(273, 4, "I", [0] * len(strips))  # patched below
+    entry(277, 3, "H", [spp])
+    entry(278, 4, "I", [rows_per_strip])
+    entry(279, 4, "I", [len(s) for s in strips])
+    # first pass: build heap for wide values (except strip offsets,
+    # patched after the heap size is known)
+    packed = []
+    for tag, typ, fmt, vals in entries:
+        off, inline = val_array(fmt, vals)
+        packed.append([tag, typ, fmt, vals, off, inline])
+    data_off = heap_off + len(heap)
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    out = bytearray()
+    out += (b"II*\x00" if bo == "<" else b"MM\x00*")
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", n_tags)
+    for tag, typ, fmt, vals, off, inline in packed:
+        if tag == 273:
+            vals = strip_offsets
+            size = struct.calcsize(bo + fmt) * len(vals)
+            if size <= 4:
+                inline = struct.pack(bo + fmt * len(vals), *vals).ljust(
+                    4, b"\x00"
+                )
+                off = None
+            else:
+                # strip-offset array lives in the heap at the slot
+                # reserved during the first pass
+                heap_slot = off
+                heap[
+                    heap_slot - heap_off : heap_slot - heap_off + size
+                ] = struct.pack(bo + fmt * len(vals), *vals)
+        out += struct.pack(bo + "HHI", tag, typ, len(vals))
+        if off is not None:
+            out += struct.pack(bo + "I", off)
+        else:
+            out += inline
+    out += struct.pack(bo + "I", 0)  # next-IFD pointer
+    out += heap
+    for s in strips:
+        out += s
     return bytes(out)

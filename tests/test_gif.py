@@ -197,3 +197,61 @@ def test_bmp_roundtrip_and_resize_dispatch(spark):
     )
     row = resize_images(df, width=4, height=4).collect()[0]
     assert row.resized_width == 4 and len(row.resized) == 4 * 4 * 3
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_tiff_roundtrip_both_byte_orders(bo):
+    from kbdatalakeapps_spark.operators.multimodal import (
+        _decode_tiff,
+        tiff_bytes,
+    )
+
+    rng = np.random.default_rng(12)
+    rgb = rng.integers(0, 256, (10, 6, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    dec, w, h = _decode_tiff(tiff_bytes(rgb, byte_order=bo, rows_per_strip=3))
+    assert (w, h) == (6, 10) and np.array_equal(dec, rgb)
+    dec, w, h = _decode_tiff(tiff_bytes(gray, byte_order=bo))
+    assert (w, h) == (5, 7) and np.array_equal(dec, gray[..., None])
+    assert _decode_tiff(b"no") is None
+
+
+def test_tiff_compressed_raises():
+    import struct
+
+    from kbdatalakeapps_spark.operators.multimodal import (
+        _decode_tiff,
+        tiff_bytes,
+    )
+
+    rng = np.random.default_rng(13)
+    g = bytearray(tiff_bytes(rng.integers(0, 256, (4, 4), dtype=np.uint8)))
+    # patch the Compression tag (259) value to 5 (LZW)
+    idx = g.find(struct.pack("<HHI", 259, 3, 1))
+    g[idx + 8 : idx + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        _decode_tiff(bytes(g))
+
+
+def test_tiff_resize_dispatch(spark):
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.multimodal import (
+        resize_images,
+        tiff_bytes,
+    )
+
+    rng = np.random.default_rng(14)
+    a = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(tiff_bytes(a)))], "media_id long, content binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/tiff").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+        ),
+    )
+    row = resize_images(df, width=4, height=4).collect()[0]
+    assert row.resized_width == 4 and len(row.resized) == 4 * 4 * 3
