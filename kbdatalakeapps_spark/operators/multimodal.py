@@ -4,8 +4,10 @@ Images/audio/video are opaque ``binary`` columns with typed metadata
 structs.  The Spark-side machinery — schema, partition-friendly batch
 iteration, Arrow-batched UDF signatures — is real and tested, and so
 are the codecs this container can honestly support: raw bitmaps
-(numpy), PNG (stdlib zlib), baseline JPEG (pure-python huffman+IDCT),
-WAV PCM (:mod:`.audio`), and MJPEG-in-AVI video (:mod:`.video`).
+(numpy), PNG (stdlib zlib), baseline + progressive JPEG (pure-python
+huffman+IDCT), GIF (LZW), BMP and baseline TIFF (uncompressed),
+WAV/AIFF/AU/FLAC audio (:mod:`.audio`, :mod:`.flac`), and
+MJPEG/DIB-in-AVI video (:mod:`.video`).
 What remains deliberately fake or loud: ``extract_features``' sha
 pseudo-features (kept as the opaque-bytes plumbing check — use
 :func:`image_features` for real pixels), ``sample_frames``' frame
