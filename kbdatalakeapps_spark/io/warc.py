@@ -1,0 +1,264 @@
+"""WARC (Web ARChive, ISO 28500) source — the container format of
+Common Crawl and every standard web-crawl corpus, i.e. the raw input
+of an LLM-training-data pipeline.
+
+Reference parity: out of the reference's scope (tabular genomics);
+engine extension completing the crawl-curation story: ``read_warc`` →
+``operators.web.extract_html_text`` → the existing text-quality /
+langid / dedup / sampling operators.
+
+Format: records are ``WARC/1.x`` header blocks (CRLF lines, blank-
+line terminated) followed by ``Content-Length`` bytes of block data
+and a CRLF CRLF separator.  ``.warc.gz`` files hold ONE GZIP MEMBER
+PER RECORD (the spec's recommendation, and what Common Crawl ships) —
+members are split with a streaming ``zlib.decompressobj(wbits=31)``
+loop over ``unused_data``, so a task never materializes more than one
+record ahead.  Response records carry an HTTP message as their block;
+the status line / headers are parsed off and the payload exposed as
+binary.
+
+Distributed shape (the ``read_webdataset`` pattern): the FILE LIST is
+parallelized — WARC has no intra-file split points without an index,
+which is why crawl archives ship as many bounded files — and each
+task streams its file sequentially; nothing is driver-side.  At 100
+TB this reads as one task per archive file, the same parallelism
+wget/warcio pipelines get from file sharding, with no Python-per-row
+boundary beyond the Arrow batches.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os as _os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _try_parse_record(buf: bytearray, eof: bool):
+    """Parse ONE record off the front of ``buf`` if fully buffered.
+
+    Returns (headers, block, consumed) or None when more input is
+    needed.  Consumes garbage up to the next ``WARC/`` marker (keeping
+    a 4-byte tail in case the marker straddles a chunk boundary); at
+    ``eof`` a record whose declared Content-Length overruns the file
+    yields its truncated block rather than hanging."""
+    # inter-record padding
+    start = 0
+    n = len(buf)
+    while start < n and buf[start] in b"\r\n":
+        start += 1
+    if start:
+        del buf[:start]
+        n = len(buf)
+    if not buf.startswith(b"WARC/"):
+        nxt = buf.find(b"WARC/")
+        if nxt < 0:
+            if n > 4:
+                del buf[: n - 4]  # keep a possible split "WARC/" prefix
+            return None
+        del buf[:nxt]
+        n = len(buf)
+    hdr_end = buf.find(b"\r\n\r\n")
+    if hdr_end < 0:
+        return None
+    lines = bytes(buf[:hdr_end]).split(b"\r\n")
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().lower().decode("ascii", "replace")] = v.strip().decode(
+                "utf-8", "replace"
+            )
+    try:
+        length = int(headers.get("content-length", "0"))
+    except ValueError:
+        length = 0
+    block_start = hdr_end + 4
+    if n < block_start + length and not eof:
+        return None
+    block = bytes(buf[block_start : block_start + length])
+    consumed = min(block_start + length, n)
+    del buf[:consumed]
+    return headers, block, consumed
+
+
+def _parse_http_block(block: bytes):
+    """(status int|None, content_type str|None, payload bytes) from an
+    HTTP message block; non-HTTP blocks pass through as payload."""
+    if not block.startswith(b"HTTP/"):
+        return None, None, block
+    hdr_end = block.find(b"\r\n\r\n")
+    if hdr_end < 0:
+        return None, None, block
+    lines = block[:hdr_end].split(b"\r\n")
+    status = None
+    parts = lines[0].split(None, 2)
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    ctype = None
+    for line in lines[1:]:
+        k, sep, v = line.partition(b":")
+        if sep and k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("ascii", "replace")
+    return status, ctype, block[hdr_end + 4 :]
+
+
+def iter_warc_file(
+    path: str, record_types: tuple[str, ...] | None, chunk_size: int = 1 << 20
+):
+    """Stream one .warc / .warc.gz file → metadata-dict rows.
+
+    Genuinely incremental: the file is read in ``chunk_size`` pieces,
+    gzip members are inflated through one rolling ``decompressobj``
+    (re-armed at each member boundary via ``unused_data``), and records
+    are parsed off the front of a single rolling buffer — peak memory
+    is one record plus one chunk, never the archive.  That is what
+    makes one-task-per-1GB-Common-Crawl-file viable on a normal
+    executor heap."""
+    import zlib
+
+    gz = path.endswith(".gz")
+    buf = bytearray()
+    d = zlib.decompressobj(wbits=31) if gz else None
+    eof = False
+    with open(path, "rb") as f:
+        while True:
+            rec = _try_parse_record(buf, eof)
+            if rec is None:
+                if eof:
+                    return
+                chunk = f.read(chunk_size)
+                if not chunk:
+                    eof = True
+                    continue
+                if gz:
+                    data = chunk
+                    while data:
+                        buf += d.decompress(data)
+                        if d.eof:  # member boundary: re-arm on the remainder
+                            data = d.unused_data
+                            d = zlib.decompressobj(wbits=31)
+                        else:
+                            data = b""
+                else:
+                    buf += chunk
+                continue
+            headers, block, _ = rec
+            rtype = headers.get("warc-type")
+            if record_types is not None and rtype not in record_types:
+                continue
+            status, http_ctype, payload = (None, None, block)
+            if (headers.get("content-type") or "").startswith("application/http"):
+                status, http_ctype, payload = _parse_http_block(block)
+            yield {
+                "warc_file": _os.path.basename(path),
+                "record_type": rtype,
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "record_id": headers.get("warc-record-id"),
+                "content_type": headers.get("content-type"),
+                "content_length": int(headers.get("content-length", "0") or 0),
+                "http_status": status,
+                "http_content_type": http_ctype,
+                "payload": payload,
+            }
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] | None = ("response",),
+    max_files_per_partition: int = 1,
+) -> DataFrame:
+    """Read a directory (or glob) of ``.warc`` / ``.warc.gz`` files as
+    a DataFrame of records.  ``record_types`` filters at the parser
+    (default: response records — the crawl payloads a curation
+    pipeline wants); pass ``None`` for every record incl. warcinfo/
+    request/metadata."""
+    if _os.path.isdir(path):
+        pat = [_os.path.join(path, "*.warc"), _os.path.join(path, "*.warc.gz")]
+    else:
+        pat = [path]
+    files = sorted({f for p in pat for f in _glob.glob(p)})
+    if not files:
+        raise FileNotFoundError(f"no WARC files under {path}")
+    n_parts = max(1, (len(files) + max_files_per_partition - 1) // max_files_per_partition)
+    flist = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        min(n_parts, 256), "path"
+    )
+
+    cols = [f.name for f in WARC_SCHEMA.fields]
+
+    def read_files(batches):
+        import pandas as pd
+
+        batch_rows = 256  # bound Arrow batch memory: payloads can be ~MB each
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                for row in iter_warc_file(p, record_types):
+                    rows.append(row)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return flist.mapInPandas(read_files, WARC_SCHEMA)
+
+
+# --- Spec-following fixture writer -----------------------------------------
+
+
+def warc_record_bytes(
+    rtype: str,
+    uri: str | None,
+    block: bytes,
+    date: str = "2026-08-15T00:00:00Z",
+    content_type: str | None = None,
+    record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000001>",
+) -> bytes:
+    """One WARC/1.0 record, CRLF-exact per ISO 28500."""
+    lines = [f"WARC/1.0", f"WARC-Type: {rtype}", f"WARC-Date: {date}", f"WARC-Record-ID: {record_id}"]
+    if uri is not None:
+        lines.append(f"WARC-Target-URI: {uri}")
+    if content_type is not None:
+        lines.append(f"Content-Type: {content_type}")
+    lines.append(f"Content-Length: {len(block)}")
+    return "\r\n".join(lines).encode() + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def http_response_block(
+    payload: bytes, status: int = 200, content_type: str = "text/html; charset=utf-8"
+) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload
+
+
+def warc_bytes(records: list[bytes], gzip_members: bool = False) -> bytes:
+    """Concatenate records into a .warc stream; ``gzip_members``
+    compresses EACH record as its own gzip member (the .warc.gz spec
+    recommendation Common Crawl follows)."""
+    if not gzip_members:
+        return b"".join(records)
+    import gzip
+
+    return b"".join(gzip.compress(r) for r in records)

@@ -1,0 +1,707 @@
+"""Container-metadata extraction for perceptual-codec media.
+
+Reference parity: the reference ships no media tooling (its scope is
+tabular genomics — see SURVEY.md §0); this module is engine extension
+for the LLM-training-data pipeline.  The formats whose CODECS
+genuinely require DSP libraries — H.264/HEVC in MP4, MP3, Vorbis/Opus
+in Ogg — still carry fully machine-readable CONTAINER headers:
+duration, codec identity, geometry, sample rates, channel counts.
+A 100 TB curation pass needs exactly those fields to route, filter,
+and bucket media (drop >10-minute clips, keep 16 kHz+ audio, split
+by codec) without decoding a single frame, so the honest codec
+boundary (``video.py``/``audio.py`` raise loudly) does not have to
+block curation.
+
+Parsers are stdlib-``struct`` only and TOLERANT: malformed or
+unrecognized rows yield NULL fields (the ``exif_metadata`` contract —
+absence is a value on mixed corpora), while decode stays loud.  The
+Spark side is one Arrow-batched ``mapInPandas`` over (id, content):
+header parsing touches only the leading/trailing bytes it needs, so
+the per-row cost is independent of media size once the bytes are
+resident.
+
+Fixture writers (``mp4_bytes``/``mp3_bytes``/``ogg_bytes``) follow
+the independent spec-following-writer validation idiom established by
+``tiff_bytes``/``dib_avi_bytes``: tests hand-compute the expected
+fields from the spec and assert the parser recovers them exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+CONTAINER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("audio_codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bit_rate_kbps", T.IntegerType()),
+        T.StructField("n_video_samples", T.LongType()),
+        T.StructField("n_audio_samples", T.LongType()),
+    ]
+)
+
+_FIELDS = [f.name for f in CONTAINER_SCHEMA.fields if f.name != "media_id"]
+
+
+# --- ISO-BMFF (MP4 / M4A / MOV family) -------------------------------------
+# Box walk only: size(4|largesize 8) + fourcc, recursing into the
+# container boxes that hold track metadata.  Codec identity is the
+# stsd sample-entry fourcc (avc1/hvc1/mp4a/...); geometry from tkhd
+# would be the MOVIE transform, so width/height come from the visual
+# sample entry (the coded dimensions curation wants).
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(d: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for sibling boxes."""
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack_from(">I", d, off)
+        typ = d[off + 4 : off + 8]
+        if size == 1:
+            if off + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", d, off + 8)
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - off
+            hdr = 8
+        else:
+            hdr = 8
+        if size < hdr or off + size > end:
+            return  # truncated/corrupt: stop, keep what we have
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def _mp4_full_box(d: bytes, off: int) -> tuple[int, int]:
+    """(version, post-version/flags offset) of a FullBox payload."""
+    return d[off], off + 4
+
+
+def _mp4_track(d: bytes, start: int, end: int, out: dict) -> None:
+    """Fill codec/geometry/rate fields from one trak box."""
+    handler = None
+    mdhd: tuple[int, int] | None = None  # (timescale, duration)
+    entry: tuple[bytes, int, int] | None = None  # (fourcc, off, end)
+    n_samples = None
+    stack = [(start, end)]
+    while stack:
+        s, e = stack.pop()
+        for typ, ps, pe in _mp4_boxes(d, s, e):
+            if typ in _MP4_CONTAINERS:
+                stack.append((ps, pe))
+            elif typ == b"mdhd":
+                ver, p = _mp4_full_box(d, ps)
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", d, p + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", d, p + 8)
+                mdhd = (ts, dur)
+            elif typ == b"hdlr":
+                handler = d[ps + 8 : ps + 12]
+            elif typ == b"stsd":
+                _, p = _mp4_full_box(d, ps)
+                (n_entries,) = struct.unpack_from(">I", d, p)
+                if n_entries >= 1 and p + 12 <= pe:
+                    (esize,) = struct.unpack_from(">I", d, p + 4)
+                    entry = (d[p + 8 : p + 12], p + 4, min(p + 4 + esize, pe))
+            elif typ == b"stsz":
+                _, p = _mp4_full_box(d, ps)
+                (n_samples,) = struct.unpack_from(">I", d, p + 4)
+    if handler == b"vide":
+        if entry is not None:
+            out["video_codec"] = entry[0].decode("ascii", "replace").strip()
+            eo = entry[1]
+            # SampleEntry header 16 B, then VisualSampleEntry:
+            # pre_defined(2) reserved(2) pre_defined(12) width(2) height(2)
+            if eo + 36 <= entry[2]:
+                w, h = struct.unpack_from(">HH", d, eo + 32)
+                out["width"], out["height"] = w, h
+        if n_samples is not None:
+            out["n_video_samples"] = n_samples
+    elif handler == b"soun":
+        if entry is not None:
+            out["audio_codec"] = entry[0].decode("ascii", "replace").strip()
+            eo = entry[1]
+            # AudioSampleEntry: reserved(8) channelcount(2) samplesize(2)
+            # pre_defined(2) reserved(2) samplerate(16.16)
+            if eo + 36 <= entry[2]:
+                (ch,) = struct.unpack_from(">H", d, eo + 24)
+                (sr,) = struct.unpack_from(">I", d, eo + 32)
+                out["channels"] = ch
+                out["sample_rate"] = sr >> 16
+        if n_samples is not None:
+            out["n_audio_samples"] = n_samples
+
+
+def _parse_mp4(d: bytes) -> dict | None:
+    if len(d) < 12 or d[4:8] != b"ftyp":
+        return None
+    out: dict = {"container": "mp4", "brand": d[8:12].decode("ascii", "replace").strip()}
+    try:
+        for typ, ps, pe in _mp4_boxes(d, 0, len(d)):
+            if typ != b"moov":
+                continue
+            for t2, p2, e2 in _mp4_boxes(d, ps, pe):
+                if t2 == b"mvhd":
+                    ver, p = _mp4_full_box(d, p2)
+                    if ver == 1:
+                        ts, dur = struct.unpack_from(">IQ", d, p + 16)
+                    else:
+                        ts, dur = struct.unpack_from(">II", d, p + 8)
+                    if ts:
+                        out["duration_ms"] = dur * 1000 // ts
+                elif t2 == b"trak":
+                    _mp4_track(d, p2, e2, out)
+    except (struct.error, IndexError):
+        pass  # keep whatever parsed before the corruption
+    return out
+
+
+# --- MP3 (MPEG-1/2/2.5 audio frame headers) --------------------------------
+# Frame-header walk: every frame restates version/layer/bitrate/rate,
+# so duration and mean bitrate come from summing per-frame durations —
+# exact for CBR and VBR alike, no Xing header trusted (a wrong Xing
+# frame count is common in the wild; the walk is ground truth).
+
+_MP3_BITRATES = {
+    # (mpeg1?, layer): kbps by index 1..14
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_frame(d: bytes, off: int):
+    """Parse one frame header; (frame_bytes, samples, rate, channels,
+    kbps) or None if ``off`` is not a valid frame."""
+    if off + 4 > len(d):
+        return None
+    b1, b2, b3, b4 = d[off : off + 4]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b2 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer_bits = (b2 >> 1) & 3  # 3=L1, 2=L2, 1=L3
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits
+    mpeg1 = ver_bits == 3
+    br_idx = (b3 >> 4) & 0xF
+    sr_idx = (b3 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format/bad
+    kbps = _MP3_BITRATES[(mpeg1, layer)][br_idx - 1]
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    padding = (b3 >> 1) & 1
+    channels = 1 if ((b4 >> 6) & 3) == 3 else 2
+    if layer == 1:
+        samples = 384
+        frame_bytes = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        samples = 1152 if (mpeg1 or layer == 2) else 576
+        frame_bytes = samples // 8 * kbps * 1000 // rate + padding
+    return frame_bytes, samples, rate, channels, kbps
+
+
+def _parse_mp3(d: bytes) -> dict | None:
+    off = 0
+    if d[:3] == b"ID3" and len(d) >= 10:
+        size = 0
+        for b in d[6:10]:  # synchsafe
+            size = (size << 7) | (b & 0x7F)
+        off = 10 + size + (10 if d[5] & 0x10 else 0)
+    first = _mp3_frame(d, off)
+    if first is None:
+        return None
+    out: dict = {"container": "mp3", "audio_codec": "mp3"}
+    n_frames = 0
+    total_samples = 0
+    total_bytes = 0
+    rate = channels = None
+    while True:
+        fr = _mp3_frame(d, off)
+        if fr is None:
+            break
+        fb, samples, rate, channels, _ = fr
+        n_frames += 1
+        total_samples += samples
+        total_bytes += fb
+        off += fb
+        if off + 128 == len(d) and d[off : off + 3] == b"TAG":
+            break  # trailing ID3v1
+    if rate:
+        out["sample_rate"] = rate
+        out["channels"] = channels
+        out["n_audio_samples"] = total_samples
+        out["duration_ms"] = total_samples * 1000 // rate
+        if total_samples:
+            out["bit_rate_kbps"] = total_bytes * 8 * rate // (total_samples * 1000)
+    return out
+
+
+# --- Ogg (Vorbis / Opus / Theora identification headers) -------------------
+# Page walk: BOS packets carry the codec id header (channels/rates/
+# geometry); the stream's LAST granule position is its length —
+# samples for Vorbis, 48 kHz ticks minus pre-skip for Opus.  CRCs are
+# not verified (metadata extraction is tolerant; decode would check).
+
+
+def _parse_ogg(d: bytes) -> dict | None:
+    if d[:4] != b"OggS":
+        return None
+    out: dict = {"container": "ogg"}
+    streams: dict[int, dict] = {}
+    off = 0
+    try:
+        while off + 27 <= len(d) and d[off : off + 4] == b"OggS":
+            (granule,) = struct.unpack_from("<q", d, off + 6)
+            (serial,) = struct.unpack_from("<I", d, off + 14)
+            header_type = d[off + 5]
+            n_segs = d[off + 26]
+            seg_tab = d[off + 27 : off + 27 + n_segs]
+            body = off + 27 + n_segs
+            body_len = sum(seg_tab)
+            if header_type & 0x02:  # BOS: first packet = id header
+                pkt = d[body : body + (seg_tab[0] if n_segs else 0)]
+                info: dict = {}
+                if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                    info = {
+                        "kind": "audio",
+                        "codec": "vorbis",
+                        "channels": pkt[11],
+                        "rate": struct.unpack_from("<I", pkt, 12)[0],
+                        "granule_rate": struct.unpack_from("<I", pkt, 12)[0],
+                    }
+                elif pkt[:8] == b"OpusHead" and len(pkt) >= 12:
+                    info = {
+                        "kind": "audio",
+                        "codec": "opus",
+                        "channels": pkt[9],
+                        "pre_skip": struct.unpack_from("<H", pkt, 10)[0],
+                        "rate": struct.unpack_from("<I", pkt, 12)[0],
+                        "granule_rate": 48000,  # Opus granules are 48 kHz
+                    }
+                elif pkt[:7] == b"\x80theora" and len(pkt) >= 20:
+                    picw = int.from_bytes(pkt[14:17], "big")
+                    pich = int.from_bytes(pkt[17:20], "big")
+                    info = {"kind": "video", "codec": "theora", "width": picw, "height": pich}
+                if info:
+                    streams[serial] = info
+            if serial in streams and granule >= 0:
+                streams[serial]["last_granule"] = granule
+            off = body + body_len
+    except (struct.error, IndexError):
+        pass
+    for info in streams.values():
+        if info["kind"] == "audio" and "audio_codec" not in out:
+            out["audio_codec"] = info["codec"]
+            out["channels"] = info.get("channels")
+            out["sample_rate"] = info.get("rate")
+            g = info.get("last_granule")
+            gr = info.get("granule_rate")
+            if g is not None and gr:
+                samples = g - info.get("pre_skip", 0)
+                out["n_audio_samples"] = samples
+                out["duration_ms"] = samples * 1000 // gr
+        elif info["kind"] == "video" and "video_codec" not in out:
+            out["video_codec"] = info["codec"]
+            out["width"] = info.get("width")
+            out["height"] = info.get("height")
+    return out
+
+
+# --- Matroska / WebM (EBML element walk) -----------------------------------
+# The other dominant web video container.  EBML = (id varint, size
+# varint, payload) trees; metadata lives in Segment→Info (timestamp
+# scale + float duration) and Segment→Tracks (codec ids V_VP9/A_OPUS,
+# geometry, rates).  Unknown-size elements (streamed/live files write
+# the Segment that way) extend to the enclosing scope's end.
+
+
+def _ebml_read_id(d: bytes, off: int) -> tuple[int, int]:
+    b0 = d[off]
+    for ln in range(1, 5):
+        if b0 & (0x80 >> (ln - 1)):
+            return int.from_bytes(d[off : off + ln], "big"), off + ln
+    raise ValueError("bad EBML id")
+
+
+def _ebml_read_size(d: bytes, off: int) -> tuple[int, int, bool]:
+    b0 = d[off]
+    for ln in range(1, 9):
+        mask = 0x80 >> (ln - 1)
+        if b0 & mask:
+            val = b0 & (mask - 1)
+            for b in d[off + 1 : off + ln]:
+                val = (val << 8) | b
+            return val, off + ln, val == (1 << (7 * ln)) - 1
+    raise ValueError("bad EBML size")
+
+
+def _ebml_children(d: bytes, start: int, end: int):
+    off = start
+    while off < end:
+        eid, o2 = _ebml_read_id(d, off)
+        size, o3, unknown = _ebml_read_size(d, o2)
+        data_end = end if unknown else min(o3 + size, end)
+        yield eid, o3, data_end
+        off = data_end
+
+
+def _ebml_float(d: bytes, s: int, e: int) -> float | None:
+    if e - s == 4:
+        return struct.unpack(">f", d[s:e])[0]
+    if e - s == 8:
+        return struct.unpack(">d", d[s:e])[0]
+    return None
+
+
+def _mkv_track(d: bytes, s: int, e: int, out: dict) -> None:
+    ttype = codec = None
+    video: dict = {}
+    audio: dict = {}
+    for eid, ps, pe in _ebml_children(d, s, e):
+        if eid == 0x83:
+            ttype = int.from_bytes(d[ps:pe], "big")
+        elif eid == 0x86:
+            codec = d[ps:pe].decode("ascii", "replace")
+        elif eid == 0xE0:  # Video
+            for e2, q, r in _ebml_children(d, ps, pe):
+                if e2 == 0xB0:
+                    video["width"] = int.from_bytes(d[q:r], "big")
+                elif e2 == 0xBA:
+                    video["height"] = int.from_bytes(d[q:r], "big")
+        elif eid == 0xE1:  # Audio
+            for e2, q, r in _ebml_children(d, ps, pe):
+                if e2 == 0xB5:
+                    f = _ebml_float(d, q, r)
+                    if f:
+                        audio["sample_rate"] = int(round(f))
+                elif e2 == 0x9F:
+                    audio["channels"] = int.from_bytes(d[q:r], "big")
+    if ttype == 1 and "video_codec" not in out:
+        out["video_codec"] = codec
+        out.update(video)
+    elif ttype == 2 and "audio_codec" not in out:
+        out["audio_codec"] = codec
+        out.update(audio)
+
+
+def _parse_matroska(d: bytes) -> dict | None:
+    if d[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    out: dict = {"container": "matroska"}
+    try:
+        for eid, ps, pe in _ebml_children(d, 0, len(d)):
+            if eid == 0x1A45DFA3:  # EBML header: DocType names the flavor
+                for e2, q, r in _ebml_children(d, ps, pe):
+                    if e2 == 0x4282:
+                        out["container"] = d[q:r].decode("ascii", "replace").rstrip("\x00")
+            elif eid == 0x18538067:  # Segment
+                for e2, q, r in _ebml_children(d, ps, pe):
+                    if e2 == 0x1549A966:  # Info
+                        scale_ns = 1_000_000
+                        dur_units = None
+                        for e3, u, v in _ebml_children(d, q, r):
+                            if e3 == 0x2AD7B1:
+                                scale_ns = int.from_bytes(d[u:v], "big")
+                            elif e3 == 0x4489:
+                                dur_units = _ebml_float(d, u, v)
+                        if dur_units is not None:
+                            out["duration_ms"] = int(dur_units * scale_ns / 1e6)
+                    elif e2 == 0x1654AE6B:  # Tracks
+                        for e3, u, v in _ebml_children(d, q, r):
+                            if e3 == 0xAE:
+                                _mkv_track(d, u, v, out)
+    except (ValueError, struct.error, IndexError):
+        pass  # tolerant: keep whatever parsed
+    return out
+
+
+# --- Known-decodable signatures (routing label only) -----------------------
+# The decode paths (audio.py/video.py/multimodal.py/flac.py) already
+# extract real per-media stats for these; the router just names them.
+
+
+def _sniff_decodable(d: bytes) -> str | None:
+    if d[:4] == b"RIFF" and d[8:12] == b"WAVE":
+        return "wav"
+    if d[:4] == b"RIFF" and d[8:12] == b"AVI ":
+        return "avi"
+    if d[:4] == b"fLaC":
+        return "flac"
+    if d[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if d[:4] == b"FORM" and d[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    if d[:4] == b".snd":
+        return "au"
+    return None
+
+
+def parse_container_metadata(d: bytes | None) -> dict | None:
+    """Pure-python single-blob parse (the kernel under the operator)."""
+    if not d:
+        return None
+    meta = _parse_mp4(d) or _parse_ogg(d) or _parse_matroska(d) or _parse_mp3(d)
+    if meta is not None:
+        return meta
+    label = _sniff_decodable(d)
+    return {"container": label} if label else None
+
+
+def media_container_metadata(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-media container metadata (Arrow-batched ``mapInPandas``):
+    duration, codec fourccs, geometry, rates — the routing fields a
+    curation pipeline filters on BEFORE any decode.  MP4/Ogg/MP3 are
+    parsed for real; already-decodable containers (WAV/AVI/FLAC/GIF/
+    AIFF/AU) get their label only (their decode paths own the stats);
+    unrecognized/NULL content yields all-NULL fields — the scan never
+    fails on a mixed corpus."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {name: [] for name in _FIELDS}
+            for c in pdf[content_col]:
+                meta = parse_container_metadata(c)
+                for name in _FIELDS:
+                    rows[name].append(None if meta is None else meta.get(name))
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    return df.select(id_col, content_col).mapInPandas(batches, CONTAINER_SCHEMA)
+
+
+# --- Spec-following fixture writers ----------------------------------------
+
+
+def _box(fourcc: bytes, payload: bytes, large: bool = False) -> bytes:
+    if large:
+        return struct.pack(">I", 1) + fourcc + struct.pack(">Q", len(payload) + 16) + payload
+    return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+
+def mp4_bytes(
+    duration_ms: int = 4500,
+    timescale: int = 1000,
+    video: tuple[str, int, int, int] | None = ("avc1", 640, 360, 120),
+    audio: tuple[str, int, int, int] | None = ("mp4a", 48000, 2, 216000),
+    brand: str = "isom",
+    version1: bool = False,
+    large_moov: bool = False,
+) -> bytes:
+    """Minimal ISO-BMFF writer (independent of the parser): ftyp +
+    moov(mvhd + trak per stream) + empty mdat.  ``video`` =
+    (fourcc, width, height, n_frames); ``audio`` = (fourcc, rate,
+    channels, n_samples).  ``version1`` exercises the 64-bit
+    mvhd/mdhd variants; ``large_moov`` the largesize box header."""
+    dur = duration_ms * timescale // 1000
+    if version1:
+        mvhd = _box(b"mvhd", struct.pack(">B3x", 1) + struct.pack(">QQIQ", 0, 0, timescale, dur) + b"\x00" * 80)
+    else:
+        mvhd = _box(b"mvhd", struct.pack(">B3x", 0) + struct.pack(">IIII", 0, 0, timescale, dur) + b"\x00" * 80)
+    traks = []
+    for kind, spec in (("vide", video), ("soun", audio)):
+        if spec is None:
+            continue
+        fourcc, a, b, n = spec
+        if kind == "vide":
+            entry = (
+                fourcc.encode().ljust(4)[:4],
+                b"\x00" * 6 + struct.pack(">H", 1)  # SampleEntry tail
+                + b"\x00" * 16  # pre_defined/reserved
+                + struct.pack(">HH", a, b)  # width, height
+                + b"\x00" * 50,
+            )
+        else:
+            entry = (
+                fourcc.encode().ljust(4)[:4],
+                b"\x00" * 6 + struct.pack(">H", 1)
+                + b"\x00" * 8  # version/revision/vendor
+                + struct.pack(">HHHH", b, 16, 0, 0)  # channels, samplesize
+                + struct.pack(">I", a << 16),  # rate 16.16
+            )
+        sample_entry = _box(entry[0], entry[1])
+        stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + sample_entry)
+        stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, n))
+        stbl = _box(b"stbl", stsd + stsz)
+        minf = _box(b"minf", stbl)
+        hdlr = _box(b"hdlr", struct.pack(">B3x", 0) + b"\x00" * 4 + kind.encode() + b"\x00" * 13)
+        if version1:
+            mdhd = _box(b"mdhd", struct.pack(">B3x", 1) + struct.pack(">QQIQ", 0, 0, timescale, dur) + b"\x00" * 4)
+        else:
+            mdhd = _box(b"mdhd", struct.pack(">B3x", 0) + struct.pack(">IIII", 0, 0, timescale, dur) + b"\x00" * 4)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _box(b"tkhd", struct.pack(">B3x", 0) + b"\x00" * 80)
+        traks.append(_box(b"trak", tkhd + mdia))
+    moov = _box(b"moov", mvhd + b"".join(traks), large=large_moov)
+    ftyp = _box(b"ftyp", brand.encode().ljust(4)[:4] + struct.pack(">I", 0) + b"isom")
+    return ftyp + moov + _box(b"mdat", b"")
+
+
+def mp3_bytes(
+    n_frames: int = 38,
+    kbps: int = 128,
+    rate: int = 44100,
+    stereo: bool = True,
+    id3v2: bool = False,
+    vbr_second_kbps: int | None = None,
+) -> bytes:
+    """MPEG-1 Layer III frame-stream writer: each frame is a valid
+    4-byte header + zero payload sized by the spec formula
+    floor(144·bitrate/rate)+padding (padding 0 here).  ``vbr_second_
+    kbps`` alternates bitrates to make a true VBR stream."""
+    br_table = _MP3_BITRATES[(True, 3)]
+    sr_table = _MP3_RATES[3]
+    frames = []
+    for i in range(n_frames):
+        k = kbps if (vbr_second_kbps is None or i % 2 == 0) else vbr_second_kbps
+        hdr = bytes(
+            [
+                0xFF,
+                0xE0 | (3 << 3) | (1 << 1),  # MPEG1, Layer III
+                (br_table.index(k) + 1) << 4 | sr_table.index(rate) << 2,
+                (0x00 if stereo else 0xC0),
+            ]
+        )
+        size = 144 * k * 1000 // rate
+        frames.append(hdr + b"\x00" * (size - 4))
+    tag = b""
+    if id3v2:
+        body = b"\x00" * 200
+        tag = b"ID3\x03\x00\x00" + bytes([(200 >> 21) & 0x7F, (200 >> 14) & 0x7F, (200 >> 7) & 0x7F, 200 & 0x7F]) + body
+    return tag + b"".join(frames)
+
+
+def _ebml_elt(eid: bytes, payload: bytes, unknown_size: bool = False) -> bytes:
+    if unknown_size:
+        return eid + b"\xff" + payload  # 1-byte all-ones size varint
+    n = len(payload)
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            return eid + (n | (1 << (7 * ln))).to_bytes(ln, "big") + payload
+    raise ValueError("payload too large")
+
+
+def webm_bytes(
+    doctype: str = "webm",
+    duration_ms: int = 7000,
+    timescale_ns: int = 1_000_000,
+    video: tuple[str, int, int] | None = ("V_VP9", 1280, 720),
+    audio: tuple[str, int, int] | None = ("A_OPUS", 48000, 2),
+    float32_rate: bool = False,
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """Minimal Matroska/WebM writer (independent of the parser):
+    EBML header (DocType) + Segment(Info + Tracks).  ``float32_rate``
+    writes SamplingFrequency as a 4-byte float; ``unknown_segment_
+    size`` writes the streamed/live all-ones Segment size varint."""
+    header = _ebml_elt(b"\x1a\x45\xdf\xa3", _ebml_elt(b"\x42\x82", doctype.encode()))
+    dur_units = duration_ms * 1_000_000 / timescale_ns
+    info = _ebml_elt(
+        b"\x15\x49\xa9\x66",
+        _ebml_elt(b"\x2a\xd7\xb1", timescale_ns.to_bytes(4, "big"))
+        + _ebml_elt(b"\x44\x89", struct.pack(">d", dur_units)),
+    )
+    tracks = b""
+    if video is not None:
+        codec, w, h = video
+        tracks += _ebml_elt(
+            b"\xae",
+            _ebml_elt(b"\x83", b"\x01")
+            + _ebml_elt(b"\x86", codec.encode())
+            + _ebml_elt(
+                b"\xe0",
+                _ebml_elt(b"\xb0", w.to_bytes(2, "big")) + _ebml_elt(b"\xba", h.to_bytes(2, "big")),
+            ),
+        )
+    if audio is not None:
+        codec, rate, ch = audio
+        rate_elt = struct.pack(">f", float(rate)) if float32_rate else struct.pack(">d", float(rate))
+        tracks += _ebml_elt(
+            b"\xae",
+            _ebml_elt(b"\x83", b"\x02")
+            + _ebml_elt(b"\x86", codec.encode())
+            + _ebml_elt(b"\xe1", _ebml_elt(b"\xb5", rate_elt) + _ebml_elt(b"\x9f", bytes([ch]))),
+        )
+    segment = _ebml_elt(
+        b"\x18\x53\x80\x67",
+        info + _ebml_elt(b"\x16\x54\xae\x6b", tracks),
+        unknown_size=unknown_segment_size,
+    )
+    return header + segment
+
+
+def _ogg_page(serial: int, seq: int, granule: int, packets: list[bytes], header_type: int = 0) -> bytes:
+    segs = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        n_full, rem = divmod(len(pkt), 255)
+        segs += b"\xff" * n_full + bytes([rem])
+        body += pkt
+    hdr = (
+        b"OggS\x00"
+        + bytes([header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<III", serial, seq, 0)  # CRC zeroed (parser is tolerant)
+        + bytes([len(segs)])
+    )
+    return hdr + bytes(segs) + bytes(body)
+
+
+def ogg_bytes(
+    codec: str = "vorbis",
+    rate: int = 44100,
+    channels: int = 2,
+    total_samples: int = 132300,
+    pre_skip: int = 312,
+    width: int = 320,
+    height: int = 240,
+) -> bytes:
+    """Ogg writer: BOS page with the codec id header, one data page,
+    and an EOS page whose granule states the stream length."""
+    if codec == "vorbis":
+        idh = b"\x01vorbis" + struct.pack("<IB", 0, channels) + struct.pack("<I", rate) + b"\x00" * 13
+        final_granule = total_samples
+    elif codec == "opus":
+        idh = b"OpusHead" + bytes([1, channels]) + struct.pack("<H", pre_skip) + struct.pack("<I", rate) + b"\x00" * 3
+        final_granule = total_samples + pre_skip
+    elif codec == "theora":
+        idh = (
+            b"\x80theora"
+            + bytes([3, 2, 1])
+            + struct.pack(">HH", (width + 15) // 16, (height + 15) // 16)
+            + width.to_bytes(3, "big")  # PICW
+            + height.to_bytes(3, "big")  # PICH
+            + b"\x00" * 20
+        )
+        final_granule = total_samples
+    else:
+        raise ValueError(codec)
+    return (
+        _ogg_page(7, 0, 0, [idh], header_type=0x02)
+        + _ogg_page(7, 1, final_granule // 2, [b"\x01" * 600])
+        + _ogg_page(7, 2, final_granule, [b"\x02" * 40], header_type=0x04)
+    )

@@ -1,0 +1,151 @@
+"""HTML → text extraction for crawl curation.
+
+Reference parity: engine extension (the reference has no web surface);
+this is the stage between ``io.warc.read_warc`` and the existing text
+operators (``text.quality_score`` / ``language_id`` / the dedup
+family) — together they form the standard crawl-curation pipeline:
+WARC → HTML → text → quality/langid → dedup → sample.
+
+Extraction is stdlib ``html.parser`` only (no bs4/lxml in the
+container, and none needed for structural extraction): script/style/
+noscript/template subtrees are dropped, block-level boundaries become
+newlines, entities decode (``convert_charrefs``), the title / html
+``lang`` attribute / link count ride along, and ``link_density``
+(chars inside <a> ÷ total chars) is emitted as the classic
+boilerplate signal so a curation pass can threshold nav/footer-heavy
+pages.  Full boilerplate segmentation (jusText/trafilatura-class
+paragraph models) is beyond a stdlib parser and stays an honest
+boundary — the signals here are the inputs such models consume.
+
+Malformed HTML never raises: ``html.parser`` is itself tolerant, and
+the operator degrades to NULL fields on decode failure (the
+``exif_metadata`` contract for mixed corpora).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_SKIP_SUBTREES = {"script", "style", "noscript", "template"}
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "ul", "ol", "table", "tr", "h1", "h2", "h3",
+    "h4", "h5", "h6", "section", "article", "header", "footer", "nav",
+    "blockquote", "pre", "hr", "figure", "figcaption", "main", "aside",
+}
+
+HTML_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang_attr", T.StringType()),
+        T.StructField("n_links", T.IntegerType()),
+        T.StructField("link_density", T.DoubleType()),
+    ]
+)
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self.title_chunks: list[str] = []
+        self.lang: str | None = None
+        self.n_links = 0
+        self.link_chars = 0
+        self.total_chars = 0
+        self._skip_depth = 0
+        self._in_title = False
+        self._anchor_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_SUBTREES:
+            self._skip_depth += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "html" and self.lang is None:
+            for k, v in attrs:
+                if k == "lang" and v:
+                    self.lang = v
+        elif tag == "a":
+            self.n_links += 1
+            self._anchor_depth += 1
+        if tag in _BLOCK_TAGS:
+            self.chunks.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_SUBTREES and self._skip_depth:
+            self._skip_depth -= 1
+        elif tag == "title":
+            self._in_title = False
+        elif tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+        if tag in _BLOCK_TAGS:
+            self.chunks.append("\n")
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self.title_chunks.append(data)
+            return
+        self.chunks.append(data)
+        stripped = len(data.strip())
+        self.total_chars += stripped
+        if self._anchor_depth:
+            self.link_chars += stripped
+
+
+def html_to_text(html: str | bytes | None) -> dict | None:
+    """Pure-python kernel: structural text extraction from one HTML
+    document.  Returns dict(title, text, lang_attr, n_links,
+    link_density) or None for NULL/undecodable input."""
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", "replace")
+    p = _TextExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # keep whatever parsed; html.parser rarely throws
+    # collapse whitespace: spaces within lines, single \n between blocks
+    lines = [" ".join(part.split()) for part in "".join(p.chunks).split("\n")]
+    text = "\n".join(ln for ln in lines if ln)
+    title = " ".join("".join(p.title_chunks).split()) or None
+    return {
+        "title": title,
+        "text": text,
+        "lang_attr": p.lang,
+        "n_links": p.n_links,
+        "link_density": (p.link_chars / p.total_chars) if p.total_chars else None,
+    }
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched HTML→text over a crawl DataFrame (string or
+    binary ``html_col``) — the curation stage between read_warc and
+    the text-quality/dedup operators."""
+    fields = [f.name for f in HTML_TEXT_SCHEMA.fields if f.name != "doc_id"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {name: [] for name in fields}
+            for h in pdf[html_col]:
+                meta = html_to_text(h)
+                for name in fields:
+                    rows[name].append(None if meta is None else meta.get(name))
+            yield pd.DataFrame({"doc_id": pdf[id_col], **rows})
+
+    out = df.select(df[id_col].alias(id_col), html_col).mapInPandas(batches, HTML_TEXT_SCHEMA)
+    return out

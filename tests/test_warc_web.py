@@ -1,0 +1,165 @@
+"""WARC source (io/warc.py) + HTML text extraction (operators/web.py).
+
+The WARC writer is CRLF-exact per ISO 28500 and independent of the
+parser; .warc.gz fixtures are one-gzip-member-per-record, the layout
+Common Crawl ships.  The e2e test runs the composed crawl-curation
+front end: read_warc → extract_html_text → text quality operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from kbdatalakeapps_spark.io.warc import (
+    http_response_block,
+    iter_warc_file,
+    read_warc,
+    warc_bytes,
+    warc_record_bytes,
+)
+from kbdatalakeapps_spark.operators.web import extract_html_text, html_to_text
+
+_HTML = (
+    b"<!DOCTYPE html><html lang=\"en\"><head><title>A &amp; B</title>"
+    b"<script>var x = 'junk junk junk';</script>"
+    b"<style>.c { color: red; }</style></head>"
+    b"<body><h1>Heading</h1><p>First paragraph text.</p>"
+    b"<p>Second with a <a href=\"/x\">link</a> inside.</p>"
+    b"<nav><a href=\"/a\">nav1</a><a href=\"/b\">nav2</a></nav></body></html>"
+)
+
+
+def _sample_records():
+    return [
+        warc_record_bytes(
+            "warcinfo", None, b"software: test\r\n", content_type="application/warc-fields"
+        ),
+        warc_record_bytes(
+            "request",
+            "http://example.org/",
+            b"GET / HTTP/1.1\r\nHost: example.org\r\n\r\n",
+            content_type="application/http; msgtype=request",
+        ),
+        warc_record_bytes(
+            "response",
+            "http://example.org/",
+            http_response_block(_HTML),
+            content_type="application/http; msgtype=response",
+        ),
+        warc_record_bytes(
+            "response",
+            "http://example.org/other",
+            http_response_block(b"plain body", status=404, content_type="text/plain"),
+            content_type="application/http; msgtype=response",
+        ),
+    ]
+
+
+def _write(tmpdir, name, data):
+    p = os.path.join(tmpdir, name)
+    with open(p, "wb") as f:
+        f.write(data)
+    return p
+
+
+def test_iter_warc_plain_and_gzip(tmp_path):
+    recs = _sample_records()
+    for name, gz in (("a.warc", False), ("a.warc.gz", True)):
+        p = _write(str(tmp_path), name, warc_bytes(recs, gzip_members=gz))
+        rows = list(iter_warc_file(p, record_types=None))
+        assert [r["record_type"] for r in rows] == ["warcinfo", "request", "response", "response"]
+        resp = rows[2]
+        assert resp["target_uri"] == "http://example.org/"
+        assert resp["http_status"] == 200
+        assert resp["http_content_type"].startswith("text/html")
+        assert resp["payload"] == _HTML  # exact payload through HTTP framing
+        assert rows[3]["http_status"] == 404
+        # default filter keeps responses only
+        assert len(list(iter_warc_file(p, record_types=("response",)))) == 2
+
+
+def test_iter_warc_incremental_chunks(tmp_path):
+    """The streaming reader is chunk-size-invariant: a 7-byte chunk
+    puts boundaries inside headers, payloads, AND gzip members, and
+    every record must still come out byte-identical."""
+    recs = _sample_records()
+    for name, gz in (("c.warc", False), ("c.warc.gz", True)):
+        p = _write(str(tmp_path), name, warc_bytes(recs, gzip_members=gz))
+        whole = list(iter_warc_file(p, record_types=None))
+        tiny = list(iter_warc_file(p, record_types=None, chunk_size=7))
+        assert tiny == whole and len(tiny) == 4
+
+
+def test_iter_warc_garbage_and_truncation(tmp_path):
+    recs = _sample_records()
+    # leading garbage before the first marker: parser resyncs on WARC/
+    p = _write(str(tmp_path), "g.warc", b"\x00garbage bytes\x00" + warc_bytes(recs[2:3]))
+    rows = list(iter_warc_file(p, record_types=None, chunk_size=5))
+    assert len(rows) == 1 and rows[0]["http_status"] == 200
+    # Content-Length overrunning EOF: truncated block still surfaces
+    full = warc_record_bytes(
+        "response",
+        "http://t/",
+        http_response_block(b"0123456789"),
+        content_type="application/http; msgtype=response",
+    )
+    p2 = _write(str(tmp_path), "t.warc", full[:-9])  # cut into the payload
+    rows2 = list(iter_warc_file(p2, record_types=None, chunk_size=8))
+    assert len(rows2) == 1
+    assert rows2[0]["payload"] == b"01234"  # partial payload surfaces, no hang
+
+
+def test_read_warc_dataframe(spark, tmp_path):
+    recs = _sample_records()
+    _write(str(tmp_path), "s1.warc.gz", warc_bytes(recs, gzip_members=True))
+    _write(str(tmp_path), "s2.warc", warc_bytes(recs[2:3]))
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 3  # 2 responses from s1 + 1 from s2
+    assert {r["warc_file"] for r in rows} == {"s1.warc.gz", "s2.warc"}
+    assert all(r["record_type"] == "response" for r in rows)
+    everything = read_warc(spark, str(tmp_path), record_types=None)
+    assert everything.count() == 5
+
+
+def test_html_to_text_structure():
+    m = html_to_text(_HTML)
+    assert m["title"] == "A & B"  # entity decoded
+    assert "junk" not in m["text"] and "color" not in m["text"]  # script/style dropped
+    lines = m["text"].split("\n")
+    assert "Heading" in lines[0]
+    assert any(ln == "First paragraph text." for ln in lines)
+    assert m["lang_attr"] == "en"
+    assert m["n_links"] == 3
+    # link chars: "link"(4) + "nav1"(4) + "nav2"(4) = 12; totals are
+    # per-chunk strip() lengths (internal spaces kept): 7 "Heading" +
+    # 21 "First paragraph text." + 13 "Second with a" + 4 "link" +
+    # 7 "inside." + 4 + 4 = 60
+    assert abs(m["link_density"] - 12 / 60) < 1e-9
+
+
+def test_html_to_text_degrades():
+    assert html_to_text(None) is None
+    m = html_to_text(b"\xff\xfenot really utf8 <b>bold</b>")
+    assert "bold" in m["text"]  # replacement-decoded, never raises
+    assert html_to_text("") is not None
+
+
+def test_crawl_curation_front_end(spark, tmp_path):
+    """read_warc → extract_html_text → quality_score: the composed
+    crawl front end feeding the existing curation operators."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.text import quality_score
+
+    recs = _sample_records()
+    _write(str(tmp_path), "crawl.warc.gz", warc_bytes(recs, gzip_members=True))
+    crawl = read_warc(spark, str(tmp_path)).where("http_status = 200")
+    docs = crawl.select(
+        F.monotonically_increasing_id().alias("doc_id"), "payload"
+    )
+    text_df = extract_html_text(docs, html_col="payload", id_col="doc_id")
+    row = text_df.collect()[0]
+    assert row["title"] == "A & B" and row["lang_attr"] == "en"
+    scored = quality_score(text_df.select("doc_id", "text"), text_col="text")
+    assert scored.count() == 1  # composition type-checks end to end
