@@ -1,0 +1,151 @@
+"""Native Spark DataSource for WARC archives — ``format("warc")``.
+
+Reference parity: engine extension (see io/warc.py); this wraps the
+incremental WARC parser as a first-class source so crawl archives are
+readable with the stock reader/stream API instead of a helper
+function:
+
+* **batch** — ``spark.read.format("warc").options(path=...).load()``:
+  one input partition per archive file (WARC has no intra-file split
+  points without an external index; crawls ship as many bounded files
+  precisely so file-level parallelism is enough).
+* **streaming** — ``spark.readStream.format("warc")...``: checkpointed
+  drop-folder ingestion.  The offset is a single filename cursor, so
+  checkpoint state is O(1) regardless of archive count; the contract
+  is that new files sort lexicographically AFTER already-ingested ones
+  (the crawl-shard convention — Common Crawl segment/shard names are
+  monotonic).  ``latestOffset`` lists the directory driver-side (pure
+  metadata); record parsing happens in ``read`` ON EXECUTORS via the
+  full ``DataSourceStreamReader`` API — unlike the Simple variant,
+  payload bytes never route through the driver, which is what makes
+  GB-scale archives streamable.  ``max_files_per_trigger`` bounds a
+  micro-batch.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os as _os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from .warc import WARC_SCHEMA, iter_warc_file
+
+_COLS = [f.name for f in WARC_SCHEMA.fields]
+_DDL = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in WARC_SCHEMA.fields)
+
+
+def _list_warc_files(path: str) -> list[str]:
+    if _os.path.isdir(path):
+        pats = [_os.path.join(path, "*.warc"), _os.path.join(path, "*.warc.gz")]
+    else:
+        pats = [path]
+    return sorted({f for p in pats for f in _glob.glob(p)})
+
+
+def _record_types_option(options: dict) -> tuple[str, ...] | None:
+    raw = options.get("record_types", "response")
+    if raw in ("*", ""):
+        return None
+    return tuple(t.strip() for t in str(raw).split(",") if t.strip())
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _read_file(path: str, options: dict):
+    rtypes = _record_types_option(options)
+    chunk = int(options.get("chunk_bytes", 1 << 20))
+    for row in iter_warc_file(path, rtypes, chunk_size=chunk):
+        yield tuple(row[c] for c in _COLS)
+
+
+class WarcBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.files = _list_warc_files(self.options["path"])
+        if not self.files:
+            raise FileNotFoundError(f"no WARC files under {self.options['path']}")
+
+    def partitions(self) -> list[InputPartition]:
+        return [_FilePartition(f) for f in self.files]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file(partition.path, self.options)
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Filename-cursor incremental ingest (contract: monotonic shard
+    names).  Offsets are ``{"cursor": "<basename of last ingested
+    file>"}`` — bounded checkpoint state at any archive count."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.path = self.options["path"]
+        self.max_files = int(self.options.get("max_files_per_trigger", 0))
+        # planning cursor: the end offset of the last batch this driver
+        # instance planned.  Used ONLY to bound latestOffset —
+        # partitions(start, end) always returns the FULL (start, end]
+        # range, so a bound can never skip files; on restart the first
+        # latestOffset (cursor unknown) is unbounded, best-effort.
+        self._planned_cursor: str | None = None
+
+    def initialOffset(self) -> dict:
+        return {"cursor": ""}
+
+    def latestOffset(self) -> dict:
+        files = _list_warc_files(self.path)  # driver-side metadata only
+        names = [_os.path.basename(f) for f in files]
+        if not names:
+            return {"cursor": self._planned_cursor or ""}
+        if self.max_files and self._planned_cursor is not None:
+            new = [n for n in names if n > self._planned_cursor]
+            if not new:
+                return {"cursor": self._planned_cursor}
+            return {"cursor": new[: self.max_files][-1]}
+        return {"cursor": names[-1]}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start.get("cursor", ""), end.get("cursor", "")
+        self._planned_cursor = hi
+        files = [
+            f
+            for f in _list_warc_files(self.path)
+            if lo < _os.path.basename(f) <= hi
+        ]
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_file(partition.path, self.options)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to release: source files are immutable archives
+
+
+class WarcDataSource(DataSource):
+    """Register once per session:
+    ``spark.dataSource.register(WarcDataSource)`` then
+    ``spark.read.format("warc").options(path=dir).load()`` or
+    ``spark.readStream.format("warc")...`` for checkpointed
+    drop-folder ingestion."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return _DDL
+
+    def reader(self, schema: StructType) -> WarcBatchReader:
+        return WarcBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> WarcStreamReader:
+        return WarcStreamReader(self.options)

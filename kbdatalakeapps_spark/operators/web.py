@@ -20,10 +20,19 @@ boundary — the signals here are the inputs such models consume.
 Malformed HTML never raises: ``html.parser`` is itself tolerant, and
 the operator degrades to NULL fields on decode failure (the
 ``exif_metadata`` contract for mixed corpora).
+
+Byte payloads decode charset-aware (real crawls are NOT all UTF-8 —
+a third of the long-tail web is windows-1252/Shift_JIS/GBK/…):
+BOM → HTTP ``Content-Type`` charset → ``<meta charset>`` prescan of
+the first 1024 bytes, the HTML5 sniffing order, with the spec's
+latin-1→windows-1252 remap; unknown labels fall back to UTF-8 with
+replacement, never an exception.
 """
 
 from __future__ import annotations
 
+import codecs
+import re
 from collections.abc import Iterator
 from html.parser import HTMLParser
 
@@ -101,14 +110,71 @@ class _TextExtractor(HTMLParser):
             self.link_chars += stripped
 
 
-def html_to_text(html: str | bytes | None) -> dict | None:
+# HTML5 prescan: charset label in the first 1024 bytes.  ASCII-super-
+# set encodings keep these bytes literal, which is why prescan works.
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?\s*([a-zA-Z0-9_\-:.]+))""",
+    re.IGNORECASE,
+)
+# HTML5 says these labels all mean windows-1252 (the spec's remap).
+_WINDOWS_1252_LABELS = {
+    "iso-8859-1", "iso8859-1", "latin1", "latin-1", "ascii", "us-ascii",
+    "cp819", "iso-ir-100",
+}
+
+
+def sniff_charset(data: bytes, http_content_type: str | None = None) -> str:
+    """HTML5 encoding sniff: BOM beats the transport header beats the
+    in-document ``<meta charset>`` prescan; default utf-8.  Returns a
+    codec name Python can look up (unknown labels → 'utf-8')."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if data[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if data[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    label = None
+    if http_content_type:
+        m = re.search(r"charset\s*=\s*[\"']?([a-zA-Z0-9_\-:.]+)", http_content_type, re.I)
+        if m:
+            label = m.group(1)
+    if label is None:
+        m = _META_CHARSET_RE.search(data[:1024])
+        if m:
+            label = m.group(1).decode("ascii", "replace")
+    if label is None:
+        return "utf-8"
+    label = label.strip().lower()
+    if label in _WINDOWS_1252_LABELS:
+        return "windows-1252"
+    try:
+        codecs.lookup(label)
+        return label
+    except LookupError:
+        return "utf-8"
+
+
+def decode_html_bytes(data: bytes, http_content_type: str | None = None) -> str:
+    """Charset-aware decode of a crawl payload; never raises."""
+    enc = sniff_charset(data, http_content_type)
+    try:
+        return data.decode(enc, "replace")
+    except Exception:  # pragma: no cover — replace handles codec errors
+        return data.decode("utf-8", "replace")
+
+
+def html_to_text(
+    html: str | bytes | None, http_content_type: str | None = None
+) -> dict | None:
     """Pure-python kernel: structural text extraction from one HTML
     document.  Returns dict(title, text, lang_attr, n_links,
-    link_density) or None for NULL/undecodable input."""
+    link_density) or None for NULL/undecodable input.  Byte input
+    decodes via the HTML5 charset sniff (BOM → ``http_content_type``
+    header → meta prescan)."""
     if html is None:
         return None
     if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", "replace")
+        html = decode_html_bytes(bytes(html), http_content_type)
     p = _TextExtractor()
     try:
         p.feed(html)
@@ -132,20 +198,27 @@ def extract_html_text(
     df: DataFrame,
     html_col: str = "payload",
     id_col: str = "doc_id",
+    content_type_col: str | None = None,
 ) -> DataFrame:
     """Arrow-batched HTML→text over a crawl DataFrame (string or
     binary ``html_col``) — the curation stage between read_warc and
-    the text-quality/dedup operators."""
+    the text-quality/dedup operators.  Pass ``content_type_col`` (e.g.
+    read_warc's ``http_content_type``) so byte payloads decode with
+    the transport charset in the HTML5 sniff order."""
     fields = [f.name for f in HTML_TEXT_SCHEMA.fields if f.name != "doc_id"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows: dict = {name: [] for name in fields}
-            for h in pdf[html_col]:
-                meta = html_to_text(h)
+            ctypes = pdf[content_type_col] if content_type_col else None
+            for i, h in enumerate(pdf[html_col]):
+                ct = ctypes.iloc[i] if ctypes is not None else None
+                meta = html_to_text(h, http_content_type=ct)
                 for name in fields:
                     rows[name].append(None if meta is None else meta.get(name))
             yield pd.DataFrame({"doc_id": pdf[id_col], **rows})
 
-    out = df.select(df[id_col].alias(id_col), html_col).mapInPandas(batches, HTML_TEXT_SCHEMA)
-    return out
+    sel = [df[id_col].alias(id_col), html_col]
+    if content_type_col:
+        sel.append(content_type_col)
+    return df.select(*sel).mapInPandas(batches, HTML_TEXT_SCHEMA)

@@ -140,9 +140,88 @@ def test_html_to_text_structure():
 
 def test_html_to_text_degrades():
     assert html_to_text(None) is None
-    m = html_to_text(b"\xff\xfenot really utf8 <b>bold</b>")
+    # \xff\xff is NOT a BOM (that would be \xff\xfe) — plain bad utf-8
+    m = html_to_text(b"\xff\xffnot really utf8 <b>bold</b>")
     assert "bold" in m["text"]  # replacement-decoded, never raises
     assert html_to_text("") is not None
+
+
+def test_warc_datasource_batch(spark, tmp_path):
+    from kbdatalakeapps_spark.io.warcsource import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    recs = _sample_records()
+    _write(str(tmp_path), "s1.warc.gz", warc_bytes(recs, gzip_members=True))
+    _write(str(tmp_path), "s2.warc", warc_bytes(recs[2:3]))
+    df = spark.read.format("warc").option("path", str(tmp_path)).load()
+    rows = df.collect()
+    assert len(rows) == 3 and all(r["record_type"] == "response" for r in rows)
+    # matches the helper-function read exactly
+    helper = read_warc(spark, str(tmp_path))
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, helper.collect()))
+    # record_types option: * = everything
+    allr = spark.read.format("warc").options(path=str(tmp_path), record_types="*").load()
+    assert allr.count() == 5
+
+
+def test_warc_stream_drop_folder(spark, tmp_path):
+    """Checkpointed drop-folder ingest: the filename cursor advances
+    across restarts, new shards (sorting after the cursor) arrive
+    exactly once, drained runs deliver nothing."""
+    from kbdatalakeapps_spark.io.warcsource import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    d = tmp_path / "drop"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    recs = _sample_records()
+
+    def drain():
+        out = []
+        q = (
+            spark.readStream.format("warc")
+            .option("path", str(d))
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    _write(str(d), "shard-000.warc.gz", warc_bytes(recs, gzip_members=True))
+    _write(str(d), "shard-001.warc", warc_bytes(recs[2:3]))
+    first = drain()
+    assert len(first) == 3  # 2 responses + 1
+    assert {r["warc_file"] for r in first} == {"shard-000.warc.gz", "shard-001.warc"}
+
+    _write(str(d), "shard-002.warc", warc_bytes(recs[2:4]))
+    second = drain()
+    assert len(second) == 2
+    assert {r["warc_file"] for r in second} == {"shard-002.warc"}
+    assert drain() == []  # drained
+
+
+def test_charset_sniffing():
+    from kbdatalakeapps_spark.operators.web import decode_html_bytes, sniff_charset
+
+    # meta prescan: windows-1252 é is 0xe9, invalid as UTF-8
+    w1252 = b'<html><head><meta charset="windows-1252"></head><body>caf\xe9</body></html>'
+    assert sniff_charset(w1252) == "windows-1252"
+    assert "café" in html_to_text(w1252)["text"]
+    # HTML5 remap: a latin-1 label means windows-1252 (0x92 = curly quote)
+    latin = b'<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">It\x92s'
+    assert sniff_charset(latin) == "windows-1252"
+    assert "It’s" in decode_html_bytes(latin)
+    # transport header beats meta; BOM beats both
+    assert sniff_charset(w1252, "text/html; charset=shift_jis") == "shift_jis"
+    utf16 = "﻿<p>héllo</p>".encode("utf-16-le")
+    assert sniff_charset(utf16, "text/html; charset=windows-1252") == "utf-16-le"
+    assert "héllo" in html_to_text(utf16)["text"]
+    # unknown label, garbage: degrade to utf-8 replace, never raise
+    assert sniff_charset(b'<meta charset="no-such-enc">x') == "utf-8"
+    assert decode_html_bytes(b"\xff\x00plain") is not None
 
 
 def test_crawl_curation_front_end(spark, tmp_path):
