@@ -223,6 +223,341 @@ def read_warc(
     return flist.mapInPandas(read_files, WARC_SCHEMA)
 
 
+# --- CDX-style record index + point reads -----------------------------------
+#
+# Common Crawl publishes a CDX(J) index — (archive file, byte offset,
+# compressed length) per record — precisely because WARC has no intra-
+# file split points: the index converts "rescan 100 TB of archives" into
+# "scan a small parquet index with Catalyst pushdown, then seek-read
+# exactly the selected members".  warc_index builds that table
+# distributed (one task per archive, same shape as read_warc);
+# read_warc_records is the point-read half: I/O is O(selected records),
+# never O(corpus).
+
+WARC_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+    ]
+)
+
+
+def iter_warc_spans(path: str, chunk_size: int = 1 << 20):
+    """Stream one archive → (headers, offset, length) per record, where
+    ``[offset, offset+length)`` is the ON-DISK byte span that point
+    reads seek to: the gzip member for ``.warc.gz`` (one record per
+    member, the spec recommendation Common Crawl follows), the raw
+    record span for plain ``.warc``.  Incremental like iter_warc_file —
+    peak memory is one member/record plus one chunk.
+
+    A non-conformant multi-record gzip member indexes every contained
+    record at the member's span (a point read re-parses the member and
+    selects by record_id), so the index stays lossless either way."""
+    import zlib
+
+    if path.endswith(".gz"):
+        with open(path, "rb") as f:
+            member_start = 0  # absolute offset of the current member
+            fed = 0  # compressed bytes handed to decompressors so far
+            d = zlib.decompressobj(wbits=31)
+            plain = bytearray()
+            eof = False
+            while True:
+                if not eof:
+                    chunk = f.read(chunk_size)
+                    if not chunk:
+                        eof = True
+                    else:
+                        data = chunk
+                        fed += len(data)
+                        while data:
+                            plain += d.decompress(data)
+                            if d.eof:
+                                # member ends inside what we fed: its end
+                                # offset is fed minus the unconsumed tail.
+                                data = d.unused_data
+                                member_end = fed - len(data)
+                                yield from _spans_from_member(
+                                    plain, member_start, member_end - member_start
+                                )
+                                plain = bytearray()
+                                member_start = member_end
+                                d = zlib.decompressobj(wbits=31)
+                            else:
+                                data = b""
+                        continue
+                if eof:
+                    if plain:  # truncated trailing member: index best-effort
+                        yield from _spans_from_member(
+                            plain, member_start, fed - member_start
+                        )
+                    return
+    else:
+        with open(path, "rb") as f:
+            buf = bytearray()
+            pos = 0  # absolute offset of buf[0]
+            eof = False
+            while True:
+                n0 = len(buf)
+                rec = _try_parse_record(buf, eof)
+                if rec is None:
+                    pos += n0 - len(buf)  # garbage the parser discarded
+                    if eof:
+                        return
+                    chunk = f.read(chunk_size)
+                    if not chunk:
+                        eof = True
+                    else:
+                        buf += chunk
+                    continue
+                headers, _block, _ = rec
+                consumed = n0 - len(buf)
+                # consumed includes any skipped inter-record padding;
+                # the record itself starts at the WARC/ marker.  The
+                # parser strips leading padding before matching, so the
+                # span we report is [pos, pos+consumed) — seek-readable
+                # because the parser skips padding again on point read.
+                yield headers, pos, consumed
+                pos += consumed
+
+
+def _spans_from_member(plain: bytearray, offset: int, length: int):
+    """Parse decompressed member bytes into records; every record in
+    the member carries the member's on-disk span."""
+    buf = bytearray(plain)
+    while True:
+        rec = _try_parse_record(buf, eof=True)
+        if rec is None:
+            return
+        headers, _block, _ = rec
+        yield headers, offset, length
+
+
+def warc_index(
+    spark: SparkSession,
+    path: str,
+    max_files_per_partition: int = 1,
+) -> DataFrame:
+    """Build the CDX-style index DataFrame over a directory/glob of
+    archives: ONE distributed pass, one task per archive file, headers
+    only (payload bytes are never shipped — an index row is ~200 bytes
+    regardless of record size).  Persist it as parquet next to the
+    corpus; at 100 TB the index is the only thing full-scanned and
+    filters on host/uri/status prune at the parquet scan."""
+    if _os.path.isdir(path):
+        pat = [_os.path.join(path, "*.warc"), _os.path.join(path, "*.warc.gz")]
+    else:
+        pat = [path]
+    files = sorted({f for p in pat for f in _glob.glob(p)})
+    if not files:
+        raise FileNotFoundError(f"no WARC files under {path}")
+    n_parts = max(1, (len(files) + max_files_per_partition - 1) // max_files_per_partition)
+    flist = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        min(n_parts, 256), "path"
+    )
+    cols = [f.name for f in WARC_INDEX_SCHEMA.fields]
+
+    def index_files(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                base = _os.path.basename(p)
+                for headers, off, ln in iter_warc_spans(p):
+                    rows.append(
+                        {
+                            "warc_file": base,
+                            "record_type": headers.get("warc-type"),
+                            "target_uri": headers.get("warc-target-uri"),
+                            "warc_date": headers.get("warc-date"),
+                            "record_id": headers.get("warc-record-id"),
+                            "content_type": headers.get("content-type"),
+                            "content_length": int(
+                                headers.get("content-length", "0") or 0
+                            ),
+                            "offset": off,
+                            "length": ln,
+                        }
+                    )
+                    if len(rows) >= 4096:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return flist.mapInPandas(index_files, WARC_INDEX_SCHEMA)
+
+
+def fetch_warc_record(path: str, offset: int, length: int, record_id: str | None = None):
+    """Seek-read one indexed span and parse it to a WARC row dict —
+    O(length) I/O, independent of archive size.  ``record_id`` selects
+    within a (non-conformant) multi-record member."""
+    import gzip as _gzip
+
+    with open(path, "rb") as f:
+        f.seek(offset)
+        raw = f.read(length)
+    data = _gzip.decompress(raw) if raw[:2] == b"\x1f\x8b" else raw
+    buf = bytearray(data)
+    while True:
+        rec = _try_parse_record(buf, eof=True)
+        if rec is None:
+            return None
+        headers, block, _ = rec
+        if record_id is not None and headers.get("warc-record-id") != record_id:
+            continue
+        status, http_ctype, payload = (None, None, block)
+        if (headers.get("content-type") or "").startswith("application/http"):
+            status, http_ctype, payload = _parse_http_block(block)
+        return {
+            "warc_file": _os.path.basename(path),
+            "record_type": headers.get("warc-type"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "record_id": headers.get("warc-record-id"),
+            "content_type": headers.get("content-type"),
+            "content_length": int(headers.get("content-length", "0") or 0),
+            "http_status": status,
+            "http_content_type": http_ctype,
+            "payload": payload,
+        }
+
+
+def read_warc_records(index_df: DataFrame, base_dir: str) -> DataFrame:
+    """Point-read the records a (filtered) index selects: input is any
+    DataFrame carrying (warc_file, offset, length[, record_id]) — e.g.
+    ``spark.read.parquet(index_path).where("http or uri predicate")`` —
+    output is full WARC_SCHEMA rows.  The filter runs on the INDEX scan
+    (Catalyst pushdown on parquet); archive I/O is one seek+read per
+    surviving row.  This is the 100 TB random-access path: a 10-record
+    lookup costs 10 member reads, not an archive scan."""
+    cols = [f.name for f in WARC_SCHEMA.fields]
+    has_rid = "record_id" in index_df.columns
+    sel = ["warc_file", "offset", "length"] + (["record_id"] if has_rid else [])
+
+    def fetch(batches):
+        import pandas as pd
+
+        batch_rows = 256
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                rid = getattr(t, "record_id", None) if has_rid else None
+                row = fetch_warc_record(
+                    _os.path.join(base_dir, t.warc_file), int(t.offset), int(t.length), rid
+                )
+                if row is not None:
+                    rows.append(row)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return index_df.select(*sel).mapInPandas(fetch, WARC_SCHEMA)
+
+
+# --- Distributed WARC sink ---------------------------------------------------
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    gzip_members: bool = True,
+    max_records_per_file: int = 0,
+) -> int:
+    """Re-shard a (curated) record DataFrame back into ``.warc[.gz]``
+    archives — the write half of the crawl story: filter/dedup a crawl
+    with the engine, then hand standards-conformant archives to any
+    downstream WARC consumer.  One archive per input partition (plus
+    rotation every ``max_records_per_file`` records when set), written
+    executor-side — no driver collection, the mirror image of
+    read_warc's one-task-per-archive shape.
+
+    Input needs WARC_SCHEMA-ish columns (record_type, target_uri,
+    warc_date, record_id, content_type, payload [, http_status,
+    http_content_type]).  Rows with an ``application/http`` content
+    type are re-framed as canonical HTTP responses from http_status /
+    http_content_type / payload (original transport headers are not
+    retained by the reader — this is a CANONICALIZING writer, like WET
+    extraction, not a byte-for-byte remux).  Returns the number of
+    archives written."""
+    import glob as _g
+
+    _os.makedirs(path, exist_ok=True)
+    suffix = ".warc.gz" if gzip_members else ".warc"
+    cols = [c for c in df.columns if c in {f.name for f in WARC_SCHEMA.fields}]
+
+    def write_partition(batches):
+        import gzip as _gzip
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n_files = 0
+        n_in_file = 0
+        out = None
+
+        def _open_next():
+            nonlocal out, n_files, n_in_file
+            if out is not None:
+                out.close()
+            name = _os.path.join(path, f"part-{pid:05d}-{n_files:04d}{suffix}")
+            out = open(name, "wb")
+            n_files += 1
+            n_in_file = 0
+
+        for pdf in batches:
+            for t in pdf.itertuples(index=False):
+                if out is None or (max_records_per_file and n_in_file >= max_records_per_file):
+                    _open_next()
+                payload = bytes(t.payload) if t.payload is not None else b""
+                ctype = getattr(t, "content_type", None)
+                status = getattr(t, "http_status", None)
+                has_status = status is not None and not pd.isna(status)
+                # re-frame only records the reader actually de-framed
+                # (http_status set); request/non-HTTP blocks passed
+                # through as raw payload and roundtrip as-is.
+                if ctype and str(ctype).startswith("application/http") and has_status:
+                    http_ct = getattr(t, "http_content_type", None)
+                    block = http_response_block(
+                        payload,
+                        status=int(status),
+                        content_type=(
+                            "application/octet-stream"
+                            if http_ct is None or pd.isna(http_ct)
+                            else http_ct
+                        ),
+                    )
+                else:
+                    block = payload
+                rec = warc_record_bytes(
+                    t.record_type or "resource",
+                    getattr(t, "target_uri", None),
+                    block,
+                    date=getattr(t, "warc_date", None) or "2026-01-01T00:00:00Z",
+                    content_type=ctype,
+                    record_id=getattr(t, "record_id", None)
+                    or "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+                )
+                out.write(_gzip.compress(rec) if gzip_members else rec)
+                n_in_file += 1
+        if out is not None:
+            out.close()
+        yield pd.DataFrame({"files": [n_files]})
+
+    counts = df.select(*cols).mapInPandas(write_partition, "files long").collect()
+    return int(sum(r["files"] for r in counts))
+
+
 # --- Spec-following fixture writer -----------------------------------------
 
 
