@@ -38,6 +38,7 @@ from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _SKIP_SUBTREES = {"script", "style", "noscript", "template"}
@@ -108,6 +109,377 @@ class _TextExtractor(HTMLParser):
         self.total_chars += stripped
         if self._anchor_depth:
             self.link_chars += stripped
+
+
+#: Structural-boilerplate ancestors: content inside these is chrome by
+#: construction in HTML5 — a prior jusText (2011, pre-HTML5 corpora)
+#: could not use.
+_BOILER_TAGS = {"nav", "header", "footer", "aside"}
+
+TEXT_BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("block_idx", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_links", T.IntegerType()),
+        T.StructField("link_density", T.DoubleType()),
+        T.StructField("in_boiler_tag", T.BooleanType()),
+    ]
+)
+
+
+class _BlockCollector(HTMLParser):
+    """Split a document into text blocks at block-tag boundaries,
+    carrying per-block link stats and nav/header/footer/aside ancestry
+    — the inputs of boilerplate classification."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[dict] = []
+        self._chunks: list[str] = []
+        self._tag = "p"
+        self._n_links = 0
+        self._link_chars = 0
+        self._total_chars = 0
+        self._skip_depth = 0
+        self._anchor_depth = 0
+        self._boiler_depth = 0
+        self._in_title = False
+
+    def _flush(self) -> None:
+        text = " ".join(" ".join(self._chunks).split())
+        if text:
+            total = self._total_chars or 1
+            self.blocks.append(
+                {
+                    "tag": self._tag,
+                    "text": text,
+                    "n_links": self._n_links,
+                    "link_density": self._link_chars / total,
+                    "in_boiler_tag": self._boiler_depth > 0,
+                }
+            )
+        self._chunks, self._n_links = [], 0
+        self._link_chars, self._total_chars = 0, 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_SUBTREES:
+            self._skip_depth += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "a":
+            self._n_links += 1
+            self._anchor_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _BOILER_TAGS:
+                self._boiler_depth += 1
+            self._tag = tag
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_SUBTREES and self._skip_depth:
+            self._skip_depth -= 1
+        elif tag == "title":
+            self._in_title = False
+        elif tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _BOILER_TAGS and self._boiler_depth:
+                self._boiler_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth or self._in_title:
+            return
+        self._chunks.append(data)
+        stripped = len(data.strip())
+        self._total_chars += stripped
+        if self._anchor_depth:
+            self._link_chars += stripped
+
+
+def html_to_blocks(html: str | bytes | None, http_content_type: str | None = None) -> list[dict]:
+    """Pure-python kernel: one document → ordered text blocks."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = decode_html_bytes(bytes(html), http_content_type)
+    p = _BlockCollector()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return []
+    p._flush()
+    return p.blocks
+
+
+def extract_text_blocks(
+    df: DataFrame,
+    html_col: str = "payload",
+    id_col: str = "doc_id",
+    content_type_col: str | None = None,
+) -> DataFrame:
+    """Arrow-batched HTML→blocks: one output row per text block, in
+    document order (``block_idx``).  Feed to ``classify_blocks`` for
+    jusText-style boilerplate removal — block-level curation keeps the
+    article text of a page whose chrome would sink its document-level
+    quality score."""
+    fields = [f.name for f in TEXT_BLOCKS_SCHEMA.fields if f.name != "doc_id"]
+    out_schema = T.StructType(
+        [T.StructField("doc_id", df.schema[id_col].dataType)]
+        + [f for f in TEXT_BLOCKS_SCHEMA.fields if f.name != "doc_id"]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {"doc_id": [], **{name: [] for name in fields}}
+            ctypes = pdf[content_type_col] if content_type_col else None
+            for i, h in enumerate(pdf[html_col]):
+                ct = ctypes.iloc[i] if ctypes is not None else None
+                for j, b in enumerate(html_to_blocks(h, http_content_type=ct)):
+                    rows["doc_id"].append(pdf[id_col].iloc[i])
+                    rows["block_idx"].append(j)
+                    for name in fields:
+                        if name != "block_idx":
+                            rows[name].append(b[name])
+            yield pd.DataFrame(rows)
+
+    sel = [df[id_col].alias(id_col), html_col]
+    if content_type_col:
+        sel.append(content_type_col)
+    return df.select(*sel).mapInPandas(batches, out_schema)
+
+
+def classify_blocks(
+    blocks: DataFrame,
+    lang: str = "en",
+    max_link_density: float = 0.4,
+    min_words: int = 12,
+    min_stop_ratio: float = 0.18,
+) -> DataFrame:
+    """jusText-style two-phase boilerplate classification, entirely in
+    native expressions (no Python in this half).
+
+    Phase 1 per block: ``bad`` (link-dense or inside nav/header/footer/
+    aside chrome), ``good`` (long enough, stopword-dense, link-sparse),
+    else ``near`` (linguistic but short) or ``short``.  Phase 2 is the
+    context pass as a WINDOW over (doc, block order): undecided blocks
+    become content iff an adjacent block is good — headings and short
+    sentences inside an article survive, isolated snippets between
+    chrome do not.  Per-document window, never global: partitions by
+    doc_id, so scale is corpus-parallel.  Adds ``block_class`` and
+    ``is_content``."""
+    from pyspark.sql import Window
+
+    from .text import stopword_hits, tokens
+
+    n_words = F.size(tokens(F.col("text")))
+    stop_ratio = stopword_hits(F.col("text"), lang) / F.greatest(n_words, F.lit(1))
+    base = (
+        F.when(F.col("in_boiler_tag") | (F.col("link_density") > max_link_density), "bad")
+        .when(
+            (n_words >= min_words)
+            & (stop_ratio >= min_stop_ratio)
+            & (F.col("link_density") <= 0.25),
+            "good",
+        )
+        .when(stop_ratio >= min_stop_ratio, "near")
+        .otherwise("short")
+    )
+    w = Window.partitionBy("doc_id").orderBy("block_idx")
+    out = blocks.withColumn("_base", base).withColumn(
+        "block_class",
+        F.when(F.col("_base").isin("good", "bad"), F.col("_base")).otherwise(
+            F.when(
+                (F.lag("_base", 1).over(w) == "good") | (F.lead("_base", 1).over(w) == "good"),
+                F.lit("good"),
+            ).otherwise(F.lit("bad"))
+        ),
+    )
+    return out.drop("_base").withColumn("is_content", F.col("block_class") == "good")
+
+
+def boilerplate_free_text(classified: DataFrame) -> DataFrame:
+    """Reassemble each document's content blocks (order preserved) into
+    one ``text`` per doc_id — the block-curated replacement for the
+    document-level extract."""
+    return (
+        classified.where("is_content")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(F.array_sort(F.collect_list(F.struct("block_idx", "text"))), lambda s: s["text"])
+            ).alias("text"),
+            F.count("*").alias("n_blocks"),
+        )
+    )
+
+
+LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_url", T.StringType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("url", T.StringType()),  # resolved absolute URL
+        T.StructField("anchor_text", T.StringType()),
+        T.StructField("nofollow", T.BooleanType()),
+    ]
+)
+
+
+class _LinkCollector(HTMLParser):
+    """Collect (href, rel, anchor text) for every ``<a href>`` plus the
+    document ``<base href>`` — the WAT-extraction half of a crawl."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[dict] = []
+        self.base: str | None = None
+        self._skip_depth = 0
+        self._stack: list[dict] = []  # open anchors (rare nesting: keep all)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_SUBTREES:
+            self._skip_depth += 1
+            return
+        if tag == "base" and self.base is None:
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.base = v
+        elif tag == "a":
+            a = dict(attrs)
+            href = a.get("href")
+            if href:
+                link = {
+                    "href": href.strip(),
+                    "nofollow": "nofollow" in (a.get("rel") or "").lower(),
+                    "_chunks": [],
+                }
+                self.links.append(link)
+                self._stack.append(link)
+            else:
+                self._stack.append({"_chunks": []})  # anchor sans href
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_SUBTREES and self._skip_depth:
+            self._skip_depth -= 1
+        elif tag == "a" and self._stack:
+            self._stack.pop()
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        for link in self._stack:
+            link["_chunks"].append(data)
+
+
+def html_links(
+    html: str | bytes | None,
+    base_url: str | None = None,
+    http_content_type: str | None = None,
+) -> list[dict]:
+    """Pure-python kernel: one document → outlinks with resolved
+    absolute URLs (``<base href>`` honored, then the document URL) and
+    anchor text.  javascript:/mailto:/data: schemes and un-resolvable
+    relatives (no base at all) are dropped."""
+    from urllib.parse import urljoin
+
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = decode_html_bytes(bytes(html), http_content_type)
+    p = _LinkCollector()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return []
+    base = p.base or base_url
+    out = []
+    for link in p.links:
+        href = link["href"]
+        low = href.lower()
+        if low.startswith(("javascript:", "mailto:", "data:", "tel:", "#")):
+            continue
+        if "://" in href:
+            resolved = href
+        elif base:
+            try:
+                resolved = urljoin(base, href)
+            except ValueError:
+                continue
+        else:
+            continue
+        out.append(
+            {
+                "href": href,
+                "url": resolved,
+                "anchor_text": " ".join("".join(link["_chunks"]).split()) or None,
+                "nofollow": link["nofollow"],
+            }
+        )
+    return out
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "payload",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    content_type_col: str | None = None,
+    drop_nofollow: bool = False,
+) -> DataFrame:
+    """Arrow-batched outlink extraction — the WAT table of a crawl.
+    One output row per link; relative hrefs resolve against
+    ``<base href>`` then the record's ``url_col`` (read_warc's
+    ``target_uri``).  Feeds ``host_edges`` → the graph family
+    (PageRank over hosts is the canonical Common-Crawl-scale ranking
+    workload)."""
+    out_schema = T.StructType(
+        [T.StructField("doc_id", df.schema[id_col].dataType)]
+        + [f for f in LINKS_SCHEMA.fields if f.name != "doc_id"]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict = {name: [] for name in cols}
+            ctypes = pdf[content_type_col] if content_type_col else None
+            srcs = pdf[url_col] if url_col else None
+            for i, h in enumerate(pdf[html_col]):
+                src = srcs.iloc[i] if srcs is not None else None
+                ct = ctypes.iloc[i] if ctypes is not None else None
+                for link in html_links(h, base_url=src, http_content_type=ct):
+                    if drop_nofollow and link["nofollow"]:
+                        continue
+                    rows["doc_id"].append(pdf[id_col].iloc[i])
+                    rows["src_url"].append(src)
+                    for k in ("href", "url", "anchor_text", "nofollow"):
+                        rows[k].append(link[k])
+            yield pd.DataFrame(rows)
+
+    sel = [df[id_col].alias(id_col), html_col]
+    if url_col:
+        sel.append(url_col)
+    if content_type_col:
+        sel.append(content_type_col)
+    return df.select(*sel).mapInPandas(batches, out_schema)
+
+
+def host_edges(links: DataFrame, src_col: str = "src_url", dst_col: str = "url") -> DataFrame:
+    """Aggregate a links table into the host-level web graph: one
+    (src_host, dst_host, n_links) edge per host pair, self-loops
+    dropped — native exprs end to end, the input shape of the graph
+    family (pagerank/degree/cc over hosts)."""
+    host = lambda c: F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    return (
+        links.select(host(src_col).alias("src_host"), host(dst_col).alias("dst_host"))
+        .where("src_host != '' AND dst_host != '' AND src_host != dst_host")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
 
 
 # HTML5 prescan: charset label in the first 1024 bytes.  ASCII-super-
@@ -204,8 +576,14 @@ def extract_html_text(
     binary ``html_col``) — the curation stage between read_warc and
     the text-quality/dedup operators.  Pass ``content_type_col`` (e.g.
     read_warc's ``http_content_type``) so byte payloads decode with
-    the transport charset in the HTML5 sniff order."""
+    the transport charset in the HTML5 sniff order.  The output
+    ``doc_id`` keeps the INPUT id column's type (crawl corpora key on
+    string WARC record-ids; synthetic tables on long doc_ids)."""
     fields = [f.name for f in HTML_TEXT_SCHEMA.fields if f.name != "doc_id"]
+    out_schema = T.StructType(
+        [T.StructField("doc_id", df.schema[id_col].dataType)]
+        + [f for f in HTML_TEXT_SCHEMA.fields if f.name != "doc_id"]
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -221,4 +599,4 @@ def extract_html_text(
     sel = [df[id_col].alias(id_col), html_col]
     if content_type_col:
         sel.append(content_type_col)
-    return df.select(*sel).mapInPandas(batches, HTML_TEXT_SCHEMA)
+    return df.select(*sel).mapInPandas(batches, out_schema)
