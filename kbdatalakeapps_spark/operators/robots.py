@@ -1,0 +1,201 @@
+"""robots.txt evaluation (RFC 9309) — crawl-compliance filtering.
+
+Reference parity: out of the reference's scope (tabular genomics);
+engine extension for the crawl-curation family: training-data
+pipelines retroactively honor robots rules (filter already-crawled
+corpora by today's policies), which at 100 TB must be a JOIN, not a
+per-URL fetch.
+
+Shape: ``parse_robots`` turns robots.txt payloads (rows of
+(host, payload) — e.g. the ``/robots.txt`` responses already inside a
+crawl, selected off the WARC index) into a RULES table via an
+Arrow-batched kernel; ``robots_filter`` evaluates a URL table against
+it with pure relational ops — equi-join on host, regex rule match
+(compiled once at parse time, matched JVM-side via ``rlike``),
+RFC 9309 longest-match precedence as an argmax window, allow on ties
+and on no-match.  Rules-per-host is bounded by robots.txt file size
+(crawlers cap at 500 KiB, RFC 9309 §2.5), so the join fan-out per URL
+is bounded — never a cross join.
+
+The matcher follows RFC 9309 §2.2.2-2.2.3: case-sensitive path
+prefixes, ``*`` wildcard, ``$`` end anchor, longest-match wins,
+``allow`` wins length ties; groups are selected for a user-agent by
+longest product-token match with ``*`` as fallback.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROBOTS_RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("agent", T.StringType()),
+        T.StructField("allow", T.BooleanType()),
+        T.StructField("pattern", T.StringType()),  # original rule path
+        T.StructField("regex", T.StringType()),  # anchored JVM-side regex
+        T.StructField("rule_len", T.IntegerType()),  # RFC precedence key
+    ]
+)
+
+
+def _rule_regex(path: str) -> str:
+    """RFC 9309 path pattern → anchored regex: ``*`` matches any char
+    run, ``$`` at the end anchors, everything else is literal."""
+    anchored = path.endswith("$")
+    if anchored:
+        path = path[:-1]
+    parts = [re.escape(p) for p in path.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchored else ".*")
+
+
+def parse_robots_text(host: str, text: str | bytes | None) -> list[dict]:
+    """Pure-python kernel: one robots.txt → rule rows.  Tolerant per
+    RFC 9309 §2.2: unknown lines ignored, user-agent lines stack onto
+    the following group, empty Disallow means allow-all (emitted as a
+    zero-length allow rule so the host is marked as having a policy)."""
+    if text is None:
+        return []
+    if isinstance(text, (bytes, bytearray)):
+        text = bytes(text).decode("utf-8", "replace")
+    rules: list[dict] = []
+    agents: list[str] = []
+    in_group = False  # False while collecting user-agent lines
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group:  # new group starts
+                agents, in_group = [], False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group = True
+            if not agents:
+                agents = ["*"]
+            if key == "disallow" and not val:
+                val = ""  # empty disallow = allow everything
+            allow = key == "allow" or val == ""
+            pattern = val if val else "/"
+            if val == "":
+                # represent "no restriction" as a minimal allow rule
+                for a in agents:
+                    rules.append(
+                        {
+                            "host": host,
+                            "agent": a,
+                            "allow": True,
+                            "pattern": "",
+                            "regex": "^.*",
+                            "rule_len": 0,
+                        }
+                    )
+                continue
+            for a in agents:
+                rules.append(
+                    {
+                        "host": host,
+                        "agent": a,
+                        "allow": allow,
+                        "pattern": pattern,
+                        "regex": _rule_regex(pattern),
+                        "rule_len": len(pattern),
+                    }
+                )
+    return rules
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched robots.txt parse over (host, payload) rows →
+    RULES table (one row per rule per declared agent group)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ROBOTS_RULES_SCHEMA.fields]
+        for pdf in it:
+            rows: list[dict] = []
+            for host, payload in zip(pdf[host_col], pdf[payload_col]):
+                rows.extend(parse_robots_text(host, payload))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(
+        F.col(host_col).alias(host_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, ROBOTS_RULES_SCHEMA)
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Evaluate each URL against the rules table, RFC 9309 semantics,
+    relationally: extract (host, path), LEFT join rules on host +
+    agent-group selection, keep regex-matching rules, take the
+    longest-match winner per URL (allow wins ties), default allow when
+    no rule matches or the host has no robots.txt.  Adds ``allowed``
+    boolean + ``matched_rule``.  Agent-group selection picks the
+    longest agent token that is a prefix of ``agent`` (RFC §2.2.1),
+    falling back to ``*`` — resolved per host BEFORE the URL join so
+    each URL meets exactly one group's rules."""
+    from pyspark.sql import Window
+
+    agent = agent.lower()
+    # per host: which agent group applies to this crawler?  '*' sorts
+    # after any named token of equal length only if lengths tie, which
+    # they can't (named tokens are non-empty and longest-match wins).
+    groups = rules.select("host", "agent").distinct()
+    applicable = (
+        groups.where(
+            (F.col("agent") == "*") | F.lit(agent).startswith(F.col("agent"))
+        )
+        .withColumn(
+            "_pref",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(
+                    F.length("agent").desc(), F.col("agent")
+                )
+            ),
+        )
+        .where("_pref = 1")
+        .drop("_pref")
+    )
+    sel_rules = rules.join(applicable, ["host", "agent"], "inner")
+
+    u = urls.withColumn(
+        "_host", F.lower(F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    ).withColumn("_path", F.coalesce(F.nullif(F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)", 1), F.lit("")), F.lit("/")))
+    joined = u.join(
+        sel_rules.withColumnRenamed("host", "_host"), on="_host", how="left"
+    ).withColumn(
+        "_match", F.col("regex").isNotNull() & F.expr("_path rlike regex")
+    )
+    # rank on (matched, rule length, allow): the winner is the RFC
+    # longest-match rule when one matches; a non-matching row survives
+    # as the default-allow carrier when none does (URLs are never lost).
+    w = Window.partitionBy(url_col).orderBy(
+        F.col("_match").desc(),
+        F.col("rule_len").desc_nulls_last(),
+        F.col("allow").desc_nulls_last(),
+    )
+    ranked = joined.withColumn("_rk", F.row_number().over(w)).where("_rk = 1")
+    return (
+        ranked.withColumn(
+            "allowed", F.when(F.col("_match"), F.col("allow")).otherwise(F.lit(True))
+        )
+        .withColumn("matched_rule", F.when(F.col("_match"), F.col("pattern")))
+        .drop(
+            "_rk", "_match", "_host", "_path",
+            "agent", "allow", "pattern", "regex", "rule_len",
+        )
+    )

@@ -1,0 +1,118 @@
+"""RFC 9309 robots.txt evaluation (operators/robots.py).
+
+Fixture rules exercise the spec's precedence semantics: longest match
+wins, allow wins length ties, `*` wildcards, `$` anchors, agent-group
+selection by longest product-token prefix with `*` fallback, default
+allow for unmatched URLs and unlisted hosts.
+"""
+
+from __future__ import annotations
+
+from kbdatalakeapps_spark.operators.robots import (
+    _rule_regex,
+    parse_robots,
+    parse_robots_text,
+    robots_filter,
+)
+
+_ROBOTS_A = """\
+# comment line
+User-agent: *
+Disallow: /private/
+Disallow: /tmp*.bak$
+Allow: /private/ok/
+
+User-agent: goodbot
+Disallow:
+
+User-agent: badbot
+Disallow: /
+"""
+
+_ROBOTS_B = """\
+User-agent: *
+Allow: /page
+Disallow: /page/hidden
+"""
+
+
+def _tables(spark):
+    # binary payloads (what a crawl delivers); parse decodes tolerantly
+    robots = spark.createDataFrame(
+        [("a.example", _ROBOTS_A.encode()), ("b.example", _ROBOTS_B.encode())],
+        "host string, payload binary",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("u1", "https://a.example/public/x"),
+            ("u2", "https://a.example/private/doc"),
+            ("u3", "https://a.example/private/ok/doc"),
+            ("u4", "https://a.example/tmp123.bak"),
+            ("u5", "https://a.example/tmp123.bak.more"),
+            ("u6", "https://b.example/page/hidden/deep"),
+            ("u7", "https://b.example/page"),
+            ("u8", "https://nothing.example/whatever"),
+            ("u9", "https://a.example"),
+        ],
+        "id string, url string",
+    )
+    return robots, urls
+
+
+def test_rule_regex():
+    assert _rule_regex("/private/") == "^/private/.*"
+    assert _rule_regex("/tmp*.bak$") == "^/tmp.*\\.bak$"
+    assert _rule_regex("/a$") == "^/a$"
+
+
+def test_parse_robots_text_groups():
+    rules = parse_robots_text("h", _ROBOTS_A)
+    agents = {r["agent"] for r in rules}
+    assert agents == {"*", "goodbot", "badbot"}
+    star = [r for r in rules if r["agent"] == "*"]
+    assert {(r["pattern"], r["allow"]) for r in star} == {
+        ("/private/", False),
+        ("/tmp*.bak$", False),
+        ("/private/ok/", True),
+    }
+    # empty Disallow = allow-all marker rule
+    good = [r for r in rules if r["agent"] == "goodbot"]
+    assert good == [
+        {"host": "h", "agent": "goodbot", "allow": True, "pattern": "", "regex": "^.*", "rule_len": 0}
+    ]
+    # binary payload and None degrade safely
+    assert parse_robots_text("h", None) == []
+    assert parse_robots_text("h", _ROBOTS_A.encode()) == rules
+
+
+def test_robots_filter_default_agent(spark):
+    robots, urls = _tables(spark)
+    rules = parse_robots(robots)
+    out = {r["id"]: r for r in robots_filter(urls, rules).collect()}
+    assert out["u1"]["allowed"] is True  # no rule matches → allow
+    assert out["u2"]["allowed"] is False  # /private/
+    assert out["u3"]["allowed"] is True  # longer Allow /private/ok/ wins
+    assert out["u4"]["allowed"] is False  # wildcard+anchor matches
+    assert out["u5"]["allowed"] is True  # $ anchor: .bak.more doesn't match
+    assert out["u6"]["allowed"] is False  # longest match /page/hidden
+    assert out["u7"]["allowed"] is True  # Allow /page
+    assert out["u8"]["allowed"] is True  # host without robots → allow
+    assert out["u9"]["allowed"] is True  # bare host → path '/'
+    assert out["u2"]["matched_rule"] == "/private/"
+    # every input URL comes out exactly once
+    assert len(out) == urls.count()
+
+
+def test_robots_filter_agent_groups(spark):
+    robots, urls = _tables(spark)
+    rules = parse_robots(robots)
+    # goodbot's group is empty-disallow: everything on a.example allowed
+    good = {r["id"]: r["allowed"] for r in robots_filter(urls, rules, agent="goodbot").collect()}
+    assert good["u2"] is True and good["u4"] is True
+    # badbot: Disallow / blocks all of a.example; b.example unaffected
+    bad = {r["id"]: r["allowed"] for r in robots_filter(urls, rules, agent="badbot").collect()}
+    assert bad["u1"] is False and bad["u2"] is False and bad["u9"] is False
+    assert bad["u7"] is True
+    # longest product-token prefix: agent 'badbot-news/1.0' matches 'badbot'
+    news = {r["id"]: r["allowed"] for r in robots_filter(urls, rules, agent="badbot-news/1.0").collect()}
+    assert news["u1"] is False
