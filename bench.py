@@ -39,9 +39,39 @@ def _dd_dedup_corpus_xxh(spark, sf_dir):
     )
 
 
+def _wb_boilerplate_pipeline(spark, sf_dir):
+    # crawl-curation block path: synthesize an HTML page per document
+    # (native format_string — chrome nav/footer + two paragraphs), then
+    # extract_text_blocks → classify_blocks → boilerplate_free_text.
+    # Measures the Arrow block extractor + native-expr classifier at
+    # corpus scale; deterministic, no fixtures needed.
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.web import (
+        boilerplate_free_text,
+        classify_blocks,
+        extract_text_blocks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string(
+            '<html><body><nav><a href="/">Home</a> <a href="/a">About</a>'
+            ' <a href="/c">Contact</a></nav><h2>Doc %s</h2><p>%s</p><p>%s</p>'
+            '<footer>Copyright <a href="/tos">Terms</a></footer></body></html>',
+            F.col("doc_id"),
+            F.substring("text", 1, 400),
+            F.substring("text", 401, 400),
+        ).alias("payload"),
+    )
+    return boilerplate_free_text(classify_blocks(extract_text_blocks(docs)))
+
+
 _BENCH_OVERRIDES = {
     "sim_ivf_topk": sim_ivf_topk_build,
     "dd_dedup_corpus_xxh": _dd_dedup_corpus_xxh,
+    "wb_boilerplate_pipeline": _wb_boilerplate_pipeline,
 }
 
 # Headline set: one per operator family that dominates runtime at scale.
@@ -113,6 +143,9 @@ BENCH_QUERIES = [
     "dd_url_canonical",            # URL canonicalization dedup
     "mm_flac_features",            # real FLAC decode (rice + predictors)
     "mm_scene_cuts",               # GIF decode + thumbnail L1 shot bounds
+    # round-5 continuation #5 additions (appended; earlier keys stay
+    # comparable)
+    "wb_boilerplate_pipeline",     # HTML blocks → jusText classify → text
 ]
 
 # The most expensive queries — measured twice, median reported.

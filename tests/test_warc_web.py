@@ -534,3 +534,87 @@ def test_extract_links_nofollow_and_charset(spark):
     assert len(out) == 1 and out[0]["anchor_text"] == "café" and out[0]["nofollow"]
     kept = extract_links(docs, id_col="doc_id", drop_nofollow=True)
     assert kept.count() == 0
+
+def test_crawl_operator_plan_bounds(spark):
+    """Shuffle-count pins for the crawl family (measured sf-fixture,
+    Spark 4.1): classify_blocks = 1 (per-doc window; the reassembly
+    groupBy REUSES the window's doc_id hash partitioning — no second
+    shuffle), host_edges = 1 (single agg), robots_filter = 7 (group
+    distinct + host window + host join + url window; the rules side
+    stays a shuffle join BY DESIGN — a 100 TB crawl has ~10^8 hosts,
+    past broadcast range).  Bounds leave headroom for plan-equivalent
+    Spark upgrades."""
+    from kbdatalakeapps_spark.operators.robots import parse_robots, robots_filter
+    from kbdatalakeapps_spark.operators.web import (
+        boilerplate_free_text,
+        classify_blocks,
+        extract_links,
+        extract_text_blocks,
+        host_edges,
+    )
+    from kbdatalakeapps_spark.plans import exchange_count
+
+    docs = spark.createDataFrame([(1, "<p>a</p>")], "doc_id long, payload string")
+    chain = boilerplate_free_text(classify_blocks(extract_text_blocks(docs)))
+    assert exchange_count(chain) <= 2
+    links = extract_links(
+        spark.createDataFrame(
+            [(1, "http://a/", "<a href='http://b/'>x</a>")],
+            "doc_id long, target_uri string, payload string",
+        ),
+        url_col="target_uri",
+    )
+    assert exchange_count(host_edges(links)) <= 2
+    robots = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /x")], "host string, payload string"
+    )
+    urls = spark.createDataFrame([("u", "http://h/x")], "id string, url string")
+    assert exchange_count(robots_filter(urls, parse_robots(robots))) <= 9
+
+
+def test_warc_framing_properties():
+    """Property: ANY payload bytes — including ones embedding 'WARC/'
+    markers, CRLF runs, or gzip magic — roundtrip through the writer →
+    parser because Content-Length framing, not delimiters, bounds the
+    block.  Spans stay honest under the same adversarial payloads."""
+    from hypothesis import given, settings, strategies as st
+
+    from kbdatalakeapps_spark.io.warc import iter_warc_spans
+
+    evil = st.binary(min_size=0, max_size=300).map(
+        lambda b: b + b"\r\n\r\nWARC/1.0\r\n" if len(b) % 3 == 0 else b
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(evil, min_size=1, max_size=4))
+    def check(payloads):
+        import io
+        import tempfile
+
+        recs = [
+            warc_record_bytes(
+                "resource",
+                f"http://x/{i}",
+                p,
+                content_type="application/octet-stream",
+                record_id=f"<urn:uuid:{i:032d}>",
+            )
+            for i, p in enumerate(payloads)
+        ]
+        for gz in (False, True):
+            data = warc_bytes(recs, gzip_members=gz)
+            with tempfile.NamedTemporaryFile(
+                suffix=".warc.gz" if gz else ".warc", delete=False
+            ) as f:
+                f.write(data)
+                path = f.name
+            rows = list(iter_warc_file(path, record_types=None, chunk_size=13))
+            assert [r["payload"] for r in rows] == payloads
+            spans = list(iter_warc_spans(path, chunk_size=13))
+            assert len(spans) == len(payloads)
+            assert [h.get("warc-record-id") for h, _, _ in spans] == [
+                f"<urn:uuid:{i:032d}>" for i in range(len(payloads))
+            ]
+            os.unlink(path)
+
+    check()
