@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .checkpointing import materializer
+
 
 def char_shingles(col: str, k: int = 3) -> Column:
     """Distinct character k-grams of a (pre-normalized) string column.
@@ -111,6 +113,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
 
@@ -122,7 +125,7 @@ def ngram_jaccard_pairs(
     # materialize once: referenced three times (both join sides + the
     # size aggregate) and each reference would otherwise re-shingle
     # and re-explode the corpus
-    sh = shingle_table(df, id_col, text_col, k).localCheckpoint(eager=False)
+    sh = materializer(checkpoint_dir)(shingle_table(df, id_col, text_col, k))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -225,6 +228,7 @@ def minhash_lsh_pairs(
     signatures: DataFrame | None = None,
     max_bucket_docs: int | None = None,
     hash_fn: str = "md5",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs (id_a < id_b, n_bands ≥ 1
     shared band).
@@ -282,7 +286,7 @@ def minhash_lsh_pairs(
     # a plain self-join duplicates the whole shingle+hash+aggregate
     # pipeline into both sides (ReuseExchange does not canonicalize
     # through the stack/generate), doubling the dominant cost
-    bands = bands.localCheckpoint(eager=False)
+    bands = materializer(checkpoint_dir)(bands)
     if max_bucket_docs is not None:
         _assert_no_hot_band_buckets(bands, max_bucket_docs)
     a, b = bands.alias("a"), bands.alias("b")
@@ -337,6 +341,7 @@ def minhash_lsh_pairs_salted(
     hot_bucket_docs: int = 10_000,
     n_salts: int = 16,
     hash_fn: str = "md5",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """minhash_lsh_pairs with skew.salted_join wiring for hot band
     buckets: buckets above ``hot_bucket_docs`` docs are diagnosed
@@ -380,8 +385,8 @@ def minhash_lsh_pairs_salted(
                 "bucket_key"
             ),
         )
-        .localCheckpoint(eager=False)
     )
+    bands = materializer(checkpoint_dir)(bands)
     hot_keys = (
         bands.groupBy("bucket_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -447,6 +452,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     prefix_bits: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs.  Blocking on the top ``prefix_bits`` of
     the fingerprint bounds the self-join (at scale: multiple rotated
@@ -457,7 +463,7 @@ def simhash_pairs(
     # materialize the (n_docs)-row fingerprint table once; the
     # self-join would recompute the token explode + 32-bit vote
     # aggregation on both sides otherwise
-    s = s.localCheckpoint(eager=False)
+    s = materializer(checkpoint_dir)(s)
     a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -492,6 +498,7 @@ def simhash_pairs_rotated(
     bits: int = 32,
     max_hamming: int = 3,
     n_segments: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with PIGEONHOLE-COMPLETE segment
     blocking — the scale path ``simhash_pairs``'s docstring promises:
@@ -511,7 +518,7 @@ def simhash_pairs_rotated(
             f"n_segments={nseg} must exceed max_hamming={max_hamming} "
             "for pigeonhole completeness"
         )
-    s = simhash(df, id_col, text_col, bits).localCheckpoint(eager=False)
+    s = materializer(checkpoint_dir)(simhash(df, id_col, text_col, bits))
     segd = s.select(
         "id",
         "simhash",
@@ -554,6 +561,7 @@ def jaccard_verify_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for candidate pairs — the
     verification stage the LSH path stages in front of
@@ -576,7 +584,8 @@ def jaccard_verify_pairs(
         id_col,
         text_col,
         k,
-    ).localCheckpoint(eager=False)
+    )
+    sh = materializer(checkpoint_dir)(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("_sh"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("_sh"))
@@ -610,6 +619,7 @@ def dedup_corpus(
     band_size: int = 6,
     jaccard_threshold: float = 0.8,
     hash_fn: str = "md5",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The complete dedup decision, end to end: exact content-hash
     dedup → minhash-LSH candidate discovery on the exact survivors →
@@ -656,10 +666,11 @@ def dedup_corpus(
     # survivors feeds three consumers (LSH, both verify sides, the
     # keeper id frame) — materialize once instead of re-running the
     # exact stage per consumer
-    survivors = survivors.localCheckpoint(eager=False)
-    sigs = minhash_signatures_wide(
+    mat = materializer(checkpoint_dir)
+    survivors = mat(survivors)
+    sigs = mat(minhash_signatures_wide(
         survivors, id_col, text_col, k, num_hashes, hash_fn
-    ).localCheckpoint(eager=False)
+    ))
     candidates = minhash_lsh_pairs(
         survivors, id_col, text_col, k, num_hashes, band_size, signatures=sigs
     )
@@ -692,14 +703,17 @@ def dedup_corpus(
         .select("id_a", "id_b")
     )
     verified = jaccard_verify_pairs(
-        survivors, candidates, id_col, text_col, k, jaccard_threshold
+        survivors, candidates, id_col, text_col, k, jaccard_threshold,
+        checkpoint_dir=checkpoint_dir,
     )
     # the edge list is tiny (verified near-dup pairs) but its lineage
     # is the whole discover+verify pipeline; CC label propagation and
     # the final join would otherwise re-execute that pipeline per
     # iteration action (measured: 70 s of silent recompute at sf0.1)
-    verified = verified.localCheckpoint(eager=False)
-    near = keeper_assignment(survivors, verified, id_col)
+    verified = mat(verified)
+    near = keeper_assignment(
+        survivors, verified, id_col, checkpoint_dir=checkpoint_dir
+    )
     near_map = near.select("id", F.col("keeper").alias("_near_keep"))
     # exact-eliminated docs resolve through their exact keeper's near
     # keeper; build final keeper per original doc
@@ -945,6 +959,7 @@ def containment_pairs(
     k: int = 3,
     threshold: float = 0.9,
     max_shingle_df: int = 1000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup discovery by shingle CONTAINMENT
     |A∩B| / |A| ≥ threshold — the case symmetric Jaccard (and the
@@ -972,7 +987,7 @@ def containment_pairs(
     by a two-key equi-join of the shingle sets.  Returns (id_a, id_b,
     containment) where id_a is the CONTAINED side; both directions
     are examined (every doc probes as a potential A)."""
-    sh = shingle_table(df, id_col, text_col, k).localCheckpoint(eager=False)
+    sh = materializer(checkpoint_dir)(shingle_table(df, id_col, text_col, k))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     ranked = (
@@ -1036,6 +1051,7 @@ def edit_distance_pairs(
     text_col: str = "text",
     k: int = 1,
     min_len: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Edit-distance self-join: all pairs with Levenshtein distance
     ≤ ``k`` — typo-level entity dedup (normalized names, titles,
@@ -1079,8 +1095,8 @@ def edit_distance_pairs(
             F.length(text_col).alias("L"),
         )
         .filter(F.col("L") >= lo)
-        .localCheckpoint(eager=False)
     )
+    base = materializer(checkpoint_dir)(base)
 
     def _li(i: int, lcol: str) -> str:
         return (

@@ -1,0 +1,20 @@
+
+def test_dedup_reliable_checkpoint_parity(spark, tmp_path, sf_dir):
+    """checkpoint_dir= on the end-to-end dedup pipeline swaps every
+    lineage cut (survivors, signatures, verified edges, CC rounds)
+    from executor-local blocks to reliable checkpoint files without
+    changing a single output row — the preemptible-cluster posture
+    extended from the iterative graph ops (VERDICT r4 #3) to the
+    dedup family."""
+    import os
+
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.dedup import dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    local = sorted(map(tuple, dedup_corpus(docs).collect()))
+    ckpt = str(tmp_path / "ck")
+    reliable = sorted(map(tuple, dedup_corpus(docs, checkpoint_dir=ckpt).collect()))
+    assert reliable == local
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "reliable run wrote no checkpoint files"
