@@ -1,0 +1,207 @@
+"""Conversation / SFT-data operators — the chat half of a training-data
+pipeline (instruction-tuning corpora are conversations, not documents).
+
+Reference parity: out of the reference's scope (tabular genomics);
+engine extension.  Everything here is NATIVE expressions end to end —
+``from_json`` typing, higher-order array functions for per-turn
+analysis, ``aggregate`` for template rendering and prefix budgets — so
+the whole family stays inside whole-stage codegen: no Python boundary
+at all, unlike the HTML/codec operators where a kernel is unavoidable.
+
+Conventions: a conversation is ``array<struct<role:string,
+content:string>>`` in document order.  Stats and gates mirror the
+published SFT-curation heuristics (role alternation, system-first,
+empty-turn and last-role checks, balance ratios) as deterministic
+columns a filter composes over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: element type of a conversation column
+TURN_TYPE = T.StructType(
+    [
+        T.StructField("role", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+CONVERSATION_TYPE = T.ArrayType(TURN_TYPE)
+
+
+def parse_conversations(
+    df: DataFrame, json_col: str = "conversation_json", out_col: str = "turns"
+) -> DataFrame:
+    """Type a JSON conversation column (``[{"role": ..., "content":
+    ...}, ...]``) into ``array<struct<role,content>>`` — pure
+    ``from_json``, malformed rows become NULL (filter on
+    ``out_col IS NULL`` for the reject stream)."""
+    return df.withColumn(out_col, F.from_json(F.col(json_col), CONVERSATION_TYPE))
+
+
+def _role_count(turns: Column, role: str) -> Column:
+    return F.size(F.filter(turns, lambda t: t["role"] == role))
+
+
+def conversation_stats(df: DataFrame, turns_col: str = "turns") -> DataFrame:
+    """Per-conversation curation signals, all native:
+
+    - ``n_turns`` / ``n_user`` / ``n_assistant`` / ``n_system``
+    - ``total_chars`` (content only), ``n_empty_turns``
+    - ``starts_with_system``, ``last_role``
+    - ``alternation_ok``: after an optional leading system turn, roles
+      strictly alternate user/assistant starting with user — the
+      structural invariant most SFT trainers assume.
+    """
+    turns = F.col(turns_col)
+    # non-system tail: the part that must alternate
+    tail = F.filter(turns, lambda t: t["role"] != "system")
+    alternation = F.when(F.size(tail) == 0, F.lit(False)).otherwise(
+        F.aggregate(
+            F.zip_with(
+                tail,
+                F.transform(F.sequence(F.lit(0), F.size(tail) - 1), lambda i: i),
+                lambda t, i: t["role"]
+                == F.when(i % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")),
+            ),
+            F.lit(True),
+            lambda acc, ok: acc & ok,
+        )
+        # system turns allowed only in the leading position
+        & (
+            F.size(F.filter(turns, lambda t: t["role"] == "system"))
+            == F.size(
+                F.filter(
+                    F.slice(turns, 1, 1), lambda t: t["role"] == "system"
+                )
+            )
+        )
+    )
+    return (
+        df.withColumn("n_turns", F.size(turns))
+        .withColumn("n_user", _role_count(turns, "user"))
+        .withColumn("n_assistant", _role_count(turns, "assistant"))
+        .withColumn("n_system", _role_count(turns, "system"))
+        .withColumn(
+            "total_chars",
+            F.aggregate(
+                turns, F.lit(0).cast("long"), lambda acc, t: acc + F.length(F.coalesce(t["content"], F.lit("")))
+            ),
+        )
+        .withColumn(
+            "n_empty_turns",
+            F.size(F.filter(turns, lambda t: t["content"].isNull() | (F.trim(t["content"]) == ""))),
+        )
+        .withColumn(
+            "starts_with_system",
+            F.coalesce(F.element_at(turns, 1)["role"] == "system", F.lit(False)),
+        )
+        .withColumn("last_role", F.element_at(turns, -1)["role"])
+        .withColumn("alternation_ok", alternation)
+    )
+
+
+#: named template fragments: (prefix(role), suffix) rendered per turn.
+_TEMPLATES = {
+    # ChatML-shaped: <|im_start|>role\ncontent<|im_end|>\n
+    "chatml": ("<|im_start|>", "<|im_end|>\n"),
+}
+
+
+def render_chat(
+    df: DataFrame,
+    turns_col: str = "turns",
+    template: str = "chatml",
+    out_col: str = "text",
+) -> DataFrame:
+    """Render conversations to flat training text with a named
+    template — one ``aggregate`` string fold, no Python.  ``plain``
+    renders ``role: content`` lines."""
+    turns = F.col(turns_col)
+    if template == "plain":
+        rendered = F.aggregate(
+            turns,
+            F.lit(""),
+            lambda acc, t: F.concat(
+                acc, t["role"], F.lit(": "), F.coalesce(t["content"], F.lit("")), F.lit("\n")
+            ),
+        )
+    elif template in _TEMPLATES:
+        pre, suf = _TEMPLATES[template]
+        rendered = F.aggregate(
+            turns,
+            F.lit(""),
+            lambda acc, t: F.concat(
+                acc,
+                F.lit(pre),
+                t["role"],
+                F.lit("\n"),
+                F.coalesce(t["content"], F.lit("")),
+                F.lit(suf),
+            ),
+        )
+    else:
+        raise ValueError(f"unknown template {template!r}")
+    return df.withColumn(out_col, rendered)
+
+
+def filter_conversations(
+    df: DataFrame,
+    turns_col: str = "turns",
+    min_turns: int = 2,
+    max_turns: int = 200,
+    require_alternation: bool = True,
+    require_assistant_last: bool = True,
+    max_empty_turns: int = 0,
+) -> DataFrame:
+    """The composed SFT gate: typed rejects with a reason column
+    (NULL reason = keep), so the reject stream is auditable instead of
+    silently dropped — the dq_expectation_suite idiom applied to
+    conversations."""
+    stats = conversation_stats(df, turns_col)
+    reason = (
+        F.when(F.col(turns_col).isNull(), "unparseable")
+        .when(F.col("n_turns") < min_turns, "too_few_turns")
+        .when(F.col("n_turns") > max_turns, "too_many_turns")
+        .when(F.col("n_empty_turns") > max_empty_turns, "empty_turns")
+    )
+    if require_alternation:
+        reason = reason.when(~F.col("alternation_ok"), "role_structure")
+    if require_assistant_last:
+        reason = reason.when(F.col("last_role") != "assistant", "last_role")
+    return stats.withColumn("reject_reason", reason).withColumn(
+        "keep", reason.isNull()
+    )
+
+
+def truncate_turns(
+    df: DataFrame,
+    turns_col: str = "turns",
+    max_chars: int = 8192,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Greedy prefix budget: keep the longest PREFIX of turns whose
+    cumulative content length fits ``max_chars`` — the context-window
+    packing rule, computed natively: one pass builds the running-sum
+    array (``aggregate`` with an array accumulator, O(n) per row), a
+    second filters turns by their prefix sum."""
+    turns = F.col(turns_col)
+    cum = F.aggregate(
+        turns,
+        F.array().cast("array<long>"),
+        lambda acc, t: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.element_at(acc, -1), F.lit(0).cast("long"))
+                + F.length(F.coalesce(t["content"], F.lit("")))
+            ),
+        ),
+    )
+    kept = F.zip_with(
+        turns, cum, lambda t, c: F.when(c <= max_chars, t)
+    )
+    return df.withColumn(
+        out_col or turns_col, F.filter(kept, lambda t: t.isNotNull())
+    )

@@ -1,0 +1,105 @@
+"""Conversation / SFT-data operators (operators/chat.py) — typed
+parsing, structural stats, template rendering, gating, prefix budgets.
+All native expressions; the plan test pins zero Python nodes.
+"""
+
+from __future__ import annotations
+
+import json
+
+from kbdatalakeapps_spark.operators.chat import (
+    conversation_stats,
+    filter_conversations,
+    parse_conversations,
+    render_chat,
+    truncate_turns,
+)
+
+
+def _conv(*pairs):
+    return json.dumps([{"role": r, "content": c} for r, c in pairs])
+
+
+def _df(spark):
+    rows = [
+        # c1: canonical system + alternating, assistant last
+        (1, _conv(("system", "be brief"), ("user", "hi"), ("assistant", "hello"))),
+        # c2: no system, alternating, user last (dangling prompt)
+        (2, _conv(("user", "q1"), ("assistant", "a1"), ("user", "q2"))),
+        # c3: double-user (broken alternation)
+        (3, _conv(("user", "x"), ("user", "y"), ("assistant", "z"))),
+        # c4: empty assistant turn
+        (4, _conv(("user", "q"), ("assistant", "  "))),
+        # c5: malformed JSON
+        (5, "{not json"),
+        # c6: system turn in the middle (disallowed placement)
+        (6, _conv(("user", "a"), ("system", "mid"), ("assistant", "b"))),
+    ]
+    return parse_conversations(
+        spark.createDataFrame(rows, "conv_id long, conversation_json string")
+    )
+
+
+def test_parse_and_stats(spark):
+    df = conversation_stats(_df(spark))
+    s = {r["conv_id"]: r for r in df.collect()}
+    assert s[5]["turns"] is None  # malformed → NULL, not an exception
+    c1 = s[1]
+    assert (c1["n_turns"], c1["n_user"], c1["n_assistant"], c1["n_system"]) == (3, 1, 1, 1)
+    assert c1["total_chars"] == len("be brief") + len("hi") + len("hello")
+    assert c1["starts_with_system"] and c1["alternation_ok"]
+    assert c1["last_role"] == "assistant"
+    assert s[2]["alternation_ok"] and s[2]["last_role"] == "user"
+    assert not s[3]["alternation_ok"]  # user,user,assistant
+    assert s[4]["n_empty_turns"] == 1
+    assert not s[6]["alternation_ok"]  # mid-conversation system turn
+
+
+def test_filter_gate_reasons(spark):
+    out = {r["conv_id"]: r for r in filter_conversations(_df(spark)).collect()}
+    assert out[1]["keep"] and out[1]["reject_reason"] is None
+    assert out[2]["reject_reason"] == "last_role"
+    assert out[3]["reject_reason"] == "role_structure"
+    assert out[4]["reject_reason"] == "empty_turns"
+    assert out[5]["reject_reason"] == "unparseable"
+    assert out[6]["reject_reason"] == "role_structure"
+    # every row classified exactly once
+    assert all((r["reject_reason"] is None) == r["keep"] for r in out.values())
+
+
+def test_render_templates(spark):
+    df = _df(spark).where("conv_id = 1")
+    chatml = render_chat(df).collect()[0]["text"]
+    assert chatml == (
+        "<|im_start|>system\nbe brief<|im_end|>\n"
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>\n"
+    )
+    plain = render_chat(df, template="plain").collect()[0]["text"]
+    assert plain == "system: be brief\nuser: hi\nassistant: hello\n"
+    try:
+        render_chat(df, template="nope")
+        raise AssertionError("unknown template must raise")
+    except ValueError:
+        pass
+
+
+def test_truncate_turns_budget(spark):
+    df = _df(spark).where("conv_id = 1")
+    # budget fits system(8) + user(2) but not assistant(+5=15)
+    t = truncate_turns(df, max_chars=10).collect()[0]["turns"]
+    assert [x["role"] for x in t] == ["system", "user"]
+    # zero budget → empty; huge budget → everything
+    assert truncate_turns(df, max_chars=0).collect()[0]["turns"] == []
+    assert len(truncate_turns(df, max_chars=10_000).collect()[0]["turns"]) == 3
+
+
+def test_chat_plan_is_pure_native(spark):
+    """The whole family must stay JVM-side: no Python eval nodes in
+    parse → stats → gate → render, and one shuffle-free plan."""
+    from kbdatalakeapps_spark.plans import exchange_count
+
+    df = render_chat(filter_conversations(_df(spark)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert exchange_count(df) == 0
