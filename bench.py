@@ -68,10 +68,38 @@ def _wb_boilerplate_pipeline(spark, sf_dir):
     return boilerplate_free_text(classify_blocks(extract_text_blocks(docs)))
 
 
+def _ch_sft_pipeline(spark, sf_dir):
+    # conversation-curation throughput: synthesize a JSON transcript
+    # per document (to_json handles escaping), then parse → stats →
+    # gate → render → loss spans — the whole SFT family, all native
+    # higher-order exprs, zero Python nodes (plan-pinned in tests).
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.chat import (
+        assistant_spans,
+        filter_conversations,
+        parse_conversations,
+        render_chat,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    convo = F.to_json(
+        F.array(
+            F.struct(F.lit("system").alias("role"), F.lit("be helpful").alias("content")),
+            F.struct(F.lit("user").alias("role"), F.substring("text", 1, 200).alias("content")),
+            F.struct(F.lit("assistant").alias("role"), F.substring("text", 201, 400).alias("content")),
+        )
+    )
+    df = parse_conversations(docs.select("doc_id", convo.alias("conversation_json")))
+    return assistant_spans(render_chat(filter_conversations(df)))
+
+
 _BENCH_OVERRIDES = {
     "sim_ivf_topk": sim_ivf_topk_build,
     "dd_dedup_corpus_xxh": _dd_dedup_corpus_xxh,
     "wb_boilerplate_pipeline": _wb_boilerplate_pipeline,
+    "ch_sft_pipeline": _ch_sft_pipeline,
 }
 
 # Headline set: one per operator family that dominates runtime at scale.
@@ -146,6 +174,7 @@ BENCH_QUERIES = [
     # round-5 continuation #5 additions (appended; earlier keys stay
     # comparable)
     "wb_boilerplate_pipeline",     # HTML blocks → jusText classify → text
+    "ch_sft_pipeline",             # chat parse → gate → render → loss spans
 ]
 
 # The most expensive queries — measured twice, median reported.

@@ -176,6 +176,62 @@ def filter_conversations(
     )
 
 
+def assistant_spans(
+    df: DataFrame,
+    turns_col: str = "turns",
+    template: str = "chatml",
+    out_col: str = "loss_spans",
+) -> DataFrame:
+    """Loss-mask spans for SFT: 1-based (start, length) character spans
+    of each ASSISTANT turn's content inside the ``render_chat`` output
+    for the same template — the mask a trainer applies so loss falls
+    only on assistant tokens.  Computed natively with the SAME
+    arithmetic the renderer uses (per-turn rendered length is
+    deterministic), via one running-offset array fold:
+    ``substring(text, start, length)`` equals the turn content by
+    construction (asserted in tests)."""
+    if template == "plain":
+        pre_len = lambda t: F.length(t["role"]) + F.lit(2)  # "role: "
+        suf_len = F.lit(1)  # "\n"
+    elif template in _TEMPLATES:
+        pre, suf = _TEMPLATES[template]
+        pre_len = lambda t: F.lit(len(pre)) + F.length(t["role"]) + F.lit(1)  # "<|im_start|>role\n"
+        suf_len = F.lit(len(suf))
+    else:
+        raise ValueError(f"unknown template {template!r}")
+    turns = F.col(turns_col)
+    clen = lambda t: F.length(F.coalesce(t["content"], F.lit("")))
+    # fold: acc = array of cumulative rendered length AFTER each turn
+    cum = F.aggregate(
+        turns,
+        F.array().cast("array<long>"),
+        lambda acc, t: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.element_at(acc, -1), F.lit(0).cast("long"))
+                + pre_len(t)
+                + clen(t)
+                + suf_len
+            ),
+        ),
+    )
+    spans = F.filter(
+        F.zip_with(
+            turns,
+            cum,
+            lambda t, end: F.when(
+                t["role"] == "assistant",
+                F.struct(
+                    (end - suf_len - clen(t) + 1).alias("start"),
+                    clen(t).alias("length"),
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return df.withColumn(out_col, spans)
+
+
 def truncate_turns(
     df: DataFrame,
     turns_col: str = "turns",

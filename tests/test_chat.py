@@ -103,3 +103,31 @@ def test_chat_plan_is_pure_native(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "MapInPandas" not in plan
     assert exchange_count(df) == 0
+
+
+def test_assistant_spans_match_render(spark):
+    """Span honesty: substring(rendered, start, length) must equal the
+    assistant content exactly, for both templates, every conversation."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.chat import assistant_spans
+
+    df = _df(spark).where("turns is not null")
+    for template in ("chatml", "plain"):
+        r = assistant_spans(render_chat(df, template=template), template=template)
+        rows = r.select(
+            "conv_id",
+            "text",
+            F.expr(
+                "transform(loss_spans, s -> substring(text, cast(s.start as int), cast(s.length as int)))"
+            ).alias("cut"),
+            F.expr(
+                "transform(filter(turns, t -> t.role = 'assistant'), t -> coalesce(t.content, ''))"
+            ).alias("want"),
+        ).collect()
+        assert rows, template
+        for row in rows:
+            assert row["cut"] == row["want"], (template, row["conv_id"])
+    # still pure native
+    plan = assistant_spans(render_chat(df))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
