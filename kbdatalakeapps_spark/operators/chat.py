@@ -176,6 +176,51 @@ def filter_conversations(
     )
 
 
+def preference_stats(
+    df: DataFrame,
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF) curation signals over two
+    conversation columns.  Checks the invariants preference trainers
+    assume, natively:
+
+    - ``same_prompt``: both sides share the identical non-assistant
+      prefix (prompt context must match or the pair is incoherent);
+    - ``responses_differ``: final assistant contents are not equal
+      (identical pairs carry zero preference signal);
+    - ``len_chosen`` / ``len_rejected`` / ``len_ratio``: final-response
+      lengths and their ratio — the classic length-bias audit (a corpus
+      whose chosen side is systematically longer trains a verbosity
+      reward, not a quality one);
+    - ``pair_ok``: the composed gate.
+    """
+    c, r = F.col(chosen_col), F.col(rejected_col)
+    prompt = lambda t: F.filter(t, lambda x: x["role"] != "assistant")
+    last_a = lambda t: F.element_at(
+        F.filter(t, lambda x: x["role"] == "assistant"), -1
+    )["content"]
+    lc = F.coalesce(F.length(last_a(c)), F.lit(0)).alias("len_chosen")
+    lr = F.coalesce(F.length(last_a(r)), F.lit(0)).alias("len_rejected")
+    out = (
+        df.withColumn("same_prompt", prompt(c) == prompt(r))
+        .withColumn("responses_differ", ~last_a(c).eqNullSafe(last_a(r)))
+        .withColumn("len_chosen", lc)
+        .withColumn("len_rejected", lr)
+        .withColumn(
+            "len_ratio",
+            F.col("len_chosen") / F.greatest(F.col("len_rejected"), F.lit(1)),
+        )
+    )
+    return out.withColumn(
+        "pair_ok",
+        F.coalesce(F.col("same_prompt"), F.lit(False))
+        & F.col("responses_differ")
+        & (F.col("len_chosen") > 0)
+        & (F.col("len_rejected") > 0),
+    )
+
+
 def assistant_spans(
     df: DataFrame,
     turns_col: str = "turns",

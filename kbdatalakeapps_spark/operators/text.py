@@ -1016,3 +1016,51 @@ def canonicalize_url(col: Column | str) -> Column:
         path,
         F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fim_text",
+    pre_token: str = "<|fim_prefix|>",
+    suf_token: str = "<|fim_suffix|>",
+    mid_token: str = "<|fim_middle|>",
+    min_len: int = 32,
+    spm: bool = False,
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle") — the standard
+    code-corpus augmentation: split each document into
+    (prefix, middle, suffix) and re-emit ``PRE prefix SUF suffix MID
+    middle`` (PSM) or the SPM rotation.
+
+    Split points are CONTENT-KEYED (the sampling.py determinism rule):
+    two cut fractions derive from xxhash64 of the text, so the
+    transform is partitioning-invariant and reproducible without a
+    seed column, and uniform over documents.  Documents shorter than
+    ``min_len`` pass through unchanged (``fim_applied`` = false).
+    Native expressions end to end."""
+    n = F.length(text_col)
+    # two deterministic cut points in [1, n): order the hashed pair
+    h1 = F.pmod(F.xxhash64(F.col(text_col), F.lit(1)), F.greatest(n - 1, F.lit(1)))
+    h2 = F.pmod(F.xxhash64(F.col(text_col), F.lit(2)), F.greatest(n - 1, F.lit(1)))
+    c1 = (F.least(h1, h2) + 1).cast("int")
+    c2 = (F.greatest(h1, h2) + 1).cast("int")
+    prefix = F.substring(F.col(text_col), 1, c1 - 1)
+    middle = F.expr(f"substring({text_col}, _c1, _c2 - _c1)")
+    suffix = F.expr(f"substring({text_col}, _c2, {2**31 - 1})")
+    applied = n >= min_len
+    df2 = df.withColumn("_c1", c1).withColumn("_c2", c2)
+    if spm:
+        rendered = F.concat(
+            F.lit(pre_token), F.lit(suf_token), suffix, F.lit(mid_token), prefix, middle
+        )
+    else:
+        rendered = F.concat(
+            F.lit(pre_token), prefix, F.lit(suf_token), suffix, F.lit(mid_token), middle
+        )
+    return (
+        df2.withColumn("fim_applied", applied)
+        .withColumn(out_col, F.when(applied, rendered).otherwise(F.col(text_col)))
+        .drop("_c1", "_c2")
+    )

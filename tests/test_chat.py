@@ -131,3 +131,77 @@ def test_assistant_spans_match_render(spark):
     # still pure native
     plan = assistant_spans(render_chat(df))._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_preference_stats(spark):
+    from kbdatalakeapps_spark.operators.chat import preference_stats
+
+    def pair(prompt, a_c, a_r, other_prompt=False):
+        c = [{"role": "user", "content": prompt}, {"role": "assistant", "content": a_c}]
+        r = [
+            {"role": "user", "content": prompt + ("X" if other_prompt else "")},
+            {"role": "assistant", "content": a_r},
+        ]
+        return json.dumps(c), json.dumps(r)
+
+    rows = [
+        (1, *pair("q", "long good answer", "bad")),     # ok
+        (2, *pair("q", "same", "same")),                # identical responses
+        (3, *pair("q", "a", "b", other_prompt=True)),   # prompt mismatch
+        (4, *pair("q", "", "b")),                       # empty chosen
+    ]
+    df = spark.createDataFrame(rows, "id long, chosen_json string, rejected_json string")
+    df = parse_conversations(df, "chosen_json", "chosen")
+    df = parse_conversations(df, "rejected_json", "rejected")
+    out = {r["id"]: r for r in preference_stats(df).collect()}
+    assert out[1]["pair_ok"] and out[1]["same_prompt"] and out[1]["responses_differ"]
+    assert out[1]["len_ratio"] == len("long good answer") / len("bad")
+    assert not out[2]["pair_ok"] and not out[2]["responses_differ"]
+    assert not out[3]["pair_ok"] and not out[3]["same_prompt"]
+    assert not out[4]["pair_ok"] and out[4]["len_chosen"] == 0
+    # native end to end
+    plan = preference_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_fim_transform_reconstructs(spark):
+    """FIM identity: prefix+middle+suffix == original text for every
+    applied row (both PSM and SPM carry the same three pieces); short
+    docs pass through; split points are partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.text import fim_transform
+
+    rows = [(i, f"def f{i}(x):\n    return x * {i}  # " + "pad" * i) for i in range(1, 30)]
+    rows.append((99, "tiny"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fim_transform(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert not got[99]["fim_applied"] and got[99]["fim_text"] == "tiny"
+    n_applied = 0
+    for r in got.values():
+        if not r["fim_applied"]:
+            continue
+        n_applied += 1
+        t = r["fim_text"]
+        assert t.startswith("<|fim_prefix|>")
+        body = t[len("<|fim_prefix|>"):]
+        prefix, rest = body.split("<|fim_suffix|>", 1)
+        suffix, middle = rest.split("<|fim_middle|>", 1)
+        assert prefix + middle + suffix == r["text"], r["doc_id"]
+    assert n_applied >= 20
+    # SPM rotation (PRE SUF suffix MID prefix middle) reconstructs too:
+    # original = prefix + middle + suffix = pm + suffix
+    spm = fim_transform(df, spm=True).where("fim_applied").collect()
+    assert len(spm) == n_applied
+    for r in spm:
+        body = r["fim_text"].split("<|fim_prefix|>", 1)[1]
+        suffix, pm = body.split("<|fim_suffix|>", 1)[1].split("<|fim_middle|>", 1)
+        assert pm + suffix == r["text"], r["doc_id"]
+    # partitioning invariance: same cuts under a different partitioning
+    a = {r["doc_id"]: r["fim_text"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["fim_text"]
+        for r in fim_transform(df.repartition(7)).collect()
+    }
+    assert a == b
