@@ -1,0 +1,104 @@
+"""Dataset data-card generation — the release datasheet of a curated
+corpus (Gebru et al., "Datasheets for Datasets"): per-group summary
+rows a training run records next to its shards.
+
+Reference parity: out of the reference's scope; engine extension
+closing the curation loop — after filter/dedup/mixture/pack, the
+pipeline's last artifact is the accounting table that says what the
+corpus IS.
+
+Everything is one grouped aggregation pass (plus an optional tiny
+per-group top-k): native expressions, map-side combinable, output is
+|groups| rows — negligible at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def data_card(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str | None = "text",
+    weight_col: str | None = None,
+    category_cols: list[str] | None = None,
+    top_k: int = 5,
+) -> DataFrame:
+    """One summary row per group (or one global row when
+    ``group_cols`` is None):
+
+    - ``n_rows``; ``total_weight`` when ``weight_col`` given (tokens);
+    - text stats when ``text_col`` given: ``total_chars``,
+      ``avg_chars``, ``p50_chars``/``p95_chars`` (percentile_approx —
+      sketched, mergeable, the only non-exact field, marked by name);
+    - for each of ``category_cols`` (e.g. lang, domain, split): the
+      distinct count and the ``top_k`` most frequent values with
+      counts as ``<col>_top`` = array<struct<value,count>> — computed
+      with a bounded per-group sort over the (group, value) counts,
+      never a global window.
+    """
+    group_cols = group_cols or []
+    gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if weight_col:
+        aggs.append(F.sum(weight_col).cast("long").alias("total_weight"))
+    if text_col:
+        length = F.length(text_col)
+        aggs += [
+            F.sum(length).cast("long").alias("total_chars"),
+            F.round(F.avg(length), 2).alias("avg_chars"),
+            F.percentile_approx(length, 0.5).alias("p50_chars"),
+            F.percentile_approx(length, 0.95).alias("p95_chars"),
+        ]
+    for c in category_cols or []:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}_distinct"))
+    card = gb.agg(*aggs)
+
+    from pyspark.sql import Window
+
+    for c in category_cols or []:
+        # rank-then-collect: row_number prunes to ≤ top_k rows per group
+        # BEFORE any collect, so the operator stays bounded even when a
+        # category column is high-cardinality (Spark pushes the rank
+        # filter into the window sort as a group-limit).  Deterministic
+        # order: count desc, value asc.
+        per_cat = df.groupBy(*group_cols, c).agg(F.count(F.lit(1)).alias("_n"))
+        if group_cols:
+            w = Window.partitionBy(*group_cols).orderBy(
+                F.col("_n").desc(), F.col(c).asc()
+            )
+            ranked = per_cat.withColumn("_rk", F.row_number().over(w))
+        else:
+            # global card: sort+limit plans as TakeOrdered (bounded),
+            # never a single-partition global window
+            ranked = (
+                per_cat.orderBy(F.col("_n").desc(), F.col(c).asc())
+                .limit(top_k)
+                .withColumn(
+                    "_rk",
+                    F.row_number().over(Window.orderBy(F.col("_n").desc(), F.col(c).asc())),
+                )
+            )
+        counts = (
+            ranked.where(F.col("_rk") <= top_k)
+            .groupBy(*group_cols)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_rk"), F.col(c).alias("value"), F.col("_n").alias("count")
+                        )
+                    )
+                ).alias("_t")
+            )
+            .select(
+                *group_cols,
+                F.transform(
+                    "_t", lambda s: F.struct(s["value"].alias("value"), s["count"].alias("count"))
+                ).alias(f"{c}_top"),
+            )
+        )
+        card = card.join(counts, group_cols) if group_cols else card.crossJoin(counts)
+    return card

@@ -1,0 +1,68 @@
+"""Data-card generation (operators/datacard.py)."""
+
+from __future__ import annotations
+
+from kbdatalakeapps_spark.operators.datacard import data_card
+
+
+def _docs(spark):
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                i,
+                "word " * (10 + i % 5),
+                i % 10 + 1,
+                "en" if i % 4 else "de",
+                "train" if i % 5 else "val",
+            )
+        )
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, n_tokens int, lang string, split string"
+    )
+
+
+def test_data_card_grouped(spark):
+    df = _docs(spark)
+    card = data_card(
+        df,
+        group_cols=["split"],
+        weight_col="n_tokens",
+        category_cols=["lang"],
+        top_k=2,
+    )
+    rows = {r["split"]: r for r in card.collect()}
+    assert set(rows) == {"train", "val"}
+    train, val = rows["train"], rows["val"]
+    assert train["n_rows"] == 48 and val["n_rows"] == 12
+    assert train["n_rows"] + val["n_rows"] == 60
+    assert train["total_weight"] == sum(i % 10 + 1 for i in range(60) if i % 5)
+    # text stats exact where exact, sketched only the percentiles
+    texts = ["word " * (10 + i % 5) for i in range(60) if i % 5]
+    assert train["total_chars"] == sum(len(t) for t in texts)
+    assert train["lang_distinct"] == 2
+    top = [(s["value"], s["count"]) for s in train["lang_top"]]
+    en = sum(1 for i in range(60) if i % 5 and i % 4)
+    assert top == [("en", en), ("de", 48 - en)]
+
+
+def test_data_card_global(spark):
+    df = _docs(spark)
+    card = data_card(df, category_cols=["lang", "split"], top_k=1).collect()
+    assert len(card) == 1
+    g = card[0]
+    assert g["n_rows"] == 60 and g["lang_distinct"] == 2 and g["split_distinct"] == 2
+    assert [(s["value"], s["count"]) for s in g["lang_top"]] == [("en", 45)]
+    assert [(s["value"], s["count"]) for s in g["split_top"]] == [("train", 48)]
+
+
+def test_data_card_plan_bounded(spark):
+    """Grouped cards never plan a global (unpartitioned ordered)
+    window; the category top-k is rank-pruned before any collect."""
+    from kbdatalakeapps_spark.plans import exchange_count
+
+    df = _docs(spark)
+    card = data_card(df, group_cols=["split"], category_cols=["lang"])
+    plan = card._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert exchange_count(card) <= 6
