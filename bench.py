@@ -95,11 +95,26 @@ def _ch_sft_pipeline(spark, sf_dir):
     return assistant_spans(render_chat(filter_conversations(df)))
 
 
+def _sp_pack_whole(spark, sf_dir):
+    # no-split SFT packing over the documents corpus (weight = token
+    # count), 2048-token blocks, 64 content-keyed buckets
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.sampling import pack_documents_whole
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    return pack_documents_whole(docs, "n_tokens", budget=2048)
+
+
 _BENCH_OVERRIDES = {
     "sim_ivf_topk": sim_ivf_topk_build,
     "dd_dedup_corpus_xxh": _dd_dedup_corpus_xxh,
     "wb_boilerplate_pipeline": _wb_boilerplate_pipeline,
     "ch_sft_pipeline": _ch_sft_pipeline,
+    "sp_pack_whole": _sp_pack_whole,
 }
 
 # Headline set: one per operator family that dominates runtime at scale.
@@ -175,6 +190,7 @@ BENCH_QUERIES = [
     # comparable)
     "wb_boilerplate_pipeline",     # HTML blocks → jusText classify → text
     "ch_sft_pipeline",             # chat parse → gate → render → loss spans
+    "sp_pack_whole",               # no-split SFT packing (bucketed first-fit)
 ]
 
 # The most expensive queries — measured twice, median reported.

@@ -508,3 +508,88 @@ def temperature_sample(
         .filter(u < F.col("_rate"))
         .drop("_domain", "_rate")
     )
+
+
+def pack_documents_whole(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    salt: str = "v1",
+) -> DataFrame:
+    """Whole-document packing: assign each document to a training
+    block of total weight ≤ ``budget`` WITHOUT ever splitting a
+    document — the SFT/instruction-tuning mode, where cutting an
+    example mid-conversation destroys it (``pack_sequences`` is the
+    pretraining concat-and-chunk mode; this is its complement).
+
+    Exact first-fit packing is inherently sequential (each block
+    boundary depends on all prior ones), so the scalable form shards
+    the corpus into ``num_buckets`` CONTENT-KEYED buckets (md5 of the
+    id — any rerun or partitioning reproduces the assignment) and runs
+    the greedy first-fit pass independently per bucket over Arrow
+    batches, docs in deterministic (hash, id) order.  Efficiency loss
+    vs global greedy is at most one underfull block per bucket — at
+    corpus scale (blocks/bucket ≫ 1) the fill-ratio cost is noise,
+    and buckets pack in parallel with bounded memory (one running
+    block per bucket).
+
+    Documents heavier than ``budget`` get a singleton block flagged
+    ``oversize`` (callers route them to truncation explicitly — the
+    operator never silently drops or splits).
+
+    Output: input columns + ``pack_id`` (string ``bucket:seq``,
+    globally unique), ``pack_weight`` (the block's total), and
+    ``oversize``.  One shuffle (the bucket key), per-bucket state is
+    O(1).
+    """
+    import pandas as pd
+
+    out_fields = df.schema.fields
+    schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + ", pack_id string, pack_weight long, oversize boolean"
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(num_buckets),
+    )
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt + ":o")))
+
+    def pack(key, pdf: pd.DataFrame):
+        b = int(key[0])
+        pdf = pdf.sort_values(["_ord", id_col], kind="mergesort")
+        seq, acc, n_over = 0, 0, 0
+        ids, weights, overs = [], [], []
+        for w in pdf["_w"]:
+            w = int(w)
+            if w > budget:
+                # singleton oversize block in its own id namespace; the
+                # open block's running state is untouched
+                ids.append(f"{b}:x{n_over}")
+                weights.append(w)
+                overs.append(True)
+                n_over += 1
+                continue
+            if acc + w > budget:
+                seq += 1
+                acc = 0
+            acc += w
+            ids.append(f"{b}:{seq}")
+            weights.append(acc)  # running total; fixed below to block total
+            overs.append(False)
+        pdf = pdf.assign(pack_id=ids, pack_weight=weights, oversize=overs)
+        # pack_weight = the block's final total (max running acc per block)
+        totals = pdf.groupby("pack_id")["pack_weight"].transform("max")
+        pdf = pdf.assign(pack_weight=totals.astype("int64"))
+        return pdf.drop(columns=["_b", "_w", "_ord"])
+
+    prepared = df.withColumn("_b", bucket).withColumn(
+        "_w", F.col(weight_col).cast("long")
+    ).withColumn("_ord", order)
+    return prepared.groupBy("_b").applyInPandas(pack, schema)

@@ -340,3 +340,47 @@ def test_temperature_sample_is_reproducible_and_partition_invariant(spark):
         ).collect()
     }
     assert a == b
+
+def test_pack_documents_whole(spark):
+    """Whole-doc packing invariants: no block over budget (except
+    flagged oversize singletons), every doc in exactly one block,
+    pack_weight is the true block total, and the assignment is
+    partitioning-invariant (content-keyed buckets)."""
+    from kbdatalakeapps_spark.operators.sampling import pack_documents_whole
+
+    rows = [(i, (i * 37) % 300 + 1) for i in range(400)]
+    rows += [(1000, 900), (1001, 2000)]  # near-budget and oversize
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = pack_documents_whole(df, "n_tokens", budget=1000, num_buckets=8)
+    got = out.collect()
+    assert len(got) == len(rows)  # nothing dropped, nothing split
+
+    by_block: dict = {}
+    for r in got:
+        by_block.setdefault(r["pack_id"], []).append(r)
+    for pid, members in by_block.items():
+        total = sum(m["n_tokens"] for m in members)
+        assert all(m["pack_weight"] == total for m in members), pid
+        if any(m["oversize"] for m in members):
+            assert len(members) == 1 and total > 1000
+        else:
+            assert total <= 1000, pid
+    over = [r for r in got if r["oversize"]]
+    assert [r["doc_id"] for r in over] == [1001]
+
+    # fill efficiency: greedy in hash order stays reasonable
+    full_blocks = [
+        sum(m["n_tokens"] for m in ms)
+        for pid, ms in by_block.items()
+        if not any(m["oversize"] for m in ms)
+    ]
+    assert sum(full_blocks) / (len(full_blocks) * 1000) > 0.5
+
+    # partitioning invariance
+    again = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_documents_whole(
+            df.repartition(11), "n_tokens", budget=1000, num_buckets=8
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["pack_id"] for r in got}
