@@ -593,3 +593,35 @@ def pack_documents_whole(
         "_w", F.col(weight_col).cast("long")
     ).withColumn("_ord", order)
     return prepared.groupBy("_b").applyInPandas(pack, schema)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates cannot straddle —
+    the leakage mode a plain per-document hash_split has: if doc A is
+    in train and its near-dup B in test, the eval measures
+    memorization.  Connected components over ``dup_pairs`` (id_a,
+    id_b) group all transitively-linked duplicates; the component
+    KEEPER's content hash decides the whole group's split, so every
+    member lands together.  Singletons hash on their own id —
+    identical to hash_split for the non-duplicated bulk.
+
+    One CC fixpoint over the (tiny) pair graph + one join; the split
+    stays content-keyed and partitioning-invariant end to end."""
+    from .graph import keeper_assignment
+
+    keepers = keeper_assignment(df, dup_pairs, id_col).select(
+        F.col("id").alias(id_col), F.col("keeper").alias("_split_key")
+    )
+    keyed = df.join(keepers, id_col, "left").withColumn(
+        "_split_key", F.coalesce(F.col("_split_key"), F.col(id_col))
+    )
+    return hash_split(keyed, "_split_key", fractions, salt, split_col).drop(
+        "_split_key"
+    )

@@ -384,3 +384,34 @@ def test_pack_documents_whole(spark):
         ).collect()
     }
     assert again == {r["doc_id"]: r["pack_id"] for r in got}
+
+def test_leakage_safe_split(spark):
+    """No near-dup pair may straddle splits; singletons match plain
+    hash_split exactly (same key, same salt → same assignment)."""
+    from kbdatalakeapps_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # chains and a triangle: transitive grouping required
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (50, 51), (51, 52), (52, 50)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 200
+    for group in ([1, 2, 3], [10, 11], [50, 51, 52]):
+        assert len({got[g] for g in group}) == 1, group
+    # singletons identical to plain hash_split on their own id
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    dup_ids = {1, 2, 3, 10, 11, 50, 51, 52}
+    for i in range(200):
+        if i not in dup_ids:
+            assert got[i] == plain[i], i
