@@ -98,9 +98,47 @@ def _try_parse_record(buf: bytearray, eof: bool):
     return headers, block, consumed
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing: ``size-hex CRLF chunk
+    CRLF`` repeated, terminated by a zero chunk (trailers ignored).
+    Tolerant: any malformed framing returns the body UNCHANGED rather
+    than corrupting or raising — mixed crawls contain liars."""
+    out = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return body
+        size_token = body[pos:eol].split(b";", 1)[0].strip()  # drop chunk exts
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return body
+        if size == 0:
+            break
+        start = eol + 2
+        end = start + size
+        if end > n:
+            return body
+        out.append(body[start:end])
+        if body[end : end + 2] != b"\r\n":
+            return body
+        pos = end + 2
+    return b"".join(out)
+
+
 def _parse_http_block(block: bytes):
     """(status int|None, content_type str|None, payload bytes) from an
-    HTTP message block; non-HTTP blocks pass through as payload."""
+    HTTP message block; non-HTTP blocks pass through as payload.
+
+    Real crawls store the raw HTTP message, so the payload may carry
+    transport framing a curation pipeline must undo (warcio does the
+    same): ``Transfer-Encoding: chunked`` is de-chunked, then
+    ``Content-Encoding: gzip/x-gzip/deflate`` is decompressed (both
+    zlib-wrapped and raw-deflate forms).  Every decode is tolerant —
+    malformed framing/compression degrades to the raw bytes, never an
+    exception (the mixed-corpus contract)."""
     if not block.startswith(b"HTTP/"):
         return None, None, block
     hdr_end = block.find(b"\r\n\r\n")
@@ -112,11 +150,39 @@ def _parse_http_block(block: bytes):
     if len(parts) >= 2 and parts[1].isdigit():
         status = int(parts[1])
     ctype = None
+    t_enc = c_enc = ""
     for line in lines[1:]:
         k, sep, v = line.partition(b":")
-        if sep and k.strip().lower() == b"content-type":
+        if not sep:
+            continue
+        key = k.strip().lower()
+        if key == b"content-type":
             ctype = v.strip().decode("ascii", "replace")
-    return status, ctype, block[hdr_end + 4 :]
+        elif key == b"transfer-encoding":
+            t_enc = v.strip().lower().decode("ascii", "replace")
+        elif key == b"content-encoding":
+            c_enc = v.strip().lower().decode("ascii", "replace")
+    payload = block[hdr_end + 4 :]
+    if "chunked" in t_enc:
+        payload = _dechunk(payload)
+    if c_enc in ("gzip", "x-gzip"):
+        import gzip as _gzip
+
+        try:
+            payload = _gzip.decompress(payload)
+        except Exception:
+            pass  # tolerant: leave raw
+    elif c_enc == "deflate":
+        import zlib as _zlib
+
+        try:
+            payload = _zlib.decompress(payload)
+        except Exception:
+            try:
+                payload = _zlib.decompress(payload, -15)  # raw deflate
+            except Exception:
+                pass
+    return status, ctype, payload
 
 
 def iter_warc_file(

@@ -618,3 +618,56 @@ def test_warc_framing_properties():
             os.unlink(path)
 
     check()
+
+def test_http_transport_decoding(tmp_path):
+    """Real crawls carry transport framing inside response blocks:
+    chunked transfer-encoding de-chunks (extensions and trailers
+    tolerated), Content-Encoding gzip/deflate (zlib and raw forms)
+    decompress, combinations compose in the right order
+    (de-chunk THEN decompress), malformed framing degrades to raw."""
+    import gzip as g
+    import zlib
+
+    from kbdatalakeapps_spark.io.warc import _dechunk, _parse_http_block
+
+    body = b"Hello transport world!" * 3
+    # chunked: two chunks + terminator, one with an extension
+    chunked = (
+        b"1a;ext=1\r\n" + body[:26] + b"\r\n"
+        + format(len(body) - 26, "x").encode() + b"\r\n" + body[26:] + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    assert _dechunk(chunked) == body
+    # malformed: bad hex, truncated chunk, missing CRLF → raw unchanged
+    assert _dechunk(b"zz\r\nhello") == b"zz\r\nhello"
+    assert _dechunk(b"ff\r\nshort\r\n0\r\n\r\n") == b"ff\r\nshort\r\n0\r\n\r\n"
+
+    def msg(payload, *headers):
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            + b"".join(h + b"\r\n" for h in headers)
+            + b"\r\n"
+            + payload
+        )
+
+    s, ct, p = _parse_http_block(msg(chunked, b"Transfer-Encoding: chunked"))
+    assert (s, p) == (200, body)
+    s, ct, p = _parse_http_block(msg(g.compress(body), b"Content-Encoding: gzip"))
+    assert p == body
+    s, ct, p = _parse_http_block(msg(zlib.compress(body), b"Content-Encoding: deflate"))
+    assert p == body
+    # raw-deflate form (no zlib header) — the historical server quirk
+    raw = zlib.compressobj(wbits=-15)
+    rd = raw.compress(body) + raw.flush()
+    s, ct, p = _parse_http_block(msg(rd, b"Content-Encoding: deflate"))
+    assert p == body
+    # chunked + gzip composes: de-chunk first, then decompress
+    gz = g.compress(body)
+    ch_gz = format(len(gz), "x").encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    s, ct, p = _parse_http_block(
+        msg(ch_gz, b"Transfer-Encoding: chunked", b"Content-Encoding: gzip")
+    )
+    assert p == body
+    # corrupt gzip degrades to the (de-chunked) raw bytes, no raise
+    s, ct, p = _parse_http_block(msg(b"\x1f\x8bnot gzip", b"Content-Encoding: gzip"))
+    assert p == b"\x1f\x8bnot gzip"
