@@ -567,3 +567,89 @@ def _decode_au(content: bytes):
             f".au encoding {enc} (floats/ADPCM variants) unsupported"
         )
     return _shape_channels(samples, channels), int(rate)
+
+
+SILENCE_FIELDS = [
+    ("n_windows", T.IntegerType()),
+    ("silent_fraction", T.DoubleType()),
+    ("leading_silence_ms", T.LongType()),
+    ("trailing_silence_ms", T.LongType()),
+    ("longest_silence_ms", T.LongType()),
+]
+
+
+def silence_profile(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    window_ms: int = 20,
+    threshold_db: float = -40.0,
+) -> DataFrame:
+    """Per-clip silence accounting — the trim/drop signal of audio
+    curation (leading/trailing silence gets trimmed, mostly-silent
+    clips get dropped): channel-0 splits into ``window_ms`` windows, a
+    window is silent when its mean square energy is below
+    ``threshold_db`` dBFS (full scale = 32768).  Integer compare
+    (sum-of-squares · scale vs threshold² · n) — the only float is the
+    precomputed threshold constant, so results are partition- and
+    platform-invariant.  Emits windows count, silent fraction,
+    leading/trailing runs, longest run (all ms).  Same container
+    dispatch as audio_features (WAV/FLAC/AIFF/AU); NULL rows → NULL.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + [T.StructField(n, t) for n, t in SILENCE_FIELDS]
+    )
+    # threshold on mean-square, fixed-point: ms < (32768 * 10^(db/20))^2
+    thresh_sq = (32768.0 * (10.0 ** (threshold_db / 20.0))) ** 2
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {n: [] for n, _ in SILENCE_FIELDS}
+            for c in pdf[content_col]:
+                sig = bytes(c[:4]) if c is not None else b""
+                if sig == b"fLaC":
+                    from .flac import _decode_flac
+
+                    decoded = _decode_flac(bytes(c))
+                elif sig == b"FORM":
+                    decoded = _decode_aiff(c)
+                elif sig == b".snd":
+                    decoded = _decode_au(c)
+                else:
+                    decoded = _decode_wav(c)
+                if decoded is None:
+                    for n, _ in SILENCE_FIELDS:
+                        rows[n].append(None)
+                    continue
+                samples, rate = decoded
+                ch0 = samples[:, 0].astype(np.int64)
+                win = max(1, rate * window_ms // 1000)
+                n_w = len(ch0) // win
+                if n_w == 0:
+                    rows["n_windows"].append(0)
+                    rows["silent_fraction"].append(None)
+                    rows["leading_silence_ms"].append(None)
+                    rows["trailing_silence_ms"].append(None)
+                    rows["longest_silence_ms"].append(None)
+                    continue
+                trimmed = ch0[: n_w * win].reshape(n_w, win)
+                ssq = (trimmed * trimmed).sum(axis=1)  # exact int64
+                silent = ssq < thresh_sq * win
+                lead = int(np.argmax(~silent)) if not silent.all() else n_w
+                trail = int(np.argmax(~silent[::-1])) if not silent.all() else n_w
+                # longest run of consecutive silent windows
+                longest = run = 0
+                for s in silent:
+                    run = run + 1 if s else 0
+                    longest = max(longest, run)
+                rows["n_windows"].append(n_w)
+                rows["silent_fraction"].append(round(float(silent.mean()), 6))
+                rows["leading_silence_ms"].append(lead * window_ms)
+                rows["trailing_silence_ms"].append(trail * window_ms)
+                rows["longest_silence_ms"].append(longest * window_ms)
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)

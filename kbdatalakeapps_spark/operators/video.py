@@ -403,3 +403,44 @@ def scene_cuts(
             F.col("_pb").isNotNull(), l1 >= F.lit(threshold)
         ).otherwise(F.lit(False)).alias("is_cut"),
     )
+
+
+def black_frame_stats(
+    frames: DataFrame,
+    luma_threshold: int = 16,
+    black_fraction_flag: float = 0.5,
+    id_col: str = "media_id",
+    thumb_col: str = "thumb",
+    thumb_bytes: int = 64,
+) -> DataFrame:
+    """Black/blank-frame detection over sampled-frame thumbnails (the
+    output of :func:`sample_frames_decoded`) — the broken-capture /
+    placeholder-video screen a curation pass runs before spending
+    decode budget downstream: a frame is black when its mean thumbnail
+    luminance is below ``luma_threshold`` (integer compare:
+    sum < threshold·n, no float).  Per-media rollup emits frame
+    counts, black counts/fraction, and ``mostly_black``.
+
+    All native expressions — the same hex/conv unpack as scene_cuts
+    stays in codegen; ONE map-side-combinable aggregation, output is
+    |media| rows."""
+    unpack = F.transform(
+        F.sequence(F.lit(1), F.lit(thumb_bytes)),
+        lambda i: F.conv(
+            F.substring(F.hex(F.col(thumb_col)), (i - 1) * 2 + 1, 2), 16, 10
+        ).cast("long"),
+    )
+    luma_sum = F.aggregate(unpack, F.lit(0).cast("long"), lambda a, v: a + v)
+    is_black = luma_sum < F.lit(luma_threshold * thumb_bytes)
+    return (
+        frames.withColumn("_black", is_black.cast("int"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("_black").alias("n_black_frames"),
+            F.round(F.sum("_black") / F.count(F.lit(1)), 6).alias("black_fraction"),
+        )
+        .withColumn(
+            "mostly_black", F.col("black_fraction") >= F.lit(black_fraction_flag)
+        )
+    )

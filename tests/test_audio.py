@@ -582,3 +582,37 @@ def test_audio_features_dispatches_aiff_au(spark):
     for mid in (1, 2):
         assert rows[mid].n_samples == 160
         assert rows[mid].rms == float(np.sqrt(ssum / 160))
+
+
+def test_silence_profile(spark):
+    """Hand-built clip: 100ms silence, 200ms loud tone, 100ms near-
+    silence under -40 dBFS, 100ms loud, 100ms silence → exact window
+    accounting at 20ms windows (8kHz → 160 samples/window)."""
+    from kbdatalakeapps_spark.operators.audio import silence_profile
+
+    rate = 8000
+
+    def seg(ms, amp):
+        n = rate * ms // 1000
+        # square wave at ±amp: mean square = amp² exactly
+        return np.tile(np.array([amp, -amp], dtype=np.int64), n // 2)
+
+    # -40 dBFS threshold on mean square = (32768*0.01)² ≈ 107374
+    quiet = 300   # 300² ≪ threshold
+    loud = 8000
+    clip = np.concatenate(
+        [seg(100, 0), seg(200, loud), seg(100, quiet), seg(100, loud), seg(100, 0)]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(clip))), (2, None)],
+        "media_id long, content binary",
+    )
+    out = {r["media_id"]: r for r in silence_profile(df, window_ms=20).collect()}
+    r1 = out[1]
+    assert r1["n_windows"] == 30  # 600ms / 20ms
+    # silent: 5 (lead) + 5 (quiet) + 5 (tail) of 30
+    assert r1["silent_fraction"] == round(15 / 30, 6)
+    assert r1["leading_silence_ms"] == 100
+    assert r1["trailing_silence_ms"] == 100
+    assert r1["longest_silence_ms"] == 100
+    assert out[2]["n_windows"] is None  # NULL content degrades

@@ -174,3 +174,29 @@ def test_scene_cuts_planted(spark):
         (1, 1000): (40, True),
         (2, 0): (None, False),
     }
+
+
+def test_black_frame_stats(spark):
+    """Two clips: one half black frames (luma 0 vs 200), one all
+    bright — integer-threshold black detection over thumbnails, pure
+    native plan."""
+    from kbdatalakeapps_spark.operators.video import black_frame_stats
+
+    def clip(lumas):
+        frames = [
+            _encode_jpeg(np.full((16, 16, 1), v, dtype=np.uint8)) for v in lumas
+        ]
+        return mjpeg_avi_bytes(frames, fps=1)  # 1 fps → every frame sampled
+
+    df = spark.createDataFrame(
+        [(1, bytearray(clip([0, 200, 0, 200]))), (2, bytearray(clip([200, 220])))],
+        "media_id long, content binary",
+    )
+    frames = sample_frames_decoded(df, every_ms=1000)
+    out = {r["media_id"]: r for r in black_frame_stats(frames).collect()}
+    assert out[1]["n_frames"] == 4 and out[1]["n_black_frames"] == 2
+    assert out[1]["black_fraction"] == 0.5 and out[1]["mostly_black"]
+    assert out[2]["n_black_frames"] == 0 and not out[2]["mostly_black"]
+    # the rollup half is native exprs only
+    plan = black_frame_stats(frames)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
