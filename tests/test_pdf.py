@@ -1,0 +1,90 @@
+"""PDF text extraction (operators/pdf.py) — real for the
+Flate/literal-string subset, tolerant-NULL beyond it.  Fixtures come
+from the spec-following writer (hand-assembled xref), independent of
+the parser."""
+
+from __future__ import annotations
+
+import zlib
+
+from kbdatalakeapps_spark.operators.pdf import (
+    _unescape_pdf_string,
+    pdf_bytes,
+    pdf_text_metadata,
+    pdf_text_metadata_kernel,
+)
+
+
+def test_unescape_pdf_string():
+    assert _unescape_pdf_string(rb"a\(b\)c\\d") == b"a(b)c\\d"
+    assert _unescape_pdf_string(rb"\101\102\103") == b"ABC"
+    assert _unescape_pdf_string(rb"x\12y") == b"x\ny"  # short octal
+    assert _unescape_pdf_string(b"a\\\nb") == b"ab"  # line continuation
+    assert _unescape_pdf_string(rb"\n\t") == b"\n\t"
+
+
+def test_kernel_roundtrip_flate_and_raw():
+    for flate in (True, False):
+        doc = pdf_bytes(
+            ["Hello PDF world", "With (parens) and \\backslash\nsecond line"],
+            flate=flate,
+        )
+        meta = pdf_text_metadata_kernel(doc)
+        assert meta["n_pages"] == 2
+        assert meta["encrypted"] is False
+        assert meta["producer"] == "enginetest"
+        assert "Hello PDF world" in meta["text"]
+        assert "With (parens) and \\backslash" in meta["text"]
+        assert "second line" in meta["text"]
+        # Td line moves became newlines
+        assert meta["text"].count("\n") >= 2
+
+
+def test_kernel_tj_array_and_hex():
+    # hand-built content stream: TJ array with kerning numbers + hex Tj
+    ops = b"BT [(Ar) -20 (ray)] TJ T* <48692057> Tj ET"
+    stream = zlib.compress(ops)
+    doc = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+        b"2 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(stream)).encode()
+        + b" >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+    )
+    meta = pdf_text_metadata_kernel(doc)
+    assert meta["n_pages"] == 1
+    assert "Array" in meta["text"].replace("\n", "")
+    assert "Hi W" in meta["text"]
+
+
+def test_kernel_honest_boundaries():
+    assert pdf_text_metadata_kernel(None) is None
+    assert pdf_text_metadata_kernel(b"not a pdf") is None
+    # encrypted: metadata parses, text NULL
+    enc = pdf_bytes(["secret"]).replace(b"trailer\n<<", b"trailer\n<< /Encrypt 9 0 R")
+    meta = pdf_text_metadata_kernel(enc)
+    assert meta["encrypted"] is True and meta["text"] is None
+    assert meta["n_pages"] == 1
+    # stream that is neither raw-text nor Flate (fake LZW): no text, no raise
+    weird = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+        b"2 0 obj\n<< /Filter /LZWDecode /Length 8 >>\nstream\n\x80\x0b\x60\x50\x22\x0c\x0c\x85\nendstream\nendobj\n"
+    )
+    meta = pdf_text_metadata_kernel(weird)
+    assert meta["text"] is None and meta["n_pages"] == 1
+
+
+def test_pdf_dataframe_and_id_typing(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", bytearray(pdf_bytes(["page one text"]))),
+            ("b", bytearray(b"junk bytes")),
+            ("c", None),
+        ],
+        "doc_id string, content binary",
+    )
+    out = pdf_text_metadata(docs, id_col="doc_id")
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["a"]["n_pages"] == 1 and "page one text" in rows["a"]["text"]
+    assert rows["b"]["text"] is None and rows["b"]["n_pages"] is None
+    assert rows["c"]["n_pages"] is None
