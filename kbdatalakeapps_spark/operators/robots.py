@@ -199,3 +199,20 @@ def robots_filter(
             "agent", "allow", "pattern", "regex", "rule_len",
         )
     )
+
+
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", payload_col: str = "payload"
+) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt files (RFC 9309 §2.3
+    records them as non-group lines) — the crawl-discovery seed list.
+    Native expressions: one regexp_extract_all per file, exploded to
+    (host, sitemap_url) rows."""
+    urls = F.expr(
+        f"regexp_extract_all(cast({payload_col} as string), "
+        "'(?i)sitemap:\\\\s*(\\\\S+)', 1)"
+    )
+    return (
+        df.select(F.col(host_col).alias(host_col), urls.alias("_sm"))
+        .select(host_col, F.explode("_sm").alias("sitemap_url"))
+    )

@@ -600,3 +600,34 @@ def extract_html_text(
     if content_type_col:
         sel.append(content_type_col)
     return df.select(*sel).mapInPandas(batches, out_schema)
+
+
+def sitemap_urls(df: DataFrame, xml_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """URL extraction from sitemap.xml / sitemap-index documents —
+    crawl discovery, entirely native: ``<loc>`` values via
+    regexp_extract_all (tolerant of namespaces and formatting), XML
+    entities unescaped, ``is_index`` flags a ``<sitemapindex>``
+    (its locs are MORE sitemaps to fetch, not pages).  One row per
+    URL; binary payloads cast through UTF-8."""
+    xml = F.col(xml_col).cast("string")
+    locs = F.expr(
+        f"regexp_extract_all(cast({xml_col} as string), '<loc>\\\\s*(.*?)\\\\s*</loc>', 1)"
+    )
+    unescape = lambda c: F.replace(
+        F.replace(
+            F.replace(F.replace(F.replace(c, F.lit("&amp;"), F.lit("&")), F.lit("&lt;"), F.lit("<")), F.lit("&gt;"), F.lit(">")),
+            F.lit("&quot;"),
+            F.lit('"'),
+        ),
+        F.lit("&apos;"),
+        F.lit("'"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias(id_col),
+            xml.contains("<sitemapindex").alias("is_index"),
+            locs.alias("_locs"),
+        )
+        .select(id_col, "is_index", F.explode("_locs").alias("url"))
+        .withColumn("url", unescape(F.col("url")))
+    )

@@ -116,3 +116,39 @@ def test_robots_filter_agent_groups(spark):
     # longest product-token prefix: agent 'badbot-news/1.0' matches 'badbot'
     news = {r["id"]: r["allowed"] for r in robots_filter(urls, rules, agent="badbot-news/1.0").collect()}
     assert news["u1"] is False
+
+
+def test_robots_sitemaps_and_sitemap_urls(spark):
+    from kbdatalakeapps_spark.operators.robots import robots_sitemaps
+    from kbdatalakeapps_spark.operators.web import sitemap_urls
+
+    robots = spark.createDataFrame(
+        [
+            ("a.ex", "User-agent: *\nDisallow: /x\nSitemap: https://a.ex/s1.xml\nsitemap: https://a.ex/s2.xml\n"),
+            ("b.ex", "User-agent: *\nAllow: /\n"),
+        ],
+        "host string, payload string",
+    )
+    sm = {(r["host"], r["sitemap_url"]) for r in robots_sitemaps(robots).collect()}
+    assert sm == {("a.ex", "https://a.ex/s1.xml"), ("a.ex", "https://a.ex/s2.xml")}
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> https://a.ex/p?a=1&amp;b=2 </loc><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>https://a.ex/q</loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.ex/part1.xml</loc></sitemap></sitemapindex>"
+    )
+    docs = spark.createDataFrame(
+        [(1, urlset.encode()), (2, index.encode())], "doc_id long, payload binary"
+    )
+    got = sitemap_urls(docs).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["doc_id"], []).append((r["url"], r["is_index"]))
+    assert by_id[1] == [("https://a.ex/p?a=1&b=2", False), ("https://a.ex/q", False)]
+    assert by_id[2] == [("https://a.ex/part1.xml", True)]
+    # native end to end
+    plan = sitemap_urls(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
