@@ -412,6 +412,14 @@ def test_stateful_transition_increments_cross_batch(spark, tmp_path):
         f"COPY (SELECT * FROM ev WHERE ts > TIMESTAMP '{cut}') TO "
         f"'{src}/b.parquet' (FORMAT PARQUET)"
     )
+    # the file source orders by modification time with UNDEFINED ties —
+    # pin distinct mtimes so the time-halves arrive in event order
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "a.parquet", (now - 10, now - 10))
+    _os.utime(src / "b.parquet", (now - 5, now - 5))
 
     stream = transition_increments(
         stream_events(spark, str(src), max_files_per_trigger=1)
@@ -661,10 +669,18 @@ def test_stateful_scene_cuts_cross_batch(spark, tmp_path):
     import glob
     import shutil as sh
 
+    import os as _os
+    import time as _time
+
+    now = _time.time()
     for i, f in enumerate(
         sorted(glob.glob(str(src / "*" / "part-*.parquet")))
     ):
         sh.copy(f, flat / f"{i}.parquet")
+        # pin distinct mtimes: the file source orders by modification
+        # time with UNDEFINED ties, and state correctness here needs
+        # the time-halves in order
+        _os.utime(flat / f"{i}.parquet", (now - 10 + i, now - 10 + i))
     stream = spark.readStream.schema(frames.schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(str(flat))
