@@ -663,3 +663,63 @@ def warc_bytes(records: list[bytes], gzip_members: bool = False) -> bytes:
     import gzip
 
     return b"".join(gzip.compress(r) for r in records)
+
+
+# --- WET / WAT record shaping -------------------------------------------------
+#
+# Common Crawl ships three products per crawl: WARC (raw), WAT
+# (per-record metadata JSON), WET (extracted plain text), the latter
+# two as WARC files of conversion/metadata records.  These shapers turn
+# engine outputs into write_warc-ready rows so the engine can EMIT the
+# full product family, not just consume it.  Native expressions only.
+
+
+def wet_records(
+    text_df: DataFrame,
+    uri_col: str = "target_uri",
+    id_col: str = "record_id",
+    text_col: str = "text",
+    date_col: str | None = None,
+) -> DataFrame:
+    """Shape extracted text (e.g. ``extract_html_text`` output joined
+    back to its source URIs) into WET conversion records: one
+    ``record_type='conversion'``, ``text/plain`` record per document,
+    payload = UTF-8 text.  Feed to :func:`write_warc`."""
+    from pyspark.sql import functions as F
+
+    date = F.col(date_col) if date_col else F.lit(None).cast("string")
+    return text_df.select(
+        F.lit("conversion").alias("record_type"),
+        F.col(uri_col).alias("target_uri"),
+        date.alias("warc_date"),
+        F.col(id_col).cast("string").alias("record_id"),
+        F.lit("text/plain").alias("content_type"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias("payload"),
+    )
+
+
+def wat_records(
+    records_df: DataFrame,
+    meta_cols: list[str] | None = None,
+    id_col: str = "record_id",
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+) -> DataFrame:
+    """Shape per-record metadata into WAT records: one
+    ``record_type='metadata'``, ``application/json`` record per input
+    row, payload = the selected columns as a JSON object (``to_json``
+    — escaping handled natively).  Default metadata: everything except
+    the payload bytes."""
+    from pyspark.sql import functions as F
+
+    if meta_cols is None:
+        meta_cols = [c for c in records_df.columns if c != "payload"]
+    body = F.to_json(F.struct(*[F.col(c) for c in meta_cols]))
+    return records_df.select(
+        F.lit("metadata").alias("record_type"),
+        F.col(uri_col).alias("target_uri"),
+        F.col(date_col).cast("string").alias("warc_date"),
+        F.col(id_col).cast("string").alias("record_id"),
+        F.lit("application/json").alias("content_type"),
+        F.encode(body, "UTF-8").alias("payload"),
+    )

@@ -671,3 +671,57 @@ def test_http_transport_decoding(tmp_path):
     # corrupt gzip degrades to the (de-chunked) raw bytes, no raise
     s, ct, p = _parse_http_block(msg(b"\x1f\x8bnot gzip", b"Content-Encoding: gzip"))
     assert p == b"\x1f\x8bnot gzip"
+
+def test_wet_wat_products(spark, tmp_path):
+    """The full Common Crawl product triple emitted in-engine:
+    raw WARC → WET (extracted text as conversion records) and WAT
+    (metadata JSON records), both written with write_warc and read
+    back as standard archives."""
+    import json as _json
+
+    from kbdatalakeapps_spark.io.warc import wat_records, wet_records, write_warc
+
+    recs = [
+        warc_record_bytes(
+            "response",
+            "http://example.org/",
+            http_response_block(_HTML),
+            content_type="application/http; msgtype=response",
+            record_id="<urn:uuid:00000000-0000-0000-0000-000000000010>",
+        ),
+        warc_record_bytes(
+            "response",
+            "http://example.org/other",
+            http_response_block(b"plain body", status=404, content_type="text/plain"),
+            content_type="application/http; msgtype=response",
+            record_id="<urn:uuid:00000000-0000-0000-0000-000000000011>",
+        ),
+    ]
+    _write(str(tmp_path), "raw.warc.gz", warc_bytes(recs, gzip_members=True))
+    raw = read_warc(spark, str(tmp_path / "raw.warc.gz"))  # responses
+
+    # WET: extract text, join the URI back, shape, write, read back
+    text = extract_html_text(
+        raw, html_col="payload", id_col="record_id",
+        content_type_col="http_content_type",
+    ).withColumnRenamed("doc_id", "record_id")
+    wet = wet_records(
+        text.join(raw.select("record_id", "target_uri"), "record_id")
+    )
+    out_wet = str(tmp_path / "wet")
+    write_warc(wet, out_wet)
+    back = read_warc(spark, out_wet, record_types=("conversion",)).collect()
+    assert len(back) == 2
+    by_uri = {r["target_uri"]: r for r in back}
+    assert "First paragraph text." in by_uri["http://example.org/"]["payload"].decode()
+    assert all(r["content_type"] == "text/plain" for r in back)
+
+    # WAT: metadata JSON per record, payload excluded, JSON parses
+    wat = wat_records(raw)
+    out_wat = str(tmp_path / "wat")
+    write_warc(wat, out_wat)
+    wback = read_warc(spark, out_wat, record_types=("metadata",)).collect()
+    assert len(wback) == 2
+    meta = _json.loads(wback[0]["payload"].decode())
+    assert set(meta) >= {"record_id", "target_uri", "http_status"}
+    assert "payload" not in meta
