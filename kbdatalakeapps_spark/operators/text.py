@@ -1064,3 +1064,44 @@ def fim_transform(
         .withColumn(out_col, F.when(applied, rendered).otherwise(F.col(text_col)))
         .drop("_c1", "_c2")
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document vocabulary coverage against a fixed tokenizer
+    vocab — the pre-training sanity check "how much of this corpus
+    does my tokenizer actually cover?": emits ``n_tokens``,
+    ``n_oov`` (tokens not in vocab), ``oov_rate``.
+
+    Shape: tokens explode once, the vocab joins BROADCAST with a
+    membership flag (vocabs are ≤ a few hundred k rows — always
+    broadcastable), one map-side-combinable re-aggregation on the
+    uniform id key.  Documents with no tokens report rate NULL."""
+    toks = df.select(
+        F.col(id_col).alias(id_col), F.explode(tokens(text_col)).alias("_t")
+    )
+    v = F.broadcast(
+        vocab.select(F.col(token_col).alias("_t")).distinct().withColumn(
+            "_in", F.lit(1)
+        )
+    )
+    return (
+        toks.join(v, "_t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+            ),
+        )
+    )

@@ -1,0 +1,28 @@
+"""Vocabulary coverage (operators/text.py::vocab_coverage)."""
+
+from __future__ import annotations
+
+from kbdatalakeapps_spark.operators.text import vocab_coverage
+
+
+def test_vocab_coverage(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "zyx qwv"),            # fully OOV
+            (3, "the the the"),        # fully covered
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("on",), ("mat",), ("the",)],
+        "token string",
+    )
+    out = {r["doc_id"]: r for r in vocab_coverage(docs, vocab).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (6, 0)
+    assert out[1]["oov_rate"] == 0.0
+    assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["oov_rate"]) == (2, 2, 1.0)
+    assert out[3]["oov_rate"] == 0.0
+    # broadcast plan: the vocab side must never shuffle the token table
+    plan = vocab_coverage(docs, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
