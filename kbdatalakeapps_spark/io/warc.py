@@ -246,22 +246,37 @@ def iter_warc_file(
             }
 
 
+def _list_archives(path: str, recursive: bool = False) -> list[str]:
+    """Directory/glob → sorted archive list.  ``recursive`` walks
+    nested segment directories — the Common Crawl layout
+    (``crawl/segments/<seg>/warc/*.warc.gz``)."""
+    if _os.path.isdir(path):
+        if recursive:
+            pat = [
+                _os.path.join(path, "**", "*.warc"),
+                _os.path.join(path, "**", "*.warc.gz"),
+            ]
+        else:
+            pat = [_os.path.join(path, "*.warc"), _os.path.join(path, "*.warc.gz")]
+    else:
+        pat = [path]
+    return sorted({f for p in pat for f in _glob.glob(p, recursive=recursive)})
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
     record_types: tuple[str, ...] | None = ("response",),
     max_files_per_partition: int = 1,
+    recursive: bool = False,
 ) -> DataFrame:
     """Read a directory (or glob) of ``.warc`` / ``.warc.gz`` files as
     a DataFrame of records.  ``record_types`` filters at the parser
     (default: response records — the crawl payloads a curation
     pipeline wants); pass ``None`` for every record incl. warcinfo/
-    request/metadata."""
-    if _os.path.isdir(path):
-        pat = [_os.path.join(path, "*.warc"), _os.path.join(path, "*.warc.gz")]
-    else:
-        pat = [path]
-    files = sorted({f for p in pat for f in _glob.glob(p)})
+    request/metadata.  ``recursive`` walks nested segment directories
+    (the Common Crawl layout)."""
+    files = _list_archives(path, recursive)
     if not files:
         raise FileNotFoundError(f"no WARC files under {path}")
     n_parts = max(1, (len(files) + max_files_per_partition - 1) // max_files_per_partition)
@@ -410,6 +425,7 @@ def warc_index(
     spark: SparkSession,
     path: str,
     max_files_per_partition: int = 1,
+    recursive: bool = False,
 ) -> DataFrame:
     """Build the CDX-style index DataFrame over a directory/glob of
     archives: ONE distributed pass, one task per archive file, headers
@@ -417,11 +433,7 @@ def warc_index(
     regardless of record size).  Persist it as parquet next to the
     corpus; at 100 TB the index is the only thing full-scanned and
     filters on host/uri/status prune at the parquet scan."""
-    if _os.path.isdir(path):
-        pat = [_os.path.join(path, "*.warc"), _os.path.join(path, "*.warc.gz")]
-    else:
-        pat = [path]
-    files = sorted({f for p in pat for f in _glob.glob(p)})
+    files = _list_archives(path, recursive)
     if not files:
         raise FileNotFoundError(f"no WARC files under {path}")
     n_parts = max(1, (len(files) + max_files_per_partition - 1) // max_files_per_partition)

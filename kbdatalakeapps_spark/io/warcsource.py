@@ -41,12 +41,10 @@ _COLS = [f.name for f in WARC_SCHEMA.fields]
 _DDL = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in WARC_SCHEMA.fields)
 
 
-def _list_warc_files(path: str) -> list[str]:
-    if _os.path.isdir(path):
-        pats = [_os.path.join(path, "*.warc"), _os.path.join(path, "*.warc.gz")]
-    else:
-        pats = [path]
-    return sorted({f for p in pats for f in _glob.glob(p)})
+def _list_warc_files(path: str, recursive: bool = False) -> list[str]:
+    from .warc import _list_archives
+
+    return _list_archives(path, recursive)
 
 
 def _record_types_option(options: dict) -> tuple[str, ...] | None:
@@ -71,7 +69,9 @@ def _read_file(path: str, options: dict):
 class WarcBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.options = dict(options)
-        self.files = _list_warc_files(self.options["path"])
+        self.files = _list_warc_files(
+            self.options["path"], self.options.get("recursive", "false") == "true"
+        )
         if not self.files:
             raise FileNotFoundError(f"no WARC files under {self.options['path']}")
 
@@ -91,6 +91,7 @@ class WarcStreamReader(DataSourceStreamReader):
         self.options = dict(options)
         self.path = self.options["path"]
         self.max_files = int(self.options.get("max_files_per_trigger", 0))
+        self.recursive = self.options.get("recursive", "false") == "true"
         # planning cursor: the end offset of the last batch this driver
         # instance planned.  Used ONLY to bound latestOffset —
         # partitions(start, end) always returns the FULL (start, end]
@@ -102,7 +103,7 @@ class WarcStreamReader(DataSourceStreamReader):
         return {"cursor": ""}
 
     def latestOffset(self) -> dict:
-        files = _list_warc_files(self.path)  # driver-side metadata only
+        files = _list_warc_files(self.path, self.recursive)  # driver metadata only
         names = [_os.path.basename(f) for f in files]
         if not names:
             return {"cursor": self._planned_cursor or ""}
@@ -118,7 +119,7 @@ class WarcStreamReader(DataSourceStreamReader):
         self._planned_cursor = hi
         files = [
             f
-            for f in _list_warc_files(self.path)
+            for f in _list_warc_files(self.path, self.recursive)
             if lo < _os.path.basename(f) <= hi
         ]
         return [_FilePartition(f) for f in files]

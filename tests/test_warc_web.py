@@ -725,3 +725,37 @@ def test_wet_wat_products(spark, tmp_path):
     meta = _json.loads(wback[0]["payload"].decode())
     assert set(meta) >= {"record_id", "target_uri", "http_status"}
     assert "payload" not in meta
+
+def test_recursive_segment_layout(spark, tmp_path):
+    """Common Crawl nests archives in segment directories — recursive
+    listing finds them for the helper, the index, and the DataSource;
+    the default stays single-level."""
+    from kbdatalakeapps_spark.io.warc import warc_index
+    from kbdatalakeapps_spark.io.warcsource import WarcDataSource
+
+    recs = _sample_records()
+    seg1 = tmp_path / "segments" / "s1" / "warc"
+    seg2 = tmp_path / "segments" / "s2" / "warc"
+    seg1.mkdir(parents=True)
+    seg2.mkdir(parents=True)
+    _write(str(seg1), "shard-000.warc.gz", warc_bytes(recs, gzip_members=True))
+    _write(str(seg2), "shard-001.warc", warc_bytes(recs[2:3]))
+
+    df = read_warc(spark, str(tmp_path), recursive=True)
+    assert df.count() == 3
+    assert warc_index(spark, str(tmp_path), recursive=True).count() == 5
+
+    # default (non-recursive) sees nothing at the root
+    try:
+        read_warc(spark, str(tmp_path))
+        raise AssertionError("non-recursive must not find nested archives")
+    except FileNotFoundError:
+        pass
+
+    spark.dataSource.register(WarcDataSource)
+    ds = (
+        spark.read.format("warc")
+        .options(path=str(tmp_path), recursive="true")
+        .load()
+    )
+    assert ds.count() == 3
