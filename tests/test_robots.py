@@ -152,3 +152,48 @@ def test_robots_sitemaps_and_sitemap_urls(spark):
     # native end to end
     plan = sitemap_urls(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_rule_regex_property():
+    """_rule_regex must agree with a direct recursive RFC matcher
+    (wildcards, anchors, regex metacharacters in paths) on random
+    small inputs — the translation is the risky part of the operator,
+    so it gets an independent oracle."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    def ref_match(pattern: str, path: str) -> bool:
+        anchored = pattern.endswith("$")
+        pat = pattern[:-1] if anchored else pattern
+
+        def rec(pi: int, si: int) -> bool:
+            if pi == len(pat):
+                return si == len(path) if anchored else True
+            if pat[pi] == "*":
+                return any(rec(pi + 1, k) for k in range(si, len(path) + 1))
+            return si < len(path) and path[si] == pat[pi] and rec(pi + 1, si + 1)
+
+        return rec(0, 0)
+
+    alpha = st.text(alphabet="ab*/.$()[", min_size=0, max_size=8)
+    paths = st.text(alphabet="ab/.$()[", min_size=0, max_size=10)
+
+    @settings(max_examples=300, deadline=None)
+    @given(alpha, paths)
+    def check(pattern, path):
+        # '$' only anchors at the END per RFC; interior '$' is literal.
+        # _rule_regex treats only a trailing '$' specially — mirror that
+        # in the reference by escaping interior '$'.
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        if "$" in body:
+            return  # interior $ is literal in both; skip ambiguity
+        rx = _rule_regex(pattern)
+        assert (re.match(rx, path) is not None) == ref_match(pattern, path), (
+            pattern,
+            path,
+            rx,
+        )
+
+    check()
