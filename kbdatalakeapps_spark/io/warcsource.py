@@ -35,10 +35,37 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from .warc import WARC_SCHEMA, iter_warc_file
+from .warc import WARC_INDEX_SCHEMA, WARC_SCHEMA, iter_warc_file, iter_warc_spans
 
 _COLS = [f.name for f in WARC_SCHEMA.fields]
 _DDL = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in WARC_SCHEMA.fields)
+_IDX_COLS = [f.name for f in WARC_INDEX_SCHEMA.fields]
+_IDX_DDL = ", ".join(
+    f"{f.name} {f.dataType.simpleString()}" for f in WARC_INDEX_SCHEMA.fields
+)
+
+
+def _index_mode(options: dict) -> bool:
+    return options.get("mode", "records") == "index"
+
+
+def _index_file(path: str, options: dict):
+    import os as _o
+
+    base = _o.path.basename(path)
+    chunk = int(options.get("chunk_bytes", 1 << 20))
+    for headers, off, ln in iter_warc_spans(path, chunk_size=chunk):
+        yield (
+            base,
+            headers.get("warc-type"),
+            headers.get("warc-target-uri"),
+            headers.get("warc-date"),
+            headers.get("warc-record-id"),
+            headers.get("content-type"),
+            int(headers.get("content-length", "0") or 0),
+            off,
+            ln,
+        )
 
 
 def _list_warc_files(path: str, recursive: bool = False) -> list[str]:
@@ -60,6 +87,9 @@ class _FilePartition(InputPartition):
 
 
 def _read_file(path: str, options: dict):
+    if _index_mode(options):
+        yield from _index_file(path, options)
+        return
     rtypes = _record_types_option(options)
     chunk = int(options.get("chunk_bytes", 1 << 20))
     for row in iter_warc_file(path, rtypes, chunk_size=chunk):
@@ -143,7 +173,10 @@ class WarcDataSource(DataSource):
         return "warc"
 
     def schema(self) -> str:
-        return _DDL
+        # mode=index: headers-only CDX rows (offset/length spans) —
+        # incremental index maintenance as shards land, payload bytes
+        # never parsed or shipped
+        return _IDX_DDL if _index_mode(self.options) else _DDL
 
     def reader(self, schema: StructType) -> WarcBatchReader:
         return WarcBatchReader(self.options)

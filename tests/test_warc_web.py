@@ -759,3 +759,55 @@ def test_recursive_segment_layout(spark, tmp_path):
         .load()
     )
     assert ds.count() == 3
+
+def test_warc_datasource_index_mode(spark, tmp_path):
+    """mode=index: the DataSource emits headers-only CDX rows — batch
+    equals warc_index exactly, and the STREAMING form maintains the
+    index incrementally as shards land (checkpointed, exactly once)."""
+    from kbdatalakeapps_spark.io.warc import warc_index
+    from kbdatalakeapps_spark.io.warcsource import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    recs = _sample_records()
+    _write(str(tmp_path), "s1.warc.gz", warc_bytes(recs, gzip_members=True))
+
+    batch = (
+        spark.read.format("warc").options(path=str(tmp_path), mode="index").load()
+    )
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, warc_index(spark, str(tmp_path)).collect()))
+    assert a == b and len(a) == 4
+
+    # streaming: index rows arrive per shard, exactly once
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    got = []
+
+    def drain():
+        q = (
+            spark.readStream.format("warc")
+            .options(path=str(drop), mode="index")
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write(str(drop), "seg-000.warc.gz", warc_bytes(recs, gzip_members=True))
+    drain()
+    assert len(got) == 4
+    _write(str(drop), "seg-001.warc", warc_bytes(recs[2:3]))
+    drain()
+    assert len(got) == 5
+    assert {r["warc_file"] for r in got} == {"seg-000.warc.gz", "seg-001.warc"}
+    # spans are point-readable like any index row
+    from kbdatalakeapps_spark.io.warc import fetch_warc_record
+
+    r = [x for x in got if x["warc_file"] == "seg-001.warc"][0]
+    rec = fetch_warc_record(
+        str(drop / r["warc_file"]), r["offset"], r["length"], r["record_id"]
+    )
+    assert rec["record_type"] == "response"
