@@ -1105,3 +1105,102 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rule-based sentence splitting — boundaries at ``. ! ?`` runs
+    — optionally wrapped by a closing quote/bracket — followed by
+    whitespace and an upper-case/quote opener (the
+    deterministic heuristic; abbreviation-perfect splitting needs a
+    language model and stays an honest boundary).  Emits
+    (id, sentence_idx, sentence), order preserved; native split on a
+    lookbehind/lookahead regex — no Python."""
+    parts = F.split(
+        F.col(text_col), r"(?:(?<=[.!?][\"')\]])|(?<=[.!?]))\s+(?=[A-Z\"'])"
+    )
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(parts).alias("sentence_idx", "sentence"),
+    ).where(F.trim("sentence") != "")
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    budget_chars: int = 800,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-aware chunking: sentences pack greedily into chunks of
+    ≤ ``budget_chars`` WITHOUT splitting a sentence (a sentence longer
+    than the budget becomes its own chunk) — the RAG/embedding upgrade
+    over fixed sliding windows, which cut mid-sentence.
+
+    Entirely native: per-doc sentence array → one running-sum fold
+    assigns each sentence a chunk number (reset-on-overflow expressed
+    as a (chunk, used) struct accumulator) → re-aggregate per (doc,
+    chunk).  One shuffle (the doc-keyed reassembly)."""
+    sents = F.split(F.col(text_col), r"(?:(?<=[.!?][\"')\]])|(?<=[.!?]))\s+(?=[A-Z\"'])")
+    # fold: acc = array of structs (chunk, used); next sentence either
+    # extends the open chunk or starts chunk+1
+    assign = F.aggregate(
+        sents,
+        F.array().cast("array<struct<chunk:int,used:long>>"),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0,
+                    F.struct(
+                        F.lit(0).cast("int").alias("chunk"),
+                        F.length(s).cast("long").alias("used"),
+                    ),
+                )
+                .when(
+                    F.element_at(acc, -1)["used"] + F.length(s) + 1
+                    <= F.lit(budget_chars),
+                    F.struct(
+                        F.element_at(acc, -1)["chunk"].alias("chunk"),
+                        (
+                            F.element_at(acc, -1)["used"] + F.length(s) + 1
+                        ).alias("used"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        (F.element_at(acc, -1)["chunk"] + 1).alias("chunk"),
+                        F.length(s).cast("long").alias("used"),
+                    )
+                )
+            ),
+        ),
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.posexplode(F.zip_with(sents, assign, lambda s, a: F.struct(
+                s.alias("sentence"), a["chunk"].alias("chunk")
+            ))).alias("sentence_idx", "_sa"),
+        )
+        .select(id_col, "sentence_idx", F.col("_sa.sentence"), F.col("_sa.chunk"))
+        .where(F.trim("sentence") != "")
+    )
+    return (
+        exploded.groupBy(id_col, "chunk")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sentence_idx", "sentence"))
+                    ),
+                    lambda s: s["sentence"],
+                ),
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_sentences"),
+        )
+        .withColumnRenamed("chunk", "chunk_idx")
+    )

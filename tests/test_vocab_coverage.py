@@ -26,3 +26,45 @@ def test_vocab_coverage(spark):
     # broadcast plan: the vocab side must never shuffle the token table
     plan = vocab_coverage(docs, vocab)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_split_sentences(spark):
+    from kbdatalakeapps_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, 'First one. Second here! "Quoted start." Is this it? yes lowercase keeps going.')],
+        "doc_id long, text string",
+    )
+    out = [r["sentence"] for r in split_sentences(df).orderBy("sentence_idx").collect()]
+    assert out == [
+        "First one.",
+        "Second here!",
+        '"Quoted start."',
+        # 'yes' is lowercase → not a boundary; stays attached
+        "Is this it? yes lowercase keeps going.",
+    ]
+
+
+def test_chunk_by_sentences(spark):
+    """Greedy sentence packing: no chunk over budget unless a single
+    sentence exceeds it; order preserved; reassembled chunks cover the
+    full sentence stream exactly once; pure native plan."""
+    from kbdatalakeapps_spark.operators.text import chunk_by_sentences, split_sentences
+
+    sents = [f"Sentence number {i} is right here." for i in range(12)]
+    long_one = "X" * 120 + "."
+    text = " ".join(sents[:6]) + " " + long_one + " " + " ".join(sents[6:])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    chunks = chunk_by_sentences(df, budget_chars=100).orderBy("chunk_idx").collect()
+    assert len(chunks) >= 4
+    for c in chunks:
+        assert len(c["chunk_text"]) <= 100 or c["n_sentences"] == 1
+    # the oversize sentence sits alone in its chunk
+    assert any(c["n_sentences"] == 1 and "XXX" in c["chunk_text"] for c in chunks)
+    # coverage: concatenating chunks in order reproduces every sentence once
+    joined = " ".join(c["chunk_text"] for c in chunks)
+    expect = [r["sentence"] for r in split_sentences(df).orderBy("sentence_idx").collect()]
+    assert joined == " ".join(expect)
+    plan = chunk_by_sentences(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
