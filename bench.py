@@ -109,7 +109,17 @@ def _sp_pack_whole(spark, sf_dir):
     return pack_documents_whole(docs, "n_tokens", budget=2048)
 
 
+def _tx_chunk_sentences(spark, sf_dir):
+    # sentence-aware chunking over the documents corpus (800-char
+    # budget): one native fold per doc + one doc-keyed reassembly
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.text import chunk_by_sentences
+
+    return chunk_by_sentences(load_table(spark, sf_dir, "documents"))
+
+
 _BENCH_OVERRIDES = {
+    "tx_chunk_sentences": _tx_chunk_sentences,
     "sim_ivf_topk": sim_ivf_topk_build,
     "dd_dedup_corpus_xxh": _dd_dedup_corpus_xxh,
     "wb_boilerplate_pipeline": _wb_boilerplate_pipeline,
@@ -191,6 +201,7 @@ BENCH_QUERIES = [
     "wb_boilerplate_pipeline",     # HTML blocks → jusText classify → text
     "ch_sft_pipeline",             # chat parse → gate → render → loss spans
     "sp_pack_whole",               # no-split SFT packing (bucketed first-fit)
+    "tx_chunk_sentences",          # sentence-aware chunk packing (native fold)
 ]
 
 # The most expensive queries — measured twice, median reported.
