@@ -109,3 +109,46 @@ def test_pretrain_pipeline_end_to_end(spark, sf_dir, tmp_path):
     back = spark.read.parquet(str(tmp_path / "shards"))
     assert back.count() == n_final
     assert {r["shard"] for r in back.select("shard").distinct().collect()} == set(range(4))
+
+
+def test_incremental_lake_curation_loop(spark, sf_dir, tmp_path):
+    """The incremental ingestion loop at lake scale: docs live in a
+    versioned table; a new delivery appends as a commit; the change
+    feed yields EXACTLY the new batch; incremental_dedup classifies it
+    against the prior snapshot (hash probe — the corpus is never
+    re-deduplicated); only genuinely new docs append.  Re-delivering
+    the same shard adds nothing."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.layout import read_version, table_changes, versioned_write
+    from kbdatalakeapps_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus0 = docs.where("doc_id % 3 != 0")
+    tbl = str(tmp_path / "corpus")
+    v1 = versioned_write(corpus0, tbl, mode="overwrite")
+
+    # delivery: a mix of truly-new docs and exact dups of lake content
+    new_ids = docs.where("doc_id % 3 = 0").limit(40)
+    dup_of_lake = corpus0.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    delivery = new_ids.unionByName(dup_of_lake)
+
+    prior = read_version(spark, tbl, version=v1)
+    classified = incremental_dedup(delivery, prior)
+    accepted = delivery.join(
+        classified.where("status = 'new'").select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    n_new = accepted.count()
+    assert n_new == 40  # the 10 lake-dups rejected by content, not id
+    v2 = versioned_write(accepted, tbl, mode="append")
+
+    # the change feed (exclusive start) carries exactly the accepted batch
+    feed = table_changes(spark, tbl, from_version=v2 - 1)
+    assert feed.count() == n_new
+    assert read_version(spark, tbl).count() == corpus0.count() + n_new
+
+    # idempotent re-delivery: everything classifies dup, nothing appends
+    re_cls = incremental_dedup(delivery, read_version(spark, tbl))
+    assert re_cls.where("status = 'new'").count() == 0
