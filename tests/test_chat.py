@@ -205,3 +205,56 @@ def test_fim_transform_reconstructs(spark):
         for r in fim_transform(df.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_streaming_chat_ingest_to_lakehouse(spark, tmp_path):
+    """SFT ingestion, streaming end to end: JSONL drop folder →
+    typed parse → reject-reason gate → versioned append (accepted) +
+    reject stream accounting, exactly once across a restart."""
+    import json as _json
+
+    from kbdatalakeapps_spark.io.layout import read_version, versioned_write
+    from kbdatalakeapps_spark.operators.chat import filter_conversations, parse_conversations
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    tbl = str(tmp_path / "sft")
+    rejects = []
+
+    def write_shard(name, rows):
+        with open(drop / name, "w") as f:
+            for cid, conv in rows:
+                f.write(_json.dumps({"conv_id": cid, "conversation_json": conv}) + "\n")
+
+    def sink(batch_df, bid):
+        gated = filter_conversations(parse_conversations(batch_df))
+        rejects.extend(
+            (r["conv_id"], r["reject_reason"])
+            for r in gated.where("NOT keep").select("conv_id", "reject_reason").collect()
+        )
+        accepted = gated.where("keep").select("conv_id", "conversation_json")
+        versioned_write(accepted, tbl, mode="append")
+
+    def drain():
+        q = (
+            spark.readStream.schema("conv_id long, conversation_json string")
+            .json(str(drop))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    good = _conv(("system", "be kind"), ("user", "hi"), ("assistant", "hello there"))
+    bad = _conv(("user", "x"), ("user", "y"), ("assistant", "z"))
+    write_shard("s0.jsonl", [(1, good), (2, bad), (3, "{broken")])
+    drain()
+    assert read_version(spark, tbl).count() == 1
+    assert sorted(rejects) == [(2, "role_structure"), (3, "unparseable")]
+
+    write_shard("s1.jsonl", [(4, good)])
+    drain()
+    assert read_version(spark, tbl).count() == 2
+    drain()  # drained: nothing new
+    assert read_version(spark, tbl).count() == 2
