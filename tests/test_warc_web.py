@@ -811,3 +811,46 @@ def test_warc_datasource_index_mode(spark, tmp_path):
         str(drop / r["warc_file"]), r["offset"], r["length"], r["record_id"]
     )
     assert rec["record_type"] == "response"
+
+def test_warc_stream_bounded_trigger(tmp_path):
+    """Cursor math of max_files_per_trigger, unit-tested on the
+    reader: the FIRST latestOffset of an instance is unbounded BY
+    DESIGN (a fresh instance cannot know the committed start; bounding
+    from the directory minimum could plan an empty range forever after
+    a restart — documented in warcsource.py), and every subsequent
+    call advances the cursor by at most max_files basenames, with
+    partitions(start, end) returning exactly the (start, end] files so
+    a bound can never skip."""
+    from kbdatalakeapps_spark.io.warcsource import WarcStreamReader
+
+    recs = _sample_records()
+    d = tmp_path / "drop"
+    d.mkdir()
+    for i in range(3):
+        _write(str(d), f"s-{i:03d}.warc", warc_bytes(recs[2:3]))
+
+    r = WarcStreamReader({"path": str(d), "max_files_per_trigger": "1"})
+    assert r.initialOffset() == {"cursor": ""}
+    first = r.latestOffset()
+    assert first == {"cursor": "s-002.warc"}  # first call: unbounded
+    parts = r.partitions({"cursor": ""}, first)
+    assert sorted(p.path.split("/")[-1] for p in parts) == [
+        "s-000.warc", "s-001.warc", "s-002.warc",
+    ]
+    # nothing new: cursor holds
+    assert r.latestOffset() == first
+
+    # three MORE shards: the bound now bites — one basename per call
+    for i in range(3, 6):
+        _write(str(d), f"s-{i:03d}.warc", warc_bytes(recs[2:3]))
+    nxt = r.latestOffset()
+    assert nxt == {"cursor": "s-003.warc"}
+    parts = r.partitions(first, nxt)
+    assert [p.path.split("/")[-1] for p in parts] == ["s-003.warc"]
+    assert r.latestOffset() == {"cursor": "s-004.warc"}
+    parts = r.partitions(nxt, {"cursor": "s-004.warc"})
+    assert [p.path.split("/")[-1] for p in parts] == ["s-004.warc"]
+    # a WIDE range still returns every file in (start, end] — the
+    # bound shapes latestOffset only, never what a range replays
+    wide = r.partitions({"cursor": ""}, {"cursor": "s-005.warc"})
+    assert len(wide) == 6
