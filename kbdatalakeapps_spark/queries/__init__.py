@@ -31,102 +31,17 @@ from . import linkage  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
-#: Round-5 rotation (VERDICT r4 "Next round" #1): flagship + 49 of the
-#: 56 never-driver-checked queries — the 48 that were pre-verified
-#: 48/48 on a vanilla session at end of round 4 (NOTES: round-5
-#: pre-verification DONE) plus ml_auc_rank from the late round-4
-#: additions.  The remaining 7 late additions, plus the two queries
-#: being re-pointed at fixed-centroid oracled forms this round
-#: (dd_semantic_dedup / sim_ivf_topk — VERDICT r4 #2), queue in
-#: PENDING_NEXT_WINDOW for round 6.  No sentinel slots this round:
-#: clearing the verification backlog takes priority, and every
-#: previously-green query stays covered by tests/test_oracle_parity.py
-#: plus bench every run.
+#: Round-6 rotation (VERDICT r5 "Next round" #3): flagship + ALL 37
+#: queries that were pending after round 5 (the verification debt
+#: drains to zero — PENDING_NEXT_WINDOW is now empty) + the
+#: ml_auc_rank RE-CHECK (its round-5 hash was red on the
+#: decimal-vs-float materialization asymmetry, fixed this round by
+#: reporting u2 as DOUBLE on both sides; a fixed query must re-earn
+#: its green) + 11 sentinels from NOTES' window-proposal v3 (one
+#: sentinel slot ceded to the re-check, per the verdict).
 DRIVER_WINDOW: list[str] = [
     "flagship_order_revenue",
-    # training-pipeline tail (sampling / curation / SCD2)
-    "sp_epoch_shuffle",
-    "s17_scd2_merge",
-    "mm_image_features",
-    "tx_bpe_char_tokens",
-    "sp_domain_cap",
-    "tx_normalize_text",
-    "tx_bigram_counts",
-    "dd_containment",
-    "pl_corpus_curation",
-    "mm_image_neardup",
-    "a24_rollup_quantiles",
-    "sim_ivfpq_topk",
-    "ly_zorder_keys",
-    # graph analytics family
-    "gr_degree_distribution",
-    "gr_triangle_count",
-    "gr_pagerank",
-    "gr_clustering_coeff",
-    "gr_khop_distance",
-    "gr_link_prediction",
-    # embedding ops
-    "sim_random_projection",
-    "sim_pca_covariance",
-    # time-series / hypertable
-    "ts_gapfill_ffill",
-    "ts_gapfill_interp",
-    "ts_cohort_retention",
-    "ts_event_debounce",
-    "ts_cusum_changepoint",
-    "ts_attribution",
-    "ts_activity_islands",
-    "ts_event_paths",
-    # dedup / streaming-twin tails
-    "dd_editdist_pairs",
-    "st_event_transitions",
-    # market-basket / analytics
-    "mb_assoc_rules",
-    "mb_item_cosine",
-    "mb_rfm_segments",
-    "a25_mad_outliers",
-    "a26_group_regression",
-    "a27_weighted_median",
-    "a29_pareto_report",
-    "sp_equidepth_bins",
-    "tx_tfidf_vectors",
-    "sky_pareto_parts",
-    # CDC / sinks / data-quality audits
-    "s18_snapshot_diff",
-    "s19_sink_roundtrip",
-    "dq_drift_chisq",
-    "dq_ks_drift",
-    "dq_ab_welch",
-    "dq_benford_digits",
-    "dq_uniqueness_audit",
-    # first of the late round-4 additions (rest queue for round 6)
-    "ml_auc_rank",
-]
-
-
-def _reorder() -> None:
-    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
-    if missing:  # fail at import, not silently at driver time
-        raise KeyError(f"DRIVER_WINDOW names not registered: {missing}")
-    ordered = {n: QUERIES[n] for n in DRIVER_WINDOW}
-    ordered.update((n, q) for n, q in QUERIES.items() if n not in ordered)
-    QUERIES.clear()
-    QUERIES.update(ordered)
-
-
-_reorder()
-assert len(DRIVER_WINDOW) == 50
-
-#: Queries with no recorded driver signal that did not fit this
-#: round's window: they carry repo oracle parity
-#: (tests/test_oracle_parity.py) every run and MUST lead round-6's
-#: DRIVER_WINDOW — tests/test_ledger.py enforces that every registered
-#: query is ledger-verified, windowed, or listed here, and that no
-#: query sits here for more than one round.  dd_semantic_dedup /
-#: sim_ivf_topk re-enter because round 5 re-pointed them at
-#: fixed-centroid fully-oracled forms (VERDICT r4 #2) — their prior
-#: driver record was `err: no_oracle`, i.e. no signal.
-PENDING_NEXT_WINDOW: list[str] = [
+    # ml-eval family (incl. the two decimal-final-column fixes)
     "ml_calibration_bins",
     "ml_target_encode",
     "ts_max_concurrency",
@@ -136,8 +51,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "er_record_linkage",
     "dd_semantic_dedup",
     "sim_ivf_topk",
-    # round-5 session additions (all pre-verified at sf0.001 + sf0.01
-    # on a vanilla session the day they were registered)
     "dd_duplicate_spans",
     "ml_ndcg",
     "tx_domain_similarity",
@@ -156,8 +69,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "mm_video_dib_frames",
     "tx_script_mix",
     "er_jaro_winkler",
-    # round-5 continuation #3 additions (each verified at sf0.001 AND
-    # sf0.01 on a vanilla session the day it was registered)
     "gr_label_propagation",
     "dq_l_diversity",
     "ml_lift_gains",
@@ -168,4 +79,42 @@ PENDING_NEXT_WINDOW: list[str] = [
     "mm_scene_cuts",
     "sim_mips_topk",
     "er_phonetic_blocking",
+    # round-5 red, fixed this round — re-earning its green
+    "ml_auc_rank",
+    # sentinels (previously-green family exemplars, proposal v3)
+    "j5_star_join",
+    "j8_pair_dedup_first_wins",
+    "p10_filter_dsl",
+    "a14_column_stats",
+    "r1_ontology_style_pivot",
+    "dd_minhash_lsh_pairs",
+    "dd_dedup_corpus",
+    "tx_token_estimate",
+    "a1_groupby_multiagg",
+    "a2_count_distinct",
+    "a6_confusion_matrix",
 ]
+
+
+def _reorder() -> None:
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    if missing:  # fail at import, not silently at driver time
+        raise KeyError(f"DRIVER_WINDOW names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in DRIVER_WINDOW}
+    ordered.update((n, q) for n, q in QUERIES.items() if n not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder()
+assert len(DRIVER_WINDOW) == 50
+
+#: Queries with no recorded driver signal that did not fit this
+#: round's window.  EMPTY as of round 6: all 37 round-5 pending
+#: queries are in this round's DRIVER_WINDOW, so the verification debt
+#: drains to zero when CORRECTNESS_r06 lands.  Admission control
+#: (VERDICT r5 #4, enforced by tests/test_ledger.py::
+#: test_admission_control_one_window): new registrations may only be
+#: added while len(PENDING_NEXT_WINDOW) + new ≤ 49 — the debt can
+#: never exceed what one window (flagship + 49) drains.
+PENDING_NEXT_WINDOW: list[str] = []

@@ -170,8 +170,8 @@ _SYSTEMS_SQL = """
         FROM a JOIN b ON a_ent = b_ent
     )
     SELECT n_a, n_b, candidate_pairs,
-           CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
-               AS total_pairs,
+           CAST(CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+                AS DOUBLE) AS total_pairs,
            ROUND(1.0 - CAST(candidate_pairs AS DOUBLE)
                  / CAST(CAST(n_a AS DECIMAL(38,0))
                         * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE), 6)
@@ -189,11 +189,17 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction ratio of the nation-code blocking and its pairs
     completeness against the known entity ground truth — quantifying
     exactly the 10% mis-key recall loss the linkage docstring warns
-    about (operators/linkage.py::blocking_metrics)."""
+    about (operators/linkage.py::blocking_metrics).  total_pairs is
+    DECIMAL(38,0) inside the operator (n_a·n_b overflows BIGINT at
+    ~3e9 a side) but reported as DOUBLE — a decimal final column
+    stringifies asymmetrically against the driver's float64 fetch and
+    fails the hash on identical values (VERDICT r5 #1)."""
     from ..operators.linkage import blocking_metrics
 
     a, b = _derive_systems(spark, sf_dir)
-    return blocking_metrics(a, b, ["nation"], "a_ent", "b_ent")
+    return blocking_metrics(a, b, ["nation"], "a_ent", "b_ent").withColumn(
+        "total_pairs", F.col("total_pairs").cast("double")
+    )
 
 
 @query(

@@ -60,7 +60,8 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
            CAST(SUM(neg) AS BIGINT) AS n_neg,
-           CAST(SUM(pos * (2 * neg_below + neg)) AS DECIMAL(38,0)) AS u2,
+           CAST(CAST(SUM(pos * (2 * neg_below + neg)) AS DECIMAL(38,0))
+                AS DOUBLE) AS u2,
            CAST(CAST(SUM(pos * (2 * neg_below + neg)) AS DECIMAL(38,0))
                 AS DOUBLE)
            / (2.0 * CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE))
@@ -73,8 +74,15 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase label under the event-value score: per-score group counts,
     two-phase strict-prefix sum of negatives, decimal products — no
     global ORDER BY window over the data (operators/mleval.py::
-    auc_exact; the oracle IS the naive window form)."""
-    return auc_exact(_scored(spark, sf_dir), "score", "label")
+    auc_exact; the oracle IS the naive window form).  The u2 rank
+    statistic stays DECIMAL(38,0) inside the operator (BIGINT products
+    overflow at ~3e9 pos×neg) but is REPORTED as DOUBLE: the driver's
+    DuckDB fetch materializes DECIMAL as float64, so a decimal final
+    column stringifies asymmetrically and fails the hash even when the
+    values are identical (VERDICT r5 #1)."""
+    return auc_exact(_scored(spark, sf_dir), "score", "label").withColumn(
+        "u2", F.col("u2").cast("double")
+    )
 
 
 @query(
@@ -94,7 +102,7 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DECIMAL(38,0)) AS conf_fp
         FROM scored GROUP BY 1
     )
-    SELECT bin, n, n_pos, conf_fp,
+    SELECT bin, n, n_pos, CAST(conf_fp AS DOUBLE) AS conf_fp,
            CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
            CAST(conf_fp AS DOUBLE) / 1000000000000000.0 / CAST(n AS DOUBLE)
                AS conf,
@@ -110,7 +118,9 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically): per-bin count, accuracy, fixed-point mean confidence,
     and the |acc − conf| gap — the per-bin ECE contributions, left
     unsummed for order-invariance (operators/mleval.py::
-    calibration_bins)."""
+    calibration_bins).  conf_fp is summed as DECIMAL(38,0) inside the
+    operator but reported as DOUBLE (the decimal-final-column driver
+    hash asymmetry, VERDICT r5 #1)."""
     ev = load_table(spark, sf_dir, "events")
     scored = ev.filter(F.col("value").isNotNull()).select(
         (F.col("value") / F.lit(500.0)).alias("score"),
@@ -118,7 +128,9 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("label"),
     )
-    return calibration_bins(scored, "score", "label", n_bins=10)
+    return calibration_bins(scored, "score", "label", n_bins=10).withColumn(
+        "conf_fp", F.col("conf_fp").cast("double")
+    )
 
 
 @query(
@@ -159,7 +171,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT f.category, f.fold,
            CAST(t.cn - f.n AS BIGINT) AS oof_n,
-           CAST(t.cs - f.s AS DECIMAL(38,0)) AS oof_sum_fp,
+           CAST(CAST(t.cs - f.s AS DECIMAL(38,0)) AS DOUBLE) AS oof_sum_fp,
            CAST(CASE WHEN t.cn - f.n > 0 THEN t.cs - f.s
                      ELSE g.gs - f.s END AS DOUBLE)
            / 1000000.0
@@ -175,7 +187,9 @@ def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem key, sums exact fixed point, every (brand, fold) cell
     encoding the mean over the OTHER folds (operators/mleval.py::
     target_encode_oof) — join back on (brand, fold) for leakage-free
-    encoded features."""
+    encoded features.  oof_sum_fp stays decimal inside the operator
+    but is reported as DOUBLE (decimal-final-column driver hash
+    asymmetry, VERDICT r5 #1)."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
     fold = (
@@ -205,7 +219,9 @@ def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").alias("target"),
         )
     )
-    return target_encode_oof(base, "brand", "target", "fold", k_folds=4)
+    return target_encode_oof(
+        base, "brand", "target", "fold", k_folds=4
+    ).withColumn("oof_sum_fp", F.col("oof_sum_fp").cast("double"))
 
 
 @query(

@@ -1,7 +1,19 @@
 """Local mirror of the driver's DuckDB-oracle comparison: run the Spark
 query and the oracle SQL on the same parquet views, sort columns by
-name, sort rows, compare values.  Stricter than a hash match — exact
-equality (with a tiny documented float tolerance knob, default 0)."""
+name, sort rows, compare values.
+
+Byte-faithful to the driver's hash (VERDICT r5 #2): the driver
+stringifies both sides and hashes, and its DuckDB fetch materializes
+DECIMAL (and HUGEINT) columns as float64 while Spark's collect() keeps
+``decimal.Decimal``.  Python ``Decimal(5) == 5.0`` is True, so a plain
+``==`` gate passes where the driver's stringified hash fails
+('15624307' vs '15624307.0' — the round-5 ``ml_auc_rank`` red).  This
+harness therefore (a) applies the driver's decimal→float
+materialization to the ORACLE rows only, (b) keeps Spark rows exactly
+as collected, and (c) requires numeric-CLASS agreement (int/Decimal
+"exact" vs float) in addition to value equality, recursively through
+arrays.  A tiny documented float tolerance knob (default 0) remains
+for operators with an explicit tolerance contract."""
 
 from __future__ import annotations
 
@@ -26,32 +38,73 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
+def _norm(v, *, oracle_side: bool):
     if isinstance(v, Decimal):
-        return float(v)
+        # the driver's fetch turns oracle decimals into float64; Spark
+        # decimals arrive as Decimal and STAY Decimal (that asymmetry
+        # is exactly what the class check below must see)
+        return float(v) if oracle_side else v
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, float) and v.is_integer():
-        return v
     if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
+        return tuple(_norm(x, oracle_side=oracle_side) for x in v)
     return v
 
 
-def _normalize(rows, columns):
+def _normalize(rows, columns, *, oracle_side: bool):
     """→ sorted list of tuples with columns sorted by name."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out = [
+        tuple(_norm(r[i], oracle_side=oracle_side) for i in order) for r in rows
+    ]
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [
         columns[i] for i in order
     ]
 
 
+def _num_class(v) -> str | None:
+    """Numeric exactness class: the driver's stringified hash separates
+    '5' (int/decimal-scale-0) from '5.0' (float)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, (int, Decimal)):
+        return "exact"
+    return None
+
+
+def _values_match(x, y, float_tol: float):
+    """(ok, why_not). Equality plus numeric-class agreement, recursive
+    through tuples (array columns)."""
+    if isinstance(x, tuple) and isinstance(y, tuple):
+        if len(x) != len(y):
+            return False, f"array length {len(x)} != {len(y)}"
+        for a, b in zip(x, y):
+            ok, why = _values_match(a, b, float_tol)
+            if not ok:
+                return False, why
+        return True, ""
+    cx, cy = _num_class(x), _num_class(y)
+    if cx != cy:
+        return False, f"numeric-class mismatch ({cx} vs {cy})"
+    if x == y:
+        return True, ""
+    if (
+        float_tol
+        and isinstance(x, float)
+        and isinstance(y, float)
+        and math.isclose(x, y, rel_tol=float_tol, abs_tol=float_tol)
+    ):
+        return True, ""
+    return False, "values differ"
+
+
 def compare(spark_df, con, sql, float_tol: float = 0.0):
     """Return (ok, message). Compares row counts, column-name sets and
-    sorted values."""
+    sorted values under the driver's hash semantics."""
     srows = [tuple(r) for r in spark_df.collect()]
     scols = spark_df.columns
     res = con.execute(sql)
@@ -61,23 +114,14 @@ def compare(spark_df, con, sql, float_tol: float = 0.0):
         return False, f"column mismatch: spark={sorted(scols)} duck={sorted(dcols)}"
     if len(srows) != len(drows):
         return False, f"row count mismatch: spark={len(srows)} duck={len(drows)}"
-    s_sorted, cols = _normalize(srows, scols)
-    d_sorted, _ = _normalize(drows, dcols)
+    s_sorted, cols = _normalize(srows, scols, oracle_side=False)
+    d_sorted, _ = _normalize(drows, dcols, oracle_side=True)
     for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
-        if a == b:
-            continue
         for j, (x, y) in enumerate(zip(a, b)):
-            if x == y:
-                continue
-            if (
-                float_tol
-                and isinstance(x, float)
-                and isinstance(y, float)
-                and math.isclose(x, y, rel_tol=float_tol, abs_tol=float_tol)
-            ):
-                continue
-            return False, (
-                f"value mismatch at sorted row {i}, col {cols[j]}: "
-                f"spark={x!r} duck={y!r}"
-            )
+            ok, why = _values_match(x, y, float_tol)
+            if not ok:
+                return False, (
+                    f"value mismatch at sorted row {i}, col {cols[j]}: "
+                    f"spark={x!r} duck={y!r} ({why})"
+                )
     return True, f"ok ({len(srows)} rows)"

@@ -84,6 +84,48 @@ def test_pending_queries_are_not_already_covered():
     )
 
 
+def test_admission_control_one_window():
+    """VERDICT r5 #4 (the max-age rule's admission-control twin): the
+    set of queries with NO recorded driver signal may never exceed one
+    verification window (flagship + 49 checks) — otherwise pending
+    debt re-accumulates faster than rotation drains it.  Registration
+    of a new query is only admissible while this bound holds."""
+    led = _ledger()
+    unverified = [n for n in QUERIES if n not in led]
+    assert len(unverified) <= 49, (
+        f"{len(unverified)} registered queries carry no driver signal "
+        "— more than one window (flagship + 49) can drain; HOLD new "
+        f"registrations until a rotation lands: {sorted(unverified)}"
+    )
+    assert len(PENDING_NEXT_WINDOW) <= 49, (
+        "PENDING_NEXT_WINDOW exceeds one verification window"
+    )
+
+
+def test_red_queries_rewindowed_not_aged_out():
+    """A query whose latest driver check FAILED the hash (recorded as
+    no signal by tools/update_ledger.py) must sit in the current
+    window or PENDING — a red row may not silently age out (VERDICT
+    r5 #4, hygiene)."""
+    led = _ledger()
+    import glob
+
+    root = os.path.dirname(_LEDGER) + "/.."
+    reds: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, res in json.load(open(f)).items():
+            if res.get("err") is None and not res.get("hash_match"):
+                reds.add(name)
+    uncovered = [
+        n for n in reds
+        if n in QUERIES and n not in led
+        and n not in DRIVER_WINDOW and n not in PENDING_NEXT_WINDOW
+    ]
+    assert not uncovered, (
+        f"driver-red queries with no re-check scheduled: {uncovered}"
+    )
+
+
 def test_pending_queries_age_out_within_one_round():
     """VERDICT r4 #5: a query may not sit in PENDING_NEXT_WINDOW for
     more than one round — pending debt must drain into the very next

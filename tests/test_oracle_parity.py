@@ -24,8 +24,55 @@ def _get_con():
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
+    _assert_no_decimal(name, df.schema)
     ok, msg = compare(df, _get_con(), ORACLES[name])
     assert ok, f"{name}: {msg}"
+
+
+def _assert_no_decimal(name, schema):
+    """No registered query may ship a decimal in its FINAL schema: the
+    driver's DuckDB fetch materializes oracle decimals as float64 while
+    Spark collect() keeps Decimal, so the stringified hashes diverge on
+    identical values (round-5 ``ml_auc_rank`` red).  Decimals stay
+    legal INSIDE operators (overflow-safe sums/products); the reporting
+    select must cast them to DOUBLE/BIGINT on both sides."""
+    from pyspark.sql.types import ArrayType, DecimalType, StructType
+
+    def walk(dt, path):
+        if isinstance(dt, DecimalType):
+            raise AssertionError(
+                f"{name}: final schema carries a decimal column at "
+                f"{path} — cast it to DOUBLE/BIGINT in the reporting "
+                "select (both Spark and oracle sides); the driver hash "
+                "cannot match a decimal final column"
+            )
+        if isinstance(dt, ArrayType):
+            walk(dt.elementType, path + "[]")
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                walk(f.dataType, f"{path}.{f.name}")
+
+    for f in schema.fields:
+        walk(f.dataType, f.name)
+
+
+def test_compare_rejects_decimal_vs_float_final_column(spark):
+    """The round-5 regression, distilled: a Spark DECIMAL(38,0) final
+    column against an oracle the driver fetches as float64 must FAIL
+    even though the values are equal under Python ``==`` — the old
+    harness passed this and the driver hash did not (VERDICT r5 #2)."""
+    df = spark.sql("SELECT CAST(15624307 AS DECIMAL(38,0)) AS u2")
+    con = __import__("duckdb").connect()
+    ok, msg = compare(df, con, "SELECT CAST(15624307 AS DECIMAL(38,0)) AS u2")
+    assert not ok and "numeric-class mismatch" in msg, msg
+    # and the fixed form (DOUBLE both sides) passes
+    df2 = spark.sql("SELECT CAST(CAST(15624307 AS DECIMAL(38,0)) AS DOUBLE) AS u2")
+    ok2, msg2 = compare(df2, con, "SELECT CAST(15624307.0 AS DOUBLE) AS u2")
+    assert ok2, msg2
+    # int-vs-float asymmetry is caught too ('5' vs '5.0' in the hash)
+    df3 = spark.sql("SELECT CAST(5 AS BIGINT) AS v")
+    ok3, msg3 = compare(df3, con, "SELECT CAST(5 AS DOUBLE) AS v")
+    assert not ok3 and "numeric-class" in msg3, msg3
 
 
 def test_rows_only(spark, sf_dir):

@@ -20,9 +20,16 @@ def main() -> None:
     for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
         for name, res in json.load(open(f)).items():
-            if res.get("rows_match") and res.get("err") is None:
-                kind = "hash" if res.get("hash_match") else "rows"
-                ledger.setdefault(name, []).append({"round": rnd, "check": kind})
+            # hash green → hard signal; rows green WITHOUT an oracle
+            # (err == 'no_oracle') → weak rows-only signal; rows green
+            # but hash RED on an oracled query → a FAILURE, no signal
+            # at all (round-5 ml_auc_rank: identical values, divergent
+            # stringified hash — it must re-enter a window, not age
+            # out as a phantom 'rows' pass)
+            if res.get("hash_match"):
+                ledger.setdefault(name, []).append({"round": rnd, "check": "hash"})
+            elif res.get("rows_match") and res.get("err") == "no_oracle":
+                ledger.setdefault(name, []).append({"round": rnd, "check": "rows"})
     out = os.path.join(ROOT, "tools", "verification_ledger.json")
     json.dump(ledger, open(out, "w"), indent=1, sort_keys=True)
     print(f"{len(ledger)} queries with recorded driver signal → {out}")
