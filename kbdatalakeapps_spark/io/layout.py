@@ -104,6 +104,8 @@ def versioned_write(
     bloom_columns: list[str] | None = None,
     bloom_bits: int = 16384,
     bloom_hashes: int = 3,
+    expected_version: int | None = None,
+    txn: dict | None = None,
 ) -> int:
     """Manifest-versioned table write — snapshot isolation without a
     table-format dependency: each commit writes its data files under
@@ -131,7 +133,21 @@ def versioned_write(
     (``_claim_version``); a racing writer loses the claim and this
     writer retries against the NEW latest (optimistic concurrency) —
     append merges are always safe to replay, so no commit is ever
-    lost or silently replaced (the round-5 rename-replace race)."""
+    lost or silently replaced (the round-5 rename-replace race).
+
+    ``expected_version`` (snapshot-conditional commit): when set, the
+    commit only succeeds if the table is STILL at that version —
+    otherwise ``ConcurrentWriteError`` and the data files are cleaned
+    up.  Non-append modes whose input was derived from a snapshot
+    (OPTIMIZE's rewrite) must pass it: blindly replaying an overwrite
+    built from a stale snapshot would silently drop any commit that
+    landed in between (ADVICE r5, optimize_table).
+
+    ``txn`` (the Delta application-transaction idea): an arbitrary
+    small JSON dict recorded IN the manifest, atomically with the data
+    commit — incremental writers (sync_rollup_view) store their source
+    cursor here so a crash can never separate "state updated" from
+    "cursor advanced" (ADVICE r5)."""
     import os
     import time
     import uuid
@@ -159,6 +175,14 @@ def versioned_write(
     df_fields = df.schema.jsonValue()["fields"]
 
     def build(prior_manifest: dict | None, new_v: int) -> dict:
+        if expected_version is not None:
+            prior_v = (prior_manifest or {}).get("version", 0)
+            if prior_v != expected_version:
+                raise ConcurrentWriteError(
+                    f"table advanced to v{prior_v} past expected "
+                    f"v{expected_version} while this {mode} commit was "
+                    "being prepared — re-run against the new snapshot"
+                )
         pm = prior_manifest if (mode == "append" and prior_manifest) else {}
         prior_schema = pm.get("schema") or {}
         # commit schema = union of the carried schema and this write's
@@ -174,6 +198,7 @@ def versioned_write(
             fields[f["name"]] = f
         return {
             "version": new_v,
+            **({"txn": txn} if txn else {}),
             "files": sorted(pm.get("files", []) + new_files),
             "stats": {**pm.get("stats", {}), **new_stats},
             "blooms": {**pm.get("blooms", {}), **new_blooms},
@@ -187,7 +212,13 @@ def versioned_write(
             "op": mode,
         }
 
-    return _claim_version(mdir, build)
+    try:
+        return _claim_version(mdir, build)
+    except ConcurrentWriteError:
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -276,20 +307,27 @@ def _file_column_stats(path: str) -> dict:
 
 def _stats_may_match(stats: dict, col: str, op: str, value) -> bool:
     """Can a file with these stats contain a row satisfying
-    ``col op value``?  Missing stats → True (never wrongly prune)."""
+    ``col op value``?  Missing stats → True (never wrongly prune).
+    A predicate value incomparable with the stored min/max (string vs
+    int stats or vice versa — possible after a schema change or a
+    mistyped filter) also returns True: unusable stats are MISSING
+    stats, never a read-time TypeError (ADVICE r5)."""
     if col not in stats or col == "_rows":
         return True
     mn, mx, _nulls = stats[col]
-    if op == "=":
-        return mn <= value <= mx
-    if op == "<":
-        return mn < value
-    if op == "<=":
-        return mn <= value
-    if op == ">":
-        return mx > value
-    if op == ">=":
-        return mx >= value
+    try:
+        if op == "=":
+            return bool(mn <= value <= mx)
+        if op == "<":
+            return bool(mn < value)
+        if op == "<=":
+            return bool(mn <= value)
+        if op == ">":
+            return bool(mx > value)
+        if op == ">=":
+            return bool(mx >= value)
+    except TypeError:
+        return True
     raise ValueError(f"unsupported pruning op: {op}")
 
 
@@ -920,13 +958,17 @@ def optimize_table(
     import math
     import os
 
-    cur = read_version(spark, table_dir)
-    total = 0
+    # pin the snapshot VERSION first, read exactly that version, and
+    # commit conditionally on it: a concurrent append landing between
+    # this read and the claim must fail the claim, not be silently
+    # dropped from the rewritten manifest (ADVICE r5)
     mdir = os.path.join(table_dir, "_manifests")
     latest = max(
         int(f[1:-5]) for f in os.listdir(mdir)
         if f.startswith("v") and f.endswith(".json")
     )
+    cur = read_version(spark, table_dir, version=latest)
+    total = 0
     import json
 
     with open(os.path.join(mdir, f"v{latest}.json")) as fh:
@@ -960,7 +1002,11 @@ def optimize_table(
     # files they described — rebuild them over the compacted files in
     # the same pass, the read_version stats-refresh idea)
     return versioned_write(
-        cur, table_dir, mode="optimize", bloom_columns=bloom_columns
+        cur,
+        table_dir,
+        mode="optimize",
+        bloom_columns=bloom_columns,
+        expected_version=latest,
     )
 
 
@@ -1011,12 +1057,23 @@ def table_changes(
             F.lit(v).cast("long").alias("_commit_version"),
         )
 
-    # from_version=0 (or any pre-history version) = the full feed
-    prev = (
-        _load(from_version)
-        if from_version in versions
-        else {"files": [], "deletes": []}
-    )
+    # from_version=0 = the full feed.  Any OTHER missing version is an
+    # error: if retention (expire_versions) removed the cursor's
+    # manifest, treating it as empty history would replay the entire
+    # snapshot as inserts and checkpointed consumers would
+    # double-ingest (ADVICE r5) — the consumer must re-baseline
+    # explicitly instead.
+    if from_version in versions:
+        prev = _load(from_version)
+    elif from_version <= 0:
+        prev = {"files": [], "deletes": []}
+    else:
+        raise ValueError(
+            f"change feed cursor v{from_version} is not in retained "
+            f"history (oldest kept: v{versions[0] if versions else '-'}) "
+            "— the manifest was expired; re-baseline from a full "
+            "snapshot read instead of consuming the feed"
+        )
     for v in versions:
         if not (from_version < v <= to_version):
             continue

@@ -103,11 +103,21 @@ def change_rows(table_dir: str, from_v: int, to_v: int, names: list[str]):
     """The table_changes feed as plain tuples (pyarrow, no Spark) —
     shared by the streaming reader and its tests."""
     versions = _versions(table_dir)
-    prev = (
-        _manifest(table_dir, from_v)
-        if from_v in versions
-        else {"files": [], "deletes": []}
-    )
+    # same contract as layout.table_changes (ADVICE r5): only
+    # from_v<=0 means "full history"; a positive cursor whose manifest
+    # was expired must FAIL, not silently replay the snapshot as
+    # inserts into a checkpointed consumer
+    if from_v in versions:
+        prev = _manifest(table_dir, from_v)
+    elif from_v <= 0:
+        prev = {"files": [], "deletes": []}
+    else:
+        raise ValueError(
+            f"change feed cursor v{from_v} is not in retained history "
+            f"(oldest kept: v{versions[0] if versions else '-'}) — the "
+            "manifest was expired; restart the stream from a fresh "
+            "snapshot baseline"
+        )
     for v in versions:
         if not (from_v < v <= to_v):
             continue

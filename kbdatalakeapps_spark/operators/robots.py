@@ -172,7 +172,14 @@ def robots_filter(
     )
     sel_rules = rules.join(applicable, ["host", "agent"], "inner")
 
+    # the winner window partitions by a PER-ROW key, not the URL
+    # string: two input rows fetching the same URL (re-crawls, rows
+    # distinguished only by record_id/date columns) are independent
+    # evaluations and must both survive — partitioning by url_col
+    # would collapse them to one output row (ADVICE r5)
     u = urls.withColumn(
+        "_row", F.monotonically_increasing_id()
+    ).withColumn(
         "_host", F.lower(F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
     ).withColumn("_path", F.coalesce(F.nullif(F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)", 1), F.lit("")), F.lit("/")))
     joined = u.join(
@@ -183,7 +190,7 @@ def robots_filter(
     # rank on (matched, rule length, allow): the winner is the RFC
     # longest-match rule when one matches; a non-matching row survives
     # as the default-allow carrier when none does (URLs are never lost).
-    w = Window.partitionBy(url_col).orderBy(
+    w = Window.partitionBy("_row").orderBy(
         F.col("_match").desc(),
         F.col("rule_len").desc_nulls_last(),
         F.col("allow").desc_nulls_last(),
@@ -195,7 +202,7 @@ def robots_filter(
         )
         .withColumn("matched_rule", F.when(F.col("_match"), F.col("pattern")))
         .drop(
-            "_rk", "_match", "_host", "_path",
+            "_rk", "_match", "_row", "_host", "_path",
             "agent", "allow", "pattern", "regex", "rule_len",
         )
     )

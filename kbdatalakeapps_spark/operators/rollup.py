@@ -291,7 +291,15 @@ def sync_rollup_view(
 
     count/sum specs only — the retractable subgroup (see
     rollup_apply_changes).  Idempotent: a sync with no new source
-    commits is a no-op.  Returns {"synced_version", "applied"}."""
+    commits is a no-op.  Returns {"synced_version", "applied"}.
+
+    Crash safety (ADVICE r5): the synced source version is recorded
+    INSIDE the view's own manifest commit (versioned_write's ``txn``
+    field), so the cursor advances atomically with the state — a crash
+    between the two can no longer double-apply a change feed.  The
+    side file ``_view_state.json`` remains only as the cursor for
+    empty-feed advances (where nothing was committed and re-applying
+    an empty feed is harmless); recovery takes the MAX of the two."""
     import json
     import os
 
@@ -302,6 +310,19 @@ def sync_rollup_view(
     if os.path.exists(state_path):
         with open(state_path) as fh:
             synced = json.load(fh)["synced_version"]
+    # authoritative cursor: the latest view commit's txn record
+    vmdir = os.path.join(view_dir, "_manifests")
+    if os.path.isdir(vmdir):
+        vview = sorted(
+            int(f[1:-5]) for f in os.listdir(vmdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        if vview:
+            with open(os.path.join(vmdir, f"v{vview[-1]}.json")) as fh:
+                committed = json.load(fh).get("txn", {}).get(
+                    "synced_version", 0
+                )
+            synced = max(synced, committed)
     src_versions = sorted(
         int(f[1:-5])
         for f in os.listdir(os.path.join(source_dir, "_manifests"))
@@ -332,5 +353,10 @@ def sync_rollup_view(
     if changes.limit(1).count() == 0:
         return _record(False)
     updated = rollup_apply_changes(state, changes, **spec)
-    versioned_write(updated, view_dir, mode="overwrite")
+    versioned_write(
+        updated,
+        view_dir,
+        mode="overwrite",
+        txn={"synced_version": latest},
+    )
     return _record(True)

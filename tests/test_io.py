@@ -1814,3 +1814,98 @@ def test_snapshot_row_count_metadata_only(spark, tmp_path):
     assert snapshot_row_count(t) == 150
     # the metadata answer equals the real scan
     assert read_version(spark, t).count() == 150
+
+
+def test_optimize_rejects_concurrent_append(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (layout.py optimize_table): an append committing
+    between OPTIMIZE's snapshot read and its version claim must fail
+    the claim with ConcurrentWriteError — NOT be silently dropped from
+    the rewritten manifest.  The race is injected deterministically by
+    committing an append inside the optimizer's snapshot read."""
+    import kbdatalakeapps_spark.io.layout as L
+    from kbdatalakeapps_spark.io.layout import (
+        ConcurrentWriteError,
+        read_version,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "optrace")
+    versioned_write(spark.range(0, 50).toDF("id"), t)  # v1
+
+    orig = L.read_version
+
+    def racing_read(sp, d, version=None, **kw):
+        df = orig(sp, d, version=version, **kw)
+        # the interleaved committer: lands v2 while OPTIMIZE holds v1
+        versioned_write(sp.range(100, 110).toDF("id"), d, mode="append")
+        return df
+
+    monkeypatch.setattr(L, "read_version", racing_read)
+    with pytest.raises(ConcurrentWriteError):
+        L.optimize_table(spark, t)
+    monkeypatch.undo()
+
+    # the concurrent append's rows are ALL still in the latest snapshot
+    got = sorted(r.id for r in read_version(spark, t).collect())
+    assert got == list(range(0, 50)) + list(range(100, 110))
+    # and the failed optimize left no orphan manifest (v3 never claimed)
+    import os
+
+    assert sorted(os.listdir(os.path.join(t, "_manifests"))) == [
+        "v1.json", "v2.json",
+    ]
+    # a clean re-run (no race) now succeeds and keeps every row
+    v = L.optimize_table(spark, t)
+    assert v == 3
+    assert sorted(r.id for r in read_version(spark, t).collect()) == got
+
+
+def test_change_feed_expired_cursor_raises(spark, tmp_path):
+    """ADVICE r5 (layout.py table_changes): a positive cursor whose
+    manifest was removed by expire_versions must raise — replaying the
+    whole snapshot as inserts would double-ingest into checkpointed
+    consumers.  from_version=0 keeps the full-feed fast path."""
+    from kbdatalakeapps_spark.io.layout import (
+        expire_versions,
+        table_changes,
+        versioned_write,
+    )
+    from kbdatalakeapps_spark.io.tablestream import change_rows
+
+    t = str(tmp_path / "cdfexp")
+    versioned_write(spark.range(0, 5).toDF("id"), t)    # v1
+    versioned_write(spark.range(5, 9).toDF("id"), t)    # v2
+    versioned_write(spark.range(9, 12).toDF("id"), t)   # v3
+    expire_versions(t, keep_last=1)                      # only v3 kept
+
+    with pytest.raises(ValueError, match="not in retained history"):
+        table_changes(spark, t, from_version=1)
+    with pytest.raises(ValueError, match="not in retained history"):
+        list(change_rows(t, 2, 3, ["id"]))
+    # v3 itself is retained: polling from the live cursor still works
+    assert table_changes(spark, t, from_version=3).count() == 0
+    # full-feed semantics survive for a fresh consumer
+    full = table_changes(spark, t, from_version=0)
+    assert full.count() == 12 and set(
+        r._change_type for r in full.collect()
+    ) == {"insert"}
+    assert len(list(change_rows(t, 0, 3, ["id"]))) == 12
+
+
+def test_stats_prune_type_mismatch_never_excludes():
+    """ADVICE r5 (layout.py _stats_may_match): a predicate value
+    incomparable with the stored min/max (schema change, mistyped
+    filter) must conservatively KEEP the file, not raise TypeError at
+    read_version time."""
+    from kbdatalakeapps_spark.io.layout import _stats_may_match
+
+    stats = {"x": [1, 100, 0], "s": ["a", "zz", 0]}
+    for op in ("=", "<", "<=", ">", ">="):
+        assert _stats_may_match(stats, "x", op, "42") is True
+        assert _stats_may_match(stats, "s", op, 42) is True
+    # comparable values still prune exactly
+    assert _stats_may_match(stats, "x", "=", 500) is False
+    assert _stats_may_match(stats, "x", ">", 100) is False
+    assert _stats_may_match(stats, "x", "<=", 1) is True
+    with pytest.raises(ValueError):
+        _stats_may_match(stats, "x", "!=", 5)

@@ -197,3 +197,30 @@ def test_rule_regex_property():
         )
 
     check()
+
+
+def test_robots_filter_keeps_duplicate_url_rows(spark):
+    """ADVICE r5: two input rows carrying the SAME url string (re-crawls
+    of one page, distinguished only by other columns) are independent
+    evaluations — the winner window must partition per row, never
+    collapse duplicates to one output row."""
+    robots, _ = _tables(spark)
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            ("f1", "2024-01-01", "https://a.example/private/doc"),
+            ("f2", "2024-02-02", "https://a.example/private/doc"),
+            ("f3", "2024-03-03", "https://a.example/public/x"),
+            ("f4", "2024-03-04", "https://a.example/public/x"),
+        ],
+        "fetch_id string, fetched_on string, url string",
+    )
+    out = robots_filter(urls, rules).collect()
+    assert len(out) == 4, "duplicate-URL rows were collapsed"
+    by_id = {r.fetch_id: r for r in out}
+    assert set(by_id) == {"f1", "f2", "f3", "f4"}
+    # verdicts agree per URL and all original columns survive
+    assert by_id["f1"].allowed is False and by_id["f2"].allowed is False
+    assert by_id["f3"].allowed is True and by_id["f4"].allowed is True
+    assert by_id["f2"].fetched_on == "2024-02-02"
+    assert by_id["f1"].matched_rule == by_id["f2"].matched_rule == "/private/"

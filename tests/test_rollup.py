@@ -317,3 +317,63 @@ def test_sync_rollup_view_skips_source_optimize(spark, tmp_path):
         spark.range(30, 40).selectExpr("id % 2 AS grp", "id AS amount"), src
     )
     assert sync_rollup_view(spark, src, view, **spec)["applied"] is True
+
+
+def test_sync_rollup_view_cursor_survives_crash_between_commit_and_record(
+    spark, tmp_path
+):
+    """ADVICE r5: the synced source version rides INSIDE the view's
+    manifest commit (versioned_write txn), so a crash after the view
+    commit but before the side-file update can no longer double-apply
+    the same change feed.  Simulated by reverting _view_state.json to
+    the pre-sync cursor — recovery must trust the manifest txn."""
+    import json
+    import os
+
+    from kbdatalakeapps_spark.io.layout import read_version, versioned_write
+    from kbdatalakeapps_spark.operators.rollup import (
+        rollup_aggregate,
+        sync_rollup_view,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    spec = dict(group_cols=["grp"], sum_cols=["amount"])
+
+    versioned_write(
+        spark.range(0, 40).selectExpr("id % 2 AS grp", "id AS amount"), src
+    )
+    assert sync_rollup_view(spark, src, view, **spec)["synced_version"] == 1
+
+    versioned_write(
+        spark.range(40, 60).selectExpr("id % 2 AS grp", "id AS amount"), src
+    )
+    r = sync_rollup_view(spark, src, view, **spec)
+    assert r == {"synced_version": 2, "applied": True}
+
+    # the manifest carries the cursor atomically with the state
+    mans = sorted(os.listdir(os.path.join(view, "_manifests")))
+    with open(os.path.join(view, "_manifests", mans[-1])) as fh:
+        assert json.load(fh)["txn"] == {"synced_version": 2}
+
+    # CRASH SIMULATION: state committed (view v2), side file stale (v1)
+    state_path = os.path.join(view, "_view_state.json")
+    with open(state_path, "w") as fh:
+        json.dump({"synced_version": 1}, fh)
+
+    r = sync_rollup_view(spark, src, view, **spec)
+    assert r == {"synced_version": 2, "applied": False}, (
+        "stale side-file cursor re-applied an already-committed feed"
+    )
+
+    def as_dict(df):
+        return {x.grp: (x.n_rows, x.sum_amount) for x in df.collect()}
+
+    assert as_dict(read_version(spark, view)) == as_dict(
+        rollup_aggregate(read_version(spark, src), **spec)
+    ), "deltas were double-counted after the simulated crash"
+
+    # losing the side file entirely recovers from the manifest too
+    os.remove(state_path)
+    r = sync_rollup_view(spark, src, view, **spec)
+    assert r == {"synced_version": 2, "applied": False}
