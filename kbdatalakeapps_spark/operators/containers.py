@@ -50,6 +50,13 @@ CONTAINER_SCHEMA = T.StructType(
         T.StructField("bit_rate_kbps", T.IntegerType()),
         T.StructField("n_video_samples", T.LongType()),
         T.StructField("n_audio_samples", T.LongType()),
+        # audit columns (VERDICT r5 #6): exact frame accounting for
+        # MPEG audio plus the decode-routing verdict for every blob
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("mpeg_version", T.StringType()),
+        T.StructField("mpeg_layer", T.IntegerType()),
+        T.StructField("vbr", T.BooleanType()),
+        T.StructField("decode_route", T.StringType()),
     ]
 )
 
@@ -232,19 +239,33 @@ def _parse_mp3(d: bytes) -> dict | None:
     first = _mp3_frame(d, off)
     if first is None:
         return None
-    out: dict = {"container": "mp3", "audio_codec": "mp3"}
+    # version/layer from the first header; the walk rejects mid-stream
+    # changes implicitly (a different layer yields different framing
+    # and the walk desyncs → stops), so first-frame identity is the
+    # stream identity for any conformant file
+    b2 = d[off + 1]
+    ver_bits = (b2 >> 3) & 3
+    out: dict = {
+        "container": "mp3",
+        "audio_codec": "mp3",
+        "mpeg_version": {3: "1", 2: "2", 0: "2.5"}[ver_bits],
+        "mpeg_layer": 4 - ((b2 >> 1) & 3),
+        "decode_route": "metadata_only",
+    }
     n_frames = 0
     total_samples = 0
     total_bytes = 0
     rate = channels = None
+    kbps_seen: set[int] = set()
     while True:
         fr = _mp3_frame(d, off)
         if fr is None:
             break
-        fb, samples, rate, channels, _ = fr
+        fb, samples, rate, channels, kbps = fr
         n_frames += 1
         total_samples += samples
         total_bytes += fb
+        kbps_seen.add(kbps)
         off += fb
         if off + 128 == len(d) and d[off : off + 3] == b"TAG":
             break  # trailing ID3v1
@@ -252,6 +273,8 @@ def _parse_mp3(d: bytes) -> dict | None:
         out["sample_rate"] = rate
         out["channels"] = channels
         out["n_audio_samples"] = total_samples
+        out["n_frames"] = n_frames
+        out["vbr"] = len(kbps_seen) > 1
         out["duration_ms"] = total_samples * 1000 // rate
         if total_samples:
             out["bit_rate_kbps"] = total_bytes * 8 * rate // (total_samples * 1000)
@@ -455,18 +478,37 @@ def _sniff_decodable(d: bytes) -> str | None:
         return "aiff"
     if d[:4] == b".snd":
         return "au"
+    if d[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if d[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if d[:2] == b"BM":
+        return "bmp"
+    if d[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
 def parse_container_metadata(d: bytes | None) -> dict | None:
-    """Pure-python single-blob parse (the kernel under the operator)."""
+    """Pure-python single-blob parse (the kernel under the operator).
+
+    ``decode_route`` is the honest-boundary verdict the curation
+    pipeline routes on (VERDICT r5 #6): ``native_decode`` for formats
+    the engine decodes for real (WAV/AVI-MJPEG/FLAC/GIF/AIFF/AU —
+    their stats live in audio.py/video.py/multimodal.py/flac.py),
+    ``metadata_only`` for the perceptual-codec containers this module
+    parses exactly but does not decode (MP4/Ogg/WebM/MP3 — no codec
+    library in scope), ``unsupported`` for unrecognized bytes."""
     if not d:
         return None
     meta = _parse_mp4(d) or _parse_ogg(d) or _parse_matroska(d) or _parse_mp3(d)
     if meta is not None:
+        meta.setdefault("decode_route", "metadata_only")
         return meta
     label = _sniff_decodable(d)
-    return {"container": label} if label else None
+    if label:
+        return {"container": label, "decode_route": "native_decode"}
+    return {"decode_route": "unsupported"}
 
 
 def media_container_metadata(
@@ -568,20 +610,25 @@ def mp3_bytes(
     stereo: bool = True,
     id3v2: bool = False,
     vbr_second_kbps: int | None = None,
+    layer: int = 3,
 ) -> bytes:
-    """MPEG-1 Layer III frame-stream writer: each frame is a valid
+    """MPEG-1 Layer II/III frame-stream writer: each frame is a valid
     4-byte header + zero payload sized by the spec formula
-    floor(144·bitrate/rate)+padding (padding 0 here).  ``vbr_second_
-    kbps`` alternates bitrates to make a true VBR stream."""
-    br_table = _MP3_BITRATES[(True, 3)]
+    floor(144·bitrate/rate)+padding (padding 0 here; both layers use
+    1152 samples/frame under MPEG-1).  ``vbr_second_kbps`` alternates
+    bitrates to make a true VBR stream."""
+    if layer not in (2, 3):
+        raise ValueError("layer must be 2 or 3")
+    br_table = _MP3_BITRATES[(True, layer)]
     sr_table = _MP3_RATES[3]
+    layer_bits = 4 - layer  # 2=L2, 1=L3
     frames = []
     for i in range(n_frames):
         k = kbps if (vbr_second_kbps is None or i % 2 == 0) else vbr_second_kbps
         hdr = bytes(
             [
                 0xFF,
-                0xE0 | (3 << 3) | (1 << 1),  # MPEG1, Layer III
+                0xE0 | (3 << 3) | (layer_bits << 1),  # MPEG1
                 (br_table.index(k) + 1) << 4 | sr_table.index(rate) << 2,
                 (0x00 if stereo else 0xC0),
             ]

@@ -642,6 +642,8 @@ def kcore_peel(
     k: int,
     rounds: int = 3,
     checkpoint_dir: str | None = None,
+    until_converged: bool = False,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """Bounded-round k-core peeling: iteratively drop nodes whose
     degree in the surviving subgraph is < ``k`` — the standard
@@ -658,6 +660,14 @@ def kcore_peel(
     False rows are exactly what the final peel removes, so an empty
     False set means the peel has converged to the true k-core.
 
+    ``until_converged=True`` (VERDICT r5 #8 — the pagerank_fixed_point
+    mirror for the convergence-critical use): peel until a round
+    removes NOTHING (the true k-core, ``in_core`` all True), detected
+    by one bounded scalar count per round, raising if ``max_rounds``
+    is exhausted first — a pathological peeling chain can then never
+    silently return a pre-convergence shell.  The default fixed
+    ``rounds`` stays the SQL-unrollable oracle form.
+
     Scale posture: each round is one semi-join of the edge list
     against the surviving node set plus a map-side-combinable degree
     count; surviving sets are materialized per round (same lineage
@@ -667,14 +677,30 @@ def kcore_peel(
     e = mat(edges.select("src", "dst"))
     alive = e.select(F.col("src").alias("id")).distinct()
     deg = None
-    for _ in range(rounds):
+
+    def _peel(alive_in):
         sub = e.join(
-            alive.withColumnRenamed("id", "src"), "src", "left_semi"
-        ).join(alive.withColumnRenamed("id", "dst"), "dst", "left_semi")
-        deg = sub.groupBy(F.col("src").alias("id")).agg(
+            alive_in.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).join(alive_in.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        d = sub.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).cast("bigint").alias("degree")
         )
-        alive = mat(deg.filter(F.col("degree") >= k).select("id"))
+        return d, mat(d.filter(F.col("degree") >= k).select("id"))
+
+    if until_converged:
+        n_alive = alive.count()
+        for _ in range(max_rounds):
+            deg, alive = _peel(alive)
+            n_next = alive.count()
+            if n_next == n_alive:
+                return deg.withColumn("in_core", F.col("degree") >= k)
+            n_alive = n_next
+        raise RuntimeError(
+            f"kcore_peel(k={k}) did not reach its fixpoint in "
+            f"{max_rounds} rounds — peeling depth exceeds max_rounds"
+        )
+    for _ in range(rounds):
+        deg, alive = _peel(alive)
     return deg.withColumn("in_core", F.col("degree") >= k)
 
 
@@ -684,6 +710,8 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     checkpoint_dir: str | None = None,
+    until_converged: bool = False,
+    max_rounds: int = 20,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan
     LPA) with a DETERMINISTIC update: each round every node adopts the
@@ -699,6 +727,17 @@ def label_propagation(
     initialise to the node id.  Returns (id, label) after ``rounds``
     synchronous updates.
 
+    ``until_converged=True`` (VERDICT r5 #8): iterate to the
+    FIXPOINT — stop when a synchronous round changes no label (one
+    bounded scalar count per round), raising if ``max_rounds`` is
+    exhausted first, so a pathological graph can never silently
+    return pre-convergence communities.  (Deterministic synchronous
+    LPA can 2-cycle on bipartite-ish structures — the smallest-label
+    tie-break damps most, but max_rounds is the hard guard; catch the
+    RuntimeError and fall back to a fixed-round run if oscillation is
+    acceptable.)  The default fixed ``rounds`` stays the
+    SQL-unrollable oracle form.
+
     Scale posture: per round one co-partitioned hash join of the edge
     list against the |nodes|-row label table, one map-side-combinable
     (node, label) count, and one argmax-by-max(struct) groupBy — no
@@ -713,9 +752,10 @@ def label_propagation(
             "id", F.col("id").alias("label")
         )
     )
-    for _ in range(rounds):
+
+    def _step(lab):
         nbr = e.join(
-            labels.select(F.col("id").alias("dst"), "label").hint(
+            lab.select(F.col("id").alias("dst"), "label").hint(
                 "shuffle_hash"
             ),
             "dst",
@@ -726,9 +766,30 @@ def label_propagation(
         # argmax (count desc, label asc) as one max(struct) agg:
         # (c, -label) orders identically and the groupBy combines
         # map-side — cheaper than a per-node window (W1 idiom)
-        labels = mat(
+        return mat(
             cnt.groupBy("id")
             .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
             .select("id", (-F.col("m.nl")).alias("label"))
         )
+
+    if until_converged:
+        for _ in range(max_rounds):
+            nxt = _step(labels)
+            changed = (
+                nxt.alias("n")
+                .join(labels.alias("p"), "id")
+                .filter(F.col("n.label") != F.col("p.label"))
+                .limit(1)
+                .count()
+            )
+            labels = nxt
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"label_propagation did not reach a fixpoint in "
+            f"{max_rounds} rounds — oscillation or a longer mixing "
+            "chain; raise max_rounds or use the fixed-round form"
+        )
+    for _ in range(rounds):
+        labels = _step(labels)
     return labels

@@ -154,7 +154,11 @@ def test_decodable_signatures_labelled_only():
 
 
 def test_unknown_and_null_content():
-    assert parse_container_metadata(b"\x00\x01\x02garbage") is None
+    # unrecognized bytes get an explicit routing verdict (VERDICT r5
+    # #6), never a silent NULL a pipeline could mistake for "fine"
+    assert parse_container_metadata(b"\x00\x01\x02garbage") == {
+        "decode_route": "unsupported"
+    }
     assert parse_container_metadata(b"") is None
     assert parse_container_metadata(None) is None
 
@@ -164,7 +168,7 @@ def test_operator_mixed_corpus(spark):
         (1, mp4_bytes()),
         (2, mp3_bytes(n_frames=5)),
         (3, ogg_bytes()),
-        (4, _PNG_SIG),  # image: not a media container, NULL label
+        (4, _PNG_SIG),  # image: routed native_decode, no duration
         (5, b"not media at all"),
         (6, None),
     ]
@@ -228,3 +232,54 @@ def test_webm_unknown_segment_size_and_truncation():
     full = webm_bytes()
     t = parse_container_metadata(full[: len(full) - 15])
     assert t is not None and t["container"] == "webm"
+
+
+def test_mp3_layer2_exact_audit_columns():
+    """VERDICT r5 #6: MPEG-1 Layer II and III streams carry EXACT
+    duration/bitrate audit columns from the frame walk (never a Xing
+    header), plus frame count, layer/version identity and a VBR flag."""
+    # Layer II, CBR 192 kbps @ 44100: 30 frames of 1152 samples
+    m = parse_container_metadata(mp3_bytes(n_frames=30, kbps=192, layer=2))
+    assert m["mpeg_layer"] == 2 and m["mpeg_version"] == "1"
+    assert m["n_frames"] == 30 and m["n_audio_samples"] == 30 * 1152
+    assert m["duration_ms"] == 30 * 1152 * 1000 // 44100
+    assert m["vbr"] is False
+    # exact mean bitrate = bytes*8*rate // (samples*1000); frame size
+    # floor truncation makes it 191, not 192 — the walk reports truth
+    fb = 144 * 192 * 1000 // 44100
+    assert m["bit_rate_kbps"] == fb * 30 * 8 * 44100 // (30 * 1152 * 1000)
+    assert m["decode_route"] == "metadata_only"
+
+    # Layer III VBR alternating 128/64: flagged, exact mean
+    v = parse_container_metadata(
+        mp3_bytes(n_frames=40, kbps=128, vbr_second_kbps=64)
+    )
+    assert v["vbr"] is True and v["mpeg_layer"] == 3
+    f128, f64 = 144 * 128000 // 44100, 144 * 64000 // 44100
+    total = 20 * f128 + 20 * f64
+    assert v["bit_rate_kbps"] == total * 8 * 44100 // (40 * 1152 * 1000)
+
+
+def test_decode_route_over_mixed_corpus(spark):
+    """The routing verdict a curation pipeline splits on: native
+    decode paths vs exact-metadata-only containers vs unsupported."""
+    rows = [
+        (1, mp3_bytes(n_frames=4)),
+        (2, mp4_bytes()),
+        (3, ogg_bytes()),
+        (4, _WAV_MIN),
+        (5, b"\x00not-a-container"),
+        (6, None),
+        (7, _PNG_SIG),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {
+        r["media_id"]: r["decode_route"]
+        for r in media_container_metadata(df).collect()
+    }
+    assert out[1] == "metadata_only" and out[2] == "metadata_only"
+    assert out[3] == "metadata_only"
+    assert out[4] == "native_decode"
+    assert out[5] == "unsupported"
+    assert out[6] is None  # NULL content stays NULL
+    assert out[7] == "native_decode"

@@ -661,3 +661,71 @@ def test_label_propagation_python_reference(spark):
 
     got = {r.id: r.label for r in label_propagation(df, rounds=2).collect()}
     assert got == labels
+
+
+def _sym(spark, pairs):
+    both = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(both, "src long, dst long")
+
+
+def test_kcore_until_converged_reaches_true_core(spark):
+    """VERDICT r5 #8: a peeling CHAIN (path graph) needs one round per
+    layer — the fixed-round form returns a pre-convergence shell, the
+    until_converged form must peel to the exact 2-core and flag every
+    survivor, and an insufficient max_rounds must raise instead of
+    silently under-peeling."""
+    import pytest as _pytest
+
+    from kbdatalakeapps_spark.operators.graph import kcore_peel
+
+    path = [(i, i + 1) for i in range(1, 10)]            # 1-2-...-10
+    clique = [(a, b) for a in (20, 21, 22, 23) for b in (20, 21, 22, 23) if a < b]
+    e = _sym(spark, path + clique)
+
+    shell = kcore_peel(e, k=2, rounds=2)
+    assert shell.filter("NOT in_core").count() > 0, (
+        "fixture too easy: 2 rounds already converged"
+    )
+    core = kcore_peel(e, k=2, until_converged=True)
+    rows = core.collect()
+    assert sorted(r.id for r in rows) == [20, 21, 22, 23]
+    assert all(r.in_core for r in rows) and all(r.degree == 3 for r in rows)
+
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        kcore_peel(e, k=2, until_converged=True, max_rounds=1)
+
+    # a graph with NO 2-core converges to the empty frame, not an error
+    assert kcore_peel(
+        _sym(spark, [(1, 2), (2, 3)]), k=2, until_converged=True
+    ).count() == 0
+
+
+def test_label_propagation_until_converged_and_oscillation_guard(spark):
+    """VERDICT r5 #8: two disjoint triangles converge to their least
+    member labels (fixpoint detected, beyond what 1 fixed round
+    yields); a bipartite 2-cycle (single edge) must raise at
+    max_rounds instead of returning oscillating labels."""
+    import pytest as _pytest
+
+    from kbdatalakeapps_spark.operators.graph import label_propagation
+
+    tri2 = _sym(spark, [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)])
+    one_round = {
+        r.id: r.label for r in label_propagation(tri2, rounds=1).collect()
+    }
+    fix = {
+        r.id: r.label
+        for r in label_propagation(tri2, until_converged=True).collect()
+    }
+    assert fix == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+    assert one_round != fix, "fixture too easy: 1 round already converged"
+    # the fixpoint is stable: one more synchronous round is an identity
+    again = {
+        r.id: r.label
+        for r in label_propagation(tri2, until_converged=True, max_rounds=7).collect()
+    }
+    assert again == fix
+
+    pair = _sym(spark, [(1, 2)])  # bipartite: labels swap forever
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        label_propagation(pair, until_converged=True, max_rounds=6)
