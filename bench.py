@@ -118,7 +118,38 @@ def _tx_chunk_sentences(spark, sf_dir):
     return chunk_by_sentences(load_table(spark, sf_dir, "documents"))
 
 
+def _tx_quality_classifier(spark, sf_dir):
+    # model-based quality filter: fixed-point logistic training (3
+    # full-batch steps over a 1-in-10 labeled sample) + full-corpus
+    # scoring — measures the feature explode, per-step bucket/id
+    # joins, and the broadcast-weights scoring pass, all native exprs
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.classifier import (
+        classify_text_quality,
+        hashed_features,
+        train_hashed_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = docs.filter(F.xxhash64("doc_id", F.lit("lab")) % 10 == 0).select(
+        "doc_id",
+        (F.xxhash64("doc_id", F.lit("y")) % 2 == 0).cast("int").alias("label"),
+    )
+    dim = 1 << 16
+    feats = hashed_features(docs, "text", "doc_id", dim=dim)
+    w, b = train_hashed_classifier(
+        feats.join(labeled.select("doc_id").withColumnRenamed("doc_id", "id"),
+                   "id", "left_semi"),
+        labeled.withColumnRenamed("doc_id", "id"),
+        steps=3,
+    )
+    return classify_text_quality(docs, w, b, "text", "doc_id", dim=dim)
+
+
 _BENCH_OVERRIDES = {
+    "tx_quality_classifier": _tx_quality_classifier,
     "tx_chunk_sentences": _tx_chunk_sentences,
     "sim_ivf_topk": sim_ivf_topk_build,
     "dd_dedup_corpus_xxh": _dd_dedup_corpus_xxh,
@@ -202,6 +233,8 @@ BENCH_QUERIES = [
     "ch_sft_pipeline",             # chat parse → gate → render → loss spans
     "sp_pack_whole",               # no-split SFT packing (bucketed first-fit)
     "tx_chunk_sentences",          # sentence-aware chunk packing (native fold)
+    # round-6 additions (appended so earlier keys stay comparable)
+    "tx_quality_classifier",       # fixed-point logistic train + corpus score
 ]
 
 # The most expensive queries — measured twice, median reported.
@@ -228,6 +261,8 @@ REPEAT_QUERIES = {
     "gr_label_propagation",
     # round-5 continuation heavy: ~12 iterative rounds, overhead-bound
     "gr_cc_largestar",
+    # round-6: 3 GD steps = 6 shuffles of the feature table, wobbly
+    "tx_quality_classifier",
 }
 
 

@@ -1,0 +1,122 @@
+"""Trainable hashing-trick quality classifier
+(operators/classifier.py): the fastText/DCLM-style model-based filter
+as pure relational algebra with fixed-point training.
+
+Fixture: a deterministic two-vocabulary corpus (informative vs spam
+word pools keyed by doc id) — linearly separable under bag-of-words,
+so a few full-batch steps must separate it; held-out AUC is the
+honest metric.  The load-bearing property is BIT-DETERMINISM: the
+integer weights must be identical under any input partitioning
+(float GD cannot promise this; the fixed-point design does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.operators.classifier import (
+    classify_text_quality,
+    hashed_features,
+    score_hashed_classifier,
+    train_hashed_classifier,
+)
+
+_GOOD = ("informative", "thorough", "evidence", "analysis", "citation",
+         "method", "result", "study", "detail", "context")
+_BAD = ("click", "free", "winner", "casino", "pills", "prize",
+        "subscribe", "buy", "limited", "offer")
+_NEUTRAL = ("the", "and", "report", "page", "today")
+
+
+def _corpus(spark, n=240):
+    rows = []
+    for i in range(n):
+        pool = _GOOD if i % 2 == 0 else _BAD
+        words = [pool[(i * 7 + j) % len(pool)] for j in range(12)]
+        words += [_NEUTRAL[(i + j) % len(_NEUTRAL)] for j in range(6)]
+        rows.append((i, " ".join(words), 1 if i % 2 == 0 else 0))
+    return spark.createDataFrame(rows, "id long, text string, label int")
+
+
+def _auc(scored):  # tiny exact AUC over collected rows
+    rows = sorted(scored, key=lambda r: r[0])
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    hits = sum((p > n_) + 0.5 * (p == n_) for p in pos for n_ in neg)
+    return hits / (len(pos) * len(neg))
+
+
+def test_train_separates_and_holds_out(spark):
+    corpus = _corpus(spark)
+    train = corpus.filter("id < 200")
+    test = corpus.filter("id >= 200")
+    feats = hashed_features(corpus, dim=1 << 12)
+    w, b = train_hashed_classifier(
+        feats.join(train.select("id"), "id", "left_semi"),
+        train.select("id", "label"),
+        steps=8,
+    )
+    scored = score_hashed_classifier(
+        feats.join(test.select("id"), "id", "left_semi"), w, b
+    ).join(test.select("id", "label"), "id")
+    pairs = [(r.prob, r.label) for r in scored.collect()]
+    assert len(pairs) == 40
+    assert _auc(pairs) > 0.95, pairs
+    # probabilities actually separate, not just rank
+    pos = [p for p, y in pairs if y == 1]
+    neg = [p for p, y in pairs if y == 0]
+    assert min(pos) > max(neg)
+
+
+def test_training_is_bit_deterministic_under_repartitioning(spark):
+    corpus = _corpus(spark, n=120)
+    labels = corpus.select("id", "label")
+    f1 = hashed_features(corpus, dim=1 << 12)
+    f2 = hashed_features(corpus.repartition(17), dim=1 << 12).repartition(5)
+    w1, b1 = train_hashed_classifier(f1, labels, steps=5)
+    w2, b2 = train_hashed_classifier(f2, labels.repartition(3), steps=5)
+    d1 = {r.bucket: r.w_fp for r in w1.collect()}
+    d2 = {r.bucket: r.w_fp for r in w2.collect()}
+    assert d1 == d2, "integer weights must not depend on partitioning"
+    assert b1.collect()[0].b_fp == b2.collect()[0].b_fp
+    assert any(v != 0 for v in d1.values())
+
+
+def test_classify_text_quality_keeps_every_row_and_is_native(spark):
+    corpus = _corpus(spark, n=60)
+    w, b = train_hashed_classifier(
+        hashed_features(corpus, dim=1 << 12),
+        corpus.select("id", "label"),
+        steps=4,
+    )
+    with_empty = corpus.select("id", "text").unionByName(
+        spark.createDataFrame(
+            [(1000, ""), (1001, None)], "id long, text string"
+        )
+    )
+    out = classify_text_quality(with_empty, w, b, dim=1 << 12)
+    rows = {r.id: r.clf_prob for r in out.collect()}
+    assert len(rows) == 62  # empty/NULL docs survive, scored at bias
+    assert rows[1000] == rows[1001]
+    assert all(p is not None for p in rows.values())
+
+    # zero Python nodes anywhere in the scoring plan (native-exprs pin)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+
+
+def test_feature_fixed_point_exactness(spark):
+    df = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa")], "id long, text string"
+    )
+    f = {(r.id, r.bucket): r.x_fp
+         for r in hashed_features(df, dim=1 << 10).collect()}
+    by_id: dict[int, list[int]] = {}
+    for (i, _), x in f.items():
+        by_id.setdefault(i, []).append(x)
+    # doc 1: tf 2/3 and 1/3 -> floor(2*FP/3), floor(FP/3); doc 2: FP
+    fp = 10**12
+    assert sorted(by_id[1]) == [fp // 3, 2 * fp // 3]
+    assert by_id[2] == [fp]
