@@ -835,6 +835,108 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
     }
 
 
+def restore_version(table_dir: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION — roll the table back to an older
+    snapshot as a NEW commit (history is preserved; nothing is
+    rewritten or deleted).  Pure metadata: the new manifest re-names
+    the target version's files/stats/blooms/deletes, claimed through
+    the same optimistic-concurrency path as every commit, so readers
+    and racing writers keep their guarantees.  Files the restored
+    manifest references become live again for retention purposes —
+    ``expire_versions`` keeps anything a SURVIVING manifest names.
+
+    The restore commit carries ``op='restore'`` and a
+    ``txn.restored_from`` marker; the change feed treats it like any
+    overwrite (rows that reappear are inserts, rows that vanish are
+    deletes) — downstream state stays correct without special cases.
+
+    Returns the new version number."""
+    import json
+    import os
+    import time
+
+    mdir = os.path.join(table_dir, "_manifests")
+    src_path = os.path.join(mdir, f"v{version}.json")
+    if not os.path.exists(src_path):
+        raise ValueError(
+            f"version {version} is not in retained history — cannot "
+            "restore past expire_versions"
+        )
+    with open(src_path) as fh:
+        src = json.load(fh)
+
+    def build(prior: dict | None, new_v: int) -> dict:
+        return {
+            "version": new_v,
+            "txn": {"restored_from": version},
+            "files": src["files"],
+            "stats": src.get("stats", {}),
+            "blooms": src.get("blooms", {}),
+            "deletes": src.get("deletes", []),
+            "schema": src.get("schema"),
+            "committed_at": time.time(),
+            "op": "restore",
+        }
+
+    return _claim_version(mdir, build)
+
+
+def shallow_clone(source_dir: str, target_dir: str, version: int | None = None) -> int:
+    """Zero-copy snapshot clone (Delta SHALLOW CLONE): create a NEW
+    manifest-versioned table whose v1 references the SOURCE's data
+    files at ``version`` (default: latest) — O(metadata), no bytes
+    moved, ideal for experiment branches over a 100 TB table.  The
+    clone then evolves independently (appends/deletes/optimize land
+    under its own dir and never touch the source).
+
+    CAVEAT (inherent to shallow clones, as in Delta): the clone
+    BORROWS the source's files.  Running ``expire_versions`` /
+    ``vacuum_orphans`` on the SOURCE can delete files the clone still
+    references — keep source retention ≥ clone lifetime, or deep-copy
+    (read_version + versioned_write) when lifetimes decouple.  The
+    clone's own retention only ever deletes files under the clone's
+    directory (borrowed files live outside it and expire_versions is
+    manifest-driven, but don't rely on path accidents: the contract is
+    "source retention outlives clones")."""
+    import json
+    import os
+    import time
+
+    smdir = os.path.join(source_dir, "_manifests")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(smdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    v = versions[-1] if version is None else version
+    src_path = os.path.join(smdir, f"v{v}.json")
+    if not os.path.exists(src_path):
+        raise ValueError(f"source version {v} is not in retained history")
+    with open(src_path) as fh:
+        src = json.load(fh)
+    tmdir = os.path.join(target_dir, "_manifests")
+    os.makedirs(tmdir, exist_ok=True)
+
+    def build(prior: dict | None, new_v: int) -> dict:
+        if prior is not None:
+            raise ValueError(
+                f"target {target_dir} is already a versioned table — "
+                "clone only into a fresh directory"
+            )
+        return {
+            "version": new_v,
+            "txn": {"cloned_from": source_dir, "source_version": v},
+            "files": src["files"],
+            "stats": src.get("stats", {}),
+            "blooms": src.get("blooms", {}),
+            "deletes": src.get("deletes", []),
+            "schema": src.get("schema"),
+            "committed_at": time.time(),
+            "op": "clone",
+        }
+
+    return _claim_version(tmdir, build)
+
+
 def hilbert_key(
     df: DataFrame,
     x_col: str,

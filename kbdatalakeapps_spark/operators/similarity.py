@@ -899,6 +899,113 @@ def covariance_fixed_point(
     )
 
 
+def margin_bitext_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 1.0,
+    strategy: str = "mutual",
+    broadcast_tgt: bool = True,
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019 —
+    the LASER/CCMatrix bitext-mining criterion): candidate pairs are
+    the union of forward/backward cosine top-k, each scored by the
+    RATIO margin
+
+        margin(x, y) = cos(x, y) /
+                       ((avgₖ cos(x, NNₖ(x,Y)) + avgₖ cos(y, NNₖ(y,X))) / 2)
+
+    which normalizes away hubness — a translation pair must beat each
+    side's neighborhood average, not an absolute cosine bar.
+
+    ``strategy``: ``'all'`` keeps every candidate ≥ ``threshold``;
+    ``'max'`` keeps the per-source argmax (the recall setting);
+    ``'mutual'`` keeps pairs that are BOTH sides' argmax (the
+    precision setting CCMatrix uses for training data).  Ties break
+    on id for determinism.
+
+    Scale posture: one crossJoin of the (broadcast) target shard per
+    source partition — bitext mining runs per language-pair shard, so
+    the target side is bounded by construction (the cosine_topk
+    contract); ``broadcast_tgt=False`` falls back to the partitioned
+    cartesian.  The scored frame is lineage-cut once and reused by
+    both window passes; windows partition per source/target id, never
+    globally.  For unbounded shards, bucket with lsh_bucketed_topk
+    first and feed the bucket-joined candidates here."""
+    if strategy not in ("all", "max", "mutual"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_sv"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_tv"))
+    scored = (
+        s.crossJoin(F.broadcast(t) if broadcast_tgt else t)
+        .select(
+            "src_id",
+            "tgt_id",
+            (
+                _dot(F.col("_sv"), F.col("_tv"))
+                / (_norm(F.col("_sv")) * _norm(F.col("_tv")))
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("tgt_id").asc()
+    )
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("cosine").desc(), F.col("src_id").asc()
+    )
+    ranked = scored.withColumn(
+        "_rf", F.row_number().over(w_fwd)
+    ).withColumn("_rb", F.row_number().over(w_bwd))
+    a_src = (
+        ranked.filter(F.col("_rf") <= k)
+        .groupBy("src_id")
+        .agg(F.avg("cosine").alias("_a_src"))
+    )
+    a_tgt = (
+        ranked.filter(F.col("_rb") <= k)
+        .groupBy("tgt_id")
+        .agg(F.avg("cosine").alias("_a_tgt"))
+    )
+    cand = (
+        ranked.filter((F.col("_rf") <= k) | (F.col("_rb") <= k))
+        .join(a_src, "src_id")
+        .join(a_tgt, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            (
+                F.col("cosine")
+                / ((F.col("_a_src") + F.col("_a_tgt")) / F.lit(2.0))
+            ).alias("margin"),
+        )
+    )
+    if strategy == "all":
+        return cand.filter(F.col("margin") >= threshold)
+    wm_s = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    best_s = cand.withColumn("_m", F.row_number().over(wm_s)).filter(
+        "_m = 1"
+    ).drop("_m")
+    if strategy == "max":
+        return best_s.filter(F.col("margin") >= threshold)
+    wm_t = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("src_id").asc()
+    )
+    best_t = (
+        cand.withColumn("_m", F.row_number().over(wm_t))
+        .filter("_m = 1")
+        .select("src_id", "tgt_id")
+    )
+    return best_s.join(best_t, ["src_id", "tgt_id"], "left_semi").filter(
+        F.col("margin") >= threshold
+    )
+
+
 def mips_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1909,3 +1909,77 @@ def test_stats_prune_type_mismatch_never_excludes():
     assert _stats_may_match(stats, "x", "<=", 1) is True
     with pytest.raises(ValueError):
         _stats_may_match(stats, "x", "!=", 5)
+
+
+def test_restore_version_metadata_only(spark, tmp_path):
+    """RESTORE rolls back as a NEW commit: pure metadata, history
+    preserved, change feed sees overwrite semantics, retention keeps
+    the restored files alive."""
+    from kbdatalakeapps_spark.io.layout import (
+        delete_where,
+        expire_versions,
+        read_version,
+        restore_version,
+        table_changes,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "restore")
+    versioned_write(spark.range(0, 10).toDF("id"), t)                 # v1
+    versioned_write(spark.range(10, 15).toDF("id"), t)                # v2
+    delete_where(spark, t, "id < 3")                                  # v3
+    assert read_version(spark, t).count() == 12
+
+    v = restore_version(t, 1)
+    assert v == 4
+    assert sorted(r.id for r in read_version(spark, t).collect()) == list(range(10))
+    # time travel still sees every historical state
+    assert read_version(spark, t, version=3).count() == 12
+    assert read_version(spark, t, version=2).count() == 15
+    # the feed treats the restore as an overwrite: v2's rows deleted,
+    # v1-only rows that had been DV-deleted reappear as inserts
+    feed = table_changes(spark, t, from_version=3)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert by_type.get("delete", 0) >= 5  # v2's five rows leave
+    # retention: restored manifest keeps v1 files alive
+    expire_versions(t, keep_last=1)
+    assert sorted(r.id for r in read_version(spark, t).collect()) == list(range(10))
+    # restoring to an expired version fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retained history"):
+        restore_version(t, 2)
+
+
+def test_shallow_clone_zero_copy_and_independence(spark, tmp_path):
+    import os
+
+    from kbdatalakeapps_spark.io.layout import (
+        read_version,
+        shallow_clone,
+        versioned_write,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    versioned_write(spark.range(0, 20).toDF("id"), src)       # v1
+    versioned_write(spark.range(20, 30).toDF("id"), src)      # v2
+    v = shallow_clone(src, dst, version=1)
+    assert v == 1
+    # zero copy: the clone's dir holds no data files of its own
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    assert sorted(r.id for r in read_version(spark, dst).collect()) == list(range(20))
+    # the clone evolves independently; the source never sees it
+    versioned_write(spark.range(100, 103).toDF("id"), dst)    # clone v2
+    assert read_version(spark, dst).count() == 23
+    assert read_version(spark, src).count() == 30
+    # cloning onto an existing table refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already a versioned table"):
+        shallow_clone(src, dst)

@@ -308,3 +308,61 @@ def test_mips_augment_reduction_matches_exact(spark):
         for r in cosine_topk(aug_c, aug_q, k=5).collect()
     }
     assert via_cosine == exact
+
+
+def test_margin_bitext_mining_recovers_alignment(spark):
+    """Margin-based bitext mining (LASER/CCMatrix criterion): aligned
+    src/tgt vectors must come back as mutual pairs with margin > 1,
+    decoys must not pair, and the margin must match a numpy reference
+    of the published formula."""
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.similarity import (
+        margin_bitext_pairs,
+    )
+
+    rng_dim = 16
+    def vec(seed, flip=0.0):
+        # deterministic pseudo-embedding; small rotation for the twin
+        v = np.random.RandomState(seed).normal(size=rng_dim)
+        if flip:
+            v = v + flip * np.roll(v, 1)
+        return v / np.linalg.norm(v)
+
+    n = 12
+    src_np = {i: vec(i) for i in range(n)}
+    tgt_np = {i + 100: vec(i, flip=0.08) for i in range(n)}  # i <-> i+100
+    tgt_np[900] = vec(777)   # decoy with no source twin
+    tgt_np[901] = vec(778)
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in src_np.items()],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in tgt_np.items()],
+        "vec_id long, embedding array<double>",
+    )
+
+    got = margin_bitext_pairs(src, tgt, k=4, strategy="mutual",
+                              threshold=1.0)
+    pairs = {(r.src_id, r.tgt_id): (r.cosine, r.margin) for r in got.collect()}
+    assert set(pairs) == {(i, i + 100) for i in range(n)}
+    assert all(m > 1.0 for _, m in pairs.values())
+
+    # numpy reference of the ratio margin for one pair
+    def cos(a, b):
+        return float(np.dot(a, b))
+    x, y = src_np[3], tgt_np[103]
+    fwd = sorted((cos(x, t) for t in tgt_np.values()), reverse=True)[:4]
+    bwd = sorted((cos(y, s) for s in src_np.values()), reverse=True)[:4]
+    ref = cos(x, y) / ((sum(fwd) / 4 + sum(bwd) / 4) / 2)
+    assert abs(pairs[(3, 103)][1] - ref) < 1e-9
+
+    # 'max' keeps one candidate per source even for decoy-attracted
+    # sources; 'all' is a superset of 'mutual'
+    mx = margin_bitext_pairs(src, tgt, k=4, strategy="max", threshold=0.0)
+    assert mx.count() == n and mx.groupBy("src_id").count().filter(
+        "count > 1"
+    ).count() == 0
+    al = margin_bitext_pairs(src, tgt, k=4, strategy="all", threshold=0.0)
+    assert al.count() >= n
