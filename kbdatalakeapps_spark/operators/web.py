@@ -631,3 +631,56 @@ def sitemap_urls(df: DataFrame, xml_col: str = "payload", id_col: str = "doc_id"
         .select(id_col, "is_index", F.explode("_locs").alias("url"))
         .withColumn("url", unescape(F.col("url")))
     )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    per_host_limit: int | None = None,
+    n_fetchers: int = 256,
+) -> DataFrame:
+    """Polite crawl-frontier scheduling as pure relational algebra —
+    the ordering/sharding pass between discovery (extract_links /
+    sitemap_urls, after robots_filter and dd_url_canonical) and the
+    fetch fleet.
+
+    Politeness invariants a crawler needs from its frontier:
+      * one host never floods a fetch wave — ``wave`` is the per-host
+        row_number (ordered by priority desc, then url), so wave w
+        contains AT MOST ONE url per host (the host-interleave that
+        keeps per-host request rates flat no matter how skewed the
+        frontier is toward big hosts);
+      * a host is always fetched by the SAME shard — ``fetcher`` is
+        ``xxhash64(host) pmod n_fetchers``, so per-host rate limiting
+        and connection reuse are shard-local state, no coordination;
+      * ``per_host_limit`` caps any host's urls in this schedule (the
+        budget knob against crawler traps);
+      * the output is deterministic for a given frontier — reruns
+        produce the identical schedule (content-keyed, no randomness).
+
+    Consumers sort each fetcher's partition by (wave, url) and fetch
+    in order; globally, wave k of every fetcher can run concurrently.
+
+    Scale posture: ONE window partitioned by host (the W1 argmax
+    idiom, never a global window) + native hash/pmod projections; at
+    100 TB frontier scale the plan is one shuffle on host.  Output
+    adds (host, wave, fetcher) and keeps every input column."""
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+        )
+    )
+    d = urls.withColumn("host", host)
+    order = (
+        [F.col(priority_col).desc_nulls_last()] if priority_col else []
+    ) + [F.col(url_col).asc()]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(*order)
+    out = d.withColumn("wave", F.row_number().over(w))
+    if per_host_limit is not None:
+        out = out.filter(F.col("wave") <= per_host_limit)
+    return out.withColumn(
+        "fetcher", F.pmod(F.xxhash64("host"), F.lit(n_fetchers))
+    )

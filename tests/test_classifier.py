@@ -120,3 +120,62 @@ def test_feature_fixed_point_exactness(spark):
     fp = 10**12
     assert sorted(by_id[1]) == [fp // 3, 2 * fp // 3]
     assert by_id[2] == [fp]
+
+
+def test_streaming_corpus_scoring_composition(spark, tmp_path):
+    """Stream/batch unification for the model-based filter: weights
+    trained BATCH-side, then a file stream of documents is scored
+    inside foreachBatch (the curation-loop idiom — hashed features
+    aggregate per micro-batch, so no unbounded streaming state) and
+    appended to a versioned table; scores equal the batch path
+    exactly (the fixed-point design makes them bit-comparable)."""
+    import json
+    import os
+
+    from kbdatalakeapps_spark.io.layout import read_version, versioned_write
+
+    corpus = _corpus(spark, n=80)
+    w, b = train_hashed_classifier(
+        hashed_features(corpus, dim=1 << 12),
+        corpus.select("id", "label"),
+        steps=4,
+    )
+    w = w.localCheckpoint()  # freeze the model for reuse across batches
+    b = b.localCheckpoint()
+
+    src = tmp_path / "in"
+    src.mkdir()
+    tbl = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt")
+    rows = corpus.select("id", "text").collect()
+    with open(src / "a.json", "w") as f:
+        for r in rows[:40]:
+            f.write(json.dumps({"id": r.id, "text": r.text}) + "\n")
+    with open(src / "b.json", "w") as f:
+        for r in rows[40:]:
+            f.write(json.dumps({"id": r.id, "text": r.text}) + "\n")
+    os.utime(src / "b.json", (os.path.getmtime(src / "a.json") + 5,) * 2)
+
+    def sink(batch_df, batch_id):
+        out = classify_text_quality(batch_df, w, b, dim=1 << 12)
+        versioned_write(out, tbl, mode="append")
+
+    q = (
+        spark.readStream.schema("id long, text string")
+        .json(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.id: r.clf_prob for r in read_version(spark, tbl).collect()}
+    want = {
+        r.id: r.clf_prob
+        for r in classify_text_quality(
+            corpus.select("id", "text"), w, b, dim=1 << 12
+        ).collect()
+    }
+    assert len(got) == 80
+    assert got == want, "streaming scores diverge from the batch path"

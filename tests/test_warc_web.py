@@ -918,3 +918,45 @@ def test_cdx_split_read_partitions_one_archive(spark, tmp_path):
     assert read_warc_split(
         spark, str(tmp_path), index_df=idx, target_partition_bytes=2048
     ).count() == n_resp
+
+
+def test_frontier_schedule_politeness_invariants(spark):
+    """Frontier scheduling: at most one url per host per wave, hosts
+    pinned to one fetcher shard, per-host budget enforced, priority
+    respected, deterministic under repartitioning."""
+    from kbdatalakeapps_spark.operators.web import frontier_schedule
+
+    rows = []
+    for i in range(40):  # big.example dominates the frontier
+        rows.append((f"https://big.example/p{i:02d}", float(i % 7)))
+    for i in range(3):
+        rows.append((f"https://tiny{i}.example/", 9.0))
+    urls = spark.createDataFrame(rows, "url string, prio double")
+
+    out = frontier_schedule(
+        urls, priority_col="prio", per_host_limit=10, n_fetchers=8
+    )
+    got = out.collect()
+    # budget: the trap host is capped, small hosts untouched
+    per_host: dict[str, list] = {}
+    for r in got:
+        per_host.setdefault(r.host, []).append(r)
+    assert len(per_host["big.example"]) == 10
+    assert all(len(per_host[f"tiny{i}.example"]) == 1 for i in range(3))
+    # politeness: one url per (host, wave)
+    assert len({(r.host, r.wave) for r in got}) == len(got)
+    # shard affinity: a host maps to exactly one fetcher
+    assert all(
+        len({r.fetcher for r in rs}) == 1 for rs in per_host.values()
+    )
+    assert all(0 <= r.fetcher < 8 for r in got)
+    # priority: big.example's wave-1 pick is its highest-priority url
+    first = min(per_host["big.example"], key=lambda r: r.wave)
+    assert first.prio == 6.0
+    # determinism: identical schedule after repartitioning
+    again = frontier_schedule(
+        urls.repartition(13), priority_col="prio",
+        per_host_limit=10, n_fetchers=8,
+    ).collect()
+    key = lambda rs: sorted((r.url, r.wave, r.fetcher) for r in rs)
+    assert key(again) == key(got)
