@@ -434,3 +434,152 @@ def lift_gains(
         )
         .orderBy(F.col("band").desc())
     )
+
+
+def bradley_terry_ratings(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    count_col: str | None = None,
+    iterations: int = 12,
+    prior_games: int = 1,
+    checkpoint_dir: str | None = None,
+    init_ratings: DataFrame | None = None,
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise preference
+    outcomes — the batch-correct aggregation for RLHF preference data
+    and eval arenas (ELO is sequential and order-sensitive; BT is the
+    maximum-likelihood batch model the sequential update approximates).
+
+    MM algorithm (Hunter 2004), ``iterations`` fixed rounds:
+        p_i ← W_i / Σ_j n_ij / (p_i + p_j)
+    with the standard shadow-opponent regularization: every item also
+    plays ``prior_games`` games against a fixed rating-1.0 opponent
+    and wins half — winless/unbeaten items stay finite AND the
+    otherwise scale-free solution is anchored (no normalization pass).
+
+    House exactness discipline: ratings live in int64 fixed point
+    (FP = 10^15); every per-pair term is ``(2·n_ij·FP²) div
+    (p_i + p_j)`` — integral truncation per TERM, decimal sums — so
+    the result is BIT-DETERMINISTIC under any partitioning (float MM
+    is accumulation-order-sensitive).  Ratings clamp to
+    [10^-3, 10^3]·FP between rounds, keeping p_fp inside int64 and
+    every decimal product far inside DECIMAL(38,0).
+
+    Scale posture: per round one co-partitioned join of the pair-count
+    edge list (directed-symmetric, the graph convention) against the
+    |items|-row rating table on EACH endpoint plus one
+    map-side-combinable groupBy — the pagerank shape; rating state is
+    materialized per round (``checkpoint_dir=`` for the reliable
+    posture).  Lazy checkpoints mean plan depth grows with
+    ``iterations`` until the first action — MM converges linearly and
+    10–15 rounds settle typical arena data; for more, chain staged
+    calls via ``init_ratings`` (also the incremental path when new
+    preference data arrives: warm-start from yesterday's table).
+    Returns (item, p_fp, rating, wins, games)."""
+    from .checkpointing import materializer
+
+    mat = materializer(checkpoint_dir)
+    n = (
+        F.col(count_col).cast("long")
+        if count_col
+        else F.lit(1).cast("long")
+    )
+    wins_d = (
+        pairs.select(
+            F.col(winner_col).alias("item"),
+            F.col(loser_col).alias("opp"),
+            n.alias("_n"),
+        )
+        .groupBy("item", "opp")
+        .agg(F.sum("_n").alias("w"))
+    )
+    # directed-symmetric games edge list (the graph convention):
+    # n_ij = wins(i over j) + wins(j over i), one full self-join
+    e = mat(
+        wins_d.alias("a")
+        .join(
+            wins_d.select(
+                F.col("item").alias("opp"),
+                F.col("opp").alias("item"),
+                F.col("w").alias("w_rev"),
+            ).alias("b"),
+            ["item", "opp"],
+            "full",
+        )
+        .select(
+            "item",
+            "opp",
+            (F.coalesce(F.col("w"), F.lit(0))
+             + F.coalesce(F.col("w_rev"), F.lit(0))).alias("n_ij"),
+            F.coalesce(F.col("w"), F.lit(0)).alias("w_ij"),
+        )
+    )
+    totals = mat(
+        e.groupBy("item").agg(
+            F.sum("w_ij").alias("wins"), F.sum("n_ij").alias("games")
+        )
+    )
+    if init_ratings is not None:
+        r = mat(
+            totals.join(
+                init_ratings.select("item", "p_fp"), "item", "left"
+            ).select(
+                "item",
+                F.coalesce(
+                    F.col("p_fp"), F.lit(_FP).cast("long")
+                ).alias("p_fp"),
+            )
+        )
+    else:
+        r = mat(totals.select("item", F.lit(_FP).cast("long").alias("p_fp")))
+    # rating clamp [10^-3, 10^3]: keeps p_fp inside int64 (FP = 10^15)
+    # and every decimal product far inside DECIMAL(38,0)
+    lo, hi = _FP // 10**3, _FP * 10**3
+    for _ in range(iterations):
+        opp_r = r.select(F.col("item").alias("opp"), F.col("p_fp").alias("_pj"))
+        den_pairs = (
+            e.join(r.hint("shuffle_hash"), "item")
+            .join(opp_r.hint("shuffle_hash"), "opp")
+            .groupBy("item")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"CAST(2 AS {_DEC}) * CAST(n_ij AS {_DEC}) * "
+                        f"CAST({_FP} AS {_DEC}) * CAST({_FP} AS {_DEC}) "
+                        f"div (p_fp + _pj)"
+                    )
+                ).alias("_d_pairs")
+            )
+        )
+        r = mat(
+            totals.join(den_pairs, "item", "left")
+            .join(r, "item")
+            .select(
+                "item",
+                F.greatest(
+                    F.lit(lo).cast("long"),
+                    F.least(
+                        F.lit(hi).cast("long"),
+                        F.expr(
+                            f"CAST(((2 * wins + {prior_games}) * "
+                            f"CAST({_FP} AS {_DEC}) * CAST({_FP} AS {_DEC})) div "
+                            f"(COALESCE(_d_pairs, CAST(0 AS {_DEC})) + "
+                            f"(CAST(2 AS {_DEC}) * CAST({prior_games} AS {_DEC}) * "
+                            f"CAST({_FP} AS {_DEC}) * CAST({_FP} AS {_DEC})) div "
+                            f"(p_fp + {_FP})) AS BIGINT)"
+                        ),
+                    ),
+                ).alias("p_fp"),
+            )
+        )
+    return (
+        r.join(totals, "item")
+        .select(
+            "item",
+            "p_fp",
+            (F.col("p_fp").cast("double") / F.lit(float(_FP))).alias("rating"),
+            "wins",
+            "games",
+        )
+    )

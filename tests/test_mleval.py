@@ -387,3 +387,82 @@ def test_blocking_metrics_empty_truth(spark):
     row = blocking_metrics(a, b, ["blk"], "a_ent", "b_ent").collect()[0]
     assert row["true_matches"] == 0
     assert row["pairs_completeness"] is None
+
+
+def test_bradley_terry_ratings_order_and_reference(spark):
+    """BT preference aggregation: a dominance chain comes back in
+    order, ratings track a float MM reference, extremes stay finite
+    via the shadow-opponent prior, and the fixed-point design makes
+    the integer ratings identical under repartitioning."""
+    from kbdatalakeapps_spark.operators.mleval import bradley_terry_ratings
+
+    # A beats B 8/2, B beats C 8/2, A beats C 9/1; D never wins,
+    # E plays nobody but D (and always wins)
+    rows = (
+        [("A", "B")] * 8 + [("B", "A")] * 2
+        + [("B", "C")] * 8 + [("C", "B")] * 2
+        + [("A", "C")] * 9 + [("C", "A")] * 1
+        + [("E", "D")] * 5
+    )
+    pairs = spark.createDataFrame(rows, "winner string, loser string")
+    got = {r.item: r for r in bradley_terry_ratings(pairs, iterations=12).collect()}
+    assert set(got) == {"A", "B", "C", "D", "E"}
+    assert got["A"].rating > got["B"].rating > got["C"].rating
+    assert got["E"].rating > got["D"].rating
+    assert got["D"].rating > 0  # winless stays finite and positive
+    assert got["A"].wins == 17 and got["A"].games == 20
+    assert got["D"].wins == 0 and got["D"].games == 5
+
+    # float MM reference with the same shadow-opponent prior
+    import collections
+
+    wins = collections.Counter()
+    nij = collections.Counter()
+    for w_, l_ in rows:
+        wins[w_] += 1
+        nij[frozenset((w_, l_))] += 1
+    items = sorted({x for r in rows for x in r})
+    p = {i: 1.0 for i in items}
+    for _ in range(12):  # SAME synchronous schedule as the operator
+        p = {
+            i: (wins[i] + 0.5)
+            / (
+                sum(
+                    nij[frozenset((i, j))] / (p[i] + p[j])
+                    for j in items
+                    if j != i and nij[frozenset((i, j))]
+                )
+                + 1.0 / (p[i] + 1.0)
+            )
+            for i in items
+        }
+    for i in items:
+        assert abs(got[i].rating - p[i]) / p[i] < 1e-4, (i, got[i].rating, p[i])
+
+    # bit-determinism: identical p_fp under repartitioning
+    again = {
+        r.item: r.p_fp
+        for r in bradley_terry_ratings(
+            pairs.repartition(7), iterations=12
+        ).collect()
+    }
+    assert again == {k: v.p_fp for k, v in got.items()}
+
+
+def test_bradley_terry_staged_equals_single_run(spark):
+    """init_ratings warm-start: 6+6 staged rounds equal one 12-round
+    run BIT-EXACTLY — the incremental re-rating path."""
+    from kbdatalakeapps_spark.operators.mleval import bradley_terry_ratings
+
+    rows = [("A", "B")] * 7 + [("B", "A")] * 3 + [("B", "C")] * 6
+    pairs = spark.createDataFrame(rows, "winner string, loser string")
+    one = {r.item: r.p_fp
+           for r in bradley_terry_ratings(pairs, iterations=12).collect()}
+    stage1 = bradley_terry_ratings(pairs, iterations=6).localCheckpoint()
+    two = {
+        r.item: r.p_fp
+        for r in bradley_terry_ratings(
+            pairs, iterations=6, init_ratings=stage1
+        ).collect()
+    }
+    assert one == two
