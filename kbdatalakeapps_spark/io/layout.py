@@ -835,6 +835,43 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
     }
 
 
+def table_history(spark, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for a manifest-versioned table: one row per
+    retained version — (version, op, committed_at, n_files, n_rows,
+    n_deletion_vectors, txn json) newest first.  Manifest reads only
+    (O(KB) per version), no data touched; the audit surface
+    restore_version / expire_versions decisions read from."""
+    import json
+    import os
+
+    mdir = os.path.join(table_dir, "_manifests")
+    rows = []
+    for f in sorted(os.listdir(mdir)):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, f)) as fh:
+            m = json.load(fh)
+        n_rows = sum(
+            s.get("_rows", 0) for s in m.get("stats", {}).values()
+        ) or None
+        rows.append(
+            (
+                m["version"],
+                m.get("op"),
+                float(m.get("committed_at", 0.0)),
+                len(m.get("files", [])),
+                n_rows,
+                len(m.get("deletes", [])),
+                json.dumps(m["txn"]) if m.get("txn") else None,
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: -r[0]),
+        "version long, op string, committed_at double, n_files long, "
+        "n_rows long, n_deletion_vectors long, txn string",
+    )
+
+
 def restore_version(table_dir: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION — roll the table back to an older
     snapshot as a NEW commit (history is preserved; nothing is

@@ -1983,3 +1983,30 @@ def test_shallow_clone_zero_copy_and_independence(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already a versioned table"):
         shallow_clone(src, dst)
+
+
+def test_table_history_describe(spark, tmp_path):
+    from kbdatalakeapps_spark.io.layout import (
+        delete_where,
+        optimize_table,
+        restore_version,
+        table_history,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "hist")
+    versioned_write(spark.range(0, 30).repartition(2).toDF("id"), t)
+    versioned_write(spark.range(30, 40).repartition(1).toDF("id"), t)
+    delete_where(spark, t, "id < 5")
+    optimize_table(spark, t)
+    restore_version(t, 2)
+    h = table_history(spark, t).collect()
+    assert [r.version for r in h] == [5, 4, 3, 2, 1]
+    assert [r.op for r in h] == [
+        "restore", "optimize", "delete", "append", "append",
+    ]
+    assert h[0].txn is not None and "restored_from" in h[0].txn
+    assert h[2].n_deletion_vectors == 1 and h[4].n_deletion_vectors == 0
+    assert h[4].n_files == 2 and h[3].n_files == 3
+    # row accounting from manifest stats, no data scan
+    assert h[4].n_rows == 30 and h[3].n_rows == 40

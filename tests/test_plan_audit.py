@@ -147,3 +147,67 @@ def test_global_windows_only_on_bounded_frames(plans):
         f"unpartitioned Window over a possibly data-sized frame in: "
         f"{bad} — bound the frame or use the two-phase prefix-sum form"
     )
+
+
+def test_new_round6_operators_are_scale_safe(spark):
+    """The round-6 operator additions pass the same three-detector
+    linter the registry is held to, with exchange counts pinned so a
+    refactor that doubles the shuffles fails loudly."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.classifier import (
+        classify_text_quality,
+        hashed_features,
+        train_hashed_classifier,
+    )
+    from kbdatalakeapps_spark.operators.mleval import bradley_terry_ratings
+    from kbdatalakeapps_spark.operators.similarity import margin_bitext_pairs
+    from kbdatalakeapps_spark.operators.web import frontier_schedule
+    from kbdatalakeapps_spark.plans.audit import (
+        assert_scale_safe,
+        audit_plan,
+        exchange_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} body") for i in range(60)],
+        "id long, text string",
+    )
+    feats = hashed_features(docs, dim=1 << 10)
+    assert_scale_safe(feats)
+    assert exchange_count(feats) <= 1  # one groupBy(id, bucket)
+
+    w, b = train_hashed_classifier(
+        feats, docs.select("id", (F.col("id") % 2).alias("label")), steps=2
+    )
+    scored = classify_text_quality(docs, w, b, dim=1 << 10)
+    # bias/sigma(bias) ride in as 1-row broadcast scalars (the
+    # documented scalar-cap nested loop); no cartesian, no global
+    # window anywhere
+    kinds = {f.kind for f in audit_plan(scored, allow_nested_loop=True)}
+    assert kinds == set()
+
+    pairs = spark.createDataFrame(
+        [("A", "B")] * 3 + [("B", "C")] * 2, "winner string, loser string"
+    )
+    ratings = bradley_terry_ratings(pairs, iterations=2)
+    kinds = {f.kind for f in audit_plan(ratings, allow_nested_loop=True)}
+    assert kinds == set()  # scalar N-row broadcasts only
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * j) % 5) + 1.0 for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    mined = margin_bitext_pairs(vecs, vecs, k=2, strategy="mutual")
+    # the shard crossJoin is the operator's documented contract
+    # (broadcast target side); windows are per-id, never global
+    kinds = {f.kind for f in audit_plan(mined, allow_nested_loop=True)}
+    assert kinds == set()
+
+    sched = frontier_schedule(
+        spark.createDataFrame(
+            [(f"https://h{i % 3}.x/p{i}",) for i in range(20)], "url string"
+        )
+    )
+    assert_scale_safe(sched)
+    assert exchange_count(sched) <= 1  # the one host shuffle
