@@ -583,3 +583,116 @@ def bradley_terry_ratings(
             "games",
         )
     )
+
+
+def pass_at_k(
+    samples: DataFrame,
+    task_col: str = "task_id",
+    correct_col: str = "correct",
+    k: int = 1,
+) -> DataFrame:
+    """Unbiased pass@k over an eval-sample table (Chen et al. 2021,
+    the HumanEval estimator): per task with n samples and c correct,
+
+        pass@k = 1 − C(n−c, k) / C(n, k)
+               = 1 − Π_{i=0..k−1} (n−c−i) / (n−i)
+
+    computed as ONE native fold over ``sequence(0, k−1)`` — exact
+    integer operands, a single fixed IEEE product tree, no UDF and no
+    factorial overflow (the product form never materializes a
+    binomial).  Tasks with fewer than k samples report NULL (the
+    estimator is undefined there — surfacing that beats silently
+    clamping); n−c < k short-circuits to 1.0.
+
+    One map-side-combinable groupBy(task); the result is |tasks| rows
+    — join-back ready for per-suite aggregation."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    g = samples.groupBy(F.col(task_col).alias("task_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(correct_col).cast("long")).alias("c"),
+    )
+    fail_prob = F.aggregate(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(1.0),
+        lambda acc, i: acc
+        * (
+            (F.col("n") - F.col("c") - i).cast("double")
+            / (F.col("n") - i).cast("double")
+        ),
+    )
+    return g.select(
+        "task_id",
+        "n",
+        "c",
+        F.when(F.col("n") < k, F.lit(None).cast("double"))
+        .when(F.col("n") - F.col("c") < k, F.lit(1.0))
+        .otherwise(F.lit(1.0) - fail_prob)
+        .alias(f"pass_at_{k}"),
+    )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "prediction",
+) -> DataFrame:
+    """Multi-class precision/recall/F1 — the A6 confusion matrix
+    rolled up per class (one-vs-rest): tp/fp/fn as exact counts from
+    a single (label, pred) groupBy, ratios as single fixed division
+    trees; classes appearing only in labels or only in predictions
+    still get a row (full outer on the margins).  Macro/micro
+    averages are one tiny aggregate for the caller — emitting them as
+    rows would break the one-row-per-class shape.
+
+    One corpus shuffle (the pair groupBy); everything after runs on
+    the #classes-sized frame."""
+    pairs = (
+        df.groupBy(
+            F.col(label_col).alias("_y"), F.col(pred_col).alias("_p")
+        ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ).localCheckpoint(eager=False)
+    tp = (
+        pairs.filter(F.col("_y") == F.col("_p"))
+        .select(F.col("_y").alias("class"), F.col("_n").alias("tp"))
+    )
+    support = pairs.groupBy(F.col("_y").alias("class")).agg(
+        F.sum("_n").alias("support")
+    )
+    predicted = pairs.groupBy(F.col("_p").alias("class")).agg(
+        F.sum("_n").alias("predicted")
+    )
+    base = (
+        support.join(predicted, "class", "full")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+        )
+    )
+    prec = F.when(
+        F.col("predicted") > 0,
+        F.col("tp").cast("double") / F.col("predicted").cast("double"),
+    )
+    rec = F.when(
+        F.col("support") > 0,
+        F.col("tp").cast("double") / F.col("support").cast("double"),
+    )
+    f1 = F.when(
+        (F.col("predicted") + F.col("support")) > 0,
+        F.lit(2.0)
+        * F.col("tp").cast("double")
+        / (F.col("predicted") + F.col("support")).cast("double"),
+    )
+    return base.select(
+        "class",
+        "tp",
+        (F.col("predicted") - F.col("tp")).alias("fp"),
+        (F.col("support") - F.col("tp")).alias("fn"),
+        "support",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -466,3 +466,70 @@ def test_bradley_terry_staged_equals_single_run(spark):
         ).collect()
     }
     assert one == two
+
+
+def test_pass_at_k_matches_combinatorial_reference(spark):
+    from math import comb
+
+    from kbdatalakeapps_spark.operators.mleval import pass_at_k
+
+    # t1: 10 samples 3 correct; t2: 10/0; t3: 10/10; t4: 2 samples
+    # (under k=5 -> NULL); t5: n-c < k -> exactly 1.0
+    rows = (
+        [("t1", i < 3) for i in range(10)]
+        + [("t2", False) for _ in range(10)]
+        + [("t3", True) for _ in range(10)]
+        + [("t4", True), ("t4", False)]
+        + [("t5", i < 7) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "task_id string, correct boolean")
+    for k in (1, 5):
+        got = {r.task_id: r[f"pass_at_{k}"]
+               for r in pass_at_k(df, k=k).collect()}
+        def ref(n, c):
+            if n < k:
+                return None
+            if n - c < k:
+                return 1.0
+            return 1.0 - comb(n - c, k) / comb(n, k)
+        expect = {"t1": ref(10, 3), "t2": ref(10, 0), "t3": ref(10, 10),
+                  "t4": ref(2, 1), "t5": ref(10, 7)}
+        for t, e in expect.items():
+            if e is None:
+                assert got[t] is None, (k, t)
+            else:
+                assert abs(got[t] - e) < 1e-12, (k, t, got[t], e)
+    # plan stays native (no Python nodes)
+    plan = pass_at_k(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_classification_report_vs_reference(spark):
+    from kbdatalakeapps_spark.operators.mleval import classification_report
+
+    rows = (
+        [("a", "a")] * 8 + [("a", "b")] * 2          # a: tp8 fn2
+        + [("b", "b")] * 5 + [("b", "c")] * 5        # b: tp5 fn5, fp from a
+        + [("c", "a")] * 1                           # c never predicted right
+        + [("d", "d")] * 3                           # d perfect
+    )
+    df = spark.createDataFrame(rows, "label string, prediction string")
+    got = {r["class"]: r for r in classification_report(df).collect()}
+    assert got["a"].tp == 8 and got["a"].fn == 2 and got["a"].fp == 1
+    assert abs(got["a"].precision - 8 / 9) < 1e-12
+    assert abs(got["a"].recall - 0.8) < 1e-12
+    assert abs(got["a"].f1 - 2 * 8 / (9 + 10)) < 1e-12
+    assert got["b"].fp == 2 and got["b"].support == 10
+    # c: appears in labels (support 1) and never correctly predicted;
+    # it IS predicted (wrongly) for b rows -> precision 0.0
+    assert got["c"].tp == 0 and got["c"].support == 1 and got["c"].fp == 5
+    assert got["c"].precision == 0.0 and got["c"].recall == 0.0
+    assert got["d"].f1 == 1.0
+    # classes only ever PREDICTED still get a row with support 0 and
+    # NULL recall (undefined), precision counted
+    df2 = df.unionByName(
+        spark.createDataFrame([("a", "zzz")], "label string, prediction string")
+    )
+    got2 = {r["class"]: r for r in classification_report(df2).collect()}
+    assert got2["zzz"].support == 0 and got2["zzz"].recall is None
+    assert got2["zzz"].precision == 0.0
