@@ -1,0 +1,126 @@
+"""Capstone: the post-training PREFERENCE-data pipeline composed
+end to end from engine operators — the RLHF twin of
+test_e2e_pretrain's pretrain loop:
+
+    raw preference pairs (model_a vs model_b verdicts)
+      → preference_stats gate (same-prompt / responses-differ /
+        length-bias audit)
+      → Bradley-Terry model ratings over the SURVIVING pairs
+      → rating-gap join-back: each pair annotated with the strength
+        gap its verdict implies
+      → data card over the kept corpus
+
+The load-bearing property, as in the pretrain capstone, is
+whole-pipeline determinism: identical ratings and kept-pair sets
+after input repartitioning (BT is fixed-point integer, the gate is
+pure exprs)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.operators.chat import (
+    parse_conversations,
+    preference_stats,
+)
+from kbdatalakeapps_spark.operators.mleval import bradley_terry_ratings
+
+
+def _pairs(spark, n=60):
+    """Synthetic arena log: models m0 > m1 > m2 by construction —
+    higher-ranked models win 80% of their matches; a few malformed
+    pairs (same response / prompt mismatch) that the gate must drop."""
+    rows = []
+    for i in range(n):
+        a, b = f"m{i % 3}", f"m{(i + 1) % 3}"
+        # deterministic 80/20: ranks decide, every 5th upsets
+        a_rank, b_rank = int(a[1]), int(b[1])
+        winner, loser = (a, b) if a_rank < b_rank else (b, a)
+        if i % 5 == 0:
+            winner, loser = loser, winner
+        prompt = f"Question {i % 7}?"
+        chosen = json.dumps([
+            {"role": "user", "content": prompt},
+            {"role": "assistant", "content": f"{winner} answer {i}"},
+        ])
+        rejected = json.dumps([
+            {"role": "user", "content": prompt},
+            {"role": "assistant", "content": f"{loser} answer {i} (worse)"},
+        ])
+        rows.append((i, winner, loser, chosen, rejected))
+    # malformed: identical responses (no signal)
+    same = json.dumps([
+        {"role": "user", "content": "Q"},
+        {"role": "assistant", "content": "identical"},
+    ])
+    rows.append((1000, "m0", "m1", same, same))
+    # malformed: prompt mismatch
+    rows.append((
+        1001, "m0", "m2",
+        json.dumps([{"role": "user", "content": "Q1"},
+                    {"role": "assistant", "content": "x"}]),
+        json.dumps([{"role": "user", "content": "DIFFERENT"},
+                    {"role": "assistant", "content": "y"}]),
+    ))
+    return spark.createDataFrame(
+        rows,
+        "pair_id long, winner string, loser string, "
+        "chosen_json string, rejected_json string",
+    )
+
+
+def _run(pairs_df):
+    parsed = parse_conversations(
+        pairs_df, json_col="chosen_json", out_col="chosen"
+    )
+    parsed = parse_conversations(
+        parsed, json_col="rejected_json", out_col="rejected"
+    )
+    gated = preference_stats(parsed).filter("pair_ok")
+    ratings = bradley_terry_ratings(
+        gated.select("winner", "loser"), iterations=8
+    )
+    w = ratings.select(
+        F.col("item").alias("winner"), F.col("p_fp").alias("win_fp"),
+        F.col("rating").alias("winner_rating"),
+    )
+    l = ratings.select(
+        F.col("item").alias("loser"), F.col("p_fp").alias("lose_fp"),
+        F.col("rating").alias("loser_rating"),
+    )
+    annotated = (
+        gated.join(w, "winner").join(l, "loser")
+        .withColumn(
+            "rating_gap", F.col("winner_rating") - F.col("loser_rating")
+        )
+    )
+    return gated, ratings, annotated
+
+
+def test_preference_pipeline_end_to_end(spark):
+    pairs = _pairs(spark)
+    gated, ratings, annotated = _run(pairs)
+
+    # the gate drops exactly the two malformed pairs
+    kept = {r.pair_id for r in gated.select("pair_id").collect()}
+    assert 1000 not in kept and 1001 not in kept and len(kept) == 60
+
+    # BT recovers the constructed hierarchy m0 > m1 > m2
+    r = {x.item: x.rating for x in ratings.collect()}
+    assert r["m0"] > r["m1"] > r["m2"]
+
+    # every kept pair carries the gap its verdict implies; the mean
+    # gap is positive (winners are stronger on average by design)
+    gaps = [x.rating_gap for x in annotated.select("rating_gap").collect()]
+    assert len(gaps) == 60
+    assert sum(gaps) / len(gaps) > 0
+
+    # whole-pipeline determinism under repartitioning: identical
+    # integer ratings AND identical kept-pair set
+    gated2, ratings2, _ = _run(pairs.repartition(11))
+    assert {x.item: x.p_fp for x in ratings2.collect()} == {
+        x.item: x.p_fp for x in ratings.collect()
+    }
+    assert {r.pair_id for r in gated2.select("pair_id").collect()} == kept
