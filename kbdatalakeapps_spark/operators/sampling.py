@@ -625,3 +625,143 @@ def leakage_safe_split(
     return hash_split(keyed, "_split_key", fractions, salt, split_col).drop(
         "_split_key"
     )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e^{-1}/k! partial
+#: sums, frozen literals — exp/factorial at runtime would not be
+#: bit-portable): u < _POISSON1_CDF[k] → weight k.  Tail capped at 9
+#: (P ≈ 1e-6; the bootstrap is insensitive to the cap).
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988747974021,
+)
+
+
+def _poisson1_weight(u: Column) -> Column:
+    """Deterministic Poisson(1) draw from a uniform ``u`` — a chained
+    CASE over the frozen CDF literals."""
+    expr = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr.cast("long")
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    replicates: int = 200,
+    alpha: float = 0.05,
+    fp_scale: int = 10**6,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the per-group mean
+    — the honest error bar an eval report needs, at corpus scale.
+
+    Classic resampling needs n draws WITH replacement per replicate —
+    impossible to coordinate distributed.  The POISSON BOOTSTRAP
+    (Chamandy et al., Google 2012) replaces the multinomial with an
+    independent Poisson(1) weight per (row, replicate), which is
+    exactly computable row-locally: here the uniform comes from
+    ``md5(key‖replicate‖salt)`` so every weight is CONTENT-KEYED —
+    the same replicate resamples identically at any partitioning, any
+    engine, any day (the repo's A-Res/hash-split discipline), and the
+    whole CI is reproducible bit-for-bit.
+
+    Replicate means accumulate as integer fixed point
+    (``Σ w·floor(x·fp_scale)`` / ``Σ w``) — exact sums, ONE IEEE
+    division per (group, replicate).  The percentile pick is the
+    exact-rank convention floor(q·(B−1)) on the B-row-per-group
+    replicate frame — a BOUNDED window (B rows per group), never a
+    data-sized sort.
+
+    Cost: one exploded pass of ``replicates × |df|`` rows into a
+    map-side-combinable groupBy — the inherent bootstrap price; at
+    100 TB run it over the eval slice (|eval| ≪ corpus), not the raw
+    corpus, and size ``replicates`` to the precision you report.
+
+    Returns one row per group: mean (observed), lo, hi, n,
+    replicates."""
+    if replicates < 2:
+        raise ValueError("replicates must be >= 2")
+    groups = list(group_cols or [])
+    x_fp = F.floor(F.col(value_col) * F.lit(float(fp_scale))).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, F.col(key_col).alias("_k"), x_fp.alias("_x")
+    )
+    # observed mean: exact fixed-point sum, one division
+    obs = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("_x").cast("double")
+            / F.lit(float(fp_scale))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean"),
+    )
+    rep = base.select(
+        *groups,
+        "_k",
+        "_x",
+        F.explode(F.sequence(F.lit(1), F.lit(replicates))).alias("_r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("_k").cast("string"),
+                        F.lit("|"),
+                        F.col("_r").cast("string"),
+                        F.lit("|"),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = _poisson1_weight(u)
+    per_rep = (
+        rep.select(*groups, "_r", (w * F.col("_x")).alias("_wx"), w.alias("_w"))
+        .groupBy(*groups, "_r")
+        .agg(F.sum("_wx").alias("_swx"), F.sum("_w").alias("_sw"))
+        .filter(F.col("_sw") > 0)  # an all-zero-weight replicate has no mean
+        .select(
+            *groups,
+            "_r",
+            (
+                F.col("_swx").cast("double")
+                / F.lit(float(fp_scale))
+                / F.col("_sw").cast("double")
+            ).alias("_m"),
+        )
+    )
+    wq = Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
+    ranked = per_rep.withColumn(
+        "_rk", F.row_number().over(wq.orderBy(F.col("_m").asc(), F.col("_r").asc()))
+    ).withColumn("_b", F.count(F.lit(1)).over(wq))
+    lo_rk = F.floor(F.lit(alpha / 2.0) * (F.col("_b") - 1)).cast("long") + 1
+    hi_rk = F.floor(F.lit(1.0 - alpha / 2.0) * (F.col("_b") - 1)).cast("long") + 1
+    ci = (
+        ranked.filter((F.col("_rk") == lo_rk) | (F.col("_rk") == hi_rk))
+        .groupBy(*groups)
+        .agg(
+            F.min("_m").alias("lo"),
+            F.max("_m").alias("hi"),
+            F.max("_b").cast("long").alias("replicates"),
+        )
+    )
+    return obs.join(ci, groups) if groups else obs.crossJoin(F.broadcast(ci))

@@ -415,3 +415,43 @@ def test_leakage_safe_split(spark):
     for i in range(200):
         if i not in dup_ids:
             assert got[i] == plain[i], i
+
+
+def test_bootstrap_mean_ci_coverage_and_determinism(spark):
+    """Poisson-bootstrap CI (Chamandy et al.): the interval brackets
+    the true mean on a well-behaved fixture, narrows with sample
+    size, is bit-reproducible under repartitioning (content-keyed
+    weights), and the observed mean is the exact fixed-point mean."""
+    from kbdatalakeapps_spark.operators.sampling import bootstrap_mean_ci
+
+    rows = [(g, i, float(10 * (ord(g) - 96) + (i * 7) % 13))
+            for g in ("a", "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, k long, v double")
+
+    out = {r.grp: r for r in bootstrap_mean_ci(
+        df, "v", "k", ["grp"], replicates=120
+    ).collect()}
+    for g in ("a", "b"):
+        true_mean = sum(v for gg, _, v in rows if gg == g) / 400
+        assert abs(out[g].mean - true_mean) < 1e-6
+        assert out[g].lo <= true_mean <= out[g].hi, (g, out[g])
+        assert out[g].hi - out[g].lo < 2.0  # sane width for n=400
+        assert out[g].n == 400 and out[g].replicates == 120
+
+    # width shrinks roughly like 1/sqrt(n): n=100 interval is wider
+    small = bootstrap_mean_ci(
+        df.filter("k < 100"), "v", "k", ["grp"], replicates=120
+    ).collect()
+    wide = {r.grp: r.hi - r.lo for r in small}
+    assert all(wide[g] > (out[g].hi - out[g].lo) for g in ("a", "b"))
+
+    # bit determinism: identical lo/hi after repartitioning
+    again = {r.grp: r for r in bootstrap_mean_ci(
+        df.repartition(17), "v", "k", ["grp"], replicates=120
+    ).collect()}
+    for g in ("a", "b"):
+        assert (again[g].lo, again[g].hi) == (out[g].lo, out[g].hi)
+
+    # ungrouped form returns one row
+    one = bootstrap_mean_ci(df, "v", "k", replicates=60).collect()
+    assert len(one) == 1 and one[0].lo <= one[0].mean <= one[0].hi
