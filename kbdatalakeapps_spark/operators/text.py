@@ -1204,3 +1204,107 @@ def chunk_by_sentences(
         )
         .withColumnRenamed("chunk", "chunk_idx")
     )
+
+
+#: the Gopher rule's required-stopword probe set (Rae et al. 2021,
+#: App. A1.1): a document must contain at least two of these.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, Table A1)
+    as ONE native-expression pass — the same audit shape as
+    quality_filter: every rule's name lands in ``drop_reasons`` and
+    ``keep`` is true iff none fired.  Defaults are the paper's
+    thresholds; every knob is a parameter because downstream corpora
+    retune them (Dolma/FineWeb both ship variants).
+
+    Rules: word count ∈ [50, 100k]; mean word length ∈ [3, 10];
+    symbol-to-word ratio (# and …) ≤ 0.1; ≤ 90% of lines bullet-led;
+    ≤ 30% of lines ellipsis-ended; ≥ 80% of words contain an
+    alphabetic character; ≥ 2 of the eight required English stop
+    words.  One scan, no shuffle, codegen end-to-end; NULL text drops
+    with reason ``null_text``."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    joined = F.regexp_replace(c, r"\s+", "")
+    mean_wl = F.when(
+        n_words > 0, F.length(joined).cast("double") / n_words.cast("double")
+    )
+    n_symbols = (
+        F.length(c) - F.length(F.regexp_replace(c, r"[#…]", ""))
+        # the three-dot ellipsis counts as ONE symbol occurrence
+        + F.size(F.split(c, r"\.\.\.", -1)) - 1
+    )
+    sym_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+    )
+    lines = F.filter(
+        F.split(c, r"\n", -1), lambda l: F.trim(l) != ""
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^\s*([••\-\*●])"))
+        ).cast("double")
+        / n_lines.cast("double"),
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("double")
+        / n_lines.cast("double"),
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike(r"[a-z]"))).cast("double")
+        / n_words.cast("double"),
+    )
+    req = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    rules = [
+        ("null_text", c.isNull()),
+        ("too_few_words", c.isNotNull() & (n_words < min_words)),
+        ("too_many_words", n_words > max_words),
+        ("mean_word_len", (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)),
+        ("symbol_ratio", sym_ratio > max_symbol_word_ratio),
+        ("bullet_lines", bullet_frac > max_bullet_line_frac),
+        ("ellipsis_lines", ellipsis_frac > max_ellipsis_line_frac),
+        ("alpha_words", alpha_frac < min_alpha_word_frac),
+        ("stopwords", c.isNotNull() & (req < min_required_stopwords)),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return df.withColumns(
+        {
+            "gopher_n_words": n_words,
+            "gopher_mean_word_len": F.round(mean_wl, 6),
+            "gopher_symbol_ratio": F.round(sym_ratio, 6),
+            "gopher_bullet_frac": F.round(bullet_frac, 6),
+            "gopher_ellipsis_frac": F.round(ellipsis_frac, 6),
+            "gopher_alpha_frac": F.round(alpha_frac, 6),
+            "gopher_stopword_hits": req,
+            "drop_reasons": reasons,
+            "keep": reasons == F.lit(""),
+        }
+    )

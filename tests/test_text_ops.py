@@ -314,3 +314,48 @@ def test_bigram_collocations_counts(spark):
     }
     # "new york" appears 3×; unigrams: new=4, york=4
     assert out[("new", "york")] == (3, 4, 4)
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each published Gopher rule fires on a crafted offender and a
+    clean document passes all; reasons are auditable by name."""
+    from kbdatalakeapps_spark.operators.text import gopher_quality_filter
+
+    clean = (
+        "The quick brown fox jumped over the lazy dog and ran away "
+        "to be with that other fox of the forest which have settled "
+        "there with many friends. " * 3
+    )
+    rows = [
+        (1, clean),
+        (2, "too short to be kept the and of"),              # < 50 words
+        (3, " ".join(["supercalifragilistic"] * 60)
+            + " the of and be to that have with"),           # mean len > 10
+        (4, clean + " " + "# " * 40),                        # symbol ratio
+        (5, "\n".join(["• bullet line the of and"] * 10)
+            + "\nplain the of and " + "pad " * 60),          # bullets > 90%? 10/11
+        (6, "\n".join([f"line {i} the of and trails off..." for i in range(10)])
+            + "\n" + "pad the of and " * 20),                # ellipsis > 30%
+        (7, clean + " " + "1234 5678 " * 60),                # alpha frac < 0.8
+        (8, " ".join(["word"] * 80)),                        # no stopwords
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in gopher_quality_filter(df).collect()}
+    assert out[1].keep and out[1].drop_reasons == ""
+    assert "too_few_words" in out[2].drop_reasons
+    assert "mean_word_len" in out[3].drop_reasons
+    assert "symbol_ratio" in out[4].drop_reasons
+    assert "bullet_lines" in out[5].drop_reasons
+    assert "ellipsis_lines" in out[6].drop_reasons
+    assert "alpha_words" in out[7].drop_reasons
+    assert "stopwords" in out[8].drop_reasons
+    assert out[9].drop_reasons == "null_text" and out[9].keep is False
+    # signal columns are there for the audit report
+    assert out[1].gopher_stopword_hits >= 2
+    assert out[5].gopher_bullet_frac > 0.9
+    # plan stays native
+    plan = (
+        gopher_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan and "InPandas" not in plan
