@@ -128,3 +128,71 @@ def exchange_count(df: DataFrame) -> int:
     # count each node ONCE via its detail header "(N) Exchange" — the
     # tree section repeats every node and would double the count
     return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE))
+
+
+def explain_scale_report(df: DataFrame, **allow) -> dict:
+    """One-call 100 TB readiness report for a plan — the pre-flight a
+    pipeline author runs before submitting against real data.  Pure
+    plan inspection (nothing executes):
+
+    - ``findings``: the three scale-killer detectors (audit_plan);
+    - ``exchanges``: shuffle-boundary count;
+    - ``python_nodes``: Arrow/row Python boundaries in the plan —
+      each names a stage whole-stage codegen cannot cross;
+    - ``scans``: per file scan, the format, the columns actually READ
+      (``ReadSchema`` — a scan reading 40 columns for a 2-column
+      projection means pruning is broken) and the filters PUSHED to
+      the reader (``PushedFilters`` — empty when a filter you wrote
+      runs post-scan);
+    - ``broadcasts`` / ``sort_merge_joins`` / ``shuffled_hash_joins``:
+      join-strategy census, the first thing to check when a small dim
+      lost its broadcast.
+
+    Returns a plain dict (JSON-ready for CI artifacts)."""
+    import re
+
+    plan = formatted_plan(df)
+    findings = audit_plan(df, **allow)
+    python_nodes = sorted(
+        {
+            m
+            for m in re.findall(
+                r"\b(ArrowEvalPython|BatchEvalPython|MapInPandas|"
+                r"FlatMapGroupsInPandas|FlatMapGroupsInPandasWithState|"
+                r"MapInArrow)\b",
+                plan,
+            )
+        }
+    )
+    scans = []
+    # detail blocks: "(N) Scan parquet ..." followed by key: value lines
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        head = block.splitlines()[0] if block else ""
+        m = re.match(r"\(\d+\) Scan (\S+)", head.strip())
+        if not m:
+            continue
+        fmt = m.group(1)
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        cols = (
+            [c.split(":")[0].strip() for c in rs.group(1).split(",") if c]
+            if rs
+            else []
+        )
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        pushed = (
+            [p.strip() for p in pf.group(1).split(",") if p.strip()]
+            if pf
+            else []
+        )
+        scans.append(
+            {"format": fmt, "read_columns": cols, "pushed_filters": pushed}
+        )
+    return {
+        "findings": [{"kind": f.kind, "detail": f.detail} for f in findings],
+        "exchanges": exchange_count(df),
+        "python_nodes": python_nodes,
+        "scans": scans,
+        "broadcasts": len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)),
+        "sort_merge_joins": len(re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)),
+        "shuffled_hash_joins": len(re.findall(r"^\(\d+\) ShuffledHashJoin", plan, re.M)),
+    }

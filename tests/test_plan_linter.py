@@ -108,3 +108,46 @@ def test_join_size_estimate_flags_skew(spark):
     # exactly why the skew probe exists
     true_rows = a.join(a.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")).count()
     assert true_rows > 10 * est["est_rows"]
+
+
+def test_explain_scale_report(spark, tmp_path, sf_dir):
+    """The pre-flight report surfaces pushdown, pruning, joins, and
+    Python boundaries from plan inspection alone."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.plans.audit import explain_scale_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ord_ = load_table(spark, sf_dir, "orders")
+    q = (
+        li.filter(F.col("l_quantity") > 40)
+        .join(F.broadcast(ord_.select("o_orderkey", "o_orderstatus")),
+              li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("l_extendedprice").alias("s"))
+    )
+    rep = explain_scale_report(q)
+    assert rep["findings"] == []
+    assert rep["python_nodes"] == []
+    assert rep["broadcasts"] >= 1
+    li_scan = next(
+        s for s in rep["scans"]
+        if any(c.startswith("l_") for c in s["read_columns"])
+    )
+    # column pruning: only the referenced lineitem columns are read
+    assert set(li_scan["read_columns"]) == {
+        "l_quantity", "l_orderkey", "l_extendedprice"
+    }
+    # the filter reached the parquet reader
+    assert any("l_quantity" in f for f in li_scan["pushed_filters"])
+    assert rep["exchanges"] >= 1  # the groupBy shuffle
+
+    # python boundaries are named
+    def ident(it):
+        for pdf in it:
+            yield pdf
+
+    py = li.select("l_orderkey").mapInPandas(ident, "l_orderkey long")
+    rep2 = explain_scale_report(py)
+    assert rep2["python_nodes"] == ["MapInPandas"]
