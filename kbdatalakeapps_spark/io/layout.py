@@ -1347,3 +1347,38 @@ def snapshot_row_count(
             return None
         total += rows
     return total - _dv_row_count(manifest.get("deletes", []))
+
+
+def schema_diff(table_dir: str, from_version: int, to_version: int) -> dict:
+    """Schema drift between two retained versions — what an
+    append-mode evolution actually changed: ``added`` / ``removed``
+    column names and ``retyped`` {col: (old_type, new_type)}.
+    Manifest reads only; raises on versions outside retained history
+    (the table_changes contract).  Pair with table_history to audit
+    WHEN a producer started shipping a new column."""
+    import json
+    import os
+
+    mdir = os.path.join(table_dir, "_manifests")
+
+    def fields(v: int) -> dict[str, str]:
+        p = os.path.join(mdir, f"v{v}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"version {v} is not in retained history")
+        with open(p) as fh:
+            sch = json.load(fh).get("schema") or {}
+        return {
+            f["name"]: json.dumps(f["type"], sort_keys=True)
+            for f in sch.get("fields", [])
+        }
+
+    a, b = fields(from_version), fields(to_version)
+    return {
+        "added": sorted(set(b) - set(a)),
+        "removed": sorted(set(a) - set(b)),
+        "retyped": {
+            k: (json.loads(a[k]), json.loads(b[k]))
+            for k in sorted(set(a) & set(b))
+            if a[k] != b[k]
+        },
+    }

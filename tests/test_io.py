@@ -2010,3 +2010,37 @@ def test_table_history_describe(spark, tmp_path):
     assert h[4].n_files == 2 and h[3].n_files == 3
     # row accounting from manifest stats, no data scan
     assert h[4].n_rows == 30 and h[3].n_rows == 40
+
+
+def test_schema_diff_between_versions(spark, tmp_path):
+    import pytest as _pytest
+
+    from kbdatalakeapps_spark.io.layout import schema_diff, versioned_write
+
+    t = str(tmp_path / "sdrift")
+    versioned_write(
+        spark.range(3).selectExpr("id", "CAST(id AS STRING) AS tag"), t
+    )  # v1: id, tag
+    versioned_write(
+        spark.range(3).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS score"
+        ),
+        t,
+    )  # v2 append: + score (tag carried by evolution)
+    d = schema_diff(t, 1, 2)
+    assert d == {"added": ["score"], "removed": [], "retyped": {}}
+    # reverse direction reports the removal
+    d2 = schema_diff(t, 2, 1)
+    assert d2["removed"] == ["score"] and d2["added"] == []
+    # overwrite with a retype shows up as retyped
+    versioned_write(
+        spark.range(3).selectExpr(
+            "id", "CAST(id AS STRING) AS tag", "CAST(id AS STRING) AS score"
+        ),
+        t,
+        mode="overwrite",
+    )  # v3
+    d3 = schema_diff(t, 2, 3)
+    assert d3["retyped"].get("score") == ("double", "string")
+    with _pytest.raises(ValueError, match="retained history"):
+        schema_diff(t, 1, 99)
