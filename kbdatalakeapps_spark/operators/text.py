@@ -1308,3 +1308,120 @@ def gopher_quality_filter(
             "keep": reasons == F.lit(""),
         }
     )
+
+
+def kneser_ney_bigram_model(
+    counts: DataFrame,
+    discount_num: int = 3,
+    discount_den: int = 4,
+) -> DataFrame:
+    """Interpolated Kneser-Ney statistics over ``bigram_model``
+    counts — the smoothing KenLM ships and CCNet-style perplexity
+    filters actually use (add-one systematically over-penalizes rare
+    continuations; KN backs off to "how many contexts does this word
+    follow", the continuation count).
+
+        p_KN(w|c) = max(cnt−D, 0)/cnt(c) + λ(c)·p_cont(w)
+        λ(c)      = D·N1+(c,•)/cnt(c)        (the discount mass)
+        p_cont(w) = N1+(•,w)/|bigram types|
+
+    ``D = discount_num/discount_den`` stays rational so every derived
+    number is one fixed IEEE expression over exact integer counts
+    (the house portability contract); the default 3/4 is the standard
+    fixed discount.
+
+    Input: (prev, word, c).  Output: the same rows enriched with
+    c_ctx, n1plus_ctx (distinct continuations of the context),
+    cont_w (distinct contexts preceding the word) and total_types —
+    everything ``perplexity_score_kn`` needs without re-aggregating
+    the corpus at scoring time.  Three map-side-combinable aggregates
+    + one broadcast scalar; O(bigram types) output."""
+    ctx = counts.groupBy("prev").agg(
+        F.sum("c").alias("c_ctx"),
+        F.count(F.lit(1)).alias("n1plus_ctx"),
+    )
+    wcont = counts.groupBy("word").agg(F.count(F.lit(1)).alias("cont_w"))
+    total = counts.agg(F.count(F.lit(1)).alias("total_types"))
+    return (
+        counts.join(ctx, "prev")
+        .join(wcont, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prev", "word", "c", "c_ctx", "n1plus_ctx", "cont_w",
+            "total_types",
+        )
+    )
+
+
+def perplexity_score_kn(
+    df: DataFrame,
+    kn_model: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_num: int = 3,
+    discount_den: int = 4,
+) -> DataFrame:
+    """Per-document perplexity under the interpolated Kneser-Ney
+    bigram model (``kneser_ney_bigram_model`` output).  Backoff
+    ladder, each rung a documented closed form:
+
+      * bigram seen:      max(c−D,0)/c_ctx + λ(prev)·p_cont(w)
+      * prev seen only:   λ(prev)·p_cont(w)
+      * prev unseen:      p_cont(w)          (pure continuation)
+      * word unseen too:  1/vocab_size       (uniform OOV floor)
+
+    Same plan shape as perplexity_score: explode + per-doc lag window
+    + two hash joins against model-derived tables + one aggregate —
+    the model tables are O(types), broadcastable for bounded vocab."""
+    d = discount_num / discount_den
+    ctx = kn_model.groupBy("prev").agg(
+        F.max("c_ctx").alias("c_ctx"), F.max("n1plus_ctx").alias("n1plus_ctx")
+    )
+    wcont = kn_model.groupBy("word").agg(F.max("cont_w").alias("cont_w"))
+    total = kn_model.agg(F.max("total_types").alias("total_types"))
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn(
+        "prev", F.coalesce(F.lag("word").over(w), F.lit("<s>"))
+    )
+    p_cont = F.col("cont_w").cast("double") / F.col("total_types").cast(
+        "double"
+    )
+    lam = (
+        F.lit(d)
+        * F.col("n1plus_ctx").cast("double")
+        / F.col("c_ctx").cast("double")
+    )
+    seen_bigram = (
+        F.greatest(F.col("c").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("c_ctx").cast("double")
+        + lam * p_cont
+    )
+    prob = (
+        F.when(F.col("c").isNotNull(), seen_bigram)
+        .when(
+            F.col("c_ctx").isNotNull() & F.col("cont_w").isNotNull(),
+            lam * p_cont,
+        )
+        .when(F.col("cont_w").isNotNull(), p_cont)
+        .otherwise(F.lit(1.0 / vocab_size))
+    )
+    scored = (
+        pairs.join(
+            kn_model.select("prev", "word", "c"), ["prev", "word"], "left"
+        )
+        .join(ctx, "prev", "left")
+        .join(wcont, "word", "left")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, F.log(prob).alias("logp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.exp(-F.sum("logp") / F.count(F.lit(1))).alias("perplexity"),
+    )

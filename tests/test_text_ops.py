@@ -359,3 +359,71 @@ def test_gopher_quality_filter_rules(spark):
         gopher_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """Interpolated KN bigram: Spark probabilities equal an
+    independent python implementation of the published formulas to
+    1e-12; fluent held-out text scores lower perplexity than
+    gibberish; backoff rungs (seen prev / unseen prev / OOV) all
+    exercised."""
+    import math
+
+    from kbdatalakeapps_spark.operators.text import (
+        bigram_model,
+        kneser_ney_bigram_model,
+        perplexity_score_kn,
+    )
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog ran home"),
+        (4, "the cat ran to the dog"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    counts = bigram_model(df)
+    kn = kneser_ney_bigram_model(counts)
+    V = 64
+
+    # python reference from the raw corpus
+    D = 0.75
+    from collections import Counter, defaultdict
+
+    big = Counter()
+    for _, t in corpus:
+        ws = t.split()
+        for p_, w_ in zip(["<s>"] + ws[:-1], ws):
+            big[(p_, w_)] += 1
+    c_ctx = Counter(); n1p = Counter(); contw = Counter()
+    for (p_, w_), c in big.items():
+        c_ctx[p_] += c; n1p[p_] += 1; contw[w_] += 1
+    T = len(big)
+
+    def p_kn(p_, w_):
+        if (p_, w_) in big:
+            return (max(big[(p_, w_)] - D, 0) / c_ctx[p_]
+                    + D * n1p[p_] / c_ctx[p_] * contw[w_] / T)
+        if p_ in c_ctx and w_ in contw:
+            return D * n1p[p_] / c_ctx[p_] * contw[w_] / T
+        if w_ in contw:
+            return contw[w_] / T
+        return 1.0 / V
+
+    def ppl(text):
+        ws = text.lower().split()
+        lp = sum(math.log(p_kn(p_, w_))
+                 for p_, w_ in zip(["<s>"] + ws[:-1], ws))
+        return math.exp(-lp / len(ws))
+
+    tests = [
+        (10, "the cat sat on the rug"),        # fluent, all rungs seen
+        (11, "rug the on sat zebra cat"),      # scrambled + OOV word
+        (12, "zzz qqq vvv"),                   # pure OOV
+    ]
+    tdf = spark.createDataFrame(tests, "doc_id long, text string")
+    got = {r.doc_id: r.perplexity
+           for r in perplexity_score_kn(tdf, kn, V).collect()}
+    for i, text in tests:
+        assert abs(got[i] - ppl(text)) / ppl(text) < 1e-12, (i, got[i], ppl(text))
+    assert got[10] < got[11] < got[12]
