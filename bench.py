@@ -148,8 +148,28 @@ def _tx_quality_classifier(spark, sf_dir):
     return classify_text_quality(docs, w, b, "text", "doc_id", dim=dim)
 
 
+def _tx_kn_perplexity(spark, sf_dir):
+    # CCNet-style LM quality signal at corpus scale: build the bigram
+    # model + Kneser-Ney statistics over the documents table, then
+    # score every document — explode + per-doc lag window + model
+    # joins, all native exprs
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators.text import (
+        bigram_model,
+        kneser_ney_bigram_model,
+        perplexity_score_kn,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kn = kneser_ney_bigram_model(bigram_model(docs)).localCheckpoint(
+        eager=False
+    )
+    return perplexity_score_kn(docs, kn, vocab_size=1 << 17)
+
+
 _BENCH_OVERRIDES = {
     "tx_quality_classifier": _tx_quality_classifier,
+    "tx_kn_perplexity": _tx_kn_perplexity,
     "tx_chunk_sentences": _tx_chunk_sentences,
     "sim_ivf_topk": sim_ivf_topk_build,
     "dd_dedup_corpus_xxh": _dd_dedup_corpus_xxh,
@@ -235,6 +255,7 @@ BENCH_QUERIES = [
     "tx_chunk_sentences",          # sentence-aware chunk packing (native fold)
     # round-6 additions (appended so earlier keys stay comparable)
     "tx_quality_classifier",       # fixed-point logistic train + corpus score
+    "tx_kn_perplexity",            # Kneser-Ney LM build + corpus perplexity
 ]
 
 # The most expensive queries — measured twice, median reported.
@@ -263,6 +284,8 @@ REPEAT_QUERIES = {
     "gr_cc_largestar",
     # round-6: 3 GD steps = 6 shuffles of the feature table, wobbly
     "tx_quality_classifier",
+    # round-6: model build + corpus scoring, multi-stage
+    "tx_kn_perplexity",
 }
 
 
