@@ -839,6 +839,35 @@ def contamination_check(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """One-call eval-leakage removal: ``contamination_check`` +
+    join-back.  Returns ``(clean, report)`` — ``clean`` is the corpus
+    with flagged documents REMOVED (all original columns intact),
+    ``report`` is the per-flagged-document audit
+    (id, n_ngrams, n_hits, contamination) the data card records.
+
+    Same scale posture as contamination_check (broadcast benchmark
+    shingles, one corpus scan); the join-back is a left-anti on the
+    flagged id set — |flagged| rows, broadcastable in practice."""
+    checked = contamination_check(
+        corpus, benchmark, id_col, text_col, n, threshold
+    )
+    flagged = checked.filter(F.col("flagged")).withColumnRenamed(
+        "id", id_col
+    )
+    clean = corpus.join(
+        flagged.select(id_col), id_col, "left_anti"
+    )
+    return clean, flagged.drop("flagged")
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     sort_cols: list[str],

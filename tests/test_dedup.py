@@ -18,3 +18,31 @@ def test_dedup_reliable_checkpoint_parity(spark, tmp_path, sf_dir):
     assert reliable == local
     found = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert found, "reliable run wrote no checkpoint files"
+
+
+def test_decontaminate_one_call(spark):
+    """decontaminate = check + join-back: flagged docs leave the
+    corpus with every original column intact; the report carries the
+    audit numbers; clean ∪ flagged ids = corpus ids."""
+    from kbdatalakeapps_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "what is the capital of france i wonder", "keepmeta"),
+            (11, "completely unrelated training text about spark", "m2"),
+            (12, "the capital of france paris obviously is the answer", "m3"),
+        ],
+        "doc_id long, text string, meta string",
+    )
+    clean, report = decontaminate(corpus, bench, threshold=0.5)
+    kept = {r.doc_id: r for r in clean.collect()}
+    rep = {r.doc_id: r for r in report.collect()}
+    assert set(kept) | set(rep) == {10, 11, 12}
+    assert set(kept) & set(rep) == set()
+    assert 11 in kept and kept[11].meta == "m2"  # columns intact
+    assert 12 in rep and rep[12].contamination >= 0.5
+    assert "flagged" not in report.columns
