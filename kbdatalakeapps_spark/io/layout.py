@@ -787,8 +787,15 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
 
     Deletion is manifest-driven (never "delete by age of file"), so a
     file shared by an old and a kept version — the append case —
-    always survives.  Returns {"kept_versions", "removed_versions",
-    "deleted_files"} for the caller's audit log.
+    always survives.  Files OUTSIDE this table's directory are never
+    deleted: a shallow clone's early manifests reference the SOURCE
+    table's data files, and once the clone evolves (overwrite /
+    optimize) those manifests become droppable — without the
+    containment check, routine clone retention would os.remove() the
+    source's live data.  Borrowed files are reported under
+    ``skipped_external`` instead (source-side retention owns them).
+    Returns {"kept_versions", "removed_versions", "deleted_files",
+    "skipped_external"} for the caller's audit log.
     """
     import json
     import os
@@ -815,14 +822,24 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
             m = json.load(fh)
             dead.update(m["files"])
             dead_dvs.update(m.get("deletes", []))
-    deleted = sorted(dead - live)
+    root = os.path.abspath(table_dir) + os.sep
+
+    def _owned(p: str) -> bool:
+        return os.path.abspath(p).startswith(root)
+
+    candidates = dead - live
+    deleted = sorted(p for p in candidates if _owned(p))
+    skipped_external = sorted(p for p in candidates if not _owned(p))
     for path in deleted:
         if os.path.exists(path):
             os.remove(path)
-    # deletion-vector dirs follow the same manifest-driven rule
+    # deletion-vector dirs follow the same manifest-driven +
+    # path-containment rules
     import shutil
 
-    dv_deleted = sorted(dead_dvs - live_dvs)
+    dv_candidates = dead_dvs - live_dvs
+    dv_deleted = sorted(d for d in dv_candidates if _owned(d))
+    skipped_external += sorted(d for d in dv_candidates if not _owned(d))
     for d in dv_deleted:
         if os.path.isdir(d):
             shutil.rmtree(d)
@@ -832,6 +849,7 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
         "kept_versions": kept,
         "removed_versions": removed,
         "deleted_files": deleted + dv_deleted,
+        "skipped_external": skipped_external,
     }
 
 
@@ -851,9 +869,20 @@ def table_history(spark, table_dir: str) -> DataFrame:
             continue
         with open(os.path.join(mdir, f)) as fh:
             m = json.load(fh)
-        n_rows = sum(
-            s.get("_rows", 0) for s in m.get("stats", {}).values()
-        ) or None
+        # live-row count per version: Σ per-file _rows minus the
+        # version's deletion-vector positions (the snapshot_row_count
+        # rule); None ONLY when stats are genuinely missing — a
+        # legitimate 0-row version reports 0, not NULL
+        stats = m.get("stats", {})
+        n_rows: int | None = 0
+        for data_file in m.get("files", []):
+            r = stats.get(data_file, {}).get("_rows")
+            if r is None:
+                n_rows = None
+                break
+            n_rows += r
+        if n_rows is not None:
+            n_rows -= _dv_row_count(m.get("deletes", []))
         rows.append(
             (
                 m["version"],
@@ -932,9 +961,9 @@ def shallow_clone(source_dir: str, target_dir: str, version: int | None = None) 
     references — keep source retention ≥ clone lifetime, or deep-copy
     (read_version + versioned_write) when lifetimes decouple.  The
     clone's own retention only ever deletes files under the clone's
-    directory (borrowed files live outside it and expire_versions is
-    manifest-driven, but don't rely on path accidents: the contract is
-    "source retention outlives clones")."""
+    directory — ``expire_versions`` ENFORCES path containment and
+    reports borrowed files it left alone under ``skipped_external``,
+    so routine clone maintenance can never touch the source's data."""
     import json
     import os
     import time

@@ -652,6 +652,22 @@ def iter_warc_range(
             }
 
 
+def _warc_gap_is_padding(path: str, start: int, end: int) -> bool:
+    """True when archive bytes [start, end) cannot contain a record:
+    for .gz no member magic, for plain .warc only separator/padding
+    bytes.  The read is exactly the gap size — the completeness gate
+    calls this only for bytes the index leaves uncovered (normally
+    zero)."""
+    if end <= start:
+        return True
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        gap = fh.read(end - start)
+    if path.endswith(".gz"):
+        return b"\x1f\x8b" not in gap
+    return not gap.strip(b"\r\n\x00 \t")
+
+
 def read_warc_split(
     spark: SparkSession,
     path: str,
@@ -670,6 +686,16 @@ def read_warc_split(
     one (the 100 TB path — the index is the only full scan); omitted,
     it is built on the fly (one headers-only pass, still cheaper than
     letting a 50 GB archive pin one task for the payload scan).
+    A provided index MUST be the COMPLETE ``warc_index`` output — ALL
+    record types, not a pre-filtered (e.g. response-only) subset:
+    ranges are planned from indexed spans, so records falling in the
+    gaps of a partial index would be silently skipped while unindexed
+    records INSIDE a planned range would still be parsed, making the
+    output depend on arbitrary range grouping.  This is VALIDATED per
+    archive (indexed spans must exactly tile the file's bytes) and a
+    gapped or missing index raises instead of returning
+    grouping-dependent rows.  Filter by type via ``record_types``
+    (read time) — never by pre-filtering the index.
 
     Scale shape: planning is a groupBy over the index; the ranges
     table (#archives × ceil(size/target) rows) is repartitioned so
@@ -690,6 +716,50 @@ def read_warc_split(
         by_name[name] = f
     if index_df is None:
         index_df = warc_index(spark, path, recursive=recursive)
+    else:
+        # completeness gate: the DISTINCT spans of a full warc_index
+        # tile each archive (WARC records are back-to-back with their
+        # separators folded into the spans; .gz offsets/lengths are
+        # back-to-back compressed-member spans; a multi-record member
+        # repeats ONE member span per record, hence distinct).  Only
+        # head/tail padding the span scanner discards may be
+        # uncovered, and it is byte-checked to contain no record.  One
+        # tiny agg — O(#archives) driver memory, never O(records).
+        cov = {
+            r["warc_file"]: (r["s"], r["e"], r["b"])
+            for r in index_df.select("warc_file", "offset", "length")
+            .distinct()
+            .groupBy("warc_file")
+            .agg(
+                F.min("offset").alias("s"),
+                F.max(F.col("offset") + F.col("length")).alias("e"),
+                F.sum("length").alias("b"),
+            )
+            .collect()
+        }
+        for name, f in by_name.items():
+            size = _os.path.getsize(f)
+            got = cov.get(name)
+            ok = got is not None
+            if ok:
+                s, e, b = got
+                ok = (
+                    b == e - s  # no interior gaps or overlaps
+                    and e <= size
+                    and _warc_gap_is_padding(f, 0, s)
+                    and _warc_gap_is_padding(f, e, size)
+                )
+            raise_msg = (
+                f"index_df is not a complete warc_index for {name!r}: "
+                f"indexed spans (min_start, max_end, Σlength)={got} vs "
+                f"{size} file bytes. Pass the UNFILTERED warc_index "
+                "output (all record types) and select types via "
+                "record_types= instead — planning from a partial index "
+                "silently drops records that fall between planned "
+                "ranges."
+            )
+            if not ok:
+                raise ValueError(raise_msg)
     ranges = plan_warc_ranges(index_df, target_partition_bytes)
     if num_partitions is None:
         # the ranges table is tiny (one row per ~target bytes of

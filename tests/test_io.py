@@ -2044,3 +2044,68 @@ def test_schema_diff_between_versions(spark, tmp_path):
     assert d3["retyped"].get("score") == ("double", "string")
     with _pytest.raises(ValueError, match="retained history"):
         schema_diff(t, 1, 99)
+
+
+def test_expire_versions_never_deletes_borrowed_source_files(spark, tmp_path):
+    """ADVICE r6 (high): a shallow clone's early manifests reference
+    the SOURCE's data files; once the clone evolves (overwrite drops
+    the borrowed-file manifest) clone-side expire_versions must NOT
+    os.remove() the source's live data — path containment is enforced
+    and borrowed files are reported under skipped_external."""
+    import os
+
+    from kbdatalakeapps_spark.io.layout import (
+        expire_versions,
+        read_version,
+        shallow_clone,
+        versioned_write,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    versioned_write(spark.range(0, 12).toDF("id"), src)            # src v1
+    shallow_clone(src, dst)                                        # clone v1 borrows src files
+    versioned_write(
+        spark.range(500, 503).toDF("id"), dst, mode="overwrite"
+    )                                                              # clone v2: borrowed files now only in droppable v1
+    report = expire_versions(dst, keep_last=1)
+    assert report["removed_versions"] == [1]
+    # nothing outside the clone's dir was deleted …
+    assert report["deleted_files"] == []
+    root = os.path.abspath(dst) + os.sep
+    assert report["skipped_external"], "borrowed files must be reported"
+    for f in report["skipped_external"]:
+        assert not os.path.abspath(f).startswith(root)
+        assert os.path.exists(f), "source data file was deleted!"
+    # … and the SOURCE is still fully readable
+    assert sorted(r.id for r in read_version(spark, src).collect()) == list(range(12))
+    # clone-owned retention still works normally
+    versioned_write(spark.range(9).toDF("id"), dst, mode="overwrite")  # clone v3
+    r2 = expire_versions(dst, keep_last=1)
+    assert r2["removed_versions"] == [2]
+    assert len(r2["deleted_files"]) > 0 and r2["skipped_external"] == []
+    for f in r2["deleted_files"]:
+        assert os.path.abspath(f).startswith(root) and not os.path.exists(f)
+
+
+def test_table_history_row_accounting_with_dvs_and_zero_rows(spark, tmp_path):
+    """ADVICE r6 (low): table_history's n_rows must subtract deletion
+    vectors (match snapshot_row_count) and report a legitimate 0-row
+    version as 0, never NULL."""
+    from kbdatalakeapps_spark.io.layout import (
+        delete_where,
+        snapshot_row_count,
+        table_history,
+        versioned_write,
+    )
+
+    t = str(tmp_path / "histdv")
+    versioned_write(spark.range(0, 30).toDF("id"), t)              # v1: 30
+    delete_where(spark, t, "id < 12")                              # v2: 18 live
+    versioned_write(
+        spark.range(0).toDF("id"), t, mode="overwrite"
+    )                                                              # v3: empty table
+    h = {r.version: r for r in table_history(spark, t).collect()}
+    assert h[1].n_rows == 30
+    assert h[2].n_rows == 18 == snapshot_row_count(t, 2)
+    assert h[3].n_rows == 0, "0-row version must be 0, not NULL"

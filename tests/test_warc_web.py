@@ -960,3 +960,33 @@ def test_frontier_schedule_politeness_invariants(spark):
     ).collect()
     key = lambda rs: sorted((r.url, r.wave, r.fetcher) for r in rs)
     assert key(again) == key(got)
+
+
+def test_read_warc_split_rejects_partial_index(spark, tmp_path):
+    """ADVICE r6 (low): a pre-filtered (e.g. response-only) CDX index
+    makes range planning grouping-dependent — records in inter-range
+    gaps vanish while unindexed records inside a range still parse.
+    read_warc_split must validate span coverage and raise, while the
+    complete warc_index output keeps passing."""
+    import pytest
+
+    from kbdatalakeapps_spark.io.warc import read_warc_split, warc_index
+
+    _write(str(tmp_path), "mix.warc.gz", warc_bytes(_sample_records(), gzip_members=True))
+    _write(str(tmp_path), "mixplain.warc", warc_bytes(_sample_records()))
+
+    idx = warc_index(spark, str(tmp_path))
+    # complete index: fine (both container forms)
+    assert read_warc_split(
+        spark, str(tmp_path), index_df=idx, target_partition_bytes=512
+    ).count() == read_warc(spark, str(tmp_path)).count()
+
+    # the common persisted-but-WRONG form: response-only index
+    partial = idx.filter("record_type = 'response'")
+    with pytest.raises(ValueError, match="complete warc_index"):
+        read_warc_split(spark, str(tmp_path), index_df=partial).count()
+
+    # an index missing an entire archive is just as partial
+    one_file = idx.filter("warc_file = 'mix.warc.gz'")
+    with pytest.raises(ValueError, match="complete warc_index"):
+        read_warc_split(spark, str(tmp_path), index_df=one_file).count()
