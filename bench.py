@@ -256,6 +256,10 @@ BENCH_QUERIES = [
     # round-6 additions (appended so earlier keys stay comparable)
     "tx_quality_classifier",       # fixed-point logistic train + corpus score
     "tx_kn_perplexity",            # Kneser-Ney LM build + corpus perplexity
+    # round-7 additions (appended so earlier keys stay comparable)
+    "sp_bootstrap_ci",             # Poisson-bootstrap CI (50-replicate explode)
+    "ml_bradley_terry",            # MM preference ratings (4 iterative rounds)
+    "tx_gopher_rules",             # Gopher quality rules, one native scan
 ]
 
 # The most expensive queries — measured twice, median reported.
@@ -286,6 +290,8 @@ REPEAT_QUERIES = {
     "tx_quality_classifier",
     # round-6: model build + corpus scoring, multi-stage
     "tx_kn_perplexity",
+    # round-7: 50× replicate explode of the events table, shuffle-heavy
+    "sp_bootstrap_ci",
 }
 
 

@@ -63,28 +63,47 @@ def hashed_features(
     id_col: str = "id",
     dim: int = 1 << 18,
     salt: str = "hlc",
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """Hashing-trick bag-of-words features: (id, bucket, x_fp) with
     ``x_fp = (tf·FP) div n_tokens`` — length-normalized term frequency
     in exact fixed point.  Empty/NULL documents produce no rows (they
     score at the bias).  One explode + one map-side-combinable
     groupBy; the feature table is O(total tokens) long format, the
-    exact shape tfidf_vectors/inverted_index already ship at scale."""
+    exact shape tfidf_vectors/inverted_index already ship at scale.
+
+    ``bucket_hash``: ``'xxhash64'`` (default — the fast JVM hash) or
+    ``'md5'`` (the house content-keyed portable form,
+    ``conv(substr(md5(salt‖token),1,15),16,10) pmod dim`` — identical
+    in any engine with md5, which is what lets a scoring query carry
+    a DuckDB oracle).  Train and score must use the SAME bucket_hash:
+    buckets are the model's feature ids."""
     if dim <= 0:
         raise ValueError("dim must be positive")
+    if bucket_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown bucket_hash {bucket_hash!r}")
     t = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
     ).withColumn("_n", F.size("_toks"))
     e = t.filter(F.col("_n") > 0).select(
         "id", "_n", F.explode("_toks").alias("_tok")
     )
-    b = e.select(
-        "id",
-        "_n",
-        F.pmod(F.xxhash64(F.col("_tok"), F.lit(salt)), F.lit(dim)).alias(
-            "bucket"
-        ),
-    )
+    if bucket_hash == "xxhash64":
+        bkt = F.pmod(F.xxhash64(F.col("_tok"), F.lit(salt)), F.lit(dim))
+    else:
+        bkt = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("_tok"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(dim),
+        )
+    b = e.select("id", "_n", bkt.alias("bucket"))
     return (
         b.groupBy("id", "bucket")
         .agg(
@@ -290,11 +309,14 @@ def classify_text_quality(
     dim: int = 1 << 18,
     salt: str = "hlc",
     broadcast_weights: bool = True,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """Corpus scoring convenience: hashed_features → model score,
     LEFT-joined back so every input row keeps a probability (empty
     documents score σ(bias)).  Output: input columns + clf_prob."""
-    feats = hashed_features(df, text_col, id_col, dim=dim, salt=salt)
+    feats = hashed_features(
+        df, text_col, id_col, dim=dim, salt=salt, bucket_hash=bucket_hash
+    )
     scored = score_hashed_classifier(
         feats, weights, bias, broadcast_weights=broadcast_weights
     )

@@ -436,6 +436,29 @@ def lift_gains(
     )
 
 
+#: base for _div_dec's two-step split: partial quotients are
+#: q_hi = ⌊x/(y·B)⌋ and q_lo = ⌊rem/y⌋ < B — both inside int64 for the
+#: documented operand envelopes, so Spark's long-returning `div` is
+#: safe on each step even though the FULL quotient q_hi·B + q_lo is not.
+_DIVB = 10**9
+
+
+def _div_dec(x: str, y: str) -> str:
+    """SQL for exact ⌊x/y⌋ on POSITIVE operands as DECIMAL(38,0),
+    immune to Spark's `div` long wraparound: x div y returns a LONG
+    and silently wraps past 2^63 with ANSI off, so quotients above
+    ~9.2e18 (routine with FP² numerators) corrupt silently.  Two-step
+    long division: q_hi = x div (y·B), q_lo = (x − q_hi·y·B) div y,
+    result q_hi·B + q_lo — each partial quotient fits int64 whenever
+    the true quotient < B·2^63 ≈ 9e27 and x < 10^38 (the decimal
+    envelope the caller documents)."""
+    yd = f"CAST(({y}) AS {_DEC})"
+    yb = f"({yd} * CAST({_DIVB} AS {_DEC}))"
+    qhi = f"CAST(({x}) div {yb} AS {_DEC})"
+    rem = f"(({x}) - {qhi} * {yb})"
+    return f"({qhi} * CAST({_DIVB} AS {_DEC}) + CAST({rem} div {yd} AS {_DEC}))"
+
+
 def bradley_terry_ratings(
     pairs: DataFrame,
     winner_col: str = "winner",
@@ -459,12 +482,20 @@ def bradley_terry_ratings(
     otherwise scale-free solution is anchored (no normalization pass).
 
     House exactness discipline: ratings live in int64 fixed point
-    (FP = 10^15); every per-pair term is ``(2·n_ij·FP²) div
-    (p_i + p_j)`` — integral truncation per TERM, decimal sums — so
-    the result is BIT-DETERMINISTIC under any partitioning (float MM
-    is accumulation-order-sensitive).  Ratings clamp to
-    [10^-3, 10^3]·FP between rounds, keeping p_fp inside int64 and
-    every decimal product far inside DECIMAL(38,0).
+    (FP = 10^15); every per-pair term is ``⌊2·n_ij·FP² / (p_i + p_j)⌋``
+    — exact integral truncation per TERM, decimal sums — so the result
+    is BIT-DETERMINISTIC under any partitioning (float MM is
+    accumulation-order-sensitive).  The quotients here exceed int64
+    (the term is ~n_ij·FP at p≈FP, i.e. wraps past 9.2e18 once a pair
+    has ≳9200 games — real arena volume), and Spark's decimal ``div``
+    silently RETURNS A WRAPPED LONG with ANSI off; every division
+    therefore goes through :func:`_div_dec` — exact two-step long
+    division whose partial quotients stay inside int64 and whose
+    result stays DECIMAL(38,0).  Ratings clamp to [10^-3, 10^3]·FP
+    between rounds.  Exactness envelope (DECIMAL(38,0) numerators):
+    n_ij ≤ 10^7 games per pair and W_i < 5·10^7 wins per item; beyond
+    that, pre-scale ``count_col`` (BT is invariant to a global count
+    rescale, up to the prior's weight).
 
     Scale posture: per round one co-partitioned join of the pair-count
     edge list (directed-symmetric, the graph convention) against the
@@ -538,38 +569,35 @@ def bradley_terry_ratings(
     lo, hi = _FP // 10**3, _FP * 10**3
     for _ in range(iterations):
         opp_r = r.select(F.col("item").alias("opp"), F.col("p_fp").alias("_pj"))
+        pair_term = _div_dec(
+            f"CAST(2 AS {_DEC}) * CAST(n_ij AS {_DEC}) * "
+            f"CAST({_FP} AS {_DEC}) * CAST({_FP} AS {_DEC})",
+            "p_fp + _pj",
+        )
         den_pairs = (
             e.join(r.hint("shuffle_hash"), "item")
             .join(opp_r.hint("shuffle_hash"), "opp")
             .groupBy("item")
-            .agg(
-                F.sum(
-                    F.expr(
-                        f"CAST(2 AS {_DEC}) * CAST(n_ij AS {_DEC}) * "
-                        f"CAST({_FP} AS {_DEC}) * CAST({_FP} AS {_DEC}) "
-                        f"div (p_fp + _pj)"
-                    )
-                ).alias("_d_pairs")
-            )
+            .agg(F.sum(F.expr(pair_term)).alias("_d_pairs"))
+        )
+        shadow_term = _div_dec(
+            f"CAST(2 AS {_DEC}) * CAST({prior_games} AS {_DEC}) * "
+            f"CAST({_FP} AS {_DEC}) * CAST({_FP} AS {_DEC})",
+            f"p_fp + {_FP}",
+        )
+        update = _div_dec(
+            f"(2 * wins + {prior_games}) * "
+            f"CAST({_FP} AS {_DEC}) * CAST({_FP} AS {_DEC})",
+            f"COALESCE(_d_pairs, CAST(0 AS {_DEC})) + {shadow_term}",
         )
         r = mat(
             totals.join(den_pairs, "item", "left")
             .join(r, "item")
             .select(
                 "item",
-                F.greatest(
-                    F.lit(lo).cast("long"),
-                    F.least(
-                        F.lit(hi).cast("long"),
-                        F.expr(
-                            f"CAST(((2 * wins + {prior_games}) * "
-                            f"CAST({_FP} AS {_DEC}) * CAST({_FP} AS {_DEC})) div "
-                            f"(COALESCE(_d_pairs, CAST(0 AS {_DEC})) + "
-                            f"(CAST(2 AS {_DEC}) * CAST({prior_games} AS {_DEC}) * "
-                            f"CAST({_FP} AS {_DEC}) * CAST({_FP} AS {_DEC})) div "
-                            f"(p_fp + {_FP})) AS BIGINT)"
-                        ),
-                    ),
+                F.expr(
+                    f"CAST(GREATEST(CAST({lo} AS {_DEC}), "
+                    f"LEAST(CAST({hi} AS {_DEC}), {update})) AS BIGINT)"
                 ).alias("p_fp"),
             )
         )

@@ -959,15 +959,32 @@ def margin_bitext_pairs(
     ranked = scored.withColumn(
         "_rf", F.row_number().over(w_fwd)
     ).withColumn("_rb", F.row_number().over(w_bwd))
+    # neighborhood averages in int64 fixed point (Σ floor(cos·10¹⁵),
+    # ONE float division back) — float avg() is accumulation-order
+    # sensitive, so the margin would not be bit-stable under
+    # repartitioning (and could not carry a cross-engine oracle)
+    _afp = F.floor(F.col("cosine") * F.lit(1e15)).cast("long")
     a_src = (
         ranked.filter(F.col("_rf") <= k)
         .groupBy("src_id")
-        .agg(F.avg("cosine").alias("_a_src"))
+        .agg(
+            (
+                F.sum(_afp).cast("double")
+                / F.lit(1e15)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_a_src")
+        )
     )
     a_tgt = (
         ranked.filter(F.col("_rb") <= k)
         .groupBy("tgt_id")
-        .agg(F.avg("cosine").alias("_a_tgt"))
+        .agg(
+            (
+                F.sum(_afp).cast("double")
+                / F.lit(1e15)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_a_tgt")
+        )
     )
     cand = (
         ranked.filter((F.col("_rf") <= k) | (F.col("_rb") <= k))

@@ -31,68 +31,68 @@ from . import linkage  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
-#: Round-6 rotation (VERDICT r5 "Next round" #3): flagship + ALL 37
-#: queries that were pending after round 5 (the verification debt
-#: drains to zero — PENDING_NEXT_WINDOW is now empty) + the
-#: ml_auc_rank RE-CHECK (its round-5 hash was red on the
-#: decimal-vs-float materialization asymmetry, fixed this round by
-#: reporting u2 as DOUBLE on both sides; a fixed query must re-earn
-#: its green) + 11 sentinels from NOTES' window-proposal v3 (one
-#: sentinel slot ceded to the re-check, per the verdict).
+#: Round-7 rotation: CORRECTNESS_r06 drained pending to ZERO (50/50
+#: green), so the freeze lifted and the 8 planned round-6-operator
+#: query forms registered (admission control: 8 ≤ 49).  Window =
+#: flagship + the 8 new + 41 sentinels chosen as the queries whose
+#: ledger signal is OLDEST (all round-2) — rotation keeps refreshing
+#: the weakest evidence instead of re-checking recent greens.
 DRIVER_WINDOW: list[str] = [
     "flagship_order_revenue",
-    # ml-eval family (incl. the two decimal-final-column fixes)
-    "ml_calibration_bins",
-    "ml_target_encode",
-    "ts_max_concurrency",
-    "dq_k_anonymity",
-    "ml_pr_curve",
-    "tx_inverted_index",
-    "er_record_linkage",
-    "dd_semantic_dedup",
-    "sim_ivf_topk",
-    "dd_duplicate_spans",
-    "ml_ndcg",
-    "tx_domain_similarity",
-    "er_blocking_metrics",
-    "dq_expectation_suite",
-    "ly_hilbert_keys",
-    "gr_modularity",
-    "ts_lttb_downsample",
-    "sp_temperature_mixture",
-    "tx_rake_keywords",
-    "gr_kcore",
-    "gr_cc_largestar",
-    "sim_sq8_topk",
-    "dd_simhash_rotated",
-    "mm_exif_metadata",
-    "mm_video_dib_frames",
-    "tx_script_mix",
-    "er_jaro_winkler",
-    "gr_label_propagation",
-    "dq_l_diversity",
-    "ml_lift_gains",
-    "tx_collocations",
-    "dd_url_canonical",
-    "mm_gif_frames",
-    "mm_flac_features",
-    "mm_scene_cuts",
-    "sim_mips_topk",
-    "er_phonetic_blocking",
-    # round-5 red, fixed this round — re-earning its green
-    "ml_auc_rank",
-    # sentinels (previously-green family exemplars, proposal v3)
-    "j5_star_join",
-    "j8_pair_dedup_first_wins",
-    "p10_filter_dsl",
-    "a14_column_stats",
-    "r1_ontology_style_pivot",
-    "dd_minhash_lsh_pairs",
-    "dd_dedup_corpus",
-    "tx_token_estimate",
-    "a1_groupby_multiagg",
-    "a2_count_distinct",
-    "a6_confusion_matrix",
+    # round-7 registrations (NOTES round-7 plan): the round-6
+    # operators' oracled query forms, each pre-verified on a vanilla
+    # session at sf0.001 AND sf0.01 before registration
+    "ml_pass_at_k",
+    "ml_class_report",
+    "ml_bradley_terry",
+    "sp_bootstrap_ci",
+    "tx_gopher_rules",
+    "tx_clf_score",
+    "wb_frontier_waves",
+    "sim_bitext_margin",
+    # sentinels: the 41 LEAST-recently-verified queries (all last
+    # hash-green in round 2) — rotating the oldest signal forward
+    "a10_conditional_avg",
+    "a11_ratio_agg",
+    "a13_viewer_aggregations",
+    "a15_filtered_total_count",
+    "a16_set_overlap_score",
+    "a8_sorted_set_string",
+    "a9_priority_reduce",
+    "dd_exact_dedup",
+    "dd_lsh_tuning",
+    "dd_minhash_signatures",
+    "dd_ngram_jaccard",
+    "dd_simhash",
+    "dd_simhash_pairs",
+    "f10_content_hashes",
+    "f13_conditional_swap",
+    "f14_when_chain_classes",
+    "f1_regex_extract_terms",
+    "f21_id_normalization",
+    "f5_split_explode",
+    "j1_inner_join_composite_key",
+    "j2_left_broadcast_enrich",
+    "j6_anti_join",
+    "j7_semi_join",
+    "j9_merge_term_strings",
+    "o1_multikey_sort_page",
+    "p11_global_search",
+    "p1_projection_conditional",
+    "p3_filter_family",
+    "p5_disjunctive_pair_filter",
+    "p6_like_filter",
+    "r2_predicate_pivot",
+    "s1_scan_project_filter",
+    "tx_fingerprint",
+    "tx_language_id",
+    "tx_quality_score",
+    "tx_text_stats",
+    "u1_union_tagged",
+    "u3_except_intersect",
+    "w1_argmax_per_group",
+    "w3_sort_nulls_last",
+    "a12_source_counts",
 ]
 
 

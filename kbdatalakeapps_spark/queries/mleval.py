@@ -377,3 +377,210 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (the band groupBy); cumulative legs run over the ≤24-row
     band table — the bounded-frame window idiom (a29/equidepth)."""
     return lift_gains(_scored(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 registrations: the round-6 eval operators, each with a full
+# DuckDB hash oracle (NOTES "Round-7 registration plan")
+# ---------------------------------------------------------------------------
+
+_PAK_K = 3
+
+
+@query(
+    "ml_pass_at_k",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id % 50 AS task_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events GROUP BY 1
+    )
+    SELECT task_id, n, c,
+           CASE WHEN n < {_PAK_K} THEN NULL
+                WHEN n - c < {_PAK_K} THEN 1.0
+                ELSE 1.0 - (
+                      (CAST(n - c - 0 AS DOUBLE) / CAST(n - 0 AS DOUBLE))
+                    * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                    * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)))
+           END AS pass_at_{_PAK_K}
+    FROM g
+    """,
+)
+def ml_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@3 (Chen et al. 2021 product-form estimator,
+    operators/mleval.py::pass_at_k) over a task table derived from
+    events: task = user_id % 50, a sample is correct iff it is a
+    purchase.  The k-term fail product is ONE native left-to-right
+    fold over exact integer operands — the oracle unrolls the same
+    association ((t0·t1)·t2), so the float matches bit-for-bit; no
+    binomial is ever materialized."""
+    from ..operators.mleval import pass_at_k
+
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        (F.col("user_id") % 50).alias("task"),
+        (F.col("event_type") == "purchase").cast("int").alias("correct"),
+    )
+    return pass_at_k(samples, task_col="task", correct_col="correct", k=_PAK_K)
+
+
+@query(
+    "ml_class_report",
+    oracle="""
+    WITH scored AS (
+        SELECT event_type AS label,
+               CASE WHEN user_id % 11 = 0 THEN 'botlike'
+                    WHEN user_id % 3 = 0 THEN 'view'
+                    ELSE event_type END AS prediction
+        FROM events
+    ),
+    pairs AS (
+        SELECT label AS y, prediction AS p, CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored GROUP BY 1, 2
+    ),
+    tp AS (SELECT y AS class, n AS tp FROM pairs WHERE y = p),
+    sup AS (SELECT y AS class, CAST(SUM(n) AS BIGINT) AS support
+            FROM pairs GROUP BY 1),
+    pred AS (SELECT p AS class, CAST(SUM(n) AS BIGINT) AS predicted
+             FROM pairs GROUP BY 1),
+    base AS (
+        SELECT class,
+               COALESCE(tp, 0) AS tp,
+               COALESCE(support, 0) AS support,
+               COALESCE(predicted, 0) AS predicted
+        FROM sup FULL OUTER JOIN pred USING (class)
+        LEFT JOIN tp USING (class)
+    )
+    SELECT class, tp,
+           predicted - tp AS fp,
+           support - tp AS fn,
+           support,
+           CASE WHEN predicted > 0
+                THEN CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE)
+           END AS precision,
+           CASE WHEN support > 0
+                THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE)
+           END AS recall,
+           CASE WHEN predicted + support > 0
+                THEN 2.0 * CAST(tp AS DOUBLE)
+                     / CAST(predicted + support AS DOUBLE)
+           END AS f1
+    FROM base
+    """,
+)
+def ml_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class one-vs-rest P/R/F1 (operators/mleval.py::
+    classification_report) on a deterministic 5-class event-type
+    prediction rule; the ``botlike`` class is predicted-only, so the
+    margin full-outer path (classes with support 0) is exercised, not
+    just the diagonal.  Exact counts; each ratio is a single fixed
+    IEEE division."""
+    from ..operators.mleval import classification_report
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("event_type").alias("label"),
+        F.when(F.col("user_id") % 11 == 0, F.lit("botlike"))
+        .when(F.col("user_id") % 3 == 0, F.lit("view"))
+        .otherwise(F.col("event_type"))
+        .alias("prediction"),
+    )
+    return classification_report(scored)
+
+
+_BT_ITERS = 4
+_BT_FP = 10**15
+_BT_PRIOR = 1
+
+
+def _bradley_terry_sql() -> str:
+    """Unroll bradley_terry_ratings' MM update into CTEs — bit-identical
+    because every step is integral division of positive HUGEINT
+    operands (DuckDB ``//`` floor == Spark decimal ``div`` truncation
+    on positives) against the same FP=10¹⁵ fixed point."""
+    fp = _BT_FP
+    lo, hi = fp // 10**3, fp * 10**3
+    parts = [
+        """wins_d AS (
+        SELECT l_returnflag AS item, l_linestatus AS opp,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    )""",
+        """e AS (
+        SELECT COALESCE(a.item, b.item) AS item,
+               COALESCE(a.opp, b.opp) AS opp,
+               COALESCE(a.w, 0) + COALESCE(b.w_rev, 0) AS n_ij,
+               COALESCE(a.w, 0) AS w_ij
+        FROM wins_d a
+        FULL OUTER JOIN (
+            SELECT opp AS item, item AS opp, w AS w_rev FROM wins_d
+        ) b ON a.item = b.item AND a.opp = b.opp
+    )""",
+        """totals AS (
+        SELECT item, CAST(SUM(w_ij) AS BIGINT) AS wins,
+               CAST(SUM(n_ij) AS BIGINT) AS games
+        FROM e GROUP BY 1
+    )""",
+        f"r0 AS (SELECT item, CAST({fp} AS HUGEINT) AS p_fp FROM totals)",
+    ]
+    for t in range(1, _BT_ITERS + 1):
+        parts.append(
+            f"""d{t} AS (
+        SELECT e.item,
+               SUM((CAST(2 AS HUGEINT) * CAST(e.n_ij AS HUGEINT)
+                    * CAST({fp} AS HUGEINT) * CAST({fp} AS HUGEINT))
+                   // (ri.p_fp + rj.p_fp)) AS d_pairs
+        FROM e
+        JOIN r{t - 1} ri ON ri.item = e.item
+        JOIN r{t - 1} rj ON rj.item = e.opp
+        GROUP BY e.item
+    )""",
+        )
+        parts.append(
+            f"""r{t} AS (
+        SELECT totals.item,
+               GREATEST(CAST({lo} AS HUGEINT), LEAST(CAST({hi} AS HUGEINT),
+                   ((CAST(2 AS HUGEINT) * wins + {_BT_PRIOR})
+                    * CAST({fp} AS HUGEINT) * CAST({fp} AS HUGEINT))
+                   // (COALESCE(d_pairs, CAST(0 AS HUGEINT))
+                       + (CAST(2 AS HUGEINT) * CAST({_BT_PRIOR} AS HUGEINT)
+                          * CAST({fp} AS HUGEINT) * CAST({fp} AS HUGEINT))
+                         // (r{t - 1}.p_fp + CAST({fp} AS HUGEINT)))
+               )) AS p_fp
+        FROM totals
+        LEFT JOIN d{t} ON d{t}.item = totals.item
+        JOIN r{t - 1} ON r{t - 1}.item = totals.item
+    )""",
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT r.item, CAST(r.p_fp AS BIGINT) AS p_fp,
+           CAST(r.p_fp AS DOUBLE) / CAST({fp} AS DOUBLE) AS rating,
+           totals.wins, totals.games
+    FROM r{_BT_ITERS} r JOIN totals ON totals.item = r.item
+    """
+    )
+
+
+@query("ml_bradley_terry", oracle=_bradley_terry_sql())
+def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry MM ratings (Hunter 2004; operators/mleval.py::
+    bradley_terry_ratings), 4 fixed rounds over the 5-item
+    returnflag-vs-linestatus preference graph with the shadow-opponent
+    prior.  Int64/decimal fixed point end to end; the oracle replays
+    the identical integer arithmetic as unrolled CTEs (the pagerank
+    oracle pattern), so the ratings hash-match with no tolerance."""
+    from ..operators.mleval import bradley_terry_ratings
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_returnflag").alias("winner"),
+        F.col("l_linestatus").alias("loser"),
+    )
+    return bradley_terry_ratings(
+        pairs, iterations=_BT_ITERS, prior_games=_BT_PRIOR
+    )

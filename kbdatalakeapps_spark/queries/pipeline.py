@@ -1439,3 +1439,340 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "corpus_id", F.round("dot", 9).alias("dot"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 registrations (NOTES "Round-7 registration plan"): oracled
+# query forms for the round-6 pipeline operators.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+@query(
+    "tx_gopher_rules",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '') AS tk,
+            list_filter(string_split(text, chr(10)),
+                        l -> trim(l) <> '') AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+            len(tk) AS n_words,
+            CASE WHEN len(tk) > 0 THEN
+                CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / CAST(len(tk) AS DOUBLE) END AS mean_wl,
+            CASE WHEN len(tk) > 0 THEN
+                CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+                     + len(string_split_regex(text, '\\.\\.\\.')) - 1 AS DOUBLE)
+                / CAST(len(tk) AS DOUBLE) END AS sym_ratio,
+            CASE WHEN len(lines) > 0 THEN
+                CAST(len(list_filter(lines,
+                     l -> regexp_matches(l, '^\\s*([••\\-\\*●])'))) AS DOUBLE)
+                / CAST(len(lines) AS DOUBLE) END AS bullet_frac,
+            CASE WHEN len(lines) > 0 THEN
+                CAST(len(list_filter(lines,
+                     l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+                / CAST(len(lines) AS DOUBLE) END AS ellipsis_frac,
+            CASE WHEN len(tk) > 0 THEN
+                CAST(len(list_filter(tk,
+                     t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                / CAST(len(tk) AS DOUBLE) END AS alpha_frac,
+            len(list_filter({_GOPHER_STOP_SQL}::VARCHAR[],
+                            w -> list_contains(tk, w))) AS stop_hits,
+            text IS NULL AS is_null
+        FROM s
+    ),
+    r AS (
+        SELECT doc_id, n_words, mean_wl, sym_ratio, bullet_frac,
+               ellipsis_frac, alpha_frac, stop_hits,
+               concat_ws(',',
+                   CASE WHEN is_null THEN 'null_text' END,
+                   CASE WHEN NOT is_null AND n_words < 50
+                        THEN 'too_few_words' END,
+                   CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+                   CASE WHEN mean_wl < 3.0 OR mean_wl > 10.0
+                        THEN 'mean_word_len' END,
+                   CASE WHEN sym_ratio > 0.1 THEN 'symbol_ratio' END,
+                   CASE WHEN bullet_frac > 0.9 THEN 'bullet_lines' END,
+                   CASE WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines' END,
+                   CASE WHEN alpha_frac < 0.8 THEN 'alpha_words' END,
+                   CASE WHEN NOT is_null AND stop_hits < 2
+                        THEN 'stopwords' END) AS drop_reasons
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS gopher_n_words,
+           ROUND(mean_wl, 6) AS gopher_mean_word_len,
+           ROUND(sym_ratio, 6) AS gopher_symbol_ratio,
+           ROUND(bullet_frac, 6) AS gopher_bullet_frac,
+           ROUND(ellipsis_frac, 6) AS gopher_ellipsis_frac,
+           ROUND(alpha_frac, 6) AS gopher_alpha_frac,
+           CAST(stop_hits AS BIGINT) AS gopher_stopword_hits,
+           drop_reasons,
+           drop_reasons = '' AS keep
+    FROM r
+    """,
+)
+def tx_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher Table-A1 quality rules (Rae et al. 2021;
+    operators/text.py::gopher_quality_filter) at the paper's default
+    thresholds over the documents corpus — word band, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, required stopwords — one native scan, auditable
+    drop_reasons, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    g = tx.gopher_quality_filter(d)
+    return g.select(
+        "doc_id",
+        F.col("gopher_n_words").cast("long").alias("gopher_n_words"),
+        "gopher_mean_word_len",
+        "gopher_symbol_ratio",
+        "gopher_bullet_frac",
+        "gopher_ellipsis_frac",
+        "gopher_alpha_frac",
+        F.col("gopher_stopword_hits").cast("long").alias("gopher_stopword_hits"),
+        "drop_reasons",
+        "keep",
+    )
+
+
+_CLF_DIM = 32
+_CLF_SALT = "clf7"
+_CLF_FP = 10**12  # operators/classifier.py FP
+#: fixed literal model (the fixed-centroid idiom: TRAINING stays
+#: engine-side and pytest-verified for bit-determinism; the scoring
+#: query pins a reproducible weight table both engines can name)
+_CLF_WEIGHTS = [
+    (b, ((b * 2654435761) % 4001 - 2000) * 10**9) for b in range(_CLF_DIM)
+]
+_CLF_BIAS = 10**11  # 0.1 in FP
+
+
+def _clf_score_sql() -> str:
+    values = ", ".join(f"({b}, {w})" for b, w in _CLF_WEIGHTS)
+    return f"""
+    WITH w(bucket, w_fp) AS (VALUES {values}),
+    t AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    e AS (
+        SELECT id, len(tk) AS n, unnest(tk) AS tok
+        FROM t WHERE len(tk) > 0
+    ),
+    f AS (
+        SELECT id,
+               ((('0x' || substr(md5('{_CLF_SALT}:' || tok), 1, 15))::BIGINT
+                 % {_CLF_DIM}) + {_CLF_DIM}) % {_CLF_DIM} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS tf,
+               MAX(n) AS nn
+        FROM e GROUP BY 1, 2
+    ),
+    x AS (
+        SELECT id, bucket,
+               (tf * CAST({_CLF_FP} AS HUGEINT)) // nn AS x_fp
+        FROM f
+    ),
+    s AS (
+        SELECT id, SUM(CAST(w_fp AS HUGEINT) * x_fp) AS acc
+        FROM x JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT id AS doc_id,
+           CAST({_CLF_BIAS} + CASE WHEN acc >= 0
+                     THEN acc // CAST({_CLF_FP} AS HUGEINT)
+                     ELSE -((-acc) // CAST({_CLF_FP} AS HUGEINT)) END
+                AS BIGINT) AS m_fp,
+           CAST({_CLF_BIAS} + CASE WHEN acc >= 0
+                     THEN acc // CAST({_CLF_FP} AS HUGEINT)
+                     ELSE -((-acc) // CAST({_CLF_FP} AS HUGEINT)) END
+                AS BIGINT) > 0 AS keep
+    FROM s
+    """
+
+
+@query("tx_clf_score", oracle=_clf_score_sql())
+def tx_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick quality-classifier scoring (operators/
+    classifier.py::score_hashed_classifier) against a FIXED literal
+    32-bucket weight table, md5 bucket hashing (the portable form) —
+    broadcast model, one feature join + groupBy, margin in exact
+    int64/decimal fixed point.  The report is the exact integer margin
+    m_fp and its sign gate; σ(m) is a client-side presentation detail
+    (exp() is not bit-portable across engines).  The CASE in the
+    oracle mirrors Spark decimal ``div`` truncation-toward-zero for
+    negative margins (DuckDB ``//`` floors)."""
+    from ..operators.classifier import hashed_features, score_hashed_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    feats = hashed_features(
+        d.select(F.col("doc_id").alias("id"), "text"),
+        dim=_CLF_DIM,
+        salt=_CLF_SALT,
+        bucket_hash="md5",
+    )
+    weights = d.sparkSession.createDataFrame(
+        _CLF_WEIGHTS, "bucket long, w_fp long"
+    )
+    bias = d.sparkSession.createDataFrame([(_CLF_BIAS,)], "b_fp long")
+    scored = score_hashed_classifier(
+        feats, weights, bias, broadcast_weights=True
+    )
+    return scored.select(
+        F.col("id").alias("doc_id"),
+        "m_fp",
+        (F.col("m_fp") > 0).alias("keep"),
+    )
+
+
+@query(
+    "wb_frontier_waves",
+    oracle="""
+    WITH urls AS (
+        SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
+               CAST(n_chars AS DOUBLE) AS prio
+        FROM documents
+    ),
+    sched AS (
+        SELECT url, prio,
+               lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host
+        FROM urls
+    )
+    SELECT url, host, wave FROM (
+        SELECT url, host,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY host
+                   ORDER BY prio DESC NULLS LAST, url ASC
+               ) AS INT) AS wave
+        FROM sched
+    ) WHERE wave <= 5
+    """,
+)
+def wb_frontier_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite crawl-frontier scheduling (operators/web.py::
+    frontier_schedule) over a URL frontier derived from documents:
+    wave = per-host priority rank (≤1 url per host per wave), host
+    budget 5.  One shuffle (the host window).  The fetcher shard
+    column is xxhash64-based — shard affinity is pytest-verified
+    (tests/test_warc_web.py) and excluded here because no other
+    engine can replay Spark's xxhash64; the relational politeness
+    core (host parse + windowed waves + budget) is what the oracle
+    pins."""
+    from ..operators.web import frontier_schedule
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.col("n_chars").cast("double").alias("prio"),
+    )
+    out = frontier_schedule(urls, priority_col="prio", per_host_limit=5)
+    return out.select("url", "host", F.col("wave").cast("int").alias("wave"))
+
+
+_BTX_K = 3
+
+
+def _bitext_sql() -> str:
+    return f"""
+    WITH dots AS (
+        SELECT q.vec_id AS src_id, c.vec_id AS tgt_id,
+               CAST(SUM(CAST(CAST(qv.v AS DOUBLE)
+                             * CAST(c.embedding[qv.pos] AS DOUBLE)
+                             AS DECIMAL(38,15))) AS DOUBLE) AS dot
+        FROM embeddings q,
+             LATERAL (SELECT unnest(q.embedding) AS v,
+                             generate_subscripts(q.embedding, 1) AS pos) qv,
+             embeddings c
+        WHERE q.vec_id < 6 AND c.vec_id >= 6 AND c.vec_id < 30
+        GROUP BY 1, 2
+    ),
+    norms AS ({_NORM_SQL}),
+    scored AS (
+        SELECT src_id, tgt_id,
+               dot / (ns.nrm * nt.nrm) AS cosine
+        FROM dots
+        JOIN norms ns ON ns.vec_id = dots.src_id
+        JOIN norms nt ON nt.vec_id = dots.tgt_id
+    ),
+    ranked AS (
+        SELECT src_id, tgt_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY cosine DESC, tgt_id ASC) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                  ORDER BY cosine DESC, src_id ASC) AS rb
+        FROM scored
+    ),
+    a_src AS (
+        SELECT src_id,
+               CAST(SUM(CAST(FLOOR(cosine * 1e15) AS BIGINT)) AS DOUBLE)
+                   / 1e15 / CAST(COUNT(*) AS DOUBLE) AS a_s
+        FROM ranked WHERE rf <= {_BTX_K} GROUP BY 1
+    ),
+    a_tgt AS (
+        SELECT tgt_id,
+               CAST(SUM(CAST(FLOOR(cosine * 1e15) AS BIGINT)) AS DOUBLE)
+                   / 1e15 / CAST(COUNT(*) AS DOUBLE) AS a_t
+        FROM ranked WHERE rb <= {_BTX_K} GROUP BY 1
+    ),
+    cand AS (
+        SELECT r.src_id, r.tgt_id, r.cosine,
+               r.cosine / ((a_s + a_t) / 2.0) AS margin
+        FROM ranked r
+        JOIN a_src USING (src_id)
+        JOIN a_tgt USING (tgt_id)
+        WHERE r.rf <= {_BTX_K} OR r.rb <= {_BTX_K}
+    ),
+    best_s AS (
+        SELECT * FROM (
+            SELECT src_id, tgt_id, cosine, margin,
+                   ROW_NUMBER() OVER (PARTITION BY src_id
+                                      ORDER BY margin DESC, tgt_id ASC) AS m
+            FROM cand
+        ) WHERE m = 1
+    ),
+    best_t AS (
+        SELECT src_id, tgt_id FROM (
+            SELECT src_id, tgt_id,
+                   ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                      ORDER BY margin DESC, src_id ASC) AS m
+            FROM cand
+        ) WHERE m = 1
+    )
+    SELECT b.src_id, b.tgt_id,
+           ROUND(b.cosine, 9) AS cosine,
+           ROUND(b.margin, 9) AS margin
+    FROM best_s b
+    SEMI JOIN best_t t ON t.src_id = b.src_id AND t.tgt_id = b.tgt_id
+    WHERE b.margin >= 1.0
+    """
+
+
+@query("sim_bitext_margin", oracle=_bitext_sql())
+def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix ratio criterion; operators/similarity.py::
+    margin_bitext_pairs) between two embedding shards (queries
+    vec_id<6 vs corpus 6≤vec_id<30), k=3, mutual-argmax strategy.
+    Cosines are exact-decimal dot folds; neighborhood averages are
+    int64 fixed point (Σ floor(cos·10¹⁵), one float division) so the
+    margin — and therefore the SELECTION — is bit-deterministic and
+    fully oracle-portable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") < 6)
+    tgt = emb.filter((F.col("vec_id") >= 6) & (F.col("vec_id") < 30))
+    out = sim.margin_bitext_pairs(src, tgt, k=_BTX_K, strategy="mutual")
+    return out.select(
+        "src_id", "tgt_id",
+        F.round("cosine", 9).alias("cosine"),
+        F.round("margin", 9).alias("margin"),
+    )

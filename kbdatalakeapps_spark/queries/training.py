@@ -1939,3 +1939,95 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = sample_frames_decoded(d, every_ms=500)
     return scene_cuts(frames, threshold=1000)
+
+
+# ---------------------------------------------------------------------------
+# sp_bootstrap_ci (round-7): Poisson-bootstrap CI for the per-type
+# mean event value.  Every weight is content-keyed md5 against the
+# FROZEN Poisson(1) inverse-CDF literals and every replicate mean is
+# integer fixed point with ONE float division, so the whole interval
+# is reproducible bit-for-bit in any engine with md5 — the oracle
+# below replays it verbatim (operators/sampling.py::bootstrap_mean_ci).
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 50
+_BOOT_ALPHA = 0.05
+_BOOT_SALT = "boot7"
+_BOOT_FP = 10**6
+
+
+def _bootstrap_sql() -> str:
+    from ..operators.sampling import _POISSON1_CDF
+
+    cdf_case = "CASE " + " ".join(
+        f"WHEN u < {v!r} THEN {k}" for k, v in enumerate(_POISSON1_CDF)
+    ) + f" ELSE {len(_POISSON1_CDF)} END"
+    lo_q, hi_q = _BOOT_ALPHA / 2.0, 1.0 - _BOOT_ALPHA / 2.0
+    return f"""
+    WITH base AS (
+        SELECT event_type,
+               event_id AS k,
+               CAST(FLOOR(value * {float(_BOOT_FP)!r}) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    obs AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) / {float(_BOOT_FP)!r}
+                   / CAST(COUNT(*) AS DOUBLE) AS mean
+        FROM base GROUP BY 1
+    ),
+    rep AS (
+        SELECT event_type, x, r,
+               ('0x' || substr(md5(k || '|' || r || '|' || '{_BOOT_SALT}'),
+                               1, 15))::BIGINT
+               / {float(1 << 60)!r} AS u
+        FROM base, UNNEST(generate_series(1, {_BOOT_B})) AS t(r)
+    ),
+    weighted AS (SELECT event_type, r, x, {cdf_case} AS w FROM rep),
+    per_rep AS (
+        SELECT event_type, r,
+               CAST(SUM(w * x) AS DOUBLE) / {float(_BOOT_FP)!r}
+                   / CAST(SUM(w) AS DOUBLE) AS m
+        FROM weighted GROUP BY 1, 2
+        HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT event_type, m,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY m ASC, r ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS b
+        FROM per_rep
+    ),
+    ci AS (
+        SELECT event_type, MIN(m) AS lo, MAX(m) AS hi,
+               CAST(MAX(b) AS BIGINT) AS replicates
+        FROM ranked
+        WHERE rk = CAST(FLOOR({lo_q!r} * (b - 1)) AS BIGINT) + 1
+           OR rk = CAST(FLOOR({hi_q!r} * (b - 1)) AS BIGINT) + 1
+        GROUP BY 1
+    )
+    SELECT obs.event_type, obs.n, obs.mean, ci.lo, ci.hi, ci.replicates
+    FROM obs JOIN ci USING (event_type)
+    """
+
+
+@query("sp_bootstrap_ci", oracle=_bootstrap_sql())
+def sp_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Poisson-bootstrap 95% CI of the mean value
+    (Chamandy et al. 2012), B=50 replicates keyed on event_id — the
+    exploded replicate pass is one map-side-combinable groupBy and the
+    percentile pick is an exact-rank window over the bounded B-row
+    frame, never a data-sized sort."""
+    from ..operators.sampling import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev,
+        value_col="value",
+        key_col="event_id",
+        group_cols=["event_type"],
+        replicates=_BOOT_B,
+        alpha=_BOOT_ALPHA,
+        fp_scale=_BOOT_FP,
+        salt=_BOOT_SALT,
+    )

@@ -179,3 +179,39 @@ def test_streaming_corpus_scoring_composition(spark, tmp_path):
     }
     assert len(got) == 80
     assert got == want, "streaming scores diverge from the batch path"
+
+
+def test_md5_bucket_hash_is_portable_and_equivalent_shape(spark):
+    """bucket_hash='md5' (the oracle-portable form) must produce the
+    same per-document feature MASS as xxhash64 (identical token
+    counts, only the bucket ids differ) and reproduce the documented
+    conv(substr(md5(salt:tok),1,15),16,10) pmod dim mapping exactly."""
+    import pytest
+
+    from kbdatalakeapps_spark.operators.classifier import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "delta delta"), (3, None)],
+        "id long, text string",
+    )
+    fx = hashed_features(df, dim=64, salt="s7")
+    fm = hashed_features(df, dim=64, salt="s7", bucket_hash="md5")
+    # same ids covered, same total fixed-point mass per id
+    mass = lambda d: {
+        r.id: r.s for r in d.groupBy("id").agg(F.sum("x_fp").alias("s")).collect()
+    }
+    assert mass(fx) == mass(fm)
+    # the md5 mapping is reproducible outside any engine
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(f"s7:{tok}".encode()).hexdigest()[:15], 16) % 64
+
+    got = {(r.id, r.bucket) for r in fm.collect()}
+    want = {
+        (1, bucket("alpha")), (1, bucket("beta")), (1, bucket("gamma")),
+        (2, bucket("delta")),
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="bucket_hash"):
+        hashed_features(df, bucket_hash="sha9000")

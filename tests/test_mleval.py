@@ -533,3 +533,67 @@ def test_classification_report_vs_reference(spark):
     got2 = {r["class"]: r for r in classification_report(df2).collect()}
     assert got2["zzz"].support == 0 and got2["zzz"].recall is None
     assert got2["zzz"].precision == 0.0
+
+
+def test_bradley_terry_exact_at_arena_scale_counts(spark):
+    """Regression (round 7): with realistic per-pair game counts the MM
+    pair term 2·n_ij·FP²/(p_i+p_j) exceeds int64, and Spark's decimal
+    `div` silently returns a WRAPPED long — ratings came back 12×
+    wrong at 10k games/pair.  Every division now routes through the
+    exact two-step _div_dec; this pins the result to a pure-Python
+    integer reference of the same update rule."""
+    from kbdatalakeapps_spark.operators.mleval import (
+        _FP,
+        bradley_terry_ratings,
+    )
+
+    counts = {  # (winner, loser): games — far past the wrap threshold
+        ("a", "b"): 120_000,
+        ("b", "a"): 40_000,
+        ("a", "c"): 90_000,
+        ("c", "b"): 55_000,
+    }
+    pairs = spark.createDataFrame(
+        [(w, l, n) for (w, l), n in counts.items()],
+        "winner string, loser string, n long",
+    )
+    iters, prior = 5, 1
+    got = {
+        r.item: (r.p_fp, r.wins, r.games)
+        for r in bradley_terry_ratings(
+            pairs, count_col="n", iterations=iters, prior_games=prior
+        ).collect()
+    }
+
+    # pure-Python big-int reference of the identical fixed-point MM
+    wins_d = {}
+    for (w, l), n in counts.items():
+        wins_d[(w, l)] = wins_d.get((w, l), 0) + n
+    items = sorted({x for p in counts for x in p})
+    n_ij = {}
+    for (w, l), n in wins_d.items():
+        n_ij[(w, l)] = n_ij.get((w, l), 0) + n
+        n_ij[(l, w)] = n_ij.get((l, w), 0) + n
+    wins = {i: sum(n for (w, _), n in wins_d.items() if w == i) for i in items}
+    games = {i: sum(n for (a, _), n in n_ij.items() if a == i) for i in items}
+    lo, hi = _FP // 10**3, _FP * 10**3
+    p = {i: _FP for i in items}
+    for _ in range(iters):
+        d = {
+            i: sum(
+                (2 * n * _FP * _FP) // (p[i] + p[j])
+                for (a, j), n in n_ij.items()
+                if a == i
+            )
+            for i in items
+        }
+        p = {
+            i: max(lo, min(hi,
+                ((2 * wins[i] + prior) * _FP * _FP)
+                // (d[i] + (2 * prior * _FP * _FP) // (p[i] + _FP))))
+            for i in items
+        }
+    for i in items:
+        assert got[i] == (p[i], wins[i], games[i]), (i, got[i], p[i])
+    # and every rating is positive/finite — no wrapped longs anywhere
+    assert all(lo <= v[0] <= hi for v in got.values())

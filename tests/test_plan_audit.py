@@ -32,6 +32,7 @@ _BNLJ_OK = {
     "tx_hybrid_rrf",          # same BM25 scalars inside the fused arm
     "tx_vocab_stats",         # corpus token-total scalar
     "a14_column_stats",       # median offset scalar
+    "tx_clf_score",           # 1-row classifier bias (score_hashed_classifier)
     # bounded-small (not 1-row) broadcast sides: the product is
     # |corpus| × k with k fixed by the operator contract
     "sim_cosine_topk",        # brute-force baseline: bounded query set × corpus

@@ -366,3 +366,33 @@ def test_margin_bitext_mining_recovers_alignment(spark):
     ).count() == 0
     al = margin_bitext_pairs(src, tgt, k=4, strategy="all", threshold=0.0)
     assert al.count() >= n
+
+
+def test_margin_bitext_bit_deterministic_under_repartitioning(spark):
+    """The neighborhood averages are int64 fixed point (Σ floor(cos·
+    10¹⁵) + one float division), so the margin — and the mutual-argmax
+    SELECTION — must be bit-identical at any partitioning (float avg()
+    would be accumulation-order sensitive)."""
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.similarity import margin_bitext_pairs
+
+    def vec(seed):
+        v = np.random.RandomState(seed).normal(size=24)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    src = spark.createDataFrame(
+        [(i, vec(i)) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(100 + i, vec(i + 3)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    base = margin_bitext_pairs(src, tgt, k=3, strategy="all", threshold=0.0)
+    ref = sorted(map(tuple, base.collect()))
+    for parts in (1, 7):
+        got = margin_bitext_pairs(
+            src.repartition(parts), tgt.repartition(max(1, parts - 1)),
+            k=3, strategy="all", threshold=0.0, broadcast_tgt=False,
+        )
+        assert sorted(map(tuple, got.collect())) == ref
