@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "sp_bootstrap_ci",             # Poisson-bootstrap CI (50-replicate explode)
     "ml_bradley_terry",            # MM preference ratings (4 iterative rounds)
     "tx_gopher_rules",             # Gopher quality rules, one native scan
+    "tx_gopher_repetition",        # Gopher repetition rules (9x n-gram explode)
 ]
 
 # The most expensive queries — measured twice, median reported.

@@ -1425,3 +1425,194 @@ def perplexity_score_kn(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
         F.exp(-F.sum("logp") / F.count(F.lit(1))).alias("perplexity"),
     )
+
+
+#: Gopher Table-A2 repetition thresholds (Rae et al. 2021): a document
+#: is removed when the signal EXCEEDS its threshold.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _dup_unit_stats(
+    df: DataFrame, id_col: str, units: Column, prefix: str
+) -> DataFrame:
+    """Per-document duplicate-unit stats over an array of text units
+    (lines or paragraphs): (id, {prefix}_frac, {prefix}_char_frac)
+    with  frac = (occurrences − distinct)/occurrences  and
+    char_frac = chars in ALL occurrences of duplicated units / chars
+    in all occurrences — the Gopher/Dolma convention.  One doc-keyed
+    explode + groupBy; never a corpus-global key."""
+    e = df.select(F.col(id_col).alias("_id"), F.explode(units).alias("_u"))
+    g = e.groupBy("_id", "_u").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        g.groupBy("_id")
+        .agg(
+            F.sum("_c").alias("_occ"),
+            F.count(F.lit(1)).alias("_uniq"),
+            F.sum(F.col("_c") * F.length("_u")).alias("_chars"),
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c") * F.length("_u"))
+                .otherwise(F.lit(0))
+            ).alias("_dchars"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(
+                F.col("_occ") > 0,
+                (F.col("_occ") - F.col("_uniq")).cast("double")
+                / F.col("_occ").cast("double"),
+            ).alias(f"{prefix}_frac"),
+            F.when(
+                F.col("_chars") > 0,
+                F.col("_dchars").cast("double") / F.col("_chars").cast("double"),
+            ).alias(f"{prefix}_char_frac"),
+        )
+    )
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    top_ngram_max: dict[int, float] | None = None,
+    dup_ngram_max: dict[int, float] | None = None,
+) -> DataFrame:
+    """The published Gopher REPETITION rules (Rae et al. 2021, Table
+    A2) — the other half of the Gopher filter next to
+    :func:`gopher_quality_filter`'s Table A1: templated/spammy pages
+    repeat themselves, and repetition is measured four ways —
+    duplicate lines, duplicate paragraphs (each by unit count AND by
+    character mass), the most-common n-gram's character share
+    (n=2..4), and the character share of ALL duplicated n-grams
+    (n=5..10).  Same auditable ``drop_reasons``/``keep`` shape.
+
+    Conventions (documented because implementations vary; the oracle
+    replays these exactly):
+      * lines split on ``\\n``, paragraphs on ``\\n{2,}``; whitespace-
+        only units dropped, otherwise RAW (untrimmed) unit identity;
+      * dup-unit frac = (occurrences − distinct)/occurrences; char
+        frac counts every occurrence of a unit that appears >1 times;
+      * n-grams over the whitespace/lowercase ``tokens`` stream,
+        joined by single spaces; an n-gram's character weight is its
+        non-separator length (Σ token chars); denominators are the
+        doc's total token characters;
+      * the dup-n-gram char fraction counts every occurrence of every
+        repeated n-gram (the standard approximation of positional
+        character coverage — overlaps can double-count, so the value
+        caps at 1.0).
+
+    Scale shape: one doc-keyed explode+groupBy per unit family (lines,
+    paragraphs, n-grams with n folded into the grouping key) — three
+    shuffles total, all keyed by (doc, unit), never corpus-global; the
+    n-gram pass is ~9× the token stream, the inherent price of the
+    published filter (run it after the cheap Table-A1 gate).  NULL
+    text drops with reason ``null_text``."""
+    top_ngram_max = dict(GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max)
+    dup_ngram_max = dict(GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max)
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(c, r"\n", -1), lambda l: F.trim(l) != ""
+        ).alias("_lines"),
+        F.filter(
+            F.split(c, r"\n{2,}", -1), lambda p: F.trim(p) != ""
+        ).alias("_paras"),
+        tokens(text_col).alias("_toks"),
+        c.isNull().alias("_null"),
+    )
+    line_stats = _dup_unit_stats(base, id_col, F.col("_lines"), "rep_dup_line")
+    para_stats = _dup_unit_stats(base, id_col, F.col("_paras"), "rep_dup_para")
+
+    ns = sorted(set(top_ngram_max) | set(dup_ngram_max))
+    toks = base.select(
+        id_col,
+        "_toks",
+        F.aggregate(
+            F.col("_toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("_wchars"),
+    )
+    def _gram_array(n: int) -> Column:
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # passes (element, index) to two-parameter lambdas, which would
+        # silently shadow a `n=n` default-arg binding
+        return F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice("_toks", i + 1, n)).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    gram_arrays = [_gram_array(n) for n in ns]
+    ge = toks.select(
+        id_col, "_wchars", F.explode(F.flatten(F.array(*gram_arrays))).alias("_gr")
+    ).select(
+        id_col,
+        "_wchars",
+        F.col("_gr.n").alias("_n"),
+        F.col("_gr.g").alias("_g"),
+        # non-separator character weight of the gram
+        (F.length("_gr.g") - (F.col("_gr.n") - 1)).cast("long").alias("_gc"),
+    )
+    gg = ge.groupBy(id_col, "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_c"), F.max("_gc").alias("_gc"), F.max("_wchars").alias("_w")
+    )
+    per_n = gg.groupBy(id_col, "_n").agg(
+        F.max(F.col("_c") * F.col("_gc")).alias("_top_chars"),
+        F.sum(
+            F.when(F.col("_c") > 1, F.col("_c") * F.col("_gc")).otherwise(F.lit(0))
+        ).alias("_dup_chars"),
+        F.max("_w").alias("_w"),
+    )
+    frac = lambda num: F.when(  # noqa: E731
+        F.col("_w") > 0,
+        F.least(F.lit(1.0), num.cast("double") / F.col("_w").cast("double")),
+    )
+    gram_stats = per_n.groupBy(id_col).agg(
+        *[
+            F.max(
+                F.when(F.col("_n") == n, frac(F.col("_top_chars")))
+            ).alias(f"rep_top_{n}gram_char_frac")
+            for n in sorted(top_ngram_max)
+        ],
+        *[
+            F.max(
+                F.when(F.col("_n") == n, frac(F.col("_dup_chars")))
+            ).alias(f"rep_dup_{n}gram_char_frac")
+            for n in sorted(dup_ngram_max)
+        ],
+    )
+    out = (
+        df.join(line_stats, id_col, "left")
+        .join(para_stats, id_col, "left")
+        .join(gram_stats, id_col, "left")
+    )
+    rules = [
+        ("null_text", F.col(text_col).isNull()),
+        ("dup_lines", F.col("rep_dup_line_frac") > max_dup_line_frac),
+        ("dup_line_chars", F.col("rep_dup_line_char_frac") > max_dup_line_char_frac),
+        ("dup_paras", F.col("rep_dup_para_frac") > max_dup_para_frac),
+        ("dup_para_chars", F.col("rep_dup_para_char_frac") > max_dup_para_char_frac),
+    ]
+    rules += [
+        (f"top_{n}gram", F.col(f"rep_top_{n}gram_char_frac") > thr)
+        for n, thr in sorted(top_ngram_max.items())
+    ]
+    rules += [
+        (f"dup_{n}gram", F.col(f"rep_dup_{n}gram_char_frac") > thr)
+        for n, thr in sorted(dup_ngram_max.items())
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return out.withColumns(
+        {"drop_reasons": reasons, "keep": reasons == F.lit("")}
+    )

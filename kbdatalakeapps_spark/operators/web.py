@@ -684,3 +684,62 @@ def frontier_schedule(
     return out.withColumn(
         "fetcher", F.pmod(F.xxhash64("host"), F.lit(n_fetchers))
     )
+
+
+def domain_blocklist_filter(
+    urls: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """URL filtering against a domain blocklist with SUFFIX matching —
+    the RefinedWeb/FineWeb curation step: a rule ``example.com`` must
+    block ``a.b.example.com`` too, and the most specific (longest)
+    matching rule should be reported for the audit trail.
+
+    Relational form for 100 TB: each URL's host explodes into its
+    ≤ #labels registrable suffixes (``a.b.c`` → ``a.b.c``, ``b.c``,
+    ``c``), equi-joined against the (broadcastable) blocklist —
+    suffix matching becomes a hash join, never a LIKE scan or a
+    per-row loop over rules.  Fan-out is bounded by hostname depth
+    (≲ 6 labels in practice).  Output keeps EVERY input row, adds
+    ``host``, ``blocked`` and ``matched_domain`` (the longest
+    matching rule, NULL when clean) — filter on ``~blocked`` or keep
+    the columns for a data card.
+
+    The blocklist needs one ``domain`` column of lowercase registered
+    domains/suffixes; rows never multiply (the explode is collapsed
+    back by a per-URL argmax before rejoining)."""
+    host = F.regexp_replace(  # authority minus any :port
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+            )
+        ),
+        r":\d+$",
+        "",
+    )
+    d = urls.withColumn("host", host)
+    parts = F.split(F.col("host"), r"\.")
+    sufs = d.select(
+        url_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(parts) - 1),
+                lambda i: F.concat_ws(
+                    ".", F.slice(parts, i + 1, F.size(parts) - i)
+                ),
+            )
+        ).alias("_suf"),
+    )
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("_suf")).distinct()
+    )
+    hits = (
+        sufs.join(bl, "_suf")
+        .groupBy(url_col)
+        .agg(F.max_by("_suf", F.length("_suf")).alias("matched_domain"))
+    )
+    return d.join(hits, url_col, "left").withColumn(
+        "blocked", F.col("matched_domain").isNotNull()
+    )

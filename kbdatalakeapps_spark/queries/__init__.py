@@ -50,7 +50,10 @@ DRIVER_WINDOW: list[str] = [
     "tx_clf_score",
     "wb_frontier_waves",
     "sim_bitext_margin",
-    # sentinels: the 41 LEAST-recently-verified queries (all last
+    # round-7 continuation registrations (pre-verified the same way)
+    "tx_gopher_repetition",
+    "wb_domain_blocklist",
+    # sentinels: the 39 LEAST-recently-verified queries (all last
     # hash-green in round 2) — rotating the oldest signal forward
     "a10_conditional_avg",
     "a11_ratio_agg",
@@ -91,8 +94,6 @@ DRIVER_WINDOW: list[str] = [
     "u1_union_tagged",
     "u3_except_intersect",
     "w1_argmax_per_group",
-    "w3_sort_nulls_last",
-    "a12_source_counts",
 ]
 
 

@@ -1776,3 +1776,225 @@ def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 9).alias("cosine"),
         F.round("margin", 9).alias("margin"),
     )
+
+
+def _gopher_rep_sql() -> str:
+    # per-n gram stats as UNION ALL legs (n folded into the key, the
+    # engine's exact shape)
+    legs = []
+    for n in range(2, 11):
+        legs.append(f"""
+        SELECT doc_id, {n} AS n, g,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(length(g) - {n - 1} AS BIGINT) AS gc
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(tk) >= {n}
+                          THEN list_transform(
+                              generate_series(1, len(tk) - {n - 1}),
+                              i -> array_to_string(tk[i:i + {n - 1}], ' '))
+                          ELSE [] END) AS g
+            FROM toks
+        ) GROUP BY doc_id, g""")
+    grams = " UNION ALL ".join(legs)
+    top_cols = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN top_frac END) AS rep_top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN dup_frac END) AS rep_dup_{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    return f"""
+    WITH d2 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, ' query ', chr(10) || chr(10), 'g'),
+                              ' table ', chr(10), 'g') AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM d2
+    ),
+    wc AS (
+        SELECT doc_id,
+               CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)
+                    AS BIGINT) AS w
+        FROM toks
+    ),
+    lines AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                                          l -> trim(l) <> '')) AS u
+        FROM d2
+    ),
+    paras AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\n{{2,}}'),
+                                          p -> trim(p) <> '')) AS u
+        FROM d2
+    ),
+    lstat AS (
+        SELECT doc_id,
+               CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                   AS rep_dup_line_frac,
+               CAST(SUM(CASE WHEN c > 1 THEN c * ch ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(c * ch) AS DOUBLE) AS rep_dup_line_char_frac
+        FROM (SELECT doc_id, u, COUNT(*) AS c, length(u) AS ch
+              FROM lines GROUP BY doc_id, u)
+        GROUP BY doc_id
+    ),
+    pstat AS (
+        SELECT doc_id,
+               CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                   AS rep_dup_para_frac,
+               CAST(SUM(CASE WHEN c > 1 THEN c * ch ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(c * ch) AS DOUBLE) AS rep_dup_para_char_frac
+        FROM (SELECT doc_id, u, COUNT(*) AS c, length(u) AS ch
+              FROM paras GROUP BY doc_id, u)
+        GROUP BY doc_id
+    ),
+    gg AS ({grams}),
+    per_n AS (
+        SELECT gg.doc_id, gg.n,
+               LEAST(1.0, CAST(MAX(c * gc) AS DOUBLE) / CAST(MAX(w) AS DOUBLE))
+                   AS top_frac,
+               LEAST(1.0, CAST(SUM(CASE WHEN c > 1 THEN c * gc ELSE 0 END)
+                               AS DOUBLE) / CAST(MAX(w) AS DOUBLE)) AS dup_frac
+        FROM gg JOIN wc ON wc.doc_id = gg.doc_id
+        WHERE wc.w > 0
+        GROUP BY gg.doc_id, gg.n
+    ),
+    gstat AS (SELECT doc_id, {top_cols}, {dup_cols} FROM per_n GROUP BY doc_id)
+    SELECT d2.doc_id,
+           lstat.rep_dup_line_frac, lstat.rep_dup_line_char_frac,
+           pstat.rep_dup_para_frac, pstat.rep_dup_para_char_frac,
+           gstat.rep_top_2gram_char_frac, gstat.rep_top_3gram_char_frac,
+           gstat.rep_top_4gram_char_frac,
+           gstat.rep_dup_5gram_char_frac, gstat.rep_dup_6gram_char_frac,
+           gstat.rep_dup_7gram_char_frac, gstat.rep_dup_8gram_char_frac,
+           gstat.rep_dup_9gram_char_frac, gstat.rep_dup_10gram_char_frac,
+           concat_ws(',',
+               CASE WHEN rep_dup_line_frac > 0.30 THEN 'dup_lines' END,
+               CASE WHEN rep_dup_line_char_frac > 0.20 THEN 'dup_line_chars' END,
+               CASE WHEN rep_dup_para_frac > 0.30 THEN 'dup_paras' END,
+               CASE WHEN rep_dup_para_char_frac > 0.20 THEN 'dup_para_chars' END,
+               CASE WHEN rep_top_2gram_char_frac > 0.20 THEN 'top_2gram' END,
+               CASE WHEN rep_top_3gram_char_frac > 0.18 THEN 'top_3gram' END,
+               CASE WHEN rep_top_4gram_char_frac > 0.16 THEN 'top_4gram' END,
+               CASE WHEN rep_dup_5gram_char_frac > 0.15 THEN 'dup_5gram' END,
+               CASE WHEN rep_dup_6gram_char_frac > 0.14 THEN 'dup_6gram' END,
+               CASE WHEN rep_dup_7gram_char_frac > 0.13 THEN 'dup_7gram' END,
+               CASE WHEN rep_dup_8gram_char_frac > 0.12 THEN 'dup_8gram' END,
+               CASE WHEN rep_dup_9gram_char_frac > 0.11 THEN 'dup_9gram' END,
+               CASE WHEN rep_dup_10gram_char_frac > 0.10 THEN 'dup_10gram' END
+           ) AS drop_reasons,
+           concat_ws(',',
+               CASE WHEN rep_dup_line_frac > 0.30 THEN 'dup_lines' END,
+               CASE WHEN rep_dup_line_char_frac > 0.20 THEN 'dup_line_chars' END,
+               CASE WHEN rep_dup_para_frac > 0.30 THEN 'dup_paras' END,
+               CASE WHEN rep_dup_para_char_frac > 0.20 THEN 'dup_para_chars' END,
+               CASE WHEN rep_top_2gram_char_frac > 0.20 THEN 'top_2gram' END,
+               CASE WHEN rep_top_3gram_char_frac > 0.18 THEN 'top_3gram' END,
+               CASE WHEN rep_top_4gram_char_frac > 0.16 THEN 'top_4gram' END,
+               CASE WHEN rep_dup_5gram_char_frac > 0.15 THEN 'dup_5gram' END,
+               CASE WHEN rep_dup_6gram_char_frac > 0.14 THEN 'dup_6gram' END,
+               CASE WHEN rep_dup_7gram_char_frac > 0.13 THEN 'dup_7gram' END,
+               CASE WHEN rep_dup_8gram_char_frac > 0.12 THEN 'dup_8gram' END,
+               CASE WHEN rep_dup_9gram_char_frac > 0.11 THEN 'dup_9gram' END,
+               CASE WHEN rep_dup_10gram_char_frac > 0.10 THEN 'dup_10gram' END
+           ) = '' AS keep
+    FROM d2
+    LEFT JOIN lstat USING (doc_id)
+    LEFT JOIN pstat USING (doc_id)
+    LEFT JOIN gstat USING (doc_id)
+    """
+
+
+@query("tx_gopher_repetition", oracle=_gopher_rep_sql())
+def tx_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher Table-A2 REPETITION rules (Rae et al.
+    2021; operators/text.py::gopher_repetition_filter) — duplicate
+    line/paragraph fractions by unit and by character mass, top
+    2–4-gram character share, duplicate 5–10-gram character share —
+    over documents with deterministic line/paragraph structure
+    injected in BOTH forms (' table '→newline, ' query '→blank line),
+    so the line/para signals measure real duplicates, not a vacuous
+    single-line zero.  Every fraction is one fixed IEEE division of
+    exact integer sums — hash-portable unrounded."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), " query ", "\n\n"),
+            " table ",
+            "\n",
+        ).alias("text"),
+    )
+    g = tx.gopher_repetition_filter(d2)
+    sig = [
+        "rep_dup_line_frac", "rep_dup_line_char_frac",
+        "rep_dup_para_frac", "rep_dup_para_char_frac",
+        "rep_top_2gram_char_frac", "rep_top_3gram_char_frac",
+        "rep_top_4gram_char_frac",
+        "rep_dup_5gram_char_frac", "rep_dup_6gram_char_frac",
+        "rep_dup_7gram_char_frac", "rep_dup_8gram_char_frac",
+        "rep_dup_9gram_char_frac", "rep_dup_10gram_char_frac",
+    ]
+    return g.select("doc_id", *sig, "drop_reasons", "keep")
+
+
+@query(
+    "wb_domain_blocklist",
+    oracle="""
+    WITH urls AS (
+        SELECT 'https://cdn.' || source || '.example/doc/' || doc_id AS url,
+               lower('cdn.' || source || '.example') AS host
+        FROM documents
+    ),
+    bl(dom) AS (VALUES ('src3.example'), ('src7.example'),
+                       ('src1.example'), ('cdn.src12.example')),
+    sufs AS (
+        SELECT url,
+               unnest(list_transform(
+                   generate_series(1, len(string_split(host, '.'))),
+                   i -> array_to_string(
+                       string_split(host, '.')[i:len(string_split(host, '.'))],
+                       '.'))) AS suf
+        FROM urls
+    ),
+    hits AS (
+        SELECT url, arg_max(suf, length(suf)) AS matched_domain
+        FROM sufs JOIN bl ON bl.dom = sufs.suf
+        GROUP BY url
+    )
+    SELECT urls.url, urls.host, hits.matched_domain,
+           hits.matched_domain IS NOT NULL AS blocked
+    FROM urls LEFT JOIN hits USING (url)
+    """,
+)
+def wb_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist URL filtering with suffix semantics
+    (operators/web.py::domain_blocklist_filter) over subdomained URLs
+    derived from documents: parent rules (src3.example) block
+    cdn.src3.example via the exploded-suffix equi-join; the
+    label-boundary property holds (src1.example blocks src1, never
+    src11/src18); one fully-qualified rule exercises the
+    longest-match report.  Broadcast blocklist, hash join — never a
+    LIKE scan."""
+    from ..operators.web import domain_blocklist_filter
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://cdn."), F.col("source"), F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("url")
+    )
+    bl = d.sparkSession.createDataFrame(
+        [("src3.example",), ("src7.example",), ("src1.example",),
+         ("cdn.src12.example",)],
+        "domain string",
+    )
+    out = domain_blocklist_filter(urls, bl)
+    return out.select("url", "host", "matched_domain", "blocked")

@@ -427,3 +427,64 @@ def test_kneser_ney_matches_python_reference(spark):
     for i, text in tests:
         assert abs(got[i] - ppl(text)) / ppl(text) < 1e-12, (i, got[i], ppl(text))
     assert got[10] < got[11] < got[12]
+
+
+def test_gopher_repetition_filter_rules(spark):
+    """Gopher Table-A2 repetition rules: hand-computed signals per
+    convention (raw-unit identity, char mass counts every occurrence
+    of a repeated unit, n-gram char weight excludes separators,
+    denominators are total token chars)."""
+    from kbdatalakeapps_spark.operators.text import gopher_repetition_filter
+
+    dup_lines = "alpha beta\ngamma delta\nalpha beta\nepsilon zeta"
+    # one dominant bigram: "spam spam" repeated
+    top_bigram = "spam spam spam spam spam unique words here now"
+    clean = "one two three four five six seven eight nine ten"
+    # a 5-gram repeated twice, embedded in distinct context
+    five = "a b c d e x1 x2 a b c d e y1 y2 z"
+    rows = [(1, dup_lines), (2, top_bigram), (3, clean), (4, five), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in gopher_repetition_filter(
+            df,
+            # loosen the unrelated word-level gates so only the
+            # repetition signal under test decides each row
+            max_dup_line_frac=0.25,
+            top_ngram_max={2: 0.5},
+            dup_ngram_max={5: 0.2},
+        ).collect()
+    }
+
+    # doc 1: 4 lines, 3 distinct → dup_line_frac = 1/4; chars: each
+    # line 10|11|10|12 chars → dup char mass 20 of 43
+    assert abs(got[1].rep_dup_line_frac - 0.25) < 1e-12
+    assert abs(got[1].rep_dup_line_char_frac - 20 / 43) < 1e-12
+    assert "dup_lines" not in got[1].drop_reasons or got[1].rep_dup_line_frac > 0.25
+    # 1/4 == threshold 0.25 → NOT exceeded → rule must not fire
+    assert "dup_lines" not in got[1].drop_reasons
+
+    # doc 2: tokens = 5×spam + 4 distinct; bigram "spam spam" ×4,
+    # char weight 8; total token chars = 5*4 + 6+5+4+3 = 38
+    assert abs(got[2].rep_top_2gram_char_frac - 32 / 38) < 1e-12
+    assert "top_2gram" in got[2].drop_reasons and not got[2].keep
+
+    # doc 3: all distinct → every signal 0, keeps
+    assert got[3].keep and got[3].drop_reasons == ""
+    assert got[3].rep_dup_line_frac == 0.0
+    assert got[3].rep_dup_5gram_char_frac == 0.0
+
+    # doc 4: "a b c d e" (char weight 5) occurs twice among 11
+    # positions; total token chars = 13*1 + 2*2... tokens: a b c d e
+    # x1 x2 a b c d e y1 y2 z = 10×1 + 4×2 + 1 = 19... recount:
+    # [a,b,c,d,e,x1,x2,a,b,c,d,e,y1,y2,z] = 11 one-char + 4 two-char
+    # = 19 chars; dup 5-gram mass = 2·5 = 10
+    assert abs(got[4].rep_dup_5gram_char_frac - 10 / 19) < 1e-12
+    assert "dup_5gram" in got[4].drop_reasons
+
+    # NULL text
+    assert got[5].drop_reasons == "null_text" and not got[5].keep
+
+    # defaults path smoke: thresholds from the paper tables
+    full = gopher_repetition_filter(df).filter("doc_id = 2").first()
+    assert "top_2gram" in full.drop_reasons

@@ -990,3 +990,42 @@ def test_read_warc_split_rejects_partial_index(spark, tmp_path):
     one_file = idx.filter("warc_file = 'mix.warc.gz'")
     with pytest.raises(ValueError, match="complete warc_index"):
         read_warc_split(spark, str(tmp_path), index_df=one_file).count()
+
+
+def test_domain_blocklist_suffix_matching(spark):
+    """Blocklist curation: suffix rules block subdomains via an
+    equi-join on exploded host suffixes (never a LIKE scan), the most
+    specific rule is reported, every input row survives."""
+    from kbdatalakeapps_spark.operators.web import domain_blocklist_filter
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.b.spam.example/page", 1),
+            ("https://spam.example/", 2),
+            ("https://clean.example/x", 3),
+            ("https://deep.bad.spam.example/y", 4),   # two rules match
+            ("https://spamexample.com/", 5),          # NOT a suffix match
+            ("http://sub.evil.net:8080/p?q=1", 6),    # port stays in host
+        ],
+        "url string, k int",
+    )
+    bl = spark.createDataFrame(
+        [("spam.example",), ("bad.spam.example",), ("evil.net",)],
+        "domain string",
+    )
+    got = {r.k: r for r in domain_blocklist_filter(urls, bl).collect()}
+    assert len(got) == 6
+    assert got[1].blocked and got[1].matched_domain == "spam.example"
+    assert got[2].blocked and got[2].matched_domain == "spam.example"
+    assert not got[3].blocked and got[3].matched_domain is None
+    # longest (most specific) rule wins the report
+    assert got[4].matched_domain == "bad.spam.example"
+    # substring-but-not-suffix must NOT match
+    assert not got[5].blocked
+    # the :port is stripped from the authority before suffixing
+    assert got[6].blocked and got[6].matched_domain == "evil.net"
+    assert got[6].host == "sub.evil.net"
+
+    # the blocklist side is broadcast in the plan
+    plan = domain_blocklist_filter(urls, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
