@@ -1525,6 +1525,18 @@ def gopher_repetition_filter(
         tokens(text_col).alias("_toks"),
         c.isNull().alias("_null"),
     )
+    # gram GENERATION is the expensive leg (O(Σn·T) slice+concat per
+    # doc) and inherits the SCAN's parallelism — a few compacted
+    # parquet files would serialize it.  When the input is narrower
+    # than the session's shuffle width, one tiny shuffle of the
+    # compact unit-array frame buys full-width generation; at real
+    # corpus scale the scan already provides width and this is a
+    # no-op.  The lineage cut shares the split/tokenize work across
+    # the three stat branches instead of re-scanning per branch.
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, id_col)
+    base = base.localCheckpoint(eager=False)
     line_stats = _dup_unit_stats(base, id_col, F.col("_lines"), "rep_dup_line")
     para_stats = _dup_unit_stats(base, id_col, F.col("_paras"), "rep_dup_para")
 
