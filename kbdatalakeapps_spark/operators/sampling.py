@@ -697,6 +697,15 @@ def bootstrap_mean_ci(
     base = df.filter(F.col(value_col).isNotNull()).select(
         *groups, F.col(key_col).alias("_k"), x_fp.alias("_x")
     )
+    # the replicate explode (B× rows, one md5 per (row, replicate))
+    # inherits the scan's parallelism — a narrow input would serialize
+    # the expensive generation leg.  One tiny shuffle of the compact
+    # (groups, key, x) frame buys full width; a no-op when the scan
+    # already provides it.  Weights are content-keyed, so the result
+    # is identical at any partitioning (tested).
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, F.col("_k"))
     # observed mean: exact fixed-point sum, one division
     obs = base.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n"),
