@@ -956,9 +956,14 @@ def margin_bitext_pairs(
     w_bwd = Window.partitionBy("tgt_id").orderBy(
         F.col("cosine").desc(), F.col("src_id").asc()
     )
-    ranked = scored.withColumn(
-        "_rf", F.row_number().over(w_fwd)
-    ).withColumn("_rb", F.row_number().over(w_bwd))
+    # ranked feeds three consumers (both neighborhood averages and the
+    # candidate filter) and cand feeds both argmax passes — lineage
+    # cuts stop the window subtrees from re-executing per consumer
+    ranked = (
+        scored.withColumn("_rf", F.row_number().over(w_fwd))
+        .withColumn("_rb", F.row_number().over(w_bwd))
+        .localCheckpoint(eager=False)
+    )
     # neighborhood averages in int64 fixed point (Σ floor(cos·10¹⁵),
     # ONE float division back) — float avg() is accumulation-order
     # sensitive, so the margin would not be bit-stable under
@@ -1002,6 +1007,7 @@ def margin_bitext_pairs(
     )
     if strategy == "all":
         return cand.filter(F.col("margin") >= threshold)
+    cand = cand.localCheckpoint(eager=False)
     wm_s = Window.partitionBy("src_id").orderBy(
         F.col("margin").desc(), F.col("tgt_id").asc()
     )

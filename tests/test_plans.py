@@ -234,6 +234,23 @@ def test_exchange_counts_bounded(spark):
         "dq_l_diversity": 6,
         "sim_mips_topk": 2,
         "mm_scene_cuts": 2,
+        # round-7 registrations, measured 1 / 2 / 0 / 5 / 0 / 2 / 1 /
+        # 4 / 7 / 3: pass@k and gopher_rules are single-scan;
+        # bradley_terry's per-round joins sit behind the materializer;
+        # bootstrap pays the width repartition + replicate groupBy +
+        # bounded percentile window; bitext was 15 before ranked/cand
+        # lineage cuts (this bound pins that fix); repetition is the
+        # width repartition + three doc-keyed unit aggs + rejoins
+        "ml_pass_at_k": 2,
+        "ml_class_report": 4,
+        "ml_bradley_terry": 2,
+        "sp_bootstrap_ci": 8,
+        "tx_gopher_rules": 1,
+        "tx_clf_score": 4,
+        "wb_frontier_waves": 2,
+        "sim_bitext_margin": 6,
+        "tx_gopher_repetition": 10,
+        "wb_domain_blocklist": 5,
     }
     over = {}
     for name, bound in bounds.items():
