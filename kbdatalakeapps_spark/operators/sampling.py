@@ -774,3 +774,80 @@ def bootstrap_mean_ci(
         )
     )
     return obs.join(ci, groups) if groups else obs.crossJoin(F.broadcast(ci))
+
+
+def inference_batches(
+    df: DataFrame,
+    len_col: str,
+    id_col: str = "doc_id",
+    batch_rows: int = 32,
+    num_shards: int = 64,
+    salt: str = "infb",
+) -> DataFrame:
+    """Length-bucketed batch assignment for batch inference — the
+    serving-side complement of ``pack_sequences``: a batch's compute
+    cost is ``rows × max_len`` (everything pads to the longest
+    member), so batching docs of similar length minimizes padding
+    waste.  The dynamic-batching idea inference servers use, computed
+    ahead of time for offline scoring runs.
+
+    Shape: ``band`` = ⌊log2(len)⌋ via the INTEGER bit-length
+    (``length(bin(len))`` — no float log, so band edges are exact),
+    ``shard`` = content-keyed md5 of the id (reruns and any
+    partitioning produce identical batches — the house determinism
+    rule), then within (band, shard) docs order by length desc (ties
+    by id) and chop into ``batch_rows``-row batches.  Per-row batch
+    stats ride a bounded window (≤ batch_rows rows per partition
+    slice): ``batch_max_len`` and ``batch_fill`` = Σlen/(n·max) — the
+    padding-efficiency audit a scoring run reports.
+
+    Scale posture: ONE shuffle on (band, shard); shards bound the
+    per-window partition to |corpus|/(bands·shards) regardless of
+    length skew — never a global or single-band sort.  Lengths < 1 or
+    NULL clamp to 1 (band 0) instead of dropping rows."""
+    if batch_rows < 1:
+        raise ValueError("batch_rows must be >= 1")
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    ln = F.greatest(F.lit(1), F.coalesce(F.col(len_col).cast("long"), F.lit(1)))
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(num_shards),
+    )
+    base = df.select(
+        F.col(id_col),
+        ln.alias("_len"),
+        (F.length(F.bin(ln)) - 1).cast("int").alias("band"),
+        shard.cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("band", "shard").orderBy(
+        F.col("_len").desc(), F.col(id_col).asc()
+    )
+    ranked = base.withColumn(
+        "batch_index",
+        F.floor((F.row_number().over(w) - 1) / F.lit(batch_rows)).cast("long"),
+    )
+    wb = Window.partitionBy("band", "shard", "batch_index")
+    return ranked.select(
+        id_col,
+        F.col("_len").alias("len"),
+        "band",
+        "shard",
+        "batch_index",
+        F.max("_len").over(wb).alias("batch_max_len"),
+        (
+            F.sum("_len").over(wb).cast("double")
+            / (
+                F.count(F.lit(1)).over(wb)
+                * F.max("_len").over(wb)
+            ).cast("double")
+        ).alias("batch_fill"),
+    )

@@ -53,7 +53,8 @@ DRIVER_WINDOW: list[str] = [
     # round-7 continuation registrations (pre-verified the same way)
     "tx_gopher_repetition",
     "wb_domain_blocklist",
-    # sentinels: the 39 LEAST-recently-verified queries (all last
+    "sp_inference_batches",
+    # sentinels: the 38 LEAST-recently-verified queries (all last
     # hash-green in round 2) — rotating the oldest signal forward
     "a10_conditional_avg",
     "a11_ratio_agg",
@@ -93,7 +94,6 @@ DRIVER_WINDOW: list[str] = [
     "tx_text_stats",
     "u1_union_tagged",
     "u3_except_intersect",
-    "w1_argmax_per_group",
 ]
 
 

@@ -2031,3 +2031,53 @@ def sp_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp_scale=_BOOT_FP,
         salt=_BOOT_SALT,
     )
+
+
+@query(
+    "sp_inference_batches",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               GREATEST(1, CAST(len(list_filter(
+                   string_split_regex(lower(text), '\\s+'), t -> t <> ''))
+                   AS BIGINT)) AS l,
+               CAST(('0x' || substr(md5('infb:' || doc_id), 1, 15))::BIGINT % 4
+                    AS INT) AS shard
+        FROM documents
+    ),
+    banded AS (
+        SELECT doc_id, l,
+               CAST(length(printf('%b', l)) - 1 AS INT) AS band,
+               shard
+        FROM base
+    ),
+    ranked AS (
+        SELECT doc_id, l, band, shard,
+               CAST((ROW_NUMBER() OVER (PARTITION BY band, shard
+                                        ORDER BY l DESC, doc_id ASC) - 1) // 16
+                    AS BIGINT) AS batch_index
+        FROM banded
+    )
+    SELECT doc_id, l AS len, band, shard, batch_index,
+           MAX(l) OVER wb AS batch_max_len,
+           CAST(SUM(l) OVER wb AS DOUBLE)
+               / CAST(COUNT(*) OVER wb * MAX(l) OVER wb AS DOUBLE)
+               AS batch_fill
+    FROM ranked
+    WINDOW wb AS (PARTITION BY band, shard, batch_index)
+    """,
+)
+def sp_inference_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batch assignment (operators/
+    sampling.py::inference_batches) over documents with token-count
+    lengths: exact power-of-two bands from the integer bit length (no
+    float log), content-keyed md5 shards, 16-row batches, per-batch
+    padding-fill audit.  One (band, shard) shuffle; batch stats ride
+    a ≤16-row bounded window."""
+    from ..operators.sampling import inference_batches
+    from ..operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    return inference_batches(d, "n_tok", batch_rows=16, num_shards=4)

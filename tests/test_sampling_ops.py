@@ -455,3 +455,53 @@ def test_bootstrap_mean_ci_coverage_and_determinism(spark):
     # ungrouped form returns one row
     one = bootstrap_mean_ci(df, "v", "k", replicates=60).collect()
     assert len(one) == 1 and one[0].lo <= one[0].mean <= one[0].hi
+
+
+def test_inference_batches_padding_and_determinism(spark):
+    """Length-bucketed inference batching: exact power-of-two band
+    edges (integer bit length, no float log), content-keyed shards,
+    batch_rows cap, correct fill accounting, and identical batches at
+    any input partitioning."""
+    import hashlib
+
+    from kbdatalakeapps_spark.operators.sampling import inference_batches
+
+    rows = [(i, 1 + (i * 37) % 2000) for i in range(300)]
+    rows += [(900, None), (901, 0)]  # clamp cases
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    out = inference_batches(
+        df, "n_tok", batch_rows=8, num_shards=4, salt="t"
+    ).collect()
+    assert len(out) == 302  # every row survives
+    by = {r.doc_id: r for r in out}
+    # exact band edges: len 1024 is band 10, len 1023 band 9
+    for r in out:
+        assert r.band == r.len.bit_length() - 1
+    assert by[900].len == 1 and by[901].len == 1 and by[900].band == 0
+    # shard is the documented md5 mapping
+    for r in out[:20]:
+        h = int(hashlib.md5(f"t:{r.doc_id}".encode()).hexdigest()[:15], 16) % 4
+        assert r.shard == h
+    # batches never exceed batch_rows; fill = sum/(n*max), in (0, 1]
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r.band, r.shard, r.batch_index)].append(r)
+    for g in groups.values():
+        assert len(g) <= 8
+        mx = max(r.len for r in g)
+        fill = sum(r.len for r in g) / (len(g) * mx)
+        assert all(abs(r.batch_fill - fill) < 1e-12 for r in g)
+        assert all(r.batch_max_len == mx for r in g)
+        assert 0 < fill <= 1
+        # within-band similarity keeps padding modest for full batches
+        if len(g) == 8:
+            assert fill > 0.5
+    # partitioning-invariant assignments
+    again = sorted(
+        map(tuple, inference_batches(
+            df.repartition(13), "n_tok", batch_rows=8, num_shards=4, salt="t"
+        ).collect())
+    )
+    assert again == sorted(map(tuple, out))
