@@ -724,3 +724,202 @@ def classification_report(
         rec.alias("recall"),
         f1.alias("f1"),
     )
+
+
+def chrf_score(
+    df: DataFrame,
+    hyp_col: str = "hypothesis",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    max_n: int = 6,
+    beta: int = 2,
+) -> DataFrame:
+    """Sentence-level chrF (Popović 2015) — the MT/generation eval
+    metric that is PURE COUNT RATIOS, which is why it is the one this
+    engine ships with a cross-engine oracle: BLEU's brevity penalty
+    needs exp() (not bit-portable), chrF is an F-score.
+
+    Per pair: character n-grams (n = 1..max_n) over the
+    whitespace-stripped texts (the sacrebleu convention; case kept),
+    clipped overlap Σ_g min(c_hyp, c_ref) per n, then
+        chrFβ = mean_n (1+β²)·P_n·R_n / (β²·P_n + R_n)
+    with F_n = 0 when the denominator is 0, and n levels where the
+    hyp/ref is SHORTER than n contributing F_n = 0 (sacrebleu's
+    effective-order behavior is a documented divergence: we average
+    over all max_n levels always, keeping the expression a fixed
+    tree).  Every P/R is one division of exact BIGINT counts and the
+    mean is a FIXED summation tree over the max_n per-level columns —
+    no aggregation-order float sums anywhere, so the score is
+    bit-deterministic and DuckDB-replayable.
+
+    Scale: one explode per side (pair-keyed), a per-(pair, n, gram)
+    full-outer count join, two bounded reaggregations — everything
+    keyed by pair id, never corpus-global.  Output: (id, hyp_len,
+    ref_len, chrf) plus per-level chrf_p{n}/chrf_r{n} audit columns.
+    """
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    b2 = float(beta * beta)
+
+    def side(col: str, tag: str) -> DataFrame:
+        s = F.regexp_replace(F.col(col), r"\s+", "")
+        base = df.select(
+            F.col(id_col).alias("_id"), s.alias("_s"), F.length(s).alias("_len")
+        )
+
+        def grams(n: int):
+            return F.when(
+                F.col("_len") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_len") - n + 1),
+                    lambda i: F.struct(
+                        F.lit(n).alias("n"),
+                        F.substring(F.col("_s"), 1, 0).alias("_pad"),  # keep struct shape stable
+                        F.col("_s").substr(i, F.lit(n)).alias("g"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<n:int,_pad:string,g:string>>")
+            )
+
+        e = base.select(
+            "_id",
+            F.explode(
+                F.flatten(F.array(*[grams(n) for n in range(1, max_n + 1)]))
+            ).alias("_gr"),
+        ).select("_id", F.col("_gr.n").alias("_n"), F.col("_gr.g").alias("_g"))
+        return e.groupBy("_id", "_n", "_g").agg(
+            F.count(F.lit(1)).alias(f"_c_{tag}")
+        )
+
+    h = side(hyp_col, "h")
+    r = side(ref_col, "r")
+    j = h.join(r, ["_id", "_n", "_g"], "full").select(
+        "_id",
+        "_n",
+        F.coalesce("_c_h", F.lit(0)).alias("_ch"),
+        F.coalesce("_c_r", F.lit(0)).alias("_cr"),
+    )
+    per_n = j.groupBy("_id", "_n").agg(
+        F.sum(F.least("_ch", "_cr")).alias("_ov"),
+        F.sum("_ch").alias("_th"),
+        F.sum("_cr").alias("_tr"),
+    )
+
+    def fscore(p, rr):
+        return F.when(
+            (F.lit(b2) * p + rr) > 0,
+            (F.lit(1.0 + b2) * p * rr) / (F.lit(b2) * p + rr),
+        ).otherwise(F.lit(0.0))
+
+    lev = per_n.select(
+        "_id",
+        "_n",
+        F.when(
+            F.col("_th") > 0,
+            F.col("_ov").cast("double") / F.col("_th").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("_p"),
+        F.when(
+            F.col("_tr") > 0,
+            F.col("_ov").cast("double") / F.col("_tr").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("_r"),
+    )
+    wide = lev.groupBy("_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_n") == n, F.col("_p"))), F.lit(0.0)
+            ).alias(f"chrf_p{n}")
+            for n in range(1, max_n + 1)
+        ],
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_n") == n, F.col("_r"))), F.lit(0.0)
+            ).alias(f"chrf_r{n}")
+            for n in range(1, max_n + 1)
+        ],
+    )
+    # fixed summation tree over the per-level F columns (never a float
+    # agg): ((F1 + F2) + F3) + ... / max_n
+    total = None
+    for n in range(1, max_n + 1):
+        fn = fscore(F.col(f"chrf_p{n}"), F.col(f"chrf_r{n}"))
+        total = fn if total is None else total + fn
+    lens = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(F.regexp_replace(F.col(hyp_col), r"\s+", "")).alias("hyp_len"),
+        F.length(F.regexp_replace(F.col(ref_col), r"\s+", "")).alias("ref_len"),
+    )
+    return (
+        lens.join(wide, "_id", "left")
+        .na.fill(0.0)
+        .select(
+            F.col("_id").alias(id_col),
+            "hyp_len",
+            "ref_len",
+            *[f"chrf_p{n}" for n in range(1, max_n + 1)],
+            *[f"chrf_r{n}" for n in range(1, max_n + 1)],
+            (total / F.lit(float(max_n))).alias("chrf"),
+        )
+    )
+
+
+def qa_token_f1(
+    df: DataFrame,
+    pred_col: str = "prediction",
+    gold_col: str = "gold",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """SQuAD-style token-overlap F1 per (prediction, gold) pair — the
+    QA eval metric: multiset token overlap ov, then
+        F1 = 2·ov / (|pred| + |gold|)
+    (one exact division; algebraically equal to the harmonic mean of
+    P and R).  Tokens are the house whitespace/lowercase stream.
+    Empty-vs-empty scores 1.0, empty-vs-nonempty 0.0 (the SQuAD
+    convention).  One pair-keyed explode per side + a full-outer
+    count join — never corpus-global."""
+    from .text import tokens
+
+    def counts(col: str, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("_id"), F.explode(tokens(col)).alias("_t")
+            )
+            .groupBy("_id", "_t")
+            .agg(F.count(F.lit(1)).alias(f"_c_{tag}"))
+        )
+
+    p = counts(pred_col, "p")
+    g = counts(gold_col, "g")
+    ov = (
+        p.join(g, ["_id", "_t"], "full")
+        .groupBy("_id")
+        .agg(
+            F.sum(
+                F.least(
+                    F.coalesce("_c_p", F.lit(0)), F.coalesce("_c_g", F.lit(0))
+                )
+            ).alias("overlap"),
+            F.sum(F.coalesce("_c_p", F.lit(0))).alias("n_pred"),
+            F.sum(F.coalesce("_c_g", F.lit(0))).alias("n_gold"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(ov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+        )
+        .withColumn(
+            "f1",
+            F.when(F.col("n_pred") + F.col("n_gold") == 0, F.lit(1.0))
+            .when(F.col("overlap") == 0, F.lit(0.0))
+            .otherwise(
+                F.lit(2.0)
+                * F.col("overlap").cast("double")
+                / (F.col("n_pred") + F.col("n_gold")).cast("double")
+            ),
+        )
+    )

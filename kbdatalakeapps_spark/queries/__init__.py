@@ -54,7 +54,9 @@ DRIVER_WINDOW: list[str] = [
     "tx_gopher_repetition",
     "wb_domain_blocklist",
     "sp_inference_batches",
-    # sentinels: the 38 LEAST-recently-verified queries (all last
+    "ml_chrf",
+    "ml_token_f1",
+    # sentinels: the 36 LEAST-recently-verified queries (all last
     # hash-green in round 2) — rotating the oldest signal forward
     "a10_conditional_avg",
     "a11_ratio_agg",
@@ -92,8 +94,6 @@ DRIVER_WINDOW: list[str] = [
     "tx_language_id",
     "tx_quality_score",
     "tx_text_stats",
-    "u1_union_tagged",
-    "u3_except_intersect",
 ]
 
 

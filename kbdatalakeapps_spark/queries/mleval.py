@@ -584,3 +584,153 @@ def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry_ratings(
         pairs, iterations=_BT_ITERS, prior_games=_BT_PRIOR
     )
+
+
+def _chrf_sql(max_n: int = 6, beta: int = 2) -> str:
+    b2 = float(beta * beta)
+    legs = []
+    for tag, col in (("h", "hyp"), ("r", "ref")):
+        for n in range(1, max_n + 1):
+            legs.append(f"""
+        SELECT pair_id, '{tag}' AS side, {n} AS n, g,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT pair_id,
+                   unnest(CASE WHEN length({col}) >= {n}
+                          THEN list_transform(
+                              generate_series(1, length({col}) - {n - 1}),
+                              i -> substr({col}, i::INT, {n}))
+                          ELSE [] END) AS g
+            FROM pairs
+        ) GROUP BY pair_id, g""")
+    grams = " UNION ALL ".join(legs)
+    f_terms = []
+    pr_cols = []
+    for n in range(1, max_n + 1):
+        p, r = f"chrf_p{n}", f"chrf_r{n}"
+        pr_cols.append(
+            f"COALESCE(MAX(CASE WHEN n = {n} THEN p END), 0.0) AS {p}, "
+            f"COALESCE(MAX(CASE WHEN n = {n} THEN r END), 0.0) AS {r}"
+        )
+        f_terms.append(
+            f"(CASE WHEN ({b2!r} * {p} + {r}) > 0 "
+            f"THEN ({1.0 + b2!r} * {p} * {r}) / ({b2!r} * {p} + {r}) "
+            f"ELSE 0.0 END)"
+        )
+    fsum = " + ".join(f_terms)
+    return f"""
+    WITH pairs AS (
+        SELECT doc_id AS pair_id,
+               regexp_replace(substr(text, 1, (length(text) * 3) // 5),
+                              '\\s+', '', 'g') AS hyp,
+               regexp_replace(text, '\\s+', '', 'g') AS ref
+        FROM documents
+    ),
+    gg AS ({grams}),
+    per AS (
+        SELECT pair_id, n,
+               SUM(LEAST(COALESCE(ch, 0), COALESCE(cr, 0))) AS ov,
+               SUM(COALESCE(ch, 0)) AS th,
+               SUM(COALESCE(cr, 0)) AS tr
+        FROM (
+            SELECT pair_id, n, g,
+                   MAX(CASE WHEN side = 'h' THEN c END) AS ch,
+                   MAX(CASE WHEN side = 'r' THEN c END) AS cr
+            FROM gg GROUP BY pair_id, n, g
+        ) GROUP BY pair_id, n
+    ),
+    lev AS (
+        SELECT pair_id, n,
+               CASE WHEN th > 0 THEN CAST(ov AS DOUBLE) / CAST(th AS DOUBLE)
+                    ELSE 0.0 END AS p,
+               CASE WHEN tr > 0 THEN CAST(ov AS DOUBLE) / CAST(tr AS DOUBLE)
+                    ELSE 0.0 END AS r
+        FROM per
+    ),
+    wide AS (SELECT pair_id, {', '.join(pr_cols)} FROM lev GROUP BY pair_id)
+    SELECT pairs.pair_id,
+           CAST(length(hyp) AS BIGINT) AS hyp_len,
+           CAST(length(ref) AS BIGINT) AS ref_len,
+           {', '.join(f'COALESCE(chrf_p{n}, 0.0) AS chrf_p{n}' for n in range(1, max_n + 1))},
+           {', '.join(f'COALESCE(chrf_r{n}, 0.0) AS chrf_r{n}' for n in range(1, max_n + 1))},
+           COALESCE(({fsum}) / {float(max_n)!r}, 0.0) AS chrf
+    FROM pairs LEFT JOIN wide USING (pair_id)
+    """
+
+
+@query("ml_chrf", oracle=_chrf_sql())
+def ml_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level chrF2 (Popović 2015; operators/mleval.py::
+    chrf_score) over a deterministic generation pair per document
+    (hypothesis = the first 3/5 of the text, reference = the text):
+    char 1..6-gram clipped P/R per level, F-scores combined in a
+    FIXED summation tree — every number is exact-count ratios, the
+    one generation metric that is fully cross-engine (BLEU's brevity
+    penalty needs exp())."""
+    from ..operators.mleval import chrf_score
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.expr("substr(text, 1, (length(text) * 3) div 5)").alias("hypothesis"),
+        F.col("text").alias("reference"),
+    )
+    return chrf_score(pairs)
+
+
+@query(
+    "ml_token_f1",
+    oracle="""
+    WITH pairs AS (
+        SELECT doc_id AS pair_id,
+               substr(text, 1, (length(text) * 3) // 5) AS pred,
+               text AS gold
+        FROM documents
+    ),
+    pc AS (
+        SELECT pair_id, t, CAST(COUNT(*) AS BIGINT) AS cp
+        FROM (SELECT pair_id,
+                     unnest(list_filter(string_split_regex(lower(pred), '\\s+'),
+                                        x -> x <> '')) AS t
+              FROM pairs) GROUP BY pair_id, t
+    ),
+    gc AS (
+        SELECT pair_id, t, CAST(COUNT(*) AS BIGINT) AS cg
+        FROM (SELECT pair_id,
+                     unnest(list_filter(string_split_regex(lower(gold), '\\s+'),
+                                        x -> x <> '')) AS t
+              FROM pairs) GROUP BY pair_id, t
+    ),
+    ov AS (
+        SELECT pair_id,
+               CAST(SUM(LEAST(COALESCE(cp, 0), COALESCE(cg, 0))) AS BIGINT) AS overlap,
+               CAST(SUM(COALESCE(cp, 0)) AS BIGINT) AS n_pred,
+               CAST(SUM(COALESCE(cg, 0)) AS BIGINT) AS n_gold
+        FROM pc FULL OUTER JOIN gc USING (pair_id, t)
+        GROUP BY pair_id
+    )
+    SELECT pairs.pair_id,
+           COALESCE(overlap, 0) AS overlap,
+           COALESCE(n_pred, 0) AS n_pred,
+           COALESCE(n_gold, 0) AS n_gold,
+           CASE WHEN COALESCE(n_pred, 0) + COALESCE(n_gold, 0) = 0 THEN 1.0
+                WHEN COALESCE(overlap, 0) = 0 THEN 0.0
+                ELSE 2.0 * CAST(overlap AS DOUBLE)
+                     / CAST(n_pred + n_gold AS DOUBLE) END AS f1
+    FROM pairs LEFT JOIN ov USING (pair_id)
+    """,
+)
+def ml_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQuAD-style token-overlap F1 (operators/mleval.py::
+    qa_token_f1) over the same deterministic truncation pairs:
+    multiset token overlap, F1 = 2·ov/(|pred|+|gold|) — one exact
+    division per pair."""
+    from ..operators.mleval import qa_token_f1
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.expr("substr(text, 1, (length(text) * 3) div 5)").alias("prediction"),
+        F.col("text").alias("gold"),
+    )
+    return qa_token_f1(pairs)

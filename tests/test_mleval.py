@@ -597,3 +597,74 @@ def test_bradley_terry_exact_at_arena_scale_counts(spark):
         assert got[i] == (p[i], wins[i], games[i]), (i, got[i], p[i])
     # and every rating is positive/finite — no wrapped longs anywhere
     assert all(lo <= v[0] <= hi for v in got.values())
+
+
+def _py_chrf(hyp, ref, max_n=6, beta=2):
+    """Python reference of the engine's documented chrF convention."""
+    h = "".join(hyp.split())
+    r = "".join(ref.split())
+    b2 = float(beta * beta)
+    fs = []
+    for n in range(1, max_n + 1):
+        def grams(s):
+            d = {}
+            for i in range(len(s) - n + 1):
+                g = s[i:i + n]
+                d[g] = d.get(g, 0) + 1
+            return d
+        ch, cr = grams(h), grams(r)
+        ov = sum(min(c, cr.get(g, 0)) for g, c in ch.items())
+        th, tr = sum(ch.values()), sum(cr.values())
+        p = ov / th if th else 0.0
+        rr = ov / tr if tr else 0.0
+        fs.append(((1 + b2) * p * rr) / (b2 * p + rr) if (b2 * p + rr) > 0 else 0.0)
+    total = 0.0
+    for f in fs:
+        total = total + f
+    return total / float(max_n)
+
+
+def test_chrf_matches_python_reference(spark):
+    from kbdatalakeapps_spark.operators.mleval import chrf_score
+
+    rows = [
+        (1, "the cat sat on the mat", "the cat sat on the mat"),   # identical → 1.0
+        (2, "the cat sat", "the cat sat on the mat"),              # truncation
+        (3, "ein katze sass", "the cat sat"),                      # mostly disjoint
+        (4, "", "the cat"),                                        # empty hyp
+        (5, "abcdef", "abcdef"),                                   # single word
+        (6, "aaaa aaaa", "aaaa"),                                  # clipping matters
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, hypothesis string, reference string")
+    got = {r.pair_id: r for r in chrf_score(df).collect()}
+    for pid, hyp, ref in rows:
+        assert got[pid].chrf == pytest.approx(_py_chrf(hyp, ref), abs=1e-12), pid
+    assert got[1].chrf == 1.0
+    assert got[4].chrf == 0.0
+    # clipped precision: hyp has 8 'a' unigrams, ref only 4
+    assert got[6].chrf_p1 == 0.5 and got[6].chrf_r1 == 1.0
+    # lengths are whitespace-stripped
+    assert got[1].hyp_len == len("thecatsatonthemat")
+
+
+def test_qa_token_f1_squad_conventions(spark):
+    from kbdatalakeapps_spark.operators.mleval import qa_token_f1
+
+    rows = [
+        (1, "the answer is paris", "paris"),
+        (2, "paris", "paris"),
+        (3, "london", "paris"),
+        (4, "", ""),
+        (5, "", "paris"),
+        (6, "a a b", "a b b"),   # multiset clipping: overlap = 2
+        (7, "The Answer", "the answer"),  # lowercase tokens
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, prediction string, gold string")
+    got = {r.pair_id: r for r in qa_token_f1(df).collect()}
+    assert got[1].f1 == pytest.approx(2 * 1 / (4 + 1))
+    assert got[2].f1 == 1.0
+    assert got[3].f1 == 0.0
+    assert got[4].f1 == 1.0 and got[4].n_pred == 0    # empty-vs-empty
+    assert got[5].f1 == 0.0
+    assert got[6].overlap == 2 and got[6].f1 == pytest.approx(2 * 2 / 6)
+    assert got[7].f1 == 1.0

@@ -251,6 +251,13 @@ def test_exchange_counts_bounded(spark):
         "sim_bitext_margin": 6,
         "tx_gopher_repetition": 10,
         "wb_domain_blocklist": 5,
+        # round-7 continuation, measured 4 / 3 / 1: chrF pays two
+        # side-count aggs + the full-outer gram join + the wide
+        # reagg; token-F1 the same minus one level; inference
+        # batching is the single (band, shard) shuffle
+        "ml_chrf": 6,
+        "ml_token_f1": 5,
+        "sp_inference_batches": 2,
     }
     over = {}
     for name, bound in bounds.items():
