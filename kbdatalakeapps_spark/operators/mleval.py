@@ -923,3 +923,32 @@ def qa_token_f1(
             ),
         )
     )
+
+
+def cer_score(
+    df: DataFrame,
+    pred_col: str = "prediction",
+    gold_col: str = "gold",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Character error rate per pair — the ASR/OCR eval metric:
+    ``edit_distance(pred, gold) / len(gold)`` with classic Levenshtein
+    (unit insert/delete/substitute).  Both Spark and DuckDB ship the
+    identical builtin, so the exact integer distance carries a
+    cross-engine oracle for free; the rate is one division.  Empty
+    gold: CER = 0 when pred is empty too, else NULL (undefined rate —
+    surfaced, not clamped; the pass@k convention).  Pure column
+    expressions, no shuffle."""
+    dist = F.levenshtein(
+        F.coalesce(F.col(pred_col), F.lit("")),
+        F.coalesce(F.col(gold_col), F.lit("")),
+    ).cast("long")
+    glen = F.length(F.coalesce(F.col(gold_col), F.lit(""))).cast("long")
+    return df.select(
+        F.col(id_col),
+        dist.alias("edit_distance"),
+        glen.alias("gold_len"),
+        F.when(glen > 0, dist.cast("double") / glen.cast("double"))
+        .when(dist == 0, F.lit(0.0))
+        .alias("cer"),
+    )

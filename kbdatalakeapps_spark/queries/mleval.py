@@ -716,16 +716,23 @@ def ml_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN COALESCE(n_pred, 0) + COALESCE(n_gold, 0) = 0 THEN 1.0
                 WHEN COALESCE(overlap, 0) = 0 THEN 0.0
                 ELSE 2.0 * CAST(overlap AS DOUBLE)
-                     / CAST(n_pred + n_gold AS DOUBLE) END AS f1
+                     / CAST(n_pred + n_gold AS DOUBLE) END AS f1,
+           CAST(levenshtein(pred, gold) AS BIGINT) AS edit_distance,
+           CASE WHEN length(gold) > 0
+                THEN CAST(levenshtein(pred, gold) AS DOUBLE)
+                     / CAST(length(gold) AS DOUBLE)
+                WHEN levenshtein(pred, gold) = 0 THEN 0.0 END AS cer
     FROM pairs LEFT JOIN ov USING (pair_id)
     """,
 )
 def ml_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQuAD-style token-overlap F1 (operators/mleval.py::
-    qa_token_f1) over the same deterministic truncation pairs:
-    multiset token overlap, F1 = 2·ov/(|pred|+|gold|) — one exact
-    division per pair."""
-    from ..operators.mleval import qa_token_f1
+    """SQuAD-style token-overlap F1 + character error rate
+    (operators/mleval.py::qa_token_f1 / cer_score) over the same
+    deterministic truncation pairs: multiset token overlap with
+    F1 = 2·ov/(|pred|+|gold|), and CER from the builtin Levenshtein
+    both engines ship identically — exact integer distance, one
+    division each."""
+    from ..operators.mleval import cer_score, qa_token_f1
 
     d = load_table(spark, sf_dir, "documents")
     pairs = d.select(
@@ -733,4 +740,6 @@ def ml_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(text, 1, (length(text) * 3) div 5)").alias("prediction"),
         F.col("text").alias("gold"),
     )
-    return qa_token_f1(pairs)
+    return qa_token_f1(pairs).join(
+        cer_score(pairs).select("pair_id", "edit_distance", "cer"), "pair_id"
+    )

@@ -1,0 +1,68 @@
+"""Capstone generation-eval pipeline: model outputs → per-pair
+metrics (chrF2, token F1, CER) → per-system aggregation with
+Poisson-bootstrap confidence intervals — the eval report a training
+run actually publishes, composed entirely from engine operators and
+partitioning-invariant end to end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_eval_report_pipeline_composes_and_is_partition_invariant(spark):
+    from kbdatalakeapps_spark.operators.mleval import (
+        cer_score,
+        chrf_score,
+        qa_token_f1,
+    )
+    from kbdatalakeapps_spark.operators.sampling import bootstrap_mean_ci
+
+    # two "systems": A echoes the reference with a small truncation,
+    # B scrambles word order and drops more — A must win every metric
+    refs = [(i, f"alpha bravo charlie delta echo foxtrot golf item{i}")
+            for i in range(40)]
+    rows = []
+    for i, r in refs:
+        words = r.split()
+        rows.append((i, "A", " ".join(words[:-1]), r))
+        rows.append((i, "B", " ".join(reversed(words[:5])), r))
+    df = spark.createDataFrame(
+        rows, "ex long, system string, hypothesis string, reference string"
+    ).withColumn("pair_id", F.concat_ws(":", "system", "ex"))
+
+    chrf = chrf_score(df)
+    f1 = qa_token_f1(df, pred_col="hypothesis", gold_col="reference")
+    cer = cer_score(df, pred_col="hypothesis", gold_col="reference")
+    per_pair = (
+        df.select("pair_id", "system")
+        .join(chrf.select("pair_id", "chrf"), "pair_id")
+        .join(f1.select("pair_id", "f1"), "pair_id")
+        .join(cer.select("pair_id", "cer"), "pair_id")
+    )
+    report = bootstrap_mean_ci(
+        per_pair, value_col="chrf", key_col="pair_id",
+        group_cols=["system"], replicates=30,
+    )
+    rep = {r.system: r for r in report.collect()}
+    # the CI brackets the observed mean, and A dominates B
+    for s in ("A", "B"):
+        assert rep[s].lo <= rep[s].mean <= rep[s].hi
+        assert rep[s].n == 40
+    assert rep["A"].mean > rep["B"].mean
+    assert rep["A"].lo > rep["B"].hi, "systems are separable at 95% CI"
+    # per-metric sanity on one example
+    one = {r.system: r for r in per_pair.filter(F.col("pair_id").like("%:7")).collect()}
+    assert one["A"].f1 > one["B"].f1
+    assert one["A"].cer < one["B"].cer
+
+    # the ENTIRE pipeline is partitioning-invariant (content-keyed
+    # bootstrap + exact metrics): rerun on a repartitioned input
+    report2 = bootstrap_mean_ci(
+        df.repartition(11).select("pair_id", "system")
+        .join(chrf_score(df.repartition(7)).select("pair_id", "chrf"), "pair_id"),
+        value_col="chrf", key_col="pair_id",
+        group_cols=["system"], replicates=30,
+    )
+    a = sorted(map(tuple, report.select("system", "mean", "lo", "hi").collect()))
+    b = sorted(map(tuple, report2.select("system", "mean", "lo", "hi").collect()))
+    assert a == b, "eval report must be bit-identical under repartitioning"

@@ -668,3 +668,24 @@ def test_qa_token_f1_squad_conventions(spark):
     assert got[5].f1 == 0.0
     assert got[6].overlap == 2 and got[6].f1 == pytest.approx(2 * 2 / 6)
     assert got[7].f1 == 1.0
+
+
+def test_cer_score_conventions(spark):
+    from kbdatalakeapps_spark.operators.mleval import cer_score
+
+    rows = [
+        (1, "kitten", "sitting"),  # classic distance 3
+        (2, "abc", "abc"),
+        (3, "", "abc"),
+        (4, "abc", ""),            # undefined rate, distance 3
+        (5, "", ""),
+        (6, None, "ab"),           # NULL pred = empty
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, prediction string, gold string")
+    got = {r.pair_id: r for r in cer_score(df).collect()}
+    assert got[1].edit_distance == 3 and got[1].cer == pytest.approx(3 / 7)
+    assert got[2].cer == 0.0
+    assert got[3].cer == 1.0
+    assert got[4].cer is None and got[4].edit_distance == 3
+    assert got[5].cer == 0.0
+    assert got[6].edit_distance == 2 and got[6].cer == 1.0
