@@ -1628,3 +1628,59 @@ def gopher_repetition_filter(
     return out.withColumns(
         {"drop_reasons": reasons, "keep": reasons == F.lit("")}
     )
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn check-digit validation of a digits-only string as one
+    native fold (no UDF): from the RIGHT, double every second digit,
+    subtract 9 when it exceeds 9, sum ≡ 0 (mod 10).  The checksum
+    every real payment-card number satisfies — the standard
+    false-positive filter between "16 digits" and "this is a PAN"."""
+    rev = F.reverse(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(rev)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            F.when(
+                rev.substr(i, F.lit(1)).cast("int") * 2 > 9,
+                rev.substr(i, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(rev.substr(i, F.lit(1)).cast("int") * 2),
+        ).otherwise(rev.substr(i, F.lit(1)).cast("int")),
+    )
+    return (F.length(digits) > 0) & (total % 10 == 0)
+
+
+def pan_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Payment-card (PAN) detection with Luhn validation — the PII
+    audit pass pii_scrub's shape-only regexes cannot do: 13–19-digit
+    runs (optional space/dash separators) are extracted, normalized
+    to digits, and checked against the Luhn checksum natively, so
+    '16 consecutive digits' (order ids, hashes) stop flagging as
+    card numbers.  One explode keyed by document; rows = candidates
+    only (documents without digit runs cost nothing downstream).
+    Output: (id, candidate, digits, n_digits, luhn_ok).  Route
+    ``luhn_ok`` hits to redaction/review.
+
+    Candidates are MAXIMAL digit[ -] runs (a lookaround-free pattern
+    shared verbatim by Java regex and RE2, keeping the DuckDB oracle
+    exact) filtered to 13-19 digits -- an over-long run (a 20-digit
+    order id) rejects wholesale instead of flagging a prefix."""
+    cand = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"\d(?:[ -]?\d)*"), 0
+            )
+        ).alias("candidate"),
+    )
+    digits = F.regexp_replace(F.col("candidate"), r"[ -]", "")
+    return (
+        cand.withColumn("digits", digits)
+        .withColumn("n_digits", F.length("digits").cast("int"))
+        .filter((F.col("n_digits") >= 13) & (F.col("n_digits") <= 19))
+        .withColumn("luhn_ok", luhn_valid(F.col("digits")))
+    )

@@ -56,7 +56,8 @@ DRIVER_WINDOW: list[str] = [
     "sp_inference_batches",
     "ml_chrf",
     "ml_token_f1",
-    # sentinels: the 36 LEAST-recently-verified queries (all last
+    "tx_pan_luhn",
+    # sentinels: the 35 LEAST-recently-verified queries (all last
     # hash-green in round 2) — rotating the oldest signal forward
     "a10_conditional_avg",
     "a11_ratio_agg",
@@ -93,7 +94,6 @@ DRIVER_WINDOW: list[str] = [
     "tx_fingerprint",
     "tx_language_id",
     "tx_quality_score",
-    "tx_text_stats",
 ]
 
 

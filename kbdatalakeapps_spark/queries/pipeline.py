@@ -1998,3 +1998,65 @@ def wb_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = domain_blocklist_filter(urls, bl)
     return out.select("url", "host", "matched_domain", "blocked")
+
+
+@query(
+    "tx_pan_luhn",
+    oracle="""
+    WITH d2 AS (
+        SELECT doc_id,
+               text || CASE doc_id % 4
+                   WHEN 0 THEN ' card 4111 1111 1111 1111 ok'
+                   WHEN 1 THEN ' ref 4111111111111112 noted'
+                   WHEN 2 THEN ' amex 3782-822463-10005 billed'
+                   ELSE '' END AS text
+        FROM documents
+    ),
+    cand AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '\\d(?:[ -]?\\d)*')) AS candidate
+        FROM d2
+    ),
+    norm AS (
+        SELECT doc_id, candidate,
+               regexp_replace(candidate, '[ -]', '', 'g') AS digits
+        FROM cand
+    ),
+    sized AS (
+        SELECT doc_id, candidate, digits,
+               CAST(length(digits) AS INT) AS n_digits,
+               reverse(digits) AS rev
+        FROM norm
+        WHERE length(digits) BETWEEN 13 AND 19
+    )
+    SELECT doc_id, candidate, digits, n_digits,
+           length(digits) > 0 AND
+           list_sum(list_transform(generate_series(1, length(rev)),
+               i -> CASE WHEN i % 2 = 0
+                    THEN CASE WHEN substr(rev, i::INT, 1)::INT * 2 > 9
+                         THEN substr(rev, i::INT, 1)::INT * 2 - 9
+                         ELSE substr(rev, i::INT, 1)::INT * 2 END
+                    ELSE substr(rev, i::INT, 1)::INT END)) % 10 = 0
+               AS luhn_ok
+    FROM sized
+    """,
+)
+def tx_pan_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card detection (operators/text.py::
+    pan_candidates) over documents with deterministic PAN injections
+    (valid Visa / Luhn-invalid sibling / valid Amex per doc_id
+    residue): maximal digit-run extraction with a lookaround-free
+    pattern both regex engines share, native Luhn fold — the
+    false-positive gate between '16 digits' and 'this is a card'."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" card 4111 1111 1111 1111 ok"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" ref 4111111111111112 noted"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" amex 3782-822463-10005 billed"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return tx.pan_candidates(d2)

@@ -488,3 +488,32 @@ def test_gopher_repetition_filter_rules(spark):
     # defaults path smoke: thresholds from the paper tables
     full = gopher_repetition_filter(df).filter("doc_id = 2").first()
     assert "top_2gram" in full.drop_reasons
+
+
+def test_pan_candidates_luhn_validation(spark):
+    """Luhn gate between digit shape and PAN: canonical test numbers
+    validate, off-by-one fails, separators normalize, short/long runs
+    are excluded, multiple candidates per doc surface."""
+    from kbdatalakeapps_spark.operators.text import pan_candidates
+
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 now"),          # valid Visa test PAN
+        (2, "id 4111111111111112 is not a card"),         # Luhn-invalid
+        (3, "amex 3782-822463-10005 works"),              # valid Amex (15)
+        (4, "order 123456789012 too short"),              # 12 digits: excluded
+        (5, "two: 5500 0000 0000 0004 and 1234567890123"),
+        (6, "no digits here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pan_candidates(df).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.doc_id, []).append(r)
+    assert by[1][0].luhn_ok and by[1][0].digits == "4111111111111111"
+    assert not by[2][0].luhn_ok
+    assert by[3][0].luhn_ok and by[3][0].n_digits == 15
+    assert 4 not in by, "12-digit run must not be a candidate"
+    d5 = {r.digits: r.luhn_ok for r in by[5]}
+    assert d5["5500000000000004"] is True      # Mastercard test PAN
+    assert d5["1234567890123"] is False
+    assert 6 not in by
