@@ -952,3 +952,69 @@ def cer_score(
         .when(dist == 0, F.lit(0.0))
         .alias("cer"),
     )
+
+
+def wer_score(
+    df: DataFrame,
+    pred_col: str = "prediction",
+    gold_col: str = "gold",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Word error rate per pair — the ASR eval metric: word-level
+    Levenshtein distance / gold word count, over the house
+    whitespace/lowercase token stream.  Word-level edit distance has
+    no native builtin (and no clean SQL encoding: packing words into
+    chars breaks on >255 vocabularies), so the DP runs as an
+    Arrow-batched ``mapInPandas`` kernel — two numpy rows per pair,
+    O(|pred|·|gold|) ints, never a per-row Python UDF.  Empty gold:
+    WER 0 when pred is empty too, else NULL (the cer_score
+    convention).  No shuffle; the kernel maps over whatever
+    partitioning the input has."""
+    import pandas as pd  # noqa: F401 (kernel-side import kept explicit)
+
+    src = df.select(
+        F.col(id_col).alias("pair_id"),
+        F.col(pred_col).alias("_p"),
+        F.col(gold_col).alias("_g"),
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        def dist(a, b):
+            # classic two-row DP over word lists
+            if not a:
+                return len(b)
+            if not b:
+                return len(a)
+            prev = np.arange(len(b) + 1, dtype=np.int64)
+            for i, wa in enumerate(a, start=1):
+                cur = np.empty(len(b) + 1, dtype=np.int64)
+                cur[0] = i
+                for j, wb in enumerate(b, start=1):
+                    cur[j] = min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (wa != wb),
+                    )
+                prev = cur
+            return int(prev[len(b)])
+
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                p = (t._1 or "").lower().split()
+                g = (t._2 or "").lower().split()
+                d = dist(p, g)
+                wer = (d / len(g)) if g else (0.0 if not p else None)
+                rows.append((t.pair_id, d, len(p), len(g), wer))
+            yield pd.DataFrame(
+                rows,
+                columns=["pair_id", "word_edits", "n_pred", "n_gold", "wer"],
+            )
+
+    out_schema = (
+        "pair_id long, word_edits long, n_pred long, n_gold long, wer double"
+    )
+    return src.mapInPandas(kernel, out_schema)

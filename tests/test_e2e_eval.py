@@ -66,3 +66,59 @@ def test_eval_report_pipeline_composes_and_is_partition_invariant(spark):
     a = sorted(map(tuple, report.select("system", "mean", "lo", "hi").collect()))
     b = sorted(map(tuple, report2.select("system", "mean", "lo", "hi").collect()))
     assert a == b, "eval report must be bit-identical under repartitioning"
+
+
+def test_streaming_eval_scores_match_batch(spark, tmp_path):
+    """Streaming eval ingestion: prediction/reference pairs land as
+    JSONL micro-batches, each scored in foreachBatch (chrF + token F1
+    — pure exact expressions, so streaming scores are BIT-EQUAL to
+    the batch path) and appended to a versioned table exactly once."""
+    import json
+    import os
+
+    from kbdatalakeapps_spark.io.layout import read_version, versioned_write
+    from kbdatalakeapps_spark.operators.mleval import chrf_score, qa_token_f1
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    rows = [
+        {"pair_id": i,
+         "hypothesis": f"alpha bravo charlie{i % 3}",
+         "reference": f"alpha bravo charlie{i % 2} delta"}
+        for i in range(30)
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:17]))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows[17:]))
+    os.utime(src / "b.json", (os.path.getmtime(src / "a.json") + 5,) * 2)
+
+    tbl = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+
+    def score(df):
+        c = chrf_score(df).select("pair_id", "chrf")
+        f = qa_token_f1(df, pred_col="hypothesis", gold_col="reference").select(
+            "pair_id", "f1"
+        )
+        return c.join(f, "pair_id")
+
+    def sink(batch_df, batch_id):
+        versioned_write(score(batch_df), tbl, mode="append")
+
+    q = (
+        spark.readStream.schema("pair_id long, hypothesis string, reference string")
+        .json(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.pair_id: (r.chrf, r.f1) for r in read_version(spark, tbl).collect()}
+    batch = spark.createDataFrame(
+        [(r["pair_id"], r["hypothesis"], r["reference"]) for r in rows],
+        "pair_id long, hypothesis string, reference string",
+    )
+    want = {r.pair_id: (r.chrf, r.f1) for r in score(batch).collect()}
+    assert len(got) == 30
+    assert got == want, "streaming eval scores diverge from the batch path"

@@ -689,3 +689,55 @@ def test_cer_score_conventions(spark):
     assert got[4].cer is None and got[4].edit_distance == 3
     assert got[5].cer == 0.0
     assert got[6].edit_distance == 2 and got[6].cer == 1.0
+
+
+def test_wer_matches_python_reference(spark):
+    """Word error rate: Arrow-kernel DP pinned against a pure-Python
+    Levenshtein over word lists, including the empty-side and
+    random-case sweeps."""
+    import random
+
+    from kbdatalakeapps_spark.operators.mleval import wer_score
+
+    def py_dist(a, b):
+        prev = list(range(len(b) + 1))
+        for i, wa in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, wb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (wa != wb))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(3)
+    vocab = "a b c dd ee ff ggg hhh".split()
+    rows = [
+        (0, "the cat sat", "the cat sat on the mat"),   # 3 inserts
+        (1, "", "x y"),
+        (2, "x y", ""),
+        (3, "", ""),
+        (4, "The CAT", "the cat"),                      # lowercase
+    ]
+    rows += [
+        (10 + i,
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))),
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "pair_id long, prediction string, gold string")
+    got = {r.pair_id: r for r in wer_score(df).collect()}
+    for pid, p, g in rows:
+        pw, gw = p.lower().split(), g.lower().split()
+        d = py_dist(pw, gw)
+        assert got[pid].word_edits == d, (pid, p, g)
+        if gw:
+            assert got[pid].wer == pytest.approx(d / len(gw))
+        elif not pw:
+            assert got[pid].wer == 0.0
+        else:
+            assert got[pid].wer is None
+    assert got[0].word_edits == 3 and got[4].word_edits == 0
+
+    # the kernel is Arrow-batched, never a per-row UDF
+    plan = wer_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
