@@ -974,8 +974,17 @@ def lsh_tuning_report(
             "n_candidates",
             "tp",
             (F.col("n_truth") - F.col("tp")).alias("fn"),
-            F.expr("(1000000 * tp) div n_candidates").alias("precision_ppm"),
-            F.expr("(1000000 * tp) div n_truth").alias("recall_ppm"),
+            # DECIMAL numerators: 10⁶·tp wraps int64 silently past
+            # 9.2e12 pairs — routine for corpus-scale candidate
+            # counts; the ppm quotients stay long-safe
+            F.expr(
+                "CAST((CAST(tp AS DECIMAL(38,0)) * 1000000)"
+                " div n_candidates AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST((CAST(tp AS DECIMAL(38,0)) * 1000000)"
+                " div n_truth AS BIGINT)"
+            ).alias("recall_ppm"),
         )
         .orderBy("band_size")
     )

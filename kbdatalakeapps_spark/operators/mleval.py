@@ -427,9 +427,21 @@ def lift_gains(
             "pos",
             "cum_n",
             "cum_pos",
-            F.expr("(cum_pos * 1000000) div total_pos").alias("gain_fp"),
+            # DECIMAL products: cum_pos·total_n·10⁶ wraps int64 past
+            # ~3e6 rows and Spark wraps silently (the bradley_terry
+            # lesson); gain's quotient ≤ 10⁶ is long-safe, lift's can
+            # exceed int64 at extreme class imbalance → _div_dec
             F.expr(
-                "(cum_pos * total_n * 1000000) div (cum_n * total_pos)"
+                "CAST((CAST(cum_pos AS DECIMAL(38,0)) * 1000000)"
+                " div total_pos AS BIGINT)"
+            ).alias("gain_fp"),
+            F.expr(
+                "CAST("
+                + _div_dec(
+                    "CAST(cum_pos AS DECIMAL(38,0)) * total_n * 1000000",
+                    "CAST(cum_n AS DECIMAL(38,0)) * total_pos",
+                )
+                + " AS BIGINT)"
             ).alias("lift_fp"),
         )
         .orderBy(F.col("band").desc())

@@ -461,9 +461,15 @@ def lttb_downsample(
         F.when(
             F.col("_t1") > F.col("_t0"),
             # integer division — a double `/` here loses exactness at
-            # epoch-ns magnitudes before the cast truncates
+            # epoch-ns magnitudes before the cast truncates; the
+            # product goes through DECIMAL because (span_ns × buckets)
+            # wraps int64 past ~9.2e15 ns/bucket (106 days at 1000
+            # buckets) and Spark's `*`/`div` wrap SILENTLY with ANSI
+            # off (the bradley_terry lesson) — quotient ≤ n_buckets
+            # stays long-safe
             F.expr(
-                f"(({ts_col} - _t0) * {n_buckets}) div (_t1 - _t0 + 1)"
+                f"CAST((CAST({ts_col} - _t0 AS DECIMAL(38,0))"
+                f" * {n_buckets}) div (_t1 - _t0 + 1) AS BIGINT)"
             ),
         ).otherwise(F.lit(0).cast("bigint")),
     )

@@ -961,8 +961,17 @@ def bigram_collocations(
             "c_xy",
             "c_x",
             "c_y",
-            F.expr("(c_xy * 1000000000000) div (c_x * c_y)").alias("assoc_fp"),
-            F.expr("(2 * c_xy * 1000000) div (c_x + c_y)").alias("dice_fp"),
+            # DECIMAL products: c_xy·10¹² wraps int64 silently once a
+            # bigram tops 9.2e6 occurrences ("of the" at corpus scale)
+            # and c_x·c_y at 3e9×3e9; both quotients ≤ their fp scale
+            F.expr(
+                "CAST((CAST(c_xy AS DECIMAL(38,0)) * 1000000000000)"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"
+            ).alias("assoc_fp"),
+            F.expr(
+                "CAST((CAST(2 AS DECIMAL(38,0)) * c_xy * 1000000)"
+                " div (c_x + c_y) AS BIGINT)"
+            ).alias("dice_fp"),
         )
     )
     return scored.orderBy(

@@ -213,3 +213,33 @@ def test_lttb_downsamples_to_bounded_size(spark):
     per_key = out.groupBy("key").count().collect()
     for r in per_key:
         assert r["count"] <= 10 + 2
+
+
+def test_lttb_bucket_assignment_survives_int64_wrap_magnitudes(spark):
+    """Regression (round 7 wraparound sweep): the LTTB bucket id is
+    (ts − t0)·n_buckets div span; with epoch-ns timestamps the RAW
+    long product wraps past ~9.2e15 ns/bucket (a 106-day span at 1000
+    buckets) and Spark wraps silently — buckets came back negative.
+    The product now routes through DECIMAL; a multi-year ns series at
+    1000 buckets must produce monotone in-range buckets."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.temporal import lttb_downsample
+
+    year_ns = 365 * 24 * 3600 * 10**9
+    t0 = 1_600_000_000 * 10**9  # epoch ns
+    rows = [
+        (1, t0 + i * (5 * year_ns // 400), float((i * 37) % 100))
+        for i in range(400)
+    ]  # 5-year span, 400 points
+    df = spark.createDataFrame(rows, "k int, ts long, v double")
+    out = lttb_downsample(
+        df, key_cols=["k"], ts_col="ts", val_col="v", n_buckets=1000
+    ).collect()
+    # kept points carry buckets in [-1, n_buckets]; NONE negative
+    # beyond the endpoint marker, and bucket ids are monotone in ts
+    pts = sorted(out, key=lambda r: r.ts)
+    assert all(-1 <= r.bucket <= 1000 for r in pts)
+    inner = [r.bucket for r in pts if 0 <= r.bucket < 1000]
+    assert inner == sorted(inner)
+    assert len(pts) >= 3
