@@ -347,6 +347,17 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Frozen ambient control (VERDICT r7 #2): five pure-synthetic
+    # workloads pinned to round-8 reference seconds.  The resulting
+    # host_factor ships in the JSON so round-over-round BENCH deltas
+    # separate code regressions from host drift without a manual
+    # old-tree re-bench.  Runs FIRST so a mid-suite ambient shift
+    # shows up as factor-vs-tail disagreement rather than silently
+    # biasing half the keys.
+    from kbdatalakeapps_spark.benchcontrol import run_controls
+
+    control = run_controls(spark)
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # time construction AND execution: some builders run eager
@@ -366,6 +377,8 @@ def main() -> None:
         timings[name] = round(sum(samples) / len(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    hf = control["host_factor"] or 1.0
+    queries_norm = {k: round(v / hf, 3) for k, v in timings.items()}
     print(
         json.dumps(
             {
@@ -374,6 +387,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # ambient control: observed control timings, the
+                # median observed/reference ratio, and per-key seconds
+                # divided by it — compare *_norm across rounds
+                "control_seconds": control["control_seconds"],
+                "host_factor": hf,
+                "value_norm": round(total / hf, 3),
+                "queries_norm": queries_norm,
             }
         )
     )

@@ -1,0 +1,155 @@
+"""Frozen ambient-control suite for bench.py.
+
+Rounds 6 and 7 both needed a manual control (re-benching an old tree
+on the closing host) to separate code regressions from ambient host
+drift — the drift was 1.14-1.28× and uniform across untouched keys.
+This module makes that control automatic: five FROZEN pure-synthetic
+workloads (spark.range only — no data files, so workload size can
+never drift with fixtures) run before the timed suite, each pinned to
+a reference time measured once on the round-8 host.  The host factor
+is the median of (observed / reference) over the five controls; the
+bench JSON then carries both raw and factor-normalized per-key
+seconds, so the driver's BENCH_r{N} file explains its own ambient
+drift.
+
+FROZEN means frozen: editing a control workload or its pinned
+reference invalidates round-over-round comparability of the
+normalized numbers, exactly like editing a bench query.  Each control
+targets one cost axis of the real suite so a skewed host (e.g. slow
+Python, fast JVM) shows up as control spread, not a silent bias:
+
+- ``cpu_hash_agg``   — whole-stage-codegen arithmetic + hash aggregate
+- ``shuffle_exchange`` — wide repartition + second shuffle agg
+- ``string_kernels`` — md5/regexp/concat string expression chain
+- ``arrow_boundary`` — Arrow batch transfer + numpy kernel
+- ``broadcast_join`` — broadcast hash join probe throughput
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: Reference seconds per control, measured on the round-8 driver host
+#: (local[32], 128 GiB, median of 3 after warmup).  DO NOT re-pin
+#: without renaming the metric — the factor is only meaningful against
+#: a fixed origin.
+REFERENCE_SECONDS: dict[str, float] = {
+    "cpu_hash_agg": 1.008,
+    "shuffle_exchange": 1.810,
+    "string_kernels": 0.658,
+    "arrow_boundary": 0.945,
+    "broadcast_join": 0.617,
+}
+
+
+def _cpu_hash_agg(spark: SparkSession) -> DataFrame:
+    # codegen arithmetic + hash agg over 200M synthetic rows
+    return (
+        spark.range(0, 200_000_000, 1, 64)
+        .select(
+            ((F.col("id") * F.lit(2654435761)) % 100_000).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.avg("v").alias("a"), F.max("v").alias("m"))
+    )
+
+
+def _shuffle_exchange(spark: SparkSession) -> DataFrame:
+    # one wide exchange + one shuffle agg over 40M hashed rows
+    base = spark.range(0, 40_000_000, 1, 64).select(
+        F.xxhash64("id").alias("h")
+    )
+    return (
+        base.repartition(64, "h")
+        .select((F.col("h") % 4096).alias("b"))
+        .groupBy("b")
+        .count()
+    )
+
+
+def _string_kernels(spark: SparkSession) -> DataFrame:
+    # md5 + regexp + concat chain over 6M generated strings
+    return (
+        spark.range(0, 6_000_000, 1, 64)
+        .select(F.md5(F.concat(F.lit("ctl-"), F.col("id").cast("string"))).alias("s"))
+        .select(
+            F.length("s").alias("l"),
+            F.regexp_extract("s", r"([0-9a-f]{4})", 1).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l").alias("sl"))
+    )
+
+
+def _arrow_boundary(spark: SparkSession) -> DataFrame:
+    # Arrow round-trip + numpy kernel over 3M rows
+    src = spark.range(0, 3_000_000, 1, 64).select(
+        F.col("id"), (F.col("id") % 1000).cast("double").alias("x")
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            x = pdf["x"].to_numpy()
+            pdf["y"] = np.sqrt(x * x + 1.0)
+            yield pdf[["id", "y"]]
+
+    return (
+        src.mapInPandas(kernel, "id long, y double")
+        .groupBy((F.col("id") % 256).alias("g"))
+        .agg(F.sum("y").alias("sy"))
+    )
+
+
+def _broadcast_join(spark: SparkSession) -> DataFrame:
+    # broadcast hash-join probe over 80M rows vs a 10k-row dim
+    fact = spark.range(0, 80_000_000, 1, 64).select(
+        (F.col("id") % 10_000).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dim = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    return (
+        fact.join(F.broadcast(dim), "k")
+        .groupBy((F.col("k") % 128).alias("g"))
+        .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+    )
+
+
+CONTROL_QUERIES = {
+    "cpu_hash_agg": _cpu_hash_agg,
+    "shuffle_exchange": _shuffle_exchange,
+    "string_kernels": _string_kernels,
+    "arrow_boundary": _arrow_boundary,
+    "broadcast_join": _broadcast_join,
+}
+
+
+def run_controls(spark: SparkSession, runs: int = 3) -> dict:
+    """Time the frozen controls (median of ``runs``) and derive the
+    host factor as the MEDIAN observed/reference ratio — median, not
+    mean, so one skewed axis (e.g. a Python-slow host inflating only
+    ``arrow_boundary``) reads as spread in ``control_seconds`` rather
+    than biasing the factor."""
+    observed: dict[str, float] = {}
+    for name, fn in CONTROL_QUERIES.items():
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        mid = samples[len(samples) // 2] if runs % 2 else (
+            (samples[runs // 2 - 1] + samples[runs // 2]) / 2
+        )
+        observed[name] = round(mid, 3)
+    ratios = sorted(
+        observed[n] / REFERENCE_SECONDS[n] for n in CONTROL_QUERIES
+    )
+    mid = len(ratios) // 2
+    factor = ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
+    return {"control_seconds": observed, "host_factor": round(factor, 4)}

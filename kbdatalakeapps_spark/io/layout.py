@@ -822,10 +822,13 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> dict:
             m = json.load(fh)
             dead.update(m["files"])
             dead_dvs.update(m.get("deletes", []))
-    root = os.path.abspath(table_dir) + os.sep
+    # realpath, not abspath: a symlinked table dir (or manifests that
+    # recorded a different spelling of the same file) must not
+    # misclassify owned files as external or vice versa (ADVICE r7)
+    root = os.path.realpath(table_dir) + os.sep
 
     def _owned(p: str) -> bool:
-        return os.path.abspath(p).startswith(root)
+        return os.path.realpath(p).startswith(root)
 
     candidates = dead - live
     deleted = sorted(p for p in candidates if _owned(p))

@@ -664,7 +664,19 @@ def _warc_gap_is_padding(path: str, start: int, end: int) -> bool:
         fh.seek(start)
         gap = fh.read(end - start)
     if path.endswith(".gz"):
-        return b"\x1f\x8b" not in gap
+        # reject only on a PLAUSIBLE gzip member header — magic +
+        # deflate method byte + zero reserved flag bits — not a bare
+        # 2-byte substring: the span scanner itself skips junk bytes,
+        # and random padding can contain \x1f\x8b (ADVICE r7)
+        i = gap.find(b"\x1f\x8b")
+        while i != -1:
+            hdr = gap[i : i + 4]
+            if len(hdr) >= 3 and hdr[2] == 0x08 and (
+                len(hdr) < 4 or (hdr[3] & 0xE0) == 0
+            ):
+                return False
+            i = gap.find(b"\x1f\x8b", i + 1)
+        return True
     return not gap.strip(b"\r\n\x00 \t")
 
 
@@ -740,6 +752,10 @@ def read_warc_split(
         for name, f in by_name.items():
             size = _os.path.getsize(f)
             got = cov.get(name)
+            if got is None and size == 0:
+                # a 0-byte archive legitimately yields no index rows —
+                # trivially covered, not a partial index (ADVICE r7)
+                continue
             ok = got is not None
             if ok:
                 s, e, b = got

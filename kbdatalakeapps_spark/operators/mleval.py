@@ -984,10 +984,15 @@ def wer_score(
     partitioning the input has."""
     import pandas as pd  # noqa: F401 (kernel-side import kept explicit)
 
+    # Preserve the caller's id column name AND type (ADVICE r7: a
+    # hardcoded `pair_id long` broke string pair ids at Arrow
+    # conversion; cer_score/qa_token_f1 already derive it).
+    id_field = df.schema[id_col]
+
     src = df.select(
-        F.col(id_col).alias("pair_id"),
-        F.col(pred_col).alias("_p"),
-        F.col(gold_col).alias("_g"),
+        F.col(id_col).alias("wid"),
+        F.col(pred_col).alias("wp"),
+        F.col(gold_col).alias("wg"),
     )
 
     def kernel(batches):
@@ -1015,18 +1020,23 @@ def wer_score(
 
         for pdf in batches:
             rows = []
-            for t in pdf.itertuples(index=False):
-                p = (t._1 or "").lower().split()
-                g = (t._2 or "").lower().split()
+            # by-name column access (ADVICE r7: itertuples positional
+            # `_1`/`_2` silently swaps pred/gold on a column reorder)
+            for wid, wp, wg in zip(pdf["wid"], pdf["wp"], pdf["wg"]):
+                p = (wp or "").lower().split()
+                g = (wg or "").lower().split()
                 d = dist(p, g)
                 wer = (d / len(g)) if g else (0.0 if not p else None)
-                rows.append((t.pair_id, d, len(p), len(g), wer))
+                rows.append((wid, d, len(p), len(g), wer))
             yield pd.DataFrame(
                 rows,
-                columns=["pair_id", "word_edits", "n_pred", "n_gold", "wer"],
+                columns=["wid", "word_edits", "n_pred", "n_gold", "wer"],
             )
 
     out_schema = (
-        "pair_id long, word_edits long, n_pred long, n_gold long, wer double"
+        "wid "
+        + id_field.dataType.simpleString()
+        + ", word_edits long, n_pred long, n_gold long, wer double"
     )
-    return src.mapInPandas(kernel, out_schema)
+    out = src.mapInPandas(kernel, out_schema)
+    return out.withColumnRenamed("wid", id_col) if id_col != "wid" else out

@@ -703,9 +703,9 @@ def bootstrap_mean_ci(
     # (groups, key, x) frame buys full width; a no-op when the scan
     # already provides it.  Weights are content-keyed, so the result
     # is identical at any partitioning (tested).
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target, F.col("_k"))
+    from ..session import widen_to_shuffle_width
+
+    base = widen_to_shuffle_width(base, F.col("_k"))
     # observed mean: exact fixed-point sum, one division
     obs = base.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n"),

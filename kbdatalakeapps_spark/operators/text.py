@@ -1542,9 +1542,9 @@ def gopher_repetition_filter(
     # corpus scale the scan already provides width and this is a
     # no-op.  The lineage cut shares the split/tokenize work across
     # the three stat branches instead of re-scanning per branch.
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target, id_col)
+    from ..session import widen_to_shuffle_width
+
+    base = widen_to_shuffle_width(base, id_col)
     base = base.localCheckpoint(eager=False)
     line_stats = _dup_unit_stats(base, id_col, F.col("_lines"), "rep_dup_line")
     para_stats = _dup_unit_stats(base, id_col, F.col("_paras"), "rep_dup_para")

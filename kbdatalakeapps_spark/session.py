@@ -84,3 +84,29 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def shuffle_width(spark: SparkSession) -> int:
+    """The session's shuffle width as an int, tolerant of non-numeric
+    conf values ('auto' under some managed-AQE platforms): falls back
+    to the cluster's default parallelism (ADVICE r7)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
+def widen_to_shuffle_width(df, *part_cols):
+    """Repartition ``df`` up to the session shuffle width when its
+    current plan provides less parallelism — the narrow-scan idiom
+    (round 7): an expensive generation/explode leg downstream of a
+    few-file parquet scan inherits a 1-task width, so one tiny shuffle
+    of the compact frame buys full-width execution.  No-op (and no
+    shuffle) when the scan is already wide.  ``getNumPartitions``
+    forces physical planning once per call — acceptable for the
+    compact frames this guards; callers on hot paths cache the
+    result, not the check."""
+    target = shuffle_width(df.sparkSession)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *part_cols) if part_cols else df.repartition(target)

@@ -2109,3 +2109,27 @@ def test_table_history_row_accounting_with_dvs_and_zero_rows(spark, tmp_path):
     assert h[1].n_rows == 30
     assert h[2].n_rows == 18 == snapshot_row_count(t, 2)
     assert h[3].n_rows == 0, "0-row version must be 0, not NULL"
+
+
+def test_expire_versions_symlinked_table_dir(spark, tmp_path):
+    """ADVICE r7: the ownership gate compared abspath prefixes, so a
+    SYMLINKED table directory misclassified owned files as external
+    and skipped reclaiming them.  realpath normalization must delete
+    dead files when expire_versions runs via the symlink."""
+    import os
+
+    from kbdatalakeapps_spark.io.layout import expire_versions, read_version, versioned_write
+
+    real = str(tmp_path / "real_table")
+    versioned_write(spark.range(0, 5).toDF("id"), real)                      # v1
+    versioned_write(spark.range(9, 12).toDF("id"), real, mode="overwrite")   # v2
+    link = str(tmp_path / "link_table")
+    os.symlink(real, link)
+    report = expire_versions(link, keep_last=1)
+    assert report["removed_versions"] == [1]
+    # v1-only data files are OWNED (same dir via symlink) → reclaimed
+    assert len(report["deleted_files"]) > 0
+    assert report.get("skipped_external", []) == []
+    for f in report["deleted_files"]:
+        assert not os.path.exists(f)
+    assert sorted(r.id for r in read_version(spark, real).collect()) == [9, 10, 11]

@@ -741,3 +741,32 @@ def test_wer_matches_python_reference(spark):
     # the kernel is Arrow-batched, never a per-row UDF
     plan = wer_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_wer_preserves_string_id_and_column_order(spark):
+    """ADVICE r7: wer_score hardcoded `pair_id long` (string ids died
+    at Arrow conversion) and read itertuples positionally (a column
+    reorder silently swapped pred/gold).  The id column's name AND
+    type must pass through, and a gold-first projection must score
+    identically to pred-first."""
+    from kbdatalakeapps_spark.operators.mleval import wer_score
+
+    rows = [
+        ("sysA:ex1", "the cat sat", "the cat sat on the mat"),
+        ("sysB:ex2", "x", "x"),
+    ]
+    df = spark.createDataFrame(rows, "ex_id string, prediction string, gold string")
+    out = wer_score(df, id_col="ex_id")
+    assert out.schema["ex_id"].dataType.simpleString() == "string"
+    got = {r.ex_id: r for r in out.collect()}
+    assert got["sysA:ex1"].word_edits == 3 and got["sysA:ex1"].n_gold == 6
+    assert got["sysB:ex2"].wer == 0.0
+
+    # reorder the physical columns: gold first, then prediction — the
+    # kernel must still bind by NAME, not position
+    reordered = df.select("gold", "ex_id", "prediction")
+    got2 = {r.ex_id: r for r in wer_score(reordered, id_col="ex_id").collect()}
+    for k in got:
+        assert (got2[k].word_edits, got2[k].n_pred, got2[k].n_gold, got2[k].wer) == (
+            got[k].word_edits, got[k].n_pred, got[k].n_gold, got[k].wer
+        )

@@ -212,3 +212,22 @@ def test_new_round6_operators_are_scale_safe(spark):
     )
     assert_scale_safe(sched)
     assert exchange_count(sched) <= 1  # the one host shuffle
+
+
+def test_bench_control_suite_frozen_and_planable(spark):
+    """bench.py's ambient control (VERDICT r7 #2): the five frozen
+    synthetic workloads must keep matching their pinned reference keys
+    and build plans without touching any data files (spark.range only
+    — workload size can never drift with fixtures)."""
+    from kbdatalakeapps_spark.benchcontrol import (
+        CONTROL_QUERIES,
+        REFERENCE_SECONDS,
+    )
+
+    assert set(CONTROL_QUERIES) == set(REFERENCE_SECONDS)
+    assert all(v > 0 for v in REFERENCE_SECONDS.values())
+    for name, fn in CONTROL_QUERIES.items():
+        df = fn(spark)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Range" in plan, name          # synthetic source only
+        assert "Relation" not in plan, name   # no file scans

@@ -505,3 +505,29 @@ def test_inference_batches_padding_and_determinism(spark):
         ).collect())
     )
     assert again == sorted(map(tuple, out))
+
+
+def test_shuffle_width_tolerates_non_numeric_conf():
+    """ADVICE r7: int('auto') raised on managed-AQE platforms; the
+    helper must fall back to defaultParallelism."""
+    from kbdatalakeapps_spark.session import shuffle_width
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, k):
+            return self._v
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Spark:
+        sparkContext = _SC()
+
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert shuffle_width(_Spark("16")) == 16
+    assert shuffle_width(_Spark("auto")) == 7
+    assert shuffle_width(_Spark(None)) == 7

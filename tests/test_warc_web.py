@@ -1029,3 +1029,33 @@ def test_domain_blocklist_suffix_matching(spark):
     # the blocklist side is broadcast in the plan
     plan = domain_blocklist_filter(urls, bl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_warc_gap_padding_gz_magic_and_empty_archive(spark, tmp_path):
+    """ADVICE r7: (a) a 0-byte archive yields no index rows and must
+    count as trivially covered, not a partial index; (b) a gz gap is
+    rejected only on a PLAUSIBLE member header (magic + deflate method
+    + zero reserved flag bits), not any \\x1f\\x8b substring."""
+    from kbdatalakeapps_spark.io.warc import (
+        _warc_gap_is_padding,
+        read_warc_split,
+        warc_index,
+    )
+
+    _write(str(tmp_path), "real.warc.gz", warc_bytes(_sample_records(), gzip_members=True))
+    _write(str(tmp_path), "empty.warc.gz", b"")
+    idx = warc_index(spark, str(tmp_path))
+    # the empty archive contributes no index rows yet the complete
+    # index must still pass the gate
+    assert read_warc_split(spark, str(tmp_path), index_df=idx).count() == \
+        read_warc(spark, str(tmp_path)).count()
+
+    # bare magic inside junk padding: NOT a member header
+    junk = _write(str(tmp_path), "junk.gz", b"xx\x1f\x8b\xff junk \x1f\x8b")
+    assert _warc_gap_is_padding(junk, 0, os.path.getsize(junk))
+    # magic + deflate + reserved-flag-clean: plausible header → reject
+    hdr = _write(str(tmp_path), "hdr.gz", b"pad\x1f\x8b\x08\x00rest")
+    assert not _warc_gap_is_padding(hdr, 0, os.path.getsize(hdr))
+    # same bytes but reserved flag bits set → implausible, accept
+    bad = _write(str(tmp_path), "badflg.gz", b"pad\x1f\x8b\x08\xf0rest")
+    assert _warc_gap_is_padding(bad, 0, os.path.getsize(bad))

@@ -1,0 +1,139 @@
+"""Permanent gate for the silent-int64-wrap bug class (VERDICT r7 #5).
+
+Round 7 hand-audited every SQL ``div`` / fixed-point-product site in
+the package after the bradley_terry wrap (Spark BIGINT ``*``/``div``
+wrap silently with ANSI off).  tools/wrap_lint.py re-finds those
+sites syntactically; this test freezes the audited baseline.  Adding
+a new div/product expression string anywhere in the package fails
+here until the author either routes it through DECIMAL/_div_dec, tags
+it ``# wrap-ok: <envelope>`` after auditing the operand envelope, or
+(for a genuinely new audited function) extends BASELINE below with a
+justification in the diff.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+from wrap_lint import scan_file, scan_tree, unaudited_funcs  # noqa: E402
+
+#: (path, enclosing function) keys whose sites carry no in-place audit
+#: marker but WERE audited in the round-7 hand-sweep (commit 93d0e76:
+#: envelopes documented in each function's docstring or the quotient
+#: is structurally bounded, e.g. ts div 1000, rank div constants,
+#: DuckDB-oracle SQL strings where HUGEINT arithmetic cannot wrap).
+BASELINE = {
+    ("kbdatalakeapps_spark/operators/classifier.py", "_margins"),
+    ("kbdatalakeapps_spark/operators/classifier.py", "hashed_features"),
+    ("kbdatalakeapps_spark/operators/classifier.py", "score_hashed_classifier"),
+    ("kbdatalakeapps_spark/operators/classifier.py", "train_hashed_classifier"),
+    ("kbdatalakeapps_spark/operators/dedup.py", "edit_distance_pairs"),
+    ("kbdatalakeapps_spark/operators/dedup.py", "edit_distance_pairs._li"),
+    ("kbdatalakeapps_spark/operators/dedup.py", "edit_distance_pairs._pi"),
+    ("kbdatalakeapps_spark/operators/graph.py", "pagerank_fixed_point"),
+    ("kbdatalakeapps_spark/operators/mleval.py", "_div_dec"),
+    ("kbdatalakeapps_spark/operators/relational.py", "rrf_fuse"),
+    ("kbdatalakeapps_spark/operators/similarity.py", "random_projection"),
+    ("kbdatalakeapps_spark/operators/sketch.py", "kmv_set_stats"),
+    ("kbdatalakeapps_spark/operators/temporal.py", "cohort_retention"),
+    ("kbdatalakeapps_spark/operators/temporal.py", "lttb_downsample"),
+    ("kbdatalakeapps_spark/operators/temporal.py", "resample_gapfill"),
+    ("kbdatalakeapps_spark/operators/text.py", "chunk_documents"),
+    ("kbdatalakeapps_spark/operators/web.py", ""),
+    ("kbdatalakeapps_spark/queries/extended.py", "st_retention_cohorts"),
+    ("kbdatalakeapps_spark/queries/extended.py", "w5_asof_join"),
+    ("kbdatalakeapps_spark/queries/graphs.py", ""),
+    ("kbdatalakeapps_spark/queries/linkage.py", "er_phonetic_blocking"),
+    ("kbdatalakeapps_spark/queries/mleval.py", ""),
+    ("kbdatalakeapps_spark/queries/mleval.py", "ml_chrf"),
+    ("kbdatalakeapps_spark/queries/mleval.py", "ml_token_f1"),
+    ("kbdatalakeapps_spark/queries/pipeline.py", ""),
+    ("kbdatalakeapps_spark/queries/sketches.py", ""),
+    ("kbdatalakeapps_spark/queries/timeseries.py", "ts_activity_islands"),
+    ("kbdatalakeapps_spark/queries/timeseries.py", "ts_cusum_changepoint"),
+    ("kbdatalakeapps_spark/queries/training.py", ""),
+    ("kbdatalakeapps_spark/queries/training.py", "dd_url_canonical"),
+    ("kbdatalakeapps_spark/streaming/incremental.py", "with_event_time"),
+}
+
+
+def test_no_new_unaudited_wrap_sites():
+    got = unaudited_funcs(scan_tree(ROOT))
+    new = got - BASELINE
+    assert not new, (
+        "NEW SQL div / fixed-point-product sites without a visible "
+        "wrap audit (Spark BIGINT * and div wrap SILENTLY past 2^63 "
+        "with ANSI off). Route the wide operand through DECIMAL(38,0) "
+        f"or _div_dec, or tag '# wrap-ok: <envelope>': {sorted(new)}"
+    )
+    # baseline hygiene: entries whose sites disappeared should be
+    # pruned so the allowlist can only shrink
+    stale = BASELINE - got
+    assert not stale, f"prune audited-baseline entries with no sites left: {sorted(stale)}"
+
+
+def _lint_snippet(src: str):
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(src)
+        p = f.name
+    try:
+        return scan_file(p, "seeded.py")
+    finally:
+        os.unlink(p)
+
+
+def test_lint_catches_seeded_regression():
+    """The exact round-7 bug shape — a long product feeding div in an
+    expression string, no DECIMAL routing — must be flagged."""
+    sites = _lint_snippet(
+        "def bad(df):\n"
+        "    return df.selectExpr('(cum_pos * total_n * 1000000) div cum_n AS lift')\n"
+    )
+    assert any(s.kind == "div" and not s.audited for s in sites)
+    assert any(s.kind == "fp_product" and not s.audited for s in sites)
+    assert all(s.func == "bad" for s in sites)
+
+
+def test_lint_accepts_audited_forms():
+    # DECIMAL routing in the string itself
+    s1 = _lint_snippet(
+        "def ok(df):\n"
+        "    return df.selectExpr('CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div b AS BIGINT) x')\n"
+    )
+    assert all(s.audited for s in s1)
+    # wrap-ok tag within the 5 lines above
+    s2 = _lint_snippet(
+        "def ok2(df):\n"
+        "    # wrap-ok: rank <= 1e6 so the product tops out at 1e12\n"
+        "    return df.selectExpr('(rank * 1000000) div n AS frac')\n"
+    )
+    assert all(s.audited for s in s2)
+    # _div_dec routing on the statement
+    s3 = _lint_snippet(
+        "def ok3(df, _div_dec):\n"
+        "    return df.selectExpr('CAST(' + _div_dec('a * 1000000', 'b') + ' AS BIGINT) x')\n"
+    )
+    assert all(s.audited for s in s3)
+    # docstrings never count as sites
+    s4 = _lint_snippet(
+        "def doc(df):\n"
+        '    """uses a div b * 1000000 in prose only"""\n'
+        "    return df\n"
+    )
+    assert s4 == []
+
+
+def test_lint_survives_module_level_sites():
+    sites = _lint_snippet("X = '(a * 1000000) div b'\n")
+    assert sites and sites[0].func == "" and not sites[0].audited
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

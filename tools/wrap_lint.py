@@ -1,0 +1,142 @@
+"""Source lint for the silent-int64-wrap bug class (VERDICT r7 #5).
+
+With ANSI off, Spark's BIGINT ``*`` and ``div`` wrap SILENTLY past
+2^63 — round 7 found five real instances (bradley_terry, lift_gains,
+lttb_downsample, lsh_tuning, collocations), all the same shape: an
+integer fixed-point product or quotient built in a SQL expression
+string without routing the wide operand through DECIMAL(38,0) /
+``_div_dec``.  This lint makes that hand-audit a permanent gate:
+
+* every NON-DOCSTRING string constant in package source containing a
+  SQL ``div`` token, or an in-string fixed-point product
+  ``* 1_000_000``-or-wider, is a *site*;
+* a site passes only if it is visibly audited — the string itself
+  carries a DECIMAL cast, the statement uses ``_div_dec``, a nearby
+  comment carries the ``wrap-ok:`` tag, or the enclosing function is
+  in the audited baseline (`tests/test_wrap_lint.py`, the round-7
+  hand-audit) — otherwise the test fails and the author must audit
+  the envelope and either fix it or tag it.
+
+The lint is deliberately syntactic: it cannot prove a quotient fits
+int64 (that is the audit's job); it guarantees no NEW div/product
+site lands without someone having looked.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+from dataclasses import dataclass
+
+#: SQL integer division, and fixed-point scale products of 10^6 or
+#: wider, inside an expression string.
+_DIV_RE = re.compile(r"\bdiv\b")
+_FP_PROD_RE = re.compile(r"\*\s*10{6,}\b|\b10{6,}\s*\*")
+
+
+@dataclass(frozen=True)
+class Site:
+    path: str            # repo-relative
+    func: str            # enclosing function qualname ('' = module level)
+    lineno: int
+    kind: str            # 'div' | 'fp_product'
+    audited: bool        # visibly safe at the site itself
+
+
+def _docstring_linenos(tree: ast.AST) -> set[int]:
+    out: set[int] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            body = getattr(node, "body", [])
+            if body and isinstance(body[0], ast.Expr) and isinstance(
+                body[0].value, ast.Constant
+            ) and isinstance(body[0].value.value, str):
+                c = body[0].value
+                out.update(range(c.lineno, (c.end_lineno or c.lineno) + 1))
+    return out
+
+
+def _func_spans(tree: ast.AST) -> list[tuple[int, int, str]]:
+    spans = []
+
+    def walk(node, prefix):
+        for child in ast.iter_child_nodes(node):
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                name = f"{prefix}{child.name}"
+                spans.append((child.lineno, child.end_lineno or child.lineno, name))
+                walk(child, name + ".")
+            elif isinstance(child, ast.ClassDef):
+                walk(child, f"{prefix}{child.name}.")
+            else:
+                walk(child, prefix)
+
+    walk(tree, "")
+    return sorted(spans)
+
+
+def scan_file(path: str, rel: str) -> list[Site]:
+    src = open(path).read()
+    lines = src.splitlines()
+    tree = ast.parse(src)
+    doc_lines = _docstring_linenos(tree)
+    spans = _func_spans(tree)
+
+    def enclosing(lineno: int) -> str:
+        best = ""
+        for s, e, name in spans:
+            if s <= lineno <= e:
+                best = name  # innermost wins (spans sorted by start)
+        return best
+
+    sites: list[Site] = []
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.Constant) and isinstance(node.value, str)):
+            continue
+        if node.lineno in doc_lines:
+            continue
+        s = node.value
+        kinds = []
+        if _DIV_RE.search(s):
+            kinds.append("div")
+        if _FP_PROD_RE.search(s):
+            kinds.append("fp_product")
+        if not kinds:
+            continue
+        # visible audit at the site: DECIMAL routing in the string
+        # itself, _div_dec on the statement, or a wrap-ok tag within
+        # the 5 lines above the string start
+        audited = "DECIMAL" in s
+        lo = max(0, node.lineno - 6)
+        ctx = "\n".join(lines[lo : (node.end_lineno or node.lineno)])
+        if "_div_dec" in ctx or "wrap-ok:" in ctx:
+            audited = True
+        for kind in kinds:
+            sites.append(Site(rel, enclosing(node.lineno), node.lineno, kind, audited))
+    return sites
+
+
+def scan_tree(root: str) -> list[Site]:
+    pkg = os.path.join(root, "kbdatalakeapps_spark")
+    sites: list[Site] = []
+    for dirpath, _dirs, files in os.walk(pkg):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, f)
+            sites.extend(scan_file(p, os.path.relpath(p, root)))
+    return sorted(sites, key=lambda s: (s.path, s.lineno, s.kind))
+
+
+def unaudited_funcs(sites: list[Site]) -> set[tuple[str, str]]:
+    """(path, enclosing-function) keys with ≥1 site not visibly
+    audited at the site itself — these must be in the baseline."""
+    return {(s.path, s.func) for s in sites if not s.audited}
+
+
+if __name__ == "__main__":
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sites = scan_tree(root)
+    print(f"{len(sites)} sites, {sum(1 for s in sites if not s.audited)} not site-audited")
+    for key in sorted(unaudited_funcs(sites)):
+        print("  ", key)
