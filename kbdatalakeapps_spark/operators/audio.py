@@ -319,15 +319,24 @@ def audio_features(
         + [T.StructField(n, t) for n, t in AUDIO_FEATURE_FIELDS]
     )
 
+    from .codecs import audio_decoders, match_signature
+
+    _plugged = audio_decoders()  # plan-build snapshot → executors
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {n: [] for n, _ in AUDIO_FEATURE_FIELDS}
             for c in pdf[content_col]:
                 # container dispatch by signature: FLAC streams ride
                 # the same feature kernel (operators/flac.py — exact
-                # integer decode, so the hash contract is identical)
+                # integer decode, so the hash contract is identical);
+                # registered external decoders (mp3/ogg/aac via a
+                # codec lib) are sniffed first, longest prefix wins
                 sig = bytes(c[:4]) if c is not None else b""
-                if sig == b"fLaC":
+                ext = match_signature(_plugged, c)
+                if ext is not None:
+                    decoded = ext(bytes(c))
+                elif sig == b"fLaC":
                     from .flac import _decode_flac
 
                     decoded = _decode_flac(bytes(c))

@@ -1,0 +1,113 @@
+"""Pluggable media-decoder registry (VERDICT r7 #3).
+
+The container has no codec libraries, so compressed formats the
+pure-python decoders can't express (H.264/VP9 video, MP3/AAC/Vorbis
+audio, WebP/HEIC images) raise a documented ``NotImplementedError``
+in the media kernels.  This registry turns that boundary into a hook:
+an environment WITH PIL/ffmpeg/soundfile registers a decoder per mime
+(images) or container signature (audio/video) and the existing
+operators — ``resize_images`` / ``image_features`` /
+``perceptual_hash`` / ``audio_features`` / ``sample_frames_decoded``
+— upgrade in place: same plan, same Arrow batch shape, same
+NULL/reject semantics, only the per-row decode call changes.
+
+Decoder contracts (all take ``bytes``, all may return ``None`` for
+undecodable content — None follows each operator's existing NULL
+rule; raising propagates loudly):
+
+- image:  ``fn(content) -> (ndarray HxWxC uint8, width, height) | None``
+- audio:  ``fn(content) -> (samples ndarray [n, channels] int, rate) | None``
+- video:  ``fn(content) -> (frames, width, height) | None`` where
+  ``frames`` is a list of ``(timestamp_ms, ndarray HxWxC uint8)`` in
+  timestamp order — the same shape the GIF timeline decoder emits.
+
+Distribution note: operators snapshot the registry AT PLAN BUILD TIME
+(driver side) and the snapshot rides the kernel closure through
+cloudpickle to executors — registration after an operator call does
+not retro-affect the already-built plan, and executors never need the
+registration call themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+_IMAGE: dict[str, Callable] = {}
+_AUDIO: dict[bytes, Callable] = {}
+_VIDEO: dict[bytes, Callable] = {}
+
+
+def register_image_decoder(mime: str, fn: Callable) -> None:
+    """Register ``fn(content bytes) -> (array, w, h) | None`` for an
+    image mime the built-in pure-python codecs don't cover (e.g.
+    ``image/webp`` via PIL).  Built-in mimes (png/jpeg/gif/bmp/tiff)
+    cannot be overridden — their decode is part of the oracle-verified
+    contract."""
+    if mime in ("image/png", "image/jpeg", "image/gif", "image/bmp", "image/tiff"):
+        raise ValueError(f"built-in decoder for {mime!r} is not overridable")
+    _IMAGE[mime] = fn
+
+
+def unregister_image_decoder(mime: str) -> None:
+    _IMAGE.pop(mime, None)
+
+
+def image_decoders() -> dict[str, Callable]:
+    """Snapshot for kernel closures (copy — later registrations don't
+    mutate already-built plans)."""
+    return dict(_IMAGE)
+
+
+def register_audio_decoder(signature: bytes, fn: Callable) -> None:
+    """Register ``fn(content bytes) -> (samples [n, ch], rate) | None``
+    for an audio container signature prefix (e.g. ``b"OggS"``,
+    ``b"ID3"``).  Audio kernels sniff bytes, not mimes, so the key is
+    the leading-byte signature; longest registered match wins."""
+    if not signature:
+        raise ValueError("empty signature")
+    if signature in (b"fLaC", b"FORM", b".snd", b"RIFF"):
+        raise ValueError(f"built-in decoder for {signature!r} is not overridable")
+    _AUDIO[bytes(signature)] = fn
+
+
+def unregister_audio_decoder(signature: bytes) -> None:
+    _AUDIO.pop(bytes(signature), None)
+
+
+def audio_decoders() -> tuple[tuple[bytes, Callable], ...]:
+    """Snapshot, longest signature first so the most specific prefix
+    wins."""
+    return tuple(sorted(_AUDIO.items(), key=lambda kv: -len(kv[0])))
+
+
+def register_video_decoder(signature: bytes, fn: Callable) -> None:
+    """Register ``fn(content bytes) -> (frames, w, h) | None`` —
+    ``frames`` a list of ``(ts_ms, ndarray)`` — for a video container
+    signature prefix (e.g. ``b"\\x1aE\\xdf\\xa3"`` for WebM via
+    ffmpeg)."""
+    if not signature:
+        raise ValueError("empty signature")
+    if signature in (b"GIF87a", b"GIF89a", b"RIFF"):
+        raise ValueError(f"built-in decoder for {signature!r} is not overridable")
+    _VIDEO[bytes(signature)] = fn
+
+
+def unregister_video_decoder(signature: bytes) -> None:
+    _VIDEO.pop(bytes(signature), None)
+
+
+def video_decoders() -> tuple[tuple[bytes, Callable], ...]:
+    return tuple(sorted(_VIDEO.items(), key=lambda kv: -len(kv[0])))
+
+
+def match_signature(snapshot: tuple[tuple[bytes, Callable], ...], content) -> Callable | None:
+    """First (longest-prefix) registered decoder whose signature
+    matches the content head, else None.  ``snapshot`` comes from
+    :func:`audio_decoders` / :func:`video_decoders`."""
+    if content is None:
+        return None
+    head = bytes(content[:16])
+    for sig, fn in snapshot:
+        if head.startswith(sig):
+            return fn
+    return None

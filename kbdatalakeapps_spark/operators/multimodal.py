@@ -782,6 +782,10 @@ def resize_images(
         F.col("meta.width").alias("_w"),
         F.col("meta.height").alias("_h"),
     )
+    # plan-build-time snapshot rides the closure to executors
+    from .codecs import image_decoders
+
+    _plugged = image_decoders()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -817,10 +821,17 @@ def resize_images(
                     )
                     continue
                 if mime_s is not None and not mime_s.startswith("image/raw"):
-                    raise NotImplementedError(
-                        f"decode for {mime!r} requires PIL/opencv — not "
-                        "available; plug the codec into this kernel"
+                    dec = _plugged.get(mime_s)
+                    if dec is None:
+                        raise NotImplementedError(
+                            f"decode for {mime!r} requires a codec library — "
+                            "register one via codecs.register_image_decoder"
+                        )
+                    d = None if c is None else dec(bytes(c))
+                    resized.append(
+                        None if d is None else _resize_array(d[0], width, height)
                     )
+                    continue
                 resized.append(
                     _resize_raw_bitmap(
                         c,
@@ -926,6 +937,10 @@ def image_features(
     """
     import numpy as np
 
+    from .codecs import image_decoders
+
+    _plugged = image_decoders()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {f.name: [] for f in IMAGE_FEATURE_SCHEMA.fields}
@@ -947,9 +962,13 @@ def image_features(
                             ch = len(arr) // (int(w) * int(h))
                             if ch >= 1 and len(arr) == int(w) * int(h) * ch:
                                 decoded = arr.reshape(int(h), int(w), ch)
+                    elif mime_s in _plugged:
+                        d = _plugged[mime_s](bytes(c))
+                        decoded = None if d is None else d[0]
                     else:
                         raise NotImplementedError(
-                            f"decode for {mime_s!r} needs a codec library"
+                            f"decode for {mime_s!r} needs a codec library — "
+                            "register one via codecs.register_image_decoder"
                         )
                 out[id_col].append(mid)
                 if decoded is None:
@@ -1008,6 +1027,10 @@ def perceptual_hash(
     (``mm_image_phash``).  NULL/undecodable content → NULL hashes."""
     import numpy as np
 
+    from .codecs import image_decoders
+
+    _plugged = image_decoders()
+
     def decode(c, mime_s, w, h):
         if c is None:
             return None
@@ -1025,7 +1048,13 @@ def perceptual_hash(
             if ch < 1 or len(arr) != int(w) * int(h) * ch:
                 return None
             return arr.reshape(int(h), int(w), ch)
-        raise NotImplementedError(f"decode for {mime_s!r} needs a codec library")
+        if mime_s in _plugged:
+            d = _plugged[mime_s](bytes(c))
+            return None if d is None else d[0]
+        raise NotImplementedError(
+            f"decode for {mime_s!r} needs a codec library — register one "
+            "via codecs.register_image_decoder"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -196,13 +196,53 @@ def sample_frames_decoded(
     a frameless video has no row to emit)."""
     import numpy as np
 
+    from .codecs import match_signature, video_decoders
+
+    _plugged = video_decoders()  # plan-build snapshot → executors
+
+    def emit_timeline(out, mid, tframes, tw, th):
+        # sample the displayed frame at each every_ms boundary (the
+        # AVI step rule, variable frame delays honoured); consecutive
+        # duplicates skipped.  Shared by the GIF decoder and any
+        # registered external decoder (same (ts_ms, array) contract).
+        last_idx = -1
+        b = 0
+        while b <= tframes[-1][0]:
+            fi = max(i for i, (ts, _) in enumerate(tframes) if ts <= b)
+            if fi != last_idx:
+                last_idx = fi
+                arr = tframes[fi][1]
+                gray = (
+                    arr.mean(axis=2, dtype=np.float64)
+                    .round()
+                    .astype(np.uint8)[..., None]
+                )
+                out["media_id"].append(mid)
+                out["frame_ts_ms"].append(tframes[fi][0])
+                out["frame_width"].append(tw)
+                out["frame_height"].append(th)
+                out["thumb"].append(_resize_array(gray, thumb_size, thumb_size))
+                out["frame_sha256"].append(
+                    hashlib.sha256(arr.tobytes()).hexdigest()
+                )
+            b += every_ms
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {n.name: [] for n in VIDEO_FRAME_SCHEMA.fields}
             for mid, c in zip(pdf[id_col], pdf[content_col]):
                 # container dispatch by signature: GIF animations ride
                 # the same sampler (AVI raises, not returns, on
-                # non-RIFF bytes, so probe GIF first)
+                # non-RIFF bytes, so probe GIF first); registered
+                # external decoders (H.264/VP9 via ffmpeg) are sniffed
+                # before the builtins, longest prefix wins
+                ext = match_signature(_plugged, c)
+                if ext is not None:
+                    res = ext(bytes(c))
+                    if res is None or not res[0]:
+                        continue
+                    emit_timeline(out, mid, res[0], res[1], res[2])
+                    continue
                 if c is not None and bytes(c[:6]) in (b"GIF87a", b"GIF89a"):
                     gif = _decode_gif(bytes(c))
                     if gif is None:
@@ -210,34 +250,7 @@ def sample_frames_decoded(
                     gframes, gw, gh = gif
                     if not gframes:
                         continue
-                    # sample the displayed frame at each every_ms
-                    # boundary (the AVI step rule, GIF's variable
-                    # delays honoured); consecutive duplicates skipped
-                    last_idx = -1
-                    b = 0
-                    while b <= gframes[-1][0]:
-                        fi = max(
-                            i for i, (ts, _) in enumerate(gframes) if ts <= b
-                        )
-                        if fi != last_idx:
-                            last_idx = fi
-                            arr = gframes[fi][1]
-                            gray = (
-                                arr.mean(axis=2, dtype=np.float64)
-                                .round()
-                                .astype(np.uint8)[..., None]
-                            )
-                            out["media_id"].append(mid)
-                            out["frame_ts_ms"].append(gframes[fi][0])
-                            out["frame_width"].append(gw)
-                            out["frame_height"].append(gh)
-                            out["thumb"].append(
-                                _resize_array(gray, thumb_size, thumb_size)
-                            )
-                            out["frame_sha256"].append(
-                                hashlib.sha256(arr.tobytes()).hexdigest()
-                            )
-                        b += every_ms
+                    emit_timeline(out, mid, gframes, gw, gh)
                     continue
                 decoded = _decode_avi(c)
                 if decoded is None:

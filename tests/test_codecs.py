@@ -1,0 +1,159 @@
+"""Pluggable decoder registry (VERDICT r7 #3): environments with real
+codec libraries (PIL/ffmpeg) upgrade the media kernels in place by
+registering mime/signature decoders.  These tests inject DETERMINISTIC
+fake decoders and prove the hook carries (a) mime→kernel dispatch, (b)
+NULL/reject semantics identical to the builtins, (c) the plan-build
+snapshot rule, and (d) that builtin codecs cannot be overridden.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from kbdatalakeapps_spark.operators import codecs
+
+MEDIA_SCHEMA = (
+    "media_id long, content binary,"
+    " meta struct<mime:string,width:int,height:int,duration_ms:long>"
+)
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    yield
+    codecs.unregister_image_decoder("image/webp")
+    codecs.unregister_audio_decoder(b"FAKA")
+    codecs.unregister_video_decoder(b"FKV0")
+
+
+def _webp_decoder(content: bytes):
+    # deterministic 2x2 RGB gradient seeded by payload length;
+    # returns None on a marker byte to exercise the NULL rule
+    if content[:1] == b"\x00":
+        return None
+    arr = (np.arange(12, dtype=np.uint8) + len(content)).reshape(2, 2, 3)
+    return arr, 2, 2
+
+
+def test_image_decoder_hook_features_resize_phash(spark):
+    from kbdatalakeapps_spark.operators.multimodal import (
+        image_features,
+        perceptual_hash,
+        resize_images,
+    )
+
+    codecs.register_image_decoder("image/webp", _webp_decoder)
+    rows = [
+        (1, b"RIFFxxxxWEBP", ("image/webp", None, None, None)),
+        (2, b"\x00undecodable", ("image/webp", None, None, None)),
+        (3, None, ("image/webp", None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    exp = _webp_decoder(b"RIFFxxxxWEBP")[0].astype(np.int64)
+    assert (feats[1].img_width, feats[1].img_height, feats[1].channels) == (2, 2, 3)
+    assert feats[1].px_mean == exp.sum() / exp.size
+    # decoder returned None → NULL features, row preserved (builtin rule)
+    assert feats[2].px_mean is None and feats[3].px_mean is None
+
+    rez = {r.media_id: r for r in resize_images(media, width=2, height=2).collect()}
+    assert bytes(rez[1].resized) == exp.astype(np.uint8).tobytes()
+    assert rez[2].resized is None and rez[3].resized is None
+
+    ph = {r.media_id: r for r in perceptual_hash(media).collect()}
+    assert ph[1].ahash is not None and ph[2].ahash is None
+
+
+def test_unregistered_mime_still_raises_loudly(spark):
+    from kbdatalakeapps_spark.operators.multimodal import image_features
+
+    media = spark.createDataFrame(
+        [(1, b"xx", ("image/heic", None, None, None))], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="register_image_decoder"):
+        image_features(media).collect()
+
+
+def test_plan_build_snapshot_rule(spark):
+    """Registration AFTER an operator call must not retro-affect the
+    already-built plan (the snapshot rides the closure), while a new
+    call picks the decoder up."""
+    from kbdatalakeapps_spark.operators.multimodal import image_features
+
+    media = spark.createDataFrame(
+        [(1, b"RIFFxxxxWEBP", ("image/webp", None, None, None))], MEDIA_SCHEMA
+    )
+    stale = image_features(media)  # built with an empty registry
+    codecs.register_image_decoder("image/webp", _webp_decoder)
+    with pytest.raises(Exception, match="register_image_decoder"):
+        stale.collect()
+    fresh = image_features(media).collect()
+    assert fresh[0].px_mean is not None
+
+
+def test_builtin_codecs_not_overridable():
+    with pytest.raises(ValueError, match="not overridable"):
+        codecs.register_image_decoder("image/png", _webp_decoder)
+    with pytest.raises(ValueError, match="not overridable"):
+        codecs.register_audio_decoder(b"RIFF", lambda c: None)
+    with pytest.raises(ValueError, match="not overridable"):
+        codecs.register_video_decoder(b"GIF89a", lambda c: None)
+    with pytest.raises(ValueError, match="empty"):
+        codecs.register_audio_decoder(b"", lambda c: None)
+
+
+def test_audio_decoder_hook_signature_dispatch(spark):
+    from kbdatalakeapps_spark.operators.audio import audio_features
+
+    def fake_mp3(content: bytes):
+        if len(content) < 8:
+            return None
+        # 1 kHz of alternating ±100: rms 100, zc n-1
+        n = 1000
+        samples = np.tile([100, -100], n // 2).astype(np.int64).reshape(-1, 1)
+        return samples, 1000
+
+    codecs.register_audio_decoder(b"FAKA", fake_mp3)
+    rows = [
+        (1, b"FAKA" + b"p" * 16, (None, None, None, None)),
+        (2, b"FAKA", (None, None, None, None)),   # decoder → None
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in audio_features(media).collect()}
+    assert out[1].n_samples == 1000 and out[1].sample_rate == 1000
+    assert out[1].rms == 100.0 and out[1].peak == 100
+    assert out[1].zero_crossings == 999
+    assert out[2].n_samples is None  # NULL rule preserved
+
+
+def test_video_decoder_hook_timeline_contract(spark):
+    from kbdatalakeapps_spark.operators.video import sample_frames_decoded
+
+    f0 = np.zeros((2, 2, 3), dtype=np.uint8)
+    f1 = np.full((2, 2, 3), 200, dtype=np.uint8)
+
+    def fake_vid(content: bytes):
+        if content == b"FKV0":
+            return None
+        # two frames: t=0 and t=2000ms — at the 0/1000/2000ms
+        # boundaries the emitter keeps 0ms (f0) and 2000ms (f1);
+        # the 1000ms boundary still displays f0 → skipped as a dup
+        return [(0, f0), (2000, f1)], 2, 2
+
+    codecs.register_video_decoder(b"FKV0", fake_vid)
+    media = spark.createDataFrame(
+        [(1, b"FKV0frames", (None, None, None, None)),
+         (2, b"FKV0", (None, None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    out = sample_frames_decoded(media, every_ms=1000).collect()
+    got = [(r.media_id, r.frame_ts_ms, r.frame_sha256) for r in out]
+    assert (1, 0, hashlib.sha256(f0.tobytes()).hexdigest()) in got
+    assert (1, 2000, hashlib.sha256(f1.tobytes()).hexdigest()) in got
+    assert len([g for g in got if g[0] == 1]) == 2  # dup boundaries skipped
+    assert not [g for g in got if g[0] == 2]        # None → no rows
+    assert all((r.frame_width, r.frame_height) == (2, 2) for r in out)
