@@ -13,6 +13,10 @@ fatal at cluster scale:
 * ``global_window`` — a ``Window`` with an empty partition spec: the
   whole input sorts through ONE task.  Safe only over frames bounded
   by construction (per-partition offset tables, capped top-N).
+* ``rest_unpruned`` — a ``rest_lake`` scan whose downstream Project
+  keeps under half the fetched columns: the Python DataSource API has
+  no pushColumns, so the caller must pass ``.option("columns", ...)``
+  or every unused column ships over the wire.
 
 Plus an informational ``exchanges`` count (number of shuffle
 boundaries) so a regression that doubles the shuffle count is visible
@@ -82,10 +86,69 @@ def _has_global_window(plan: str) -> bool:
     return False
 
 
+def _column_list(line: str) -> list[str]:
+    # "Output [6]: [o_orderkey#16L, o_custkey#17L, ...]" → exprIds
+    body = line.split(": [", 1)[1].rstrip("]")
+    return [c.strip() for c in body.split(",") if c.strip()]
+
+
+def _rest_unpruned(plan: str) -> list[str]:
+    """REST-source pruning rule (VERDICT r7 #4): Spark's Python
+    DataSource API has no ``pushColumns``, so Catalyst CANNOT prune a
+    ``rest_lake`` scan — every unprojected column ships over the wire
+    (the reference composes its SELECT list server-side,
+    query_pangenome_berdl.py:222-226).  Detect the symptom in the
+    formatted plan: a ``BatchScan rest_lake`` whose full output feeds
+    a Project keeping under half the fetched columns means the caller
+    forgot ``.option("columns", ...)``.  Returns one detail string per
+    offending scan."""
+    if "BatchScan rest_lake" not in plan:
+        return []
+    import re
+
+    lines = plan.splitlines()
+    scan_outputs: list[list[str]] = []
+    projects: list[tuple[list[str], list[str]]] = []  # (output, input)
+    i = 0
+    while i < len(lines):
+        s = lines[i].strip()
+        if re.match(r"^\(\d+\) BatchScan rest_lake", s):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if lines[j].strip().startswith("Output ["):
+                    scan_outputs.append(_column_list(lines[j].strip()))
+                    break
+        elif re.match(r"^\(\d+\) \*?Project", s) or re.match(r"^\(\d+\) Project", s):
+            out_cols: list[str] | None = None
+            in_cols: list[str] | None = None
+            for j in range(i + 1, min(i + 5, len(lines))):
+                t = lines[j].strip()
+                if t.startswith("Output ["):
+                    out_cols = _column_list(t)
+                elif t.startswith("Input ["):
+                    in_cols = _column_list(t)
+            if out_cols is not None and in_cols is not None:
+                projects.append((out_cols, in_cols))
+        i += 1
+    details = []
+    for scan_cols in scan_outputs:
+        scan_set = set(scan_cols)
+        for out_cols, in_cols in projects:
+            if set(in_cols) == scan_set and len(out_cols) * 2 < len(scan_cols):
+                details.append(
+                    f"rest_lake scan fetches {len(scan_cols)} columns, "
+                    f"downstream keeps {len(out_cols)} — pass "
+                    f".option('columns', ...) so the endpoint composes "
+                    f"the SELECT list"
+                )
+                break
+    return details
+
+
 def audit_plan(
     df: DataFrame,
     allow_nested_loop: bool = False,
     allow_global_window: bool = False,
+    allow_rest_unpruned: bool = False,
 ) -> list[PlanFinding]:
     """Scan ``df``'s physical plan for scale-killers; returns findings
     (empty list = scale-safe by this linter's rules).  The allow flags
@@ -106,6 +169,9 @@ def audit_plan(
         )
     if not allow_global_window and _has_global_window(plan):
         findings.append(PlanFinding("global_window", "Window partitionBy=[]"))
+    if not allow_rest_unpruned:
+        for detail in _rest_unpruned(plan):
+            findings.append(PlanFinding("rest_unpruned", detail))
     return findings
 
 

@@ -212,3 +212,62 @@ def test_columns_option_rejects_unknown(registered):
             )
             .load()
         )
+
+
+def test_rest_unpruned_plan_lint(registered, spark):
+    """VERDICT r7 #4: Catalyst cannot push projection into a Python
+    DataSource, so a rest_lake scan feeding a narrow Project ships
+    dead columns.  The plan linter must flag exactly that shape and
+    stay quiet once the caller passes columns= (or keeps >=half)."""
+    from kbdatalakeapps_spark.plans.audit import audit_plan
+
+    df, orders = _read(registered)
+    # 2 of 6 columns kept → finding
+    narrow = df.select("o_orderkey", "o_totalprice")
+    kinds = [f.kind for f in audit_plan(narrow)]
+    assert "rest_unpruned" in kinds
+    # allow flag acknowledges a documented case
+    assert not [f for f in audit_plan(narrow, allow_rest_unpruned=True)
+                if f.kind == "rest_unpruned"]
+
+    # same projection with columns= → schema narrows at the source,
+    # no dead transfer, no finding
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in orders.schema)
+    pruned = (
+        spark.read.format("rest_lake")
+        .option("ddl", ddl)
+        .option("path", f"{SF_DIR}/orders.parquet")
+        .option("order_col", "o_orderkey")
+        .option("page_size", 500)
+        .option("total_rows", orders.count())
+        .option("columns", "o_orderkey,o_totalprice")
+        .option(
+            "endpoint",
+            "kbdatalakeapps_spark.io.restsource:parquet_rest_endpoint",
+        )
+        .load()
+    )
+    assert not [f for f in audit_plan(pruned) if f.kind == "rest_unpruned"]
+
+    # keeping >= half the columns is not a finding (joins and wide
+    # reads legitimately consume most of the scan)
+    wide = df.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    assert not [f for f in audit_plan(wide) if f.kind == "rest_unpruned"]
+
+    # audit of internal call sites (VERDICT r7 #4): the package itself
+    # has NO rest_lake reads outside this test file — enforced so a
+    # future internal consumer must thread columns= (grep is the
+    # audit: zero format("rest_lake") call sites in package source)
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "kbdatalakeapps_spark")
+    hits = []
+    for p in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        if os.path.basename(p) == "restsource.py":
+            continue  # the defining module's docstrings name the format
+        src = open(p).read()
+        if 'format("rest_lake")' in src or "format('rest_lake')" in src:
+            hits.append(p)
+    assert hits == [], f"internal rest_lake readers must pass columns=: {hits}"
