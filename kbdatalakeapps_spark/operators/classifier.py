@@ -337,3 +337,143 @@ def classify_text_quality(
         .withColumn("clf_prob", F.coalesce(F.col("prob"), F.col("_pb")))
         .drop("prob", "_pb")
     )
+
+
+def train_language_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "id",
+    dim: int = 1 << 18,
+    salt: str = "lid",
+    steps: int = 6,
+    bucket_hash: str = "xxhash64",
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One-vs-rest multi-class language model over the hashing-trick
+    logistic trainer (VERDICT r7 #6): one binary
+    :func:`train_hashed_classifier` per language in ``labeled``,
+    weights tagged by language.  Returns ``(weights, biases)``:
+    ``(lang, bucket, w_fp)`` and ``(lang, b_fp)`` — feed
+    :func:`score_language_classifier` (same dim/salt/bucket_hash:
+    buckets are the model's feature ids).
+
+    The per-language loop is DRIVER-side over the language inventory
+    (a bounded collect — tens of rows, the same envelope as the dim
+    probes); each training run is fully distributed.  Features build
+    ONCE and are lineage-cut so L trainings share the tokenize +
+    hash + groupBy work instead of re-deriving it per language."""
+    langs = sorted(
+        r[0]
+        for r in labeled.select(lang_col).distinct().collect()
+        if r[0] is not None
+    )
+    if not langs:
+        raise ValueError("labeled frame has no non-null languages")
+    feats = hashed_features(
+        labeled, text_col, id_col, dim=dim, salt=salt, bucket_hash=bucket_hash
+    ).localCheckpoint(eager=False)
+    w_parts, b_parts = [], []
+    for lang in langs:
+        labels = labeled.select(
+            F.col(id_col).alias("id"),
+            (F.col(lang_col) == lang).cast("int").alias("label"),
+        )
+        w, b = train_hashed_classifier(
+            feats, labels, steps=steps, checkpoint_dir=checkpoint_dir
+        )
+        w_parts.append(w.select(F.lit(lang).alias("lang"), "bucket", "w_fp"))
+        b_parts.append(b.select(F.lit(lang).alias("lang"), "b_fp"))
+    from functools import reduce
+
+    weights = reduce(lambda a, b2: a.unionByName(b2), w_parts)
+    biases = reduce(lambda a, b2: a.unionByName(b2), b_parts)
+    return weights, biases
+
+
+def score_language_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    biases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    dim: int = 1 << 18,
+    salt: str = "lid",
+    bucket_hash: str = "xxhash64",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Score every document against the one-vs-rest language model:
+    input columns + ``predicted_lang`` + ``lang_m_fp`` (the winning
+    margin, int64 fixed point).
+
+    Scale shape: ONE feature pass, one join against the (L·dim)-row
+    weight table (broadcast by default — a 4-language 2^18-dim model
+    is ~16 MB), one (id, lang) margin agg, one per-id argmax — all
+    map-side-combinable; no per-language corpus scans.
+
+    Bit-determinism (the classifier.py discipline): margins are exact
+    int64 fixed point — decimal product sums, one integral div — and
+    the argmax tie-breaks on the language code, so the prediction is
+    identical under any partitioning.  Documents with no feature rows
+    (empty/NULL text) score at the per-language biases: their
+    prediction is the argmax-bias language, never a dropped row."""
+    feats = hashed_features(
+        df, text_col, id_col, dim=dim, salt=salt, bucket_hash=bucket_hash
+    )
+    w = weights.select("lang", "bucket", "w_fp")
+    w = F.broadcast(w) if broadcast_weights else w.hint("shuffle_hash")
+    margins = (
+        feats.join(w, "bucket")
+        .groupBy("id", "lang")
+        .agg(F.sum(_dec(F.col("w_fp")) * _dec(F.col("x_fp"))).alias("_s"))
+        .join(F.broadcast(biases.select("lang", "b_fp")), "lang")
+        .select(
+            "id",
+            "lang",
+            (
+                F.col("b_fp")
+                # wrap-ok: decimal accumulator, quotient = margin ≤
+                # Σ|w_fp| ≪ 2^63 (the _margins envelope, per-language)
+                + F.expr(f"CAST(_s div CAST({FP} AS {_DEC}) AS BIGINT)")
+            ).alias("m_fp"),
+        )
+    )
+    # deterministic argmax: min over (−m_fp, lang) prefers the larger
+    # margin, then the smaller language code (−m_fp is wrap-safe:
+    # margins are ≪ 2^63 by the envelope above)
+    best = (
+        margins.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("m_fp")).alias("nm"), F.col("lang").alias("lg")
+                )
+            ).alias("_b")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_b.lg").alias("predicted_lang"),
+            (-F.col("_b.nm")).alias("lang_m_fp"),
+        )
+    )
+    # featureless docs: bias-only argmax, one broadcast scalar row
+    fb = (
+        biases.agg(
+            F.min(
+                F.struct(
+                    (-F.col("b_fp")).alias("nm"), F.col("lang").alias("lg")
+                )
+            ).alias("_f")
+        ).select(
+            F.col("_f.lg").alias("_fb_lang"), (-F.col("_f.nm")).alias("_fb_m")
+        )
+    )
+    return (
+        df.join(best, id_col, "left")
+        .crossJoin(F.broadcast(fb))
+        .withColumn(
+            "predicted_lang", F.coalesce("predicted_lang", "_fb_lang")
+        )
+        .withColumn("lang_m_fp", F.coalesce("lang_m_fp", "_fb_m"))
+        .drop("_fb_lang", "_fb_m")
+    )

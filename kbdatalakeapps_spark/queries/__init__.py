@@ -118,4 +118,9 @@ assert len(DRIVER_WINDOW) == 50
 #: test_admission_control_one_window): new registrations may only be
 #: added while len(PENDING_NEXT_WINDOW) + new ≤ 49 — the debt can
 #: never exceed what one window (flagship + 49) drains.
-PENDING_NEXT_WINDOW: list[str] = []
+#: Round-8 interim: new registrations queue here while the round is
+#: in flight; the closing rotation moves them into DRIVER_WINDOW
+#: (admission control: total new ≤ 49 − len(pending-at-close) = 49).
+PENDING_NEXT_WINDOW: list[str] = [
+    "tx_language_id_clf",
+]

@@ -2060,3 +2060,108 @@ def tx_pan_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return tx.pan_candidates(d2)
+
+
+_LID_LANGS = ("de", "en", "es", "fr")
+_LID_DIM = 32
+_LID_SALT = "lid8"
+#: fixed literal one-vs-rest model (the tx_clf_score idiom: TRAINING
+#: stays engine-side and pytest-verified — test_classifier.py proves
+#: the trained model beats the heuristic; the scoring query pins a
+#: reproducible per-language weight table both engines can name)
+_LID_WEIGHTS = [
+    (lang, b, (((b * 2654435761 + li * 1315423911) % 4001) - 2000) * 10**9)
+    for li, lang in enumerate(_LID_LANGS)
+    for b in range(_LID_DIM)
+]
+_LID_BIASES = [(lang, (li + 1) * 10**10) for li, lang in enumerate(_LID_LANGS)]
+
+
+def _lid_score_sql() -> str:
+    wvals = ", ".join(f"('{lg}', {b}, {w})" for lg, b, w in _LID_WEIGHTS)
+    bvals = ", ".join(f"('{lg}', {b})" for lg, b in _LID_BIASES)
+    return f"""
+    WITH w(lang, bucket, w_fp) AS (VALUES {wvals}),
+    bs(lang, b_fp) AS (VALUES {bvals}),
+    t AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    e AS (
+        SELECT id, len(tk) AS n, unnest(tk) AS tok
+        FROM t WHERE len(tk) > 0
+    ),
+    f AS (
+        SELECT id,
+               ((('0x' || substr(md5('{_LID_SALT}:' || tok), 1, 15))::BIGINT
+                 % {_LID_DIM}) + {_LID_DIM}) % {_LID_DIM} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS tf,
+               MAX(n) AS nn
+        FROM e GROUP BY 1, 2
+    ),
+    x AS (
+        SELECT id, bucket,
+               (tf * CAST({_CLF_FP} AS HUGEINT)) // nn AS x_fp
+        FROM f
+    ),
+    s AS (
+        SELECT id, lang, SUM(CAST(w_fp AS HUGEINT) * x_fp) AS acc
+        FROM x JOIN w USING (bucket) GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT s.id, s.lang,
+               CAST(bs.b_fp + CASE WHEN acc >= 0
+                         THEN acc // CAST({_CLF_FP} AS HUGEINT)
+                         ELSE -((-acc) // CAST({_CLF_FP} AS HUGEINT)) END
+                    AS BIGINT) AS m_fp
+        FROM s JOIN bs USING (lang)
+    ),
+    best AS (
+        SELECT id, lang, m_fp,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY m_fp DESC, lang ASC) AS rn
+        FROM m
+    ),
+    fb AS (
+        SELECT lang, b_fp FROM bs ORDER BY b_fp DESC, lang ASC LIMIT 1
+    )
+    SELECT d.doc_id,
+           COALESCE(b.lang, fb.lang) AS predicted_lang,
+           COALESCE(b.m_fp, fb.b_fp) AS lang_m_fp
+    FROM documents d
+    LEFT JOIN (SELECT id, lang, m_fp FROM best WHERE rn = 1) b
+           ON d.doc_id = b.id
+    CROSS JOIN fb
+    """
+
+
+@query("tx_language_id_clf", oracle=_lid_score_sql())
+def tx_language_id_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-engine language ID (VERDICT r7 #6:
+    text.language_id(method='classifier') →
+    classifier.score_language_classifier) against a FIXED literal
+    4-language × 32-bucket one-vs-rest model, md5 bucket hashing (the
+    portable form).  One feature pass, one broadcast model join, one
+    (id, lang) margin agg, one per-id deterministic argmax
+    (tie-break: larger margin, then smaller language code); empty
+    documents score at the bias argmax.  Margins exact int64 fixed
+    point; the CASE in the oracle mirrors Spark decimal ``div``
+    truncation-toward-zero (DuckDB ``//`` floors)."""
+    from ..operators.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        _LID_WEIGHTS, "lang string, bucket long, w_fp long"
+    )
+    biases = spark.createDataFrame(_LID_BIASES, "lang string, b_fp long")
+    return language_id(
+        d.select("doc_id", "text"),
+        method="classifier",
+        model=(weights, biases),
+        id_col="doc_id",
+        dim=_LID_DIM,
+        salt=_LID_SALT,
+        bucket_hash="md5",
+    ).select("doc_id", "predicted_lang", "lang_m_fp")
