@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Scale-slope probe (VERDICT r7 #7): the bench's 2× target at a
+FIXED sf cannot see quadratic blowups — a key can be fast at sf0.1
+and explode at sf0.2.  This tool materializes a synthetic 2× corpus
+(sf0.2 = sf0.1 ∪ a shifted/perturbed copy), times the most expensive
+bench keys at both scales, and reports the time ratio per doubling.
+Rule of thumb: ratio ≤ ~2.5× per doubling = at-most-n·log-n with
+overhead; anything materially above that gets a plan review.
+
+The 2× copy is built so the DATA doubles but the near-dup/graph
+structure does NOT degenerate:
+
+- documents: ids offset by 10^9; word order reversed + a per-doc salt
+  token appended, so the copy is NOT a near-duplicate of the original
+  (shingle sets diverge) — LSH candidate structure stays sparse, the
+  honest scale-up for a dedup workload.
+- embeddings: ids offset; vectors negated (cosine-far — no artificial
+  neighbor inflation).
+- events: event/user ids offset; timestamps shifted +366 days so
+  windows/sessions double in count, not in density.
+- lineitem/part: all keys offset — a DISJOINT second copy of the
+  co-purchase graph (components double; no artificial densification).
+- remaining tables: symlinked from the base sf (unscaled — none of
+  the probed keys read them).
+
+Writes one JSON line per key and a markdown table to stdout; run as
+  python tools/scale_slope.py [--keys k1,k2] [--runs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+OFFSET = 10**9
+TS_SHIFT_DAYS = 366
+
+#: the most expensive bench keys (BENCH_r07 ranking) whose inputs the
+#: synthetic 2× corpus scales; sim_sq8/ivfpq ride the embeddings set
+DEFAULT_KEYS = [
+    "dd_dedup_corpus",
+    "dd_dedup_corpus_xxh",
+    "gr_cc_largestar",
+    "gr_pagerank",
+    "gr_triangle_count",
+    "pl_corpus_curation",
+    "sim_ivf_topk",
+    "tx_kn_perplexity",
+    "tx_quality_classifier",
+    "sp_bootstrap_ci",
+    "sim_sq8_topk",
+    "sim_ivfpq_topk",
+    "tx_gopher_repetition",
+]
+
+SCALED_TABLES = ("documents", "embeddings", "events", "lineitem", "part")
+
+
+def build_sf2(spark, base_dir: str, out_dir: str) -> str:
+    """Materialize the 2× corpus under ``out_dir`` (idempotent: a
+    manifest records the base dir + mtimes; rebuilt only when stale)."""
+    from pyspark.sql import functions as F
+
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {
+        "base": base_dir,
+        "mtimes": {
+            t: os.path.getmtime(os.path.join(base_dir, f"{t}.parquet"))
+            for t in SCALED_TABLES
+        },
+    }
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def read(t):
+        return spark.read.parquet(os.path.join(base_dir, f"{t}.parquet"))
+
+    def write(df, t):
+        p = os.path.join(out_dir, f"{t}.parquet")
+        df.write.mode("overwrite").parquet(p)
+
+    d = read("documents")
+    shifted = d.select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+"))),
+            F.lit(" zz"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    write(d.unionByName(shifted), "documents")
+
+    e = read("embeddings")
+    eshift = e.select(
+        (F.col("vec_id") + OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        "label",
+    )
+    write(e.unionByName(eshift), "embeddings")
+
+    ev = read("events")
+    evshift = ev.select(
+        (F.col("event_id") + OFFSET).alias("event_id"),
+        (F.col("ts") + F.expr(f"INTERVAL {TS_SHIFT_DAYS} DAYS")).alias("ts"),
+        (F.col("user_id") + OFFSET).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    write(ev.unionByName(evshift), "events")
+
+    li = read("lineitem")
+    lishift = li.withColumns(
+        {
+            "l_orderkey": F.col("l_orderkey") + OFFSET,
+            "l_partkey": F.col("l_partkey") + OFFSET,
+            "l_suppkey": F.col("l_suppkey") + OFFSET,
+        }
+    )
+    write(li.unionByName(lishift), "lineitem")
+
+    p = read("part")
+    pshift = p.withColumn("p_partkey", F.col("p_partkey") + OFFSET)
+    write(p.unionByName(pshift), "part")
+
+    for t in ("region", "nation", "customer", "supplier", "orders"):
+        src = os.path.join(base_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.lexists(dst):
+            os.remove(dst) if not os.path.isdir(dst) else None
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return out_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument(
+        "--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+
+    from bench import _BENCH_OVERRIDES  # noqa: E402 (bench-equivalent workloads)
+    from kbdatalakeapps_spark.queries import QUERIES  # noqa: E402
+    from kbdatalakeapps_spark.session import get_spark  # noqa: E402
+
+    spark = get_spark("scale-slope")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = os.path.join(ROOT, ".scale_slope", "sf0.2")
+    build_sf2(spark, args.base, out_dir)
+
+    keys = [k for k in args.keys.split(",") if k]
+    rows = []
+    for name in keys:
+        fn = _BENCH_OVERRIDES.get(name, QUERIES.get(name))
+        if fn is None:
+            print(f"## skip {name}: not registered", file=sys.stderr)
+            continue
+        times = {}
+        for label, sf_dir in (("sf1", args.base), ("sf2", out_dir)):
+            samples = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            times[label] = min(samples)
+        ratio = times["sf2"] / times["sf1"] if times["sf1"] else float("inf")
+        rows.append(
+            {
+                "key": name,
+                "t_sf1": round(times["sf1"], 2),
+                "t_sf2": round(times["sf2"], 2),
+                "ratio": round(ratio, 2),
+                "verdict": "ok" if ratio <= 2.5 else "REVIEW",
+            }
+        )
+        print(json.dumps(rows[-1]))
+
+    print("\n| key | t(sf0.1) | t(sf0.2) | ratio | verdict |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['key']} | {r['t_sf1']} | {r['t_sf2']} | "
+            f"{r['ratio']}× | {r['verdict']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
