@@ -1040,3 +1040,126 @@ def wer_score(
     )
     out = src.mapInPandas(kernel, out_schema)
     return out.withColumnRenamed("wid", id_col) if id_col != "wid" else out
+
+
+def bleu_score(
+    df: DataFrame,
+    hyp_col: str = "hypothesis",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Sentence-level BLEU components (Papineni 2002) with add-one
+    smoothing on the higher orders — the complement to
+    :func:`chrf_score` for generation eval.
+
+    Per pair, over the house lowercase/whitespace token stream: word
+    n-grams (n = 1..max_n), CLIPPED overlap Σ_g min(c_hyp, c_ref) and
+    totals per n as exact BIGINTs, plus
+
+        bleu_geo = (p1 · Π_{n≥2} (ov_n+1)/(tot_n+1)) ^ (1/max_n)
+
+    — the smoothed geometric mean WITHOUT the brevity penalty:
+    BP = exp(1 − r/c) needs exp(), which is not bit-portable across
+    engines; ``hyp_len``/``ref_len`` ship as exact ints so the caller
+    applies BP presentation-side (the σ(m) convention of
+    tx_clf_score).  The root is computed as ``sqrt(sqrt(x))`` for
+    max_n = 4 — IEEE-754 requires correctly-rounded sqrt, so
+    ``bleu_geo`` IS bit-deterministic and DuckDB-replayable, unlike a
+    pow()/exp() form.  Empty hypothesis → all precisions 0.
+
+    Scale: pair-keyed explodes and count joins only (the chrf_score
+    shape) — never corpus-global state."""
+    if max_n != 4:
+        raise ValueError("bleu_geo's sqrt(sqrt()) tree is fixed at max_n=4")
+
+    def side(col: str, tag: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != ""
+        )
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            toks.alias("_tk"),
+            F.size(toks).alias("_len"),
+        )
+
+        def grams(n: int):
+            return F.when(
+                F.col("_len") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_len") - n + 1),
+                    lambda i: F.struct(
+                        F.lit(n).alias("n"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("_tk"), i, n)
+                        ).alias("g"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+        e = base.select(
+            "_id",
+            "_len",
+            F.explode_outer(
+                F.flatten(F.array(*[grams(n) for n in range(1, max_n + 1)]))
+            ).alias("_gr"),
+        )
+        lens = base.select("_id", F.col("_len").alias(f"{tag}_len"))
+        counts = (
+            e.filter(F.col("_gr").isNotNull())
+            .select("_id", F.col("_gr.n").alias("_n"), F.col("_gr.g").alias("_g"))
+            .groupBy("_id", "_n", "_g")
+            .agg(F.count(F.lit(1)).alias(f"_c_{tag}"))
+        )
+        return counts, lens
+
+    hc, hl = side(hyp_col, "hyp")
+    rc, rl = side(ref_col, "ref")
+    j = hc.join(rc, ["_id", "_n", "_g"], "full").select(
+        "_id",
+        "_n",
+        F.coalesce("_c_hyp", F.lit(0)).alias("_ch"),
+        F.coalesce("_c_ref", F.lit(0)).alias("_cr"),
+    )
+    per_n = j.groupBy("_id", "_n").agg(
+        F.sum(F.least("_ch", "_cr")).alias("_ov"),
+        F.sum("_ch").alias("_th"),
+    )
+    wide = per_n.groupBy("_id").pivot("_n", list(range(1, max_n + 1))).agg(
+        F.first("_ov").alias("ov"), F.first("_th").alias("tot")
+    )
+    # pivot yields columns like `1_ov`, `1_tot`; normalize + fill
+    sel = [F.col("_id")]
+    for n in range(1, max_n + 1):
+        sel.append(F.coalesce(F.col(f"{n}_ov"), F.lit(0)).alias(f"ov{n}"))
+        sel.append(F.coalesce(F.col(f"{n}_tot"), F.lit(0)).alias(f"tot{n}"))
+    wide = wide.select(*sel)
+
+    p1 = F.when(
+        F.col("tot1") > 0,
+        F.col("ov1").cast("double") / F.col("tot1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    prod = p1
+    for n in range(2, max_n + 1):
+        prod = prod * (
+            (F.col(f"ov{n}") + F.lit(1)).cast("double")
+            / (F.col(f"tot{n}") + F.lit(1)).cast("double")
+        )
+    geo = F.sqrt(F.sqrt(prod))
+    out = (
+        df.select(F.col(id_col).alias("_id"))
+        .join(hl, "_id", "left")
+        .join(rl, "_id", "left")
+        .join(wide, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("hyp_len", F.lit(0)).alias("hyp_len"),
+            F.coalesce("ref_len", F.lit(0)).alias("ref_len"),
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for n in range(1, max_n + 1)
+                for c in (f"ov{n}", f"tot{n}")
+            ],
+        )
+    )
+    return out.withColumn("bleu_geo", geo)

@@ -1724,3 +1724,173 @@ def pan_candidates(
         .filter((F.col("n_digits") >= 13) & (F.col("n_digits") <= 19))
         .withColumn("luhn_ok", luhn_valid(F.col("digits")))
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1 << 16,
+    salt: str = "dsir",
+    bucket_hash: str = "xxhash64",
+) -> DataFrame:
+    """Hashed n-gram importance weighting (the DSIR shape — Xie et
+    al. 2023: reweight a raw corpus toward a small target-domain
+    sample by the ratio of hashed-feature distributions).  Laplace-
+    smoothed per-bucket probability ratio
+
+        r(b) = p_target(b) / p_raw(b)
+             = (c_t(b)+1)/(T+dim) ÷ (c_r(b)+1)/(R+dim)
+
+    in 10^6 fixed point, and per document the MEAN ratio over its
+    token stream plus the token count — callers sample ∝ weight.
+    Deterministic variant: DSIR sums log-ratios; log() is not
+    bit-portable across engines, so this ships the ratio-sum mean
+    (same ordering signal for moderate ratios) with every step exact
+    integer arithmetic — the output hash-matches DuckDB under any
+    partitioning.
+
+    Envelope: numerators stay DECIMAL(38,0); the per-bucket quotient
+    is 10^6·p_t/p_r < 2^63 whenever the target sample holds under
+    ~10^12 tokens of a bucket absent from raw — beyond any real
+    sample.  Scale shape: two map-side-combinable global bucket
+    counts (dim-row tables), one broadcast ratio join over the
+    exploded corpus, one per-doc agg; no corpus-global sort, no UDF.
+
+    ``bucket_hash``: 'xxhash64' (fast JVM path) or 'md5' (the
+    portable oracle form, the classifier.py mapping)."""
+    if bucket_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown bucket_hash {bucket_hash!r}")
+
+    def bucket(col):
+        if bucket_hash == "xxhash64":
+            return F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(dim))
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.lit(":"), col)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(dim),
+        )
+
+    def exploded(frame, with_id: bool):
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        t = frame.select(*cols, tokens(text_col).alias("_toks"))
+        e = t.select(
+            *(["id"] if with_id else []), F.explode("_toks").alias("_tok")
+        )
+        return e.select(
+            *(["id"] if with_id else []), bucket(F.col("_tok")).alias("b")
+        )
+
+    t_counts = (
+        exploded(target, with_id=False)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    r_counts = (
+        exploded(df, with_id=False)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_r"))
+    )
+    t_tot = t_counts.agg(F.sum("c_t").alias("T"))
+    r_tot = r_counts.agg(F.sum("c_r").alias("R"))
+    ratios = (
+        t_counts.join(r_counts, "b", "full")
+        .select(
+            "b",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        )
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "b",
+            # wrap-ok: DECIMAL numerator; quotient = 1e6·p_t/p_r, 
+            # inside int64 for any real sample (envelope above)
+            F.expr(
+                "CAST((CAST(c_t + 1 AS DECIMAL(38,0)) * (R + "
+                f"{dim}) * 1000000) div (CAST(c_r + 1 AS DECIMAL(38,0))"
+                f" * (T + {dim})) AS BIGINT)"
+            ).alias("r_fp"),
+        )
+    )
+    doc_b = exploded(df, with_id=True)
+    return (
+        doc_b.join(F.broadcast(ratios.select("b", "r_fp")), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.col("r_fp").cast("decimal(38,0)")).alias("_s"),
+        )
+        # wrap-ok: decimal sum; mean quotient ≤ max r_fp < 2^63
+        .select(
+            F.col("id").alias(id_col),
+            "n_toks",
+            F.expr("CAST(_s div n_toks AS BIGINT)").alias("mean_ratio_fp"),
+        )
+    )
+
+
+#: encoding-damage patterns -- each portable between Java regex
+#: (Spark) and RE2 (DuckDB) over BMP text: the UTF-8-decoded-as-
+#: Latin-1 digraph families ('\u00c3'+continuation, '\u00e2\u20ac'+
+#: punctuation), the replacement character, and bare control chars
+_MOJIBAKE_PAT = "(\u00c3[\u0080-\u00bf\u0152-\u0153\u2018-\u201e])|(\u00e2\u20ac[\u0080-\u00bf\u0152\u0153\u2018-\u2122])"
+_REPLACEMENT_PAT = "\ufffd"
+_CTRL_PAT = "[\u0000-\u0008\u000b\u000c\u000e-\u001f]"
+_NONASCII_PAT = "[^\u0000-\u007f]"
+
+
+def mojibake_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-damage QA signals per document -- the curation gate
+    that catches double-encoded UTF-8 ('\u00c3\u00a9' where '\u00e9'
+    was meant), replacement characters from lossy transcoding, and
+    stray control bytes, plus the non-ASCII density that
+    contextualizes them:
+
+    - ``n_mojibake``     -- UTF-8-as-Latin-1 digraph matches
+    - ``n_replacement``  -- U+FFFD count (a decoder already gave up)
+    - ``n_ctrl``         -- control chars other than tab/newline/CR
+    - ``nonascii_fp``    -- non-ASCII chars per 10^6 chars (fixed
+      point, truncated; 0 for empty text)
+    - ``enc_suspect``    -- any damage signal fired
+
+    Pure native regexp_count/length expressions -- codegen- and
+    pushdown-friendly, zero Python; patterns portable to RE2 so the
+    query carries a DuckDB hash oracle.  BMP scope: astral code
+    points count as 2 in Java (UTF-16 units) vs 1 in RE2 -- keep
+    fixtures BMP."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(_MOJIBAKE_PAT)).cast("long").alias("n_mojibake"),
+        F.regexp_count(t, F.lit(_REPLACEMENT_PAT)).cast("long").alias("n_replacement"),
+        F.regexp_count(t, F.lit(_CTRL_PAT)).cast("long").alias("n_ctrl"),
+        F.regexp_count(t, F.lit(_NONASCII_PAT)).cast("long").alias("_na"),
+        F.length(t).cast("long").alias("_len"),
+    )
+    return base.select(
+        id_col,
+        "n_mojibake",
+        "n_replacement",
+        "n_ctrl",
+        # integer div, truncation identical in both engines for the
+        # non-negative operands (double-division + cast would ROUND
+        # in DuckDB but truncate in Spark)
+        # wrap-ok: _na <= _len <= column width; x10^6 << 2^63
+        F.when(F.col("_len") > 0, F.expr("(_na * 1000000) div _len"))
+        .when(F.col("_len") == 0, F.lit(0))
+        .alias("nonascii_fp"),  # NULL text stays NULL, like the counts
+        (
+            (F.col("n_mojibake") > 0)
+            | (F.col("n_replacement") > 0)
+            | (F.col("n_ctrl") > 0)
+        ).alias("enc_suspect"),
+    )

@@ -123,4 +123,7 @@ assert len(DRIVER_WINDOW) == 50
 #: (admission control: total new ≤ 49 − len(pending-at-close) = 49).
 PENDING_NEXT_WINDOW: list[str] = [
     "tx_language_id_clf",
+    "ml_bleu",
+    "tx_dsir_weights",
+    "tx_mojibake",
 ]

@@ -672,6 +672,7 @@ def ml_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = d.select(
         F.col("doc_id").alias("pair_id"),
+        # wrap-ok: length(text)*3 is bounded by the string column width
         F.expr("substr(text, 1, (length(text) * 3) div 5)").alias("hypothesis"),
         F.col("text").alias("reference"),
     )
@@ -737,9 +738,107 @@ def ml_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = d.select(
         F.col("doc_id").alias("pair_id"),
+        # wrap-ok: length(text)*3 is bounded by the string column width
         F.expr("substr(text, 1, (length(text) * 3) div 5)").alias("prediction"),
         F.col("text").alias("gold"),
     )
     return qa_token_f1(pairs).join(
         cer_score(pairs).select("pair_id", "edit_distance", "cer"), "pair_id"
+    )
+
+
+def _bleu_sql(max_n: int = 4) -> str:
+    legs = []
+    for tag, col in (("h", "hyp"), ("r", "ref")):
+        for n in range(1, max_n + 1):
+            legs.append(f"""
+        SELECT pair_id, '{tag}' AS side, {n} AS n, g,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT pair_id,
+                   unnest(CASE WHEN len({col}) >= {n}
+                          THEN list_transform(
+                              generate_series(1, len({col}) - {n - 1}),
+                              i -> array_to_string(
+                                  list_slice({col}, i::INT, (i + {n - 1})::INT),
+                                  ' '))
+                          ELSE [] END) AS g
+            FROM pairs
+        ) GROUP BY pair_id, g""")
+    grams = " UNION ALL ".join(legs)
+    ovtot = ", ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN ov END), 0) AS ov{n}, "
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN th END), 0) AS tot{n}"
+        for n in range(1, max_n + 1)
+    )
+    smooth = " * ".join(
+        f"(CAST(ov{n} + 1 AS DOUBLE) / CAST(tot{n} + 1 AS DOUBLE))"
+        for n in range(2, max_n + 1)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT doc_id AS pair_id,
+               list_filter(string_split_regex(
+                   lower(substr(text, 1, (length(text) * 3) // 5)), '\\s+'),
+                   t -> t <> '') AS hyp,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                   t -> t <> '') AS ref
+        FROM documents
+    ),
+    gg AS ({grams}),
+    per AS (
+        SELECT pair_id, n,
+               SUM(LEAST(COALESCE(ch, 0), COALESCE(cr, 0))) AS ov,
+               SUM(COALESCE(ch, 0)) AS th
+        FROM (
+            SELECT pair_id, n, g,
+                   MAX(CASE WHEN side = 'h' THEN c END) AS ch,
+                   MAX(CASE WHEN side = 'r' THEN c END) AS cr
+            FROM gg GROUP BY pair_id, n, g
+        ) GROUP BY pair_id, n
+    ),
+    wide AS (SELECT pair_id, {ovtot} FROM per GROUP BY pair_id)
+    SELECT pairs.pair_id,
+           CAST(len(hyp) AS BIGINT) AS hyp_len,
+           CAST(len(ref) AS BIGINT) AS ref_len,
+           {', '.join(f'CAST(COALESCE(ov{n}, 0) AS BIGINT) AS ov{n}, CAST(COALESCE(tot{n}, 0) AS BIGINT) AS tot{n}' for n in range(1, max_n + 1))},
+           sqrt(sqrt(
+               (CASE WHEN COALESCE(tot1, 0) > 0
+                     THEN CAST(ov1 AS DOUBLE) / CAST(tot1 AS DOUBLE)
+                     ELSE 0.0 END) * {smooth}
+           )) AS bleu_geo
+    FROM pairs LEFT JOIN wide USING (pair_id)
+    """
+
+
+@query("ml_bleu", oracle=_bleu_sql())
+def ml_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-BLEU components + smoothed brevity-penalty-free
+    geometric mean (operators/mleval.py::bleu_score) over the ml_chrf
+    pair construction (hypothesis = 60%-truncated text, reference =
+    full text).  Clipped n-gram overlaps and totals are exact BIGINTs;
+    ``bleu_geo`` is one fixed IEEE tree whose only root is
+    sqrt(sqrt(·)) — correctly rounded per IEEE-754, hence
+    DuckDB-hash-exact, unlike a pow()/exp() BLEU.  Reference parity:
+    brief-extension eval scope (the reference has no MT metrics)."""
+    from ..operators.mleval import bleu_score
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"),
+        # wrap-ok: length(text)*3 is bounded by the string column width
+        F.expr("substr(text, 1, (length(text) * 3) div 5)").alias("hypothesis"),
+        F.col("text").alias("reference"),
+    )
+    out = bleu_score(pairs)
+    return out.select(
+        "pair_id",
+        F.col("hyp_len").cast("long").alias("hyp_len"),
+        F.col("ref_len").cast("long").alias("ref_len"),
+        *[
+            F.col(c).cast("long").alias(c)
+            for n in range(1, 5)
+            for c in (f"ov{n}", f"tot{n}")
+        ],
+        "bleu_geo",
     )

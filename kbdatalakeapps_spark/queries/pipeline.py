@@ -2165,3 +2165,143 @@ def tx_language_id_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=_LID_SALT,
         bucket_hash="md5",
     ).select("doc_id", "predicted_lang", "lang_m_fp")
+
+
+_DSIR_DIM = 64
+_DSIR_SALT = "dsir8"
+
+
+def _dsir_sql() -> str:
+    bucket = (
+        f"((('0x' || substr(md5('{_DSIR_SALT}:' || tok), 1, 15))::BIGINT"
+        f" % {_DSIR_DIM}) + {_DSIR_DIM}) % {_DSIR_DIM}"
+    )
+    # wrap-ok: DuckDB oracle SQL — HUGEINT products cannot wrap
+    return f"""
+    WITH tok_raw AS (
+        SELECT doc_id AS id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    tok_t AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+        FROM documents WHERE source IN ('src1', 'src2', 'src3')
+    ),
+    rb AS (SELECT id, {bucket} AS b FROM tok_raw),
+    tb AS (SELECT {bucket} AS b FROM tok_t),
+    rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r FROM rb GROUP BY 1),
+    tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t FROM tb GROUP BY 1),
+    tot AS (SELECT (SELECT COUNT(*) FROM tb) AS T,
+                   (SELECT COUNT(*) FROM rb) AS R),
+    ratios AS (
+        SELECT COALESCE(rc.b, tc.b) AS b,
+               CAST((CAST(COALESCE(c_t, 0) + 1 AS HUGEINT)
+                     * (R + {_DSIR_DIM}) * 1000000)
+                    // (CAST(COALESCE(c_r, 0) + 1 AS HUGEINT)
+                        * (T + {_DSIR_DIM})) AS BIGINT) AS r_fp
+        FROM rc FULL JOIN tc ON rc.b = tc.b CROSS JOIN tot
+    )
+    SELECT id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(CAST(r_fp AS HUGEINT)) // COUNT(*) AS BIGINT)
+               AS mean_ratio_fp
+    FROM rb JOIN ratios USING (b)
+    GROUP BY id
+    """
+
+
+@query("tx_dsir_weights", oracle=_dsir_sql())
+def tx_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed importance weights (operators/text.py::
+    importance_weights — the DSIR reweighting shape, log-free exact
+    variant): target = the src1-3 slice of the corpus, raw = the whole
+    corpus, md5 bucketing (portable oracle form), Laplace-smoothed
+    per-bucket probability ratios in 10^6 fixed point, per-doc mean
+    ratio — everything integer arithmetic, hash-exact under any
+    partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("source").isin("src1", "src2", "src3"))
+    return tx.importance_weights(
+        d.select("doc_id", "text"),
+        target.select("doc_id", "text"),
+        dim=_DSIR_DIM,
+        salt=_DSIR_SALT,
+        bucket_hash="md5",
+    )
+
+
+def _moji_sql() -> str:
+    from ..operators.text import (
+        _CTRL_PAT,
+        _MOJIBAKE_PAT,
+        _NONASCII_PAT,
+        _REPLACEMENT_PAT,
+    )
+
+    inject = (
+        "text || (CASE WHEN doc_id % 7 = 0 THEN ' cafÃ©'"
+        " WHEN doc_id % 11 = 0 THEN ' x� y'"
+        " WHEN doc_id % 13 = 0 THEN ' râ€™s'"
+        " ELSE '' END)"
+    )
+
+    def esc(pat: str) -> str:
+        # same character classes as the Spark side, but control and
+        # non-ASCII chars rendered as RE2 \\x{...} escapes — literal
+        # control bytes terminate a SQL string literal
+        out = []
+        for ch in pat:
+            cp = ord(ch)
+            if cp < 0x20 or cp > 0x7E:
+                out.append("\\x{%04x}" % cp)
+            elif ch == "'":
+                out.append("''")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    return f"""
+    WITH d AS (SELECT doc_id, {inject} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{esc(_MOJIBAKE_PAT)}')) AS BIGINT)
+               AS n_mojibake,
+           CAST(len(regexp_extract_all(t, '{esc(_REPLACEMENT_PAT)}')) AS BIGINT)
+               AS n_replacement,
+           CAST(len(regexp_extract_all(t, '{esc(_CTRL_PAT)}')) AS BIGINT)
+               AS n_ctrl,
+           CASE WHEN length(t) > 0 THEN
+               CAST(len(regexp_extract_all(t, '{esc(_NONASCII_PAT)}'))
+                    AS BIGINT) * 1000000 // length(t)
+               WHEN length(t) = 0 THEN 0 END AS nonascii_fp,
+           (len(regexp_extract_all(t, '{esc(_MOJIBAKE_PAT)}')) > 0
+            OR len(regexp_extract_all(t, '{esc(_REPLACEMENT_PAT)}')) > 0
+            OR len(regexp_extract_all(t, '{esc(_CTRL_PAT)}')) > 0)
+               AS enc_suspect
+    FROM d
+    """
+
+
+@query("tx_mojibake", oracle=_moji_sql())
+def tx_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage QA (operators/text.py::mojibake_stats) over the
+    corpus with DETERMINISTIC damage injected query-side (the fixture
+    is clean ASCII): every 7th doc gets a double-encoded UTF-8
+    digraph, every 11th a replacement character, every 13th an
+    'â€™' quote artifact.  Counts + the non-ASCII
+    density are native regexp_count exprs sharing their pattern
+    strings verbatim with the RE2 oracle."""
+    from ..operators.text import mojibake_stats
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" cafÃ©"))
+            .when(F.col("doc_id") % 11 == 0, F.lit(" x� y"))
+            .when(F.col("doc_id") % 13 == 0, F.lit(" râ€™s"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mojibake_stats(injected)

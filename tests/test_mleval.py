@@ -770,3 +770,38 @@ def test_wer_preserves_string_id_and_column_order(spark):
         assert (got2[k].word_edits, got2[k].n_pred, got2[k].n_gold, got2[k].wer) == (
             got[k].word_edits, got[k].n_pred, got[k].n_gold, got[k].wer
         )
+
+
+def test_bleu_components_match_hand_computation(spark):
+    """Sentence BLEU: clipped n-gram counts pinned against hand
+    computation, smoothing on n>=2 only, sqrt(sqrt()) geometric mean,
+    empty-side conventions, and a pure-native plan (no Python)."""
+    import math
+
+    from kbdatalakeapps_spark.operators.mleval import bleu_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat sat on the mat"),
+            (2, "the cat the cat", "the cat sat"),
+            (3, "", "a b"),
+            (4, "x", ""),
+            (5, "The CAT", "the cat"),  # lowercase normalization
+        ],
+        "pair_id long, hypothesis string, reference string",
+    )
+    got = {r.pair_id: r for r in bleu_score(df).collect()}
+    assert got[1].bleu_geo == 1.0 and got[1].ov4 == 3 and got[1].tot4 == 3
+    # pair 2 by hand: p1=2/4 (clip: the,cat once each), ov2=1/3
+    r2 = got[2]
+    assert (r2.ov1, r2.tot1, r2.ov2, r2.tot2) == (2, 4, 1, 3)
+    assert (r2.ov3, r2.tot3, r2.ov4, r2.tot4) == (0, 2, 0, 1)
+    want = math.sqrt(math.sqrt(0.5 * (2 / 4) * (1 / 3) * (1 / 2)))
+    assert r2.bleu_geo == pytest.approx(want, abs=0)
+    # empty hypothesis: all zero; empty reference: zero overlap
+    assert got[3].bleu_geo == 0.0 and got[3].hyp_len == 0
+    assert got[4].bleu_geo == 0.0 and got[4].tot1 == 1 and got[4].ov1 == 0
+    assert got[5].ov2 == 1 and got[5].bleu_geo == 1.0
+
+    plan = bleu_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -517,3 +517,82 @@ def test_pan_candidates_luhn_validation(spark):
     assert d5["5500000000000004"] is True      # Mastercard test PAN
     assert d5["1234567890123"] is False
     assert 6 not in by
+
+
+def test_importance_weights_dsir_shape(spark):
+    """DSIR-style hashed importance weighting: docs sharing the target
+    domain's vocabulary must weigh more than off-domain docs, the
+    ratios must match a hand computation at tiny dim, and the output
+    must be partition-invariant (exact integer arithmetic)."""
+    from kbdatalakeapps_spark.operators.text import importance_weights
+
+    target = spark.createDataFrame(
+        [(100, "gene protein genome gene"), (101, "protein enzyme")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "gene protein pathway"),      # on-domain
+            (2, "football match goal goal"),  # off-domain
+            (3, "gene gene gene"),            # 'gene' is over-
+            # represented in RAW (4/10 vs 2/6 in target) → ratio < 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in importance_weights(
+        raw, target, dim=64, bucket_hash="md5"
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].mean_ratio_fp > out[3].mean_ratio_fp > out[2].mean_ratio_fp
+    assert out[1].n_toks == 3 and out[2].n_toks == 4
+
+    # hand check doc 3: all tokens 'gene' → one bucket b;
+    # r = ((c_t(b)+1)/(T+dim)) / ((c_r(b)+1)/(R+dim)) in 1e6 FP,
+    # integer-truncated; T=6 target tokens, R=10 raw tokens
+    import hashlib
+
+    b = int(hashlib.md5(b"dsir:gene").hexdigest()[:15], 16) % 64
+    # count target/raw tokens landing in gene's bucket
+    t_toks = "gene protein genome gene protein enzyme".split()
+    r_toks = ("gene protein pathway football match goal goal "
+              "gene gene gene").split()
+    bt = lambda tok: int(hashlib.md5(f"dsir:{tok}".encode()).hexdigest()[:15], 16) % 64
+    c_t = sum(1 for t in t_toks if bt(t) == b)
+    c_r = sum(1 for t in r_toks if bt(t) == b)
+    want = ((c_t + 1) * (len(r_toks) + 64) * 10**6) // ((c_r + 1) * (len(t_toks) + 64))
+    assert out[3].mean_ratio_fp == want
+
+    again = {r.doc_id: r.mean_ratio_fp for r in importance_weights(
+        raw.repartition(7), target.repartition(5), dim=64, bucket_hash="md5"
+    ).collect()}
+    assert again == {k: v.mean_ratio_fp for k, v in out.items()}
+
+
+def test_mojibake_stats_signals(spark):
+    """Encoding QA: double-encoded UTF-8 digraphs ('caf\u00c3\u00a9',
+    '\u00e2\u20ac\u2122') and replacement/control characters flag
+    enc_suspect; legitimate accented text does not; NULL text keeps a
+    NULL row."""
+    from kbdatalakeapps_spark.operators.text import mojibake_stats
+
+    rows = [
+        (1, 'clean ascii text'),
+        (2, 'caf\u00c3\u00a9 broken'),
+        (3, 'bad \ufffd char'),
+        (4, 'ctrl\u0001here'),
+        (5, 'r\u00e9sum\u00e9 fine'),
+        (6, ''),
+        (7, None),
+        (8, 'quote \u00e2\u20ac\u2122 artifact'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r.doc_id: r for r in mojibake_stats(df).collect()}
+    assert not out[1].enc_suspect and out[1].nonascii_fp == 0
+    assert out[2].n_mojibake == 1 and out[2].enc_suspect
+    assert out[3].n_replacement == 1 and out[3].enc_suspect
+    assert out[4].n_ctrl == 1 and out[4].enc_suspect
+    # real accents: non-ASCII density > 0 but NOT suspect
+    assert not out[5].enc_suspect and out[5].nonascii_fp == 181818
+    assert out[6].nonascii_fp == 0 and not out[6].enc_suspect
+    assert out[7].enc_suspect is None and out[7].nonascii_fp is None
+    assert out[8].n_mojibake == 1

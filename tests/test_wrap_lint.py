@@ -52,8 +52,6 @@ BASELINE = {
     ("kbdatalakeapps_spark/queries/graphs.py", ""),
     ("kbdatalakeapps_spark/queries/linkage.py", "er_phonetic_blocking"),
     ("kbdatalakeapps_spark/queries/mleval.py", ""),
-    ("kbdatalakeapps_spark/queries/mleval.py", "ml_chrf"),
-    ("kbdatalakeapps_spark/queries/mleval.py", "ml_token_f1"),
     ("kbdatalakeapps_spark/queries/pipeline.py", ""),
     ("kbdatalakeapps_spark/queries/sketches.py", ""),
     ("kbdatalakeapps_spark/queries/timeseries.py", "ts_activity_islands"),
