@@ -306,3 +306,77 @@ def truncate_turns(
     return df.withColumn(
         out_col or turns_col, F.filter(kept, lambda t: t.isNotNull())
     )
+
+
+def build_preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    completion_col: str = "completion",
+    score_col: str = "score",
+    completion_id_col: str = "completion_id",
+    min_margin_fp: int = 0,
+    fp_scale: int = 10**6,
+) -> DataFrame:
+    """Construct DPO/RLHF preference pairs from SCORED completions:
+    per prompt, chosen = argmax score, rejected = argmin score, with
+    a margin gate — the standard best-vs-worst pairing over an n-way
+    sample (feed the result to ``preference_stats`` for curation
+    gates and to ``bradley_terry_ratings`` for rater analysis).
+
+    Determinism contract: scores enter as ``floor(score·fp_scale)``
+    int64 fixed point and BOTH argmax and argmin tie-break on the
+    completion id (ascending), so the emitted pair is bit-identical
+    under any partitioning — a float max would pick an arbitrary row
+    among ties.  Prompts with fewer than 2 distinct completions,
+    margin below ``min_margin_fp``, or ALL-EQUAL scores (argmax and
+    argmin tie-break to the same completion — no preference signal)
+    emit nothing.
+
+    One map-side-combinable groupBy over (prompt); no window, no
+    sort, no UDF."""
+    s_fp = F.floor(F.col(score_col) * F.lit(float(fp_scale))).cast("long")
+    base = df.select(
+        F.col(prompt_col).alias("prompt_id"),
+        F.col(completion_id_col).alias("cid"),
+        F.col(completion_col).alias("completion"),
+        s_fp.alias("s_fp"),
+    ).filter(F.col("s_fp").isNotNull())
+    agg = base.groupBy("prompt_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        # argmax: larger score first, then SMALLER cid — min over
+        # (−s_fp, cid, completion); wrap-safe: |s_fp| ≪ 2^63/fp_scale
+        F.min(
+            F.struct(
+                (-F.col("s_fp")).alias("ns"),
+                F.col("cid").alias("cid"),
+                F.col("completion").alias("c"),
+            )
+        ).alias("_best"),
+        F.min(
+            F.struct(
+                F.col("s_fp").alias("s"),
+                F.col("cid").alias("cid"),
+                F.col("completion").alias("c"),
+            )
+        ).alias("_worst"),
+    )
+    return (
+        agg.select(
+            "prompt_id",
+            "n_candidates",
+            F.col("_best.c").alias("chosen"),
+            F.col("_best.cid").alias("chosen_id"),
+            (-F.col("_best.ns")).alias("chosen_score_fp"),
+            F.col("_worst.c").alias("rejected"),
+            F.col("_worst.cid").alias("rejected_id"),
+            F.col("_worst.s").alias("rejected_score_fp"),
+        )
+        .withColumn(
+            "margin_fp", F.col("chosen_score_fp") - F.col("rejected_score_fp")
+        )
+        .filter(
+            (F.col("n_candidates") >= 2)
+            & (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("margin_fp") >= F.lit(min_margin_fp))
+        )
+    )

@@ -1301,3 +1301,45 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fp_scale: int = 10**6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, every document
+    gets sampling weight 1/|cluster| (fixed point) so each dedup
+    cluster contributes ONE document's worth of mass to training —
+    the duplicate-aware reweighting used when hard dedup is too
+    destructive (boilerplate-heavy domains where near-dup clusters
+    still carry marginal signal).
+
+    Output (id, keeper, cluster_size, weight_fp): singletons weigh
+    ``fp_scale``; a k-clone cluster's members weigh ``fp_scale div k``
+    each — Σ weights ≈ #clusters·fp_scale, the deduped-corpus mass.
+    Composes after any *_pairs operator (the keeper_assignment
+    contract); all integer arithmetic, hash-exact under any
+    partitioning."""
+    from .graph import keeper_assignment
+
+    ka = keeper_assignment(
+        docs, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
+    sizes = ka.groupBy("keeper").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        ka.join(sizes, "keeper")
+        .select(
+            "id",
+            "keeper",
+            "cluster_size",
+            # wrap-ok: fp_scale div cluster_size — no product at all
+            F.expr(f"CAST({fp_scale} AS BIGINT) div cluster_size").alias(
+                "weight_fp"
+            ),
+        )
+    )

@@ -747,3 +747,121 @@ def group_welch(
         t.alias("t_stat"),
         dof.alias("welch_df"),
     )
+
+
+def grouped_order_statistic_fp(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    out_col: str = "stat_fp",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact DISCRETE quantile of an integer column per group: the
+    element at ascending rank ⌈n·q_num/q_den⌉ — always an ELEMENT of
+    the data (never an interpolated midpoint), so the result is
+    integer-exact and engine-portable (q = 1/2 gives the lower
+    median).
+
+    Scale shape: groupBy (group, value) counts (map-side combinable),
+    grouped_prefix_sum over the ≤ #distinct-values-per-group table,
+    then the first value whose cumulative count reaches the target
+    rank — no per-group sorted window over raw rows (the skewed-group
+    scale-killer)."""
+    if not (0 < q_num <= q_den):
+        raise ValueError("need 0 < q_num <= q_den")
+    counts = df.groupBy(*group_cols, F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_c")
+    )
+    cum = grouped_prefix_sum(
+        counts,
+        group_cols,
+        ["_v"],
+        "_c",
+        out_col="_cum",
+        include_current=True,
+        num_partitions=num_partitions,
+    )
+    tot = counts.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
+    j = cum.join(tot, group_cols) if group_cols else cum.crossJoin(
+        F.broadcast(tot)
+    )
+    # wrap-ok: n·q_num on a decimal row count; q_num ≤ q_den tiny
+    reached = j.filter(
+        F.col("_cum")
+        >= F.expr(f"(_n * {q_num} + {q_den} - 1) div {q_den}")
+    )
+    return reached.groupBy(*group_cols).agg(F.min("_v").alias(out_col))
+
+
+def grouped_median_fp(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "median_fp",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact LOWER median per group — the q = 1/2 case of
+    :func:`grouped_order_statistic_fp` (rank ⌈n/2⌉ ascending)."""
+    return grouped_order_statistic_fp(
+        df, group_cols, value_col, 1, 2, out_col=out_col,
+        num_partitions=num_partitions,
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    fp_scale: int = 10**6,
+    k: int = 3,
+) -> DataFrame:
+    """Robust outlier profile per group: exact median, exact MAD
+    (median absolute deviation) and the count of |x − med| > k·MAD
+    rows — the data-quality monitor that, unlike z-scores, a few
+    extreme rows cannot mask (mean and stddev both break down at 50%
+    contamination; median/MAD at 50%).
+
+    House exactness: values enter as ``floor(x·fp_scale)`` int64;
+    both medians are LOWER medians via :func:`grouped_median_fp`
+    (elements, not interpolations), deviations and the k·MAD gate are
+    integer arithmetic — bit-identical under any partitioning and
+    DuckDB-replayable.  Degenerate groups (MAD = 0, over half the
+    values identical): outliers are rows strictly different from the
+    median.  NULL values are excluded everywhere."""
+    groups = list(group_cols or [])
+    v_fp = F.floor(F.col(value_col) * F.lit(float(fp_scale))).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, v_fp.alias("_x")
+    )
+    med = grouped_median_fp(base, groups, "_x", out_col="median_fp")
+    dev = (
+        base.join(F.broadcast(med), groups)
+        if groups
+        else base.crossJoin(F.broadcast(med))
+    ).select(*groups, "_x", "median_fp",
+             F.abs(F.col("_x") - F.col("median_fp")).alias("_d"))
+    mad = grouped_median_fp(dev, groups, "_d", out_col="mad_fp")
+    flagged = (
+        dev.join(F.broadcast(mad), groups)
+        if groups
+        else dev.crossJoin(F.broadcast(mad))
+    ).select(
+        *groups,
+        "median_fp",
+        "mad_fp",
+        F.when(
+            F.col("mad_fp") > 0,
+            # wrap-ok: k·mad_fp ≤ k·fp_scale·|x|max ≪ 2^63
+            (F.col("_d") > F.lit(k) * F.col("mad_fp")).cast("int"),
+        )
+        .otherwise((F.col("_d") > 0).cast("int"))
+        .alias("_o"),
+    )
+    return flagged.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("median_fp").alias("median_fp"),
+        F.first("mad_fp").alias("mad_fp"),
+        F.sum("_o").cast("long").alias("n_outliers"),
+    )

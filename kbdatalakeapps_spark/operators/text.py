@@ -1894,3 +1894,46 @@ def mojibake_stats(
             | (F.col("n_ctrl") > 0)
         ).alias("enc_suspect"),
     )
+
+
+def adaptive_length_filter(
+    df: DataFrame,
+    length_col: str = "n_chars",
+    group_cols: list[str] | None = None,
+    lo_q: tuple[int, int] = (5, 100),
+    hi_q: tuple[int, int] = (95, 100),
+) -> DataFrame:
+    """Percentile-adaptive length gate: instead of one global
+    min/max-length rule (wrong for every domain at once), compute the
+    exact discrete [lo_q, hi_q] length band PER GROUP (source, lang)
+    and flag rows outside their own group's band — the length
+    curation rule that survives mixing code, prose and tables in one
+    corpus.
+
+    Exactness: bounds are elements of the data (discrete quantiles at
+    rank ⌈n·q⌉, relational.grouped_order_statistic_fp), the keep test
+    is integer comparison — bit-identical under any partitioning and
+    SQL-replayable.  Two tiny quantile pipelines + one broadcast join
+    of the #groups-row bounds table back onto the corpus."""
+    from .relational import grouped_order_statistic_fp
+
+    groups = list(group_cols or [])
+    src = df.select(*groups, F.col(length_col).alias("_len")).filter(
+        F.col("_len").isNotNull()
+    )
+    lo = grouped_order_statistic_fp(
+        src, groups, "_len", lo_q[0], lo_q[1], out_col="len_lo"
+    )
+    hi = grouped_order_statistic_fp(
+        src, groups, "_len", hi_q[0], hi_q[1], out_col="len_hi"
+    )
+    bounds = lo.join(hi, groups) if groups else lo.crossJoin(hi)
+    joined = (
+        df.join(F.broadcast(bounds), groups)
+        if groups
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    keep = (F.col(length_col) >= F.col("len_lo")) & (
+        F.col(length_col) <= F.col("len_hi")
+    )
+    return joined.withColumn("keep", keep)

@@ -126,4 +126,9 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ml_bleu",
     "tx_dsir_weights",
     "tx_mojibake",
+    "ch_dpo_pairs",
+    "dq_mad_outliers",
+    "gr_link_prediction",
+    "tx_adaptive_length",
+    "dd_soft_dedup_weights",
 ]

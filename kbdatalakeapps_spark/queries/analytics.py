@@ -954,3 +954,67 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_distinct")
     )
+
+
+@query(
+    "dq_mad_outliers",
+    # wrap-ok: DuckDB oracle SQL — floor(value·1e6) bounded, 3·MAD tiny
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT g, x AS median_fp FROM (
+            SELECT g, x,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM base
+        ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT base.g, abs(x - median_fp) AS d, median_fp
+        FROM base JOIN med USING (g)
+    ),
+    mad AS (
+        SELECT g, d AS mad_fp FROM (
+            SELECT g, d,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM dev
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(dev.median_fp) AS BIGINT) AS median_fp,
+           CAST(MIN(mad_fp) AS BIGINT) AS mad_fp,
+           CAST(SUM(CASE WHEN mad_fp > 0 THEN CASE WHEN d > 3 * mad_fp
+                        THEN 1 ELSE 0 END
+                        ELSE CASE WHEN d > 0 THEN 1 ELSE 0 END END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (g)
+    GROUP BY dev.g
+    """,
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier profile (operators/relational.py::
+    mad_outliers): exact lower-median + MAD in 10^6 fixed point with
+    the 3·MAD gate — medians via the two-phase grouped prefix sum,
+    never a per-group sorted window over raw rows (the oracle's
+    ROW_NUMBER form is exactly the plan shape the operator avoids at
+    scale)."""
+    from ..operators.relational import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = mad_outliers(
+        ev.select(F.col("event_type"), F.col("value")), "value",
+        ["event_type"],
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "median_fp",
+        "mad_fp",
+        "n_outliers",
+    )

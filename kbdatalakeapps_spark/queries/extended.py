@@ -2688,3 +2688,61 @@ def sp_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_idx")
     )
+
+
+def _soft_dedup_sql() -> str:
+    # same recursive transitive-closure labels as _keeper_oracle_sql,
+    # extended with per-cluster sizes and the 1/k fixed-point weight
+    from .pipeline import _MINHASH_SQL
+
+    return f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT id, hash_idx // 2 AS band_idx,
+               md5(string_agg(minhash::VARCHAR, ',' ORDER BY hash_idx))
+                   AS band_hash
+        FROM sig GROUP BY id, hash_idx // 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.id < b.id
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    ka AS (
+        SELECT d.doc_id AS id,
+               COALESCE(c.component, d.doc_id) AS keeper
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    sizes AS (SELECT keeper, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM ka GROUP BY keeper)
+    SELECT ka.id, ka.keeper, sizes.cluster_size,
+           CAST(1000000 // cluster_size AS BIGINT) AS weight_fp
+    FROM ka JOIN sizes USING (keeper)
+    """
+
+
+@query("dd_soft_dedup_weights", oracle=_soft_dedup_sql())
+def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware sampling weights (operators/dedup.py::
+    soft_dedup_weights): LSH near-dup clusters → every member weighs
+    1/|cluster| in 10^6 fixed point instead of being dropped.  The
+    cluster labels are the keeper_assignment fixpoint; the oracle
+    replays them as the recursive transitive-closure CTE and adds the
+    size/weight algebra."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    return dd.soft_dedup_weights(docs, pairs)

@@ -642,3 +642,55 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy("community")
     )
+
+
+@query(
+    "gr_link_prediction",
+    # wrap-ok: DuckDB oracle SQL — common·10^6 bounded by degree
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1),
+    pairs AS (
+        SELECT x.dst AS id_a, y.dst AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS common
+        FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+        GROUP BY 1, 2
+    ),
+    ne AS (
+        SELECT p.* FROM pairs p
+        LEFT JOIN e ON e.src = p.id_a AND e.dst = p.id_b
+        WHERE e.src IS NULL
+    ),
+    scored AS (
+        SELECT id_a, id_b, common, da.deg AS deg_a, db.deg AS deg_b,
+               (common * 1000000) // (da.deg + db.deg - common)
+                   AS jaccard_fp
+        FROM ne JOIN deg da ON da.v = ne.id_a
+                JOIN deg db ON db.v = ne.id_b
+    )
+    SELECT * FROM scored
+    ORDER BY jaccard_fp DESC, id_a ASC, id_b ASC
+    LIMIT 100
+    """,
+)
+def gr_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction (operators/graph.py::
+    link_prediction) over the co-purchase part graph: top-100 predicted
+    links by fixed-point Jaccard with deterministic (score, id) order.
+    One wedge equi-join + anti-join + degree joins — the oracle's
+    LEFT-JOIN-IS-NULL replays the anti-join; all integer arithmetic."""
+    from ..operators.graph import link_prediction
+
+    out = link_prediction(_copurchase_edges(spark, sf_dir))
+    return (
+        out.select(
+            "id_a", "id_b",
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            "jaccard_fp",
+        )
+        .orderBy(F.col("jaccard_fp").desc(), "id_a", "id_b")
+        .limit(100)
+    )

@@ -2261,6 +2261,7 @@ def _moji_sql() -> str:
                 out.append(ch)
         return "".join(out)
 
+    # wrap-ok: DuckDB oracle SQL — count·10^6 bounded by text width
     return f"""
     WITH d AS (SELECT doc_id, {inject} AS t FROM documents)
     SELECT doc_id,
@@ -2305,3 +2306,131 @@ def tx_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return mojibake_stats(injected)
+
+
+_DPO_SALT = "dpo8"
+
+
+def _dpo_sql() -> str:
+    # wrap-ok: DuckDB oracle SQL — operands bounded (scores < 1000)
+    return f"""
+    WITH comps AS (
+        SELECT doc_id AS prompt_id,
+               k AS cid,
+               substr(text, 1 + k * 40, 80) AS completion,
+               CAST(floor((CAST((('0x' || substr(md5(
+                   '{_DPO_SALT}:' || doc_id || ':' || k), 1, 15))::BIGINT
+                   % 1000 + 1000) % 1000 AS DOUBLE) / 1000.0)
+                   * 1000000.0) AS BIGINT) AS s_fp
+        FROM documents, unnest([0, 1, 2, 3]) AS u(k)
+    ),
+    ranked AS (
+        SELECT prompt_id, cid, completion, s_fp,
+               COUNT(*) OVER (PARTITION BY prompt_id) AS n_candidates,
+               ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                  ORDER BY s_fp DESC, cid ASC) AS rb,
+               ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                  ORDER BY s_fp ASC, cid ASC) AS rw
+        FROM comps
+    ),
+    best AS (SELECT prompt_id, n_candidates, completion AS chosen,
+                    cid AS chosen_id, s_fp AS chosen_score_fp
+             FROM ranked WHERE rb = 1),
+    worst AS (SELECT prompt_id, completion AS rejected,
+                     cid AS rejected_id, s_fp AS rejected_score_fp
+              FROM ranked WHERE rw = 1)
+    SELECT b.prompt_id, CAST(b.n_candidates AS BIGINT) AS n_candidates,
+           b.chosen, b.chosen_id, b.chosen_score_fp,
+           w.rejected, w.rejected_id, w.rejected_score_fp,
+           b.chosen_score_fp - w.rejected_score_fp AS margin_fp
+    FROM best b JOIN worst w USING (prompt_id)
+    WHERE b.n_candidates >= 2
+      AND b.chosen_id <> w.rejected_id
+      AND b.chosen_score_fp - w.rejected_score_fp >= 1
+    """
+
+
+@query("ch_dpo_pairs", oracle=_dpo_sql())
+def ch_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction (operators/chat.py::
+    build_preference_pairs): four pseudo-scored completions per
+    document (md5-derived portable scores, substring completions),
+    best-vs-worst with fixed-point scores, completion-id tie-breaks
+    and a ≥1 margin gate.  One groupBy — no window over data — on the
+    Spark side; the oracle replays via ROW_NUMBER."""
+    from ..operators.chat import build_preference_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    comps = d.select(
+        F.col("doc_id").alias("prompt_id"),
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("cid"),
+        "text",
+    ).select(
+        "prompt_id",
+        F.col("cid").cast("long").alias("cid"),
+        F.expr("substr(text, 1 + cid * 40, 80)").alias("completion"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit(_DPO_SALT), "prompt_id", "cid"
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(1000),
+            ).cast("double")
+            / F.lit(1000.0)
+        ).alias("score"),
+    )
+    return build_preference_pairs(
+        comps,
+        prompt_col="prompt_id",
+        completion_id_col="cid",
+        min_margin_fp=1,
+    ).select(
+        "prompt_id", "n_candidates", "chosen",
+        F.col("chosen_id").cast("long").alias("chosen_id"),
+        "chosen_score_fp", "rejected",
+        F.col("rejected_id").cast("long").alias("rejected_id"),
+        "rejected_score_fp", "margin_fp",
+    )
+
+
+@query(
+    "tx_adaptive_length",
+    oracle="""
+    WITH src AS (SELECT doc_id, source, n_chars FROM documents),
+    ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM src
+    ),
+    lo AS (SELECT source, MIN(n_chars) AS len_lo FROM ranked
+           WHERE rn >= (n * 5 + 99) // 100 GROUP BY source),
+    hi AS (SELECT source, MIN(n_chars) AS len_hi FROM ranked
+           WHERE rn >= (n * 95 + 99) // 100 GROUP BY source)
+    SELECT s.doc_id, s.source, s.n_chars, lo.len_lo, hi.len_hi,
+           (s.n_chars >= lo.len_lo AND s.n_chars <= hi.len_hi) AS keep
+    FROM src s JOIN lo USING (source) JOIN hi USING (source)
+    """,
+)
+def tx_adaptive_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-adaptive length gate (operators/text.py::
+    adaptive_length_filter): per-source exact discrete [p05, p95]
+    n_chars band, keep flag per document.  Bounds via the two-phase
+    grouped order statistic — the oracle's ROW_NUMBER form is the
+    exact plan shape the operator avoids at scale."""
+    from ..operators.text import adaptive_length_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return adaptive_length_filter(d, "n_chars", ["source"]).select(
+        "doc_id", "source", "n_chars", "len_lo", "len_hi", "keep"
+    )

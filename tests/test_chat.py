@@ -258,3 +258,51 @@ def test_streaming_chat_ingest_to_lakehouse(spark, tmp_path):
     assert read_version(spark, tbl).count() == 2
     drain()  # drained: nothing new
     assert read_version(spark, tbl).count() == 2
+
+
+def test_build_preference_pairs_argmax_margin_and_determinism(spark):
+    """DPO pair construction: best-vs-worst per prompt with fixed-point
+    scores, completion-id tie-breaks, margin gate, and <2-candidate
+    drop — bit-identical under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.chat import build_preference_pairs
+
+    rows = [
+        # prompt 1: clear best (c3) and worst (c1)
+        (1, 10, "bad", 0.1), (1, 11, "mid", 0.5), (1, 12, "good", 0.9),
+        # prompt 2: tie at max between cid 20 and 21 → cid 20 wins;
+        # tie at min between 22 and 23 → cid 22 loses (rejected)
+        (2, 20, "a", 0.8), (2, 21, "b", 0.8),
+        (2, 22, "c", 0.2), (2, 23, "d", 0.2),
+        # prompt 3: single completion → dropped
+        (3, 30, "only", 0.7),
+        # prompt 4: margin 0 (all equal) → dropped at min_margin_fp=1
+        (4, 40, "x", 0.5), (4, 41, "y", 0.5),
+        # prompt 5: NULL score ignored; remaining two form a pair
+        (5, 50, "n", None), (5, 51, "p", 0.6), (5, 52, "q", 0.3),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, completion_id long, completion string, score double"
+    )
+    out = {r.prompt_id: r for r in build_preference_pairs(
+        df, min_margin_fp=1
+    ).collect()}
+    assert set(out) == {1, 2, 5}
+    assert (out[1].chosen, out[1].rejected) == ("good", "bad")
+    assert out[1].margin_fp == 800000 and out[1].n_candidates == 3
+    assert (out[2].chosen_id, out[2].rejected_id) == (20, 22)
+    assert (out[5].chosen, out[5].rejected) == ("p", "q")
+    assert out[5].n_candidates == 2  # NULL-score row never counted
+
+    # all-equal scores: argmax and argmin tie-break to the SAME
+    # completion -> zero-signal prompt drops even with margin 0
+    loose = {r.prompt_id: r for r in build_preference_pairs(df).collect()}
+    assert 4 not in loose
+
+    again = sorted(map(tuple, build_preference_pairs(
+        df.repartition(9), min_margin_fp=1
+    ).collect()))
+    assert again == sorted(map(tuple, build_preference_pairs(
+        df, min_margin_fp=1
+    ).collect()))

@@ -46,3 +46,29 @@ def test_decontaminate_one_call(spark):
     assert 11 in kept and kept[11].meta == "m2"  # columns intact
     assert 12 in rep and rep[12].contamination >= 0.5
     assert "flagged" not in report.columns
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """Soft dedup: cluster members weigh 1/|cluster| fixed point,
+    singletons weigh full scale, and total mass ~= #clusters."""
+    from kbdatalakeapps_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    # clusters: {1,2,3} (chain), {5,6}; 4 and 7 singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.id: r for r in soft_dedup_weights(docs, pairs).collect()}
+    assert len(out) == 7
+    for i in (1, 2, 3):
+        assert out[i].keeper == 1 and out[i].cluster_size == 3
+        assert out[i].weight_fp == 1000000 // 3
+    for i in (5, 6):
+        assert out[i].keeper == 5 and out[i].weight_fp == 500000
+    for i in (4, 7):
+        assert out[i].cluster_size == 1 and out[i].weight_fp == 1000000
+    total = sum(r.weight_fp for r in out.values())
+    # 3·333333 + 2·500000 + 2·1000000 = 3999999 ~= 4 clusters · 1e6
+    assert total == 3 * (1000000 // 3) + 2 * 500000 + 2 * 1000000

@@ -729,3 +729,37 @@ def test_label_propagation_until_converged_and_oscillation_guard(spark):
     pair = _sym(spark, [(1, 2)])  # bipartite: labels swap forever
     with _pytest.raises(RuntimeError, match="fixpoint"):
         label_propagation(pair, until_converged=True, max_rounds=6)
+
+
+def test_link_prediction_common_neighbors_jaccard(spark):
+    """Link prediction: non-edge pairs sharing neighbors get exact
+    common counts and fixed-point Jaccard; existing edges excluded;
+    the hub cap suppresses wedges through high-degree nodes only."""
+    from kbdatalakeapps_spark.operators.graph import link_prediction
+
+    # path graph 1-2-3-4 plus hub 9 connected to 1,3,4 (symmetric)
+    und = [(1, 2), (2, 3), (3, 4), (9, 1), (9, 3), (9, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    out = {(r.id_a, r.id_b): r for r in link_prediction(edges).collect()}
+    # (1,3): shared neighbors 2 and 9 → common=2; deg1=2, deg3=3
+    r13 = out[(1, 3)]
+    assert r13.common == 2 and (r13.deg_a, r13.deg_b) == (2, 3)
+    assert r13.jaccard_fp == (2 * 1000000) // (2 + 3 - 2)
+    # (2,4): shared neighbor 3 → common=1
+    assert out[(2, 4)].common == 1
+    # (1,4): shared neighbor 9 only
+    assert out[(1, 4)].common == 1
+    # existing edges never appear
+    assert (1, 2) not in out and (3, 4) not in out and (1, 9) not in out
+
+    # cap below the hub's degree (deg 9 = 3): wedges through 9 vanish
+    capped = {(r.id_a, r.id_b): r for r in link_prediction(
+        edges, max_wedge_degree=2
+    ).collect()}
+    assert capped[(1, 3)].common == 1      # only via node 2 now
+    assert (1, 4) not in capped            # was hub-only
+    # node 3 (deg 3: 2,4,9) also exceeds the cap → (2,4) vanishes too
+    assert (2, 4) not in capped

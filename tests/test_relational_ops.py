@@ -140,3 +140,35 @@ def test_line_dedup_stats(spark):
     assert got[2] == (2, 1, 0.5)
     # doc3's repeated line exists only in doc3 -> not cross-doc dup
     assert got[3] == (2, 0, 0.0)
+
+
+def test_mad_outliers_exact_and_robust(spark):
+    """Robust outlier profile: exact lower medians, integer MAD gate,
+    MAD=0 degenerate rule, and partition invariance."""
+    from kbdatalakeapps_spark.operators.relational import mad_outliers
+
+    rows = (
+        # group a: 1..9 plus one wild outlier (100); median 5, MAD 2
+        [("a", float(v)) for v in range(1, 10)] + [("a", 100.0)]
+        # group b: constant 7s + one different → MAD 0 rule
+        + [("b", 7.0)] * 5 + [("b", 9.0)]
+        + [("b", None)]  # NULLs excluded
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in mad_outliers(df, "v", ["g"]).collect()}
+    # group a: values 1..9,100 → lower median element = 5;
+    # deviations |x-5| = 4,3,2,1,0,1,2,3,4,95 → lower median = 2
+    assert out["a"].median_fp == 5_000_000 and out["a"].mad_fp == 2_000_000
+    # gate k=3: |x-5| > 6 → only 100 qualifies
+    assert out["a"].n_outliers == 1 and out["a"].n == 10
+    # group b: median 7, MAD 0 → strict-difference rule flags the 9
+    assert out["b"].median_fp == 7_000_000 and out["b"].mad_fp == 0
+    assert out["b"].n_outliers == 1 and out["b"].n == 6
+
+    again = sorted(map(tuple, mad_outliers(
+        df.repartition(13), "v", ["g"]).collect()))
+    assert again == sorted(map(tuple, mad_outliers(df, "v", ["g"]).collect()))
+
+    # global (no groups) form
+    g = mad_outliers(df.select("v"), "v").collect()[0]
+    assert g.n == 16

@@ -596,3 +596,25 @@ def test_mojibake_stats_signals(spark):
     assert out[6].nonascii_fp == 0 and not out[6].enc_suspect
     assert out[7].enc_suspect is None and out[7].nonascii_fp is None
     assert out[8].n_mojibake == 1
+
+
+def test_adaptive_length_filter_per_group_bands(spark):
+    """Percentile-adaptive length gate: each group gets its OWN exact
+    discrete [p05, p95] band; a length normal in one group is an
+    outlier in another."""
+    from kbdatalakeapps_spark.operators.text import adaptive_length_filter
+
+    rows = [("code", i, i * 10) for i in range(1, 21)]      # 10..200
+    rows += [("prose", 100 + i, 1000 + i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    out = {r.doc_id: r for r in adaptive_length_filter(
+        df, "n_chars", ["source"]
+    ).collect()}
+    # code group: n=20, p05 rank = ceil(20*5/100)=1 → lo=10;
+    # p95 rank = ceil(20*95/100)=19 → hi=190
+    assert (out[1].len_lo, out[1].len_hi) == (10, 190)
+    assert out[1].keep and out[19].keep
+    assert not out[20].keep            # 200 > 190
+    # prose band is its own: 1001..1019
+    assert (out[101].len_lo, out[101].len_hi) == (1001, 1019)
+    assert not out[120].keep and out[110].keep
