@@ -128,7 +128,7 @@ PENDING_NEXT_WINDOW: list[str] = [
     "tx_mojibake",
     "ch_dpo_pairs",
     "dq_mad_outliers",
-    "gr_link_prediction",
+    "gr_jaccard_links",
     "tx_adaptive_length",
     "dd_soft_dedup_weights",
 ]

@@ -645,7 +645,7 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "gr_link_prediction",
+    "gr_jaccard_links",
     # wrap-ok: DuckDB oracle SQL — common·10^6 bounded by degree
     oracle=f"""
     WITH e AS ({_EDGES_SQL}),
@@ -674,8 +674,8 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
 )
-def gr_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Common-neighbor / Jaccard link prediction (operators/graph.py::
+def gr_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive common-neighbor / Jaccard link scores (operators/graph.py::
     link_prediction) over the co-purchase part graph: top-100 predicted
     links by fixed-point Jaccard with deterministic (score, id) order.
     One wedge equi-join + anti-join + degree joins — the oracle's

@@ -17,6 +17,10 @@ def query(name: str, oracle: str | None = None):
     compare sorts columns by name and hashes values."""
 
     def deco(fn):
+        if name in QUERIES:
+            # a silent overwrite re-binds a ledger-verified name to new
+            # semantics (round-8 near-miss: a second gr_link_prediction)
+            raise ValueError(f"query {name!r} is already registered")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
