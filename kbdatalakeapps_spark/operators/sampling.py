@@ -851,3 +851,57 @@ def inference_batches(
             ).cast("double")
         ).alias("batch_fill"),
     )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    difficulty_col: str,
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    n_phases: int = 4,
+) -> DataFrame:
+    """Curriculum ordering for training data: rank documents by a
+    difficulty signal WITHIN each domain and cut the ranking into
+    ``n_phases`` equal bands — phase 0 is each domain's easiest slice,
+    so a curriculum schedule that consumes phases in order sees every
+    domain at increasing difficulty (ranking globally instead would
+    front-load whole easy domains).
+
+    Exactness: rank is the exact per-group order statistic of
+    ``(difficulty, id)`` — ties broken by id, so the phase assignment
+    is total and bit-deterministic; ``phase = (rank−1)·n_phases div
+    n_group`` is integer arithmetic.  Scale shape: the rank comes from
+    relational.grouped_prefix_sum's two-phase bucket pipeline — never
+    a per-group sorted window over raw rows."""
+    from .relational import grouped_prefix_sum
+
+    groups = list(group_cols or [])
+    base = df.select(
+        *groups,
+        F.col(id_col).alias("_id"),
+        F.col(difficulty_col).alias("_diff"),
+        F.lit(1).cast("decimal(38,0)").alias("_one"),
+    ).filter(F.col("_diff").isNotNull())
+    ranked = grouped_prefix_sum(
+        base,
+        groups,
+        ["_diff", "_id"],
+        "_one",
+        out_col="_rank",
+        include_current=True,
+    )
+    tot = base.groupBy(*groups).agg(F.count(F.lit(1)).alias("_n"))
+    j = (
+        ranked.join(F.broadcast(tot), groups)
+        if groups
+        else ranked.crossJoin(F.broadcast(tot))
+    )
+    return j.select(
+        *groups,
+        F.col("_id").alias(id_col),
+        F.col("_diff").alias(difficulty_col),
+        F.col("_rank").cast("long").alias("rank"),
+        # wrap-ok: rank·n_phases ≤ n·n_phases ≪ 2^63 for any corpus
+        F.expr(f"CAST(((_rank - 1) * {int(n_phases)}) div _n AS INT)")
+        .alias("phase"),
+    )

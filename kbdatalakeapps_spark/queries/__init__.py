@@ -131,4 +131,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "gr_jaccard_links",
     "tx_adaptive_length",
     "dd_soft_dedup_weights",
+    "mm_image_dedup",
+    "sp_curriculum_phases",
 ]

@@ -2081,3 +2081,124 @@ def sp_inference_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").alias("n_tok")
     )
     return inference_batches(d, "n_tok", batch_rows=16, num_shards=4)
+
+
+@query(
+    "mm_image_dedup",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT doc_id AS media_id, md5(text) AS hx FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text)
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    px AS (
+        SELECT media_id, t.i,
+               ('0x' || substr(hx, 2 * t.i + 1, 2))::BIGINT AS v
+        FROM base, (SELECT unnest(range(16)) AS i) t
+    ),
+    m AS (SELECT media_id, SUM(v) / 16.0 AS mean FROM px GROUP BY media_id),
+    ah AS (
+        SELECT p.media_id,
+               CAST(SUM(CASE WHEN p.v > m.mean
+                             THEN (1::BIGINT << p.i) ELSE 0 END) AS BIGINT)
+                   AS ph
+        FROM px p JOIN m USING (media_id) GROUP BY p.media_id
+    ),
+    segs AS (
+        SELECT media_id, ph, t.r AS seg_idx,
+               (ph >> (t.r * 4)) & 15 AS seg
+        FROM ah, (SELECT unnest(range(4)) AS r) t
+    ),
+    pairs AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM segs a JOIN segs b
+          ON a.seg_idx = b.seg_idx AND a.seg = b.seg
+         AND a.media_id < b.media_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 1
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    ka AS (
+        SELECT b.media_id AS id,
+               COALESCE(c.component, b.media_id) AS keeper
+        FROM base b LEFT JOIN comp c ON c.id = b.media_id
+    ),
+    sizes AS (SELECT keeper, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM ka GROUP BY keeper)
+    SELECT ka.id, ka.keeper, sizes.cluster_size,
+           CAST(1000000 // cluster_size AS BIGINT) AS weight_fp
+    FROM ka JOIN sizes USING (keeper)
+    """,
+)
+def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup end-to-end: raw-bitmap corpus (planted exact
+    copies every 25th doc) → REAL decode→aHash
+    (multimodal.perceptual_hash) → pigeonhole-complete near-dup pairs
+    → connected components → per-image keeper and 1/|cluster| soft
+    weight (dedup.soft_dedup_weights).  The full image-dedup decision
+    one operator chain produces for a media lake, hash-replayed by
+    the oracle: hash bits, segment blocking, recursive closure,
+    weight algebra."""
+    from ..operators import dedup as dd
+    from ..operators.multimodal import image_neardup_pairs, perceptual_hash
+
+    d = _t(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.lit("image/raw-gray8").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5("text")).alias("content"),
+        meta.alias("meta"),
+    ).union(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("media_id"),
+            F.unhex(F.md5("text")).alias("content"),
+            meta.alias("meta"),
+        )
+    )
+    hashes = perceptual_hash(media, hash_size=4)
+    pairs = image_neardup_pairs(hashes, bits=16, max_hamming=1, prefix_bits=4)
+    ids = media.select(F.col("media_id").alias("doc_id"))
+    return dd.soft_dedup_weights(ids, pairs.select("id_a", "id_b"))
+
+
+@query(
+    "sp_curriculum_phases",
+    oracle="""
+    SELECT source, doc_id, n_chars,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS BIGINT)
+               AS rank,
+           CAST(((ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) - 1) * 4)
+                // (COUNT(*) OVER (PARTITION BY source)) AS INT) AS phase
+    FROM documents
+    """,
+)
+def sp_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curriculum phases (operators/sampling.py::
+    curriculum_phases): documents ranked by length-as-difficulty
+    within source, cut into 4 equal bands — the schedule that feeds
+    every domain easiest-first.  The rank comes from the two-phase
+    grouped prefix sum; the oracle's per-group ROW_NUMBER window is
+    the plan shape the operator avoids at scale."""
+    from ..operators.sampling import curriculum_phases
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return curriculum_phases(
+        d, "n_chars", group_cols=["source"], n_phases=4
+    ).select("source", "doc_id", "n_chars", "rank", "phase")

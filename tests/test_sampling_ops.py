@@ -531,3 +531,29 @@ def test_shuffle_width_tolerates_non_numeric_conf():
     assert shuffle_width(_Spark("16")) == 16
     assert shuffle_width(_Spark("auto")) == 7
     assert shuffle_width(_Spark(None)) == 7
+
+
+def test_curriculum_phases_per_group_bands(spark):
+    """Curriculum ordering: per-domain difficulty ranks cut into equal
+    phase bands, ties broken by id, partition-invariant."""
+    from kbdatalakeapps_spark.operators.sampling import curriculum_phases
+
+    rows = [("a", i, float(i)) for i in range(1, 9)]          # 8 rows
+    rows += [("b", 100 + i, 5.0) for i in range(4)]           # all tied
+    df = spark.createDataFrame(rows, "dom string, doc_id long, diff double")
+    out = {r.doc_id: r for r in curriculum_phases(
+        df, "diff", group_cols=["dom"], n_phases=4
+    ).collect()}
+    # domain a: ranks 1..8 → phases 0,0,1,1,2,2,3,3
+    assert [out[i].phase for i in range(1, 9)] == [0, 0, 1, 1, 2, 2, 3, 3]
+    assert out[1].rank == 1 and out[8].rank == 8
+    # domain b: total tie → id order decides; 4 rows → one per phase
+    assert [out[100 + i].phase for i in range(4)] == [0, 1, 2, 3]
+
+    again = sorted(
+        (r.doc_id, r.rank, r.phase)
+        for r in curriculum_phases(
+            df.repartition(7), "diff", group_cols=["dom"], n_phases=4
+        ).collect()
+    )
+    assert again == sorted((r.doc_id, r.rank, r.phase) for r in out.values())
