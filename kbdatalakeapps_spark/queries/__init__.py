@@ -31,69 +31,63 @@ from . import linkage  # noqa: F401,E402
 
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
-#: Round-7 rotation: CORRECTNESS_r06 drained pending to ZERO (50/50
-#: green), so the freeze lifted and the 8 planned round-6-operator
-#: query forms registered (admission control: 8 ≤ 49).  Window =
-#: flagship + the 8 new + 41 sentinels chosen as the queries whose
-#: ledger signal is OLDEST (all round-2) — rotation keeps refreshing
-#: the weakest evidence instead of re-checking recent greens.
 DRIVER_WINDOW: list[str] = [
+    # Round-8 rotation: CORRECTNESS_r07 was 50/50 green (debt stays
+    # ZERO), so the window takes the 11 round-8 registrations — each
+    # pre-verified on a vanilla session at sf0.001 AND sf0.01 before
+    # registration (admission control: 11 <= 49) — plus the 38
+    # sentinels whose ledger hash-signal is OLDEST (the 5 remaining
+    # round-2 rows, then the round-3 cohort alphabetically).
     "flagship_order_revenue",
-    # round-7 registrations (NOTES round-7 plan): the round-6
-    # operators' oracled query forms, each pre-verified on a vanilla
-    # session at sf0.001 AND sf0.01 before registration
-    "ml_pass_at_k",
-    "ml_class_report",
-    "ml_bradley_terry",
-    "sp_bootstrap_ci",
-    "tx_gopher_rules",
-    "tx_clf_score",
-    "wb_frontier_waves",
-    "sim_bitext_margin",
-    # round-7 continuation registrations (pre-verified the same way)
-    "tx_gopher_repetition",
-    "wb_domain_blocklist",
-    "sp_inference_batches",
-    "ml_chrf",
-    "ml_token_f1",
-    "tx_pan_luhn",
-    # sentinels: the 35 LEAST-recently-verified queries (all last
-    # hash-green in round 2) — rotating the oldest signal forward
-    "a10_conditional_avg",
-    "a11_ratio_agg",
-    "a13_viewer_aggregations",
-    "a15_filtered_total_count",
-    "a16_set_overlap_score",
-    "a8_sorted_set_string",
-    "a9_priority_reduce",
-    "dd_exact_dedup",
-    "dd_lsh_tuning",
-    "dd_minhash_signatures",
-    "dd_ngram_jaccard",
-    "dd_simhash",
-    "dd_simhash_pairs",
-    "f10_content_hashes",
-    "f13_conditional_swap",
-    "f14_when_chain_classes",
-    "f1_regex_extract_terms",
-    "f21_id_normalization",
-    "f5_split_explode",
-    "j1_inner_join_composite_key",
-    "j2_left_broadcast_enrich",
-    "j6_anti_join",
-    "j7_semi_join",
-    "j9_merge_term_strings",
-    "o1_multikey_sort_page",
-    "p11_global_search",
-    "p1_projection_conditional",
-    "p3_filter_family",
-    "p5_disjunctive_pair_filter",
-    "p6_like_filter",
-    "r2_predicate_pivot",
-    "s1_scan_project_filter",
-    "tx_fingerprint",
-    "tx_language_id",
-    "tx_quality_score",
+    "tx_language_id_clf",
+    "ml_bleu",
+    "tx_dsir_weights",
+    "tx_mojibake",
+    "ch_dpo_pairs",
+    "dq_mad_outliers",
+    "gr_jaccard_links",
+    "tx_adaptive_length",
+    "dd_soft_dedup_weights",
+    "mm_image_dedup",
+    "sp_curriculum_phases",
+    "tx_text_stats",
+    "u1_union_tagged",
+    "u3_except_intersect",
+    "w1_argmax_per_group",
+    "w3_sort_nulls_last",
+    "a12_source_counts",
+    "a17_rollup",
+    "a7_group_max_abs",
+    "b1_genome_phenotype_build",
+    "b2_model_performance_build",
+    "b3_ontology_relationships_build",
+    "b4_ontology_definitions_build",
+    "b5_media_composition_build",
+    "b6_gene_phenotype_build",
+    "b7_gene_reaction_build",
+    "b8_genome_reaction_build",
+    "b9_missing_functions_build",
+    "f12_threshold_bands",
+    "f15_reconcile_class",
+    "f17_map_encoding",
+    "f19_arrays_zip",
+    "f20_json_flatten",
+    "f6_gene_rule_tokens",
+    "f7_dict_replacement",
+    "f8_prefix_strip",
+    "j10_lookup_enrichment",
+    "j4_multihop_hash_chain",
+    "k2_rast_seed_mapping",
+    "k3_feature_vector_predict",
+    "o4_limit_offset",
+    "o5_existence_probe",
+    "o6_keyset_page",
+    "sk_hll_registers",
+    "sk_kmv_distinct",
+    "sk_kmv_grouped",
+    "sk_kmv_join_stats",
+    "sp_hash_split",
+    "sp_mixture_sample",
 ]
 
 
@@ -121,16 +115,4 @@ assert len(DRIVER_WINDOW) == 50
 #: Round-8 interim: new registrations queue here while the round is
 #: in flight; the closing rotation moves them into DRIVER_WINDOW
 #: (admission control: total new ≤ 49 − len(pending-at-close) = 49).
-PENDING_NEXT_WINDOW: list[str] = [
-    "tx_language_id_clf",
-    "ml_bleu",
-    "tx_dsir_weights",
-    "tx_mojibake",
-    "ch_dpo_pairs",
-    "dq_mad_outliers",
-    "gr_jaccard_links",
-    "tx_adaptive_length",
-    "dd_soft_dedup_weights",
-    "mm_image_dedup",
-    "sp_curriculum_phases",
-]
+PENDING_NEXT_WINDOW: list[str] = []
