@@ -261,6 +261,11 @@ BENCH_QUERIES = [
     "ml_bradley_terry",            # MM preference ratings (4 iterative rounds)
     "tx_gopher_rules",             # Gopher quality rules, one native scan
     "tx_gopher_repetition",        # Gopher repetition rules (9x n-gram explode)
+    # round-8 additions (appended so earlier keys stay comparable)
+    "ml_bleu",                     # word 1-4-gram clipped counts + pivot
+    "tx_dsir_weights",             # two corpus passes + broadcast ratio join
+    "mm_image_dedup",              # decode→phash→blocking→CC→weights e2e
+    "tx_language_id_clf",          # multi-class margin agg + argmax
 ]
 
 # The most expensive queries — measured twice, median reported.

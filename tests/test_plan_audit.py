@@ -58,6 +58,11 @@ _BNLJ_OK = {
     "sky_pareto_parts",
     "ml_target_encode",       # 1-row global-prior scalar onto the
                               # #categories × K encoding grid
+    "tx_language_id_clf",     # 1-row bias-argmax fallback broadcast
+                              # (empty-doc language, score_language_
+                              # classifier)
+    "tx_dsir_weights",        # two 1-row corpus token-total scalars
+                              # (T and R) onto the dim-row ratio table
     "ml_pr_curve",            # 1-row totals scalar onto the
                               # per-threshold frame
     "tx_domain_similarity",   # 1-row target-norm scalar onto the
