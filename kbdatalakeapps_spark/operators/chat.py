@@ -380,3 +380,81 @@ def build_preference_pairs(
             & (F.col("margin_fp") >= F.lit(min_margin_fp))
         )
     )
+
+
+def thread_paths(
+    msgs: DataFrame,
+    id_col: str = "msg_id",
+    parent_col: str = "parent_id",
+    role_col: str = "role",
+    content_col: str = "content",
+    max_depth: int = 32,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Linearize a BRANCHING conversation tree (forum thread,
+    tree-of-dialogue, regenerated-answer UI) into root→leaf training
+    transcripts: one output row per leaf with the rendered path and
+    its turn count — the step between raw threaded data and
+    ``parse_conversations``' linear format.
+
+    Output (leaf_id, n_turns, transcript, truncated): transcript is
+    ``role: content`` lines joined by newlines along the root→leaf
+    path; ``truncated`` marks paths cut at ``max_depth`` (cyclic or
+    pathological parent chains can never loop the job).
+
+    Scale shape: the house iterative pattern — per level ONE
+    child-equi-join of the live frontier against the (parent-keyed)
+    message table, completed leaves leave the frontier, lineage cut
+    per round (operators/checkpointing.materializer); O(tree depth)
+    rounds, never a driver-side walk.  Deterministic: paths depend
+    only on tree structure."""
+    from functools import reduce
+
+    from .checkpointing import materializer
+
+    mat = materializer(checkpoint_dir)
+    m = msgs.select(
+        F.col(id_col).alias("mid"),
+        F.col(parent_col).alias("pid"),
+        F.concat_ws(": ", F.col(role_col), F.col(content_col)).alias("line"),
+    )
+    m = mat(m)
+    by_parent = m.select(
+        F.col("mid").alias("c_mid"),
+        F.col("pid").alias("c_pid"),
+        F.col("line").alias("c_line"),
+    )
+    # ids that appear as somebody's parent — frontier rows NOT here
+    # are leaves and emit their finished path
+    parents = m.filter(F.col("pid").isNotNull()).select(
+        F.col("pid").alias("p_ref")
+    ).distinct()
+    frontier = m.filter(F.col("pid").isNull()).select(
+        F.col("mid").alias("leaf_id"),
+        F.lit(1).alias("n_turns"),
+        F.col("line").alias("transcript"),
+    )
+    done_parts = []
+    # max_depth − 1 extension rounds: an emitted transcript never
+    # exceeds max_depth turns; deeper paths surface AT max_depth
+    # turns with truncated=True
+    for _ in range(max_depth - 1):
+        frontier = mat(frontier)
+        leaves = frontier.join(
+            parents, frontier["leaf_id"] == parents["p_ref"], "left_anti"
+        )
+        done_parts.append(leaves.withColumn("truncated", F.lit(False)))
+        extended = (
+            frontier.join(
+                by_parent, frontier["leaf_id"] == by_parent["c_pid"]
+            )
+            .select(
+                F.col("c_mid").alias("leaf_id"),
+                (F.col("n_turns") + 1).alias("n_turns"),
+                F.concat_ws("\n", "transcript", "c_line").alias("transcript"),
+            )
+        )
+        frontier = extended
+    # anything still alive after max_depth is a truncated path
+    done_parts.append(frontier.withColumn("truncated", F.lit(True)))
+    return reduce(lambda a, b: a.unionByName(b), done_parts)

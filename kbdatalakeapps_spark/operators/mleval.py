@@ -1163,3 +1163,71 @@ def bleu_score(
         )
     )
     return out.withColumn("bleu_geo", geo)
+
+
+def rouge_l_score(
+    df: DataFrame,
+    pred_col: str = "prediction",
+    gold_col: str = "gold",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """ROUGE-L per pair — summarization eval: longest common
+    subsequence of the word streams, with LCS-recall/precision and
+    the F-measure.  Like :func:`wer_score`, word-level LCS has no
+    native builtin and no tractable SQL encoding, so the O(|p|·|g|)
+    DP runs as an Arrow-batched ``mapInPandas`` kernel (two numpy
+    rows), never per-row Python; columns bind by NAME and the id
+    column's name/type pass through (the wer_score conventions).
+
+    Conventions: lowercase whitespace tokens; empty gold AND pred →
+    rouge_l 0.0; one empty side → 0.0 with the counts exposed; NULL
+    text treated as empty.  rouge_l = 2·P·R/(P+R) with P = lcs/|p|,
+    R = lcs/|g| — a fixed IEEE tree over exact ints, so results are
+    partition-invariant."""
+    id_field = df.schema[id_col]
+
+    src = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(pred_col).alias("rp"),
+        F.col(gold_col).alias("rg"),
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        def lcs(a, b):
+            if not a or not b:
+                return 0
+            prev = np.zeros(len(b) + 1, dtype=np.int64)
+            for wa in a:
+                cur = np.zeros(len(b) + 1, dtype=np.int64)
+                for j, wb in enumerate(b, start=1):
+                    cur[j] = (
+                        prev[j - 1] + 1 if wa == wb
+                        else max(prev[j], cur[j - 1])
+                    )
+                prev = cur
+            return int(prev[len(b)])
+
+        for pdf in batches:
+            rows = []
+            for rid, rp, rg in zip(pdf["rid"], pdf["rp"], pdf["rg"]):
+                p = (rp or "").lower().split()
+                g = (rg or "").lower().split()
+                m = lcs(p, g)
+                prec = m / len(p) if p else 0.0
+                rec = m / len(g) if g else 0.0
+                f = (2 * prec * rec / (prec + rec)) if (prec + rec) > 0 else 0.0
+                rows.append((rid, m, len(p), len(g), f))
+            yield pd.DataFrame(
+                rows, columns=["rid", "lcs_len", "n_pred", "n_gold", "rouge_l"]
+            )
+
+    out_schema = (
+        "rid "
+        + id_field.dataType.simpleString()
+        + ", lcs_len long, n_pred long, n_gold long, rouge_l double"
+    )
+    out = src.mapInPandas(kernel, out_schema)
+    return out.withColumnRenamed("rid", id_col) if id_col != "rid" else out

@@ -115,4 +115,7 @@ assert len(DRIVER_WINDOW) == 50
 #: Round-8 interim: new registrations queue here while the round is
 #: in flight; the closing rotation moves them into DRIVER_WINDOW
 #: (admission control: total new ≤ 49 − len(pending-at-close) = 49).
-PENDING_NEXT_WINDOW: list[str] = []
+PENDING_NEXT_WINDOW: list[str] = [
+    # registered after the round-8 window filled; leads round 9
+    "ch_thread_paths",
+]

@@ -2434,3 +2434,62 @@ def tx_adaptive_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive_length_filter(d, "n_chars", ["source"]).select(
         "doc_id", "source", "n_chars", "len_lo", "len_hi", "keep"
     )
+
+
+@query(
+    "ch_thread_paths",
+    oracle="""
+    WITH RECURSIVE msgs AS (
+        SELECT doc_id * 8 + k AS mid,
+               CASE k WHEN 0 THEN NULL
+                      WHEN 1 THEN doc_id * 8
+                      WHEN 2 THEN doc_id * 8
+                      WHEN 3 THEN doc_id * 8 + 1
+                      ELSE doc_id * 8 + 2 END AS pid,
+               CASE WHEN k % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               substr(text, k * 30 + 1, 30) AS content
+        FROM documents, unnest([0, 1, 2, 3, 4]) AS u(k)
+    ),
+    p(mid, n_turns, transcript) AS (
+        SELECT mid, 1, role || ': ' || content FROM msgs WHERE pid IS NULL
+        UNION ALL
+        SELECT m.mid, p.n_turns + 1,
+               p.transcript || chr(10) || m.role || ': ' || m.content
+        FROM msgs m JOIN p ON m.pid = p.mid
+    )
+    SELECT p.mid AS leaf_id, CAST(n_turns AS INT) AS n_turns, transcript,
+           FALSE AS truncated
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM msgs c WHERE c.pid = p.mid)
+    """,
+)
+def ch_thread_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branching-thread linearization (operators/chat.py::
+    thread_paths): a 5-message two-branch tree per document (root →
+    two replies → one follow-up each side's first reply) yields two
+    3-turn root→leaf transcripts per doc.  The Spark side is the
+    O(depth) frontier-join fixpoint; the oracle replays it as a
+    recursive CTE, leaf-filtered."""
+    from ..operators.chat import thread_paths
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.explode(F.array(*[F.lit(i) for i in range(5)])).alias("k")
+    base = d.select("doc_id", "text", k)
+    msgs = base.select(
+        (F.col("doc_id") * 8 + F.col("k")).alias("msg_id"),
+        F.when(F.col("k") == 0, F.lit(None).cast("long"))
+        .when(F.col("k") == 1, F.col("doc_id") * 8)
+        .when(F.col("k") == 2, F.col("doc_id") * 8)
+        .when(F.col("k") == 3, F.col("doc_id") * 8 + 1)
+        .otherwise(F.col("doc_id") * 8 + 2)
+        .alias("parent_id"),
+        F.when(F.col("k") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.expr("substr(text, k * 30 + 1, 30)").alias("content"),
+    )
+    out = thread_paths(msgs, max_depth=8)
+    return out.select(
+        "leaf_id", F.col("n_turns").cast("int").alias("n_turns"),
+        "transcript", "truncated",
+    )

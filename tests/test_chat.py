@@ -306,3 +306,45 @@ def test_build_preference_pairs_argmax_margin_and_determinism(spark):
     assert again == sorted(map(tuple, build_preference_pairs(
         df, min_margin_fp=1
     ).collect()))
+
+
+def test_thread_paths_branching_and_truncation(spark, tmp_path):
+    """Conversation-tree linearization: every leaf yields exactly the
+    root→leaf transcript, branches multiply paths, orphan-free chains
+    deeper than max_depth come back flagged truncated."""
+    from kbdatalakeapps_spark.operators.chat import thread_paths
+
+    rows = [
+        # tree A: root 1 → 2 → 4 (leaf), root 1 → 3 (leaf)
+        (1, None, "user", "q"),
+        (2, 1, "assistant", "a1"),
+        (3, 1, "assistant", "a2"),
+        (4, 2, "user", "followup"),
+        # tree B: single message
+        (10, None, "user", "solo"),
+    ]
+    msgs = spark.createDataFrame(
+        rows, "msg_id long, parent_id long, role string, content string"
+    )
+    out = {r.leaf_id: r for r in thread_paths(msgs, checkpoint_dir=str(tmp_path)).collect()}
+    assert set(out) == {3, 4, 10}
+    assert out[4].transcript == "user: q\nassistant: a1\nuser: followup"
+    assert out[4].n_turns == 3 and not out[4].truncated
+    assert out[3].transcript == "user: q\nassistant: a2"
+    assert out[10].transcript == "user: solo" and out[10].n_turns == 1
+
+    # depth cap: a 5-deep chain with max_depth=3 flags the survivor
+    chain = spark.createDataFrame(
+        [(i, None if i == 0 else i - 1, "user", f"m{i}") for i in range(5)],
+        "msg_id long, parent_id long, role string, content string",
+    )
+    capped = thread_paths(chain, max_depth=3).collect()
+    assert len(capped) == 1
+    r = capped[0]
+    # cut at exactly max_depth turns, flagged
+    assert r.truncated and r.n_turns == 3
+    assert r.transcript == "user: m0\nuser: m1\nuser: m2"
+
+    # partition invariance
+    again = sorted(map(tuple, thread_paths(msgs.repartition(7)).collect()))
+    assert again == sorted(map(tuple, thread_paths(msgs).collect()))

@@ -805,3 +805,51 @@ def test_bleu_components_match_hand_computation(spark):
 
     plan = bleu_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rouge_l_matches_python_reference(spark):
+    """ROUGE-L: Arrow-kernel LCS pinned against a pure-Python DP,
+    including empty sides, string ids, and the F-measure tree."""
+    import random
+
+    from kbdatalakeapps_spark.operators.mleval import rouge_l_score
+
+    def py_lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for wa in a:
+            cur = [0] * (len(b) + 1)
+            for j, wb in enumerate(b, 1):
+                cur[j] = prev[j - 1] + 1 if wa == wb else max(prev[j], cur[j - 1])
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(5)
+    vocab = "a b c dd ee ff g".split()
+    rows = [
+        ("p0", "the cat sat on the mat", "the cat sat"),
+        ("p1", "", "x"),
+        ("p2", "x", ""),
+        ("p3", "", ""),
+        ("p4", "b a c", "a b c"),  # LCS 2, order matters
+    ] + [
+        (f"r{i}",
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))),
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "pid string, prediction string, gold string")
+    got = {r.pid: r for r in rouge_l_score(df, id_col="pid").collect()}
+    assert df.schema["pid"].dataType.simpleString() == "string"
+    for pid, p, g in rows:
+        pw, gw = p.lower().split(), g.lower().split()
+        m = py_lcs(pw, gw)
+        assert got[pid].lcs_len == m, (pid, p, g)
+        prec = m / len(pw) if pw else 0.0
+        rec = m / len(gw) if gw else 0.0
+        want = (2 * prec * rec / (prec + rec)) if (prec + rec) else 0.0
+        assert got[pid].rouge_l == pytest.approx(want, abs=0)
+    assert got["p4"].lcs_len == 2
+    assert got["p3"].rouge_l == 0.0
+
+    plan = rouge_l_score(df, id_col="pid")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
