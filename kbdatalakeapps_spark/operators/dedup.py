@@ -1309,6 +1309,7 @@ def soft_dedup_weights(
     id_col: str = "doc_id",
     fp_scale: int = 10**6,
     checkpoint_dir: str | None = None,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Soft dedup: instead of DROPPING near-duplicates, every document
     gets sampling weight 1/|cluster| (fixed point) so each dedup
@@ -1322,11 +1323,15 @@ def soft_dedup_weights(
     each — Σ weights ≈ #clusters·fp_scale, the deduped-corpus mass.
     Composes after any *_pairs operator (the keeper_assignment
     contract); all integer arithmetic, hash-exact under any
-    partitioning."""
+    partitioning.  ``algorithm='alternating'`` takes the O(log n)
+    large-star/small-star path — REQUIRED when the pair graph can
+    chain deep (small hash spaces: the 16-bit phash graph at sf0.1
+    blew past min-label's iteration cap — a real scale lesson)."""
     from .graph import keeper_assignment
 
     ka = keeper_assignment(
-        docs, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir
+        docs, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir,
+        algorithm=algorithm,
     )
     sizes = ka.groupBy("keeper").agg(
         F.count(F.lit(1)).alias("cluster_size")

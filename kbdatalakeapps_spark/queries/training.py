@@ -2173,7 +2173,11 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = perceptual_hash(media, hash_size=4)
     pairs = image_neardup_pairs(hashes, bits=16, max_hamming=1, prefix_bits=4)
     ids = media.select(F.col("media_id").alias("doc_id"))
-    return dd.soft_dedup_weights(ids, pairs.select("id_a", "id_b"))
+    # alternating CC: 16-bit hashes collide into DEEP chains at scale
+    # (min-label hit its iteration cap at sf0.1)
+    return dd.soft_dedup_weights(
+        ids, pairs.select("id_a", "id_b"), algorithm="alternating"
+    )
 
 
 @query(
