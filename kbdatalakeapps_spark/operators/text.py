@@ -1937,3 +1937,75 @@ def adaptive_length_filter(
         F.col(length_col) <= F.col("len_hi")
     )
     return joined.withColumn("keep", keep)
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str = "fixed_text"
+) -> DataFrame:
+    """Conservative mojibake REPAIR (the ftfy-lite core): when a
+    string round-trips ``latin-1 -> utf-8`` cleanly AND that decode
+    strictly reduces its mojibake-digraph count, the decoded form
+    replaces it ('cafÃ©' becomes 'café'); anything
+    ambiguous passes through untouched (legitimate 'Ã' followed
+    by a non-continuation char fails the strict decode and survives).
+    Multi-layer double-encoding unwinds fully in one call (bounded
+    at 4 layers; intermediate layers keep the digraph count EQUAL,
+    so the acceptance test compares the END state to the input).
+
+    Pairs with :func:`mojibake_stats` (detect -> repair -> re-detect
+    is the audited curation loop).  Byte-level transcoding has no
+    native SQL expression in either engine, so this is an
+    Arrow-batched ``mapInPandas`` kernel, one of the few justified
+    Python boundaries (the NFKC/zlib class); emits ``out_col`` plus
+    ``was_fixed``.  NULL text stays NULL."""
+    import re as _re
+
+    pat = _re.compile(_MOJIBAKE_PAT)
+
+    def kernel(batches):
+        import pandas as pd
+
+        def fix(s):
+            if s is None:
+                return None, None
+            n_bad = len(pat.findall(s))
+            if n_bad == 0:
+                return s, False
+            # unwind up to 4 encoding layers: counts stay EQUAL
+            # through intermediate layers of double-encoding and
+            # only drop at the last one, so iterate while the strict
+            # round-trip keeps succeeding without the count rising,
+            # then accept only if the END state is strictly better
+            cur, cur_bad = s, n_bad
+            for _ in range(4):
+                try:
+                    dec = cur.encode("latin-1", errors="strict").decode(
+                        "utf-8", errors="strict"
+                    )
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    break
+                dec_bad = len(pat.findall(dec))
+                if dec_bad > cur_bad:
+                    break
+                cur, cur_bad = dec, dec_bad
+                if cur_bad == 0:
+                    break
+            if cur_bad < n_bad:
+                return cur, True
+            return s, False
+
+        for pdf in batches:
+            fixed, flags = [], []
+            for s in pdf[text_col]:
+                f_, w = fix(s)
+                fixed.append(f_)
+                flags.append(w)
+            pdf = pdf.copy()
+            pdf[out_col] = fixed
+            pdf["was_fixed"] = flags
+            yield pdf
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` string, `was_fixed` boolean"
+    return df.mapInPandas(kernel, out_schema)

@@ -618,3 +618,33 @@ def test_adaptive_length_filter_per_group_bands(spark):
     # prose band is its own: 1001..1019
     assert (out[101].len_lo, out[101].len_hi) == (1001, 1019)
     assert not out[120].keep and out[110].keep
+
+
+def test_fix_mojibake_conservative_repair(spark):
+    """ftfy-lite repair: clean double-encoded text is decoded, one
+    layer per call; ambiguous or legitimate accents pass through
+    untouched; NULL stays NULL; detect-repair-redetect closes."""
+    from kbdatalakeapps_spark.operators.text import fix_mojibake, mojibake_stats
+
+    broken = 'caf\u00e9'.encode('utf-8').decode('latin-1')   # 'caf\u00c3\u00a9'
+    double = broken.encode('utf-8').decode('latin-1')         # two layers
+    rows = [
+        (1, broken),
+        (2, 'r\u00e9sum\u00e9 untouched'),
+        (3, None),
+        (4, double),
+        (5, 'plain ascii'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = {r.doc_id: r for r in fix_mojibake(df).collect()}
+    assert out[1].fixed_text == 'caf\u00e9' and out[1].was_fixed
+    assert out[2].fixed_text == 'r\u00e9sum\u00e9 untouched' and not out[2].was_fixed
+    assert out[3].fixed_text is None and out[3].was_fixed is None
+    assert out[5].fixed_text == 'plain ascii' and not out[5].was_fixed
+    # multi-layer double-encoding unwinds fully in one call
+    assert out[4].fixed_text == 'café' and out[4].was_fixed
+    # detect -> repair -> re-detect goes quiet
+    fixed_df = fix_mojibake(df).select('doc_id', 'fixed_text')
+    redetect = {r.doc_id: r for r in mojibake_stats(
+        fixed_df, text_col='fixed_text').collect()}
+    assert redetect[1].n_mojibake == 0
