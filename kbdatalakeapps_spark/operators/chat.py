@@ -458,3 +458,79 @@ def thread_paths(
     # anything still alive after max_depth is a truncated path
     done_parts.append(frontier.withColumn("truncated", F.lit(True)))
     return reduce(lambda a, b: a.unionByName(b), done_parts)
+
+
+def rejection_sample(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    completion_col: str = "completion",
+    score_col: str = "score",
+    completion_id_col: str = "completion_id",
+    min_score_fp: int = 0,
+    min_margin_fp: int = 0,
+    fp_scale: int = 10**6,
+) -> DataFrame:
+    """Best-of-n rejection sampling over SCORED completions — the
+    RLHF-adjacent SFT-data builder: per prompt keep the single
+    highest-reward completion, with an absolute reward floor and a
+    best-vs-runner-up margin gate (a best barely above the second
+    sample carries little signal; a lone sample has no margin at all).
+
+    Emits EVERY prompt with its decision (``keep`` boolean) rather
+    than pre-filtering, so the same pass feeds both the kept corpus
+    and the curation report.  ``margin_fp`` is NULL when n = 1.
+
+    Determinism contract (same as :func:`build_preference_pairs`):
+    scores become ``floor(score·fp_scale)`` int64 fixed point and the
+    ranking tie-breaks on completion id ascending, so best and
+    runner-up are bit-identical under any partitioning.
+
+    Scale posture: ONE map-side-combinable groupBy on the prompt key.
+    The top-2 is taken via sort_array over the collected candidate
+    structs — bounded by the n-way sampling fan-out (a generation
+    pipeline samples a FIXED n per prompt, typically ≤ 64), never by
+    data size; for unbounded candidate sets use a ranking window
+    instead.
+
+    No reference equivalent; engine extension for preference-data
+    curation.
+    """
+    s_fp = F.floor(F.col(score_col) * F.lit(float(fp_scale))).cast("long")
+    base = df.select(
+        F.col(prompt_col).alias("prompt_id"),
+        F.col(completion_id_col).alias("cid"),
+        F.col(completion_col).alias("completion"),
+        s_fp.alias("s_fp"),
+    ).filter(F.col("s_fp").isNotNull())
+    # min over (−s_fp, cid) sorts best-first with the id tie-break
+    agg = base.groupBy("prompt_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("s_fp")).alias("ns"),
+                        F.col("cid").alias("cid"),
+                        F.col("completion").alias("c"),
+                    )
+                )
+            ),
+            1,
+            2,
+        ).alias("top2"),
+    )
+    best = F.get(F.col("top2"), 0)
+    second = F.get(F.col("top2"), 1)  # NULL when n = 1 (never throws)
+    out = agg.select(
+        "prompt_id",
+        "n_candidates",
+        best["c"].alias("best"),
+        best["cid"].alias("best_id"),
+        (-best["ns"]).alias("best_score_fp"),
+        (-second["ns"]).alias("runner_up_score_fp"),
+        (-best["ns"] - (-second["ns"])).alias("margin_fp"),
+    )
+    keep = (F.col("best_score_fp") >= F.lit(min_score_fp)) & (
+        F.coalesce(F.col("margin_fp") >= F.lit(min_margin_fp), F.lit(True))
+    )
+    return out.withColumn("keep", keep)

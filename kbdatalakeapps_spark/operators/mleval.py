@@ -1231,3 +1231,161 @@ def rouge_l_score(
     )
     out = src.mapInPandas(kernel, out_schema)
     return out.withColumnRenamed("rid", id_col) if id_col != "rid" else out
+
+
+def cohen_kappa_pairs(
+    df: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Pairwise Cohen's kappa over a long-format ratings table — the
+    inter-annotator-agreement audit run before trusting RLHF /
+    eval-label data (one row per (item, rater) with a categorical
+    label; raters need not cover every item).
+
+    For every unordered rater pair the metric is computed over the
+    items BOTH rated: observed agreement po = n_agree/n and chance
+    agreement pe = Σ_k (na_k·nb_k)/n², folded into the single exact
+    rational
+
+        kappa = (n·n_agree − Σ_k na_k·nb_k) / (n² − Σ_k na_k·nb_k)
+
+    with every product carried in DECIMAL(38,0) (n·n_agree and n²
+    overflow BIGINT past ~3·10⁹ co-rated items) and ONE final
+    double division, so the result is bit-identical under any
+    partitioning and hash-matches a SQL twin.  Degenerate pairs where
+    pe = 1 (both raters constant on the common set — the denominator
+    is 0) emit NULL kappa rather than ±inf.
+
+    Scale posture: one co-rating self-join shuffled on the item key
+    (never a cartesian — rater count per item is the bounded fan-out),
+    then two map-side-combinable groupBys over (rater_a, rater_b[, k]);
+    every post-join table is #pairs-sized, not data-sized.
+
+    No reference equivalent (the reference has no annotation tooling);
+    engine extension for preference-data curation.
+    """
+    a = df.select(
+        F.col(item_col).alias("item"),
+        F.col(rater_col).alias("rater_a"),
+        F.col(label_col).alias("la"),
+    )
+    b = df.select(
+        F.col(item_col).alias("item"),
+        F.col(rater_col).alias("rater_b"),
+        F.col(label_col).alias("lb"),
+    )
+    co = a.join(b, "item").filter(F.col("rater_a") < F.col("rater_b"))
+    obs = co.groupBy("rater_a", "rater_b").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("la") == F.col("lb")).cast("long")).alias("n_agree"),
+    )
+    ma = co.groupBy("rater_a", "rater_b", F.col("la").alias("lab")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    mb = co.groupBy("rater_a", "rater_b", F.col("lb").alias("lab")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    pe = (
+        ma.join(mb, ["rater_a", "rater_b", "lab"])
+        .groupBy("rater_a", "rater_b")
+        .agg(
+            F.sum(
+                F.col("na").cast(_DEC) * F.col("nb").cast(_DEC)
+            ).alias("pe_num")
+        )
+    )
+    n_dec = F.col("n_items").cast(_DEC)
+    num = n_dec * F.col("n_agree").cast(_DEC) - F.col("pe_num")
+    den = n_dec * n_dec - F.col("pe_num")
+    return (
+        obs.join(pe, ["rater_a", "rater_b"])
+        .select(
+            "rater_a",
+            "rater_b",
+            "n_items",
+            "n_agree",
+            F.col("pe_num").cast("long").alias("pe_num"),
+            F.when(
+                den != F.lit(0),
+                num.cast("double") / den.cast("double"),
+            ).alias("kappa"),
+        )
+    )
+
+
+def _harmonic_weights(k: int) -> tuple[int, list[int]]:
+    """lcm(1..k) and the suffix sums W[m] = Σ_{d=m..k} lcm/d — the
+    integer weight an item at common-prefix depth m contributes to
+    Σ_d |A_d ∩ B_d|/d (average overlap), kept exact so the only float
+    op is the final division."""
+    import math
+
+    lcm = 1
+    for d in range(1, k + 1):
+        lcm = lcm * d // math.gcd(lcm, d)
+    per_depth = [lcm // d for d in range(1, k + 1)]
+    suffix = [0] * (k + 1)
+    for m in range(k, 0, -1):
+        suffix[m - 1] = suffix[m] + per_depth[m - 1]
+    return lcm, suffix[:k]
+
+
+def rank_average_overlap(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Average overlap (rank-biased overlap in the p→1 limit,
+    Webber et al. 2010) between two top-k rankings of the same items —
+    the ranker-agreement metric for comparing retrieval/scoring
+    functions per query group:
+
+        AO@k = (1/k) Σ_{d=1..k} |A_d ∩ B_d| / d
+
+    Both rankings order by (score desc, item asc); an item ranked
+    a-th and b-th is in both depth-d prefixes for every
+    d ≥ m = max(a, b), so its total contribution is the harmonic
+    suffix sum Σ_{d=m..k} 1/d.  Those weights are pre-scaled by
+    lcm(1..k) into exact int64s (k=20 → lcm ≈ 2.3·10⁸, per-group
+    numerator ≤ k·lcm·H(k) ≈ 1.7·10¹⁰ — wrap-safe), summed per
+    group, and divided ONCE: ao = ao_num / (k·lcm).
+
+    Scale posture: two ranking windows PARTITIONED by the group key
+    (never a global sort), a literal-map weight lookup (no join), one
+    map-side-combinable groupBy.  Groups with no common top-k items
+    emit nothing (AO = 0 rows are recoverable by a left join against
+    the group spine).
+    """
+    from pyspark.sql.window import Window as W
+
+    lcm, weights = _harmonic_weights(k)
+    wa = W.partitionBy(group_col).orderBy(
+        F.col(score_a_col).desc(), F.col(item_col).asc()
+    )
+    wb = W.partitionBy(group_col).orderBy(
+        F.col(score_b_col).desc(), F.col(item_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(item_col).alias("item"),
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    ).filter((F.col("ra") <= k) & (F.col("rb") <= k))
+    wmap = F.create_map(
+        *[F.lit(x) for m, w in enumerate(weights, start=1) for x in (m, w)]
+    )
+    contrib = ranked.select(
+        "grp",
+        F.greatest("ra", "rb").alias("m"),
+    ).select("grp", wmap[F.col("m")].cast("long").alias("w"))
+    denom = float(k * lcm)
+    return contrib.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_both"),
+        F.sum("w").alias("ao_num"),
+        (F.sum("w") / F.lit(denom)).alias("ao"),
+    )

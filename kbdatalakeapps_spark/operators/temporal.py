@@ -528,3 +528,59 @@ def lttb_downsample(
         )
     )
     return picked.unionByName(ends)
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    period_ns: int = 3_600 * 10**9,
+    cycle: int = 24,
+) -> DataFrame:
+    """Seasonal load profile — the per-key hour-of-day (or any
+    period/cycle pair: day-of-week = (86 400 s, 7)) event-count
+    profile with a multiplicative seasonal index, the decomposition a
+    capacity planner or anomaly baseline runs over an event stream:
+
+        phase        = (ts // period_ns) % cycle
+        cnt, total   = events in (key, phase) / in key
+        phase_share  = cnt / total
+        seasonal_idx = cycle · cnt / total   (1.0 = flat)
+
+    Timestamps are epoch-nanos int64 (the house events convention), so
+    phase assignment is pure integer bucketing — no calendar/timezone
+    functions, which Spark and DuckDB disagree on across session
+    zones.  Both ratios are single divisions of exact int64 counts
+    (the cycle·cnt product goes through DECIMAL(38,0): at 10¹²-row
+    keys, 24·cnt would be the round-7 wrap class).
+
+    Scale posture: one map-side-combinable groupBy on (key, phase);
+    the per-key total comes from re-aggregating the (key, phase) table
+    (≤ cycle rows per key), NOT a second scan or a window over data.
+    """
+    keys = list(key_cols or [])
+    # wrap-ok: integer div SHRINKS the operand (epoch-ns // period);
+    # a float `/` would corrupt bucketing past 2^53 ns (~1973)
+    phase = F.expr(
+        f"(cast(`{ts_col}` as bigint) div {int(period_ns)}) % {int(cycle)}"
+    )
+    per_phase = (
+        df.select(*keys, phase.alias("phase"))
+        .groupBy(*keys, "phase")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = per_phase.groupBy(*keys).agg(F.sum("cnt").alias("total"))
+    cnt_dec = F.col("cnt").cast("decimal(38,0)")
+    return per_phase.join(totals, keys).select(
+        *keys,
+        "phase",
+        "cnt",
+        "total",
+        (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+            "phase_share"
+        ),
+        (
+            (cnt_dec * F.lit(cycle).cast("decimal(38,0)")).cast("double")
+            / F.col("total").cast("double")
+        ).alias("seasonal_idx"),
+    )

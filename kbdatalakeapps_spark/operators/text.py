@@ -2009,3 +2009,125 @@ def fix_mojibake(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", `{out_col}` string, `was_fixed` boolean"
     return df.mapInPandas(kernel, out_schema)
+
+
+#: comment-line openers recognized by code_quality_signals: Python/
+#: shell (#), C-family line (//) and block (/*, *), SQL/Lua (--).
+_COMMENT_LINE_RE = r"^\s*(#|//|/\*|\*|--)"
+#: cross-language keyword set for the code-likeness probe — chosen so
+#: the same \b-regex behaves identically under Java regex and RE2.
+_CODE_KEYWORD_RE = (
+    r"\b(def|class|import|function|return|const|void|public|static)\b"
+)
+_CODE_SYMBOL_RE = r"[{}();=]"
+
+
+def code_quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """StarCoder/The-Stack-style code-corpus quality signals — the
+    per-file filter columns a source-code training pipeline gates on
+    (long-line autogenerated dumps, minified blobs, data files parked
+    in .py, near-empty license shells):
+
+      n_lines, max_line_len, avg_line_len — line-shape profile
+          (autogenerated/minified files have huge max/avg lines)
+      alnum_frac, alpha_frac              — character-class fractions
+          (data dumps skew numeric/symbolic)
+      comment_lines                       — lines opening with
+          #, //, /*, *, or -- (doc-to-code balance)
+      kw_hits                             — cross-language keyword
+          occurrences (code-likeness evidence)
+      sym_count                           — {}();= occurrences
+      is_code                             — the gate: keyword evidence
+          (≥2 hits) OR symbol density ≥3% of characters
+
+    Everything is native regexp/array expressions inside whole-stage
+    codegen; ratios are ONE division of exact int64 counts so every
+    row hash-matches the SQL twin (empty text emits NULL fractions,
+    not NaN).  The integer products in the is_code rule are ×100 /
+    ×3 on per-document character counts — bounded ≪ 2⁶³.
+
+    Scale posture: a narrow per-row map over the corpus scan — no
+    shuffle, no UDF; the regexes are anchored/char-class forms RE2
+    and Java regex agree on (the oracle-portability constraint).
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n", -1)
+    n_chars = F.length(text)
+    n_lines = F.size(lines)
+    line_len_sum = n_chars - (n_lines - F.lit(1))
+    alnum = F.length(F.regexp_replace(text, r"[^a-zA-Z0-9]", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    comment_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(_COMMENT_LINE_RE))
+    )
+    kw_hits = F.regexp_count(text, F.lit(_CODE_KEYWORD_RE))
+    sym_count = n_chars - F.length(
+        F.regexp_replace(text, _CODE_SYMBOL_RE, "")
+    )
+    nonzero = n_chars > F.lit(0)
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.array_max(F.transform(lines, F.length)).cast("long").alias(
+            "max_line_len"
+        ),
+        (line_len_sum.cast("double") / n_lines.cast("double")).alias(
+            "avg_line_len"
+        ),
+        F.when(nonzero, alnum.cast("double") / n_chars.cast("double")).alias(
+            "alnum_frac"
+        ),
+        F.when(nonzero, alpha.cast("double") / n_chars.cast("double")).alias(
+            "alpha_frac"
+        ),
+        comment_lines.cast("long").alias("comment_lines"),
+        kw_hits.cast("long").alias("kw_hits"),
+        sym_count.cast("long").alias("sym_count"),
+        (
+            (kw_hits >= F.lit(2))
+            | (nonzero & (sym_count * F.lit(100) >= n_chars * F.lit(3)))
+        ).alias("is_code"),
+    )
+
+
+#: (label, permissive, lowercase needle) in PRIORITY order — the first
+#: matching phrase wins, mirroring SPDX-style full-text scanners that
+#: rank more-specific grants above family names.
+LICENSE_PHRASES: tuple[tuple[str, bool, str], ...] = (
+    ("MIT", True, "permission is hereby granted, free of charge"),
+    ("Apache-2.0", True, "apache license, version 2.0"),
+    ("BSD-3-Clause", True, "redistribution and use in source and binary forms"),
+    ("LGPL", False, "gnu lesser general public license"),
+    ("GPL", False, "gnu general public license"),
+    ("CC", False, "creative commons"),
+)
+
+
+def license_detect(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """License detection over document/file text — the compliance gate
+    a code/text corpus runs before training (keep permissive, route
+    copyleft for review, drop unlicensed when policy requires).
+
+    Phrase-anchor scan in :data:`LICENSE_PHRASES` priority order over
+    the lowercased text (the canonical SPDX full-text anchors; LGPL
+    outranks GPL because the GPL needle is a substring of LGPL
+    texts).  Emits the matched ``license`` label ('none' when no
+    anchor hits) and a ``permissive`` policy flag.
+
+    Pure CASE/contains expressions — one codegen'd map over the scan,
+    no shuffle, trivially SQL-twinned.
+    """
+    low = F.lower(F.col(text_col))
+    expr = F.lit("none")
+    for label, _, needle in reversed(LICENSE_PHRASES):
+        expr = F.when(low.contains(needle), F.lit(label)).otherwise(expr)
+    permissive = {lb for lb, perm, _ in LICENSE_PHRASES if perm}
+    return df.select(
+        F.col(id_col),
+        expr.alias("license"),
+        expr.isin(*sorted(permissive)).alias("permissive"),
+    )

@@ -116,6 +116,14 @@ assert len(DRIVER_WINDOW) == 50
 #: in flight; the closing rotation moves them into DRIVER_WINDOW
 #: (admission control: total new ≤ 49 − len(pending-at-close) = 49).
 PENDING_NEXT_WINDOW: list[str] = [
-    # registered after the round-8 window filled; leads round 9
+    # registered after the round-8 window filled; the closing rotation
+    # swaps these into DRIVER_WINDOW in place of the youngest sentinels
     "ch_thread_paths",
+    "ml_kappa_agreement",
+    "ml_rank_overlap",
+    "ch_best_of_n",
+    "tx_code_quality",
+    "tx_license_detect",
+    "ts_seasonal_profile",
+    "gr_resource_allocation",
 ]

@@ -694,3 +694,97 @@ def gr_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_fp").desc(), "id_a", "id_b")
         .limit(100)
     )
+
+
+#: fixed-point scale for the resource-allocation weight 1/deg(z);
+#: deg ≥ 2 for any wedge center, so each term ≤ 5·10¹¹ and a pair
+#: needs > 1.8·10⁷ common neighbors to overflow int64 — far past any
+#: real co-occurrence graph; the decimal sum keeps even that safe.
+_RA_FP = 10**12
+
+
+@query(
+    "gr_resource_allocation",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+    pr AS (SELECT DISTINCT src AS p FROM e WHERE src % {_LP_PROBE_MOD} = 0),
+    w AS (
+        SELECT a.src AS p, b.dst AS q, COUNT(*) AS cn,
+               SUM({_RA_FP} // dz.deg) AS ra_num
+        FROM e a
+        JOIN pr ON pr.p = a.src
+        JOIN e b ON b.src = a.dst
+        JOIN deg dz ON dz.id = a.dst
+        WHERE b.dst <> a.src
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT w.p, w.q, w.cn, w.ra_num FROM w
+        WHERE cn >= {_LP_MIN_CN}
+          AND NOT EXISTS (
+              SELECT 1 FROM e WHERE e.src = w.p AND e.dst = w.q
+          )
+    )
+    SELECT c.p, c.q, CAST(c.cn AS BIGINT) AS cn,
+           CAST(c.ra_num AS BIGINT) AS ra_fp,
+           CAST(c.ra_num AS DOUBLE) / {float(_RA_FP)} AS ra
+    FROM c
+    """,
+)
+def gr_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (Zhou et al. 2009): like
+    gr_link_prediction's common-neighbor/Jaccard ranking but each
+    shared neighbor z contributes 1/deg(z) — rare intermediates carry
+    more evidence than hubs.  The weight is the exact integer quotient
+    10¹² div deg(z) (deg ≥ 2 on a wedge center), summed per candidate
+    pair and divided ONCE for the double score, so every row
+    hash-matches the SQL twin.
+
+    Scale posture mirrors gr_link_prediction: the probe filter bounds
+    the wedge fan-out to the probes' 2-hop neighborhoods, the center
+    degree arrives via one equi-join on z before the wedge groupBy,
+    and existing edges leave via an equi-key anti-join — no cartesian,
+    no global sort."""
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    probes = (
+        e.select(F.col("src").alias("p"))
+        .filter(F.col("p") % _LP_PROBE_MOD == 0)
+        .distinct()
+    )
+    a1 = (
+        e.select(F.col("src").alias("p"), F.col("dst").alias("z"))
+        .join(F.broadcast(probes), "p")
+    )
+    # wrap-ok: integer div SHRINKS the operand (10^12 // deg, deg ≥ 2)
+    dz = deg.select(
+        F.col("src").alias("z"),
+        F.expr(f"{_RA_FP} div deg").alias("ra_w"),
+    )
+    a2 = e.select(F.col("src").alias("z"), F.col("dst").alias("q"))
+    wedges = (
+        a1.join(a2.hint("shuffle_hash"), "z")
+        .filter(F.col("p") != F.col("q"))
+        .join(dz, "z")
+    )
+    cand = (
+        wedges.groupBy("p", "q")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.col("ra_w").cast("decimal(38,0)")).alias("_ra_dec"),
+        )
+        .filter(F.col("cn") >= _LP_MIN_CN)
+        .join(
+            e.select(F.col("src").alias("p"), F.col("dst").alias("q")),
+            ["p", "q"],
+            "left_anti",
+        )
+    )
+    return cand.select(
+        "p",
+        "q",
+        "cn",
+        F.col("_ra_dec").cast("long").alias("ra_fp"),
+        (F.col("_ra_dec").cast("double") / F.lit(float(_RA_FP))).alias("ra"),
+    )

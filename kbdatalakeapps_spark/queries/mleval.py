@@ -842,3 +842,179 @@ def ml_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "bleu_geo",
     )
+
+
+_KAP_SALT = "kap8"
+#: per-rater corruption thresholds out of 10: r1 is the careful rater,
+#: r3 the noisy one — kappa must separate them.
+_KAP_NOISE = {"r1": 1, "r2": 3, "r3": 5}
+
+
+def _kappa_ratings_sql() -> str:
+    noise_case = " ".join(
+        f"WHEN '{r}' THEN {t}" for r, t in sorted(_KAP_NOISE.items())
+    )
+    return f"""
+    ratings AS (
+        SELECT doc_id AS item, u.r AS rater,
+               CASE WHEN ('0x' || substr(md5('{_KAP_SALT}:' || u.r || ':' ||
+                          doc_id), 1, 15))::BIGINT % 10
+                         < (CASE u.r {noise_case} END)
+                    THEN ('0x' || substr(md5('{_KAP_SALT}:alt:' || u.r ||
+                         ':' || doc_id), 1, 15))::BIGINT % 4
+                    ELSE ('0x' || substr(md5('{_KAP_SALT}:' || doc_id),
+                         1, 15))::BIGINT % 4
+               END AS label
+        FROM documents, unnest(['r1', 'r2', 'r3']) AS u(r)
+    )
+    """
+
+
+@query(
+    "ml_kappa_agreement",
+    oracle=f"""
+    WITH {_kappa_ratings_sql()},
+    co AS (
+        SELECT a.rater AS rater_a, b.rater AS rater_b,
+               a.label AS la, b.label AS lb
+        FROM ratings a JOIN ratings b
+          ON a.item = b.item AND a.rater < b.rater
+    ),
+    obs AS (
+        SELECT rater_a, rater_b, COUNT(*) AS n_items,
+               SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS n_agree
+        FROM co GROUP BY 1, 2
+    ),
+    ma AS (SELECT rater_a, rater_b, la AS lab, COUNT(*) AS na
+           FROM co GROUP BY 1, 2, 3),
+    mb AS (SELECT rater_a, rater_b, lb AS lab, COUNT(*) AS nb
+           FROM co GROUP BY 1, 2, 3),
+    pe AS (
+        SELECT rater_a, rater_b, SUM(na * nb) AS pe_num
+        FROM ma JOIN mb USING (rater_a, rater_b, lab)
+        GROUP BY 1, 2
+    )
+    SELECT o.rater_a, o.rater_b,
+           CAST(o.n_items AS BIGINT) AS n_items,
+           CAST(o.n_agree AS BIGINT) AS n_agree,
+           CAST(p.pe_num AS BIGINT) AS pe_num,
+           CASE WHEN o.n_items * o.n_items - p.pe_num <> 0 THEN
+               CAST(o.n_items * o.n_agree - p.pe_num AS DOUBLE)
+                   / CAST(o.n_items * o.n_items - p.pe_num AS DOUBLE)
+           END AS kappa
+    FROM obs o JOIN pe p USING (rater_a, rater_b)
+    """,
+)
+def ml_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (operators/mleval.py::
+    cohen_kappa_pairs): three pseudo-raters label every document into
+    4 quality buckets — a shared md5-derived base label, each rater
+    corrupted at its own documented noise rate — and pairwise Cohen's
+    kappa separates the careful rater pair from the noisy ones.  All
+    counts exact, products in DECIMAL(38,0), one final double
+    division; the oracle replays the same rational."""
+    from ..operators.mleval import cohen_kappa_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _h(*parts):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", *parts)), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(10),
+        )
+
+    def _lab(*parts):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", *parts)), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(4),
+        )
+
+    ratings = None
+    for r, thr in sorted(_KAP_NOISE.items()):
+        rr = d.select(
+            F.col("doc_id").alias("item"),
+            F.lit(r).alias("rater"),
+            F.when(
+                _h(F.lit(_KAP_SALT), F.lit(r), F.col("doc_id")) < F.lit(thr),
+                _lab(F.lit(f"{_KAP_SALT}:alt"), F.lit(r), F.col("doc_id")),
+            )
+            .otherwise(_lab(F.lit(_KAP_SALT), F.col("doc_id")))
+            .alias("label"),
+        )
+        ratings = rr if ratings is None else ratings.unionByName(rr)
+    return cohen_kappa_pairs(ratings, "item", "rater", "label")
+
+
+_RAO_SALT = "rao8"
+_RAO_K = 20
+
+
+def _rao_weight_case() -> tuple[int, str]:
+    from ..operators.mleval import _harmonic_weights
+
+    lcm, weights = _harmonic_weights(_RAO_K)
+    cases = " ".join(
+        f"WHEN {m} THEN {w}" for m, w in enumerate(weights, start=1)
+    )
+    return lcm, f"CASE m {cases} END"
+
+
+@query(
+    "ml_rank_overlap",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, doc_id, n_chars AS sa,
+               ('0x' || substr(md5('{_RAO_SALT}:' || doc_id), 1, 15))::BIGINT
+                   % 10000 AS sb
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY sa DESC, doc_id ASC) AS ra,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY sb DESC, doc_id ASC) AS rb
+        FROM base
+    ),
+    pref AS (
+        SELECT source, GREATEST(ra, rb) AS m FROM ranked
+        WHERE ra <= {_RAO_K} AND rb <= {_RAO_K}
+    ),
+    wtab AS (SELECT source, {_rao_weight_case()[1]} AS w FROM pref)
+    SELECT source, COUNT(*)::BIGINT AS n_both,
+           CAST(SUM(w) AS BIGINT) AS ao_num,
+           CAST(SUM(w) AS DOUBLE) / {_RAO_K * _rao_weight_case()[0]}.0 AS ao
+    FROM wtab GROUP BY source
+    """,
+)
+def ml_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker agreement (operators/mleval.py::rank_average_overlap):
+    average overlap AO@20 between two top-k rankings of each source's
+    documents — by length vs by an md5-derived relevance score — the
+    metric a retrieval pipeline tracks when swapping scorers.  The
+    harmonic weights are lcm-scaled exact int64s; ONE final division;
+    two group-partitioned ranking windows, never a global sort."""
+    from ..operators.mleval import rank_average_overlap
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("sa"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(_RAO_SALT), "doc_id")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10000),
+        ).alias("sb"),
+    )
+    return rank_average_overlap(d, "source", "doc_id", "sa", "sb", k=_RAO_K)

@@ -2493,3 +2493,250 @@ def ch_thread_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leaf_id", F.col("n_turns").cast("int").alias("n_turns"),
         "transcript", "truncated",
     )
+
+
+_BON_SALT = "bon8"
+_BON_MIN_SCORE_FP = 300_000
+_BON_MIN_MARGIN_FP = 50_000
+
+
+@query(
+    "ch_best_of_n",
+    # wrap-ok: DuckDB oracle SQL — operands bounded (scores < 1000)
+    oracle=f"""
+    WITH comps AS (
+        SELECT doc_id AS prompt_id,
+               k AS cid,
+               substr(text, 1 + k * 30, 60) AS completion,
+               CAST(floor((CAST((('0x' || substr(md5(
+                   '{_BON_SALT}:' || doc_id || ':' || k), 1, 15))::BIGINT
+                   % 1000 + 1000) % 1000 AS DOUBLE) / 1000.0)
+                   * 1000000.0) AS BIGINT) AS s_fp
+        FROM documents, unnest([0, 1, 2, 3, 4, 5]) AS u(k)
+    ),
+    ranked AS (
+        SELECT prompt_id, cid, completion, s_fp,
+               COUNT(*) OVER (PARTITION BY prompt_id) AS n_candidates,
+               ROW_NUMBER() OVER (PARTITION BY prompt_id
+                                  ORDER BY s_fp DESC, cid ASC) AS rb
+        FROM comps
+    ),
+    best AS (SELECT prompt_id, n_candidates, completion AS best,
+                    cid AS best_id, s_fp AS best_score_fp
+             FROM ranked WHERE rb = 1),
+    second AS (SELECT prompt_id, s_fp AS runner_up_score_fp
+               FROM ranked WHERE rb = 2)
+    SELECT b.prompt_id, CAST(b.n_candidates AS BIGINT) AS n_candidates,
+           b.best, b.best_id, b.best_score_fp,
+           s.runner_up_score_fp,
+           b.best_score_fp - s.runner_up_score_fp AS margin_fp,
+           (b.best_score_fp >= {_BON_MIN_SCORE_FP}
+            AND COALESCE(b.best_score_fp - s.runner_up_score_fp
+                             >= {_BON_MIN_MARGIN_FP}, TRUE)) AS keep
+    FROM best b LEFT JOIN second s USING (prompt_id)
+    """,
+)
+def ch_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling (operators/chat.py::
+    rejection_sample): six md5-pseudo-scored completions per document
+    prompt, keep decision = absolute reward floor (0.3) AND
+    best-vs-runner-up margin ≥ 0.05 — the reward-model filtering pass
+    that turns sampled generations into SFT data.  One groupBy with a
+    pool-bounded sort_array top-2 on the Spark side; the oracle
+    replays via ROW_NUMBER."""
+    from ..operators.chat import rejection_sample
+
+    d = _t(spark, sf_dir, "documents")
+    comps = d.select(
+        F.col("doc_id").alias("prompt_id"),
+        F.explode(F.array(*[F.lit(k) for k in range(6)])).alias("cid"),
+        "text",
+    ).select(
+        "prompt_id",
+        F.col("cid").cast("long").alias("cid"),
+        F.expr("substr(text, 1 + cid * 30, 60)").alias("completion"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit(_BON_SALT), "prompt_id", "cid"
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(1000),
+            ).cast("double")
+            / F.lit(1000.0)
+        ).alias("score"),
+    )
+    return rejection_sample(
+        comps,
+        prompt_col="prompt_id",
+        completion_col="completion",
+        score_col="score",
+        completion_id_col="cid",
+        min_score_fp=_BON_MIN_SCORE_FP,
+        min_margin_fp=_BON_MIN_MARGIN_FP,
+    ).select(
+        "prompt_id", "n_candidates", "best",
+        F.col("best_id").cast("long").alias("best_id"),
+        "best_score_fp", "runner_up_score_fp", "margin_fp", "keep",
+    )
+
+
+#: deterministic per-language code snippets prepended by doc_id % 4
+#: (3 → none) so the signals exercise every branch; '' stays out of
+#: the CASE so the raw-text arm is the fallback.
+_CQ_SNIPPETS = {
+    0: "def load(x):\\n    # parse input\\n    return x;\\n",
+    1: "// init\\nfunction render(a) { return a; }\\nconst x = 1;\\n",
+    2: "-- select\\nSELECT 1;\\n",
+}
+
+
+def _cq_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN '{v}' || text" for k, v in sorted(_CQ_SNIPPETS.items())
+    )
+    return f"CASE doc_id % 4 {whens} ELSE text END"
+
+
+@query(
+    "tx_code_quality",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id,
+               replace({_cq_case_sql()}, '\\n', chr(10)) AS t
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, t,
+               len(string_split(t, chr(10))) AS n_lines,
+               length(t) AS n_chars,
+               length(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g')) AS alnum,
+               length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS alpha,
+               len(list_filter(string_split(t, chr(10)),
+                   x -> regexp_matches(x, '^\\s*(#|//|/\\*|\\*|--)')))
+                   AS comment_lines,
+               len(regexp_extract_all(t,
+                   '\\b(def|class|import|function|return|const|void|public|static)\\b'))
+                   AS kw_hits,
+               length(t) - length(regexp_replace(t, '[{{}}();=]', '', 'g'))
+                   AS sym_count,
+               list_max(list_transform(string_split(t, chr(10)),
+                   x -> length(x))) AS max_line_len
+        FROM src
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(max_line_len AS BIGINT) AS max_line_len,
+           CAST(n_chars - (n_lines - 1) AS DOUBLE)
+               / CAST(n_lines AS DOUBLE) AS avg_line_len,
+           CASE WHEN n_chars > 0 THEN
+               CAST(alnum AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+               AS alnum_frac,
+           CASE WHEN n_chars > 0 THEN
+               CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END
+               AS alpha_frac,
+           CAST(comment_lines AS BIGINT) AS comment_lines,
+           CAST(kw_hits AS BIGINT) AS kw_hits,
+           CAST(sym_count AS BIGINT) AS sym_count,
+           (kw_hits >= 2
+            OR (n_chars > 0 AND sym_count * 100 >= n_chars * 3)) AS is_code
+    FROM sig
+    """,
+)
+def tx_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus quality signals (operators/text.py::
+    code_quality_signals): StarCoder/The-Stack-style per-file filter
+    columns — line-shape profile, character-class fractions, comment
+    density, keyword/symbol code-likeness and the is_code gate — over
+    documents with a deterministic per-language snippet prepended by
+    doc_id bucket so every branch carries data.  All native regexp/
+    array expressions; ratios are one division of exact counts."""
+    from ..operators.text import code_quality_signals
+
+    d = _t(spark, sf_dir, "documents")
+    snippet = F.lit("")
+    for k, v in sorted(_CQ_SNIPPETS.items()):
+        snippet = F.when(
+            F.col("doc_id") % 4 == k, F.lit(v.replace("\\n", "\n"))
+        ).otherwise(snippet)
+    return code_quality_signals(
+        d.select("doc_id", F.concat(snippet, "text").alias("text"))
+    )
+
+
+#: license header injected by doc_id % 7 (6 → none); aligned with
+#: operators/text.py::LICENSE_PHRASES anchors.
+_LIC_HEADERS = {
+    0: "Permission is hereby granted, free of charge, to any person. ",
+    1: "Licensed under the Apache License, Version 2.0 (the License). ",
+    2: "This program is under the GNU General Public License v3. ",
+    3: "Redistribution and use in source and binary forms permitted. ",
+    4: "Under the GNU Lesser General Public License terms. ",
+    5: "This work is licensed under a Creative Commons license. ",
+}
+
+
+def _lic_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN '{v}' || text"
+        for k, v in sorted(_LIC_HEADERS.items())
+    )
+    return f"CASE doc_id % 7 {whens} ELSE text END"
+
+
+@query(
+    "tx_license_detect",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id, lower({_lic_case_sql()}) AS low FROM documents
+    ),
+    det AS (
+        SELECT doc_id,
+            CASE
+                WHEN contains(low,
+                    'permission is hereby granted, free of charge')
+                    THEN 'MIT'
+                WHEN contains(low, 'apache license, version 2.0')
+                    THEN 'Apache-2.0'
+                WHEN contains(low,
+                    'redistribution and use in source and binary forms')
+                    THEN 'BSD-3-Clause'
+                WHEN contains(low, 'gnu lesser general public license')
+                    THEN 'LGPL'
+                WHEN contains(low, 'gnu general public license')
+                    THEN 'GPL'
+                WHEN contains(low, 'creative commons') THEN 'CC'
+                ELSE 'none'
+            END AS license
+        FROM src
+    )
+    SELECT doc_id, license,
+           license IN ('Apache-2.0', 'BSD-3-Clause', 'MIT') AS permissive
+    FROM det
+    """,
+)
+def tx_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License detection (operators/text.py::license_detect): SPDX
+    full-text phrase anchors in priority order (LGPL above GPL — the
+    GPL needle is broader) over documents with a deterministic header
+    injected by doc_id bucket; emits the label and the permissive
+    policy flag the corpus gate filters on.  Pure CASE/contains — one
+    codegen'd map over the scan."""
+    from ..operators.text import license_detect
+
+    d = _t(spark, sf_dir, "documents")
+    header = F.lit("")
+    for k, v in sorted(_LIC_HEADERS.items()):
+        header = F.when(F.col("doc_id") % 7 == k, F.lit(v)).otherwise(header)
+    return license_detect(
+        d.select("doc_id", F.concat(header, "text").alias("text"))
+    )

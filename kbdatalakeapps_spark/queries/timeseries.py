@@ -680,3 +680,45 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lttb_downsample(pts, ["user_id"], "tns", "val", n_buckets=_LTTB_N)
         .orderBy("user_id", "bucket", "tns")
     )
+
+
+_HOUR_NS = 3_600 * 10**9
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               (epoch_ns(ts) // {_HOUR_NS}) % 24 AS phase
+        FROM events
+    ),
+    pp AS (
+        SELECT event_type, phase, COUNT(*)::BIGINT AS cnt
+        FROM ev GROUP BY 1, 2
+    ),
+    tt AS (
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total
+        FROM pp GROUP BY 1
+    )
+    SELECT p.event_type, p.phase, p.cnt, t.total,
+           CAST(p.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS phase_share,
+           CAST(p.cnt * 24 AS DOUBLE) / CAST(t.total AS DOUBLE)
+               AS seasonal_idx
+    FROM pp p JOIN tt t USING (event_type)
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal load profile (operators/temporal.py::
+    seasonal_profile): per event type the 24-phase count profile with
+    share and multiplicative seasonal index — the capacity/anomaly
+    baseline over the event stream.  Phase assignment is pure integer
+    epoch-ns bucketing (no calendar functions — the cross-engine
+    timezone trap); both ratios are one division of exact counts, the
+    cycle product carried in DECIMAL(38,0)."""
+    from ..operators.temporal import seasonal_profile
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    return seasonal_profile(
+        ev, "ts", ["event_type"], period_ns=_HOUR_NS, cycle=24
+    )

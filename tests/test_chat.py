@@ -348,3 +348,53 @@ def test_thread_paths_branching_and_truncation(spark, tmp_path):
     # partition invariance
     again = sorted(map(tuple, thread_paths(msgs.repartition(7)).collect()))
     assert again == sorted(map(tuple, thread_paths(msgs).collect()))
+
+
+def test_rejection_sample_best_margin_and_keep(spark):
+    from kbdatalakeapps_spark.operators.chat import rejection_sample
+
+    rows = [
+        (1, 0, "a", 0.9),
+        (1, 1, "b", 0.5),
+        (2, 0, "c", 0.2),          # below floor
+        (3, 0, "d", 0.8),
+        (3, 1, "e", 0.79),         # margin 0.01 < 0.05 gate
+    ]
+    df = spark.createDataFrame(rows, "p long, cid long, c string, s double")
+    out = {
+        r["prompt_id"]: r
+        for r in rejection_sample(
+            df, "p", "c", "s", "cid",
+            min_score_fp=300_000, min_margin_fp=50_000,
+        ).collect()
+    }
+    assert out[1]["best"] == "a" and out[1]["keep"]
+    assert out[1]["margin_fp"] == 400_000
+    assert out[1]["runner_up_score_fp"] == 500_000
+    # lone candidate: margin NULL, margin gate waived, floor applies
+    assert out[2]["margin_fp"] is None and not out[2]["keep"]
+    assert out[3]["best"] == "d" and not out[3]["keep"]
+
+
+def test_rejection_sample_tie_breaks_on_completion_id(spark):
+    from kbdatalakeapps_spark.operators.chat import rejection_sample
+
+    df = spark.createDataFrame(
+        [(1, 5, "late", 0.7), (1, 2, "early", 0.7), (1, 9, "low", 0.1)],
+        "p long, cid long, c string, s double",
+    )
+    [r] = rejection_sample(df, "p", "c", "s", "cid").collect()
+    assert r["best_id"] == 2 and r["best"] == "early"
+    assert r["runner_up_score_fp"] == 700_000 and r["margin_fp"] == 0
+
+
+def test_rejection_sample_lone_candidate_keep_is_floor_only(spark):
+    from kbdatalakeapps_spark.operators.chat import rejection_sample
+
+    df = spark.createDataFrame(
+        [(1, 0, "a", 0.9)], "p long, cid long, c string, s double"
+    )
+    [r] = rejection_sample(
+        df, "p", "c", "s", "cid", min_score_fp=500_000, min_margin_fp=10
+    ).collect()
+    assert r["keep"] and r["n_candidates"] == 1

@@ -853,3 +853,96 @@ def test_rouge_l_matches_python_reference(spark):
 
     plan = rouge_l_score(df, id_col="pid")._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_cohen_kappa_known_values(spark):
+    from kbdatalakeapps_spark.operators.mleval import cohen_kappa_pairs
+
+    # r1 vs r2 perfect agreement -> kappa 1; r1 vs r3 systematic
+    # offset -> full disagreement with uniform marginals -> kappa
+    # = (0 - pe)/(1 - pe) with pe = 1/3 -> -0.5
+    rows = (
+        [(i, "r1", i % 3) for i in range(30)]
+        + [(i, "r2", i % 3) for i in range(30)]
+        + [(i, "r3", (i + 1) % 3) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "item_id long, rater string, label long")
+    out = {
+        (r["rater_a"], r["rater_b"]): r
+        for r in cohen_kappa_pairs(df).collect()
+    }
+    assert out[("r1", "r2")]["kappa"] == 1.0
+    assert out[("r1", "r2")]["n_agree"] == 30
+    assert out[("r1", "r3")]["kappa"] == -0.5
+    assert out[("r2", "r3")]["kappa"] == -0.5
+    # pe_num = sum_k na_k*nb_k = 3 * 10*10
+    assert out[("r1", "r2")]["pe_num"] == 300
+
+
+def test_cohen_kappa_degenerate_pair_emits_null(spark):
+    from kbdatalakeapps_spark.operators.mleval import cohen_kappa_pairs
+
+    # both raters constant on the common set: pe = 1 -> NULL, not inf
+    rows = [(i, "a", 7) for i in range(5)] + [(i, "b", 7) for i in range(5)]
+    df = spark.createDataFrame(rows, "item_id long, rater string, label long")
+    [r] = cohen_kappa_pairs(df).collect()
+    assert r["kappa"] is None and r["n_agree"] == 5
+
+
+def test_cohen_kappa_partial_item_overlap(spark):
+    from kbdatalakeapps_spark.operators.mleval import cohen_kappa_pairs
+
+    # kappa is computed over the CO-rated items only
+    rows = [(i, "a", i % 2) for i in range(10)] + [
+        (i, "b", i % 2) for i in range(4, 14)
+    ]
+    df = spark.createDataFrame(rows, "item_id long, rater string, label long")
+    [r] = cohen_kappa_pairs(df).collect()
+    assert r["n_items"] == 6 and r["kappa"] == 1.0
+
+
+def test_rank_average_overlap_bounds(spark):
+    from kbdatalakeapps_spark.operators.mleval import (
+        _harmonic_weights,
+        rank_average_overlap,
+    )
+
+    base = [("g", i, 100 - i) for i in range(30)]
+    same = spark.createDataFrame(
+        [(g, i, s, s) for g, i, s in base],
+        "grp string, item long, sa long, sb long",
+    )
+    [r] = rank_average_overlap(same, "grp", "item", "sa", "sb", k=10).collect()
+    assert r["ao"] == 1.0 and r["n_both"] == 10
+    # identical rankings: every depth-d prefix fully overlaps, so the
+    # numerator is the full harmonic mass k * lcm * H(k) / ... = k*W[1]
+    lcm, w = _harmonic_weights(10)
+    assert r["ao_num"] == sum(w)
+
+
+def test_rank_average_overlap_disjoint_prefixes_emit_nothing(spark):
+    from kbdatalakeapps_spark.operators.mleval import rank_average_overlap
+
+    rev = spark.createDataFrame(
+        [("g", i, 100 - i, i) for i in range(20)],
+        "grp string, item long, sa long, sb long",
+    )
+    assert rank_average_overlap(rev, "grp", "item", "sa", "sb", k=10).count() == 0
+
+
+def test_rank_average_overlap_hand_value(spark):
+    from kbdatalakeapps_spark.operators.mleval import (
+        _harmonic_weights,
+        rank_average_overlap,
+    )
+
+    # 3 items, k=2: ranking A = x,y; B = y,x -> X_1 = 0, X_2 = 2
+    # AO = (1/2)(0/1 + 2/2) = 0.5
+    df = spark.createDataFrame(
+        [("g", 1, 10, 5), ("g", 2, 5, 10), ("g", 3, 1, 1)],
+        "grp string, item long, sa long, sb long",
+    )
+    [r] = rank_average_overlap(df, "grp", "item", "sa", "sb", k=2).collect()
+    lcm, w = _harmonic_weights(2)
+    assert r["ao"] == 0.5 and r["n_both"] == 2
+    assert r["ao_num"] == 2 * w[1] and w[1] == lcm // 2

@@ -243,3 +243,42 @@ def test_lttb_bucket_assignment_survives_int64_wrap_magnitudes(spark):
     inner = [r.bucket for r in pts if 0 <= r.bucket < 1000]
     assert inner == sorted(inner)
     assert len(pts) >= 3
+
+
+def test_seasonal_profile_hour_of_day(spark):
+    from kbdatalakeapps_spark.operators.temporal import seasonal_profile
+
+    hour_ns = 3_600 * 10**9
+    # key 'a': 2 events in phase 0, 1 in phase 1 across two days;
+    # key 'b': flat single event in phase 3
+    rows = [
+        ("a", 0 * hour_ns + 5),
+        ("a", 24 * hour_ns + 7),   # next day, phase 0 again
+        ("a", 1 * hour_ns + 5),
+        ("b", 3 * hour_ns),
+    ]
+    df = spark.createDataFrame(
+        [(k, t) for k, t in rows], "event_type string, ts long"
+    )
+    out = {
+        (r["event_type"], r["phase"]): r
+        for r in seasonal_profile(df, "ts", ["event_type"]).collect()
+    }
+    a0 = out[("a", 0)]
+    assert a0["cnt"] == 2 and a0["total"] == 3
+    assert a0["seasonal_idx"] == 16.0 and a0["phase_share"] == 2.0 / 3.0
+    assert out[("b", 3)]["seasonal_idx"] == 24.0
+
+
+def test_seasonal_profile_integer_bucketing_past_float53(spark):
+    from kbdatalakeapps_spark.operators.temporal import seasonal_profile
+
+    # epoch-ns values past 2^53 where a float div would misbucket
+    base = 1_700_000_000_000_000_000  # ~2023 in ns
+    hour_ns = 3_600 * 10**9
+    phase = (base // hour_ns) % 24
+    df = spark.createDataFrame(
+        [("e", base), ("e", base + 1)], "event_type string, ts long"
+    )
+    out = seasonal_profile(df, "ts", ["event_type"]).collect()
+    assert len(out) == 1 and out[0]["phase"] == phase and out[0]["cnt"] == 2

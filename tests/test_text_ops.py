@@ -648,3 +648,51 @@ def test_fix_mojibake_conservative_repair(spark):
     redetect = {r.doc_id: r for r in mojibake_stats(
         fixed_df, text_col='fixed_text').collect()}
     assert redetect[1].n_mojibake == 0
+
+
+def test_code_quality_signals_shapes(spark):
+    from kbdatalakeapps_spark.operators.text import code_quality_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "def f(x):\n    # c\n    return x;\n"),
+            (2, "plain english text here"),
+            (3, ""),
+            (4, "x=1;y=2;{}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in code_quality_signals(docs).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["comment_lines"] == 1
+    assert out[1]["kw_hits"] == 2 and out[1]["is_code"]
+    assert out[2]["kw_hits"] == 0 and not out[2]["is_code"]
+    # empty text: NULL fractions, NOT code (the 0 >= 0 trap)
+    assert out[3]["alnum_frac"] is None and not out[3]["is_code"]
+    # symbol-dense minified blob trips the density arm with 0 keywords
+    assert out[4]["is_code"] and out[4]["kw_hits"] == 0
+    assert out[4]["sym_count"] == 6
+    assert out[2]["avg_line_len"] == 23.0 and out[2]["max_line_len"] == 23
+
+
+def test_license_detect_priority_and_flags(spark):
+    from kbdatalakeapps_spark.operators.text import license_detect
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Permission is hereby granted, free of charge, to anyone"),
+            (2, "distributed under the GNU General Public License"),
+            (3, "under the GNU Lesser General Public License as published"),
+            (4, "no license text at all"),
+            # MIT outranks the CC mention further down
+            (5, "permission is hereby granted, free of charge ... "
+                "also mentions creative commons"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["license"], r["permissive"])
+           for r in license_detect(docs).collect()}
+    assert out[1] == ("MIT", True)
+    assert out[2] == ("GPL", False)
+    assert out[3] == ("LGPL", False)   # LGPL needle outranks GPL
+    assert out[4] == ("none", False)
+    assert out[5] == ("MIT", True)
