@@ -1389,3 +1389,67 @@ def rank_average_overlap(
         F.sum("w").alias("ao_num"),
         (F.sum("w") / F.lit(denom)).alias("ao"),
     )
+
+
+def mean_reciprocal_rank(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    item_col: str,
+    fp_scale: int = 10**12,
+) -> DataFrame:
+    """Global MRR over per-query ranked candidates — the first-hit
+    retrieval metric: per query group, rank candidates by
+    (score desc, item asc) and take the reciprocal rank of the FIRST
+    relevant one (0 when the group has no relevant candidate), then
+    average over ALL query groups:
+
+        mrr = Σ_g (fp_scale div first_rank_g) / (fp_scale · n_queries)
+
+    Each reciprocal is the exact integer quotient ``fp_scale div
+    rank`` (wrap-ok by construction: quotient ≤ fp_scale), the sum and
+    the n·fp_scale product are carried in DECIMAL(38,0), and the final
+    ``mrr`` is ONE double division — partition-order invariant, exact
+    SQL twin.  Output is a single row: n_queries, n_hit, rr_fp_sum,
+    mrr.
+
+    Scale posture: one ranking window PARTITIONED by the query group
+    (never global), one groupBy over relevant rows, one scalar-sized
+    final aggregate.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(rel_col).alias("rel"),
+        F.row_number().over(w).alias("rk"),
+    )
+    # wrap-ok: integer div SHRINKS the operand (fp_scale // rank)
+    firsts = (
+        ranked.filter(F.col("rel"))
+        .groupBy("grp")
+        .agg(F.min("rk").alias("first_rank"))
+        .select(F.expr(f"{int(fp_scale)} div first_rank").alias("rr_fp"))
+    )
+    hits = firsts.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.coalesce(
+            F.sum(F.col("rr_fp").cast(_DEC)), F.lit(0).cast(_DEC)
+        ).alias("_rr_sum"),
+    )
+    nq = df.agg(F.count_distinct(F.col(group_col)).alias("n_queries"))
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        "n_hit",
+        F.col("_rr_sum").cast("long").alias("rr_fp_sum"),
+        (
+            F.col("_rr_sum").cast("double")
+            / (
+                F.col("n_queries").cast(_DEC) * F.lit(fp_scale).cast(_DEC)
+            ).cast("double")
+        ).alias("mrr"),
+    )

@@ -905,3 +905,31 @@ def curriculum_phases(
         F.expr(f"CAST(((_rank - 1) * {int(n_phases)}) div _n AS INT)")
         .alias("phase"),
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Content-keyed K-fold assignment for cross-validation: fold =
+    md5(salt:key) mod k, so the same key lands in the same fold under
+    any partitioning, rerun, or engine — the leakage-safe counterpart
+    of random shuffling (a key duplicated across rows always shares a
+    fold, so grouped CV is free: key on the GROUP id).
+
+    Pure narrow map (one hash per row, no shuffle); compose with a
+    groupBy for the per-fold balance report the split audit reads.
+    """
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(fold_col, F.pmod(h, F.lit(k)))

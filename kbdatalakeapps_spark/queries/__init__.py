@@ -126,4 +126,8 @@ PENDING_NEXT_WINDOW: list[str] = [
     "tx_license_detect",
     "ts_seasonal_profile",
     "gr_resource_allocation",
+    "ml_mrr",
+    "sk_hll_union",
+    "sp_kfold_balance",
+    "ch_turn_stats",
 ]

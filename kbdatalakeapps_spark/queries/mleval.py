@@ -1018,3 +1018,73 @@ def ml_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sb"),
     )
     return rank_average_overlap(d, "source", "doc_id", "sa", "sb", k=_RAO_K)
+
+
+_MRR_SALT = "mrr8"
+_MRR_FP = 10**12
+
+
+@query(
+    "ml_mrr",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, doc_id,
+               ('0x' || substr(md5('{_MRR_SALT}:s:' || doc_id), 1, 15))::BIGINT
+                   % 10000 AS s,
+               (('0x' || substr(md5('{_MRR_SALT}:r:' || doc_id), 1, 15))::BIGINT
+                   % 5 = 0) AS rel
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, rel,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY s DESC, doc_id ASC) AS rk
+        FROM base
+    ),
+    firsts AS (
+        SELECT source, MIN(rk) AS first_rank FROM ranked WHERE rel GROUP BY 1
+    ),
+    hits AS (
+        SELECT COUNT(*) AS n_hit,
+               COALESCE(SUM({_MRR_FP} // first_rank), 0) AS rr_sum
+        FROM firsts
+    ),
+    nq AS (SELECT COUNT(DISTINCT source) AS n_queries FROM base)
+    SELECT CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(rr_sum AS BIGINT) AS rr_fp_sum,
+           CAST(rr_sum AS DOUBLE)
+               / CAST(n_queries * {_MRR_FP} AS DOUBLE) AS mrr
+    FROM nq, hits
+    """,
+)
+def ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank (operators/mleval.py::
+    mean_reciprocal_rank): documents ranked per source by an
+    md5-derived retrieval score, relevance an md5-derived 1-in-5 flag;
+    MRR = mean over ALL sources of 1/rank-of-first-relevant (0 when a
+    source has none).  Reciprocals are exact integer quotients, the
+    mean is one double division over decimal-carried sums; the ranking
+    window is partitioned by source, never global."""
+    from ..operators.mleval import mean_reciprocal_rank
+
+    def _h(tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(_MRR_SALT), F.lit(tag), "doc_id")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.pmod(_h("s"), F.lit(10000)).alias("s"),
+        (F.pmod(_h("r"), F.lit(5)) == 0).alias("rel"),
+    )
+    return mean_reciprocal_rank(
+        d, "source", "s", "rel", "doc_id", fp_scale=_MRR_FP
+    )

@@ -2740,3 +2740,88 @@ def tx_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return license_detect(
         d.select("doc_id", F.concat(header, "text").alias("text"))
     )
+
+
+@query(
+    "ch_turn_stats",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, doc_id % 6 AS m,
+               3 + length(substr(text, 1, 120)) AS lu,
+               3 + length(substr(text, 121, 160)) AS la
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN m = 4 THEN 4
+                     WHEN m IN (2, 5) THEN 2 ELSE 3 END AS INT) AS n_turns,
+           CAST(CASE WHEN m = 4 THEN 2 ELSE 1 END AS INT) AS n_user,
+           CAST(CASE WHEN m = 5 THEN 0 ELSE 1 END AS INT) AS n_assistant,
+           CAST(CASE WHEN m = 2 THEN 0 ELSE 1 END AS INT) AS n_system,
+           CAST(CASE m WHEN 0 THEN 10 + lu + la
+                       WHEN 1 THEN 10 + lu
+                       WHEN 2 THEN lu + la
+                       WHEN 3 THEN 10 + lu + la
+                       WHEN 4 THEN 10 + lu + la + 13
+                       ELSE 10 + lu END AS BIGINT) AS total_chars,
+           CAST(CASE WHEN m = 1 THEN 1 ELSE 0 END AS INT) AS n_empty_turns,
+           (m <> 2) AS starts_with_system,
+           CASE WHEN m IN (3, 4, 5) THEN 'user' ELSE 'assistant' END
+               AS last_role,
+           (m <> 3) AS alternation_ok
+    FROM src
+    """,
+)
+def ch_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation curation signals (operators/chat.py::
+    parse_conversations + conversation_stats): each document becomes a
+    JSON transcript in one of six deterministic shapes — well-formed,
+    empty-assistant, missing-system, wrong-order, four-turn, and
+    truncated — exercising every stat column (turn/role counts, char
+    totals, empty turns, system-first, last role, alternation gate).
+    The Spark side round-trips through to_json → from_json → native
+    higher-order stats; the oracle replays the construction in closed
+    form (no JSON parsing needed — the shapes are deterministic)."""
+    from ..operators.chat import conversation_stats, parse_conversations
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    sys_t = F.struct(
+        F.lit("system").alias("role"), F.lit("be helpful").alias("content")
+    )
+    u1 = F.struct(
+        F.lit("user").alias("role"),
+        F.concat(F.lit("U: "), F.expr("substr(text, 1, 120)")).alias(
+            "content"
+        ),
+    )
+    a1 = F.struct(
+        F.lit("assistant").alias("role"),
+        F.when(m == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("A: "), F.expr("substr(text, 121, 160)")))
+        .alias("content"),
+    )
+    u2 = F.struct(
+        F.lit("user").alias("role"), F.lit("U2: follow-up").alias("content")
+    )
+    arr = (
+        F.when(m == 2, F.array(u1, a1))
+        .when(m == 3, F.array(sys_t, a1, u1))
+        .when(m == 4, F.array(sys_t, u1, a1, u2))
+        .when(m == 5, F.array(sys_t, u1))
+        .otherwise(F.array(sys_t, u1, a1))
+    )
+    parsed = parse_conversations(
+        d.select("doc_id", F.to_json(arr).alias("conversation_json"))
+    )
+    return conversation_stats(parsed).select(
+        "doc_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "n_system",
+        "total_chars",
+        "n_empty_turns",
+        "starts_with_system",
+        "last_role",
+        "alternation_ok",
+    )

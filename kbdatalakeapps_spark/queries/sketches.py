@@ -256,3 +256,38 @@ def sk_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey")
         .limit(5000)
     )
+
+
+@query(
+    "sk_hll_union",
+    oracle="""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        FROM documents
+    ),
+    x AS (
+        SELECT h >> 52 AS bucket,
+               h & ((1::BIGINT << 52) - 1) AS rem
+        FROM h
+    )
+    SELECT bucket,
+           MAX(CASE WHEN rem = 0 THEN 53
+                    ELSE 52 - length(to_base(rem, 2)) + 1 END)::INT AS max_rho
+    FROM x GROUP BY bucket
+    """,
+)
+def sk_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register-table MERGE (operators/sketch.py::hll_merge): two
+    disjoint half-corpora (even/odd doc_id) sketched independently,
+    then union+max-merged — and the oracle checks the merged table
+    equals the sketch of the WHOLE corpus bucket-for-bucket.  This is
+    the mergeability law that makes the sketch the 100 TB
+    count-distinct path: per-partition/per-day register tables combine
+    without re-reading data."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    ra = sk.hll_registers(d.filter(F.col("doc_id") % 2 == 0), "text", p=8)
+    rb = sk.hll_registers(d.filter(F.col("doc_id") % 2 == 1), "text", p=8)
+    merged = sk.hll_merge(ra, rb)
+    return merged.select("bucket", F.col("max_rho").cast("int").alias("max_rho"))

@@ -2206,3 +2206,49 @@ def sp_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_phases(
         d, "n_chars", group_cols=["source"], n_phases=4
     ).select("source", "doc_id", "n_chars", "rank", "phase")
+
+
+_CV_SALT = "cv8"
+_CV_K = 5
+
+
+@query(
+    "sp_kfold_balance",
+    oracle=f"""
+    WITH f AS (
+        SELECT ('0x' || substr(md5('{_CV_SALT}:' || doc_id), 1, 15))::BIGINT
+                   % {_CV_K} AS fold,
+               lang
+        FROM documents
+    ),
+    pp AS (SELECT fold, lang, COUNT(*)::BIGINT AS n FROM f GROUP BY 1, 2),
+    tt AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS fold_total
+           FROM pp GROUP BY 1)
+    SELECT p.fold, p.lang, p.n, t.fold_total,
+           CAST(p.n AS DOUBLE) / CAST(t.fold_total AS DOUBLE) AS share
+    FROM pp p JOIN tt t USING (fold)
+    """,
+)
+def sp_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold split balance report (operators/sampling.py::
+    kfold_assign): content-keyed md5 fold assignment (k=5) over
+    documents, then the per-(fold, language) count/share table a split
+    audit reads before cross-validation — skewed shares mean the folds
+    are not exchangeable for a stratified metric.  Assignment is a
+    pure narrow map; the report is one grouped pass re-aggregated for
+    fold totals (cycle-sized, not data-sized)."""
+    from ..operators.sampling import kfold_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    folds = kfold_assign(d, "doc_id", k=_CV_K, salt=_CV_SALT)
+    pp = folds.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tt = pp.groupBy("fold").agg(F.sum("n").alias("fold_total"))
+    return pp.join(tt, "fold").select(
+        "fold",
+        "lang",
+        "n",
+        "fold_total",
+        (F.col("n").cast("double") / F.col("fold_total").cast("double")).alias(
+            "share"
+        ),
+    )

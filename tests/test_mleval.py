@@ -946,3 +946,44 @@ def test_rank_average_overlap_hand_value(spark):
     lcm, w = _harmonic_weights(2)
     assert r["ao"] == 0.5 and r["n_both"] == 2
     assert r["ao_num"] == 2 * w[1] and w[1] == lcm // 2
+
+
+def test_mean_reciprocal_rank_hand_values(spark):
+    from kbdatalakeapps_spark.operators.mleval import mean_reciprocal_rank
+
+    # g1: relevant at rank 2 -> rr 1/2; g2: relevant at rank 1 -> 1;
+    # g3: no relevant -> 0.  MRR = (0.5 + 1 + 0)/3 = 0.5
+    rows = [
+        ("g1", 1, 90, False), ("g1", 2, 80, True), ("g1", 3, 70, True),
+        ("g2", 4, 50, True), ("g2", 5, 40, False),
+        ("g3", 6, 10, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, item long, s long, rel boolean"
+    )
+    [r] = mean_reciprocal_rank(df, "grp", "s", "rel", "item").collect()
+    assert r["n_queries"] == 3 and r["n_hit"] == 2
+    assert r["rr_fp_sum"] == 10**12 // 2 + 10**12
+    assert r["mrr"] == 0.5
+
+
+def test_mean_reciprocal_rank_no_hits(spark):
+    from kbdatalakeapps_spark.operators.mleval import mean_reciprocal_rank
+
+    df = spark.createDataFrame(
+        [("g", 1, 5, False)], "grp string, item long, s long, rel boolean"
+    )
+    [r] = mean_reciprocal_rank(df, "grp", "s", "rel", "item").collect()
+    assert r["n_hit"] == 0 and r["rr_fp_sum"] == 0 and r["mrr"] == 0.0
+
+
+def test_mean_reciprocal_rank_tie_break_on_item(spark):
+    from kbdatalakeapps_spark.operators.mleval import mean_reciprocal_rank
+
+    # equal scores: item asc decides rank -> relevant item 1 is rank 1
+    df = spark.createDataFrame(
+        [("g", 2, 7, False), ("g", 1, 7, True)],
+        "grp string, item long, s long, rel boolean",
+    )
+    [r] = mean_reciprocal_rank(df, "grp", "s", "rel", "item").collect()
+    assert r["mrr"] == 1.0

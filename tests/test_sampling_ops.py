@@ -557,3 +557,38 @@ def test_curriculum_phases_per_group_bands(spark):
         ).collect()
     )
     assert again == sorted((r.doc_id, r.rank, r.phase) for r in out.values())
+
+
+def test_kfold_assign_is_content_keyed_and_total(spark):
+    import pyspark.sql.functions as F
+
+    from kbdatalakeapps_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    out = kfold_assign(df, "k", k=5, salt="s")
+    folds = out.groupBy("fold").count().collect()
+    assert sum(r["count"] for r in folds) == 200
+    assert {r["fold"] for r in folds} <= set(range(5))
+    # same key -> same fold under a different partitioning
+    again = {
+        r["k"]: r["fold"]
+        for r in kfold_assign(df.repartition(7), "k", k=5, salt="s").collect()
+    }
+    first = {r["k"]: r["fold"] for r in out.collect()}
+    assert first == again
+    # different salt reshuffles at least one key
+    other = {
+        r["k"]: r["fold"]
+        for r in kfold_assign(df, "k", k=5, salt="t").collect()
+    }
+    assert first != other
+
+
+def test_kfold_assign_rejects_degenerate_k(spark):
+    import pytest as _pytest
+
+    from kbdatalakeapps_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        kfold_assign(df, "k", k=1)
