@@ -266,6 +266,11 @@ BENCH_QUERIES = [
     "tx_dsir_weights",             # two corpus passes + broadcast ratio join
     "mm_image_dedup",              # decode→phash→blocking→CC→weights e2e
     "tx_language_id_clf",          # multi-class margin agg + argmax
+    # round-8 closing additions (appended; earlier keys stay comparable)
+    "ml_kappa_agreement",          # co-rating self-join + marginal algebra
+    "tx_code_quality",             # regex-heavy native scan (code filters)
+    "ch_best_of_n",                # pool-bounded sort_array top-2 groupBy
+    "ch_turn_stats",               # to_json→from_json→higher-order stats
 ]
 
 # The most expensive queries — measured twice, median reported.

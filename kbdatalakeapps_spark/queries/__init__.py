@@ -32,12 +32,11 @@ from . import linkage  # noqa: F401,E402
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
 DRIVER_WINDOW: list[str] = [
-    # Round-8 rotation: CORRECTNESS_r07 was 50/50 green (debt stays
-    # ZERO), so the window takes the 11 round-8 registrations — each
-    # pre-verified on a vanilla session at sf0.001 AND sf0.01 before
-    # registration (admission control: 11 <= 49) — plus the 38
-    # sentinels whose ledger hash-signal is OLDEST (the 5 remaining
-    # round-2 rows, then the round-3 cohort alphabetically).
+    # Round-8 closing rotation: flagship + all 23 round-8
+    # registrations (11 mid-round + 12 closing, each pre-verified on a
+    # vanilla session at sf0.001 AND sf0.01 before rotation; admission
+    # control: 23 <= 49) + the 26 oldest-signal sentinels (the 5
+    # remaining round-2 rows, then the round-3 cohort alphabetically).
     "flagship_order_revenue",
     "tx_language_id_clf",
     "ml_bleu",
@@ -50,6 +49,18 @@ DRIVER_WINDOW: list[str] = [
     "dd_soft_dedup_weights",
     "mm_image_dedup",
     "sp_curriculum_phases",
+    "ch_thread_paths",
+    "ml_kappa_agreement",
+    "ml_rank_overlap",
+    "ch_best_of_n",
+    "tx_code_quality",
+    "tx_license_detect",
+    "ts_seasonal_profile",
+    "gr_resource_allocation",
+    "ml_mrr",
+    "sk_hll_union",
+    "sp_kfold_balance",
+    "ch_turn_stats",
     "tx_text_stats",
     "u1_union_tagged",
     "u3_except_intersect",
@@ -76,18 +87,6 @@ DRIVER_WINDOW: list[str] = [
     "f7_dict_replacement",
     "f8_prefix_strip",
     "j10_lookup_enrichment",
-    "j4_multihop_hash_chain",
-    "k2_rast_seed_mapping",
-    "k3_feature_vector_predict",
-    "o4_limit_offset",
-    "o5_existence_probe",
-    "o6_keyset_page",
-    "sk_hll_registers",
-    "sk_kmv_distinct",
-    "sk_kmv_grouped",
-    "sk_kmv_join_stats",
-    "sp_hash_split",
-    "sp_mixture_sample",
 ]
 
 
@@ -112,22 +111,7 @@ assert len(DRIVER_WINDOW) == 50
 #: test_admission_control_one_window): new registrations may only be
 #: added while len(PENDING_NEXT_WINDOW) + new ≤ 49 — the debt can
 #: never exceed what one window (flagship + 49) drains.
-#: Round-8 interim: new registrations queue here while the round is
-#: in flight; the closing rotation moves them into DRIVER_WINDOW
-#: (admission control: total new ≤ 49 − len(pending-at-close) = 49).
-PENDING_NEXT_WINDOW: list[str] = [
-    # registered after the round-8 window filled; the closing rotation
-    # swaps these into DRIVER_WINDOW in place of the youngest sentinels
-    "ch_thread_paths",
-    "ml_kappa_agreement",
-    "ml_rank_overlap",
-    "ch_best_of_n",
-    "tx_code_quality",
-    "tx_license_detect",
-    "ts_seasonal_profile",
-    "gr_resource_allocation",
-    "ml_mrr",
-    "sk_hll_union",
-    "sp_kfold_balance",
-    "ch_turn_stats",
-]
+#: EMPTY at round-8 close: all 23 round-8 registrations (11 mid-round
+#: + 12 closing) are in DRIVER_WINDOW, so the verification debt drains
+#: to zero when CORRECTNESS_r08 lands.
+PENDING_NEXT_WINDOW: list[str] = []
