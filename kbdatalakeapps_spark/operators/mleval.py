@@ -1258,10 +1258,12 @@ def cohen_kappa_pairs(
     pe = 1 (both raters constant on the common set — the denominator
     is 0) emit NULL kappa rather than ±inf.
 
-    Scale posture: one co-rating self-join shuffled on the item key
-    (never a cartesian — rater count per item is the bounded fan-out),
-    then two map-side-combinable groupBys over (rater_a, rater_b[, k]);
-    every post-join table is #pairs-sized, not data-sized.
+    Scale posture: ONE co-rating self-join shuffled on the item key
+    (never a cartesian — rater count per item is the bounded fan-out)
+    feeding ONE map-side-combinable groupBy into the contingency-cell
+    table (pair, la, lb, n) — #pairs·#labels² rows; observed counts,
+    marginals and pe are tiny-table algebra over the cells, so the
+    data-sized join is scanned exactly once.
 
     No reference equivalent (the reference has no annotation tooling);
     engine extension for preference-data curation.
@@ -1276,16 +1278,26 @@ def cohen_kappa_pairs(
         F.col(rater_col).alias("rater_b"),
         F.col(label_col).alias("lb"),
     )
-    co = a.join(b, "item").filter(F.col("rater_a") < F.col("rater_b"))
-    obs = co.groupBy("rater_a", "rater_b").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum((F.col("la") == F.col("lb")).cast("long")).alias("n_agree"),
+    cells = (
+        a.join(b, "item")
+        .filter(F.col("rater_a") < F.col("rater_b"))
+        .groupBy("rater_a", "rater_b", "la", "lb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # tiny (#pairs·#labels² rows); cut lineage so the three
+        # downstream aggregates don't re-run the data-sized join
+        .localCheckpoint(eager=False)
     )
-    ma = co.groupBy("rater_a", "rater_b", F.col("la").alias("lab")).agg(
-        F.count(F.lit(1)).alias("na")
+    obs = cells.groupBy("rater_a", "rater_b").agg(
+        F.sum("n").alias("n_items"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("n")).otherwise(0)).alias(
+            "n_agree"
+        ),
     )
-    mb = co.groupBy("rater_a", "rater_b", F.col("lb").alias("lab")).agg(
-        F.count(F.lit(1)).alias("nb")
+    ma = cells.groupBy("rater_a", "rater_b", F.col("la").alias("lab")).agg(
+        F.sum("n").alias("na")
+    )
+    mb = cells.groupBy("rater_a", "rater_b", F.col("lb").alias("lab")).agg(
+        F.sum("n").alias("nb")
     )
     pe = (
         ma.join(mb, ["rater_a", "rater_b", "lab"])

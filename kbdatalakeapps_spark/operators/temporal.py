@@ -569,7 +569,11 @@ def seasonal_profile(
         .groupBy(*keys, "phase")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    totals = per_phase.groupBy(*keys).agg(F.sum("cnt").alias("total"))
+    # totals is ≤ #keys rows (the per-phase table re-aggregated, never
+    # the data) — broadcast it so the profile join adds no shuffle
+    totals = F.broadcast(
+        per_phase.groupBy(*keys).agg(F.sum("cnt").alias("total"))
+    )
     cnt_dec = F.col("cnt").cast("decimal(38,0)")
     return per_phase.join(totals, keys).select(
         *keys,

@@ -2242,7 +2242,8 @@ def sp_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     folds = kfold_assign(d, "doc_id", k=_CV_K, salt=_CV_SALT)
     pp = folds.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n"))
-    tt = pp.groupBy("fold").agg(F.sum("n").alias("fold_total"))
+    # k-row totals table: broadcast, never shuffle the report join
+    tt = F.broadcast(pp.groupBy("fold").agg(F.sum("n").alias("fold_total")))
     return pp.join(tt, "fold").select(
         "fold",
         "lang",

@@ -258,6 +258,23 @@ def test_exchange_counts_bounded(spark):
         "ml_chrf": 6,
         "ml_token_f1": 5,
         "sp_inference_batches": 2,
+        # round-8 closing registrations, measured 4 / 2 / 1 / 0 / 0 /
+        # 3 / 5 / 5 / 2 / 3 / 0: kappa = one item-key co-join behind
+        # the checkpointed contingency cells + tiny-table algebra;
+        # code/license/turn-stats are pure scans; best_of_n is the one
+        # prompt groupBy; seasonal/kfold pay grouped pass + re-agg
+        # with a broadcast report join
+        "ml_kappa_agreement": 4,
+        "ml_rank_overlap": 2,
+        "ch_best_of_n": 1,
+        "tx_code_quality": 0,
+        "tx_license_detect": 0,
+        "ts_seasonal_profile": 3,
+        "gr_resource_allocation": 5,
+        "ml_mrr": 5,
+        "sk_hll_union": 2,
+        "sp_kfold_balance": 3,
+        "ch_turn_stats": 0,
     }
     over = {}
     for name, bound in bounds.items():
