@@ -2131,3 +2131,73 @@ def license_detect(
         expr.alias("license"),
         expr.isin(*sorted(permissive)).alias("permissive"),
     )
+
+
+#: line-level drop phrases from the C4 construction (Raffel et al.
+#: 2020 §2.2) — policy boilerplate and the Javascript notice; matched
+#: case-insensitively against the whole line.
+C4_LINE_PHRASES: tuple[str, ...] = (
+    "javascript",
+    "privacy policy",
+    "terms of use",
+    "cookie policy",
+    "uses cookies",
+)
+#: terminal punctuation a kept line must end with (C4 rule 1)
+_C4_TERMINAL_RE = r'[.!?"]\s*$'
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning stage (Raffel et al. 2020 §2.2) —
+    the other half of corpus curation next to the doc-level
+    quality_filter: pages are cleaned LINE by line, then gated as a
+    whole.
+
+    Line rules (a line survives iff ALL hold):
+      * ends in terminal punctuation (``. ! ? "``),
+      * has ≥ ``min_words`` whitespace words,
+      * contains none of :data:`C4_LINE_PHRASES` (case-insensitive)
+        — the Javascript notice and policy boilerplate.
+    Page rules: ``has_lorem`` ('lorem ipsum' placeholder),
+    ``has_curly`` ('{' — code leakage), and
+    ``keep_page`` = no page flag AND ≥ ``min_kept_lines`` surviving
+    lines.
+
+    Emits n_lines / n_kept / page flags / ``clean_text`` (surviving
+    lines re-joined) so the same pass feeds the kept corpus and the
+    curation report.  Everything is native higher-order array
+    expressions over one scan — no shuffle, no UDF; the regex/phrase
+    forms are RE2-and-Java-portable so the DuckDB twin is exact.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n", -1)
+    low = F.lower(text)
+
+    def _line_ok(ln):
+        word_n = F.size(F.filter(F.split(ln, r"\s+", -1), lambda w: w != ""))
+        phrase_hit = F.lit(False)
+        for ph in C4_LINE_PHRASES:
+            phrase_hit = phrase_hit | F.lower(ln).contains(ph)
+        return ln.rlike(_C4_TERMINAL_RE) & (word_n >= min_words) & ~phrase_hit
+
+    kept = F.filter(lines, _line_ok)
+    has_lorem = low.contains("lorem ipsum")
+    has_curly = text.contains("{")
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_curly.alias("has_curly"),
+        (
+            ~has_lorem & ~has_curly & (n_kept >= min_kept_lines)
+        ).alias("keep_page"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

@@ -2825,3 +2825,85 @@ def ch_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_role",
         "alternation_ok",
     )
+
+
+@query(
+    "tx_c4_line_filter",
+    oracle="""
+    WITH page AS (
+        SELECT doc_id,
+               'Opening sentence about ' || substr(text, 1, 60) || '.'
+               || chr(10) || 'Short.'
+               || chr(10) || 'Menu Home About'
+               || chr(10) ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'This page uses Javascript to render.' || chr(10)
+                    ELSE '' END
+               || substr(text, 61, 80)
+               || chr(10) || 'A closing line with enough words here!'
+               || CASE WHEN doc_id % 11 = 0
+                       THEN chr(10) || 'placeholder lorem ipsum text.'
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN chr(10) || 'var x = { a: 1 };'
+                       ELSE '' END AS t
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, t,
+               string_split(t, chr(10)) AS lines,
+               list_filter(string_split(t, chr(10)), l ->
+                   regexp_matches(l, '[.!?"]\\s*$')
+                   AND len(list_filter(string_split_regex(l, '\\s+'),
+                           w -> w <> '')) >= 3
+                   AND NOT contains(lower(l), 'javascript')
+                   AND NOT contains(lower(l), 'privacy policy')
+                   AND NOT contains(lower(l), 'terms of use')
+                   AND NOT contains(lower(l), 'cookie policy')
+                   AND NOT contains(lower(l), 'uses cookies')
+               ) AS kept,
+               contains(lower(t), 'lorem ipsum') AS has_lorem,
+               contains(t, '{') AS has_curly
+        FROM page
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept,
+           has_lorem, has_curly,
+           (NOT has_lorem AND NOT has_curly AND len(kept) >= 3)
+               AS keep_page,
+           array_to_string(kept, chr(10)) AS clean_text
+    FROM sig
+    """,
+)
+def tx_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level page cleaning (operators/text.py::
+    c4_line_filter — Raffel et al. 2020 §2.2): each document becomes a
+    synthetic page whose lines deterministically exercise every rule
+    (terminal punctuation, ≥3 words, Javascript/policy phrases) plus
+    the lorem-ipsum and curly-brace page flags; emits the kept-line
+    counts, page gate and the re-joined clean_text.  One native
+    higher-order scan; the oracle replays line algebra with the same
+    RE2-portable forms."""
+    from ..operators.text import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("Opening sentence about "),
+        F.expr("substr(text, 1, 60)"),
+        F.lit(".\nShort.\nMenu Home About\n"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("This page uses Javascript to render.\n"),
+        ).otherwise(F.lit("")),
+        F.expr("substr(text, 61, 80)"),
+        F.lit("\nA closing line with enough words here!"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nplaceholder lorem ipsum text."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("\nvar x = { a: 1 };")
+        ).otherwise(F.lit("")),
+    )
+    return c4_line_filter(d.select("doc_id", page.alias("text")))

@@ -722,3 +722,94 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_profile(
         ev, "ts", ["event_type"], period_ns=_HOUR_NS, cycle=24
     )
+
+
+@query(
+    "ts_seasonal_anomaly",
+    # wrap-ok: DuckDB oracle SQL — floor(cnt·1e6) bounded, 3·MAD tiny
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               (epoch_ns(ts) // {_HOUR_NS}) % 24 AS phase,
+               epoch_ns(ts) // {24 * _HOUR_NS} AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+        SELECT event_type, phase,
+               CAST(cnt * 1000000 AS BIGINT) AS x
+        FROM cells
+    ),
+    med AS (
+        SELECT event_type, phase, x AS median_fp FROM (
+            SELECT event_type, phase, x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, phase
+                                      ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type, phase) AS n
+            FROM base
+        ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT base.event_type, base.phase,
+               abs(x - median_fp) AS d, median_fp
+        FROM base JOIN med USING (event_type, phase)
+    ),
+    mad AS (
+        SELECT event_type, phase, d AS mad_fp FROM (
+            SELECT event_type, phase, d,
+                   ROW_NUMBER() OVER (PARTITION BY event_type, phase
+                                      ORDER BY d) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type, phase) AS n
+            FROM dev
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.event_type, dev.phase,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(dev.median_fp) AS BIGINT) AS median_fp,
+           CAST(MIN(mad_fp) AS BIGINT) AS mad_fp,
+           CAST(SUM(CASE WHEN mad_fp > 0 THEN CASE WHEN d > 3 * mad_fp
+                        THEN 1 ELSE 0 END
+                        ELSE CASE WHEN d > 0 THEN 1 ELSE 0 END END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type, phase)
+    GROUP BY dev.event_type, dev.phase
+    """,
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-aware anomaly cells: per (event_type, hour-of-day)
+    the day-over-day count distribution is profiled with the exact
+    median/MAD machinery (operators/relational.py::mad_outliers) —
+    flagging days whose SAME-PHASE count deviates > 3·MAD, i.e.
+    anomalies measured against the seasonal baseline rather than the
+    raw mean (a 9 am spike is only anomalous vs other 9 ams).  Integer
+    epoch-ns day/phase bucketing; medians via the two-phase grouped
+    order statistic, never a per-group sorted window over raw rows."""
+    from ..operators.relational import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    cells = (
+        ev.select(
+            "event_type",
+            # wrap-ok: integer div SHRINKS the operand (epoch-ns //
+            # period); a float `/` would misbucket past 2^53 ns
+            F.expr(f"(cast(ts as bigint) div {_HOUR_NS}) % 24").alias(
+                "phase"
+            ),
+            F.expr(f"cast(ts as bigint) div {24 * _HOUR_NS}").alias("day"),
+        )
+        .groupBy("event_type", "phase", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # tiny (#keys·24·#days rows); cut lineage so the MAD
+        # machinery's med/dev/mad branches don't replay the
+        # data-sized cell aggregation
+        .localCheckpoint(eager=False)
+    )
+    out = mad_outliers(cells, "cnt", ["event_type", "phase"])
+    return out.select(
+        "event_type",
+        "phase",
+        F.col("n").cast("long").alias("n"),
+        "median_fp",
+        "mad_fp",
+        "n_outliers",
+    )

@@ -275,6 +275,13 @@ def test_exchange_counts_bounded(spark):
         "sk_hll_union": 2,
         "sp_kfold_balance": 3,
         "ch_turn_stats": 0,
+        # c4 line cleaning is a pure scan; seasonal_anomaly inherits
+        # the grouped-order-statistic machinery's static node count
+        # (same floor as dq_mad_outliers' 41) — the data-sized cell
+        # agg itself runs ONCE behind a lazy checkpoint (was 57
+        # before the lineage cut; this bound pins that fix)
+        "tx_c4_line_filter": 0,
+        "ts_seasonal_anomaly": 41,
     }
     over = {}
     for name, bound in bounds.items():

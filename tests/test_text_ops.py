@@ -696,3 +696,45 @@ def test_license_detect_priority_and_flags(spark):
     assert out[3] == ("LGPL", False)   # LGPL needle outranks GPL
     assert out[4] == ("none", False)
     assert out[5] == ("MIT", True)
+
+
+def test_c4_line_filter_rules(spark):
+    from kbdatalakeapps_spark.operators.text import c4_line_filter
+
+    pages = [
+        # 3 good lines -> page kept
+        (1, "This is a fine sentence.\nAnother good line here!\n"
+            'He said "stop".\nno punct line\nShort.'),
+        # javascript + policy lines dropped; only 2 survive -> page out
+        (2, "This is a fine sentence.\nPlease enable Javascript now.\n"
+            "Read our privacy policy today.\nAnother good line here!"),
+        # lorem ipsum page flag kills an otherwise-good page
+        (3, "This is a fine sentence.\nAnother good line here!\n"
+            "More lorem ipsum filler text.\nHe said yes."),
+        # curly brace page flag
+        (4, "This is a fine sentence.\nAnother good line here!\n"
+            "var x = { a: 1 };\nHe said yes."),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert out[1]["n_kept"] == 3 and out[1]["keep_page"]
+    assert out[1]["clean_text"].count("\n") == 2
+    assert "no punct" not in out[1]["clean_text"]
+    assert out[2]["n_kept"] == 2 and not out[2]["keep_page"]
+    assert "Javascript" not in out[2]["clean_text"]
+    assert out[3]["has_lorem"] and not out[3]["keep_page"]
+    assert out[4]["has_curly"] and not out[4]["keep_page"]
+    # the flags are page-level: kept lines are still reported
+    assert out[4]["n_kept"] == 3
+
+
+def test_c4_line_filter_word_minimum_and_quote_terminal(spark):
+    from kbdatalakeapps_spark.operators.text import c4_line_filter
+
+    df = spark.createDataFrame(
+        [(1, 'One two.\nOne two three.\nends with quote here "')],
+        "doc_id long, text string",
+    )
+    [r] = c4_line_filter(df, min_kept_lines=1).collect()
+    # 'One two.' has 2 words -> dropped; quote-terminal line kept
+    assert r["n_kept"] == 2 and r["keep_page"]
