@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""ANN quality probe: recall@k of every approximate search path vs the
+exact brute-force scan on the real test embeddings, at the bench SF.
+
+The bench measures SPEED of the ANN stack (sim_* keys); this tool
+measures the other axis — how much of the true top-k each compressed /
+index-bounded path retains — so the speed numbers can be read next to
+a quality number instead of trusted blind.  Uniform-random test
+vectors are the HARD case for quantizers (distance concentration), so
+these recalls are floors, not ceilings: real embedding corpora cluster
+and recall rises with structure.
+
+Paths probed (all deterministic: trained with fixed seeds/iterations):
+  ivf nprobe=1/2/4      — coarse-quantizer pruning only (k-means||,
+                          exact distances inside probed lists)
+  pq adc                — full-scan asymmetric distance over m=4,k=16
+                          codes (64 bytes → 4)
+  pq adc + rerank=50    — production two-stage: codes nominate, floats
+                          re-score (Jégou 2011 §V shape)
+  sq8                   — scalar 8-bit quantization, full scan
+  ivfpq nprobe=2        — IVFADC: coarse lists + PQ codes inside
+
+Writes one JSON line per path and a markdown table to stdout:
+  python tools/ann_recall.py [--sf-dir DIR] [--n-queries N] [--k K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def exact_topk(spark, emb, queries, k):
+    from pyspark.sql.window import Window
+
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q.embedding"),
+            F.col("c.embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "doc_id")
+    return (
+        queries.alias("q")
+        .crossJoin(emb.alias("c"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("doc_id"),
+            d2.alias("d2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id")
+    )
+
+
+def recall(approx, truth) -> float:
+    hit = truth.join(approx, ["query_id", "doc_id"], "left_semi").count()
+    total = truth.count()
+    return hit / total if total else float("nan")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--n-queries", type=int, default=20)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from kbdatalakeapps_spark.io.sources import load_table
+    from kbdatalakeapps_spark.operators import pq as pqm
+    from kbdatalakeapps_spark.operators import similarity as sim
+    from kbdatalakeapps_spark.session import get_spark
+
+    spark = get_spark("ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = (
+        load_table(spark, args.sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    queries = emb.filter(F.col("vec_id") < args.n_queries).localCheckpoint()
+    k = args.k
+    truth = exact_topk(spark, emb, queries, k).localCheckpoint()
+
+    results: dict[str, float] = {}
+
+    # IVF ranks by cosine — its truth is the exact brute-force cosine
+    # scan (the corpus_id → doc_id rename aligns the join keys)
+    cos_truth = (
+        sim.cosine_topk(emb, queries, k=k)
+        .select("query_id", F.col("corpus_id").alias("doc_id"))
+        .localCheckpoint()
+    )
+    cents = sim.kmeans_centroids(emb, k=8, iterations=3).localCheckpoint()
+    for nprobe in (1, 2, 4):
+        out = sim.ivf_topk(emb, queries, cents, k=k, nprobe=nprobe).select(
+            "query_id", F.col("corpus_id").alias("doc_id")
+        )
+        results[f"ivf nprobe={nprobe}/8"] = recall(out, cos_truth)
+
+    cb = pqm.pq_train(emb, dim=64, m=4, k=16, iterations=3)
+    enc = pqm.pq_encode(emb, cb, m=4).localCheckpoint()
+    results["pq adc (m=4,k=16)"] = recall(
+        pqm.pq_adc_topk(queries, enc, cb, k=k, m=4).select(
+            "query_id", "doc_id"
+        ),
+        truth,
+    )
+    results["pq adc + rerank=50"] = recall(
+        pqm.pq_adc_rerank_topk(
+            queries, enc, emb, cb, k=k, m=4, rerank=50
+        ).select("query_id", "doc_id"),
+        truth,
+    )
+
+    bounds = pqm.sq8_bounds(emb)
+    codes = pqm.sq8_encode(emb, bounds)
+    results["sq8 full-scan"] = recall(
+        pqm.sq8_topk(queries, codes, bounds, k=k).select(
+            "query_id", "doc_id"
+        ),
+        truth,
+    )
+
+    assignments = pqm.assign_nearest_fp(emb, cents)
+    results["ivfpq nprobe=2/8"] = recall(
+        pqm.ivfpq_topk(
+            queries, enc, assignments, cents, cb, k=k, nprobe=2, m=4
+        ).select("query_id", "doc_id"),
+        truth,
+    )
+
+    for name, r in results.items():
+        print(json.dumps({"path": name, "recall_at_k": round(r, 4),
+                          "k": k, "n_queries": args.n_queries}))
+    print()
+    print(f"| path | recall@{k} |")
+    print("|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r:.3f} |")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
