@@ -1465,3 +1465,59 @@ def mean_reciprocal_rank(
             ).cast("double")
         ).alias("mrr"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score_a_col: str,
+    score_b_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per group between two scorings of the
+    same items — the monotone-agreement metric for comparing judges /
+    reward models / rankers (chase Pearson only when the relationship
+    is known linear):
+
+        rho = 1 − 6·Σd² / (n·(n²−1)),   d = rank_a − rank_b
+
+    Ranks come from row_number over (score desc, item asc) — the
+    deterministic tie-break makes the statistic exact and
+    partitioning-invariant (textbook tied-rank averaging would need
+    fractional ranks; the id tie-break is the house convention and is
+    documented in the output).  Σd² and n(n²−1) are carried in
+    DECIMAL(38,0) (Σd² ≤ n³/3 overflows BIGINT past n ≈ 3·10⁶) and
+    the final rho is ONE double division; single-item groups (the
+    n(n²−1)=0 denominator) emit NULL.
+
+    Scale posture: two ranking windows PARTITIONED by the group key,
+    one map-side-combinable groupBy — never a global sort.
+    """
+    from pyspark.sql.window import Window as W
+
+    wa = W.partitionBy(group_col).orderBy(
+        F.col(score_a_col).desc(), F.col(item_col).asc()
+    )
+    wb = W.partitionBy(group_col).orderBy(
+        F.col(score_b_col).desc(), F.col(item_col).asc()
+    )
+    d = (F.row_number().over(wa) - F.row_number().over(wb)).cast("long")
+    ranked = df.select(
+        F.col(group_col).alias("grp"), (d * d).alias("d2")
+    )
+    agg = ranked.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("d2").cast(_DEC)).alias("_sd2"),
+    )
+    n_dec = F.col("n_items").cast(_DEC)
+    den = n_dec * (n_dec * n_dec - F.lit(1).cast(_DEC))
+    return agg.select(
+        group_col,
+        "n_items",
+        F.col("_sd2").cast("long").alias("sum_d2"),
+        F.when(
+            F.col("n_items") > 1,
+            (den - F.lit(6).cast(_DEC) * F.col("_sd2")).cast("double")
+            / den.cast("double"),
+        ).alias("rho"),
+    )

@@ -1088,3 +1088,66 @@ def ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_reciprocal_rank(
         d, "source", "s", "rel", "doc_id", fp_scale=_MRR_FP
     )
+
+
+_RHO_SALT = "rho8"
+
+
+@query(
+    "ml_spearman",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, doc_id, n_chars AS sa,
+               ('0x' || substr(md5('{_RHO_SALT}:' || doc_id), 1, 15))::BIGINT
+                   % 10000 AS sb
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY sa DESC, doc_id ASC)
+             - ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY sb DESC, doc_id ASC) AS d
+        FROM base
+    ),
+    agg AS (
+        SELECT source, COUNT(*) AS n_items, SUM(d * d) AS sd2
+        FROM ranked GROUP BY source
+    )
+    SELECT source,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(sd2 AS BIGINT) AS sum_d2,
+           CASE WHEN n_items > 1 THEN
+               CAST(n_items * (n_items * n_items - 1) - 6 * sd2 AS DOUBLE)
+                   / CAST(n_items * (n_items * n_items - 1) AS DOUBLE)
+           END AS rho
+    FROM agg
+    """,
+)
+def ml_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/mleval.py::spearman_rho):
+    per source, the monotone agreement between the length ranking and
+    an md5-derived relevance ranking — the judge/reward-model
+    agreement statistic.  Deterministic id tie-breaks make the ranks
+    exact; Σd² and n(n²−1) ride DECIMAL(38,0) with ONE double
+    division; two group-partitioned windows, never a global sort."""
+    from ..operators.mleval import spearman_rho
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("sa"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(_RHO_SALT), "doc_id")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10000),
+        ).alias("sb"),
+    )
+    return spearman_rho(d, "source", "doc_id", "sa", "sb")

@@ -987,3 +987,32 @@ def test_mean_reciprocal_rank_tie_break_on_item(spark):
     )
     [r] = mean_reciprocal_rank(df, "grp", "s", "rel", "item").collect()
     assert r["mrr"] == 1.0
+
+
+def test_spearman_rho_known_values(spark):
+    from kbdatalakeapps_spark.operators.mleval import spearman_rho
+
+    # identical ranking -> 1; exactly reversed -> -1; single item -> NULL
+    rows = (
+        [("same", i, 10 - i, 10 - i) for i in range(5)]
+        + [("rev", i, 10 - i, i) for i in range(5)]
+        + [("one", 1, 3, 7)]
+    )
+    df = spark.createDataFrame(rows, "grp string, item long, sa long, sb long")
+    out = {r["grp"]: r for r in spearman_rho(df, "grp", "item", "sa", "sb").collect()}
+    assert out["same"]["rho"] == 1.0 and out["same"]["sum_d2"] == 0
+    assert out["rev"]["rho"] == -1.0
+    assert out["one"]["rho"] is None and out["one"]["n_items"] == 1
+
+
+def test_spearman_rho_hand_value(spark):
+    from kbdatalakeapps_spark.operators.mleval import spearman_rho
+
+    # ranks a: x=1 y=2 z=3; ranks b: y=1 x=2 z=3 -> d = (-1, 1, 0),
+    # sum_d2 = 2, rho = 1 - 12/(3*8) = 0.5
+    df = spark.createDataFrame(
+        [("g", 1, 30, 20), ("g", 2, 20, 30), ("g", 3, 10, 10)],
+        "grp string, item long, sa long, sb long",
+    )
+    [r] = spearman_rho(df, "grp", "item", "sa", "sb").collect()
+    assert r["sum_d2"] == 2 and r["rho"] == 0.5

@@ -282,6 +282,9 @@ def test_exchange_counts_bounded(spark):
         # before the lineage cut; this bound pins that fix)
         "tx_c4_line_filter": 0,
         "ts_seasonal_anomaly": 41,
+        # two group-partitioned rank windows share one shuffle + the
+        # group agg
+        "ml_spearman": 2,
     }
     over = {}
     for name, bound in bounds.items():
