@@ -2201,3 +2201,39 @@ def c4_line_filter(
         ).alias("keep_page"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Lexical-diversity signals — the vocabulary-richness axis of
+    text quality (template/spam pages repeat a tiny vocabulary even
+    when length/punctuation rules pass):
+
+      n_tokens, n_distinct — whitespace token counts over the
+          lowercased stream
+      ttr      = n_distinct / n_tokens   (type-token ratio; length-
+          sensitive — compare within a length band)
+      guiraud  = n_distinct / sqrt(n_tokens)   (root TTR, the
+          length-corrected variant)
+
+    Both ratios are ONE IEEE expression over exact int64 counts
+    (sqrt is correctly-rounded — the BLEU-geo idiom), NULL on empty
+    docs; everything is native array expressions in one codegen'd
+    scan, no shuffle, no explode.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+", -1), lambda t: t != ""
+    )
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    nonzero = n > F.lit(0)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        F.when(nonzero, nd.cast("double") / n.cast("double")).alias("ttr"),
+        F.when(
+            nonzero, nd.cast("double") / F.sqrt(n.cast("double"))
+        ).alias("guiraud"),
+    )

@@ -2907,3 +2907,40 @@ def tx_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
     )
     return c4_line_filter(d.select("doc_id", page.alias("text")))
+
+
+@query(
+    "tx_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CASE WHEN n_tokens > 0 THEN
+               CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+               AS ttr,
+           CASE WHEN n_tokens > 0 THEN
+               CAST(n_distinct AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE))
+               END AS guiraud
+    FROM counts
+    """,
+)
+def tx_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (operators/text.py::lexical_diversity): TTR
+    and Guiraud's root TTR per document — the vocabulary-richness
+    quality axis the length/punct rules can't see.  Native
+    array_distinct over the lowercased token stream, one scan, no
+    explode; ratios are one IEEE expression over exact counts (sqrt
+    is correctly-rounded, the BLEU-geo idiom)."""
+    from ..operators.text import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"))

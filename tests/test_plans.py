@@ -285,6 +285,7 @@ def test_exchange_counts_bounded(spark):
         # two group-partitioned rank windows share one shuffle + the
         # group agg
         "ml_spearman": 2,
+        "tx_lexical_diversity": 0,
     }
     over = {}
     for name, bound in bounds.items():

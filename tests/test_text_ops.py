@@ -738,3 +738,22 @@ def test_c4_line_filter_word_minimum_and_quote_terminal(spark):
     [r] = c4_line_filter(df, min_kept_lines=1).collect()
     # 'One two.' has 2 words -> dropped; quote-terminal line kept
     assert r["n_kept"] == 2 and r["keep_page"]
+
+
+def test_lexical_diversity_values(spark):
+    from kbdatalakeapps_spark.operators.text import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 4 tokens, 1 distinct
+            (2, "all four words differ"),        # ttr 1.0
+            (3, ""),                             # NULL ratios
+            (4, "Mixed CASE mixed case"),        # lowercased: 2 distinct
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lexical_diversity(docs).collect()}
+    assert out[1]["ttr"] == 0.25 and out[1]["guiraud"] == 0.5
+    assert out[2]["ttr"] == 1.0 and out[2]["n_distinct"] == 4
+    assert out[3]["ttr"] is None and out[3]["n_tokens"] == 0
+    assert out[4]["n_distinct"] == 2 and out[4]["ttr"] == 0.5
