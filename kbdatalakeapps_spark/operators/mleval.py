@@ -1521,3 +1521,52 @@ def spearman_rho(
             / den.cast("double"),
         ).alias("rho"),
     )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    fp_scale: int = 10**6,
+) -> DataFrame:
+    """Brier score of probabilistic binary predictions — the proper
+    scoring rule complement to :func:`calibration_bins` (ECE measures
+    calibration alone; Brier = calibration + refinement):
+
+        brier = Σ (p − y)² / n
+
+    Probabilities enter as ``floor(p·fp_scale)`` int64 fixed point
+    (the house portability idiom — float accumulation order is not
+    engine-portable), labels as 0/1 scaled to the same grid, so every
+    squared residual is an exact integer ≤ fp_scale² and the sum rides
+    DECIMAL(38,0); the final score is ONE double division by
+    n·fp_scale².  Emits one row: n, n_pos, sq_err_sum (decimal-exact,
+    as long), brier.  NULL scores/labels are excluded.
+
+    Scale posture: a single map-side-combinable global aggregate —
+    one narrow pass, no shuffle beyond the scalar reduce.
+    """
+    p_fp = F.floor(F.col(score_col) * F.lit(float(fp_scale))).cast("long")
+    y_fp = F.col(label_col).cast("long") * F.lit(fp_scale)
+    d = (p_fp - y_fp).cast(_DEC)
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        F.coalesce(F.sum(d * d), F.lit(0).cast(_DEC)).alias("_sq"),
+    )
+    den = (
+        F.col("n").cast(_DEC)
+        * F.lit(fp_scale).cast(_DEC)
+        * F.lit(fp_scale).cast(_DEC)
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        F.col("_sq").cast("long").alias("sq_err_sum"),
+        F.when(
+            F.col("n") > 0, F.col("_sq").cast("double") / den.cast("double")
+        ).alias("brier"),
+    )

@@ -32,10 +32,10 @@ from . import linkage  # noqa: F401,E402
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
 DRIVER_WINDOW: list[str] = [
-    # Round-8 closing rotation: flagship + all 27 round-8
-    # registrations (11 mid-round + 16 closing, each pre-verified on a
+    # Round-8 closing rotation: flagship + all 28 round-8
+    # registrations (11 mid-round + 17 closing, each pre-verified on a
     # vanilla session at sf0.001 AND sf0.01 before rotation; admission
-    # control: 27 <= 49) + the 22 oldest-signal sentinels (the 5
+    # control: 28 <= 49) + the 21 oldest-signal sentinels (the 5
     # remaining round-2 rows, then the round-3 cohort alphabetically).
     "flagship_order_revenue",
     "tx_language_id_clf",
@@ -65,6 +65,7 @@ DRIVER_WINDOW: list[str] = [
     "ts_seasonal_anomaly",
     "ml_spearman",
     "tx_lexical_diversity",
+    "ml_brier",
     "tx_text_stats",
     "u1_union_tagged",
     "u3_except_intersect",
@@ -86,7 +87,6 @@ DRIVER_WINDOW: list[str] = [
     "f15_reconcile_class",
     "f17_map_encoding",
     "f19_arrays_zip",
-    "f20_json_flatten",
 ]
 
 
@@ -111,7 +111,7 @@ assert len(DRIVER_WINDOW) == 50
 #: test_admission_control_one_window): new registrations may only be
 #: added while len(PENDING_NEXT_WINDOW) + new ≤ 49 — the debt can
 #: never exceed what one window (flagship + 49) drains.
-#: EMPTY at round-8 close: all 27 round-8 registrations (11 mid-round
-#: + 16 closing) are in DRIVER_WINDOW, so the verification debt drains
+#: EMPTY at round-8 close: all 28 round-8 registrations (11 mid-round
+#: + 17 closing) are in DRIVER_WINDOW, so the verification debt drains
 #: to zero when CORRECTNESS_r08 lands.
 PENDING_NEXT_WINDOW: list[str] = []

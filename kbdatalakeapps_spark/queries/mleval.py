@@ -1151,3 +1151,52 @@ def ml_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sb"),
     )
     return spearman_rho(d, "source", "doc_id", "sa", "sb")
+
+
+@query(
+    "ml_brier",
+    # wrap-ok: DuckDB oracle SQL — residuals bounded by fp_scale
+    oracle="""
+    WITH scored AS (
+        SELECT value / 500.0 AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    fp AS (
+        SELECT CAST(FLOOR(score * 1000000.0) AS BIGINT)
+                   - label * 1000000 AS d,
+               label
+        FROM scored
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               SUM(d * d) AS sq
+        FROM fp
+    )
+    SELECT CAST(n AS BIGINT) AS n, n_pos,
+           CAST(sq AS BIGINT) AS sq_err_sum,
+           CASE WHEN n > 0 THEN
+               CAST(sq AS DOUBLE)
+                   / CAST(n * 1000000 * 1000000 AS DOUBLE) END AS brier
+    FROM agg
+    """,
+)
+def ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (operators/mleval.py::brier_score) over the same
+    scored-events base as ml_calibration_bins (score = value/500,
+    label = purchase): the proper scoring rule that bundles
+    calibration AND refinement, where ECE measures calibration alone.
+    Fixed-point residuals squared as exact integers, decimal sum, one
+    double division — a single map-side-combinable aggregate."""
+    from ..operators.mleval import brier_score
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("value") / F.lit(500.0)).alias("score"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return brier_score(scored, "score", "label")

@@ -1016,3 +1016,28 @@ def test_spearman_rho_hand_value(spark):
     )
     [r] = spearman_rho(df, "grp", "item", "sa", "sb").collect()
     assert r["sum_d2"] == 2 and r["rho"] == 0.5
+
+
+def test_brier_score_hand_values(spark):
+    from kbdatalakeapps_spark.operators.mleval import brier_score
+
+    # (p, y): (1.0, 1) -> 0; (0.0, 1) -> 1; (0.5, 0) -> 0.25
+    df = spark.createDataFrame(
+        [(1.0, 1), (0.0, 1), (0.5, 0)], "score double, label int"
+    )
+    [r] = brier_score(df, "score", "label").collect()
+    assert r["n"] == 3 and r["n_pos"] == 2
+    assert r["brier"] == (0.0 + 1.0 + 0.25) / 3.0
+
+
+def test_brier_score_null_exclusion_and_empty(spark):
+    from kbdatalakeapps_spark.operators.mleval import brier_score
+
+    df = spark.createDataFrame(
+        [(None, 1), (0.25, None), (0.25, 1)], "score double, label int"
+    )
+    [r] = brier_score(df, "score", "label").collect()
+    assert r["n"] == 1 and r["sq_err_sum"] == 750_000**2
+    empty = spark.createDataFrame([], "score double, label int")
+    [e] = brier_score(empty, "score", "label").collect()
+    assert e["n"] == 0 and e["brier"] is None and e["sq_err_sum"] == 0

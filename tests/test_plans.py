@@ -286,6 +286,7 @@ def test_exchange_counts_bounded(spark):
         # group agg
         "ml_spearman": 2,
         "tx_lexical_diversity": 0,
+        "ml_brier": 1,
     }
     over = {}
     for name, bound in bounds.items():
