@@ -357,3 +357,30 @@ def stream_expectation_counts(df: DataFrame, checks: list) -> DataFrame:
         "violations",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def stream_seasonal_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    period_ns: int = 3_600 * 10**9,
+    cycle: int = 24,
+) -> DataFrame:
+    """Streaming per-key phase-of-cycle event counts — the incremental
+    core of operators/temporal.py::seasonal_profile: counts per
+    (key, phase) are a monotone fold, so the IDENTICAL integer-
+    bucketed groupBy runs in update/complete mode and the streaming
+    state IS the profile's numerator table (bounded: #keys · cycle
+    rows).  The share/index ratios are a tiny per-sink-read derivation
+    over that state — compute them where the profile is consumed, not
+    inside the stateful plan."""
+    keys = list(key_cols or [])
+    # wrap-ok: integer div SHRINKS the operand (epoch-ns // period)
+    phase = F.expr(
+        f"(cast(`{ts_col}` as bigint) div {int(period_ns)}) % {int(cycle)}"
+    )
+    return (
+        df.select(*keys, phase.alias("phase"))
+        .groupBy(*keys, "phase")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

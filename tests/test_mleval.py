@@ -1041,3 +1041,96 @@ def test_brier_score_null_exclusion_and_empty(spark):
     empty = spark.createDataFrame([], "score double, label int")
     [e] = brier_score(empty, "score", "label").collect()
     assert e["n"] == 0 and e["brier"] is None and e["sq_err_sum"] == 0
+
+
+def test_new_metrics_match_python_references_randomized(spark):
+    """Randomized cross-check of the round-8 metric family against
+    independent pure-python implementations (seeded, 3 groups × 40
+    items, scores drawn with heavy ties to stress tie-breaks)."""
+    import random
+
+    from kbdatalakeapps_spark.operators.mleval import (
+        brier_score,
+        cohen_kappa_pairs,
+        mean_reciprocal_rank,
+        spearman_rho,
+    )
+
+    rng = random.Random(42)
+    groups = ["g0", "g1", "g2"]
+    items = {g: list(range(40)) for g in groups}
+    sa = {(g, i): rng.randint(0, 15) for g in groups for i in items[g]}
+    sb = {(g, i): rng.randint(0, 15) for g in groups for i in items[g]}
+    rel = {(g, i): rng.random() < 0.15 for g in groups for i in items[g]}
+
+    rows = [
+        (g, i, sa[(g, i)], sb[(g, i)], rel[(g, i)])
+        for g in groups
+        for i in items[g]
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, item long, sa long, sb long, rel boolean"
+    )
+
+    def ranks(score):
+        out = {}
+        for g in groups:
+            order = sorted(items[g], key=lambda i: (-score[(g, i)], i))
+            for r, i in enumerate(order, start=1):
+                out[(g, i)] = r
+        return out
+
+    ra, rb = ranks(sa), ranks(sb)
+
+    # spearman
+    got_rho = {
+        r["grp"]: r["rho"]
+        for r in spearman_rho(df, "grp", "item", "sa", "sb").collect()
+    }
+    for g in groups:
+        n = len(items[g])
+        sd2 = sum((ra[(g, i)] - rb[(g, i)]) ** 2 for i in items[g])
+        want = (n * (n * n - 1) - 6 * sd2) / (n * (n * n - 1))
+        assert got_rho[g] == want, g
+
+    # MRR over (grp) queries ranked by sa
+    [mrr_row] = mean_reciprocal_rank(df, "grp", "sa", "rel", "item").collect()
+    want_sum = 0
+    hits = 0
+    for g in groups:
+        rel_ranks = [ra[(g, i)] for i in items[g] if rel[(g, i)]]
+        if rel_ranks:
+            hits += 1
+            want_sum += 10**12 // min(rel_ranks)
+    assert mrr_row["n_hit"] == hits and mrr_row["rr_fp_sum"] == want_sum
+    assert mrr_row["mrr"] == want_sum / (len(groups) * 10**12)
+
+    # kappa: two raters from bucketed scores over shared items
+    ratings = [
+        (i, "ra", sa[("g0", i)] // 4) for i in items["g0"]
+    ] + [(i, "rb", sb[("g0", i)] // 4) for i in items["g0"]]
+    kdf = spark.createDataFrame(ratings, "item_id long, rater string, label long")
+    [krow] = cohen_kappa_pairs(kdf).collect()
+    la = {i: sa[("g0", i)] // 4 for i in items["g0"]}
+    lb = {i: sb[("g0", i)] // 4 for i in items["g0"]}
+    n = len(items["g0"])
+    agree = sum(1 for i in la if la[i] == lb[i])
+    pe_num = sum(
+        sum(1 for i in la if la[i] == k) * sum(1 for i in lb if lb[i] == k)
+        for k in set(la.values()) | set(lb.values())
+    )
+    assert krow["n_agree"] == agree and krow["pe_num"] == pe_num
+    assert krow["kappa"] == (n * agree - pe_num) / (n * n - pe_num)
+
+    # brier on probabilities derived from sa
+    bdf = spark.createDataFrame(
+        [(sa[("g1", i)] / 15.0, int(rel[("g1", i)])) for i in items["g1"]],
+        "score double, label int",
+    )
+    [brow] = brier_score(bdf, "score", "label").collect()
+    want_sq = sum(
+        (int((sa[("g1", i)] / 15.0) * 10**6)
+         - int(rel[("g1", i)]) * 10**6) ** 2
+        for i in items["g1"]
+    )
+    assert brow["sq_err_sum"] == want_sq

@@ -701,3 +701,32 @@ def test_stateful_scene_cuts_cross_batch(spark, tmp_path):
     assert got == want
     # the boundary-crossing cut is present and flagged
     assert (0, 1000, 7680, True) in got
+
+
+def test_stream_seasonal_counts_match_batch(spark, tmp_path):
+    from kbdatalakeapps_spark.operators.temporal import seasonal_profile
+    from kbdatalakeapps_spark.streaming.incremental import (
+        stream_events,
+        stream_seasonal_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    batch = seasonal_profile(
+        load_table(spark, SF_DIR, "events"), "ts", ["event_type"]
+    ).select("event_type", "phase", "cnt")
+    stream = stream_seasonal_counts(
+        stream_events(spark, str(src)), "ts", ["event_type"]
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("seasonal_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM seasonal_counts")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
