@@ -479,6 +479,12 @@ def rejection_sample(
     Emits EVERY prompt with its decision (``keep`` boolean) rather
     than pre-filtering, so the same pass feeds both the kept corpus
     and the curation report.  ``margin_fp`` is NULL when n = 1.
+    NULL-scored candidates carry no reward signal: they are excluded
+    from the ranking AND from ``n_candidates`` (which counts SCORED
+    candidates only), and a prompt whose completions are ALL
+    NULL-scored still appears — ``n_candidates = 0``, NULL best,
+    ``keep = false`` — so the curation report is complete (ADVICE
+    r8: these prompts were previously dropped silently).
 
     Determinism contract (same as :func:`build_preference_pairs`):
     scores become ``floor(score·fp_scale)`` int64 fixed point and the
@@ -501,17 +507,22 @@ def rejection_sample(
         F.col(completion_id_col).alias("cid"),
         F.col(completion_col).alias("completion"),
         s_fp.alias("s_fp"),
-    ).filter(F.col("s_fp").isNotNull())
-    # min over (−s_fp, cid) sorts best-first with the id tie-break
+    )
+    # min over (−s_fp, cid) sorts best-first with the id tie-break;
+    # collect_list skips NULLs, so the when() gate excludes NULL-scored
+    # candidates from the ranking while their prompt row survives
     agg = base.groupBy("prompt_id").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.col("s_fp")).alias("n_candidates"),
         F.slice(
             F.sort_array(
                 F.collect_list(
-                    F.struct(
-                        (-F.col("s_fp")).alias("ns"),
-                        F.col("cid").alias("cid"),
-                        F.col("completion").alias("c"),
+                    F.when(
+                        F.col("s_fp").isNotNull(),
+                        F.struct(
+                            (-F.col("s_fp")).alias("ns"),
+                            F.col("cid").alias("cid"),
+                            F.col("completion").alias("c"),
+                        ),
                     )
                 )
             ),
@@ -533,4 +544,6 @@ def rejection_sample(
     keep = (F.col("best_score_fp") >= F.lit(min_score_fp)) & (
         F.coalesce(F.col("margin_fp") >= F.lit(min_margin_fp), F.lit(True))
     )
-    return out.withColumn("keep", keep)
+    # all-NULL-scored prompts: best_score_fp is NULL → keep is NULL
+    # under three-valued logic; the decision column must be a hard no
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))

@@ -1318,7 +1318,11 @@ def cohen_kappa_pairs(
             "rater_b",
             "n_items",
             "n_agree",
-            F.col("pe_num").cast("long").alias("pe_num"),
+            # ADVICE r8: pe_num approaches n² (DECIMAL(38,0) range —
+            # the whole reason the kappa arithmetic is carried in
+            # _DEC); a long cast here would wrap the diagnostic column
+            # past ~3e9 co-rated items even though kappa stays exact
+            F.col("pe_num").alias("pe_num"),
             F.when(
                 den != F.lit(0),
                 num.cast("double") / den.cast("double"),

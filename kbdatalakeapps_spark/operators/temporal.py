@@ -542,7 +542,7 @@ def seasonal_profile(
     profile with a multiplicative seasonal index, the decomposition a
     capacity planner or anomaly baseline runs over an event stream:
 
-        phase        = (ts // period_ns) % cycle
+        phase        = pmod(floordiv(ts, period_ns), cycle)
         cnt, total   = events in (key, phase) / in key
         phase_share  = cnt / total
         seasonal_idx = cycle · cnt / total   (1.0 = flat)
@@ -560,10 +560,15 @@ def seasonal_profile(
     """
     keys = list(key_cols or [])
     # wrap-ok: integer div SHRINKS the operand (epoch-ns // period);
-    # a float `/` would corrupt bucketing past 2^53 ns (~1973)
-    phase = F.expr(
-        f"(cast(`{ts_col}` as bigint) div {int(period_ns)}) % {int(cycle)}"
-    )
+    # a float `/` would corrupt bucketing past 2^53 ns (~1973).
+    # ADVICE r8: Spark's `div`/`%` truncate toward zero, so negative
+    # (pre-1970) timestamps would land in negative phases and diverge
+    # from a floor-division oracle — use an explicit floored div
+    # ((a - pmod(a,p)) div p is exact because the numerator is a
+    # multiple of p) and pmod for the phase, giving [0, cycle) always.
+    t = f"cast(`{ts_col}` as bigint)"
+    p = int(period_ns)
+    phase = F.expr(f"pmod(({t} - pmod({t}, {p})) div {p}, {int(cycle)})")
     per_phase = (
         df.select(*keys, phase.alias("phase"))
         .groupBy(*keys, "phase")

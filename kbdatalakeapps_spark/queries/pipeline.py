@@ -2601,8 +2601,19 @@ _CQ_SNIPPETS = {
 
 
 def _cq_case_sql() -> str:
+    # ADVICE r8: build the newline with chr(10) concatenation INSIDE
+    # each CASE arm — a post-hoc replace(snippet || text, '\n',
+    # chr(10)) would also rewrite literal backslash-n sequences in the
+    # document text itself, diverging from the Spark side (which only
+    # converts the snippet) the moment a fixture contains one.
     whens = " ".join(
-        f"WHEN {k} THEN '{v}' || text" for k, v in sorted(_CQ_SNIPPETS.items())
+        "WHEN {k} THEN {lit} || text".format(
+            k=k,
+            lit=" || chr(10) || ".join(
+                f"'{piece}'" for piece in v.split("\\n")
+            ),
+        )
+        for k, v in sorted(_CQ_SNIPPETS.items())
     )
     return f"CASE doc_id % 4 {whens} ELSE text END"
 
@@ -2611,8 +2622,7 @@ def _cq_case_sql() -> str:
     "tx_code_quality",
     oracle=f"""
     WITH src AS (
-        SELECT doc_id,
-               replace({_cq_case_sql()}, '\\n', chr(10)) AS t
+        SELECT doc_id, {_cq_case_sql()} AS t
         FROM documents
     ),
     sig AS (

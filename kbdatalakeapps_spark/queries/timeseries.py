@@ -690,7 +690,7 @@ _HOUR_NS = 3_600 * 10**9
     oracle=f"""
     WITH ev AS (
         SELECT event_type,
-               (epoch_ns(ts) // {_HOUR_NS}) % 24 AS phase
+               (((epoch_ns(ts) // {_HOUR_NS}) % 24) + 24) % 24 AS phase
         FROM events
     ),
     pp AS (
@@ -730,7 +730,7 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cells AS (
         SELECT event_type,
-               (epoch_ns(ts) // {_HOUR_NS}) % 24 AS phase,
+               (((epoch_ns(ts) // {_HOUR_NS}) % 24) + 24) % 24 AS phase,
                epoch_ns(ts) // {24 * _HOUR_NS} AS day,
                COUNT(*) AS cnt
         FROM events GROUP BY 1, 2, 3
@@ -791,11 +791,18 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             # wrap-ok: integer div SHRINKS the operand (epoch-ns //
-            # period); a float `/` would misbucket past 2^53 ns
-            F.expr(f"(cast(ts as bigint) div {_HOUR_NS}) % 24").alias(
-                "phase"
-            ),
-            F.expr(f"cast(ts as bigint) div {24 * _HOUR_NS}").alias("day"),
+            # period); a float `/` would misbucket past 2^53 ns.
+            # ADVICE r8: floored div + pmod so pre-1970 timestamps
+            # land in phase [0,24) / the floor day bucket, matching
+            # the oracle's floor-division `//` semantics.
+            F.expr(
+                f"pmod((cast(ts as bigint) - pmod(cast(ts as bigint), "
+                f"{_HOUR_NS})) div {_HOUR_NS}, 24)"
+            ).alias("phase"),
+            F.expr(
+                f"(cast(ts as bigint) - pmod(cast(ts as bigint), "
+                f"{24 * _HOUR_NS})) div {24 * _HOUR_NS}"
+            ).alias("day"),
         )
         .groupBy("event_type", "phase", "day")
         .agg(F.count(F.lit(1)).alias("cnt"))

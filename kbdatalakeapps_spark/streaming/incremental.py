@@ -375,10 +375,12 @@ def stream_seasonal_counts(
     over that state — compute them where the profile is consumed, not
     inside the stateful plan."""
     keys = list(key_cols or [])
-    # wrap-ok: integer div SHRINKS the operand (epoch-ns // period)
-    phase = F.expr(
-        f"(cast(`{ts_col}` as bigint) div {int(period_ns)}) % {int(cycle)}"
-    )
+    # wrap-ok: integer div SHRINKS the operand (epoch-ns // period).
+    # ADVICE r8: floored div + pmod so pre-1970 (negative) timestamps
+    # bucket into [0, cycle) exactly like the batch operator.
+    t = f"cast(`{ts_col}` as bigint)"
+    p = int(period_ns)
+    phase = F.expr(f"pmod(({t} - pmod({t}, {p})) div {p}, {int(cycle)})")
     return (
         df.select(*keys, phase.alias("phase"))
         .groupBy(*keys, "phase")

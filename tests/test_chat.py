@@ -398,3 +398,30 @@ def test_rejection_sample_lone_candidate_keep_is_floor_only(spark):
         df, "p", "c", "s", "cid", min_score_fp=500_000, min_margin_fp=10
     ).collect()
     assert r["keep"] and r["n_candidates"] == 1
+
+
+def test_rejection_sample_all_null_scored_prompt_is_reported(spark):
+    """ADVICE r8: a prompt whose completions all carry NULL scores
+    must still appear in the curation report — n_candidates 0, NULL
+    best, keep hard-false — and NULL-scored candidates are excluded
+    from n_candidates on mixed prompts."""
+    from kbdatalakeapps_spark.operators.chat import rejection_sample
+
+    rows = [
+        (1, 0, "a", None),
+        (1, 1, "b", None),
+        (2, 0, "c", 0.9),
+        (2, 1, "d", None),        # unscored candidate on a live prompt
+    ]
+    df = spark.createDataFrame(rows, "p long, cid long, c string, s double")
+    out = {
+        r["prompt_id"]: r
+        for r in rejection_sample(df, "p", "c", "s", "cid").collect()
+    }
+    assert set(out) == {1, 2}
+    dead = out[1]
+    assert dead["n_candidates"] == 0 and dead["best"] is None
+    assert dead["best_score_fp"] is None and dead["keep"] is False
+    live = out[2]
+    assert live["n_candidates"] == 1 and live["best"] == "c"
+    assert live["margin_fp"] is None and live["keep"]

@@ -282,3 +282,48 @@ def test_seasonal_profile_integer_bucketing_past_float53(spark):
     )
     out = seasonal_profile(df, "ts", ["event_type"]).collect()
     assert len(out) == 1 and out[0]["phase"] == phase and out[0]["cnt"] == 2
+
+
+def test_seasonal_profile_negative_epoch_floors_like_duckdb(spark):
+    """ADVICE r8: pre-1970 (negative) epoch-ns must land in [0, cycle)
+    via FLOOR division + pmod, matching DuckDB's `//` + wrapped `%`
+    — Spark's truncating div/% would put ts=-1ns in phase 0 instead
+    of phase 23 of the previous day."""
+    from kbdatalakeapps_spark.operators.temporal import seasonal_profile
+
+    hour_ns = 3_600 * 10**9
+    rows = [
+        ("e", -1),                     # 1969-12-31 23:59:59.999…
+        ("e", -hour_ns - 1),           # one hour earlier → phase 22
+        ("e", 5),                      # phase 0, unchanged semantics
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts long")
+    out = {r["phase"]: r["cnt"] for r in
+           seasonal_profile(df, "ts", ["event_type"]).collect()}
+    # floor(-1 / H) = -1 → pmod(-1, 24) = 23
+    assert out == {23: 1, 22: 1, 0: 1}
+    # python floor-div reference for every bucket
+    for ts, want in [(-1, 23), (-hour_ns - 1, 22), (5, 0)]:
+        assert (ts // hour_ns) % 24 == want
+
+
+def test_stream_seasonal_counts_negative_epoch_matches_batch(spark):
+    from kbdatalakeapps_spark.operators.temporal import seasonal_profile
+    from kbdatalakeapps_spark.streaming.incremental import (
+        stream_seasonal_counts,
+    )
+
+    hour_ns = 3_600 * 10**9
+    df = spark.createDataFrame(
+        [("e", -1), ("e", -2 * hour_ns), ("e", 7)],
+        "event_type string, ts long",
+    )
+    batch = {
+        (r["event_type"], r["phase"]): r["cnt"]
+        for r in seasonal_profile(df, "ts", ["event_type"]).collect()
+    }
+    stream = {
+        (r["event_type"], r["phase"]): r["cnt"]
+        for r in stream_seasonal_counts(df, "ts", ["event_type"]).collect()
+    }
+    assert stream == batch and all(0 <= p < 24 for _, p in batch)
