@@ -271,6 +271,11 @@ BENCH_QUERIES = [
     "tx_code_quality",             # regex-heavy native scan (code filters)
     "ch_best_of_n",                # pool-bounded sort_array top-2 groupBy
     "ch_turn_stats",               # to_json→from_json→higher-order stats
+    # round-9 additions (VERDICT r8 #4: the slowest un-benched
+    # iterative spot-checks; appended so earlier keys stay comparable)
+    "ch_thread_paths",             # frontier-join tree linearization
+    "ts_seasonal_anomaly",         # grouped exact median/MAD per phase cell
+    "gr_jaccard_links",            # degree-bounded wedge join link prediction
 ]
 
 # The most expensive queries — measured twice, median reported.
@@ -389,6 +394,50 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     hf = control["host_factor"] or 1.0
     queries_norm = {k: round(v / hf, 3) for k, v in timings.items()}
+
+    # Rotating scale-slope sample (VERDICT r8 #7): every BENCH file
+    # carries fresh superlinearity evidence for 3 keys — timed at the
+    # base sf AND a synthetic 2× corpus (tools/scale_slope.build_sf2,
+    # structure-preserving doubling).  The rotation index derives from
+    # the count of BENCH_r*.json files already recorded, so each
+    # driver round samples the next window deterministically.
+    slopes: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_SLOPE", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from scale_slope import DEFAULT_KEYS, build_sf2  # noqa: E402
+
+            import glob as _glob
+
+            candidates = list(dict.fromkeys(
+                DEFAULT_KEYS
+                + ["gr_jaccard_links", "ts_seasonal_anomaly",
+                   "ch_thread_paths", "dd_soft_dedup_weights",
+                   "mm_image_dedup", "ml_bleu"]
+            ))
+            rot = len(_glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r*.json")))
+            picked = [candidates[(rot * 3 + i) % len(candidates)]
+                      for i in range(3)]
+            sf2_dir = build_sf2(spark, sf_dir, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".scale_slope", "sf2x"))
+            for name in picked:
+                fn = _BENCH_OVERRIDES.get(name, QUERIES.get(name))
+                if fn is None:
+                    continue
+                t = {}
+                for label, d in (("t_sf1", sf_dir), ("t_sf2", sf2_dir)):
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    t[label] = round(time.perf_counter() - t0, 3)
+                t["ratio"] = round(t["t_sf2"] / t["t_sf1"], 3) if t["t_sf1"] else None
+                slopes[name] = t
+        except Exception as e:  # slope evidence is best-effort — the
+            # headline metric must survive a slope-probe failure
+            slopes = {"error": {"msg": f"{type(e).__name__}: {e}"[:200]}}
     print(
         json.dumps(
             {
@@ -404,6 +453,9 @@ def main() -> None:
                 "host_factor": hf,
                 "value_norm": round(total / hf, 3),
                 "queries_norm": queries_norm,
+                # per-round rotating 2×-scale probe: ratio ≈ time per
+                # data doubling (≤ ~2.5 = at-most-n·log-n + overhead)
+                "slopes": slopes,
             }
         )
     )

@@ -437,9 +437,16 @@ def thread_paths(
     done_parts = []
     # max_depth − 1 extension rounds: an emitted transcript never
     # exceeds max_depth turns; deeper paths surface AT max_depth
-    # turns with truncated=True
+    # turns with truncated=True.  The frontier empties at the true
+    # tree depth (every path emitted as a leaf), so break there — a
+    # shallow 3-level tree costs 3 rounds, not max_depth−1 (VERDICT
+    # r8 #4: the fixed 31-round unroll was the whole 18 s cost on
+    # shallow fixtures).  isEmpty is one tiny job against the
+    # just-checkpointed frontier, not a full count.
     for _ in range(max_depth - 1):
         frontier = mat(frontier)
+        if frontier.isEmpty():
+            break
         leaves = frontier.join(
             parents, frontier["leaf_id"] == parents["p_ref"], "left_anti"
         )

@@ -1310,6 +1310,8 @@ def soft_dedup_weights(
     fp_scale: int = 10**6,
     checkpoint_dir: str | None = None,
     algorithm: str = "minlabel",
+    key_space_bits: int | None = None,
+    n_keys: int | None = None,
 ) -> DataFrame:
     """Soft dedup: instead of DROPPING near-duplicates, every document
     gets sampling weight 1/|cluster| (fixed point) so each dedup
@@ -1326,12 +1328,15 @@ def soft_dedup_weights(
     partitioning.  ``algorithm='alternating'`` takes the O(log n)
     large-star/small-star path — REQUIRED when the pair graph can
     chain deep (small hash spaces: the 16-bit phash graph at sf0.1
-    blew past min-label's iteration cap — a real scale lesson)."""
+    blew past min-label's iteration cap — a real scale lesson);
+    ``algorithm='auto'`` runs the graph.select_cc_algorithm
+    pre-flight (pass ``key_space_bits``/``n_keys`` — the blocking
+    hash width and corpus size — for the zero-job entropy rule)."""
     from .graph import keeper_assignment
 
     ka = keeper_assignment(
         docs, pairs, id_col=id_col, checkpoint_dir=checkpoint_dir,
-        algorithm=algorithm,
+        algorithm=algorithm, key_space_bits=key_space_bits, n_keys=n_keys,
     )
     sizes = ka.groupBy("keeper").agg(
         F.count(F.lit(1)).alias("cluster_size")

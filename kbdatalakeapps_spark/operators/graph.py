@@ -201,6 +201,63 @@ def connected_components_alternating(
     )
 
 
+def select_cc_algorithm(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    key_space_bits: int | None = None,
+    n_keys: int | None = None,
+) -> str:
+    """Pre-flight deep-chain guard (VERDICT r8 #5): pick the CC
+    variant BEFORE the iteration cap can blow.  The round-8
+    ``mm_image_dedup`` incident is a class, not a one-off: any
+    blocking key with < ~24 bits of entropy saturates at scale —
+    birthday collisions chain hamming-adjacent buckets into
+    components whose diameter grows with n, and min-label CC
+    (O(diameter) rounds) hits its cap where the alternating
+    large-star/small-star form (O(log diameter)) cruises.
+
+    Two signals, either one selects ``'alternating'``:
+
+    - **key-space entropy** (the load-bearing rule when the caller
+      knows the blocking-hash width): expected birthday collisions
+      ``n·(n−1)/2 / 2^bits ≥ 1`` means the key space is saturated and
+      chains are expected — pure path components keep edge density
+      ≈ 1 edge/node, so no edge-count heuristic can see them.
+      ``n_keys`` (corpus size) avoids a count job; otherwise the pair
+      endpoints are counted (an undercount — collisions already
+      happened — so still conservative).
+    - **edge density** (fallback when bits are unknown): distinct
+      undirected edges ≥ 0.75 · distinct endpoints means components
+      are tree-like-or-denser at size, where min-label's
+      O(diameter) bound has no headroom.
+
+    Cost: at most one tiny agg job over the pair list — nothing at
+    all when both ``key_space_bits`` and ``n_keys`` are provided.
+    Both variants produce identical components, so the selection can
+    never change results, only round counts."""
+    if key_space_bits is not None:
+        if n_keys is None:
+            n_keys = (
+                pairs.select(F.col(src).alias("id"))
+                .unionByName(pairs.select(F.col(dst).alias("id")))
+                .distinct()
+                .count()
+            )
+        expected_collisions = (
+            n_keys * max(n_keys - 1, 0) / 2.0 / float(2 ** key_space_bits)
+        )
+        return "alternating" if expected_collisions >= 1.0 else "minlabel"
+    und = _undirected(pairs, src, dst)
+    stats = und.select(F.col("u").alias("id")).unionByName(
+        und.select(F.col("v").alias("id"))
+    ).agg(
+        F.approx_count_distinct("id").alias("n"),
+        (F.count(F.lit(1)) / 2).alias("m"),
+    ).collect()[0]
+    return "alternating" if stats["m"] >= 0.75 * max(stats["n"], 1) else "minlabel"
+
+
 def keeper_assignment(
     docs: DataFrame,
     pairs: DataFrame,
@@ -209,6 +266,8 @@ def keeper_assignment(
     dst: str = "id_b",
     checkpoint_dir: str | None = None,
     algorithm: str = "minlabel",
+    key_space_bits: int | None = None,
+    n_keys: int | None = None,
 ) -> DataFrame:
     """(id, keeper, is_keeper): every document mapped to its dedup
     group's minimum id; documents with no near-dup edge keep
@@ -216,8 +275,15 @@ def keeper_assignment(
     dedup decision.
 
     ``algorithm``: 'minlabel' (default — O(diameter) rounds, right for
-    shallow near-dup components) or 'alternating' (large-star/
-    small-star, O(log n) rounds — the deep-component scale path)."""
+    shallow near-dup components), 'alternating' (large-star/
+    small-star, O(log n) rounds — the deep-component scale path), or
+    'auto' — the :func:`select_cc_algorithm` pre-flight picks, using
+    ``key_space_bits``/``n_keys`` (the blocking hash width and corpus
+    size) when the caller knows them."""
+    if algorithm == "auto":
+        algorithm = select_cc_algorithm(
+            pairs, src, dst, key_space_bits=key_space_bits, n_keys=n_keys
+        )
     cc = {
         "minlabel": connected_components,
         "alternating": connected_components_alternating,

@@ -2173,10 +2173,14 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = perceptual_hash(media, hash_size=4)
     pairs = image_neardup_pairs(hashes, bits=16, max_hamming=1, prefix_bits=4)
     ids = media.select(F.col("media_id").alias("doc_id"))
-    # alternating CC: 16-bit hashes collide into DEEP chains at scale
-    # (min-label hit its iteration cap at sf0.1)
+    # 16-bit hashes collide into DEEP chains at scale (min-label hit
+    # its iteration cap at sf0.1) — the 'auto' pre-flight entropy
+    # guard (graph.select_cc_algorithm, VERDICT r8 #5) selects the
+    # alternating form exactly when the birthday math says chains are
+    # expected, so small fixtures keep the cheap O(diameter) path
     return dd.soft_dedup_weights(
-        ids, pairs.select("id_a", "id_b"), algorithm="alternating"
+        ids, pairs.select("id_a", "id_b"), algorithm="auto",
+        key_space_bits=16,
     )
 
 

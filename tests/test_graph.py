@@ -763,3 +763,61 @@ def test_link_prediction_common_neighbors_jaccard(spark):
     assert (1, 4) not in capped            # was hub-only
     # node 3 (deg 3: 2,4,9) also exceeds the cap → (2,4) vanishes too
     assert (2, 4) not in capped
+
+
+def test_select_cc_algorithm_deep_chain_guard(spark):
+    """VERDICT r8 #5: the small-hash-space deep-chain class.  A seeded
+    300-node path (the degenerate component a saturated blocking key
+    produces) blows min-label's iteration cap; the pre-flight entropy
+    guard must route it to the alternating form — and the density
+    fallback must also catch it when the key width is unknown."""
+    import pytest
+
+    from kbdatalakeapps_spark.operators.graph import (
+        connected_components,
+        connected_components_alternating,
+        keeper_assignment,
+        select_cc_algorithm,
+    )
+
+    n = 300
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    # the failure mode the guard exists to prevent: O(diameter) rounds
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=10).collect()
+
+    # entropy rule: 300 ids over an 8-bit key space → birthday math
+    # says collisions are certain → alternating, zero extra jobs
+    assert select_cc_algorithm(
+        chain, key_space_bits=8, n_keys=n
+    ) == "alternating"
+    # same rule, endpoint count derived from the pair list itself
+    assert select_cc_algorithm(chain, key_space_bits=8) == "alternating"
+    # a roomy key space with few keys keeps the cheap path
+    assert select_cc_algorithm(
+        chain, key_space_bits=64, n_keys=n
+    ) == "minlabel"
+    # density fallback (no key width): a path has ~1 edge per node —
+    # tree-like at size, exactly where min-label has no headroom
+    assert select_cc_algorithm(chain) == "alternating"
+    # sparse sprinkles (isolated 2-cliques) stay on min-label
+    sprinkle = spark.createDataFrame(
+        [(10 * i, 10 * i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    assert select_cc_algorithm(sprinkle) == "minlabel"
+
+    # the guarded path end-to-end: auto resolves the chain correctly
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    ka = keeper_assignment(
+        docs, chain, id_col="doc_id", algorithm="auto", key_space_bits=8,
+        n_keys=n,
+    )
+    rows = ka.collect()
+    assert all(r["keeper"] == 0 for r in rows) and len(rows) == n
+    # parity with the explicit alternating form
+    alt = connected_components_alternating(chain)
+    assert sorted((r["id"], r["component"]) for r in alt.collect()) == [
+        (i, 0) for i in range(n)
+    ]
