@@ -114,4 +114,9 @@ assert len(DRIVER_WINDOW) == 50
 #: EMPTY at round-8 close: all 28 round-8 registrations (11 mid-round
 #: + 17 closing) are in DRIVER_WINDOW, so the verification debt drains
 #: to zero when CORRECTNESS_r08 lands.
-PENDING_NEXT_WINDOW: list[str] = []
+#: Round 9 in progress: new registrations queue here until the
+#: closing rotation folds them into DRIVER_WINDOW.
+PENDING_NEXT_WINDOW: list[str] = [
+    "ml_rouge_l",
+    "ml_wer",
+]

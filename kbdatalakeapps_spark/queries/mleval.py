@@ -1200,3 +1200,132 @@ def ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label"),
     )
     return brier_score(scored, "score", "label")
+
+
+#: ROUGE-L / WER oracle idiom (VERDICT r8 #1): word-level LCS and
+#: word-level Levenshtein have no SQL form, so the kernels are pinned
+#: against pure-python references in tests/test_mleval.py, and the
+#: registered queries feed them a pair construction whose answer has a
+#: CLOSED FORM the oracle can compute exactly: the prediction is a
+#: SUBSEQUENCE of the gold tokens (drop every j-th word) plus, for
+#: ROUGE-L, a '~'-prefixed junk tail that can never match (tildes are
+#: stripped from the gold stream first).  The generic O(|p|·|g|) DP
+#: still runs blind on the Spark side; the oracle knows
+#: LCS = n_kept and word-Levenshtein = n_gold − n_pred.
+_RL_MAXW = 120  # DP cost cap: ≤ 120 gold words per pair
+
+_RL_TOKS_SPARK = (
+    "slice(filter(split(lower(translate(text, '~', '')), '\\\\s+'), "
+    f"x -> x != ''), 1, {_RL_MAXW})"
+)
+_RL_TOKS_SQL = (
+    "list_slice(list_filter(string_split_regex(lower(replace(text, '~', '')),"
+    f" '\\s+'), x -> x <> ''), 1, {_RL_MAXW})"
+)
+
+
+@query(
+    "ml_rouge_l",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_RL_TOKS_SQL} AS toks, doc_id % 4 AS k
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, k,
+               len(toks) AS n_gold,
+               len(list_filter(toks, (x, i) -> i % 3 <> 0)) AS n_kept
+        FROM t
+    )
+    SELECT doc_id AS pair_id,
+           CAST(n_kept AS BIGINT) AS lcs_len,
+           CAST(n_kept + k AS BIGINT) AS n_pred,
+           CAST(n_gold AS BIGINT) AS n_gold,
+           CASE WHEN n_gold = 0 THEN 0.0 ELSE
+               2 * (CAST(n_kept AS DOUBLE) / CAST(n_kept + k AS DOUBLE))
+                 * (CAST(n_kept AS DOUBLE) / CAST(n_gold AS DOUBLE))
+                 / ((CAST(n_kept AS DOUBLE) / CAST(n_kept + k AS DOUBLE))
+                    + (CAST(n_kept AS DOUBLE) / CAST(n_gold AS DOUBLE)))
+           END AS rouge_l
+    FROM s
+    """,
+)
+def ml_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L per pair (operators/mleval.py::rouge_l_score — the
+    Arrow-batched two-row LCS DP): prediction = the gold word stream
+    with every 3rd word dropped plus ``doc_id % 4`` unmatched junk
+    tokens, so the kernel's DP answer has the provable closed form
+    LCS = n_kept (the kept words are a subsequence; '~'-junk matches
+    nothing because tildes are stripped from gold) that the oracle
+    replays without a DP.  The DP itself is pinned on adversarial
+    non-subsequence cases in tests; F = 2PR/(P+R) is one fixed IEEE
+    tree over exact ints."""
+    from ..operators.mleval import rouge_l_score
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.expr(_RL_TOKS_SPARK).alias("toks"),
+        (F.col("doc_id") % 4).alias("k"),
+    )
+    # Spark higher-order filter indexes from 0; DuckDB from 1
+    pairs = base.select(
+        "pair_id",
+        F.expr(
+            "array_join(concat("
+            "filter(toks, (x, i) -> (i + 1) % 3 != 0), "
+            "if(k > 0, transform(sequence(1, cast(k as int)), "
+            "i -> concat('~j', cast(i as string))), "
+            "array())), ' ')"
+        ).alias("prediction"),
+        F.array_join("toks", " ").alias("gold"),
+    )
+    return rouge_l_score(pairs, "prediction", "gold", "pair_id")
+
+
+@query(
+    "ml_wer",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_RL_TOKS_SQL} AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_gold,
+               len(list_filter(toks, (x, i) -> i % 2 = 1)) AS n_kept
+        FROM t
+    )
+    SELECT doc_id AS pair_id,
+           CAST(n_gold - n_kept AS BIGINT) AS word_edits,
+           CAST(n_kept AS BIGINT) AS n_pred,
+           CAST(n_gold AS BIGINT) AS n_gold,
+           CASE WHEN n_gold > 0 THEN
+               CAST(n_gold - n_kept AS DOUBLE) / CAST(n_gold AS DOUBLE)
+           ELSE 0.0 END AS wer
+    FROM s
+    """,
+)
+def ml_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word error rate per pair (operators/mleval.py::wer_score — the
+    Arrow-batched word-Levenshtein DP): prediction = the odd-position
+    subsequence of the gold stream, for which the DP's answer is
+    provably the insertion count n_gold − n_pred — the oracle's
+    closed form.  Substitution/mixed-edit behavior is pinned by the
+    pure-python reference tests; the rate is one exact-int division.
+    Empty gold (empty doc) → WER 0.0 with an empty prediction (the
+    cer_score convention)."""
+    from ..operators.mleval import wer_score
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.expr(_RL_TOKS_SPARK).alias("toks"),
+    )
+    pairs = base.select(
+        "pair_id",
+        F.expr("array_join(filter(toks, (x, i) -> i % 2 = 0), ' ')").alias(
+            "prediction"
+        ),
+        F.array_join("toks", " ").alias("gold"),
+    )
+    return wer_score(pairs, "prediction", "gold", "pair_id")
