@@ -1,0 +1,171 @@
+"""Optional real-codec autodetection for the decoder registry
+(VERDICT r8 #3).
+
+The registry (operators/codecs.py) defines the engine-side boundary;
+this module fills it with REAL decoders when the host environment
+ships the libraries — PIL for images beyond the pure-python codecs
+(WebP), soundfile/libsndfile for compressed audio (Ogg/Vorbis, and
+MP3 where libsndfile ≥ 1.1), PyAV for compressed video (WebM/Matroska)
+— and registers nothing (loudly returning ``[]``) where it doesn't.
+The pure-python decoders remain the hash-oracled floor either way:
+built-in formats are non-overridable by registry contract, so an
+environment upgrade can never change an oracle-verified result, only
+extend coverage to formats that previously returned NULL/raised.
+
+Decoders follow the registry contracts exactly (``None`` for
+undecodable content — each operator's existing NULL rule; raising
+propagates loudly).  Everything here is driver-side registration; the
+operators snapshot the registry at plan build and the snapshot rides
+the kernel closure to executors, so executors never import the
+optional libs unless the decoder actually runs there.
+
+Tests: tests/test_codecs_optional.py drives the wiring with fake
+modules (always runs — proves detection, registration keys, contract
+adaptation) and cross-checks PIL against the pure-python PNG decoder
+when PIL is genuinely installed (skip-if-absent tier).
+"""
+
+from __future__ import annotations
+
+from . import codecs
+
+#: max frames a video decoder materializes per clip — frame sampling
+#: happens downstream; unbounded decode of a long clip would box the
+#: whole video into one task's memory
+MAX_VIDEO_FRAMES = 256
+
+#: mimes PIL covers that the pure-python image codecs do not
+_PIL_EXTRA_MIMES = ("image/webp",)
+
+#: audio container signatures soundfile/libsndfile covers beyond the
+#: built-in WAV/FLAC/AIFF/AU decoders: Ogg (Vorbis/Opus/FLAC-in-Ogg)
+#: and MP3 (ID3-tagged or bare MPEG sync)
+_SOUNDFILE_SIGS = (b"OggS", b"ID3", b"\xff\xfb", b"\xff\xf3", b"\xff\xf2")
+
+#: EBML magic — Matroska/WebM (PyAV probes the rest itself)
+_EBML_SIG = b"\x1a\x45\xdf\xa3"
+
+
+def _pil_image_decoder(Image):
+    def decode(content):
+        import io
+
+        import numpy as np
+
+        try:
+            im = Image.open(io.BytesIO(bytes(content)))
+            im = im.convert("RGB")
+            arr = np.asarray(im, dtype=np.uint8)
+        except Exception:
+            return None  # undecodable → operator NULL semantics
+        if arr.ndim != 3:
+            return None
+        return arr, arr.shape[1], arr.shape[0]
+
+    return decode
+
+
+def _soundfile_decoder(sf):
+    def decode(content):
+        import io
+
+        import numpy as np
+
+        try:
+            data, rate = sf.read(io.BytesIO(bytes(content)), always_2d=True)
+        except Exception:
+            return None
+        arr = np.asarray(data)
+        if arr.dtype.kind == "f":
+            # registry contract: integer samples — match the built-in
+            # PCM decoders' int16 range
+            arr = np.clip(arr, -1.0, 1.0)
+            arr = (arr * 32767.0).astype(np.int64)
+        else:
+            arr = arr.astype(np.int64)
+        return arr, int(rate)
+
+    return decode
+
+
+def _pyav_decoder(av):
+    def decode(content):
+        import io
+
+        try:
+            container = av.open(io.BytesIO(bytes(content)))
+        except Exception:
+            return None
+        frames = []
+        width = height = None
+        try:
+            for frame in container.decode(video=0):
+                ts_ms = (
+                    int(frame.pts * frame.time_base * 1000)
+                    if frame.pts is not None
+                    else len(frames)
+                )
+                arr = frame.to_ndarray(format="rgb24")
+                width, height = arr.shape[1], arr.shape[0]
+                frames.append((ts_ms, arr))
+                if len(frames) >= MAX_VIDEO_FRAMES:
+                    break
+        except Exception:
+            return None
+        finally:
+            container.close()
+        if not frames:
+            return None
+        return frames, width, height
+
+    return decode
+
+
+def detect_and_register() -> list[str]:
+    """Detect optional codec libraries and register real decoders for
+    the formats the pure-python floor can't express.  Returns the list
+    of registration keys made (``[]`` in a codec-less container), so
+    callers/tests can assert exactly what upgraded.  Idempotent:
+    re-registration replaces the same keys."""
+    made: list[str] = []
+
+    try:  # pragma: no cover - exercised via fake modules in tests
+        from PIL import Image  # type: ignore
+    except ImportError:
+        Image = None
+    if Image is not None:
+        fn = _pil_image_decoder(Image)
+        for mime in _PIL_EXTRA_MIMES:
+            codecs.register_image_decoder(mime, fn)
+            made.append(f"image:{mime}:PIL")
+
+    try:  # pragma: no cover - exercised via fake modules in tests
+        import soundfile  # type: ignore
+    except ImportError:
+        soundfile = None
+    if soundfile is not None:
+        fn = _soundfile_decoder(soundfile)
+        for sig in _SOUNDFILE_SIGS:
+            codecs.register_audio_decoder(sig, fn)
+            made.append(f"audio:{sig.hex()}:soundfile")
+
+    try:  # pragma: no cover - exercised via fake modules in tests
+        import av  # type: ignore
+    except ImportError:
+        av = None
+    if av is not None:
+        fn = _pyav_decoder(av)
+        codecs.register_video_decoder(_EBML_SIG, fn)
+        made.append(f"video:{_EBML_SIG.hex()}:pyav")
+
+    return made
+
+
+def unregister_all() -> None:
+    """Remove every registration :func:`detect_and_register` makes —
+    test teardown hygiene."""
+    for mime in _PIL_EXTRA_MIMES:
+        codecs.unregister_image_decoder(mime)
+    for sig in _SOUNDFILE_SIGS:
+        codecs.unregister_audio_decoder(sig)
+    codecs.unregister_video_decoder(_EBML_SIG)
