@@ -1574,3 +1574,172 @@ def brier_score(
             F.col("n") > 0, F.col("_sq").cast("double") / den.cast("double")
         ).alias("brier"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error — the scalar the reliability diagram
+    (:func:`calibration_bins`) summarizes to:
+
+        ECE = Σ_b (n_b/N)·|acc_b − conf_b|
+
+    Folding acc_b = pos_b/n_b and conf_b = conf_fp_b/(n_b·FP) gives
+    the per-bin term the EXACT integer form |pos_b·FP − conf_fp_b| /
+    (N·FP), so the bin sum is a DECIMAL(38,0) sum of exact integers —
+    order-invariant under any partitioning — and ECE is ONE double
+    division at the end.  MCE (max bin gap) rides along: max of
+    per-bin doubles is order-invariant too.
+
+    Scale: re-aggregates the ≤ n_bins rows calibration_bins emits —
+    the data-sized pass is the single groupBy(bin) inside it."""
+    bins = calibration_bins(df, score_col, label_col, n_bins=n_bins)
+    term = F.abs(
+        F.col("n_pos").cast(_DEC) * F.lit(_FP).cast(_DEC) - F.col("conf_fp")
+    )
+    agg = bins.agg(
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.sum(term).alias("ece_num"),
+        F.max("gap").alias("mce"),
+    )
+    ece = (
+        F.col("ece_num").cast("double")
+        / F.lit(float(_FP))
+        / F.col("n").cast("double")
+    )
+    return agg.select(
+        "n",
+        "n_bins_used",
+        # decimal-final-column driver-hash asymmetry (VERDICT r5 #1):
+        # report the exact numerator as DOUBLE like conf_fp does
+        F.col("ece_num").cast("double").alias("ece_num"),
+        ece.alias("ece"),
+        "mce",
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    label_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """McNemar's paired-classifier test — the A/B gate for "is model B
+    actually better than A on the SAME items": the χ² statistic uses
+    only the DISCORDANT counts
+
+        b = A right, B wrong    c = A wrong, B right
+        χ² = (b − c)² / (b + c)     (NULL when b + c = 0)
+
+    because concordant items carry no paired signal.  One map-side-
+    combinable groupBy; (b − c)² is carried in DECIMAL(38,0) (b, c
+    approach n, so the square wraps int64 past ~3·10⁹ discordant
+    rows) with ONE double division.  NULL label/pred rows are
+    excluded (no vote either way)."""
+    keys = list(group_cols or [])
+    ok_a = (F.col(pred_a_col) == F.col(label_col)).cast("long")
+    ok_b = (F.col(pred_b_col) == F.col(label_col)).cast("long")
+    base = df.filter(
+        F.col(label_col).isNotNull()
+        & F.col(pred_a_col).isNotNull()
+        & F.col(pred_b_col).isNotNull()
+    )
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ok_a * ok_b).alias("both_right"),
+        F.sum((1 - ok_a) * (1 - ok_b)).alias("both_wrong"),
+        F.sum(ok_a * (1 - ok_b)).alias("only_a"),
+        F.sum((1 - ok_a) * ok_b).alias("only_b"),
+    )
+    d = F.col("only_a").cast(_DEC) - F.col("only_b").cast(_DEC)
+    disc = F.col("only_a") + F.col("only_b")
+    return g.select(
+        *keys,
+        "n",
+        "both_right",
+        "both_wrong",
+        "only_a",
+        "only_b",
+        F.when(
+            disc > 0, (d * d).cast("double") / disc.cast("double")
+        ).alias("chi2"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fleiss' kappa — multi-rater agreement over a long-format
+    ratings table (the ≥3-annotator generalization of
+    :func:`cohen_kappa_pairs`), for the UNIFORM-design case where
+    every item carries the same number of ratings n:
+
+        P̄  = (Σ_i Σ_j n_ij² − T) / (T·(n − 1))      T = N·n
+        P̄e = Σ_j c_j² / T²                           c_j = label totals
+        κ  = (P̄ − P̄e) / (1 − P̄e)
+
+    Both numerators are exact integer sums (Σn_ij² per item is bounded
+    by n², a constant; c_j² is carried in DECIMAL(38,0) since label
+    totals approach T), so the only floats are three fixed-order
+    divisions — bit-identical under any partitioning.  A NON-uniform
+    design (varying ratings per item) makes P̄ a float mean of
+    varying-denominator rationals — order-sensitive — so the operator
+    surfaces it instead of guessing: kappa is NULL and the
+    min/max-ratings diagnostic columns show the spread.
+
+    Scale: groupBy(item, label) → per-item re-agg → single global agg
+    + a tiny label-marginal agg off the same cell table; all
+    map-side combinable, the cell table is the only shuffle."""
+    cells = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(
+            F.col(item_col).alias("item"), F.col(label_col).alias("lab")
+        )
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    # wrap-ok: nij ≤ raters-per-item (a design constant ≪ int32)
+    per_item = cells.groupBy("item").agg(
+        F.sum("nij").alias("ni"),
+        F.sum(F.col("nij") * F.col("nij")).alias("si"),
+    )
+    tot = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("ni").alias("t"),
+        F.sum("si").alias("s_sum"),
+        F.min("ni").alias("min_ratings"),
+        F.max("ni").alias("max_ratings"),
+    )
+    marg = cells.groupBy("lab").agg(F.sum("nij").alias("cj")).agg(
+        F.sum(F.col("cj").cast(_DEC) * F.col("cj").cast(_DEC)).alias(
+            "sum_cj_sq"
+        )
+    )
+    j = tot.crossJoin(F.broadcast(marg))  # 1 row × 1 row
+    n = F.col("max_ratings")
+    t_d = F.col("t").cast("double")
+    pbar = (F.col("s_sum") - F.col("t")).cast("double") / (
+        F.col("t") * (n - 1)
+    ).cast("double")
+    pe = F.col("sum_cj_sq").cast("double") / (t_d * t_d)
+    uniform = (F.col("min_ratings") == F.col("max_ratings")) & (n > 1)
+    kappa = F.when(uniform & (pe != 1.0), (pbar - pe) / (1.0 - pe))
+    return j.select(
+        "n_items",
+        F.col("max_ratings").alias("n_raters"),
+        F.col("t").alias("total_ratings"),
+        "s_sum",
+        "min_ratings",
+        "max_ratings",
+        F.col("sum_cj_sq").cast("double").alias("sum_cj_sq"),
+        F.when(uniform, pbar).alias("pbar"),
+        F.when(uniform, pe).alias("pe"),
+        kappa.alias("kappa"),
+    )

@@ -119,4 +119,7 @@ assert len(DRIVER_WINDOW) == 50
 PENDING_NEXT_WINDOW: list[str] = [
     "ml_rouge_l",
     "ml_wer",
+    "ml_ece",
+    "ml_mcnemar",
+    "ml_fleiss_kappa",
 ]

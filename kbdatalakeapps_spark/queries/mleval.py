@@ -915,6 +915,15 @@ def ml_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     division; the oracle replays the same rational."""
     from ..operators.mleval import cohen_kappa_pairs
 
+    return cohen_kappa_pairs(
+        _kappa_ratings(spark, sf_dir), "item", "rater", "label"
+    )
+
+
+def _kappa_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 3-rater synthetic ratings table (the Spark twin of
+    :func:`_kappa_ratings_sql`) — feeds ml_kappa_agreement AND
+    ml_fleiss_kappa so both agreement metrics audit the same data."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def _h(*parts):
@@ -946,7 +955,7 @@ def ml_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("label"),
         )
         ratings = rr if ratings is None else ratings.unionByName(rr)
-    return cohen_kappa_pairs(ratings, "item", "rater", "label")
+    return ratings
 
 
 _RAO_SALT = "rao8"
@@ -1329,3 +1338,195 @@ def ml_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("toks", " ").alias("gold"),
     )
     return wer_score(pairs, "prediction", "gold", "pair_id")
+
+
+@query(
+    "ml_ece",
+    oracle="""
+    WITH scored AS (
+        SELECT value / 500.0 AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+               COUNT(*) AS n,
+               CAST(SUM(label) AS HUGEINT) AS n_pos,
+               CAST(SUM(CAST(FLOOR(score * 1000000000000000.0) AS BIGINT))
+                    AS HUGEINT) AS conf_fp
+        FROM scored GROUP BY 1
+    ),
+    b AS (
+        SELECT bin, n, n_pos, conf_fp,
+               ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(conf_fp AS DOUBLE) / 1000000000000000.0
+                     / CAST(n AS DOUBLE)) AS gap,
+               ABS(n_pos * 1000000000000000 - conf_fp) AS term
+        FROM g
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           CAST(SUM(term) AS DOUBLE) AS ece_num,
+           CAST(SUM(term) AS DOUBLE) / 1000000000000000.0
+               / CAST(SUM(n) AS DOUBLE) AS ece,
+           MAX(gap) AS mce
+    FROM b
+    """,
+)
+def ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error + max bin gap (operators/mleval.py::
+    expected_calibration_error) over the ml_calibration_bins fixture
+    (score = value/500, label = purchase): the reliability diagram's
+    scalar summary, with the bin sum carried as EXACT integers
+    |pos_b·FP − conf_fp_b| so ECE is order-invariant and ends in one
+    double division — a float Σ n_b·gap_b would be
+    accumulation-order-sensitive."""
+    from ..operators.mleval import expected_calibration_error
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("value") / F.lit(500.0)).alias("score"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return expected_calibration_error(scored, "score", "label", n_bins=10)
+
+
+_MCN_SALT = "mcn9"
+
+
+@query(
+    "ml_mcnemar",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               ('0x' || substr(md5('{_MCN_SALT}:y:' || doc_id), 1, 15))::BIGINT
+                   % 2 AS label,
+               ('0x' || substr(md5('{_MCN_SALT}:a:' || doc_id), 1, 15))::BIGINT
+                   % 10 AS ha,
+               ('0x' || substr(md5('{_MCN_SALT}:b:' || doc_id), 1, 15))::BIGINT
+                   % 10 AS hb
+        FROM documents
+    ),
+    preds AS (
+        SELECT source, label,
+               CASE WHEN ha < 2 THEN 1 - label ELSE label END AS pa,
+               CASE WHEN hb < 4 THEN 1 - label ELSE label END AS pb
+        FROM scored
+    ),
+    g AS (
+        SELECT source, COUNT(*) AS n,
+               SUM(CASE WHEN pa = label AND pb = label THEN 1 ELSE 0 END)
+                   AS both_right,
+               SUM(CASE WHEN pa <> label AND pb <> label THEN 1 ELSE 0 END)
+                   AS both_wrong,
+               SUM(CASE WHEN pa = label AND pb <> label THEN 1 ELSE 0 END)
+                   AS only_a,
+               SUM(CASE WHEN pa <> label AND pb = label THEN 1 ELSE 0 END)
+                   AS only_b
+        FROM preds GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(both_right AS BIGINT) AS both_right,
+           CAST(both_wrong AS BIGINT) AS both_wrong,
+           CAST(only_a AS BIGINT) AS only_a,
+           CAST(only_b AS BIGINT) AS only_b,
+           CASE WHEN only_a + only_b > 0 THEN
+               CAST((only_a - only_b) * (only_a - only_b) AS DOUBLE)
+                   / CAST(only_a + only_b AS DOUBLE)
+           END AS chi2
+    FROM g
+    """,
+)
+def ml_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired-classifier test (operators/mleval.py::
+    mcnemar_test) per document source: classifier A flips the
+    md5-derived truth on 20% of items, B on 40%, so the discordant
+    counts separate them decisively — the A/B gate run before swapping
+    a production quality filter.  Exact discordant counts, the square
+    in DECIMAL(38,0), one double division per group."""
+    from ..operators.mleval import mcnemar_test
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def _h(tag, mod):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(_MCN_SALT), F.lit(tag),
+                                      F.col("doc_id"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long"),
+            F.lit(mod),
+        )
+
+    label = _h("y", 2)
+    scored = d.select(
+        "source",
+        label.alias("label"),
+        F.when(_h("a", 10) < 2, 1 - label).otherwise(label).alias("pa"),
+        F.when(_h("b", 10) < 4, 1 - label).otherwise(label).alias("pb"),
+    )
+    return mcnemar_test(scored, "label", "pa", "pb", group_cols=["source"])
+
+
+@query(
+    "ml_fleiss_kappa",
+    oracle=f"""
+    WITH {_kappa_ratings_sql()},
+    cells AS (
+        SELECT item, label AS lab, COUNT(*) AS nij
+        FROM ratings GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT item, SUM(nij) AS ni, SUM(nij * nij) AS si
+        FROM cells GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(ni) AS BIGINT) AS t,
+               CAST(SUM(si) AS BIGINT) AS s_sum,
+               CAST(MIN(ni) AS BIGINT) AS min_ratings,
+               CAST(MAX(ni) AS BIGINT) AS max_ratings
+        FROM per
+    ),
+    marg AS (
+        SELECT SUM(CAST(cj AS HUGEINT) * cj) AS sum_cj_sq
+        FROM (SELECT lab, SUM(nij) AS cj FROM cells GROUP BY 1)
+    )
+    SELECT n_items, max_ratings AS n_raters, t AS total_ratings, s_sum,
+           min_ratings, max_ratings,
+           CAST(sum_cj_sq AS DOUBLE) AS sum_cj_sq,
+           CASE WHEN min_ratings = max_ratings AND max_ratings > 1 THEN
+               CAST(s_sum - t AS DOUBLE)
+                   / CAST(t * (max_ratings - 1) AS DOUBLE) END AS pbar,
+           CASE WHEN min_ratings = max_ratings AND max_ratings > 1 THEN
+               CAST(sum_cj_sq AS DOUBLE)
+                   / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) END AS pe,
+           CASE WHEN min_ratings = max_ratings AND max_ratings > 1
+                 AND CAST(sum_cj_sq AS DOUBLE)
+                     / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) <> 1.0 THEN
+               (CAST(s_sum - t AS DOUBLE)
+                    / CAST(t * (max_ratings - 1) AS DOUBLE)
+                - CAST(sum_cj_sq AS DOUBLE)
+                    / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))
+               / (1.0 - CAST(sum_cj_sq AS DOUBLE)
+                      / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))
+           END AS kappa
+    FROM tot CROSS JOIN marg
+    """,
+)
+def ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (operators/mleval.py::fleiss_kappa) over the SAME
+    3-rater ratings fixture as ml_kappa_agreement — the multi-rater
+    agreement scalar next to the pairwise matrix.  Uniform 3-ratings
+    design, so P̄ is the exact rational (ΣΣn_ij² − T)/(T·(n−1)); label
+    marginal squares carried in DECIMAL(38,0); three fixed-order
+    double divisions."""
+    from ..operators.mleval import fleiss_kappa
+
+    return fleiss_kappa(_kappa_ratings(spark, sf_dir), "item", "rater",
+                        "label")

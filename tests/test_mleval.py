@@ -1134,3 +1134,88 @@ def test_new_metrics_match_python_references_randomized(spark):
         for i in items["g1"]
     )
     assert brow["sq_err_sum"] == want_sq
+
+
+def test_expected_calibration_error_hand_values(spark):
+    from kbdatalakeapps_spark.operators.mleval import (
+        expected_calibration_error,
+    )
+
+    rows = [
+        (0.05, 0),            # bin 0: n=1, pos=0, conf=0.05 → gap 0.05
+        (0.95, 1),            # bin 9: n=1, pos=1, conf=0.95 → gap 0.05
+        (0.85, 1), (0.85, 0),  # bin 8: n=2, pos=1, conf=0.85 → gap 0.35
+        (None, 1), (0.5, None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    [r] = expected_calibration_error(df, "score", "label").collect()
+    assert r["n"] == 4 and r["n_bins_used"] == 3
+    fp = 10**15
+    want_num = (
+        abs(0 * fp - int(0.05 * fp))
+        + abs(1 * fp - int(0.95 * fp))
+        + abs(1 * fp - 2 * int(0.85 * fp))
+    )
+    assert r["ece_num"] == float(want_num)
+    assert r["ece"] == want_num / float(fp) / 4.0
+    assert r["mce"] == max(
+        abs(0 - 0.05), abs(1 - 0.95), abs(0.5 - 0.85)
+    )
+
+
+def test_mcnemar_counts_and_statistic(spark):
+    from kbdatalakeapps_spark.operators.mleval import mcnemar_test
+
+    # y, a, b: both-right ×2, both-wrong ×1, only_a ×3, only_b ×1
+    rows = [
+        (1, 1, 1), (0, 0, 0),
+        (1, 0, 0),
+        (1, 1, 0), (0, 0, 1), (1, 1, 0),
+        (0, 1, 0),
+        (None, 1, 0), (1, None, 1),   # excluded
+    ]
+    df = spark.createDataFrame(rows, "y int, a int, b int")
+    [r] = mcnemar_test(df, "y", "a", "b").collect()
+    assert (r["n"], r["both_right"], r["both_wrong"]) == (7, 2, 1)
+    assert (r["only_a"], r["only_b"]) == (3, 1)
+    assert r["chi2"] == (3 - 1) ** 2 / (3 + 1)
+    # no discordant pairs → NULL statistic
+    conc = spark.createDataFrame([(1, 1, 1), (0, 1, 1)], "y int, a int, b int")
+    [r2] = mcnemar_test(conc, "y", "a", "b").collect()
+    assert r2["chi2"] is None and r2["only_a"] == 0
+
+
+def test_fleiss_kappa_hand_values_and_nonuniform_guard(spark):
+    from kbdatalakeapps_spark.operators.mleval import fleiss_kappa
+
+    rows = [
+        ("A", "r1", 1), ("A", "r2", 1), ("A", "r3", 1),
+        ("B", "r1", 1), ("B", "r2", 2), ("B", "r3", 2),
+        ("C", "r1", 1), ("C", "r2", 2), ("C", "r3", 3),
+    ]
+    df = spark.createDataFrame(rows, "item string, rater string, label int")
+    [r] = fleiss_kappa(df, "item", "rater", "label").collect()
+    assert (r["n_items"], r["n_raters"], r["total_ratings"]) == (3, 3, 9)
+    assert r["s_sum"] == 9 + 5 + 3 and r["sum_cj_sq"] == 25.0 + 9 + 1
+    pbar = (17 - 9) / (9 * 2)
+    pe = 35.0 / (9.0 * 9.0)
+    assert r["pbar"] == pbar and r["pe"] == pe
+    assert r["kappa"] == (pbar - pe) / (1.0 - pe)
+
+    # perfect agreement across two labels: kappa = 1 (a single
+    # universal label is the pe = 1 degenerate → NULL, like Cohen's)
+    perfect = spark.createDataFrame(
+        [("A", "r1", 7), ("A", "r2", 7), ("B", "r1", 3), ("B", "r2", 3)],
+        "item string, rater string, label int",
+    )
+    [p] = fleiss_kappa(perfect, "item", "rater", "label").collect()
+    assert p["kappa"] == 1.0
+
+    # non-uniform design surfaces instead of guessing
+    rows_nu = rows + [("D", "r1", 1)]
+    [nu] = fleiss_kappa(
+        spark.createDataFrame(rows_nu, "item string, rater string, label int"),
+        "item", "rater", "label",
+    ).collect()
+    assert (nu["min_ratings"], nu["max_ratings"]) == (1, 3)
+    assert nu["kappa"] is None and nu["pbar"] is None
