@@ -1414,3 +1414,50 @@ def schema_diff(table_dir: str, from_version: int, to_version: int) -> dict:
             if a[k] != b[k]
         },
     }
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    group_cols: list[str],
+    order_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner — the declarative half of
+    :func:`compact_parquet` (and the token-budget shard planner when
+    ``size_col`` is a token count): within each group, files are taken
+    in ``order_col`` order and assigned to output bins by start-offset
+    binning
+
+        bin_id = floor(cumulative_size_before / target_bytes)
+
+    so every bin holds ≥ target once full (a file straddling the
+    boundary belongs to the bin it STARTS in — bins can overshoot by
+    at most one file, the standard concat-compaction contract) and the
+    assignment is a pure function of the ordered sizes: deterministic,
+    hash-oracle-able, and directly executable by a
+    ``partitionBy(bin_id)`` rewrite job.
+
+    Scale posture: ONE window over (group, order) — the file LISTING,
+    not the data; even a 100 TB table is a few million listing rows.
+    The prefix sum is the spillable sort-based window, never a
+    driver-side walk.  Reference parity: the reference compacts via
+    pandas concat (berdl/pipeline.py's per-table rewrite); this plans
+    the same result as metadata only."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).alias(
+        "cum_before"
+    )
+    out = files.select("*", cum)
+    # wrap-ok: cum_before div target SHRINKS the operand
+    return out.withColumn(
+        "bin_id",
+        F.expr(f"CAST(cum_before div {int(target_bytes)} AS BIGINT)"),
+    )

@@ -1353,3 +1353,75 @@ def soft_dedup_weights(
             ),
         )
     )
+
+
+def prefix_duplicate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_chars: int = 64,
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
+    """Truncation-duplicate pairs: document B is a STRICT prefix of
+    document A — the re-crawl/connection-drop duplicate class that
+    near-dup shingling under-weights (a 10% fragment shares few
+    shingles with its source yet is pure redundancy).
+
+    Blocking: both sides share their first ``block_chars`` characters
+    as an equi-join key, then the exact ``startswith`` predicate
+    verifies inside the bucket — never a cross join.  The block key is
+    COMPLETE for prefixes of length ≥ ``block_chars`` (a shorter
+    fragment's key is the whole fragment and cannot equal the
+    source's key), so fragments below the block size are out of
+    contract — lower ``block_chars`` to catch shorter ones.
+
+    ``max_bucket_docs``: boilerplate-heavy corpora share openings
+    (the LSH hot-bucket class); when set, any prefix bucket above the
+    cap fails loudly instead of silently planning a quadratic join
+    task.
+
+    Output: (id_full, id_prefix, len_full, len_prefix), id-ordered
+    deterministically.  Equal-length (exact) duplicates are excluded —
+    that's exact_dedup's job."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        t.alias("t"),
+        F.length(t).alias("n"),
+        F.substring(t, 1, block_chars).alias("k"),
+    ).filter(F.col("n") >= block_chars)
+    if max_bucket_docs is not None:
+        hot = (
+            base.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket_docs)
+            .limit(3)
+            .collect()
+        )
+        if hot:
+            worst = [(r["k"][:20], r["n_docs"]) for r in hot]
+            raise ValueError(
+                f"prefix_duplicate_pairs: bucket(s) over max_bucket_docs="
+                f"{max_bucket_docs}: {worst}. Shared boilerplate openings — "
+                "strip boilerplate first or raise block_chars."
+            )
+    a = base.select(
+        F.col("id").alias("id_full"),
+        F.col("t").alias("_ta"),
+        F.col("n").alias("len_full"),
+        "k",
+    )
+    b = base.select(
+        F.col("id").alias("id_prefix"),
+        F.col("t").alias("_tb"),
+        F.col("n").alias("len_prefix"),
+        "k",
+    )
+    return (
+        a.join(b, "k")
+        .filter(
+            (F.col("len_full") > F.col("len_prefix"))
+            & F.col("_ta").startswith(F.col("_tb"))
+        )
+        .select("id_full", "id_prefix", "len_full", "len_prefix")
+    )

@@ -933,3 +933,37 @@ def kfold_assign(
         10,
     ).cast("long")
     return df.withColumn(fold_col, F.pmod(h, F.lit(k)))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that can never leak a duplicate across
+    splits: rows are first clustered by ``key_col`` (a content key —
+    e.g. md5 of normalized text, or a near-dup cluster keeper from
+    keeper_assignment), the cluster REPRESENTATIVE (min ``id_col``)
+    is hash-split, and every member inherits its representative's
+    split.  Splitting raw row ids instead puts exact/near duplicates
+    of training documents into the eval split — the classic
+    contamination that silently inflates held-out metrics.
+
+    Output: every input row with ``keeper``, ``cluster_size``,
+    ``is_keeper`` and the inherited ``split`` — the audit columns a
+    contamination report needs alongside the assignment itself.
+
+    Scale posture: one map-side-combinable groupBy on the content key
+    (min + count) and one equi-join back on that key — the same
+    shuffle the dedup pass already does; the split itself is a pure
+    projection (:func:`hash_split` on the keeper)."""
+    groups = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.min(F.col(id_col)).alias("keeper"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    j = df.join(groups, F.col(key_col) == F.col("_k")).drop("_k")
+    out = hash_split(j, "keeper", fractions, salt=salt, split_col=split_col)
+    return out.withColumn("is_keeper", F.col(id_col) == F.col("keeper"))

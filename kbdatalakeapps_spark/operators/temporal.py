@@ -593,3 +593,69 @@ def seasonal_profile(
             / F.col("total").cast("double")
         ).alias("seasonal_idx"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    key_cols: list[str],
+    t_col: str = "t",
+    x_col: str = "x",
+    lags: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Sample autocorrelation per key at a fixed set of integer lags —
+    the seasonality/persistence diagnostic run over a bucketed series
+    (pair :func:`seasonal_profile`'s phase view with the time-lag
+    view): for lag k, Pearson r between (x_t, x_{t+k}) over every t
+    where BOTH buckets exist (gaps pair-wise dropped, the
+    `pandas.Series.autocorr` convention).
+
+    Determinism: built-in corr() streams Welford updates whose float
+    depends on partition order; here the five moment sums accumulate
+    as DECIMAL(38,0) over exact ints (x is a count/long) — exactly
+    associative — and the statistic is ONE fixed IEEE tree (the
+    a21_corr_stats idiom) rounded to 6 places.  NULL when a side is
+    constant (zero variance) or n < 2.
+
+    Scale posture: runs on an ALREADY-AGGREGATED series table (≤ one
+    row per key·bucket — the data-sized pass is the caller's count
+    aggregation).  One equi-join of the series against itself shifted
+    by the exploded lag set, one map-side-combinable groupBy; never a
+    window over raw events."""
+    keys = [F.col(c) for c in key_cols]
+    lag_arr = F.array(*[F.lit(int(k)) for k in lags])
+    a = df.select(
+        *keys, F.col(t_col).alias("_t"), F.col(x_col).alias("_x"),
+        F.explode(lag_arr).alias("lag"),
+    )
+    b = df.select(
+        *[F.col(c).alias(f"_b_{c}") for c in key_cols],
+        F.col(t_col).alias("_bt"),
+        F.col(x_col).alias("_y"),
+    )
+    cond = [a[c] == b[f"_b_{c}"] for c in key_cols]
+    cond.append((F.col("_t") + F.col("lag")) == F.col("_bt"))
+    pairs = a.join(b, cond)
+    dec = "decimal(38,0)"
+    x, y = F.col("_x").cast(dec), F.col("_y").cast(dec)
+    g = pairs.groupBy(*[a[c] for c in key_cols], F.col("lag")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den = (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    return g.select(
+        *key_cols,
+        "lag",
+        "n_pairs",
+        F.when(
+            (F.col("n_pairs") > 1) & (den > 0),
+            F.round((nd * sxy - sx * sy) / F.sqrt(den), 6),
+        ).alias("acf"),
+    )

@@ -2237,3 +2237,57 @@ def lexical_diversity(
             nonzero, nd.cast("double") / F.sqrt(n.cast("double"))
         ).alias("guiraud"),
     )
+
+
+#: secret-scanning patterns (category, regex, severity weight) — the
+#: credential classes a code-corpus curation pass must catch before
+#: training (cf. detect-secrets / gitleaks rule families), restricted
+#: to syntax BOTH Java regex and RE2 interpret identically (no
+#: lookaround, no backrefs).
+SECRET_PATTERNS: tuple[tuple[str, str, int], ...] = (
+    ("aws_keys", r"AKIA[0-9A-Z]{16}", 2),
+    ("private_keys", r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----", 3),
+    ("hex40", r"\b[0-9a-f]{40}\b", 1),
+    ("jwts", r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}", 2),
+    ("slack_tokens", r"xox[baprs]-[0-9A-Za-z-]{10,48}", 2),
+    ("apikey_assignments", r"(?i)api[_-]?key\s*[:=]\s*[A-Za-z0-9_\-]{12,}", 1),
+)
+
+
+def secret_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document credential scan — the redaction/drop gate a
+    code-heavy corpus runs before SFT (leaked keys memorize
+    verbatim): one count column per :data:`SECRET_PATTERNS` category,
+    the total, a boolean gate, and a severity score (Σ count·weight —
+    private key material outweighs a stray hex digest).
+
+    All native ``regexp_count`` expressions in ONE projection — no
+    shuffle, no UDF; the scan rides whatever partitioning the corpus
+    has and the filter pushes down around it.  Patterns avoid
+    lookaround so Java regex (Spark) and RE2 (DuckDB/production
+    scanners) agree token-for-token."""
+    ids = list(id_cols or ["doc_id"])
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(name)
+        for name, pat, _w in SECRET_PATTERNS
+    ]
+    out = df.select(*ids, *counts)
+    total = None
+    sev = None
+    for name, _pat, w in SECRET_PATTERNS:
+        c = F.col(name)
+        total = c if total is None else total + c
+        term = c * F.lit(w)
+        sev = term if sev is None else sev + term
+    return out.select(
+        *ids,
+        *[name for name, _p, _w in SECRET_PATTERNS],
+        total.alias("n_secrets"),
+        (total > 0).alias("has_secret"),
+        sev.alias("severity"),
+    )

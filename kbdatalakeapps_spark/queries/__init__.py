@@ -122,4 +122,9 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ml_ece",
     "ml_mcnemar",
     "ml_fleiss_kappa",
+    "ts_acf",
+    "ly_compaction_plan",
+    "tx_secret_scan",
+    "sp_leakage_safe_split",
+    "dd_prefix_dups",
 ]

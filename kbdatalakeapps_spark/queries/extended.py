@@ -2746,3 +2746,45 @@ def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs)
     return dd.soft_dedup_weights(docs, pairs)
+
+
+@query(
+    "dd_prefix_dups",
+    oracle="""
+    WITH base0 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 4000000, substr(text, 1, 200)
+        FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 300
+    ),
+    base AS (
+        SELECT doc_id AS id, text AS t, length(text) AS n,
+               substr(text, 1, 64) AS k
+        FROM base0 WHERE length(text) >= 64
+    )
+    SELECT a.id AS id_full, b.id AS id_prefix,
+           CAST(a.n AS BIGINT) AS len_full,
+           CAST(b.n AS BIGINT) AS len_prefix
+    FROM base a JOIN base b
+      ON a.k = b.k AND a.n > b.n AND starts_with(a.t, b.t)
+    """,
+)
+def dd_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection (operators/dedup.py::
+    prefix_duplicate_pairs): 200-char fragments planted for every 9th
+    long document, recovered via 64-char-prefix blocking + exact
+    startswith verify — the re-crawl fragment class shingle-based
+    near-dup under-weights.  Equi-join on the block key only, never a
+    cross join."""
+    from ..operators import dedup as dd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(
+        (F.col("doc_id") % 9 == 0) & (F.length("text") >= 300)
+    ).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return dd.prefix_duplicate_pairs(
+        d.unionByName(planted), "doc_id", "text", block_chars=64
+    )

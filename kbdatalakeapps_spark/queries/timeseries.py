@@ -820,3 +820,66 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_fp",
         "n_outliers",
     )
+
+
+_ACF_DAY_NS = 24 * 3_600 * 10**9
+
+
+@query(
+    "ts_acf",
+    oracle=f"""
+    WITH series AS (
+        SELECT event_type, epoch_ns(ts) // {_ACF_DAY_NS} AS t,
+               COUNT(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+        FROM series a
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) l
+        JOIN series b
+          ON b.event_type = a.event_type AND b.t = a.t + l.lag
+    ),
+    g AS (
+        SELECT event_type, lag, COUNT(*)::BIGINT AS n_pairs,
+               CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+               CAST(COUNT(*) AS DOUBLE) AS nd
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+           CASE WHEN n_pairs > 1
+                 AND (nd * sxx - sx * sx) * (nd * syy - sy * sy) > 0 THEN
+               ROUND((nd * sxy - sx * sy)
+                     / SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+           END AS acf
+    FROM g
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count autocorrelation at lags 1–3 per event type
+    (operators/temporal.py::acf_lags): the persistence/seasonality
+    diagnostic next to ts_seasonal_profile.  The series is ONE
+    map-side-combinable day aggregation; the lag pairing is an
+    equi-join of that tiny series against itself; moments accumulate
+    in DECIMAL(38,0) (exactly associative — built-in corr() is
+    partition-order-sensitive) with one fixed IEEE tree rounded to 6
+    at the end."""
+    from ..operators.temporal import acf_lags
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    series = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"(cast(ts as bigint) - pmod(cast(ts as bigint), "
+                f"{_ACF_DAY_NS})) div {_ACF_DAY_NS}"
+            ).alias("t"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return acf_lags(series, ["event_type"], "t", "x", lags=(1, 2, 3))

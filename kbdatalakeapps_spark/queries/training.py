@@ -2257,3 +2257,39 @@ def sp_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@query(
+    "ly_compaction_plan",
+    oracle="""
+    WITH plan AS (
+        SELECT source, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_chars AS cum_before
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cum_before AS BIGINT) AS cum_before,
+           CAST(cum_before // 20000 AS BIGINT) AS bin_id
+    FROM plan
+    """,
+)
+def ly_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction / token-budget shard planner
+    (io/layout.py::compaction_plan): documents stand in for the file
+    listing (size = n_chars), grouped per source, packed into
+    20 kB-start-offset bins — the metadata-only plan a
+    partitionBy(bin_id) rewrite job executes.  One listing-sized
+    window, exact integer prefix sums."""
+    from ..io.layout import compaction_plan
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return compaction_plan(
+        d, "n_chars", ["source"], "doc_id", target_bytes=20_000
+    ).select(
+        "source", "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("cum_before").cast("long").alias("cum_before"),
+        "bin_id",
+    )

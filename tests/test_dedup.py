@@ -72,3 +72,61 @@ def test_soft_dedup_weights_mass_conservation(spark):
     total = sum(r.weight_fp for r in out.values())
     # 3·333333 + 2·500000 + 2·1000000 = 3999999 ~= 4 clusters · 1e6
     assert total == 3 * (1000000 // 3) + 2 * 500000 + 2 * 1000000
+
+
+def test_prefix_duplicate_pairs_blocking_and_contract(spark):
+    from kbdatalakeapps_spark.operators.dedup import prefix_duplicate_pairs
+
+    import pytest
+
+    long = "x" * 64 + " the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, long),
+        (2, long[:100]),            # strict prefix ≥ block → found
+        (3, long[:40]),             # below block size → out of contract
+        (4, long),                  # equal text → excluded (exact-dup's job)
+        (5, "y" * 64 + "unrelated content entirely different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_full"], r["id_prefix"]): r
+        for r in prefix_duplicate_pairs(df, block_chars=64).collect()
+    }
+    assert (1, 2) in pairs and (4, 2) in pairs
+    assert pairs[(1, 2)]["len_prefix"] == 100
+    assert not any(p for p in pairs if 3 in p or 5 in p)
+    assert not any(a == b for a, b in pairs)
+
+    # hot-bucket guard fails loudly on shared boilerplate openings
+    boiler = spark.createDataFrame(
+        [(i, "z" * 64 + f" tail {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_bucket_docs"):
+        prefix_duplicate_pairs(boiler, max_bucket_docs=5)
+
+
+def test_leakage_safe_split_co_assigns_clusters(spark):
+    from kbdatalakeapps_spark.operators.sampling import leakage_safe_split
+
+    from pyspark.sql import functions as F
+
+    # 40 distinct texts, each duplicated once under a different id
+    docs = [(i, f"document body {i}") for i in range(40)]
+    dups = [(i + 1000, f"document body {i}") for i in range(40)]
+    df = spark.createDataFrame(docs + dups, "doc_id long, text string")
+    keyed = df.select("doc_id", F.md5("text").alias("k"))
+    out = leakage_safe_split(
+        keyed, "doc_id", "k", {"train": 0.5, "val": 0.25, "test": 0.25},
+        salt="t",
+    ).collect()
+    by_keeper = {}
+    for r in out:
+        by_keeper.setdefault(r["keeper"], set()).add(r["split"])
+        assert r["cluster_size"] == 2
+        assert r["is_keeper"] == (r["doc_id"] == r["keeper"])
+    # the leakage guarantee: no cluster straddles splits
+    assert all(len(s) == 1 for s in by_keeper.values())
+    assert len(by_keeper) == 40
+    # and more than one split is actually used across clusters
+    assert len({next(iter(s)) for s in by_keeper.values()}) >= 2

@@ -2133,3 +2133,33 @@ def test_expire_versions_symlinked_table_dir(spark, tmp_path):
     for f in report["deleted_files"]:
         assert not os.path.exists(f)
     assert sorted(r.id for r in read_version(spark, real).collect()) == [9, 10, 11]
+
+
+def test_compaction_plan_bins_and_prefix_sums(spark):
+    from kbdatalakeapps_spark.io.layout import compaction_plan
+
+    rows = [
+        ("a", 1, 60), ("a", 2, 50), ("a", 3, 10), ("a", 4, 100),
+        ("b", 1, 250), ("b", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "src string, fid long, sz long")
+    out = {
+        (r["src"], r["fid"]): r
+        for r in compaction_plan(df, "sz", ["src"], "fid", 100).collect()
+    }
+    # start-offset binning: cum_before // target
+    assert [out[("a", i)]["cum_before"] for i in (1, 2, 3, 4)] == [
+        0, 60, 110, 120
+    ]
+    assert [out[("a", i)]["bin_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    # a file can overshoot its bin (the straddling contract); groups
+    # are independent
+    assert out[("b", 1)]["bin_id"] == 0 and out[("b", 2)]["bin_id"] == 2
+    # deterministic under repartitioning
+    again = {
+        (r["src"], r["fid"]): r["bin_id"]
+        for r in compaction_plan(
+            df.repartition(5), "sz", ["src"], "fid", 100
+        ).collect()
+    }
+    assert again == {k: v["bin_id"] for k, v in out.items()}

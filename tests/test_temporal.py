@@ -327,3 +327,36 @@ def test_stream_seasonal_counts_negative_epoch_matches_batch(spark):
         for r in stream_seasonal_counts(df, "ts", ["event_type"]).collect()
     }
     assert stream == batch and all(0 <= p < 24 for _, p in batch)
+
+
+def test_acf_lags_reference_values(spark):
+    from kbdatalakeapps_spark.operators.temporal import acf_lags
+
+    xs = [1, 3, 2, 5, 4]
+    df = spark.createDataFrame(
+        [("a", t, x) for t, x in enumerate(xs)], "k string, t long, x long"
+    )
+    out = {r["lag"]: r for r in acf_lags(df, ["k"], "t", "x").collect()}
+
+    def ref(k):
+        import math
+        pairs = [(xs[i], xs[i + k]) for i in range(len(xs) - k)]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs); sy = sum(p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs); syy = sum(p[1] ** 2 for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        return round((n * sxy - sx * sy) / math.sqrt(den), 6)
+
+    for k in (1, 2, 3):
+        assert out[k]["n_pairs"] == 5 - k
+        assert out[k]["acf"] == ref(k)
+
+    # gaps drop pair-wise; constant series → NULL (zero variance)
+    gappy = spark.createDataFrame(
+        [("a", 0, 7), ("a", 1, 7), ("a", 3, 7), ("a", 4, 7)],
+        "k string, t long, x long",
+    )
+    got = {r["lag"]: r for r in acf_lags(gappy, ["k"], "t", "x").collect()}
+    assert got[1]["n_pairs"] == 2 and got[1]["acf"] is None
+    assert got[3]["n_pairs"] == 2
