@@ -866,6 +866,7 @@ def link_prediction(
     src: str = "src",
     dst: str = "dst",
     max_wedge_degree: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Common-neighbor / Jaccard link prediction over an undirected
     graph (symmetric directed edge list, the house convention): for
@@ -882,8 +883,16 @@ def link_prediction(
     which nodes may SERVE as the shared neighbor (the standard
     hub-suppression used at scale; capped wedges undercount `common`
     through hubs only).  All integer arithmetic — hash-exact under
-    any partitioning."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    any partitioning.
+
+    The edge list is materialized ONCE (lineage cut) before use: five
+    plan branches consume it (both wedge sides, the anti-join probe,
+    both degree joins), and without the cut each branch replays the
+    caller's full edge construction — measured 5 parquet scans of the
+    co-purchase build per run (round 9)."""
+    e = materializer(checkpoint_dir)(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     wedge_src = e
     if max_wedge_degree is not None:
