@@ -57,6 +57,14 @@ DEFAULT_KEYS = [
     "sim_sq8_topk",
     "sim_ivfpq_topk",
     "tx_gopher_repetition",
+    # round-9 heavies (VERDICT r8 #4): the slowest previously
+    # un-benched keys, now bench-tracked and slope-probed
+    "gr_jaccard_links",
+    "ts_seasonal_anomaly",
+    "ch_thread_paths",
+    "dd_soft_dedup_weights",
+    "mm_image_dedup",
+    "ml_bleu",
 ]
 
 SCALED_TABLES = ("documents", "embeddings", "events", "lineitem", "part")
