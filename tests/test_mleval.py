@@ -1219,3 +1219,74 @@ def test_fleiss_kappa_hand_values_and_nonuniform_guard(spark):
     ).collect()
     assert (nu["min_ratings"], nu["max_ratings"]) == (1, 3)
     assert nu["kappa"] is None and nu["pbar"] is None
+
+
+def test_rouge_wer_query_closed_form_assumptions(spark):
+    """The ml_rouge_l / ml_wer oracles rely on provable closed forms
+    (LCS = n_kept for subsequence+junk-tail; word-Levenshtein =
+    n_gold − n_pred for a subsequence).  Verify the assumption holds
+    against pure-python DP on adversarial texts — tilde characters
+    (the junk marker, which the construction must strip from gold),
+    whitespace runs, repeated words, and empties."""
+    from kbdatalakeapps_spark.queries.mleval import _RL_TOKS_SPARK
+
+    from pyspark.sql import functions as F
+
+    texts = [
+        (0, "the cat sat on the mat the cat came back"),
+        (1, "x ~tilde~ y   multiple   spaces\there"),
+        (2, "a a a a a a a a a a a a"),        # heavy repetition
+        (3, ""),
+        (4, "~~~ only tildes and spaces ~~~"),
+        (5, "one"),
+        (6, " ".join(f"w{i % 7}" for i in range(200))),  # > slice cap
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    base = df.select(
+        "doc_id", F.expr(_RL_TOKS_SPARK).alias("toks"),
+        (F.col("doc_id") % 4).alias("k"),
+    )
+    rows = base.select(
+        "doc_id", "toks", "k",
+        F.expr(
+            "array_join(concat("
+            "filter(toks, (x, i) -> (i + 1) % 3 != 0), "
+            "if(k > 0, transform(sequence(1, cast(k as int)), "
+            "i -> concat('~j', cast(i as string))), array())), ' ')"
+        ).alias("pred"),
+        F.array_join("toks", " ").alias("gold"),
+    ).collect()
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for wa in a:
+            cur = [0] * (len(b) + 1)
+            for j, wb in enumerate(b, 1):
+                cur[j] = prev[j - 1] + 1 if wa == wb else max(
+                    prev[j], cur[j - 1]
+                )
+            prev = cur
+        return prev[len(b)]
+
+    for r in rows:
+        p = r["pred"].lower().split()
+        g = r["gold"].lower().split()
+        kept = [t for i, t in enumerate(r["toks"]) if (i + 1) % 3 != 0]
+        assert lcs(p, g) == len(kept), r["doc_id"]
+        assert len(g) <= 120
+        assert all("~" not in t for t in g)
+        # WER construction: odd-position subsequence → distance = drops
+        sub = [t for i, t in enumerate(r["toks"]) if i % 2 == 0]
+        import itertools
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, wa in enumerate(a, 1):
+                cur = [i] + [0] * len(b)
+                for j, wb in enumerate(b, 1):
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                                 prev[j - 1] + (wa != wb))
+                prev = cur
+            return prev[len(b)]
+
+        assert lev(sub, r["toks"]) == len(r["toks"]) - len(sub)
