@@ -32,61 +32,61 @@ from . import linkage  # noqa: F401,E402
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
 DRIVER_WINDOW: list[str] = [
-    # Round-8 closing rotation: flagship + all 28 round-8
-    # registrations (11 mid-round + 17 closing, each pre-verified on a
-    # vanilla session at sf0.001 AND sf0.01 before rotation; admission
-    # control: 28 <= 49) + the 21 oldest-signal sentinels (the 5
-    # remaining round-2 rows, then the round-3 cohort alphabetically).
+    # Round-9 rotation: flagship + the 10 round-9 registrations (each
+    # pre-verified on a vanilla session at sf0.001 AND sf0.01 before
+    # rotation; admission control: 10 <= 49) + the 39 stalest
+    # sentinels (all 33 remaining round-3-verified rows, then the
+    # round-4 cohort alphabetically).
     "flagship_order_revenue",
-    "tx_language_id_clf",
-    "ml_bleu",
-    "tx_dsir_weights",
-    "tx_mojibake",
-    "ch_dpo_pairs",
-    "dq_mad_outliers",
-    "gr_jaccard_links",
-    "tx_adaptive_length",
-    "dd_soft_dedup_weights",
-    "mm_image_dedup",
-    "sp_curriculum_phases",
-    "ch_thread_paths",
-    "ml_kappa_agreement",
-    "ml_rank_overlap",
-    "ch_best_of_n",
-    "tx_code_quality",
-    "tx_license_detect",
-    "ts_seasonal_profile",
-    "gr_resource_allocation",
-    "ml_mrr",
-    "sk_hll_union",
-    "sp_kfold_balance",
-    "ch_turn_stats",
-    "tx_c4_line_filter",
-    "ts_seasonal_anomaly",
-    "ml_spearman",
-    "tx_lexical_diversity",
-    "ml_brier",
-    "tx_text_stats",
-    "u1_union_tagged",
-    "u3_except_intersect",
-    "w1_argmax_per_group",
-    "w3_sort_nulls_last",
-    "a12_source_counts",
-    "a17_rollup",
-    "a7_group_max_abs",
-    "b1_genome_phenotype_build",
-    "b2_model_performance_build",
-    "b3_ontology_relationships_build",
-    "b4_ontology_definitions_build",
-    "b5_media_composition_build",
-    "b6_gene_phenotype_build",
-    "b7_gene_reaction_build",
-    "b8_genome_reaction_build",
-    "b9_missing_functions_build",
-    "f12_threshold_bands",
-    "f15_reconcile_class",
-    "f17_map_encoding",
-    "f19_arrays_zip",
+    "ml_rouge_l",
+    "ml_wer",
+    "ml_ece",
+    "ml_mcnemar",
+    "ml_fleiss_kappa",
+    "ts_acf",
+    "ly_compaction_plan",
+    "tx_secret_scan",
+    "sp_leakage_safe_split",
+    "dd_prefix_dups",
+    "f20_json_flatten",
+    "f6_gene_rule_tokens",
+    "f7_dict_replacement",
+    "f8_prefix_strip",
+    "j10_lookup_enrichment",
+    "j4_multihop_hash_chain",
+    "k2_rast_seed_mapping",
+    "k3_feature_vector_predict",
+    "o4_limit_offset",
+    "o5_existence_probe",
+    "o6_keyset_page",
+    "sk_hll_registers",
+    "sk_kmv_distinct",
+    "sk_kmv_grouped",
+    "sk_kmv_join_stats",
+    "sp_hash_split",
+    "sp_mixture_sample",
+    "sp_pack_sequences",
+    "sp_stratified_sample",
+    "sp_universe_sample",
+    "sp_weighted_sample",
+    "st_funnel",
+    "st_interval_join",
+    "st_retention_cohorts",
+    "st_session_windows",
+    "st_sessionize",
+    "st_sliding_counts",
+    "st_tumbling_counts",
+    "w4_ranking_suite",
+    "w5_asof_join",
+    "w6_top_k_per_group",
+    "w7_global_row_number",
+    "w8_trailing_window",
+    "a18_histogram",
+    "a19_skew_diagnosis",
+    "a20_cube",
+    "a20_group_percentiles",
+    "a21_corr_stats",
+    "a22_table_profile",
 ]
 
 
@@ -114,17 +114,7 @@ assert len(DRIVER_WINDOW) == 50
 #: EMPTY at round-8 close: all 28 round-8 registrations (11 mid-round
 #: + 17 closing) are in DRIVER_WINDOW, so the verification debt drains
 #: to zero when CORRECTNESS_r08 lands.
-#: Round 9 in progress: new registrations queue here until the
-#: closing rotation folds them into DRIVER_WINDOW.
-PENDING_NEXT_WINDOW: list[str] = [
-    "ml_rouge_l",
-    "ml_wer",
-    "ml_ece",
-    "ml_mcnemar",
-    "ml_fleiss_kappa",
-    "ts_acf",
-    "ly_compaction_plan",
-    "tx_secret_scan",
-    "sp_leakage_safe_split",
-    "dd_prefix_dups",
-]
+#: EMPTY at round-9 close: all 10 round-9 registrations are in
+#: DRIVER_WINDOW, so the verification debt drains to zero when
+#: CORRECTNESS_r09 lands.
+PENDING_NEXT_WINDOW: list[str] = []
