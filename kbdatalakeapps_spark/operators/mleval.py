@@ -1704,6 +1704,9 @@ def fleiss_kappa(
             F.col(item_col).alias("item"), F.col(label_col).alias("lab")
         )
         .agg(F.count(F.lit(1)).alias("nij"))
+        # two consumers (per-item re-agg + label marginals) — cut
+        # lineage so the data-sized cell aggregation runs once
+        .localCheckpoint(eager=False)
     )
     # wrap-ok: nij ≤ raters-per-item (a design constant ≪ int32)
     per_item = cells.groupBy("item").agg(
