@@ -287,6 +287,28 @@ def test_exchange_counts_bounded(spark):
         "ml_spearman": 2,
         "tx_lexical_diversity": 0,
         "ml_brier": 1,
+        # round-9 registrations, measured 0 / 0 / 2 / 1 / 4 / 3 / 1 /
+        # 0 / 1 / 0: rouge/wer/secret-scan are scan+kernel or pure
+        # projections; ece re-aggregates the ≤10 calibration bins;
+        # fleiss = checkpointed cell agg + per-item re-agg + marginal
+        # + 1-row cross; acf = series agg + lag self-join + moment
+        # agg; compaction/leakage/prefix ride one shuffle or
+        # broadcast at fixture scale
+        "ml_rouge_l": 1,
+        "ml_wer": 1,
+        "ml_ece": 3,
+        "ml_mcnemar": 2,
+        "ml_fleiss_kappa": 6,
+        "ts_acf": 5,
+        "ly_compaction_plan": 2,
+        "tx_secret_scan": 0,
+        "sp_leakage_safe_split": 3,
+        "dd_prefix_dups": 3,
+        # round-9 plan fix: link_prediction's edge list is
+        # materialized once (was 17 exchanges / 5 scans via five
+        # replays of the edge construction — these bounds pin the fix)
+        "gr_jaccard_links": 5,
+        "gr_link_prediction": 9,
     }
     over = {}
     for name, bound in bounds.items():
