@@ -1000,22 +1000,34 @@ def wer_score(
         import pandas as pd
 
         def dist(a, b):
-            # classic two-row DP over word lists
+            # Row-vectorized two-row DP: the serial cur[j-1]+1 term
+            # unrolls to cur[j] = min_{k≤j}(seed[k] + (j−k)) with
+            # seed[0] = i and seed[j] = min(prev[j]+1, prev[j-1]+sub)
+            # — a running min of (seed − index) plus the index back
+            # (the classic min-plus transform), so each row is O(|b|)
+            # numpy ops.  Integer arithmetic; bit-identical to the
+            # scalar form (pinned by the reference tests).
             if not a:
                 return len(b)
             if not b:
                 return len(a)
-            prev = np.arange(len(b) + 1, dtype=np.int64)
+            vocab: dict = {}
+            bi = np.fromiter(
+                (vocab.setdefault(w, len(vocab)) for w in b),
+                dtype=np.int64,
+                count=len(b),
+            )
+            idx = np.arange(len(b) + 1, dtype=np.int64)
+            prev = idx.copy()
+            seed = np.empty(len(b) + 1, dtype=np.int64)
             for i, wa in enumerate(a, start=1):
-                cur = np.empty(len(b) + 1, dtype=np.int64)
-                cur[0] = i
-                for j, wb in enumerate(b, start=1):
-                    cur[j] = min(
-                        prev[j] + 1,
-                        cur[j - 1] + 1,
-                        prev[j - 1] + (wa != wb),
-                    )
-                prev = cur
+                seed[0] = i
+                np.minimum(
+                    prev[1:] + 1,
+                    prev[:-1] + (bi != vocab.get(wa, -1)),
+                    out=seed[1:],
+                )
+                prev = np.minimum.accumulate(seed - idx) + idx
             return int(prev[len(b)])
 
         for pdf in batches:
@@ -1197,17 +1209,33 @@ def rouge_l_score(
         import pandas as pd
 
         def lcs(a, b):
+            # Row-vectorized DP: the LCS recurrence in max-of-three
+            # form cur[j] = max(prev[j], prev[j-1]+match, cur[j-1])
+            # (equivalent to the textbook two-case form — each term is
+            # a valid common-subsequence length and the max attains
+            # the DP value), where the cur[j-1] propagation is a
+            # running max — np.maximum.accumulate — so each row is
+            # O(|b|) numpy ops instead of a Python inner loop.
+            # Integer arithmetic throughout: results are bit-identical
+            # to the scalar form (pinned by the reference tests).
             if not a or not b:
                 return 0
+            vocab: dict = {}
+            bi = np.fromiter(
+                (vocab.setdefault(w, len(vocab)) for w in b),
+                dtype=np.int64,
+                count=len(b),
+            )
             prev = np.zeros(len(b) + 1, dtype=np.int64)
+            cur = np.zeros(len(b) + 1, dtype=np.int64)
             for wa in a:
-                cur = np.zeros(len(b) + 1, dtype=np.int64)
-                for j, wb in enumerate(b, start=1):
-                    cur[j] = (
-                        prev[j - 1] + 1 if wa == wb
-                        else max(prev[j], cur[j - 1])
-                    )
-                prev = cur
+                c = np.maximum(
+                    prev[1:],
+                    np.where(bi == vocab.get(wa, -1), prev[:-1] + 1, 0),
+                )
+                np.maximum.accumulate(c, out=cur[1:])
+                prev, cur = cur, prev
+                cur[0] = 0
             return int(prev[len(b)])
 
         for pdf in batches:

@@ -1290,3 +1290,56 @@ def test_rouge_wer_query_closed_form_assumptions(spark):
             return prev[len(b)]
 
         assert lev(sub, r["toks"]) == len(r["toks"]) - len(sub)
+
+
+def test_vectorized_dp_kernels_match_scalar_references(spark):
+    """The numpy row-recurrence forms (max-of-three LCS, min-plus
+    Levenshtein) must be bit-identical to the textbook scalar DPs on
+    randomized word lists — including empties, all-equal, and
+    disjoint vocabularies."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.mleval import (
+        rouge_l_score,
+        wer_score,
+    )
+
+    rng = random.Random(99)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    rows = []
+    for i in range(60):
+        p = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14)))
+        g = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14)))
+        rows.append((i, p, g))
+    rows += [(100, "", ""), (101, "x x x", ""), (102, "", "y y"),
+             (103, "same same", "same same"), (104, "q w e", "z u i")]
+    df = spark.createDataFrame(rows, "pair_id long, p string, g string")
+
+    def lcs_ref(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                            else max(dp[i - 1][j], dp[i][j - 1]))
+        return dp[len(a)][len(b)]
+
+    def lev_ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            nd = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                nd[j] = min(dp[j] + 1, nd[j - 1] + 1,
+                            dp[j - 1] + (a[i - 1] != b[j - 1]))
+            dp = nd
+        return dp[len(b)]
+
+    got_r = {r["pair_id"]: r["lcs_len"]
+             for r in rouge_l_score(df, "p", "g").collect()}
+    got_w = {r["pair_id"]: r["word_edits"]
+             for r in wer_score(df, "p", "g").collect()}
+    for pid, p, g in rows:
+        a, b = p.lower().split(), g.lower().split()
+        assert got_r[pid] == lcs_ref(a, b), ("lcs", pid)
+        assert got_w[pid] == lev_ref(a, b), ("lev", pid)
