@@ -1346,11 +1346,13 @@ def cohen_kappa_pairs(
             "rater_b",
             "n_items",
             "n_agree",
-            # ADVICE r8: pe_num approaches n² (DECIMAL(38,0) range —
-            # the whole reason the kappa arithmetic is carried in
-            # _DEC); a long cast here would wrap the diagnostic column
-            # past ~3e9 co-rated items even though kappa stays exact
-            F.col("pe_num").alias("pe_num"),
+            # ADVICE r8: pe_num approaches n² — a long cast wraps past
+            # ~3e9 co-rated items even though kappa stays exact (the
+            # arithmetic above is carried in _DEC).  Reported as
+            # DOUBLE: no wrap, graceful precision loss only past 2^53,
+            # and final schemas may not carry decimals (the round-5
+            # driver-hash rule — conf_fp precedent)
+            F.col("pe_num").cast("double").alias("pe_num"),
             F.when(
                 den != F.lit(0),
                 num.cast("double") / den.cast("double"),

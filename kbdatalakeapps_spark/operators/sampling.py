@@ -935,7 +935,7 @@ def kfold_assign(
     return df.withColumn(fold_col, F.pmod(h, F.lit(k)))
 
 
-def leakage_safe_split(
+def cluster_keyed_split(
     df: DataFrame,
     id_col: str,
     key_col: str,
@@ -943,14 +943,17 @@ def leakage_safe_split(
     salt: str = "",
     split_col: str = "split",
 ) -> DataFrame:
-    """Train/val/test split that can never leak a duplicate across
-    splits: rows are first clustered by ``key_col`` (a content key —
-    e.g. md5 of normalized text, or a near-dup cluster keeper from
-    keeper_assignment), the cluster REPRESENTATIVE (min ``id_col``)
-    is hash-split, and every member inherits its representative's
-    split.  Splitting raw row ids instead puts exact/near duplicates
-    of training documents into the eval split — the classic
-    contamination that silently inflates held-out metrics.
+    """Key-based twin of :func:`leakage_safe_split` — use when dedup
+    already produced a cluster KEY COLUMN (md5 of normalized text, an
+    LSH cluster id, a keeper from keeper_assignment) rather than a
+    pair graph: rows cluster by ``key_col``, the cluster
+    REPRESENTATIVE (min ``id_col``) is hash-split, and every member
+    inherits its representative's split.  Splitting raw row ids
+    instead puts exact/near duplicates of training documents into the
+    eval split — the classic contamination that silently inflates
+    held-out metrics.  (leakage_safe_split takes (id_a, id_b)
+    near-dup pairs and runs the CC fixpoint itself; this form skips
+    the fixpoint entirely when the key is already transitive.)
 
     Output: every input row with ``keeper``, ``cluster_size``,
     ``is_keeper`` and the inherited ``split`` — the audit columns a

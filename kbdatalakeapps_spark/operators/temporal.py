@@ -568,6 +568,8 @@ def seasonal_profile(
     # multiple of p) and pmod for the phase, giving [0, cycle) always.
     t = f"cast(`{ts_col}` as bigint)"
     p = int(period_ns)
+    # wrap-ok: (t - pmod(t, p)) is a multiple of p, div SHRINKS it;
+    # pmod bounds the result below cycle
     phase = F.expr(f"pmod(({t} - pmod({t}, {p})) div {p}, {int(cycle)})")
     per_phase = (
         df.select(*keys, phase.alias("phase"))

@@ -897,7 +897,7 @@ def _kappa_ratings_sql() -> str:
     SELECT o.rater_a, o.rater_b,
            CAST(o.n_items AS BIGINT) AS n_items,
            CAST(o.n_agree AS BIGINT) AS n_agree,
-           CAST(p.pe_num AS BIGINT) AS pe_num,
+           CAST(p.pe_num AS DOUBLE) AS pe_num,
            CASE WHEN o.n_items * o.n_items - p.pe_num <> 0 THEN
                CAST(o.n_items * o.n_agree - p.pe_num AS DOUBLE)
                    / CAST(o.n_items * o.n_items - p.pe_num AS DOUBLE)

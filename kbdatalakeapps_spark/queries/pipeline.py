@@ -3058,13 +3058,13 @@ _LSS_HASH_SQL = (
 )
 def sp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination-safe 80/10/10 split (operators/sampling.py::
-    leakage_safe_split): exact-dup clusters (md5 content key, planted
+    cluster_keyed_split): exact-dup clusters (md5 content key, planted
     duplicate every 7th doc) are split by their REPRESENTATIVE, so a
     duplicate can never straddle train and eval — the leakage audit a
     dedup-aware data pipeline runs before export.  One content-key
     groupBy + join; the split is the engine-agnostic md5 unit hash on
     the keeper."""
-    from ..operators.sampling import leakage_safe_split
+    from ..operators.sampling import cluster_keyed_split
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = d.unionByName(
@@ -3073,7 +3073,7 @@ def sp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     keyed = base.select("doc_id", F.md5("text").alias("k"))
-    out = leakage_safe_split(
+    out = cluster_keyed_split(
         keyed, "doc_id", "k",
         {"train": 0.8, "val": 0.1, "test": 0.1}, salt="ls9",
     )

@@ -795,10 +795,12 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ADVICE r8: floored div + pmod so pre-1970 timestamps
             # land in phase [0,24) / the floor day bucket, matching
             # the oracle's floor-division `//` semantics.
+            # wrap-ok: (ts - pmod(ts, p)) div p SHRINKS the operand
             F.expr(
                 f"pmod((cast(ts as bigint) - pmod(cast(ts as bigint), "
                 f"{_HOUR_NS})) div {_HOUR_NS}, 24)"
             ).alias("phase"),
+            # wrap-ok: same floored-div shrink for the day bucket
             F.expr(
                 f"(cast(ts as bigint) - pmod(cast(ts as bigint), "
                 f"{24 * _HOUR_NS})) div {24 * _HOUR_NS}"
@@ -874,6 +876,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = (
         ev.select(
             "event_type",
+            # wrap-ok: (ts - pmod(ts, p)) div p SHRINKS the operand
             F.expr(
                 f"(cast(ts as bigint) - pmod(cast(ts as bigint), "
                 f"{_ACF_DAY_NS})) div {_ACF_DAY_NS}"

@@ -106,8 +106,8 @@ def test_prefix_duplicate_pairs_blocking_and_contract(spark):
         prefix_duplicate_pairs(boiler, max_bucket_docs=5)
 
 
-def test_leakage_safe_split_co_assigns_clusters(spark):
-    from kbdatalakeapps_spark.operators.sampling import leakage_safe_split
+def test_cluster_keyed_split_co_assigns_clusters(spark):
+    from kbdatalakeapps_spark.operators.sampling import cluster_keyed_split
 
     from pyspark.sql import functions as F
 
@@ -116,7 +116,7 @@ def test_leakage_safe_split_co_assigns_clusters(spark):
     dups = [(i + 1000, f"document body {i}") for i in range(40)]
     df = spark.createDataFrame(docs + dups, "doc_id long, text string")
     keyed = df.select("doc_id", F.md5("text").alias("k"))
-    out = leakage_safe_split(
+    out = cluster_keyed_split(
         keyed, "doc_id", "k", {"train": 0.5, "val": 0.25, "test": 0.25},
         salt="t",
     ).collect()

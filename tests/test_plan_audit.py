@@ -57,6 +57,7 @@ _BNLJ_OK = {
     # the corpus — the standard 2-phase skyline shape
     "sky_pareto_parts",
     "ml_mrr",                 # 1-row n_queries scalar × 1-row hit agg
+    "ml_fleiss_kappa",        # 1-row totals × 1-row label-marginal agg
     "ml_target_encode",       # 1-row global-prior scalar onto the
                               # #categories × K encoding grid
     "tx_language_id_clf",     # 1-row bias-argmax fallback broadcast
