@@ -893,6 +893,19 @@ def link_prediction(
     e = materializer(checkpoint_dir)(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     )
+    # The lineage cut hides size stats from Catalyst, which would
+    # otherwise demote every join to sort-merge (measured: 44 s → 58 s
+    # at sf0.1 when the round-9 cut landed without this).  One cheap
+    # count on the materialized list gates an explicit broadcast of
+    # the edge-table probe sides: small graphs keep the hash-join
+    # plan, and past the threshold the joins stay shuffled — the only
+    # scale-correct shape when the edge list is data-sized.
+    n_edges = e.count()
+    small = n_edges <= 5_000_000
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     wedge_src = e
     if max_wedge_degree is not None:
@@ -900,7 +913,7 @@ def link_prediction(
         wedge_src = e.join(ok, "s", "left_semi")
     pairs = (
         wedge_src.alias("x")
-        .join(wedge_src.alias("y"), F.col("x.s") == F.col("y.s"))
+        .join(_b(wedge_src.alias("y")), F.col("x.s") == F.col("y.s"))
         .filter(F.col("x.d") < F.col("y.d"))
         .groupBy(
             F.col("x.d").alias("id_a"), F.col("y.d").alias("id_b")
@@ -908,15 +921,15 @@ def link_prediction(
         .agg(F.count(F.lit(1)).alias("common"))
     )
     non_edges = pairs.join(
-        e.select(F.col("s").alias("id_a"), F.col("d").alias("id_b")),
+        _b(e.select(F.col("s").alias("id_a"), F.col("d").alias("id_b"))),
         ["id_a", "id_b"],
         "left_anti",
     )
     out = (
-        non_edges.join(deg.select(F.col("s").alias("id_a"),
-                                  F.col("deg").alias("deg_a")), "id_a")
-        .join(deg.select(F.col("s").alias("id_b"),
-                         F.col("deg").alias("deg_b")), "id_b")
+        non_edges.join(_b(deg.select(F.col("s").alias("id_a"),
+                                     F.col("deg").alias("deg_a"))), "id_a")
+        .join(_b(deg.select(F.col("s").alias("id_b"),
+                            F.col("deg").alias("deg_b"))), "id_b")
     )
     return out.select(
         "id_a",

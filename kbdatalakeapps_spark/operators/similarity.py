@@ -1096,3 +1096,69 @@ def mips_augment(
     return df.withColumn(
         vec_col, F.concat(v.cast("array<double>"), F.array(extra))
     )
+
+
+def mrl_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dims: int = 16,
+    shortlist: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Matryoshka two-stage ANN (Kusupati et al. 2022, MRL): a prefix
+    of an MRL-trained embedding is itself a usable lower-dimensional
+    embedding, so stage 1 scans the corpus scoring only the FIRST
+    ``prefix_dims`` coordinates (dot product — ~dims/prefix_dims of
+    the full-scan cost) and keeps a per-query ``shortlist``; stage 2
+    reranks just those rows with the exact full-dimension cosine.
+    Recall loss is confined to stage-1 ordering mistakes beyond the
+    shortlist depth; returned scores are EXACT cosines.
+
+    Both stages use the exact-decimal accumulators, ties break on
+    corpus id, so the result is engine/partition-invariant and fully
+    SQL-oracle-able — unlike IVF this needs no trained index.
+
+    Scale: same plan shape as :func:`cosine_topk` (broadcast queries,
+    one narrow corpus pass, per-query windows) but the full-width
+    vector math runs on shortlist·|queries| rows only — the payoff
+    grows with embedding width.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.slice(F.col(vec_col), 1, prefix_dims).alias("qpre"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cvec"),
+        F.slice(F.col(vec_col), 1, prefix_dims).alias("cpre"),
+    )
+    stage1 = (
+        c.crossJoin(F.broadcast(q) if broadcast_queries else q)
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("pre_dot", _dot(F.col("qpre"), F.col("cpre")))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("pre_dot").desc(), F.col("corpus_id").asc()
+    )
+    short = (
+        stage1.withColumn("pre_rank", F.row_number().over(w1))
+        .filter(F.col("pre_rank") <= shortlist)
+    )
+    reranked = short.withColumn(
+        "cosine",
+        _dot(F.col("qvec"), F.col("cvec"))
+        / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "pre_dot", "pre_rank", "cosine",
+                "rank")
+    )

@@ -3079,3 +3079,74 @@ def sp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("doc_id", "keeper", "cluster_size", "split",
                       "is_keeper")
+
+
+_MRL_PRE_SQL = """
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               CAST(SUM(CAST(CAST(qv.v AS DOUBLE)
+                    * CAST(c.embedding[qv.pos] AS DOUBLE)
+                    AS DECIMAL(38,15))) AS DOUBLE) AS pre_dot
+        FROM embeddings q,
+             LATERAL (SELECT unnest(q.embedding) AS v,
+                             generate_subscripts(q.embedding, 1) AS pos) qv,
+             embeddings c
+        WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id AND qv.pos <= 16
+        GROUP BY 1, 2
+"""
+
+
+@query(
+    "sim_mrl_topk",
+    oracle=f"""
+    WITH pre AS ({_MRL_PRE_SQL}),
+    short AS (
+        SELECT query_id, corpus_id, pre_dot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY pre_dot DESC, corpus_id)
+                   AS pre_rank
+        FROM pre
+        QUALIFY pre_rank <= 20
+    ),
+    dots AS ({_DOT_SQL}),
+    norms AS ({_NORM_SQL}),
+    reranked AS (
+        SELECT s.query_id, s.corpus_id, ROUND(s.pre_dot, 9) AS pre_dot,
+               CAST(s.pre_rank AS BIGINT) AS pre_rank,
+               ROUND(d.dot / (nq.nrm * nc.nrm), 9) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, s.corpus_id
+               ) AS rank
+        FROM short s
+        JOIN dots d ON d.query_id = s.query_id AND d.corpus_id = s.corpus_id
+        JOIN norms nq ON nq.vec_id = s.query_id
+        JOIN norms nc ON nc.vec_id = s.corpus_id
+    )
+    SELECT query_id, corpus_id, pre_dot, pre_rank, cosine, rank::INT AS rank
+    FROM reranked WHERE rank <= 5
+    """,
+)
+def sim_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage ANN (operators/similarity.py::mrl_topk):
+    16-dim prefix dot-product shortlist (top-20 per query — the cheap
+    full-corpus pass) reranked to exact full-dim cosine top-5.  Needs
+    no trained index, so unlike IVF/PQ the whole path carries an
+    exact oracle; both stages accumulate in DECIMAL(38,15) with
+    deterministic id tie-breaks."""
+    from ..operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.mrl_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, prefix_dims=16,
+        shortlist=20,
+    )
+    return out.select(
+        "query_id", "corpus_id",
+        # raw pre_dot drives the shortlist ORDER; the reported column
+        # is rounded to 9 like every similarity score (last-ulp
+        # decimal-cast rounding differs across engines)
+        F.round("pre_dot", 9).alias("pre_dot"),
+        F.col("pre_rank").cast("long").alias("pre_rank"),
+        F.round("cosine", 9).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -886,3 +886,61 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("x"))
     )
     return acf_lags(series, ["event_type"], "t", "x", lags=(1, 2, 3))
+
+
+@query(
+    "st_sequence_ngrams",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ),
+    tri AS (
+        SELECT t1, t2, t3, COUNT(*) AS n
+        FROM seq WHERE t3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT SUM(n) AS total FROM tri)
+    SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS support
+    FROM tri, tot
+    WHERE n >= 5
+    """,
+)
+def st_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral trigram mining over per-user event
+    sequences — the k=3 sequential-pattern extension of
+    st_event_transitions (funnel hypotheses, next-event features):
+    one partitioned lead window (state bounded per user), one
+    map-side-combinable trigram agg, a broadcast 1-row total for the
+    support ratio, min-support 5.  Deterministic (ts, event_id)
+    ordering; the support is one double division of exact counts."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tri.agg(F.sum("n").alias("total"))
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") >= 5)
+        .select(
+            "t1", "t2", "t3", "n",
+            (F.col("n").cast("double") / F.col("total").cast("double"))
+            .alias("support"),
+        )
+    )

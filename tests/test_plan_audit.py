@@ -36,6 +36,7 @@ _BNLJ_OK = {
     # bounded-small (not 1-row) broadcast sides: the product is
     # |corpus| × k with k fixed by the operator contract
     "sim_cosine_topk",        # brute-force baseline: bounded query set × corpus
+    "sim_mrl_topk",           # same bounded query set × corpus (prefix stage)
     "sim_sq8_topk",           # 1-row bounds arrays + bounded query set × codes
     "sim_ivf_topk",           # query × k-centroid table (k=8)
     "sim_ivf_assign_topk",    # same, fixed centroids
@@ -58,6 +59,7 @@ _BNLJ_OK = {
     "sky_pareto_parts",
     "ml_mrr",                 # 1-row n_queries scalar × 1-row hit agg
     "ml_fleiss_kappa",        # 1-row totals × 1-row label-marginal agg
+    "st_sequence_ngrams",     # 1-row trigram-total scalar for the support
     "ml_target_encode",       # 1-row global-prior scalar onto the
                               # #categories × K encoding grid
     "tx_language_id_clf",     # 1-row bias-argmax fallback broadcast

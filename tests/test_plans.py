@@ -309,6 +309,11 @@ def test_exchange_counts_bounded(spark):
         # replays of the edge construction — these bounds pin the fix)
         "gr_jaccard_links": 5,
         "gr_link_prediction": 9,
+        # round-9 late registrations, measured 1 / 5: MRL is the
+        # cosine_topk shape (broadcast queries, per-query windows);
+        # trigram mining = lead window + agg + broadcast total
+        "sim_mrl_topk": 2,
+        "st_sequence_ngrams": 7,
     }
     over = {}
     for name, bound in bounds.items():
