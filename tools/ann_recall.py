@@ -104,6 +104,18 @@ def main() -> int:
         .select("query_id", F.col("corpus_id").alias("doc_id"))
         .localCheckpoint()
     )
+    # MRL two-stage (round 9): prefix-dim shortlist + exact rerank.
+    # Recall loss = true top-k members whose PREFIX rank fell outside
+    # the shortlist — on unstructured random vectors the 16/64-dim
+    # prefix ordering is weakly correlated with the full ordering, so
+    # these are floors; MRL-trained embeddings concentrate information
+    # in the prefix by construction.
+    for shortlist in (20, 50):
+        out = sim.mrl_topk(
+            emb, queries, k=k, prefix_dims=16, shortlist=shortlist
+        ).select("query_id", F.col("corpus_id").alias("doc_id"))
+        results[f"mrl 16/64 shortlist={shortlist}"] = recall(out, cos_truth)
+
     cents = sim.kmeans_centroids(emb, k=8, iterations=3).localCheckpoint()
     for nprobe in (1, 2, 4):
         out = sim.ivf_topk(emb, queries, cents, k=k, nprobe=nprobe).select(
