@@ -942,3 +942,58 @@ def link_prediction(
             "(common * 1000000) div (deg_a + deg_b - common)"
         ).alias("jaccard_fp"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the undirected edge list,
+    each edge contributing both orientations — one number separating
+    hub-attracts-hub graphs (r > 0, social shapes) from
+    hub-attracts-leaf graphs (r < 0, star/boilerplate shapes), which
+    predicts wedge-join skew before a link-prediction or triangle
+    pass is planned.
+
+    Determinism: the five moment sums accumulate in DECIMAL(38,0)
+    over exact integer degrees (the a21_corr_stats idiom — built-in
+    corr() is partition-order-sensitive), one fixed IEEE tree rounded
+    to 6 at the end; NULL when degenerate (all degrees equal).
+
+    Scale: degree table + two equi-joins of the edge list against it
+    + ONE map-side-combinable global agg — no wedge fan-out at all.
+    The canonical edge set and the degree table are each consumed by
+    multiple branches, so both get a lineage cut (the link_prediction
+    lesson: without it every branch replays the caller's edge
+    construction)."""
+    und = _undirected(edges, src, dst).localCheckpoint(eager=False)
+    deg = _node_degrees(und).localCheckpoint(eager=False)
+    both = und.select("u", "v").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    j = (
+        both.join(deg.select(F.col("id").alias("u"),
+                             F.col("degree").alias("dx")), "u")
+        .join(deg.select(F.col("id").alias("v"),
+                         F.col("degree").alias("dy")), "v")
+    )
+    dec = "decimal(38,0)"
+    x, y = F.col("dx").cast(dec), F.col("dy").cast(dec)
+    g = j.agg(
+        F.count(F.lit(1)).alias("n_edge_ends"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    nd = F.col("n_edge_ends").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den = (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    return g.select(
+        "n_edge_ends",
+        F.when(den > 0, F.round((nd * sxy - sx * sy) / F.sqrt(den), 6))
+        .alias("assortativity"),
+    )

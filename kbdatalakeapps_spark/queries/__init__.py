@@ -32,9 +32,9 @@ from . import linkage  # noqa: F401,E402
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
 DRIVER_WINDOW: list[str] = [
-    # Round-9 rotation: flagship + the 12 round-9 registrations (each
+    # Round-9 rotation: flagship + the 14 round-9 registrations (each
     # pre-verified on a vanilla session at sf0.001 AND sf0.01 before
-    # rotation; admission control: 12 <= 49) + the 37 stalest
+    # rotation; admission control: 14 <= 49) + the 35 stalest
     # sentinels (all 33 remaining round-3-verified rows, then the
     # round-4 cohort alphabetically).
     "flagship_order_revenue",
@@ -50,6 +50,8 @@ DRIVER_WINDOW: list[str] = [
     "dd_prefix_dups",
     "sim_mrl_topk",
     "st_sequence_ngrams",
+    "gr_degree_assortativity",
+    "dq_blocking_audit",
     "f20_json_flatten",
     "f6_gene_rule_tokens",
     "f7_dict_replacement",
@@ -85,8 +87,6 @@ DRIVER_WINDOW: list[str] = [
     "w8_trailing_window",
     "a18_histogram",
     "a19_skew_diagnosis",
-    "a20_cube",
-    "a20_group_percentiles",
 ]
 
 
@@ -114,7 +114,7 @@ assert len(DRIVER_WINDOW) == 50
 #: EMPTY at round-8 close: all 28 round-8 registrations (11 mid-round
 #: + 17 closing) are in DRIVER_WINDOW, so the verification debt drains
 #: to zero when CORRECTNESS_r08 lands.
-#: EMPTY at round-9 close: all 12 round-9 registrations are in
+#: EMPTY at round-9 close: all 14 round-9 registrations are in
 #: DRIVER_WINDOW, so the verification debt drains to zero when
 #: CORRECTNESS_r09 lands.
 PENDING_NEXT_WINDOW: list[str] = []

@@ -788,3 +788,45 @@ def gr_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_ra_dec").cast("long").alias("ra_fp"),
         (F.col("_ra_dec").cast("double") / F.lit(float(_RA_FP))).alias("ra"),
     )
+
+
+@query(
+    "gr_degree_assortativity",
+    oracle=f"""
+    WITH {_UND_SQL},
+    bi AS (
+        SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+    ),
+    j AS (
+        SELECT dx.degree AS dx, dy.degree AS dy
+        FROM bi JOIN deg dx ON dx.id = bi.u
+                JOIN deg dy ON dy.id = bi.v
+    ),
+    g AS (
+        SELECT COUNT(*)::BIGINT AS n_edge_ends,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(CAST(dx AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(dy AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(dx AS HUGEINT) * dx) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(dx AS HUGEINT) * dy) AS DOUBLE) AS sxy
+        FROM j
+    )
+    SELECT n_edge_ends,
+           CASE WHEN (nd * sxx - sx * sx) * (nd * syy - sy * sy) > 0 THEN
+               ROUND((nd * sxy - sx * sy)
+                     / SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+           END AS assortativity
+    FROM g
+    """,
+)
+def gr_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph
+    (operators/graph.py::degree_assortativity, Newman 2002): one
+    number separating hub-attracts-hub from hub-attracts-leaf shapes
+    — the skew forecast read BEFORE planning a wedge-join pass.
+    Exact-decimal moment sums over integer degrees, one rounded IEEE
+    tree; no wedge fan-out anywhere in the plan."""
+    from ..operators.graph import degree_assortativity
+
+    return degree_assortativity(_copurchase_edges(spark, sf_dir))

@@ -2152,24 +2152,7 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
     from ..operators.multimodal import image_neardup_pairs, perceptual_hash
 
-    d = _t(spark, sf_dir, "documents")
-    meta = F.struct(
-        F.lit("image/raw-gray8").alias("mime"),
-        F.lit(4).alias("width"),
-        F.lit(4).alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
-    )
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.unhex(F.md5("text")).alias("content"),
-        meta.alias("meta"),
-    ).union(
-        d.filter(F.col("doc_id") % 25 == 0).select(
-            (F.col("doc_id") + 1000000).alias("media_id"),
-            F.unhex(F.md5("text")).alias("content"),
-            meta.alias("meta"),
-        )
-    )
+    media = _image_dedup_media(spark, sf_dir)
     hashes = perceptual_hash(media, hash_size=4)
     pairs = image_neardup_pairs(hashes, bits=16, max_hamming=1, prefix_bits=4)
     ids = media.select(F.col("media_id").alias("doc_id"))
@@ -2292,4 +2275,104 @@ def ly_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("cum_before").cast("long").alias("cum_before"),
         "bin_id",
+    )
+
+
+@query(
+    "dq_blocking_audit",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS media_id, md5(text) AS hx FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text)
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    px AS (
+        SELECT media_id, t.i,
+               ('0x' || substr(hx, 2 * t.i + 1, 2))::BIGINT AS v
+        FROM base, (SELECT unnest(range(16)) AS i) t
+    ),
+    m AS (SELECT media_id, SUM(v) / 16.0 AS mean FROM px GROUP BY media_id),
+    ah AS (
+        SELECT p.media_id,
+               CAST(SUM(CASE WHEN p.v > m.mean
+                             THEN (1::BIGINT << p.i) ELSE 0 END) AS BIGINT)
+                   AS ph
+        FROM px p JOIN m USING (media_id) GROUP BY p.media_id
+    ),
+    buckets AS (
+        SELECT ph, COUNT(*) AS n_docs FROM ah GROUP BY ph
+    ),
+    g AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_keys,
+               CAST(COUNT(*) AS BIGINT) AS distinct_keys,
+               CAST(MAX(n_docs) AS BIGINT) AS max_bucket
+        FROM buckets
+    )
+    SELECT n_keys, distinct_keys, max_bucket,
+           CAST(n_keys AS DOUBLE) * CAST(n_keys - 1 AS DOUBLE)
+               / 2.0 / 65536.0 AS expected_collisions,
+           CASE WHEN CAST(n_keys AS DOUBLE) * CAST(n_keys - 1 AS DOUBLE)
+                     / 2.0 / 65536.0 >= 1.0
+                THEN 'alternating' ELSE 'minlabel' END AS recommended_cc
+    FROM g
+    """,
+)
+def dq_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key saturation audit — the round-8 deep-chain lesson
+    (16-bit phash birthday collisions → CC iteration-cap blowout) as
+    a first-class data-quality table: over the mm_image_dedup hash
+    space, the key population, distinct keys, hottest bucket, the
+    expected-birthday-collision count n(n−1)/2/2^bits, and the CC
+    variant graph.select_cc_algorithm's entropy rule would pick.  Run
+    it BEFORE a near-dup pass to see whether the blocking key is
+    saturated.  One map-side bucket agg + one re-agg."""
+    media = _image_dedup_media(spark, sf_dir)
+    from ..operators.multimodal import perceptual_hash
+
+    hashes = perceptual_hash(media, hash_size=4)
+    buckets = hashes.groupBy("ahash").agg(F.count(F.lit(1)).alias("n_docs"))
+    g = buckets.agg(
+        F.sum("n_docs").alias("n_keys"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.max("n_docs").alias("max_bucket"),
+    )
+    exp_col = (
+        F.col("n_keys").cast("double")
+        * (F.col("n_keys") - 1).cast("double")
+        / F.lit(2.0)
+        / F.lit(65536.0)
+    )
+    return g.select(
+        "n_keys",
+        "distinct_keys",
+        "max_bucket",
+        exp_col.alias("expected_collisions"),
+        F.when(exp_col >= 1.0, F.lit("alternating"))
+        .otherwise(F.lit("minlabel"))
+        .alias("recommended_cc"),
+    )
+
+
+def _image_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared raw-bitmap media fixture (planted exact copies every
+    25th doc) — feeds mm_image_dedup AND dq_blocking_audit so the
+    audit reads the same hash space the dedup pass runs on."""
+    d = _t(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.lit("image/raw-gray8").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5("text")).alias("content"),
+        meta.alias("meta"),
+    ).union(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("media_id"),
+            F.unhex(F.md5("text")).alias("content"),
+            meta.alias("meta"),
+        )
     )

@@ -821,3 +821,45 @@ def test_select_cc_algorithm_deep_chain_guard(spark):
     assert sorted((r["id"], r["component"]) for r in alt.collect()) == [
         (i, 0) for i in range(n)
     ]
+
+
+def test_degree_assortativity_reference_values(spark):
+    import math
+
+    from kbdatalakeapps_spark.operators.graph import degree_assortativity
+
+    # star K1,3: every edge pairs the hub (deg 3) with a leaf (deg 1)
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    [r] = degree_assortativity(star).collect()
+    assert r["n_edge_ends"] == 6
+    # perfectly disassortative... but with only two degree values the
+    # correlation over both orientations is exactly -1
+    assert r["assortativity"] == -1.0
+
+    # regular ring: all degrees equal → zero variance → NULL
+    ring = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    [rr] = degree_assortativity(ring).collect()
+    assert rr["assortativity"] is None and rr["n_edge_ends"] == 8
+
+    # python reference on a mixed graph
+    edges = [(0, 1), (1, 2), (1, 3), (3, 4), (4, 0), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pts = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts); syy = sum(p[1] ** 2 for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    want = round((n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    [g] = degree_assortativity(df).collect()
+    assert g["assortativity"] == want

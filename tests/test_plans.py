@@ -314,6 +314,11 @@ def test_exchange_counts_bounded(spark):
         # trigram mining = lead window + agg + broadcast total
         "sim_mrl_topk": 2,
         "st_sequence_ngrams": 7,
+        # measured 1 / 2: assortativity rides checkpointed edge/degree
+        # tables (was 15 before the cuts — this bound pins that fix);
+        # blocking audit is one bucket agg + re-agg
+        "gr_degree_assortativity": 3,
+        "dq_blocking_audit": 4,
     }
     over = {}
     for name, bound in bounds.items():
