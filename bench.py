@@ -275,7 +275,10 @@ BENCH_QUERIES = [
     # iterative spot-checks; appended so earlier keys stay comparable)
     "ch_thread_paths",             # frontier-join tree linearization
     "ts_seasonal_anomaly",         # grouped exact median/MAD per phase cell
-    "gr_jaccard_links",            # degree-bounded wedge join link prediction
+    # round-10: bench key moved to the hub-capped form (VERDICT r9 #2)
+    # — the uncapped wedge fan-out grows quadratically in hub degree
+    # and stays a correctness-only sentinel at sf0.01
+    "gr_jaccard_links_capped",     # hub-capped wedge join link prediction
 ]
 
 # The most expensive queries — measured twice, median reported.
@@ -425,7 +428,7 @@ def main() -> None:
 
             candidates = list(dict.fromkeys(
                 DEFAULT_KEYS
-                + ["gr_jaccard_links", "ts_seasonal_anomaly",
+                + ["gr_jaccard_links_capped", "ts_seasonal_anomaly",
                    "ch_thread_paths", "dd_soft_dedup_weights",
                    "mm_image_dedup", "ml_bleu"]
             ))

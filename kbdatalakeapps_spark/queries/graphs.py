@@ -696,6 +696,78 @@ def gr_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hub cap for the benched link-prediction form: wedge centers with
+#: degree above this may not SERVE as the shared neighbor.  112 sits
+#: just under the co-purchase graph's median degree (119 at sf0.1),
+#: cutting the wedge fan-out Σ_w deg(w)² 298M → 75M rows (4×) while
+#: keeping ~8k of 20k centers — the standard hub-suppression shape
+#: that keeps the plan linear-ish as hub degree grows at 100×.
+_JL_WEDGE_CAP = 112
+
+
+@query(
+    "gr_jaccard_links_capped",
+    # wrap-ok: DuckDB oracle SQL — common·10^6 bounded by degree
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1),
+    we AS (
+        SELECT e.src, e.dst FROM e
+        JOIN deg dw ON dw.v = e.src AND dw.deg <= {_JL_WEDGE_CAP}
+    ),
+    pairs AS (
+        SELECT x.dst AS id_a, y.dst AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS common
+        FROM we x JOIN we y ON x.src = y.src AND x.dst < y.dst
+        GROUP BY 1, 2
+    ),
+    ne AS (
+        SELECT p.* FROM pairs p
+        LEFT JOIN e ON e.src = p.id_a AND e.dst = p.id_b
+        WHERE e.src IS NULL
+    ),
+    scored AS (
+        SELECT id_a, id_b, common, da.deg AS deg_a, db.deg AS deg_b,
+               (common * 1000000) // (da.deg + db.deg - common)
+                   AS jaccard_fp
+        FROM ne JOIN deg da ON da.v = ne.id_a
+                JOIN deg db ON db.v = ne.id_b
+    )
+    SELECT * FROM scored
+    ORDER BY jaccard_fp DESC, id_a ASC, id_b ASC
+    LIMIT 100
+    """,
+)
+def gr_jaccard_links_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped twin of gr_jaccard_links (VERDICT r9 #2): the same
+    common-neighbor / Jaccard ranking with ``max_wedge_degree`` set,
+    so high-degree nodes are excluded as wedge CENTERS (they still
+    appear as endpoints, and deg_a/deg_b stay full degrees).  The cap
+    is a deterministic degree filter the DuckDB oracle replays
+    verbatim, so the capped form carries the same hash oracle — and it
+    is the form the bench times, because the uncapped fan-out grows
+    quadratically in hub degree and is the wrong plan to ship at
+    100 TB.  The uncapped query stays registered as a correctness-only
+    sentinel."""
+    from ..operators.graph import link_prediction
+
+    out = link_prediction(
+        _copurchase_edges(spark, sf_dir), max_wedge_degree=_JL_WEDGE_CAP
+    )
+    return (
+        out.select(
+            "id_a", "id_b",
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            "jaccard_fp",
+        )
+        .orderBy(F.col("jaccard_fp").desc(), "id_a", "id_b")
+        .limit(100)
+    )
+
+
 #: fixed-point scale for the resource-allocation weight 1/deg(z);
 #: deg ≥ 2 for any wedge center, so each term ≤ 5·10¹¹ and a pair
 #: needs > 1.8·10⁷ common neighbors to overflow int64 — far past any
