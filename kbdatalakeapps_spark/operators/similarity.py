@@ -1124,20 +1124,25 @@ def mrl_topk(
     Scale: same plan shape as :func:`cosine_topk` (broadcast queries,
     one narrow corpus pass, per-query windows) but the full-width
     vector math runs on shortlist·|queries| rows only — the payoff
-    grows with embedding width.
+    grows with embedding width.  Stage 1 carries ONLY (ids, prefix
+    slices): the full-width vectors re-join on the shortlist for the
+    rerank (VERDICT r9 #2 — without this the per-map-partition
+    WindowGroupLimit sort materializes |corpus|·|queries| rows each
+    dragging the full embedding, so the width payoff held for FLOPs
+    but not memory).  The shortlist side of the rerank joins is
+    broadcast when the queries were (|queries|·shortlist id rows),
+    keeping the corpus re-read shuffle-free.
     """
-    q = queries.select(
+    q_pre = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
         F.slice(F.col(vec_col), 1, prefix_dims).alias("qpre"),
     )
-    c = corpus.select(
+    c_pre = corpus.select(
         F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("cvec"),
         F.slice(F.col(vec_col), 1, prefix_dims).alias("cpre"),
     )
     stage1 = (
-        c.crossJoin(F.broadcast(q) if broadcast_queries else q)
+        c_pre.crossJoin(F.broadcast(q_pre) if broadcast_queries else q_pre)
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn("pre_dot", _dot(F.col("qpre"), F.col("cpre")))
     )
@@ -1147,11 +1152,25 @@ def mrl_topk(
     short = (
         stage1.withColumn("pre_rank", F.row_number().over(w1))
         .filter(F.col("pre_rank") <= shortlist)
+        .select("query_id", "corpus_id", "pre_dot", "pre_rank")
     )
-    reranked = short.withColumn(
-        "cosine",
-        _dot(F.col("qvec"), F.col("cvec"))
-        / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+    if broadcast_queries:
+        short = F.broadcast(short)
+    c_full = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    reranked = (
+        c_full.join(short, "corpus_id")
+        .join(F.broadcast(q_full) if broadcast_queries else q_full,
+              "query_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("corpus_id").asc()

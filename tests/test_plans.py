@@ -326,3 +326,27 @@ def test_exchange_counts_bounded(spark):
         if n > bound:
             over[name] = (n, bound)
     assert not over, f"exchange-count regressions: {over}"
+
+
+def test_mrl_stage1_excludes_full_vectors(spark):
+    """VERDICT r9 #4: mrl_topk's stage-1 shortlist ranking must carry
+    only (ids, pre_dot) — never the full-width embedding — so the
+    per-map-partition WindowGroupLimit sort materializes narrow rows.
+    The full vectors re-join on the shortlist for the rerank."""
+    import re
+
+    p = plan_of(spark, "sim_mrl_topk")
+    secs = [s for s in p.split("\n\n") if s.startswith("(")]
+    stage1 = [
+        s for s in secs
+        if s.split("\n")[0].split(") ", 1)[-1].strip() == "WindowGroupLimit"
+        and "pre_dot" in s and "cosine" not in s
+    ]
+    assert stage1, "stage-1 WindowGroupLimit node not found in plan"
+    for s in stage1:
+        inp = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", s)
+        assert inp, s
+        assert int(inp.group(1)) == 3, s  # corpus_id, query_id, pre_dot
+        cols = inp.group(2)
+        for banned in ("vec", "embedding", "pre#"):  # qvec/cvec/qpre/cpre
+            assert banned not in cols, (banned, cols)
