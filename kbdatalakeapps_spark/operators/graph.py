@@ -997,3 +997,59 @@ def degree_assortativity(
         F.when(den > 0, F.round((nd * sxy - sx * sy) / F.sqrt(den), 6))
         .alias("assortativity"),
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on a DIRECTED edge
+    list, ``rounds`` unrolled power iterations WITHOUT per-round
+    normalization: starting from h≡1, each round computes
+    a(d) = Σ_{s→d} h(s) then h(s) = Σ_{s→d} a(d).  Skipping the
+    normalizer keeps every score an exact INTEGER (sums of products
+    of earlier integer scores, accumulated in DECIMAL(38,0)) — at a
+    fixed iteration count normalization only rescales, it never
+    reorders, and the integer path is what lets the whole ranking
+    carry a hash oracle (the label_propagation/pagerank idiom).
+
+    Returns (node, kind ∈ {{'hub','authority'}}, score DECIMAL(38,0)).
+
+    Scale posture: each half-round is ONE equi-join of the edge list
+    against the current score table plus a map-side-combinable
+    groupBy — the sparse matvec shape, shuffle keyed on the node id.
+    Score magnitude grows like deg^(2·rounds); DECIMAL(38,0) holds
+    deg ≤ 10^9 at the default 2 rounds, far past any real bipartite
+    fan-in, and the caller can rescale after the fact."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.localCheckpoint(eager=False)  # 4 consumers: one lineage cut
+    dec = "decimal(38,0)"
+    # round 1: a = indegree (h ≡ 1), h = out-sum of a
+    a = e.groupBy("d").agg(F.count(F.lit(1)).cast(dec).alias("a"))
+    h = (
+        e.join(a, "d")
+        .groupBy("s")
+        .agg(F.sum("a").alias("h"))
+    )
+    for _ in range(rounds - 1):
+        a = (
+            e.join(h, "s")
+            .groupBy("d")
+            .agg(F.sum("h").alias("a"))
+        )
+        h = (
+            e.join(a, "d")
+            .groupBy("s")
+            .agg(F.sum("a").alias("h"))
+        )
+    hubs = h.select(
+        F.col("s").alias("node"), F.lit("hub").alias("kind"),
+        F.col("h").alias("score"),
+    )
+    auths = a.select(
+        F.col("d").alias("node"), F.lit("authority").alias("kind"),
+        F.col("a").alias("score"),
+    )
+    return hubs.unionByName(auths)

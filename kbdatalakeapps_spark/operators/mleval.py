@@ -1776,3 +1776,70 @@ def fleiss_kappa(
         F.when(uniform, pe).alias("pe"),
         kappa.alias("kappa"),
     )
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    item_col: str = "item_id",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data over a long
+    (item, rater, label) ratings table — the agreement coefficient
+    that, unlike Fleiss' kappa, is defined through observed vs
+    expected DISAGREEMENT (Krippendorff 2004 §11): with per-unit
+    category counts n_uc, D_o ∝ Σ_u (m_u² − Σ_c n_uc²)/(m_u−1) and
+    D_e ∝ n² − Σ_c n_c², giving
+    ``α = 1 − (n−1)·S_o / ((m−1)·S_e)`` when every unit carries the
+    same panel size m (the usual synthetic-panel contract; the
+    operator emits NULL α otherwise rather than a silently-wrong
+    pooled value, the fleiss_kappa convention).
+
+    Determinism: every S term is a sum of integer products in
+    DECIMAL(38,0); α is ONE double division rounded to 9 — so the
+    coefficient carries a full hash oracle.
+
+    Scale posture: two map-side-combinable groupBys (unit cells,
+    label marginals) and a pair of 1-row aggregates — no joins over
+    the ratings beyond the cell grouping, no pairwise rater fan-out
+    (contrast cohen_kappa_pairs, which is per rater-PAIR by
+    design)."""
+    dec = "decimal(38,0)"
+    cells = df.groupBy(
+        F.col(item_col).alias("item"), F.col(label_col).alias("lab")
+    ).agg(F.count(F.lit(1)).cast(dec).alias("nij"))
+    per = cells.groupBy("item").agg(
+        F.sum("nij").alias("m_u"),
+        F.sum(F.col("nij") * F.col("nij")).alias("s_u"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("m_u").alias("n"),
+        F.min("m_u").alias("mn"),
+        F.max("m_u").alias("mx"),
+        F.sum(F.col("m_u") * F.col("m_u") - F.col("s_u")).alias("s_o"),
+    )
+    marg = cells.groupBy("lab").agg(F.sum("nij").alias("nc"))
+    e = marg.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("nc") * F.col("nc")).alias("snc2"),
+    )
+    j = tot.crossJoin(e)
+    n = F.col("n")
+    de = n * n - F.col("snc2")
+    uniform = (F.col("mn") == F.col("mx")) & (F.col("mn") >= 2)
+    alpha = F.round(
+        F.lit(1.0)
+        - ((n - 1) * F.col("s_o")).cast("double")
+        / ((F.col("mn") - 1) * de).cast("double"),
+        9,
+    )
+    return j.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        n.cast("long").alias("n_ratings"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.col("mn").cast("long").alias("panel_m"),
+        F.col("s_o").cast("long").alias("do_pairs"),
+        de.cast("long").alias("de_pairs"),
+        F.when(uniform & (de > 0), alpha).alias("alpha"),
+    )

@@ -661,3 +661,149 @@ def acf_lags(
             F.round((nd * sxy - sx * sy) / F.sqrt(den), 6),
         ).alias("acf"),
     )
+
+
+def ewma_truncated(
+    df: DataFrame,
+    key_cols: list[str],
+    t_col: str = "t",
+    x_col: str = "x",
+    max_lag: int = 12,
+) -> DataFrame:
+    """Exponentially weighted moving average (decay ½ per step) per
+    key over an integer-indexed series, truncated to the last
+    ``max_lag`` observations — the smoothing pass a monitoring or
+    mixture-reweighting pipeline runs over bucketed counts before
+    thresholding.  Truncation is the scale form of the recursive
+    definition: weights beyond ~12 half-lives are < 0.03% of the mass,
+    and a bounded-lag equi-join is partitionable where the recurrence
+    is inherently sequential.
+
+    Determinism: decay ½ makes every weight an exact power of two
+    (``1 << (max_lag-1-lag)``), so weight·x products and their sums
+    stay in exact DECIMAL — no float accumulation anywhere; ONE final
+    double division rounded to 6.  This is why the operator fixes the
+    decay at ½ instead of taking an arbitrary alpha: any other decay
+    turns the weight table into floats and the sum into a
+    partition-order hash risk.
+
+    Scale posture: like :func:`acf_lags`, runs on an ALREADY-
+    AGGREGATED series (≤ one row per key·bucket); the lag explode is a
+    bounded ``max_lag``× fan-out feeding one equi-join on
+    (key, t−lag) and one map-side-combinable groupBy — never a window
+    over raw events, no unbounded frame."""
+    keys = [F.col(c) for c in key_cols]
+    lag_arr = F.array(*[F.lit(int(k)) for k in range(max_lag)])
+    a = df.select(
+        *keys, F.col(t_col).alias("_t"), F.explode(lag_arr).alias("lag")
+    )
+    b = df.select(
+        *[F.col(c).alias(f"_b_{c}") for c in key_cols],
+        F.col(t_col).alias("_bt"),
+        F.col(x_col).alias("_x"),
+    )
+    cond = [a[c] == b[f"_b_{c}"] for c in key_cols]
+    cond.append((F.col("_t") - F.col("lag")) == F.col("_bt"))
+    pairs = a.join(b, cond)
+    # wrap-ok: weight ≤ 2^(max_lag-1) ≪ 2^62; decimal products exact.
+    # Widths are sized so the product precision stays ≤ 38 (Spark
+    # REDUCES SCALE silently past 38 — the exactness would be lost):
+    # x at (30,4) × weight at (w_digits,0) ⇒ (31+w_digits, 4) ≤ 38.
+    w_digits = len(str(1 << (int(max_lag) - 1)))
+    if w_digits > 7:
+        raise ValueError("max_lag > 24 overflows the exact-decimal width")
+    w = F.expr(f"shiftleft(CAST(1 AS BIGINT), {int(max_lag) - 1} - lag)")
+    g = pairs.groupBy(*[a[c] for c in key_cols], F.col("_t")).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(w).alias("_sw"),
+        F.sum(
+            F.col("_x").cast("decimal(30,4)")
+            * w.cast(f"decimal({w_digits},0)")
+        ).alias("_swx"),
+    )
+    return g.select(
+        *key_cols,
+        F.col("_t").alias(t_col),
+        "n_terms",
+        F.round(
+            F.col("_swx").cast("double") / F.col("_sw").cast("double"), 6
+        ).alias("ewma"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_cols: list[str],
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per key: S = Σ_{i<j}
+    sign(x_j − x_i), the tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18, and the
+    continuity-corrected z — the standard nonparametric "is this
+    series drifting" gate (rank-based, so outliers don't swamp it the
+    way an OLS slope lets them).
+
+    Determinism: x must be exact (int/decimal) — sign comparisons and
+    both variance polynomials are pure integer arithmetic in
+    DECIMAL(38,0); the ONLY floats are the final /18, sqrt and z,
+    each a fixed IEEE tree rounded to 6.
+
+    Scale posture: the i<j pair join is per-key over an ALREADY-
+    AGGREGATED bucketed series — n is the bucket count (dozens to
+    hundreds), so the O(n²) pair fan-out is bounded and partitioned
+    by key; the tie table is one extra groupBy on (key, x)."""
+    keys = [F.col(c) for c in key_cols]
+    a = df.select(*keys, F.col(t_col).alias("_ti"), F.col(x_col).alias("_xi"))
+    b = df.select(
+        *[F.col(c).alias(f"_b_{c}") for c in key_cols],
+        F.col(t_col).alias("_tj"),
+        F.col(x_col).alias("_xj"),
+    )
+    cond = [a[c] == b[f"_b_{c}"] for c in key_cols]
+    cond.append(F.col("_ti") < F.col("_tj"))
+    s = (
+        a.join(b, cond)
+        .groupBy(*[a[c] for c in key_cols])
+        .agg(
+            F.sum(
+                F.when(F.col("_xj") > F.col("_xi"), 1)
+                .when(F.col("_xj") < F.col("_xi"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    dec = "decimal(38,0)"
+    n_tbl = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        df.groupBy(*keys, F.col(x_col))
+        .agg(F.count(F.lit(1)).cast(dec).alias("tn"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("tn") * (F.col("tn") - 1) * (2 * F.col("tn") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = s.join(n_tbl, key_cols).join(ties, key_cols)
+    n = F.col("n").cast(dec)
+    var_num = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double")
+    var_s = var_num / 18.0
+    sd = F.sqrt(var_s)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        *key_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.when(var_num > 0, F.round(z, 6)).alias("z"),
+        F.when(var_num <= 0, F.lit("flat"))
+        .when(F.round(z, 6) > 1.959964, F.lit("increasing"))
+        .when(F.round(z, 6) < -1.959964, F.lit("decreasing"))
+        .otherwise(F.lit("no-trend"))
+        .alias("trend"),
+    )

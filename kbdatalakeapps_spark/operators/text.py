@@ -2291,3 +2291,150 @@ def secret_scan(
         (total > 0).alias("has_secret"),
         sev.alias("severity"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+    divisor: int = 64,
+    max_chars: int = 2048,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family): a chunk
+    boundary falls AFTER position i whenever the hash of the
+    ``gram``-char window ending at i is ≡ 0 mod ``divisor`` — so the
+    cut points move WITH the content, and an insertion early in a
+    document re-chunks only its own neighborhood instead of shifting
+    every fixed-size block (the property that makes sub-document
+    dedup work on near-identical revisions).  Expected chunk length ≈
+    ``divisor`` chars; the final partial chunk always closes at
+    ``max_chars``-capped end-of-doc.
+
+    Returns (id, chunk_idx, start, chunk_len, chunk_md5) — 1-based
+    ``start``, md5 of the exact chunk substring, so cross-document
+    chunk identity is a plain groupBy on the hash.
+
+    Determinism: the window hash is the md5-prefix integer (the
+    repo-wide oracle hash idiom) — pure string→int, no floats
+    anywhere.
+
+    Scale posture: one position explode per char (bounded by
+    ``max_chars``) whose 1/divisor boundary filter prunes immediately
+    inside the same whole-stage-codegen pass — the wide rows never
+    reach a shuffle; chunk substrings are materialized by re-joining
+    the boundary list (≈ len/divisor rows per doc) back to the doc
+    body on the id, an equi-join keyed on the data's own id column.
+    No window over raw characters, no per-row Python."""
+    body = F.substring(F.col(text_col), 1, max_chars)
+    d = df.select(
+        F.col(id_col).alias("id"), body.alias("body"),
+        F.length(body).alias("blen"),
+    ).filter(F.col("blen") >= 1)
+    # sequence(a, b) runs DESCENDING when b < a — a doc shorter than
+    # one gram must produce an EMPTY cut set, not a reversed one
+    positions = F.when(
+        F.col("blen") >= int(gram),
+        F.sequence(F.lit(int(gram)), F.col("blen")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "id", "body", "blen", F.explode(positions).alias("pos")
+    )
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(body, pos - {int(gram) - 1}, "
+                             f"{int(gram)})")),
+                1, 15,
+            ), 16, 10,
+        ).cast("long"),
+        F.lit(int(divisor)),
+    )
+    cuts = grams.filter(h == 0).select("id", "pos")
+    ends = cuts.unionByName(
+        d.select("id", F.col("blen").alias("pos"))
+    ).distinct()
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = ends.select(
+        "id",
+        (F.coalesce(F.lag("pos").over(w), F.lit(0)) + 1).alias("start"),
+        (F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(0)))
+        .alias("chunk_len"),
+        (F.row_number().over(w)).alias("chunk_idx"),
+    )
+    return spans.join(d.select("id", "body"), "id").select(
+        "id", "chunk_idx", "start", "chunk_len",
+        F.md5(F.expr("substring(body, start, chunk_len)"))
+        .alias("chunk_md5"),
+    )
+
+
+def hellinger_drift(
+    df: DataFrame,
+    slice_col: str = "lang",
+    text_col: str = "text",
+    base_value: str = "en",
+) -> DataFrame:
+    """Unigram-distribution drift of every corpus slice against a base
+    slice, as the Bhattacharyya coefficient BC = Σ_w sqrt(p_w·q_w)
+    and Hellinger distance sqrt(1 − BC) — the mixture-weighting
+    diagnostic a pretraining pipeline reads before setting per-domain
+    sampling rates (small Hellinger → the slice is redundant with the
+    base; large → it contributes novel text).
+
+    Chosen over KL/JSD deliberately: log() is not bit-portable across
+    engines (the tx_bigram_counts lesson), but BC needs only
+    divisions, multiplies and sqrt — every one correctly rounded
+    under IEEE 754, so both engines produce BIT-IDENTICAL terms and
+    the whole statistic carries a hash oracle.  Terms sum through
+    exact decimals (order-independent), one final rounding.
+
+    Scale posture: one exploded token pass → per-(slice, word) counts
+    (map-side combinable), then an equi-join of slice vocab against
+    base vocab on the word — missing words contribute sqrt(p·0) = 0,
+    so the INNER join is exact, no full-outer vocab grid.  Slice
+    totals are a tiny broadcastable aggregate."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"), lambda t: t != ""
+    )
+    tok = df.select(
+        F.col(slice_col).alias("slc"), F.explode(toks).alias("w")
+    )
+    counts = tok.groupBy("slc", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("slc").agg(F.sum("c").alias("n_tok"))
+    base_c = (
+        counts.filter(F.col("slc") == base_value)
+        .select(F.col("w").alias("bw"), F.col("c").alias("bc_w"))
+    )
+    base_n = totals.filter(F.col("slc") == base_value).select(
+        F.col("n_tok").alias("bn")
+    )
+    sl = counts.filter(F.col("slc") != base_value)
+    j = (
+        sl.join(base_c, sl["w"] == base_c["bw"])
+        .crossJoin(F.broadcast(base_n))
+        .join(F.broadcast(totals.withColumnRenamed("slc", "tslc")),
+              F.col("slc") == F.col("tslc"))
+    )
+    term = F.sqrt(
+        (F.col("c").cast("double") / F.col("n_tok").cast("double"))
+        * (F.col("bc_w").cast("double") / F.col("bn").cast("double"))
+    )
+    g = j.groupBy("slc").agg(
+        F.count(F.lit(1)).alias("vocab_overlap"),
+        F.max("n_tok").alias("n_tok_slice"),
+        F.max("bn").alias("n_tok_base"),
+        F.sum(term.cast("decimal(38,18)")).alias("_bc"),
+    )
+    bc = F.col("_bc").cast("double")
+    return g.select(
+        F.col("slc").alias(slice_col),
+        F.col("n_tok_slice").cast("long").alias("n_tok_slice"),
+        F.col("n_tok_base").cast("long").alias("n_tok_base"),
+        F.col("vocab_overlap").cast("long").alias("vocab_overlap"),
+        F.round(bc, 9).alias("bhattacharyya"),
+        F.round(F.sqrt(F.greatest(F.lit(1.0) - bc, F.lit(0.0))), 9)
+        .alias("hellinger"),
+    )

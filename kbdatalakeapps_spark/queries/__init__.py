@@ -32,61 +32,61 @@ from . import linkage  # noqa: F401,E402
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
 DRIVER_WINDOW: list[str] = [
-    # Round-9 rotation: flagship + the 14 round-9 registrations (each
+    # Round-10 rotation: flagship + the 8 round-10 registrations (each
     # pre-verified on a vanilla session at sf0.001 AND sf0.01 before
-    # rotation; admission control: 14 <= 49) + the 35 stalest
-    # sentinels (all 33 remaining round-3-verified rows, then the
-    # round-4 cohort alphabetically).
+    # rotation; admission control: 8 <= 49) + the 41 stalest sentinels
+    # (the full remaining round-4-verified cohort, alphabetically) —
+    # exactly the set VERDICT r9 #1 scheduled.
     "flagship_order_revenue",
-    "ml_rouge_l",
-    "ml_wer",
-    "ml_ece",
-    "ml_mcnemar",
-    "ml_fleiss_kappa",
-    "ts_acf",
-    "ly_compaction_plan",
-    "tx_secret_scan",
-    "sp_leakage_safe_split",
-    "dd_prefix_dups",
-    "sim_mrl_topk",
-    "st_sequence_ngrams",
-    "gr_degree_assortativity",
-    "dq_blocking_audit",
-    "f20_json_flatten",
-    "f6_gene_rule_tokens",
-    "f7_dict_replacement",
-    "f8_prefix_strip",
-    "j10_lookup_enrichment",
-    "j4_multihop_hash_chain",
-    "k2_rast_seed_mapping",
-    "k3_feature_vector_predict",
-    "o4_limit_offset",
-    "o5_existence_probe",
-    "o6_keyset_page",
-    "sk_hll_registers",
-    "sk_kmv_distinct",
-    "sk_kmv_grouped",
-    "sk_kmv_join_stats",
-    "sp_hash_split",
-    "sp_mixture_sample",
-    "sp_pack_sequences",
-    "sp_stratified_sample",
-    "sp_universe_sample",
-    "sp_weighted_sample",
-    "st_funnel",
-    "st_interval_join",
-    "st_retention_cohorts",
-    "st_session_windows",
-    "st_sessionize",
-    "st_sliding_counts",
-    "st_tumbling_counts",
-    "w4_ranking_suite",
-    "w5_asof_join",
-    "w6_top_k_per_group",
-    "w7_global_row_number",
-    "w8_trailing_window",
-    "a18_histogram",
-    "a19_skew_diagnosis",
+    "gr_jaccard_links_capped",
+    "ts_ewma",
+    "ts_mann_kendall",
+    "ml_krippendorff_alpha",
+    "gr_hits",
+    "tx_cdc_chunks",
+    "tx_hellinger_drift",
+    "dd_bbit_minhash",
+    "a20_cube",
+    "a20_group_percentiles",
+    "a21_corr_stats",
+    "a22_table_profile",
+    "a22_zscore_outliers",
+    "a23_rollup_state",
+    "dd_contamination",
+    "dd_embedding_neardup",
+    "dd_incremental_dedup",
+    "dd_keeper_assignment",
+    "dd_semantic_dedup_assign",
+    "dd_sorted_neighborhood",
+    "dq_referential_audit",
+    "mm_audio_features",
+    "mm_content_stats",
+    "mm_extract_features",
+    "mm_resize_images",
+    "mm_sample_frames",
+    "mm_video_frames",
+    "r3_melt",
+    "r4_map_explode",
+    "r5_range_join",
+    "s11_kegg_enrichment",
+    "sim_cosine_topk",
+    "sim_embedding_norms",
+    "sim_ivf_assign_topk",
+    "sim_lsh_bucket_counts",
+    "sim_mean_pool",
+    "sim_pq_assign_topk",
+    "sk_bloom_prefilter",
+    "sk_cms_heavy_hitters",
+    "sp_quantile_sample",
+    "tx_bm25_search",
+    "tx_chunk_documents",
+    "tx_hybrid_rrf",
+    "tx_line_dedup",
+    "tx_ngram_counts",
+    "tx_pii_scrub",
+    "tx_quality_filter",
+    "tx_repetition",
+    "tx_vocab_stats",
 ]
 
 
@@ -117,4 +117,7 @@ assert len(DRIVER_WINDOW) == 50
 #: EMPTY at round-9 close: all 14 round-9 registrations are in
 #: DRIVER_WINDOW, so the verification debt drains to zero when
 #: CORRECTNESS_r09 lands.
+#: EMPTY at round-10 rotation: all 8 round-10 registrations are in
+#: DRIVER_WINDOW (8 + 41 stale sentinels + flagship = 50), so the
+#: debt drains to zero when CORRECTNESS_r10 lands.
 PENDING_NEXT_WINDOW: list[str] = []

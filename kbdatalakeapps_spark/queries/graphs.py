@@ -902,3 +902,57 @@ def gr_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import degree_assortativity
 
     return degree_assortativity(_copurchase_edges(spark, sf_dir))
+
+
+@query(
+    "gr_hits",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem
+    ),
+    a1 AS (SELECT d, COUNT(*)::HUGEINT AS a FROM e GROUP BY 1),
+    h1 AS (SELECT s, SUM(a) AS h FROM e JOIN a1 USING (d) GROUP BY 1),
+    a2 AS (SELECT d, SUM(h) AS a FROM e JOIN h1 USING (s) GROUP BY 1),
+    h2 AS (SELECT s, SUM(a) AS h FROM e JOIN a2 USING (d) GROUP BY 1),
+    u AS (
+        SELECT s AS node, 'hub' AS kind, h AS score FROM h2
+        UNION ALL
+        SELECT d AS node, 'authority' AS kind, a AS score FROM a2
+    ),
+    r AS (
+        SELECT node, kind, CAST(score AS BIGINT) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY kind ORDER BY score DESC, node ASC
+               ) AS rnk
+        FROM u
+    )
+    SELECT node, kind, score, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 15
+    """,
+)
+def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.py::hits_scores), 2
+    unrolled integer power iterations on the DIRECTED part→supplier
+    bipartite graph from lineitem: top-15 hub parts (parts sourcing
+    from well-connected suppliers) and top-15 authority suppliers.
+    Unnormalized fixed-iteration HITS is all-integer, so the whole
+    ranking hash-matches the SQL twin — the co-purchase graph's
+    symmetric edges would make hubs ≡ authorities, hence the bipartite
+    frame (engine extension; reference has no graph layer)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+    scores = gr.hits_scores(edges, rounds=2)
+    w = Window.partitionBy("kind").orderBy(
+        F.col("score").desc(), F.col("node").asc()
+    )
+    return (
+        scores.select(
+            "node", "kind", F.col("score").cast("long").alias("score")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 15)
+    )

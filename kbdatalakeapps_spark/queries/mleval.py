@@ -1530,3 +1530,51 @@ def ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return fleiss_kappa(_kappa_ratings(spark, sf_dir), "item", "rater",
                         "label")
+
+
+@query(
+    "ml_krippendorff_alpha",
+    oracle=f"""
+    WITH {{KAPPA_RATINGS}},
+    cells AS (
+        SELECT item, label AS lab, COUNT(*)::HUGEINT AS nij
+        FROM ratings GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT item, SUM(nij) AS m_u, SUM(nij * nij) AS s_u
+        FROM cells GROUP BY 1
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_units, SUM(m_u) AS n,
+               MIN(m_u) AS mn, MAX(m_u) AS mx,
+               SUM(m_u * m_u - s_u) AS s_o
+        FROM per
+    ),
+    marg AS (SELECT lab, SUM(nij) AS nc FROM cells GROUP BY 1),
+    e AS (SELECT COUNT(*) AS n_categories, SUM(nc * nc) AS snc2 FROM marg)
+    SELECT CAST(n_units AS BIGINT) AS n_units,
+           CAST(n AS BIGINT) AS n_ratings,
+           CAST(n_categories AS BIGINT) AS n_categories,
+           CAST(mn AS BIGINT) AS panel_m,
+           CAST(s_o AS BIGINT) AS do_pairs,
+           CAST(n * n - snc2 AS BIGINT) AS de_pairs,
+           CASE WHEN mn = mx AND mn >= 2 AND n * n - snc2 > 0 THEN
+               ROUND(1.0 - CAST((n - 1) * s_o AS DOUBLE)
+                         / CAST((mn - 1) * (n * n - snc2) AS DOUBLE), 9)
+           END AS alpha
+    FROM tot, e
+    """.replace("{KAPPA_RATINGS}", _kappa_ratings_sql()),
+)
+def ml_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (operators/mleval.py::
+    krippendorff_alpha_nominal) over the SAME 3-rater synthetic panel
+    as ml_kappa_agreement / ml_fleiss_kappa — the third agreement
+    coefficient on the shared frame, so the three standards can be
+    cross-read (alpha ≈ fleiss for large uniform panels; the
+    disagreement formulation is what generalizes to missing ratings).
+    All-integer sums in DECIMAL(38,0), one double division, round 9."""
+    from ..operators.mleval import krippendorff_alpha_nominal
+
+    return krippendorff_alpha_nominal(
+        _kappa_ratings(spark, sf_dir), "item", "rater", "label"
+    )

@@ -3150,3 +3150,76 @@ def sim_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 9).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# 7-gram twin of _SHINGLE_SQL/_MINHASH_SQL: dd_bbit_minhash needs
+# shingles wide enough that unrelated docs DON'T collide (3-gram
+# Jaccard between any two same-language docs is ~0.3+, which makes the
+# r=1 candidate join effectively all-pairs — measured 121k/125k pairs
+# at sf0.001); 7-grams put the background Jaccard near zero so the
+# banding is selective, which is the honest scale posture.
+_SHINGLE7_SQL = """
+        SELECT DISTINCT id, substr(txt, i, 7) AS shingle
+        FROM (
+            SELECT doc_id AS id, lower(text) AS txt,
+                   unnest(range(1, GREATEST(length(text) - 5, 1))) AS i
+            FROM documents
+        )
+"""
+
+_MINHASH7_SQL = f"""
+        SELECT id, s.hash_idx,
+               MIN(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT, s.seed)) AS minhash
+        FROM ({_SHINGLE7_SQL}) sh,
+             (VALUES {_SEED_VALUES}) s(hash_idx, seed)
+        GROUP BY id, s.hash_idx
+"""
+
+
+@query(
+    "dd_bbit_minhash",
+    oracle=f"""
+    WITH sig AS ({_MINHASH7_SQL}),
+    s AS (
+        SELECT id, hash_idx, minhash,
+               ((minhash % 16) + 16) % 16 AS low
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM s a JOIN s b
+          ON a.hash_idx = b.hash_idx AND a.minhash = b.minhash
+         AND a.id < b.id
+    ),
+    m AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+                   AS n_match_full,
+               SUM(CASE WHEN sa.low = sb.low THEN 1 ELSE 0 END)
+                   AS n_match_b
+        FROM cand c
+        JOIN s sa ON sa.id = c.id_a
+        JOIN s sb ON sb.id = c.id_b AND sb.hash_idx = sa.hash_idx
+        GROUP BY 1, 2
+        HAVING SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) >= 4
+    )
+    SELECT id_a, id_b,
+           CAST(n_match_full AS BIGINT) AS n_match_full,
+           CAST(n_match_b AS BIGINT) AS n_match_b,
+           ROUND(n_match_full / 8.0, 6) AS jacc_est_full,
+           ROUND((n_match_b / 8.0 - 0.0625) / 0.9375, 6) AS jacc_est_bbit
+    FROM m
+    """,
+)
+def dd_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash compression audit (operators/dedup.py::
+    bbit_minhash_estimate, b=4 over the 8 md5 minhash slots, 7-gram
+    shingles): candidate pairs from r=1 banding carry the full-width
+    and the 4-bit corrected Jaccard estimates side by side — the 16×
+    signature-memory cut with its estimator error measured in-query.
+    C = 1/16 and 1−C are exact binary fractions, so the correction is
+    hash-stable."""
+    return dd.bbit_minhash_estimate(
+        _t(spark, sf_dir, "documents"), k=7, num_hashes=8, b=4,
+        hash_fn="md5", min_match=4,
+    )

@@ -944,3 +944,157 @@ def st_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("support"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: trend + smoothing over the monthly revenue series — the
+# per-segment bucketed series every ops dashboard runs drift checks on.
+# ---------------------------------------------------------------------------
+
+#: Monthly revenue per order priority as an exact-decimal series with
+#: an integer month index (1995-01 → t = 1995·12+1): the shared input
+#: of ts_ewma and ts_mann_kendall.  Priorities ≈ 5 keys × ~80 months —
+#: an already-aggregated series, so the downstream lag/pair joins are
+#: bounded regardless of the fact-table size.
+_MONTHLY_SQL = """
+    series AS (
+        SELECT priority, ym,
+               CAST(substr(ym, 1, 4) AS INT) * 12
+                   + CAST(substr(ym, 6, 2) AS INT) AS t,
+               x
+        FROM (
+            SELECT o_orderpriority AS priority,
+                   strftime(o_orderdate, '%Y-%m') AS ym,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders GROUP BY 1, 2
+        )
+    )
+"""
+
+
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+        .withColumn(
+            "t",
+            F.substring("ym", 1, 4).cast("int") * 12
+            + F.substring("ym", 6, 2).cast("int"),
+        )
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    pairs AS (
+        SELECT a.priority, a.ym, a.t, u.lag, b.x
+        FROM series a, unnest(range(0, 12)) u(lag)
+        JOIN series b
+          ON b.priority = a.priority AND b.t = a.t - u.lag
+    ),
+    g AS (
+        SELECT priority, ym, COUNT(*) AS n_terms,
+               SUM(1::BIGINT << CAST(11 - lag AS INT)) AS sw,
+               SUM(CAST(x AS DECIMAL(30,4))
+                   * CAST(1::BIGINT << CAST(11 - lag AS INT)
+                          AS DECIMAL(4,0))) AS swx
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT priority, ym, CAST(n_terms AS BIGINT) AS n_terms,
+           ROUND(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS ewma
+    FROM g
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated half-life EWMA (operators/temporal.py::ewma_truncated)
+    over monthly revenue per order priority: decay ½ per month, last
+    12 months — every weight an exact power of two, so the whole
+    smoothing path is integer/decimal arithmetic and ONE final
+    division.  The bounded-lag equi-join is the distributable form of
+    the EWMA recurrence (engine extension; the reference's pandas
+    layer would run `ewm().mean()` driver-side)."""
+    from ..operators.temporal import ewma_truncated
+
+    s = _monthly_revenue(spark, sf_dir)
+    out = ewma_truncated(s, ["priority"], t_col="t", x_col="x", max_lag=12)
+    # ym is a pure function of the month index (t = y·12 + m) — derive
+    # it instead of re-joining the series (no extra shuffle, no
+    # ambiguous-lineage join)
+    return out.select(
+        "priority",
+        F.format_string(
+            "%04d-%02d",
+            ((F.col("t") - 1) / 12).cast("int"),
+            F.pmod(F.col("t") - 1, F.lit(12)).cast("int") + 1,
+        ).alias("ym"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        "ewma",
+    )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    s AS (
+        SELECT a.priority,
+               SUM(CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END) AS s_stat
+        FROM series a JOIN series b
+          ON b.priority = a.priority AND a.t < b.t
+        GROUP BY 1
+    ),
+    nn AS (SELECT priority, COUNT(*) AS n FROM series GROUP BY 1),
+    ties AS (
+        SELECT priority,
+               SUM(tn * (tn - 1) * (2 * tn + 5)) AS tie_term
+        FROM (SELECT priority, x, COUNT(*)::HUGEINT AS tn
+              FROM series GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT s.priority, nn.n, s.s_stat,
+               CAST(nn.n::HUGEINT * (nn.n - 1) * (2 * nn.n + 5)
+                    - ties.tie_term AS DOUBLE) AS var_num
+        FROM s JOIN nn USING (priority) JOIN ties USING (priority)
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           ROUND(var_num / 18.0, 6) AS var_s,
+           CASE WHEN var_num > 0 THEN ROUND(
+               CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_num / 18.0)
+                    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_num / 18.0)
+                    ELSE 0.0 END, 6) END AS z,
+           CASE WHEN var_num <= 0 THEN 'flat'
+                WHEN ROUND(CASE WHEN s_stat > 0
+                               THEN (s_stat - 1) / sqrt(var_num / 18.0)
+                           WHEN s_stat < 0
+                               THEN (s_stat + 1) / sqrt(var_num / 18.0)
+                           ELSE 0.0 END, 6) > 1.959964 THEN 'increasing'
+                WHEN ROUND(CASE WHEN s_stat > 0
+                               THEN (s_stat - 1) / sqrt(var_num / 18.0)
+                           WHEN s_stat < 0
+                               THEN (s_stat + 1) / sqrt(var_num / 18.0)
+                           ELSE 0.0 END, 6) < -1.959964 THEN 'decreasing'
+                ELSE 'no-trend' END AS trend
+    FROM j
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (operators/temporal.py::mann_kendall)
+    per order priority over the monthly revenue series: integer S
+    statistic, tie-corrected variance, continuity-corrected z and the
+    1.96-gated trend label.  All-integer until the final /18 ÷ sqrt
+    tree, so the nonparametric drift gate carries a full hash oracle
+    (engine extension — the scipy route in the reference's ecosystem
+    is driver-side)."""
+    from ..operators.temporal import mann_kendall
+
+    s = _monthly_revenue(spark, sf_dir)
+    return mann_kendall(s, ["priority"], t_col="t", x_col="x")

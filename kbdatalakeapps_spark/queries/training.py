@@ -2376,3 +2376,138 @@ def _image_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             meta.alias("meta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: content-defined chunking (sub-document dedup granularity)
+# and Hellinger domain drift (log-free, hence fully hash-oracled).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_cdc_chunks",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id AS id, substr(text, 1, 2048) AS body,
+               length(substr(text, 1, 2048)) AS blen
+        FROM documents WHERE length(text) >= 1
+    ),
+    cuts AS (
+        SELECT id, u.pos
+        FROM d, LATERAL (SELECT unnest(range(8, blen + 1)) AS pos) u
+        WHERE ('0x' || substr(md5(substr(body, u.pos - 7, 8)), 1, 15))
+                  ::BIGINT % 64 = 0
+    ),
+    ends AS (
+        SELECT DISTINCT id, pos FROM (
+            SELECT id, pos FROM cuts
+            UNION ALL SELECT id, blen AS pos FROM d
+        )
+    ),
+    spans AS (
+        SELECT id,
+               COALESCE(LAG(pos) OVER (PARTITION BY id ORDER BY pos), 0)
+                   + 1 AS start,
+               pos - COALESCE(
+                   LAG(pos) OVER (PARTITION BY id ORDER BY pos), 0)
+                   AS chunk_len
+        FROM ends
+    ),
+    ch AS (
+        SELECT s.id, s.chunk_len,
+               md5(substr(d.body, s.start, s.chunk_len)) AS chunk_md5
+        FROM spans s JOIN d USING (id)
+    ),
+    cr AS (SELECT chunk_md5, COUNT(DISTINCT id) AS nd FROM ch GROUP BY 1)
+    SELECT ch.id AS doc_id,
+           COUNT(*)::BIGINT AS n_chunks,
+           COUNT(DISTINCT ch.chunk_md5)::BIGINT AS n_distinct_chunks,
+           MAX(ch.chunk_len)::BIGINT AS max_chunk_len,
+           SUM(CASE WHEN cr.nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+               AS shared_chunks
+    FROM ch JOIN cr USING (chunk_md5)
+    GROUP BY 1
+    """,
+)
+def tx_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text.py::cdc_chunks) over
+    the document corpus — 8-char gear window, divisor 64 (≈64-char
+    expected chunks), first 2 KiB — summarized per doc with the
+    corpus-wide shared-chunk count: the sub-document dedup granularity
+    that catches boilerplate headers and near-identical revisions that
+    whole-doc hashing misses.  md5-prefix window hash, so the cut
+    points replay exactly in SQL."""
+    from ..operators.text import cdc_chunks
+
+    ch = cdc_chunks(
+        load_table(spark, sf_dir, "documents"),
+        gram=8, divisor=64, max_chars=2048,
+    ).localCheckpoint(eager=False)
+    cross = ch.groupBy("chunk_md5").agg(
+        F.countDistinct("id").alias("nd")
+    )
+    return (
+        ch.join(cross, "chunk_md5")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("chunk_md5").cast("long")
+            .alias("n_distinct_chunks"),
+            F.max("chunk_len").cast("long").alias("max_chunk_len"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long")
+            .alias("shared_chunks"),
+        )
+    )
+
+
+@query(
+    "tx_hellinger_drift",
+    oracle="""
+    WITH tok AS (
+        SELECT lang AS slc, t.w
+        FROM documents,
+             LATERAL (SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z]+'),
+                 x -> x <> '')) AS w) t
+    ),
+    counts AS (SELECT slc, w, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+    totals AS (SELECT slc, SUM(c)::BIGINT AS n_tok FROM counts GROUP BY 1),
+    base_c AS (SELECT w, c AS bc_w FROM counts WHERE slc = 'en'),
+    base_n AS (SELECT n_tok AS bn FROM totals WHERE slc = 'en'),
+    j AS (
+        SELECT s.slc, s.c, b.bc_w, t.n_tok, base_n.bn
+        FROM counts s
+        JOIN base_c b USING (w)
+        JOIN totals t ON t.slc = s.slc
+        CROSS JOIN base_n
+        WHERE s.slc <> 'en'
+    ),
+    g AS (
+        SELECT slc, COUNT(*) AS vocab_overlap,
+               MAX(n_tok) AS n_tok_slice, MAX(bn) AS n_tok_base,
+               SUM(CAST(sqrt((c / CAST(n_tok AS DOUBLE))
+                             * (bc_w / CAST(bn AS DOUBLE)))
+                        AS DECIMAL(38,18))) AS bc
+        FROM j GROUP BY 1
+    )
+    SELECT slc AS lang,
+           CAST(n_tok_slice AS BIGINT) AS n_tok_slice,
+           CAST(n_tok_base AS BIGINT) AS n_tok_base,
+           CAST(vocab_overlap AS BIGINT) AS vocab_overlap,
+           ROUND(CAST(bc AS DOUBLE), 9) AS bhattacharyya,
+           ROUND(sqrt(GREATEST(1.0 - CAST(bc AS DOUBLE), 0.0)), 9)
+               AS hellinger
+    FROM g
+    """,
+)
+def tx_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language unigram drift vs the English base slice
+    (operators/text.py::hellinger_drift): Bhattacharyya coefficient
+    and Hellinger distance — the data-mixture diagnostic, chosen over
+    KL/JSD because sqrt is IEEE-correctly-rounded where log is not
+    bit-portable, so the whole statistic hash-matches the SQL twin."""
+    from ..operators.text import hellinger_drift
+
+    return hellinger_drift(
+        load_table(spark, sf_dir, "documents"), "lang", "text", "en"
+    )

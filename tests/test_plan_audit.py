@@ -59,6 +59,9 @@ _BNLJ_OK = {
     "sky_pareto_parts",
     "ml_mrr",                 # 1-row n_queries scalar × 1-row hit agg
     "ml_fleiss_kappa",        # 1-row totals × 1-row label-marginal agg
+    "ml_krippendorff_alpha",  # 1-row unit-totals × 1-row marginal agg
+                              # (the fleiss shape)
+    "tx_hellinger_drift",     # 1-row base-slice token-total scalar
     "st_sequence_ngrams",     # 1-row trigram-total scalar for the support
     "ml_target_encode",       # 1-row global-prior scalar onto the
                               # #categories × K encoding grid

@@ -1,0 +1,359 @@
+"""Round-10 operator unit tests: truncated EWMA, Mann-Kendall,
+Krippendorff's alpha, HITS, content-defined chunking, Hellinger drift
+and b-bit minhash — each checked against an independent in-test
+python/numpy reference (the driver oracle checks SQL parity; these
+check the MATH)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kbdatalakeapps_spark.operators.dedup import bbit_minhash_estimate
+from kbdatalakeapps_spark.operators.graph import hits_scores
+from kbdatalakeapps_spark.operators.mleval import krippendorff_alpha_nominal
+from kbdatalakeapps_spark.operators.temporal import ewma_truncated, mann_kendall
+from kbdatalakeapps_spark.operators.text import cdc_chunks, hellinger_drift
+
+
+# ---------------------------------------------------------------- EWMA
+
+
+def _ewma_ref(xs, t, max_lag=12):
+    num = den = 0
+    for lag in range(max_lag):
+        j = t - lag
+        if 0 <= j < len(xs):
+            w = 1 << (max_lag - 1 - lag)
+            num += w * xs[j]
+            den += w
+    return num / den
+
+
+def test_ewma_matches_python_reference(spark):
+    xs = [10.0, 20.0, 5.0, 40.0, 40.0, 1.0, 7.5, 30.25]
+    df = spark.createDataFrame(
+        [Row(k="a", t=i + 1, x=float(v)) for i, v in enumerate(xs)]
+    ).withColumn("x", F.col("x").cast("decimal(18,2)"))
+    out = {
+        r["t"]: (r["n_terms"], r["ewma"])
+        for r in ewma_truncated(df, ["k"], "t", "x", max_lag=12).collect()
+    }
+    assert set(out) == set(range(1, len(xs) + 1))
+    for t in range(len(xs)):
+        n_terms, ewma = out[t + 1]
+        assert n_terms == min(t + 1, 12)
+        assert abs(ewma - round(_ewma_ref(xs, t), 6)) < 1e-9, (t, ewma)
+
+
+def test_ewma_latest_point_dominates(spark):
+    # decay ½: the newest observation always carries >½ the weight
+    df = spark.createDataFrame(
+        [Row(k="a", t=i, x=0.0) for i in range(1, 12)]
+        + [Row(k="a", t=12, x=100.0)]
+    ).withColumn("x", F.col("x").cast("decimal(18,2)"))
+    last = (
+        ewma_truncated(df, ["k"], "t", "x", max_lag=12)
+        .filter(F.col("t") == 12)
+        .collect()[0]["ewma"]
+    )
+    assert last > 50.0
+
+
+def test_ewma_rejects_overwide_lag(spark):
+    df = spark.createDataFrame([Row(k="a", t=1, x=1.0)])
+    import pytest
+
+    with pytest.raises(ValueError):
+        ewma_truncated(df, ["k"], "t", "x", max_lag=30)
+
+
+# ---------------------------------------------------------- Mann-Kendall
+
+
+def _mk_ref(xs):
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(xs)
+    var_num = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+    var_s = var_num / 18.0
+    if var_num <= 0:
+        return s, var_s, None
+    if s > 0:
+        z = (s - 1) / var_s**0.5
+    elif s < 0:
+        z = (s + 1) / var_s**0.5
+    else:
+        z = 0.0
+    return s, var_s, z
+
+
+def test_mann_kendall_matches_python_reference(spark):
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+    df = spark.createDataFrame(
+        [Row(k="a", t=i, x=float(v)) for i, v in enumerate(xs)]
+    ).withColumn("x", F.col("x").cast("decimal(18,2)"))
+    r = mann_kendall(df, ["k"], "t", "x").collect()[0]
+    s, var_s, z = _mk_ref(xs)
+    assert r["n"] == len(xs)
+    assert r["s_stat"] == s
+    assert abs(r["var_s"] - round(var_s, 6)) < 1e-9
+    assert abs(r["z"] - round(z, 6)) < 1e-9
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    up = [Row(k="up", t=i, x=float(i)) for i in range(30)]
+    flat = [Row(k="flat", t=i, x=7.0) for i in range(30)]
+    df = spark.createDataFrame(up + flat).withColumn(
+        "x", F.col("x").cast("decimal(18,2)")
+    )
+    out = {r["k"]: r for r in mann_kendall(df, ["k"], "t", "x").collect()}
+    assert out["up"]["s_stat"] == 30 * 29 // 2
+    assert out["up"]["trend"] == "increasing"
+    assert out["flat"]["s_stat"] == 0
+    assert out["flat"]["trend"] == "flat"
+    assert out["flat"]["z"] is None
+
+
+# ------------------------------------------------------- Krippendorff
+
+
+def _alpha_ref(units):
+    # units: list of label lists, uniform size m
+    from collections import Counter
+
+    m = len(units[0])
+    n = sum(len(u) for u in units)
+    s_o = 0
+    for u in units:
+        c = Counter(u)
+        mu = len(u)
+        s_o += mu * mu - sum(v * v for v in c.values())
+    marg = Counter(x for u in units for x in u)
+    s_e = n * n - sum(v * v for v in marg.values())
+    return 1.0 - (n - 1) * s_o / ((m - 1) * s_e)
+
+
+def test_krippendorff_matches_python_reference(spark):
+    units = [
+        [0, 0, 1], [1, 1, 1], [2, 2, 0], [0, 1, 2],
+        [1, 1, 0], [2, 2, 2], [0, 0, 0], [1, 2, 1],
+    ]
+    rows = [
+        Row(item_id=i, rater=f"r{j}", label=lab)
+        for i, u in enumerate(units)
+        for j, lab in enumerate(u)
+    ]
+    r = krippendorff_alpha_nominal(spark.createDataFrame(rows)).collect()[0]
+    assert r["n_units"] == len(units)
+    assert r["panel_m"] == 3
+    assert abs(r["alpha"] - round(_alpha_ref(units), 9)) < 1e-9
+
+
+def test_krippendorff_perfect_agreement_is_one(spark):
+    rows = [
+        Row(item_id=i, rater=f"r{j}", label=i % 3)
+        for i in range(9)
+        for j in range(4)
+    ]
+    r = krippendorff_alpha_nominal(spark.createDataFrame(rows)).collect()[0]
+    assert r["alpha"] == 1.0
+
+
+def test_krippendorff_nonuniform_panel_yields_null(spark):
+    rows = [Row(item_id=0, rater="r0", label=1),
+            Row(item_id=0, rater="r1", label=1),
+            Row(item_id=1, rater="r0", label=0)]
+    r = krippendorff_alpha_nominal(spark.createDataFrame(rows)).collect()[0]
+    assert r["alpha"] is None
+
+
+# --------------------------------------------------------------- HITS
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    edges = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12), (4, 12)]
+    df = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in edges]
+    )
+    out = hits_scores(df, rounds=2).collect()
+    got = {(r["kind"], r["node"]): int(r["score"]) for r in out}
+    # integer reference: h0 = 1; a = in-sum(h); h = out-sum(a), twice
+    srcs = sorted({s for s, _ in edges})
+    dsts = sorted({d for _, d in edges})
+    h = {s: 1 for s in srcs}
+    for _ in range(2):
+        a = {d: sum(h[s] for s, dd in edges if dd == d) for d in dsts}
+        h = {s: sum(a[d] for ss, d in edges if ss == s) for s in srcs}
+    for s in srcs:
+        assert got[("hub", s)] == h[s]
+    for d in dsts:
+        assert got[("authority", d)] == a[d]
+
+
+# ---------------------------------------------------------------- CDC
+
+
+def _cdc_ref(body, gram=8, divisor=64):
+    cuts = []
+    for i in range(gram, len(body) + 1):
+        g = body[i - gram:i]
+        h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % divisor
+        if h == 0:
+            cuts.append(i)
+    if not cuts or cuts[-1] != len(body):
+        cuts.append(len(body))
+    chunks, prev = [], 0
+    for c in cuts:
+        chunks.append(body[prev:c])
+        prev = c
+    return chunks
+
+
+def test_cdc_chunks_tile_the_document(spark):
+    text = "the quick brown fox jumps over the lazy dog " * 40
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    rows = sorted(
+        cdc_chunks(df, max_chars=2048).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    body = text[:2048]
+    assert rows[0]["start"] == 1
+    assert sum(r["chunk_len"] for r in rows) == len(body)
+    for a, b in zip(rows, rows[1:]):
+        assert b["start"] == a["start"] + a["chunk_len"]
+    ref = _cdc_ref(body)
+    assert [r["chunk_len"] for r in rows] == [len(c) for c in ref]
+    assert [r["chunk_md5"] for r in rows] == [
+        hashlib.md5(c.encode()).hexdigest() for c in ref
+    ]
+
+
+def test_cdc_insertion_locality(spark):
+    # diverse (seeded pseudo-random) content so boundaries actually
+    # occur — a short repeating phrase can legitimately contain zero
+    # boundary grams; divisor 16 for ~16-char chunks at test size
+    import random
+
+    rnd = random.Random(7)
+    base = " ".join(
+        "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rnd.randint(3, 9)))
+        for _ in range(300)
+    )
+    edited = (base[:-80]
+              + " EDITED TAIL CONTENT DIFFERS COMPLETELY FROM THE "
+                "ORIGINAL DOCUMENT")
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=edited)]
+    )
+    ch = cdc_chunks(df, divisor=16, max_chars=2048).collect()
+    h1 = [r["chunk_md5"] for r in sorted(
+        (r for r in ch if r["id"] == 1), key=lambda r: r["chunk_idx"])]
+    h2 = [r["chunk_md5"] for r in sorted(
+        (r for r in ch if r["id"] == 2), key=lambda r: r["chunk_idx"])]
+    # a tail edit must leave the leading chunks identical — the CDC
+    # property fixed-size blocking does not have
+    shared_prefix = 0
+    for a, b in zip(h1, h2):
+        if a != b:
+            break
+        shared_prefix += 1
+    assert shared_prefix >= max(1, min(len(h1), len(h2)) - 3)
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="tiny")])
+    rows = cdc_chunks(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_len"] == 4
+    assert rows[0]["chunk_md5"] == hashlib.md5(b"tiny").hexdigest()
+
+
+# ----------------------------------------------------------- Hellinger
+
+
+def test_hellinger_identical_slices_zero_distance(spark):
+    text = "apple banana cherry apple banana"
+    df = spark.createDataFrame(
+        [Row(lang="en", text=text), Row(lang="fr", text=text)]
+    )
+    r = hellinger_drift(df).collect()
+    assert len(r) == 1 and r[0]["lang"] == "fr"
+    assert r[0]["bhattacharyya"] == 1.0
+    assert r[0]["hellinger"] == 0.0
+
+
+def test_hellinger_matches_numpy(spark):
+    import numpy as np
+
+    a = "x x y z z z w"
+    b = "x y y y z q q"
+    df = spark.createDataFrame(
+        [Row(lang="en", text=a), Row(lang="de", text=b)]
+    )
+    r = hellinger_drift(df).collect()[0]
+    from collections import Counter
+
+    ca, cb = Counter(a.split()), Counter(b.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    bc = sum(
+        np.sqrt((cb[w] / nb) * (ca[w] / na)) for w in set(ca) & set(cb)
+    )
+    assert r["vocab_overlap"] == len(set(ca) & set(cb))
+    assert abs(r["bhattacharyya"] - round(float(bc), 9)) < 1e-9
+    assert abs(r["hellinger"] - round(float((1 - bc) ** 0.5), 9)) < 1e-9
+
+
+def test_hellinger_disjoint_vocab_slice_is_omitted(spark):
+    # zero-overlap slices vanish (inner join contributes no terms) —
+    # documented contract: absence reads as BC = 0
+    df = spark.createDataFrame(
+        [Row(lang="en", text="aaa bbb"), Row(lang="zz", text="ccc ddd")]
+    )
+    assert hellinger_drift(df).collect() == []
+
+
+# -------------------------------------------------------- b-bit minhash
+
+
+def test_bbit_identical_docs_full_agreement(spark):
+    text = "the same exact document body repeated verbatim " * 5
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=2, text=text)]
+    )
+    r = bbit_minhash_estimate(df, k=7, num_hashes=8, b=4).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["n_match_full"] == 8 and row["n_match_b"] == 8
+    assert row["jacc_est_full"] == 1.0 and row["jacc_est_bbit"] == 1.0
+
+
+def test_bbit_correction_formula_and_bounds(spark):
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta " * 8,
+        2: "alpha beta gamma delta epsilon QQQQ " * 8,
+        3: "completely different content with nothing shared here at all",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    rows = bbit_minhash_estimate(df, k=7, num_hashes=8, b=4).collect()
+    assert rows, "near-identical docs must surface as candidates"
+    for r in rows:
+        # low bits of equal slots are equal: b-bit match count dominates
+        assert r["n_match_b"] >= r["n_match_full"]
+        expect = round((r["n_match_b"] / 8.0 - 0.0625) / 0.9375, 6)
+        assert abs(r["jacc_est_bbit"] - expect) < 1e-12
+        assert r["jacc_est_full"] == round(r["n_match_full"] / 8.0, 6)
