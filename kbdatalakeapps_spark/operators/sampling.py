@@ -970,3 +970,103 @@ def cluster_keyed_split(
     j = df.join(groups, F.col(key_col) == F.col("_k")).drop("_k")
     out = hash_split(j, "keeper", fractions, salt=salt, split_col=split_col)
     return out.withColumn("is_keeper", F.col(id_col) == F.col("keeper"))
+
+
+def negative_sampling(
+    anchors: DataFrame,
+    vocab: DataFrame,
+    k: int = 5,
+    anchor_col: str = "anchor_id",
+    item_col: str = "item",
+    freq_col: str = "freq",
+    salt: str = "neg",
+    positives: DataFrame | None = None,
+) -> DataFrame:
+    """Frequency^0.75 negative sampling (the word2vec/contrastive-
+    training draw) as a DISTRIBUTED inverse-CDF lookup: vocab items
+    get integer weights ⌊f^{3/4}·1000⌋, a two-phase prefix sum
+    (relational.grouped_prefix_sum — never a single-task global
+    window) assigns each item the half-open cumulative range
+    [lo, hi], each (anchor, slot) draws a deterministic md5 integer
+    modulo the total weight, and the draw→item assignment is the
+    bucketed range join (temporal.range_join_bucketed) — the alias-
+    table lookup rebuilt from shuffle-safe primitives.
+
+    f^0.75 is computed as (sqrt(sqrt(f)))³·— sqrt is IEEE-correctly-
+    rounded where pow() is not, so the weights are bit-identical
+    across engines and the whole draw carries a hash oracle.
+
+    ``positives`` (anchor, item) marks accidental hits with
+    ``is_positive`` instead of resampling — deterministic output
+    size k per anchor, and the collision rate is itself a useful
+    statistic (it estimates the positive mass under the noise
+    distribution).
+
+    Driver state: TWO scalars (total weight, vocab size) collected to
+    size the range-join buckets — the bounded-centroid idiom; the
+    vocab table itself never leaves the cluster."""
+    from .relational import grouped_prefix_sum
+    from .temporal import range_join_bucketed
+
+    v = vocab.select(
+        F.col(item_col).alias("item"),
+        F.col(freq_col).cast("long").alias("freq"),
+    ).filter(F.col("freq") >= 1)
+    s = F.sqrt(F.sqrt(F.col("freq").cast("double")))
+    wts = v.select(
+        "item", "freq",
+        F.floor(s * s * s * F.lit(1000.0)).cast("long").alias("w_fp"),
+    )
+    cum = grouped_prefix_sum(
+        wts, [], ["item"], "w_fp", "hi_cum", include_current=True
+    ).select(
+        "item", "freq", "w_fp",
+        (F.col("hi_cum") - F.col("w_fp")).alias("lo"),
+        (F.col("hi_cum") - 1).alias("hi"),
+    )
+    tot_row = wts.agg(
+        F.sum("w_fp").alias("t"), F.count(F.lit(1)).alias("nv")
+    ).collect()[0]
+    t_val, n_items = int(tot_row["t"]), int(tot_row["nv"])
+    draws = anchors.select(
+        F.col(anchor_col).alias("anchor"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("slot"),
+    ).withColumn(
+        "draw",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(
+                        F.col("anchor").cast("string"),
+                        F.lit(f":{salt}:"),
+                        F.col("slot").cast("string"),
+                    )),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long"),
+            F.lit(t_val),
+        ),
+    )
+    asg = range_join_bucketed(
+        draws, cum, "draw", "lo", "hi",
+        bucket_size=max(1, t_val // max(n_items, 1)),
+    ).select("anchor", "slot", "item", "freq", "w_fp")
+    if positives is not None:
+        p = positives.select(
+            F.col(anchor_col).alias("anchor"),
+            F.col(item_col).alias("item"),
+            F.lit(True).alias("_hit"),
+        ).distinct()
+        asg = asg.join(p, ["anchor", "item"], "left").withColumn(
+            "is_positive", F.coalesce(F.col("_hit"), F.lit(False))
+        ).drop("_hit")
+    else:
+        asg = asg.withColumn("is_positive", F.lit(False))
+    return asg.select(
+        F.col("anchor").alias(anchor_col),
+        F.col("slot").cast("int").alias("slot"),
+        F.col("item").alias(item_col),
+        F.col("freq").cast("long").alias("freq"),
+        "w_fp",
+        "is_positive",
+    )

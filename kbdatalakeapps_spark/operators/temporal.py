@@ -807,3 +807,69 @@ def mann_kendall(
         .otherwise(F.lit("no-trend"))
         .alias("trend"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_cols: list[str],
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Theil-Sen robust slope per key: the MEDIAN of all pairwise
+    slopes (x_j − x_i)/(t_j − t_i) over t_i < t_j — the estimator
+    that tolerates ~29% outliers where OLS tolerates none; the
+    natural companion to :func:`mann_kendall` (MK answers "is there a
+    trend", Theil-Sen answers "how steep, robustly").
+
+    Determinism: with exact (int/decimal) inputs each pairwise slope
+    is ONE IEEE division of exactly-reproducible operands, so the
+    slope multiset is bit-identical across engines; the median is an
+    order statistic of that multiset (row_number over slope, the two
+    middle positions averaged for even counts — (a+b)/2 is a single
+    commutative IEEE tree).  Rounded to 9 at the end.
+
+    Scale posture: per-key O(n²) pair join over an ALREADY-AGGREGATED
+    bucketed series (the mann_kendall contract — n is the bucket
+    count); the median's sort runs per key on n² ≤ a few thousand
+    rows, partitioned by key, never a global sort."""
+    keys = [F.col(c) for c in key_cols]
+    a = df.select(*keys, F.col(t_col).alias("_ti"), F.col(x_col).alias("_xi"))
+    b = df.select(
+        *[F.col(c).alias(f"_b_{c}") for c in key_cols],
+        F.col(t_col).alias("_tj"),
+        F.col(x_col).alias("_xj"),
+    )
+    cond = [a[c] == b[f"_b_{c}"] for c in key_cols]
+    cond.append(F.col("_ti") < F.col("_tj"))
+    slopes = a.join(b, cond).select(
+        *[a[c] for c in key_cols],
+        (
+            (F.col("_xj") - F.col("_xi")).cast("double")
+            / (F.col("_tj") - F.col("_ti")).cast("double")
+        ).alias("slope"),
+        "_ti",
+        "_tj",
+    )
+    wo = Window.partitionBy(*key_cols).orderBy("slope", "_ti", "_tj")
+    wc = Window.partitionBy(*key_cols)
+    rk = slopes.select(
+        *key_cols,
+        "slope",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    )
+    # integer middle positions — plain / is DOUBLE division in Spark
+    # ((m+1)/2 = 1580.5 matches no rn for even m, silently dropping one
+    # of the two middles)
+    mid = rk.filter(
+        (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+    )
+    n_tbl = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    med = mid.groupBy(*key_cols).agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        F.round(F.avg("slope"), 9).alias("ts_slope"),
+    )
+    return med.join(n_tbl, key_cols).select(
+        *key_cols, F.col("n").cast("long").alias("n"), "n_pairs", "ts_slope"
+    )

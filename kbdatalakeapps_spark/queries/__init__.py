@@ -120,4 +120,10 @@ assert len(DRIVER_WINDOW) == 50
 #: EMPTY at round-10 rotation: all 8 round-10 registrations are in
 #: DRIVER_WINDOW (8 + 41 stale sentinels + flagship = 50), so the
 #: debt drains to zero when CORRECTNESS_r10 lands.
-PENDING_NEXT_WINDOW: list[str] = []
+#: Round-10 late registrations (window already full at 50): MUST lead
+#: the round-11 DRIVER_WINDOW (tests/test_ledger.py age-out rule).
+#: Each is pre-verified vanilla at sf0.001 AND sf0.01.
+PENDING_NEXT_WINDOW: list[str] = [
+    "ts_theil_sen",
+    "sp_negative_sampling",
+]

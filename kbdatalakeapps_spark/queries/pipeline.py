@@ -3223,3 +3223,79 @@ def dd_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), k=7, num_hashes=8, b=4,
         hash_fn="md5", min_match=4,
     )
+
+
+@query(
+    "sp_negative_sampling",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t.w
+        FROM documents,
+             LATERAL (SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z]+'),
+                 x -> x <> '')) AS w) t
+    ),
+    vocab AS (SELECT w AS item, COUNT(*)::BIGINT AS freq
+              FROM tok GROUP BY 1),
+    wts AS (
+        SELECT item, freq,
+               CAST(FLOOR(s * s * s * 1000) AS BIGINT) AS w_fp
+        FROM (SELECT item, freq,
+                     sqrt(sqrt(CAST(freq AS DOUBLE))) AS s
+              FROM vocab)
+    ),
+    cum AS (
+        SELECT item, freq, w_fp,
+               SUM(w_fp) OVER (ORDER BY item
+                               ROWS UNBOUNDED PRECEDING) AS hi_cum
+        FROM wts
+    ),
+    iv AS (SELECT item, freq, w_fp, hi_cum - w_fp AS lo, hi_cum - 1 AS hi
+           FROM cum),
+    tot AS (SELECT SUM(w_fp) AS t FROM wts),
+    anchors AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    draws AS (
+        SELECT doc_id, u.slot,
+               ('0x' || substr(md5(doc_id || ':neg:' || u.slot), 1, 15))
+                   ::BIGINT % (SELECT t FROM tot) AS draw
+        FROM anchors, unnest(range(0, 4)) u(slot)
+    ),
+    asg AS (
+        SELECT d.doc_id, d.slot, iv.item, iv.freq, iv.w_fp
+        FROM draws d JOIN iv ON d.draw BETWEEN iv.lo AND iv.hi
+    ),
+    pos AS (SELECT DISTINCT doc_id, w FROM tok)
+    SELECT a.doc_id, CAST(a.slot AS INT) AS slot, a.item,
+           CAST(a.freq AS BIGINT) AS freq, a.w_fp,
+           (p.w IS NOT NULL) AS is_positive
+    FROM asg a
+    LEFT JOIN pos p ON p.doc_id = a.doc_id AND p.w = a.item
+    """,
+)
+def sp_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style f^0.75 negative sampling (operators/sampling.py::
+    negative_sampling): every 10th document draws 4 deterministic
+    negatives from the corpus unigram noise distribution via the
+    distributed inverse-CDF (two-phase prefix sum + bucketed range
+    join — the alias table rebuilt shuffle-safe); accidental positives
+    are flagged, not resampled.  sqrt-composed f^{3/4} weights and md5
+    draws make the entire sample hash-replayable in SQL."""
+    from ..operators.sampling import negative_sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z]+"), lambda t: t != ""
+    )
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    vocab = tok.groupBy(F.col("w").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    anchors = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    out = negative_sampling(
+        anchors, vocab, k=4, anchor_col="doc_id", item_col="item",
+        salt="neg",
+        positives=tok.select(
+            F.col("doc_id"), F.col("w").alias("item")
+        ),
+    )
+    return out

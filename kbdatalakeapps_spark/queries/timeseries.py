@@ -1098,3 +1098,47 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _monthly_revenue(spark, sf_dir)
     return mann_kendall(s, ["priority"], t_col="t", x_col="x")
+
+
+@query(
+    "ts_theil_sen",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    pr AS (
+        SELECT a.priority,
+               CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+                   AS slope
+        FROM series a JOIN series b
+          ON b.priority = a.priority AND a.t < b.t
+    ),
+    rk AS (
+        SELECT priority, slope,
+               ROW_NUMBER() OVER (PARTITION BY priority ORDER BY slope)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY priority) AS m
+        FROM pr
+    ),
+    med AS (
+        SELECT priority, CAST(MAX(m) AS BIGINT) AS n_pairs,
+               ROUND(AVG(slope), 9) AS ts_slope
+        FROM rk
+        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        GROUP BY 1
+    ),
+    nn AS (SELECT priority, COUNT(*)::BIGINT AS n FROM series GROUP BY 1)
+    SELECT med.priority, nn.n, med.n_pairs, med.ts_slope
+    FROM med JOIN nn USING (priority)
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope (operators/temporal.py::theil_sen) of
+    monthly revenue per order priority — the magnitude companion to
+    ts_mann_kendall's trend gate, outlier-tolerant where OLS is not.
+    Each pairwise slope is one IEEE division of exact-decimal
+    operands, the median an order statistic of that bit-identical
+    multiset, so the estimator hash-matches the SQL twin."""
+    from ..operators.temporal import theil_sen
+
+    return theil_sen(
+        _monthly_revenue(spark, sf_dir), ["priority"], t_col="t", x_col="x"
+    )

@@ -110,6 +110,8 @@ _GLOBAL_WINDOW_OK = {
     "ml_auc_rank",            # grouped_prefix_sum(group=∅) offsets
                               # window over the ≤ #buckets totals frame
     "ml_pr_curve",            # same offsets frame
+    "sp_negative_sampling",   # same grouped_prefix_sum(group=∅)
+                              # offsets frame under the vocab CDF
     "ml_lift_gains",          # cumulative legs over the ≤24-row
                               # fixed-width band table
 }

@@ -357,3 +357,85 @@ def test_bbit_correction_formula_and_bounds(spark):
         expect = round((r["n_match_b"] / 8.0 - 0.0625) / 0.9375, 6)
         assert abs(r["jacc_est_bbit"] - expect) < 1e-12
         assert r["jacc_est_full"] == round(r["n_match_full"] / 8.0, 6)
+
+
+# ------------------------------------------------------------ Theil-Sen
+
+
+def test_theil_sen_matches_python_reference(spark):
+    from kbdatalakeapps_spark.operators.temporal import theil_sen
+
+    xs = [2.0, 4.0, 3.0, 8.0, 7.0, 11.0, 9.0, 14.0]
+    df = spark.createDataFrame(
+        [Row(k="a", t=i + 1, x=float(v)) for i, v in enumerate(xs)]
+    ).withColumn("x", F.col("x").cast("decimal(18,2)"))
+    r = theil_sen(df, ["k"], "t", "x").collect()[0]
+    slopes = sorted(
+        (xs[j] - xs[i]) / (j - i)
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    m = len(slopes)
+    ref = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2
+    assert r["n"] == len(xs)
+    assert r["n_pairs"] == m
+    assert abs(r["ts_slope"] - round(ref, 9)) < 1e-9
+
+
+def test_theil_sen_outlier_robustness(spark):
+    from kbdatalakeapps_spark.operators.temporal import theil_sen
+
+    # perfect slope-2 line with one wild outlier: OLS would bend,
+    # Theil-Sen must stay at 2
+    xs = [2.0 * t for t in range(20)]
+    xs[10] = 1e6
+    df = spark.createDataFrame(
+        [Row(k="a", t=i, x=float(v)) for i, v in enumerate(xs)]
+    ).withColumn("x", F.col("x").cast("decimal(18,2)"))
+    r = theil_sen(df, ["k"], "t", "x").collect()[0]
+    assert abs(r["ts_slope"] - 2.0) < 1e-9
+
+
+# ----------------------------------------------------- negative sampling
+
+
+def test_negative_sampling_shape_and_determinism(spark):
+    from kbdatalakeapps_spark.operators.sampling import negative_sampling
+
+    vocab = spark.createDataFrame(
+        [Row(item=w, freq=f) for w, f in
+         [("a", 100), ("b", 50), ("c", 10), ("d", 1), ("e", 400)]]
+    )
+    anchors = spark.createDataFrame([Row(anchor_id=i) for i in range(6)])
+    out1 = negative_sampling(anchors, vocab, k=3).collect()
+    out2 = negative_sampling(
+        anchors.repartition(5), vocab.repartition(3), k=3
+    ).collect()
+    key = lambda r: (r["anchor_id"], r["slot"])
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == 18  # exactly k per anchor, no resampling
+    assert len({key(r) for r in out1}) == 18
+
+
+def test_negative_sampling_follows_smoothed_frequency(spark):
+    from kbdatalakeapps_spark.operators.sampling import negative_sampling
+
+    vocab = spark.createDataFrame(
+        [Row(item="common", freq=10000), Row(item="rare", freq=1)]
+    )
+    anchors = spark.createDataFrame([Row(anchor_id=i) for i in range(40)])
+    out = negative_sampling(anchors, vocab, k=5).collect()
+    n_common = sum(1 for r in out if r["item"] == "common")
+    # f^0.75 smoothing: common/rare weight ratio = 10000^0.75 = 1000,
+    # so ~99.9% of 200 draws hit "common"
+    assert n_common >= 190
+
+
+def test_negative_sampling_flags_positives(spark):
+    from kbdatalakeapps_spark.operators.sampling import negative_sampling
+
+    vocab = spark.createDataFrame([Row(item="only", freq=7)])
+    anchors = spark.createDataFrame([Row(anchor_id=1)])
+    pos = spark.createDataFrame([Row(anchor_id=1, item="only")])
+    out = negative_sampling(anchors, vocab, k=2, positives=pos).collect()
+    assert len(out) == 2 and all(r["is_positive"] for r in out)
