@@ -865,3 +865,62 @@ def mad_outliers(
         F.first("mad_fp").alias("mad_fp"),
         F.sum("_o").cast("long").alias("n_outliers"),
     )
+
+
+def gini_impurity(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Gini impurity 1 − Σ p_c² per categorical column — the
+    concentration/diversity audit a feature or label column gets
+    before training (0 = constant column, → 1 = uniform over many
+    levels), plus the k/(k−1)-normalized form comparable ACROSS
+    columns with different cardinalities.
+
+    Chosen over Shannon entropy deliberately: entropy's per-category
+    log() is not bit-portable across engines, but Gini is the pure
+    rational (n² − Σ c_c²)/n² — integer numerator and denominator in
+    DECIMAL(38,0), ONE double division each for gini and gini_norm,
+    so the audit carries a full hash oracle.
+
+    Scale posture: one map-side-combinable groupBy per column (value
+    counts) re-aggregated to a single row per column — the melt runs
+    as a union of per-column passes over a column-pruned scan, never
+    a wide shuffle; NULLs count as their own level (a real impurity
+    contributor, surfaced not dropped)."""
+    dec = "decimal(38,0)"
+    outs = []
+    for c in columns:
+        counts = (
+            df.select(F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                      .alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast(dec).alias("cnt"))
+        )
+        agg = counts.agg(
+            F.sum("cnt").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+        )
+        n, k, sq = F.col("n"), F.col("k"), F.col("sq")
+        gini = (n * n - sq).cast("double") / (n * n).cast("double")
+        outs.append(
+            agg.select(
+                F.lit(c).alias("column"),
+                n.cast("long").alias("n_rows"),
+                k.cast("long").alias("n_levels"),
+                (n * n - sq).cast("decimal(38,0)").cast("double")
+                .alias("gini_num"),
+                F.round(gini, 9).alias("gini"),
+                F.when(
+                    k > 1,
+                    F.round(
+                        gini * k.cast("double") / (k - 1).cast("double"), 9
+                    ),
+                ).alias("gini_norm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -873,3 +873,100 @@ def theil_sen(
     return med.join(n_tbl, key_cols).select(
         *key_cols, F.col("n").cast("long").alias("n"), "n_pairs", "ts_slope"
     )
+
+
+def classical_decompose(
+    df: DataFrame,
+    key_cols: list[str],
+    t_col: str = "t",
+    x_col: str = "x",
+    period: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    X-11 ancestor; statsmodels ``seasonal_decompose``):
+    trend = centered 2×period MA (half-weight end terms for even
+    periods), seasonal = phase means of the detrended series re-
+    centered to sum to zero, resid = x − trend − seasonal.  The
+    decomposition every seasonality-aware anomaly or forecast
+    pipeline runs before modeling the remainder.
+
+    Determinism: the MA uses INTEGER weights ×2 (1-2-…-2-1) summed in
+    exact decimal with ONE /2·period division; detrended terms are
+    rounded to 9 then decimal-summed for the phase means (the dsum
+    contract), the phase-mean centering repeats the same idiom, and
+    every output is a fixed IEEE tree rounded to 6.  Trend (hence
+    resid) is NULL inside the first/last half-window — the classical
+    edge contract, surfaced rather than padded.
+
+    Scale posture: one bounded ±half-window lag equi-join for the MA
+    (the ewma_truncated shape, fan-out 2·period+1), two map-side
+    combinable phase aggs; everything partitioned by key — runs on an
+    ALREADY-AGGREGATED series table."""
+    if period % 2 != 0:
+        raise ValueError("classical_decompose expects an even period")
+    half = period // 2
+    keys = [F.col(c) for c in key_cols]
+    lag_arr = F.array(*[F.lit(int(k)) for k in range(-half, half + 1)])
+    a = df.select(
+        *keys, F.col(t_col).alias("_t"), F.col(x_col).alias("_x"),
+        F.explode(lag_arr).alias("off"),
+    )
+    b = df.select(
+        *[F.col(c).alias(f"_b_{c}") for c in key_cols],
+        F.col(t_col).alias("_bt"),
+        F.col(x_col).alias("_y"),
+    )
+    cond = [a[c] == b[f"_b_{c}"] for c in key_cols]
+    cond.append((F.col("_t") + F.col("off")) == F.col("_bt"))
+    w = F.when(F.abs(F.col("off")) == half, F.lit(1)).otherwise(F.lit(2))
+    ma = (
+        a.join(b, cond)
+        .groupBy(*[a[c] for c in key_cols], F.col("_t"), F.col("_x"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_y").cast("decimal(30,4)")
+                  * w.cast("decimal(1,0)")).alias("_s"),
+        )
+        .select(
+            *key_cols, "_t", "_x",
+            F.when(
+                F.col("_n") == 2 * half + 1,
+                F.col("_s").cast("double") / F.lit(float(2 * period)),
+            ).alias("trend"),
+        )
+    )
+    det = ma.withColumn(
+        "_det",
+        F.round(F.col("_x").cast("double") - F.col("trend"), 9),
+    ).withColumn("phase", F.pmod(F.col("_t") - 1, F.lit(period)) + 1)
+    ph = det.filter(F.col("_det").isNotNull()).groupBy(
+        *key_cols, "phase"
+    ).agg(
+        (
+            F.sum(F.col("_det").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_ph_raw")
+    )
+    ctr = ph.groupBy(*key_cols).agg(
+        (
+            F.sum(F.round(F.col("_ph_raw"), 9).cast("decimal(38,9)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("_ph_mean")
+    )
+    seas = ph.join(ctr, key_cols).select(
+        *key_cols, "phase",
+        F.round(F.col("_ph_raw") - F.col("_ph_mean"), 9).alias("seasonal"),
+    )
+    out = det.join(seas, [*key_cols, "phase"])
+    return out.select(
+        *key_cols,
+        F.col("_t").alias(t_col),
+        F.round(F.col("_x").cast("double"), 6).alias("x"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("_x").cast("double") - F.col("trend") - F.col("seasonal"),
+            6,
+        ).alias("resid"),
+    )

@@ -1018,3 +1018,49 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_fp",
         "n_outliers",
     )
+
+
+def _gini_col_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS "column", n_rows, n_levels, gini_num,
+           ROUND(raw, 9) AS gini,
+           CASE WHEN n_levels > 1
+                THEN ROUND(raw * n_levels / (n_levels - 1), 9)
+           END AS gini_norm
+    FROM (
+        SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_levels,
+               CAST(CAST(n * n - sq AS DECIMAL(38,0)) AS DOUBLE)
+                   AS gini_num,
+               CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS raw
+        FROM (
+            SELECT SUM(cnt) AS n, COUNT(*) AS k,
+                   SUM(cnt * cnt) AS sq
+            FROM (
+                SELECT COALESCE(CAST({col} AS VARCHAR), '<null>') AS v,
+                       COUNT(*)::HUGEINT AS cnt
+                FROM orders GROUP BY 1
+            )
+        )
+    )
+    """
+
+
+@query(
+    "dq_gini_impurity",
+    oracle=" UNION ALL ".join(
+        _gini_col_sql(c) for c in ("o_orderpriority", "o_orderstatus")
+    ),
+)
+def dq_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity audit (operators/relational.py::gini_impurity)
+    of the orders categorical columns — the diversity/concentration
+    check a label or stratification column gets before sampling or
+    training.  Pure rational (n² − Σc²)/n², so unlike Shannon entropy
+    the statistic is log-free and fully hash-oracled; the normalized
+    form compares columns across cardinalities."""
+    from ..operators.relational import gini_impurity
+
+    return gini_impurity(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderpriority", "o_orderstatus"],
+    )

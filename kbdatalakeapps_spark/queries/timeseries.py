@@ -1142,3 +1142,68 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen(
         _monthly_revenue(spark, sf_dir), ["priority"], t_col="t", x_col="x"
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    ma AS (
+        SELECT a.priority, a.t, a.x,
+               COUNT(*) AS n,
+               SUM(CAST(b.x AS DECIMAL(30,4))
+                   * CAST(CASE WHEN ABS(u.off) = 6 THEN 1 ELSE 2 END
+                          AS DECIMAL(1,0))) AS s
+        FROM series a
+        CROSS JOIN unnest(range(-6, 7)) u(off)
+        JOIN series b
+          ON b.priority = a.priority AND b.t = a.t + u.off
+        GROUP BY 1, 2, 3
+    ),
+    det AS (
+        SELECT priority, t, x,
+               CASE WHEN n = 13 THEN CAST(s AS DOUBLE) / 24.0 END AS trend,
+               ROUND(CAST(x AS DOUBLE)
+                     - CASE WHEN n = 13 THEN CAST(s AS DOUBLE) / 24.0 END,
+                     9) AS det,
+               (t - 1) % 12 + 1 AS phase
+        FROM ma
+    ),
+    ph AS (
+        SELECT priority, phase,
+               CAST(SUM(CAST(det AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
+                   AS ph_raw
+        FROM det WHERE det IS NOT NULL GROUP BY 1, 2
+    ),
+    ctr AS (
+        SELECT priority,
+               CAST(SUM(CAST(ROUND(ph_raw, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                   / COUNT(*) AS ph_mean
+        FROM ph GROUP BY 1
+    ),
+    seas AS (
+        SELECT ph.priority, ph.phase,
+               ROUND(ph.ph_raw - ctr.ph_mean, 9) AS seasonal
+        FROM ph JOIN ctr USING (priority)
+    )
+    SELECT d.priority, d.t, ROUND(CAST(d.x AS DOUBLE), 6) AS x,
+           ROUND(d.trend, 6) AS trend,
+           ROUND(s.seasonal, 6) AS seasonal,
+           ROUND(CAST(d.x AS DOUBLE) - d.trend - s.seasonal, 6) AS resid
+    FROM det d
+    JOIN seas s ON s.priority = d.priority AND s.phase = d.phase
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (operators/temporal.py::
+    classical_decompose, period 12) of monthly revenue per priority:
+    centered 2×12 MA trend (integer 1-2-…-2-1 weights in exact
+    decimal), zero-centered phase-mean seasonal, NULL-edged residual —
+    the pre-model seasonality split, fully hash-oracled because every
+    float is a fixed IEEE tree over decimal-summed operands."""
+    from ..operators.temporal import classical_decompose
+
+    return classical_decompose(
+        _monthly_revenue(spark, sf_dir), ["priority"],
+        t_col="t", x_col="x", period=12,
+    )
