@@ -126,4 +126,6 @@ assert len(DRIVER_WINDOW) == 50
 PENDING_NEXT_WINDOW: list[str] = [
     "ts_theil_sen",
     "sp_negative_sampling",
+    "ts_seasonal_decompose",
+    "dq_gini_impurity",
 ]

@@ -439,3 +439,70 @@ def test_negative_sampling_flags_positives(spark):
     pos = spark.createDataFrame([Row(anchor_id=1, item="only")])
     out = negative_sampling(anchors, vocab, k=2, positives=pos).collect()
     assert len(out) == 2 and all(r["is_positive"] for r in out)
+
+
+# ------------------------------------------------- classical decompose
+
+
+def test_classical_decompose_recovers_planted_seasonality(spark):
+    from kbdatalakeapps_spark.operators.temporal import classical_decompose
+
+    seas = [10.0, -5.0, 3.0, -8.0, 6.0, -6.0, 4.0, -4.0, 7.0, -7.0, 2.0,
+            -2.0]
+    assert abs(sum(seas)) < 1e-9
+    rows = []
+    for t in range(1, 61):  # 5 full years, linear trend + seasonality
+        x = 100.0 + 2.0 * t + seas[(t - 1) % 12]
+        rows.append(Row(k="a", t=t, x=x))
+    df = spark.createDataFrame(rows).withColumn(
+        "x", F.col("x").cast("decimal(18,2)")
+    )
+    out = {r["t"]: r for r in
+           classical_decompose(df, ["k"], "t", "x", period=12).collect()}
+    assert len(out) == 60
+    # edges: first/last half-window have NULL trend and resid
+    for t in (1, 6, 55, 60):
+        assert out[t]["trend"] is None and out[t]["resid"] is None
+    # interior: the centered 2x12 MA reproduces the linear trend
+    # exactly, phase means recover the planted seasonal, resid ~ 0
+    for t in range(7, 55):
+        assert abs(out[t]["trend"] - (100.0 + 2.0 * t)) < 1e-6, t
+        assert abs(out[t]["seasonal"] - seas[(t - 1) % 12]) < 1e-6, t
+        assert abs(out[t]["resid"]) < 1e-6, t
+
+
+def test_classical_decompose_rejects_odd_period(spark):
+    from kbdatalakeapps_spark.operators.temporal import classical_decompose
+    import pytest
+
+    df = spark.createDataFrame([Row(k="a", t=1, x=1.0)])
+    with pytest.raises(ValueError):
+        classical_decompose(df, ["k"], "t", "x", period=7)
+
+
+# -------------------------------------------------------- gini impurity
+
+
+def test_gini_impurity_hand_example(spark):
+    from kbdatalakeapps_spark.operators.relational import gini_impurity
+
+    df = spark.createDataFrame(
+        [Row(c1="a", c2=None), Row(c1="a", c2="x"),
+         Row(c1="b", c2="x"), Row(c1="c", c2="x")]
+    )
+    out = {r["column"]: r for r in gini_impurity(df, ["c1", "c2"]).collect()}
+    r1 = out["c1"]  # counts 2,1,1 → (16-6)/16
+    assert r1["n_rows"] == 4 and r1["n_levels"] == 3
+    assert abs(r1["gini"] - 0.625) < 1e-12
+    assert abs(r1["gini_norm"] - 0.9375) < 1e-12
+    r2 = out["c2"]  # null is its own level: counts 3,1 → (16-10)/16
+    assert r2["n_levels"] == 2
+    assert abs(r2["gini"] - 0.375) < 1e-12
+
+
+def test_gini_impurity_constant_column_is_zero(spark):
+    from kbdatalakeapps_spark.operators.relational import gini_impurity
+
+    df = spark.createDataFrame([Row(c="k")] * 10)
+    r = gini_impurity(df, ["c"]).collect()[0]
+    assert r["gini"] == 0.0 and r["gini_norm"] is None
