@@ -437,6 +437,12 @@ def main() -> None:
                 "BENCH_r*.json")))
             picked = [candidates[(rot * 3 + i) % len(candidates)]
                       for i in range(3)]
+            # VERDICT r9 #7: this round's BENCH must carry fresh slope
+            # evidence for the two heavies named there, regardless of
+            # where the rotation lands
+            for req in ("gr_jaccard_links_capped", "mm_image_dedup"):
+                if req not in picked:
+                    picked.append(req)
             sf2_dir = build_sf2(spark, sf_dir, os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 ".scale_slope", "sf2x"))

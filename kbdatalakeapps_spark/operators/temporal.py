@@ -905,6 +905,11 @@ def classical_decompose(
     if period % 2 != 0:
         raise ValueError("classical_decompose expects an even period")
     half = period // 2
+    # the series feeds BOTH MA join sides and the detrended branch
+    # re-feeds the phase agg and the output join — cut lineage once so
+    # the caller's aggregation isn't replayed per branch (the
+    # link_prediction lesson; 15 → ~8 exchanges measured)
+    df = df.localCheckpoint(eager=False)
     keys = [F.col(c) for c in key_cols]
     lag_arr = F.array(*[F.lit(int(k)) for k in range(-half, half + 1)])
     a = df.select(
@@ -938,7 +943,9 @@ def classical_decompose(
     det = ma.withColumn(
         "_det",
         F.round(F.col("_x").cast("double") - F.col("trend"), 9),
-    ).withColumn("phase", F.pmod(F.col("_t") - 1, F.lit(period)) + 1)
+    ).withColumn(
+        "phase", F.pmod(F.col("_t") - 1, F.lit(period)) + 1
+    ).localCheckpoint(eager=False)
     ph = det.filter(F.col("_det").isNotNull()).groupBy(
         *key_cols, "phase"
     ).agg(

@@ -319,6 +319,21 @@ def test_exchange_counts_bounded(spark):
         # blocking audit is one bucket agg + re-agg
         "gr_degree_assortativity": 3,
         "dq_blocking_audit": 4,
+        # round-10 registrations, measured 5 / 3 / 8 / 5 / 6 / 6 / 8 /
+        # 4 / 7 / 1 / 6 / 4 (ts_seasonal_decompose was 15 before the
+        # classical_decompose lineage cuts — the bound pins that fix)
+        "gr_jaccard_links_capped": 7,
+        "ts_ewma": 5,
+        "ts_mann_kendall": 11,
+        "ts_theil_sen": 7,
+        "ts_seasonal_decompose": 9,
+        "ml_krippendorff_alpha": 8,
+        "gr_hits": 11,
+        "tx_cdc_chunks": 6,
+        "tx_hellinger_drift": 10,
+        "dd_bbit_minhash": 2,
+        "sp_negative_sampling": 9,
+        "dq_gini_impurity": 6,
     }
     over = {}
     for name, bound in bounds.items():

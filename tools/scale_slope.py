@@ -59,7 +59,7 @@ DEFAULT_KEYS = [
     "tx_gopher_repetition",
     # round-9 heavies (VERDICT r8 #4): the slowest previously
     # un-benched keys, now bench-tracked and slope-probed
-    "gr_jaccard_links",
+    "gr_jaccard_links_capped",
     "ts_seasonal_anomaly",
     "ch_thread_paths",
     "dd_soft_dedup_weights",
