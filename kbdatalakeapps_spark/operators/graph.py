@@ -1053,3 +1053,85 @@ def hits_scores(
         F.col("a").alias("score"),
     )
     return hubs.unionByName(auths)
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    start_col: str = "node",
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic uniform random walks (the DeepWalk/node2vec p=q=1
+    corpus sampler): from every start node, ``steps`` hops where hop k
+    picks neighbor index md5(start‖salt‖k‖current) % deg(current) —
+    content-keyed pseudo-randomness, so the walk corpus is
+    reproducible, partition-invariant and SQL-replayable (the md5
+    draw idiom of the sampling family).
+
+    Returns (walk_id, step, node): step 0 is the start; a walk that
+    reaches a sink (no out-edges) simply ends — shorter walks surface
+    as missing trailing steps, never as NULL padding.
+
+    Scale posture: ONE ranked-neighbor table (row_number per src —
+    partitioned window, state bounded by out-degree) built once and
+    lineage-cut; each unrolled hop is one equi-join on the current
+    node for the degree + one on (node, drawn index) for the
+    successor — the sparse-gather shape, shuffles keyed on node id.
+    Walk count scales with |starts|·steps rows, independent of |E|."""
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    w = Window.partitionBy("s").orderBy("d")
+    nb = e.select(
+        "s", "d", F.row_number().over(w).alias("rn")
+    ).localCheckpoint(eager=False)
+    # renamed projections: deg and nb share lineage, and nb re-joins
+    # every unrolled hop — distinct column names sidestep Spark's
+    # ambiguous-attribute resolution on repeated self-references
+    deg = nb.groupBy("s").agg(F.max("rn").alias("deg")).select(
+        F.col("s").alias("ds"), "deg"
+    )
+    hop = nb.select(
+        F.col("s").alias("ns"), F.col("d").alias("nd"),
+        F.col("rn").alias("nrn"),
+    )
+    cur = starts.select(
+        F.col(start_col).alias("walk_id"),
+        F.col(start_col).alias("node"),
+        F.lit(0).alias("step"),
+    )
+    out = cur
+    for k in range(1, steps + 1):
+        draw = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(
+                        F.col("walk_id").cast("string"),
+                        F.lit(f":{salt}:{k}:"),
+                        F.col("node").cast("string"),
+                    )),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long"),
+            F.col("deg"),
+        ) + 1
+        nxt = (
+            cur.join(deg, F.col("node") == F.col("ds"))
+            .withColumn("_draw", draw)
+            .join(
+                hop,
+                (F.col("node") == F.col("ns"))
+                & (F.col("_draw") == F.col("nrn")),
+            )
+            .select(
+                "walk_id",
+                F.col("nd").alias("node"),
+                F.lit(k).alias("step"),
+            )
+        )
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out

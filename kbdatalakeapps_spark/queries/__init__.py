@@ -128,4 +128,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "sp_negative_sampling",
     "ts_seasonal_decompose",
     "dq_gini_impurity",
+    "gr_random_walks",
 ]

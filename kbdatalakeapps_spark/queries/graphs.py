@@ -956,3 +956,66 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 15)
     )
+
+
+_RW_MOD = 100
+
+
+@query(
+    "gr_random_walks",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    nb AS (
+        SELECT src AS s, dst AS d,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+        FROM e
+    ),
+    deg AS (SELECT s, MAX(rn) AS deg FROM nb GROUP BY 1),
+    w0 AS (
+        SELECT DISTINCT src AS walk_id, src AS node
+        FROM e WHERE src % {_RW_MOD} = 0
+    ),
+    h1 AS (
+        SELECT w.walk_id, nb.d AS node
+        FROM w0 w
+        JOIN deg ON deg.s = w.node
+        JOIN nb ON nb.s = w.node
+               AND nb.rn = (('0x' || substr(md5(w.walk_id || ':walk:1:'
+                            || w.node), 1, 15))::BIGINT % deg.deg) + 1
+    ),
+    h2 AS (
+        SELECT w.walk_id, nb.d AS node
+        FROM h1 w
+        JOIN deg ON deg.s = w.node
+        JOIN nb ON nb.s = w.node
+               AND nb.rn = (('0x' || substr(md5(w.walk_id || ':walk:2:'
+                            || w.node), 1, 15))::BIGINT % deg.deg) + 1
+    ),
+    h3 AS (
+        SELECT w.walk_id, nb.d AS node
+        FROM h2 w
+        JOIN deg ON deg.s = w.node
+        JOIN nb ON nb.s = w.node
+               AND nb.rn = (('0x' || substr(md5(w.walk_id || ':walk:3:'
+                            || w.node), 1, 15))::BIGINT % deg.deg) + 1
+    )
+    SELECT walk_id, node, 0 AS step FROM w0
+    UNION ALL SELECT walk_id, node, 1 FROM h1
+    UNION ALL SELECT walk_id, node, 2 FROM h2
+    UNION ALL SELECT walk_id, node, 3 FROM h3
+    """,
+)
+def gr_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-step uniform random walks (operators/graph.py::
+    random_walks) from every ≡0 mod {mod} part on the co-purchase
+    graph — the DeepWalk/node2vec corpus sampler with content-keyed
+    md5 draws, so the walk corpus replays exactly in SQL (engine
+    extension; the walk table is what a downstream skip-gram embedder
+    consumes).""".replace("{mod}", str(_RW_MOD))
+    edges = _copurchase_edges(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % _RW_MOD == 0)
+        .distinct()
+    )
+    return gr.random_walks(edges, starts, steps=3, salt="walk")

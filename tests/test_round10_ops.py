@@ -506,3 +506,39 @@ def test_gini_impurity_constant_column_is_zero(spark):
     df = spark.createDataFrame([Row(c="k")] * 10)
     r = gini_impurity(df, ["c"]).collect()[0]
     assert r["gini"] == 0.0 and r["gini_norm"] is None
+
+
+# --------------------------------------------------------- random walks
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark):
+    from kbdatalakeapps_spark.operators.graph import random_walks
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 1)]
+    e = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    starts = spark.createDataFrame([Row(node=1), Row(node=3)])
+    out1 = random_walks(e, starts, steps=3).collect()
+    out2 = random_walks(
+        e.repartition(4), starts.repartition(2), steps=3
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    eset = set(edges)
+    walks = {}
+    for r in out1:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert set(walks) == {1, 3}
+    for wid, path in walks.items():
+        assert path[0] == wid
+        assert set(path) == {0, 1, 2, 3}  # no sinks in this graph
+        for k in range(1, 4):
+            assert (path[k - 1], path[k]) in eset, (wid, k, path)
+
+
+def test_random_walks_stop_at_sinks(spark):
+    from kbdatalakeapps_spark.operators.graph import random_walks
+
+    e = spark.createDataFrame([Row(src=1, dst=2)])  # 2 is a sink
+    starts = spark.createDataFrame([Row(node=1)])
+    out = random_walks(e, starts, steps=3).collect()
+    got = sorted((r["step"], r["node"]) for r in out)
+    assert got == [(0, 1), (1, 2)]  # walk ends at the sink, no padding
