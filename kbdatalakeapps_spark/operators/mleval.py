@@ -1843,3 +1843,76 @@ def krippendorff_alpha_nominal(
         de.cast("long").alias("de_pairs"),
         F.when(uniform & (de > 0), alpha).alias("alpha"),
     )
+
+
+#: lcm(1..20) — exact harmonic-denominator clearing for AP@20 (the
+#: rank_average_overlap idiom): hits@k·(LCM20/k) stays an int64.
+_AP_LCM20 = 232792560
+
+
+def average_precision_at_k(
+    df: DataFrame,
+    group_col: str = "query_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    id_col: str = "item_id",
+    k: int = 20,
+) -> DataFrame:
+    """Exact average precision @ k per query group:
+    AP@k = Σ_{r≤k, rel_r} P@r / min(R, k) — the area-under-PR ranking
+    summary (TREC convention: denominator is the number of relevant
+    items CAPPED at k, so a perfect top-k scores 1.0 even when more
+    relevant items exist below the cut).
+
+    Determinism: ranks from a (score desc, id) window with explicit
+    tie-break; each P@r = hits@r / r is cleared to the exact integer
+    hits@r · (lcm(1..k)/r), summed in DECIMAL(38,0), ONE double
+    division at the end — the same denominator-clearing idiom as
+    rank_average_overlap; requires k ≤ 20 (lcm(1..20) is the largest
+    that keeps the per-term product comfortably inside int64).
+
+    Scale posture: one group-partitioned ranking window (state
+    bounded per group) + one running-count window over the SAME sort
+    — Spark fuses them into a single exchange — and a map-side
+    combinable final agg."""
+    if k > 20:
+        raise ValueError("k > 20 overflows the lcm-cleared int64 terms")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        F.col(rel_col).cast("int").alias("rel"),
+        F.row_number().over(w).alias("r"),
+        F.sum(F.col(rel_col).cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("hits"),
+    )
+    weight = F.expr(f"CAST({_AP_LCM20} AS BIGINT) div r")
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rel").alias("n_rel"),
+        F.sum(
+            F.when(
+                (F.col("r") <= k) & (F.col("rel") == 1),
+                (F.col("hits") * weight).cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("ap_fp"),
+    )
+    denom = F.least(F.col("n_rel"), F.lit(k))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.col("ap_fp").cast("long").alias("ap_fp"),
+        F.when(
+            denom > 0,
+            F.round(
+                F.col("ap_fp").cast("double")
+                / (F.lit(float(_AP_LCM20)) * denom.cast("double")),
+                6,
+            ),
+        ).alias("ap"),
+    )

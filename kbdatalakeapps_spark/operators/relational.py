@@ -924,3 +924,65 @@ def gini_impurity(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def tv_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    bin_col: Column,
+    group_cols: list[str],
+) -> DataFrame:
+    """Total-variation distance between two samples' BINNED
+    distributions per group: TVD = ½·Σ_bins |p_bin − q_bin| — the
+    drift monitor with the cleanest interpretation (the largest
+    probability mass any event can disagree by) and, unlike PSI/KL,
+    NO log: every term is the exact integer |c_a·n_b − c_b·n_a|, so
+    the statistic is a pure rational over DECIMAL(38,0) sums with ONE
+    double division — fully hash-oracled (PSI's per-bin ln(p/q) is
+    not bit-portable; this is the engine's deliberate substitute,
+    the Gini-for-entropy trade).
+
+    Scale posture: two map-side-combinable (group, bin) counts, one
+    equi full-outer merge on (group, bin), per-group totals joined
+    back — never a window, never a value-level sort (contrast
+    ks_drift, which needs the order statistic)."""
+    dec = "decimal(38,0)"
+    ac = df_a.groupBy(*group_cols, bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).cast(dec).alias("ca")
+    )
+    bc = df_b.groupBy(*group_cols, bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).cast(dec).alias("cb")
+    )
+    m = ac.join(bc, [*group_cols, "bin"], "full_outer").select(
+        *group_cols, "bin",
+        F.coalesce("ca", F.lit(0)).cast(dec).alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast(dec).alias("cb"),
+    )
+    na = df_a.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(dec).alias("n_a")
+    )
+    nb = df_b.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(dec).alias("n_b")
+    )
+    g = (
+        m.join(na, group_cols).join(nb, group_cols)
+        .groupBy(*group_cols, "n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).alias("tvd_num"),
+        )
+    )
+    return g.select(
+        *group_cols,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.col("tvd_num").cast("long").alias("tvd_num"),
+        F.round(
+            F.col("tvd_num").cast("double")
+            / (F.lit(2.0) * (F.col("n_a") * F.col("n_b")).cast("double")),
+            9,
+        ).alias("tvd"),
+    )

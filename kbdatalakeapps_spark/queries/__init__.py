@@ -129,4 +129,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ts_seasonal_decompose",
     "dq_gini_impurity",
     "gr_random_walks",
+    "ml_average_precision",
+    "dq_tv_drift",
 ]

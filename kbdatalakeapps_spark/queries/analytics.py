@@ -1064,3 +1064,63 @@ def dq_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         ["o_orderpriority", "o_orderstatus"],
     )
+
+
+@query(
+    "dq_tv_drift",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_DRIFT_BIN}) AS INT) AS bin
+        FROM events WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ),
+    b AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_DRIFT_BIN}) AS INT) AS bin
+        FROM events WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ),
+    ac AS (SELECT event_type, bin, COUNT(*)::HUGEINT AS ca
+           FROM a GROUP BY 1, 2),
+    bc AS (SELECT event_type, bin, COUNT(*)::HUGEINT AS cb
+           FROM b GROUP BY 1, 2),
+    m AS (
+        SELECT COALESCE(ac.event_type, bc.event_type) AS event_type,
+               COALESCE(ac.bin, bc.bin) AS bin,
+               COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM ac FULL OUTER JOIN bc
+          ON ac.event_type = bc.event_type AND ac.bin = bc.bin
+    ),
+    na AS (SELECT event_type, COUNT(*)::HUGEINT AS n_a FROM a GROUP BY 1),
+    nb AS (SELECT event_type, COUNT(*)::HUGEINT AS n_b FROM b GROUP BY 1),
+    g AS (
+        SELECT m.event_type, na.n_a, nb.n_b,
+               COUNT(*) AS n_bins,
+               SUM(ABS(ca * n_b - cb * n_a)) AS tvd_num
+        FROM m
+        JOIN na ON na.event_type = m.event_type
+        JOIN nb ON nb.event_type = m.event_type
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_bins AS BIGINT) AS n_bins,
+           CAST(tvd_num AS BIGINT) AS tvd_num,
+           ROUND(CAST(tvd_num AS DOUBLE)
+                 / (2.0 * CAST(n_a * n_b AS DOUBLE)), 9) AS tvd
+    FROM g
+    """,
+)
+def dq_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation drift per event type between the two month
+    halves (operators/relational.py::tv_drift) on the same binned
+    frame as dq_drift_chisq — the log-free PSI substitute: TVD is the
+    exact rational Σ|c_a·n_b − c_b·n_a| / (2·n_a·n_b), so the most
+    interpretable drift number ("largest probability mass any event
+    class can disagree by") carries a full hash oracle."""
+    from ..operators.relational import tv_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    df_a = ev.filter(F.col("ts") < F.lit(_DRIFT_SPLIT_NS))
+    df_b = ev.filter(F.col("ts") >= F.lit(_DRIFT_SPLIT_NS))
+    bin_col = F.floor(F.col("value") / F.lit(_DRIFT_BIN)).cast("int")
+    return tv_drift(df_a, df_b, bin_col, ["event_type"])

@@ -1578,3 +1578,61 @@ def ml_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_alpha_nominal(
         _kappa_ratings(spark, sf_dir), "item", "rater", "label"
     )
+
+
+@query(
+    "ml_average_precision",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, value AS score,
+               CASE WHEN length(event_type) % 4 >= 2 THEN 1 ELSE 0 END
+                   AS rel
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT user_id, rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY score DESC, event_id) AS r,
+               SUM(rel) OVER (
+                   PARTITION BY user_id
+                   ORDER BY score DESC, event_id
+                   ROWS UNBOUNDED PRECEDING) AS hits
+        FROM base
+    ),
+    agg AS (
+        SELECT user_id, COUNT(*) AS n_items, SUM(rel) AS n_rel,
+               SUM(CASE WHEN r <= 20 AND rel = 1
+                        THEN hits * (232792560 // r) ELSE 0 END) AS ap_fp
+        FROM ranked GROUP BY 1
+    )
+    SELECT user_id, CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(ap_fp AS BIGINT) AS ap_fp,
+           CASE WHEN LEAST(n_rel, 20) > 0 THEN
+               ROUND(CAST(ap_fp AS DOUBLE)
+                     / (232792560.0 * CAST(LEAST(n_rel, 20) AS DOUBLE)), 6)
+           END AS ap
+    FROM agg
+    """,
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AP@20 per user over the event-value ranking
+    (operators/mleval.py::average_precision_at_k) with the binary
+    relevance gate length(event_type)%4 ≥ 2 — the area-under-PR
+    ranking summary beside ml_ndcg/ml_mrr on the same frame.
+    Harmonic denominators cleared by lcm(1..20) into exact int64
+    terms (the rank_average_overlap idiom), one division."""
+    from ..operators.mleval import average_precision_at_k
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "user_id", "event_id", F.col("value").alias("score"),
+        (F.length("event_type") % 4 >= 2).cast("int").alias("rel"),
+    )
+    return average_precision_at_k(
+        base, group_col="user_id", score_col="score", rel_col="rel",
+        id_col="event_id", k=20,
+    )

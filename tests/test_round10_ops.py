@@ -542,3 +542,78 @@ def test_random_walks_stop_at_sinks(spark):
     out = random_walks(e, starts, steps=3).collect()
     got = sorted((r["step"], r["node"]) for r in out)
     assert got == [(0, 1), (1, 2)]  # walk ends at the sink, no padding
+
+
+# ------------------------------------------------------ average precision
+
+
+def test_average_precision_matches_python_reference(spark):
+    from kbdatalakeapps_spark.operators.mleval import average_precision_at_k
+
+    rels = [1, 0, 1, 1, 0, 0, 1, 0]  # ranked by score desc already
+    rows = [
+        Row(query_id="q", item_id=i, score=float(100 - i), rel=r)
+        for i, r in enumerate(rels)
+    ]
+    r = average_precision_at_k(
+        spark.createDataFrame(rows), "query_id", "score", "rel",
+        "item_id", k=20,
+    ).collect()[0]
+    hits, ap, R = 0, 0.0, sum(rels)
+    for k, rel in enumerate(rels, start=1):
+        hits += rel
+        if rel:
+            ap += hits / k
+    ap /= min(R, 20)
+    assert r["n_rel"] == R
+    assert abs(r["ap"] - round(ap, 6)) < 1e-9
+
+
+def test_average_precision_perfect_and_empty(spark):
+    from kbdatalakeapps_spark.operators.mleval import average_precision_at_k
+
+    rows = [Row(query_id="p", item_id=i, score=float(10 - i), rel=1)
+            for i in range(5)]
+    rows += [Row(query_id="z", item_id=i, score=float(10 - i), rel=0)
+             for i in range(5)]
+    out = {r["query_id"]: r for r in average_precision_at_k(
+        spark.createDataFrame(rows), "query_id", "score", "rel",
+        "item_id").collect()}
+    assert out["p"]["ap"] == 1.0
+    assert out["z"]["ap"] is None  # no relevant items: undefined, not 0
+
+
+def test_average_precision_rejects_wide_k(spark):
+    from kbdatalakeapps_spark.operators.mleval import average_precision_at_k
+    import pytest
+
+    df = spark.createDataFrame([Row(query_id="q", item_id=1, score=1.0,
+                                    rel=1)])
+    with pytest.raises(ValueError):
+        average_precision_at_k(df, k=21)
+
+
+# --------------------------------------------------------------- TV drift
+
+
+def test_tv_drift_hand_example_and_bounds(spark):
+    from kbdatalakeapps_spark.operators.relational import tv_drift
+
+    a = spark.createDataFrame(
+        [Row(g="e", v=0)] * 6 + [Row(g="e", v=1)] * 2 + [Row(g="e", v=2)] * 2
+    )
+    b = spark.createDataFrame(
+        [Row(g="e", v=0)] * 2 + [Row(g="e", v=1)] * 2 + [Row(g="e", v=3)] * 4
+    )
+    r = tv_drift(a, b, F.col("v"), ["g"]).collect()[0]
+    # p = (.6,.2,.2,0), q = (.25,.25,0,.5) → TVD = .5*(0.35+0.05+0.2+0.5)
+    assert r["n_a"] == 10 and r["n_b"] == 8 and r["n_bins"] == 4
+    assert abs(r["tvd"] - 0.55) < 1e-12
+
+
+def test_tv_drift_identical_distributions_zero(spark):
+    from kbdatalakeapps_spark.operators.relational import tv_drift
+
+    a = spark.createDataFrame([Row(g="e", v=i % 3) for i in range(30)])
+    r = tv_drift(a, a, F.col("v"), ["g"]).collect()[0]
+    assert r["tvd"] == 0.0
