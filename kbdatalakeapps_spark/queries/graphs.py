@@ -1018,4 +1018,5 @@ def gr_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") % _RW_MOD == 0)
         .distinct()
     )
-    return gr.random_walks(edges, starts, steps=3, salt="walk")
+    return gr.random_walks(edges, starts, steps=3, salt="walk",
+                           broadcast_frontier=True)
