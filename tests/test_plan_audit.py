@@ -62,6 +62,10 @@ _BNLJ_OK = {
     "ml_krippendorff_alpha",  # 1-row unit-totals × 1-row marginal agg
                               # (the fleiss shape)
     "tx_hellinger_drift",     # 1-row base-slice token-total scalar
+    "sp_negative_sampling",   # grouped_prefix_sum(group=∅) bounded
+                              # offsets frame (≤ #buckets rows) onto
+                              # the per-bucket running sums — the
+                              # ml_pr_curve shape under the vocab CDF
     "st_sequence_ngrams",     # 1-row trigram-total scalar for the support
     "ml_target_encode",       # 1-row global-prior scalar onto the
                               # #categories × K encoding grid
