@@ -1890,6 +1890,8 @@ def average_precision_at_k(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("hits"),
     )
+    # wrap-ok: weight = LCM20/r ≤ 2.33e8 and hits ≤ k ≤ 20, so the
+    # BIGINT product hits·weight ≤ 4.7e9 ≪ 2^63 before the decimal cast
     weight = F.expr(f"CAST({_AP_LCM20} AS BIGINT) div r")
     agg = ranked.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_items"),
