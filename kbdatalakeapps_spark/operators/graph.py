@@ -1143,3 +1143,43 @@ def random_walks(
         out = out.unionByName(nxt)
         cur = nxt
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "walk_id",
+    node_col: str = "node",
+    step_col: str = "step",
+) -> DataFrame:
+    """(center, context) co-occurrence counts from a walk corpus —
+    the skip-gram training table a DeepWalk/node2vec embedder
+    consumes: within each walk, every ordered pair of nodes at step
+    distance 1..``window`` contributes one pair (both directions,
+    the word2vec convention).
+
+    One self-equi-join on the walk id with a bounded |Δstep| filter
+    (fan-out ≤ 2·window per position) + a map-side-combinable count —
+    walks are short by construction, so the join never amplifies
+    beyond walks·steps·2window rows.  The walk table is lineage-cut
+    first: both self-join sides would otherwise replay the entire
+    unrolled hop chain (measured 31 printed exchanges → 3)."""
+    walks = walks.localCheckpoint(eager=False)
+    a = walks.select(
+        F.col(walk_col).alias("w"), F.col(node_col).alias("center"),
+        F.col(step_col).alias("sa"),
+    )
+    b = walks.select(
+        F.col(walk_col).alias("bw"), F.col(node_col).alias("context"),
+        F.col(step_col).alias("sb"),
+    )
+    j = a.join(
+        b,
+        (F.col("w") == F.col("bw"))
+        & (F.abs(F.col("sa") - F.col("sb")) >= 1)
+        & (F.abs(F.col("sa") - F.col("sb")) <= window),
+    )
+    return (
+        j.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -986,3 +986,52 @@ def tv_drift(
             9,
         ).alias("tvd"),
     )
+
+
+def two_proportion_z(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    success_col: Column,
+    group_cols: list[str],
+) -> DataFrame:
+    """Pooled two-proportion z-test per group — the RATE companion to
+    the Welch means test (dq_ab_welch): with successes s and totals n
+    on each side, z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),
+    p̂ pooled.  The conversion-rate A/B gate.
+
+    Determinism: s/n are exact integer counts; the statistic is ONE
+    fixed IEEE tree over their ratios (divisions, multiplies, one
+    correctly-rounded sqrt) — no accumulation of floats, so it
+    hash-matches the SQL twin.  NULL z when either side is empty or
+    the pooled rate is degenerate (0 or 1 — zero variance).
+
+    Scale posture: two map-side-combinable grouped counts + one
+    equi-join on the group key; nothing else."""
+    succ = success_col.cast("int")
+    a = df_a.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum(succ).cast("long").alias("s_a"),
+    )
+    b = df_b.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(succ).cast("long").alias("s_b"),
+    )
+    j = a.join(b, group_cols)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.col("s_a").cast("double") / na
+    pb = F.col("s_b").cast("double") / nb
+    pool = (F.col("s_a") + F.col("s_b")).cast("double") / (na + nb)
+    var = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = (pa - pb) / F.sqrt(var)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (pool > 0) & (pool < 1)
+    return j.select(
+        *group_cols, "n_a", "s_a", "n_b", "s_b",
+        F.round(pa, 9).alias("rate_a"),
+        F.round(pb, 9).alias("rate_b"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(~ok, F.lit("degenerate"))
+        .when(F.round(z, 6) > 1.959964, F.lit("a_higher"))
+        .when(F.round(z, 6) < -1.959964, F.lit("b_higher"))
+        .otherwise(F.lit("no-difference"))
+        .alias("verdict"),
+    )

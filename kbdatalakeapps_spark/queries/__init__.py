@@ -131,4 +131,6 @@ PENDING_NEXT_WINDOW: list[str] = [
     "gr_random_walks",
     "ml_average_precision",
     "dq_tv_drift",
+    "gr_walk_skipgram_pairs",
+    "dq_ab_proportion",
 ]

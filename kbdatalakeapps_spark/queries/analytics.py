@@ -1124,3 +1124,68 @@ def dq_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_b = ev.filter(F.col("ts") >= F.lit(_DRIFT_SPLIT_NS))
     bin_col = F.floor(F.col("value") / F.lit(_DRIFT_BIN)).cast("int")
     return tv_drift(df_a, df_b, bin_col, ["event_type"])
+
+
+_AB_SUCCESS = 100.0
+
+
+@query(
+    "dq_ab_proportion",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_type,
+               CASE WHEN value > {_AB_SUCCESS} THEN 1 ELSE 0 END AS s
+        FROM events WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}'
+              AND value IS NOT NULL
+    ),
+    b AS (
+        SELECT event_type,
+               CASE WHEN value > {_AB_SUCCESS} THEN 1 ELSE 0 END AS s
+        FROM events WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}'
+              AND value IS NOT NULL
+    ),
+    ga AS (SELECT event_type, COUNT(*)::BIGINT AS n_a,
+                  SUM(s)::BIGINT AS s_a FROM a GROUP BY 1),
+    gb AS (SELECT event_type, COUNT(*)::BIGINT AS n_b,
+                  SUM(s)::BIGINT AS s_b FROM b GROUP BY 1),
+    j AS (
+        SELECT ga.event_type, n_a, s_a, n_b, s_b,
+               CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+               CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+               CAST(s_a + s_b AS DOUBLE) / (CAST(n_a AS DOUBLE)
+                   + CAST(n_b AS DOUBLE)) AS pool
+        FROM ga JOIN gb USING (event_type)
+    ),
+    zc AS (
+        SELECT *,
+               CASE WHEN n_a > 0 AND n_b > 0 AND pool > 0 AND pool < 1
+                    THEN (pa - pb) / sqrt(pool * (1.0 - pool)
+                         * (1.0 / CAST(n_a AS DOUBLE)
+                            + 1.0 / CAST(n_b AS DOUBLE)))
+               END AS zraw
+        FROM j
+    )
+    SELECT event_type, n_a, s_a, n_b, s_b,
+           ROUND(pa, 9) AS rate_a, ROUND(pb, 9) AS rate_b,
+           ROUND(zraw, 6) AS z,
+           CASE WHEN zraw IS NULL THEN 'degenerate'
+                WHEN ROUND(zraw, 6) > 1.959964 THEN 'a_higher'
+                WHEN ROUND(zraw, 6) < -1.959964 THEN 'b_higher'
+                ELSE 'no-difference' END AS verdict
+    FROM zc
+    """,
+)
+def dq_ab_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test per event type between the two
+    month halves (operators/relational.py::two_proportion_z; success
+    = value > 100) — the conversion-RATE A/B gate beside dq_ab_welch's
+    means test on the same split.  One fixed IEEE tree over exact
+    counts, so the gate hash-matches the SQL twin."""
+    from ..operators.relational import two_proportion_z
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    df_a = ev.filter(F.col("ts") < F.lit(_DRIFT_SPLIT_NS))
+    df_b = ev.filter(F.col("ts") >= F.lit(_DRIFT_SPLIT_NS))
+    return two_proportion_z(
+        df_a, df_b, F.col("value") > _AB_SUCCESS, ["event_type"]
+    )

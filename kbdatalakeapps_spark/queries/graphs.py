@@ -1020,3 +1020,72 @@ def gr_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gr.random_walks(edges, starts, steps=3, salt="walk",
                            broadcast_frontier=True)
+
+
+@query(
+    "gr_walk_skipgram_pairs",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    nb AS (
+        SELECT src AS s, dst AS d,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+        FROM e
+    ),
+    deg AS (SELECT s, MAX(rn) AS deg FROM nb GROUP BY 1),
+    w0 AS (
+        SELECT DISTINCT src AS walk_id, src AS node
+        FROM e WHERE src % {_RW_MOD} = 0
+    ),
+    h1 AS (
+        SELECT w.walk_id, nb.d AS node
+        FROM w0 w
+        JOIN deg ON deg.s = w.node
+        JOIN nb ON nb.s = w.node
+               AND nb.rn = (('0x' || substr(md5(w.walk_id || ':walk:1:'
+                            || w.node), 1, 15))::BIGINT % deg.deg) + 1
+    ),
+    h2 AS (
+        SELECT w.walk_id, nb.d AS node
+        FROM h1 w
+        JOIN deg ON deg.s = w.node
+        JOIN nb ON nb.s = w.node
+               AND nb.rn = (('0x' || substr(md5(w.walk_id || ':walk:2:'
+                            || w.node), 1, 15))::BIGINT % deg.deg) + 1
+    ),
+    h3 AS (
+        SELECT w.walk_id, nb.d AS node
+        FROM h2 w
+        JOIN deg ON deg.s = w.node
+        JOIN nb ON nb.s = w.node
+               AND nb.rn = (('0x' || substr(md5(w.walk_id || ':walk:3:'
+                            || w.node), 1, 15))::BIGINT % deg.deg) + 1
+    ),
+    walks AS (
+        SELECT walk_id, node, 0 AS step FROM w0
+        UNION ALL SELECT walk_id, node, 1 FROM h1
+        UNION ALL SELECT walk_id, node, 2 FROM h2
+        UNION ALL SELECT walk_id, node, 3 FROM h3
+    )
+    SELECT a.node AS center, b.node AS context,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM walks a JOIN walks b
+      ON a.walk_id = b.walk_id
+     AND ABS(a.step - b.step) BETWEEN 1 AND 2
+    GROUP BY 1, 2
+    """,
+)
+def gr_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) counts over the deterministic walk
+    corpus (operators/graph.py::skipgram_pairs, window ±2 on the
+    gr_random_walks walks) — the exact table a DeepWalk/node2vec
+    embedder trains on, closing the walk→training-pairs chain with a
+    full hash oracle."""
+    edges = _copurchase_edges(spark, sf_dir)
+    starts = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % _RW_MOD == 0)
+        .distinct()
+    )
+    walks = gr.random_walks(edges, starts, steps=3, salt="walk",
+                            broadcast_frontier=True)
+    return gr.skipgram_pairs(walks, window=2)

@@ -342,6 +342,11 @@ def test_exchange_counts_bounded(spark):
         "gr_random_walks": 18,
         "ml_average_precision": 3,
         "dq_tv_drift": 7,
+        # measured 3 / 2: skip-gram rides the lineage-cut walk table
+        # (was 31 printed — the self-join replayed the hop chain);
+        # the z-test is two grouped counts + one equi-join
+        "gr_walk_skipgram_pairs": 5,
+        "dq_ab_proportion": 3,
     }
     over = {}
     for name, bound in bounds.items():

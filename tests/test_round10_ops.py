@@ -617,3 +617,53 @@ def test_tv_drift_identical_distributions_zero(spark):
     a = spark.createDataFrame([Row(g="e", v=i % 3) for i in range(30)])
     r = tv_drift(a, a, F.col("v"), ["g"]).collect()[0]
     assert r["tvd"] == 0.0
+
+
+# -------------------------------------------------------- skipgram pairs
+
+
+def test_skipgram_pairs_window_and_symmetry(spark):
+    from kbdatalakeapps_spark.operators.graph import skipgram_pairs
+
+    walk = [(7, n, s) for s, n in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(
+        [Row(walk_id=w, node=n, step=s) for w, n, s in walk]
+    )
+    out = {(r["center"], r["context"]): r["n_pairs"]
+           for r in skipgram_pairs(df, window=2).collect()}
+    # window 2 over 10-20-30-40: (10,20),(10,30),(20,30),(20,40),(30,40)
+    # each in both directions, once
+    expect = {(10, 20), (10, 30), (20, 30), (20, 40), (30, 40)}
+    assert set(out) == expect | {(b, a) for a, b in expect}
+    assert all(v == 1 for v in out.values())
+    assert (10, 40) not in out  # distance 3 > window
+
+
+# ------------------------------------------------------- two-proportion z
+
+
+def test_two_proportion_z_matches_python(spark):
+    from kbdatalakeapps_spark.operators.relational import two_proportion_z
+
+    a = spark.createDataFrame(
+        [Row(g="e", v=1)] * 30 + [Row(g="e", v=0)] * 70
+    )
+    b = spark.createDataFrame(
+        [Row(g="e", v=1)] * 50 + [Row(g="e", v=0)] * 50
+    )
+    r = two_proportion_z(a, b, F.col("v") == 1, ["g"]).collect()[0]
+    pa, pb = 0.3, 0.5
+    pool = 80 / 200
+    z = (pa - pb) / (pool * (1 - pool) * (1 / 100 + 1 / 100)) ** 0.5
+    assert r["n_a"] == 100 and r["s_a"] == 30
+    assert abs(r["z"] - round(z, 6)) < 1e-9
+    assert r["verdict"] == "b_higher"
+
+
+def test_two_proportion_z_degenerate_pool(spark):
+    from kbdatalakeapps_spark.operators.relational import two_proportion_z
+
+    a = spark.createDataFrame([Row(g="e", v=0)] * 5)
+    b = spark.createDataFrame([Row(g="e", v=0)] * 5)
+    r = two_proportion_z(a, b, F.col("v") == 1, ["g"]).collect()[0]
+    assert r["z"] is None and r["verdict"] == "degenerate"
