@@ -1181,3 +1181,134 @@ def mrl_topk(
         .select("query_id", "corpus_id", "pre_dot", "pre_rank", "cosine",
                 "rank")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    shortlist: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal marginal relevance (Carbonell & Goldstein 1998) — the
+    diversified top-k every RAG/retrieval pipeline reaches for when
+    plain cosine top-k returns k near-duplicates: greedily pick
+    argmax_d λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) for ``k`` rounds
+    over a per-query cosine ``shortlist``.  λ is fixed at ½ so both
+    terms are exact halvings of 9dp-rounded cosines — every MMR score
+    is ONE fixed IEEE tree and the whole greedy trace carries a hash
+    oracle (the unrolled-iteration idiom: pagerank/HITS for graphs,
+    this for retrieval).
+
+    Returns (query_id, pick, corpus_id, rel, mmr) — pick 1..k in
+    selection order; pick 1's mmr IS its rel (empty penalty set).
+
+    Scale posture: stage 1 is the cosine_topk shape (broadcast
+    queries, one corpus pass, per-query WindowGroupLimit); everything
+    after runs on shortlist·|queries| rows — the candidate self-join
+    is shortlist² per query, the k unrolled steps are joins over that
+    bounded table.  The corpus is touched exactly twice (scan +
+    shortlist vector re-join)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id", "corpus_id",
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+                9,
+            ).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("corpus_id").asc()
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # feeds the pair join + k steps
+    )
+    cvecs = c.join(
+        F.broadcast(cand.select("corpus_id").distinct()), "corpus_id"
+    )
+    pa = cvecs.select(F.col("corpus_id").alias("da"),
+                      F.col("cvec").alias("va"))
+    pb = cvecs.select(F.col("corpus_id").alias("db"),
+                      F.col("cvec").alias("vb"))
+    pairsim = (
+        cand.select("query_id", F.col("corpus_id").alias("da"))
+        .join(cand.select(F.col("query_id").alias("q2"),
+                          F.col("corpus_id").alias("db")),
+              (F.col("query_id") == F.col("q2"))
+              & (F.col("da") != F.col("db")))
+        .join(F.broadcast(pa), "da")
+        .join(F.broadcast(pb), "db")
+        .select(
+            "query_id", "da", "db",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                9,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    first = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "corpus_id", "rel",
+                F.col("rel").alias("mmr"), F.lit(1).alias("pick"))
+    )
+    selected = first
+    for step in range(2, k + 1):
+        remaining = cand.join(
+            selected.select(F.col("query_id").alias("aq"),
+                            F.col("corpus_id").alias("sc")),
+            (cand["query_id"] == F.col("aq"))
+            & (cand["corpus_id"] == F.col("sc")),
+            "left_anti",
+        )
+        pen = (
+            remaining.alias("r")
+            .join(
+                selected.select(F.col("query_id").alias("pq"),
+                                F.col("corpus_id").alias("sel")).alias("s"),
+                F.col("r.query_id") == F.col("pq"),
+            )
+            .join(
+                pairsim.alias("p"),
+                (F.col("p.query_id") == F.col("r.query_id"))
+                & (F.col("p.da") == F.col("r.corpus_id"))
+                & (F.col("p.db") == F.col("sel")),
+            )
+            .groupBy(F.col("r.query_id").alias("query_id"),
+                     F.col("r.corpus_id").alias("corpus_id"),
+                     F.col("r.rel").alias("rel"))
+            .agg(F.max("p.sim").alias("msim"))
+        )
+        mmr = F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("msim")
+        wk = Window.partitionBy("query_id").orderBy(
+            mmr.desc(), F.col("corpus_id").asc()
+        )
+        pick = (
+            pen.withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") == 1)
+            .select("query_id", "corpus_id", "rel",
+                    F.round(mmr, 9).alias("mmr"),
+                    F.lit(step).alias("pick"))
+            # per-round cut (the pagerank idiom): without it step k's
+            # penalty join replays every earlier step's window chain —
+            # the printed plan grew ~4× per unrolled round
+            .localCheckpoint(eager=False)
+        )
+        selected = selected.unionByName(pick)
+    return selected.select("query_id", "pick", "corpus_id", "rel", "mmr")

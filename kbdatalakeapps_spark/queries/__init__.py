@@ -133,4 +133,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "dq_tv_drift",
     "gr_walk_skipgram_pairs",
     "dq_ab_proportion",
+    "sim_mmr_topk",
 ]

@@ -3299,3 +3299,95 @@ def sp_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out
+
+
+def _mmr_sql(k: int = 4, shortlist: int = 8) -> str:
+    steps = []
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        steps.append(f"""
+    p{i} AS (
+        SELECT c.query_id, c.corpus_id, c.rel, MAX(ps.sim) AS msim
+        FROM cand c
+        JOIN {prev} s ON s.query_id = c.query_id
+        JOIN ps ON ps.query_id = c.query_id AND ps.da = c.corpus_id
+               AND ps.db = s.corpus_id
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.query_id = c.query_id
+                            AND x.corpus_id = c.corpus_id)
+        GROUP BY 1, 2, 3
+    ),
+    s{i} AS (
+        SELECT query_id, corpus_id, rel,
+               ROUND(0.5 * rel - 0.5 * msim, 9) AS mmr, {i} AS pick
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY 0.5 * rel - 0.5 * msim DESC, corpus_id) AS rn
+              FROM p{i}) WHERE rn = 1
+    ),
+    sel{i} AS (SELECT query_id, corpus_id FROM sel{i - 1}
+               UNION ALL SELECT query_id, corpus_id FROM s{i})""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT query_id, pick, corpus_id, rel, mmr FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+    WITH dots AS ({_DOT_SQL}), norms AS ({_NORM_SQL}),
+    rels AS (
+        SELECT d.query_id, d.corpus_id,
+               ROUND(d.dot / (nq.nrm * nc.nrm), 9) AS rel
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nc ON nc.vec_id = d.corpus_id
+    ),
+    cand AS (
+        SELECT query_id, corpus_id, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, corpus_id) AS rn
+            FROM rels) WHERE rn <= {shortlist}
+    ),
+    pd AS (
+        SELECT a.query_id, a.corpus_id AS da, b.corpus_id AS db,
+               CAST(SUM(CAST(CAST(x.v AS DOUBLE)
+                    * CAST(eb.embedding[x.pos] AS DOUBLE)
+                    AS DECIMAL(38,15))) AS DOUBLE) AS dot
+        FROM cand a
+        JOIN cand b ON b.query_id = a.query_id
+                   AND b.corpus_id <> a.corpus_id
+        JOIN embeddings ea ON ea.vec_id = a.corpus_id
+        JOIN embeddings eb ON eb.vec_id = b.corpus_id,
+        LATERAL (SELECT unnest(ea.embedding) AS v,
+                        generate_subscripts(ea.embedding, 1) AS pos) x
+        GROUP BY 1, 2, 3
+    ),
+    ps AS (
+        SELECT pd.query_id, da, db,
+               ROUND(pd.dot / (na.nrm * nb.nrm), 9) AS sim
+        FROM pd
+        JOIN norms na ON na.vec_id = pd.da
+        JOIN norms nb ON nb.vec_id = pd.db
+    ),
+    s1 AS (
+        SELECT query_id, corpus_id, rel, rel AS mmr, 1 AS pick FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, corpus_id) AS rn
+            FROM cand) WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, corpus_id FROM s1),{",".join(steps)}
+    {union}
+    """
+
+
+@query("sim_mmr_topk", oracle=_mmr_sql())
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance diversified top-4 (operators/
+    similarity.py::mmr_topk, λ=½, cosine shortlist 8) for the three
+    probe queries — the greedy relevance-vs-redundancy trace every
+    RAG retriever runs after ANN, unrolled so the whole selection
+    carries a hash oracle (the pagerank idiom for retrieval)."""
+    from ..operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.mmr_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=4, shortlist=8
+    )

@@ -347,6 +347,9 @@ def test_exchange_counts_bounded(spark):
         # the z-test is two grouped counts + one equi-join
         "gr_walk_skipgram_pairs": 5,
         "dq_ab_proportion": 3,
+        # measured 1: the per-round pick checkpoint collapses the
+        # unrolled greedy chain (was 118 printed before the cut)
+        "sim_mmr_topk": 4,
     }
     over = {}
     for name, bound in bounds.items():

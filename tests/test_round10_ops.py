@@ -667,3 +667,72 @@ def test_two_proportion_z_degenerate_pool(spark):
     b = spark.createDataFrame([Row(g="e", v=0)] * 5)
     r = two_proportion_z(a, b, F.col("v") == 1, ["g"]).collect()[0]
     assert r["z"] is None and r["verdict"] == "degenerate"
+
+
+# ------------------------------------------------------------------ MMR
+
+
+def test_mmr_prefers_diversity_over_redundant_near_duplicate(spark):
+    from kbdatalakeapps_spark.operators.similarity import mmr_topk
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),          # query
+        Row(vec_id=10, embedding=[0.98, 0.199, 0.0]),       # rel ~.98
+        Row(vec_id=11, embedding=[0.98, 0.198, 0.01]),      # near-dup of 10
+        Row(vec_id=20, embedding=[0.7, -0.714, 0.0]),       # diverse, rel .7
+    ]
+    df = spark.createDataFrame(rows)
+    out = sorted(
+        mmr_topk(df, df.filter(F.col("vec_id") == 0), k=3,
+                 shortlist=3).collect(),
+        key=lambda r: r["pick"],
+    )
+    # pick 1 is one of the two near-identical high-rel vectors (11 edges
+    # out 10 on norm); pick 2 MUST be the diverse vector, not the
+    # other near-duplicate -- the whole point of MMR
+    assert out[0]["corpus_id"] in (10, 11)
+    assert out[1]["corpus_id"] == 20
+    assert out[2]["corpus_id"] in (10, 11)
+    assert out[0]["mmr"] == out[0]["rel"]  # pick 1: empty penalty set
+
+
+def test_mmr_matches_python_greedy(spark):
+    import numpy as np
+
+    from kbdatalakeapps_spark.operators.similarity import mmr_topk
+
+    rng = np.random.RandomState(3)
+    vecs = {i: rng.randn(8).round(3).tolist() for i in range(12)}
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs.items()]
+    )
+    out = {
+        (r["query_id"], r["pick"]): (r["corpus_id"], r["mmr"])
+        for r in mmr_topk(df, df.filter(F.col("vec_id") == 0), k=4,
+                          shortlist=6).collect()
+    }
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))),
+                     9)
+
+    rel = {i: cos(vecs[0], v) for i, v in vecs.items() if i != 0}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:6]
+    sel = [max(cand, key=lambda i: (rel[i], -i))]
+    picks = {1: (sel[0], round(rel[sel[0]], 9))}
+    for step in range(2, 5):
+        best, best_score = None, None
+        for c in sorted(cand):
+            if c in sel:
+                continue
+            msim = max(cos(vecs[c], vecs[s]) for s in sel)
+            score = 0.5 * rel[c] - 0.5 * msim
+            if best is None or score > best_score:
+                best, best_score = c, score
+        sel.append(best)
+        picks[step] = (best, round(best_score, 9))
+    for step, (cid, mmr) in picks.items():
+        got_cid, got_mmr = out[(0, step)]
+        assert got_cid == cid, (step, got_cid, cid)
+        assert abs(got_mmr - mmr) < 1e-9
