@@ -437,25 +437,32 @@ def main() -> None:
                 "BENCH_r*.json")))
             picked = [candidates[(rot * 3 + i) % len(candidates)]
                       for i in range(3)]
-            # VERDICT r9 #7: this round's BENCH must carry fresh slope
-            # evidence for the two heavies named there, regardless of
-            # where the rotation lands
-            for req in ("gr_jaccard_links_capped", "mm_image_dedup"):
-                if req not in picked:
-                    picked.append(req)
             sf2_dir = build_sf2(spark, sf_dir, os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 ".scale_slope", "sf2x"))
+            # VERDICT r10 #2: every slope entry carries the ambient
+            # host-load context (1-min loadavg before/after the probe)
+            # so a future reader can tell contention noise from a real
+            # superlinear key — two r10 entries recorded ratios 1.94×
+            # and 0.26× that a quiet-host probe refuted.  loadavg is
+            # per-process-runqueue, not per-session: >cpus means OTHER
+            # work shared the host during the probe.
+            ncpu = os.cpu_count() or 1
             for name in picked:
                 fn = _BENCH_OVERRIDES.get(name, QUERIES.get(name))
                 if fn is None:
                     continue
                 t = {}
+                load0 = round(os.getloadavg()[0], 1)
                 for label, d in (("t_sf1", sf_dir), ("t_sf2", sf2_dir)):
                     t0 = time.perf_counter()
                     fn(spark, d).write.format("noop").mode("overwrite").save()
                     t[label] = round(time.perf_counter() - t0, 3)
                 t["ratio"] = round(t["t_sf2"] / t["t_sf1"], 3) if t["t_sf1"] else None
+                load1 = round(os.getloadavg()[0], 1)
+                t["loadavg_before"] = load0
+                t["loadavg_after"] = load1
+                t["contended"] = max(load0, load1) > 1.5 * ncpu
                 slopes[name] = t
         except Exception as e:  # slope evidence is best-effort — the
             # headline metric must survive a slope-probe failure

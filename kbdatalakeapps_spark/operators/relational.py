@@ -888,6 +888,8 @@ def gini_impurity(
     as a union of per-column passes over a column-pruned scan, never
     a wide shuffle; NULLs count as their own level (a real impurity
     contributor, surfaced not dropped)."""
+    if not columns:
+        raise ValueError("gini_impurity: columns must be non-empty")
     dec = "decimal(38,0)"
     outs = []
     for c in columns:

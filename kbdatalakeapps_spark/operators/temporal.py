@@ -687,6 +687,13 @@ def ewma_truncated(
     turns the weight table into floats and the sum into a
     partition-order hash risk.
 
+    Input quantization (ADVICE r10): x is cast to DECIMAL(30,4)
+    before weighting, so inputs with more than 4 fractional digits
+    (or double inputs) are ROUNDED to 4 dp first — part of the
+    determinism contract, not a silent bug.  The registered ts_ewma
+    query feeds decimal(18,2) revenue, which is unaffected; feed
+    pre-scaled integers/decimals if you need more fractional width.
+
     Scale posture: like :func:`acf_lags`, runs on an ALREADY-
     AGGREGATED series (≤ one row per key·bucket); the lag explode is a
     bounded ``max_lag``× fan-out feeding one equi-join on
@@ -965,7 +972,12 @@ def classical_decompose(
         *key_cols, "phase",
         F.round(F.col("_ph_raw") - F.col("_ph_mean"), 9).alias("seasonal"),
     )
-    out = det.join(seas, [*key_cols, "phase"])
+    # LEFT join (ADVICE r10): a key whose series is shorter than
+    # period+1 has NULL trend everywhere, hence no phase means and no
+    # seas rows — an inner join would silently drop the whole key,
+    # contradicting the NULL-edged contract.  Left keeps its rows with
+    # NULL trend/seasonal/resid, surfaced rather than vanished.
+    out = det.join(seas, [*key_cols, "phase"], "left")
     return out.select(
         *key_cols,
         F.col("_t").alias(t_col),

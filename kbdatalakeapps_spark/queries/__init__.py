@@ -32,61 +32,63 @@ from . import linkage  # noqa: F401,E402
 #: Driver verification window for THIS round (positions 1-50).
 #: flagship stays first — __spark_entry__.entry() runs it.
 DRIVER_WINDOW: list[str] = [
-    # Round-10 rotation: flagship + the 8 round-10 registrations (each
-    # pre-verified on a vanilla session at sf0.001 AND sf0.01 before
-    # rotation; admission control: 8 <= 49) + the 41 stalest sentinels
-    # (the full remaining round-4-verified cohort, alphabetically) —
-    # exactly the set VERDICT r9 #1 scheduled.
+    # Round-11 rotation: flagship + the 10 round-10 PENDING_NEXT_WINDOW
+    # rows (age-out rule — each pre-verified vanilla at sf0.001 AND
+    # sf0.01 in round 10, judge-replayed 10/10) + gr_linkpred_powerlaw
+    # (VERDICT r10 #3's skew demonstration, pre-verified vanilla at
+    # both SFs this round) + the 38 stalest sentinels (round-5-verified
+    # cohort, alphabetically; the 10 spill-overs —
+    # ts_cohort_retention .. tx_tfidf_vectors — lead round 12).
     "flagship_order_revenue",
-    "gr_jaccard_links_capped",
-    "ts_ewma",
-    "ts_mann_kendall",
-    "ml_krippendorff_alpha",
-    "gr_hits",
-    "tx_cdc_chunks",
-    "tx_hellinger_drift",
-    "dd_bbit_minhash",
-    "a20_cube",
-    "a20_group_percentiles",
-    "a21_corr_stats",
-    "a22_table_profile",
-    "a22_zscore_outliers",
-    "a23_rollup_state",
-    "dd_contamination",
-    "dd_embedding_neardup",
-    "dd_incremental_dedup",
-    "dd_keeper_assignment",
-    "dd_semantic_dedup_assign",
-    "dd_sorted_neighborhood",
-    "dq_referential_audit",
-    "mm_audio_features",
-    "mm_content_stats",
-    "mm_extract_features",
-    "mm_resize_images",
-    "mm_sample_frames",
-    "mm_video_frames",
-    "r3_melt",
-    "r4_map_explode",
-    "r5_range_join",
-    "s11_kegg_enrichment",
-    "sim_cosine_topk",
-    "sim_embedding_norms",
-    "sim_ivf_assign_topk",
-    "sim_lsh_bucket_counts",
-    "sim_mean_pool",
-    "sim_pq_assign_topk",
-    "sk_bloom_prefilter",
-    "sk_cms_heavy_hitters",
-    "sp_quantile_sample",
-    "tx_bm25_search",
-    "tx_chunk_documents",
-    "tx_hybrid_rrf",
-    "tx_line_dedup",
-    "tx_ngram_counts",
-    "tx_pii_scrub",
-    "tx_quality_filter",
-    "tx_repetition",
-    "tx_vocab_stats",
+    "ts_theil_sen",
+    "sp_negative_sampling",
+    "ts_seasonal_decompose",
+    "dq_gini_impurity",
+    "gr_random_walks",
+    "ml_average_precision",
+    "dq_tv_drift",
+    "gr_walk_skipgram_pairs",
+    "dq_ab_proportion",
+    "sim_mmr_topk",
+    "gr_linkpred_powerlaw",
+    "a24_rollup_quantiles",
+    "a25_mad_outliers",
+    "a26_group_regression",
+    "a27_weighted_median",
+    "a29_pareto_report",
+    "dd_containment",
+    "dd_editdist_pairs",
+    "dq_ab_welch",
+    "dq_benford_digits",
+    "dq_drift_chisq",
+    "dq_ks_drift",
+    "dq_uniqueness_audit",
+    "gr_clustering_coeff",
+    "gr_degree_distribution",
+    "gr_khop_distance",
+    "gr_link_prediction",
+    "gr_pagerank",
+    "gr_triangle_count",
+    "ly_zorder_keys",
+    "mb_assoc_rules",
+    "mb_item_cosine",
+    "mb_rfm_segments",
+    "mm_image_features",
+    "mm_image_neardup",
+    "pl_corpus_curation",
+    "s17_scd2_merge",
+    "s18_snapshot_diff",
+    "s19_sink_roundtrip",
+    "sim_ivfpq_topk",
+    "sim_pca_covariance",
+    "sim_random_projection",
+    "sky_pareto_parts",
+    "sp_domain_cap",
+    "sp_epoch_shuffle",
+    "sp_equidepth_bins",
+    "st_event_transitions",
+    "ts_activity_islands",
+    "ts_attribution",
 ]
 
 
@@ -120,18 +122,9 @@ assert len(DRIVER_WINDOW) == 50
 #: EMPTY at round-10 rotation: all 8 round-10 registrations are in
 #: DRIVER_WINDOW (8 + 41 stale sentinels + flagship = 50), so the
 #: debt drains to zero when CORRECTNESS_r10 lands.
-#: Round-10 late registrations (window already full at 50): MUST lead
-#: the round-11 DRIVER_WINDOW (tests/test_ledger.py age-out rule).
-#: Each is pre-verified vanilla at sf0.001 AND sf0.01.
-PENDING_NEXT_WINDOW: list[str] = [
-    "ts_theil_sen",
-    "sp_negative_sampling",
-    "ts_seasonal_decompose",
-    "dq_gini_impurity",
-    "gr_random_walks",
-    "ml_average_precision",
-    "dq_tv_drift",
-    "gr_walk_skipgram_pairs",
-    "dq_ab_proportion",
-    "sim_mmr_topk",
-]
+#: EMPTY at round-11 rotation: all 10 round-10 late registrations lead
+#: the round-11 DRIVER_WINDOW (age-out rule honored), so the debt
+#: drains to zero when CORRECTNESS_r11 lands.  Round-11 registrations
+#: (window already full at 50) queue here and MUST lead round 12
+#: together with the 9 round-5 sentinel spill-overs.
+PENDING_NEXT_WINDOW: list[str] = []

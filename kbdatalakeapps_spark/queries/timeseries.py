@@ -1191,7 +1191,7 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(s.seasonal, 6) AS seasonal,
            ROUND(CAST(d.x AS DOUBLE) - d.trend - s.seasonal, 6) AS resid
     FROM det d
-    JOIN seas s ON s.priority = d.priority AND s.phase = d.phase
+    LEFT JOIN seas s ON s.priority = d.priority AND s.phase = d.phase
     """,
 )
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -350,6 +350,10 @@ def test_exchange_counts_bounded(spark):
         # measured 1: the per-round pick checkpoint collapses the
         # unrolled greedy chain (was 118 printed before the cut)
         "sim_mmr_topk": 4,
+        # round-11: measured 5 — zipf edge build (1 agg + pair
+        # expansion) + the capped wedge/anti/degree joins riding the
+        # materialized edge list
+        "gr_linkpred_powerlaw": 7,
     }
     over = {}
     for name, bound in bounds.items():
