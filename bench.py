@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     # — the uncapped wedge fan-out grows quadratically in hub degree
     # and stays a correctness-only sentinel at sf0.01
     "gr_jaccard_links_capped",     # hub-capped wedge join link prediction
+    # round-11 addition (appended so earlier keys stay comparable)
+    "gr_linkpred_powerlaw",        # hub cap on a REAL power-law graph (7.4×)
 ]
 
 # The most expensive queries — measured twice, median reported.

@@ -1037,3 +1037,96 @@ def two_proportion_z(
         .otherwise(F.lit("no-difference"))
         .alias("verdict"),
     )
+
+
+def mann_whitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per group — the
+    DISTRIBUTION companion completing the A/B trio (group_welch for
+    means, two_proportion_z for rates): rank-based, so it detects a
+    location shift without the normality assumption and ignores
+    outliers Welch's t is dragged by.
+
+    Exact-integer rank algebra (no per-row ranking window): with
+    per-(group, value) counts c_a, c_b and t = c_a + c_b, the average
+    rank of a tie group is (#values below) + (t+1)/2, so TWICE the
+    rank-sum of sample A is the integer
+    2R_a = Σ_v c_a·(2·cum_below + t + 1) and 2U_a = 2R_a − n_a(n_a+1)
+    stays exact in DECIMAL(38,0).  The tie-corrected variance is the
+    rational n_a·n_b·(N³ − N − Σ(t³−t)) / (12·N·(N−1)); numerator and
+    denominator are exact, and z is ONE fixed IEEE tree (multiplies,
+    divisions, a correctly-rounded sqrt) over double casts of exact
+    operands, so every row hash-matches the SQL twin.  No continuity
+    correction (documented choice — keeps the tree minimal; at the
+    N where MWU is used, 0.5 is noise).
+
+    Scale posture: the ks_drift shape — one groupBy per side to
+    (group, value) counts, a window PARTITIONED BY the group over its
+    DISTINCT-value set (never a global sort; quantize continuous
+    columns upstream), one grouped agg.  z is NULL-gated on a
+    degenerate pool (either side empty, N < 2, or all values tied)."""
+    dec = "decimal(38,0)"
+    a = df_a.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    b = df_b.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    merged = (
+        a.join(b, [*group_cols, value_col], "full_outer")
+        .na.fill({"_ca": 0, "_cb": 0})
+        .withColumn("_t", F.col("_ca") + F.col("_cb"))
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.withColumn("_cum_t", F.sum("_t").over(w))
+    g = cum.groupBy(*group_cols).agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("_ca").cast(dec)
+            * (
+                F.lit(2) * (F.col("_cum_t") - F.col("_t"))
+                + F.col("_t") + F.lit(1)
+            ).cast(dec)
+        ).alias("_r2a"),
+        F.sum(
+            F.col("_t").cast(dec) * F.col("_t").cast(dec)
+            * F.col("_t").cast(dec)
+            - F.col("_t").cast(dec)
+        ).alias("_tie"),
+    )
+    nn = (F.col("n_a") + F.col("n_b")).cast(dec)
+    u2 = F.col("_r2a") - (
+        F.col("n_a").cast(dec)
+        * (F.col("n_a") + F.lit(1)).cast(dec)
+    )
+    vnum = nn * nn * nn - nn - F.col("_tie")
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    z = (u2.cast("double") - nad * nbd) / (
+        F.lit(2.0)
+        * F.sqrt(
+            nad * nbd * vnum.cast("double")
+            / (F.lit(12.0) * nd * (nd - F.lit(1.0)))
+        )
+    )
+    ok = (
+        (F.col("n_a") > 0) & (F.col("n_b") > 0)
+        & ((F.col("n_a") + F.col("n_b")) >= 2)
+        & (vnum > 0)
+    )
+    return g.select(
+        *group_cols, "n_a", "n_b",
+        (u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+    )

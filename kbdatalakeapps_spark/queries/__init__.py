@@ -126,5 +126,8 @@ assert len(DRIVER_WINDOW) == 50
 #: the round-11 DRIVER_WINDOW (age-out rule honored), so the debt
 #: drains to zero when CORRECTNESS_r11 lands.  Round-11 registrations
 #: (window already full at 50) queue here and MUST lead round 12
-#: together with the 9 round-5 sentinel spill-overs.
-PENDING_NEXT_WINDOW: list[str] = []
+#: together with the 10 round-5 sentinel spill-overs (all 10
+#: pre-verified via driver_sim this round — see NOTES).
+PENDING_NEXT_WINDOW: list[str] = [
+    "dq_ab_mannwhitney",
+]

@@ -1189,3 +1189,84 @@ def dq_ab_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_proportion_z(
         df_a, df_b, F.col("value") > _AB_SUCCESS, ["event_type"]
     )
+
+
+@query(
+    "dq_ab_mannwhitney",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_type, value FROM events
+        WHERE ts < TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ),
+    b AS (
+        SELECT event_type, value FROM events
+        WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT_TS}'
+    ),
+    ca AS (SELECT event_type, value, COUNT(*) AS c_a FROM a GROUP BY 1, 2),
+    cb AS (SELECT event_type, value, COUNT(*) AS c_b FROM b GROUP BY 1, 2),
+    m AS (
+        SELECT COALESCE(ca.event_type, cb.event_type) AS event_type,
+               COALESCE(ca.value, cb.value) AS value,
+               COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b,
+               COALESCE(c_a, 0) + COALESCE(c_b, 0) AS t
+        FROM ca FULL OUTER JOIN cb
+          ON ca.event_type = cb.event_type AND ca.value = cb.value
+    ),
+    cum AS (
+        SELECT *, SUM(t) OVER (
+            PARTITION BY event_type ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum_t
+        FROM m
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(SUM(c_a) AS BIGINT) AS n_a,
+               CAST(SUM(c_b) AS BIGINT) AS n_b,
+               SUM(CAST(c_a AS DECIMAL(38,0))
+                   * CAST(2 * (cum_t - t) + t + 1 AS DECIMAL(38,0)))
+                   AS r2a,
+               SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+                   * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)))
+                   AS tie
+        FROM cum GROUP BY 1
+    ),
+    e AS (
+        SELECT event_type, n_a, n_b,
+               r2a - CAST(n_a AS DECIMAL(38,0))
+                     * CAST(n_a + 1 AS DECIMAL(38,0)) AS u2,
+               CAST(n_a + n_b AS DECIMAL(38,0))
+               * CAST(n_a + n_b AS DECIMAL(38,0))
+               * CAST(n_a + n_b AS DECIMAL(38,0))
+               - CAST(n_a + n_b AS DECIMAL(38,0)) - tie AS vnum,
+               CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+               CAST(n_a + n_b AS DOUBLE) AS nd
+        FROM g
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+           CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND vnum > 0
+                THEN ROUND(
+                    (CAST(u2 AS DOUBLE) - nad * nbd)
+                    / (2.0 * sqrt(nad * nbd * CAST(vnum AS DOUBLE)
+                                  / (12.0 * nd * (nd - 1.0)))), 6)
+           END AS z
+    FROM e ORDER BY event_type
+    """,
+)
+def dq_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U per event type between the two month halves
+    (operators/relational.py::mann_whitney_u) — the rank-based
+    DISTRIBUTION test completing the A/B trio beside dq_ab_welch
+    (means) and dq_ab_proportion (rates); robust where Welch's t is
+    dragged by heavy tails.  Exact-integer rank-sum + tie-corrected
+    variance; z is one fixed IEEE tree over exact operands, so every
+    row hash-matches the SQL twin."""
+    ev = _t(spark, sf_dir, "events")
+    df_a = ev.filter(F.col("ts") < F.lit(_DRIFT_SPLIT_NS))
+    df_b = ev.filter(F.col("ts") >= F.lit(_DRIFT_SPLIT_NS))
+    from ..operators.relational import mann_whitney_u
+
+    return mann_whitney_u(df_a, df_b, "value", ["event_type"]).orderBy(
+        "event_type"
+    )

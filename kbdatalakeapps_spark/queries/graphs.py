@@ -1117,6 +1117,8 @@ def _zipf_coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # +1 shift: this synthetic lake's partkeys start at 0, and the
     # divisor construction needs k >= 1 on both engines
     mx = li.agg((F.max("l_partkey") + F.lit(1)).alias("p"))
+    # wrap-ok: p = max(l_partkey)+1 ≤ ~2·10⁹ at sf100, divisor ≥ 1 —
+    # no product anywhere, quotient bounded by p ≪ 2^63
     zi = li.join(F.broadcast(mx)).select(
         "l_orderkey", F.expr("p div (l_partkey + 1)").alias("z")
     )

@@ -354,6 +354,10 @@ def test_exchange_counts_bounded(spark):
         # expansion) + the capped wedge/anti/degree joins riding the
         # materialized edge list
         "gr_linkpred_powerlaw": 7,
+        # round-11: measured 2 — two grouped counts into the
+        # checkpointed merged value table; window + final agg reuse
+        # its partitioning
+        "dq_ab_mannwhitney": 4,
     }
     over = {}
     for name, bound in bounds.items():

@@ -172,3 +172,47 @@ def test_mad_outliers_exact_and_robust(spark):
     # global (no groups) form
     g = mad_outliers(df.select("v"), "v").collect()[0]
     assert g.n == 16
+
+
+def test_mann_whitney_u_exact_and_ties(spark):
+    """MWU against a brute-force python rank computation: average
+    ranks on ties, tie-corrected variance, NULL z on the all-tied
+    degenerate group, partition invariance."""
+    from kbdatalakeapps_spark.operators.relational import mann_whitney_u
+
+    a_vals = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b_vals = [2.0, 3.0, 5.0, 5.0, 8.0, 9.0]
+    rows_a = [("g", v) for v in a_vals] + [("t", 4.0), ("t", 4.0)]
+    rows_b = [("g", v) for v in b_vals] + [("t", 4.0)]
+    df_a = spark.createDataFrame(rows_a, "k string, v double")
+    df_b = spark.createDataFrame(rows_b, "k string, v double")
+    out = {r.k: r for r in mann_whitney_u(df_a, df_b, "v", ["k"]).collect()}
+
+    # brute-force reference: average ranks over the pooled sample
+    pooled = sorted(a_vals + b_vals)
+    def avg_rank(v):
+        idx = [i + 1 for i, x in enumerate(pooled) if x == v]
+        return sum(idx) / len(idx)
+    r_a = sum(avg_rank(v) for v in a_vals)
+    n_a, n_b = len(a_vals), len(b_vals)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    assert out["g"].n_a == n_a and out["g"].n_b == n_b
+    assert out["g"].u_a == u_a
+    # tie-corrected z
+    from collections import Counter
+    n = n_a + n_b
+    tie = sum(t**3 - t for t in Counter(pooled).values())
+    var = n_a * n_b * (n**3 - n - tie) / (12 * n * (n - 1))
+    z_ref = (u_a - n_a * n_b / 2) / var**0.5
+    assert abs(out["g"].z - z_ref) < 1e-6
+
+    # all-tied group: variance 0 -> z NULL, U still defined
+    # (a=[4,4], b=[4]: pooled avg rank 2, R_a=4, U_a = 4 - 2*3/2 = 1)
+    assert out["t"].z is None
+    assert out["t"].u_a == 1.0
+
+    # partition invariance
+    again = sorted(map(tuple, mann_whitney_u(
+        df_a.repartition(7), df_b.repartition(3), "v", ["k"]).collect()))
+    assert again == sorted(map(tuple, mann_whitney_u(
+        df_a, df_b, "v", ["k"]).collect()))
