@@ -1130,3 +1130,81 @@ def mann_whitney_u(
         (u2.cast("double") / F.lit(2.0)).alias("u_a"),
         F.when(ok, F.round(z, 6)).alias("z"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Spearman rank correlation per group — the rank companion to the
+    exact-decimal Pearson path (a21_corr_stats): monotone association
+    robust to outliers and nonlinearity, the standard screen before
+    trusting a linear coefficient.
+
+    Exact average-rank algebra, no per-row ranking window: each
+    column's rank table derives from its per-(group, value) counts —
+    avg rank of value v is cum_below + (t+1)/2 — and joins back to the
+    fact rows.  DOUBLED ranks (2·rank) are integers, and Spearman is
+    scale-invariant (numerator and denominator both scale by 4), so
+    ALL five moment sums accumulate exactly in DECIMAL(38,0) — no
+    float accumulation — and rho is ONE fixed IEEE tree
+    (n·Σab − Σa·Σb) / sqrt((n·Σa² − (Σa)²)·(n·Σb² − (Σb)²)) over
+    double casts of exact operands, hash-exact across engines.
+
+    Scale posture: two grouped count tables + windows over each
+    group's DISTINCT-value set (the ks_drift posture — quantize
+    continuous columns upstream), two equi-joins back to the fact
+    scan, one map-side-combinable moment agg.  NULL rho on degenerate
+    groups (n < 2 or either column constant — zero variance)."""
+    dec = "decimal(38,0)"
+
+    def _rank_table(col: str, alias: str) -> DataFrame:
+        counts = df.groupBy(*group_cols, col).agg(
+            F.count(F.lit(1)).alias("_t")
+        )
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # doubled avg rank: 2·rank = 2·cum_below + t + 1 (exact int)
+        return counts.select(
+            *group_cols, col,
+            (
+                F.lit(2) * (F.sum("_t").over(w) - F.col("_t"))
+                + F.col("_t") + F.lit(1)
+            ).alias(alias),
+        )
+    rx = _rank_table(x_col, "_r2x")
+    ry = _rank_table(y_col, "_r2y")
+    ranked = (
+        df.select(*group_cols, x_col, y_col)
+        .join(rx, [*group_cols, x_col])
+        .join(ry, [*group_cols, y_col])
+    )
+    a = F.col("_r2x").cast(dec)
+    b = F.col("_r2y").cast(dec)
+    g = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a).alias("_sa"),
+        F.sum(b).alias("_sb"),
+        F.sum(a * a).alias("_qa"),
+        F.sum(b * b).alias("_qb"),
+        F.sum(a * b).alias("_sab"),
+    )
+    nD = F.col("n").cast(dec)
+    # wrap-ok: everything decimal(38,0) — 2·rank ≤ 2N, products ≤ 4N²,
+    # n·Σ ≤ 4N⁴ < 10^38 for N beyond any per-group cardinality
+    num = nD * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    vx = nD * F.col("_qa") - F.col("_sa") * F.col("_sa")
+    vy = nD * F.col("_qb") - F.col("_sb") * F.col("_sb")
+    rho = num.cast("double") / F.sqrt(
+        vx.cast("double") * vy.cast("double")
+    )
+    ok = (F.col("n") >= 2) & (vx > 0) & (vy > 0)
+    return g.select(
+        *group_cols, "n",
+        F.when(ok, F.round(rho, 9)).alias("spearman_rho"),
+    )

@@ -130,4 +130,5 @@ assert len(DRIVER_WINDOW) == 50
 #: pre-verified via driver_sim this round — see NOTES).
 PENDING_NEXT_WINDOW: list[str] = [
     "dq_ab_mannwhitney",
+    "a30_spearman_corr",
 ]

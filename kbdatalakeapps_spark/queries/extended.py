@@ -2788,3 +2788,77 @@ def dd_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.prefix_duplicate_pairs(
         d.unionByName(planted), "doc_id", "text", block_chars=64
     )
+
+
+@query(
+    "a30_spearman_corr",
+    oracle="""
+    WITH f AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    cx AS (SELECT l_returnflag, x, COUNT(*) AS t FROM f GROUP BY 1, 2),
+    rx AS (
+        SELECT l_returnflag, x,
+               2 * (SUM(t) OVER (
+                   PARTITION BY l_returnflag ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - t) + t + 1 AS r2x
+        FROM cx
+    ),
+    cy AS (SELECT l_returnflag, y, COUNT(*) AS t FROM f GROUP BY 1, 2),
+    ry AS (
+        SELECT l_returnflag, y,
+               2 * (SUM(t) OVER (
+                   PARTITION BY l_returnflag ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - t) + t + 1 AS r2y
+        FROM cy
+    ),
+    j AS (
+        SELECT f.l_returnflag,
+               CAST(r2x AS HUGEINT) AS a, CAST(r2y AS HUGEINT) AS b
+        FROM f
+        JOIN rx ON rx.l_returnflag = f.l_returnflag AND rx.x = f.x
+        JOIN ry ON ry.l_returnflag = f.l_returnflag AND ry.y = f.y
+    ),
+    m AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(a) AS sa, SUM(b) AS sb,
+               SUM(a * a) AS qa, SUM(b * b) AS qb,
+               SUM(a * b) AS sab
+        FROM j GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           CASE WHEN n >= 2 AND n * qa - sa * sa > 0
+                     AND n * qb - sb * sb > 0
+                THEN ROUND(
+                    CAST(n * sab - sa * sb AS DOUBLE)
+                    / sqrt(CAST(n * qa - sa * sa AS DOUBLE)
+                           * CAST(n * qb - sb * sb AS DOUBLE)), 9)
+           END AS spearman_rho
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def a30_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs whole-dollar extended
+    price per returnflag (operators/relational.py::spearman_corr) —
+    the rank companion to a21_corr_stats' exact-decimal Pearson:
+    monotone association robust to outliers.  Doubled average ranks
+    stay exact integers (Spearman is scale-invariant, so the 2×
+    cancels), the five moment sums accumulate in DECIMAL(38,0)
+    (HUGEINT on the DuckDB side), and rho is one fixed IEEE tree —
+    hash-exact.  floor(price) bounds the distinct-value set the rank
+    windows run over (the ks_drift quantize-upstream posture)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    from ..operators.relational import spearman_corr
+
+    return spearman_corr(l, "x", "y", ["l_returnflag"]).orderBy(
+        "l_returnflag"
+    )

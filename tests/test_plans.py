@@ -358,6 +358,9 @@ def test_exchange_counts_bounded(spark):
         # checkpointed merged value table; window + final agg reuse
         # its partitioning
         "dq_ab_mannwhitney": 4,
+        # round-11: measured 6 — two per-column rank tables (count agg
+        # + group window each) + two joins back + one moment agg
+        "a30_spearman_corr": 8,
     }
     over = {}
     for name, bound in bounds.items():

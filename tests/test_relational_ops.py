@@ -216,3 +216,44 @@ def test_mann_whitney_u_exact_and_ties(spark):
         df_a.repartition(7), df_b.repartition(3), "v", ["k"]).collect()))
     assert again == sorted(map(tuple, mann_whitney_u(
         df_a, df_b, "v", ["k"]).collect()))
+
+
+def test_spearman_corr_exact(spark):
+    """Spearman against scipy-free python reference: average ranks on
+    ties, perfect monotone = 1, reversed = -1, constant column NULL,
+    partition invariance."""
+    from kbdatalakeapps_spark.operators.relational import spearman_corr
+
+    # group m: monotone nonlinear (rho must be exactly 1)
+    mono = [("m", float(i), float(i**3)) for i in range(1, 8)]
+    # group r: strictly reversed (rho -1)
+    rev = [("r", float(i), float(10 - i)) for i in range(1, 8)]
+    # group t: ties in both columns — python reference below
+    t_rows = [("t", 1.0, 2.0), ("t", 1.0, 3.0), ("t", 2.0, 3.0),
+              ("t", 3.0, 1.0), ("t", 3.0, 5.0)]
+    # group c: constant y -> NULL
+    const = [("c", float(i), 4.0) for i in range(5)]
+    df = spark.createDataFrame(mono + rev + t_rows + const,
+                               "g string, x double, y double")
+    out = {r.g: r for r in spearman_corr(df, "x", "y", ["g"]).collect()}
+    assert out["m"].spearman_rho == 1.0
+    assert out["r"].spearman_rho == -1.0
+    assert out["c"].spearman_rho is None
+
+    # python reference for the tie group (Pearson over average ranks)
+    def avg_ranks(vals):
+        s = sorted(vals)
+        return [sum(i + 1 for i, v in enumerate(s) if v == x)
+                / s.count(x) for x in vals]
+    xs = [r[1] for r in t_rows]; ys = [r[2] for r in t_rows]
+    ra, rb = avg_ranks(xs), avg_ranks(ys)
+    n = len(ra)
+    num = n * sum(p * q for p, q in zip(ra, rb)) - sum(ra) * sum(rb)
+    den = ((n * sum(p * p for p in ra) - sum(ra) ** 2)
+           * (n * sum(q * q for q in rb) - sum(rb) ** 2)) ** 0.5
+    assert abs(out["t"].spearman_rho - num / den) < 1e-9
+
+    again = sorted(map(tuple, spearman_corr(
+        df.repartition(11), "x", "y", ["g"]).collect()))
+    assert again == sorted(map(tuple, spearman_corr(
+        df, "x", "y", ["g"]).collect()))

@@ -44,6 +44,7 @@ TS_SHIFT_DAYS = 366
 #: the most expensive bench keys (BENCH_r07 ranking) whose inputs the
 #: synthetic 2× corpus scales; sim_sq8/ivfpq ride the embeddings set
 DEFAULT_KEYS = [
+    "gr_linkpred_powerlaw",
     "dd_dedup_corpus",
     "dd_dedup_corpus_xxh",
     "gr_cc_largestar",
