@@ -455,8 +455,20 @@ def main() -> None:
                 if fn is None:
                     continue
                 t = {}
+                # ONE untimed warm run before the timed pair: the first
+                # probe after the key loop pays a one-time 3-12× cold
+                # cost (r10 tx_quality_classifier 24.9 s slope vs 2.1 s
+                # in-loop; r11 sp_bootstrap_ci 7.8-13.9 s vs 2.5 s —
+                # both on QUIET hosts, and a controlled replay showed
+                # NO end-of-suite degradation, so it is slope-block
+                # entry state, not the key).  Warming both sides makes
+                # the RATIO warm-vs-warm — the quantity the slope
+                # exists to report (VERDICT r10 #2).
+                _drop_stale_blocks()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 load0 = round(os.getloadavg()[0], 1)
                 for label, d in (("t_sf1", sf_dir), ("t_sf2", sf2_dir)):
+                    _drop_stale_blocks()
                     t0 = time.perf_counter()
                     fn(spark, d).write.format("noop").mode("overwrite").save()
                     t[label] = round(time.perf_counter() - t0, 3)

@@ -1115,12 +1115,15 @@ def _zipf_coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins in as an explicit broadcast (bounded-scalar idiom)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # +1 shift: this synthetic lake's partkeys start at 0, and the
-    # divisor construction needs k >= 1 on both engines
-    mx = li.agg((F.max("l_partkey") + F.lit(1)).alias("p"))
+    # divisor construction needs k >= 1 on both engines.  The max is
+    # ONE driver scalar (the negative_sampling bounded-scalar idiom)
+    # inlined as a literal — a broadcast-join subtree here added a
+    # BNLJ + extra codegen stage to every downstream branch.
+    p = int(li.agg(F.max("l_partkey")).collect()[0][0]) + 1
     # wrap-ok: p = max(l_partkey)+1 ≤ ~2·10⁹ at sf100, divisor ≥ 1 —
     # no product anywhere, quotient bounded by p ≪ 2^63
-    zi = li.join(F.broadcast(mx)).select(
-        "l_orderkey", F.expr("p div (l_partkey + 1)").alias("z")
+    zi = li.select(
+        "l_orderkey", F.expr(f"{p} div (l_partkey + 1)").alias("z")
     )
     sets = zi.groupBy("l_orderkey").agg(F.collect_set("z").alias("zs"))
     return (
