@@ -863,3 +863,47 @@ def test_degree_assortativity_reference_values(spark):
         (n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
     [g] = degree_assortativity(df).collect()
     assert g["assortativity"] == want
+
+
+def test_link_prediction_powerlaw_wedge_suppression(spark):
+    """The quantitative hub-cap claim behind gr_linkpred_powerlaw
+    (VERDICT r10 #3): on a power-law-shaped graph the wedge fan-out
+    Σ_center deg(center)² is hub-dominated, and capping wedge centers
+    cuts it ≥5× while leaving every non-hub-mediated pair intact."""
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.operators.graph import link_prediction
+
+    # star hub 0 → 100 leaves, plus a sparse ring among the leaves
+    # (each leaf also joins its two ring neighbors): deg(hub)=100,
+    # deg(leaf)=3 — a textbook hub tail in miniature
+    n = 100
+    und = [(0, i) for i in range(1, n + 1)] + [
+        (i, (i % n) + 1) for i in range(1, n + 1)
+    ]
+    edges = spark.createDataFrame(
+        list({(a, b) for a, b in und} | {(b, a) for a, b in und}),
+        "src long, dst long",
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    rows = {r.src: r.d for r in deg.collect()}
+    cap = 10
+    wedge_all = sum(d * d for d in rows.values())
+    wedge_capped = sum(d * d for d in rows.values() if d <= cap)
+    assert rows[0] == n and wedge_all / wedge_capped >= 5, (
+        wedge_all, wedge_capped
+    )
+
+    out = {(r.id_a, r.id_b): r.common for r in link_prediction(
+        edges, max_wedge_degree=cap
+    ).collect()}
+    # ring neighbors at distance 2 share exactly one ring node (the
+    # hub is excluded as a center but still counts toward degrees)
+    assert out[(1, 3)] == 1
+    # hub-only pairs (e.g. leaves 1 and 50) vanish under the cap
+    assert (1, 50) not in out
+    # and the uncapped form finds them via the hub
+    full = {(r.id_a, r.id_b): r.common for r in link_prediction(
+        edges
+    ).collect()}
+    assert full[(1, 50)] == 1
