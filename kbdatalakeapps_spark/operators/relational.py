@@ -1208,3 +1208,82 @@ def spearman_corr(
         *group_cols, "n",
         F.when(ok, F.round(rho, 9)).alias("spearman_rho"),
     )
+
+
+def gk_lambda(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Goodman–Kruskal lambda between two categorical columns — the
+    proportional-reduction-in-error association measure: how much
+    better you guess Y knowing X than guessing Y's modal class blind
+    (λ_y|x = (Σ_x max_y n_xy − max_y n_·y) / (N − max_y n_·y)), plus
+    the reverse direction and the symmetric form.  0 = X never helps,
+    1 = X determines Y.
+
+    Chosen over Cramér's V deliberately (the gini-over-entropy
+    argument): V needs the χ² sum — per-cell rationals with
+    incommensurable denominators whose double summation is
+    order-sensitive — while λ is a pure rational of COUNTS (maxes,
+    sums), so integer numerator and denominator ride in DECIMAL(38,0)
+    with ONE double division per direction and the audit carries a
+    full hash oracle.
+
+    NULLs count as their own level (association with missingness is
+    real signal).  λ is NULL when its denominator is 0 (the predicted
+    column is constant — blind guessing is already perfect).
+
+    Scale posture: one map-side-combinable groupBy on (x, y); every
+    later agg runs over the k_x·k_y-row contingency table (bounded by
+    category cardinalities, not data size); the three 1-row frames
+    combine via bounded crossJoins."""
+    dec = "decimal(38,0)"
+    counts = (
+        df.select(
+            F.coalesce(F.col(x_col).cast("string"), F.lit("<null>"))
+            .alias("_x"),
+            F.coalesce(F.col(y_col).cast("string"), F.lit("<null>"))
+            .alias("_y"),
+        )
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).cast(dec).alias("cnt"))
+    )
+    per_x = counts.groupBy("_x").agg(
+        F.max("cnt").alias("mx"), F.sum("cnt").alias("rx")
+    )
+    per_y = counts.groupBy("_y").agg(
+        F.max("cnt").alias("my"), F.sum("cnt").alias("ry")
+    )
+    ax = per_x.agg(
+        F.sum("mx").alias("sum_max_y_given_x"),
+        F.max("rx").alias("max_x_marginal"),
+        F.count(F.lit(1)).cast("long").alias("k_x"),
+    )
+    ay = per_y.agg(
+        F.sum("my").alias("sum_max_x_given_y"),
+        F.max("ry").alias("max_y_marginal"),
+        F.count(F.lit(1)).cast("long").alias("k_y"),
+    )
+    an = counts.agg(F.sum("cnt").alias("n"))
+    one = an.crossJoin(ax).crossJoin(ay)
+
+    def lam(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        )
+
+    n = F.col("n")
+    syx = F.col("sum_max_y_given_x")
+    sxy = F.col("sum_max_x_given_y")
+    mya = F.col("max_y_marginal")
+    mxa = F.col("max_x_marginal")
+    return one.select(
+        n.cast("long").alias("n"),
+        F.col("k_x"),
+        F.col("k_y"),
+        syx.cast("long").alias("sum_max_y_given_x"),
+        sxy.cast("long").alias("sum_max_x_given_y"),
+        mxa.cast("long").alias("max_x_marginal"),
+        mya.cast("long").alias("max_y_marginal"),
+        lam(syx - mya, n - mya).alias("lambda_y_given_x"),
+        lam(sxy - mxa, n - mxa).alias("lambda_x_given_y"),
+        lam(syx + sxy - mya - mxa, n + n - mya - mxa)
+        .alias("lambda_sym"),
+    )

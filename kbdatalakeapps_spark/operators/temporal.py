@@ -989,3 +989,95 @@ def classical_decompose(
             6,
         ).alias("resid"),
     )
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-step conversion funnel: for each user, step i counts
+    only if an event of type ``steps[i]`` occurs STRICTLY AFTER the
+    user's completion time of step i−1 (completion time = the
+    earliest qualifying occurrence — the greedy matching that
+    maximizes conversions, since taking the earliest valid event for
+    every prefix dominates any other subsequence choice).  One row
+    per step: users reaching it, conversion vs the previous step and
+    vs step 1 — the product-analytics readout st_event_transitions
+    (adjacent pairs) and ts_event_paths (full orderings) don't give.
+
+    Strictness note: a same-timestamp pair (view and click at the
+    identical instant) does NOT advance the funnel — ordering inside
+    a timestamp tie is unknowable, so the strict form undercounts
+    rather than fabricates order.
+
+    Determinism: completion times are MINs of the event-time column —
+    order-statistics, partitioning-invariant; the conversion ratios
+    are one fixed double tree over exact counts.
+
+    Scale posture: ONE exchange on ``user_col`` feeds a chain of
+    per-user window MINs (each step's min references the previous
+    step's per-user constant — Catalyst stacks the Window operators
+    on the same partitioning, no re-shuffle), then a per-user
+    first-row collapse (map-side combinable on the already-partitioned
+    frame) and a single-row global agg exploded into the |steps|-row
+    report.  No per-user driver state, no all-events sort."""
+    if len(steps) < 2:
+        raise ValueError("funnel_conversion: need at least 2 steps")
+    w = Window.partitionBy("_u")
+    cur = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_ty"),
+        F.col(ts_col).alias("_ts"),
+    )
+    for i, s in enumerate(steps):
+        qual = F.col("_ty") == F.lit(s)
+        if i > 0:
+            qual = qual & (F.col("_ts") > F.col(f"_t{i - 1}"))
+        cur = cur.withColumn(
+            f"_t{i}", F.min(F.when(qual, F.col("_ts"))).over(w)
+        )
+    per_user = cur.groupBy("_u").agg(
+        *[F.min(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"_t{i}")).cast("long").alias(f"_s{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"_s{i}").alias("users"),
+                (
+                    F.lit(1.0) if i == 0
+                    else F.when(
+                        F.col(f"_s{i - 1}") > 0,
+                        F.round(
+                            F.col(f"_s{i}").cast("double")
+                            / F.col(f"_s{i - 1}").cast("double"),
+                            6,
+                        ),
+                    )
+                ).alias("conv_from_prev"),
+                (
+                    F.lit(1.0) if i == 0
+                    else F.when(
+                        F.col("_s0") > 0,
+                        F.round(
+                            F.col(f"_s{i}").cast("double")
+                            / F.col("_s0").cast("double"),
+                            6,
+                        ),
+                    )
+                ).alias("conv_from_first"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")

@@ -131,4 +131,7 @@ assert len(DRIVER_WINDOW) == 50
 PENDING_NEXT_WINDOW: list[str] = [
     "dq_ab_mannwhitney",
     "a30_spearman_corr",
+    "dd_winnow_matches",
+    "ts_funnel_steps",
+    "dq_gk_lambda",
 ]

@@ -1270,3 +1270,52 @@ def dq_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(df_a, df_b, "value", ["event_type"]).orderBy(
         "event_type"
     )
+
+
+@query(
+    "dq_gk_lambda",
+    oracle="""
+    WITH c AS (
+        SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS x,
+               COALESCE(CAST(source AS VARCHAR), '<null>') AS y,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    px AS (SELECT x, MAX(cnt) AS mx, SUM(cnt) AS rx FROM c GROUP BY 1),
+    py AS (SELECT y, MAX(cnt) AS my, SUM(cnt) AS ry FROM c GROUP BY 1),
+    ax AS (
+        SELECT SUM(mx) AS syx, MAX(rx) AS mxa, COUNT(*) AS kx FROM px
+    ),
+    ay AS (
+        SELECT SUM(my) AS sxy, MAX(ry) AS mya, COUNT(*) AS ky FROM py
+    ),
+    an AS (SELECT SUM(cnt) AS n FROM c)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(kx AS BIGINT) AS k_x, CAST(ky AS BIGINT) AS k_y,
+           CAST(syx AS BIGINT) AS sum_max_y_given_x,
+           CAST(sxy AS BIGINT) AS sum_max_x_given_y,
+           CAST(mxa AS BIGINT) AS max_x_marginal,
+           CAST(mya AS BIGINT) AS max_y_marginal,
+           CASE WHEN n - mya > 0 THEN ROUND(
+               CAST(syx - mya AS DOUBLE) / CAST(n - mya AS DOUBLE), 6)
+           END AS lambda_y_given_x,
+           CASE WHEN n - mxa > 0 THEN ROUND(
+               CAST(sxy - mxa AS DOUBLE) / CAST(n - mxa AS DOUBLE), 6)
+           END AS lambda_x_given_y,
+           CASE WHEN 2 * n - mya - mxa > 0 THEN ROUND(
+               CAST(syx + sxy - mya - mxa AS DOUBLE)
+               / CAST(2 * n - mya - mxa AS DOUBLE), 6)
+           END AS lambda_sym
+    FROM an, ax, ay
+    """,
+)
+def dq_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman–Kruskal lambda between document language and source
+    (operators/relational.py::gk_lambda): the
+    proportional-reduction-in-error association audit for categorical
+    column pairs, exact-rational by construction (count maxes and
+    sums in DECIMAL(38,0), one double division per direction) — the
+    categorical complement to a21_corr_stats' numeric correlation."""
+    from ..operators.relational import gk_lambda
+
+    return gk_lambda(_t(spark, sf_dir, "documents"), "lang", "source")

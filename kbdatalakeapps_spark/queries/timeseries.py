@@ -1207,3 +1207,65 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         _monthly_revenue(spark, sf_dir), ["priority"],
         t_col="t", x_col="x", period=12,
     )
+
+
+@query(
+    "ts_funnel_steps",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+    ),
+    u0 AS (
+        SELECT user_id, MIN(tns) AS t0 FROM ev
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    u1 AS (
+        SELECT e.user_id, MIN(e.tns) AS t1 FROM ev e
+        JOIN u0 USING (user_id)
+        WHERE e.event_type = 'click' AND e.tns > u0.t0 GROUP BY 1
+    ),
+    u2 AS (
+        SELECT e.user_id, MIN(e.tns) AS t2 FROM ev e
+        JOIN u1 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.tns > u1.t1 GROUP BY 1
+    ),
+    c AS (
+        SELECT (SELECT COUNT(*) FROM u0) AS s0,
+               (SELECT COUNT(*) FROM u1) AS s1,
+               (SELECT COUNT(*) FROM u2) AS s2
+    )
+    SELECT 1 AS step, 'view' AS event_type, CAST(s0 AS BIGINT) AS users,
+           CAST(1.0 AS DOUBLE) AS conv_from_prev,
+           CAST(1.0 AS DOUBLE) AS conv_from_first
+    FROM c
+    UNION ALL
+    SELECT 2, 'click', CAST(s1 AS BIGINT),
+           CASE WHEN s0 > 0
+                THEN ROUND(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE), 6) END,
+           CASE WHEN s0 > 0
+                THEN ROUND(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE), 6) END
+    FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(s2 AS BIGINT),
+           CASE WHEN s1 > 0
+                THEN ROUND(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE), 6) END,
+           CASE WHEN s0 > 0
+                THEN ROUND(CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE), 6) END
+    FROM c
+    ORDER BY step
+    """,
+)
+def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel over the events
+    stream (operators/temporal.py::funnel_conversion): users reaching
+    each step via strictly-after greedy matching, with step-over-step
+    and overall conversion rates — the sequential-dependency readout
+    the adjacent-pair (st_event_transitions) and full-path
+    (ts_event_paths) queries can't express.  Counts are exact
+    order-statistics; ratios one fixed double tree."""
+    from ..operators.temporal import funnel_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, ["view", "click", "purchase"]
+    ).orderBy("step")

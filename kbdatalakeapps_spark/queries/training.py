@@ -2511,3 +2511,69 @@ def tx_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hellinger_drift(
         load_table(spark, sf_dir, "documents"), "lang", "text", "en"
     )
+
+
+@query(
+    "dd_winnow_matches",
+    # wrap-ok: DuckDB oracle SQL — pk is HUGEINT (h < 2^60 scaled by
+    # 10^10), division restores h exactly
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id AS id, lower(text) AS t,
+               len(lower(text)) - 4 AS n_grams
+        FROM documents
+    ),
+    g AS (
+        SELECT id, n_grams, CAST(u.i AS BIGINT) AS pos,
+               CAST(('0x' || substr(md5(substr(t, CAST(u.i AS INT), 5)),
+                                    1, 15))::BIGINT AS HUGEINT)
+                   * 10000000000 + u.i AS pk
+        FROM norm, unnest(range(1, CAST(n_grams + 1 AS BIGINT))) u(i)
+        WHERE n_grams >= 8
+    ),
+    sel AS (
+        SELECT id, pos, n_grams,
+               MIN(pk) OVER (
+                   PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING
+               ) AS s
+        FROM g
+    ),
+    fp AS (
+        SELECT DISTINCT id, s // 10000000000 AS fp_hash
+        FROM sel WHERE pos <= n_grams - 7
+    ),
+    keep AS (
+        SELECT fp_hash FROM fp GROUP BY 1 HAVING COUNT(*) <= 8
+    ),
+    fk AS (SELECT fp.* FROM fp JOIN keep USING (fp_hash)),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fk a JOIN fk b
+          ON a.fp_hash = b.fp_hash AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT * FROM pairs
+    ORDER BY n_shared DESC, id_a ASC, id_b ASC
+    LIMIT 100
+    """,
+)
+def dd_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint matches over the documents corpus
+    (operators/dedup.py::winnow_fingerprints + winnow_matches, MOSS
+    k=5 / window=8): top-100 document pairs by shared selected
+    fingerprint hashes, after the ≤8-docs stop-fingerprint filter
+    drops corpus boilerplate BEFORE the pair join — the localized
+    substring-overlap complement to MinHash's whole-document
+    similarity (guarantee: any shared run ≥ 12 chars of non-stop
+    content contributes a shared fingerprint)."""
+    from ..operators.dedup import winnow_fingerprints, winnow_matches
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=5, window=8)
+    return (
+        winnow_matches(fps, max_docs_per_fp=8)
+        .orderBy(F.col("n_shared").desc(), "id_a", "id_b")
+        .limit(100)
+    )

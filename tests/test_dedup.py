@@ -130,3 +130,85 @@ def test_cluster_keyed_split_co_assigns_clusters(spark):
     assert len(by_keeper) == 40
     # and more than one split is actually used across clusters
     assert len({next(iter(s)) for s in by_keeper.values()}) >= 2
+
+
+def test_winnow_fingerprints_brute_force_parity(spark):
+    """winnow_fingerprints exactly equals a driver-side brute-force
+    replay of Schleimer/Wilkerson/Aiken winnowing (leftmost-min tie
+    break): same (hash, pos) selection set per document.  Also checks
+    the density claim — selected count <= window count << gram count."""
+    import hashlib
+
+    from kbdatalakeapps_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 5, 8
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog repeatedly",
+        2: "aaaaabaaaaabaaaaabaaaaab",  # heavy hash ties
+        3: "shorty",  # < k+w-1 grams -> no fingerprints
+        4: "The Quick BROWN fox jumps over anything else entirely",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.fp_hash, r.fp_pos)
+        for r in winnow_fingerprints(df, k=k, window=w).collect()
+    }
+
+    def brute(doc_id, text):
+        t = text.lower()
+        n = len(t) - k + 1
+        if n < w:
+            return set()
+        hp = [
+            (
+                int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16),
+                i + 1,
+            )
+            for i in range(n)
+        ]
+        return {
+            (doc_id, *min(hp[i : i + w])) for i in range(n - w + 1)
+        }
+
+    want = set().union(*(brute(d, t) for d, t in texts.items()))
+    assert got == want
+    n_grams_1 = len(texts[1]) - k + 1
+    assert 0 < len({p for d, _, p in got if d == 1}) <= n_grams_1 - w + 1
+
+
+def test_winnow_matches_guarantee_and_stop_filter(spark):
+    """The winnowing guarantee: two docs sharing a substring of
+    length >= window + k - 1 share at least one selected fingerprint,
+    and winnow_matches surfaces the pair.  The stop filter drops
+    fingerprints held by > max_docs_per_fp docs BEFORE the pair join,
+    so an all-identical boilerplate corpus yields zero pairs."""
+    from kbdatalakeapps_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    shared = "conserved common phrase here"  # 28 chars >= 12
+    df = spark.createDataFrame(
+        [
+            (1, "left flank text " + shared + " right flank one"),
+            (2, "totally different start " + shared + " and end two"),
+            (3, "no overlap with anything else in this corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=5, window=8)
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_matches(fps, max_docs_per_fp=16).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+
+    boiler = spark.createDataFrame(
+        [(i, "identical boilerplate text body shared by every doc") for i in range(6)],
+        "doc_id long, text string",
+    )
+    bfps = winnow_fingerprints(boiler, k=5, window=8)
+    assert winnow_matches(bfps, max_docs_per_fp=3).count() == 0

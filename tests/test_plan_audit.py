@@ -90,6 +90,9 @@ _BNLJ_OK = {
                               # sim_cosine_topk shape minus the norm
     "ml_lift_gains",          # 1-row totals scalar onto the ≤24-row
                               # score-band table
+    "dq_gk_lambda",           # three 1-row aggregates (N, per-x, per-y
+                              # maxima) crossed into the single report
+                              # row — the er_blocking_metrics shape
 }
 
 # queries allowed an unpartitioned Window: the windowed frame is

@@ -257,3 +257,36 @@ def test_spearman_corr_exact(spark):
         df.repartition(11), "x", "y", ["g"]).collect()))
     assert again == sorted(map(tuple, spearman_corr(
         df, "x", "y", ["g"]).collect()))
+
+
+def test_gk_lambda_hand_computed(spark):
+    """Goodman-Kruskal lambda against hand-computed rationals: the
+    asymmetric directions differ, perfect association hits 1.0, a
+    constant predicted column yields NULL (denominator 0), and NULLs
+    form their own level."""
+    from kbdatalakeapps_spark.operators.relational import gk_lambda
+
+    # counts: x=a -> (p:3, q:1); x=b -> (p:2, q:2)
+    rows = (
+        [("a", "p")] * 3 + [("a", "q")] + [("b", "p")] * 2 + [("b", "q")] * 2
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = gk_lambda(df, "x", "y").collect()[0]
+    assert (r.n, r.k_x, r.k_y) == (8, 2, 2)
+    assert r.lambda_y_given_x == 0.0          # (5-5)/(8-5)
+    assert r.lambda_x_given_y == 0.25         # (5-4)/(8-4)
+    assert r.lambda_sym == round(1 / 7, 6)    # (10-9)/(16-9)
+
+    perfect = spark.createDataFrame(
+        [("a", "p"), ("a", "p"), ("b", "q"), ("b", "q")],
+        "x string, y string",
+    )
+    rp = gk_lambda(perfect, "x", "y").collect()[0]
+    assert rp.lambda_y_given_x == 1.0 and rp.lambda_x_given_y == 1.0
+
+    const = spark.createDataFrame(
+        [("a", "p"), ("b", "p"), (None, "p")], "x string, y string"
+    )
+    rc = gk_lambda(const, "x", "y").collect()[0]
+    assert rc.lambda_y_given_x is None        # y constant
+    assert rc.k_x == 3                        # NULL is its own level

@@ -360,3 +360,45 @@ def test_acf_lags_reference_values(spark):
     got = {r["lag"]: r for r in acf_lags(gappy, ["k"], "t", "x").collect()}
     assert got[1]["n_pairs"] == 2 and got[1]["acf"] is None
     assert got[3]["n_pairs"] == 2
+
+
+def test_funnel_conversion_ordering_and_ties(spark):
+    """Strictly-after greedy matching: out-of-order steps don't
+    count, same-timestamp pairs don't advance, and the greedy
+    earliest-match maximizes conversions."""
+    import pytest
+
+    from kbdatalakeapps_spark.operators.temporal import funnel_conversion
+
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        # user 2: click BEFORE first view -> no click-after-view, so
+        # the later purchase can't count either; funnel stops at view
+        (2, "click", 1), (2, "view", 2), (2, "purchase", 3),
+        # user 3: view and click at the SAME instant -> no advance
+        (3, "view", 5), (3, "click", 5),
+        # user 4: purchase before its click -> stops after click
+        (4, "view", 1), (4, "purchase", 2), (4, "click", 3),
+        # user 5: purchase only -> never enters
+        (5, "purchase", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long"
+    )
+    out = {
+        r.step: r
+        for r in funnel_conversion(
+            df, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert [out[s].event_type for s in (1, 2, 3)] == [
+        "view", "click", "purchase"
+    ]
+    assert (out[1].users, out[2].users, out[3].users) == (4, 2, 1)
+    assert out[1].conv_from_prev == 1.0
+    assert out[2].conv_from_prev == 0.5
+    assert out[3].conv_from_prev == 0.5
+    assert out[3].conv_from_first == 0.25
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_conversion(df, ["view"])
