@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     "gr_jaccard_links_capped",     # hub-capped wedge join link prediction
     # round-11 addition (appended so earlier keys stay comparable)
     "gr_linkpred_powerlaw",        # hub cap on a REAL power-law graph (7.4×)
+    "dd_winnow_matches",           # MOSS winnowing fingerprints + stop-filtered
+                                   # match join (char-gram posexplode shape)
 ]
 
 # The most expensive queries — measured twice, median reported.
