@@ -355,3 +355,76 @@ def test_sq8_quantization_error_bound(vals):
             xhat = lo + code * (hi - lo) / 255.0
         step = (hi - lo) / 255.0
         assert abs(x - xhat) <= step / 2 + 1e-12
+
+
+def test_funnel_partitioning_invariance_and_monotonicity(spark):
+    """funnel_conversion is partitioning-invariant (MINs + counts are
+    order-statistics) and step counts are monotone non-increasing —
+    a user cannot reach step i+1 without reaching step i first."""
+    import hashlib
+
+    from kbdatalakeapps_spark.operators.temporal import funnel_conversion
+
+    # deterministic pseudo-random event log: 60 users x 8 events each,
+    # type and time drawn from md5 so the fixture is seedless but fixed
+    rows = []
+    for u in range(60):
+        for j in range(8):
+            h = hashlib.md5(f"{u}:{j}".encode()).hexdigest()
+            ty = ["view", "click", "purchase", "error"][int(h[:2], 16) % 4]
+            rows.append((u, ty, int(h[2:10], 16)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long"
+    )
+    steps = ["view", "click", "purchase"]
+    base = sorted(map(tuple, funnel_conversion(df, steps).collect()))
+    again = sorted(
+        map(tuple, funnel_conversion(df.repartition(11), steps).collect())
+    )
+    assert base == again
+    users = [r[2] for r in sorted(base)]
+    assert users == sorted(users, reverse=True)  # monotone funnel
+
+
+def test_gk_lambda_bounds_and_invariance(spark):
+    """lambda in [0, 1] in every direction on arbitrary categorical
+    data, and the whole report row is partitioning-invariant."""
+    import hashlib
+
+    from kbdatalakeapps_spark.operators.relational import gk_lambda
+
+    rows = [
+        (
+            hashlib.md5(f"x{i}".encode()).hexdigest()[:1],
+            hashlib.md5(f"y{i}".encode()).hexdigest()[:1],
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = gk_lambda(df, "x", "y").collect()[0]
+    for v in (r.lambda_y_given_x, r.lambda_x_given_y, r.lambda_sym):
+        assert v is None or 0.0 <= v <= 1.0
+    again = gk_lambda(df.repartition(11), "x", "y").collect()[0]
+    assert tuple(r) == tuple(again)
+
+
+def test_winnow_fingerprints_partitioning_invariance(spark):
+    """The winnowing selection is a pure per-document function, so the
+    fingerprint set is invariant under repartitioning — and every
+    fp_pos lands inside the document's gram range."""
+    import hashlib
+
+    from kbdatalakeapps_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        (i, hashlib.md5(f"d{i}".encode()).hexdigest() * 3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    base = sorted(map(tuple, winnow_fingerprints(df).collect()))
+    again = sorted(
+        map(tuple, winnow_fingerprints(df.repartition(11)).collect())
+    )
+    assert base == again
+    for doc_id, _h, pos in base:
+        assert 1 <= pos <= 96 - 5 + 1
