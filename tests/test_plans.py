@@ -350,6 +350,14 @@ def test_exchange_counts_bounded(spark):
         # measured 1: the per-round pick checkpoint collapses the
         # unrolled greedy chain (was 118 printed before the cut)
         "sim_mmr_topk": 4,
+        # round-11 continuation: measured 2 / 8 / 3 — the funnel's
+        # window chain reuses ONE user exchange + the 1-row report
+        # agg; lambda's aggs all run over the tiny contingency table;
+        # winnow rides the checkpointed (id, fp_hash) table so the
+        # stop-filter agg + both join sides share one lineage
+        "ts_funnel_steps": 3,
+        "dq_gk_lambda": 12,
+        "dd_winnow_matches": 5,
         # round-11: measured 5 — zipf edge build (1 agg + pair
         # expansion) + the capped wedge/anti/degree joins riding the
         # materialized edge list
