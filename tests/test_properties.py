@@ -428,3 +428,38 @@ def test_winnow_fingerprints_partitioning_invariance(spark):
     assert base == again
     for doc_id, _h, pos in base:
         assert 1 <= pos <= 96 - 5 + 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.text(alphabet="abcdef ", min_size=0, max_size=40),
+    b=st.text(alphabet="abcdef ", min_size=0, max_size=40),
+    shared=st.text(alphabet="ghijkl", min_size=12, max_size=20),
+)
+def test_winnowing_guarantee_on_reference_model(a, b, shared):
+    """Schleimer/Wilkerson/Aiken theorem, property-tested on the
+    brute-force reference model (which test_dedup.py proves equal to
+    the Spark operator): ANY two texts sharing a substring of length
+    >= window + k - 1 = 12 share at least one selected fingerprint
+    hash.  The shared block uses a disjoint alphabet so the guarantee
+    window can't be broken by accidental flank k-grams."""
+    import hashlib
+
+    k, w = 5, 8
+
+    def fps(text):
+        t = text.lower()
+        n = len(t) - k + 1
+        if n < w:
+            return set()
+        hp = [
+            (
+                int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:15], 16),
+                i + 1,
+            )
+            for i in range(n)
+        ]
+        return {min(hp[i:i + w])[0] for i in range(n - w + 1)}
+
+    fa, fb = fps(a + shared + b), fps(b + shared + a)
+    assert fa & fb, "shared >=12-char run produced no common fingerprint"
