@@ -1544,6 +1544,8 @@ def winnow_fingerprints(
     (winnow_matches) is an equi-join on fingerprint hash with a
     hot-fingerprint stop filter — the LSH-band posture, never
     all-pairs."""
+    if k < 1 or window < 1:
+        raise ValueError("winnow_fingerprints: k and window must be >= 1")
     norm = df.select(
         F.col(id_col).alias("id"),
         F.lower(F.col(text_col)).alias("_t"),

@@ -212,3 +212,15 @@ def test_winnow_matches_guarantee_and_stop_filter(spark):
     )
     bfps = winnow_fingerprints(boiler, k=5, window=8)
     assert winnow_matches(bfps, max_docs_per_fp=3).count() == 0
+
+
+def test_winnow_fingerprints_param_guards(spark):
+    import pytest
+
+    from kbdatalakeapps_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        winnow_fingerprints(df, k=0)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        winnow_fingerprints(df, window=0)
