@@ -17,6 +17,7 @@ from .incremental import (  # noqa: F401
     tumbling_counts,
 )
 from .stateful import (  # noqa: F401
+    funnel_state,
     running_totals,
     scene_cut_increments,
     transition_increments,

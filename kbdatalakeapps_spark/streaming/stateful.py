@@ -197,3 +197,83 @@ def scene_cut_increments(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def make_update_funnel(steps: list[str], ts_col: str, type_col: str):
+    """Kernel factory for funnel_state: per-user step-completion chain
+    (k nullable epoch-ns longs, -1 = incomplete) updated greedily in
+    event-time order within each micro-batch."""
+    idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+
+    def _update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        ts = list(state.get) if state.exists else [-1] * k
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        for t, ty in zip(batch[ts_col], batch[type_col]):
+            i = idx.get(ty)
+            if i is None or ts[i] != -1:
+                continue
+            if i == 0 or (ts[i - 1] != -1 and int(t) > ts[i - 1]):
+                ts[i] = int(t)
+        state.update(tuple(ts))
+        deepest = 0
+        for v in ts:
+            if v == -1:
+                break
+            deepest += 1
+        out = {"user_id": [key[0]]}
+        for i in range(k):
+            out[f"t{i + 1}"] = [None if ts[i] == -1 else ts[i]]
+        out["deepest_step"] = [deepest]
+        yield pd.DataFrame(out)
+
+    return _update
+
+
+def funnel_state(
+    stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ordered-step funnel — the incremental twin of
+    operators/temporal.py::funnel_conversion: per-user state is the
+    k-step completion-time chain, updated each micro-batch; each
+    batch emits the user's refreshed chain + deepest step reached
+    (update mode — the per-step user counts are one groupBy away at
+    the sink).
+
+    Exactness contract: with EVENT-TIME-MONOTONE micro-batches (each
+    batch's events at or after everything already processed — the
+    file-arrival / watermark-ordered regime; within a batch any order,
+    the kernel sorts), the final state per user is bit-identical to
+    the batch operator's greedy chain: any new event is later than all
+    prior ones, so it qualifies for step i iff step i−1 is complete
+    and step i is not — no retained candidate set needed.  LATE
+    cross-batch data (an event older than an already-set step time)
+    is deliberately ignored, never retro-applied: applying it to step
+    i without replaying steps > i would fabricate a chain the batch
+    operator would not produce.  The batch twin is the late-data
+    audit, same as tumbling_counts.
+
+    Scale posture: state is k int64s per user — bounded by user
+    cardinality, not event volume; no per-user event retention."""
+    out_fields = [T.StructField("user_id", T.LongType())]
+    out_fields += [
+        T.StructField(f"t{i + 1}", T.LongType()) for i in range(len(steps))
+    ]
+    out_fields.append(T.StructField("deepest_step", T.IntegerType()))
+    state_fields = [
+        T.StructField(f"s{i}", T.LongType()) for i in range(len(steps))
+    ]
+    return stream.groupBy(user_col).applyInPandasWithState(
+        make_update_funnel(steps, ts_col, type_col),
+        outputStructType=T.StructType(out_fields),
+        stateStructType=T.StructType(state_fields),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

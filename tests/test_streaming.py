@@ -730,3 +730,123 @@ def test_stream_seasonal_counts_match_batch(spark, tmp_path):
     got = spark.sql("SELECT * FROM seasonal_counts")
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_funnel_state_stream_matches_batch(spark, tmp_path):
+    """Streaming funnel (stateful per-user chain) drained over two
+    event-time-ordered files equals the batch funnel_conversion on
+    the union: per-step user counts match exactly, and per-user
+    chains only ever grow (update-mode rows are monotone)."""
+    import os
+
+    import duckdb
+
+    from kbdatalakeapps_spark.operators.temporal import funnel_conversion
+    from kbdatalakeapps_spark.streaming import funnel_state
+
+    src = tmp_path / "funnel_in"
+    src.mkdir()
+    con = duckdb.connect()
+    median = con.sql(
+        f"SELECT median(ts) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    con.sql(
+        f"COPY (SELECT * FROM '{SF_DIR}/events.parquet' WHERE ts < "
+        f"'{median}' ORDER BY ts) TO '{src}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT * FROM '{SF_DIR}/events.parquet' WHERE ts >= "
+        f"'{median}' ORDER BY ts) TO '{src}/b.parquet' (FORMAT PARQUET)"
+    )
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+
+    steps = ["view", "click", "purchase"]
+    stream = funnel_state(
+        stream_events(spark, str(src), max_files_per_trigger=1), steps
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("st_funnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final: dict[int, tuple] = {}
+    for r in spark.table("st_funnel").collect():
+        prev = final.get(r.user_id)
+        cur = (r.deepest_step, r.t1, r.t2, r.t3)
+        if prev is None or cur[0] >= prev[0]:
+            # chains are monotone: whatever was set earlier must
+            # survive unchanged in the later row
+            if prev is not None:
+                for a, b in zip(prev[1:], cur[1:]):
+                    assert a is None or a == b
+            final[r.user_id] = cur
+    got_counts = [
+        sum(1 for v in final.values() if v[0] >= i + 1)
+        for i in range(len(steps))
+    ]
+
+    batch = funnel_conversion(
+        load_table(spark, SF_DIR, "events"), steps
+    ).collect()
+    want_counts = [r.users for r in sorted(batch, key=lambda r: r.step)]
+    assert got_counts == want_counts
+
+
+def test_funnel_state_kernel_semantics(spark, tmp_path):
+    """Kernel micro-fixture across two monotone batches: within-batch
+    disorder is sorted away, same-ts pairs don't advance, and a step
+    completed in batch 1 chains into batch 2."""
+    import os
+
+    from kbdatalakeapps_spark.streaming import funnel_state
+
+    src = tmp_path / "mini_in"
+    src.mkdir()
+    b1 = [
+        # u1: click arrives before view IN THE FILE but ts orders them
+        (10, 1, "click", 2_000), (11, 1, "view", 1_000),
+        # u2: view+click same instant -> click must NOT advance
+        (12, 2, "view", 1_500), (13, 2, "click", 1_500),
+    ]
+    b2 = [
+        (14, 1, "purchase", 3_000),   # u1 completes in batch 2
+        (15, 2, "click", 2_500),      # u2's click finally lands
+    ]
+    cols = "event_id long, user_id long, event_type string, ts long"
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(
+        str(src / "a"), mode="overwrite"
+    )
+    spark.createDataFrame(b2, cols).coalesce(1).write.parquet(
+        str(src / "b"), mode="overwrite"
+    )
+    for name, t in (("a", 1_000_000), ("b", 2_000_000)):
+        for f in (src / name).iterdir():
+            os.utime(f, (t, t))
+
+    stream = funnel_state(
+        stream_events(spark, f"{src}/*", max_files_per_trigger=1),
+        ["view", "click", "purchase"],
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("st_funnel_mini")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("st_funnel_mini").collect()
+    last = {}
+    for r in rows:
+        if r.user_id not in last or r.deepest_step >= last[r.user_id].deepest_step:
+            last[r.user_id] = r
+    u1, u2 = last[1], last[2]
+    assert (u1.t1, u1.t2, u1.t3, u1.deepest_step) == (1_000, 2_000, 3_000, 3)
+    assert (u2.t1, u2.t2, u2.t3, u2.deepest_step) == (1_500, 2_500, None, 2)
