@@ -850,3 +850,66 @@ def test_funnel_state_kernel_semantics(spark, tmp_path):
     u1, u2 = last[1], last[2]
     assert (u1.t1, u1.t2, u1.t3, u1.deepest_step) == (1_000, 2_000, 3_000, 3)
     assert (u2.t1, u2.t2, u2.t3, u2.deepest_step) == (1_500, 2_500, None, 2)
+
+
+def test_funnel_state_recovers_across_restart(spark, tmp_path):
+    """The chain state must survive a query stop/restart on the same
+    checkpoint: batch 1 runs under one query, batch 2 under a NEW
+    query object pointed at the same checkpointLocation — the user's
+    step-1/2 times from the first run must chain into step 3.  (The
+    memory sink is not fault-tolerant, so the runs export through
+    foreachBatch parquet appends.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kbdatalakeapps_spark.streaming import funnel_state
+
+    src = tmp_path / "rec_in"
+    src.mkdir()
+    cols = "event_id long, user_id long, event_type string, ts long"
+    ckpt = str(tmp_path / "ckpt_rec")
+    out = str(tmp_path / "rec_out")
+
+    def run_once():
+        stream = funnel_state(
+            stream_events(spark, f"{src}/*"),
+            ["view", "click", "purchase"],
+        )
+
+        def export(batch_df, batch_id):
+            batch_df.withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(export)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, 7, "view", 100), (2, 7, "click", 200)], cols
+    ).coalesce(1).write.parquet(str(src / "a"), mode="overwrite")
+    for f in (src / "a").iterdir():
+        os.utime(f, (1_000_000, 1_000_000))
+    run_once()
+
+    spark.createDataFrame(
+        [(3, 7, "purchase", 300)], cols
+    ).coalesce(1).write.parquet(str(src / "b"), mode="overwrite")
+    for f in (src / "b").iterdir():
+        os.utime(f, (2_000_000, 2_000_000))
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    assert rows, "no exported rows"
+    final = max(rows, key=lambda r: (r.batch_id, r.deepest_step))
+    assert (final.user_id, final.t1, final.t2, final.t3, final.deepest_step) \
+        == (7, 100, 200, 300, 3)
+    # and the first run really did NOT see the purchase
+    first = min(rows, key=lambda r: r.batch_id)
+    assert first.t3 is None and first.deepest_step == 2
