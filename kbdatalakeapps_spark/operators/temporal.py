@@ -1081,3 +1081,67 @@ def funnel_conversion(
         ]
     )
     return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def funnel_min_window(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Existential windowed funnel: per user, the MINIMUM completion
+    width min(t_k − t_1) over ALL strictly-increasing event chains
+    matching ``steps`` — the quantity "did the user convert within W"
+    must be read from, because funnel_conversion's greedy earliest
+    anchor is wrong under a deadline (view@0, view@100, click@105
+    with W=10: greedy anchors at 0 and misses the conversion the
+    100→105 chain completes).
+
+    Classical min-window subsequence DP, run as pure window algebra:
+    S_0(e) = ts(e) on step-1 events; S_i(e) = max S_{i−1} over
+    STRICTLY EARLIER events (a running range-window max per user,
+    null-skipping) on step-i events — the best (latest) chain start
+    reaching step i at e.  Strictness comes from
+    rangeBetween(unboundedPreceding, −1) on the event-time key, so
+    same-timestamp pairs cannot chain (funnel_conversion's tie rule).
+    Users with no complete chain emit no row (surfaced by comparing
+    against funnel_conversion's final-step count, which existential
+    and greedy matching agree on when no window applies).
+
+    Scale posture: every per-step running max shares ONE
+    partitionBy(user) + orderBy(ts) sort — Catalyst plans a single
+    exchange + sort with k stacked Window operators — then a
+    map-side-combinable per-user agg on the same partitioning.  No
+    per-user event retention, no Python."""
+    if len(steps) < 2:
+        raise ValueError("funnel_min_window: need at least 2 steps")
+    w_prev = (
+        Window.partitionBy("_u")
+        .orderBy("_ts")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    cur = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_ty"),
+        F.col(ts_col).alias("_ts"),
+    ).withColumn(
+        "_s0", F.when(F.col("_ty") == F.lit(steps[0]), F.col("_ts"))
+    )
+    for i in range(1, len(steps)):
+        cur = cur.withColumn(
+            f"_m{i - 1}", F.max(f"_s{i - 1}").over(w_prev)
+        ).withColumn(
+            f"_s{i}",
+            F.when(F.col("_ty") == F.lit(steps[i]), F.col(f"_m{i - 1}")),
+        )
+    last = f"_s{len(steps) - 1}"
+    return (
+        cur.filter(F.col(last).isNotNull())
+        .groupBy(F.col("_u").alias(user_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chain_ends"),
+            F.min(F.col("_ts") - F.col(last)).cast("long")
+            .alias("min_width"),
+        )
+    )

@@ -134,4 +134,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "dd_winnow_matches",
     "ts_funnel_steps",
     "dq_gk_lambda",
+    "ts_funnel_window",
 ]

@@ -1269,3 +1269,67 @@ def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(
         ev, ["view", "click", "purchase"]
     ).orderBy("step")
+
+
+_FUNNEL_W_NS = 3 * 86_400 * 10**9  # 3-day conversion deadline
+
+
+@query(
+    "ts_funnel_window",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+    ),
+    s0 AS (
+        SELECT user_id, event_type, tns,
+               CASE WHEN event_type = 'view' THEN tns END AS s0
+        FROM ev
+    ),
+    m0 AS (
+        SELECT *, MAX(s0) OVER (
+            PARTITION BY user_id ORDER BY tns
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS m0 FROM s0
+    ),
+    s1 AS (
+        SELECT user_id, event_type, tns,
+               CASE WHEN event_type = 'click' THEN m0 END AS s1
+        FROM m0
+    ),
+    m1 AS (
+        SELECT *, MAX(s1) OVER (
+            PARTITION BY user_id ORDER BY tns
+            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS m1 FROM s1
+    ),
+    s2 AS (
+        SELECT user_id, tns,
+               CASE WHEN event_type = 'purchase' THEN m1 END AS s2
+        FROM m1
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chain_ends,
+           CAST(MIN(tns - s2) AS BIGINT) AS min_width,
+           CAST(CASE WHEN MIN(tns - s2) <= {_FUNNEL_W_NS}
+                THEN 1 ELSE 0 END AS INT) AS converted_3d
+    FROM s2 WHERE s2 IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ts_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existential windowed funnel (operators/temporal.py::
+    funnel_min_window): per user the MINIMUM view→click→purchase
+    completion width over all strictly-increasing chains — the exact
+    min-window subsequence DP as chained strictly-earlier range-window
+    maxima — plus the 3-day-deadline conversion flag ts_funnel_steps'
+    greedy anchor cannot answer correctly (an early throwaway view
+    would pin the clock)."""
+    from ..operators.temporal import funnel_min_window
+
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel_min_window(ev, ["view", "click", "purchase"])
+    return out.select(
+        "user_id", "n_chain_ends", "min_width",
+        (F.col("min_width") <= F.lit(_FUNNEL_W_NS)).cast("int")
+        .alias("converted_3d"),
+    ).orderBy("user_id")

@@ -358,6 +358,9 @@ def test_exchange_counts_bounded(spark):
         "ts_funnel_steps": 3,
         "dq_gk_lambda": 12,
         "dd_winnow_matches": 5,
+        # measured 2 — both running range-maxes share one user
+        # exchange+sort; the per-user agg reuses the partitioning
+        "ts_funnel_window": 3,
         # round-11: measured 5 — zipf edge build (1 agg + pair
         # expansion) + the capped wedge/anti/degree joins riding the
         # materialized edge list

@@ -402,3 +402,84 @@ def test_funnel_conversion_ordering_and_ties(spark):
     assert out[3].conv_from_first == 0.25
     with pytest.raises(ValueError, match="at least 2"):
         funnel_conversion(df, ["view"])
+
+
+def test_funnel_min_window_existential_vs_greedy(spark):
+    """The windowed funnel must find the chain the greedy anchor
+    misses: view@0, view@100, click@105 has min width 5 (100→105),
+    not 105 — plus strict-tie rejection, the brute-force min over all
+    chains on a dense fixture, and agreement with funnel_conversion
+    on WHO completes (existential and greedy matching agree on
+    existence when no deadline applies)."""
+    from itertools import combinations
+
+    import pytest
+
+    from kbdatalakeapps_spark.operators.temporal import (
+        funnel_conversion,
+        funnel_min_window,
+    )
+
+    rows = [
+        # u1: the greedy-anchor counter-example
+        (1, "view", 0), (1, "view", 100), (1, "click", 105),
+        # u2: tie cannot chain; later click can
+        (2, "view", 50), (2, "click", 50), (2, "click", 60),
+        # u3: click before any view only
+        (3, "click", 10), (3, "view", 20),
+        # u4: dense interleaving for the brute-force check
+        (4, "view", 1), (4, "click", 3), (4, "view", 4),
+        (4, "click", 7), (4, "view", 6), (4, "click", 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    got = {
+        r.user_id: (r.n_chain_ends, r.min_width)
+        for r in funnel_min_window(df, ["view", "click"]).collect()
+    }
+    assert got[1] == (1, 5)          # 100→105, not 0→105
+    assert got[2] == (1, 10)         # 50→60; the 50→50 tie rejected
+    assert 3 not in got              # no view-before-click chain
+
+    def brute(events, steps):
+        best, ends = None, 0
+        for combo in combinations(sorted(events), len(steps)):
+            if [c[1] for c in combo] == steps and all(
+                a[0] < b[0] for a, b in zip(combo, combo[1:])
+            ):
+                w = combo[-1][0] - combo[0][0]
+                best = w if best is None or w < best else best
+        for e in events:
+            if e[1] == steps[-1]:
+                ends += 1
+        return best
+
+    ev4 = [(t, ty) for (u, ty, t) in rows if u == 4]
+    assert got[4][1] == brute(ev4, ["view", "click"])
+
+    # existence agreement with the greedy funnel on real-ish data
+    import hashlib
+
+    dense = []
+    for u in range(40):
+        for j in range(10):
+            h = hashlib.md5(f"{u}-{j}".encode()).hexdigest()
+            ty = ["view", "click", "purchase"][int(h[:2], 16) % 3]
+            dense.append((u, ty, int(h[2:8], 16)))
+    ddf = spark.createDataFrame(
+        dense, "user_id long, event_type string, ts long"
+    )
+    steps3 = ["view", "click", "purchase"]
+    exist_users = funnel_min_window(ddf, steps3).count()
+    greedy = {
+        r.step: r.users for r in funnel_conversion(ddf, steps3).collect()
+    }
+    assert exist_users == greedy[3]
+
+    # partitioning invariance
+    base = sorted(map(tuple, funnel_min_window(ddf, steps3).collect()))
+    again = sorted(
+        map(tuple, funnel_min_window(ddf.repartition(7), steps3).collect())
+    )
+    assert base == again
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_min_window(df, ["view"])
