@@ -153,3 +153,89 @@ def test_gopher_repetition_random_docs_match_python(spark):
                 assert g == pytest.approx(want[f"top{n}"], abs=1e-12), (i, n, text)
         if want["dup5"] is not None:
             assert r.rep_dup_5gram_char_frac == pytest.approx(want["dup5"], abs=1e-12)
+
+
+def test_funnel_min_window_random_cases_match_python(spark):
+    """300 random users (random event types/times, heavy tie rate) in
+    ONE DataFrame, each user's minimal funnel width checked against an
+    independent O(n·k) pure-Python DP — plus the greedy funnel's
+    per-step reach counts on the same data against a python greedy."""
+    rng = random.Random(1107)
+    steps = ["view", "click", "purchase"]
+    types = steps + ["error"]
+    rows = []
+    for u in range(300):
+        for _ in range(rng.randint(0, 14)):
+            # small ts range forces frequent exact-tie collisions
+            rows.append((u, rng.choice(types), rng.randint(0, 20)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long"
+    )
+
+    def py_min_width(events):
+        # forward DP mirroring the operator's recurrence, computed
+        # independently: best (latest) chain start reaching step i at
+        # each event, strictly-increasing ts
+        ev = sorted(events)
+        best = None
+        starts = [t if ty == steps[0] else None for t, ty in ev]
+        for i in range(1, len(steps)):
+            nxt = []
+            for j, (t, ty) in enumerate(ev):
+                if ty != steps[i]:
+                    nxt.append(None)
+                    continue
+                cand = [
+                    s for (tt, _), s in zip(ev[:j], starts[:j])
+                    if s is not None and tt < t
+                ]
+                nxt.append(max(cand) if cand else None)
+            starts = nxt
+        for (t, ty), s in zip(ev, starts):
+            if s is not None:
+                w = t - s
+                best = w if best is None or w < best else best
+        return best
+
+    def py_greedy(events):
+        ev = sorted(events)
+        t_prev, reach = None, 0
+        for i, s in enumerate(steps):
+            cand = [
+                t for t, ty in ev
+                if ty == s and (i == 0 or (t_prev is not None and t > t_prev))
+            ]
+            if not cand or (i > 0 and t_prev is None):
+                break
+            t_prev = min(cand)
+            reach = i + 1
+        return reach
+
+    per_user: dict[int, list] = {}
+    for u, ty, t in rows:
+        per_user.setdefault(u, []).append((t, ty))
+
+    from kbdatalakeapps_spark.operators.temporal import (
+        funnel_conversion,
+        funnel_min_window,
+    )
+
+    got = {
+        r.user_id: r.min_width
+        for r in funnel_min_window(df, steps).collect()
+    }
+    want = {
+        u: w for u, ev in per_user.items()
+        if (w := py_min_width(ev)) is not None
+    }
+    assert got == want
+
+    greedy_reach = [py_greedy(ev) for ev in per_user.values()]
+    want_counts = {
+        i + 1: sum(1 for g in greedy_reach if g >= i + 1)
+        for i in range(len(steps))
+    }
+    got_counts = {
+        r.step: r.users for r in funnel_conversion(df, steps).collect()
+    }
+    assert got_counts == want_counts
