@@ -18,6 +18,7 @@ from .incremental import (  # noqa: F401
 )
 from .stateful import (  # noqa: F401
     funnel_state,
+    funnel_width_state,
     running_totals,
     scene_cut_increments,
     transition_increments,

@@ -277,3 +277,101 @@ def funnel_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def make_update_funnel_width(steps: list[str], ts_col: str, type_col: str):
+    """Kernel factory for funnel_width_state: per-user exact
+    min-window funnel DP in O(k) state.  starts[i] = max chain start
+    reaching step i over processed events; the strictly-earlier rule
+    is enforced by a two-tier split — ``committed`` holds maxima over
+    events with ts < last_ts, ``pending`` adds the events AT last_ts —
+    so an event at ts t chains only off ``committed`` once every
+    older event (including equal-ts peers and cross-batch equal-ts
+    stragglers) has been folded."""
+    idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+    NEG = -(1 << 62)
+
+    def _update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            flat = list(state.get)
+            committed = flat[:k]
+            pending = flat[k : 2 * k]
+            last_ts, best = flat[2 * k], flat[2 * k + 1]
+        else:
+            committed, pending = [NEG] * k, [NEG] * k
+            last_ts, best = NEG, -1
+        batch = pd.concat(list(pdfs)).sort_values(ts_col, kind="mergesort")
+        for t, ty in zip(batch[ts_col], batch[type_col]):
+            t = int(t)
+            if t > last_ts:
+                committed = [max(c, p) for c, p in zip(committed, pending)]
+                pending = list(committed)
+                last_ts = t
+            i = idx.get(ty)
+            if i is None:
+                continue
+            start = t if i == 0 else committed[i - 1]
+            if start == NEG:
+                continue
+            if i == k - 1:
+                w = t - start
+                best = w if best == -1 or w < best else best
+            else:
+                pending[i] = max(pending[i], start)
+        state.update((*committed, *pending, last_ts, best))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "min_width": [None if best == -1 else best],
+            }
+        )
+
+    return _update
+
+
+def funnel_width_state(
+    stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming existential windowed funnel — the incremental twin of
+    operators/temporal.py::funnel_min_window: per user the minimum
+    completion width over ALL strictly-increasing step chains, updated
+    each micro-batch from O(k) state (the running max chain start per
+    step — the same DP the batch operator runs as range-window maxima
+    — in a committed/pending two-tier split that keeps the
+    strictly-earlier tie rule exact even when equal-timestamp events
+    straddle micro-batches).
+
+    Exactness contract: event-time-monotone micro-batches (every new
+    event's ts ≥ all processed ts), the funnel_state contract.  Late
+    data below last_ts is ignored, never retro-applied.
+
+    Scale posture: state is 2k+2 int64s per user — bounded by user
+    cardinality, zero event retention."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("min_width", T.LongType()),
+        ]
+    )
+    state_fields = [
+        T.StructField(f"c{i}", T.LongType()) for i in range(len(steps))
+    ] + [
+        T.StructField(f"p{i}", T.LongType()) for i in range(len(steps))
+    ] + [
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("best", T.LongType()),
+    ]
+    return stream.groupBy(user_col).applyInPandasWithState(
+        make_update_funnel_width(steps, ts_col, type_col),
+        outputStructType=out_schema,
+        stateStructType=T.StructType(state_fields),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -913,3 +913,118 @@ def test_funnel_state_recovers_across_restart(spark, tmp_path):
     # and the first run really did NOT see the purchase
     first = min(rows, key=lambda r: r.batch_id)
     assert first.t3 is None and first.deepest_step == 2
+
+
+def test_funnel_width_state_stream_matches_batch(spark, tmp_path):
+    """Streaming existential funnel drained over two event-time-ordered
+    files equals funnel_min_window on the union, per user, exactly."""
+    import os
+
+    import duckdb
+
+    from kbdatalakeapps_spark.operators.temporal import funnel_min_window
+    from kbdatalakeapps_spark.streaming import funnel_width_state
+
+    src = tmp_path / "fw_in"
+    src.mkdir()
+    con = duckdb.connect()
+    median = con.sql(
+        f"SELECT median(ts) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    con.sql(
+        f"COPY (SELECT * FROM '{SF_DIR}/events.parquet' WHERE ts < "
+        f"'{median}' ORDER BY ts) TO '{src}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT * FROM '{SF_DIR}/events.parquet' WHERE ts >= "
+        f"'{median}' ORDER BY ts) TO '{src}/b.parquet' (FORMAT PARQUET)"
+    )
+    os.utime(src / "a.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "b.parquet", (2_000_000, 2_000_000))
+
+    steps = ["view", "click", "purchase"]
+    stream = funnel_width_state(
+        stream_events(spark, str(src), max_files_per_trigger=1), steps
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("st_fwidth")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final: dict[int, int | None] = {}
+    for r in spark.table("st_fwidth").collect():
+        prev = final.get(r.user_id)
+        # min_width only ever tightens; keep the smallest non-null
+        if r.min_width is not None and (prev is None or r.min_width < prev):
+            final[r.user_id] = r.min_width
+        elif r.user_id not in final:
+            final[r.user_id] = r.min_width
+    got = {u: w for u, w in final.items() if w is not None}
+
+    want = {
+        r.user_id: r.min_width
+        for r in funnel_min_window(
+            load_table(spark, SF_DIR, "events"), steps
+        ).collect()
+    }
+    assert got == want
+
+
+def test_funnel_width_state_tie_across_batches(spark, tmp_path):
+    """The committed/pending split must keep the strictly-earlier rule
+    exact when equal-timestamp events straddle micro-batches: a click
+    arriving in batch 2 AT the ts of batch 1's view cannot chain, a
+    later one can — and the better late chain still tightens best."""
+    import os
+
+    from kbdatalakeapps_spark.streaming import funnel_width_state
+
+    src = tmp_path / "fwt_in"
+    src.mkdir()
+    cols = "event_id long, user_id long, event_type string, ts long"
+    b1 = [(1, 9, "view", 100)]
+    b2 = [
+        (2, 9, "click", 100),   # same ts, new batch -> must NOT chain
+        (3, 9, "click", 105),   # chains off view@100: width 5
+        (4, 9, "view", 299),    # later view...
+        (5, 9, "click", 301),   # ...tightens to width 2
+    ]
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(
+        str(src / "a"), mode="overwrite"
+    )
+    spark.createDataFrame(b2, cols).coalesce(1).write.parquet(
+        str(src / "b"), mode="overwrite"
+    )
+    for name, t in (("a", 1_000_000), ("b", 2_000_000)):
+        for f in (src / name).iterdir():
+            os.utime(f, (t, t))
+
+    stream = funnel_width_state(
+        stream_events(spark, f"{src}/*", max_files_per_trigger=1),
+        ["view", "click"],
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("st_fwidth_tie")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        spark.table("st_fwidth_tie").collect(),
+        key=lambda r: (r.min_width is None, r.min_width),
+    )
+    assert rows[0].min_width == 2
+    # and the batch twin agrees on the union (tie rejected there too)
+    from kbdatalakeapps_spark.operators.temporal import funnel_min_window
+
+    union = spark.createDataFrame(b1 + b2, cols)
+    batch = funnel_min_window(union, ["view", "click"]).collect()
+    assert [(r.user_id, r.min_width) for r in batch] == [(9, 2)]
