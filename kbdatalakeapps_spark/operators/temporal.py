@@ -36,6 +36,7 @@ def as_of_join(
     by: list[str] | str | None = None,
     right_prefix: str = "r_",
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the most recent right row whose
     ``on`` value is ≤ the left's (per ``by`` key), like
@@ -43,12 +44,21 @@ def as_of_join(
     both sides tagged, one window over (by, on, tag) carrying the last
     non-null right payload forward, keep left rows.
 
+    ``direction="forward"`` flips the match to the NEAREST right row
+    at or after the left's ``on`` (pd.merge_asof's forward direction
+    — the time-to-next-event enrichment): identical plan, the carry
+    window just scans ``on`` descending, and ``tolerance`` drops
+    matches newer than ``on + tolerance``.
+
     Right payload columns surface as ``{right_prefix}{col}``.
     ``tolerance`` (same units as ``on``) drops matches older than
     ``on - tolerance``.  Ties on ``on`` resolve to the right row
-    (right sorts before left at equal timestamps — ASOF ``>=``
-    semantics); among equal-ts right rows the LAST by payload order
-    wins, so feed deduplicated right sides for full determinism."""
+    (right sorts before left at equal timestamps in EITHER direction
+    — ASOF ``>=``/``<=`` semantics); among equal-ts right rows the
+    LAST by payload order wins, so feed deduplicated right sides for
+    full determinism."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward or forward")
     by = [by] if isinstance(by, str) else (by or [])
     payload = [c for c in right.columns if c != on and c not in by]
     l_tag = left.select(
@@ -68,9 +78,14 @@ def as_of_join(
         F.col(on).alias("_rt"),
     )
     u = l_tag.unionByName(r_tag)
+    order = (
+        [F.col("_t").asc(), F.col("_side").asc()]
+        if direction == "backward"
+        else [F.col("_t").desc(), F.col("_side").asc()]
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy("_t", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
@@ -84,7 +99,11 @@ def as_of_join(
     out = carried.filter(F.col("_side") == 1)
     in_tol: Column = F.lit(True)
     if tolerance is not None:
-        in_tol = F.col("_c_t") >= (F.col("_t") - F.lit(tolerance))
+        in_tol = (
+            F.col("_c_t") >= (F.col("_t") - F.lit(tolerance))
+            if direction == "backward"
+            else F.col("_c_t") <= (F.col("_t") + F.lit(tolerance))
+        )
     return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
         *[

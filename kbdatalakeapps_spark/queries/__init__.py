@@ -135,4 +135,5 @@ PENDING_NEXT_WINDOW: list[str] = [
     "ts_funnel_steps",
     "dq_gk_lambda",
     "ts_funnel_window",
+    "w9_asof_forward",
 ]

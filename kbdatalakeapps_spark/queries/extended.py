@@ -2862,3 +2862,52 @@ def a30_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(l, "x", "y", ["l_returnflag"]).orderBy(
         "l_returnflag"
     )
+
+
+@query(
+    "w9_asof_forward",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r0 AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               MIN(event_id) AS event_id,
+               arg_min(value, event_id) AS value
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts_us, l.value,
+           r.event_id AS r_event_id, r.value AS r_value,
+           r.ts_us AS r_ts_us
+    FROM l ASOF LEFT JOIN r0 r
+      ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
+    """,
+)
+def w9_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/temporal.py::as_of_join,
+    direction='forward'): every purchase enriched with the user's
+    NEXT error at or after it — the time-to-next-failure join w5's
+    backward match can't express; same union+window plan scanning the
+    time key descending, checked against DuckDB's native ASOF with
+    the <= comparator."""
+    from ..operators.temporal import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("ts_us"), "value"
+    )
+    right = (
+        e.filter(F.col("event_type") == "error")
+        .select("user_id", us.alias("ts_us"), "event_id", "value")
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.min("event_id").alias("event_id"),
+            F.min_by("value", "event_id").alias("value"),
+        )
+    )
+    return as_of_join(
+        left, right, on="ts_us", by="user_id", direction="forward"
+    )

@@ -483,3 +483,39 @@ def test_funnel_min_window_existential_vs_greedy(spark):
     assert base == again
     with pytest.raises(ValueError, match="at least 2"):
         funnel_min_window(df, ["view"])
+
+
+def test_asof_forward_direction_and_tolerance(spark):
+    """Forward as-of: nearest right row AT OR AFTER the left's time
+    (ties match, like backward), tolerance drops matches further than
+    on + tolerance, and unknown directions fail loudly."""
+    import pytest
+
+    out = {
+        (r.sym, r.t): (r.q_px, r.q_t)
+        for r in as_of_join(
+            _trades(spark), _quotes(spark), on="t", by="sym",
+            right_prefix="q_", direction="forward",
+        ).collect()
+    }
+    assert out[("a", 5)] == (1.0, 10)         # next quote after 5
+    assert out[("a", 20)] == (2.0, 20)        # tie -> <= match
+    assert out[("a", 25)] == (3.0, 30)        # nearest following
+    assert out[("b", 14)] == (9.0, 15)        # b's quote is ahead
+    assert out[("c", 50)] == (None, None)     # unseen key
+
+    tol = {
+        (r.sym, r.t): r.q_px
+        for r in as_of_join(
+            _trades(spark), _quotes(spark), on="t", by="sym",
+            right_prefix="q_", direction="forward", tolerance=3,
+        ).collect()
+    }
+    assert tol[("a", 25)] is None   # match at 30 is 5 > 3 ahead
+    assert tol[("b", 14)] == 9.0    # 1 within tolerance
+
+    with pytest.raises(ValueError, match="backward or forward"):
+        as_of_join(
+            _trades(spark), _quotes(spark), on="t", by="sym",
+            direction="nearest",
+        )
