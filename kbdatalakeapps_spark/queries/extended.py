@@ -2895,6 +2895,8 @@ def w9_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import as_of_join
 
     e = _t(spark, sf_dir, "events")
+    # wrap-ok: ts is epoch-ns (< 2^62); integer div 1000 only
+    # shrinks the magnitude, so the BIGINT division cannot wrap
     us = F.expr("ts div 1000")
     left = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", us.alias("ts_us"), "value"
