@@ -239,3 +239,68 @@ def test_funnel_min_window_random_cases_match_python(spark):
         r.step: r.users for r in funnel_conversion(df, steps).collect()
     }
     assert got_counts == want_counts
+
+
+def test_winnow_matches_random_corpus_matches_python(spark):
+    """60 random docs (shared fragments planted to force overlaps) in
+    ONE DataFrame: the full winnow pipeline — fingerprint selection,
+    stop-fingerprint filter, pair counts — checked against an
+    independent pure-Python replay."""
+    import hashlib
+
+    from kbdatalakeapps_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    rng = random.Random(2026)
+    frags = [_rand_text(rng, 3, 6) for _ in range(8)]
+    docs = {}
+    for i in range(60):
+        parts = [_rand_text(rng, 0, 8)]
+        for _ in range(rng.randint(0, 3)):
+            parts.append(rng.choice(frags))
+            parts.append(_rand_text(rng, 0, 8))
+        docs[i] = " ".join(p for p in parts if p)
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    k, w, cap = 5, 8, 16
+
+    def py_fps(text):
+        t = text.lower()
+        n = len(t) - k + 1
+        if n < w:
+            return set()
+        hp = [
+            (
+                int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:15], 16),
+                i + 1,
+            )
+            for i in range(n)
+        ]
+        return {min(hp[i:i + w])[0] for i in range(n - w + 1)}
+
+    fp_by_doc = {d: py_fps(t) for d, t in docs.items()}
+    n_docs_per_fp: dict[int, int] = {}
+    for fps in fp_by_doc.values():
+        for h in fps:
+            n_docs_per_fp[h] = n_docs_per_fp.get(h, 0) + 1
+    kept = {h for h, c in n_docs_per_fp.items() if c <= cap}
+    want = {}
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = (fp_by_doc[a] & fp_by_doc[b]) & kept
+            if shared:
+                want[(a, b)] = len(shared)
+
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_matches(
+            winnow_fingerprints(df, k=k, window=w), max_docs_per_fp=cap
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no overlapping pairs — weak test"
