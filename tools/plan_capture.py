@@ -1,0 +1,77 @@
+"""Capture .explain('formatted') for bench keys into plans/r11/.
+
+Usage: python tools/plan_capture.py [--suffix before|after] [name ...]
+
+Writes plans/r11/<key>_<suffix>.txt and prints a one-line shape summary
+per key: #Exchange, join strategies, Python eval nodes, #subqueries.
+Only builds the DataFrame (helper jobs a builder runs eagerly will run,
+but nothing is sunk), so this is safe to run alongside other work — it
+captures plan SHAPE, not timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kbdatalakeapps_spark.session import get_spark  # noqa: E402
+
+
+def shape_summary(plan: str) -> str:
+    n_ex = len(re.findall(r"\bExchange\b", plan))
+    joins = sorted(set(re.findall(
+        r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)\b", plan)))
+    py = sorted(set(re.findall(
+        r"\b(BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas|"
+        r"FlatMapGroupsInPandas)\b", plan)))
+    n_scan = len(re.findall(r"Scan parquet", plan))
+    n_win = len(re.findall(r"\bWindow\b", plan))
+    return (f"exchanges={n_ex} scans={n_scan} windows={n_win} "
+            f"joins={','.join(joins) or '-'} python={','.join(py) or '-'}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--suffix", default="before")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out-dir", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r11"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    spark = get_spark("plan-capture")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import bench as benchmod
+
+    names = args.names or list(benchmod.BENCH_QUERIES)
+    for name in names:
+        fn = benchmod._BENCH_OVERRIDES.get(name, benchmod.QUERIES.get(name))
+        if fn is None:
+            print(f"{name}: UNKNOWN")
+            continue
+        try:
+            df = fn(spark, args.sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted"))
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ERR {type(e).__name__}: {e}"[:300])
+            continue
+        path = os.path.join(args.out_dir, f"{name}_{args.suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"{name}: {shape_summary(plan)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

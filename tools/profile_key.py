@@ -1,0 +1,95 @@
+"""Stage-level profile of bench keys (guide §1: measure first).
+
+Runs each named key once (noop sink) on a fresh get_spark() session and
+prints, per stage: duration, task count, input bytes, shuffle
+read/write bytes and records, via the UI REST API — so optimization
+targets the stage where time actually goes, not the one that looks
+expensive in the plan.
+
+Usage: python tools/profile_key.py [--sf-dir DIR] [--top N] name ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kbdatalakeapps_spark.session import get_spark  # noqa: E402
+
+
+def _rest(spark, path: str):
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/{path}") as r:
+        return json.load(r)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--top", type=int, default=14)
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("names", nargs="+")
+    args = ap.parse_args()
+
+    spark = get_spark("profile-key")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import bench as benchmod
+
+    # warm: footers + codegen, mirrors bench.py's untimed warmup
+    from kbdatalakeapps_spark.io.sources import TPCH_TABLES, load_table
+    for t in TPCH_TABLES:
+        load_table(spark, args.sf_dir, t).count()
+
+    for name in args.names:
+        fn = benchmod._BENCH_OVERRIDES.get(name, benchmod.QUERIES.get(name))
+        if fn is None:
+            print(f"== {name}: UNKNOWN ==")
+            continue
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+        before_stages = {s["stageId"] for s in _rest(spark, "stages")}
+        spark.sparkContext.setJobDescription(f"profile:{name}")
+        best = None
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            df = fn(spark, args.sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        spark.sparkContext.setJobDescription(None)
+        stages = [s for s in _rest(spark, "stages")
+                  if s["stageId"] not in before_stages
+                  and s["status"] in ("COMPLETE", "FAILED")]
+        for s in stages:
+            # completionTime/firstTaskLaunchedTime are ISO strings; use
+            # executorRunTime (ms, sum over tasks) as the cost signal
+            s["_cost"] = s.get("executorRunTime", 0)
+        stages.sort(key=lambda s: -s["_cost"])
+        total_run = sum(s["_cost"] for s in stages)
+        print(f"== {name}: wall={best:.2f}s  stages={len(stages)} "
+              f"sum(executorRunTime)={total_run/1000.0:.1f}s ==")
+        for s in stages[: args.top]:
+            nm = (s.get("description") or s.get("name", ""))[:70]
+            print(
+                f"  stage {s['stageId']:>4} run={s['executorRunTime']/1000.0:7.2f}s "
+                f"tasks={s['numCompleteTasks']:>4} "
+                f"in={s.get('inputBytes',0)>>20}MB "
+                f"sr={s.get('shuffleReadBytes',0)>>20}MB/"
+                f"{s.get('shuffleReadRecords',0)} "
+                f"sw={s.get('shuffleWriteBytes',0)>>20}MB/"
+                f"{s.get('shuffleWriteRecords',0)} "
+                f"| {nm}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
