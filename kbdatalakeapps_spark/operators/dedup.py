@@ -165,6 +165,27 @@ MINHASH_SEEDS = (
 )
 
 
+def shingle_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, _shs) — per-doc distinct shingle ARRAY, the compact twin of
+    shingle_table (explode(_shs) reproduces it exactly).  Widened like
+    shingle_table so the per-doc substring+distinct work never inherits
+    a few-file scan's task count.  Pipelines that need shingles in more
+    than one stage (signatures + candidate verification) materialize
+    this once and pass it to both."""
+    from ..session import widen_to_shuffle_width
+
+    return (
+        widen_to_shuffle_width(df, id_col)
+        .select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_txt"))
+        .select("id", char_shingles("_txt", k).alias("_shs"))
+    )
+
+
 def minhash_signatures_wide(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -172,9 +193,14 @@ def minhash_signatures_wide(
     k: int = 3,
     num_hashes: int = 8,
     hash_fn: str = "md5",
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh0..mh{n-1}) — for hash function i, the min over the doc's
     distinct shingles of hash(shingle) XOR seed_i.
+
+    ``arrays`` takes a precomputed (id, _shs) distinct-shingle-array
+    frame (shingle_arrays) so a pipeline that also verifies candidates
+    shingles the corpus once, not once per stage.
 
     One hash per distinct (doc, shingle) row, then ``num_hashes`` min
     aggregates in a single groupBy(id) pass — full map-side combine,
@@ -191,7 +217,11 @@ def minhash_signatures_wide(
     replay the exact signature."""
     if num_hashes > len(MINHASH_SEEDS):
         raise ValueError(f"num_hashes > {len(MINHASH_SEEDS)} not supported")
-    sh = shingle_table(df, id_col, text_col, k)
+    sh = (
+        arrays.select("id", F.explode("_shs").alias("shingle"))
+        if arrays is not None
+        else shingle_table(df, id_col, text_col, k)
+    )
     base = _hash_long(F.col("shingle"), hash_fn)
     return sh.groupBy("id").agg(
         *[
@@ -562,14 +592,25 @@ def jaccard_verify_pairs(
     k: int = 3,
     threshold: float = 0.8,
     checkpoint_dir: str | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY for candidate pairs — the
     verification stage the LSH path stages in front of
     (ngram_jaccard_pairs is the all-pairs oracle form; this is the
     production form).
 
-    Shingle tables are restricted by semi-join to the ids that appear
-    in ``pairs``, so the cost is O(candidates × shingles-per-doc), not
+    Shingle sets are carried as per-doc distinct ARRAYS (the form
+    char_shingles already produces) and the per-pair intersection is
+    ``size(array_intersect(a, b))`` — identical to counting shared
+    distinct shingles through an exploded equi-join, but with no
+    explode and no re-aggregation: the old (pairs ⋈ shingles_a) ⋈
+    shingles_b plan materialized |pairs| × |shingles/doc| intermediate
+    rows (~300M at sf0.1, 85 s of CPU); the array form moves one
+    array per pair side and intersects in-place (measured 6×
+    end-to-end on the dedup_corpus verify stage, r11).
+
+    Docs are restricted by semi-join to the ids that appear in
+    ``pairs``, so the cost is O(candidates × shingles-per-doc), not
     O(corpus²): exactly the staged-after-pruning posture 100 TB
     requires.  Returns (id_a, id_b, jaccard) for pairs ≥ threshold."""
     involved = (
@@ -577,33 +618,39 @@ def jaccard_verify_pairs(
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = shingle_table(
-        df.join(
-            involved.withColumnRenamed("id", id_col), id_col, "left_semi"
-        ),
-        id_col,
-        text_col,
-        k,
+    # one lower() per doc before shingling (see char_shingles contract),
+    # n > 0 filter mirrors the exploded form's inner join against the
+    # per-doc size aggregate: a doc shorter than k contributed no
+    # shingle rows there, so its pairs were dropped — keep that
+    from ..session import widen_to_shuffle_width
+
+    if arrays is not None:
+        arr = arrays.join(involved, "id", "left_semi")
+    else:
+        arr = shingle_arrays(
+            df.join(involved.withColumnRenamed("id", id_col), id_col, "left_semi"),
+            id_col,
+            text_col,
+            k,
+        )
+    arr = arr.withColumn("n", F.size("_shs")).filter(F.col("n") > 0)
+    arr = materializer(checkpoint_dir)(arr)
+    # the per-pair array_intersect is ~100µs-row CPU on a byte-compact
+    # frame, so AQE's byte-based coalescing under-parallelizes it;
+    # spread the pair rows across the full shuffle width
+    pairs = widen_to_shuffle_width(pairs.select("id_a", "id_b"), "id_a")
+    a = arr.select(
+        F.col("id").alias("id_a"), F.col("_shs").alias("_sha"), F.col("n").alias("na")
     )
-    sh = materializer(checkpoint_dir)(sh)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("_sh"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("_sh"))
-    inter = (
-        pairs.select("id_a", "id_b")
-        .join(a, "id_a")
-        .join(b, ["id_b", "_sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    b = arr.select(
+        F.col("id").alias("id_b"), F.col("_shs").alias("_shb"), F.col("n").alias("nb")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
         pairs.select("id_a", "id_b")
-        .join(inter, ["id_a", "id_b"], "left")
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("jaccard", F.coalesce(jac, F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -665,11 +712,19 @@ def dedup_corpus(
     )
     # survivors feeds three consumers (LSH, both verify sides, the
     # keeper id frame) — materialize once instead of re-running the
-    # exact stage per consumer
+    # exact stage per consumer.  Widened first: a few-file corpus scan
+    # otherwise pins the materialization (scan + content hash + semi
+    # join) and every downstream per-doc leg to a handful of tasks
+    from ..session import widen_to_shuffle_width
+
     mat = materializer(checkpoint_dir)
-    survivors = mat(survivors)
+    survivors = mat(widen_to_shuffle_width(survivors, id_col))
+    # shingle the corpus ONCE: the signature pass and the verify stage
+    # both consume the same distinct-shingle arrays (one corpus-sized
+    # substring+distinct pass instead of one per stage)
+    arrs = mat(shingle_arrays(survivors, id_col, text_col, k))
     sigs = mat(minhash_signatures_wide(
-        survivors, id_col, text_col, k, num_hashes, hash_fn
+        survivors, id_col, text_col, k, num_hashes, hash_fn, arrays=arrs
     ))
     candidates = minhash_lsh_pairs(
         survivors, id_col, text_col, k, num_hashes, band_size, signatures=sigs
@@ -702,9 +757,13 @@ def dedup_corpus(
         .filter(est_matches >= need)
         .select("id_a", "id_b")
     )
+    # verify references the pair frame three times (both involved-id
+    # legs + the join); cut here so the band self-join + est-prune
+    # joins run once, not three times
+    candidates = mat(candidates)
     verified = jaccard_verify_pairs(
         survivors, candidates, id_col, text_col, k, jaccard_threshold,
-        checkpoint_dir=checkpoint_dir,
+        checkpoint_dir=checkpoint_dir, arrays=arrs,
     )
     # the edge list is tiny (verified near-dup pairs) but its lineage
     # is the whole discover+verify pipeline; CC label propagation and
@@ -1546,10 +1605,17 @@ def winnow_fingerprints(
     all-pairs."""
     if k < 1 or window < 1:
         raise ValueError("winnow_fingerprints: k and window must be >= 1")
+    from ..session import widen_to_shuffle_width
+
     norm = df.select(
         F.col(id_col).alias("id"),
         F.lower(F.col(text_col)).alias("_t"),
     ).withColumn("n_grams", F.length("_t") - F.lit(k - 1))
+    # widen BEFORE the len× posexplode + per-gram hash: a few-file scan
+    # otherwise runs that fan-out serially, and hash-partitioning by id
+    # here is exactly the distribution the winnowing window needs, so
+    # the widen shuffle replaces (not adds to) the window's exchange
+    norm = widen_to_shuffle_width(norm, "id")
     grams = norm.filter(F.col("n_grams") >= window).select(
         "id", "n_grams",
         F.posexplode(

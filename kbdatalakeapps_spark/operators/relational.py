@@ -816,6 +816,7 @@ def mad_outliers(
     group_cols: list[str] | None = None,
     fp_scale: int = 10**6,
     k: int = 3,
+    bounded_groups: bool = False,
 ) -> DataFrame:
     """Robust outlier profile per group: exact median, exact MAD
     (median absolute deviation) and the count of |x − med| > k·MAD
@@ -829,12 +830,58 @@ def mad_outliers(
     integer arithmetic — bit-identical under any partitioning and
     DuckDB-replayable.  Degenerate groups (MAD = 0, over half the
     values identical): outliers are rows strictly different from the
-    median.  NULL values are excluded everywhere."""
+    median.  NULL values are excluded everywhere.
+
+    ``bounded_groups=True`` is the single-exchange fast path for
+    callers that can PROVE per-group row count is bounded by a small
+    constant (e.g. one row per day per seasonal cell): one
+    sort_array(collect_list()) aggregation computes both lower medians
+    (element at rank ⌈n/2⌉ of the sorted array — exactly the rank
+    grouped_median_fp selects), the deviations and the outlier count
+    in native array expressions — bit-identical output, ~20 fewer
+    exchanges (r11, ts_seasonal_anomaly).  Do NOT set it for
+    data-sized groups: the per-group array lives in one task row (the
+    default two-phase path exists precisely for that)."""
     groups = list(group_cols or [])
     v_fp = F.floor(F.col(value_col) * F.lit(float(fp_scale))).cast("long")
     base = df.filter(F.col(value_col).isNotNull()).select(
         *groups, v_fp.alias("_x")
     )
+    if bounded_groups:
+        gb = base.groupBy(*groups) if groups else base.groupBy()
+        arr = gb.agg(F.sort_array(F.collect_list("_x")).alias("_xs"))
+        sel = arr.select(
+            *groups,
+            F.size("_xs").cast("long").alias("n"),
+            F.expr("element_at(_xs, cast((size(_xs) + 1) div 2 as int))").alias(
+                "median_fp"
+            ),
+            "_xs",
+        ).select(
+            *groups,
+            "n",
+            "median_fp",
+            F.expr(
+                "sort_array(transform(_xs, x -> abs(x - median_fp)))"
+            ).alias("_ds"),
+        )
+        return sel.select(
+            *groups,
+            "n",
+            "median_fp",
+            F.expr("element_at(_ds, cast((size(_ds) + 1) div 2 as int))").alias("mad_fp"),
+            "_ds",
+        ).select(
+            *groups,
+            "n",
+            "median_fp",
+            "mad_fp",
+            F.expr(
+                # wrap-ok: k·mad_fp ≤ k·fp_scale·|x|max ≪ 2^63
+                f"cast(size(filter(_ds, d -> CASE WHEN mad_fp > 0 "
+                f"THEN d > {int(k)} * mad_fp ELSE d > 0 END)) as long)"
+            ).alias("n_outliers"),
+        )
     med = grouped_median_fp(base, groups, "_x", out_col="median_fp")
     dev = (
         base.join(F.broadcast(med), groups)

@@ -813,7 +813,12 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # data-sized cell aggregation
         .localCheckpoint(eager=False)
     )
-    out = mad_outliers(cells, "cnt", ["event_type", "phase"])
+    # bounded_groups: a (event_type, phase) cell holds one row per DAY
+    # — bounded by the time span, never by data volume — so the
+    # single-exchange sorted-array form applies (bit-identical output)
+    out = mad_outliers(
+        cells, "cnt", ["event_type", "phase"], bounded_groups=True
+    )
     return out.select(
         "event_type",
         "phase",
