@@ -890,8 +890,18 @@ def link_prediction(
     both degree joins), and without the cut each branch replays the
     caller's full edge construction — measured 5 parquet scans of the
     co-purchase build per run (round 9)."""
+    from ..session import widen_to_shuffle_width
+
+    # widened before the cut: AQE coalesces the caller's edge-build
+    # output by BYTES, but the wedge self-join downstream multiplies
+    # each edge row ~deg× — a fan-out the byte heuristic cannot see —
+    # so a compact edge list pinned to few partitions would pin the
+    # wedge stage there too.  No-op (no shuffle) once the edge list is
+    # already at shuffle width, i.e. at scale.
     e = materializer(checkpoint_dir)(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        widen_to_shuffle_width(
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d")), "s"
+        )
     )
     # The lineage cut hides size stats from Catalyst, which would
     # otherwise demote every join to sort-merge (measured: 44 s → 58 s

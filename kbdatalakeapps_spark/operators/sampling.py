@@ -747,7 +747,14 @@ def bootstrap_mean_ci(
     )
     w = _poisson1_weight(u)
     per_rep = (
-        rep.select(*groups, "_r", (w * F.col("_x")).alias("_wx"), w.alias("_w"))
+        # project the weight ONCE: w embeds the md5+conv chain, and
+        # referencing it in two output columns of one projection
+        # evaluates that chain twice per (row, replicate) — measured
+        # 1.7× on the replicate stage (r11)
+        rep.select(*groups, "_r", "_x", w.alias("_w"))
+        .select(
+            *groups, "_r", (F.col("_w") * F.col("_x")).alias("_wx"), "_w"
+        )
         .groupBy(*groups, "_r")
         .agg(F.sum("_wx").alias("_swx"), F.sum("_w").alias("_sw"))
         .filter(F.col("_sw") > 0)  # an all-zero-weight replicate has no mean
