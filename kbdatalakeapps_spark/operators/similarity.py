@@ -480,9 +480,9 @@ def kmeans_centroids(
     init: str = "kmeanspp",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column: each
-    iteration = assign-to-nearest (broadcast centroids, zip_with
-    distance, no shuffle) + mean-per-cluster via per-partition Arrow
-    partial sums (``_mean_by_centroid`` — shuffle carries ≤
+    iteration = assign-to-nearest (one Arrow pass, centroids in the
+    task closure, no shuffle) + mean-per-cluster via per-partition
+    Arrow partial sums (``_mean_by_centroid`` — shuffle carries ≤
     k×partitions rows, not |vectors|×dim exploded values).
 
     ``init='kmeanspp'`` (default) seeds via k-means|| with stable-hash
@@ -507,42 +507,73 @@ def kmeans_centroids(
         "centroid_id int, centroid array<double>",
     )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    for i in range(iterations):
+    for _ in range(iterations):
+        # _assign_nearest pins the k centroid rows to the driver by
+        # value (its Arrow kernel closes over them), so each iteration's
+        # lineage is exactly one pass over vecs — the old explicit
+        # collect-and-recreate pinning (which guarded against iteration
+        # N replaying iterations 1..N-1) is subsumed, not removed.
         assigned = _assign_nearest(vecs, centroids)
         centroids = _mean_by_centroid(assigned)
-        if i < iterations - 1:
-            # centroids are k tiny rows but their lazy lineage embeds
-            # every previous iteration — left unmaterialized, iteration
-            # N's plan re-executes iterations 1..N-1 (measured 2× per
-            # extra iteration at sf0.1).  Pin the k rows to the driver
-            # and restart lineage each round.
-            rows = sorted(centroids.collect(), key=lambda r: r.centroid_id)
-            centroids = spark.createDataFrame(
-                [(int(r.centroid_id), [float(x) for x in r.centroid]) for r in rows],
-                "centroid_id int, centroid array<double>",
-            )
     return centroids
 
 
 def _assign_nearest(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(id, vec, centroid_id) with centroid_id = argmin squared L2 —
-    broadcast centroids, min-of-struct argmin (no window)."""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("vec"), F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """(id, vec, centroid_id) with centroid_id = argmin squared L2.
+
+    One Arrow pass with the ≤k-row centroid table carried in the task
+    closure (r11, guide §2.4/§4.2) — replaces the crossJoin(broadcast)
+    ×k row blowup scored by interpreted zip_with lambdas plus a
+    groupBy(id) min-of-struct argmin whose Exchange reshuffled every
+    corpus vector.  Zero shuffle, zero row blowup; the vectorized
+    kernel is bit-identical to the old fold: float64 (x−y)² accumulated
+    in ascending dimension order, argmin ties on the smallest
+    centroid_id (the struct-min order).  A NULL vector or a length
+    mismatch against the centroids' dimension made every distance NULL
+    under zip_with, so the null-first struct-min picked the smallest
+    centroid id — mirrored explicitly.  A NULL/NaN *element* made every
+    distance equally NULL/NaN (the element is shared across centroids),
+    which also resolved to the smallest centroid id — argmin over an
+    all-NaN row returns index 0, preserving that too (Arrow hands null
+    list elements to pandas as NaN)."""
+    import numpy as np
+
+    crows = sorted(
+        centroids.select("centroid_id", "centroid").collect(),
+        key=lambda r: int(r["centroid_id"]),
     )
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "id", "vec", F.struct(d2.alias("d"), F.col("centroid_id")).alias("s")
+    cids = np.asarray([int(r["centroid_id"]) for r in crows], dtype=np.int64)
+    cmat = np.asarray(
+        [[float(x) for x in r["centroid"]] for r in crows], dtype=np.float64
     )
-    return (
-        scored.groupBy("id")
-        .agg(F.min("s").alias("best"), F.first("vec").alias("vec"))
-        .select("id", "vec", F.col("best.centroid_id").alias("centroid_id"))
+    k, dim = cmat.shape
+    cid_type = centroids.schema["centroid_id"].dataType
+    out_schema = T.StructType(
+        list(vecs.schema.fields) + [T.StructField("centroid_id", cid_type)]
     )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = [
+                None
+                if v is None or len(v) != dim
+                else np.asarray(v, dtype=np.float64)
+                for v in pdf["vec"]
+            ]
+            best = np.full(len(pdf), int(cids[0]), dtype=np.int64)
+            ok = np.asarray([v is not None for v in vals], dtype=bool)
+            if ok.any():
+                mat = np.stack([v for v in vals if v is not None])
+                acc = np.zeros((mat.shape[0], k), dtype=np.float64)
+                for j in range(dim):  # ascending-dim fold == zip_with order
+                    d = mat[:, j, None] - cmat[None, :, j]
+                    acc += d * d
+                best[ok] = cids[np.argmin(acc, axis=1)]
+            yield pdf.assign(centroid_id=best)
+
+    return vecs.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(
