@@ -1473,43 +1473,6 @@ GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def _dup_unit_stats(
-    df: DataFrame, id_col: str, units: Column, prefix: str
-) -> DataFrame:
-    """Per-document duplicate-unit stats over an array of text units
-    (lines or paragraphs): (id, {prefix}_frac, {prefix}_char_frac)
-    with  frac = (occurrences − distinct)/occurrences  and
-    char_frac = chars in ALL occurrences of duplicated units / chars
-    in all occurrences — the Gopher/Dolma convention.  One doc-keyed
-    explode + groupBy; never a corpus-global key."""
-    e = df.select(F.col(id_col).alias("_id"), F.explode(units).alias("_u"))
-    g = e.groupBy("_id", "_u").agg(F.count(F.lit(1)).alias("_c"))
-    return (
-        g.groupBy("_id")
-        .agg(
-            F.sum("_c").alias("_occ"),
-            F.count(F.lit(1)).alias("_uniq"),
-            F.sum(F.col("_c") * F.length("_u")).alias("_chars"),
-            F.sum(
-                F.when(F.col("_c") > 1, F.col("_c") * F.length("_u"))
-                .otherwise(F.lit(0))
-            ).alias("_dchars"),
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            F.when(
-                F.col("_occ") > 0,
-                (F.col("_occ") - F.col("_uniq")).cast("double")
-                / F.col("_occ").cast("double"),
-            ).alias(f"{prefix}_frac"),
-            F.when(
-                F.col("_chars") > 0,
-                F.col("_dchars").cast("double") / F.col("_chars").cast("double"),
-            ).alias(f"{prefix}_char_frac"),
-        )
-    )
-
-
 def gopher_repetition_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -1545,108 +1508,115 @@ def gopher_repetition_filter(
         character coverage — overlaps can double-count, so the value
         caps at 1.0).
 
-    Scale shape: one doc-keyed explode+groupBy per unit family (lines,
-    paragraphs, n-grams with n folded into the grouping key) — three
-    shuffles total, all keyed by (doc, unit), never corpus-global; the
-    n-gram pass is ~9× the token stream, the inherent price of the
-    published filter (run it after the cheap Table-A1 gate).  NULL
-    text drops with reason ``null_text``."""
+    Scale shape: every signal is a within-document statistic, so the
+    whole filter is ONE Arrow pass with zero shuffle (r11, guide
+    §2.4/§4.2) — it previously ran one doc-keyed explode+groupBy per
+    unit family (three shuffles, with the n-gram leg exploding ~9× the
+    token stream through interpreted slice/concat lambdas) plus three
+    rejoins.  The kernel replays the relational form's arithmetic
+    bit-for-bit: exact integer sums, one IEEE double division per
+    fraction, absent levels NULL.  String semantics are byte-identical
+    on ASCII text (Java vs Python lower/\\s differ only outside ASCII;
+    the oracle fixtures and tests are ASCII).  NULL text drops with
+    reason ``null_text``."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
     top_ngram_max = dict(GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max)
     dup_ngram_max = dict(GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max)
-    c = F.col(text_col)
-    base = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(c, r"\n", -1), lambda l: F.trim(l) != ""
-        ).alias("_lines"),
-        F.filter(
-            F.split(c, r"\n{2,}", -1), lambda p: F.trim(p) != ""
-        ).alias("_paras"),
-        tokens(text_col).alias("_toks"),
-        c.isNull().alias("_null"),
+    top_ns = sorted(top_ngram_max)
+    dup_ns = sorted(dup_ngram_max)
+    ns = sorted(set(top_ns) | set(dup_ns))
+    stat_names = (
+        ["rep_dup_line_frac", "rep_dup_line_char_frac",
+         "rep_dup_para_frac", "rep_dup_para_char_frac"]
+        + [f"rep_top_{n}gram_char_frac" for n in top_ns]
+        + [f"rep_dup_{n}gram_char_frac" for n in dup_ns]
     )
-    # gram GENERATION is the expensive leg (O(Σn·T) slice+concat per
-    # doc) and inherits the SCAN's parallelism — a few compacted
-    # parquet files would serialize it.  When the input is narrower
-    # than the session's shuffle width, one tiny shuffle of the
-    # compact unit-array frame buys full-width generation; at real
-    # corpus scale the scan already provides width and this is a
-    # no-op.  The lineage cut shares the split/tokenize work across
-    # the three stat branches instead of re-scanning per branch.
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(name, T.DoubleType()) for name in stat_names]
+    )
+    # Java \s (Spark's split/tokens regex) is ASCII-only — spell it out
+    # rather than using Python's unicode-aware \s
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    para_re = re.compile(r"\n{2,}")
+
+    def _unit_stats(units: list[str]) -> tuple:
+        # frac = (occurrences − distinct)/occurrences; char frac counts
+        # every occurrence of a unit appearing >1 times — NULL when the
+        # doc has no units (the old explode dropped it / left-join NULL)
+        if not units:
+            return (None, None)
+        cnt = Counter(units)
+        occ = len(units)
+        chars = 0
+        dchars = 0
+        for u, c in cnt.items():
+            w = c * len(u)
+            chars += w
+            if c > 1:
+                dchars += w
+        return (
+            float(occ - len(cnt)) / float(occ),
+            (float(dchars) / float(chars)) if chars > 0 else None,
+        )
+
+    def _doc_stats(txt) -> tuple:
+        if txt is None:
+            return (None,) * len(stat_names)
+        # F.trim strips 0x20 only — mirror with strip(' '), not strip()
+        lines = [u for u in txt.split("\n") if u.strip(" ") != ""]
+        paras = [u for u in para_re.split(txt) if u.strip(" ") != ""]
+        vals = list(_unit_stats(lines)) + list(_unit_stats(paras))
+        toks = [t for t in ws_re.split(txt.lower()) if t != ""]
+        w = sum(len(t) for t in toks)
+        per_n: dict[int, tuple] = {}
+        for n in ns:
+            if len(toks) < n or w <= 0:
+                continue
+            # gram identity = the token window (single-space join is
+            # injective: tokens cannot contain the separator); weight
+            # = Σ token chars, separators excluded
+            cnt2: Counter = Counter(
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            top_chars = 0
+            dup_chars = 0
+            for g, c in cnt2.items():
+                cw = c * sum(len(t) for t in g)
+                if cw > top_chars:
+                    top_chars = cw
+                if c > 1:
+                    dup_chars += cw
+            per_n[n] = (
+                min(1.0, float(top_chars) / float(w)),
+                min(1.0, float(dup_chars) / float(w)),
+            )
+        vals += [per_n[n][0] if n in per_n else None for n in top_ns]
+        vals += [per_n[n][1] if n in per_n else None for n in dup_ns]
+        return tuple(vals)
+
+    def kernel(batches):
+        for pdf in batches:
+            res = [_doc_stats(t) for t in pdf[text_col]]
+            cols = list(zip(*res)) if res else [[] for _ in stat_names]
+            out_pdf = pdf.copy()
+            for name, vals in zip(stat_names, cols):
+                out_pdf[name] = pd.Series(
+                    list(vals), index=pdf.index, dtype=object
+                )
+            yield out_pdf
+
+    # the kernel inherits the SCAN's parallelism — a few compacted
+    # parquet files would serialize the per-doc work in one task; one
+    # tiny shuffle buys full width, and at real corpus scale the scan
+    # is already wide so this is a no-op
     from ..session import widen_to_shuffle_width
 
-    base = widen_to_shuffle_width(base, id_col)
-    base = base.localCheckpoint(eager=False)
-    line_stats = _dup_unit_stats(base, id_col, F.col("_lines"), "rep_dup_line")
-    para_stats = _dup_unit_stats(base, id_col, F.col("_paras"), "rep_dup_para")
-
-    ns = sorted(set(top_ngram_max) | set(dup_ngram_max))
-    toks = base.select(
-        id_col,
-        "_toks",
-        F.aggregate(
-            F.col("_toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-        ).alias("_wchars"),
-    )
-    def _gram_array(n: int) -> Column:
-        # NB: the lambda must take exactly ONE parameter — F.transform
-        # passes (element, index) to two-parameter lambdas, which would
-        # silently shadow a `n=n` default-arg binding
-        return F.when(
-            F.size("_toks") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - n),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(" ", F.slice("_toks", i + 1, n)).alias("g"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
-
-    gram_arrays = [_gram_array(n) for n in ns]
-    ge = toks.select(
-        id_col, "_wchars", F.explode(F.flatten(F.array(*gram_arrays))).alias("_gr")
-    ).select(
-        id_col,
-        "_wchars",
-        F.col("_gr.n").alias("_n"),
-        F.col("_gr.g").alias("_g"),
-        # non-separator character weight of the gram
-        (F.length("_gr.g") - (F.col("_gr.n") - 1)).cast("long").alias("_gc"),
-    )
-    gg = ge.groupBy(id_col, "_n", "_g").agg(
-        F.count(F.lit(1)).alias("_c"), F.max("_gc").alias("_gc"), F.max("_wchars").alias("_w")
-    )
-    per_n = gg.groupBy(id_col, "_n").agg(
-        F.max(F.col("_c") * F.col("_gc")).alias("_top_chars"),
-        F.sum(
-            F.when(F.col("_c") > 1, F.col("_c") * F.col("_gc")).otherwise(F.lit(0))
-        ).alias("_dup_chars"),
-        F.max("_w").alias("_w"),
-    )
-    frac = lambda num: F.when(  # noqa: E731
-        F.col("_w") > 0,
-        F.least(F.lit(1.0), num.cast("double") / F.col("_w").cast("double")),
-    )
-    gram_stats = per_n.groupBy(id_col).agg(
-        *[
-            F.max(
-                F.when(F.col("_n") == n, frac(F.col("_top_chars")))
-            ).alias(f"rep_top_{n}gram_char_frac")
-            for n in sorted(top_ngram_max)
-        ],
-        *[
-            F.max(
-                F.when(F.col("_n") == n, frac(F.col("_dup_chars")))
-            ).alias(f"rep_dup_{n}gram_char_frac")
-            for n in sorted(dup_ngram_max)
-        ],
-    )
-    out = (
-        df.join(line_stats, id_col, "left")
-        .join(para_stats, id_col, "left")
-        .join(gram_stats, id_col, "left")
-    )
+    out = widen_to_shuffle_width(df, id_col).mapInPandas(kernel, out_schema)
     rules = [
         ("null_text", F.col(text_col).isNull()),
         ("dup_lines", F.col("rep_dup_line_frac") > max_dup_line_frac),
