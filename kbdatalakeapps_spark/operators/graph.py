@@ -97,6 +97,12 @@ def _large_star(pointers: DataFrame) -> DataFrame:
         pointers.select(F.col("parent").alias("u"), F.col("child").alias("v"))
     )
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    # No trailing distinct (r11): exact-duplicate (child, parent) rows
+    # cannot change the downstream small-star (its per-child MIN is
+    # duplicate-blind and the round ends in small-star's distinct), so
+    # the dedup exchange here bought nothing — one shuffle per round
+    # removed.  Row count is bounded regardless: exactly one of
+    # (u,v)/(v,u) survives the v > u filter per symmetric pair.
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
@@ -104,7 +110,6 @@ def _large_star(pointers: DataFrame) -> DataFrame:
             F.col("v").alias("child"),
             F.least("u", "mn").alias("parent"),
         )
-        .distinct()
     )
 
 
