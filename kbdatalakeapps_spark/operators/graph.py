@@ -823,14 +823,26 @@ def label_propagation(
             "id", F.col("id").alias("label")
         )
     )
+    # the label table is |nodes| rows of two ints: below the gate,
+    # broadcasting it replaces the per-round reshuffle of the DATA-
+    # SIZED edge list with one ≤~80 MB broadcast build (guide §3.1 —
+    # the link_prediction size-gate idiom; the lineage cut hides size
+    # stats from Catalyst, so the gate must be explicit).  Past the
+    # gate the join stays shuffled — the only scale-correct shape when
+    # nodes are billions.
+    small = labels.count() <= 5_000_000
 
     def _step(lab):
-        nbr = e.join(
-            lab.select(F.col("id").alias("dst"), "label").hint(
-                "shuffle_hash"
-            ),
-            "dst",
-        ).select(F.col("src").alias("id"), "label")
+        rhs = lab.select(F.col("id").alias("dst"), "label")
+        rhs = F.broadcast(rhs) if small else rhs.hint("shuffle_hash")
+        nbr = e.join(rhs, "dst").select(F.col("src").alias("id"), "label")
+        # ONE exchange per round: hash(id) satisfies the clustering
+        # requirement of BOTH the (id, label) count and the id argmax
+        # (partitioning exprs ⊆ grouping keys), so repartitioning the
+        # neighbor stream once replaces the two agg exchanges — the
+        # (id, label) pairs are near-distinct here, so the forfeited
+        # map-side combine was not reducing the shuffle anyway
+        nbr = nbr.repartition("id")
         cnt = nbr.groupBy("id", "label").agg(
             F.count(F.lit(1)).alias("c")
         )

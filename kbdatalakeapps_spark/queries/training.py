@@ -685,7 +685,14 @@ def pl_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import domain_cap, hash_split
     from ..operators.text import normalize_text, quality_filter, token_count
 
+    from ..session import widen_to_shuffle_width
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # widen before the NFKC kernel: the whole composite inherits the
+    # compact scan's 1-task width otherwise (r11; no-op on wide scans),
+    # and every downstream stage is content-keyed so partitioning
+    # cannot change results
+    d = widen_to_shuffle_width(d, "doc_id")
     # materialize the NFKC output: quality_filter references norm_text
     # in ~8 expressions, and a pandas-UDF column re-evaluates per
     # reference through collapsed projections
