@@ -222,10 +222,15 @@ def minhash_signatures_wide(
         if arrays is not None
         else shingle_table(df, id_col, text_col, k)
     )
-    base = _hash_long(F.col("shingle"), hash_fn)
-    return sh.groupBy("id").agg(
+    # hash ONCE per (doc, shingle) row: referencing the md5+conv chain
+    # inside each min-aggregate evaluates it num_hashes times per row
+    # (no CSE across aggregate expressions — the bootstrap-weights
+    # lesson, r11); the XOR with each seed is the only per-aggregate
+    # work left
+    hashed = sh.select("id", _hash_long(F.col("shingle"), hash_fn).alias("_hl"))
+    return hashed.groupBy("id").agg(
         *[
-            F.min(base.bitwiseXOR(F.lit(MINHASH_SEEDS[i]))).alias(f"mh{i}")
+            F.min(F.col("_hl").bitwiseXOR(F.lit(MINHASH_SEEDS[i]))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
