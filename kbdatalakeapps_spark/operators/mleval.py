@@ -794,25 +794,34 @@ def chrf_score(
                 F.array().cast("array<struct<n:int,_pad:string,g:string>>")
             )
 
-        e = base.select(
+        return base.select(
             "_id",
             F.explode(
                 F.flatten(F.array(*[grams(n) for n in range(1, max_n + 1)]))
             ).alias("_gr"),
-        ).select("_id", F.col("_gr.n").alias("_n"), F.col("_gr.g").alias("_g"))
-        return e.groupBy("_id", "_n", "_g").agg(
-            F.count(F.lit(1)).alias(f"_c_{tag}")
+        ).select(
+            "_id",
+            F.col("_gr.n").alias("_n"),
+            F.col("_gr.g").alias("_g"),
+            F.lit(tag).alias("_side"),
         )
 
-    h = side(hyp_col, "h")
-    r = side(ref_col, "r")
-    j = h.join(r, ["_id", "_n", "_g"], "full").select(
-        "_id",
-        "_n",
-        F.coalesce("_c_h", F.lit(0)).alias("_ch"),
-        F.coalesce("_c_r", F.lit(0)).alias("_cr"),
+    # union + conditional counts instead of per-side groupBys feeding a
+    # FullOuter SortMergeJoin (r11, the bleu_score restructure): one
+    # repartition by _id satisfies the whole agg chain's clustering
+    # requirement, so the gram stream shuffles exactly once and nothing
+    # is sorted.  Identical exact integer counts.
+    cnt = (
+        side(hyp_col, "h")
+        .unionByName(side(ref_col, "r"))
+        .repartition("_id")
+        .groupBy("_id", "_n", "_g")
+        .agg(
+            F.count(F.when(F.col("_side") == "h", 1)).alias("_ch"),
+            F.count(F.when(F.col("_side") == "r", 1)).alias("_cr"),
+        )
     )
-    per_n = j.groupBy("_id", "_n").agg(
+    per_n = cnt.groupBy("_id", "_n").agg(
         F.sum(F.least("_ch", "_cr")).alias("_ov"),
         F.sum("_ch").alias("_th"),
         F.sum("_cr").alias("_tr"),
@@ -1117,35 +1126,53 @@ def bleu_score(
             ).alias("_gr"),
         )
         lens = base.select("_id", F.col("_len").alias(f"{tag}_len"))
-        counts = (
+        gram_rows = (
             e.filter(F.col("_gr").isNotNull())
-            .select("_id", F.col("_gr.n").alias("_n"), F.col("_gr.g").alias("_g"))
-            .groupBy("_id", "_n", "_g")
-            .agg(F.count(F.lit(1)).alias(f"_c_{tag}"))
+            .select(
+                "_id",
+                F.col("_gr.n").alias("_n"),
+                F.col("_gr.g").alias("_g"),
+                F.lit(tag).alias("_side"),
+            )
         )
-        return counts, lens
+        return gram_rows, lens
 
-    hc, hl = side(hyp_col, "hyp")
-    rc, rl = side(ref_col, "ref")
-    j = hc.join(rc, ["_id", "_n", "_g"], "full").select(
-        "_id",
-        "_n",
-        F.coalesce("_c_hyp", F.lit(0)).alias("_ch"),
-        F.coalesce("_c_ref", F.lit(0)).alias("_cr"),
+    # union + conditional counts instead of two per-side groupBys fed
+    # into a FullOuter SortMergeJoin (r11): the SMJ sorted both gram
+    # tables and planned 3 extra exchanges.  ONE repartition by _id
+    # satisfies the clustering requirement of the whole agg chain —
+    # (_id,_n,_g) counts → (_id,_n) clipped sums → (_id) per-n spread
+    # — so the gram stream shuffles exactly once.  Same exact integer
+    # math: count(when side…) ≡ the coalesced per-side counts.
+    hg, hl = side(hyp_col, "hyp")
+    rg, rl = side(ref_col, "ref")
+    cnt = (
+        hg.unionByName(rg)
+        .repartition("_id")
+        .groupBy("_id", "_n", "_g")
+        .agg(
+            F.count(F.when(F.col("_side") == "hyp", 1)).alias("_ch"),
+            F.count(F.when(F.col("_side") == "ref", 1)).alias("_cr"),
+        )
     )
-    per_n = j.groupBy("_id", "_n").agg(
+    per_n = cnt.groupBy("_id", "_n").agg(
         F.sum(F.least("_ch", "_cr")).alias("_ov"),
         F.sum("_ch").alias("_th"),
     )
-    wide = per_n.groupBy("_id").pivot("_n", list(range(1, max_n + 1))).agg(
-        F.first("_ov").alias("ov"), F.first("_th").alias("tot")
+    wide = per_n.groupBy("_id").agg(
+        *[
+            x
+            for n in range(1, max_n + 1)
+            for x in (
+                F.coalesce(
+                    F.max(F.when(F.col("_n") == n, F.col("_ov"))), F.lit(0)
+                ).alias(f"ov{n}"),
+                F.coalesce(
+                    F.max(F.when(F.col("_n") == n, F.col("_th"))), F.lit(0)
+                ).alias(f"tot{n}"),
+            )
+        ]
     )
-    # pivot yields columns like `1_ov`, `1_tot`; normalize + fill
-    sel = [F.col("_id")]
-    for n in range(1, max_n + 1):
-        sel.append(F.coalesce(F.col(f"{n}_ov"), F.lit(0)).alias(f"ov{n}"))
-        sel.append(F.coalesce(F.col(f"{n}_tot"), F.lit(0)).alias(f"tot{n}"))
-    wide = wide.select(*sel)
 
     p1 = F.when(
         F.col("tot1") > 0,
