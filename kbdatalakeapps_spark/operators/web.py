@@ -249,7 +249,14 @@ def extract_text_blocks(
     sel = [df[id_col].alias(id_col), html_col]
     if content_type_col:
         sel.append(content_type_col)
-    return df.select(*sel).mapInPandas(batches, out_schema)
+    # the parser inherits the scan's parallelism — widen compact
+    # inputs so per-page work never serializes in one task (no-op on
+    # wide scans; r11)
+    from ..session import widen_to_shuffle_width
+
+    return widen_to_shuffle_width(df.select(*sel), id_col).mapInPandas(
+        batches, out_schema
+    )
 
 
 def classify_blocks(
@@ -465,7 +472,13 @@ def extract_links(
         sel.append(url_col)
     if content_type_col:
         sel.append(content_type_col)
-    return df.select(*sel).mapInPandas(batches, out_schema)
+    # widen compact inputs before the per-page parse (see
+    # extract_text_blocks; no-op on wide scans)
+    from ..session import widen_to_shuffle_width
+
+    return widen_to_shuffle_width(df.select(*sel), id_col).mapInPandas(
+        batches, out_schema
+    )
 
 
 def host_edges(links: DataFrame, src_col: str = "src_url", dst_col: str = "url") -> DataFrame:
@@ -599,7 +612,14 @@ def extract_html_text(
     sel = [df[id_col].alias(id_col), html_col]
     if content_type_col:
         sel.append(content_type_col)
-    return df.select(*sel).mapInPandas(batches, out_schema)
+    # the parser inherits the scan's parallelism — widen compact
+    # inputs so per-page work never serializes in one task (no-op on
+    # wide scans; r11)
+    from ..session import widen_to_shuffle_width
+
+    return widen_to_shuffle_width(df.select(*sel), id_col).mapInPandas(
+        batches, out_schema
+    )
 
 
 def sitemap_urls(df: DataFrame, xml_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
