@@ -26,6 +26,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
+
+def _widen(df, id_col):
+    """Decode kernels inherit the scan's parallelism; widen compact
+    inputs so per-media work never serializes in one task (no-op on
+    wide scans; r11).  Per-row decode is partitioning-invariant."""
+    from ..session import widen_to_shuffle_width
+
+    return widen_to_shuffle_width(df, id_col)
+
 def _decode_wav(content: bytes):
     """Parse a RIFF/WAVE container and return
     ``(samples int64 ndarray shape (n, channels), sample_rate)``.
@@ -365,7 +374,9 @@ def audio_features(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], **rows})
 
-    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+    return _widen(df.select(id_col, content_col), id_col).mapInPandas(
+        batches, out_schema
+    )
 
 
 def wav_header_hex(n_samples: int, sample_rate: int = 8000, channels: int = 1, bits: int = 16) -> str:
@@ -459,7 +470,9 @@ def spectral_features(
                     rows[name].append(v)
             yield pd.DataFrame({id_col: pdf[id_col], **rows})
 
-    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+    return _widen(df.select(id_col, content_col), id_col).mapInPandas(
+        batches, out_schema
+    )
 
 
 def _parse_extended80(b: bytes) -> int:
@@ -661,4 +674,6 @@ def silence_profile(
                 rows["longest_silence_ms"].append(longest * window_ms)
             yield pd.DataFrame({id_col: pdf[id_col], **rows})
 
-    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+    return _widen(df.select(id_col, content_col), id_col).mapInPandas(
+        batches, out_schema
+    )

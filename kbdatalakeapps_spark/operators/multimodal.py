@@ -73,6 +73,15 @@ def _fake_decode_features(content: bytes, dim: int) -> list[float]:
     return [digest[i % len(digest)] / 255.0 for i in range(dim)]
 
 
+def _widen(df: DataFrame, id_col: str) -> DataFrame:
+    """Decode kernels inherit the scan's parallelism; widen compact
+    inputs so per-media work never serializes in one task (no-op on
+    wide scans; r11).  Per-row decode is partitioning-invariant."""
+    from ..session import widen_to_shuffle_width
+
+    return widen_to_shuffle_width(df, id_col)
+
+
 def extract_features(
     df: DataFrame,
     content_col: str = "content",
@@ -850,7 +859,7 @@ def resize_images(
                 }
             )
 
-    return sel.mapInPandas(batches, out_schema)
+    return _widen(sel, id_col).mapInPandas(batches, out_schema)
 
 
 def sample_frames(
@@ -902,7 +911,7 @@ def sample_frames(
                 }
             )
 
-    return frames.mapInPandas(batches, out_schema)
+    return _widen(frames, id_col).mapInPandas(batches, out_schema)
 
 
 IMAGE_FEATURE_SCHEMA = T.StructType(
@@ -996,7 +1005,7 @@ def image_features(
         F.col("meta.width").alias("_w"),
         F.col("meta.height").alias("_h"),
     )
-    return sel.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+    return _widen(sel, id_col).mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
 
 PHASH_SCHEMA = T.StructType(
@@ -1103,7 +1112,7 @@ def perceptual_hash(
         F.col("meta.width").alias("_w"),
         F.col("meta.height").alias("_h"),
     )
-    return sel.mapInPandas(batches, PHASH_SCHEMA)
+    return _widen(sel, "media_id").mapInPandas(batches, PHASH_SCHEMA)
 
 
 def image_neardup_pairs(

@@ -30,6 +30,15 @@ from pyspark.sql import types as T
 from .multimodal import _decode_gif, _decode_jpeg, _resize_array
 
 
+
+def _widen(df, id_col):
+    """Decode kernels inherit the scan's parallelism; widen compact
+    inputs so per-media work never serializes in one task (no-op on
+    wide scans; r11).  Per-row decode is partitioning-invariant."""
+    from ..session import widen_to_shuffle_width
+
+    return widen_to_shuffle_width(df, id_col)
+
 def _walk_riff(d: bytes, pos: int, end: int):
     """Yield (fourcc, list_type_or_None, body_start, body_end) for each
     chunk in [pos, end); RIFF chunks are word-aligned."""
@@ -284,7 +293,9 @@ def sample_frames_decoded(
                     )
             yield pd.DataFrame(out)
 
-    return df.select(id_col, content_col).mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+    return _widen(df.select(id_col, content_col), id_col).mapInPandas(
+        batches, VIDEO_FRAME_SCHEMA
+    )
 
 
 def mjpeg_avi_bytes(
