@@ -896,32 +896,33 @@ def qa_token_f1(
     (one exact division; algebraically equal to the harmonic mean of
     P and R).  Tokens are the house whitespace/lowercase stream.
     Empty-vs-empty scores 1.0, empty-vs-nonempty 0.0 (the SQuAD
-    convention).  One pair-keyed explode per side + a full-outer
-    count join — never corpus-global."""
+    convention).  One pair-keyed explode per side, sides unioned and
+    counted once — a single shuffle of the tagged token stream whose
+    hash(_id) partitioning also serves the per-pair reaggregation
+    (the bleu/chrf restructure, r11); never corpus-global."""
     from .text import tokens
 
-    def counts(col: str, tag: str) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col).alias("_id"), F.explode(tokens(col)).alias("_t")
-            )
-            .groupBy("_id", "_t")
-            .agg(F.count(F.lit(1)).alias(f"_c_{tag}"))
+    def side(col: str, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(col)).alias("_t"),
+            F.lit(tag).alias("_side"),
         )
 
-    p = counts(pred_col, "p")
-    g = counts(gold_col, "g")
     ov = (
-        p.join(g, ["_id", "_t"], "full")
+        side(pred_col, "p")
+        .unionByName(side(gold_col, "g"))
+        .repartition("_id")
+        .groupBy("_id", "_t")
+        .agg(
+            F.count(F.when(F.col("_side") == "p", 1)).alias("_c_p"),
+            F.count(F.when(F.col("_side") == "g", 1)).alias("_c_g"),
+        )
         .groupBy("_id")
         .agg(
-            F.sum(
-                F.least(
-                    F.coalesce("_c_p", F.lit(0)), F.coalesce("_c_g", F.lit(0))
-                )
-            ).alias("overlap"),
-            F.sum(F.coalesce("_c_p", F.lit(0))).alias("n_pred"),
-            F.sum(F.coalesce("_c_g", F.lit(0))).alias("n_gold"),
+            F.sum(F.least("_c_p", "_c_g")).alias("overlap"),
+            F.sum("_c_p").alias("n_pred"),
+            F.sum("_c_g").alias("n_gold"),
         )
     )
     base = df.select(F.col(id_col).alias("_id"))
