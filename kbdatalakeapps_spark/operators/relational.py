@@ -853,6 +853,7 @@ def mad_outliers(
         sel = arr.select(
             *groups,
             F.size("_xs").cast("long").alias("n"),
+            # wrap-ok: size(_xs)+1 ≤ 2^31 (array length is int) ≪ 2^63
             F.expr("element_at(_xs, cast((size(_xs) + 1) div 2 as int))").alias(
                 "median_fp"
             ),
@@ -869,6 +870,7 @@ def mad_outliers(
             *groups,
             "n",
             "median_fp",
+            # wrap-ok: size(_ds)+1 ≤ 2^31 (array length is int) ≪ 2^63
             F.expr("element_at(_ds, cast((size(_ds) + 1) div 2 as int))").alias("mad_fp"),
             "_ds",
         ).select(
