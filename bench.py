@@ -369,6 +369,30 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Warm the PYTHON side of the session the same way (r11): one tiny
+    # full-width mapInPandas spawns every Python worker and pays the
+    # numpy/pandas imports once, so the first timed Arrow-kernel query
+    # isn't also paying a ~5 s 32-interpreter cold storm (measured:
+    # mm_resize_images 5.6 s cold / 1.4 s warm in one session; workers
+    # persist for the whole suite — spark.python.worker.reuse).  Width
+    # follows the session's core count, so lower-core driver runs warm
+    # exactly their own pool.  No bench query is pre-run.
+    import pandas as _pd  # noqa: F401
+
+    def _noop_kernel(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    n_warm = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n_warm * 4, numPartitions=n_warm)
+        .mapInPandas(_noop_kernel, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
     # Frozen ambient control (VERDICT r7 #2): five pure-synthetic
     # workloads pinned to round-8 reference seconds.  The resulting
     # host_factor ships in the JSON so round-over-round BENCH deltas

@@ -859,7 +859,13 @@ def resize_images(
                 }
             )
 
-    return _widen(sel, id_col).mapInPandas(batches, out_schema)
+    # NO width guard here (r11): resize is payload-heavy and
+    # compute-light — the (id, content) shuffle the guard would add
+    # costs more than the nearest-neighbor index selection saves
+    # (measured in-suite 0.6 s unwidened vs 1.4 s widened warm at
+    # sf0.1); the compute-heavy kernels (features, phash, decode)
+    # keep the guard
+    return sel.mapInPandas(batches, out_schema)
 
 
 def sample_frames(
