@@ -523,8 +523,14 @@ def pagerank_fixed_point(
     # out-degree is iteration-invariant: attach it to the edge list
     # ONCE (one co-partitioned join, checkpointed) so each round does a
     # single join + agg instead of two joins — measured ~1/3 off the
-    # per-iteration cost at sf0.1
-    e_w = mat(e.join(outdeg, "src"))
+    # per-iteration cost at sf0.1.  Widened before the cut (r11): AQE
+    # coalesces the join's output by BYTES, but this table is scanned
+    # by EVERY iteration — at sf0.1 it checkpointed at 2 partitions
+    # and each round's join ran 16× under-parallel.  No-op once the
+    # edge list is at shuffle width, i.e. at scale.
+    from ..session import widen_to_shuffle_width
+
+    e_w = mat(widen_to_shuffle_width(e.join(outdeg, "src"), "src"))
     teleport_num = scale * (damping_den - damping_num)
     pr = nodes.crossJoin(F.broadcast(n_row)).select(
         "id",
