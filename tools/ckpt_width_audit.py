@@ -1,0 +1,97 @@
+"""Checkpoint-width audit (guide §2.2: scale-adaptive partitioning).
+
+Runs each named bench key once (noop sink) with ``localCheckpoint``
+monkeypatched to record every materialized table, then reports the
+REALIZED partition count per checkpoint call-site.  A data-sized table
+stored at 1-3 partitions is the pagerank-e_w defect class (r11,
+commit d263d59): AQE coalesces the producing exchange by BYTES, but a
+table scanned by every iteration — or feeding a compute-heavy kernel —
+needs core-width parallelism regardless of its byte size.  Width 1-3
+on a 10^4-row pointer/band/state table is the documented stage-latency
+floor, not a defect; judge each hit by rows x downstream scans.
+
+Usage: python tools/ckpt_width_audit.py [--sf-dir DIR] name ...
+(bench-only keys from bench._BENCH_OVERRIDES resolve too)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql.classic.dataframe import DataFrame  # noqa: E402
+
+from kbdatalakeapps_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("names", nargs="+")
+    args = ap.parse_args()
+
+    spark = get_spark("ckpt-width-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    recorded: list[tuple[str, DataFrame]] = []
+    orig = DataFrame.localCheckpoint
+
+    def patched(self, eager=True, storageLevel=None):
+        out = (
+            orig(self, eager=eager, storageLevel=storageLevel)
+            if storageLevel is not None
+            else orig(self, eager=eager)
+        )
+        frames = [
+            f for f in traceback.extract_stack()
+            if "kbdatalakeapps_spark" in f.filename
+        ]
+        site = (
+            f"{frames[-2].filename.split('kbdatalakeapps_spark/')[-1]}"
+            f":{frames[-2].lineno}"
+            if len(frames) >= 2 else "?"
+        )
+        recorded.append((site, out))
+        return out
+
+    DataFrame.localCheckpoint = patched
+
+    from kbdatalakeapps_spark.queries import QUERIES
+    import bench
+
+    queries = dict(QUERIES)
+    queries.update(bench._BENCH_OVERRIDES)
+
+    for name in args.names:
+        recorded.clear()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+        t0 = time.time()
+        queries[name](spark, args.sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print(
+            f"== {name}: {time.time() - t0:.2f}s, "
+            f"{len(recorded)} checkpoints", flush=True,
+        )
+        widths: dict[str, list[int]] = {}
+        for site, df in recorded:
+            try:
+                n = df.rdd.getNumPartitions()
+            except Exception:
+                n = -1
+            widths.setdefault(site, []).append(n)
+        for site, ns in sorted(widths.items()):
+            print(f"   {site}: widths {dict(Counter(ns))}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
