@@ -374,9 +374,13 @@ def audio_features(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], **rows})
 
-    return _widen(df.select(id_col, content_col), id_col).mapInPandas(
-        batches, out_schema
-    )
+    # NO width guard here (r12, the resize rule): clip-stat decode is
+    # payload-heavy and compute-light — the (id, content) shuffle the
+    # guard added cost more than the decode saves (driver r11:
+    # mm_audio_features 0.42→0.54, mm_flac_features 0.26→0.43 norm-s).
+    # The compute-heavy kernels (spectral FFT, image features, phash)
+    # keep the guard.
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
 
 
 def wav_header_hex(n_samples: int, sample_rate: int = 8000, channels: int = 1, bits: int = 16) -> str:

@@ -32,7 +32,9 @@ from pyspark.sql import DataFrame
 Materializer = Callable[[DataFrame], DataFrame]
 
 
-def materializer(checkpoint_dir: str | None = None) -> Materializer:
+def materializer(
+    checkpoint_dir: str | None = None, hot: bool = False
+) -> Materializer:
     """Return the lineage-cut function for ``checkpoint_dir``.
 
     ``None`` → executor-local lazy checkpoint (fast path, single-job /
@@ -40,6 +42,15 @@ def materializer(checkpoint_dir: str | None = None) -> Materializer:
     that directory (``SparkContext.setCheckpointDir`` is applied on
     first use; Spark creates a unique subdirectory per context, so a
     shared dir is safe across concurrent jobs).
+
+    ``hot=True`` (r12, VERDICT r11 #2): store the local-checkpoint
+    blocks DESERIALIZED (Spark's localCheckpoint default) — for
+    iteration-invariant tables every round re-reads (pagerank's
+    edge+outdeg, LPA/BFS/kcore edge lists, the classifier feature
+    table), where paying the deserialization once beats paying it per
+    round.  Per-round state that is read once keeps the serialized
+    default and its ~3-8× smaller block footprint.  No effect on the
+    reliable-checkpoint path (files are serialized either way).
     """
     if checkpoint_dir is None:
         from pyspark.storagelevel import StorageLevel
@@ -51,10 +62,14 @@ def materializer(checkpoint_dir: str | None = None) -> Materializer:
         # manager footprint ~3× (r11: the pagerank edge table was
         # 191 MB deserialized for 2.4M 3-long rows), which is storage
         # headroom every OTHER concurrent query keeps as execution
-        # memory (guide §5).
-        return lambda df: df.localCheckpoint(
-            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        # memory (guide §5).  Read-every-round tables opt out via
+        # ``hot=True`` above.
+        level = (
+            StorageLevel.MEMORY_AND_DISK_DESER
+            if hot
+            else StorageLevel.MEMORY_AND_DISK
         )
+        return lambda df: df.localCheckpoint(eager=False, storageLevel=level)
 
     def _reliable(df: DataFrame) -> DataFrame:
         sc = df.sparkSession.sparkContext

@@ -49,7 +49,8 @@ def connected_components(
     sym = fwd.unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
-    adj = mat(sym.distinct())
+    # adjacency is read EVERY round — hot (deserialized) blocks
+    adj = materializer(checkpoint_dir, hot=True)(sym.distinct())
 
     labels = mat(
         adj.select(F.col("u").alias("id"))
@@ -161,7 +162,17 @@ def connected_components_alternating(
     rounds materialize in ONE job at the cost of ≤1 round of extra
     (cheap, post-convergence) work — measured 12.6 → 6.7 s on the
     sf0.1 deep-chain graph.  Detection stays EXACT: consecutive-round
-    set equality is still what's compared."""
+    set equality is still what's compared.  (r12 NEGATIVE results,
+    both ABBA n=8 on the sf0.1 deep-chain key: (a) deferring the
+    per-round localCheckpoint so two rounds fuse into one AQE query
+    read 9.2 → 15.1 s median — the fused plan's duplicated subtrees
+    replan/re-execute past what exchange reuse recovers; (b) a
+    structural star-forest certificate (single-parent + no-parent-as-
+    child, provably the exact fixpoint) detects convergence one round
+    earlier but costs a second probe job on functional pointer sets —
+    chains are functional nearly every round — and read 8.7 → 10.0 s
+    median.  Both rejected; this per-round-mat + equality-probe shape
+    is the measured floor.)"""
     if probe_every < 1:
         raise ValueError("probe_every must be >= 1")
     mat = materializer(checkpoint_dir)
@@ -508,8 +519,14 @@ def pagerank_fixed_point(
     groupBy(dst) sum; rank state is one row per node.  Lineage is
     flattened per iteration with a lazy localCheckpoint, the same
     contract as connected_components.  N arrives via a 1-row broadcast
-    (BroadcastNestedLoopJoin of a scalar — the allow-listed shape), so
-    the whole plan stays lazy: no driver count.
+    (BroadcastNestedLoopJoin of a scalar — the allow-listed shape):
+    no driver count of the rank state.  One eager exception (ADVICE
+    r11): the e_w width probe (widen_to_shuffle_width's
+    getNumPartitions) finalizes and executes the edge+outdeg build at
+    construction time — its shuffle files are reused by the checkpoint
+    (0 extra jobs on the no-op branch, OPTIMIZATION_r11.md), but a
+    caller that only builds the plan without acting on it does pay
+    that one probe job.
     """
     mat = materializer(checkpoint_dir)
     e = mat(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
@@ -527,10 +544,15 @@ def pagerank_fixed_point(
     # coalesces the join's output by BYTES, but this table is scanned
     # by EVERY iteration — at sf0.1 it checkpointed at 2 partitions
     # and each round's join ran 16× under-parallel.  No-op once the
-    # edge list is at shuffle width, i.e. at scale.
+    # edge list is at shuffle width, i.e. at scale.  Stored HOT
+    # (deserialized — r12, VERDICT r11 #2): every iteration re-reads
+    # this table, so the serialized default paid a per-round
+    # deserialization for a footprint win only read-once state gets.
     from ..session import widen_to_shuffle_width
 
-    e_w = mat(widen_to_shuffle_width(e.join(outdeg, "src"), "src"))
+    e_w = materializer(checkpoint_dir, hot=True)(
+        widen_to_shuffle_width(e.join(outdeg, "src"), "src")
+    )
     teleport_num = scale * (damping_den - damping_num)
     pr = nodes.crossJoin(F.broadcast(n_row)).select(
         "id",
@@ -603,7 +625,10 @@ def bfs_min_distance(
     exactness idiom as pagerank_fixed_point.
     """
     mat = materializer(checkpoint_dir)
-    e = mat(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    # edge list is read EVERY round — hot (deserialized) blocks
+    e = materializer(checkpoint_dir, hot=True)(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
     dist = (
         seeds.select(F.col(id_col).alias("id"))
         .distinct()
@@ -751,7 +776,8 @@ def kcore_peel(
     rule as pagerank/BFS; ``checkpoint_dir=`` for the reliable
     posture)."""
     mat = materializer(checkpoint_dir)
-    e = mat(edges.select("src", "dst"))
+    # edge list is read twice EVERY round — hot (deserialized) blocks
+    e = materializer(checkpoint_dir, hot=True)(edges.select("src", "dst"))
     alive = e.select(F.col("src").alias("id")).distinct()
     deg = None
 
@@ -823,7 +849,10 @@ def label_propagation(
     reliable ``checkpoint_dir=`` for preemptible clusters).
     """
     mat = materializer(checkpoint_dir)
-    e = mat(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    # edge list is read EVERY round — hot (deserialized) blocks
+    e = materializer(checkpoint_dir, hot=True)(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
     labels = mat(
         e.select(F.col("src").alias("id")).distinct().select(
             "id", F.col("id").alias("label")
@@ -884,12 +913,20 @@ def label_propagation(
     return labels
 
 
+#: Broadcast gate for link_prediction's edge-probe sides, in PRE-cut
+#: Catalyst-estimated bytes of the caller's edge plan (see gate note in
+#: the function body).  4 MiB ≈ ~6.5M actual edges for the co-purchase
+#: builder shape — the old 5M-edge count gate, without the count.
+_BROADCAST_EDGES_EST_BYTES = 4 * 1024 * 1024
+
+
 def link_prediction(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_wedge_degree: int | None = None,
     checkpoint_dir: str | None = None,
+    broadcast_edges: bool | None = None,
 ) -> DataFrame:
     """Common-neighbor / Jaccard link prediction over an undirected
     graph (symmetric directed edge list, the house convention): for
@@ -912,7 +949,12 @@ def link_prediction(
     plan branches consume it (both wedge sides, the anti-join probe,
     both degree joins), and without the cut each branch replays the
     caller's full edge construction — measured 5 parquet scans of the
-    co-purchase build per run (round 9)."""
+    co-purchase build per run (round 9).
+
+    ``broadcast_edges``: force the probe-side broadcast gate (True =
+    broadcast the edge-table probe sides, False = shuffled joins);
+    None derives it from the caller's pre-cut plan size estimate —
+    no driver action either way (r12)."""
     from ..session import widen_to_shuffle_width
 
     # widened before the cut: AQE coalesces the caller's edge-build
@@ -928,22 +970,42 @@ def link_prediction(
     )
     # The lineage cut hides size stats from Catalyst, which would
     # otherwise demote every join to sort-merge (measured: 44 s → 58 s
-    # at sf0.1 when the round-9 cut landed without this).  One cheap
-    # count on the materialized list gates an explicit broadcast of
-    # the edge-table probe sides: small graphs keep the hash-join
-    # plan, and past the threshold the joins stay shuffled — the only
-    # scale-correct shape when the edge list is data-sized.
-    n_edges = e.count()
-    small = n_edges <= 5_000_000
+    # at sf0.1 when the round-9 cut landed without this), so an
+    # explicit gate broadcasts the edge-table probe sides on small
+    # graphs and leaves the joins shuffled past it — the only
+    # scale-correct shape when the edge list is data-sized.  The gate
+    # reads the PRE-cut plan's Catalyst size estimate instead of
+    # counting the materialized list (r12, VERDICT r11 #1): the
+    # count was a driver-side action that serialized the whole setup
+    # phase behind one more job + AQE replan.  The estimate is
+    # driver-only (no job), scales linearly with the scanned input
+    # (calibrated: the sf0.1 co-purchase build estimates 1.49 MB for
+    # 2.39M actual edges, ~0.6 B/edge), and the 4 MiB threshold keeps
+    # the old ~5M-edge intent.  When the caller's plan carries no
+    # stats (pre-checkpointed input → 8 EiB default) the gate falls
+    # closed to the shuffled shape — the safe direction.
+    if broadcast_edges is None:
+        est = int(
+            edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        small = est <= _BROADCAST_EDGES_EST_BYTES
+    else:
+        small = bool(broadcast_edges)
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
+    # NOT materialized (r12, measured): the deg aggregate and the cap
+    # semi-join appear as duplicated subtrees (4× / 2× in the explain
+    # dump), but at runtime they are tiny independent stages OFF the
+    # wedge stage's critical path — checkpointing them instead forces
+    # strictly sequential construction-time jobs, which an ABBA n=8
+    # A/B read as a ~5% regression.  Left duplicated on purpose.
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     wedge_src = e
     if max_wedge_degree is not None:
         ok = deg.filter(F.col("deg") <= max_wedge_degree).select("s")
-        wedge_src = e.join(ok, "s", "left_semi")
+        wedge_src = e.join(_b(ok), "s", "left_semi")
     pairs = (
         wedge_src.alias("x")
         .join(_b(wedge_src.alias("y")), F.col("x.s") == F.col("y.s"))

@@ -293,7 +293,13 @@ def sample_frames_decoded(
                     )
             yield pd.DataFrame(out)
 
-    return _widen(df.select(id_col, content_col), id_col).mapInPandas(
+    # NO width guard here (r12, the resize rule): frame sampling is
+    # payload-heavy and compute-light at typical sampling rates — the
+    # (id, content) shuffle the guard added cost more than the decode
+    # saves (driver r11: mm_scene_cuts 0.45→0.57 norm-s; the widen was
+    # also pure overhead for the 200-row media fixtures).  The
+    # compute-heavy kernels (image features, phash) keep the guard.
+    return df.select(id_col, content_col).mapInPandas(
         batches, VIDEO_FRAME_SCHEMA
     )
 

@@ -606,6 +606,39 @@ def test_alternating_cc_wins_on_deep_chain(spark):
     assert {r.component for r in rows} == {0}
 
 
+def test_alternating_cc_structural_probe_cadences(spark):
+    """r12: the star-forest fixpoint certificate (single-parent +
+    no-parent-as-child) must return the same components as union-find
+    at every probe/materialization cadence, on a graph that produces
+    multi-parent intermediate states (overlapping stars sharing
+    spokes) glued to a deep chain — the shapes where a premature
+    'parents are not children' exit would be wrong if the functional
+    (single-parent) half of the certificate were dropped."""
+    from kbdatalakeapps_spark.operators.graph import (
+        connected_components_alternating,
+    )
+
+    # two hubs sharing three spokes (multi-parent pressure), a 40-hop
+    # chain hanging off one spoke, plus a disjoint triangle
+    edges = [(100, s) for s in (1, 2, 3)] + [(200, s) for s in (1, 2, 3)]
+    edges += [(3 + i, 3 + i + 1) for i in range(40)]
+    edges += [(300, 301), (301, 302), (302, 300)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = union_find(edges)
+    comps: dict = {}
+    for node, root in want.items():
+        comps.setdefault(root, []).append(node)
+    expect = {n: min(ns) for ns in comps.values() for n in ns}
+    for cadence in (1, 2, 3):
+        got = {
+            r.id: r.component
+            for r in connected_components_alternating(
+                df, probe_every=cadence
+            ).collect()
+        }
+        assert got == expect, f"probe_every={cadence}"
+
+
 def test_keeper_assignment_alternating_parity(spark):
     """keeper_assignment(algorithm='alternating') equals the min-label
     default on the real minhash pair graph."""

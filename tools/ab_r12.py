@@ -1,0 +1,132 @@
+"""Order-balanced ABBA A/B harness for the r12 graph changes.
+
+Variants load the r11 operator module (snapshotted from git HEAD into
+kbdatalakeapps_spark/operators/_graph_r11.py) against the current one,
+in ONE session, interleaved ABBA BAAB ... so JIT drift cancels (the
+r11 measurement lesson: n>=8 per variant or you measure warm-up).
+
+Usage: python tools/ab_r12.py [--sf-dir DIR] [--n 8] key...
+Keys: jaccard (gr_jaccard_links_capped shape), pagerank, powerlaw.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kbdatalakeapps_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("keys", nargs="+")
+    args = ap.parse_args()
+
+    # snapshot the r11 operator module from git on demand, and remove
+    # it afterwards — a stray copy in the package dir is product code
+    # to the wrap-lint test (it failed the suite once; never again)
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snap = os.path.join(
+        root, "kbdatalakeapps_spark", "operators", "_graph_r11.py"
+    )
+    src = subprocess.run(
+        ["git", "-C", root, "show",
+         "61e1d39:kbdatalakeapps_spark/operators/graph.py"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    with open(snap, "w") as fh:
+        fh.write(src)
+    import atexit
+
+    atexit.register(lambda: os.path.exists(snap) and os.remove(snap))
+
+    import kbdatalakeapps_spark.operators._graph_r11 as gold
+    import kbdatalakeapps_spark.operators.graph as gnew
+    from kbdatalakeapps_spark.queries.graphs import (
+        _PR_DEN, _PR_ITERS, _PR_NUM, _PR_SCALE,
+        _JL_WEDGE_CAP, _PL_WEDGE_CAP,
+        _copurchase_edges, _zipf_coorder_edges,
+    )
+
+    spark = get_spark("ab-r12")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = args.sf_dir
+
+    def jaccard(mod):
+        return mod.link_prediction(
+            _copurchase_edges(spark, sf), max_wedge_degree=_JL_WEDGE_CAP
+        )
+
+    def powerlaw(mod):
+        return mod.link_prediction(
+            _zipf_coorder_edges(spark, sf), max_wedge_degree=_PL_WEDGE_CAP
+        )
+
+    def cc(mod):
+        from pyspark.sql import functions as F
+        from kbdatalakeapps_spark.io.sources import load_table
+
+        p = load_table(spark, sf, "part").select("p_partkey")
+        nxt = p.select(
+            F.col("p_partkey").alias("id_a"),
+            (F.col("p_partkey") + 13).alias("id_b"),
+        )
+        e = nxt.join(
+            p.select(F.col("p_partkey").alias("id_b")), "id_b"
+        ).select("id_a", "id_b")
+        return mod.connected_components_alternating(e).orderBy("id")
+
+    def pagerank(mod):
+        return mod.pagerank_fixed_point(
+            _copurchase_edges(spark, sf),
+            iterations=_PR_ITERS, damping_num=_PR_NUM,
+            damping_den=_PR_DEN, scale=_PR_SCALE, broadcast_ranks=True,
+        )
+
+    builders = {"jaccard": jaccard, "pagerank": pagerank,
+                "powerlaw": powerlaw, "cc": cc}
+
+    def one(mod, builder) -> float:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+        t0 = time.perf_counter()
+        builder(mod).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    for key in args.keys:
+        builder = builders[key]
+        # warm both variants once (untimed) so neither pays first-
+        # execution codegen inside the timed block
+        one(gold, builder)
+        one(gnew, builder)
+        # ABBA BAAB repeated — order-balanced
+        pattern = ("ABBA" + "BAAB") * ((args.n + 3) // 4)
+        a, b = [], []
+        for c in pattern:
+            if len(a) >= args.n and len(b) >= args.n:
+                break
+            if c == "A":
+                if len(a) < args.n:
+                    a.append(one(gold, builder))
+            else:
+                if len(b) < args.n:
+                    b.append(one(gnew, builder))
+        fmt = lambda xs: "[" + ", ".join(f"{x:.2f}" for x in xs) + "]"  # noqa: E731
+        import statistics as st
+        print(f"== {key}  load1={os.getloadavg()[0]:.1f}")
+        print(f"   old {fmt(a)}  median {st.median(a):.2f}  min {min(a):.2f}")
+        print(f"   new {fmt(b)}  median {st.median(b):.2f}  min {min(b):.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

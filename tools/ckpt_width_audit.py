@@ -42,6 +42,24 @@ def main() -> int:
 
     recorded: list[tuple[str, DataFrame]] = []
     orig = DataFrame.localCheckpoint
+    orig_reliable = DataFrame.checkpoint
+
+    def _site() -> str:
+        # innermost library frame that is NOT the materializer wrapper
+        # (ADVICE r11: frames[-2] was right only for materializer-
+        # wrapped calls; direct .localCheckpoint() sites live at
+        # frames[-1], and checkpointing.py's lambda must be skipped)
+        frames = [
+            f for f in traceback.extract_stack()
+            if "kbdatalakeapps_spark" in f.filename
+            and "operators/checkpointing.py" not in f.filename
+        ]
+        if not frames:
+            return "?"
+        f = frames[-1]
+        return (
+            f"{f.filename.split('kbdatalakeapps_spark/')[-1]}:{f.lineno}"
+        )
 
     def patched(self, eager=True, storageLevel=None):
         out = (
@@ -49,19 +67,17 @@ def main() -> int:
             if storageLevel is not None
             else orig(self, eager=eager)
         )
-        frames = [
-            f for f in traceback.extract_stack()
-            if "kbdatalakeapps_spark" in f.filename
-        ]
-        site = (
-            f"{frames[-2].filename.split('kbdatalakeapps_spark/')[-1]}"
-            f":{frames[-2].lineno}"
-            if len(frames) >= 2 else "?"
-        )
-        recorded.append((site, out))
+        recorded.append((_site(), out))
+        return out
+
+    def patched_reliable(self, eager=True, reliableCheckpoint=True):
+        # cover the checkpoint_dir (reliable) path too (ADVICE r11)
+        out = orig_reliable(self, eager=eager)
+        recorded.append((_site(), out))
         return out
 
     DataFrame.localCheckpoint = patched
+    DataFrame.checkpoint = patched_reliable
 
     from kbdatalakeapps_spark.queries import QUERIES
     import bench
@@ -69,27 +85,33 @@ def main() -> int:
     queries = dict(QUERIES)
     queries.update(bench._BENCH_OVERRIDES)
 
-    for name in args.names:
-        recorded.clear()
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist(False)
-        t0 = time.time()
-        queries[name](spark, args.sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        print(
-            f"== {name}: {time.time() - t0:.2f}s, "
-            f"{len(recorded)} checkpoints", flush=True,
-        )
-        widths: dict[str, list[int]] = {}
-        for site, df in recorded:
-            try:
-                n = df.rdd.getNumPartitions()
-            except Exception:
-                n = -1
-            widths.setdefault(site, []).append(n)
-        for site, ns in sorted(widths.items()):
-            print(f"   {site}: widths {dict(Counter(ns))}", flush=True)
+    try:
+        for name in args.names:
+            recorded.clear()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+            t0 = time.time()
+            queries[name](spark, args.sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            print(
+                f"== {name}: {time.time() - t0:.2f}s, "
+                f"{len(recorded)} checkpoints", flush=True,
+            )
+            widths: dict[str, list[int]] = {}
+            for site, df in recorded:
+                try:
+                    n = df.rdd.getNumPartitions()
+                except Exception:
+                    n = -1
+                widths.setdefault(site, []).append(n)
+            for site, ns in sorted(widths.items()):
+                print(f"   {site}: widths {dict(Counter(ns))}", flush=True)
+    finally:
+        # restore the originals (ADVICE r11) — matters when this main
+        # is driven in-process by another harness
+        DataFrame.localCheckpoint = orig
+        DataFrame.checkpoint = orig_reliable
     return 0
 
 
