@@ -864,8 +864,15 @@ def label_propagation(
     # the link_prediction size-gate idiom; the lineage cut hides size
     # stats from Catalyst, so the gate must be explicit).  Past the
     # gate the join stays shuffled — the only scale-correct shape when
-    # nodes are billions.
-    small = labels.count() <= 5_000_000
+    # nodes are billions.  Gated (r12) on the CALLER plan's Catalyst
+    # size estimate instead of a labels.count() driver action (the
+    # link_prediction change: no job, no plan-finalization barrier;
+    # |nodes| ≤ |edges| so the edge-plan estimate upper-bounds the
+    # label table; unknown stats fall closed to the shuffled shape).
+    est = int(
+        edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    small = est <= _BROADCAST_EDGES_EST_BYTES
 
     def _step(lab):
         rhs = lab.select(F.col("id").alias("dst"), "label")

@@ -49,7 +49,24 @@ def main() -> int:
 
     atexit.register(lambda: os.path.exists(snap) and os.remove(snap))
 
+    csnap = os.path.join(
+        root, "kbdatalakeapps_spark", "operators", "_classifier_r11.py"
+    )
+    csrc = subprocess.run(
+        ["git", "-C", root, "show",
+         "61e1d39:kbdatalakeapps_spark/operators/classifier.py"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    with open(csnap, "w") as fh:
+        fh.write(csrc)
+    atexit_mod = __import__("atexit")
+    atexit_mod.register(
+        lambda: os.path.exists(csnap) and os.remove(csnap)
+    )
+
+    import kbdatalakeapps_spark.operators._classifier_r11 as cold
     import kbdatalakeapps_spark.operators._graph_r11 as gold
+    import kbdatalakeapps_spark.operators.classifier as cnew
     import kbdatalakeapps_spark.operators.graph as gnew
     from kbdatalakeapps_spark.queries.graphs import (
         _PR_DEN, _PR_ITERS, _PR_NUM, _PR_SCALE,
@@ -85,6 +102,32 @@ def main() -> int:
         ).select("id_a", "id_b")
         return mod.connected_components_alternating(e).orderBy("id")
 
+    def clf(mod):
+        # the tx_quality_classifier bench override shape
+        from pyspark.sql import functions as F
+        from kbdatalakeapps_spark.io.sources import load_table
+
+        cmod = cold if mod is gold else cnew
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        labeled = docs.filter(
+            F.xxhash64("doc_id", F.lit("lab")) % 10 == 0
+        ).select(
+            "doc_id",
+            (F.xxhash64("doc_id", F.lit("y")) % 2 == 0)
+            .cast("int").alias("label"),
+        )
+        dim = 1 << 16
+        feats = cmod.hashed_features(docs, "text", "doc_id", dim=dim)
+        w, b = cmod.train_hashed_classifier(
+            feats.join(
+                labeled.select("doc_id").withColumnRenamed("doc_id", "id"),
+                "id", "left_semi",
+            ),
+            labeled.withColumnRenamed("doc_id", "id"),
+            steps=3,
+        )
+        return cmod.classify_text_quality(docs, w, b, "text", "doc_id", dim=dim)
+
     def pagerank(mod):
         return mod.pagerank_fixed_point(
             _copurchase_edges(spark, sf),
@@ -93,7 +136,7 @@ def main() -> int:
         )
 
     builders = {"jaccard": jaccard, "pagerank": pagerank,
-                "powerlaw": powerlaw, "cc": cc}
+                "powerlaw": powerlaw, "cc": cc, "clf": clf}
 
     def one(mod, builder) -> float:
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():

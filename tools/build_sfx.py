@@ -1,0 +1,135 @@
+"""Materialize an N× synthetic corpus for the larger-SF scaling probe
+(VERDICT r11 #7/#8): same structure-preserving doubling rules as
+tools/scale_slope.build_sf2, generalized to N disjoint copies with a
+configurable id offset.
+
+Why not compose build_sf2 twice: its fixed 10^9 offset collides on the
+second application (the shifted first copy lands on the original's
+second copy's id range).  Here copy k shifts ids by k*offset with
+offset > any base id, so all copies stay disjoint; a smaller offset
+(default 10^8) also keeps 4x co-purchase part ids far below 2^31,
+which the packed-long wedge-key experiment (VERDICT r11 #8) needs to
+stay overflow-free.
+
+Usage: python tools/build_sfx.py [--base /root/testdata/sf0.1]
+          [--out /root/repo/.scale_slope/sf4x] [--copies 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SCALED_TABLES = ("documents", "embeddings", "events", "lineitem", "part")
+
+
+def build_sfx(spark, base_dir: str, out_dir: str, copies: int = 4,
+              offset: int = 10**8) -> str:
+    from pyspark.sql import functions as F
+
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {
+        "base": base_dir, "copies": copies, "offset": offset,
+        "mtimes": {
+            t: os.path.getmtime(os.path.join(base_dir, f"{t}.parquet"))
+            for t in SCALED_TABLES
+        },
+    }
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def read(t):
+        return spark.read.parquet(os.path.join(base_dir, f"{t}.parquet"))
+
+    def write(df, t):
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet"))
+
+    def union_copies(base, shift):
+        out = base
+        for k in range(1, copies):
+            out = out.unionByName(shift(base, k * offset, k))
+        return out
+
+    d = read("documents")
+    write(union_copies(d, lambda b, off, k: b.select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        # copy k is NOT a near-duplicate of any other copy: word order
+        # reversed for odd k, and a per-copy salt token appended
+        F.concat(
+            F.when(F.lit(k % 2 == 1),
+                   F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+"))))
+            .otherwise(F.col("text")),
+            F.lit(f" zz{k}x"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )), "documents")
+
+    e = read("embeddings")
+    write(union_copies(e, lambda b, off, k: b.select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        # alternate negation / +k shift of one dim: cosine-far copies
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(F.lit(k % 2 == 1), -x)
+            .otherwise(x + F.when(i == 0, F.lit(float(k))).otherwise(F.lit(0.0))),
+        ).alias("embedding"),
+        "label",
+    )), "embeddings")
+
+    ev = read("events")
+    write(union_copies(ev, lambda b, off, k: b.select(
+        (F.col("event_id") + off).alias("event_id"),
+        (F.col("ts") + F.expr(f"INTERVAL {366 * k} DAYS")).alias("ts"),
+        (F.col("user_id") + off).alias("user_id"),
+        "event_type", "value", "props",
+    )), "events")
+
+    li = read("lineitem")
+    write(union_copies(li, lambda b, off, k: b.withColumns({
+        "l_orderkey": F.col("l_orderkey") + off,
+        "l_partkey": F.col("l_partkey") + off,
+        "l_suppkey": F.col("l_suppkey") + off,
+    })), "lineitem")
+
+    p = read("part")
+    write(union_copies(p, lambda b, off, k: b.withColumn(
+        "p_partkey", F.col("p_partkey") + off)), "part")
+
+    for t in ("region", "nation", "customer", "supplier", "orders"):
+        src = os.path.join(base_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.lexists(dst) and not os.path.isdir(dst):
+            os.remove(dst)
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return out_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=os.path.join(ROOT, ".scale_slope", "sf4x"))
+    ap.add_argument("--copies", type=int, default=4)
+    args = ap.parse_args()
+    from kbdatalakeapps_spark.session import get_spark
+
+    spark = get_spark("build-sfx")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(build_sfx(spark, args.base, args.out, copies=args.copies))
+
+
+if __name__ == "__main__":
+    main()
